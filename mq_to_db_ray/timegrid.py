@@ -1,0 +1,77 @@
+"""Event-time derivation and retention-tier bucket math (SURVEY.md E2).
+
+The reference derives a message's time from the AMQP envelope
+(`/root/reference/internal/consumer/rmq/rmq.go:199-206` stamps
+``Timestamp``); ordering is only guaranteed per consumer channel
+(`/root/reference/cmd/mq-to-db/main.go:502-516` merges channels with a fair
+select, losing global order).  We therefore derive event time from DATA, never
+from block order: ``seq`` is the per-source ordinal encoded in ``doc_id``
+(``"{source}-{seq:08d}"``), and
+
+    event_ts    = T0 + seq * TICK          (T0 = 2026-01-01T00:00:00Z, TICK=1s)
+    bucket(t)   = event_ts floored to the tier width (60s / 3600s / 86400s)
+
+All functions are pure and vectorized (numpy in / numpy out) so E2 is a
+stateless ``map_batches`` stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 2026-01-01T00:00:00Z in epoch seconds / microseconds (UTC-naive, like Arrow).
+T0_S = 1767225600
+T0_US = T0_S * 1_000_000
+TICK_S = 1
+
+# Tier name -> bucket width in seconds. "raw" keeps per-second resolution.
+TIERS: dict[str, int] = {"raw": 1, "1m": 60, "1h": 3600, "1d": 86400}
+# The downsampling cascade: each tier aggregates the previous one.
+CASCADE: list[tuple[str, str]] = [("raw", "1m"), ("1m", "1h"), ("1h", "1d")]
+
+
+def seq_to_event_us(seq: np.ndarray) -> np.ndarray:
+    """event_ts (timestamp[us] int64) from the per-source sequence ordinal."""
+    return T0_US + seq.astype(np.int64) * (TICK_S * 1_000_000)
+
+
+def seq_to_bucket_id(seq: np.ndarray, tier_s: int) -> np.ndarray:
+    """Integer bucket index for a tier: floor(seq * TICK / tier_s).
+
+    Kept as a small int64 through the shuffle; converted to timestamp[us]
+    only at the sink (bucket_id_to_us).
+    """
+    return (seq.astype(np.int64) * TICK_S) // tier_s
+
+
+def bucket_id_to_us(bucket_id: np.ndarray | int, tier_s: int) -> np.ndarray | int:
+    """bucket_ts (timestamp[us] int64) from an integer bucket index."""
+    if isinstance(bucket_id, np.ndarray):
+        return T0_US + bucket_id.astype(np.int64) * tier_s * 1_000_000
+    return T0_US + int(bucket_id) * tier_s * 1_000_000
+
+
+def us_to_bucket_id(ts_us: np.ndarray, tier_s: int) -> np.ndarray:
+    """Re-bucket an existing bucket_ts (or event_ts) to a coarser tier."""
+    rel = ts_us.astype(np.int64) - T0_US
+    return np.floor_divide(rel, tier_s * 1_000_000)
+
+
+def parse_seq_from_doc_id(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``seq = int(doc_id.rsplit('-', 1)[1])``.
+
+    Returns ``(seq int64, ok bool)``; rows whose doc_id has no parseable
+    ``-<digits>`` suffix get ``ok=False`` (reject lane, reason="parse" — the
+    analog of NewSQL's strict parse,
+    /root/reference/internal/messages/sql.go:29-36).
+    """
+    seqs = np.full(len(doc_ids), -1, dtype=np.int64)
+    ok = np.zeros(len(doc_ids), dtype=bool)
+    for i, d in enumerate(doc_ids):
+        if d is None:
+            continue
+        tail = d.rsplit("-", 1)
+        if len(tail) == 2 and tail[1].isdigit():
+            seqs[i] = int(tail[1])
+            ok[i] = True
+    return seqs, ok
