@@ -1,0 +1,145 @@
+"""E3 two-phase (salted) rollup + E4 downsampling cascade.
+
+Reference parity: the grouped running counters
+(`prometheus.CounterVec` labelled per worker,
+/root/reference/internal/metrics/metrics.go:136-183) are partial counts
+merged at scrape time; our rollup is the same shape — **partial aggregates
+are computed inside every map task (combiner), and only the tiny partials
+are shuffled** to the final ``groupby``.  The effective salt is the block id:
+a hot source's rows are spread over many blocks, each contributing one
+partial row per (source, bucket), so no reducer ever sees more than
+``num_blocks`` rows per key.  This is the salted two-phase aggregation the
+SURVEY mandates (E3/E11) without materializing an explicit salt column.
+
+The shuffled payload is narrow: (source, bucket_id, count, sum, min, max) —
+the ``tokens`` column never reaches a shuffle (SURVEY §7 hard-part #5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+from .. import schema as sch
+from ..timegrid import TIERS, bucket_id_to_us, us_to_bucket_id
+
+# Internal partial-aggregate column names.
+_PARTIAL_NAMES = ["source", "bucket_id", "count", "sum_n_tok", "min_n_tok", "max_n_tok"]
+
+
+def partial_rollup_batch(batch: pa.Table, tier_s: int) -> pa.Table:
+    """Per-batch combiner: ASSIGNED rows -> one partial row per (source, bucket)."""
+    seq = batch["seq"]
+    bucket = pc.divide(seq, tier_s) if tier_s > 1 else seq
+    t = pa.Table.from_arrays(
+        [batch["source"], pc.cast(bucket, pa.int64()), batch["n_tok"]],
+        names=["source", "bucket_id", "n_tok"],
+    )
+    g = t.group_by(["source", "bucket_id"], use_threads=False).aggregate(
+        [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
+    )
+    return pa.Table.from_arrays(
+        [
+            g["source"],
+            g["bucket_id"],
+            pc.cast(g["n_tok_count"], pa.int64()),
+            pc.cast(g["n_tok_sum"], pa.int64()),
+            pc.cast(g["n_tok_min"], pa.int32()),
+            pc.cast(g["n_tok_max"], pa.int32()),
+        ],
+        names=_PARTIAL_NAMES,
+    )
+
+
+def repartial_rollup_batch(batch: pa.Table, from_tier_s: int, to_tier_s: int) -> pa.Table:
+    """Cascade combiner: finished rollup rows (ROLLUP schema) -> coarser partials.
+
+    count = sum(count), sum = sum(sum), min = min(min), max = max(max) —
+    gap-filled rows (count==0, null min/max) are excluded so they can't
+    poison min/max.
+    """
+    real = batch.filter(pc.greater(batch["count"], 0))
+    bucket = us_to_bucket_id(
+        real["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False),
+        to_tier_s,
+    )
+    t = pa.Table.from_arrays(
+        [
+            real["source"],
+            pa.array(bucket, type=pa.int64()),
+            real["count"],
+            real["sum_n_tok"],
+            real["min_n_tok"],
+            real["max_n_tok"],
+        ],
+        names=_PARTIAL_NAMES,
+    )
+    g = t.group_by(["source", "bucket_id"], use_threads=False).aggregate(
+        [("count", "sum"), ("sum_n_tok", "sum"), ("min_n_tok", "min"), ("max_n_tok", "max")]
+    )
+    return pa.Table.from_arrays(
+        [
+            g["source"],
+            g["bucket_id"],
+            pc.cast(g["count_sum"], pa.int64()),
+            pc.cast(g["sum_n_tok_sum"], pa.int64()),
+            pc.cast(g["min_n_tok_min"], pa.int32()),
+            pc.cast(g["max_n_tok_max"], pa.int32()),
+        ],
+        names=_PARTIAL_NAMES,
+    )
+
+
+def finalize_batch(batch: pa.Table, tier_s: int) -> pa.Table:
+    """Merged partials -> ROLLUP schema (bucket_id -> bucket_ts, filled=False)."""
+    bucket_us = bucket_id_to_us(
+        batch["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False), tier_s
+    )
+    return pa.Table.from_arrays(
+        [
+            batch["source"],
+            pa.array(bucket_us).cast(pa.timestamp("us")),
+            pc.cast(batch["count"], pa.int64()),
+            pc.cast(batch["sum_n_tok"], pa.int64()),
+            pc.cast(batch["min_n_tok"], pa.int32()),
+            pc.cast(batch["max_n_tok"], pa.int32()),
+            pa.array(np.zeros(batch.num_rows, dtype=bool)),
+        ],
+        schema=sch.ROLLUP,
+    )
+
+
+def _merge_partials(partials: Dataset, tier_s: int) -> Dataset:
+    """Final phase: shuffle only the partials and merge them per key."""
+    merged = partials.groupby(["source", "bucket_id"]).aggregate(
+        Sum("count", alias_name="count"),
+        Sum("sum_n_tok", alias_name="sum_n_tok"),
+        Min("min_n_tok", alias_name="min_n_tok"),
+        Max("max_n_tok", alias_name="max_n_tok"),
+    )
+    return merged.map_batches(
+        lambda b: finalize_batch(b, tier_s), batch_format="pyarrow"
+    )
+
+
+def rollup(assigned: Dataset, tier: str, *, batch_size: int = 65536) -> Dataset:
+    """E3: ASSIGNED dataset -> unfilled ROLLUP dataset for one tier."""
+    tier_s = TIERS[tier]
+    partials = assigned.map_batches(
+        lambda b: partial_rollup_batch(b, tier_s),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return _merge_partials(partials, tier_s)
+
+
+def cascade(rolled: Dataset, from_tier: str, to_tier: str) -> Dataset:
+    """E4: finished finer-tier rollup -> coarser-tier rollup (tiny data)."""
+    f, t = TIERS[from_tier], TIERS[to_tier]
+    partials = rolled.map_batches(
+        lambda b: repartial_rollup_batch(b, f, t), batch_format="pyarrow"
+    )
+    return _merge_partials(partials, t)
