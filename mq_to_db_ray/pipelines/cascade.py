@@ -1,0 +1,231 @@
+"""The flagship pipeline: ingest → validate → raw tier → 1m → 1h → 1d,
+with gap-fill, DoD/Gorilla series blobs, exactly-once partition commits,
+reject lane and pushed metrics.
+
+Dataflow shape mirrors the reference end to end
+(`/root/reference/cmd/mq-to-db/main.go:250-294`: consumers → merge → stateful
+workers → results), recast on Ray Data:
+
+    read_parquet(epoch files)             # fan-out consumers (D1) + merge (D2)
+      .map_batches(ValidateAssign, ...)   # parse+validate (M1/M2), reject lane
+      .write_parquet(raw staging)         # store (M5) — tokens leave the flow
+    read raw tier, columns=[source,seq,n_tok]   # narrow re-read: column-pruned
+      -> rollup 1m (partial-agg combiner + tiny groupby merge)
+      -> commit_tier: groupby(source).map_groups(fill + encode + staged write)
+      -> cascade 1m->1h->1d on the small rolled data
+
+Scale notes: the only full-data pass is read→validate→raw-write (streaming,
+no shuffle); everything after operates on rolled-up points (≥60× smaller).
+``materialize()`` is applied ONLY to per-tier rollup outputs (sources ×
+buckets rows — MBs even at 10^12-sequence scale with year-long retention).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..state.manifest import Manifest, write_partition_atomic
+from ..state.metrics import MetricsSink
+from ..stages.encode import encode_group
+from ..stages.gapfill import fill_group
+from ..stages.rollup import cascade, rollup
+from ..stages.validate import ValidateAssign
+from ..timegrid import T0_US, TIERS
+
+
+def _epoch_fingerprint(paths: list[str]) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for p in sorted(paths):
+        h.update(p.encode())
+        try:
+            h.update(str(os.path.getsize(p)).encode())
+        except OSError:
+            pass
+    return h.hexdigest()
+
+
+class TierPartitionWriter:
+    """E5+E6+E7+E8 fused per-source worker (the `storageWorkers` analog,
+    /root/reference/cmd/mq-to-db/main.go:442-491): gap-fill the source's
+    series, encode blobs, stage+commit the partition, return a metrics row.
+
+    Runs inside ``groupby("source").map_groups``; skips partitions already
+    in the manifest (resume, E12)."""
+
+    def __init__(self, out_dir: str, run_id: str, tier: str, gap: bool = True):
+        self.out_dir = out_dir
+        self.run_id = run_id
+        self.tier = tier
+        self.gap = gap
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _metrics_schema().empty_table()
+        manifest = Manifest(self.out_dir)
+        tier_s = TIERS[self.tier]
+        filled = fill_group(group, tier_s) if self.gap else group.take(
+            pa.compute.sort_indices(group["bucket_ts"])
+        )
+        source = filled["source"][0].as_py()
+        ts = filled["bucket_ts"].cast(pa.int64())
+        lo = (ts[0].as_py() - T0_US) // (tier_s * 1_000_000)
+        hi = (ts[-1].as_py() - T0_US) // (tier_s * 1_000_000)
+        part = f"source={source}__part-{lo:08d}-{hi:08d}"
+        relpath = f"tier={self.tier}/source={source}/part-{lo:08d}-{hi:08d}.parquet"
+        row = write_partition_atomic(
+            manifest, self.run_id, self.tier, part, relpath, filled,
+            meta=dict(source=source, bucket_lo=int(lo), bucket_hi=int(hi)),
+        )
+        series = encode_group(filled, self.tier)
+        spart = f"series__source={source}"
+        srel = f"series/tier={self.tier}/source={source}.parquet"
+        write_partition_atomic(manifest, self.run_id, self.tier, spart, srel, series)
+        return pa.Table.from_pylist(
+            [
+                dict(
+                    tier=self.tier,
+                    partition=part,
+                    source=source,
+                    rows=int(filled.num_rows),
+                    skipped=bool(row.get("skipped", False)),
+                    wall_ms=int(row.get("wall_ms", 0)),
+                )
+            ],
+            schema=_metrics_schema(),
+        )
+
+
+def _metrics_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("tier", pa.string()),
+            ("partition", pa.string()),
+            ("source", pa.string()),
+            ("rows", pa.int64()),
+            ("skipped", pa.bool_()),
+            ("wall_ms", pa.int64()),
+        ]
+    )
+
+
+def commit_tier(rolled: Dataset, tier: str, out_dir: str, run_id: str) -> list[dict]:
+    """Write one tier's per-source partitions (+series blobs); returns the
+    per-partition metric rows (tiny — driver-side take is safe)."""
+    w = TierPartitionWriter(out_dir, run_id, tier)
+    return (
+        rolled.groupby("source")
+        .map_groups(lambda g: w(g), batch_format="pyarrow")
+        .take_all()
+    )
+
+
+def run_cascade(
+    input_paths: list[str] | str,
+    out_dir: str,
+    *,
+    batch_size: int = 65536,
+    validate_concurrency: int | None = None,
+    skip_raw: bool = False,
+) -> dict:
+    """Run the full epoch: returns a summary dict (counts, tiers, metrics path).
+
+    Resume (E12): committed partitions are skipped — the raw tier at epoch
+    granularity, rollup tiers at (tier, source) granularity.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            input_paths = sorted(
+                os.path.join(input_paths, f)
+                for f in os.listdir(input_paths)
+                if f.endswith(".parquet")
+            )
+        else:
+            input_paths = [input_paths]
+    manifest = Manifest(out_dir)
+    manifest.gc_staging()
+    sink = MetricsSink(out_dir, run_id)
+    epoch = _epoch_fingerprint(list(input_paths))
+    raw_dir = os.path.join(out_dir, f"tier=raw/epoch={epoch}")
+    reject_dir = os.path.join(out_dir, f"rejects/epoch={epoch}")
+
+    # ---- stage A: ingest → validate → raw tier (the only full-data pass) ----
+    t0 = time.perf_counter()
+    raw_part = f"epoch={epoch}"
+    if not skip_raw and not manifest.is_committed("raw", raw_part):
+        ds = rd.read_parquet(list(input_paths))
+        validated = ds.map_batches(
+            ValidateAssign(reject_dir),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=validate_concurrency,
+            zero_copy_batch=True,
+        )
+        staging = os.path.join(out_dir, "_staging", run_id, "raw")
+        validated.write_parquet(staging, partition_cols=["source"])
+        os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
+        os.replace(staging, raw_dir)
+        _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
+    raw_wall = time.perf_counter() - t0
+
+    # ---- stage B: narrow re-read → 1m → 1h → 1d (rolled-up data only) ----
+    narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
+    m1 = rollup(narrow, "1m", batch_size=batch_size).materialize()
+    parts = {"1m": commit_tier(m1, "1m", out_dir, run_id)}
+    h1 = cascade(m1, "1m", "1h").materialize()
+    parts["1h"] = commit_tier(h1, "1h", out_dir, run_id)
+    d1 = cascade(h1, "1h", "1d").materialize()
+    parts["1d"] = commit_tier(d1, "1d", out_dir, run_id)
+
+    # this run's staging tree now holds only empty dirs (every staged file
+    # was renamed away at commit); remove it so _staging/ is clean on exit
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "_staging", run_id), ignore_errors=True)
+
+    # ---- metrics (E10) ----
+    n_raw = rd.read_parquet(raw_dir, columns=["seq"]).count()
+    n_rejects = 0
+    if os.path.isdir(reject_dir):
+        n_rejects = rd.read_parquet(reject_dir).count()
+    sink.inc("mq_to_db_consumer_messages_total", n_raw + n_rejects)
+    sink.inc("mq_to_db_storage_worker_messages_total", n_raw + n_rejects)
+    sink.inc("mq_to_db_storer_messages_ack_total", n_raw)
+    sink.inc("mq_to_db_storer_messages_rejected_total", n_rejects)
+    for tier_rows in parts.values():
+        for row in tier_rows:
+            sink.observe_partition(row)
+    mpath = sink.flush(extra=dict(epoch=epoch, raw_wall_sec=raw_wall))
+    return dict(
+        run_id=run_id,
+        epoch=epoch,
+        rows=n_raw,
+        rejects=n_rejects,
+        partitions={t: len(v) for t, v in parts.items()},
+        skipped={t: sum(1 for r in v if r["skipped"]) for t, v in parts.items()},
+        tiers={"1m": m1, "1h": h1, "1d": d1},
+        metrics_path=mpath,
+    )
+
+
+def _commit_dir_entry(manifest: Manifest, tier: str, partition: str, path: str, epoch: str) -> None:
+    """Manifest entry for an already-renamed directory partition (raw tier)."""
+    import json
+
+    entry = dict(tier=tier, partition=partition, path=path, epoch=epoch)
+    epath = os.path.join(manifest.mdir, manifest.entry_name(tier, partition))
+    tmp = epath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, epath)

@@ -1,0 +1,175 @@
+"""E8/E12: exactly-once partition commit + lineage manifest + resume planner.
+
+Reference parity (M6): a message leaves the queue only when ``Ack()`` runs
+*after* the store succeeds (`/root/reference/internal/repository/messages.go:131`
+follows the exec at `messages.go:89`; AMQP basic.ack at
+`/root/reference/internal/consumer/rmq/rmq.go:237-239`).  Our partition-level
+analog:
+
+    write staged file -> fsync -> atomic rename into place
+    -> atomically create one manifest JSON per partition
+
+A partition is "acked" iff its manifest entry exists.  Crash windows:
+  * before data rename      -> debris in _staging/, GC'd at plan time
+  * after rename, before manifest -> data present but uncommitted; the rerun
+    rewrites the same deterministic file name (idempotent os.replace) and
+    then commits — never duplicated, never lost.
+
+Layout (SURVEY.md §4.3):
+    out/tier=1m/source=s03/part-000120-000179.parquet
+    out/_staging/<run_id>/...
+    out/_MANIFEST/tier=1m__source=s03__part-000120-000179.json
+    out/rejects/...   out/metrics/...
+
+On a real multi-node cluster ``out`` is shared storage (S3/NFS); rename-level
+atomicity maps to S3 multipart-complete / conditional put.  Manifest reads at
+plan time happen only on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import __version__
+
+MANIFEST_DIR = "_MANIFEST"
+STAGING_DIR = "_staging"
+
+
+def _fsync_dir(path: str) -> None:
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
+class Manifest:
+    """Driver- and task-side view of the commit log (a directory of JSONs)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.mdir = os.path.join(out_dir, MANIFEST_DIR)
+        os.makedirs(self.mdir, exist_ok=True)
+
+    @staticmethod
+    def entry_name(tier: str, partition: str) -> str:
+        return f"tier={tier}__{partition}.json"
+
+    def is_committed(self, tier: str, partition: str) -> bool:
+        return os.path.exists(os.path.join(self.mdir, self.entry_name(tier, partition)))
+
+    def committed(self, tier: str | None = None) -> dict[str, dict]:
+        out = {}
+        prefix = f"tier={tier}__" if tier else ""
+        for name in os.listdir(self.mdir):
+            if name.endswith(".json") and name.startswith(prefix):
+                with open(os.path.join(self.mdir, name)) as f:
+                    out[name[: -len(".json")]] = json.load(f)
+        return out
+
+    def commit_file(
+        self,
+        tier: str,
+        partition: str,
+        staged_path: str,
+        final_relpath: str,
+        meta: dict,
+    ) -> str:
+        """Atomic data rename + atomic manifest create (the 'ack')."""
+        final_path = os.path.join(self.out_dir, final_relpath)
+        os.makedirs(os.path.dirname(final_path), exist_ok=True)
+        with open(staged_path, "rb") as f:
+            os.fsync(f.fileno())
+        os.replace(staged_path, final_path)
+        _fsync_dir(os.path.dirname(final_path))
+        entry = dict(
+            tier=tier,
+            partition=partition,
+            path=final_relpath,
+            engine_version=__version__,
+            committed_at=time.time(),
+            **meta,
+        )
+        epath = os.path.join(self.mdir, self.entry_name(tier, partition))
+        tmp = epath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, epath)
+        _fsync_dir(self.mdir)
+        return final_path
+
+    def staging_path(self, run_id: str, relpath: str) -> str:
+        p = os.path.join(self.out_dir, STAGING_DIR, run_id, relpath)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
+
+    def gc_staging(self) -> int:
+        """Remove crash debris (E12).  Driver-side, at plan time."""
+        import shutil
+
+        sdir = os.path.join(self.out_dir, STAGING_DIR)
+        n = 0
+        if os.path.isdir(sdir):
+            for name in os.listdir(sdir):
+                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+                n += 1
+        return n
+
+
+def write_partition_atomic(
+    manifest: Manifest,
+    run_id: str,
+    tier: str,
+    partition: str,
+    relpath: str,
+    table: pa.Table,
+    meta: dict | None = None,
+) -> dict:
+    """Stage + commit one deterministic parquet partition; returns the
+    manifest entry meta (used as the per-partition metrics row, E10).
+
+    Skips (and does not touch) already-committed partitions — the resume
+    path (E12).  Deterministic bytes: fixed writer options + pre-sorted
+    input mean a rerun's os.replace writes identical content.
+    """
+    if manifest.is_committed(tier, partition):
+        return dict(tier=tier, partition=partition, skipped=True, rows=int(table.num_rows))
+    t0 = time.perf_counter()
+    staged = manifest.staging_path(run_id, relpath)
+    pq.write_table(table, staged, compression="zstd", row_group_size=128 * 1024)
+    fingerprint = _content_fingerprint(table)
+    meta = dict(meta or {})
+    meta.update(
+        rows=int(table.num_rows),
+        input_fingerprint=fingerprint,
+        wall_ms=int((time.perf_counter() - t0) * 1000),
+        skipped=False,
+    )
+    manifest.commit_file(tier, partition, staged, relpath, meta)
+    return dict(tier=tier, partition=partition, **meta)
+
+
+def _content_fingerprint(table: pa.Table) -> str:
+    """Order-insensitive xor-of-row-hashes content identity (FIXTURES §4).
+
+    Vectorized (polars xxhash over the first column) so raw-tier partitions
+    with millions of rows fingerprint in milliseconds.
+    """
+    import numpy as np
+    import polars as pl
+
+    # binary columns (series blobs) are fine; hash_rows covers every column
+    hashes = pl.from_arrow(table).hash_rows(seed=42).to_numpy().astype(np.uint64)
+    return f"{int(np.bitwise_xor.reduce(hashes)) if len(hashes) else 0:016x}"
