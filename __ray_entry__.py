@@ -1,44 +1,314 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship cascade on sf0.001 (tokenized documents +
+synthesized F1 corpus).  ``queries()`` — one callable per implemented
+operator from SURVEY.md §2 (+ the training-data ops).  ``oracle_sql()`` —
+DuckDB-equivalent SQL for every SQL-expressible query, with column names
+matching the Ray output exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_F1_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _f1_dir(sf_dir: str) -> str:
+    """Deterministic synthetic F1 corpus sized by scale factor (cached)."""
+    from mq_to_db_ray.gen import write_f1_parquet
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _F1_ROWS.get(name, 20_000)
+    out = f"/tmp/mq2db_f1_cache/{name}-{n}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_f1_parquet(out, n, shards=max(4, n // 25_000), max_tok=64)
+        open(marker, "w").close()
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full raw→1m→1h→1d cascade (commit+manifest+metrics) on the
+    sf0.001 F1 corpus; returns the gap-filled 1m rollup Dataset."""
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.stages.gapfill import gap_fill
+
+    out = tempfile.mkdtemp(prefix="mq2db_entry_")
+    summary = run_cascade(_f1_dir("/root/testdata/sf0.001"), out)
+    return gap_fill(summary["tiers"]["1m"], "1m")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_events_rollup(tier: str):
+    def fn(sf_dir: str):
+        from mq_to_db_ray.pipelines.events import events_rollup
+
+        return events_rollup(sf_dir, tier)
+
+    return fn
+
+
+def _q_events_cascaded(tier: str):
+    def fn(sf_dir: str):
+        from mq_to_db_ray.pipelines.events import events_rollup_cascaded
+
+        return events_rollup_cascaded(sf_dir, tier)
+
+    return fn
+
+
+def _q_events_gapfill(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_gapfill
+
+    return events_gapfill(sf_dir, "1m")
+
+
+def _q_events_rejects(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        is_parse = pc.equal(batch["event_type"], "error")
+        is_validate = pc.greater_equal(batch["value"], 450.0)
+        bad = pc.or_(is_parse, is_validate)
+        t = batch.filter(bad)
+        reason = pc.if_else(
+            pc.equal(t["event_type"], "error"), "parse", "validate"
+        )
+        return pa.table({"event_id": t["event_id"], "reason": reason})
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+def _q_doc_rollup_1m(sf_dir: str):
+    from mq_to_db_ray.sources.tokenized import tokenized_documents
+    from mq_to_db_ray.stages.rollup import rollup
+    import pyarrow as pa
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        seqs = np.array(
+            [int(d.rsplit("-", 1)[1]) for d in batch["doc_id"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "source": batch["source"],
+                "seq": pa.array(seqs),
+                "n_tok": batch["n_tok"],
+            }
+        )
+
+    ds = tokenized_documents(sf_dir).map_batches(assign, batch_format="pyarrow")
+    return rollup(ds, "1m").drop_columns(["filled"])
+
+
+def _q_f1_cascade_1m(sf_dir: str):
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.stages.gapfill import gap_fill
+
+    out = tempfile.mkdtemp(prefix="mq2db_q_")
+    s = run_cascade(_f1_dir(sf_dir), out)
+    return gap_fill(s["tiers"]["1m"], "1m")
+
+
+def _q_f1_series_roundtrip(sf_dir: str):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.functions.dod import dod_decode
+    from mq_to_db_ray.functions.gorilla import gorilla_decode
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+
+    out = tempfile.mkdtemp(prefix="mq2db_q_")
+    run_cascade(_f1_dir(sf_dir), out)
+    rows = []
+    for p in sorted(glob.glob(f"{out}/series/tier=*/source=*.parquet")):
+        t = pq.read_table(p).to_pylist()[0]
+        vals = dod_decode(t["dod_blob"])
+        fvals = gorilla_decode(t["gorilla_blob"])
+        rows.append(
+            dict(
+                tier=t["tier"],
+                source=t["source"],
+                n_points=t["n_points"],
+                dod_ok=len(vals) == t["n_points"],
+                gorilla_ok=fvals == [float(v) for v in vals],
+            )
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def _q_f1_tokens_passthrough(sf_dir: str):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+
+    f1 = _f1_dir(sf_dir)
+    out = tempfile.mkdtemp(prefix="mq2db_q_")
+    run_cascade(f1, out)
+    orig = pq.ParquetDataset(sorted(glob.glob(f1 + "/*.parquet"))).read(
+        columns=["doc_id", "tokens"]
+    )
+    orig = orig.take(pa.compute.sort_indices(orig["doc_id"]))
+    epoch_dir = glob.glob(out + "/tier=raw/epoch=*")[0]
+    back = pads.dataset(epoch_dir, partitioning="hive").to_table(
+        columns=["doc_id", "tokens"]
+    )
+    back = back.take(pa.compute.sort_indices(back["doc_id"]))
+    ok = back["doc_id"].combine_chunks().equals(orig["doc_id"].combine_chunks()) and back[
+        "tokens"
+    ].combine_chunks().equals(orig["tokens"].combine_chunks())
+    return pa.table({"rows": [orig.num_rows], "tokens_byte_identical": [ok]})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mq_to_db_ray.pipelines import training_data as td
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- time-series rollup engine (E1-E12 over the events adapter) ---
+        "events_rollup_1m": _q_events_rollup("1m"),
+        "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
+        "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
+        "events_gapfill_1m": _q_events_gapfill,
+        "events_reject_lane": _q_events_rejects,
+        # --- flagship on the native F1 corpus (rows-only; oracle in pytest) ---
+        "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
+        "f1_series_roundtrip": _q_f1_series_roundtrip,
+        "f1_tokens_passthrough": _q_f1_tokens_passthrough,
+        # --- tokenized-documents ingest (input_hint shape over driver data) ---
+        "doc_token_count": td.token_count,
+        "doc_rollup_1m": _q_doc_rollup_1m,
+        "doc_quality": td.quality_score,
+        "doc_langid": td.lang_id,
+        "doc_fingerprint": td.fingerprint,
+        # --- dedup suite ---
+        "doc_exact_dedup": td.exact_dedup,
+        "doc_simhash": td.simhash,
+        "doc_minhash_pairs": td.minhash_lsh_pairs,
+        # --- similarity search ---
+        "embedding_stats": td.embedding_stats,
+        "ann_cosine_top10": td.ann_topk,
+        "ann_lsh_topk": td.ann_lsh_topk,
+        # --- multimodal plumbing ---
+        "multimodal_meta": td.multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stop_list = "'the','a','of','and','to','in','is'"
+    events_rollup = """
+        SELECT event_type AS source,
+               date_trunc('{unit}', ts) AS bucket_ts,
+               CAST(count(*) AS BIGINT) AS count,
+               CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_n_tok,
+               CAST(min(floor(value)) AS INTEGER) AS min_n_tok,
+               CAST(max(floor(value)) AS INTEGER) AS max_n_tok
+        FROM events GROUP BY 1, 2
     """
-    return {}
+    return {
+        "events_rollup_1m": events_rollup.format(unit="minute"),
+        "events_rollup_1h_cascaded": events_rollup.format(unit="hour"),
+        "events_rollup_1d_cascaded": events_rollup.format(unit="day"),
+        "events_gapfill_1m": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count,
+                     CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_n_tok,
+                     CAST(min(floor(value)) AS INTEGER) AS min_n_tok,
+                     CAST(max(floor(value)) AS INTEGER) AS max_n_tok
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b FROM s)
+            SELECT g.source,
+                   g.b AS bucket_ts,
+                   COALESCE(r.count, 0) AS count,
+                   COALESCE(r.sum_n_tok, 0) AS sum_n_tok,
+                   r.min_n_tok AS min_n_tok,
+                   r.max_n_tok AS max_n_tok,
+                   (r.source IS NULL) AS filled
+            FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b
+        """,
+        "events_reject_lane": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 'parse' ELSE 'validate' END AS reason
+            FROM events
+            WHERE event_type = 'error' OR value >= 450.0
+        """,
+        "doc_token_count": """
+            SELECT doc_id, source,
+                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        """,
+        "doc_rollup_1m": """
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (doc_id // 60) * INTERVAL 60 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_n_tok,
+                   CAST(min(len(str_split(text, ' '))) AS INTEGER) AS min_n_tok,
+                   CAST(max(len(str_split(text, ' '))) AS INTEGER) AS max_n_tok
+            FROM documents GROUP BY 1, 2
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(str_split(lower(text), ' '),
+                                        w -> w IN ({stop_list}))) AS BIGINT) AS n_stop,
+                   CAST(floor(1000.0 * len(list_filter(str_split(lower(text), ' '),
+                                        w -> w IN ({stop_list})))
+                              / len(str_split(text, ' '))) AS BIGINT) AS stop_permille
+            FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "embedding_stats": """
+            SELECT CAST(label AS INTEGER) AS label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(len(embedding)) AS BIGINT) AS dim
+            FROM embeddings GROUP BY 1
+        """,
+        "ann_cosine_top10": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+                                vec_id) AS BIGINT) AS rank
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY rank LIMIT 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+                   'unknown' AS kind
+            FROM documents
+        """,
+    }

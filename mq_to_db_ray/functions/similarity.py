@@ -1,0 +1,99 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast ONCE via ``ray.put`` and every ``map_batches`` task does one numpy
+matmul per batch against it (never re-shipped per batch).  The scale path is
+LSH bucketing (random hyperplane signs) so candidate sets shrink from N to
+N/2^p per bucket before exact re-scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Per-batch exact cosine scorer; query matrix fetched from the object
+    store once per actor (``__init__``), not per batch."""
+
+    def __init__(self, query_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = m @ self.q.T  # (batch, n_queries)
+        best = sims.max(axis=1)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # local top-k per batch; global top-k is a tiny sort downstream
+        k = min(self.k, len(best))
+        idx = np.argpartition(-best, k - 1)[:k] if k else np.array([], dtype=int)
+        return pa.table(
+            {
+                "vec_id": ids.take(pa.array(idx, type=pa.int64())),
+                "sim": pa.array(best[idx], type=pa.float64()),
+            }
+        )
+
+
+def cosine_topk(
+    ds: Dataset, query_vecs: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", concurrency: int | None = None,
+) -> Dataset:
+    """Exact top-k: per-batch local top-k (map_batches) then one tiny global
+    sort+limit on <= k × num_batches candidate rows."""
+    ref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    candidates = ds.map_batches(
+        BruteForceTopK(ref, id_col, vec_col, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    return candidates.sort("sim", descending=True).limit(k)
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket id per row (sign bits packed to int64)."""
+    signs = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (signs.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+class LshBucketer:
+    """Adds an LSH bucket column — the scale path for ANN: co-bucket probable
+    neighbors, then exact-score per bucket (groupby) instead of all-pairs."""
+
+    def __init__(self, planes_ref, vec_col: str = "embedding"):
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.planes = np.asarray(p, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        return batch.append_column("lsh_bucket", pa.array(lsh_bucket_ids(m, self.planes)))

@@ -1,0 +1,159 @@
+"""Text-analysis kernels for training-data pipelines: tokenization,
+language-ID, quality scoring, fingerprinting, SimHash, MinHash shingles.
+
+All are pure per-batch functions (numpy/pandas vectorized where it matters,
+word-level dict hashing amortized per batch) meant to run inside
+``map_batches``.  Token ids are derived with the same splitmix64 ``h`` as the
+F1 generator so results are deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+from ..gen import VOCAB
+
+# Tiny stopword list (shared with the quality oracle SQL — keep in sync with
+# __ray_entry__.oracle_sql).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+_MASK64 = (1 << 64) - 1
+
+
+def word_hash64(word: str) -> int:
+    """Stable 64-bit word hash (blake2b-8); basis for token ids & sketches."""
+    return int.from_bytes(hashlib.blake2b(word.encode(), digest_size=8).digest(), "big")
+
+
+class WordHasher:
+    """Per-actor memoized word -> hash map (stateful-stage state: build once,
+    reuse across batches — the `storageWorkers` pattern)."""
+
+    def __init__(self) -> None:
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, word: str) -> int:
+        v = self.cache.get(word)
+        if v is None:
+            v = word_hash64(word)
+            self.cache[word] = v
+        return v
+
+
+def tokenize(text: str, hasher: WordHasher | None = None) -> list[int]:
+    """Whitespace-split words -> int32 token ids in [0, VOCAB).
+
+    Split semantics are exactly ``text.split(' ')`` (single-space), matching
+    DuckDB's ``str_split(text, ' ')`` so n_tok is SQL-checkable.
+    """
+    hh = hasher or word_hash64
+    return [(hh(w) if hasher else word_hash64(w)) % VOCAB for w in text.split(" ")]
+
+
+def token_counts(texts: list[str]) -> np.ndarray:
+    return np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+
+
+def quality_features(text: str) -> dict:
+    """Integer-valued quality features (integers so the DuckDB oracle can
+    reproduce them bit-exactly — no float-summation ambiguity)."""
+    words = text.split(" ")
+    n_words = len(words)
+    n_stop = sum(1 for w in words if w.lower() in STOPWORDS)
+    return dict(
+        n_words=n_words,
+        n_stop=n_stop,
+        stop_permille=math.floor(1000.0 * n_stop / n_words) if n_words else 0,
+    )
+
+
+def lang_id(text: str) -> str:
+    """Tiny n-gram/stopword heuristic language guesser (en/de/fr/unknown).
+
+    Not a model — a deterministic frequency heuristic (public-knowledge
+    approach: character-frequency + stopword voting).
+    """
+    words = set(w.lower() for w in text.split(" "))
+    votes = {
+        "en": len(words & {"the", "and", "of", "to", "is", "a", "in", "that"}),
+        "de": len(words & {"der", "die", "das", "und", "ist", "nicht", "ein"}),
+        "fr": len(words & {"le", "la", "les", "et", "est", "une", "que"}),
+    }
+    best = max(votes, key=lambda k: (votes[k], k))
+    return best if votes[best] > 0 else "unknown"
+
+
+def doc_fingerprint(text: str, window: int = 8) -> int:
+    """Rolling-hash document fingerprint: min of window-grams of word hashes
+    (a winnowing-style selection — Schleimer et al., SIGMOD 2003, public)."""
+    hs = [word_hash64(w) for w in text.split(" ")]
+    if not hs:
+        return 0
+    if len(hs) <= window:
+        acc = 0
+        for v in hs:
+            acc = (acc * 1099511628211 + v) & _MASK64
+        return acc
+    best = _MASK64
+    acc = 0
+    # rolling polynomial over each window of word hashes
+    base = 1099511628211
+    base_pow = pow(base, window - 1, 1 << 64)
+    for i, v in enumerate(hs):
+        acc = (acc * base + v) & _MASK64
+        if i >= window:
+            acc = (acc - hs[i - window] * ((base_pow * base) & _MASK64)) & _MASK64
+        if i >= window - 1:
+            best = min(best, acc)
+    return best
+
+
+def simhash(text: str, bits: int = 64) -> int:
+    """64-bit SimHash over word hashes (Charikar 2002, public)."""
+    counts = [0] * bits
+    for w in text.split(" "):
+        hv = word_hash64(w)
+        for b in range(bits):
+            counts[b] += 1 if (hv >> b) & 1 else -1
+    out = 0
+    for b in range(bits):
+        if counts[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Hashed k-word shingles (n-gram set for Jaccard / MinHash)."""
+    words = text.split(" ")
+    if len(words) < k:
+        return {word_hash64(" ".join(words))} if words else set()
+    out = set()
+    for i in range(len(words) - k + 1):
+        out.add(word_hash64(" ".join(words[i : i + k])))
+    return out
+
+
+# MinHash: 64-bit universal hashing family a*x+b over the shingle hashes.
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MASK64, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, _MASK64, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not sh:
+        return np.full(len(a), _MASK64, dtype=np.uint64)
+    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod 2^64, min over shingles, per permutation
+    vals = (x[None, :] * a[:, None] + b[:, None]).min(axis=1)
+    return vals
+
+
+def jaccard(s1: set[int], s2: set[int]) -> float:
+    if not s1 and not s2:
+        return 1.0
+    return len(s1 & s2) / len(s1 | s2)

@@ -1,0 +1,332 @@
+"""Training-data pipeline operators over the driver's documents/embeddings
+tables: text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search, multimodal metadata.
+
+Every function takes ``sf_dir`` and returns a Dataset/Table whose column
+names match the corresponding entry in ``__ray_entry__.oracle_sql`` exactly
+(the driver sorts columns by name before hashing values).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions import textstats as ts
+from ..functions.multimodal import PayloadMeta
+from ..functions.similarity import cosine_topk, LshBucketer, make_planes
+
+
+def _docs(sf_dir: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------- text analysis ----------------
+
+
+def token_count(sf_dir: str) -> Dataset:
+    """(doc_id, source, n_tok) with n_tok = len(text.split(' ')) — matches
+    DuckDB len(str_split(text, ' '))."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pa.array(ts.token_counts(texts), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def quality_score(sf_dir: str) -> Dataset:
+    """Integer quality features: (doc_id, n_words, n_stop, stop_permille)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [ts.quality_features(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array([r["n_words"] for r in rows], type=pa.int64()),
+                "n_stop": pa.array([r["n_stop"] for r in rows], type=pa.int64()),
+                "stop_permille": pa.array(
+                    [r["stop_permille"] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> Dataset:
+    """(doc_id, lang_pred) — n-gram/stopword heuristic (no SQL oracle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(
+                    [ts.lang_id(t) for t in batch["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint(sf_dir: str) -> Dataset:
+    """(doc_id, fp) rolling-hash winnowing fingerprint (int64, wrapped)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [
+            np.int64(np.uint64(ts.doc_fingerprint(t)))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------- dedup ----------------
+
+
+def exact_dedup(sf_dir: str) -> Dataset:
+    """Exact dedup by full text content: keep min doc_id per content group.
+
+    Scale shape: hash-partition by a 64-bit content hash (narrow), never
+    shuffle the text itself; per-group winner selection in map_groups.
+    Returns (doc_id, dup_count).
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            np.int64(
+                np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    )
+                )
+            )
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text_hash": pa.array(hs, type=pa.int64())}
+        )
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([pc.min(group["doc_id"]).as_py()], type=pa.int64()),
+                "dup_count": pa.array([group.num_rows], type=pa.int64()),
+            }
+        )
+
+    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pyarrow")
+
+
+def simhash(sf_dir: str) -> Dataset:
+    """(doc_id, simhash) — 64-bit SimHash, int64-wrapped."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [
+            np.int64(np.uint64(ts.simhash(t))) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(vals, type=pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, *, num_perm: int = 64, bands: int = 16, jaccard_permille: int = 300
+) -> Dataset:
+    """MinHash+LSH near-dup candidates, Jaccard-verified.
+
+    shingle -> minhash signature (map_batches) -> explode to
+    (band_id, band_hash, doc_id) -> groupby band -> candidate pairs ->
+    verify true n-gram Jaccard on the pair (broadcast text lookup).
+    Returns (doc_a, doc_b, jaccard_permille) with doc_a < doc_b.
+    """
+    rows_per_band = num_perm // bands
+    a, b = ts.minhash_params(num_perm)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = ts.minhash_signature(ts.shingles(text), a, b)
+            for bi in range(bands):
+                seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+                doc_ids.append(did)
+                band_ids.append(bi)
+                band_hashes.append(int.from_bytes(bh, "big") - (1 << 63))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.int64()),
+            }
+        )
+
+    banded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_bands, batch_format="pyarrow"
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+        if not pairs:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            }
+        )
+
+    candidates = banded.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pyarrow"
+    )
+    # candidate set is small (LSH-pruned); dedup pairs then verify exactly.
+    cand = candidates.to_pandas().drop_duplicates()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(sf_dir, ["doc_id", "text"]).take_all()
+    }  # small side — broadcast lookup (ray.put for real scale)
+    out = []
+    for _, row in cand.iterrows():
+        j = ts.jaccard(ts.shingles(texts[row.doc_a]), ts.shingles(texts[row.doc_b]))
+        jp = int(j * 1000)
+        if jp >= jaccard_permille:
+            out.append(dict(doc_a=int(row.doc_a), doc_b=int(row.doc_b), jaccard_permille=jp))
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_permille", pa.int64())]
+    )
+    return pa.Table.from_pylist(out, schema=schema)
+
+
+# ---------------- similarity search ----------------
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact cosine top-k of embeddings vs the query vector (vec_id == 0).
+
+    Returns (vec_id, rank); the query vector itself is excluded.
+    """
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = None
+    for batch in emb.iter_batches(batch_format="pyarrow", batch_size=4096):
+        m = pc.equal(batch["vec_id"], 0)
+        if pc.any(m).as_py():
+            q = np.asarray(batch.filter(m)["embedding"].to_pylist()[0], dtype=np.float64)
+            break
+    assert q is not None, "vec_id 0 not found"
+    ds = emb.filter(expr="vec_id != 0")
+    top = cosine_topk(ds, q[None, :], k=k).to_pandas()
+    top = top.sort_values("sim", ascending=False).reset_index(drop=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(top["vec_id"].astype("int64")),
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        }
+    )
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10, n_planes: int = 6) -> pa.Table:
+    """LSH-bucketed ANN (the scale path): only the query's bucket is
+    exact-scored.  Approximate by construction — rows-only check."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = emb.take_batch(1, batch_format="pyarrow")
+    dim = len(first["embedding"][0].as_py())
+    planes = make_planes(dim, n_planes)
+    planes_ref = ray.put(planes)
+    bucketed = emb.map_batches(
+        LshBucketer(planes_ref), batch_format="pyarrow", batch_size=4096
+    )
+    q = None
+    for batch in emb.iter_batches(batch_format="pyarrow", batch_size=4096):
+        m = pc.equal(batch["vec_id"], 0)
+        if pc.any(m).as_py():
+            q = np.asarray(batch.filter(m)["embedding"].to_pylist()[0], dtype=np.float64)
+            break
+    from ..functions.similarity import lsh_bucket_ids, _normalize
+
+    qb = int(lsh_bucket_ids(_normalize(q[None, :]), planes)[0])
+    cand = bucketed.filter(expr=f"lsh_bucket == {qb} and vec_id != 0")
+    top = cosine_topk(cand.drop_columns(["lsh_bucket"]), q[None, :], k=k).to_pandas()
+    return pa.table(
+        {
+            "vec_id": pa.array(top["vec_id"].astype("int64")),
+            "sim_permille": pa.array((top["sim"] * 1000).astype("int64")),
+        }
+    )
+
+
+def embedding_stats(sf_dir: str) -> Dataset:
+    """(label, n, dim) — grouped count + dimensionality check (SQL-checkable)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        dims = pc.list_value_length(batch["embedding"]).cast(pa.int64())
+        return pa.table({"label": batch["label"], "dim": dims})
+
+    from ray.data.aggregate import Count, Max
+
+    return (
+        emb.map_batches(fn, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Max("dim", alias_name="dim"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "label": pc.cast(t["label"], pa.int32()),
+                    "n": pc.cast(t["n"], pa.int64()),
+                    "dim": pc.cast(t["dim"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------- multimodal ----------------
+
+
+def multimodal_meta(sf_dir: str) -> Dataset:
+    """Treat each document's utf-8 bytes as an opaque binary payload and run
+    the (real) metadata stage of the multimodal path.
+    Returns (doc_id, payload_bytes, kind)."""
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = pa.array(
+            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "payload": payloads})
+
+    meta = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(PayloadMeta, batch_format="pyarrow", batch_size=1024, concurrency=2)
+    )
+    return meta.drop_columns(["content_hash"])

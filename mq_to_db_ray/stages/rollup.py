@@ -54,7 +54,9 @@ def partial_rollup_batch(batch: pa.Table, tier_s: int) -> pa.Table:
     )
 
 
-def repartial_rollup_batch(batch: pa.Table, from_tier_s: int, to_tier_s: int) -> pa.Table:
+def repartial_rollup_batch(
+    batch: pa.Table, from_tier_s: int, to_tier_s: int, t0_us: int = None
+) -> pa.Table:
     """Cascade combiner: finished rollup rows (ROLLUP schema) -> coarser partials.
 
     count = sum(count), sum = sum(sum), min = min(min), max = max(max) —
@@ -62,9 +64,12 @@ def repartial_rollup_batch(batch: pa.Table, from_tier_s: int, to_tier_s: int) ->
     poison min/max.
     """
     real = batch.filter(pc.greater(batch["count"], 0))
+    from ..timegrid import T0_US
+
     bucket = us_to_bucket_id(
         real["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False),
         to_tier_s,
+        T0_US if t0_us is None else t0_us,
     )
     t = pa.Table.from_arrays(
         [
@@ -93,10 +98,14 @@ def repartial_rollup_batch(batch: pa.Table, from_tier_s: int, to_tier_s: int) ->
     )
 
 
-def finalize_batch(batch: pa.Table, tier_s: int) -> pa.Table:
+def finalize_batch(batch: pa.Table, tier_s: int, t0_us: int = None) -> pa.Table:
     """Merged partials -> ROLLUP schema (bucket_id -> bucket_ts, filled=False)."""
+    from ..timegrid import T0_US
+
     bucket_us = bucket_id_to_us(
-        batch["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False), tier_s
+        batch["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False),
+        tier_s,
+        T0_US if t0_us is None else t0_us,
     )
     return pa.Table.from_arrays(
         [
@@ -112,7 +121,7 @@ def finalize_batch(batch: pa.Table, tier_s: int) -> pa.Table:
     )
 
 
-def _merge_partials(partials: Dataset, tier_s: int) -> Dataset:
+def _merge_partials(partials: Dataset, tier_s: int, t0_us: int = None) -> Dataset:
     """Final phase: shuffle only the partials and merge them per key."""
     merged = partials.groupby(["source", "bucket_id"]).aggregate(
         Sum("count", alias_name="count"),
@@ -121,11 +130,13 @@ def _merge_partials(partials: Dataset, tier_s: int) -> Dataset:
         Max("max_n_tok", alias_name="max_n_tok"),
     )
     return merged.map_batches(
-        lambda b: finalize_batch(b, tier_s), batch_format="pyarrow"
+        lambda b: finalize_batch(b, tier_s, t0_us), batch_format="pyarrow"
     )
 
 
-def rollup(assigned: Dataset, tier: str, *, batch_size: int = 65536) -> Dataset:
+def rollup(
+    assigned: Dataset, tier: str, *, batch_size: int = 65536, t0_us: int = None
+) -> Dataset:
     """E3: ASSIGNED dataset -> unfilled ROLLUP dataset for one tier."""
     tier_s = TIERS[tier]
     partials = assigned.map_batches(
@@ -133,13 +144,15 @@ def rollup(assigned: Dataset, tier: str, *, batch_size: int = 65536) -> Dataset:
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    return _merge_partials(partials, tier_s)
+    return _merge_partials(partials, tier_s, t0_us)
 
 
-def cascade(rolled: Dataset, from_tier: str, to_tier: str) -> Dataset:
+def cascade(
+    rolled: Dataset, from_tier: str, to_tier: str, *, t0_us: int = None
+) -> Dataset:
     """E4: finished finer-tier rollup -> coarser-tier rollup (tiny data)."""
     f, t = TIERS[from_tier], TIERS[to_tier]
     partials = rolled.map_batches(
-        lambda b: repartial_rollup_batch(b, f, t), batch_format="pyarrow"
+        lambda b: repartial_rollup_batch(b, f, t, t0_us), batch_format="pyarrow"
     )
-    return _merge_partials(partials, t)
+    return _merge_partials(partials, t, t0_us)

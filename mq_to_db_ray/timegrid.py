@@ -44,16 +44,25 @@ def seq_to_bucket_id(seq: np.ndarray, tier_s: int) -> np.ndarray:
     return (seq.astype(np.int64) * TICK_S) // tier_s
 
 
-def bucket_id_to_us(bucket_id: np.ndarray | int, tier_s: int) -> np.ndarray | int:
-    """bucket_ts (timestamp[us] int64) from an integer bucket index."""
+def bucket_id_to_us(
+    bucket_id: np.ndarray | int, tier_s: int, t0_us: int = T0_US
+) -> np.ndarray | int:
+    """bucket_ts (timestamp[us] int64) from an integer bucket index.
+
+    ``t0_us`` is the epoch origin: T0 for the native F1 corpus; adapters for
+    other tables (e.g. the driver's ``events``) pass their own aligned origin.
+    """
     if isinstance(bucket_id, np.ndarray):
-        return T0_US + bucket_id.astype(np.int64) * tier_s * 1_000_000
-    return T0_US + int(bucket_id) * tier_s * 1_000_000
+        return t0_us + bucket_id.astype(np.int64) * tier_s * 1_000_000
+    return t0_us + int(bucket_id) * tier_s * 1_000_000
 
 
-def us_to_bucket_id(ts_us: np.ndarray, tier_s: int) -> np.ndarray:
-    """Re-bucket an existing bucket_ts (or event_ts) to a coarser tier."""
-    rel = ts_us.astype(np.int64) - T0_US
+def us_to_bucket_id(ts_us: np.ndarray, tier_s: int, t0_us: int = T0_US) -> np.ndarray:
+    """Re-bucket an existing bucket_ts (or event_ts) to a coarser tier.
+
+    floor division, so it is correct for timestamps before t0 too.
+    """
+    rel = ts_us.astype(np.int64) - t0_us
     return np.floor_divide(rel, tier_s * 1_000_000)
 
 
