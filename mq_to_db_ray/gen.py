@@ -138,15 +138,29 @@ def write_f1_parquet(
     with_gaps: bool = True,
     max_tok: int = 512,
     row_group_size: int = 64 * 1024,
+    layout: str = "roundrobin",
 ) -> list[str]:
-    """Write F1 as `shards` parquet files (round-robin over the (seq,k) order
-    so every shard mixes all sources — mirrors N competing consumers on one
-    queue, /root/reference/docker-compose.yaml:88-146).  Deterministic."""
+    """Write F1 as `shards` parquet files.  Deterministic.
+
+    layout="roundrobin": shard s takes rows s::shards of the (seq,k) order —
+    every shard mixes the whole seq range (N competing consumers on one
+    queue, /root/reference/docker-compose.yaml:88-146; worst case for
+    rollup locality).
+    layout="contiguous": shard s takes a contiguous slice of the (seq,k)
+    order — each file covers a bounded time window, like epoch files cut
+    from a FIFO queue in arrival order (rmq.go FIFO per consumer).  Rollup
+    partials then contract by ~tier_s per batch."""
     os.makedirs(out_dir, exist_ok=True)
     ks, seqs = make_pairs(n_rows, with_gaps)
+    n = len(ks)
     paths = []
     for s in range(shards):
-        t = _rows_table(ks[s::shards], seqs[s::shards], max_tok)
+        if layout == "contiguous":
+            lo, hi = n * s // shards, n * (s + 1) // shards
+            sk, ss = ks[lo:hi], seqs[lo:hi]
+        else:
+            sk, ss = ks[s::shards], seqs[s::shards]
+        t = _rows_table(sk, ss, max_tok)
         p = os.path.join(out_dir, f"part-{s:05d}.parquet")
         pq.write_table(t, p, row_group_size=row_group_size)
         paths.append(p)

@@ -135,6 +135,7 @@ def run_cascade(
     batch_size: int = 65536,
     validate_concurrency: int | None = None,
     skip_raw: bool = False,
+    raw_partition_cols: list[str] | None = None,
 ) -> dict:
     """Run the full epoch: returns a summary dict (counts, tiers, metrics path).
 
@@ -162,24 +163,48 @@ def run_cascade(
     t0 = time.perf_counter()
     raw_part = f"epoch={epoch}"
     if not skip_raw and not manifest.is_committed("raw", raw_part):
-        ds = rd.read_parquet(list(input_paths))
-        validated = ds.map_batches(
-            ValidateAssign(reject_dir),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=validate_concurrency,
-            zero_copy_batch=True,
+        # One block per input file so read→validate→write FUSE into a single
+        # task-pool chain: the wide tokens column never round-trips the
+        # object store.  ValidateAssign is invoked through a lambda (task
+        # pool) unless an explicit actor-pool size is requested.
+        import ray
+
+        n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ds = rd.read_parquet(
+            list(input_paths),
+            override_num_blocks=max(len(input_paths), 2 * n_cpu),
         )
+        va = ValidateAssign(reject_dir)
+        if validate_concurrency:
+            validated = ds.map_batches(
+                va,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=validate_concurrency,
+                zero_copy_batch=True,
+            )
+        else:
+            validated = ds.map_batches(
+                lambda b: va(b),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
         staging = os.path.join(out_dir, "_staging", run_id, "raw")
-        validated.write_parquet(staging, partition_cols=["source"])
+        # default layout: one file per write task under epoch=<fingerprint>
+        # (resume granularity = epoch; per-source dirs cost a full extra
+        # copy of the wide tokens column, so they're opt-in)
+        validated.write_parquet(staging, partition_cols=raw_partition_cols)
         os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
         os.replace(staging, raw_dir)
         _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
     raw_wall = time.perf_counter() - t0
 
     # ---- stage B: narrow re-read → 1m → 1h → 1d (rolled-up data only) ----
+    # big batches for the narrow (source,seq,n_tok) projection: the per-batch
+    # combiner contracts to <=|keys| rows, so larger batches shuffle less
     narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
-    m1 = rollup(narrow, "1m", batch_size=batch_size).materialize()
+    m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
     parts = {"1m": commit_tier(m1, "1m", out_dir, run_id)}
     h1 = cascade(m1, "1m", "1h").materialize()
     parts["1h"] = commit_tier(h1, "1h", out_dir, run_id)

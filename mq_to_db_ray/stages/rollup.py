@@ -21,13 +21,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
 
 from .. import schema as sch
 from ..timegrid import TIERS, bucket_id_to_us, us_to_bucket_id
 
 # Internal partial-aggregate column names.
 _PARTIAL_NAMES = ["source", "bucket_id", "count", "sum_n_tok", "min_n_tok", "max_n_tok"]
+
+# Knuth multiplicative hash constant for spreading bucket ids over shuffle
+# partitions (the explicit hash-shuffle replaces ray.data's sort-based
+# ``groupby().aggregate()``, which is ~40x slower at 100k+ groups).
+_HASH_MULT = 2654435761
 
 
 def partial_rollup_batch(batch: pa.Table, tier_s: int) -> pa.Table:
@@ -121,13 +125,68 @@ def finalize_batch(batch: pa.Table, tier_s: int, t0_us: int = None) -> pa.Table:
     )
 
 
+def merge_partials_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized per-partition merge: partial rows -> one row per key."""
+    g = batch.group_by(["source", "bucket_id"], use_threads=False).aggregate(
+        [
+            ("count", "sum"),
+            ("sum_n_tok", "sum"),
+            ("min_n_tok", "min"),
+            ("max_n_tok", "max"),
+        ]
+    )
+    return pa.Table.from_arrays(
+        [
+            g["source"],
+            g["bucket_id"],
+            pc.cast(g["count_sum"], pa.int64()),
+            pc.cast(g["sum_n_tok_sum"], pa.int64()),
+            pc.cast(g["min_n_tok_min"], pa.int32()),
+            pc.cast(g["max_n_tok_max"], pa.int32()),
+        ],
+        names=_PARTIAL_NAMES,
+    )
+
+
+def _shuffle_parts() -> int:
+    """Shuffle-partition count ~ cluster CPUs (power of two for mask hashing)."""
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    k = 1
+    while k < 2 * n:
+        k *= 2
+    return min(k, 1024)
+
+
 def _merge_partials(partials: Dataset, tier_s: int, t0_us: int = None) -> Dataset:
-    """Final phase: shuffle only the partials and merge them per key."""
-    merged = partials.groupby(["source", "bucket_id"]).aggregate(
-        Sum("count", alias_name="count"),
-        Sum("sum_n_tok", alias_name="sum_n_tok"),
-        Min("min_n_tok", alias_name="min_n_tok"),
-        Max("max_n_tok", alias_name="max_n_tok"),
+    """Final phase: hash-shuffle ONLY the partial rows and merge per key.
+
+    An explicit hash shuffle (salt = multiplicative hash of bucket_id, masked
+    to K partitions) + a vectorized Arrow ``group_by`` per partition replaces
+    ``Dataset.groupby().aggregate()``, whose sort-based path is ~40x slower
+    at 100k+ distinct keys.  Keys co-locate because partitioning depends only
+    on (bucket_id); each merge task sees every partial for its keys.
+    """
+    k = _shuffle_parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply(pc.cast(b["bucket_id"], pa.uint64()), pa.scalar(_HASH_MULT, pa.uint64())),
+            pa.scalar(k - 1, pa.uint64()),
+        )
+        return b.append_column("part", pc.cast(h, pa.int32()))
+
+    merged = (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: merge_partials_batch(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
     )
     return merged.map_batches(
         lambda b: finalize_batch(b, tier_s, t0_us), batch_format="pyarrow"
@@ -135,7 +194,7 @@ def _merge_partials(partials: Dataset, tier_s: int, t0_us: int = None) -> Datase
 
 
 def rollup(
-    assigned: Dataset, tier: str, *, batch_size: int = 65536, t0_us: int = None
+    assigned: Dataset, tier: str, *, batch_size: int = 1 << 20, t0_us: int = None
 ) -> Dataset:
     """E3: ASSIGNED dataset -> unfilled ROLLUP dataset for one tier."""
     tier_s = TIERS[tier]

@@ -66,6 +66,23 @@ def split_batch(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     valid_ok = pc.and_(src_ok, ntok_ok)
 
     ok = _arr(pc.fill_null(pc.and_(parse_ok, valid_ok), False))
+
+    # Fast path (the overwhelmingly common case): every row valid -> append
+    # the derived columns to the original batch ZERO-COPY.  This avoids
+    # re-materializing the wide `tokens` column (the dominant allocation of
+    # the whole ingest pass; concurrent large allocations are also the
+    # scaling bottleneck on oversubscribed hosts).
+    if ok.null_count == 0 and pc.all(ok).as_py():
+        seq_all = _arr(seq)
+        event_us = pc.add(pc.multiply(seq_all, TICK_S * 1_000_000), T0_US)
+        valid = batch.append_column(
+            pa.field("seq", pa.int64()), seq_all
+        ).append_column(
+            pa.field("event_ts", pa.timestamp("us")),
+            pc.cast(event_us, pa.timestamp("us")),
+        )
+        return valid, sch.empty(sch.REJECT)
+
     good = batch.filter(ok)
     seq_good = _arr(seq).filter(ok)
     event_us = pc.add(pc.multiply(seq_good, TICK_S * 1_000_000), T0_US)
