@@ -1,0 +1,108 @@
+"""CLI entry point: ``python -m mq_to_db_ray.cli run --input DIR --out DIR``.
+
+The process analog of the reference service main
+(/root/reference/cmd/mq-to-db/main.go): load config (C1), wire the
+pipeline, run one epoch of the cascade, flush metrics/manifest, exit with
+a summary.  Graceful shutdown (C2, main.go:379-394): SIGINT/SIGTERM cancel
+the run; partitions already committed to the manifest stay valid and a
+re-run resumes past them (ack-once semantics).
+
+Unlike library code, the CLI OWNS the Ray session (guarded init +
+shutdown) — `__ray_entry__` and the stages never call ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+
+from .config import load_config
+
+
+def _init_ray(num_cpus: int | None = None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False)
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    overrides: dict = {}
+    if args.input:
+        overrides["inputs"] = args.input
+    if args.out:
+        overrides["sink"] = {"out_dir": args.out}
+    cfg = load_config(args.config, overrides)
+    if not cfg.inputs:
+        print("error: no inputs (use --input or config `inputs:`)", file=sys.stderr)
+        return 2
+
+    _init_ray(args.num_cpus)
+
+    # C2: a signal mid-run aborts cleanly; committed partitions stay valid.
+    def on_signal(signum, frame):
+        print(
+            json.dumps({"event": "shutdown", "signal": signum,
+                        "note": "committed partitions remain valid; re-run resumes"}),
+            file=sys.stderr,
+        )
+        raise SystemExit(130)
+
+    signal.signal(signal.SIGINT, on_signal)
+    signal.signal(signal.SIGTERM, on_signal)
+
+    from .pipelines.cascade import run_cascade
+
+    inputs = cfg.inputs if len(cfg.inputs) > 1 else cfg.inputs[0]
+    summary = run_cascade(
+        inputs,
+        cfg.sink.out_dir,
+        batch_size=cfg.dispatcher.batch_size,
+        validate_concurrency=cfg.dispatcher.storage_workers,
+        raw_partition_cols=cfg.sink.raw_partition_cols,
+    )
+    out = {k: v for k, v in summary.items() if k != "tiers"}
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_show_config(args: argparse.Namespace) -> int:
+    import dataclasses
+
+    cfg = load_config(args.config)
+    print(json.dumps(dataclasses.asdict(cfg), indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mq_to_db_ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run one cascade epoch")
+    runp.add_argument("--config", default=None, help="YAML config file")
+    runp.add_argument("--input", action="append", default=None,
+                      help="input parquet file/dir (repeatable)")
+    runp.add_argument("--out", default=None, help="output directory")
+    runp.add_argument("--num-cpus", type=int, default=None)
+    runp.set_defaults(fn=cmd_run)
+
+    showp = sub.add_parser("show-config", help="print merged config")
+    showp.add_argument("--config", default=None)
+    showp.set_defaults(fn=cmd_show_config)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
