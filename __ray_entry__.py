@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": td.simhash,
         "doc_minhash_pairs": td.minhash_lsh_pairs,
         # --- similarity search ---
+        "embedding_near_dup": td.embedding_near_dup,
         "embedding_stats": td.embedding_stats,
         "ann_cosine_top10": td.ann_topk,
         "ann_lsh_topk": td.ann_lsh_topk,
@@ -289,6 +290,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a,
+                   b.vec_id AS vec_b,
+                   CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])) * 1000)
+                        AS BIGINT) AS sim_permille
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
         """,
         "embedding_stats": """
             SELECT CAST(label AS INTEGER) AS label,

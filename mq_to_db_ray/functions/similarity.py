@@ -73,6 +73,45 @@ def cosine_topk(
     return candidates.sort("sim", descending=True).limit(k)
 
 
+class NearDupScorer:
+    """Embedding-cosine near-dup: each batch is scored against the FULL
+    normalized matrix broadcast once via ``ray.put`` (O(N·B) per batch,
+    O(N²) overall — exact).  Emits (vec_a, vec_b, sim_permille) pairs with
+    vec_a < vec_b and cosine >= threshold.
+
+    Scale path: at large N swap the broadcast matrix for LSH bucketing
+    (`LshBucketer` + per-bucket exact scoring) — same output contract."""
+
+    def __init__(self, mat_ref, ids_ref, threshold_permille: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        m = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        self.mat = _normalize(np.asarray(m, dtype=np.float64))
+        self.all_ids = np.asarray(ids, dtype=np.int64)
+        self.thr = threshold_permille / 1000.0
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        bid = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ self.mat.T  # (batch, N)
+        # keep ordered pairs only: batch row id < other id (dedup + no self)
+        mask = (sims >= self.thr) & (bid[:, None] < self.all_ids[None, :])
+        bi, oj = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(bid[bi], type=pa.int64()),
+                "vec_b": pa.array(self.all_ids[oj], type=pa.int64()),
+                "sim_permille": pa.array(
+                    np.floor(sims[bi, oj] * 1000).astype(np.int64)
+                ),
+            }
+        )
+
+
 def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Random-hyperplane LSH bucket id per row (sign bits packed to int64)."""
     signs = (m @ planes.T) > 0

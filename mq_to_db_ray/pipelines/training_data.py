@@ -208,22 +208,86 @@ def minhash_lsh_pairs(
     candidates = banded.groupby(["band_id", "band_hash"]).map_groups(
         emit_pairs, batch_format="pyarrow"
     )
-    # candidate set is small (LSH-pruned); dedup pairs then verify exactly.
-    cand = candidates.to_pandas().drop_duplicates()
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in _docs(sf_dir, ["doc_id", "text"]).take_all()
-    }  # small side — broadcast lookup (ray.put for real scale)
-    out = []
-    for _, row in cand.iterrows():
-        j = ts.jaccard(ts.shingles(texts[row.doc_a]), ts.shingles(texts[row.doc_b]))
-        jp = int(j * 1000)
-        if jp >= jaccard_permille:
-            out.append(dict(doc_a=int(row.doc_a), doc_b=int(row.doc_b), jaccard_permille=jp))
-    schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_permille", pa.int64())]
+
+    # dedup candidate pairs (same pair can fire in several bands), then
+    # verify true n-gram Jaccard DISTRIBUTED: texts broadcast once via
+    # ray.put, each verify actor fetches them in __init__ and caches
+    # shingle sets per doc — never a driver-side loop.
+    uniq = candidates.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
-    return pa.Table.from_pylist(out, schema=schema)
+    texts_tbl = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .to_arrow_refs()
+    )
+    texts_refs = texts_tbl  # list of block refs — fetched per actor
+
+    class VerifyJaccard:
+        def __init__(self, refs, thr: int):
+            self.texts: dict[int, str] = {}
+            for t in ray.get(list(refs)):
+                for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                    self.texts[did] = tx
+            self.cache: dict[int, frozenset] = {}
+            self.thr = thr
+
+        def _sh(self, did: int) -> frozenset:
+            s = self.cache.get(did)
+            if s is None:
+                s = frozenset(ts.shingles(self.texts[did]))
+                self.cache[did] = s
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for da, db in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+                jp = int(ts.jaccard(self._sh(da), self._sh(db)) * 1000)
+                if jp >= self.thr:
+                    out_a.append(da)
+                    out_b.append(db)
+                    out_j.append(jp)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, type=pa.int64()),
+                    "doc_b": pa.array(out_b, type=pa.int64()),
+                    "jaccard_permille": pa.array(out_j, type=pa.int64()),
+                }
+            )
+
+    return uniq.map_batches(
+        VerifyJaccard,
+        fn_constructor_args=(texts_refs, jaccard_permille),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
+def embedding_near_dup(sf_dir: str, threshold_permille: int = 450) -> Dataset:
+    """Embedding-cosine near-duplicate pairs (exact): (vec_a, vec_b,
+    sim_permille) with vec_a < vec_b and cosine(a, b) >= threshold.
+
+    The normalized matrix is broadcast ONCE via ``ray.put`` (read in each
+    actor's ``__init__``); every batch does one numpy matmul against it.
+    """
+    from ..functions.similarity import NearDupScorer, _batch_matrix
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_list, mats = [], []
+    for batch in emb.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids_list.append(np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64))
+        mats.append(_batch_matrix(batch, "embedding"))
+    mat_ref = ray.put(np.vstack(mats))
+    ids_ref = ray.put(np.concatenate(ids_list))
+    return emb.map_batches(
+        NearDupScorer,
+        fn_constructor_args=(mat_ref, ids_ref, threshold_permille),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
+    )
 
 
 # ---------------- similarity search ----------------
