@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": td.embedding_stats,
         "ann_cosine_top10": td.ann_topk,
         "ann_lsh_topk": td.ann_lsh_topk,
+        "ann_ivf_topk": td.ann_ivf_topk,
         # --- multimodal plumbing ---
         "multimodal_meta": td.multimodal_meta,
     }

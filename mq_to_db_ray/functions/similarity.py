@@ -124,6 +124,43 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a (small, driver-side) sample — the
+    IVF coarse quantizer.  The sample IS the small side: centroids are then
+    broadcast via ``ray.put`` and assignment is a per-batch matmul."""
+    rng = np.random.RandomState(seed)
+    m = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IvfAssigner:
+    """Adds an ``ivf_cell`` column: nearest coarse centroid per vector (one
+    matmul per batch against the broadcast centroid matrix)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        cell = (m @ self.cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+
 class LshBucketer:
     """Adds an LSH bucket column — the scale path for ANN: co-bucket probable
     neighbors, then exact-score per bucket (groupby) instead of all-pairs."""

@@ -347,6 +347,47 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, n_planes: int = 6) -> pa.Table:
     )
 
 
+def ann_ivf_topk(
+    sf_dir: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> pa.Table:
+    """IVF-bucketed ANN (the other scale path): a k-means coarse quantizer
+    over a driver-side sample, vectors assigned to cells by one matmul per
+    batch, and only the query's ``nprobe`` nearest cells exact-scored.
+    Approximate by construction — rows-only check.
+
+    Reference shape: sample→centroids is the tiny broadcast side
+    (``ray.put`` once), assignment + scoring stream per batch."""
+    from ..functions.similarity import (
+        IvfAssigner, _batch_matrix, _normalize, kmeans_centroids,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = emb.limit(4096).take_batch(4096, batch_format="pyarrow")
+    cents = kmeans_centroids(_batch_matrix(sample, "embedding"), n_centroids)
+    cents_ref = ray.put(cents)
+    assigned = emb.map_batches(
+        IvfAssigner(cents_ref), batch_format="pyarrow", batch_size=4096
+    )
+    q = None
+    for batch in emb.iter_batches(batch_format="pyarrow", batch_size=4096):
+        m = pc.equal(batch["vec_id"], 0)
+        if pc.any(m).as_py():
+            q = np.asarray(batch.filter(m)["embedding"].to_pylist()[0], dtype=np.float64)
+            break
+    qcells = np.argsort(-(_normalize(q[None, :]) @ cents.T)[0])[:nprobe]
+    cells = ", ".join(str(int(c)) for c in qcells)
+    cand = assigned.filter(expr=f"ivf_cell in [{cells}] and vec_id != 0")
+    top = cosine_topk(cand.drop_columns(["ivf_cell"]), q[None, :], k=k).to_pandas()
+    return pa.table(
+        {
+            "vec_id": pa.array(top["vec_id"].astype("int64")),
+            "sim_permille": pa.array((top["sim"] * 1000).astype("int64")),
+        }
+    )
+
+
 def embedding_stats(sf_dir: str) -> Dataset:
     """(label, n, dim) — grouped count + dimensionality check (SQL-checkable)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")

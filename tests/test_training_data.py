@@ -1,0 +1,81 @@
+"""Training-data operator invariants on the sf0.001 driver tables.
+
+Engine-level checks complementing the driver's DuckDB oracles: brute-force
+ground truth for similarity ops, recall bounds for the approximate paths,
+determinism of the IVF quantizer.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_matrix():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
+def test_embedding_near_dup_matches_bruteforce(ray_session):
+    from mq_to_db_ray.pipelines.training_data import embedding_near_dup
+
+    ids, m = _emb_matrix()
+    sims = m @ m.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= 0.45:
+                want.add((int(ids[i]), int(ids[j])))
+    got_tbl = embedding_near_dup(SF, threshold_permille=450).to_pandas()
+    got = set(zip(got_tbl.vec_a, got_tbl.vec_b))
+    assert got == want
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    from mq_to_db_ray.pipelines.training_data import ann_ivf_topk, ann_topk
+
+    exact = set(ann_topk(SF, k=10).to_pandas().vec_id)
+    approx = set(ann_ivf_topk(SF, k=10).to_pandas().vec_id)
+    # IVF probes 4/16 cells: must find at least half the true top-10
+    assert len(exact & approx) >= 5
+
+
+def test_kmeans_deterministic():
+    from mq_to_db_ray.functions.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(0)
+    sample = rng.standard_normal((256, 16))
+    a = kmeans_centroids(sample, 8)
+    b = kmeans_centroids(sample, 8)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8, 16)
+
+
+def test_minhash_pairs_are_true_near_dups(ray_session):
+    from mq_to_db_ray.functions import textstats as ts
+    from mq_to_db_ray.pipelines.training_data import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(SF).to_pandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    }
+    for row in pairs.itertuples():
+        j = ts.jaccard(
+            set(ts.shingles(texts[row.doc_a])), set(ts.shingles(texts[row.doc_b]))
+        )
+        assert int(j * 1000) == row.jaccard_permille
+        assert row.jaccard_permille >= 300
+
+
+def test_exact_dedup_partition_count(ray_session):
+    from mq_to_db_ray.pipelines.training_data import exact_dedup
+
+    t = exact_dedup(SF).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert t.dup_count.sum() == n_docs
+    assert (t.dup_count >= 1).all()
