@@ -186,6 +186,53 @@ def _q_f1_tokens_passthrough(sf_dir: str):
     return pa.table({"rows": [orig.num_rows], "tokens_byte_identical": [ok]})
 
 
+def _q_f1_metrics(sf_dir: str):
+    """E10: run the cascade and surface the pushed metrics (reference
+    counter names, /root/reference/internal/metrics/metrics.go:95-183)."""
+    import json
+
+    import pyarrow as pa
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+
+    out = tempfile.mkdtemp(prefix="mq2db_q_")
+    s = run_cascade(_f1_dir(sf_dir), out)
+    with open(s["metrics_path"]) as f:
+        rows = [json.loads(line) for line in f]
+    summary = [r for r in rows if r["kind"] == "summary"][0]
+    return pa.Table.from_pylist(
+        [
+            {"metric": k, "value": int(v)}
+            for k, v in sorted(summary["counters"].items())
+        ]
+        + [{"metric": "partitions_committed",
+            "value": sum(1 for r in rows if r["kind"] == "partition")}]
+    )
+
+
+def _q_f1_resume(sf_dir: str):
+    """E12: second run over the same epoch skips every committed partition
+    (ack-once: /root/reference/internal/consumer/consumer.go:94-108)."""
+    import pyarrow as pa
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+
+    out = tempfile.mkdtemp(prefix="mq2db_q_resume_")
+    first = run_cascade(_f1_dir(sf_dir), out)
+    second = run_cascade(_f1_dir(sf_dir), out)
+    return pa.Table.from_pylist(
+        [
+            {
+                "tier": t,
+                "partitions": int(first["partitions"][t]),
+                "skipped_first": int(first["skipped"][t]),
+                "skipped_second": int(second["skipped"][t]),
+            }
+            for t in ("1m", "1h", "1d")
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import training_data as td
 
@@ -200,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
+        "f1_metrics": _q_f1_metrics,
+        "f1_resume_skip": _q_f1_resume,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
         "doc_rollup_1m": _q_doc_rollup_1m,
