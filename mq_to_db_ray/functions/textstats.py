@@ -111,18 +111,21 @@ def doc_fingerprint(text: str, window: int = 8) -> int:
     return best
 
 
-def simhash(text: str, bits: int = 64) -> int:
-    """64-bit SimHash over word hashes (Charikar 2002, public)."""
-    counts = [0] * bits
-    for w in text.split(" "):
-        hv = word_hash64(w)
-        for b in range(bits):
-            counts[b] += 1 if (hv >> b) & 1 else -1
-    out = 0
-    for b in range(bits):
-        if counts[b] > 0:
-            out |= 1 << b
-    return out
+def simhash(text: str, bits: int = 64, hasher: WordHasher | None = None) -> int:
+    """64-bit SimHash over word hashes (Charikar 2002, public).
+
+    Vectorized: the per-bit vote matrix is one numpy broadcast over the
+    word-hash vector instead of a per-word per-bit Python loop."""
+    words = text.split(" ")
+    if not words:
+        return 0
+    hh = hasher or word_hash64
+    hv = np.array([hh(w) for w in words], dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    counts = (2 * bitmat - 1).sum(axis=0)
+    weights = np.uint64(1) << shifts
+    return int(weights[counts > 0].sum(dtype=np.uint64))
 
 
 def shingles(text: str, k: int = 3) -> set[int]:

@@ -131,23 +131,45 @@ def exact_dedup(sf_dir: str) -> Dataset:
         add_hash, batch_format="pyarrow"
     )
 
-    def keep_first(group: pa.Table) -> pa.Table:
+    # Scale shape: one content-hash key per document means millions of tiny
+    # groups — Ray's sort-based groupby degrades there, so co-locate keys by
+    # hash partition (like the rollup merge) and pick winners with ONE
+    # vectorized Arrow group_by per partition.
+    K = 64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        # two's-complement low bits: mask on int64 directly (always >= 0)
+        part = pc.bit_wise_and(b["text_hash"], pa.scalar(K - 1, pa.int64()))
+        return b.append_column("part", pc.cast(part, pa.int32()))
+
+    def winners(g: pa.Table) -> pa.Table:
+        agg = g.group_by("text_hash", use_threads=False).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
         return pa.table(
             {
-                "doc_id": pa.array([pc.min(group["doc_id"]).as_py()], type=pa.int64()),
-                "dup_count": pa.array([group.num_rows], type=pa.int64()),
+                "doc_id": pc.cast(agg["doc_id_min"], pa.int64()),
+                "dup_count": pc.cast(agg["doc_id_count"], pa.int64()),
             }
         )
 
-    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pyarrow")
+    return (
+        hashed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: winners(g.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    )
 
 
 def simhash(sf_dir: str) -> Dataset:
     """(doc_id, simhash) — 64-bit SimHash, int64-wrapped."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        hasher = ts.WordHasher()  # amortize word hashing across the batch
         vals = [
-            np.int64(np.uint64(ts.simhash(t))) for t in batch["text"].to_pylist()
+            np.int64(np.uint64(ts.simhash(t, hasher=hasher)))
+            for t in batch["text"].to_pylist()
         ]
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(vals, type=pa.int64())}
