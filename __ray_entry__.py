@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": td.exact_dedup,
         "doc_simhash": td.simhash,
         "doc_minhash_pairs": td.minhash_lsh_pairs,
+        "doc_jaccard_pairs": td.jaccard_pairs,
         # --- similarity search ---
         "embedding_near_dup": td.embedding_near_dup,
         "embedding_stats": td.embedding_stats,
@@ -335,6 +336,25 @@ def oracle_sql() -> dict[str, str]:
                                         w -> w IN ({stop_list})))
                               / len(str_split(text, ' '))) AS BIGINT) AS stop_permille
             FROM documents
+        """,
+        "doc_jaccard_pairs": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db, CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT i.da AS doc_a, i.db AS doc_b,
+                   CAST(floor(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT)
+                       AS jaccard_permille
+            FROM i JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id
+            WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200
         """,
         "doc_exact_dedup": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

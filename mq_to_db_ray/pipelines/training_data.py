@@ -285,6 +285,155 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dataset:
+    """EXACT n-gram (k-word shingle) Jaccard pairs — a set-similarity join.
+
+    No per-pair set operations: |A∩B| is the count of shared shingles, so
+    the whole computation is two hash-partitioned count aggregations:
+
+      shingle-explode -> partition by shingle hash -> pair counts per
+      partition (numpy triu over shingle runs + Arrow group_by) ->
+      re-partition by pair -> sum -> jaccard = inter/(|A|+|B|-inter)
+      against broadcast doc sizes -> threshold filter.
+
+    Skew caveat (documented): a shingle shared by d docs emits O(d²) pairs;
+    production pipelines drop stop-shingles above a df cap first.
+    """
+    import numpy as np
+
+    K = 64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, sh, sizes = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            s = ts.shingles(text, k)
+            doc_ids.extend([did] * len(s))
+            sh.extend(np.uint64(x) for x in s)
+            sizes.extend([len(s)] * len(s))
+        sh64 = np.array(sh, dtype=np.uint64).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(sh64, type=pa.int64()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "part": pa.array((sh64 & (K - 1)).astype(np.int32)),
+            }
+        )
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def pair_counts(g: pa.Table) -> pa.Table:
+        t = g.sort_by("shingle")
+        sh = t["shingle"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(sh) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = np.sort(ids[s:e])
+            ai, bi = np.triu_indices(len(members), 1)
+            pa_.append(members[ai])
+            pb_.append(members[bi])
+        if not pa_:
+            return empty
+        tbl = pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(pa_), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(pb_), type=pa.int64()),
+            }
+        )
+        agg = tbl.group_by(["doc_a", "doc_b"], use_threads=False).aggregate(
+            [("doc_a", "count")]
+        )
+        return pa.table(
+            {
+                "doc_a": agg["doc_a"],
+                "doc_b": agg["doc_b"],
+                "inter": pc.cast(agg["doc_a_count"], pa.int64()),
+            }
+        )
+
+    partials = exploded.groupby("part").map_groups(
+        lambda g: pair_counts(g.drop_columns(["part"])), batch_format="pyarrow"
+    )
+
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_xor(
+            pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())), b["doc_b"]
+        )
+        return b.append_column(
+            "part", pc.cast(pc.bit_wise_and(h, pa.scalar(K - 1, pa.int64())), pa.int32())
+        )
+
+    def merge_pairs(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["doc_a", "doc_b"], use_threads=False).aggregate(
+            [("inter", "sum")]
+        )
+        return pa.table(
+            {
+                "doc_a": agg["doc_a"],
+                "doc_b": agg["doc_b"],
+                "inter": pc.cast(agg["inter_sum"], pa.int64()),
+            }
+        )
+
+    merged = (
+        partials.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: merge_pairs(g.drop_columns(["part"])), batch_format="pyarrow")
+    )
+
+    # broadcast doc -> shingle-set size (small side, read once)
+    sizes: dict[int, int] = {}
+    for b in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            sizes[did] = len(ts.shingles(text, k))
+    sizes_ref = ray.put(sizes)
+
+    class Finalize:
+        def __init__(self, ref, thr):
+            self.sizes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.thr = thr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            da = batch["doc_a"].to_numpy(zero_copy_only=False)
+            db = batch["doc_b"].to_numpy(zero_copy_only=False)
+            inter = batch["inter"].to_numpy(zero_copy_only=False)
+            na = np.array([self.sizes[d] for d in da], dtype=np.int64)
+            nb = np.array([self.sizes[d] for d in db], dtype=np.int64)
+            jp = np.floor(1000.0 * inter / (na + nb - inter)).astype(np.int64)
+            keep = jp >= self.thr
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], type=pa.int64()),
+                    "doc_b": pa.array(db[keep], type=pa.int64()),
+                    "jaccard_permille": pa.array(jp[keep], type=pa.int64()),
+                }
+            )
+
+    return merged.map_batches(
+        Finalize,
+        fn_constructor_args=(sizes_ref, threshold_permille),
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+
+
 def embedding_near_dup(sf_dir: str, threshold_permille: int = 450) -> Dataset:
     """Embedding-cosine near-duplicate pairs (exact): (vec_a, vec_b,
     sim_permille) with vec_a < vec_b and cosine(a, b) >= threshold.
