@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": td.ann_ivf_topk,
         # --- multimodal plumbing ---
         "multimodal_meta": td.multimodal_meta,
+        "multimodal_features": td.multimodal_features,
     }
 
 

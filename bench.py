@@ -182,9 +182,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_exact_dedup",
         "doc_simhash",
         "doc_minhash_pairs",
+        "doc_jaccard_pairs",
         "embedding_stats",
+        "embedding_near_dup",
         "ann_cosine_top10",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "multimodal_meta",
     ]
     out: dict[str, float] = {}

@@ -589,6 +589,46 @@ def embedding_stats(sf_dir: str) -> Dataset:
 # ---------------- multimodal ----------------
 
 
+def multimodal_features(sf_dir: str) -> Dataset:
+    """The multimodal decode/feature-extract plumbing end to end with the
+    deterministic fake decoder (real decode libs are stubbed per
+    environment constraints): binary payloads -> actor-pool decode stage ->
+    fixed-size feature vectors.  Returns (doc_id, feat_norm_permille)."""
+    from ..functions.multimodal import ImageDecodeStub
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = pa.array(
+            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "payload": payloads})
+
+    feats = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStub,
+            fn_constructor_kwargs=dict(fake=True),
+            batch_format="pyarrow",
+            batch_size=512,  # small batches: binary rows are wide
+            concurrency=2,
+        )
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        f = batch["features"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        m = np.asarray(f.flatten().to_numpy(zero_copy_only=False)).reshape(
+            len(f), -1
+        )
+        n = (np.linalg.norm(m, axis=1) * 1000).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "feat_norm_permille": pa.array(n)}
+        )
+
+    return feats.map_batches(norm, batch_format="pyarrow")
+
+
 def multimodal_meta(sf_dir: str) -> Dataset:
     """Treat each document's utf-8 bytes as an opaque binary payload and run
     the (real) metadata stage of the multimodal path.

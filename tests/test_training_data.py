@@ -72,6 +72,46 @@ def test_minhash_pairs_are_true_near_dups(ray_session):
         assert row.jaccard_permille >= 300
 
 
+def test_multimodal_sniff_and_stub():
+    import pyarrow as pa
+
+    from mq_to_db_ray.functions.multimodal import (
+        ImageDecodeStub, PayloadMeta, sniff_kind,
+    )
+
+    assert sniff_kind(b"\x89PNGxxxx") == "png"
+    assert sniff_kind(b"\xff\xd8\xffxxxx") == "jpeg"
+    assert sniff_kind(b"RIFFxxxx") == "wav"
+    assert sniff_kind(b"plain") == "unknown"
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([b"\x89PNGdata", b"hello"], type=pa.binary()),
+        }
+    )
+    meta = PayloadMeta()(batch)
+    assert meta["kind"].to_pylist() == ["png", "unknown"]
+    assert meta["payload_bytes"].to_pylist() == [8, 5]
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub()(batch)
+    out = ImageDecodeStub(fake=True)(batch)
+    assert out["features"].type.list_size == 8
+    # deterministic: same payloads -> same fake features
+    out2 = ImageDecodeStub(fake=True)(batch)
+    assert out["features"].to_pylist() == out2["features"].to_pylist()
+
+
+def test_multimodal_features_pipeline(ray_session):
+    from mq_to_db_ray.pipelines.training_data import multimodal_features
+
+    t = multimodal_features(SF).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert len(t) == n_docs
+    assert (t.feat_norm_permille > 0).all()
+
+
 def test_exact_dedup_partition_count(ray_session):
     from mq_to_db_ray.pipelines.training_data import exact_dedup
 
