@@ -244,7 +244,9 @@ def cmd_worker_cascade(args) -> None:
     corpus = bench_corpus_dir(args.rows, args.shards, args.max_tok,
                               base=args.workdir)
     warmup()
-    r = run_cascade_once(corpus, workdir=args.workdir)
+    # best-of-2: single-run walls on this virtualized host vary +/-50%
+    runs = [run_cascade_once(corpus, workdir=args.workdir) for _ in range(2)]
+    r = min(runs, key=lambda x: x["wall_sec"])
     r["compute_only"] = min(
         run_compute_once(corpus)["wall_sec"] for _ in range(2)
     )
@@ -320,6 +322,14 @@ def main() -> None:
     args = p.parse_args()
     if args.workdir is None:
         args.workdir = "/dev/shm/mq2db" if args.scaling else "/tmp"
+    if args.scaling:
+        # reproduce the BASELINE.md protocol unless explicitly overridden:
+        # 32M rows / 128 contiguous shards / light tokens, 4 vs 16 CPUs
+        # (both below the host's physical-core knee; see BASELINE.md)
+        if args.rows == BENCH_ROWS:
+            args.rows, args.shards, args.max_tok = 32_000_000, 128, 32
+        if (args.low, args.high) == (8, 32):
+            args.low, args.high = 4, 16
     if args.worker_cascade:
         cmd_worker_cascade(args)
     elif args.scaling:
