@@ -143,7 +143,7 @@ def _q_f1_series_roundtrip(sf_dir: str):
     out = tempfile.mkdtemp(prefix="mq2db_q_")
     run_cascade(_f1_dir(sf_dir), out)
     rows = []
-    for p in sorted(glob.glob(f"{out}/series/tier=*/source=*.parquet")):
+    for p in sorted(glob.glob(f"{out}/series/tier=*/*source=*.parquet")):
         t = pq.read_table(p).to_pylist()[0]
         vals = dod_decode(t["dod_blob"])
         fvals = gorilla_decode(t["gorilla_blob"])
@@ -184,6 +184,23 @@ def _q_f1_tokens_passthrough(sf_dir: str):
         "tokens"
     ].combine_chunks().equals(orig["tokens"].combine_chunks())
     return pa.table({"rows": [orig.num_rows], "tokens_byte_identical": [ok]})
+
+
+def _q_f1_multi_epoch_view(sf_dir: str):
+    """Continuous operation: two epochs into one out dir; tier_view merges
+    the per-epoch partials (associative aggregates) at read time."""
+    import glob
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.view import tier_view
+
+    f1 = _f1_dir(sf_dir)
+    files = sorted(glob.glob(f1 + "/*.parquet"))
+    out = tempfile.mkdtemp(prefix="mq2db_q_epochs_")
+    half = max(1, len(files) // 2)
+    run_cascade(files[:half], out)
+    run_cascade(files[half:], out)
+    return tier_view(out, "1m")
 
 
 def _q_f1_metrics(sf_dir: str):
@@ -249,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
         "f1_metrics": _q_f1_metrics,
         "f1_resume_skip": _q_f1_resume,
+        "f1_multi_epoch_view": _q_f1_multi_epoch_view,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
         "doc_rollup_1m": _q_doc_rollup_1m,

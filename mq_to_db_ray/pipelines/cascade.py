@@ -61,11 +61,16 @@ class TierPartitionWriter:
     Runs inside ``groupby("source").map_groups``; skips partitions already
     in the manifest (resume, E12)."""
 
-    def __init__(self, out_dir: str, run_id: str, tier: str, gap: bool = True):
+    def __init__(self, out_dir: str, run_id: str, tier: str, gap: bool = True,
+                 epoch: str | None = None):
         self.out_dir = out_dir
         self.run_id = run_id
         self.tier = tier
         self.gap = gap
+        # multi-epoch: partitions are epoch-scoped so repeated epochs into
+        # one out dir coexist; tier_view() merges them (aggregates are
+        # associative: sum/count/min/max)
+        self.etag = f"e{epoch}__" if epoch else ""
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -79,15 +84,18 @@ class TierPartitionWriter:
         ts = filled["bucket_ts"].cast(pa.int64())
         lo = (ts[0].as_py() - T0_US) // (tier_s * 1_000_000)
         hi = (ts[-1].as_py() - T0_US) // (tier_s * 1_000_000)
-        part = f"source={source}__part-{lo:08d}-{hi:08d}"
-        relpath = f"tier={self.tier}/source={source}/part-{lo:08d}-{hi:08d}.parquet"
+        part = f"source={source}__{self.etag}part-{lo:08d}-{hi:08d}"
+        relpath = (
+            f"tier={self.tier}/source={source}/"
+            f"{self.etag}part-{lo:08d}-{hi:08d}.parquet"
+        )
         row = write_partition_atomic(
             manifest, self.run_id, self.tier, part, relpath, filled,
             meta=dict(source=source, bucket_lo=int(lo), bucket_hi=int(hi)),
         )
         series = encode_group(filled, self.tier)
-        spart = f"series__source={source}"
-        srel = f"series/tier={self.tier}/source={source}.parquet"
+        spart = f"series__{self.etag}source={source}"
+        srel = f"series/tier={self.tier}/{self.etag}source={source}.parquet"
         write_partition_atomic(manifest, self.run_id, self.tier, spart, srel, series)
         return pa.Table.from_pylist(
             [
@@ -117,10 +125,13 @@ def _metrics_schema() -> pa.Schema:
     )
 
 
-def commit_tier(rolled: Dataset, tier: str, out_dir: str, run_id: str) -> list[dict]:
+def commit_tier(
+    rolled: Dataset, tier: str, out_dir: str, run_id: str,
+    epoch: str | None = None,
+) -> list[dict]:
     """Write one tier's per-source partitions (+series blobs); returns the
     per-partition metric rows (tiny — driver-side take is safe)."""
-    w = TierPartitionWriter(out_dir, run_id, tier)
+    w = TierPartitionWriter(out_dir, run_id, tier, epoch=epoch)
     return (
         rolled.groupby("source")
         .map_groups(lambda g: w(g), batch_format="pyarrow")
@@ -205,11 +216,11 @@ def run_cascade(
     # combiner contracts to <=|keys| rows, so larger batches shuffle less
     narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
     m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
-    parts = {"1m": commit_tier(m1, "1m", out_dir, run_id)}
+    parts = {"1m": commit_tier(m1, "1m", out_dir, run_id, epoch)}
     h1 = cascade(m1, "1m", "1h").materialize()
-    parts["1h"] = commit_tier(h1, "1h", out_dir, run_id)
+    parts["1h"] = commit_tier(h1, "1h", out_dir, run_id, epoch)
     d1 = cascade(h1, "1h", "1d").materialize()
-    parts["1d"] = commit_tier(d1, "1d", out_dir, run_id)
+    parts["1d"] = commit_tier(d1, "1d", out_dir, run_id, epoch)
 
     # this run's staging tree now holds only empty dirs (every staged file
     # was renamed away at commit); remove it so _staging/ is clean on exit
