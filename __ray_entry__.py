@@ -203,6 +203,25 @@ def _q_f1_multi_epoch_view(sf_dir: str):
     return tier_view(out, "1m")
 
 
+def _q_f1_retention(sf_dir: str):
+    """Retention enforcement: manifest-planned expiry of old 1m partitions;
+    tombstones block resurrection on epoch replay."""
+    import pyarrow as pa
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.retention import apply_retention
+
+    out = tempfile.mkdtemp(prefix="mq2db_q_ret_")
+    run_cascade(_f1_dir(sf_dir), out)
+    report = apply_retention(out, {"1m": 10, "1h": None, "1d": None})
+    return pa.Table.from_pylist(
+        [
+            {"tier": t, "kept": int(r["kept"]), "retired": int(r["retired"])}
+            for t, r in sorted(report.items())
+        ]
+    )
+
+
 def _q_f1_metrics(sf_dir: str):
     """E10: run the cascade and surface the pushed metrics (reference
     counter names, /root/reference/internal/metrics/metrics.go:95-183)."""
@@ -267,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_metrics": _q_f1_metrics,
         "f1_resume_skip": _q_f1_resume,
         "f1_multi_epoch_view": _q_f1_multi_epoch_view,
+        "f1_retention": _q_f1_retention,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
         "doc_rollup_1m": _q_doc_rollup_1m,

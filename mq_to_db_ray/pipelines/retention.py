@@ -1,0 +1,68 @@
+"""Retention enforcement: age out fine-tier partitions while coarse tiers
+keep longer windows (the "retention" in ingest → rollup → retention).
+
+Planned ENTIRELY from the manifest — partition names carry their bucket
+ranges, so expiry never reads data.  Expiry order per partition:
+
+    1. tombstone the manifest entry (``.json`` → ``.json.retired``, atomic)
+    2. delete the data file
+
+A replayed epoch cannot resurrect a retired partition (``is_committed``
+counts tombstones — the ack outlives the payload, like a broker expiring
+an acked delivery), and a crash between 1 and 2 leaves an orphan file no
+reader lists (``tier_view`` plans from live manifest entries only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..state.manifest import Manifest
+
+# keep this many most-recent buckets per tier; None = keep forever.
+# Fine tiers expire fastest — classic TSDB downsampling retention.
+DEFAULT_POLICY: dict[str, int | None] = {"1m": 1440, "1h": 720, "1d": None}
+
+
+def apply_retention(
+    out_dir: str,
+    policy: dict[str, int | None] | None = None,
+    now_bucket: dict[str, int] | None = None,
+) -> dict[str, dict]:
+    """Expire rollup partitions whose bucket range ends before the horizon.
+
+    horizon(tier) = newest committed bucket_hi (or ``now_bucket[tier]``)
+    minus keep + 1; a partition is expired iff its ``bucket_hi`` < horizon.
+    Returns per-tier {kept, retired, horizon}.
+    """
+    policy = DEFAULT_POLICY if policy is None else policy
+    manifest = Manifest(out_dir)
+    report: dict[str, dict] = {}
+    for tier, keep in policy.items():
+        entries = {
+            k: e
+            for k, e in manifest.committed(tier).items()
+            if "bucket_hi" in e
+        }
+        if keep is None or not entries:
+            report[tier] = dict(kept=len(entries), retired=0, horizon=None)
+            continue
+        newest = (
+            now_bucket[tier]
+            if now_bucket and tier in now_bucket
+            else max(e["bucket_hi"] for e in entries.values())
+        )
+        horizon = newest - keep + 1
+        retired = 0
+        for key, e in entries.items():
+            if e["bucket_hi"] < horizon:
+                manifest.retire(key)
+                try:
+                    os.unlink(os.path.join(out_dir, e["path"]))
+                except FileNotFoundError:
+                    pass
+                retired += 1
+        report[tier] = dict(
+            kept=len(entries) - retired, retired=retired, horizon=horizon
+        )
+    return report

@@ -11,7 +11,6 @@ and the reference's append-only store (each delivery batch lands once,
 
 from __future__ import annotations
 
-import glob
 import os
 
 import ray.data as rd
@@ -19,15 +18,22 @@ from ray.data import Dataset
 
 from ..stages.gapfill import gap_fill
 from ..stages.rollup import _merge_partials, repartial_rollup_batch
+from ..state.manifest import Manifest
 from ..timegrid import TIERS
 
 
 def tier_view(
     out_dir: str, tier: str, *, gap: bool = False, t0_us: int = None
 ) -> Dataset:
-    """Merged view over every committed epoch partition of one tier."""
+    """Merged view over every LIVE committed epoch partition of one tier.
+
+    Plans from the manifest (not a file glob): retired partitions and
+    crash-orphaned data files are never read."""
+    manifest = Manifest(out_dir)
     files = sorted(
-        glob.glob(os.path.join(out_dir, f"tier={tier}", "*", "*.parquet"))
+        os.path.join(out_dir, e["path"])
+        for e in manifest.committed(tier).values()
+        if not e["partition"].startswith("series__")
     )
     if not files:
         raise FileNotFoundError(f"no committed partitions under tier={tier}")

@@ -66,16 +66,42 @@ class Manifest:
         return f"tier={tier}__{partition}.json"
 
     def is_committed(self, tier: str, partition: str) -> bool:
-        return os.path.exists(os.path.join(self.mdir, self.entry_name(tier, partition)))
+        """Acked = live entry OR retired tombstone: a retention-expired
+        partition must never be recommitted by a replayed epoch."""
+        base = os.path.join(self.mdir, self.entry_name(tier, partition))
+        return os.path.exists(base) or os.path.exists(base + ".retired")
 
-    def committed(self, tier: str | None = None) -> dict[str, dict]:
+    def committed(
+        self, tier: str | None = None, include_retired: bool = False
+    ) -> dict[str, dict]:
         out = {}
         prefix = f"tier={tier}__" if tier else ""
         for name in os.listdir(self.mdir):
-            if name.endswith(".json") and name.startswith(prefix):
-                with open(os.path.join(self.mdir, name)) as f:
-                    out[name[: -len(".json")]] = json.load(f)
+            live = name.endswith(".json")
+            retired = name.endswith(".json.retired")
+            if not (live or (retired and include_retired)):
+                continue
+            if not name.startswith(prefix):
+                continue
+            key = name[: -len(".json")] if live else name[: -len(".json.retired")]
+            with open(os.path.join(self.mdir, name)) as f:
+                entry = json.load(f)
+            entry["retired"] = retired
+            out[key] = entry
         return out
+
+    def retire(self, entry_key: str) -> dict:
+        """Atomically tombstone one committed entry (retention, E8 analog of
+        the broker expiring an acked message's payload: the *ack* survives).
+        Returns the entry; caller deletes the data file afterwards — a crash
+        in between leaves an orphan file that no reader will list (readers
+        plan from the manifest / tier_view reads only live entries' files)."""
+        src = os.path.join(self.mdir, entry_key + ".json")
+        with open(src) as f:
+            entry = json.load(f)
+        os.replace(src, src + ".retired")
+        _fsync_dir(self.mdir)
+        return entry
 
     def commit_file(
         self,
