@@ -71,6 +71,30 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_retention(args: argparse.Namespace) -> int:
+    """Expire old partitions per tier (manifest-planned, no Ray needed)."""
+    from .pipelines.retention import DEFAULT_POLICY, apply_retention
+
+    policy = dict(DEFAULT_POLICY)
+    for spec in args.keep or []:
+        tier, _, n = spec.partition("=")
+        policy[tier] = None if n in ("", "forever") else int(n)
+    print(json.dumps(apply_retention(args.out, policy)))
+    return 0
+
+
+def cmd_view(args: argparse.Namespace) -> int:
+    """Print the merged cross-epoch view of one tier (head rows)."""
+    from .pipelines.view import tier_view
+
+    _init_ray(args.num_cpus)
+    ds = tier_view(args.out, args.tier, gap=args.gap)
+    df = ds.to_pandas().sort_values(["source", "bucket_ts"])
+    print(df.head(args.limit).to_string(index=False))
+    print(f"... {len(df)} points total")
+    return 0
+
+
 def cmd_show_config(args: argparse.Namespace) -> int:
     import dataclasses
 
@@ -94,6 +118,20 @@ def main(argv: list[str] | None = None) -> int:
     showp = sub.add_parser("show-config", help="print merged config")
     showp.add_argument("--config", default=None)
     showp.set_defaults(fn=cmd_show_config)
+
+    retp = sub.add_parser("retention", help="expire old partitions")
+    retp.add_argument("--out", required=True)
+    retp.add_argument("--keep", action="append", default=None,
+                      help="tier=N buckets (repeatable), e.g. --keep 1m=1440")
+    retp.set_defaults(fn=cmd_retention)
+
+    viewp = sub.add_parser("view", help="merged cross-epoch tier view")
+    viewp.add_argument("--out", required=True)
+    viewp.add_argument("--tier", default="1m", choices=["1m", "1h", "1d"])
+    viewp.add_argument("--gap", action="store_true", help="gap-fill the view")
+    viewp.add_argument("--limit", type=int, default=20)
+    viewp.add_argument("--num-cpus", type=int, default=None)
+    viewp.set_defaults(fn=cmd_view)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
