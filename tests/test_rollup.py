@@ -134,6 +134,36 @@ def test_block_order_independence(ray_session, f1_micro):
     assert got == rollup_oracle(f1_micro, "1m", gap_fill=False)
 
 
+def test_single_source_skew(ray_session):
+    """Worst-case skew: ONE source owns every row.  The shuffle partitions
+    by bucket_id (the salt axis is time, not source), so a hot source still
+    spreads across reducers and values stay exact."""
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.rollup import rollup
+    from tests.oracle import rollup_oracle
+
+    n = 50_000
+    seqs = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"s00-{s:08d}" for s in seqs]),
+            "tokens": pa.array([[1]] * n, type=pa.list_(pa.int32())),
+            "n_tok": pa.array(np.ones(n, dtype=np.int32)),
+            "source": pa.array(["s00"] * n),
+        }
+    )
+    from mq_to_db_ray.stages.validate import ValidateAssign
+
+    ds = rd.from_arrow(t).map_batches(
+        ValidateAssign, batch_format="pyarrow", batch_size=4096, concurrency=2
+    ).drop_columns(["tokens"])
+    got = _strip(_ds_rows(rollup(ds, "1m")))
+    assert got == rollup_oracle(t, "1m", gap_fill=False)
+    # n/60 one-minute buckets, all from the single hot source
+    assert len(got) == (n + 59) // 60
+
+
 def test_encode_series_roundtrip(assigned_micro, f1_micro):
     from mq_to_db_ray.stages.encode import encode_series
     from mq_to_db_ray.stages.gapfill import gap_fill
