@@ -71,6 +71,29 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_watch(args: argparse.Namespace) -> int:
+    """Daemon mode: poll --input-dir, run each new file batch as an epoch."""
+    from .pipelines.watch import watch
+
+    _init_ray(args.num_cpus)
+    stopping = {"flag": False}
+
+    def on_signal(signum, frame):
+        stopping["flag"] = True
+        print(json.dumps({"event": "watch-stop", "signal": signum}),
+              file=sys.stderr)
+
+    signal.signal(signal.SIGINT, on_signal)
+    signal.signal(signal.SIGTERM, on_signal)
+    for summary in watch(
+        args.input_dir, args.out, interval_s=args.interval,
+        max_epochs=args.max_epochs, stop_flag=lambda: stopping["flag"],
+    ):
+        out = {k: v for k, v in summary.items() if k != "tiers"}
+        print(json.dumps(out), flush=True)
+    return 0
+
+
 def cmd_retention(args: argparse.Namespace) -> int:
     """Expire old partitions per tier (manifest-planned, no Ray needed)."""
     from .pipelines.retention import DEFAULT_POLICY, apply_retention
@@ -118,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
     showp = sub.add_parser("show-config", help="print merged config")
     showp.add_argument("--config", default=None)
     showp.set_defaults(fn=cmd_show_config)
+
+    watchp = sub.add_parser("watch", help="daemon: consume new files as epochs")
+    watchp.add_argument("--input-dir", required=True)
+    watchp.add_argument("--out", required=True)
+    watchp.add_argument("--interval", type=float, default=5.0)
+    watchp.add_argument("--max-epochs", type=int, default=None)
+    watchp.add_argument("--num-cpus", type=int, default=None)
+    watchp.set_defaults(fn=cmd_watch)
 
     retp = sub.add_parser("retention", help="expire old partitions")
     retp.add_argument("--out", required=True)

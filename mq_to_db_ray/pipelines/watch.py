@@ -1,0 +1,87 @@
+"""Continuous operation: watch an input directory and run each batch of
+newly-arrived parquet files as one cascade epoch.
+
+The daemon analog of the reference service loop (blocking consume until
+signal, /root/reference/cmd/mq-to-db/main.go:353): the queue is a
+directory, a delivery batch is the set of files not yet processed, and the
+epoch ledger (files already consumed) lives beside the manifest so a
+restarted watcher resumes exactly where it stopped — same ack-once
+semantics, file granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+LEDGER = "_EPOCHS.jsonl"
+
+
+def processed_files(out_dir: str) -> set[str]:
+    path = os.path.join(out_dir, LEDGER)
+    seen: set[str] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                seen.update(json.loads(line)["files"])
+    return seen
+
+
+def _record_epoch(out_dir: str, files: list[str], summary: dict) -> None:
+    path = os.path.join(out_dir, LEDGER)
+    entry = dict(
+        files=sorted(files),
+        epoch=summary["epoch"],
+        rows=summary["rows"],
+        rejects=summary["rejects"],
+        ts=time.time(),
+    )
+    with open(path, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def run_pending_epoch(in_dir: str, out_dir: str, **cascade_kwargs) -> dict | None:
+    """Process every not-yet-consumed parquet file as ONE epoch; returns the
+    cascade summary, or None if nothing new arrived."""
+    from .cascade import run_cascade
+
+    seen = processed_files(out_dir)
+    pending = sorted(
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.endswith(".parquet") and os.path.join(in_dir, f) not in seen
+    )
+    if not pending:
+        return None
+    summary = run_cascade(pending, out_dir, **cascade_kwargs)
+    _record_epoch(out_dir, pending, summary)
+    summary["files"] = len(pending)
+    return summary
+
+
+def watch(
+    in_dir: str,
+    out_dir: str,
+    *,
+    interval_s: float = 5.0,
+    max_epochs: int | None = None,
+    stop_flag=None,
+    **cascade_kwargs,
+):
+    """Poll until stopped; yields each epoch summary (generator, so the CLI
+    can log/flush between epochs and tests can drive it deterministically)."""
+    n = 0
+    while max_epochs is None or n < max_epochs:
+        if stop_flag is not None and stop_flag():
+            return
+        s = run_pending_epoch(in_dir, out_dir, **cascade_kwargs)
+        if s is not None:
+            n += 1
+            yield s
+        elif max_epochs is not None:
+            return  # drained in bounded mode
+        else:
+            time.sleep(interval_s)
