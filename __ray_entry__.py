@@ -203,6 +203,37 @@ def _q_f1_multi_epoch_view(sf_dir: str):
     return tier_view(out, "1m")
 
 
+def _q_f1_compact(sf_dir: str):
+    """Compaction: two watched epochs fold to one partition per source; the
+    merged view stays identical (checked: view row-count before == after)."""
+    import glob
+
+    import pyarrow as pa
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.compact import compact_tier
+    from mq_to_db_ray.pipelines.view import tier_view
+
+    f1 = _f1_dir(sf_dir)
+    files = sorted(glob.glob(f1 + "/*.parquet"))
+    out = tempfile.mkdtemp(prefix="mq2db_q_compact_")
+    half = max(1, len(files) // 2)
+    run_cascade(files[:half], out)
+    run_cascade(files[half:], out)
+    n_before = tier_view(out, "1m").count()
+    report = compact_tier(out, "1m")
+    n_after = tier_view(out, "1m").count()
+    return pa.Table.from_pylist(
+        [
+            dict(
+                compacted_sources=int(report["compacted_sources"]),
+                inputs_retired=int(report["inputs_retired"]),
+                view_rows_unchanged=bool(n_before == n_after),
+            )
+        ]
+    )
+
+
 def _q_f1_retention(sf_dir: str):
     """Retention enforcement: manifest-planned expiry of old 1m partitions;
     tombstones block resurrection on epoch replay."""
@@ -287,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_resume_skip": _q_f1_resume,
         "f1_multi_epoch_view": _q_f1_multi_epoch_view,
         "f1_retention": _q_f1_retention,
+        "f1_compact": _q_f1_compact,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
         "doc_rollup_1m": _q_doc_rollup_1m,

@@ -94,6 +94,14 @@ def cmd_watch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Fold per-epoch partitions into one per source (driver-side, no Ray)."""
+    from .pipelines.compact import compact_tier
+
+    print(json.dumps(compact_tier(args.out, args.tier)))
+    return 0
+
+
 def cmd_retention(args: argparse.Namespace) -> int:
     """Expire old partitions per tier (manifest-planned, no Ray needed)."""
     from .pipelines.retention import DEFAULT_POLICY, apply_retention
@@ -149,6 +157,11 @@ def main(argv: list[str] | None = None) -> int:
     watchp.add_argument("--max-epochs", type=int, default=None)
     watchp.add_argument("--num-cpus", type=int, default=None)
     watchp.set_defaults(fn=cmd_watch)
+
+    compactp = sub.add_parser("compact", help="fold per-epoch partitions")
+    compactp.add_argument("--out", required=True)
+    compactp.add_argument("--tier", default="1m", choices=["1m", "1h", "1d"])
+    compactp.set_defaults(fn=cmd_compact)
 
     retp = sub.add_parser("retention", help="expire old partitions")
     retp.add_argument("--out", required=True)

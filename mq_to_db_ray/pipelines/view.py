@@ -28,12 +28,21 @@ def tier_view(
     """Merged view over every LIVE committed epoch partition of one tier.
 
     Plans from the manifest (not a file glob): retired partitions and
-    crash-orphaned data files are never read."""
+    crash-orphaned data files are never read.  A live entry named in a live
+    compacted entry's ``replaces`` list is excluded — compaction's phase-1
+    commit supersedes its inputs even before phase-2 retires them, so a
+    crash between phases never double-counts."""
     manifest = Manifest(out_dir)
+    live = {
+        k: e
+        for k, e in manifest.committed(tier).items()
+        if not e["partition"].startswith("series__")
+    }
+    replaced = {r for e in live.values() for r in e.get("replaces", [])}
     files = sorted(
         os.path.join(out_dir, e["path"])
-        for e in manifest.committed(tier).values()
-        if not e["partition"].startswith("series__")
+        for k, e in live.items()
+        if k not in replaced
     )
     if not files:
         raise FileNotFoundError(f"no committed partitions under tier={tier}")
