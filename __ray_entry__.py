@@ -121,6 +121,50 @@ def _q_doc_rollup_1m(sf_dir: str):
     return rollup(ds, "1m").drop_columns(["filled"])
 
 
+def _q_f1_rollup_1m(sf_dir: str):
+    """Flagship rollup values, DuckDB-checkable: 1m rollup straight off the
+    F1 corpus (no commit side effects), exact column-name parity."""
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.rollup import rollup
+    from mq_to_db_ray.stages.validate import ValidateAssign
+
+    va = ValidateAssign()
+    ds = rd.read_parquet(_f1_dir(sf_dir) + "/").map_batches(
+        lambda b: va(b).select(["source", "seq", "n_tok"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return rollup(ds, "1m").drop_columns(["filled"])
+
+
+def _q_f1_cascaded(tier: str):
+    """E4 on F1: the coarse tier is produced THROUGH the cascade (1m→1h→1d)
+    and checked against direct-aggregation SQL."""
+
+    def fn(sf_dir: str):
+        from mq_to_db_ray.stages.rollup import cascade
+
+        m1_ds = _q_f1_rollup_1m(sf_dir)
+
+        # re-attach the filled column dropped by _q_f1_rollup_1m
+        import pyarrow as pa
+
+        def with_filled(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return b.append_column(
+                "filled", pa.array(np.zeros(b.num_rows, dtype=bool))
+            )
+
+        m1 = m1_ds.map_batches(with_filled, batch_format="pyarrow")
+        h1 = cascade(m1, "1m", "1h")
+        out = h1 if tier == "1h" else cascade(h1, "1h", "1d")
+        return out.drop_columns(["filled"])
+
+    return fn
+
+
 def _q_f1_cascade_1m(sf_dir: str):
     from mq_to_db_ray.pipelines.cascade import run_cascade
     from mq_to_db_ray.stages.gapfill import gap_fill
@@ -310,7 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "events_gapfill_1m": _q_events_gapfill,
         "events_reject_lane": _q_events_rejects,
-        # --- flagship on the native F1 corpus (rows-only; oracle in pytest) ---
+        # --- flagship on the native F1 corpus ---
+        "f1_rollup_1m": _q_f1_rollup_1m,
+        "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
+        "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
@@ -354,6 +401,68 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
     return {
+        # flagship F1 rollup against the deterministic cached corpus (the
+        # queries() callable materializes the cache before the oracle runs;
+        # the driver's correctness pass is at sf0.01)
+        "f1_rollup_1m": """
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (CAST(regexp_extract(doc_id, '-([0-9]+)$', 1) AS BIGINT) // 60)
+                       * INTERVAL 60 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(min(n_tok) AS INTEGER) AS min_n_tok,
+                   CAST(max(n_tok) AS INTEGER) AS max_n_tok
+            FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+            GROUP BY 1, 2
+        """,
+        "f1_rollup_1h_cascaded": """
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (CAST(regexp_extract(doc_id, '-([0-9]+)$', 1) AS BIGINT) // 3600)
+                       * INTERVAL 3600 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(min(n_tok) AS INTEGER) AS min_n_tok,
+                   CAST(max(n_tok) AS INTEGER) AS max_n_tok
+            FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+            GROUP BY 1, 2
+        """,
+        "f1_rollup_1d_cascaded": """
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (CAST(regexp_extract(doc_id, '-([0-9]+)$', 1) AS BIGINT) // 86400)
+                       * INTERVAL 86400 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(min(n_tok) AS INTEGER) AS min_n_tok,
+                   CAST(max(n_tok) AS INTEGER) AS max_n_tok
+            FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+            GROUP BY 1, 2
+        """,
+        "f1_cascade_1m_gapfilled": """
+            WITH r AS (
+              SELECT source,
+                     TIMESTAMP '2026-01-01 00:00:00'
+                       + (CAST(regexp_extract(doc_id, '-([0-9]+)$', 1) AS BIGINT) // 60)
+                         * INTERVAL 60 SECOND AS b,
+                     CAST(count(*) AS BIGINT) AS count,
+                     CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                     CAST(min(n_tok) AS INTEGER) AS min_n_tok,
+                     CAST(max(n_tok) AS INTEGER) AS max_n_tok
+              FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+              GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b FROM s)
+            SELECT g.source,
+                   g.b AS bucket_ts,
+                   COALESCE(r.count, 0) AS count,
+                   COALESCE(r.sum_n_tok, 0) AS sum_n_tok,
+                   r.min_n_tok AS min_n_tok,
+                   r.max_n_tok AS max_n_tok,
+                   (r.source IS NULL) AS filled
+            FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b
+        """,
         "events_rollup_1m": events_rollup.format(unit="minute"),
         "events_rollup_1h_cascaded": events_rollup.format(unit="hour"),
         "events_rollup_1d_cascaded": events_rollup.format(unit="day"),
