@@ -370,6 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": td.token_count,
         "doc_rollup_1m": _q_doc_rollup_1m,
         "doc_quality": td.quality_score,
+        "doc_stratified_sample": td.stratified_sample,
+        "doc_embedding_join": td.doc_embedding_join,
+        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_dir(sf_dir)),
         "doc_langid": td.lang_id,
         "doc_fingerprint": td.fingerprint,
         # --- dedup suite ---
@@ -506,6 +509,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(len(str_split(text, ' '))) AS INTEGER) AS min_n_tok,
                    CAST(max(len(str_split(text, ' '))) AS INTEGER) AS max_n_tok
             FROM documents GROUP BY 1, 2
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                       ) AS rn
+                FROM documents) WHERE rn <= 5
+        """,
+        "doc_embedding_join": """
+            SELECT d.doc_id,
+                   CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CAST(e.label AS BIGINT) AS label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "f1_token_topk": """
+            SELECT CAST(t AS BIGINT) AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(tokens) AS t
+                  FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
         """,
         "doc_quality": f"""
             SELECT doc_id,

@@ -179,6 +179,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_quality",
         "doc_langid",
         "doc_fingerprint",
+        "doc_stratified_sample",
+        "doc_embedding_join",
+        "f1_token_topk",
         "doc_exact_dedup",
         "doc_simhash",
         "doc_minhash_pairs",

@@ -101,6 +101,127 @@ def fingerprint(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def stratified_sample(sf_dir: str, per_source: int = 5) -> Dataset:
+    """Deterministic stratified sample: the ``per_source`` docs with the
+    smallest multiplicative-hash rank within each source.
+
+    The rank is pure arithmetic ((doc_id * K) mod P) so any engine — and
+    the DuckDB oracle — reproduces it exactly; selection is per-group
+    top-k over a narrow (doc_id, source, rank) projection, never the text.
+    """
+    P = 1_000_000_007
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = (d * 2654435761) % P
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"],
+             "rank_key": pa.array(r, type=pa.int64())}
+        )
+
+    ranked = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        add_rank, batch_format="pyarrow"
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("rank_key", "ascending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx[:per_source]).drop_columns(["rank_key"])
+
+    return ranked.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+def token_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Heavy hitters over the F1 token stream: explode every tokens list,
+    two-phase count (per-batch Arrow value_counts combiner -> hash-partition
+    merge), tiny global sort.  The full stream is never shuffled — only
+    per-batch (token, partial_count) rows."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.flatten().value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "part": pc.cast(
+                    pc.bit_wise_and(
+                        pc.cast(vc.field("values"), pa.int64()),
+                        pa.scalar(63, pa.int64()),
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["tokens"]).map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        agg = g.group_by("token", use_threads=False).aggregate([("n", "sum")])
+        return pa.table(
+            {"token": agg["token"], "n": pc.cast(agg["n_sum"], pa.int64())}
+        )
+
+    merged = (
+        partials.groupby("part")
+        .map_groups(lambda g: merge(g.drop_columns(["part"])), batch_format="pyarrow")
+    )
+    top = merged.sort(["n", "token"], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table(
+        {"token": pc.cast(t["token"], pa.int64()), "n": t["n"]}
+    )
+
+
+def doc_embedding_join(sf_dir: str) -> Dataset:
+    """Broadcast enrichment join: documents x embeddings on doc_id == vec_id.
+
+    The small side (vec_id -> label) ships ONCE via ray.put; each batch does
+    a vectorized dictionary lookup — no shuffle join for a dimension table."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    ids, labels = [], []
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.append(np.asarray(b["vec_id"].to_pylist(), dtype=np.int64))
+        labels.append(np.asarray(b["label"].to_pylist(), dtype=np.int64))
+    lookup_ref = ray.put((np.concatenate(ids), np.concatenate(labels)))
+
+    class Enrich:
+        def __init__(self, ref):
+            ids, labels = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            order = np.argsort(ids)
+            self.ids, self.labels = ids[order], labels[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.ids, d)
+            pos = np.clip(pos, 0, len(self.ids) - 1)
+            hit = self.ids[pos] == d
+            lab = np.where(hit, self.labels[pos], -1)
+            t = pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                    "label": pa.array(lab, type=pa.int64()),
+                }
+            )
+            return t.filter(pa.array(hit))
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        Enrich, fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow", batch_size=8192, concurrency=2,
+    )
+
+
 # ---------------- dedup ----------------
 
 
