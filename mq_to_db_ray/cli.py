@@ -65,6 +65,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         batch_size=cfg.dispatcher.batch_size,
         validate_concurrency=cfg.dispatcher.storage_workers,
         raw_partition_cols=cfg.sink.raw_partition_cols,
+        read_blocks=cfg.dispatcher.consumer_concurrency,
     )
     out = {k: v for k, v in summary.items() if k != "tiers"}
     print(json.dumps(out))

@@ -4,8 +4,8 @@ Mirrors the reference's viper chain (defaults, config file, env with
 ``.``→``_`` replacer, then pflag overrides —
 /root/reference/cmd/mq-to-db/main.go:141-163, defaults
 /root/reference/internal/config/config.go:36-65).  Env vars use the
-``MQ2DB_`` prefix with dots replaced by underscores:
-``dispatcher.storageWorkers`` → ``MQ2DB_DISPATCHER_STORAGEWORKERS``.
+``MQ2DB_`` prefix over the snake_case field path:
+``dispatcher.storage_workers`` → ``MQ2DB_DISPATCHER_STORAGE_WORKERS``.
 """
 
 from __future__ import annotations
@@ -17,7 +17,8 @@ from dataclasses import dataclass, field, fields
 @dataclass
 class DispatcherConfig:
     # analog of dispatcher.consumerConcurrency (config-sample.yaml:3):
-    # number of read blocks per input file group; None = 2x cluster CPUs
+    # minimum read-block fan-out for the ingest pass; None = 2x cluster CPUs
+    # (passed to run_cascade as read_blocks)
     consumer_concurrency: int | None = None
     # analog of dispatcher.storageWorkers (config-sample.yaml:4): actor-pool
     # size for the validate stage; None/0 = fused task pool (elastic)

@@ -70,7 +70,9 @@ def cosine_topk(
         batch_size=4096,
         concurrency=concurrency,
     )
-    return candidates.sort("sim", descending=True).limit(k)
+    # deterministic tie-break on id: equal-cosine candidates at the k
+    # boundary must resolve the same way as the SQL oracle's ORDER BY
+    return candidates.sort(["sim", id_col], descending=[True, False]).limit(k)
 
 
 class NearDupScorer:

@@ -147,6 +147,7 @@ def run_cascade(
     validate_concurrency: int | None = None,
     skip_raw: bool = False,
     raw_partition_cols: list[str] | None = None,
+    read_blocks: int | None = None,
 ) -> dict:
     """Run the full epoch: returns a summary dict (counts, tiers, metrics path).
 
@@ -178,12 +179,14 @@ def run_cascade(
         # task-pool chain: the wide tokens column never round-trips the
         # object store.  ValidateAssign is invoked through a lambda (task
         # pool) unless an explicit actor-pool size is requested.
-        import ray
+        if read_blocks is None:
+            import ray
 
-        n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            read_blocks = 2 * n_cpu
         ds = rd.read_parquet(
             list(input_paths),
-            override_num_blocks=max(len(input_paths), 2 * n_cpu),
+            override_num_blocks=max(len(input_paths), read_blocks),
         )
         va = ValidateAssign(reject_dir)
         if validate_concurrency:
@@ -207,6 +210,15 @@ def run_cascade(
         # copy of the wide tokens column, so they're opt-in)
         validated.write_parquet(staging, partition_cols=raw_partition_cols)
         os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
+        # idempotent dir commit: a crash after a previous run's rename but
+        # before its manifest entry leaves an UNCOMMITTED raw_dir; unlike
+        # file-level os.replace, directory rename fails on a non-empty
+        # target, so clear the debris first (the manifest says it never
+        # committed, so removal is safe)
+        if os.path.isdir(raw_dir):
+            import shutil
+
+            shutil.rmtree(raw_dir)
         os.replace(staging, raw_dir)
         _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
     raw_wall = time.perf_counter() - t0

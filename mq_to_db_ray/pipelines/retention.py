@@ -16,8 +16,11 @@ reader lists (``tier_view`` plans from live manifest entries only).
 from __future__ import annotations
 
 import os
+import re
 
 from ..state.manifest import Manifest
+
+_PART_RE = re.compile(r"^source=(?P<source>.+?)__(?:(?P<etag>e[0-9a-f]+)__)?part-")
 
 # keep this many most-recent buckets per tier; None = keep forever.
 # Fine tiers expire fastest — classic TSDB downsampling retention.
@@ -54,6 +57,7 @@ def apply_retention(
         )
         horizon = newest - keep + 1
         retired = 0
+        gone: set[tuple[str, str]] = set()  # (source, etag or "")
         for key, e in entries.items():
             if e["bucket_hi"] < horizon:
                 manifest.retire(key)
@@ -62,6 +66,26 @@ def apply_retention(
                 except FileNotFoundError:
                     pass
                 retired += 1
+                m = _PART_RE.match(e["partition"])
+                if m:
+                    gone.add((m.group("source"), m.group("etag") or ""))
+        # a (source, epoch) series blob covers exactly its data partition's
+        # range — retire it alongside, or the expired series stays readable
+        # (and series files accumulate unboundedly in watch mode)
+        for key, e in manifest.committed(tier).items():
+            part = e["partition"]
+            if not part.startswith("series__"):
+                continue
+            body = part[len("series__"):]
+            etag = ""
+            if body.startswith("e") and "__source=" in body:
+                etag, body = body.split("__", 1)
+            if body.startswith("source=") and (body[len("source="):], etag) in gone:
+                manifest.retire(key)
+                try:
+                    os.unlink(os.path.join(out_dir, e["path"]))
+                except FileNotFoundError:
+                    pass
         report[tier] = dict(
             kept=len(entries) - retired, retired=retired, horizon=horizon
         )

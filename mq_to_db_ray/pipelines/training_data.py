@@ -143,6 +143,8 @@ def token_topk(sf_dir: str, k: int = 20) -> pa.Table:
 
     files = sorted(glob.glob(sf_dir + "/*.parquet"))
 
+    from ..stages.shuffle import hash_partition_merge
+
     def partial_counts(b: pa.Table) -> pa.Table:
         toks = b["tokens"]
         if isinstance(toks, pa.ChunkedArray):
@@ -152,13 +154,6 @@ def token_topk(sf_dir: str, k: int = 20) -> pa.Table:
             {
                 "token": vc.field("values"),
                 "n": pc.cast(vc.field("counts"), pa.int64()),
-                "part": pc.cast(
-                    pc.bit_wise_and(
-                        pc.cast(vc.field("values"), pa.int64()),
-                        pa.scalar(63, pa.int64()),
-                    ),
-                    pa.int32(),
-                ),
             }
         )
 
@@ -172,10 +167,7 @@ def token_topk(sf_dir: str, k: int = 20) -> pa.Table:
             {"token": agg["token"], "n": pc.cast(agg["n_sum"], pa.int64())}
         )
 
-    merged = (
-        partials.groupby("part")
-        .map_groups(lambda g: merge(g.drop_columns(["part"])), batch_format="pyarrow")
-    )
+    merged = hash_partition_merge(partials, "token", merge, k=64)
     top = merged.sort(["n", "token"], descending=[True, False]).limit(k)
     t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table(
@@ -254,14 +246,9 @@ def exact_dedup(sf_dir: str) -> Dataset:
 
     # Scale shape: one content-hash key per document means millions of tiny
     # groups — Ray's sort-based groupby degrades there, so co-locate keys by
-    # hash partition (like the rollup merge) and pick winners with ONE
+    # hash partition (stages/shuffle.py) and pick winners with ONE
     # vectorized Arrow group_by per partition.
-    K = 64
-
-    def add_part(b: pa.Table) -> pa.Table:
-        # two's-complement low bits: mask on int64 directly (always >= 0)
-        part = pc.bit_wise_and(b["text_hash"], pa.scalar(K - 1, pa.int64()))
-        return b.append_column("part", pc.cast(part, pa.int32()))
+    from ..stages.shuffle import hash_partition_merge
 
     def winners(g: pa.Table) -> pa.Table:
         agg = g.group_by("text_hash", use_threads=False).aggregate(
@@ -274,13 +261,7 @@ def exact_dedup(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
-        hashed.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: winners(g.drop_columns(["part"])), batch_format="pyarrow"
-        )
-    )
+    return hash_partition_merge(hashed, "text_hash", winners, k=64)
 
 
 def simhash(sf_dir: str) -> Dataset:
@@ -353,17 +334,27 @@ def minhash_lsh_pairs(
     )
 
     # dedup candidate pairs (same pair can fire in several bands), then
-    # verify true n-gram Jaccard DISTRIBUTED: texts broadcast once via
-    # ray.put, each verify actor fetches them in __init__ and caches
-    # shingle sets per doc — never a driver-side loop.
+    # verify true n-gram Jaccard DISTRIBUTED.  Only CANDIDATE texts are
+    # broadcast (the LSH-pruned pair set is tiny relative to the corpus),
+    # so per-actor memory is O(candidates), not O(corpus).
     uniq = candidates.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    texts_tbl = (
+    ).materialize()
+    cand_ids: set[int] = set()
+    for b in uniq.iter_batches(batch_format="pyarrow", batch_size=8192):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    cand_frozen = frozenset(cand_ids)
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = pa.array([d in cand_frozen for d in b["doc_id"].to_pylist()])
+        return b.filter(mask)
+
+    texts_refs = (
         _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pick, batch_format="pyarrow")
         .to_arrow_refs()
-    )
-    texts_refs = texts_tbl  # list of block refs — fetched per actor
+    )  # block refs of candidate texts only — fetched per verify actor
 
     class VerifyJaccard:
         def __init__(self, refs, thr: int):
@@ -422,21 +413,19 @@ def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dat
     """
     import numpy as np
 
-    K = 64
+    from ..stages.shuffle import hash_partition_merge
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, sh, sizes = [], [], []
+        doc_ids, sh = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             s = ts.shingles(text, k)
             doc_ids.extend([did] * len(s))
             sh.extend(np.uint64(x) for x in s)
-            sizes.extend([len(s)] * len(s))
         sh64 = np.array(sh, dtype=np.uint64).astype(np.int64)
         return pa.table(
             {
                 "shingle": pa.array(sh64, type=pa.int64()),
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "part": pa.array((sh64 & (K - 1)).astype(np.int32)),
             }
         )
 
@@ -486,21 +475,19 @@ def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dat
             }
         )
 
-    partials = exploded.groupby("part").map_groups(
-        lambda g: pair_counts(g.drop_columns(["part"])), batch_format="pyarrow"
-    )
+    partials = hash_partition_merge(exploded, "shingle", pair_counts, k=64)
 
-    def add_pair_part(b: pa.Table) -> pa.Table:
+    def add_pair_key(b: pa.Table) -> pa.Table:
         h = pc.bit_wise_xor(
             pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())), b["doc_b"]
         )
-        return b.append_column(
-            "part", pc.cast(pc.bit_wise_and(h, pa.scalar(K - 1, pa.int64())), pa.int32())
-        )
+        return b.append_column("pair_key", pc.cast(h, pa.int64()))
 
     def merge_pairs(g: pa.Table) -> pa.Table:
-        agg = g.group_by(["doc_a", "doc_b"], use_threads=False).aggregate(
-            [("inter", "sum")]
+        agg = (
+            g.drop_columns(["pair_key"])
+            .group_by(["doc_a", "doc_b"], use_threads=False)
+            .aggregate([("inter", "sum")])
         )
         return pa.table(
             {
@@ -510,19 +497,28 @@ def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dat
             }
         )
 
-    merged = (
-        partials.map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda g: merge_pairs(g.drop_columns(["part"])), batch_format="pyarrow")
+    merged = hash_partition_merge(
+        partials.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pair_key",
+        merge_pairs,
+        k=64,
     )
 
-    # broadcast doc -> shingle-set size (small side, read once)
+    # broadcast doc -> shingle-set size: shingling runs DISTRIBUTED (it is
+    # the expensive part); the driver only collects the narrow (id, n) pairs
+    def size_batch(b: pa.Table) -> pa.Table:
+        ns = [len(ts.shingles(t, k)) for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "n": pa.array(ns, type=pa.int64())}
+        )
+
     sizes: dict[int, int] = {}
-    for b in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow", batch_size=8192
+    for b in (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(size_batch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=8192)
     ):
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            sizes[did] = len(ts.shingles(text, k))
+        sizes.update(zip(b["doc_id"].to_pylist(), b["n"].to_pylist()))
     sizes_ref = ray.put(sizes)
 
     class Finalize:
@@ -600,7 +596,9 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     assert q is not None, "vec_id 0 not found"
     ds = emb.filter(expr="vec_id != 0")
     top = cosine_topk(ds, q[None, :], k=k).to_pandas()
-    top = top.sort_values("sim", ascending=False).reset_index(drop=True)
+    top = top.sort_values(
+        ["sim", "vec_id"], ascending=[False, True]
+    ).reset_index(drop=True)
     return pa.table(
         {
             "vec_id": pa.array(top["vec_id"].astype("int64")),

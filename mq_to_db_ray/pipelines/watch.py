@@ -44,8 +44,16 @@ def _record_epoch(out_dir: str, files: list[str], summary: dict) -> None:
 
 
 def run_pending_epoch(in_dir: str, out_dir: str, **cascade_kwargs) -> dict | None:
-    """Process every not-yet-consumed parquet file as ONE epoch; returns the
-    cascade summary, or None if nothing new arrived."""
+    """Process each not-yet-consumed parquet file as its OWN epoch (arrival
+    order); returns a combined summary, or None if nothing new arrived.
+
+    Per-FILE epochs make the epoch identity stable across restarts: if the
+    watcher crashes after committing file A but before recording it, the
+    replay of A re-derives the SAME epoch fingerprint, so every partition
+    is skipped by the manifest instead of double-committed (which a
+    batch-of-files fingerprint would do once a new file changes the set).
+    Partition accretion is bounded by compaction (pipelines/compact.py).
+    """
     from .cascade import run_cascade
 
     seen = processed_files(out_dir)
@@ -56,10 +64,23 @@ def run_pending_epoch(in_dir: str, out_dir: str, **cascade_kwargs) -> dict | Non
     )
     if not pending:
         return None
-    summary = run_cascade(pending, out_dir, **cascade_kwargs)
-    _record_epoch(out_dir, pending, summary)
-    summary["files"] = len(pending)
-    return summary
+    summaries = []
+    for path in pending:
+        s = run_cascade([path], out_dir, **cascade_kwargs)
+        _record_epoch(out_dir, [path], s)
+        summaries.append(s)
+    last = summaries[-1]
+    return dict(
+        run_id=last["run_id"],
+        epoch=last["epoch"],
+        epochs=[s["epoch"] for s in summaries],
+        rows=sum(s["rows"] for s in summaries),
+        rejects=sum(s["rejects"] for s in summaries),
+        partitions=last["partitions"],
+        skipped=last["skipped"],
+        metrics_path=last["metrics_path"],
+        files=len(pending),
+    )
 
 
 def watch(

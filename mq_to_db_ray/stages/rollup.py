@@ -28,16 +28,19 @@ from ..timegrid import TIERS, bucket_id_to_us, us_to_bucket_id
 # Internal partial-aggregate column names.
 _PARTIAL_NAMES = ["source", "bucket_id", "count", "sum_n_tok", "min_n_tok", "max_n_tok"]
 
-# Knuth multiplicative hash constant for spreading bucket ids over shuffle
-# partitions (the explicit hash-shuffle replaces ray.data's sort-based
-# ``groupby().aggregate()``, which is ~40x slower at 100k+ groups).
-_HASH_MULT = 2654435761
-
 
 def partial_rollup_batch(batch: pa.Table, tier_s: int) -> pa.Table:
     """Per-batch combiner: ASSIGNED rows -> one partial row per (source, bucket)."""
     seq = batch["seq"]
-    bucket = pc.divide(seq, tier_s) if tier_s > 1 else seq
+    if tier_s > 1:
+        # FLOOR division (numpy), not pc.divide's truncation: a pre-t0 event
+        # (negative seq, e.g. from the events adapter) must land in the
+        # bucket below zero, matching date_trunc / timegrid semantics
+        seq_np = seq.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(seq, pa.ChunkedArray) else seq.to_numpy(zero_copy_only=False)
+        bucket = pa.array(np.floor_divide(seq_np, tier_s))
+    else:
+        bucket = seq
     t = pa.Table.from_arrays(
         [batch["source"], pc.cast(bucket, pa.int64()), batch["n_tok"]],
         names=["source", "bucket_id", "n_tok"],
@@ -148,46 +151,17 @@ def merge_partials_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _shuffle_parts() -> int:
-    """Shuffle-partition count ~ cluster CPUs (power of two for mask hashing)."""
-    import ray
-
-    try:
-        n = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n = 8
-    k = 1
-    while k < 2 * n:
-        k *= 2
-    return min(k, 1024)
-
-
 def _merge_partials(partials: Dataset, tier_s: int, t0_us: int = None) -> Dataset:
     """Final phase: hash-shuffle ONLY the partial rows and merge per key.
 
-    An explicit hash shuffle (salt = multiplicative hash of bucket_id, masked
-    to K partitions) + a vectorized Arrow ``group_by`` per partition replaces
-    ``Dataset.groupby().aggregate()``, whose sort-based path is ~40x slower
-    at 100k+ distinct keys.  Keys co-locate because partitioning depends only
-    on (bucket_id); each merge task sees every partial for its keys.
+    Partitioning hashes bucket_id (see stages/shuffle.py), so a hot SOURCE
+    spreads across every merge task — the salt axis is time.  Each merge
+    task sees every partial for its keys; the per-partition merge is one
+    vectorized Arrow group_by.
     """
-    k = _shuffle_parts()
+    from .shuffle import hash_partition_merge
 
-    def add_part(b: pa.Table) -> pa.Table:
-        h = pc.bit_wise_and(
-            pc.multiply(pc.cast(b["bucket_id"], pa.uint64()), pa.scalar(_HASH_MULT, pa.uint64())),
-            pa.scalar(k - 1, pa.uint64()),
-        )
-        return b.append_column("part", pc.cast(h, pa.int32()))
-
-    merged = (
-        partials.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: merge_partials_batch(g.drop_columns(["part"])),
-            batch_format="pyarrow",
-        )
-    )
+    merged = hash_partition_merge(partials, "bucket_id", merge_partials_batch)
     return merged.map_batches(
         lambda b: finalize_batch(b, tier_s, t0_us), batch_format="pyarrow"
     )

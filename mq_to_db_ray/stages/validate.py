@@ -49,8 +49,10 @@ def split_batch(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     seq_ok = pc.is_valid(extracted)
     # seq as int64; unparseable rows get null (kept out by seq_ok anyway)
     seq_str = pc.if_else(seq_ok, pc.struct_field(extracted, "seq"), pa.scalar(None, pa.string()))
-    # guard 8-digit-ish overflow: cast failures would raise, so pre-filter by length
-    len_ok = pc.less_equal(pc.binary_length(pc.fill_null(seq_str, "")), 18)
+    # bound seq to 12 digits: seq*1_000_000 + T0 must stay inside int64
+    # microseconds (pc.multiply wraps SILENTLY on overflow, which would
+    # commit garbage event_ts and detonate gap-fill's bucket-range alloc)
+    len_ok = pc.less_equal(pc.binary_length(pc.fill_null(seq_str, "")), 12)
     seq_ok = pc.and_(seq_ok, len_ok)
     seq = pc.cast(pc.if_else(seq_ok, seq_str, pa.scalar(None, pa.string())), pa.int64())
 

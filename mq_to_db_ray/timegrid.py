@@ -30,20 +30,6 @@ TIERS: dict[str, int] = {"raw": 1, "1m": 60, "1h": 3600, "1d": 86400}
 CASCADE: list[tuple[str, str]] = [("raw", "1m"), ("1m", "1h"), ("1h", "1d")]
 
 
-def seq_to_event_us(seq: np.ndarray) -> np.ndarray:
-    """event_ts (timestamp[us] int64) from the per-source sequence ordinal."""
-    return T0_US + seq.astype(np.int64) * (TICK_S * 1_000_000)
-
-
-def seq_to_bucket_id(seq: np.ndarray, tier_s: int) -> np.ndarray:
-    """Integer bucket index for a tier: floor(seq * TICK / tier_s).
-
-    Kept as a small int64 through the shuffle; converted to timestamp[us]
-    only at the sink (bucket_id_to_us).
-    """
-    return (seq.astype(np.int64) * TICK_S) // tier_s
-
-
 def bucket_id_to_us(
     bucket_id: np.ndarray | int, tier_s: int, t0_us: int = T0_US
 ) -> np.ndarray | int:
@@ -64,23 +50,3 @@ def us_to_bucket_id(ts_us: np.ndarray, tier_s: int, t0_us: int = T0_US) -> np.nd
     """
     rel = ts_us.astype(np.int64) - t0_us
     return np.floor_divide(rel, tier_s * 1_000_000)
-
-
-def parse_seq_from_doc_id(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized ``seq = int(doc_id.rsplit('-', 1)[1])``.
-
-    Returns ``(seq int64, ok bool)``; rows whose doc_id has no parseable
-    ``-<digits>`` suffix get ``ok=False`` (reject lane, reason="parse" — the
-    analog of NewSQL's strict parse,
-    /root/reference/internal/messages/sql.go:29-36).
-    """
-    seqs = np.full(len(doc_ids), -1, dtype=np.int64)
-    ok = np.zeros(len(doc_ids), dtype=bool)
-    for i, d in enumerate(doc_ids):
-        if d is None:
-            continue
-        tail = d.rsplit("-", 1)
-        if len(tail) == 2 and tail[1].isdigit():
-            seqs[i] = int(tail[1])
-            ok[i] = True
-    return seqs, ok

@@ -47,10 +47,11 @@ def test_retention_expires_and_blocks_replay(ray_session, tmp_path):
     assert s2["skipped"]["1m"] == summary["partitions"]["1m"]
     assert len(glob.glob(out + "/tier=1m/*/*.parquet")) == n_after
 
-    # tombstones are listed as retired, not live
+    # tombstones are listed as retired, not live (series blobs are retired
+    # alongside their data partitions — count the data ones here)
     retired = [
         k for k, e in m.committed("1m", include_retired=True).items()
-        if e["retired"]
+        if e["retired"] and not e["partition"].startswith("series__")
     ]
     assert len(retired) == report["1m"]["retired"]
 
