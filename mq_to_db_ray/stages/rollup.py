@@ -31,14 +31,31 @@ _PARTIAL_NAMES = ["source", "bucket_id", "count", "sum_n_tok", "min_n_tok", "max
 
 def partial_rollup_batch(batch: pa.Table, tier_s: int) -> pa.Table:
     """Per-batch combiner: ASSIGNED rows -> one partial row per (source, bucket)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "bucket_id": pa.array([], type=pa.int64()),
+                "count": pa.array([], type=pa.int64()),
+                "sum_n_tok": pa.array([], type=pa.int64()),
+                "min_n_tok": pa.array([], type=pa.int32()),
+                "max_n_tok": pa.array([], type=pa.int32()),
+            }
+        )
     seq = batch["seq"]
     if tier_s > 1:
-        # FLOOR division (numpy), not pc.divide's truncation: a pre-t0 event
-        # (negative seq, e.g. from the events adapter) must land in the
-        # bucket below zero, matching date_trunc / timegrid semantics
-        seq_np = seq.combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(seq, pa.ChunkedArray) else seq.to_numpy(zero_copy_only=False)
-        bucket = pa.array(np.floor_divide(seq_np, tier_s))
+        # FLOOR semantics: a pre-t0 event (negative seq, e.g. from the
+        # events adapter) must land in the bucket below zero, matching
+        # date_trunc / timegrid.  pc.divide truncates toward zero, which
+        # agrees with floor for seq >= 0 (the hot path, zero-copy); fall
+        # back to numpy floor_divide only when negatives are present.
+        if pc.min(seq).as_py() >= 0:
+            bucket = pc.divide(seq, tier_s)
+        else:
+            seq_np = (
+                seq.combine_chunks() if isinstance(seq, pa.ChunkedArray) else seq
+            ).to_numpy(zero_copy_only=False)
+            bucket = pa.array(np.floor_divide(seq_np, tier_s))
     else:
         bucket = seq
     t = pa.Table.from_arrays(
