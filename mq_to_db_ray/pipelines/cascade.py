@@ -166,6 +166,7 @@ def run_cascade(
             input_paths = [input_paths]
     manifest = Manifest(out_dir)
     manifest.gc_staging()
+    manifest.claim_run(run_id)
     sink = MetricsSink(out_dir, run_id)
     epoch = _epoch_fingerprint(list(input_paths))
     raw_dir = os.path.join(out_dir, f"tier=raw/epoch={epoch}")
@@ -210,17 +211,7 @@ def run_cascade(
         # copy of the wide tokens column, so they're opt-in)
         validated.write_parquet(staging, partition_cols=raw_partition_cols)
         os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
-        # idempotent dir commit: a crash after a previous run's rename but
-        # before its manifest entry leaves an UNCOMMITTED raw_dir; unlike
-        # file-level os.replace, directory rename fails on a non-empty
-        # target, so clear the debris first (the manifest says it never
-        # committed, so removal is safe)
-        if os.path.isdir(raw_dir):
-            import shutil
-
-            shutil.rmtree(raw_dir)
-        os.replace(staging, raw_dir)
-        _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
+        _commit_raw_dir(manifest, staging, raw_dir, raw_part, epoch)
     raw_wall = time.perf_counter() - t0
 
     # ---- stage B: narrow re-read → 1m → 1h → 1d (rolled-up data only) ----
@@ -263,6 +254,62 @@ def run_cascade(
         tiers={"1m": m1, "1h": h1, "1d": d1},
         metrics_path=mpath,
     )
+
+
+def _commit_raw_dir(
+    manifest: Manifest, staging: str, raw_dir: str, raw_part: str, epoch: str
+) -> None:
+    """Exactly-once DIRECTORY commit under crashes AND competing replicas.
+
+    Unlike file-level ``os.replace`` (idempotent overwrite), a directory
+    rename fails on a non-empty target, and naively clearing the target can
+    rmtree a raw_dir another replica committed moments ago and is already
+    re-reading (the reference runs two competing consumers on one queue,
+    docker-compose.yaml:88-146 — same pattern here).  Protocol: take a
+    pid-stamped exclusive lock, re-check the manifest, then clear-debris +
+    rename + manifest-commit; losers discard their staging (the epoch is
+    deterministic, so the winner's content is row-equivalent).  A dead
+    holder's lock is broken via the pid liveness check."""
+    import shutil
+    import time as _time
+
+    lockp = os.path.join(manifest.mdir, f".rawlock-{raw_part}")
+    while True:
+        if manifest.is_committed("raw", raw_part):
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        try:
+            fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lockp) as f:
+                    pid = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                pid = 0
+            if pid and Manifest._pid_alive(pid):
+                _time.sleep(0.1)
+                continue
+            try:
+                os.unlink(lockp)  # stale lock from a dead holder
+            except FileNotFoundError:
+                pass
+            continue
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        try:
+            if manifest.is_committed("raw", raw_part):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                if os.path.isdir(raw_dir):
+                    shutil.rmtree(raw_dir)  # uncommitted crash debris
+                os.replace(staging, raw_dir)
+                _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
+        finally:
+            try:
+                os.unlink(lockp)
+            except FileNotFoundError:
+                pass
+        return
 
 
 def _commit_dir_entry(manifest: Manifest, tier: str, partition: str, path: str, epoch: str) -> None:

@@ -141,15 +141,48 @@ class Manifest:
         os.makedirs(os.path.dirname(p), exist_ok=True)
         return p
 
+    def claim_run(self, run_id: str) -> None:
+        """Mark a run's staging tree as LIVE (pid lockfile) so a concurrent
+        replica's plan-time GC (competing-consumer pattern, reference
+        docker-compose.yaml:88-146) does not collect it mid-flight.  On a
+        multi-node cluster the check degrades to a liveness heartbeat file;
+        here pid-on-host suffices."""
+        p = os.path.join(self.out_dir, STAGING_DIR, run_id, ".lock")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(str(os.getpid()))
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except (ProcessLookupError, PermissionError):
+            return False
+        except OSError:
+            return False
+
     def gc_staging(self) -> int:
-        """Remove crash debris (E12).  Driver-side, at plan time."""
+        """Remove crash debris (E12).  Driver-side, at plan time.
+
+        A staging dir whose ``.lock`` names a still-running pid belongs to a
+        live concurrent replica and is left alone; dead-pid or lock-less
+        dirs are debris and are collected."""
         import shutil
 
         sdir = os.path.join(self.out_dir, STAGING_DIR)
         n = 0
         if os.path.isdir(sdir):
             for name in os.listdir(sdir):
-                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+                p = os.path.join(sdir, name)
+                lock = os.path.join(p, ".lock")
+                try:
+                    with open(lock) as f:
+                        if self._pid_alive(int(f.read().strip())):
+                            continue
+                except (OSError, ValueError):
+                    pass
+                shutil.rmtree(p, ignore_errors=True)
                 n += 1
         return n
 
