@@ -121,6 +121,13 @@ def _q_doc_rollup_1m(sf_dir: str):
     return rollup(ds, "1m").drop_columns(["filled"])
 
 
+def _f1_oracle_dir(sf_dir: str) -> str:
+    """The F1 corpus the SQL oracles are written against: pinned to the
+    sf0.01 size (20k rows) regardless of sf_dir, because oracle_sql()
+    strings are static and reference the cached parquet path directly."""
+    return _f1_dir("/root/testdata/sf0.01")
+
+
 def _q_f1_rollup_1m(sf_dir: str):
     """Flagship rollup values, DuckDB-checkable: 1m rollup straight off the
     F1 corpus (no commit side effects), exact column-name parity."""
@@ -130,7 +137,7 @@ def _q_f1_rollup_1m(sf_dir: str):
     from mq_to_db_ray.stages.validate import ValidateAssign
 
     va = ValidateAssign()
-    ds = rd.read_parquet(_f1_dir(sf_dir) + "/").map_batches(
+    ds = rd.read_parquet(_f1_oracle_dir(sf_dir) + "/").map_batches(
         lambda b: va(b).select(["source", "seq", "n_tok"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -170,7 +177,7 @@ def _q_f1_cascade_1m(sf_dir: str):
     from mq_to_db_ray.stages.gapfill import gap_fill
 
     out = tempfile.mkdtemp(prefix="mq2db_q_")
-    s = run_cascade(_f1_dir(sf_dir), out)
+    s = run_cascade(_f1_oracle_dir(sf_dir), out)
     return gap_fill(s["tiers"]["1m"], "1m")
 
 
@@ -372,7 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": td.quality_score,
         "doc_stratified_sample": td.stratified_sample,
         "doc_embedding_join": td.doc_embedding_join,
-        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_dir(sf_dir)),
+        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
         "doc_langid": td.lang_id,
         "doc_fingerprint": td.fingerprint,
         # --- dedup suite ---
