@@ -522,7 +522,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, source,
                        row_number() OVER (
                            PARTITION BY source
-                           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                           ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
                        ) AS rn
                 FROM documents) WHERE rn <= 5
         """,

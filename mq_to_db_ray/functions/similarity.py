@@ -49,9 +49,11 @@ class BruteForceTopK:
         # local top-k per batch; global top-k is a tiny sort downstream
         k = min(self.k, len(best))
         idx = np.argpartition(-best, k - 1)[:k] if k else np.array([], dtype=int)
+        # emit the candidate ids under the CALLER'S id column name — the
+        # downstream global sort tie-breaks on self.id_col
         return pa.table(
             {
-                "vec_id": ids.take(pa.array(idx, type=pa.int64())),
+                self.id_col: ids.take(pa.array(idx, type=pa.int64())),
                 "sim": pa.array(best[idx], type=pa.float64()),
             }
         )

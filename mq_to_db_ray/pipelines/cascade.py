@@ -265,51 +265,34 @@ def _commit_raw_dir(
     rename fails on a non-empty target, and naively clearing the target can
     rmtree a raw_dir another replica committed moments ago and is already
     re-reading (the reference runs two competing consumers on one queue,
-    docker-compose.yaml:88-146 — same pattern here).  Protocol: take a
-    pid-stamped exclusive lock, re-check the manifest, then clear-debris +
-    rename + manifest-commit; losers discard their staging (the epoch is
-    deterministic, so the winner's content is row-equivalent).  A dead
-    holder's lock is broken via the pid liveness check."""
+    docker-compose.yaml:88-146 — same pattern here).  Mutual exclusion is a
+    kernel advisory lock (``flock``) on a persistent lock file: the kernel
+    releases it the instant a holder dies, so there is no stale-lock state to
+    inspect and no create/read/unlink window where two waiters can both enter
+    (the TOCTOU races a pid-stamped O_EXCL file admits).  The lock FILE is
+    never unlinked — unlink+recreate would let two processes lock different
+    inodes of the same path.  Losers re-check the manifest inside the lock
+    and discard their staging (the epoch fingerprint is deterministic, so the
+    winner's content is row-equivalent)."""
+    import fcntl
     import shutil
-    import time as _time
 
+    if manifest.is_committed("raw", raw_part):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     lockp = os.path.join(manifest.mdir, f".rawlock-{raw_part}")
-    while True:
+    fd = os.open(lockp, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)  # blocks; auto-released on death
         if manifest.is_committed("raw", raw_part):
             shutil.rmtree(staging, ignore_errors=True)
             return
-        try:
-            fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                with open(lockp) as f:
-                    pid = int(f.read().strip() or 0)
-            except (OSError, ValueError):
-                pid = 0
-            if pid and Manifest._pid_alive(pid):
-                _time.sleep(0.1)
-                continue
-            try:
-                os.unlink(lockp)  # stale lock from a dead holder
-            except FileNotFoundError:
-                pass
-            continue
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        try:
-            if manifest.is_committed("raw", raw_part):
-                shutil.rmtree(staging, ignore_errors=True)
-            else:
-                if os.path.isdir(raw_dir):
-                    shutil.rmtree(raw_dir)  # uncommitted crash debris
-                os.replace(staging, raw_dir)
-                _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
-        finally:
-            try:
-                os.unlink(lockp)
-            except FileNotFoundError:
-                pass
-        return
+        if os.path.isdir(raw_dir):
+            shutil.rmtree(raw_dir)  # uncommitted crash debris
+        os.replace(staging, raw_dir)
+        _commit_dir_entry(manifest, "raw", raw_part, raw_dir, epoch)
+    finally:
+        os.close(fd)  # releases the flock; the lock file itself persists
 
 
 def _commit_dir_entry(manifest: Manifest, tier: str, partition: str, path: str, epoch: str) -> None:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import uuid
 
 import pyarrow.parquet as pq
@@ -26,6 +27,18 @@ from ..state.manifest import Manifest, write_partition_atomic
 from ..stages.rollup import merge_partials_batch, repartial_rollup_batch
 from ..stages.gapfill import fill_group
 from ..timegrid import T0_US, TIERS
+
+_ETAG_RE = re.compile(r"__(?:(?P<etag>[ec][0-9a-f]+)__)?part-")
+
+
+def _series_key_for(tier: str, data_key: str, source: str) -> str | None:
+    """Manifest key of the series blob covering one data partition's epoch
+    (``tier=1m__source=s__e<ep>__part-..`` -> ``tier=1m__series__e<ep>__source=s``)."""
+    m = _ETAG_RE.search(data_key)
+    if not m:
+        return None
+    etag = (m.group("etag") + "__") if m.group("etag") else ""
+    return f"tier={tier}__series__{etag}source={source}"
 
 
 def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
@@ -48,13 +61,16 @@ def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
     report = dict(tier=tier, compacted_sources=0, inputs_retired=0, skipped_sources=0)
     for source, entries in sorted(by_source.items()):
         # finish a previously-interrupted compaction: retire any live input
-        # already named in a live entry's `replaces`
+        # (data partition OR its epoch's series blob) already named in a live
+        # entry's `replaces` — series files would otherwise accrete
+        # unboundedly in watch mode, the very problem compaction solves
         replaced = {r for e in entries.values() for r in e.get("replaces", [])}
         for k in list(entries):
             if k in replaced:
                 manifest.retire(k)
                 report["inputs_retired"] += 1
                 del entries[k]
+        _retire_series(manifest, out_dir, replaced, report)
         if len(entries) < 2:
             report["skipped_sources"] += 1
             continue
@@ -87,12 +103,28 @@ def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
         relpath = (
             f"tier={tier}/source={source}/c{ctag}__part-{lo:08d}-{hi:08d}.parquet"
         )
-        # phase 1: commit with lineage (replaces = input partition keys)
+        # the replaced epochs' series blobs are superseded too: the new
+        # single-partition series is re-encoded from the compacted points
+        series_keys = sorted(
+            sk for sk in (_series_key_for(tier, k, source) for k in entries)
+            if sk is not None and sk in manifest.committed(tier)
+        )
+        # phase 1a: commit the re-encoded series blob FIRST (deterministic
+        # ctag name -> a crashed rerun skips it via the manifest)
+        from ..stages.encode import encode_group
+
+        series = encode_group(filled, tier)
+        write_partition_atomic(
+            manifest, run_id, tier, f"series__c{ctag}__source={source}",
+            f"series/tier={tier}/c{ctag}__source={source}.parquet", series,
+        )
+        # phase 1b: commit the data partition with lineage (replaces = input
+        # data partitions AND their series blobs)
         write_partition_atomic(
             manifest, run_id, tier, part, relpath, filled,
             meta=dict(
                 source=source, bucket_lo=int(lo), bucket_hi=int(hi),
-                replaces=sorted(entries),
+                replaces=sorted(entries) + series_keys,
             ),
         )
         # phase 2: retire inputs + delete their files
@@ -103,5 +135,22 @@ def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
             except FileNotFoundError:
                 pass
             report["inputs_retired"] += 1
+        _retire_series(manifest, out_dir, set(series_keys), report)
         report["compacted_sources"] += 1
     return report
+
+
+def _retire_series(
+    manifest: Manifest, out_dir: str, keys: set[str], report: dict
+) -> None:
+    """Tombstone + delete any still-live series entries among ``keys``."""
+    if not keys:
+        return
+    for k, e in list(manifest.committed().items()):
+        if k in keys and k.split("__", 1)[1].startswith("series__"):
+            manifest.retire(k)
+            try:
+                os.unlink(os.path.join(out_dir, e["path"]))
+            except FileNotFoundError:
+                pass
+            report["inputs_retired"] += 1

@@ -105,15 +105,19 @@ def stratified_sample(sf_dir: str, per_source: int = 5) -> Dataset:
     """Deterministic stratified sample: the ``per_source`` docs with the
     smallest multiplicative-hash rank within each source.
 
-    The rank is pure arithmetic ((doc_id * K) mod P) so any engine — and
-    the DuckDB oracle — reproduces it exactly; selection is per-group
+    The rank is pure arithmetic (((doc_id mod P) * K) mod P) so any engine —
+    and the DuckDB oracle — reproduces it exactly; selection is per-group
     top-k over a narrow (doc_id, source, rank) projection, never the text.
+    Reducing doc_id mod P BEFORE the multiply keeps every intermediate below
+    (P-1)*K < 2^63, so the arithmetic is exact int64 everywhere (a raw
+    doc_id*K wraps numpy int64 for doc_id >~ 3.47e9 and overflows DuckDB
+    BIGINT).
     """
     P = 1_000_000_007
 
     def add_rank(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        r = (d * 2654435761) % P
+        r = ((d % P) * 2654435761) % P
         return pa.table(
             {"doc_id": b["doc_id"], "source": b["source"],
              "rank_key": pa.array(r, type=pa.int64())}

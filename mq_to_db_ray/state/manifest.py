@@ -154,11 +154,18 @@ class Manifest:
 
     @staticmethod
     def _pid_alive(pid: int) -> bool:
+        """Only ESRCH proves the pid is gone.  EPERM means the process EXISTS
+        but belongs to another user — the reference deploys competing replicas
+        as separate containers/users (docker-compose.yaml:88-146), and treating
+        such a replica as dead would let gc_staging rmtree its live staging
+        tree mid-write."""
         try:
             os.kill(pid, 0)
             return True
-        except (ProcessLookupError, PermissionError):
+        except ProcessLookupError:
             return False
+        except PermissionError:
+            return True
         except OSError:
             return False
 

@@ -45,7 +45,8 @@ def test_compact_preserves_view(ray_session, tmp_path):
     report = compact_tier(out, "1m")
     assert report["compacted_sources"] + report["skipped_sources"] == 8
     assert report["compacted_sources"] >= 5
-    assert report["inputs_retired"] == 2 * report["compacted_sources"]
+    # per source: 2 data partitions + their 2 per-epoch series blobs
+    assert report["inputs_retired"] == 4 * report["compacted_sources"]
 
     after = _sorted(pa.Table.from_pandas(tier_view(out, "1m").to_pandas()))
     assert after.equals(before)

@@ -1,0 +1,155 @@
+"""Regression tests for the round-2 advice findings: EPERM pid liveness,
+flock raw-commit mutual exclusion, compaction retiring series blobs,
+int64-exact stratified rank for large doc_ids, BruteForceTopK id column."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_pid_alive_eperm_means_alive(monkeypatch):
+    """EPERM from kill(pid, 0) proves the process EXISTS (another user's
+    replica) — treating it as dead would rmtree a live staging tree."""
+    from mq_to_db_ray.state.manifest import Manifest
+
+    def fake_kill(pid, sig):
+        raise PermissionError
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    assert Manifest._pid_alive(12345) is True
+
+    def fake_kill2(pid, sig):
+        raise ProcessLookupError
+
+    monkeypatch.setattr(os, "kill", fake_kill2)
+    assert Manifest._pid_alive(12345) is False
+
+
+def test_raw_commit_flock_single_winner(tmp_path):
+    """Two concurrent committers of the same epoch: exactly one renames its
+    staging into place, the loser discards, no crash, one manifest entry."""
+    from mq_to_db_ray.pipelines.cascade import _commit_raw_dir
+    from mq_to_db_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "out")
+    manifest = Manifest(out)
+    raw_dir = os.path.join(out, "tier=raw/epoch=deadbeef")
+    os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
+
+    stagings = []
+    for i in range(4):
+        s = os.path.join(out, "_staging", f"run{i}", "raw")
+        os.makedirs(s)
+        pq.write_table(pa.table({"seq": [1, 2, 3]}), os.path.join(s, "p.parquet"))
+        stagings.append(s)
+
+    errs = []
+
+    def worker(s):
+        try:
+            _commit_raw_dir(manifest, s, raw_dir, "epoch=deadbeef", "deadbeef")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in stagings]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert manifest.is_committed("raw", "epoch=deadbeef")
+    assert os.path.isdir(raw_dir) and os.listdir(raw_dir) == ["p.parquet"]
+    for s in stagings:  # every loser discarded its staging
+        assert not os.path.exists(s)
+
+
+def test_compact_retires_series_blobs(ray_session, tmp_path):
+    """Compaction must retire the replaced epochs' series blobs and commit
+    one re-encoded blob per compacted source (else series files accrete
+    unboundedly in watch mode)."""
+    from mq_to_db_ray.functions.dod import dod_decode
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.compact import compact_tier
+    from mq_to_db_ray.pipelines.view import tier_view
+    from mq_to_db_ray.state.manifest import Manifest
+
+    in_dir = str(tmp_path / "in")
+    files = write_f1_parquet(in_dir, 24_000, shards=4, max_tok=8,
+                             layout="contiguous")
+    out = str(tmp_path / "out")
+    run_cascade(files[:2], out)
+    run_cascade(files[2:], out)
+
+    m = Manifest(out)
+
+    def series_keys():
+        return {
+            k for k, e in m.committed("1m").items()
+            if e["partition"].startswith("series__")
+        }
+
+    before = series_keys()
+    report = compact_tier(out, "1m")
+    assert report["compacted_sources"] >= 5
+    after = series_keys()
+
+    # every compacted source: its per-epoch blobs gone, one c-blob live
+    epoch_blobs_after = {k for k in after if "__series__e" in k}
+    compacted_blobs = {k for k in after if "__series__c" in k}
+    assert len(compacted_blobs) == report["compacted_sources"]
+    # per-epoch blobs remain only for sources that were NOT compacted
+    assert len(epoch_blobs_after) == len(before) - 2 * report["compacted_sources"]
+    # retired blob files are deleted
+    for k in before - after:
+        e = [v for kk, v in m.committed("1m", include_retired=True).items() if kk == k]
+        assert e and not os.path.exists(os.path.join(out, e[0]["path"]))
+
+    # the re-encoded blob round-trips to the compacted partition's series
+    view = tier_view(out, "1m", gap=True).to_pandas()
+    some = next(iter(compacted_blobs))
+    entry = m.committed("1m")[some]
+    blob = pq.read_table(os.path.join(out, entry["path"])).to_pylist()[0]
+    src_series = (
+        view[view["source"] == blob["source"]]
+        .sort_values("bucket_ts")["sum_n_tok"]
+        .tolist()
+    )
+    assert dod_decode(blob["dod_blob"]) == src_series
+
+
+def test_stratified_rank_exact_for_large_doc_ids():
+    """((doc_id % P) * K) % P stays below 2^63 — bit-exact vs unbounded-int
+    arithmetic even where a raw doc_id*K would wrap numpy int64."""
+    P, K = 1_000_000_007, 2654435761
+    ids = np.array([0, 1, 3_470_000_000, 2**62, 2**63 - 1], dtype=np.int64)
+    got = ((ids % P) * K) % P
+    want = [(int(d) * K) % P for d in ids]
+    assert got.tolist() == want
+
+
+def test_cosine_topk_custom_id_col(ray_session):
+    import ray.data as rd
+
+    from mq_to_db_ray.functions.similarity import cosine_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.5, 0.5]],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    top = cosine_topk(
+        rd.from_arrow(t), np.array([[1.0, 0.0]]), k=2,
+        id_col="doc_id", vec_col="embedding",
+    ).to_pandas()
+    assert list(top.columns) == ["doc_id", "sim"]
+    assert top["doc_id"].tolist() == [1, 2]
