@@ -337,22 +337,51 @@ def minhash_lsh_pairs(
         emit_pairs, batch_format="pyarrow"
     )
 
-    # dedup candidate pairs (same pair can fire in several bands), then
-    # verify true n-gram Jaccard DISTRIBUTED.  Only CANDIDATE texts are
-    # broadcast (the LSH-pruned pair set is tiny relative to the corpus),
-    # so per-actor memory is O(candidates), not O(corpus).
-    uniq = candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # dedup candidate pairs (same pair can fire in several bands) with a
+    # hash-partitioned Arrow distinct (NOT Dataset.groupby — its sort path
+    # degrades at high pair cardinality), then verify true n-gram Jaccard
+    # DISTRIBUTED.  Only CANDIDATE texts are broadcast (the LSH-pruned pair
+    # set is tiny relative to the corpus), so per-actor memory is
+    # O(candidates), not O(corpus).
+    from ..stages.shuffle import hash_partition_merge
+
+    def add_pair_key(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_xor(
+            pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())), b["doc_b"]
+        )
+        return b.append_column("pair_key", pc.cast(h, pa.int64()))
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["pair_key"])
+            .group_by(["doc_a", "doc_b"], use_threads=False)
+            .aggregate([])
+        )
+
+    uniq = hash_partition_merge(
+        candidates.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pair_key",
+        distinct_pairs,
     ).materialize()
-    cand_ids: set[int] = set()
-    for b in uniq.iter_batches(batch_format="pyarrow", batch_size=8192):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    cand_frozen = frozenset(cand_ids)
+    # candidate ids: tiny numpy array on the driver (O(candidates), the
+    # LSH-pruned set), broadcast once; the text pick-filter is one
+    # vectorized pc.is_in per batch — no per-row Python membership loop
+    id_chunks = [
+        np.concatenate(
+            [
+                b["doc_a"].to_numpy(zero_copy_only=False),
+                b["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        for b in uniq.iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    cand_np = (
+        np.unique(np.concatenate(id_chunks)) if id_chunks else np.array([], np.int64)
+    )
+    cand_set = pa.array(cand_np, type=pa.int64())
 
     def pick(b: pa.Table) -> pa.Table:
-        mask = pa.array([d in cand_frozen for d in b["doc_id"].to_pylist()])
-        return b.filter(mask)
+        return b.filter(pc.is_in(b["doc_id"], value_set=cand_set))
 
     texts_refs = (
         _docs(sf_dir, ["doc_id", "text"])
@@ -401,19 +430,28 @@ def minhash_lsh_pairs(
     )
 
 
-def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dataset:
+def jaccard_pairs(
+    sf_dir: str, threshold_permille: int = 200, k: int = 3,
+    df_cap: int = 1024,
+) -> Dataset:
     """EXACT n-gram (k-word shingle) Jaccard pairs — a set-similarity join.
 
     No per-pair set operations: |A∩B| is the count of shared shingles, so
-    the whole computation is two hash-partitioned count aggregations:
+    the whole computation is hash-partitioned count aggregations:
 
       shingle-explode -> partition by shingle hash -> pair counts per
       partition (numpy triu over shingle runs + Arrow group_by) ->
-      re-partition by pair -> sum -> jaccard = inter/(|A|+|B|-inter)
-      against broadcast doc sizes -> threshold filter.
+      re-partition by pair -> sum -> attach |A| and |B| by TWO more
+      hash-partition rounds (sizes ride the same shuffle as the pairs —
+      nothing corpus-sized ever lands on the driver) ->
+      jaccard = inter/(|A|+|B|-inter) -> threshold filter.
 
-    Skew caveat (documented): a shingle shared by d docs emits O(d²) pairs;
-    production pipelines drop stop-shingles above a df cap first.
+    ``df_cap`` drops stop-shingles shared by more than ``df_cap`` documents
+    BEFORE pair emission: one shingle shared by 10^6 docs would otherwise
+    emit 5*10^11 pairs.  Exact whenever the corpus's max shingle document
+    frequency <= df_cap (true of near-dup shingles by construction — a
+    shingle that common is vocabulary, not duplication); the result is the
+    standard production approximation otherwise.
     """
     import numpy as np
 
@@ -454,7 +492,7 @@ def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dat
         ends = np.r_[starts[1:], len(sh)]
         pa_, pb_ = [], []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            if e - s < 2 or e - s > df_cap:  # df cap: stop-shingle guard
                 continue
             members = np.sort(ids[s:e])
             ai, bi = np.triu_indices(len(members), 1)
@@ -508,51 +546,78 @@ def jaccard_pairs(sf_dir: str, threshold_permille: int = 200, k: int = 3) -> Dat
         k=64,
     )
 
-    # broadcast doc -> shingle-set size: shingling runs DISTRIBUTED (it is
-    # the expensive part); the driver only collects the narrow (id, n) pairs
+    # doc -> shingle-set size, attached DISTRIBUTED: shingling runs in
+    # map_batches (the expensive part) and the (doc_id, n) rows ride the
+    # same hash shuffle as the pair stream — the driver never materializes
+    # anything corpus-sized.  Size rows are tagged with doc_b == -1 (real
+    # doc ids are non-negative), so one union + one partition key suffices.
     def size_batch(b: pa.Table) -> pa.Table:
         ns = [len(ts.shingles(t, k)) for t in b["text"].to_pylist()]
         return pa.table(
             {"doc_id": b["doc_id"], "n": pa.array(ns, type=pa.int64())}
         )
 
-    sizes: dict[int, int] = {}
-    for b in (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(size_batch, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=8192)
-    ):
-        sizes.update(zip(b["doc_id"].to_pylist(), b["n"].to_pylist()))
-    sizes_ref = ray.put(sizes)
+    sizes_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        size_batch, batch_format="pyarrow"
+    )
 
-    class Finalize:
-        def __init__(self, ref, thr):
-            self.sizes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.thr = thr
+    def attach_round(
+        pairs: Dataset, key: str, out_name: str, has_na: bool
+    ) -> Dataset:
+        """One hash-partition round: co-locate pair rows (by ``key``) with
+        size rows (by doc_id) and attach that side's size as ``out_name``."""
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            da = batch["doc_a"].to_numpy(zero_copy_only=False)
-            db = batch["doc_b"].to_numpy(zero_copy_only=False)
-            inter = batch["inter"].to_numpy(zero_copy_only=False)
-            na = np.array([self.sizes[d] for d in da], dtype=np.int64)
-            nb = np.array([self.sizes[d] for d in db], dtype=np.int64)
-            jp = np.floor(1000.0 * inter / (na + nb - inter)).astype(np.int64)
-            keep = jp >= self.thr
-            return pa.table(
+        def tag_sizes(b: pa.Table) -> pa.Table:
+            sent = pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+            out = pa.table(
                 {
-                    "doc_a": pa.array(da[keep], type=pa.int64()),
-                    "doc_b": pa.array(db[keep], type=pa.int64()),
-                    "jaccard_permille": pa.array(jp[keep], type=pa.int64()),
+                    "doc_a": b["doc_id"] if key == "doc_a" else sent,
+                    "doc_b": b["doc_id"] if key == "doc_b" else sent,
+                    "inter": b["n"],
                 }
             )
+            if has_na:
+                out = out.append_column("na", pa.nulls(b.num_rows, pa.int64()))
+            return out
 
-    return merged.map_batches(
-        Finalize,
-        fn_constructor_args=(sizes_ref, threshold_permille),
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=2,
-    )
+        tagged = sizes_ds.map_batches(tag_sizes, batch_format="pyarrow")
+        sentinel = "doc_b" if key == "doc_a" else "doc_a"
+
+        def merge(g: pa.Table) -> pa.Table:
+            is_size = pc.equal(g[sentinel], -1)
+            szs = g.filter(is_size)
+            prs = g.filter(pc.invert(is_size))
+            if prs.num_rows == 0:
+                return prs.append_column(out_name, pa.nulls(0, pa.int64()))
+            sid = szs[key].to_numpy(zero_copy_only=False)
+            sn = szs["inter"].to_numpy(zero_copy_only=False)
+            order = np.argsort(sid)
+            sid, sn = sid[order], sn[order]
+            pid = prs[key].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(sid, pid), 0, max(len(sid) - 1, 0))
+            n = sn[pos] if len(sid) else np.zeros(len(pid), dtype=np.int64)
+            return prs.append_column(out_name, pa.array(n, type=pa.int64()))
+
+        return hash_partition_merge(pairs.union(tagged), key, merge, k=64)
+
+    with_na = attach_round(merged, "doc_a", "na", has_na=False)
+    with_nb = attach_round(with_na, "doc_b", "nb", has_na=True)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["inter"].to_numpy(zero_copy_only=False)
+        na = batch["na"].to_numpy(zero_copy_only=False)
+        nb = batch["nb"].to_numpy(zero_copy_only=False)
+        jp = np.floor(1000.0 * inter / (na + nb - inter)).astype(np.int64)
+        keep = jp >= threshold_permille
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jaccard_permille": pa.array(jp[keep], type=pa.int64()),
+            }
+        )
+
+    return with_nb.map_batches(finalize, batch_format="pyarrow", batch_size=65536)
 
 
 def embedding_near_dup(sf_dir: str, threshold_permille: int = 450) -> Dataset:

@@ -133,6 +133,28 @@ def test_stratified_rank_exact_for_large_doc_ids():
     assert got.tolist() == want
 
 
+def test_jaccard_df_cap_bounds_hot_shingle(ray_session, tmp_path):
+    """A stop-shingle shared by 1k docs must NOT explode into ~500k pairs:
+    the df cap drops it before pair emission, while true near-dup pairs
+    (whose shingles are rare by construction) are unaffected."""
+    from mq_to_db_ray.pipelines import training_data as td
+
+    texts, ids = [], []
+    for i in range(1000):  # every doc shares the 'alpha beta gamma' shingle
+        ids.append(i)
+        texts.append(f"alpha beta gamma u{i} v{i} w{i}")
+    dup = "one two three four five six seven eight"
+    ids += [5000, 5001]
+    texts += [dup, dup]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = td.jaccard_pairs(str(tmp_path), df_cap=64).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(5000, 5001)}
+    assert out["jaccard_permille"].tolist() == [1000]
+
+
 def test_cosine_topk_custom_id_col(ray_session):
     import ray.data as rd
 
