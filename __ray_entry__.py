@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": td.jaccard_pairs,
         # --- similarity search ---
         "embedding_near_dup": td.embedding_near_dup,
+        "embedding_near_dup_lsh": td.embedding_near_dup_lsh,
         "embedding_stats": td.embedding_stats,
         "ann_cosine_top10": td.ann_topk,
         "ann_lsh_topk": td.ann_lsh_topk,

@@ -29,6 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mq_to_db_ray.util import quiesce_ray_data_stats  # noqa: E402
+
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -236,6 +238,7 @@ def cmd_bench(args) -> None:
         num_cpus=args.num_cpus,
         cascade=cascade,
     )))
+    quiesce_ray_data_stats()
     ray.shutdown()
 
 
@@ -256,6 +259,7 @@ def cmd_worker_cascade(args) -> None:
     r["num_cpus"] = args.num_cpus
     with open(args.json_out, "w") as f:
         json.dump(r, f)
+    quiesce_ray_data_stats()
     ray.shutdown()
 
 

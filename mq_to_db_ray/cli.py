@@ -183,6 +183,9 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if ray.is_initialized():
+        from .util import quiesce_ray_data_stats
+
+        quiesce_ray_data_stats()
         ray.shutdown()
     return rc
 

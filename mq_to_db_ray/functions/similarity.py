@@ -165,6 +165,130 @@ class IvfAssigner:
         return batch.append_column("ivf_cell", pa.array(cell))
 
 
+class MultiTableLshBucketer:
+    """Explodes each vector into L (table_id, bucket) rows — one per
+    independent hyperplane table.  Multi-table LSH (Indyk–Motwani / Charikar,
+    public) trades an L× vector shuffle for recall: a pair collides somewhere
+    with prob 1-(1-s^p)^L instead of s^p.  The planes tensor (L, p, dim) is
+    broadcast once via ``ray.put``."""
+
+    def __init__(self, planes_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.planes = np.asarray(p, dtype=np.float64)  # (L, p, dim)
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vecs = batch[self.vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        parts = []
+        for t in range(self.planes.shape[0]):
+            parts.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(
+                            np.full(len(m), t, dtype=np.int32)
+                        ),
+                        "bucket": pa.array(lsh_bucket_ids(m, self.planes[t])),
+                        self.id_col: ids,
+                        self.vec_col: vecs,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def near_dup_pairs_lsh(
+    ds: Dataset,
+    threshold_permille: int,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> Dataset:
+    """Bucketed near-dup (the 100 TB path for ``NearDupScorer``): co-bucket
+    probable neighbors per table, exact-score WITHIN each bucket, dedup pairs
+    across tables.  O(sum bucket²) instead of O(N²); every emitted pair's
+    similarity is exact (precision 1.0), recall ≈ 1-(1-s^p)^L.
+
+    Partitioning assumption (SURVEY §2 custom-operator rule): one (table,
+    bucket) group fits in a task — holds when 2^p is sized so N/2^p vectors
+    fit; raise ``n_planes`` as N grows."""
+    rng = np.random.RandomState(seed)
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0].as_py())
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+    thr = threshold_permille / 1000.0
+
+    bucketed = ds.map_batches(
+        MultiTableLshBucketer(planes_ref, vec_col, id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "sim_permille": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        m = _normalize(_batch_matrix(g, vec_col))
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ m.T
+        mask = (sims >= thr) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(mask)
+        if not len(ai):
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ai], type=pa.int64()),
+                "vec_b": pa.array(ids[bj], type=pa.int64()),
+                "sim_permille": pa.array(
+                    np.floor(sims[ai, bj] * 1000).astype(np.int64)
+                ),
+            }
+        )
+
+    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        score_bucket, batch_format="pyarrow"
+    )
+
+    # the same pair collides in several tables with IDENTICAL exact sims —
+    # distinct via the shared hash-partition primitive (not a sort groupby)
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_xor(
+            pc.multiply(b["vec_a"], pa.scalar(2654435761, pa.int64())), b["vec_b"]
+        )
+        return b.append_column("pair_key", pc.cast(h, pa.int64()))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["pair_key"])
+            .group_by(["vec_a", "vec_b", "sim_permille"], use_threads=False)
+            .aggregate([])
+        )
+
+    return hash_partition_merge(
+        pairs.map_batches(add_key, batch_format="pyarrow"), "pair_key", distinct
+    )
+
+
 class LshBucketer:
     """Adds an LSH bucket column — the scale path for ANN: co-bucket probable
     neighbors, then exact-score per bucket (groupby) instead of all-pairs."""

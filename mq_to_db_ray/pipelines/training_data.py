@@ -638,12 +638,40 @@ def embedding_near_dup(sf_dir: str, threshold_permille: int = 450) -> Dataset:
         mats.append(_batch_matrix(batch, "embedding"))
     mat_ref = ray.put(np.vstack(mats))
     ids_ref = ray.put(np.concatenate(ids_list))
-    return emb.map_batches(
-        NearDupScorer,
-        fn_constructor_args=(mat_ref, ids_ref, threshold_permille),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=2,
+
+    # task-pool function with a per-worker memoized scorer: the broadcast
+    # matrix is ray.get'd ONCE per worker process (local plasma, zero-copy),
+    # NOT per batch — and unlike an actor pool whose constructor args are
+    # ObjectRefs, there is no restartable-actor state to lose when the refs
+    # leave driver scope (ray#53727 crashes ray.shutdown in that combo)
+    memo: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = memo.get("scorer")
+        if s is None:
+            s = NearDupScorer(mat_ref, ids_ref, threshold_permille)
+            memo["scorer"] = s
+        return s(batch)
+
+    return emb.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+def embedding_near_dup_lsh(
+    sf_dir: str, threshold_permille: int = 450, *,
+    n_planes: int = 4, n_tables: int = 8,
+) -> Dataset:
+    """Embedding-cosine near-dup, BUCKETED (the scale path for
+    ``embedding_near_dup``): multi-table hyperplane LSH co-buckets probable
+    neighbors, each bucket is exact-scored, pairs dedup across tables.
+    Emitted sims are exact (precision 1.0 vs the exact query); recall is
+    1-(1-s^p)^L, so rows-only check.  Returns (vec_a, vec_b, sim_permille)."""
+    from ..functions.similarity import near_dup_pairs_lsh
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return near_dup_pairs_lsh(
+        emb, threshold_permille, n_planes=n_planes, n_tables=n_tables
     )
 
 

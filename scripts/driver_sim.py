@@ -113,6 +113,9 @@ def main() -> int:
         results[name] = status
         print(name, json.dumps(status, default=str), flush=True)
 
+    from mq_to_db_ray.util import quiesce_ray_data_stats
+
+    quiesce_ray_data_stats()
     ray.shutdown()
     bad = [n for n, s in results.items()
            if "error" in s or s.get("value_match") is False or s.get("schema_match") is False]

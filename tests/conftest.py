@@ -26,6 +26,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield
+    from mq_to_db_ray.util import quiesce_ray_data_stats
+
+    quiesce_ray_data_stats()
     ray.shutdown()
 
 

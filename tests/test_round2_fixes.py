@@ -155,6 +155,22 @@ def test_jaccard_df_cap_bounds_hot_shingle(ray_session, tmp_path):
     assert out["jaccard_permille"].tolist() == [1000]
 
 
+def test_near_dup_lsh_recall_vs_exact(ray_session):
+    """The bucketed near-dup scale path: every emitted pair must be a TRUE
+    pair with the exact similarity (precision 1.0 — buckets are scored
+    exactly), and multi-table recall must stay high (deterministic planes:
+    13/14 at sf0.01 with p=4, L=8)."""
+    from mq_to_db_ray.pipelines import training_data as td
+
+    sf = "/root/testdata/sf0.01"
+    exact = td.embedding_near_dup(sf).to_pandas()
+    lsh = td.embedding_near_dup_lsh(sf).to_pandas()
+    e = set(zip(exact["vec_a"], exact["vec_b"], exact["sim_permille"]))
+    l = set(zip(lsh["vec_a"], lsh["vec_b"], lsh["sim_permille"]))
+    assert l <= e  # precision 1.0: exact sims, no false pairs
+    assert len(e & l) / len(e) >= 0.7
+
+
 def test_cosine_topk_custom_id_col(ray_session):
     import ray.data as rd
 
