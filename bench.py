@@ -263,6 +263,46 @@ def cmd_worker_cascade(args) -> None:
     ray.shutdown()
 
 
+def cmd_encoders(args) -> None:
+    """Series-codec throughput on a 1M-point series (no Ray needed):
+    best-of-4 encode wall for a random-walk and a plateaued series."""
+    import numpy as np
+
+    from mq_to_db_ray.functions.dod import dod_decode, dod_encode
+    from mq_to_db_ray.functions.gorilla import gorilla_decode, gorilla_encode
+
+    rng = np.random.RandomState(7)
+    series = {
+        "walk": (
+            rng.randint(0, 2000, size=1_000_000).cumsum()
+            + rng.randint(-3, 4, size=1_000_000)
+        ).astype(np.int64),
+        "plateau": np.repeat(
+            rng.randint(100, 5000, size=10_000), 100
+        ).astype(np.int64),
+    }
+    out = {}
+    for name, vals in series.items():
+        fvals = vals.astype(np.float64)
+        dw = min(_wall(lambda: dod_encode(vals)) for _ in range(4))
+        gw = min(_wall(lambda: gorilla_encode(fvals)) for _ in range(4))
+        assert dod_decode(dod_encode(vals)) == vals.tolist()
+        assert gorilla_decode(gorilla_encode(fvals)) == fvals.tolist()
+        out[name] = dict(
+            dod_sec=round(dw, 4),
+            gorilla_sec=round(gw, 4),
+            dod_mpts_per_sec=round(1.0 / dw, 1),
+            gorilla_mpts_per_sec=round(1.0 / gw, 1),
+        )
+    print(json.dumps(dict(metric="encoder_1m_points", unit="sec", series=out)))
+
+
+def _wall(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def cmd_scaling(args) -> None:
     """Two fresh-process runs at --low/--high CPUs on the same input.
 
@@ -318,6 +358,7 @@ def main() -> None:
     p.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--worker-cascade", action="store_true")
+    p.add_argument("--encoders", action="store_true")
     p.add_argument("--rows", type=int, default=BENCH_ROWS)
     p.add_argument("--shards", type=int, default=BENCH_SHARDS)
     p.add_argument("--max-tok", type=int, default=BENCH_MAX_TOK)
@@ -341,6 +382,8 @@ def main() -> None:
         cmd_worker_cascade(args)
     elif args.scaling:
         cmd_scaling(args)
+    elif args.encoders:
+        cmd_encoders(args)
     else:
         cmd_bench(args)
 

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from .bitio import BitReader, BitWriter
+import numpy as np
+
+from .bitio import BitReader, pack_tokens
 
 _U64 = (1 << 64) - 1
 
@@ -34,38 +36,54 @@ def _wrap(x: int) -> int:
 
 
 def dod_encode(values: Sequence[int]) -> bytes:
-    w = BitWriter()
+    """Fully vectorized: deltas/dods, rung selection and token values are
+    numpy kernels; the bit stream is packed by ``pack_tokens``.  Wrapping
+    int64 subtraction == ``_wrap``; byte-identical to the sequential
+    reference encoder (golden vectors in tests/test_encoders.py)."""
     n = len(values)
-    w.write(n, 32)
     if n == 0:
-        return w.getvalue()
-    first = int(values[0])
-    w.write(first & _U64, 64)
-    prev = first
-    delta_prev = 0
-    for i in range(1, n):
-        v = int(values[i])
-        delta = _wrap(v - prev)
-        dod = _wrap(delta - delta_prev)
-        if dod == 0:
-            w.write(0b0, 1)
-        elif -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod + 63, 7)
-        elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod + 255, 9)
-        elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod + 2047, 12)
-        elif -(1 << 31) <= dod <= (1 << 31) - 1:
-            w.write(0b11110, 5)
-            w.write(dod + (1 << 31), 32)
-        else:
-            w.write(0b11111, 5)
-            w.write((dod + (1 << 63)) & _U64, 64)
-        prev, delta_prev = v, delta
-    return w.getvalue()
+        return pack_tokens(np.array([0], np.uint64), np.array([32], np.int64))
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    header_v = np.array([n & 0xFFFFFFFF, int(vals[0]) & _U64], dtype=np.uint64)
+    header_n = np.array([32, 64], dtype=np.int64)
+    if n == 1:
+        return pack_tokens(header_v, header_n)
+    with np.errstate(over="ignore"):
+        deltas = vals[1:] - vals[:-1]
+        dods = np.concatenate([deltas[:1], deltas[1:] - deltas[:-1]])
+    d = dods
+    c0 = d == 0
+    c1 = (d >= -63) & (d <= 64)
+    c2 = (d >= -255) & (d <= 256)
+    c3 = (d >= -2047) & (d <= 2048)
+    c4 = (d >= -(1 << 31)) & (d <= (1 << 31) - 1)
+    with np.errstate(over="ignore"):
+        tok1 = np.uint64(0b10 << 7) | (d + 63).view(np.uint64)
+        tok2 = np.uint64(0b110 << 9) | (d + 255).view(np.uint64)
+        tok3 = np.uint64(0b1110 << 12) | (d + 2047).view(np.uint64)
+        tok4 = np.uint64(0b11110 << 32) | (d + (1 << 31)).view(np.uint64)
+    off64 = d.view(np.uint64) ^ np.uint64(1 << 63)  # == (dod + 2^63) mod 2^64
+    tok5a = np.uint64(0b11111 << 32) | (off64 >> np.uint64(32))
+    tok5b = off64 & np.uint64(0xFFFFFFFF)
+    conds = [c0, c1, c2, c3, c4]
+    primary = np.select(conds, [np.uint64(0), tok1, tok2, tok3, tok4], tok5a)
+    pn = np.select(conds, [1, 9, 12, 16, 37], 37)
+    small = c0 | c1 | c2 | c3 | c4
+    if small.all():  # common case: no 64-bit rung -> no secondary tokens
+        return pack_tokens(
+            np.concatenate([header_v, primary]),
+            np.concatenate([header_n, pn]),
+            pre_masked=True,
+        )
+    sec_n = np.where(small, 0, 32)
+    inter_v = np.stack([primary, tok5b], axis=1).reshape(-1)
+    inter_n = np.stack([pn, sec_n], axis=1).reshape(-1)
+    keep = inter_n > 0
+    return pack_tokens(
+        np.concatenate([header_v, inter_v[keep]]),
+        np.concatenate([header_n, inter_n[keep]]),
+        pre_masked=True,
+    )
 
 
 def dod_decode(blob: bytes) -> list[int]:

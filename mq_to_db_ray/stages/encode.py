@@ -20,18 +20,20 @@ def encode_group(group: pa.Table, tier: str) -> pa.Table:
     if group.num_rows == 0:
         return sch.empty(sch.SERIES)
     g = group.take(pa.compute.sort_indices(group["bucket_ts"]))
-    vals = g["sum_n_tok"].to_pylist()
-    ts = g["bucket_ts"].cast(pa.int64()).to_pylist()
+    vals = g["sum_n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+    ts = g["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
     return pa.Table.from_pylist(
         [
             dict(
                 source=g["source"][0].as_py(),
                 tier=tier,
                 n_points=len(vals),
-                bucket_lo=ts[0],
-                bucket_hi=ts[-1],
+                bucket_lo=int(ts[0]),
+                bucket_hi=int(ts[-1]),
                 dod_blob=dod_encode(vals),
-                gorilla_blob=gorilla_encode([float(v) for v in vals]),
+                gorilla_blob=gorilla_encode(vals.astype("float64")),
             )
         ],
         schema=sch.SERIES,
