@@ -34,7 +34,6 @@ from ray.data import Dataset
 from ..state.manifest import Manifest, write_partition_atomic
 from ..state.metrics import MetricsSink
 from ..stages.encode import encode_group
-from ..stages.gapfill import fill_group
 from ..stages.rollup import cascade, rollup
 from ..stages.validate import ValidateAssign
 from ..timegrid import T0_US, TIERS
@@ -54,48 +53,69 @@ def _epoch_fingerprint(paths: list[str]) -> str:
 
 
 class TierPartitionWriter:
-    """E5+E6+E7+E8 fused per-source worker (the `storageWorkers` analog,
-    /root/reference/cmd/mq-to-db/main.go:442-491): gap-fill the source's
-    series, encode blobs, stage+commit the partition, return a metrics row.
+    """E5+E6+E7+E8 fused per-(source, window) worker (the `storageWorkers`
+    analog, /root/reference/cmd/mq-to-db/main.go:442-491): gap-fill the
+    window's slice of the source series, encode blobs, stage+commit the
+    partition, return a metrics row.
 
-    Runs inside ``groupby("source").map_groups``; skips partitions already
-    in the manifest (resume, E12)."""
+    Runs inside ``groupby(["source", "window_id"]).map_groups`` over the
+    ``stages.gapfill.windowed_groups`` stream, so no task ever holds more
+    than ``window_buckets`` points however long retention grows; skips
+    partitions already in the manifest (resume, E12)."""
 
     def __init__(self, out_dir: str, run_id: str, tier: str, gap: bool = True,
-                 epoch: str | None = None):
+                 epoch: str | None = None, ext_ref=None,
+                 window_buckets: int | None = None):
         self.out_dir = out_dir
         self.run_id = run_id
         self.tier = tier
         self.gap = gap
+        self.ext_ref = ext_ref
+        self.window_buckets = window_buckets
         # multi-epoch: partitions are epoch-scoped so repeated epochs into
         # one out dir coexist; tier_view() merges them (aggregates are
         # associative: sum/count/min/max)
         self.etag = f"e{epoch}__" if epoch else ""
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from ..stages.gapfill import clip_window, fill_range
+
         if group.num_rows == 0:
             return _metrics_schema().empty_table()
         manifest = Manifest(self.out_dir)
         tier_s = TIERS[self.tier]
-        filled = fill_group(group, tier_s) if self.gap else group.take(
-            pa.compute.sort_indices(group["bucket_ts"])
+        import ray
+
+        ext = ray.get(self.ext_ref) if isinstance(
+            self.ext_ref, ray.ObjectRef
+        ) else self.ext_ref
+        real, lo_us, hi_us, source = clip_window(
+            group, tier_s, self.window_buckets, ext
         )
-        source = filled["source"][0].as_py()
+        if self.gap:
+            filled = fill_range(real, tier_s, lo_us, hi_us, source)
+        else:
+            filled = real.take(pa.compute.sort_indices(real["bucket_ts"]))
         ts = filled["bucket_ts"].cast(pa.int64())
         lo = (ts[0].as_py() - T0_US) // (tier_s * 1_000_000)
         hi = (ts[-1].as_py() - T0_US) // (tier_s * 1_000_000)
-        part = f"source={source}__{self.etag}part-{lo:08d}-{hi:08d}"
+        rng = f"part-{lo:08d}-{hi:08d}"
+        part = f"source={source}__{self.etag}{rng}"
         relpath = (
-            f"tier={self.tier}/source={source}/"
-            f"{self.etag}part-{lo:08d}-{hi:08d}.parquet"
+            f"tier={self.tier}/source={source}/{self.etag}{rng}.parquet"
         )
         row = write_partition_atomic(
             manifest, self.run_id, self.tier, part, relpath, filled,
             meta=dict(source=source, bucket_lo=int(lo), bucket_hi=int(hi)),
         )
         series = encode_group(filled, self.tier)
-        spart = f"series__{self.etag}source={source}"
-        srel = f"series/tier={self.tier}/{self.etag}source={source}.parquet"
+        # series blob carries the SAME range tag as its data partition, so
+        # retention/compaction retire them 1:1 (and multi-window sources
+        # get one blob per window — the reader concatenates by bucket_lo)
+        spart = f"series__{self.etag}{rng}__source={source}"
+        srel = (
+            f"series/tier={self.tier}/{self.etag}{rng}__source={source}.parquet"
+        )
         write_partition_atomic(manifest, self.run_id, self.tier, spart, srel, series)
         return pa.Table.from_pylist(
             [
@@ -127,13 +147,19 @@ def _metrics_schema() -> pa.Schema:
 
 def commit_tier(
     rolled: Dataset, tier: str, out_dir: str, run_id: str,
-    epoch: str | None = None,
+    epoch: str | None = None, window_buckets: int | None = None,
 ) -> list[dict]:
-    """Write one tier's per-source partitions (+series blobs); returns the
-    per-partition metric rows (tiny — driver-side take is safe)."""
-    w = TierPartitionWriter(out_dir, run_id, tier, epoch=epoch)
+    """Write one tier's per-(source, window) partitions (+series blobs);
+    returns the per-partition metric rows (tiny — driver-side take is safe)."""
+    from ..stages.gapfill import DEFAULT_WINDOW_BUCKETS, windowed_groups
+
+    wb = window_buckets or DEFAULT_WINDOW_BUCKETS
+    keyed, ext_ref = windowed_groups(rolled, TIERS[tier], wb)
+    w = TierPartitionWriter(
+        out_dir, run_id, tier, epoch=epoch, ext_ref=ext_ref, window_buckets=wb
+    )
     return (
-        rolled.groupby("source")
+        keyed.groupby(["source", "window_id"])
         .map_groups(lambda g: w(g), batch_format="pyarrow")
         .take_all()
     )
@@ -148,6 +174,7 @@ def run_cascade(
     skip_raw: bool = False,
     raw_partition_cols: list[str] | None = None,
     read_blocks: int | None = None,
+    window_buckets: int | None = None,
 ) -> dict:
     """Run the full epoch: returns a summary dict (counts, tiers, metrics path).
 
@@ -219,11 +246,11 @@ def run_cascade(
     # combiner contracts to <=|keys| rows, so larger batches shuffle less
     narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
     m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
-    parts = {"1m": commit_tier(m1, "1m", out_dir, run_id, epoch)}
+    parts = {"1m": commit_tier(m1, "1m", out_dir, run_id, epoch, window_buckets)}
     h1 = cascade(m1, "1m", "1h").materialize()
-    parts["1h"] = commit_tier(h1, "1h", out_dir, run_id, epoch)
+    parts["1h"] = commit_tier(h1, "1h", out_dir, run_id, epoch, window_buckets)
     d1 = cascade(h1, "1h", "1d").materialize()
-    parts["1d"] = commit_tier(d1, "1d", out_dir, run_id, epoch)
+    parts["1d"] = commit_tier(d1, "1d", out_dir, run_id, epoch, window_buckets)
 
     # this run's staging tree now holds only empty dirs (every staged file
     # was renamed away at commit); remove it so _staging/ is clean on exit

@@ -28,24 +28,35 @@ from ..stages.rollup import merge_partials_batch, repartial_rollup_batch
 from ..stages.gapfill import fill_group
 from ..timegrid import T0_US, TIERS
 
-_ETAG_RE = re.compile(r"__(?:(?P<etag>[ec][0-9a-f]+)__)?part-")
+_PART_RE = re.compile(
+    r"^source=(?P<source>.+?)__(?P<tag>(?:[ec][0-9a-f]+__)?part-\d+-\d+)$"
+)
 
 
-def _series_key_for(tier: str, data_key: str, source: str) -> str | None:
-    """Manifest key of the series blob covering one data partition's epoch
-    (``tier=1m__source=s__e<ep>__part-..`` -> ``tier=1m__series__e<ep>__source=s``)."""
-    m = _ETAG_RE.search(data_key)
+def _series_key_for(tier: str, partition: str, source: str) -> str | None:
+    """Manifest key of the series blob covering one data partition
+    (``source=s__e<ep>__part-L-H`` -> ``tier=1m__series__e<ep>__part-L-H__source=s``
+    — series blobs carry the same range tag, 1:1)."""
+    m = _PART_RE.match(partition)
     if not m:
         return None
-    etag = (m.group("etag") + "__") if m.group("etag") else ""
-    return f"tier={tier}__series__{etag}source={source}"
+    return f"tier={tier}__series__{m.group('tag')}__source={source}"
 
 
-def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
-    """Compact every source with >1 live partition; returns a report.
+def compact_tier(
+    out_dir: str, tier: str, *, t0_us: int | None = None,
+    window_buckets: int | None = None,
+) -> dict:
+    """Compact every (source, window) with >1 live partition; returns a
+    report.  Folding is per WINDOW (a partition's window = bucket_lo //
+    window_buckets), so compaction never re-merges a long source's windowed
+    partitions into one unbounded file.
 
     Runs driver-side over ROLLED-UP points (sources x buckets — MBs even at
     10^12-sequence scale), so no Ray session is required."""
+    from ..stages.gapfill import DEFAULT_WINDOW_BUCKETS
+
+    wb = window_buckets or DEFAULT_WINDOW_BUCKETS
     manifest = Manifest(out_dir)
     run_id = uuid.uuid4().hex[:12]
     tier_s = TIERS[tier]
@@ -54,12 +65,13 @@ def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
         for k, e in manifest.committed(tier).items()
         if not e["partition"].startswith("series__") and "bucket_lo" in e
     }
-    by_source: dict[str, dict[str, dict]] = {}
+    by_source: dict[tuple[str, int], dict[str, dict]] = {}
     for k, e in live.items():
-        by_source.setdefault(e["source"], {})[k] = e
+        key = (e["source"], e["bucket_lo"] // wb)
+        by_source.setdefault(key, {})[k] = e
 
     report = dict(tier=tier, compacted_sources=0, inputs_retired=0, skipped_sources=0)
-    for source, entries in sorted(by_source.items()):
+    for (source, _win), entries in sorted(by_source.items()):
         # finish a previously-interrupted compaction: retire any live input
         # (data partition OR its epoch's series blob) already named in a live
         # entry's `replaces` — series files would otherwise accrete
@@ -105,18 +117,26 @@ def compact_tier(out_dir: str, tier: str, *, t0_us: int | None = None) -> dict:
         )
         # the replaced epochs' series blobs are superseded too: the new
         # single-partition series is re-encoded from the compacted points
+        live_keys = set(manifest.committed(tier))
         series_keys = sorted(
-            sk for sk in (_series_key_for(tier, k, source) for k in entries)
-            if sk is not None and sk in manifest.committed(tier)
+            sk
+            for sk in (
+                _series_key_for(tier, e["partition"], source)
+                for e in entries.values()
+            )
+            if sk is not None and sk in live_keys
         )
         # phase 1a: commit the re-encoded series blob FIRST (deterministic
         # ctag name -> a crashed rerun skips it via the manifest)
         from ..stages.encode import encode_group
 
         series = encode_group(filled, tier)
+        srng = f"part-{lo:08d}-{hi:08d}"
         write_partition_atomic(
-            manifest, run_id, tier, f"series__c{ctag}__source={source}",
-            f"series/tier={tier}/c{ctag}__source={source}.parquet", series,
+            manifest, run_id, tier,
+            f"series__c{ctag}__{srng}__source={source}",
+            f"series/tier={tier}/c{ctag}__{srng}__source={source}.parquet",
+            series,
         )
         # phase 1b: commit the data partition with lineage (replaces = input
         # data partitions AND their series blobs)

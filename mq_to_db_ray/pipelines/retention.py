@@ -20,7 +20,14 @@ import re
 
 from ..state.manifest import Manifest
 
-_PART_RE = re.compile(r"^source=(?P<source>.+?)__(?:(?P<etag>e[0-9a-f]+)__)?part-")
+_PART_RE = re.compile(
+    r"^source=(?P<source>.+?)__(?:(?P<etag>[ec][0-9a-f]+)__)?"
+    r"part-(?P<lo>\d+)-(?P<hi>\d+)$"
+)
+_SERIES_RE = re.compile(
+    r"^series__(?:(?P<etag>[ec][0-9a-f]+)__)?"
+    r"part-(?P<lo>\d+)-(?P<hi>\d+)__source=(?P<source>.+)$"
+)
 
 # keep this many most-recent buckets per tier; None = keep forever.
 # Fine tiers expire fastest — classic TSDB downsampling retention.
@@ -57,7 +64,9 @@ def apply_retention(
         )
         horizon = newest - keep + 1
         retired = 0
-        gone: set[tuple[str, str]] = set()  # (source, etag or "")
+        # (source, etag or "", lo, hi) — series blobs carry the same range
+        # tag as their data partition, so the mapping is exactly 1:1
+        gone: set[tuple[str, str, str, str]] = set()
         for key, e in entries.items():
             if e["bucket_hi"] < horizon:
                 manifest.retire(key)
@@ -68,19 +77,19 @@ def apply_retention(
                 retired += 1
                 m = _PART_RE.match(e["partition"])
                 if m:
-                    gone.add((m.group("source"), m.group("etag") or ""))
-        # a (source, epoch) series blob covers exactly its data partition's
-        # range — retire it alongside, or the expired series stays readable
-        # (and series files accumulate unboundedly in watch mode)
+                    gone.add(
+                        (m.group("source"), m.group("etag") or "",
+                         m.group("lo"), m.group("hi"))
+                    )
+        # a series blob covers exactly its data partition's range — retire
+        # it alongside, or the expired series stays readable (and series
+        # files accumulate unboundedly in watch mode)
         for key, e in manifest.committed(tier).items():
-            part = e["partition"]
-            if not part.startswith("series__"):
-                continue
-            body = part[len("series__"):]
-            etag = ""
-            if body.startswith("e") and "__source=" in body:
-                etag, body = body.split("__", 1)
-            if body.startswith("source=") and (body[len("source="):], etag) in gone:
+            m = _SERIES_RE.match(e["partition"])
+            if m and (
+                m.group("source"), m.group("etag") or "",
+                m.group("lo"), m.group("hi"),
+            ) in gone:
                 manifest.retire(key)
                 try:
                     os.unlink(os.path.join(out_dir, e["path"]))

@@ -171,6 +171,80 @@ def test_near_dup_lsh_recall_vs_exact(ray_session):
     assert len(e & l) / len(e) >= 0.7
 
 
+def test_windowed_gapfill_matches_unwindowed(ray_session):
+    """A multi-year source: (source, window) gap-fill must produce EXACTLY
+    the per-source dense series — including windows that are pure gap."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.gapfill import gap_fill
+    from mq_to_db_ray.stages.rollup import rollup
+
+    rng = np.random.RandomState(3)
+    # sparse multi-year span: 3000 random minutes over ~2.1M buckets
+    # (4 years at 1m), plus a second short source; huge interior gaps
+    seqs = np.unique(rng.randint(0, 2_100_000, size=3000)) * 60
+    t = pa.table(
+        {
+            "source": pa.array(
+                ["long"] * len(seqs) + ["short"] * 5, type=pa.string()
+            ),
+            "seq": pa.array(
+                np.concatenate([seqs, np.arange(5) * 60]), type=pa.int64()
+            ),
+            "n_tok": pa.array(
+                np.full(len(seqs) + 5, 7, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+    rolled = rollup(rd.from_arrow(t), "1m").materialize()
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+
+    # windowed (small window -> 'long' spans ~513 windows) vs one-window
+    small = norm(gap_fill(rolled, "1m", window_buckets=4096).to_pandas())
+    one = norm(gap_fill(rolled, "1m", window_buckets=1 << 40).to_pandas())
+    lo, hi = seqs.min() // 60, seqs.max() // 60
+    assert len(small[small["source"] == "long"]) == hi - lo + 1
+    assert small.equals(one)
+
+
+def test_windowed_cascade_partitions_and_resume(ray_session, tmp_path):
+    """Cascade with a tiny window: multiple partitions+series blobs per
+    source, view identical to the unwindowed run, resume skips them all."""
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.view import tier_view
+    from mq_to_db_ray.state.manifest import Manifest
+
+    in_dir = str(tmp_path / "in")
+    write_f1_parquet(in_dir, 12_000, shards=2, max_tok=8)
+    out_w = str(tmp_path / "out_w")
+    s1 = run_cascade(in_dir, out_w, window_buckets=16)
+    assert s1["partitions"]["1m"] > 8  # more than one partition per source
+    out_u = str(tmp_path / "out_u")
+    run_cascade(in_dir, out_u)
+
+    def v(out):
+        return (
+            tier_view(out, "1m", gap=True)
+            .to_pandas()
+            .sort_values(["source", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+
+    assert v(out_w).equals(v(out_u))
+    m = Manifest(out_w)
+    series = [
+        k for k, e in m.committed("1m").items()
+        if e["partition"].startswith("series__")
+    ]
+    assert len(series) == s1["partitions"]["1m"]  # one blob per partition
+    s2 = run_cascade(in_dir, out_w, window_buckets=16)
+    assert s2["skipped"] == s2["partitions"]  # resume: everything skipped
+
+
 def test_cosine_topk_custom_id_col(ray_session):
     import ray.data as rd
 
