@@ -323,6 +323,14 @@ def _q_f1_metrics(sf_dir: str):
             {"metric": k, "value": int(v)}
             for k, v in sorted(summary["counters"].items())
         ]
+        + [
+            {"metric": f"duration_hist_le_{b}", "value": int(v)}
+            for b, v in summary["duration_hist_le"].items()
+        ]
+        + [
+            {"metric": f"gauge_{k}", "value": int(v)}
+            for k, v in sorted(summary["gauges"].items())
+        ]
         + [{"metric": "partitions_committed",
             "value": sum(1 for r in rows if r["kind"] == "partition")}]
     )

@@ -89,6 +89,7 @@ def cmd_watch(args: argparse.Namespace) -> int:
     for summary in watch(
         args.input_dir, args.out, interval_s=args.interval,
         max_epochs=args.max_epochs, stop_flag=lambda: stopping["flag"],
+        health_file=args.health_file,
     ):
         out = {k: v for k, v in summary.items() if k != "tiers"}
         print(json.dumps(out), flush=True)
@@ -157,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
     watchp.add_argument("--interval", type=float, default=5.0)
     watchp.add_argument("--max-epochs", type=int, default=None)
     watchp.add_argument("--num-cpus", type=int, default=None)
+    watchp.add_argument("--health-file", default=None,
+                        help="liveness heartbeat JSON, refreshed every poll "
+                             "(the /health analog for unattended daemons)")
     watchp.set_defaults(fn=cmd_watch)
 
     compactp = sub.add_parser("compact", help="fold per-epoch partitions")

@@ -65,13 +65,15 @@ class TierPartitionWriter:
 
     def __init__(self, out_dir: str, run_id: str, tier: str, gap: bool = True,
                  epoch: str | None = None, ext_ref=None,
-                 window_buckets: int | None = None):
+                 window_buckets: int | None = None,
+                 reject_dir: str | None = None):
         self.out_dir = out_dir
         self.run_id = run_id
         self.tier = tier
         self.gap = gap
         self.ext_ref = ext_ref
         self.window_buckets = window_buckets
+        self.reject_dir = reject_dir
         # multi-epoch: partitions are epoch-scoped so repeated epochs into
         # one out dir coexist; tier_view() merges them (aggregates are
         # associative: sum/count/min/max)
@@ -104,19 +106,31 @@ class TierPartitionWriter:
         relpath = (
             f"tier={self.tier}/source={source}/{self.etag}{rng}.parquet"
         )
-        row = write_partition_atomic(
-            manifest, self.run_id, self.tier, part, relpath, filled,
-            meta=dict(source=source, bucket_lo=int(lo), bucket_hi=int(hi)),
-        )
-        series = encode_group(filled, self.tier)
-        # series blob carries the SAME range tag as its data partition, so
-        # retention/compaction retire them 1:1 (and multi-window sources
-        # get one blob per window — the reader concatenates by bucket_lo)
-        spart = f"series__{self.etag}{rng}__source={source}"
-        srel = (
-            f"series/tier={self.tier}/{self.etag}{rng}__source={source}.parquet"
-        )
-        write_partition_atomic(manifest, self.run_id, self.tier, spart, srel, series)
+        from ..state.manifest import CommitPhaseError
+
+        try:
+            row = write_partition_atomic(
+                manifest, self.run_id, self.tier, part, relpath, filled,
+                meta=dict(source=source, bucket_lo=int(lo), bucket_hi=int(hi)),
+            )
+            series = encode_group(filled, self.tier)
+            # series blob carries the SAME range tag as its data partition,
+            # so retention/compaction retire them 1:1 (and multi-window
+            # sources get one blob per window — readers concat by bucket_lo)
+            spart = f"series__{self.etag}{rng}__source={source}"
+            srel = (
+                f"series/tier={self.tier}/{self.etag}{rng}"
+                f"__source={source}.parquet"
+            )
+            write_partition_atomic(
+                manifest, self.run_id, self.tier, spart, srel, series
+            )
+        except CommitPhaseError as e:
+            # dead-letter the exec/ack failure (reference error ladder,
+            # messages.go:90-146) then re-raise for Ray's task retry —
+            # the reject row records the incident, retry preserves the data
+            self._reject(part, source, e)
+            raise
         return pa.Table.from_pylist(
             [
                 dict(
@@ -130,6 +144,34 @@ class TierPartitionWriter:
             ],
             schema=_metrics_schema(),
         )
+
+    def _reject(self, partition: str, source: str, e) -> None:
+        """Partition-level dead-letter row (idempotent file name, like
+        ValidateAssign's reject writer)."""
+        if not self.reject_dir:
+            return
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from .. import schema as sch
+
+        os.makedirs(self.reject_dir, exist_ok=True)
+        t = pa.Table.from_pylist(
+            [
+                dict(
+                    doc_id=f"tier={self.tier}/{partition}",
+                    source=source,
+                    reason=e.phase,
+                    detail=str(e.cause)[:200],
+                )
+            ],
+            schema=sch.REJECT,
+        )
+        key = hashlib.sha1(
+            f"{self.tier}/{partition}/{e.phase}".encode()
+        ).hexdigest()[:16]
+        pq.write_table(t, f"{self.reject_dir}/commit-{key}.parquet")
 
 
 def _metrics_schema() -> pa.Schema:
@@ -148,6 +190,7 @@ def _metrics_schema() -> pa.Schema:
 def commit_tier(
     rolled: Dataset, tier: str, out_dir: str, run_id: str,
     epoch: str | None = None, window_buckets: int | None = None,
+    reject_dir: str | None = None,
 ) -> list[dict]:
     """Write one tier's per-(source, window) partitions (+series blobs);
     returns the per-partition metric rows (tiny — driver-side take is safe)."""
@@ -156,7 +199,8 @@ def commit_tier(
     wb = window_buckets or DEFAULT_WINDOW_BUCKETS
     keyed, ext_ref = windowed_groups(rolled, TIERS[tier], wb)
     w = TierPartitionWriter(
-        out_dir, run_id, tier, epoch=epoch, ext_ref=ext_ref, window_buckets=wb
+        out_dir, run_id, tier, epoch=epoch, ext_ref=ext_ref,
+        window_buckets=wb, reject_dir=reject_dir,
     )
     return (
         keyed.groupby(["source", "window_id"])
@@ -246,11 +290,19 @@ def run_cascade(
     # combiner contracts to <=|keys| rows, so larger batches shuffle less
     narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
     m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
-    parts = {"1m": commit_tier(m1, "1m", out_dir, run_id, epoch, window_buckets)}
+    parts = {
+        "1m": commit_tier(
+            m1, "1m", out_dir, run_id, epoch, window_buckets, reject_dir
+        )
+    }
     h1 = cascade(m1, "1m", "1h").materialize()
-    parts["1h"] = commit_tier(h1, "1h", out_dir, run_id, epoch, window_buckets)
+    parts["1h"] = commit_tier(
+        h1, "1h", out_dir, run_id, epoch, window_buckets, reject_dir
+    )
     d1 = cascade(h1, "1h", "1d").materialize()
-    parts["1d"] = commit_tier(d1, "1d", out_dir, run_id, epoch, window_buckets)
+    parts["1d"] = commit_tier(
+        d1, "1d", out_dir, run_id, epoch, window_buckets, reject_dir
+    )
 
     # this run's staging tree now holds only empty dirs (every staged file
     # was renamed away at commit); remove it so _staging/ is clean on exit
@@ -260,13 +312,33 @@ def run_cascade(
 
     # ---- metrics (E10) ----
     n_raw = rd.read_parquet(raw_dir, columns=["seq"]).count()
-    n_rejects = 0
-    if os.path.isdir(reject_dir):
-        n_rejects = rd.read_parquet(reject_dir).count()
+    n_rejects, n_errors = 0, 0
+    reject_files = (
+        sorted(
+            os.path.join(reject_dir, f)
+            for f in os.listdir(reject_dir)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(reject_dir)
+        else []
+    )
+    if reject_files:
+        import pyarrow.compute as pc
+
+        reasons = rd.read_parquet(reject_files, columns=["reason"])
+        n_rejects = reasons.count()
+        n_errors = sum(
+            int(pc.sum(
+                pc.is_in(b["reason"], value_set=pa.array(["exec", "ack"]))
+                .cast(pa.int64())
+            ).as_py() or 0)
+            for b in reasons.iter_batches(batch_format="pyarrow")
+        )
     sink.inc("mq_to_db_consumer_messages_total", n_raw + n_rejects)
     sink.inc("mq_to_db_storage_worker_messages_total", n_raw + n_rejects)
     sink.inc("mq_to_db_storer_messages_ack_total", n_raw)
     sink.inc("mq_to_db_storer_messages_rejected_total", n_rejects)
+    sink.inc("mq_to_db_storer_messages_errors_total", n_errors)
     for tier_rows in parts.values():
         for row in tier_rows:
             sink.observe_partition(row)

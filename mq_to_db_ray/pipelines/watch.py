@@ -83,6 +83,19 @@ def run_pending_epoch(in_dir: str, out_dir: str, **cascade_kwargs) -> dict | Non
     )
 
 
+def write_health(path: str, **fields) -> None:
+    """Atomically refresh the liveness probe file — the daemon analog of the
+    reference's ``/health`` endpoint (/root/reference/cmd/mq-to-db/main.go:
+    302-350, handler main.go:564-630).  A monitor considers the watcher
+    dead when ``ts`` goes stale (no heartbeat for > poll interval)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(status="ok", ts=time.time(), **fields), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def watch(
     in_dir: str,
     out_dir: str,
@@ -90,15 +103,26 @@ def watch(
     interval_s: float = 5.0,
     max_epochs: int | None = None,
     stop_flag=None,
+    health_file: str | None = None,
     **cascade_kwargs,
 ):
     """Poll until stopped; yields each epoch summary (generator, so the CLI
-    can log/flush between epochs and tests can drive it deterministically)."""
+    can log/flush between epochs and tests can drive it deterministically).
+    ``health_file`` (optional) is heartbeat-refreshed every poll iteration —
+    the unattended-daemon liveness probe."""
     n = 0
     while max_epochs is None or n < max_epochs:
         if stop_flag is not None and stop_flag():
             return
         s = run_pending_epoch(in_dir, out_dir, **cascade_kwargs)
+        if health_file:
+            write_health(
+                health_file,
+                epochs_processed=n + (1 if s is not None else 0),
+                last_epoch=(s or {}).get("epoch"),
+                in_dir=in_dir,
+                out_dir=out_dir,
+            )
         if s is not None:
             n += 1
             yield s

@@ -42,6 +42,21 @@ MANIFEST_DIR = "_MANIFEST"
 STAGING_DIR = "_staging"
 
 
+class CommitPhaseError(RuntimeError):
+    """A partition commit failed in a specific phase of the reference's
+    error ladder (/root/reference/internal/repository/messages.go:90-146):
+    ``exec`` = the staged data write (ExecContext analog) failed; ``ack`` =
+    the atomic rename / manifest create (basic.ack analog) failed.  Callers
+    dead-letter a partition-level reject row with this reason, then re-raise
+    so Ray's task retry (and ultimately the run) still sees the failure —
+    data is never silently dropped."""
+
+    def __init__(self, phase: str, cause: BaseException):
+        super().__init__(f"{phase}: {cause}")
+        self.phase = phase
+        self.cause = cause
+
+
 def _fsync_dir(path: str) -> None:
     try:
         fd = os.open(path, os.O_RDONLY)
@@ -213,8 +228,11 @@ def write_partition_atomic(
     if manifest.is_committed(tier, partition):
         return dict(tier=tier, partition=partition, skipped=True, rows=int(table.num_rows))
     t0 = time.perf_counter()
-    staged = manifest.staging_path(run_id, relpath)
-    pq.write_table(table, staged, compression="zstd", row_group_size=128 * 1024)
+    try:
+        staged = manifest.staging_path(run_id, relpath)
+        pq.write_table(table, staged, compression="zstd", row_group_size=128 * 1024)
+    except Exception as e:  # storage execute failed (messages.go:90-108)
+        raise CommitPhaseError("exec", e) from e
     fingerprint = _content_fingerprint(table)
     meta = dict(meta or {})
     meta.update(
@@ -223,7 +241,10 @@ def write_partition_atomic(
         wall_ms=int((time.perf_counter() - t0) * 1000),
         skipped=False,
     )
-    manifest.commit_file(tier, partition, staged, relpath, meta)
+    try:
+        manifest.commit_file(tier, partition, staged, relpath, meta)
+    except Exception as e:  # ack failed (messages.go:131-146)
+        raise CommitPhaseError("ack", e) from e
     return dict(tier=tier, partition=partition, **meta)
 
 

@@ -52,6 +52,35 @@ class MetricsSink:
             i += 1
         self.hist[i] += 1
 
+    def gauges(self) -> dict:
+        """Point-in-time gauges — the analog of the reference's custom
+        collector (up / build info / pool stats,
+        /root/reference/internal/metrics/dbCollector.go:100-143): engine up,
+        cluster + available CPUs (the 'pool'), partitions committed so far,
+        rows acked so far.  Sampled at flush (push model)."""
+        g = {
+            "mq_to_db_up": 1,
+            "partitions_committed": sum(
+                1 for r in self.partition_rows if not r.get("skipped")
+            ),
+            "rows_in_partitions": sum(
+                int(r.get("rows", 0)) for r in self.partition_rows
+            ),
+        }
+        try:
+            import ray
+
+            if ray.is_initialized():
+                g["pool_cpus_total"] = int(
+                    ray.cluster_resources().get("CPU", 0)
+                )
+                g["pool_cpus_available"] = int(
+                    ray.available_resources().get("CPU", 0)
+                )
+        except Exception:
+            pass
+        return g
+
     def flush(self, extra: dict | None = None) -> str:
         path = os.path.join(self.dir, f"run-{self.run_id}.jsonl")
         wall = time.perf_counter() - self.t0
@@ -63,6 +92,7 @@ class MetricsSink:
                 "run_id": self.run_id,
                 "wall_sec": wall,
                 "counters": self.counters,
+                "gauges": self.gauges(),
                 "duration_hist_le": dict(
                     zip([str(b) for b in DURATION_BUCKETS] + ["+Inf"], self.hist)
                 ),
