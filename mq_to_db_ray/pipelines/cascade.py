@@ -80,24 +80,31 @@ class TierPartitionWriter:
         self.etag = f"e{epoch}__" if epoch else ""
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        from ..stages.gapfill import clip_window, fill_range
+        from ..stages.gapfill import clip_window, fill_group, fill_range
 
         if group.num_rows == 0:
             return _metrics_schema().empty_table()
         manifest = Manifest(self.out_dir)
         tier_s = TIERS[self.tier]
-        import ray
+        if "window_id" in group.schema.names:  # multi-window source path
+            import ray
 
-        ext = ray.get(self.ext_ref) if isinstance(
-            self.ext_ref, ray.ObjectRef
-        ) else self.ext_ref
-        real, lo_us, hi_us, source = clip_window(
-            group, tier_s, self.window_buckets, ext
-        )
-        if self.gap:
-            filled = fill_range(real, tier_s, lo_us, hi_us, source)
+            ext = ray.get(self.ext_ref) if isinstance(
+                self.ext_ref, ray.ObjectRef
+            ) else self.ext_ref
+            real, lo_us, hi_us, source = clip_window(
+                group, tier_s, self.window_buckets, ext
+            )
+            if self.gap:
+                filled = fill_range(real, tier_s, lo_us, hi_us, source)
+            else:
+                filled = real.take(pa.compute.sort_indices(real["bucket_ts"]))
+        elif self.gap:  # per-source fast path (every source fits one window)
+            filled = fill_group(group, tier_s)
+            source = filled["source"][0].as_py()
         else:
-            filled = real.take(pa.compute.sort_indices(real["bucket_ts"]))
+            filled = group.take(pa.compute.sort_indices(group["bucket_ts"]))
+            source = filled["source"][0].as_py()
         ts = filled["bucket_ts"].cast(pa.int64())
         lo = (ts[0].as_py() - T0_US) // (tier_s * 1_000_000)
         hi = (ts[-1].as_py() - T0_US) // (tier_s * 1_000_000)
@@ -190,14 +197,33 @@ def _metrics_schema() -> pa.Schema:
 def commit_tier(
     rolled: Dataset, tier: str, out_dir: str, run_id: str,
     epoch: str | None = None, window_buckets: int | None = None,
-    reject_dir: str | None = None,
+    reject_dir: str | None = None, ext: pa.Table | None = None,
 ) -> list[dict]:
     """Write one tier's per-(source, window) partitions (+series blobs);
-    returns the per-partition metric rows (tiny — driver-side take is safe)."""
-    from ..stages.gapfill import DEFAULT_WINDOW_BUCKETS, windowed_groups
+    returns the per-partition metric rows (tiny — driver-side take is safe).
+    When every source fits one window, the per-source fast path skips the
+    marker/union machinery (identical rows AND partition names)."""
+    from ..stages.gapfill import (
+        DEFAULT_WINDOW_BUCKETS,
+        source_extents,
+        spans_single_window,
+        windowed_groups,
+    )
 
     wb = window_buckets or DEFAULT_WINDOW_BUCKETS
-    keyed, ext_ref = windowed_groups(rolled, TIERS[tier], wb)
+    tier_s = TIERS[tier]
+    if ext is None:
+        ext = source_extents(rolled)
+    if spans_single_window(ext, tier_s, wb):
+        w = TierPartitionWriter(
+            out_dir, run_id, tier, epoch=epoch, reject_dir=reject_dir
+        )
+        return (
+            rolled.groupby("source")
+            .map_groups(lambda g: w(g), batch_format="pyarrow")
+            .take_all()
+        )
+    keyed, ext_ref = windowed_groups(rolled, tier_s, wb, ext)
     w = TierPartitionWriter(
         out_dir, run_id, tier, epoch=epoch, ext_ref=ext_ref,
         window_buckets=wb, reject_dir=reject_dir,
@@ -289,19 +315,27 @@ def run_cascade(
     # big batches for the narrow (source,seq,n_tok) projection: the per-batch
     # combiner contracts to <=|keys| rows, so larger batches shuffle less
     narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
+    from ..stages.gapfill import coarsen_extents, source_extents
+
     m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
+    # per-source extents computed ONCE from the 1m tier; the cascaded
+    # tiers' extents are exact floor-coarsenings (no extra passes)
+    ext1 = source_extents(m1)
     parts = {
         "1m": commit_tier(
-            m1, "1m", out_dir, run_id, epoch, window_buckets, reject_dir
+            m1, "1m", out_dir, run_id, epoch, window_buckets, reject_dir,
+            ext=ext1,
         )
     }
     h1 = cascade(m1, "1m", "1h").materialize()
     parts["1h"] = commit_tier(
-        h1, "1h", out_dir, run_id, epoch, window_buckets, reject_dir
+        h1, "1h", out_dir, run_id, epoch, window_buckets, reject_dir,
+        ext=coarsen_extents(ext1, TIERS["1h"]),
     )
     d1 = cascade(h1, "1h", "1d").materialize()
     parts["1d"] = commit_tier(
-        d1, "1d", out_dir, run_id, epoch, window_buckets, reject_dir
+        d1, "1d", out_dir, run_id, epoch, window_buckets, reject_dir,
+        ext=coarsen_extents(ext1, TIERS["1d"]),
     )
 
     # this run's staging tree now holds only empty dirs (every staged file
@@ -311,7 +345,10 @@ def run_cascade(
     shutil.rmtree(os.path.join(out_dir, "_staging", run_id), ignore_errors=True)
 
     # ---- metrics (E10) ----
-    n_raw = rd.read_parquet(raw_dir, columns=["seq"]).count()
+    # every validated row lands in exactly one 1m bucket, so the raw-tier
+    # row count is the sum of the (tiny, already-materialized) 1m counts —
+    # no narrow re-scan of the raw tier per epoch
+    n_raw = int(m1.sum("count") or 0)
     n_rejects, n_errors = 0, 0
     reject_files = (
         sorted(

@@ -300,9 +300,10 @@ def minhash_lsh_pairs(
     a, b = ts.minhash_params(num_perm)
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        hasher = ts.WordHasher()
         doc_ids, band_ids, band_hashes = [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = ts.minhash_signature(ts.shingles(text), a, b)
+            sig = ts.minhash_signature(ts.shingles(text, hasher=hasher), a, b)
             for bi in range(bands):
                 seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
@@ -403,7 +404,9 @@ def minhash_lsh_pairs(
         def _sh(self, did: int) -> frozenset:
             s = self.cache.get(did)
             if s is None:
-                s = frozenset(ts.shingles(self.texts[did]))
+                if not hasattr(self, "wh"):
+                    self.wh = ts.WordHasher()
+                s = frozenset(ts.shingles(self.texts[did], hasher=self.wh))
                 self.cache[did] = s
             return s
 
@@ -434,7 +437,7 @@ def minhash_lsh_pairs(
 
 def jaccard_pairs(
     sf_dir: str, threshold_permille: int = 200, k: int = 3,
-    df_cap: int = 1024,
+    df_cap: int = 1024, broadcast_cap: int = 50_000_000,
 ) -> Dataset:
     """EXACT n-gram (k-word shingle) Jaccard pairs — a set-similarity join.
 
@@ -443,10 +446,11 @@ def jaccard_pairs(
 
       shingle-explode -> partition by shingle hash -> pair counts per
       partition (numpy triu over shingle runs + Arrow group_by) ->
-      re-partition by pair -> sum -> attach |A| and |B| by TWO more
-      hash-partition rounds (sizes ride the same shuffle as the pairs —
-      nothing corpus-sized ever lands on the driver) ->
-      jaccard = inter/(|A|+|B|-inter) -> threshold filter.
+      pair merge + attach |A|/|B| + threshold, via EITHER one pair-keyed
+      round with the (doc_id, |shingles|) pairs broadcast as sorted numpy
+      arrays (corpora up to ``broadcast_cap`` docs — 16 B/doc) OR, beyond
+      that, two more hash-partition rounds where the sizes ride the same
+      shuffles as the pairs and the driver stays O(1).
 
     ``df_cap`` drops stop-shingles shared by more than ``df_cap`` documents
     BEFORE pair emission: one shingle shared by 10^6 docs would otherwise
@@ -460,16 +464,24 @@ def jaccard_pairs(
     from ..stages.shuffle import hash_partition_merge
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, sh = [], []
+        hasher = ts.WordHasher()  # unique words hashed once per batch
+        id_parts, sh_parts = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            s = ts.shingles(text, k)
-            doc_ids.extend([did] * len(s))
-            sh.extend(np.uint64(x) for x in s)
-        sh64 = np.array(sh, dtype=np.uint64).astype(np.int64)
+            s = ts.shingles(text, k, hasher=hasher)
+            sh_parts.append(s)
+            id_parts.append(np.full(len(s), did, dtype=np.int64))
+        sh64 = (
+            np.concatenate(sh_parts).view(np.int64)
+            if sh_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        ids = (
+            np.concatenate(id_parts) if id_parts else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
                 "shingle": pa.array(sh64, type=pa.int64()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
             }
         )
 
@@ -521,55 +533,81 @@ def jaccard_pairs(
 
     partials = hash_partition_merge(exploded, "shingle", pair_counts, k=64)
 
-    def add_pair_key(b: pa.Table) -> pa.Table:
-        h = pc.bit_wise_xor(
-            pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())), b["doc_b"]
-        )
-        return b.append_column("pair_key", pc.cast(h, pa.int64()))
-
-    def merge_pairs(g: pa.Table) -> pa.Table:
-        agg = (
-            g.drop_columns(["pair_key"])
-            .group_by(["doc_a", "doc_b"], use_threads=False)
-            .aggregate([("inter", "sum")])
-        )
-        return pa.table(
-            {
-                "doc_a": agg["doc_a"],
-                "doc_b": agg["doc_b"],
-                "inter": pc.cast(agg["inter_sum"], pa.int64()),
-            }
-        )
-
-    merged = hash_partition_merge(
-        partials.map_batches(add_pair_key, batch_format="pyarrow"),
-        "pair_key",
-        merge_pairs,
-        k=64,
-    )
-
-    # doc -> shingle-set size, attached DISTRIBUTED: shingling runs in
-    # map_batches (the expensive part) and the (doc_id, n) rows ride the
-    # same hash shuffle as the pair stream — the driver never materializes
-    # anything corpus-sized.  Size rows are tagged with doc_b == -1 (real
-    # doc ids are non-negative), so one union + one partition key suffices.
+    # doc -> shingle-set size, attached DISTRIBUTED: the (doc_id, n) rows
+    # ride the same hash shuffles as the pair stream — the driver never
+    # materializes anything corpus-sized.  Size rows are tagged with the
+    # OTHER endpoint == -1 (real doc ids are non-negative), so one union per
+    # round suffices.  Because every partial for a pair (a, b) hashes to the
+    # same doc_a partition, the cross-partition pair merge folds into round
+    # A — the whole join is THREE shuffle rounds total (shingle, doc_a,
+    # doc_b), and round B also finalizes the Jaccard threshold in place.
     def size_batch(b: pa.Table) -> pa.Table:
-        ns = [len(ts.shingles(t, k)) for t in b["text"].to_pylist()]
+        hasher = ts.WordHasher()
+        ns = [len(ts.shingles(t, k, hasher=hasher)) for t in b["text"].to_pylist()]
         return pa.table(
             {"doc_id": b["doc_id"], "n": pa.array(ns, type=pa.int64())}
         )
 
-    sizes_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        size_batch, batch_format="pyarrow"
+    # materialized ONCE (narrow per-doc rows): both attach rounds consume it
+    sizes_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(size_batch, batch_format="pyarrow")
+        .materialize()
     )
 
-    def attach_round(
-        pairs: Dataset, key: str, out_name: str, has_na: bool
-    ) -> Dataset:
-        """One hash-partition round: co-locate pair rows (by ``key``) with
-        size rows (by doc_id) and attach that side's size as ``out_name``."""
+    # Hybrid size attach (both forms are scale-sanctioned): up to
+    # ``broadcast_cap`` docs the (doc_id, n) pairs are a numpy broadcast
+    # (16 B/doc — ~800 MB at 50M docs) and the join needs ONE pair-merge
+    # round; beyond that the sizes ride the pair shuffles as union rows
+    # (two attach rounds, driver stays O(1)).
+    if sizes_ds.count() <= broadcast_cap:
+        ids_l, ns_l = [], []
+        for b in sizes_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            ids_l.append(b["doc_id"].to_numpy(zero_copy_only=False))
+            ns_l.append(b["n"].to_numpy(zero_copy_only=False))
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        ns = np.concatenate(ns_l) if ns_l else np.empty(0, np.int64)
+        order = np.argsort(ids)
+        sizes_ref = ray.put((ids[order], ns[order]))
 
-        def tag_sizes(b: pa.Table) -> pa.Table:
+        def add_pair_key(b: pa.Table) -> pa.Table:
+            h = pc.bit_wise_xor(
+                pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())),
+                b["doc_b"],
+            )
+            return b.append_column("pair_key", pc.cast(h, pa.int64()))
+
+        def merge_finalize(g: pa.Table) -> pa.Table:
+            agg = (
+                g.drop_columns(["pair_key"])
+                .group_by(["doc_a", "doc_b"], use_threads=False)
+                .aggregate([("inter", "sum")])
+            )
+            sids, sns = ray.get(sizes_ref)
+            da = agg["doc_a"].to_numpy(zero_copy_only=False)
+            db = agg["doc_b"].to_numpy(zero_copy_only=False)
+            inter = agg["inter_sum"].to_numpy(zero_copy_only=False)
+            na = sns[np.searchsorted(sids, da)] if len(sids) else da * 0
+            nb = sns[np.searchsorted(sids, db)] if len(sids) else db * 0
+            jp = np.floor(1000.0 * inter / (na + nb - inter)).astype(np.int64)
+            keep = jp >= threshold_permille
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], type=pa.int64()),
+                    "doc_b": pa.array(db[keep], type=pa.int64()),
+                    "jaccard_permille": pa.array(jp[keep], type=pa.int64()),
+                }
+            )
+
+        return hash_partition_merge(
+            partials.map_batches(add_pair_key, batch_format="pyarrow"),
+            "pair_key",
+            merge_finalize,
+            k=64,
+        )
+
+    def tag_sizes(key: str, with_na: bool):
+        def fn(b: pa.Table) -> pa.Table:
             sent = pa.array(np.full(b.num_rows, -1, dtype=np.int64))
             out = pa.table(
                 {
@@ -578,48 +616,97 @@ def jaccard_pairs(
                     "inter": b["n"],
                 }
             )
-            if has_na:
+            if with_na:
                 out = out.append_column("na", pa.nulls(b.num_rows, pa.int64()))
             return out
 
-        tagged = sizes_ds.map_batches(tag_sizes, batch_format="pyarrow")
-        sentinel = "doc_b" if key == "doc_a" else "doc_a"
+        return fn
 
-        def merge(g: pa.Table) -> pa.Table:
-            is_size = pc.equal(g[sentinel], -1)
-            szs = g.filter(is_size)
-            prs = g.filter(pc.invert(is_size))
-            if prs.num_rows == 0:
-                return prs.append_column(out_name, pa.nulls(0, pa.int64()))
-            sid = szs[key].to_numpy(zero_copy_only=False)
-            sn = szs["inter"].to_numpy(zero_copy_only=False)
-            order = np.argsort(sid)
-            sid, sn = sid[order], sn[order]
-            pid = prs[key].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(sid, pid), 0, max(len(sid) - 1, 0))
-            n = sn[pos] if len(sid) else np.zeros(len(pid), dtype=np.int64)
-            return prs.append_column(out_name, pa.array(n, type=pa.int64()))
+    def _size_lookup(szs: pa.Table, key: str, pid: np.ndarray) -> np.ndarray:
+        sid = szs[key].to_numpy(zero_copy_only=False)
+        sn = szs["inter"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid)
+        sid, sn = sid[order], sn[order]
+        if not len(sid):
+            return np.zeros(len(pid), dtype=np.int64)
+        pos = np.clip(np.searchsorted(sid, pid), 0, len(sid) - 1)
+        return sn[pos]
 
-        return hash_partition_merge(pairs.union(tagged), key, merge, k=64)
+    def round_a(g: pa.Table) -> pa.Table:
+        """Merge pair partials by (doc_a, doc_b) AND attach |A| = na."""
+        is_size = pc.equal(g["doc_b"], -1)
+        szs = g.filter(is_size)
+        prs = g.filter(pc.invert(is_size))
+        if prs.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                }
+            )
+        agg = prs.group_by(["doc_a", "doc_b"], use_threads=False).aggregate(
+            [("inter", "sum")]
+        )
+        na = _size_lookup(
+            szs, "doc_a", agg["doc_a"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_a": agg["doc_a"],
+                "doc_b": agg["doc_b"],
+                "inter": pc.cast(agg["inter_sum"], pa.int64()),
+                "na": pa.array(na, type=pa.int64()),
+            }
+        )
 
-    with_na = attach_round(merged, "doc_a", "na", has_na=False)
-    with_nb = attach_round(with_na, "doc_b", "nb", has_na=True)
+    with_na = hash_partition_merge(
+        partials.union(
+            sizes_ds.map_batches(tag_sizes("doc_a", False), batch_format="pyarrow")
+        ),
+        "doc_a",
+        round_a,
+        k=64,
+    )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        inter = batch["inter"].to_numpy(zero_copy_only=False)
-        na = batch["na"].to_numpy(zero_copy_only=False)
-        nb = batch["nb"].to_numpy(zero_copy_only=False)
+    def round_b(g: pa.Table) -> pa.Table:
+        """Attach |B| = nb and finalize the thresholded Jaccard in place."""
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_permille": pa.array([], pa.int64()),
+            }
+        )
+        is_size = pc.equal(g["doc_a"], -1)
+        szs = g.filter(is_size)
+        prs = g.filter(pc.invert(is_size))
+        if prs.num_rows == 0:
+            return empty
+        inter = prs["inter"].to_numpy(zero_copy_only=False)
+        na = prs["na"].to_numpy(zero_copy_only=False)
+        nb = _size_lookup(
+            szs, "doc_b", prs["doc_b"].to_numpy(zero_copy_only=False)
+        )
         jp = np.floor(1000.0 * inter / (na + nb - inter)).astype(np.int64)
         keep = jp >= threshold_permille
         return pa.table(
             {
-                "doc_a": batch["doc_a"].filter(pa.array(keep)),
-                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "doc_a": prs["doc_a"].filter(pa.array(keep)),
+                "doc_b": prs["doc_b"].filter(pa.array(keep)),
                 "jaccard_permille": pa.array(jp[keep], type=pa.int64()),
             }
         )
 
-    return with_nb.map_batches(finalize, batch_format="pyarrow", batch_size=65536)
+    return hash_partition_merge(
+        with_na.union(
+            sizes_ds.map_batches(tag_sizes("doc_b", True), batch_format="pyarrow")
+        ),
+        "doc_b",
+        round_b,
+        k=64,
+    )
 
 
 def embedding_near_dup(sf_dir: str, threshold_permille: int = 450) -> Dataset:

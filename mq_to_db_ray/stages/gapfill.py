@@ -129,6 +129,37 @@ def source_extents(rolled: Dataset) -> pa.Table:
     )
 
 
+def coarsen_extents(ext: pa.Table, tier_s: int) -> pa.Table:
+    """Extents of a cascaded tier derived EXACTLY from the finer tier's
+    (bucket_ts floors commute with min/max) — saves one pass per tier."""
+    step = tier_s * 1_000_000
+    lo = ext["lo_us"].to_numpy(zero_copy_only=False)
+    hi = ext["hi_us"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "source": ext["source"],
+            "lo_us": T0_US + np.floor_divide(lo - T0_US, step) * step,
+            "hi_us": T0_US + np.floor_divide(hi - T0_US, step) * step,
+        }
+    )
+
+
+def spans_single_window(
+    ext: pa.Table, tier_s: int, window_buckets: int
+) -> bool:
+    """True iff every source's extent fits inside one window — the common
+    small case, where the per-source path (no markers/union/extra key) is
+    used and produces identical rows and partition names."""
+    if ext.num_rows == 0:
+        return True
+    step = tier_s * 1_000_000
+    lo = ext["lo_us"].to_numpy(zero_copy_only=False)
+    hi = ext["hi_us"].to_numpy(zero_copy_only=False)
+    wlo = np.floor_divide(np.floor_divide(lo - T0_US, step), window_buckets)
+    whi = np.floor_divide(np.floor_divide(hi - T0_US, step), window_buckets)
+    return bool((wlo == whi).all())
+
+
 def window_markers(
     extents: pa.Table, tier_s: int, window_buckets: int
 ) -> pa.Table:
@@ -167,14 +198,16 @@ def window_markers(
 
 
 def windowed_groups(
-    rolled: Dataset, tier_s: int, window_buckets: int
+    rolled: Dataset, tier_s: int, window_buckets: int,
+    ext: pa.Table | None = None,
 ) -> tuple[Dataset, "ray.ObjectRef"]:
     """(keyed dataset for groupby(['source','window_id']), extents ref).
 
     The keyed dataset = rolled points tagged with their window + marker rows
     for every (source, window) in range; the extents broadcast lets each
     fill task clip its window to the source's global [min, max]."""
-    ext = source_extents(rolled)
+    if ext is None:
+        ext = source_extents(rolled)
     order = pc.sort_indices(ext["source"])
     ext = ext.take(order)
     ext_ref = ray.put(
@@ -227,11 +260,20 @@ def gap_fill(
     tier: str,
     *,
     window_buckets: int = DEFAULT_WINDOW_BUCKETS,
+    ext: pa.Table | None = None,
 ) -> Dataset:
     """E5 over a whole tier: dense per-source series (ROLLUP schema), one
-    task per (source, window) — identical rows to the per-source form."""
+    task per (source, window) — identical rows to the per-source form.
+    When every source fits one window (the common small case) the
+    per-source fast path skips the marker/union machinery entirely."""
     tier_s = TIERS[tier]
-    keyed, ext_ref = windowed_groups(rolled, tier_s, window_buckets)
+    if ext is None:
+        ext = source_extents(rolled)
+    if spans_single_window(ext, tier_s, window_buckets):
+        return rolled.groupby("source").map_groups(
+            lambda g: fill_group(g, tier_s), batch_format="pyarrow"
+        )
+    keyed, ext_ref = windowed_groups(rolled, tier_s, window_buckets, ext)
 
     def fill_window(g: pa.Table) -> pa.Table:
         real, lo_us, hi_us, source = clip_window(

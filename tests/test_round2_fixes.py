@@ -153,6 +153,12 @@ def test_jaccard_df_cap_bounds_hot_shingle(ray_session, tmp_path):
     out = td.jaccard_pairs(str(tmp_path), df_cap=64).to_pandas()
     assert set(zip(out["doc_a"], out["doc_b"])) == {(5000, 5001)}
     assert out["jaccard_permille"].tolist() == [1000]
+    # the large-corpus path (sizes ride the shuffle, no broadcast) must
+    # produce the identical result
+    big = td.jaccard_pairs(str(tmp_path), df_cap=64, broadcast_cap=0).to_pandas()
+    assert big.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).equals(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
 
 
 def test_near_dup_lsh_recall_vs_exact(ray_session):
