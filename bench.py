@@ -190,6 +190,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_jaccard_pairs",
         "embedding_stats",
         "embedding_near_dup",
+        "embedding_near_dup_lsh",
         "ann_cosine_top10",
         "ann_lsh_topk",
         "ann_ivf_topk",
@@ -317,18 +318,32 @@ def cmd_scaling(args) -> None:
     bench_corpus_dir(args.rows, args.shards, args.max_tok,
                      base=args.workdir)  # pre-generate, untimed
     for n in levels:
-        out = tempfile.mktemp(suffix=".json")
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker-cascade",
-             "--num-cpus", str(n), "--rows", str(args.rows),
-             "--shards", str(args.shards), "--max-tok", str(args.max_tok),
-             "--workdir", args.workdir, "--json-out", out],
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        with open(out) as f:
-            results.append(json.load(f))
-        os.unlink(out)
+        # best-of across WHOLE PROCESSES per level: this VM shows
+        # process-level weather (an entire fresh process can run ~1.5x slow
+        # end to end), which per-process best-of-2 cannot average away
+        best = None
+        for _ in range(max(1, args.level_procs)):
+            out = tempfile.mktemp(suffix=".json")
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-cascade",
+                 "--num-cpus", str(n), "--rows", str(args.rows),
+                 "--shards", str(args.shards), "--max-tok", str(args.max_tok),
+                 "--workdir", args.workdir, "--json-out", out],
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            with open(out) as f:
+                r = json.load(f)
+            os.unlink(out)
+            if best is None:
+                best = r
+            else:
+                winner = r if r["wall_sec"] < best["wall_sec"] else best
+                best = dict(
+                    winner,
+                    compute_only=min(r["compute_only"], best["compute_only"]),
+                )
+        results.append(best)
     r_lo, r_hi = results
     ratio = args.high / args.low
     eff = (r_hi["sequences_per_sec"] / r_lo["sequences_per_sec"]) / ratio
@@ -367,6 +382,10 @@ def main() -> None:
     p.add_argument("--workdir", default=None,
                    help="scratch base (default: /tmp; --scaling: /dev/shm)")
     p.add_argument("--json-out", default="/tmp/mq2db_worker.json")
+    p.add_argument("--level-procs", type=int, default=2,
+                   help="fresh processes per --scaling level (per-level "
+                        "best across processes; this VM has process-level "
+                        "wall-time weather)")
     args = p.parse_args()
     if args.workdir is None:
         args.workdir = "/dev/shm/mq2db" if args.scaling else "/tmp"
