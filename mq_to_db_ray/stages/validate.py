@@ -88,16 +88,15 @@ def split_batch(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     good = batch.filter(ok)
     seq_good = _arr(seq).filter(ok)
     event_us = pc.add(pc.multiply(seq_good, TICK_S * 1_000_000), T0_US)
-    valid = pa.Table.from_arrays(
-        [
-            _arr(good["doc_id"]),
-            _arr(good["tokens"]),
-            _arr(good["n_tok"]),
-            _arr(good["source"]),
-            _arr(seq_good),
-            _arr(pc.cast(event_us, pa.timestamp("us"))),
-        ],
-        names=["doc_id", "tokens", "n_tok", "source", "seq", "event_ts"],
+    # keep the WHOLE envelope — optional metadata columns (the analogs of
+    # the reference envelope's Priority/ContentType/ContentEncoding,
+    # /root/reference/internal/consumer/consumer.go:80-91) ride through to
+    # the raw tier untouched, exactly like the fast path
+    valid = good.append_column(
+        pa.field("seq", pa.int64()), _arr(seq_good)
+    ).append_column(
+        pa.field("event_ts", pa.timestamp("us")),
+        _arr(pc.cast(event_us, pa.timestamp("us"))),
     )
 
     bad_mask = pc.invert(ok)

@@ -251,6 +251,40 @@ def test_windowed_cascade_partitions_and_resume(ray_session, tmp_path):
     assert s2["skipped"] == s2["partitions"]  # resume: everything skipped
 
 
+def test_envelope_metadata_columns_ride_through():
+    """Optional envelope metadata (Priority/ContentType analogs,
+    reference consumer.go:80-91) must survive validation untouched on BOTH
+    the fast (all-valid) and slow (mixed) paths; rejects stay canonical."""
+    from mq_to_db_ray.stages.validate import split_batch
+
+    def envelope(doc_ids):
+        n = len(doc_ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "tokens": pa.array([[1, 2]] * n, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([2] * n, type=pa.int32()),
+                "source": pa.array(["s0"] * n),
+                "priority": pa.array(list(range(n)), type=pa.uint8()),
+                "content_type": pa.array(["application/json"] * n),
+            }
+        )
+
+    # fast path: every row valid
+    valid, rejects = split_batch(envelope(["s0-1", "s0-2"]))
+    assert rejects.num_rows == 0
+    assert valid["priority"].to_pylist() == [0, 1]
+    assert "content_type" in valid.schema.names and "seq" in valid.schema.names
+
+    # slow path: one unparseable doc_id
+    valid, rejects = split_batch(envelope(["s0-1", "nope"]))
+    assert valid.num_rows == 1 and rejects.num_rows == 1
+    assert valid["priority"].to_pylist() == [0]
+    assert valid["content_type"][0].as_py() == "application/json"
+    assert valid["seq"][0].as_py() == 1
+    assert rejects.schema.names == ["doc_id", "source", "reason", "detail"]
+
+
 def test_cosine_topk_custom_id_col(ray_session):
     import ray.data as rd
 
