@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_compact": _q_f1_compact,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
+        "doc_token_count_bpe": td.token_count_bpe,
         "doc_rollup_1m": _q_doc_rollup_1m,
         "doc_quality": td.quality_score,
         "doc_stratified_sample": td.stratified_sample,
@@ -393,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite ---
         "doc_exact_dedup": td.exact_dedup,
         "doc_simhash": td.simhash,
+        "doc_simhash_near_dup": td.simhash_near_dup,
         "doc_minhash_pairs": td.minhash_lsh_pairs,
         "doc_jaccard_pairs": td.jaccard_pairs,
         # --- similarity search ---
@@ -514,6 +516,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": """
             SELECT doc_id, source,
                    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        """,
+        "doc_token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                     AS BIGINT) AS n_bpe_tok
             FROM documents
         """,
         "doc_rollup_1m": """

@@ -177,6 +177,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_gapfill_1m",
         "events_reject_lane",
         "doc_token_count",
+        "doc_token_count_bpe",
         "doc_rollup_1m",
         "doc_quality",
         "doc_langid",
@@ -186,6 +187,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "f1_token_topk",
         "doc_exact_dedup",
         "doc_simhash",
+        "doc_simhash_near_dup",
         "doc_minhash_pairs",
         "doc_jaccard_pairs",
         "embedding_stats",

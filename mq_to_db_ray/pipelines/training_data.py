@@ -52,6 +52,32 @@ def token_count(sf_dir: str) -> Dataset:
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to RE2 syntax so BOTH Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all (RE2 engines) match
+# identically: a token is an optional leading space + a letter run, digit
+# run, or punctuation run; residual whitespace runs count as one token.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(sf_dir: str) -> Dataset:
+    """(doc_id, n_bpe_tok): token count under a BPE-ish regex pre-tokenizer
+    (the whitespace counter's sibling for byte-pair pipelines).  One
+    vectorized ``pc.count_substring_regex`` per batch — no Python loop."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPE_ISH_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tok": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def quality_score(sf_dir: str) -> Dataset:
     """Integer quality features: (doc_id, n_words, n_stop, stop_permille).
 
@@ -92,20 +118,56 @@ def quality_score(sf_dir: str) -> Dataset:
 
 
 def lang_id(sf_dir: str) -> Dataset:
-    """(doc_id, lang_pred) — n-gram/stopword heuristic (no SQL oracle)."""
+    """(doc_id, lang_pred) — stopword-vote heuristic (no SQL oracle),
+    vectorized: per language, DISTINCT matching words per row are counted
+    with ``pc.index_in`` + one np.unique over (row, word-index) codes; the
+    argmax tie-break (votes desc, language name asc) matches the scalar
+    reference kernel ``textstats.lang_id`` exactly (asserted in tests)."""
+    lang_words = {
+        "en": ["the", "and", "of", "to", "is", "a", "in", "that"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+        "fr": ["le", "la", "les", "et", "est", "une", "que"],
+    }
 
     def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        votes = np.zeros((n, len(lang_words)), dtype=np.int64)
+        for li, (_lang, ws) in enumerate(sorted(lang_words.items())):
+            idx = pc.index_in(flat, value_set=pa.array(ws))
+            iv = idx.to_numpy(zero_copy_only=False)  # float with NaN for miss
+            hit = ~np.isnan(iv)
+            codes = np.unique(
+                parent[hit] * len(ws) + iv[hit].astype(np.int64)
+            )
+            rows = codes // len(ws)
+            votes[:, li] = np.bincount(rows, minlength=n)
+        # argmax with (votes, lang-name) tie-break == scalar lang_id: max()
+        # over dict with key (votes[k], k) picks the LARGEST name on ties
+        names = sorted(lang_words)
+        best = np.zeros(n, dtype=np.int64)
+        rows_idx = np.arange(n)
+        for li in range(1, len(names)):
+            # >= prefers the later (larger) name on vote ties, matching
+            # max(..., key=(votes, name)) in the scalar kernel
+            better = votes[:, li] >= votes[rows_idx, best]
+            best = np.where(better, li, best)
+        pred = np.asarray(names, dtype=object)[best]
+        pred[votes.max(axis=1) == 0] = "unknown"
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_pred": pa.array(
-                    [ts.lang_id(t) for t in batch["text"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "lang_pred": pa.array(pred, type=pa.string()),
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def fingerprint(sf_dir: str) -> Dataset:
@@ -305,6 +367,100 @@ def simhash(sf_dir: str) -> Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_near_dup(
+    sf_dir: str, max_hamming: int = 3, bucket_cap: int = 4096
+) -> Dataset:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    hamming(simhash_a, simhash_b) <= ``max_hamming``.
+
+    EXACT by pigeonhole: the 64-bit sketch splits into max_hamming+1 bands,
+    so any pair within distance max_hamming agrees on at least one whole
+    band — banding by (band_id, band_value) finds every such pair with no
+    all-pairs scan.  Pairs are Hamming-verified inside their bucket (the
+    simhash rides the shuffle, no second lookup) and deduped across bands
+    with the shared hash-partition distinct.  ``bucket_cap`` guards a
+    degenerate band value shared by huge doc counts (same role as the
+    jaccard df cap)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    bands = max_hamming + 1
+    bits = 64 // bands
+    sh = simhash(sf_dir)
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        h = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for bi in range(bands):
+            val = (h >> np.uint64(bits * bi)) & np.uint64((1 << bits) - 1)
+            parts.append(
+                pa.table(
+                    {
+                        "band_id": pa.array(
+                            np.full(len(h), bi, dtype=np.int32)
+                        ),
+                        "band_val": pa.array(val.view(np.int64)),
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                        "simhash": b["simhash"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    banded = sh.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2 or g.num_rows > bucket_cap:
+            return empty
+        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        hs = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)[order]
+        ai, bi = np.triu_indices(len(ids), 1)
+        x = hs[ai] ^ hs[bi]
+        # vectorized popcount: 8 bytes per xor, table-free via unpackbits
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+            axis=1
+        ).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ai[keep]], type=pa.int64()),
+                "doc_b": pa.array(ids[bi[keep]], type=pa.int64()),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    cands = banded.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_xor(
+            pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())), b["doc_b"]
+        )
+        return b.append_column("pair_key", pc.cast(h, pa.int64()))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["pair_key"])
+            .group_by(["doc_a", "doc_b", "hamming"], use_threads=False)
+            .aggregate([])
+        )
+
+    return hash_partition_merge(
+        cands.map_batches(add_key, batch_format="pyarrow"), "pair_key", distinct
+    )
 
 
 def minhash_lsh_pairs(

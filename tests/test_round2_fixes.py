@@ -285,6 +285,45 @@ def test_envelope_metadata_columns_ride_through():
     assert rejects.schema.names == ["doc_id", "source", "reason", "detail"]
 
 
+def test_simhash_near_dup_exact_by_pigeonhole(ray_session):
+    """Banded SimHash near-dup must find EXACTLY the brute-force Hamming
+    pairs (pigeonhole: hamming <= 3 implies one of 4 bands agrees)."""
+    from mq_to_db_ray.pipelines import training_data as td
+
+    sf = "/root/testdata/sf0.01"
+    hs = td.simhash(sf).to_pandas().sort_values("doc_id")
+    ids = hs["doc_id"].to_numpy()
+    h = hs["simhash"].to_numpy().view(np.uint64)
+    ai, bi = np.triu_indices(len(ids), 1)
+    x = h[ai] ^ h[bi]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    want = {
+        (int(ids[a]), int(ids[b]), int(d))
+        for a, b, d in zip(ai[ham <= 3], bi[ham <= 3], ham[ham <= 3])
+    }
+    got_df = td.simhash_near_dup(sf).to_pandas()
+    got = set(
+        zip(got_df["doc_a"], got_df["doc_b"], got_df["hamming"])
+    )
+    assert got == want and len(want) > 0
+
+
+def test_lang_id_vectorized_matches_scalar(ray_session):
+    from mq_to_db_ray.functions import textstats as ts
+    from mq_to_db_ray.pipelines import training_data as td
+    import pyarrow.parquet as _pq
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        td.lang_id(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    docs = _pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = [ts.lang_id(t) for t in docs["text"]]
+    assert got["lang_pred"].tolist() == want
+
+
 def test_cosine_topk_custom_id_col(ray_session):
     import ray.data as rd
 
