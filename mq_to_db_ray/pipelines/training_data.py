@@ -970,28 +970,78 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
-def ann_lsh_topk(sf_dir: str, k: int = 10, n_planes: int = 6) -> pa.Table:
-    """LSH-bucketed ANN (the scale path): only the query's bucket is
-    exact-scored.  Approximate by construction — rows-only check."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+def ann_lsh_topk(
+    sf_dir: str, k: int = 10, n_planes: int = 4, n_tables: int = 16,
+    seed: int = 42,
+) -> pa.Table:
+    """Multi-table LSH ANN (the scale path): the query's bucket in each of
+    L independent hyperplane tables is collected, the candidate union is
+    exact-rescored, top-k returned.  Candidate recall is 1-(1-s^p)^L per
+    true neighbor (vs s^p single-table).  Approximate by construction —
+    rows-only check; recall vs exact asserted in tests."""
+    from ..functions.similarity import _normalize, lsh_bucket_ids
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     first = emb.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0].as_py())
-    planes = make_planes(dim, n_planes)
-    planes_ref = ray.put(planes)
-    bucketed = emb.map_batches(
-        LshBucketer(planes_ref), batch_format="pyarrow", batch_size=4096
-    )
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     q = None
     for batch in emb.iter_batches(batch_format="pyarrow", batch_size=4096):
         m = pc.equal(batch["vec_id"], 0)
         if pc.any(m).as_py():
-            q = np.asarray(batch.filter(m)["embedding"].to_pylist()[0], dtype=np.float64)
+            q = np.asarray(
+                batch.filter(m)["embedding"].to_pylist()[0], dtype=np.float64
+            )
             break
-    from ..functions.similarity import lsh_bucket_ids, _normalize
+    qn = _normalize(q[None, :])
+    qbuckets = np.array(
+        [int(lsh_bucket_ids(qn, planes[t])[0]) for t in range(n_tables)],
+        dtype=np.int64,
+    )
+    planes_ref = ray.put(planes)
+    qb_ref = ray.put(qbuckets)
 
-    qb = int(lsh_bucket_ids(_normalize(q[None, :]), planes)[0])
-    cand = bucketed.filter(expr=f"lsh_bucket == {qb} and vec_id != 0")
-    top = cosine_topk(cand.drop_columns(["lsh_bucket"]), q[None, :], k=k).to_pandas()
+    memo: dict = {}
+
+    def candidate_ids(batch: pa.Table) -> pa.Table:
+        """Emits the vec_ids landing in ANY table's query bucket; the
+        planes/buckets broadcast is ray.get'd once per worker (memo)."""
+        from ..functions.similarity import _batch_matrix
+
+        pq_ = memo.get("pq")
+        if pq_ is None:
+            pq_ = (ray.get(planes_ref), ray.get(qb_ref))
+            memo["pq"] = pq_
+        planes_w, qb_w = pq_
+        m = _normalize(_batch_matrix(batch, "embedding"))
+        hit = np.zeros(len(m), dtype=bool)
+        for t in range(planes_w.shape[0]):
+            hit |= lsh_bucket_ids(m, planes_w[t]) == qb_w[t]
+        return pa.table({"vec_id": batch["vec_id"].filter(pa.array(hit))})
+
+    # candidate ids are tiny (union of L buckets) — collected, broadcast,
+    # and the rescore streams over the original vectors with one is_in
+    cand_parts = [
+        b["vec_id"].to_numpy(zero_copy_only=False)
+        for b in emb.map_batches(
+            candidate_ids, batch_format="pyarrow", batch_size=4096
+        ).iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(cand_parts))
+        if cand_parts
+        else np.array([], np.int64)
+    )
+    cand_set = pa.array(cand_ids[cand_ids != 0], type=pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["vec_id"], value_set=cand_set))
+
+    cand = emb.map_batches(pick, batch_format="pyarrow")
+    top = cosine_topk(cand, q[None, :], k=k).to_pandas()
     return pa.table(
         {
             "vec_id": pa.array(top["vec_id"].astype("int64")),

@@ -17,10 +17,14 @@ def quiesce_ray_data_stats() -> None:
     session (tests, bench, CLI); harmless if Ray Data was never used.
     """
     try:
+        import time
+
         from ray.data._internal.stats import StatsManager
 
         with StatsManager._stats_lock:
             StatsManager._last_execution_stats.clear()
             StatsManager._last_iteration_stats.clear()
+        # let an already-in-flight update RPC finish before shutdown starts
+        time.sleep(0.25)
     except Exception:
         pass

@@ -308,6 +308,18 @@ def test_simhash_near_dup_exact_by_pigeonhole(ray_session):
     assert got == want and len(want) > 0
 
 
+def test_ann_lsh_multitable_recall(ray_session):
+    """Multi-table LSH ANN must return a full top-k with decent recall
+    (deterministic planes: 0.9/0.7 at sf0.001/sf0.01 with p=4, L=16)."""
+    from mq_to_db_ray.pipelines.training_data import ann_lsh_topk, ann_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = set(ann_topk(sf, k=10).to_pandas()["vec_id"])
+    lsh = ann_lsh_topk(sf, k=10).to_pandas()
+    assert len(lsh) == 10
+    assert len(exact & set(lsh["vec_id"])) / 10 >= 0.5
+
+
 def test_lang_id_vectorized_matches_scalar(ray_session):
     from mq_to_db_ray.functions import textstats as ts
     from mq_to_db_ray.pipelines import training_data as td
