@@ -111,6 +111,38 @@ def doc_fingerprint(text: str, window: int = 8) -> int:
     return best
 
 
+_FP_BASE = 1099511628211
+_FP_POWERS: dict[int, np.ndarray] = {}
+
+
+def doc_fingerprint_fast(
+    text: str, window: int = 8, hasher: WordHasher | None = None
+) -> int:
+    """``doc_fingerprint`` with the rolling polynomial evaluated as one
+    numpy expression (window shifted-slices × precomputed base powers,
+    wrapping uint64) — value-identical to the scalar reference (asserted in
+    tests); the short-document path delegates to it."""
+    words = text.split(" ")
+    n = len(words)
+    if n <= window:
+        return doc_fingerprint(text, window)
+    hh = hasher or word_hash64
+    hv = np.fromiter((hh(w) for w in words), dtype=np.uint64, count=n)
+    p = _FP_POWERS.get(window)
+    if p is None:
+        p = np.array(
+            [pow(_FP_BASE, window - 1 - j, 1 << 64) for j in range(window)],
+            dtype=np.uint64,
+        )
+        _FP_POWERS[window] = p
+    m = n - window + 1
+    with np.errstate(over="ignore"):
+        acc = hv[0:m] * p[0]
+        for j in range(1, window):
+            acc = acc + hv[j : j + m] * p[j]
+    return int(acc.min())
+
+
 def simhash(text: str, bits: int = 64, hasher: WordHasher | None = None) -> int:
     """64-bit SimHash over word hashes (Charikar 2002, public).
 

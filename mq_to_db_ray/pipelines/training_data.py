@@ -9,8 +9,6 @@ names match the corresponding entry in ``__ray_entry__.oracle_sql`` exactly
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -171,13 +169,18 @@ def lang_id(sf_dir: str) -> Dataset:
 
 
 def fingerprint(sf_dir: str) -> Dataset:
-    """(doc_id, fp) rolling-hash winnowing fingerprint (int64, wrapped)."""
+    """(doc_id, fp) rolling-hash winnowing fingerprint (int64, wrapped) —
+    numpy rolling polynomial per doc, unique words hashed once per batch."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        fps = [
-            np.int64(np.uint64(ts.doc_fingerprint(t)))
-            for t in batch["text"].to_pylist()
-        ]
+        hasher = ts.WordHasher()
+        fps = np.array(
+            [
+                ts.doc_fingerprint_fast(t, hasher=hasher)
+                for t in batch["text"].to_pylist()
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.int64())}
         )
@@ -477,21 +480,42 @@ def minhash_lsh_pairs(
     a, b = ts.minhash_params(num_perm)
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        """Signatures per doc (numpy over shingles), then ALL band hashes in
+        one vectorized polynomial combine over the (docs × perms) matrix —
+        band equality semantics are unchanged (equal 64-bit segments →
+        equal hash; cross-collisions are 2^-64 birthday noise)."""
         hasher = ts.WordHasher()
-        doc_ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = ts.minhash_signature(ts.shingles(text, hasher=hasher), a, b)
-            for bi in range(bands):
-                seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                doc_ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(bh, "big") - (1 << 63))
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        sigs = np.stack(
+            [
+                ts.minhash_signature(ts.shingles(t, hasher=hasher), a, b)
+                for t in texts
+            ]
+        )  # (docs, num_perm) uint64
+        n = len(texts)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                cols = [bi * rows_per_band + r for bi in range(bands)]
+                bh = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ sigs[:, cols]
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, bands), type=pa.int64()
+                ),
+                "band_id": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 

@@ -308,6 +308,19 @@ def test_simhash_near_dup_exact_by_pigeonhole(ray_session):
     assert got == want and len(want) > 0
 
 
+def test_fingerprint_fast_matches_scalar():
+    import pyarrow.parquet as _pq
+
+    from mq_to_db_ray.functions import textstats as ts
+
+    texts = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()[:100]
+    h = ts.WordHasher()
+    for t in texts + ["", "one", "a b c", "a b c d e f g h", "x " * 50]:
+        assert ts.doc_fingerprint_fast(t, hasher=h) == ts.doc_fingerprint(t)
+
+
 def test_ann_lsh_multitable_recall(ray_session):
     """Multi-table LSH ANN must return a full top-k with decent recall
     (deterministic planes: 0.9/0.7 at sf0.001/sf0.01 with p=4, L=16)."""
