@@ -66,6 +66,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         validate_concurrency=cfg.dispatcher.storage_workers,
         raw_partition_cols=cfg.sink.raw_partition_cols,
         read_blocks=cfg.dispatcher.consumer_concurrency,
+        window_buckets=args.window_buckets,
     )
     out = {k: v for k, v in summary.items() if k != "tiers"}
     print(json.dumps(out))
@@ -146,6 +147,9 @@ def main(argv: list[str] | None = None) -> int:
                       help="input parquet file/dir (repeatable)")
     runp.add_argument("--out", default=None, help="output directory")
     runp.add_argument("--num-cpus", type=int, default=None)
+    runp.add_argument("--window-buckets", type=int, default=None,
+                      help="buckets per fill/encode/commit window (layout "
+                           "parameter — pinned per out_dir on first run)")
     runp.set_defaults(fn=cmd_run)
 
     showp = sub.add_parser("show-config", help="print merged config")

@@ -262,6 +262,11 @@ def run_cascade(
         else:
             input_paths = [input_paths]
     manifest = Manifest(out_dir)
+    from ..stages.gapfill import DEFAULT_WINDOW_BUCKETS
+
+    manifest.pin_layout(
+        window_buckets=window_buckets or DEFAULT_WINDOW_BUCKETS
+    )
     manifest.gc_staging()
     manifest.claim_run(run_id)
     sink = MetricsSink(out_dir, run_id)

@@ -151,6 +151,31 @@ class Manifest:
         _fsync_dir(self.mdir)
         return final_path
 
+    def pin_layout(self, **kv) -> None:
+        """Persist layout-affecting parameters (e.g. window_buckets) on
+        first use and REFUSE a run whose parameters differ: partition names
+        derive from them, so a changed value would commit a second,
+        differently-named copy of the same data beside the old one and
+        every merged view would double-count."""
+        p = os.path.join(self.mdir, "layout.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                pinned = json.load(f)
+            if pinned != kv:
+                raise ValueError(
+                    f"layout mismatch for {self.out_dir}: pinned {pinned}, "
+                    f"run requested {kv} — changing layout parameters over "
+                    "an existing out_dir would double-count; use a new "
+                    "out_dir (or compact+migrate)"
+                )
+            return
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(kv, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
     def staging_path(self, run_id: str, relpath: str) -> str:
         p = os.path.join(self.out_dir, STAGING_DIR, run_id, relpath)
         os.makedirs(os.path.dirname(p), exist_ok=True)

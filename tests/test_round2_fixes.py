@@ -10,6 +10,7 @@ import threading
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 
 def test_pid_alive_eperm_means_alive(monkeypatch):
@@ -306,6 +307,22 @@ def test_simhash_near_dup_exact_by_pigeonhole(ray_session):
         zip(got_df["doc_a"], got_df["doc_b"], got_df["hamming"])
     )
     assert got == want and len(want) > 0
+
+
+def test_layout_pin_refuses_changed_window(ray_session, tmp_path):
+    """window_buckets is a layout parameter: re-running an out_dir with a
+    different value would commit differently-named copies of the same data
+    and double-count every view — the manifest pin must refuse it."""
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+
+    in_dir = str(tmp_path / "in")
+    write_f1_parquet(in_dir, 2_000, shards=2, max_tok=8)
+    out = str(tmp_path / "out")
+    run_cascade(in_dir, out, window_buckets=64)
+    run_cascade(in_dir, out, window_buckets=64)  # same layout: fine
+    with pytest.raises(ValueError, match="layout mismatch"):
+        run_cascade(in_dir, out, window_buckets=128)
 
 
 def test_fingerprint_fast_matches_scalar():
