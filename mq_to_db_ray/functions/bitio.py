@@ -93,26 +93,30 @@ class BitWriter:
 
 
 class BitReader:
-    __slots__ = ("_data", "_pos")
+    """Word-buffered MSB-first reader: refills an accumulator 8 bytes at a
+    time (one ``int.from_bytes`` per 64 bits instead of per-byte loops), so
+    short control-prefix reads are a shift+mask."""
+
+    __slots__ = ("_data", "_pos", "_acc", "_n")
 
     def __init__(self, data: bytes) -> None:
         self._data = data
-        self._pos = 0  # bit position
+        self._pos = 0  # byte position of the next refill
+        self._acc = 0
+        self._n = 0  # bits currently buffered in _acc
 
     def read(self, bits: int) -> int:
-        out = 0
-        pos = self._pos
-        data = self._data
-        end = pos + bits
-        if end > len(data) * 8:
-            raise EOFError("bit stream exhausted")
-        while bits > 0:
-            byte = data[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(avail, bits)
-            shift = avail - take
-            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
-            pos += take
-            bits -= take
-        self._pos = pos
+        acc = self._acc
+        n = self._n
+        while n < bits:
+            chunk = self._data[self._pos : self._pos + 8]
+            if not chunk:
+                raise EOFError("bit stream exhausted")
+            acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            n += 8 * len(chunk)
+            self._pos += len(chunk)
+        shift = n - bits
+        self._n = shift
+        out = acc >> shift
+        self._acc = acc & ((1 << shift) - 1)
         return out

@@ -105,6 +105,8 @@ class TierPartitionWriter:
         else:
             filled = group.take(pa.compute.sort_indices(group["bucket_ts"]))
             source = filled["source"][0].as_py()
+        if filled.num_rows == 0:  # e.g. marker-only window with gap=False
+            return _metrics_schema().empty_table()
         ts = filled["bucket_ts"].cast(pa.int64())
         lo = (ts[0].as_py() - T0_US) // (tier_s * 1_000_000)
         hi = (ts[-1].as_py() - T0_US) // (tier_s * 1_000_000)
