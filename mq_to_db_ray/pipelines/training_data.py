@@ -414,7 +414,10 @@ def simhash_near_dup(
 
     banded = sh.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    def partition_pairs(g: pa.Table) -> pa.Table:
+        """All (band_id, band_val) buckets of one hash partition at once:
+        lexsorted runs + per-run triu pairs — NOT a Ray groupby per bucket
+        (its sort path degrades at #docs x bands group cardinality)."""
         empty = pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
@@ -422,13 +425,29 @@ def simhash_near_dup(
                 "hamming": pa.array([], pa.int64()),
             }
         )
-        if g.num_rows < 2 or g.num_rows > bucket_cap:
+        if g.num_rows < 2:
             return empty
-        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False))
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)[order]
-        hs = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)[order]
-        ai, bi = np.triu_indices(len(ids), 1)
-        x = hs[ai] ^ hs[bi]
+        bid = g["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bval = g["band_val"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, bval, bid))
+        bid, bval, ids, hs = bid[order], bval[order], ids[order], hs[order]
+        new = np.r_[True, (bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ids)]
+        pa_l, pb_l, x_l = [], [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2 or d > bucket_cap:
+                continue
+            ai, bi = np.triu_indices(d, 1)
+            pa_l.append(ids[s:e][ai])
+            pb_l.append(ids[s:e][bi])
+            x_l.append(hs[s:e][ai] ^ hs[s:e][bi])
+        if not pa_l:
+            return empty
+        x = np.concatenate(x_l)
         # vectorized popcount: 8 bytes per xor, table-free via unpackbits
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
             axis=1
@@ -438,15 +457,13 @@ def simhash_near_dup(
             return empty
         return pa.table(
             {
-                "doc_a": pa.array(ids[ai[keep]], type=pa.int64()),
-                "doc_b": pa.array(ids[bi[keep]], type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(pa_l)[keep], type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(pb_l)[keep], type=pa.int64()),
                 "hamming": pa.array(ham[keep]),
             }
         )
 
-    cands = banded.groupby(["band_id", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    cands = hash_partition_merge(banded, "band_val", partition_pairs)
 
     def add_key(b: pa.Table) -> pa.Table:
         h = pc.bit_wise_xor(
@@ -523,23 +540,42 @@ def minhash_lsh_pairs(
         to_bands, batch_format="pyarrow"
     )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        if not pairs:
-            return pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
-            ).empty_table()
+    from ..stages.shuffle import hash_partition_merge
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        """All (band_id, band_hash) buckets of one hash partition at once:
+        lexsorted runs + per-run triu pairs, fully numpy (no Ray groupby per
+        bucket — its sort path degrades at #docs x bands cardinality)."""
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if g.num_rows < 2:
+            return empty
+        bid = g["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = g["band_hash"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        new = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ids)]
+        pa_l, pb_l = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, 1)
+            pa_l.append(ids[s:e][ai])
+            pb_l.append(ids[s:e][bi])
+        if not pa_l:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "doc_a": pa.array(np.concatenate(pa_l), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(pb_l), type=pa.int64()),
             }
         )
 
-    candidates = banded.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pyarrow"
-    )
+    candidates = hash_partition_merge(banded, "band_hash", emit_pairs)
 
     # dedup candidate pairs (same pair can fire in several bands) with a
     # hash-partitioned Arrow distinct (NOT Dataset.groupby — its sort path
@@ -547,8 +583,6 @@ def minhash_lsh_pairs(
     # DISTRIBUTED.  Only CANDIDATE texts are broadcast (the LSH-pruned pair
     # set is tiny relative to the corpus), so per-actor memory is
     # O(candidates), not O(corpus).
-    from ..stages.shuffle import hash_partition_merge
-
     def add_pair_key(b: pa.Table) -> pa.Table:
         h = pc.bit_wise_xor(
             pc.multiply(b["doc_a"], pa.scalar(2654435761, pa.int64())), b["doc_b"]
