@@ -66,7 +66,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         validate_concurrency=cfg.dispatcher.storage_workers,
         raw_partition_cols=cfg.sink.raw_partition_cols,
         read_blocks=cfg.dispatcher.consumer_concurrency,
-        window_buckets=args.window_buckets,
+        window_buckets=args.window_buckets or cfg.sink.window_buckets,
     )
     out = {k: v for k, v in summary.items() if k != "tiers"}
     print(json.dumps(out))

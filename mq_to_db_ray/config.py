@@ -31,6 +31,9 @@ class SinkConfig:
     out_dir: str = "./out"
     raw_partition_cols: list[str] | None = None
     tiers: list[str] = field(default_factory=lambda: ["1m", "1h", "1d"])
+    # buckets per fill/encode/commit window (layout parameter — pinned per
+    # out_dir on first run); None = stages.gapfill.DEFAULT_WINDOW_BUCKETS
+    window_buckets: int | None = None
 
 
 @dataclass

@@ -114,19 +114,32 @@ def source_extents(rolled: Dataset) -> pa.Table:
             {"source": g["source"], "lo_us": g["ts_min"], "hi_us": g["ts_max"]}
         )
 
-    parts = [
-        b
-        for b in rolled.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
+    def merge(parts: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(parts)
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("lo_us", "min"), ("hi_us", "max")]
         )
-    ]
-    t = pa.concat_tables(parts) if parts else partial(sch.empty(sch.ROLLUP))
-    g = t.group_by("source", use_threads=False).aggregate(
-        [("lo_us", "min"), ("hi_us", "max")]
-    )
-    return pa.table(
-        {"source": g["source"], "lo_us": g["lo_us_min"], "hi_us": g["hi_us_max"]}
-    )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lo_us": g["lo_us_min"],
+                "hi_us": g["hi_us_max"],
+            }
+        )
+
+    # incremental driver-side merge: fold every 64 streamed partials so
+    # resident rows stay O(#sources + 64 x per-block partial), not
+    # O(#blocks x #sources)
+    parts: list[pa.Table] = []
+    for b in rolled.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        parts.append(b)
+        if len(parts) >= 64:
+            parts = [merge(parts)]
+    if not parts:
+        parts = [partial(sch.empty(sch.ROLLUP))]
+    return merge(parts)
 
 
 def coarsen_extents(ext: pa.Table, tier_s: int) -> pa.Table:
