@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_meta": td.multimodal_meta,
         "multimodal_features": td.multimodal_features,
+        "multimodal_frame_sample": td.multimodal_frame_sample,
     }
 
 
@@ -621,5 +622,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
                    'unknown' AS kind
             FROM documents
+        """,
+        "multimodal_frame_sample": """
+            WITH p AS (SELECT doc_id,
+                              octet_length(encode(text)) AS total
+                       FROM documents),
+            f AS (SELECT doc_id, total,
+                         unnest(range(0, CAST(ceil(total / 64.0) AS BIGINT), 4))
+                             AS frame_idx
+                  FROM p WHERE total > 0)
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(least(64, total - frame_idx * 64) AS BIGINT) AS frame_len
+            FROM f
         """,
     }

@@ -197,6 +197,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_meta",
+        "multimodal_frame_sample",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -70,6 +70,57 @@ class PayloadMeta:
         )
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video payloads — codec STUB.
+
+    Real implementation opens the container once per actor (pyav/ffmpeg in
+    ``__init__``) and decodes every ``stride``-th frame in ``__call__``.
+    Not available here, so with ``fake=True`` the payload is treated as a
+    stream of ``frame_bytes``-sized frames and the sampled frames are BYTE
+    SLICES — a deterministic law (n_frames = ceil(len/frame_bytes); frame i
+    covers [i*fb, min((i+1)*fb, len))) simple enough for the DuckDB oracle
+    to reproduce, while the Ray-side plumbing (binary explode, small
+    batches, actor signature, output layout) is fully real.
+    """
+
+    def __init__(self, fake: bool = False, frame_bytes: int = 64, stride: int = 4):
+        if frame_bytes <= 0 or stride <= 0:
+            raise ValueError("frame_bytes and stride must be positive")
+        self.fake = fake
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video frame decode requires pyav/ffmpeg, not available in "
+                "this container; construct FrameSampler(fake=True) for the "
+                "deterministic byte-slice stub"
+            )
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        fb = self.frame_bytes
+        out_id, out_idx, out_frame = [], [], []
+        for did, p in zip(ids.to_pylist(), payloads):
+            b = p.as_py() or b""
+            n_frames = (len(b) + fb - 1) // fb
+            for i in range(0, n_frames, self.stride):
+                out_id.append(did)
+                out_idx.append(i)
+                out_frame.append(b[i * fb : (i + 1) * fb])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_payload": pa.array(out_frame, type=pa.binary()),
+            }
+        )
+
+
 class ImageDecodeStub:
     """Actor-pool decode stage — STUB.
 

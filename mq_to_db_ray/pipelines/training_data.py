@@ -1219,6 +1219,50 @@ def multimodal_features(sf_dir: str) -> Dataset:
     return feats.map_batches(norm, batch_format="pyarrow")
 
 
+def multimodal_frame_sample(
+    sf_dir: str, frame_bytes: int = 64, stride: int = 4
+) -> Dataset:
+    """The frame-sampling plumbing end to end with the deterministic
+    byte-slice stub (real codecs are stubbed per environment constraints):
+    binary payloads -> actor-pool FrameSampler -> per-frame rows.  Returns
+    (doc_id, frame_idx, frame_len) — SQL-checkable (the slicing law is pure
+    arithmetic over octet_length)."""
+    from ..functions.multimodal import FrameSampler
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = pa.array(
+            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "payload": payloads})
+
+    frames = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs=dict(
+                fake=True, frame_bytes=frame_bytes, stride=stride
+            ),
+            batch_format="pyarrow",
+            batch_size=512,  # small batches: binary rows are wide
+            concurrency=2,
+        )
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "frame_idx": b["frame_idx"],
+                "frame_len": pc.cast(
+                    pc.binary_length(b["frame_payload"]), pa.int64()
+                ),
+            }
+        )
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
 def multimodal_meta(sf_dir: str) -> Dataset:
     """Treat each document's utf-8 bytes as an opaque binary payload and run
     the (real) metadata stage of the multimodal path.
