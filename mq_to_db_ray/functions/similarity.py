@@ -83,8 +83,10 @@ class NearDupScorer:
     O(N²) overall — exact).  Emits (vec_a, vec_b, sim_permille) pairs with
     vec_a < vec_b and cosine >= threshold.
 
-    Scale path: at large N swap the broadcast matrix for LSH bucketing
-    (`LshBucketer` + per-bucket exact scoring) — same output contract."""
+    Scale path: at large N use ``near_dup_pairs_lsh`` (multi-table LSH
+    bucketing + per-bucket exact scoring, exposed as the
+    ``embedding_near_dup_lsh`` query) — same output contract, O(sum
+    bucket²) instead of O(N²)."""
 
     def __init__(self, mat_ref, ids_ref, threshold_permille: int,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
