@@ -56,8 +56,15 @@ def compact_tier(
     10^12-sequence scale), so no Ray session is required."""
     from ..stages.gapfill import DEFAULT_WINDOW_BUCKETS
 
-    wb = window_buckets or DEFAULT_WINDOW_BUCKETS
     manifest = Manifest(out_dir)
+    # respect the out_dir's PINNED window grid — folding across a custom
+    # pinned window boundary would produce partitions the writer could
+    # never have produced (and re-merge what windowing bounded)
+    wb = (
+        window_buckets
+        or manifest.layout().get("window_buckets")
+        or DEFAULT_WINDOW_BUCKETS
+    )
     run_id = uuid.uuid4().hex[:12]
     tier_s = TIERS[tier]
     live = {

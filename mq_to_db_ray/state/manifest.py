@@ -176,6 +176,14 @@ class Manifest:
             os.fsync(f.fileno())
         os.replace(tmp, p)
 
+    def layout(self) -> dict:
+        """The pinned layout parameters ({} before the first run)."""
+        p = os.path.join(self.mdir, "layout.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def staging_path(self, run_id: str, relpath: str) -> str:
         p = os.path.join(self.out_dir, STAGING_DIR, run_id, relpath)
         os.makedirs(os.path.dirname(p), exist_ok=True)

@@ -325,6 +325,42 @@ def test_layout_pin_refuses_changed_window(ray_session, tmp_path):
         run_cascade(in_dir, out, window_buckets=128)
 
 
+def test_compact_respects_pinned_window(ray_session, tmp_path):
+    """Compaction must fold within the out_dir's PINNED window grid, never
+    across it — two epochs of a source spanning 2 windows (pinned wb=16)
+    compact to one partition PER WINDOW, and the view is unchanged."""
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.compact import compact_tier
+    from mq_to_db_ray.pipelines.view import tier_view
+    from mq_to_db_ray.state.manifest import Manifest
+
+    in_dir = str(tmp_path / "in")
+    files = write_f1_parquet(in_dir, 12_000, shards=4, max_tok=8,
+                             layout="contiguous")
+    out = str(tmp_path / "out")
+    run_cascade(files[:2], out, window_buckets=16)
+    run_cascade(files[2:], out, window_buckets=16)
+    before = (
+        tier_view(out, "1m").to_pandas()
+        .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    )
+    compact_tier(out, "1m")  # no explicit wb: must pick up the pinned 16
+    m = Manifest(out)
+    live = [
+        e for e in m.committed("1m").values()
+        if not e["partition"].startswith("series__") and "bucket_lo" in e
+    ]
+    # every live partition stays inside one pinned window
+    for e in live:
+        assert e["bucket_lo"] // 16 == e["bucket_hi"] // 16, e["partition"]
+    after = (
+        tier_view(out, "1m").to_pandas()
+        .sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    )
+    assert after.equals(before)
+
+
 def test_fingerprint_fast_matches_scalar():
     import pyarrow.parquet as _pq
 
