@@ -119,3 +119,40 @@ def test_exact_dedup_partition_count(ray_session):
     n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
     assert t.dup_count.sum() == n_docs
     assert (t.dup_count >= 1).all()
+
+
+def test_minhash_50pct_dup_corpus_exact(ray_session, tmp_path):
+    """50%-duplicate corpus (candidate set ~ corpus-sized — the regime where
+    the round-2 broadcast-all-candidate-texts verify was O(corpus) per
+    actor).  The rewritten verify is partition-local by construction: shingle
+    sketches ride the doc_a/doc_b hash shuffles as union rows, so per-actor
+    state is O(partition).  This asserts correctness in that regime: every
+    exact-duplicate pair is found at jaccard 1000, and every reported pair's
+    jaccard is exact."""
+    import pyarrow as pa
+
+    from mq_to_db_ray.functions import textstats as ts
+    from mq_to_db_ray.pipelines.training_data import minhash_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    words = [f"w{i:03d}" for i in range(500)]
+    uniq_texts = [
+        " ".join(rng.choice(words, size=40, replace=True)) for _ in range(100)
+    ]
+    texts = uniq_texts + uniq_texts  # 50% exact duplicates
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+
+    pairs = minhash_lsh_pairs(str(tmp_path)).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs.doc_a, pairs.doc_b, pairs.jaccard_permille)}
+    # every exact-dup pair must be found (identical text -> all bands match)
+    for i in range(100):
+        assert got.get((i, i + 100)) == 1000, (i, got.get((i, i + 100)))
+    # and every reported pair is the true jaccard
+    for (a, b), j in got.items():
+        truth = ts.jaccard(set(ts.shingles(texts[a])), set(ts.shingles(texts[b])))
+        assert int(truth * 1000) == j
+        assert j >= 300
