@@ -183,6 +183,51 @@ class TierPartitionWriter:
         pq.write_table(t, f"{self.reject_dir}/commit-{key}.parquet")
 
 
+class ValidateAssignWriteRaw(ValidateAssign):
+    """Fused stage-A worker: validate+assign (E1/E2), write the raw shard
+    in-task (E8 staging), and RETURN the finest-tier rollup partials.
+
+    This folds the stage-B combiner into the stage-A pass — ValidateAssign
+    already touches every row — so the rollup overlaps the bandwidth-bound
+    raw write and nothing re-reads the raw tier afterwards.  Retry-safe:
+    the shard file name is a content key (first/last doc_id, row count, seq
+    sum), so a re-executed task overwrites its own file; the staging dir is
+    only renamed into the tier after the whole pass completes."""
+
+    def __init__(self, reject_dir: str | None, staging: str, tier_s: int):
+        super().__init__(reject_dir)
+        self.staging = staging
+        self.tier_s = tier_s
+        self._made = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import partial_rollup_batch
+
+        valid = super().__call__(batch)
+        if valid.num_rows:
+            import hashlib
+
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            if not self._made:
+                os.makedirs(self.staging, exist_ok=True)
+                self._made = True
+            key = hashlib.blake2b(
+                "|".join(
+                    (
+                        valid["doc_id"][0].as_py(),
+                        valid["doc_id"][-1].as_py(),
+                        str(valid.num_rows),
+                        str(pc.sum(valid["seq"]).as_py() or 0),
+                    )
+                ).encode(),
+                digest_size=8,
+            ).hexdigest()
+            pq.write_table(valid, f"{self.staging}/part-{key}.parquet")
+        return partial_rollup_batch(valid, self.tier_s)
+
+
 def _metrics_schema() -> pa.Schema:
     return pa.schema(
         [
@@ -276,9 +321,14 @@ def run_cascade(
     raw_dir = os.path.join(out_dir, f"tier=raw/epoch={epoch}")
     reject_dir = os.path.join(out_dir, f"rejects/epoch={epoch}")
 
-    # ---- stage A: ingest → validate → raw tier (the only full-data pass) ----
+    # ---- stage A: ingest → validate → raw tier + fused 1m partials ----
+    # (the only full-data pass)
     t0 = time.perf_counter()
     raw_part = f"epoch={epoch}"
+    from ..stages.gapfill import coarsen_extents, source_extents
+    from ..stages.rollup import _merge_partials
+
+    m1 = None
     if not skip_raw and not manifest.is_committed("raw", raw_part):
         # One block per input file so read→validate→write FUSE into a single
         # task-pool chain: the wide tokens column never round-trips the
@@ -293,38 +343,62 @@ def run_cascade(
             list(input_paths),
             override_num_blocks=max(len(input_paths), read_blocks),
         )
-        va = ValidateAssign(reject_dir)
-        if validate_concurrency:
-            validated = ds.map_batches(
-                va,
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=validate_concurrency,
-                zero_copy_batch=True,
-            )
-        else:
-            validated = ds.map_batches(
-                lambda b: va(b),
-                batch_format="pyarrow",
-                batch_size=None,
-                zero_copy_batch=True,
-            )
         staging = os.path.join(out_dir, "_staging", run_id, "raw")
-        # default layout: one file per write task under epoch=<fingerprint>
-        # (resume granularity = epoch; per-source dirs cost a full extra
-        # copy of the wide tokens column, so they're opt-in)
-        validated.write_parquet(staging, partition_cols=raw_partition_cols)
+        if raw_partition_cols is None:
+            # Default (fused-partials) path: each stage-A task writes its own
+            # raw shard and EMITS the 1m partial aggregates, so the rollup
+            # overlaps the bandwidth-bound write and stage B starts from
+            # partials instead of re-reading the raw tier.  The raw dir is
+            # committed only after the full pass (m1 materialize) completes.
+            vaw = ValidateAssignWriteRaw(reject_dir, staging, TIERS["1m"])
+            if validate_concurrency:
+                partials = ds.map_batches(
+                    vaw,
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    concurrency=validate_concurrency,
+                    zero_copy_batch=True,
+                )
+            else:
+                partials = ds.map_batches(
+                    lambda b: vaw(b),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+            m1 = _merge_partials(partials, TIERS["1m"]).materialize()
+        else:
+            # Opt-in per-source raw layout costs a full extra copy of the
+            # wide tokens column and a separate rollup pass over the
+            # committed tier (below).
+            va = ValidateAssign(reject_dir)
+            if validate_concurrency:
+                validated = ds.map_batches(
+                    va,
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    concurrency=validate_concurrency,
+                    zero_copy_batch=True,
+                )
+            else:
+                validated = ds.map_batches(
+                    lambda b: va(b),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+            validated.write_parquet(staging, partition_cols=raw_partition_cols)
         os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
         _commit_raw_dir(manifest, staging, raw_dir, raw_part, epoch)
     raw_wall = time.perf_counter() - t0
 
-    # ---- stage B: narrow re-read → 1m → 1h → 1d (rolled-up data only) ----
-    # big batches for the narrow (source,seq,n_tok) projection: the per-batch
-    # combiner contracts to <=|keys| rows, so larger batches shuffle less
-    narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
-    from ..stages.gapfill import coarsen_extents, source_extents
-
-    m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
+    # ---- stage B: 1m → 1h → 1d (rolled-up data only) ----
+    if m1 is None:
+        # resume / skip_raw / partitioned-raw paths: narrow column-pruned
+        # re-read of the committed raw tier.  Big batches: the per-batch
+        # combiner contracts to <=|keys| rows, so larger batches shuffle less
+        narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
+        m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
     # per-source extents computed ONCE from the 1m tier; the cascaded
     # tiers' extents are exact floor-coarsenings (no extra passes)
     ext1 = source_extents(m1)
