@@ -23,7 +23,6 @@ MULTIMODAL_META = pa.schema(
     [
         ("doc_id", pa.int64()),
         ("payload_bytes", pa.int64()),
-        ("content_hash", pa.string()),
         ("kind", pa.string()),  # sniffed from magic bytes: png/jpeg/wav/unknown
     ]
 )
@@ -43,31 +42,69 @@ def sniff_kind(payload: bytes) -> str:
     return "unknown"
 
 
+def sniff_kinds(payloads: pa.Array) -> pa.Array:
+    """Vectorized ``sniff_kind`` over a binary column: one ``binary_slice``
+    + ``equal`` chain per magic instead of a per-row Python loop."""
+    import pyarrow.compute as pc
+
+    kind = pa.scalar("unknown")
+    for magic, k in reversed(_MAGIC):
+        sl = pc.binary_slice(payloads, 0, len(magic))
+        kind = pc.if_else(pc.equal(sl, magic), pa.scalar(k), kind)
+    return pc.fill_null(kind, "unknown")
+
+
+def _binary_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets int64, data uint8) view of a binary array (nulls
+    not supported — callers produce non-null payload columns)."""
+    if pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8
+    )
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return offs, data
+
+
 class PayloadMeta:
-    """Actor-pool stage: binary payload -> typed metadata row (real)."""
+    """Actor-pool stage: binary payload -> typed metadata row (real).
+
+    ``with_hash=True`` adds a per-payload blake2b content_hash column —
+    opt-in because it is a per-row Python hash loop and the default
+    consumers don't use it (round-2 verdict: paid for and dropped)."""
+
+    def __init__(self, with_hash: bool = False):
+        self.with_hash = with_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        sizes = pa.compute.binary_length(payloads).cast(pa.int64())
-        hashes = []
-        kinds = []
-        for p in payloads:
-            b = p.as_py() or b""
-            hashes.append(hashlib.blake2b(b, digest_size=8).hexdigest())
-            kinds.append(sniff_kind(b))
-        return pa.Table.from_arrays(
-            [
-                batch["doc_id"].combine_chunks()
-                if isinstance(batch["doc_id"], pa.ChunkedArray)
-                else batch["doc_id"],
-                sizes,
-                pa.array(hashes, type=pa.string()),
-                pa.array(kinds, type=pa.string()),
-            ],
-            schema=MULTIMODAL_META,
+        sizes = pc.cast(pc.binary_length(payloads), pa.int64())
+        ids = (
+            batch["doc_id"].combine_chunks()
+            if isinstance(batch["doc_id"], pa.ChunkedArray)
+            else batch["doc_id"]
         )
+        out = pa.Table.from_arrays(
+            [ids, sizes, sniff_kinds(payloads)], schema=MULTIMODAL_META
+        )
+        if self.with_hash:
+            hashes = [
+                hashlib.blake2b(p.as_py() or b"", digest_size=8).hexdigest()
+                for p in payloads
+            ]
+            out = out.append_column(
+                "content_hash", pa.array(hashes, type=pa.string())
+            )
+        return out
 
 
 class FrameSampler:
@@ -103,20 +140,39 @@ class FrameSampler:
         ids = batch["doc_id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        fb = self.frame_bytes
-        out_id, out_idx, out_frame = [], [], []
-        for did, p in zip(ids.to_pylist(), payloads):
-            b = p.as_py() or b""
-            n_frames = (len(b) + fb - 1) // fb
-            for i in range(0, n_frames, self.stride):
-                out_id.append(did)
-                out_idx.append(i)
-                out_frame.append(b[i * fb : (i + 1) * fb])
+        fb, stride = self.frame_bytes, self.stride
+        # Fully vectorized byte-slice sampling: frame boundaries and the
+        # gathered value buffer are numpy expressions over the payload
+        # column's (offsets, data) view — no per-row Python loop.
+        offs, data = _binary_np(payloads)
+        lens = offs[1:] - offs[:-1]
+        n_frames = (lens + fb - 1) // fb
+        counts = (n_frames + stride - 1) // stride  # sampled frames per doc
+        total = int(counts.sum())
+        doc_pos = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
+        first = np.cumsum(counts) - counts
+        frame_i = (np.arange(total, dtype=np.int64) - np.repeat(first, counts)) * stride
+        fstart = offs[:-1][doc_pos] + frame_i * fb
+        fend = np.minimum(fstart + fb, offs[1:][doc_pos])
+        flens = fend - fstart
+        nbytes = int(flens.sum())
+        intra = np.arange(nbytes, dtype=np.int64) - np.repeat(
+            np.cumsum(flens) - flens, flens
+        )
+        vals = data[np.repeat(fstart, flens) + intra]
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(flens, out=out_off[1:])
+        frames = pa.Array.from_buffers(
+            pa.large_binary(),
+            total,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(vals.tobytes())],
+        ).cast(pa.binary())
+        ids_np = ids.to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "frame_idx": pa.array(out_idx, type=pa.int64()),
-                "frame_payload": pa.array(out_frame, type=pa.binary()),
+                "doc_id": pa.array(ids_np[doc_pos], type=pa.int64()),
+                "frame_idx": pa.array(frame_i, type=pa.int64()),
+                "frame_payload": frames,
             }
         )
 

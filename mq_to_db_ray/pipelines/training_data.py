@@ -1244,6 +1244,14 @@ def embedding_stats(sf_dir: str) -> Dataset:
 # ---------------- multimodal ----------------
 
 
+def _to_payload(batch: pa.Table) -> pa.Table:
+    """text -> opaque binary payload, zero-copy (utf-8 string and binary
+    share the same Arrow buffer layout — no per-row encode loop)."""
+    return pa.table(
+        {"doc_id": batch["doc_id"], "payload": pc.cast(batch["text"], pa.binary())}
+    )
+
+
 def multimodal_features(sf_dir: str) -> Dataset:
     """The multimodal decode/feature-extract plumbing end to end with the
     deterministic fake decoder (real decode libs are stubbed per
@@ -1251,15 +1259,9 @@ def multimodal_features(sf_dir: str) -> Dataset:
     fixed-size feature vectors.  Returns (doc_id, feat_norm_permille)."""
     from ..functions.multimodal import ImageDecodeStub
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = pa.array(
-            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
-        )
-        return pa.table({"doc_id": batch["doc_id"], "payload": payloads})
-
     feats = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(_to_payload, batch_format="pyarrow")
         .map_batches(
             ImageDecodeStub,
             fn_constructor_kwargs=dict(fake=True),
@@ -1294,15 +1296,9 @@ def multimodal_frame_sample(
     arithmetic over octet_length)."""
     from ..functions.multimodal import FrameSampler
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = pa.array(
-            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
-        )
-        return pa.table({"doc_id": batch["doc_id"], "payload": payloads})
-
     frames = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(_to_payload, batch_format="pyarrow")
         .map_batches(
             FrameSampler,
             fn_constructor_kwargs=dict(
@@ -1333,15 +1329,9 @@ def multimodal_meta(sf_dir: str) -> Dataset:
     the (real) metadata stage of the multimodal path.
     Returns (doc_id, payload_bytes, kind)."""
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        payloads = pa.array(
-            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
-        )
-        return pa.table({"doc_id": batch["doc_id"], "payload": payloads})
-
     meta = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(_to_payload, batch_format="pyarrow")
         .map_batches(PayloadMeta, batch_format="pyarrow", batch_size=1024, concurrency=2)
     )
-    return meta.drop_columns(["content_hash"])
+    return meta

@@ -156,3 +156,65 @@ def test_minhash_50pct_dup_corpus_exact(ray_session, tmp_path):
         truth = ts.jaccard(set(ts.shingles(texts[a])), set(ts.shingles(texts[b])))
         assert int(truth * 1000) == j
         assert j >= 300
+
+
+def test_frame_sampler_vectorized_matches_scalar_law():
+    """The numpy byte-gather FrameSampler must reproduce the documented
+    scalar law exactly: n_frames = ceil(len/fb), frames i = 0, stride, ...,
+    frame i covers [i*fb, min((i+1)*fb, len))."""
+    import pyarrow as pa
+
+    from mq_to_db_ray.functions.multimodal import FrameSampler
+
+    rng = np.random.RandomState(3)
+    payloads = [
+        bytes(rng.randint(0, 256, size=n, dtype=np.uint8).tolist())
+        for n in [0, 1, 63, 64, 65, 200, 256, 1000]
+    ]
+    ids = list(range(len(payloads)))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    for fb, stride in [(64, 4), (64, 1), (7, 3), (1, 1)]:
+        got = FrameSampler(fake=True, frame_bytes=fb, stride=stride)(batch)
+        want = []
+        for did, b in zip(ids, payloads):
+            n_frames = (len(b) + fb - 1) // fb
+            for i in range(0, n_frames, stride):
+                want.append((did, i, b[i * fb : (i + 1) * fb]))
+        assert (
+            list(
+                zip(
+                    got["doc_id"].to_pylist(),
+                    got["frame_idx"].to_pylist(),
+                    got["frame_payload"].to_pylist(),
+                )
+            )
+            == want
+        ), (fb, stride)
+
+
+def test_payload_meta_hash_opt_in():
+    import hashlib
+
+    import pyarrow as pa
+
+    from mq_to_db_ray.functions.multimodal import PayloadMeta
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"\x89PNGdata", b""], pa.binary()),
+        }
+    )
+    default = PayloadMeta()(batch)
+    assert "content_hash" not in default.schema.names
+    hashed = PayloadMeta(with_hash=True)(batch)
+    assert hashed["content_hash"].to_pylist() == [
+        hashlib.blake2b(b"\x89PNGdata", digest_size=8).hexdigest(),
+        hashlib.blake2b(b"", digest_size=8).hexdigest(),
+    ]
+    assert hashed["kind"].to_pylist() == ["png", "unknown"]
