@@ -636,4 +636,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(64, total - frame_idx * 64) AS BIGINT) AS frame_len
             FROM f
         """,
+        # lang_id semantics exactly: DISTINCT lowercased words vote per
+        # language; max keyed (votes, name) -> largest name wins ties;
+        # all-zero votes -> unknown (textstats.lang_id)
+        "doc_langid": """
+            WITH w AS (SELECT doc_id,
+                              list_distinct(str_split(lower(text), ' ')) AS ws
+                       FROM documents),
+            v AS (SELECT doc_id,
+                         len(list_filter(ws, x -> x IN
+                             ('the','and','of','to','is','a','in','that'))) AS en,
+                         len(list_filter(ws, x -> x IN
+                             ('der','die','das','und','ist','nicht','ein'))) AS de,
+                         len(list_filter(ws, x -> x IN
+                             ('le','la','les','et','est','une','que'))) AS fr
+                  FROM w)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr) = 0 THEN 'unknown'
+                        WHEN fr >= en AND fr >= de THEN 'fr'
+                        WHEN en >= de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM v
+        """,
+        # ImageDecodeStub's arithmetic fake law (features[j] = sum of
+        # payload bytes b with b % 8 == j; text is ASCII so ascii() ==
+        # byte), then the float64 norm — exact-integer float math, so the
+        # permille floors match bit-for-bit
+        "multimodal_features": """
+            WITH u AS (SELECT doc_id,
+                              unnest(list_transform(
+                                  generate_series(1, length(text)),
+                                  i -> ascii(substr(text, i, 1)))) AS b
+                       FROM documents),
+            f AS (SELECT doc_id, b % 8 AS j, CAST(sum(b) AS DOUBLE) AS s
+                  FROM u GROUP BY 1, 2),
+            n AS (SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM f GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(floor(coalesce(n.nrm, 0) * 1000) AS BIGINT)
+                       AS feat_norm_permille
+            FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+        """,
     }

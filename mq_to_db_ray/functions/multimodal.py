@@ -185,6 +185,13 @@ class ImageDecodeStub:
     ``__init__``.  Here: raises by default; with ``fake=True`` emits a
     deterministic fake feature vector so the downstream plumbing (schema,
     batch flow, output layout) is exercised end to end in tests.
+
+    Fake law (arithmetic, like FrameSampler's byte-slice law, so a SQL
+    oracle can reproduce it): ``features[j] = sum of payload bytes b with
+    b % feat_dim == j``.  Bucket sums of a realistic payload stay below
+    2^24, so the float32 feature values are exact integers and downstream
+    float64 math is bit-reproducible.  Fully vectorized (one bincount over
+    the flattened payload bytes).
     """
 
     def __init__(self, fake: bool = False, feat_dim: int = 8):
@@ -200,11 +207,20 @@ class ImageDecodeStub:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        feats = np.zeros((batch.num_rows, self.feat_dim), dtype=np.float32)
-        for i, p in enumerate(payloads):
-            b = p.as_py() or b""
-            h = hashlib.blake2b(b, digest_size=self.feat_dim * 4).digest()
-            feats[i] = np.frombuffer(h, dtype=np.uint32).astype(np.float32) / 2**32
+        d = self.feat_dim
+        offs, data = _binary_np(payloads)
+        lens = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        data64 = data.astype(np.int64)
+        feats = (
+            np.bincount(
+                parent * d + data64 % d,
+                weights=data64,
+                minlength=batch.num_rows * d,
+            )
+            .reshape(batch.num_rows, d)
+            .astype(np.float32)
+        )
         return pa.Table.from_arrays(
             [
                 batch["doc_id"].combine_chunks()

@@ -173,14 +173,7 @@ def fingerprint(sf_dir: str) -> Dataset:
     numpy rolling polynomial per doc, unique words hashed once per batch."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        hasher = ts.WordHasher()
-        fps = np.array(
-            [
-                ts.doc_fingerprint_fast(t, hasher=hasher)
-                for t in batch["text"].to_pylist()
-            ],
-            dtype=np.uint64,
-        ).view(np.int64)
+        fps = ts.fingerprint_batch(batch["text"]).view(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.int64())}
         )
@@ -360,11 +353,7 @@ def simhash(sf_dir: str) -> Dataset:
     """(doc_id, simhash) — 64-bit SimHash, int64-wrapped."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        hasher = ts.WordHasher()  # amortize word hashing across the batch
-        vals = [
-            np.int64(np.uint64(ts.simhash(t, hasher=hasher)))
-            for t in batch["text"].to_pylist()
-        ]
+        vals = ts.simhash_batch(batch["text"]).view(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(vals, type=pa.int64())}
         )
@@ -1275,10 +1264,15 @@ def multimodal_features(sf_dir: str) -> Dataset:
         f = batch["features"]
         if isinstance(f, pa.ChunkedArray):
             f = f.combine_chunks()
-        m = np.asarray(f.flatten().to_numpy(zero_copy_only=False)).reshape(
-            len(f), -1
+        # float64 throughout: the fake-law feature values are exact
+        # integers in float32, so sum-of-squares/sqrt/floor in float64 is
+        # bit-reproducible by the DuckDB oracle
+        m = (
+            np.asarray(f.flatten().to_numpy(zero_copy_only=False))
+            .reshape(len(f), -1)
+            .astype(np.float64)
         )
-        n = (np.linalg.norm(m, axis=1) * 1000).astype(np.int64)
+        n = np.floor(np.sqrt((m * m).sum(axis=1)) * 1000.0).astype(np.int64)
         return pa.table(
             {"doc_id": batch["doc_id"], "feat_norm_permille": pa.array(n)}
         )

@@ -422,3 +422,28 @@ def test_cosine_topk_custom_id_col(ray_session):
     ).to_pandas()
     assert list(top.columns) == ["doc_id", "sim"]
     assert top["doc_id"].tolist() == [1, 2]
+
+
+def test_batch_kernels_match_scalar():
+    """Round-3: the whole-column fingerprint/simhash kernels (flattened
+    parent-indices formulation) must be value-identical to the scalar
+    references, including short/empty/multi-space docs."""
+    import pyarrow as pa
+
+    from mq_to_db_ray.functions import textstats as ts
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(64)]
+    texts = [
+        "", "one", "a b", "  leading", "trailing  ",
+        " ".join(["x"] * 7), " ".join(["y"] * 8), " ".join(["z"] * 9),
+    ] + [
+        " ".join(rng.choice(words, size=rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    col = pa.array(texts)
+    fb = ts.fingerprint_batch(col)
+    sb = ts.simhash_batch(col)
+    for i, t in enumerate(texts):
+        assert int(fb[i]) == ts.doc_fingerprint(t), t
+        assert int(sb[i]) == ts.simhash(t), t
