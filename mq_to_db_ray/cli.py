@@ -90,7 +90,7 @@ def cmd_watch(args: argparse.Namespace) -> int:
     for summary in watch(
         args.input_dir, args.out, interval_s=args.interval,
         max_epochs=args.max_epochs, stop_flag=lambda: stopping["flag"],
-        health_file=args.health_file,
+        health_file=args.health_file, http_port=args.http_port,
     ):
         out = {k: v for k, v in summary.items() if k != "tiers"}
         print(json.dumps(out), flush=True)
@@ -165,6 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     watchp.add_argument("--health-file", default=None,
                         help="liveness heartbeat JSON, refreshed every poll "
                              "(the /health analog for unattended daemons)")
+    watchp.add_argument("--http-port", type=int, default=None,
+                        help="serve Prometheus /metrics + request-time "
+                             "/health on this port for the daemon's "
+                             "lifetime (0 = ephemeral; the bound port is "
+                             "printed in each epoch summary)")
     watchp.set_defaults(fn=cmd_watch)
 
     compactp = sub.add_parser("compact", help="fold per-epoch partitions")

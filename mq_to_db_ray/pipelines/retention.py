@@ -28,6 +28,13 @@ _SERIES_RE = re.compile(
     r"^series__(?:(?P<etag>[ec][0-9a-f]+)__)?"
     r"part-(?P<lo>\d+)-(?P<hi>\d+)__source=(?P<source>.+)$"
 )
+# pre-range-tag series naming (round-2 era: one blob per (epoch, source),
+# no bucket range).  Out_dirs upgraded in place still hold these; without a
+# fallback match they would accrete unboundedly and stay readable after
+# their data partitions expire (round-2 ADVICE).
+_LEGACY_SERIES_RE = re.compile(
+    r"^series__(?P<etag>[ec][0-9a-f]+)__source=(?P<source>.+)$"
+)
 
 # keep this many most-recent buckets per tier; None = keep forever.
 # Fine tiers expire fastest — classic TSDB downsampling retention.
@@ -84,12 +91,30 @@ def apply_retention(
         # a series blob covers exactly its data partition's range — retire
         # it alongside, or the expired series stays readable (and series
         # files accumulate unboundedly in watch mode)
-        for key, e in manifest.committed(tier).items():
+        remaining = manifest.committed(tier)
+        # live (source, etag) pairs of surviving DATA partitions — a legacy
+        # (rangeless) series blob is expired once its pair has none left
+        live_pairs: set[tuple[str, str]] = set()
+        for e in remaining.values():
+            m = _PART_RE.match(e["partition"])
+            if m:
+                live_pairs.add((m.group("source"), m.group("etag") or ""))
+        for key, e in remaining.items():
             m = _SERIES_RE.match(e["partition"])
             if m and (
                 m.group("source"), m.group("etag") or "",
                 m.group("lo"), m.group("hi"),
             ) in gone:
+                manifest.retire(key)
+                try:
+                    os.unlink(os.path.join(out_dir, e["path"]))
+                except FileNotFoundError:
+                    pass
+                continue
+            ml = _LEGACY_SERIES_RE.match(e["partition"])
+            if ml and (
+                ml.group("source"), ml.group("etag") or "",
+            ) not in live_pairs:
                 manifest.retire(key)
                 try:
                     os.unlink(os.path.join(out_dir, e["path"]))

@@ -426,14 +426,29 @@ def simhash_near_dup(
         starts = np.flatnonzero(new)
         ends = np.r_[starts[1:], len(ids)]
         pa_l, pb_l, x_l = [], [], []
+        dropped = 0
         for s, e in zip(starts, ends):
             d = e - s
-            if d < 2 or d > bucket_cap:
+            if d < 2:
+                continue
+            if d > bucket_cap:
+                dropped += 1
                 continue
             ai, bi = np.triu_indices(d, 1)
             pa_l.append(ids[s:e][ai])
             pb_l.append(ids[s:e][bi])
             x_l.append(hs[s:e][ai] ^ hs[s:e][bi])
+        if dropped:
+            # the EXACT-by-pigeonhole guarantee is conditional on no bucket
+            # exceeding bucket_cap — surface every violation (same
+            # documented-approximation treatment as jaccard's df_cap)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_near_dup: dropped %d band bucket(s) larger than "
+                "bucket_cap=%d — result is a lower bound for pairs whose "
+                "only agreeing band was dropped", dropped, bucket_cap,
+            )
         if not pa_l:
             return empty
         x = np.concatenate(x_l)

@@ -86,8 +86,16 @@ def run_pending_epoch(in_dir: str, out_dir: str, **cascade_kwargs) -> dict | Non
 def write_health(path: str, **fields) -> None:
     """Atomically refresh the liveness probe file — the daemon analog of the
     reference's ``/health`` endpoint (/root/reference/cmd/mq-to-db/main.go:
-    302-350, handler main.go:564-630).  A monitor considers the watcher
-    dead when ``ts`` goes stale (no heartbeat for > poll interval)."""
+    302-350, handler main.go:564-630).
+
+    ``ts`` refreshes BETWEEN epochs, so a monitor's staleness threshold
+    must exceed the worst-case epoch duration, not the poll interval — an
+    epoch longer than the threshold would otherwise make a live watcher
+    look dead.  For liveness that answers independently of work in
+    progress (the reference's /health property), serve the HTTP plane
+    instead: ``watch(..., http_port=0)`` / ``state.httpplane`` — its
+    /health is computed at request time and includes the worker-side
+    commit heartbeat, which advances DURING an epoch."""
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(dict(status="ok", ts=time.time(), **fields), f)
@@ -104,29 +112,47 @@ def watch(
     max_epochs: int | None = None,
     stop_flag=None,
     health_file: str | None = None,
+    http_port: int | None = None,
     **cascade_kwargs,
 ):
     """Poll until stopped; yields each epoch summary (generator, so the CLI
     can log/flush between epochs and tests can drive it deterministically).
     ``health_file`` (optional) is heartbeat-refreshed every poll iteration —
-    the unattended-daemon liveness probe."""
+    the unattended-daemon liveness probe.  ``http_port`` (optional; 0 =
+    ephemeral) serves the pull-model plane — Prometheus ``/metrics`` +
+    request-time ``/health`` — for the daemon's lifetime; the bound port is
+    exposed to consumers via the first yielded summary's ``http_port``."""
+    server = None
+    state: dict = dict(in_dir=in_dir, out_dir=out_dir, epochs_processed=0)
+    if http_port is not None:
+        from ..state.httpplane import MetricsHTTPServer
+
+        server = MetricsHTTPServer(out_dir, port=http_port, state=state)
     n = 0
-    while max_epochs is None or n < max_epochs:
-        if stop_flag is not None and stop_flag():
-            return
-        s = run_pending_epoch(in_dir, out_dir, **cascade_kwargs)
-        if health_file:
-            write_health(
-                health_file,
-                epochs_processed=n + (1 if s is not None else 0),
-                last_epoch=(s or {}).get("epoch"),
-                in_dir=in_dir,
-                out_dir=out_dir,
-            )
-        if s is not None:
-            n += 1
-            yield s
-        elif max_epochs is not None:
-            return  # drained in bounded mode
-        else:
-            time.sleep(interval_s)
+    try:
+        while max_epochs is None or n < max_epochs:
+            if stop_flag is not None and stop_flag():
+                return
+            s = run_pending_epoch(in_dir, out_dir, **cascade_kwargs)
+            state["epochs_processed"] = n + (1 if s is not None else 0)
+            state["last_epoch"] = (s or {}).get("epoch")
+            if health_file:
+                write_health(
+                    health_file,
+                    epochs_processed=state["epochs_processed"],
+                    last_epoch=state["last_epoch"],
+                    in_dir=in_dir,
+                    out_dir=out_dir,
+                )
+            if s is not None:
+                n += 1
+                if server is not None:
+                    s = dict(s, http_port=server.port)
+                yield s
+            elif max_epochs is not None:
+                return  # drained in bounded mode
+            else:
+                time.sleep(interval_s)
+    finally:
+        if server is not None:
+            server.close()

@@ -40,6 +40,10 @@ from .. import __version__
 
 MANIFEST_DIR = "_MANIFEST"
 STAGING_DIR = "_staging"
+FOLDED_LOG = "folded.jsonl"
+# fold the per-partition JSONs once the entry-file count passes this bound
+# (keeps plan-time listdir O(new-since-last-fold), not O(all partitions))
+FOLD_THRESHOLD = 10_000
 
 
 class CommitPhaseError(RuntimeError):
@@ -75,30 +79,128 @@ class Manifest:
         self.out_dir = out_dir
         self.mdir = os.path.join(out_dir, MANIFEST_DIR)
         os.makedirs(self.mdir, exist_ok=True)
+        self._folded_cache: tuple[float, dict[str, dict]] | None = None
 
     @staticmethod
     def entry_name(tier: str, partition: str) -> str:
         return f"tier={tier}__{partition}.json"
 
+    # ---- folded log (scale path for million-partition out_dirs) ----
+    #
+    # Per-partition JSON files keep commits lock-free and atomic, but
+    # plan-time listdir is O(all partitions ever).  ``fold()`` compacts the
+    # files into one append-only snapshot (``folded.jsonl``); afterwards
+    # the live directory holds only entries committed since the last fold.
+    # Readers merge (folded, then files) with FILE WINS: an entry file can
+    # only be newer than its folded copy (a retire tombstone), never staler,
+    # and a fold crash mid-unlink just leaves duplicates the rule resolves.
+
+    def _folded(self) -> dict[str, dict]:
+        p = os.path.join(self.mdir, FOLDED_LOG)
+        try:
+            mtime = os.path.getmtime(p)
+        except OSError:
+            return {}
+        if self._folded_cache is not None and self._folded_cache[0] == mtime:
+            return self._folded_cache[1]
+        out: dict[str, dict] = {}
+        with open(p) as f:
+            for line in f:
+                if line.strip():
+                    row = json.loads(line)
+                    out[row["key"]] = row
+        self._folded_cache = (mtime, out)
+        return out
+
+    def fold(self, threshold: int = FOLD_THRESHOLD) -> int:
+        """Fold entry FILES into ``folded.jsonl`` when there are at least
+        ``threshold`` of them; returns the number folded.  Crash- and
+        replica-safe: the snapshot is written tmp+rename under a flock, and
+        only the exact files captured in it are unlinked — a concurrent
+        commit's new file survives, and a concurrent retire's rename makes
+        our unlink a no-op while its tombstone file out-votes the folded
+        live copy (file wins)."""
+        import fcntl
+
+        names = [
+            n for n in os.listdir(self.mdir)
+            if n.endswith(".json") and n != FOLDED_LOG
+            or n.endswith(".json.retired")
+        ]
+        names = [n for n in names if n not in ("layout.json",)]
+        if len(names) < threshold:
+            return 0
+        lockp = os.path.join(self.mdir, ".foldlock")
+        fd = os.open(lockp, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            merged = dict(self._folded())
+            captured: list[str] = []
+            for name in sorted(names):
+                retired = name.endswith(".json.retired")
+                key = (
+                    name[: -len(".json.retired")] if retired
+                    else name[: -len(".json")]
+                )
+                try:
+                    with open(os.path.join(self.mdir, name)) as f:
+                        entry = json.load(f)
+                except (OSError, ValueError):
+                    continue  # mid-rename / mid-write: leave for next fold
+                merged[key] = dict(key=key, retired=retired, entry=entry)
+                captured.append(name)
+            p = os.path.join(self.mdir, FOLDED_LOG)
+            tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                for row in merged.values():
+                    f.write(json.dumps(row) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+            _fsync_dir(self.mdir)
+            for name in captured:
+                try:
+                    os.unlink(os.path.join(self.mdir, name))
+                except OSError:
+                    pass  # concurrently renamed (retire) — file wins anyway
+            self._folded_cache = None
+            return len(captured)
+        finally:
+            os.close(fd)
+
     def is_committed(self, tier: str, partition: str) -> bool:
         """Acked = live entry OR retired tombstone: a retention-expired
         partition must never be recommitted by a replayed epoch."""
         base = os.path.join(self.mdir, self.entry_name(tier, partition))
-        return os.path.exists(base) or os.path.exists(base + ".retired")
+        if os.path.exists(base) or os.path.exists(base + ".retired"):
+            return True
+        key = self.entry_name(tier, partition)[: -len(".json")]
+        return key in self._folded()
 
     def committed(
         self, tier: str | None = None, include_retired: bool = False
     ) -> dict[str, dict]:
         out = {}
         prefix = f"tier={tier}__" if tier else ""
+        for key, row in self._folded().items():
+            if not key.startswith(prefix):
+                continue
+            if row.get("retired") and not include_retired:
+                continue
+            entry = dict(row["entry"])
+            entry["retired"] = bool(row.get("retired"))
+            out[key] = entry
         for name in os.listdir(self.mdir):
-            live = name.endswith(".json")
+            live = name.endswith(".json") and name not in (FOLDED_LOG, "layout.json")
             retired = name.endswith(".json.retired")
-            if not (live or (retired and include_retired)):
+            if not (live or retired):
                 continue
             if not name.startswith(prefix):
                 continue
             key = name[: -len(".json")] if live else name[: -len(".json.retired")]
+            if retired and not include_retired:
+                out.pop(key, None)  # file wins: folded live copy is stale
+                continue
             with open(os.path.join(self.mdir, name)) as f:
                 entry = json.load(f)
             entry["retired"] = retired
@@ -110,11 +212,28 @@ class Manifest:
         the broker expiring an acked message's payload: the *ack* survives).
         Returns the entry; caller deletes the data file afterwards — a crash
         in between leaves an orphan file that no reader will list (readers
-        plan from the manifest / tier_view reads only live entries' files)."""
+        plan from the manifest / tier_view reads only live entries' files).
+
+        A folded entry (no individual file) is tombstoned by CREATING the
+        ``.retired`` file from the folded copy — file wins over the folded
+        live row until the next fold absorbs it."""
         src = os.path.join(self.mdir, entry_key + ".json")
-        with open(src) as f:
-            entry = json.load(f)
-        os.replace(src, src + ".retired")
+        if os.path.exists(src):
+            with open(src) as f:
+                entry = json.load(f)
+            os.replace(src, src + ".retired")
+            _fsync_dir(self.mdir)
+            return entry
+        row = self._folded().get(entry_key)
+        if row is None or row.get("retired"):
+            raise FileNotFoundError(entry_key)
+        entry = row["entry"]
+        tmp = src + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, src + ".retired")
         _fsync_dir(self.mdir)
         return entry
 
@@ -156,9 +275,20 @@ class Manifest:
         first use and REFUSE a run whose parameters differ: partition names
         derive from them, so a changed value would commit a second,
         differently-named copy of the same data beside the old one and
-        every merged view would double-count."""
+        every merged view would double-count.
+
+        The check-then-write is guarded by the same flock pattern as
+        ``_commit_raw_dir`` (lock a persistent file, re-check inside):
+        two replicas racing the FIRST run on one out_dir with different
+        window_buckets would otherwise both see no layout.json and commit
+        mixed-grid partitions — the exact hazard the pin exists to stop."""
+        import fcntl
+
         p = os.path.join(self.mdir, "layout.json")
-        if os.path.exists(p):
+
+        def check() -> bool:
+            if not os.path.exists(p):
+                return False
             with open(p) as f:
                 pinned = json.load(f)
             if pinned != kv:
@@ -168,13 +298,25 @@ class Manifest:
                     "an existing out_dir would double-count; use a new "
                     "out_dir (or compact+migrate)"
                 )
+            return True
+
+        if check():
             return
-        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(kv, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, p)
+        fd = os.open(os.path.join(self.mdir, ".layoutlock"),
+                     os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if check():  # a racing replica pinned while we waited
+                return
+            tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(kv, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+            _fsync_dir(self.mdir)
+        finally:
+            os.close(fd)
 
     def layout(self) -> dict:
         """The pinned layout parameters ({} before the first run)."""

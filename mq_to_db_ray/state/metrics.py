@@ -79,6 +79,16 @@ class MetricsSink:
                 )
         except Exception:
             pass
+        # worker-side commit heartbeat (mid-run freshness — see
+        # TierPartitionWriter._heartbeat): present + age since last commit
+        hb = os.path.join(self.dir, "heartbeat.json")
+        try:
+            with open(hb) as f:
+                ts = json.load(f).get("ts", 0)
+            g["heartbeat_present"] = 1
+            g["heartbeat_age_ms"] = max(0, int((time.time() - ts) * 1000))
+        except (OSError, ValueError):
+            g["heartbeat_present"] = 0
         return g
 
     def flush(self, extra: dict | None = None) -> str:

@@ -148,3 +148,53 @@ def test_tokens_byte_identical_through_raw_tier(ray_session, tmp_path):
     orig = orig.take(pa.compute.sort_indices(orig["doc_id"]))
     assert back["doc_id"].combine_chunks().equals(orig["doc_id"].combine_chunks())
     assert back["tokens"].combine_chunks().equals(orig["tokens"].combine_chunks())
+
+
+def test_manifest_fold_roundtrip(ray_session, tmp_path):
+    """E12 scale path: folding the per-partition entry files into
+    folded.jsonl must preserve is_committed/committed (incl. tombstones),
+    resume must skip every folded partition, and retire of a folded entry
+    must create a file tombstone that out-votes the folded live row."""
+    import os
+
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.state.manifest import FOLDED_LOG, Manifest
+
+    in_dir = str(tmp_path / "in")
+    write_f1_parquet(in_dir, 3_000, shards=2, max_tok=8)
+    out = str(tmp_path / "out")
+    s1 = run_cascade(in_dir, out)
+    m = Manifest(out)
+    before = m.committed()
+    assert before
+    n = m.fold(threshold=0)  # force
+    assert n == len(before)  # every entry file (raw tier included) folded
+    # no entry files remain (only folded.jsonl + layout + locks)
+    leftover = [f for f in os.listdir(m.mdir)
+                if f.endswith(".json") and f != "layout.json"]
+    assert leftover == []
+    assert os.path.exists(os.path.join(m.mdir, FOLDED_LOG))
+    m2 = Manifest(out)  # fresh instance: reads the folded log
+    after = m2.committed()
+    assert set(after) == set(before)
+    for k in before:
+        tier = before[k]["tier"]
+        assert m2.is_committed(tier, before[k]["partition"])
+    # resume against the folded manifest: everything skips
+    s2 = run_cascade(in_dir, out)
+    assert s2["rows"] == s1["rows"]
+    assert all(
+        s2["skipped"][t] == s2["partitions"][t] for t in s2["partitions"]
+    )
+    # retire a folded entry -> file tombstone wins over folded live row
+    key = sorted(k for k in after if k.startswith("tier=1m__source="))[0]
+    e = m2.retire(key)
+    assert e["tier"] == "1m"
+    assert key not in m2.committed("1m")
+    assert m2.is_committed("1m", e["partition"])  # tombstone still acks
+    # a second fold absorbs the tombstone
+    m2.fold(threshold=0)
+    m3 = Manifest(out)
+    assert key not in m3.committed("1m")
+    assert m3.is_committed("1m", e["partition"])

@@ -143,3 +143,86 @@ def test_watch_health_file(ray_session, tmp_path):
         h = json.load(f)
     assert h["status"] == "ok" and h["epochs_processed"] == 1
     assert h["last_epoch"] and h["ts"] > 0
+
+
+def test_commit_heartbeat_and_midrun_gauges(ray_session, tmp_path):
+    """Round-3: every partition commit refreshes metrics/heartbeat.json
+    from inside the worker, and the flushed gauges report its presence/age
+    — a long epoch is no longer a telemetry blind spot until final flush."""
+    import time
+
+    t0 = time.time()
+    s, out = _cascade(tmp_path)
+    with open(os.path.join(out, "metrics", "heartbeat.json")) as f:
+        hb = json.load(f)
+    assert hb["ts"] >= t0  # freshness: written during THIS run
+    assert hb["run_id"] == s["run_id"]
+    assert hb["rows"] >= 1 and hb["tier"] in ("1m", "1h", "1d")
+    with open(s["metrics_path"]) as f:
+        summary = [json.loads(l) for l in f if '"summary"' in l][0]
+    g = summary["gauges"]
+    assert g["heartbeat_present"] == 1
+    assert g["heartbeat_age_ms"] >= 0
+
+
+def test_http_metrics_and_health_plane(ray_session, tmp_path):
+    """C3 closure: the watch daemon serves Prometheus /metrics and a
+    request-time /health over HTTP (reference main.go:302-350) — counters
+    match the pushed JSONL, the histogram is cumulative, and /health
+    answers with the worker-side commit heartbeat."""
+    import urllib.request
+
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.watch import watch
+
+    in_dir = str(tmp_path / "in")
+    write_f1_parquet(in_dir, 2_000, shards=2, max_tok=8)
+    out = str(tmp_path / "out")
+    summaries = list(watch(in_dir, out, max_epochs=1, http_port=0))
+    assert summaries and "http_port" in summaries[0]
+    # the watch generator closed its server on exit; stand one up over the
+    # same out_dir (exactly what an operator sidecar would do)
+    from mq_to_db_ray.state.httpplane import MetricsHTTPServer
+
+    srv = MetricsHTTPServer(out, port=0)
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=10
+        ).read().decode()
+        assert "# TYPE mq_to_db_consumer_messages_total counter" in body
+        exposed = {
+            line.split(" ")[0]: line.split(" ")[1]
+            for line in body.splitlines()
+            if line and not line.startswith("#") and "{" not in line
+        }
+        # per-file epochs -> one run jsonl each; /metrics exposes the
+        # service-lifetime totals (sum across runs)
+        totals: dict[str, int] = {}
+        mdir = os.path.join(out, "metrics")
+        for fn in os.listdir(mdir):
+            if not fn.startswith("run-"):
+                continue
+            with open(os.path.join(mdir, fn)) as f:
+                for l in f:
+                    if '"summary"' in l:
+                        for k, v in json.loads(l)["counters"].items():
+                            totals[k] = totals.get(k, 0) + int(v)
+        for k, v in totals.items():
+            assert exposed[k] == str(v), k
+        assert "mq_to_db_last_commit_timestamp_seconds" in exposed
+        # cumulative histogram: last bucket == count
+        buckets = [
+            l for l in body.splitlines()
+            if l.startswith("mq_to_db_storage_worker_process_duration_seconds_bucket")
+        ]
+        assert buckets and buckets[-1].endswith(
+            exposed["mq_to_db_storage_worker_process_duration_seconds_count"]
+        )
+        h = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health", timeout=10
+            ).read()
+        )
+        assert h["status"] == "ok" and h["last_commit"]["rows"] >= 1
+    finally:
+        srv.close()

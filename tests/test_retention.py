@@ -81,3 +81,50 @@ def test_retention_orphan_file_not_read(ray_session, tmp_path):
     # no orphan-only key appears in the view (overlap with other sources'
     # buckets is impossible: partitions are per source)
     assert not (orphan_keys & view_sources_buckets)
+
+
+def test_retention_retires_legacy_series_blobs(tmp_path):
+    """Round-2 ADVICE: series blobs committed by pre-range-tag runs
+    (series__e<ep>__source=s) must be retired once their (source, etag)
+    has no live data partition left — otherwise they accrete unboundedly
+    in upgraded out_dirs.  Pure manifest surgery, no Ray needed."""
+    import os
+
+    import pyarrow as pa
+
+    from mq_to_db_ray.pipelines.retention import apply_retention
+    from mq_to_db_ray.state.manifest import Manifest, write_partition_atomic
+
+    out = str(tmp_path / "out")
+    m = Manifest(out)
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    # two data partitions of one legacy epoch + its rangeless series blob
+    write_partition_atomic(
+        m, "r1", "1m", "source=s0__eabc__part-00000000-00000009",
+        "tier=1m/source=s0/eabc__part-00000000-00000009.parquet", t,
+        meta=dict(source="s0", bucket_lo=0, bucket_hi=9),
+    )
+    write_partition_atomic(
+        m, "r1", "1m", "source=s0__eabc__part-00000100-00000109",
+        "tier=1m/source=s0/eabc__part-00000100-00000109.parquet", t,
+        meta=dict(source="s0", bucket_lo=100, bucket_hi=109),
+    )
+    write_partition_atomic(
+        m, "r1", "1m", "series__eabc__source=s0",
+        "series/tier=1m/eabc__source=s0.parquet", t,
+    )
+    # keep=10 from newest hi=109 -> horizon 100: first partition expires,
+    # second survives -> legacy blob's (s0, eabc) still live -> kept
+    r1 = apply_retention(out, {"1m": 10})
+    assert r1["1m"]["retired"] == 1
+    assert "tier=1m__series__eabc__source=s0" in m.committed("1m")
+    # expire the second partition too -> legacy blob goes with it
+    r2 = apply_retention(out, {"1m": 5}, now_bucket={"1m": 200})
+    assert r2["1m"]["retired"] == 1
+    live = m.committed("1m")
+    assert live == {}
+    assert not os.path.exists(
+        os.path.join(out, "series/tier=1m/eabc__source=s0.parquet")
+    )
+    # the ack survives as a tombstone: nothing can resurrect the blob
+    assert m.is_committed("1m", "series__eabc__source=s0")

@@ -178,3 +178,26 @@ def test_encode_series_roundtrip(assigned_micro, f1_micro):
         assert dod_decode(row["dod_blob"]) == vals
         assert gorilla_decode(row["gorilla_blob"]) == [float(v) for v in vals]
         assert row["n_points"] == len(vals)
+
+
+def test_fused_partials_matches_default(ray_session, tmp_path):
+    """The opt-in fused stage A (RawPartialsDatasink: raw shards written
+    in-task, 1m rollup from the returned partials) must commit tier rows
+    identical to the default two-pass path."""
+    import pandas as pd
+
+    from mq_to_db_ray.gen import write_f1_parquet
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+
+    in_dir = str(tmp_path / "in")
+    write_f1_parquet(in_dir, 4_000, shards=3, max_tok=8)
+    sa = run_cascade(in_dir, str(tmp_path / "out_default"))
+    sb = run_cascade(in_dir, str(tmp_path / "out_fused"), fused_partials=True)
+    assert sa["rows"] == sb["rows"]
+    assert sa["partitions"] == sb["partitions"]
+    for tier in ("1m", "1h", "1d"):
+        ta = sa["tiers"][tier].to_pandas().sort_values(
+            ["source", "bucket_ts"]).reset_index(drop=True)
+        tb = sb["tiers"][tier].to_pandas().sort_values(
+            ["source", "bucket_ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ta, tb)
