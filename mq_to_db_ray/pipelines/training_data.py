@@ -490,25 +490,59 @@ def simhash_near_dup(
 def minhash_lsh_pairs(
     sf_dir: str, *, num_perm: int = 64, bands: int = 16, jaccard_permille: int = 300
 ) -> Dataset:
-    """MinHash+LSH near-dup candidates, Jaccard-verified.
+    """MinHash+LSH near-dup candidates, Jaccard-verified — fully
+    distributed, nothing corpus- or candidate-sized on the driver or in
+    any one actor.
 
-    shingle -> minhash signature (map_batches) -> explode to
-    (band_id, band_hash, doc_id) -> groupby band -> candidate pairs ->
-    verify true n-gram Jaccard on the pair (broadcast text lookup).
+    shingle ONCE (materialized sketch rows) -> chunk-vectorized minhash
+    signatures -> explode to (band_id, band_hash, doc_id) -> banded
+    candidate pairs -> two hash-shuffle rounds that dedup the pairs and
+    attach each side's shingle set as union rows -> exact partition-local
+    Jaccard via one lexsort intersection count.
     Returns (doc_a, doc_b, jaccard_permille) with doc_a < doc_b.
     """
     rows_per_band = num_perm // bands
     a, b = ts.minhash_params(num_perm)
+    _MASK64 = np.uint64((1 << 64) - 1)
+    _LIST_I64 = pa.list_(pa.int64())
+
+    def sketch_rows(batch: pa.Table) -> pa.Table:
+        """Every doc's sorted-unique shingle set as ONE list row — computed
+        (and materialized) ONCE; both the banding pass and the two verify
+        attach rounds consume it, so the corpus is shingled once, not
+        three times."""
+        hasher = ts.WordHasher()
+        shs = [ts.shingles(t, hasher=hasher) for t in batch["text"].to_pylist()]
+        lens = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+        vals = (
+            np.concatenate(shs).view(np.int64)
+            if shs
+            else np.empty(0, dtype=np.int64)
+        )
+        offs = np.zeros(len(shs) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vals, pa.int64())
+        )
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "sh": lists}
+        )
+
+    sketches = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sketch_rows, batch_format="pyarrow")
+        .materialize()
+    )
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        """Signatures per doc (numpy over shingles), then ALL band hashes in
-        one vectorized polynomial combine over the (docs × perms) matrix —
-        band equality semantics are unchanged (equal 64-bit segments →
-        equal hash; cross-collisions are 2^-64 birthday noise)."""
-        hasher = ts.WordHasher()
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if not texts:
+        """Chunk-vectorized signatures ((a*x+b) over the flat shingle
+        vector, per-doc minimum via one reduceat per word-chunk), then ALL
+        band hashes in one polynomial combine over the (docs × perms)
+        matrix — band equality semantics are unchanged (equal 64-bit
+        segments → equal hash; cross-collisions are 2^-64 birthday
+        noise)."""
+        n = batch.num_rows
+        if n == 0:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -516,13 +550,33 @@ def minhash_lsh_pairs(
                     "band_hash": pa.array([], pa.int64()),
                 }
             )
-        sigs = np.stack(
-            [
-                ts.minhash_signature(ts.shingles(t, hasher=hasher), a, b)
-                for t in texts
-            ]
-        )  # (docs, num_perm) uint64
-        n = len(texts)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lists = (
+            batch["sh"].combine_chunks()
+            if isinstance(batch["sh"], pa.ChunkedArray)
+            else batch["sh"]
+        )
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False).view(np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        sigs = np.full((n, num_perm), _MASK64, dtype=np.uint64)
+        chunk_words = 1 << 15
+        d0 = 0
+        while d0 < n:
+            d1 = max(
+                d0 + 1,
+                min(int(np.searchsorted(ends, starts[d0] + chunk_words)), n),
+            )
+            nz = np.flatnonzero(lens[d0:d1] > 0) + d0
+            if len(nz):
+                seg = flat[starts[d0] : ends[d1 - 1]]
+                with np.errstate(over="ignore"):
+                    vals = seg[None, :] * a[:, None] + b[:, None]
+                sigs[nz] = np.minimum.reduceat(
+                    vals, starts[nz] - starts[d0], axis=1
+                ).T
+            d0 = d1
         with np.errstate(over="ignore"):
             bh = np.zeros((n, bands), dtype=np.uint64)
             for r in range(rows_per_band):
@@ -540,9 +594,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    banded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        to_bands, batch_format="pyarrow"
-    )
+    banded = sketches.map_batches(to_bands, batch_format="pyarrow")
 
     from ..stages.shuffle import hash_partition_merge
 
@@ -593,33 +645,8 @@ def minhash_lsh_pairs(
     #     (pair_idx, shingle) rows of both sides (shingles are unique per
     #     doc, so a value seen twice within a pair == one common shingle).
     # Per-actor memory is O(partition) — the fix for the round-2 verdict's
-    # broadcast-all-candidate-texts finding.
-    _LIST_I64 = pa.list_(pa.int64())
-
-    def sketch_rows(b: pa.Table) -> pa.Table:
-        hasher = ts.WordHasher()
-        shs = [ts.shingles(t, hasher=hasher) for t in b["text"].to_pylist()]
-        lens = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
-        vals = (
-            np.concatenate(shs).view(np.int64)
-            if shs
-            else np.empty(0, dtype=np.int64)
-        )
-        offs = np.zeros(len(shs) + 1, dtype=np.int32)
-        np.cumsum(lens, out=offs[1:])
-        lists = pa.ListArray.from_arrays(
-            pa.array(offs, pa.int32()), pa.array(vals, pa.int64())
-        )
-        return pa.table(
-            {
-                "doc_id": pc.cast(b["doc_id"], pa.int64()),
-                "sh": lists,
-            }
-        )
-
-    sketches = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sketch_rows, batch_format="pyarrow"
-    )
+    # broadcast-all-candidate-texts finding.  The sketch rows are the SAME
+    # materialized dataset the banding pass consumed (shingled once).
 
     def tag_sketch(key: str):
         sent_key = "doc_b" if key == "doc_a" else "doc_a"
