@@ -533,6 +533,17 @@ def minhash_lsh_pairs(
         .map_batches(sketch_rows, batch_format="pyarrow")
         .materialize()
     )
+    # adaptive shuffle width: fixed per-round overhead dominates small
+    # corpora (each of the three rounds costs ~2s at 64 parts on this
+    # host), so scale the partition count with the data, capped by the
+    # CPU-derived default — at web scale this is exactly shuffle_parts()
+    from ..stages.shuffle import shuffle_parts as _sp
+
+    n_docs = sketches.count()
+    adaptive_k = 8  # power of two (the partition hash is a mask)
+    while adaptive_k < (n_docs * bands) // 50_000:
+        adaptive_k *= 2
+    adaptive_k = min(adaptive_k, _sp())
 
     def to_bands(batch: pa.Table) -> pa.Table:
         """Chunk-vectorized signatures ((a*x+b) over the flat shingle
@@ -631,7 +642,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    candidates = hash_partition_merge(banded, "band_hash", emit_pairs)
+    candidates = hash_partition_merge(banded, "band_hash", emit_pairs, k=adaptive_k)
 
     # Verify true n-gram Jaccard FULLY DISTRIBUTED — nothing candidate- or
     # corpus-sized ever lands on the driver or inside one actor.  Every doc's
@@ -701,6 +712,7 @@ def minhash_lsh_pairs(
         ),
         "doc_a",
         round_a,
+        k=adaptive_k,
     )
 
     def round_b(g: pa.Table) -> pa.Table:
@@ -763,6 +775,7 @@ def minhash_lsh_pairs(
         ),
         "doc_b",
         round_b,
+        k=adaptive_k,
     )
 
 
