@@ -88,15 +88,17 @@ def write_health(path: str, **fields) -> None:
     reference's ``/health`` endpoint (/root/reference/cmd/mq-to-db/main.go:
     302-350, handler main.go:564-630).
 
-    ``ts`` refreshes BETWEEN epochs, so a monitor's staleness threshold
-    must exceed the worst-case epoch duration, not the poll interval — an
-    epoch longer than the threshold would otherwise make a live watcher
-    look dead.  For liveness that answers independently of work in
-    progress (the reference's /health property), serve the HTTP plane
-    instead: ``watch(..., http_port=0)`` / ``state.httpplane`` — its
-    /health is computed at request time and includes the worker-side
-    commit heartbeat, which advances DURING an epoch."""
-    tmp = path + ".tmp"
+    When driven by ``watch(..., health_file=)``, a background timer thread
+    refreshes the file every poll interval INCLUDING while an epoch is
+    mid-flight, so staleness of ``ts`` really means the daemon is dead
+    (the reference's /health property).  For a pull-model probe serve the
+    HTTP plane instead: ``watch(..., http_port=0)`` / ``state.httpplane``
+    — its /health is computed at request time and includes the
+    worker-side commit heartbeat.  Concurrent writers are safe: each
+    write stages to a unique temp name and atomically replaces."""
+    import uuid
+
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(dict(status="ok", ts=time.time(), **fields), f)
         f.flush()
@@ -122,12 +124,29 @@ def watch(
     ephemeral) serves the pull-model plane — Prometheus ``/metrics`` +
     request-time ``/health`` — for the daemon's lifetime; the bound port is
     exposed to consumers via the first yielded summary's ``http_port``."""
+    import threading
+
     server = None
     state: dict = dict(in_dir=in_dir, out_dir=out_dir, epochs_processed=0)
     if http_port is not None:
         from ..state.httpplane import MetricsHTTPServer
 
         server = MetricsHTTPServer(out_dir, port=http_port, state=state)
+    hb_stop = threading.Event()
+    hb_thread = None
+    if health_file:
+        # liveness heartbeat from a timer thread so ``ts`` stays fresh
+        # WHILE an epoch runs (round-2 ADVICE: an epoch longer than the
+        # monitor's staleness threshold made a live watcher look dead)
+        def _hb_loop() -> None:
+            while not hb_stop.is_set():
+                write_health(health_file, **dict(state))
+                hb_stop.wait(min(interval_s, 2.0))
+
+        hb_thread = threading.Thread(
+            target=_hb_loop, name="mq2db-health", daemon=True
+        )
+        hb_thread.start()
     n = 0
     try:
         while max_epochs is None or n < max_epochs:
@@ -137,13 +156,7 @@ def watch(
             state["epochs_processed"] = n + (1 if s is not None else 0)
             state["last_epoch"] = (s or {}).get("epoch")
             if health_file:
-                write_health(
-                    health_file,
-                    epochs_processed=state["epochs_processed"],
-                    last_epoch=state["last_epoch"],
-                    in_dir=in_dir,
-                    out_dir=out_dir,
-                )
+                write_health(health_file, **dict(state))
             if s is not None:
                 n += 1
                 if server is not None:
@@ -154,5 +167,9 @@ def watch(
             else:
                 time.sleep(interval_s)
     finally:
+        if hb_thread is not None:
+            hb_stop.set()
+            hb_thread.join(timeout=5)
+            write_health(health_file, **dict(state))  # final snapshot
         if server is not None:
             server.close()

@@ -221,9 +221,13 @@ class Manifest:
         if os.path.exists(src):
             with open(src) as f:
                 entry = json.load(f)
-            os.replace(src, src + ".retired")
-            _fsync_dir(self.mdir)
-            return entry
+            try:
+                os.replace(src, src + ".retired")
+                _fsync_dir(self.mdir)
+                return entry
+            except FileNotFoundError:
+                pass  # concurrent fold absorbed the file — tombstone below
+        self._folded_cache = None  # the fold may have just replaced the log
         row = self._folded().get(entry_key)
         if row is None or row.get("retired"):
             raise FileNotFoundError(entry_key)

@@ -66,3 +66,39 @@ def test_watch_generator_bounded(ray_session, tmp_path):
     summaries = list(watch(in_dir, out, max_epochs=5))
     # both files present at start -> one epoch, then drained -> stop
     assert len(summaries) == 1 and summaries[0]["files"] == 2
+
+
+def test_watch_health_fresh_during_long_epoch(tmp_path, monkeypatch):
+    """Round-2 ADVICE: the health heartbeat must stay fresh WHILE an epoch
+    runs (timer thread), not only between epochs — otherwise any epoch
+    longer than the monitor's staleness threshold makes a live watcher
+    look dead.  No Ray needed: the epoch is stubbed."""
+    import json
+    import time
+
+    from mq_to_db_ray.pipelines import watch as w
+
+    health = str(tmp_path / "h.json")
+    seen = {}
+
+    def slow_epoch(in_dir, out_dir, **kw):
+        time.sleep(2.5)  # longer than the 0.2s heartbeat cadence
+        with open(health) as f:
+            seen["mid"] = json.load(f)
+        return None
+
+    monkeypatch.setattr(w, "run_pending_epoch", slow_epoch)
+    t0 = time.time()
+    list(
+        w.watch(
+            str(tmp_path), str(tmp_path), max_epochs=1,
+            health_file=health, interval_s=0.2,
+        )
+    )
+    # the heartbeat observed DURING the (only) epoch was written by the
+    # timer thread while run_pending_epoch was still sleeping
+    assert seen["mid"]["status"] == "ok"
+    assert seen["mid"]["ts"] >= t0
+    with open(health) as f:
+        final = json.load(f)
+    assert final["epochs_processed"] == 0  # stubbed epoch returned None
