@@ -97,6 +97,24 @@ def _q_events_rejects(sf_dir: str):
     return ds.map_batches(classify, batch_format="pyarrow")
 
 
+def _q_events_asof(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_asof_join
+
+    return events_asof_join(sf_dir)
+
+
+def _q_events_rolling(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_rolling_1m
+
+    return events_rolling_1m(sf_dir, w=5)
+
+
+def _q_events_sessions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_sessions
+
+    return events_sessions(sf_dir)
+
+
 def _q_doc_rollup_1m(sf_dir: str):
     from mq_to_db_ray.sources.tokenized import tokenized_documents
     from mq_to_db_ray.stages.rollup import rollup
@@ -369,6 +387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "events_gapfill_1m": _q_events_gapfill,
         "events_reject_lane": _q_events_rejects,
+        "events_asof_join": _q_events_asof,
+        "events_rolling_5m": _q_events_rolling,
+        "events_sessions": _q_events_sessions,
         # --- flagship on the native F1 corpus ---
         "f1_rollup_1m": _q_f1_rollup_1m,
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
@@ -513,6 +534,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type = 'error' THEN 'parse' ELSE 'validate' END AS reason
             FROM events
             WHERE event_type = 'error' OR value >= 450.0
+        """,
+        "events_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts,
+                              max(CAST(floor(value) AS BIGINT)) AS v
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2)
+            SELECT l.user_id, l.ts, CAST(r.v AS BIGINT) AS asof_value,
+                   l.event_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_rolling_5m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count,
+                     CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_n_tok
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b FROM s),
+            f AS (SELECT g.source, g.b AS bucket_ts,
+                         COALESCE(r.count, 0) AS count,
+                         COALESCE(r.sum_n_tok, 0) AS sum_n_tok
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b)
+            SELECT source, bucket_ts,
+                   CAST(sum(count) OVER w AS BIGINT) AS roll_count,
+                   CAST(sum(sum_n_tok) OVER w AS BIGINT) AS roll_sum_n_tok
+            FROM f
+            WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, v,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                  FROM o)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(sum(v) AS BIGINT) AS sum_value
+            FROM s GROUP BY 1, 2
         """,
         "doc_token_count": """
             SELECT doc_id, source,

@@ -176,6 +176,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_rollup_1d_cascaded",
         "events_gapfill_1m",
         "events_reject_lane",
+        "events_asof_join",
+        "events_rolling_5m",
+        "events_sessions",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",

@@ -66,3 +66,62 @@ def events_rollup_cascaded(sf_dir: str, tier: str) -> Dataset:
 def events_gapfill(sf_dir: str, tier: str = "1m") -> Dataset:
     m1 = rollup(events_assigned(sf_dir), tier, t0_us=EVENTS_T0_US)
     return gap_fill(m1, tier)
+
+
+def _events_typed(sf_dir: str, event_type: str, cols: list[str]) -> Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=list(dict.fromkeys(cols + ["event_type"])),
+    )
+    return ds.filter(
+        expr=f'event_type == "{event_type}"'
+    ).select_columns(cols)
+
+
+def _floor_value(b: pa.Table, name: str) -> pa.Table:
+    vals = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    return b.drop_columns(["value"]).append_column(
+        name, pa.array(np.floor(vals).astype(np.int64))
+    )
+
+
+def events_asof_join(sf_dir: str) -> Dataset:
+    """Per click, the latest purchase value at-or-before it for the same
+    user (timeseries as-of join; oracle = DuckDB ASOF LEFT JOIN)."""
+    from ..stages.temporal import asof_join
+
+    left = _events_typed(sf_dir, "click", ["event_id", "user_id", "ts"])
+    right = _events_typed(sf_dir, "purchase", ["user_id", "ts", "value"]).map_batches(
+        lambda b: _floor_value(b, "v"), batch_format="pyarrow"
+    )
+    return asof_join(left, right, key="user_id", ts="ts", value="v")
+
+
+def events_rolling_1m(sf_dir: str, w: int = 5) -> Dataset:
+    """Trailing-5-minute rolling sums of count / sum_n_tok over the dense
+    gap-filled per-source 1m grid (SQL window-function oracle)."""
+    from ..stages.temporal import rolling_sum
+
+    grid = events_gapfill(sf_dir, "1m")
+    return rolling_sum(
+        grid, "1m", w, ["count", "sum_n_tok"], t0_us=EVENTS_T0_US
+    )
+
+
+def events_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """Gap-based sessions per user over ALL events (6h inactivity closes a
+    session); per-session (n_events, start_ts, end_ts, sum_value)."""
+    from ..stages.temporal import sessionize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(lambda b: _floor_value(b, "v"), batch_format="pyarrow")
+    return sessionize(
+        ds,
+        key="user_id",
+        ts="ts",
+        order_col="event_id",
+        value="v",
+        gap_us=gap_s * 1_000_000,
+    )

@@ -1,0 +1,304 @@
+"""Temporal relational operators: as-of join, rolling-window aggregate,
+sessionization.
+
+The reference's data product is a time-series (its only numeric output is
+Prometheus counters/histograms, `/root/reference/internal/metrics/metrics.go`)
+but it has no query layer; these are the engine-side temporal operators the
+tier mandates, built Ray-Data-first:
+
+- **as-of join**: both sides hash-partitioned by the entity key (every row
+  of a key meets in exactly one partition — no halo needed), then ONE
+  vectorized forward-fill kernel per partition (lexsort + maximum.accumulate)
+  attaches the latest right-side value at-or-before each left timestamp.
+  No per-key Python loop, nothing corpus-sized anywhere.
+- **rolling aggregate**: trailing-W sum over the dense gap-filled grid,
+  partitioned by (source, window_id) with a (W-1)-row halo replicated into
+  the next window so every group computes its rolling sums locally; a
+  source's multi-year history never has to fit one task (same windowing
+  contract as stages/gapfill.py).
+- **sessionize**: hash-partition by entity key, one lexsort +
+  ``np.add.reduceat`` kernel per partition emits per-session aggregates.
+
+All kernels are integer-exact (counts / floored values), so every operator
+is bit-reproducible by a DuckDB oracle (window functions / ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..timegrid import TIERS
+from .shuffle import hash_partition_merge
+
+__all__ = ["asof_join", "rolling_sum", "sessionize"]
+
+
+def _i64(col: pa.ChunkedArray) -> np.ndarray:
+    return col.cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    out_value: str = "asof_value",
+    k: int | None = None,
+) -> Dataset:
+    """For each left row, attach the right row's ``value`` with the largest
+    ``right.ts <= left.ts`` for the same ``key`` (null when none exists) —
+    `l ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts`.
+
+    ``left`` keeps all its columns; ``right`` must have exactly
+    (key, ts, value) with an integer value column. Duplicate right rows on
+    one (key, ts) resolve to the MAX value (deterministic; equivalent to
+    pre-aggregating the right side with max()).
+
+    Scale shape: one hash shuffle on ``key`` co-locates both sides, then a
+    single O(n log n) numpy kernel per partition; per-task memory is
+    O(partition), driver memory O(1).
+    """
+    lsch = left.schema()
+    l_types = dict(zip(lsch.names, lsch.types))
+    l_payload = [c for c in lsch.names if c not in (key, ts)]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "k": pc.cast(b[key], pa.int64()),
+            "t": pc.cast(b[ts], pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "v": pa.nulls(n, pa.int64()),
+        }
+        for c in l_payload:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "k": pc.cast(b[key], pa.int64()),
+            "t": pc.cast(b[ts], pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "v": pc.cast(b[value], pa.int64()),
+        }
+        for c in l_payload:
+            cols[c] = pa.nulls(n, l_types[c])
+        return pa.table(cols)
+
+    ts_type = l_types[ts]
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), ts: pa.array([], ts_type),
+                 out_value: pa.array([], pa.int64())}
+                | {c: pa.array([], l_types[c]) for c in l_payload}
+            )
+        kk = _i64(t["k"])
+        tt = _i64(t["t"])
+        side = _i64(t["side"])
+        vv = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        vfill = np.where(side == 0, np.nan_to_num(vv.astype(np.float64)), 0.0)
+        # (key, ts, side, value): right-before-left at equal ts realises
+        # l.ts >= r.ts; value innermost makes duplicate right (key, ts)
+        # rows resolve to max().
+        order = np.lexsort((vfill, side, tt, kk))
+        ks, tss, ss = kk[order], tt[order], side[order]
+        # forward-fill: index of the latest right row at-or-before each
+        # position. Indexes are monotone, so a plain running max suffices;
+        # a carry across a key boundary is invalidated by the key check.
+        ridx = np.where(ss == 0, np.arange(n), -1)
+        np.maximum.accumulate(ridx, out=ridx)
+        has = (ridx >= 0) & (ks[np.maximum(ridx, 0)] == ks)
+        is_l = ss == 1
+        lidx = order[is_l]
+        att = np.where(has[is_l], ridx[is_l], 0)
+        raw = vv[order][att]
+        if raw.dtype.kind == "f":  # null lanes surface as NaN; masked below
+            raw = np.nan_to_num(raw)
+        av = raw.astype(np.int64, copy=False)
+        out = {
+            key: pa.array(ks[is_l]),
+            ts: pa.array(tss[is_l]).cast(ts_type),
+            out_value: pa.array(
+                np.ma.masked_array(av, mask=~has[is_l]), type=pa.int64()
+            ),
+        }
+        for c in l_payload:
+            out[c] = t[c].combine_chunks().take(pa.array(lidx, pa.int64()))
+        return pa.table(out)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return hash_partition_merge(both, "k", merge, k=k)
+
+
+# ---------------------------------------------------------------------------
+# rolling (trailing-window) aggregate over a dense grid
+# ---------------------------------------------------------------------------
+
+def rolling_sum(
+    grid: Dataset,
+    tier: str,
+    w: int,
+    cols: list[str],
+    *,
+    t0_us: int,
+    window_buckets: int = 4096,
+) -> Dataset:
+    """Trailing-``w``-bucket sums of ``cols`` over a DENSE per-source grid
+    (the output of stages/gapfill.gap_fill) — SQL
+    ``SUM(c) OVER (PARTITION BY source ORDER BY bucket_ts
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+
+    Scale shape: rows are grouped by (source, window_id) where a window is
+    ``window_buckets`` consecutive grid buckets, and each window's last
+    ``w-1`` rows are ALSO replicated into the next window as halo, so every
+    group computes its rolling sums with one cumsum and no neighbour
+    communication. The halo invariant requires ``w <= window_buckets``.
+    Output: (source, bucket_ts, roll_<c>...) for every grid row.
+    """
+    assert w <= window_buckets, "halo width must fit one window"
+    step = TIERS[tier] * 1_000_000
+
+    def add_win(b: pa.Table) -> pa.Table:
+        idx = (_i64(b["bucket_ts"]) - t0_us) // step
+        win = idx // window_buckets
+        base = b.select(["source", "bucket_ts", *cols])
+        main = base.append_column(
+            "window_id", pa.array(win, pa.int64())
+        ).append_column("idx", pa.array(idx, pa.int64())).append_column(
+            "halo", pa.array(np.zeros(len(idx), dtype=bool))
+        )
+        hmask = idx % window_buckets >= window_buckets - (w - 1)
+        if not hmask.any():
+            return main
+        halo = base.filter(pa.array(hmask)).append_column(
+            "window_id", pa.array(win[hmask] + 1, pa.int64())
+        ).append_column(
+            "idx", pa.array(idx[hmask], pa.int64())
+        ).append_column("halo", pa.array(np.ones(int(hmask.sum()), dtype=bool)))
+        return pa.concat_tables([main, halo])
+
+    def roll_group(g: pa.Table) -> pa.Table:
+        idx = _i64(g["idx"])
+        order = np.argsort(idx, kind="stable")
+        halo = g["halo"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        keep = ~halo
+        out = {
+            "source": g["source"].combine_chunks().take(
+                pa.array(order[keep], pa.int64())
+            ),
+            "bucket_ts": g["bucket_ts"].combine_chunks().take(
+                pa.array(order[keep], pa.int64())
+            ),
+        }
+        # grid is dense, so position i's trailing window is rows i-w+1..i;
+        # halo rows supply the cross-window predecessors.
+        for c in cols:
+            v = _i64(g[c])[order]
+            cs = np.concatenate(([0], np.cumsum(v)))
+            lo = np.maximum(np.arange(len(v)) - w + 1, 0)
+            roll = cs[1:] - cs[lo]
+            out[f"roll_{c}"] = pa.array(roll[keep], pa.int64())
+        return pa.table(out)
+
+    keyed = grid.map_batches(add_win, batch_format="pyarrow")
+    return keyed.groupby(["source", "window_id"]).map_groups(
+        roll_group, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    ds: Dataset,
+    *,
+    key: str,
+    ts: str,
+    order_col: str,
+    value: str,
+    gap_us: int,
+    k: int | None = None,
+) -> Dataset:
+    """Split each key's event stream into sessions at gaps > ``gap_us`` and
+    aggregate per session. Events are ordered by (ts, order_col) — the
+    tie-break makes the split deterministic under equal timestamps.
+
+    Output: (key, session_id [0-based per key], n_events, start_ts, end_ts,
+    sum_value). One hash shuffle on ``key``; one lexsort + reduceat kernel
+    per partition; per-task memory O(partition).
+    """
+    sch = ds.schema()
+    ts_type = dict(zip(sch.names, sch.types))[ts]
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b[key], pa.int64()),
+                "t": pc.cast(b[ts], pa.int64()),
+                "o": pc.cast(b[order_col], pa.int64()),
+                "v": pc.cast(b[value], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = {
+            key: pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "start_ts": pa.array([], ts_type),
+            "end_ts": pa.array([], ts_type),
+            "sum_value": pa.array([], pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        kk, tt = _i64(t["k"]), _i64(t["t"])
+        oo, vv = _i64(t["o"]), _i64(t["v"])
+        order = np.lexsort((oo, tt, kk))
+        ks, tss, vs = kk[order], tt[order], vv[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        # per-key 0-based ordinal: each session's global position minus the
+        # position of its key's first session
+        sess_pos = np.arange(len(starts))
+        key_starts_sess = new_key[starts]
+        first_pos = sess_pos[key_starts_sess]
+        session_id = sess_pos - first_pos[np.cumsum(key_starts_sess) - 1]
+        return pa.table(
+            {
+                key: pa.array(ks[starts]),
+                "session_id": pa.array(session_id, pa.int64()),
+                "n_events": pa.array(ends - starts + 1, pa.int64()),
+                "start_ts": pa.array(tss[starts]).cast(ts_type),
+                "end_ts": pa.array(tss[ends]).cast(ts_type),
+                "sum_value": pa.array(
+                    np.add.reduceat(vs, starts), pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(
+        ds.map_batches(narrow, batch_format="pyarrow"), "k", merge, k=k
+    )
