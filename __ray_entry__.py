@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
         "doc_langid": td.lang_id,
         "doc_fingerprint": td.fingerprint,
+        "doc_repetition": td.repetition,
+        "doc_contamination": td.contamination,
         # --- dedup suite ---
         "doc_exact_dedup": td.exact_dedup,
         "doc_simhash": td.simhash,
@@ -583,6 +585,34 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    CAST(sum(v) AS BIGINT) AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "doc_repetition": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            u AS (SELECT doc_id, unnest(w) AS word FROM t),
+            c AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) cnt
+                  FROM u GROUP BY 1, 2),
+            a AS (SELECT doc_id, sum(cnt) n, CAST(count(*) AS BIGINT) d,
+                         max(cnt) m
+                  FROM c GROUP BY 1)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   CAST(floor(1000.0 * (n - d) / n) AS BIGINT)
+                       AS dup_word_permille,
+                   CAST(floor(1000.0 * m / n) AS BIGINT) AS top_word_permille
+            FROM a
+        """,
+        "doc_contamination": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            d AS (SELECT doc_id, unnest(sh) s FROM g),
+            h AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) n_hits
+                  FROM d JOIN e ON d.s = e.s GROUP BY 1)
+            SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM g LEFT JOIN h ON g.doc_id = h.doc_id
         """,
         "doc_token_count": """
             SELECT doc_id, source,

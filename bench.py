@@ -185,6 +185,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_quality",
         "doc_langid",
         "doc_fingerprint",
+        "doc_repetition",
+        "doc_contamination",
         "doc_stratified_sample",
         "doc_embedding_join",
         "f1_token_topk",

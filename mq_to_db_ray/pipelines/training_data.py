@@ -181,6 +181,108 @@ def fingerprint(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def repetition(sf_dir: str) -> Dataset:
+    """Gopher-style repetition features (quality filtering): per doc
+    (doc_id, n_words, dup_word_permille, top_word_permille) where
+    dup_word_permille = floor(1000*(n-distinct)/n) and top_word_permille =
+    floor(1000*max_word_count/n).  Fully vectorized: one Arrow split +
+    dictionary-encode per batch, then per-(doc, word) counts via one
+    np.unique over a combined int64 key — no Python loop over rows or
+    words.  Bit-exact vs the SQL oracle (integer inputs, identical float64
+    expression shape)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        n_words = n_words.astype(np.int64)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        codes = (
+            words.flatten()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_dict = int(codes.max()) + 1 if len(codes) else 1
+        combined = parent.astype(np.int64) * n_dict + codes
+        pairs, counts = np.unique(combined, return_counts=True)
+        pair_doc = pairs // n_dict
+        distinct = np.bincount(pair_doc, minlength=batch.num_rows).astype(
+            np.int64
+        )
+        # pairs are sorted, so each doc's (word,count) rows are contiguous
+        doc_starts = np.flatnonzero(
+            np.diff(pair_doc, prepend=pair_doc[0] - 1 if len(pair_doc) else 0)
+        )
+        top = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(pairs):
+            top[pair_doc[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
+        n_safe = np.maximum(n_words, 1)
+        dup = np.floor(1000.0 * (n_words - distinct) / n_safe).astype(np.int64)
+        topf = np.floor(1000.0 * top / n_safe).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "dup_word_permille": pa.array(dup),
+                "top_word_permille": pa.array(topf),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def contamination(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
+    """Benchmark-decontamination check: flag every document sharing a
+    3-word shingle with the "eval set" (here: docs with
+    doc_id < ``eval_max_doc_id``; in production, the held-out benchmark).
+    Output (doc_id, n_hits, contaminated).
+
+    Scale shape: the eval set is benchmark-sized (MBs) by definition, so
+    its shingle-hash set is built once on the driver, ``ray.put`` ONCE, and
+    probed inside every map task with one ``np.isin`` — the canonical
+    broadcast-small-side join; the corpus streams, nothing corpus-sized
+    anywhere.  Engine compares 64-bit shingle hashes, the oracle compares
+    shingle STRINGS (same collision-free convention as T4 jaccard)."""
+    import ray
+
+    eval_tbl = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id < {eval_max_doc_id}")
+        .take_all()
+    )
+    hasher = ts.WordHasher()
+    ev = [ts.shingles(r["text"], hasher=hasher) for r in eval_tbl]
+    eval_set = np.unique(np.concatenate(ev)) if ev else np.empty(0, np.uint64)
+    eval_ref = ray.put(eval_set)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ev_sorted = ray.get(eval_ref)
+        hasher = ts.WordHasher()
+        hits = np.empty(batch.num_rows, dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            sh = ts.shingles(t, hasher=hasher)
+            pos = np.searchsorted(ev_sorted, sh)
+            pos[pos == len(ev_sorted)] = 0
+            hits[i] = int(
+                np.count_nonzero(ev_sorted[pos] == sh)
+            ) if len(ev_sorted) else 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def stratified_sample(sf_dir: str, per_source: int = 5) -> Dataset:
     """Deterministic stratified sample: the ``per_source`` docs with the
     smallest multiplicative-hash rank within each source.
