@@ -78,6 +78,23 @@ def _events_typed(sf_dir: str, event_type: str, cols: list[str]) -> Dataset:
     ).select_columns(cols)
 
 
+def _adaptive_k(sf_dir: str) -> int:
+    """Shuffle width for the temporal operators, scaled to the input size
+    (same rule as minhash's adaptive rounds): the row count comes from
+    parquet FOOTER metadata (no data read), and the width is a power of
+    two capped by the CPU-derived default — small corpora skip the fixed
+    per-partition groupby overhead, web-scale inputs get full width."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import shuffle_parts
+
+    rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    k = 8
+    while k < rows // 50_000:
+        k *= 2
+    return min(k, shuffle_parts())
+
+
 def _floor_value(b: pa.Table, name: str) -> pa.Table:
     vals = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
     return b.drop_columns(["value"]).append_column(
@@ -94,7 +111,9 @@ def events_asof_join(sf_dir: str) -> Dataset:
     right = _events_typed(sf_dir, "purchase", ["user_id", "ts", "value"]).map_batches(
         lambda b: _floor_value(b, "v"), batch_format="pyarrow"
     )
-    return asof_join(left, right, key="user_id", ts="ts", value="v")
+    return asof_join(
+        left, right, key="user_id", ts="ts", value="v", k=_adaptive_k(sf_dir)
+    )
 
 
 def events_rolling_1m(sf_dir: str, w: int = 5) -> Dataset:
@@ -124,4 +143,5 @@ def events_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         order_col="event_id",
         value="v",
         gap_us=gap_s * 1_000_000,
+        k=_adaptive_k(sf_dir),
     )
