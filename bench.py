@@ -195,6 +195,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_simhash_near_dup",
         "doc_minhash_pairs",
         "doc_jaccard_pairs",
+        "doc_dup_clusters",
         "embedding_stats",
         "embedding_near_dup",
         "embedding_near_dup_lsh",

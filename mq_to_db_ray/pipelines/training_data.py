@@ -1486,3 +1486,154 @@ def multimodal_meta(sf_dir: str) -> Dataset:
         .map_batches(PayloadMeta, batch_format="pyarrow", batch_size=1024, concurrency=2)
     )
     return meta
+
+
+# ---------------------------------------------------------------------------
+# T20: near-dup cluster assignment (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    sf_dir: str, threshold_permille: int = 200, max_rounds: int = 32,
+    shuffle_k: int | None = None,
+) -> Dataset:
+    """Connected components over the exact-Jaccard near-dup pair graph —
+    the step that turns pairwise similarity into DEDUP DECISIONS (one
+    winner per cluster, not per pair).  Output: (doc_id, cluster_id) for
+    every doc that appears in at least one pair, cluster_id = the minimum
+    doc_id reachable through the pair graph.
+
+    Distributed min-label propagation: labels start as each node's own id;
+    each round does TWO hash shuffles — (a) key by edge source to attach
+    the source's current label to every edge (vectorized searchsorted
+    against the partition's label rows), emitting (neighbor, label)
+    messages, (b) key by node to fold messages into ``min`` and count
+    changed labels (one Arrow group_by per partition).  The driver sees
+    only the scalar changed-count per round (``ds.sum``), never the graph;
+    per-task memory is O(partition).
+
+    Rounds needed = graph diameter (no pointer jumping): near-dup clusters
+    are dense by construction (every member shares shingles with a common
+    ancestor), so diameters are single-digit; ``max_rounds`` bounds the
+    pathological chain case and the result is then a refinement (documented
+    approximation, same treatment as df_cap).  The edge list is
+    edge-proportional, not corpus-proportional — singleton docs never
+    enter the computation.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    pairs = jaccard_pairs(sf_dir, threshold_permille=threshold_permille)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb])),
+                "dst": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    kk = shuffle_k or min(8, shuffle_parts())
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = np.unique(src)
+        return pa.table({"node": pa.array(u), "lab": pa.array(u)})
+
+    # per-partition unique is globally unique after one node-keyed merge
+    labels = hash_partition_merge(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        "node",
+        lambda t: pa.table(
+            {
+                "node": (u := np.unique(t["node"].combine_chunks().to_numpy(zero_copy_only=False))),
+                "lab": u,
+            }
+        ),
+        k=kk,
+    ).materialize()
+
+    def attach(t: pa.Table) -> pa.Table:
+        """Partition holds edge rows (key=src) + label rows (key=node):
+        emit (node=dst, lab=lab[src]) messages plus the label rows
+        themselves (carrying old= for the change count)."""
+        is_edge = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        edge_mask = ~np.isnan(is_edge) if is_edge.dtype.kind == "f" else np.ones(len(is_edge), bool)
+        lbl_mask = ~edge_mask
+        ln, ll = key[lbl_mask], lab[lbl_mask]
+        o = np.argsort(ln)
+        ln, ll = ln[o], ll[o]
+        ek = key[edge_mask]
+        ed = is_edge[edge_mask].astype(np.int64)
+        pos = np.searchsorted(ln, ek)
+        elab = ll[pos]  # every edge src has a label row by construction
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([ed, ln.astype(np.int64)])),
+                "lab": pa.array(np.concatenate([elab, ll.astype(np.int64)])),
+                "old": pa.array(
+                    np.ma.masked_array(
+                        np.concatenate([np.zeros(len(ed), np.int64), ll.astype(np.int64)]),
+                        mask=np.concatenate(
+                            [np.ones(len(ed), bool), np.zeros(len(ll), bool)]
+                        ),
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("lab", "min"), ("old", "max")])
+        new = g["lab_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        old = g["old_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        if old.dtype.kind == "f":
+            old = old.astype(np.int64)
+        return pa.table(
+            {
+                "node": g["key"],
+                "lab": pa.array(new.astype(np.int64)),
+                "changed": pa.array((new < old).astype(np.int64)),
+            }
+        )
+
+    for _ in range(max_rounds):
+        def lbl_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "key": b["node"],
+                    "dst": pa.nulls(n, pa.int64()),
+                    "lab": b["lab"],
+                }
+            )
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "key": b["src"],
+                    "dst": b["dst"],
+                    "lab": pa.nulls(n, pa.int64()),
+                }
+            )
+
+        keyed = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+            labels.map_batches(lbl_rows, batch_format="pyarrow")
+        )
+        msgs = hash_partition_merge(keyed, "key", attach, k=kk)
+        folded = hash_partition_merge(msgs, "key", fold, k=kk).materialize()
+        changed = folded.sum("changed")
+        labels = folded.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_id": b["lab"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
