@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": td.fingerprint,
         "doc_repetition": td.repetition,
         "doc_contamination": td.contamination,
+        "doc_length_quantiles": td.length_quantiles,
         # --- dedup suite ---
         "doc_exact_dedup": td.exact_dedup,
         "doc_simhash": td.simhash,
@@ -614,6 +615,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+        """,
+        "doc_length_quantiles": """
+            WITH l AS (SELECT source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) n_tok
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS p99
+            FROM l GROUP BY 1
         """,
         "doc_token_count": """
             SELECT doc_id, source,

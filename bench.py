@@ -187,6 +187,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_fingerprint",
         "doc_repetition",
         "doc_contamination",
+        "doc_length_quantiles",
         "doc_stratified_sample",
         "doc_embedding_join",
         "f1_token_topk",

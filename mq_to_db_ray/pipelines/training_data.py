@@ -1637,3 +1637,51 @@ def dup_clusters(
         return pa.table({"doc_id": b["node"], "cluster_id": b["lab"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# T21: exact distributed quantiles (bounded-int histogram combiner)
+# ---------------------------------------------------------------------------
+
+def length_quantiles(sf_dir: str) -> Dataset:
+    """EXACT per-source token-length quantiles (p50/p90/p99) — corpus
+    length profiling for mixture balancing.
+
+    The mergeable-sketch pattern with an exact sketch: token counts are
+    small bounded ints, so each batch pre-aggregates to a (source, n_tok)
+    histogram (one Arrow group_by — the combiner), and the ONLY shuffle
+    moves histograms, never documents.  The per-source merge is a cumsum
+    + searchsorted over at most |value domain| rows.  ``quantile_disc``
+    semantics (smallest value whose cumulative count >= ceil(q*n)), so
+    the DuckDB oracle matches bit-exactly.  A continuous metric would
+    swap the histogram for a t-digest; the dataflow shape is identical.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        t = pa.table(
+            {"source": batch["source"], "n_tok": pc.cast(n, pa.int64())}
+        )
+        return t.group_by(["source", "n_tok"]).aggregate([("n_tok", "count")])
+
+    def merge(g: pa.Table) -> pa.Table:
+        nt = g["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["n_tok_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(nt, kind="stable")
+        nt, cnt = nt[order], cnt[order]
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        out = {"source": g["source"][:1], "n_docs": pa.array([total], pa.int64())}
+        for name, q in (("p50", 500), ("p90", 900), ("p99", 990)):
+            thr = (total * q + 999) // 1000
+            pos = int(np.searchsorted(cum, thr, side="left"))
+            out[name] = pa.array([int(nt[pos])], pa.int64())
+        return pa.table(out)
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+    )

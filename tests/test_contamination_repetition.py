@@ -87,3 +87,45 @@ def test_contamination_laws(ray_session, tiny_docs):
     for i, text in enumerate(texts):
         sh = ts.shingles(text)
         assert got.iloc[i]["n_hits"] == int(np.isin(sh, ev).sum())
+
+
+def test_length_quantiles_semantics(ray_session, tmp_path):
+    """quantile_disc semantics: rank = ceil(q*n), smallest value whose
+    cumulative count reaches it — checked on a corpus with ties and a
+    single-doc source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.training_data import length_quantiles
+
+    texts = {
+        # source a: lengths 1,2,2,3  -> p50=2 (ceil(2)=2nd), p90=3, p99=3
+        "a": ["x", "x y", "p q", "x y z"],
+        # source b: single doc length 4 -> every quantile = 4
+        "b": ["a b c d"],
+    }
+    rows_id, rows_t, rows_s = [], [], []
+    i = 0
+    for s, ts_ in texts.items():
+        for t in ts_:
+            rows_id.append(i); rows_t.append(t); rows_s.append(s); i += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": rows_t,
+            "lang": ["en"] * i,
+            "source": rows_s,
+            "n_chars": pa.array([len(x) for x in rows_t], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        length_quantiles(str(tmp_path))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    a = got[got["source"] == "a"].iloc[0]
+    assert (a["n_docs"], a["p50"], a["p90"], a["p99"]) == (4, 2, 3, 3)
+    b = got[got["source"] == "b"].iloc[0]
+    assert (b["n_docs"], b["p50"], b["p90"], b["p99"]) == (1, 4, 4, 4)
