@@ -1502,141 +1502,144 @@ def dup_clusters(
     every doc that appears in at least one pair, cluster_id = the minimum
     doc_id reachable through the pair graph.
 
-    Distributed min-label propagation: labels start as each node's own id;
-    each round does TWO hash shuffles — (a) key by edge source to attach
-    the source's current label to every edge (vectorized searchsorted
-    against the partition's label rows), emitting (neighbor, label)
-    messages, (b) key by node to fold messages into ``min`` and count
-    changed labels (one Arrow group_by per partition).  The driver sees
-    only the scalar changed-count per round (``ds.sum``), never the graph;
-    per-task memory is O(partition).
+    Distributed min-label propagation at ONE hash shuffle per hop: edge
+    rows (keyed by src), label rows (keyed by node) and the previous
+    hop's (dst, label) messages all hash-partition on the same key, so a
+    single per-partition kernel folds the incoming messages into each
+    node's label (lexsort + minimum-per-run) AND emits the next hop's
+    messages from the co-located edges (vectorized searchsorted) — the
+    fold of hop r and the attach of hop r+1 share one exchange.  The
+    driver sees only a scalar changed-count per hop; per-task memory is
+    O(partition).
 
-    Rounds needed = graph diameter (no pointer jumping): near-dup clusters
-    are dense by construction (every member shares shingles with a common
-    ancestor), so diameters are single-digit; ``max_rounds`` bounds the
-    pathological chain case and the result is then a refinement (documented
-    approximation, same treatment as df_cap).  The edge list is
-    edge-proportional, not corpus-proportional — singleton docs never
-    enter the computation.
+    Hops needed = graph diameter (no pointer jumping): near-dup clusters
+    are dense by construction, so diameters are single-digit;
+    ``max_rounds`` bounds the pathological chain case, and a capped run
+    yields each node's min label within ``max_rounds`` hops (a refinement,
+    documented like df_cap).  State is edge-proportional, never
+    corpus-proportional — singleton docs never enter the computation.
     """
     import numpy as np
 
     from ..stages.shuffle import hash_partition_merge, shuffle_parts
 
     pairs = jaccard_pairs(sf_dir, threshold_permille=threshold_permille)
+    KIND_EDGE, KIND_LABEL, KIND_MSG, KIND_COUNT = 0, 1, 2, 3
 
     def to_edges(b: pa.Table) -> pa.Table:
         a = b["doc_a"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         bb = b["doc_b"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        n2 = 2 * len(a)
         return pa.table(
             {
-                "src": pa.array(np.concatenate([a, bb])),
+                "key": pa.array(np.concatenate([a, bb])),
                 "dst": pa.array(np.concatenate([bb, a])),
+                "lab": pa.array(np.zeros(n2, np.int64)),
+                "kind": pa.array(np.full(n2, KIND_EDGE, np.int64)),
             }
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     kk = shuffle_k or min(8, shuffle_parts())
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        src = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+    def seed(b: pa.Table) -> pa.Table:
+        """Initial labels (node = own id) AND the first hop's messages
+        (dst <- src id), straight from the edge rows — the first fold is
+        then a real propagation step, not a seed-collapse barrier."""
+        src = b["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
         u = np.unique(src)
-        return pa.table({"node": pa.array(u), "lab": pa.array(u)})
-
-    # per-partition unique is globally unique after one node-keyed merge
-    labels = hash_partition_merge(
-        edges.map_batches(init_labels, batch_format="pyarrow"),
-        "node",
-        lambda t: pa.table(
-            {
-                "node": (u := np.unique(t["node"].combine_chunks().to_numpy(zero_copy_only=False))),
-                "lab": u,
-            }
-        ),
-        k=kk,
-    ).materialize()
-
-    def attach(t: pa.Table) -> pa.Table:
-        """Partition holds edge rows (key=src) + label rows (key=node):
-        emit (node=dst, lab=lab[src]) messages plus the label rows
-        themselves (carrying old= for the change count)."""
-        is_edge = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
-        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
-        edge_mask = ~np.isnan(is_edge) if is_edge.dtype.kind == "f" else np.ones(len(is_edge), bool)
-        lbl_mask = ~edge_mask
-        ln, ll = key[lbl_mask], lab[lbl_mask]
-        o = np.argsort(ln)
-        ln, ll = ln[o], ll[o]
-        ek = key[edge_mask]
-        ed = is_edge[edge_mask].astype(np.int64)
-        pos = np.searchsorted(ln, ek)
-        elab = ll[pos]  # every edge src has a label row by construction
         return pa.table(
             {
-                "key": pa.array(np.concatenate([ed, ln.astype(np.int64)])),
-                "lab": pa.array(np.concatenate([elab, ll.astype(np.int64)])),
-                "old": pa.array(
-                    np.ma.masked_array(
-                        np.concatenate([np.zeros(len(ed), np.int64), ll.astype(np.int64)]),
-                        mask=np.concatenate(
-                            [np.ones(len(ed), bool), np.zeros(len(ll), bool)]
-                        ),
-                    ),
-                    type=pa.int64(),
+                "key": pa.array(np.concatenate([u, dst])),
+                "dst": pa.array(np.zeros(len(u) + len(dst), np.int64)),
+                "lab": pa.array(np.concatenate([u, src])),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(len(u), KIND_LABEL, np.int64),
+                            np.full(len(dst), KIND_MSG, np.int64),
+                        ]
+                    )
                 ),
             }
         )
 
-    def fold(t: pa.Table) -> pa.Table:
-        g = t.group_by("key").aggregate([("lab", "min"), ("old", "max")])
-        new = g["lab_min"].combine_chunks().to_numpy(zero_copy_only=False)
-        old = g["old_max"].combine_chunks().to_numpy(zero_copy_only=False)
-        if old.dtype.kind == "f":
-            old = old.astype(np.int64)
+    def step(t: pa.Table) -> pa.Table:
+        kind = t["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        lbl, msg, edg = kind == KIND_LABEL, kind == KIND_MSG, kind == KIND_EDGE
+        ln, ll = key[lbl], lab[lbl]
+        o = np.argsort(ln, kind="stable")
+        ln, ll = ln[o], ll[o]
+        # duplicate-free seed labels: per-partition uniques of a node are
+        # collapsed here (first round only), keeping min lab per node
+        allk = np.concatenate([ln, key[msg]])
+        alll = np.concatenate([ll, lab[msg]])
+        o2 = np.lexsort((alll, allk))
+        ak, al = allk[o2], alll[o2]
+        if len(ak):
+            starts = np.flatnonzero(np.diff(ak, prepend=ak[0] - 1))
+            un, newl = ak[starts], al[starts]
+        else:
+            un = newl = np.empty(0, np.int64)
+        # old label per unique node for the changed count (ln may hold
+        # duplicates only in the seeding round; min of dups == unique min)
+        if len(ln):
+            lstarts = np.flatnonzero(np.diff(ln, prepend=ln[0] - 1))
+            old = ll[lstarts]
+        else:
+            old = np.empty(0, np.int64)
+        changed = int(np.count_nonzero(newl < old)) if len(old) else 0
+        ek, ed = key[edg], dst[edg]
+        epos = np.searchsorted(un, ek)
+        elab = newl[epos]  # every edge src has a label row by construction
+        n_l, n_m = len(un), len(ek)
         return pa.table(
             {
-                "node": g["key"],
-                "lab": pa.array(new.astype(np.int64)),
-                "changed": pa.array((new < old).astype(np.int64)),
+                "key": pa.array(np.concatenate([un, ed, [-1]])),
+                "dst": pa.array(np.zeros(n_l + n_m + 1, np.int64)),
+                "lab": pa.array(
+                    np.concatenate([newl, elab, [changed]])
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(n_l, KIND_LABEL, np.int64),
+                            np.full(n_m, KIND_MSG, np.int64),
+                            [KIND_COUNT],
+                        ]
+                    )
+                ),
             }
         )
 
-    for _ in range(max_rounds):
-        def lbl_rows(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            return pa.table(
-                {
-                    "key": b["node"],
-                    "dst": pa.nulls(n, pa.int64()),
-                    "lab": b["lab"],
-                }
-            )
-
-        def edge_rows(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            return pa.table(
-                {
-                    "key": b["src"],
-                    "dst": b["dst"],
-                    "lab": pa.nulls(n, pa.int64()),
-                }
-            )
-
-        keyed = edges.map_batches(edge_rows, batch_format="pyarrow").union(
-            labels.map_batches(lbl_rows, batch_format="pyarrow")
+    state = edges.map_batches(seed, batch_format="pyarrow")
+    for _hop in range(max_rounds):
+        out = hash_partition_merge(
+            state.union(edges), "key", step, k=kk
+        ).materialize()
+        counts = out.map_batches(
+            lambda b: pa.table(
+                {"c": pc.filter(b["lab"], pc.equal(b["kind"], KIND_COUNT))}
+            ),
+            batch_format="pyarrow",
         )
-        msgs = hash_partition_merge(keyed, "key", attach, k=kk)
-        folded = hash_partition_merge(msgs, "key", fold, k=kk).materialize()
-        changed = folded.sum("changed")
-        labels = folded.drop_columns(["changed"]).materialize()
-        if not changed:
+        changed = counts.sum("c") or 0
+        state = out.map_batches(
+            lambda b: b.filter(pc.not_equal(b["kind"], KIND_COUNT)),
+            batch_format="pyarrow",
+        )
+        if changed == 0:  # fixed point: the fold moved no label
             break
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b["node"], "cluster_id": b["lab"]})
+        m = b.filter(pc.equal(b["kind"], KIND_LABEL))
+        return pa.table({"doc_id": m["key"], "cluster_id": m["lab"]})
 
-    return labels.map_batches(rename, batch_format="pyarrow")
+    return state.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
