@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": td.minhash_lsh_pairs,
         "doc_jaccard_pairs": td.jaccard_pairs,
         "doc_dup_clusters": td.dup_clusters,
+        "doc_near_dedup_keep": td.near_dedup_keep,
         # --- similarity search ---
         "embedding_near_dup": td.embedding_near_dup,
         "embedding_near_dup_lsh": td.embedding_near_dup_lsh,
@@ -725,6 +726,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u)
             SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
             FROM reach GROUP BY 1
+        """,
+        "doc_near_dedup_keep": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db, CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.da AS doc_a, i.db AS doc_b
+                  FROM i JOIN sizes sa ON i.da = sa.doc_id
+                         JOIN sizes sb ON i.db = sb.doc_id
+                  WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200),
+            nn AS (SELECT doc_a u FROM p UNION SELECT doc_b FROM p),
+            ee AS (SELECT doc_a u, doc_b v FROM p
+                   UNION SELECT doc_b, doc_a FROM p
+                   UNION SELECT u, u FROM nn),
+            reach(u, v) AS (
+                SELECT u, v FROM ee
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u),
+            cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY 1)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
         """,
         "doc_exact_dedup": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

@@ -1688,3 +1688,59 @@ def length_quantiles(sf_dir: str) -> Dataset:
         .groupby("source")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def near_dedup_keep(sf_dir: str, threshold_permille: int = 200) -> Dataset:
+    """The dedup DECISION applied: keep every document except non-winner
+    near-dup cluster members (winner = min doc_id per T20 cluster).
+    Output (doc_id, source) of survivors.
+
+    Scale shape: a hash-partitioned ANTI-JOIN — survivor filtering must
+    not broadcast the loser set (at web-crawl dup rates losers are
+    corpus-sized), so corpus ids and loser marks meet by doc_id hash and
+    each partition drops its marked rows with one vectorized searchsorted;
+    document text never moves, only (doc_id, source) ids.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition_merge
+
+    clusters = dup_clusters(sf_dir, threshold_permille=threshold_permille)
+
+    def losers(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["doc_id"], b["cluster_id"])
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": pa.nulls(t.num_rows, pa.string()),
+                "is_loser": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def corpus(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": b["source"],
+                "is_loser": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            }
+        )
+
+    def anti(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        isl = t["is_loser"].combine_chunks().to_numpy(zero_copy_only=False)
+        lose = np.unique(ids[isl])
+        rows = ~isl
+        if len(lose):
+            pos = np.searchsorted(lose, ids)
+            pos[pos == len(lose)] = 0
+            rows &= lose[pos] != ids
+        keep_idx = np.flatnonzero(rows)
+        out = t.take(pa.array(keep_idx, pa.int64()))
+        return out.drop_columns(["is_loser"])
+
+    both = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        corpus, batch_format="pyarrow"
+    ).union(clusters.map_batches(losers, batch_format="pyarrow"))
+    return hash_partition_merge(both, "doc_id", anti)

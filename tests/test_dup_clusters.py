@@ -85,3 +85,13 @@ def test_max_rounds_caps_propagation(ray_session, chain_docs):
     labels = dict(zip(got["doc_id"], got["cluster_id"]))
     # one round moves labels one hop: node 3 sees node 2's ORIGINAL label
     assert labels[3] == 2 and labels[1] == 0
+
+
+def test_near_dedup_keep_survivors(ray_session, chain_docs):
+    from mq_to_db_ray.pipelines.training_data import near_dedup_keep
+
+    got = near_dedup_keep(chain_docs).to_pandas()
+    # chain 0-1-2-3 collapses to winner 0; twins (10,11) to 10; the
+    # singleton 20 never entered the pair graph and survives untouched
+    assert sorted(got["doc_id"].tolist()) == [0, 10, 20]
+    assert set(got.columns) == {"doc_id", "source"}
