@@ -69,9 +69,13 @@ def events_gapfill(sf_dir: str, tier: str = "1m") -> Dataset:
 
 
 def _events_typed(sf_dir: str, event_type: str, cols: list[str]) -> Dataset:
+    # read fan-out matched to the data (ds.stats showed the default 64-way
+    # SplitBlocks costing more in task launches than the whole compute on
+    # small epochs; at web scale _adaptive_k saturates to full width)
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=list(dict.fromkeys(cols + ["event_type"])),
+        override_num_blocks=_adaptive_k(sf_dir),
     )
     return ds.filter(
         expr=f'event_type == "{event_type}"'
@@ -135,6 +139,7 @@ def events_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
     ).map_batches(lambda b: _floor_value(b, "v"), batch_format="pyarrow")
     return sessionize(
         ds,
