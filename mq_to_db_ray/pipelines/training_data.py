@@ -1539,8 +1539,15 @@ def dup_clusters(
             }
         )
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     kk = shuffle_k or min(8, shuffle_parts())
+    # compact the edge list once: it inherits jaccard's wide block layout
+    # (tiny blocks), and every propagation hop re-reads it — kk blocks keep
+    # the per-hop task count at the shuffle width instead of 64+
+    edges = (
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+        .repartition(kk)
+        .materialize()
+    )
 
     def seed(b: pa.Table) -> pa.Table:
         """Initial labels (node = own id) AND the first hop's messages
