@@ -808,6 +808,12 @@ def minhash_lsh_pairs(
         sh_a = _attach(sk, agg["doc_a"].to_numpy(zero_copy_only=False))
         return pa.table({"doc_a": agg["doc_a"], "doc_b": agg["doc_b"], "sh": sh_a})
 
+    # the two attach rounds re-read the sketches with cheap kernels; a
+    # compact copy at the shuffle width avoids 2x64 tiny-task launches
+    # (the banding pass above already consumed the wide layout, which it
+    # wants for signature-compute parallelism)
+    sketches = sketches.repartition(adaptive_k).materialize()
+
     with_a = hash_partition_merge(
         candidates.map_batches(null_sh, batch_format="pyarrow").union(
             sketches.map_batches(tag_sketch("doc_a"), batch_format="pyarrow")
