@@ -378,6 +378,7 @@ def _q_f1_resume(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from mq_to_db_ray.pipelines import corpus as cps
     from mq_to_db_ray.pipelines import training_data as td
 
     return {
@@ -415,6 +416,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": td.repetition,
         "doc_contamination": td.contamination,
         "doc_length_quantiles": td.length_quantiles,
+        # --- corpus composition (packing / shuffle / mixture / vocab) ---
+        "doc_pack_sequences": cps.pack_sequences,
+        "doc_shuffle_rank": cps.shuffle_rank,
+        "doc_mixture_sample": cps.mixture_sample,
+        "doc_vocab_ids": cps.vocab_ids,
         # --- dedup suite ---
         "doc_exact_dedup": td.exact_dedup,
         "doc_simhash": td.simhash,
@@ -616,6 +622,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+        """,
+        "doc_pack_sequences": """
+            WITH l AS (SELECT doc_id, source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) n
+                       FROM documents),
+            o AS (SELECT doc_id, source,
+                         COALESCE(SUM(n) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+                  FROM l)
+            SELECT doc_id, source,
+                   CAST(off // 256 AS BIGINT) AS pack_id,
+                   CAST(off % 256 AS BIGINT) AS pack_offset
+            FROM o
+        """,
+        "doc_shuffle_rank": """
+            WITH h AS (SELECT doc_id,
+                              ((doc_id % 1000000007) * 1099087573)
+                                  % 1000000007 AS r
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY r, doc_id) - 1
+                     AS BIGINT) AS shuffle_pos
+            FROM h
+        """,
+        "doc_mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 1000000007) * 2246822519) % 1000000007 % 1000
+                  < 100 + 40 * CAST(regexp_extract(source, '([0-9]+)$', 1)
+                                     AS BIGINT)
+        """,
+        "doc_vocab_ids": """
+            WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) t
+                       FROM documents),
+            c AS (SELECT t, count(*) n FROM w GROUP BY 1),
+            v AS (SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) - 1
+                         AS id
+                  FROM c ORDER BY n DESC, t ASC LIMIT 16),
+            j AS (SELECT w.doc_id, v.id FROM w LEFT JOIN v ON w.t = v.t)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(*) FILTER (WHERE id IS NULL) AS BIGINT)
+                       AS n_oov,
+                   CAST(COALESCE(sum(id), 0) AS BIGINT) AS sum_ids
+            FROM j GROUP BY 1
         """,
         "doc_length_quantiles": """
             WITH l AS (SELECT source,

@@ -188,6 +188,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_repetition",
         "doc_contamination",
         "doc_length_quantiles",
+        "doc_pack_sequences",
+        "doc_shuffle_rank",
+        "doc_mixture_sample",
+        "doc_vocab_ids",
         "doc_stratified_sample",
         "doc_embedding_join",
         "f1_token_topk",

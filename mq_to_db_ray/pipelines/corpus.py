@@ -1,0 +1,381 @@
+"""Corpus-composition operators for training-data assembly: sequence
+packing, deterministic global shuffle order, mixture sampling, and
+vocabulary-id mapping.
+
+These extend the training-data suite (SURVEY.md §2.3) with the steps that
+sit between a deduplicated corpus and a training run: deciding each
+document's position in the emitted token stream.  The reference's store
+chain processes one message at a time with no notion of position
+(/root/reference/internal/repository/messages.go:60-151); position here is
+derived from data (doc_id order), never from block order, matching the
+engine's per-source sequencing rule (SURVEY.md §4.2 "Ordering").
+
+Dataflow shapes, all Ray-Data-first:
+
+* ``pack_sequences`` / ``shuffle_rank`` share the **distributed ordered
+  prefix scan**: a narrow per-chunk partial pass (combiner), an
+  O(#chunks) driver-side exclusive scan (the only driver state — same
+  bound as cascade's source_extents fold), and a chunk-partitioned second
+  pass where every task knows its base offset from a broadcast dict.
+  Text never moves; only (doc_id, source, n_tok) rides the one shuffle.
+* ``mixture_sample`` is a stateless vectorized filter over pure integer
+  hash arithmetic, so the DuckDB oracle reproduces it bit-exactly.
+* ``vocab_ids`` is build-small-side-then-broadcast: a distributed word
+  count (per-batch Arrow value_counts combiner -> crc32 hash-partition
+  merge), a tiny top-V vocabulary on the driver, then one vectorized
+  ``pc.index_in`` apply per batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..stages.shuffle import HASH_MULT, shuffle_parts
+
+# Exact-arithmetic hash domain shared with stratified_sample: reducing
+# doc_id mod P BEFORE the multiply keeps every intermediate below
+# (P-1)*K < 2^63, so numpy int64 and DuckDB BIGINT agree bit-for-bit.
+P = 1_000_000_007
+K_SHUFFLE = 1_099_087_573  # shuffle_rank ordering hash
+K_MIX = 2_246_822_519  # mixture_sample keep/drop hash
+
+
+def _docs(sf_dir: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _n_tok(batch: pa.Table) -> pa.ChunkedArray:
+    """Whitespace token count, same split semantics as the SQL oracle."""
+    return pc.cast(
+        pc.list_value_length(pc.split_pattern(batch["text"], " ")), pa.int64()
+    )
+
+
+def _source_codes(col) -> tuple[np.ndarray, list[str]]:
+    """Dictionary-encode a string column -> (int codes, unique values).
+
+    Lets per-partition kernels treat sources as small ints; the python
+    work is O(#unique sources per partition), not O(rows).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    return (
+        d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        d.dictionary.to_pylist(),
+    )
+
+
+# ------------------------------------------------------------- packing
+
+
+def pack_sequences(sf_dir: str, ctx: int = 256, chunk: int = 64) -> Dataset:
+    """Concat-and-chunk sequence packing: per source, documents ordered by
+    doc_id form one token stream; each doc is assigned the context window
+    (``pack_id``) and in-window offset where its first token lands.
+
+    Output: (doc_id, source, pack_id, pack_offset) with
+    ``off = exclusive-cumsum of n_tok per source ordered by doc_id``,
+    ``pack_id = off // ctx``, ``pack_offset = off % ctx``.
+
+    Scale shape — distributed ordered prefix scan:
+      1. one narrow pass emits per-(source, chunk) token sums
+         (chunk = doc_id // chunk_size, a key-RANGE chunking so chunk
+         order == doc_id order); the partials Dataset is folded
+         incrementally on the driver at O(sources x chunks);
+      2. the driver exclusive-scans each source's chunk sums into base
+         offsets (broadcast, tiny);
+      3. a second pass hash-partitions rows by (source, chunk) — every
+         group's packing is then local: lexsort + cumsum + its base.
+    At 100 TB, chunk_size is raised so sources x chunks stays ~1e6; the
+    driver never sees a row, only per-chunk sums.
+    """
+    k = shuffle_parts()
+    chunk_s = pa.scalar(chunk, pa.int64())
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": b["source"],
+                "chunk_id": pc.divide(pc.cast(b["doc_id"], pa.int64()), chunk_s),
+                "n_tok": _n_tok(b),
+            }
+        )
+
+    # Tokenize once: the narrow (doc_id, source, chunk, n_tok) projection
+    # (~1% of corpus width — text is dropped) feeds BOTH scan passes.
+    narrow = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(["source", "chunk_id", "n_tok"]).group_by(
+            ["source", "chunk_id"]
+        ).aggregate([("n_tok", "sum")])
+
+    partials = narrow.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # Driver fold: O(sources x chunks) ints, streamed batch by batch.
+    sums: dict[tuple[str, int], int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for s, c, n in zip(
+            b["source"].to_pylist(),
+            b["chunk_id"].to_pylist(),
+            b["n_tok_sum"].to_pylist(),
+        ):
+            key = (s, int(c))
+            sums[key] = sums.get(key, 0) + int(n)
+
+    bases: dict[tuple[str, int], int] = {}
+    by_source: dict[str, list[int]] = {}
+    for s, c in sums:
+        by_source.setdefault(s, []).append(c)
+    for s, chunks in by_source.items():
+        acc = 0
+        for c in sorted(chunks):
+            bases[(s, c)] = acc
+            acc += sums[(s, c)]
+
+    def add_part(b: pa.Table) -> pa.Table:
+        codes, uniq = _source_codes(b["source"])
+        crc = np.array(
+            [zlib.crc32(u.encode()) for u in uniq], dtype=np.int64
+        )[codes]
+        cid = b["chunk_id"].to_numpy(zero_copy_only=False)
+        part = (crc ^ (cid * HASH_MULT)) & (k - 1)
+        return b.append_column("part", pa.array(part.astype(np.int32)))
+
+    def assign(g: pa.Table) -> pa.Table:
+        codes, uniq = _source_codes(g["source"])
+        cid = g["chunk_id"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n_tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, cid, codes))
+        codes, cid, did, n = codes[order], cid[order], did[order], n[order]
+        # Group boundaries where (source, chunk) changes.
+        new = np.empty(len(n), dtype=bool)
+        new[0] = True
+        new[1:] = (codes[1:] != codes[:-1]) | (cid[1:] != cid[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(n)))
+        excl = np.cumsum(n) - n
+        within = excl - np.repeat(excl[starts], counts)
+        base = np.array(
+            [bases.get((uniq[codes[s]], int(cid[s])), 0) for s in starts],
+            dtype=np.int64,
+        )
+        off = np.repeat(base, counts) + within
+        src_sorted = pc.take(
+            g["source"].combine_chunks(), pa.array(order, pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "source": src_sorted,
+                "pack_id": pa.array(off // ctx, pa.int64()),
+                "pack_offset": pa.array(off % ctx, pa.int64()),
+            }
+        )
+
+    return (
+        narrow.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda g: assign(g.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    )
+
+
+# -------------------------------------------------------- shuffle order
+
+
+def shuffle_rank(sf_dir: str, nchunks: int = 64) -> Dataset:
+    """Deterministic global training-shuffle position for every document:
+    ``shuffle_pos = rank of (hash(doc_id), doc_id) over the whole corpus``.
+
+    The count-scan sibling of :func:`pack_sequences`: the hash value
+    domain [0, P) is split into ``nchunks`` RANGE chunks (chunk order ==
+    hash order), pass 1 bincounts rows per chunk (a length-``nchunks``
+    vector folded on the driver), the exclusive scan of those counts is
+    each chunk's base rank, and pass 2 sorts each chunk locally.  No
+    global sort, no corpus-sized driver state; ties (doc_id >= P) break
+    by doc_id, so the rank is total and reproducible by the SQL oracle's
+    ROW_NUMBER.
+    """
+
+    def to_hash(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = ((d % P) * K_SHUFFLE) % P
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "r": pa.array(r, pa.int64()),
+                "part": pa.array((r * nchunks // P).astype(np.int32)),
+            }
+        )
+
+    hashed = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    counts = np.zeros(nchunks, dtype=np.int64)
+    for b in hashed.iter_batches(batch_format="pyarrow"):
+        counts += np.bincount(
+            b["part"].to_numpy(zero_copy_only=False), minlength=nchunks
+        )
+    base = np.cumsum(counts) - counts
+
+    def rank(g: pa.Table) -> pa.Table:
+        r = g["r"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        c = int(r[0] * nchunks // P)
+        order = np.lexsort((did, r))
+        pos = base[c] + np.arange(len(r), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order], pa.int64()),
+                "shuffle_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return hashed.groupby("part").map_groups(
+        lambda g: rank(g.drop_columns(["part"])), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------ mixture sampling
+
+
+def mixture_sample(sf_dir: str) -> Dataset:
+    """Source-weighted corpus mixture: keep each document with a
+    per-source probability (rate_permille = 100 + 40 * source index),
+    decided by a deterministic integer hash of doc_id — the standard
+    mixture-weighting step before training, reproducible everywhere.
+
+    Stateless vectorized filter: the per-unique-source rate parse is
+    O(#sources per batch) python, the keep mask is one numpy expression.
+    In production the rates come from config; the source-derived default
+    keeps the operator self-contained and SQL-checkable.
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        codes, uniq = _source_codes(b["source"])
+        rate = np.array(
+            [100 + 40 * int("".join(ch for ch in u if ch.isdigit()) or 0)
+             for u in uniq],
+            dtype=np.int64,
+        )[codes]
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((d % P) * K_MIX) % P % 1000
+        keep = u < rate
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+            }
+        ).filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------------ vocab ids
+
+
+def vocab_ids(sf_dir: str, v: int = 16) -> Dataset:
+    """Tokenizer-apply plumbing: build a top-``v`` word vocabulary from
+    the corpus itself (id = rank by count desc, word asc) and map every
+    document through it, reporting per-doc (n_words, n_oov, sum_ids).
+
+    Shape: per-batch Arrow ``value_counts`` combiner -> crc32
+    hash-partition merge (only (word, count) rows shuffle, never text)
+    -> tiny global sort-limit -> the ``v``-row vocabulary is broadcast —
+    the canonical build-small-side / apply-vectorized split.  The apply
+    is one ``pc.index_in`` + two bincounts per batch; a real BPE vocab
+    swaps the value_set, the dataflow is identical.
+    """
+    k = shuffle_parts()
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        vc = words.flatten().value_counts()
+        w = vc.field("values")
+        crc = pa.array(
+            np.array(
+                [zlib.crc32(x.encode()) & (k - 1) for x in w.to_pylist()],
+                dtype=np.int32,
+            )
+        )
+        return pa.table(
+            {
+                "word": w,
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "part": crc,
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        agg = g.group_by("word", use_threads=False).aggregate([("n", "sum")])
+        return pa.table(
+            {"word": agg["word"], "n": pc.cast(agg["n_sum"], pa.int64())}
+        )
+
+    merged = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    )
+    top = merged.sort(["n", "word"], descending=[True, False]).limit(v)
+    vocab = pa.array(
+        [r["word"] for r in top.take_all()], pa.string()
+    )  # v rows — bounded by construction
+
+    def apply(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=vocab)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        ids = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nrows = b.num_rows
+        n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        sum_ids = np.bincount(
+            parent, weights=ids * valid, minlength=nrows
+        ).astype(np.int64)
+        n_oov = np.bincount(
+            parent, weights=~valid, minlength=nrows
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "n_oov": pa.array(n_oov),
+                "sum_ids": pa.array(sum_ids),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        apply, batch_format="pyarrow", zero_copy_batch=True
+    )
