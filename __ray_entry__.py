@@ -115,6 +115,12 @@ def _q_events_sessions(sf_dir: str):
     return events_sessions(sf_dir)
 
 
+def _q_events_session_join(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_join
+
+    return events_session_join(sf_dir)
+
+
 def _q_doc_rollup_1m(sf_dir: str):
     from mq_to_db_ray.sources.tokenized import tokenized_documents
     from mq_to_db_ray.stages.rollup import rollup
@@ -391,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_rolling_5m": _q_events_rolling,
         "events_sessions": _q_events_sessions,
+        "events_session_join": _q_events_session_join,
         # --- flagship on the native F1 corpus ---
         "f1_rollup_1m": _q_f1_rollup_1m,
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
@@ -594,6 +601,26 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    CAST(sum(v) AS BIGINT) AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "events_session_join": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                  FROM o),
+            iv AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                          min(ts) AS start_ts, max(ts) AS end_ts
+                   FROM s GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, iv.session_id
+            FROM events e
+            JOIN iv ON e.user_id = iv.user_id
+                   AND e.ts BETWEEN iv.start_ts AND iv.end_ts
         """,
         "doc_repetition": """
             WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),

@@ -179,6 +179,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_asof_join",
         "events_rolling_5m",
         "events_sessions",
+        "events_session_join",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",

@@ -150,3 +150,36 @@ def events_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         gap_us=gap_s * 1_000_000,
         k=_adaptive_k(sf_dir),
     )
+
+
+def events_session_join(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """Range join: tag every event with the session (from
+    :func:`events_sessions`) whose [start_ts, end_ts] interval contains
+    it — sessions are non-overlapping per user, the contract
+    stages/temporal.range_join relies on. Output (event_id, user_id,
+    session_id); oracle = sessions CTE + BETWEEN join."""
+    from ..stages.temporal import range_join
+
+    points = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    intervals = events_sessions(sf_dir, gap_s).map_batches(
+        lambda b: b.select(["user_id", "session_id", "start_ts", "end_ts"]),
+        batch_format="pyarrow",
+    )
+    joined = range_join(
+        points,
+        intervals,
+        key="user_id",
+        ts="ts",
+        lo="start_ts",
+        hi="end_ts",
+        attrs=["session_id"],
+        k=_adaptive_k(sf_dir),
+    )
+    return joined.map_batches(
+        lambda b: b.select(["event_id", "user_id", "session_id"]),
+        batch_format="pyarrow",
+    )

@@ -34,7 +34,7 @@ from ray.data import Dataset
 from ..timegrid import TIERS
 from .shuffle import hash_partition_merge
 
-__all__ = ["asof_join", "rolling_sum", "sessionize"]
+__all__ = ["asof_join", "range_join", "rolling_sum", "sessionize"]
 
 
 def _i64(col: pa.ChunkedArray) -> np.ndarray:
@@ -302,3 +302,120 @@ def sessionize(
     return hash_partition_merge(
         ds.map_batches(narrow, batch_format="pyarrow"), "k", merge, k=k
     )
+
+
+# ---------------------------------------------------------------------------
+# range (interval containment) join
+# ---------------------------------------------------------------------------
+
+def range_join(
+    points: Dataset,
+    intervals: Dataset,
+    *,
+    key: str,
+    ts: str,
+    lo: str,
+    hi: str,
+    attrs: list[str],
+    k: int | None = None,
+) -> Dataset:
+    """For each point row, attach ``attrs`` from the interval row of the
+    same ``key`` whose ``[lo, hi]`` (inclusive both ends) contains the
+    point's ``ts`` — `p JOIN i ON p.key = i.key AND p.ts BETWEEN i.lo AND
+    i.hi`, LEFT semantics (attrs null when uncontained).
+
+    **Partitioning assumption**: intervals are non-overlapping per key
+    (e.g. sessions, retention windows, tariff periods), so the candidate
+    is unique and the join reduces to the as-of forward fill: the latest
+    interval with ``lo <= ts`` is the only one that can contain ``ts``;
+    containment is then one vectorized ``hi >= ts`` check. Overlapping
+    intervals would need a halo replication scheme instead.
+
+    Scale shape (same as :func:`asof_join`): both sides ride ONE hash
+    shuffle on ``key`` as union rows, then a single O(n log n) numpy
+    kernel per partition; per-task memory O(partition), driver O(1).
+    """
+    psch = points.schema()
+    p_types = dict(zip(psch.names, psch.types))
+    p_payload = [c for c in psch.names if c not in (key, ts)]
+    isch = intervals.schema()
+    i_types = dict(zip(isch.names, isch.types))
+    overlap = set(attrs) & set(p_payload)
+    if overlap:
+        raise ValueError(f"attr/point column collision: {sorted(overlap)}")
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "k": pc.cast(b[key], pa.int64()),
+            "t": pc.cast(b[ts], pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "hi_": pa.nulls(n, pa.int64()),
+        }
+        for a in attrs:
+            cols[a] = pa.nulls(n, i_types[a])
+        for c in p_payload:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "k": pc.cast(b[key], pa.int64()),
+            "t": pc.cast(b[lo], pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "hi_": pc.cast(b[hi], pa.int64()),
+        }
+        for a in attrs:
+            cols[a] = b[a]
+        for c in p_payload:
+            cols[c] = pa.nulls(n, p_types[c])
+        return pa.table(cols)
+
+    ts_type = p_types[ts]
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), ts: pa.array([], ts_type)}
+                | {a: pa.array([], i_types[a]) for a in attrs}
+                | {c: pa.array([], p_types[c]) for c in p_payload}
+            )
+        kk = _i64(t["k"])
+        tt = _i64(t["t"])
+        side = _i64(t["side"])
+        hi_np = _i64(pc.fill_null(t["hi_"], -1))
+        # (key, t, side): interval-before-point at equal t realises the
+        # inclusive lower bound (p.ts == i.lo is a containment).
+        order = np.lexsort((side, tt, kk))
+        ks, tss, ss = kk[order], tt[order], side[order]
+        ridx = np.where(ss == 0, np.arange(n), -1)
+        np.maximum.accumulate(ridx, out=ridx)
+        safe = np.maximum(ridx, 0)
+        has = (
+            (ridx >= 0)
+            & (ks[safe] == ks)
+            & (hi_np[order][safe] >= tss)  # inclusive upper bound
+        )
+        is_p = ss == 1
+        pidx = order[is_p]  # original positions of point rows
+        iorig = order[safe[is_p]]  # original positions of matched intervals
+        has_p = pa.array(has[is_p])
+        out = {
+            key: pa.array(ks[is_p]),
+            ts: pa.array(tss[is_p]).cast(ts_type),
+        }
+        take_i = pa.array(iorig, pa.int64())
+        for a in attrs:
+            vals = t[a].combine_chunks().take(take_i)
+            out[a] = pc.if_else(has_p, vals, pa.nulls(len(iorig), i_types[a]))
+        take_p = pa.array(pidx, pa.int64())
+        for c in p_payload:
+            out[c] = t[c].combine_chunks().take(take_p)
+        return pa.table(out)
+
+    both = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+    return hash_partition_merge(both, "k", merge, k=k)

@@ -178,3 +178,73 @@ def test_sessionize_matches_bruteforce(ray_session):
 
     boundary = got[got["k"] == 99]
     assert boundary["n_events"].tolist()[0] == 2  # 0 and 100 joined
+
+
+# ---------------------------------------------------------------------------
+# range (interval containment) join
+# ---------------------------------------------------------------------------
+
+def test_range_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.temporal import range_join
+
+    g = _rng(11)
+    nkeys = 6
+    # non-overlapping intervals per key, with deliberate gaps between them
+    ik, ilo, ihi, sid = [], [], [], []
+    for k in range(nkeys - 1):  # key nkeys-1 has NO intervals
+        t = 0
+        for s in range(int(g.integers(1, 5))):
+            t += int(g.integers(5, 30))  # gap before the interval
+            w = int(g.integers(0, 20))  # zero-width allowed (lo == hi)
+            ik.append(k); ilo.append(t); ihi.append(t + w); sid.append(s)
+            t += w
+    # points: hits, misses-in-gaps, exact lo/hi boundaries, keys w/o intervals
+    pk = g.integers(0, nkeys, 300).astype(int).tolist()
+    pt = g.integers(0, 160, 300).astype(int).tolist()
+    pk += [0, 0]; pt += [ilo[0], ihi[0]]  # inclusive boundary probes
+    pid = list(range(len(pk)))
+
+    def brute(k, t):
+        for k2, lo, hi, s in zip(ik, ilo, ihi, sid):
+            if k2 == k and lo <= t <= hi:
+                return s
+        return None
+
+    points = rd.from_arrow(pa.table(
+        {"key": pa.array(pk, pa.int64()), "ts": pa.array(pt, pa.int64()),
+         "pid": pa.array(pid, pa.int64())}))
+    intervals = rd.from_arrow(pa.table(
+        {"key": pa.array(ik, pa.int64()), "lo": pa.array(ilo, pa.int64()),
+         "hi": pa.array(ihi, pa.int64()), "sid": pa.array(sid, pa.int64())}))
+    got = range_join(
+        points, intervals, key="key", ts="ts", lo="lo", hi="hi",
+        attrs=["sid"], k=8,
+    ).to_pandas().set_index("pid")
+    assert len(got) == len(pk)  # LEFT semantics: every point survives
+    for i, (k, t) in enumerate(zip(pk, pt)):
+        exp = brute(k, t)
+        val = got.loc[i, "sid"]
+        if exp is None:
+            assert val is None or val != val  # null/NaN
+        else:
+            assert int(val) == exp, (i, k, t, val, exp)
+
+
+def test_range_join_rejects_attr_collision(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.temporal import range_join
+
+    t = pa.table({"key": pa.array([1], pa.int64()),
+                  "ts": pa.array([1], pa.int64()),
+                  "sid": pa.array([0], pa.int64())})
+    iv = pa.table({"key": pa.array([1], pa.int64()),
+                   "lo": pa.array([0], pa.int64()),
+                   "hi": pa.array([2], pa.int64()),
+                   "sid": pa.array([7], pa.int64())})
+    with _pytest.raises(ValueError):
+        range_join(rd.from_arrow(t), rd.from_arrow(iv), key="key", ts="ts",
+                   lo="lo", hi="hi", attrs=["sid"])
