@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": td.repetition,
         "doc_contamination": td.contamination,
         "doc_length_quantiles": td.length_quantiles,
+        "doc_length_filter": td.length_filter,
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
         "doc_shuffle_rank": cps.shuffle_rank,
@@ -649,6 +650,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+        """,
+        "doc_length_filter": """
+            WITH l AS (SELECT doc_id, source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) n
+                       FROM documents),
+            q AS (SELECT source,
+                         CAST(quantile_disc(n, 0.1) AS BIGINT) lo,
+                         CAST(quantile_disc(n, 0.9) AS BIGINT) hi
+                  FROM l GROUP BY 1)
+            SELECT l.doc_id, l.source
+            FROM l JOIN q USING (source)
+            WHERE l.n BETWEEN q.lo AND q.hi
         """,
         "doc_pack_sequences": """
             WITH l AS (SELECT doc_id, source,

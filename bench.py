@@ -189,6 +189,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_repetition",
         "doc_contamination",
         "doc_length_quantiles",
+        "doc_length_filter",
         "doc_pack_sequences",
         "doc_shuffle_rank",
         "doc_mixture_sample",

@@ -1757,3 +1757,69 @@ def near_dedup_keep(sf_dir: str, threshold_permille: int = 200) -> Dataset:
         corpus, batch_format="pyarrow"
     ).union(clusters.map_batches(losers, batch_format="pyarrow"))
     return hash_partition_merge(both, "doc_id", anti)
+
+
+def length_filter(
+    sf_dir: str, lo_q: int = 100, hi_q: int = 900
+) -> Dataset:
+    """Per-source length-outlier removal: keep documents whose token count
+    lies within the source's [p10, p90] (``quantile_disc`` rank semantics,
+    ceil(q*n), same as :func:`length_quantiles`) — the standard
+    truncation/boilerplate cleaning step before mixing a corpus.
+
+    Two passes, nothing corpus-sized anywhere: the (source, n_tok)
+    histogram combiner from length_quantiles gives per-source bounds
+    (sources x |length domain| rows -> driver dict, broadcast), then one
+    vectorized filter pass maps each row's source through the bounds via
+    dictionary-encode + numpy take.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        t = pa.table(
+            {"source": batch["source"], "n_tok": pc.cast(n, pa.int64())}
+        )
+        return t.group_by(["source", "n_tok"]).aggregate([("n_tok", "count")])
+
+    def bounds(g: pa.Table) -> pa.Table:
+        nt = g["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["n_tok_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(nt, kind="stable")
+        nt, cnt = nt[order], cnt[order]
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        out = {"source": g["source"][:1]}
+        for name, q in (("lo", lo_q), ("hi", hi_q)):
+            thr = (total * q + 999) // 1000
+            pos = int(np.searchsorted(cum, thr, side="left"))
+            out[name] = pa.array([int(nt[pos])], pa.int64())
+        return pa.table(out)
+
+    bt = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(bounds, batch_format="pyarrow")
+        .take_all()
+    )  # one row per source — bounded by construction
+    lims = {r["source"]: (r["lo"], r["hi"]) for r in bt}
+
+    def keep(b: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(b["text"], " ")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pc.dictionary_encode(src)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        lo = np.array([lims[u][0] for u in d.dictionary.to_pylist()])[codes]
+        hi = np.array([lims[u][1] for u in d.dictionary.to_pylist()])[codes]
+        mask = pa.array((n >= lo) & (n <= hi))
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"]}
+        ).filter(mask)
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -168,3 +168,23 @@ def test_vocab_ids_matches_reference(ray_session, docs):
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["n_oov"].sum() > 0  # V=16 < 31 distinct words: OOV is real
+
+
+# ---------------------------------------------------------- length filter
+
+
+def test_length_filter_matches_quantile_disc_reference(ray_session, docs):
+    from mq_to_db_ray.pipelines.training_data import length_filter
+
+    got = set(length_filter(SF).to_pandas()["doc_id"])
+    import math
+
+    exp = set()
+    for _, g in docs.groupby("source"):
+        n = np.sort(g["n_tok"].to_numpy())
+        total = len(n)
+        lo = n[math.ceil(total * 0.1) - 1] if total else 0
+        hi = n[math.ceil(total * 0.9) - 1] if total else 0
+        exp |= set(g.loc[(g["n_tok"] >= lo) & (g["n_tok"] <= hi), "doc_id"])
+    assert got == exp
+    assert 0 < len(got) < len(docs)  # the filter actually drops outliers
