@@ -89,9 +89,9 @@ def test_pack_sequences_stream_laws(ray_session, docs):
 def test_shuffle_rank_is_hash_order_permutation(ray_session, docs):
     from mq_to_db_ray.pipelines.corpus import K_SHUFFLE, shuffle_rank
 
-    got = got_raw = shuffle_rank(SF, nchunks=16).to_pandas()
+    got_raw = shuffle_rank(SF, nchunks=16).to_pandas()
     n = len(docs)
-    assert sorted(got["shuffle_pos"]) == list(range(n))
+    assert sorted(got_raw["shuffle_pos"]) == list(range(n))
     r = ((docs["doc_id"].to_numpy() % P) * K_SHUFFLE) % P
     order = np.lexsort((docs["doc_id"].to_numpy(), r))
     exp = pd.DataFrame(
