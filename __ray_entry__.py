@@ -115,6 +115,24 @@ def _q_events_sessions(sf_dir: str):
     return events_sessions(sf_dir)
 
 
+def _q_events_ohlc(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_ohlc_1m
+
+    return events_ohlc_1m(sf_dir)
+
+
+def _q_events_top2(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_top2_per_user
+
+    return events_top2_per_user(sf_dir)
+
+
+def _q_events_delta(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_delta_1m
+
+    return events_delta_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -398,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_5m": _q_events_rolling,
         "events_sessions": _q_events_sessions,
         "events_session_join": _q_events_session_join,
+        "events_ohlc_1m": _q_events_ohlc,
+        "events_top2_per_user": _q_events_top2,
+        "events_delta_1m": _q_events_delta,
         # --- flagship on the native F1 corpus ---
         "f1_rollup_1m": _q_f1_rollup_1m,
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
@@ -584,6 +605,50 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_ohlc_1m": """
+            WITH e AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) b,
+                              CAST(floor(value) AS BIGINT) v, ts, event_id
+                       FROM events),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY ts, event_id) ra,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY ts DESC, event_id DESC) rd
+                  FROM e)
+            SELECT source, b AS bucket_ts,
+                   CAST(max(CASE WHEN ra=1 THEN v END) AS BIGINT) AS open,
+                   CAST(max(v) AS BIGINT) AS high,
+                   CAST(min(v) AS BIGINT) AS low,
+                   CAST(max(CASE WHEN rd=1 THEN v END) AS BIGINT) AS close
+            FROM r GROUP BY 1, 2
+        """,
+        "events_top2_per_user": """
+            WITH p AS (SELECT user_id, event_id,
+                              CAST(floor(value) AS BIGINT) value_i
+                       FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY value_i DESC, event_id) AS BIGINT)
+                                 AS rank
+                  FROM p)
+            SELECT user_id, value_i, event_id, rank FROM r WHERE rank <= 2
+        """,
+        "events_delta_1m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b AS bucket_ts, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b)
+            SELECT source, bucket_ts, count,
+                   count - lag(count) OVER (PARTITION BY source
+                                            ORDER BY bucket_ts) AS delta_count
+            FROM f
         """,
         "events_sessions": """
             WITH o AS (

@@ -180,6 +180,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_rolling_5m",
         "events_sessions",
         "events_session_join",
+        "events_ohlc_1m",
+        "events_top2_per_user",
+        "events_delta_1m",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",
@@ -203,6 +206,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_minhash_pairs",
         "doc_jaccard_pairs",
         "doc_dup_clusters",
+        "doc_near_dedup_keep",
         "embedding_stats",
         "embedding_near_dup",
         "embedding_near_dup_lsh",
@@ -210,6 +214,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "multimodal_meta",
+        "multimodal_features",
         "multimodal_frame_sample",
     ]
     out: dict[str, float] = {}

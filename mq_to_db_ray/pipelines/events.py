@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
@@ -183,3 +184,81 @@ def events_session_join(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         lambda b: b.select(["event_id", "user_id", "session_id"]),
         batch_format="pyarrow",
     )
+
+
+def events_ohlc_1m(sf_dir: str) -> Dataset:
+    """Per (event_type, minute) candlestick over floor(value): open/close
+    by (ts, event_id) order, high/low extremes — the classic financial
+    downsample whose open/close half plain groupby.aggregate can't express
+    (needs an ORDER).  Combiner-first: stages/rollup.ohlc_rollup shuffles
+    one partial row per (source, bucket) per batch.  Oracle = row_number
+    window over (ts, event_id)."""
+    from ..stages.rollup import ohlc_rollup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        vals = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "order_id": b["event_id"],
+                "v": pa.array(np.floor(vals).astype(np.int64)),
+            }
+        )
+
+    return ohlc_rollup(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        "1m",
+        t0_us=EVENTS_T0_US,
+        k=_adaptive_k(sf_dir),
+    )
+
+
+def events_top2_per_user(sf_dir: str) -> Dataset:
+    """Top-2 purchases per user by (floor(value) DESC, event_id ASC) —
+    grouped top-k with a per-batch combiner so only <= 2 candidate rows per
+    (user, batch) ever shuffle.  Output (user_id, value_i, event_id, rank);
+    oracle = row_number window."""
+    from ..stages.shuffle import grouped_topk
+
+    ds = _events_typed(
+        sf_dir, "purchase", ["user_id", "event_id", "value"]
+    ).map_batches(lambda b: _floor_value(b, "value_i"), batch_format="pyarrow")
+    return grouped_topk(
+        ds,
+        key="user_id",
+        value="value_i",
+        order_id="event_id",
+        kk=2,
+        k=_adaptive_k(sf_dir),
+    )
+
+
+def events_delta_1m(sf_dir: str) -> Dataset:
+    """Finite difference (PromQL-style delta) of the per-minute event count
+    over the dense gap-filled grid: delta_count = count - lag(count), NULL
+    on each source's first bucket.  Windowed like rolling_sum with a 1-row
+    halo (stages/temporal.grid_lag), so a source's full history never has
+    to fit one task."""
+    from ..stages.temporal import grid_lag
+
+    grid = events_gapfill(sf_dir, "1m")
+    lagged = grid_lag(grid, "1m", ["count"], t0_us=EVENTS_T0_US)
+
+    def delta(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "count": b["count"],
+                "delta_count": pc.subtract(b["count"], b["lag_count"]),
+            }
+        )
+
+    return lagged.map_batches(delta, batch_format="pyarrow")

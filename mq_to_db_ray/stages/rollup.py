@@ -206,3 +206,128 @@ def cascade(
         lambda b: repartial_rollup_batch(b, f, t, t0_us), batch_format="pyarrow"
     )
     return _merge_partials(partials, t, t0_us)
+
+
+# ---------------------------------------------------------------------------
+# OHLC rollup (first/last aggregates — the open/close half needs an ORDER,
+# which plain groupby.aggregate can't express; classic financial downsample)
+# ---------------------------------------------------------------------------
+
+_OHLC_PARTIAL = ["source", "bucket_id", "o_t", "o_o", "o_v", "hi", "lo",
+                 "c_t", "c_o", "c_v"]
+
+
+def _i64np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _ohlc_merge(t: pa.Table) -> pa.Table:
+    """Merge OHLC partial rows: one row per (source, bucket_id).
+
+    open = o_v of the row minimizing (o_t, o_o); close = c_v of the row
+    maximizing (c_t, c_o); hi/lo = max/min.  Mergeable and associative, so
+    the same kernel serves as the per-batch combiner AND the per-partition
+    final merge — exactly the two-phase shape of :func:`partial_rollup_batch`.
+    All numpy: one lexsort to group, two lexsorts for the ordered picks,
+    two reduceats for the extrema.
+    """
+    if t.num_rows == 0:
+        return t.select(_OHLC_PARTIAL)
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    codes = src.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    b = _i64np(t["bucket_id"])
+    order = np.lexsort((b, codes))
+    cb, bb = codes[order], b[order]
+    newg = np.empty(len(order), dtype=bool)
+    newg[0] = True
+    newg[1:] = (cb[1:] != cb[:-1]) | (bb[1:] != bb[:-1])
+    starts = np.flatnonzero(newg)
+    gid = np.cumsum(newg) - 1
+    ends = np.append(starts[1:], len(order)) - 1
+
+    o_t, o_o, o_v = (_i64np(t[c])[order] for c in ("o_t", "o_o", "o_v"))
+    c_t, c_o, c_v = (_i64np(t[c])[order] for c in ("c_t", "c_o", "c_v"))
+    hi = np.maximum.reduceat(_i64np(t["hi"])[order], starts)
+    lo = np.minimum.reduceat(_i64np(t["lo"])[order], starts)
+    # within each group, earliest (o_t, o_o) first / latest (c_t, c_o) last
+    oo = np.lexsort((o_o, o_t, gid))
+    co = np.lexsort((c_o, c_t, gid))
+    op, cl = oo[starts], co[ends]
+    first = order[starts]
+    return pa.table(
+        {
+            "source": src.take(pa.array(first, pa.int64())),
+            "bucket_id": pa.array(bb[starts], pa.int64()),
+            "o_t": pa.array(o_t[op], pa.int64()),
+            "o_o": pa.array(o_o[op], pa.int64()),
+            "o_v": pa.array(o_v[op], pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "c_t": pa.array(c_t[cl], pa.int64()),
+            "c_o": pa.array(c_o[cl], pa.int64()),
+            "c_v": pa.array(c_v[cl], pa.int64()),
+        }
+    )
+
+
+def ohlc_rollup(
+    points: Dataset, tier: str, *, t0_us: int, k: int | None = None
+) -> Dataset:
+    """Per-(source, tier-bucket) open/high/low/close of an integer value.
+
+    ``points`` must have (source: string, ts_us: int64, order_id: int64,
+    v: int64); open/close order is (ts_us, order_id) — the unique order_id
+    makes ties deterministic.  Two-phase like :func:`rollup`: per-batch
+    combiner emits one partial row per key (degenerate partial: every field
+    from the single best row), then ONLY partials shuffle, hash-partitioned
+    on bucket_id so a hot source spreads across reducers (salt axis = time).
+    Output: (source, bucket_ts, open, high, low, close).
+    """
+    from .shuffle import hash_partition_merge
+
+    tier_us = TIERS[tier] * 1_000_000
+
+    def prepare(b: pa.Table) -> pa.Table:
+        ts_us = _i64np(b["ts_us"])
+        bucket = np.floor_divide(ts_us - t0_us, tier_us)
+        v = _i64np(b["v"])
+        o = _i64np(b["order_id"])
+        return _ohlc_merge(
+            pa.table(
+                {
+                    "source": b["source"],
+                    "bucket_id": pa.array(bucket, pa.int64()),
+                    "o_t": pa.array(ts_us, pa.int64()),
+                    "o_o": pa.array(o, pa.int64()),
+                    "o_v": pa.array(v, pa.int64()),
+                    "hi": pa.array(v, pa.int64()),
+                    "lo": pa.array(v, pa.int64()),
+                    "c_t": pa.array(ts_us, pa.int64()),
+                    "c_o": pa.array(o, pa.int64()),
+                    "c_v": pa.array(v, pa.int64()),
+                }
+            )
+        )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        bucket_us = _i64np(b["bucket_id"]) * tier_us + t0_us
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pa.array(bucket_us, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "open": b["o_v"],
+                "high": b["hi"],
+                "low": b["lo"],
+                "close": b["c_v"],
+            }
+        )
+
+    partials = points.map_batches(prepare, batch_format="pyarrow")
+    merged = hash_partition_merge(partials, "bucket_id", _ohlc_merge, k=k)
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -51,6 +51,64 @@ def add_hash_part(batch: pa.Table, key: str, k: int) -> pa.Table:
     return batch.append_column("part", pc.cast(h, pa.int32()))
 
 
+def grouped_topk(
+    ds: Dataset,
+    *,
+    key: str,
+    value: str,
+    order_id: str,
+    kk: int,
+    k: int | None = None,
+) -> Dataset:
+    """Top-``kk`` rows per ``key`` by (``value`` DESC, ``order_id`` ASC) —
+    SQL ``row_number() OVER (PARTITION BY key ORDER BY value DESC, order_id)
+    <= kk``, with a 1-based ``rank`` column appended.
+
+    Two-phase: the per-batch combiner keeps at most ``kk`` rows per key
+    locally (one lexsort + rank-within-run, no Python loop), so ONLY
+    candidate rows shuffle; the per-partition final pass applies the same
+    kernel and emits ranks.  ``order_id`` must be unique per key, making
+    the result deterministic.  Input columns must be int64-castable.
+    """
+
+    def topk_batch(b: pa.Table, final: bool) -> pa.Table:
+        if b.num_rows == 0:
+            out = b.select([key, value, order_id])
+            return out.append_column("rank", pa.array([], pa.int64())) if final else out
+        kv = pc.cast(b[key], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        vv = pc.cast(b[value], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ov = pc.cast(b[order_id], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        order = np.lexsort((ov, -vv, kv))
+        ks = kv[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        rank = np.arange(len(order)) - starts[gid]
+        keep = rank < kk
+        take = pa.array(order[keep], pa.int64())
+        out = pa.table(
+            {
+                key: b[key].combine_chunks().take(take),
+                value: b[value].combine_chunks().take(take),
+                order_id: b[order_id].combine_chunks().take(take),
+            }
+        )
+        if final:
+            out = out.append_column("rank", pa.array(rank[keep] + 1, pa.int64()))
+        return out
+
+    local = ds.map_batches(
+        lambda b: topk_batch(b, False), batch_format="pyarrow"
+    )
+    return hash_partition_merge(
+        local, key, lambda g: topk_batch(g, True), k=k
+    )
+
+
 def hash_partition_merge(
     ds: Dataset,
     key: str,

@@ -222,6 +222,80 @@ def rolling_sum(
     )
 
 
+def grid_lag(
+    grid: Dataset,
+    tier: str,
+    cols: list[str],
+    *,
+    t0_us: int,
+    window_buckets: int = 4096,
+) -> Dataset:
+    """Previous-bucket value of ``cols`` over a DENSE per-source grid — SQL
+    ``lag(c) OVER (PARTITION BY source ORDER BY bucket_ts)`` (NULL on each
+    source's first grid bucket).  The finite-difference / PromQL-delta
+    building block over gap_fill output.
+
+    Same windowing contract as :func:`rolling_sum` with halo width 1: rows
+    group by (source, window_id) and each window's LAST row is replicated
+    into the next window, so every group resolves its predecessors locally.
+    The grid is dense per source (gap_fill output), so a kept row's
+    predecessor is missing only at the source's overall first bucket.
+    Output: (source, bucket_ts, <cols...>, lag_<c>...).
+    """
+    step = TIERS[tier] * 1_000_000
+
+    def add_win(b: pa.Table) -> pa.Table:
+        idx = (_i64(b["bucket_ts"]) - t0_us) // step
+        win = idx // window_buckets
+        base = b.select(["source", "bucket_ts", *cols])
+        main = base.append_column(
+            "window_id", pa.array(win, pa.int64())
+        ).append_column("idx", pa.array(idx, pa.int64())).append_column(
+            "halo", pa.array(np.zeros(len(idx), dtype=bool))
+        )
+        hmask = idx % window_buckets == window_buckets - 1
+        if not hmask.any():
+            return main
+        halo = base.filter(pa.array(hmask)).append_column(
+            "window_id", pa.array(win[hmask] + 1, pa.int64())
+        ).append_column(
+            "idx", pa.array(idx[hmask], pa.int64())
+        ).append_column("halo", pa.array(np.ones(int(hmask.sum()), dtype=bool)))
+        return pa.concat_tables([main, halo])
+
+    def lag_group(g: pa.Table) -> pa.Table:
+        idx = _i64(g["idx"])
+        order = np.argsort(idx, kind="stable")
+        halo = g["halo"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        keep = ~halo
+        take = pa.array(order[keep], pa.int64())
+        out = {
+            "source": g["source"].combine_chunks().take(take),
+            "bucket_ts": g["bucket_ts"].combine_chunks().take(take),
+        }
+        n = len(idx)
+        # dense grid: row at sorted position i has a predecessor iff the
+        # previous sorted row holds bucket idx-1 (halo rows included).
+        has_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            has_prev[1:] = idx[order][1:] == idx[order][:-1] + 1
+        for c in cols:
+            v = _i64(g[c])[order]
+            lag = np.empty(n, dtype=np.int64)
+            lag[1:] = v[:-1]
+            lag[0] = 0
+            out[c] = pa.array(v[keep], pa.int64())
+            out[f"lag_{c}"] = pa.array(
+                lag[keep], pa.int64(), mask=~has_prev[keep]
+            )
+        return pa.table(out)
+
+    keyed = grid.map_batches(add_win, batch_format="pyarrow")
+    return keyed.groupby(["source", "window_id"]).map_groups(
+        lag_group, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------
