@@ -445,6 +445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": td.contamination,
         "doc_length_quantiles": td.length_quantiles,
         "doc_length_filter": td.length_filter,
+        "doc_dup_ngrams": td.dup_ngrams,
+        "doc_word_scrub": td.word_scrub,
+        "doc_quality_filter": td.quality_filter,
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
         "doc_shuffle_rank": cps.shuffle_rank,
@@ -715,6 +718,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+        """,
+        "doc_dup_ngrams": """
+            WITH t AS (SELECT doc_id, str_split(text,' ') w FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) s
+                  FROM t),
+            df AS (SELECT s, count(*) d FROM g GROUP BY 1),
+            a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(CASE WHEN df.d > 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) nd
+                  FROM g JOIN df USING (s) GROUP BY 1)
+            SELECT doc_id, n AS n_shingles, nd AS n_dup_shingles,
+                   CAST(floor(1000.0 * nd / n) AS BIGINT) AS dup_permille
+            FROM a
+        """,
+        "doc_word_scrub": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\b(spark|customer)\b'))
+                        AS BIGINT) AS n_redactions,
+                   regexp_replace(text, '\b(spark|customer)\b', '<MASK>', 'g')
+                       AS clean_text
+            FROM documents
+        """,
+        "doc_quality_filter": """
+            WITH t AS (SELECT doc_id, source, lang, text,
+                              str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1)
+            SELECT t.doc_id, t.source, CAST(rep.n AS BIGINT) AS n_words
+            FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id)
+            WHERE t.lang = 'en'
+              AND rep.n BETWEEN 20 AND 90
+              AND floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+              AND floor(1000.0*rep.m/rep.n) <= 130
+              AND floor(1000.0*st.s/rep.n) >= 20
+              AND t.doc_id NOT IN (SELECT doc_id FROM hit)
         """,
         "doc_length_filter": """
             WITH l AS (SELECT doc_id, source,

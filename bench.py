@@ -193,6 +193,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_contamination",
         "doc_length_quantiles",
         "doc_length_filter",
+        "doc_dup_ngrams",
+        "doc_word_scrub",
+        "doc_quality_filter",
         "doc_pack_sequences",
         "doc_shuffle_rank",
         "doc_mixture_sample",

@@ -315,6 +315,50 @@ def shingles(
     return np.unique(acc)
 
 
+def shingles_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch :func:`shingles`: (parent-row int64, shingle uint64)
+    pairs with per-row SORTED-UNIQUE shingles — value-identical to calling
+    ``shingles(t, k)`` per row (asserted in tests), but one Arrow split +
+    one dictionary-encode + one polynomial expression for the whole batch
+    (the flattened-parent-indices formulation of simhash_batch), so the
+    per-doc Python loop disappears.  Rows with < k words contribute their
+    single joined-text hash, exactly like the scalar kernel."""
+    import pyarrow as pa
+
+    uh, n = batch_word_hashes(texts)
+    total = len(uh)
+    n_rows = len(n)
+    starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n)
+    offs = np.arange(total, dtype=np.int64) - starts[row_of]
+    valid = (n[row_of] >= k) & (offs <= n[row_of] - k)
+    idx = np.flatnonzero(valid)
+    with np.errstate(over="ignore"):
+        acc = uh[idx] * _SH_A
+        for j in range(1, k - 1):
+            acc = (acc + uh[idx + j] * _SH_B) * _SH_A
+        acc = acc + uh[idx + k - 1]
+    rows = row_of[idx]
+    short = np.flatnonzero(n < k)
+    if len(short):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sh = np.fromiter(
+            (word_hash64(texts[int(i)].as_py()) for i in short),
+            dtype=np.uint64,
+            count=len(short),
+        )
+        rows = np.concatenate([rows, short.astype(np.int64)])
+        acc = np.concatenate([acc, sh])
+    order = np.lexsort((acc, rows))
+    rows, acc = rows[order], acc[order]
+    keep = np.empty(len(rows), dtype=bool)
+    if len(rows):
+        keep[0] = True
+        keep[1:] = (rows[1:] != rows[:-1]) | (acc[1:] != acc[:-1])
+    return rows[keep], acc[keep]
+
+
 # MinHash: 64-bit universal hashing family a*x+b over the shingle hashes.
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)

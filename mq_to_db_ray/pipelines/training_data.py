@@ -261,15 +261,7 @@ def contamination(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
 
     def fn(batch: pa.Table) -> pa.Table:
         ev_sorted = ray.get(eval_ref)
-        hasher = ts.WordHasher()
-        hits = np.empty(batch.num_rows, dtype=np.int64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            sh = ts.shingles(t, hasher=hasher)
-            pos = np.searchsorted(ev_sorted, sh)
-            pos[pos == len(ev_sorted)] = 0
-            hits[i] = int(
-                np.count_nonzero(ev_sorted[pos] == sh)
-            ) if len(ev_sorted) else 0
+        hits = _shingle_hits(batch["text"], ev_sorted, batch.num_rows)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -279,6 +271,219 @@ def contamination(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _shingle_hits(texts, ev_sorted: np.ndarray, n_rows: int) -> np.ndarray:
+    """Per-row count of DISTINCT shingles present in the sorted broadcast
+    eval set — one vectorized shingles_flat + searchsorted + bincount for
+    the whole batch (no per-row loop)."""
+    if not len(ev_sorted):
+        return np.zeros(n_rows, dtype=np.int64)
+    rows, sh = ts.shingles_flat(texts)
+    pos = np.searchsorted(ev_sorted, sh)
+    pos[pos == len(ev_sorted)] = 0
+    match = ev_sorted[pos] == sh
+    return np.bincount(rows[match], minlength=n_rows).astype(np.int64)
+
+
+def dup_ngrams(sf_dir: str, k_shingle: int = 3) -> Dataset:
+    """Per-doc duplicate-n-gram fraction (Dolma/RefinedWeb-style quality
+    signal): of each document's DISTINCT 3-word shingles, how many occur in
+    at least one OTHER document.  Output (doc_id, n_shingles,
+    n_dup_shingles, dup_permille).
+
+    Scale shape — text never shuffles, only int64 rows do:
+      1. one vectorized shingle pass per batch (textstats.shingles_flat)
+         emits (doc_id, shingle-hash) rows, distinct per doc;
+      2. hash-partition by SHINGLE: every occurrence of a shingle meets in
+         one task, so df>1 is decided locally and folded into per-doc
+         PARTIAL (n, n_dup) counts — the corpus-wide dup-shingle set is
+         never materialized anywhere;
+      3. hash-partition the partials by doc_id and sum.
+    Engine compares 64-bit shingle hashes, the oracle shingle STRINGS
+    (same collision-free convention as T4 jaccard / T19 contamination)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"], k_shingle)
+        doc = batch["doc_id"].combine_chunks().take(pa.array(rows, pa.int64()))
+        return pa.table(
+            {"doc_id": doc, "shingle": pa.array(sh.view(np.int64), pa.int64())}
+        )
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold_by_shingle(t: pa.Table) -> pa.Table:
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        dup = cnt[inv] > 1
+        ud, dinv = np.unique(doc, return_inverse=True)
+        n_part = np.bincount(dinv, minlength=len(ud)).astype(np.int64)
+        d_part = np.bincount(dinv, weights=dup, minlength=len(ud)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n": pa.array(n_part),
+                "d": pa.array(d_part),
+            }
+        )
+
+    partials = hash_partition_merge(exploded, "shingle", fold_by_shingle)
+
+    def fold_by_doc(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id"], use_threads=False).aggregate(
+            [("n", "sum"), ("d", "sum")]
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["d_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        permille = np.floor(1000.0 * d / np.maximum(n, 1)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_shingles": pc.cast(g["n_sum"], pa.int64()),
+                "n_dup_shingles": pc.cast(g["d_sum"], pa.int64()),
+                "dup_permille": pa.array(permille),
+            }
+        )
+
+    return hash_partition_merge(partials, "doc_id", fold_by_doc)
+
+
+# Blocklist scrub: the PII/profanity-redaction shape (RE2 word-boundary
+# alternation, same engine in Arrow and DuckDB so outputs match byte-for-
+# byte).  The list itself is a stand-in — production would ship emails /
+# phones / slurs; the corpus here has no such tokens, so two common content
+# words exercise the path with a nonzero redaction count.
+SCRUB_PATTERN = r"\b(spark|customer)\b"
+SCRUB_MASK = "<MASK>"
+
+
+def word_scrub(sf_dir: str) -> Dataset:
+    """(doc_id, n_redactions, clean_text): every blocklist word replaced by
+    ``<MASK>`` — the redaction/scrubbing stage of a training-data pipeline.
+    Two Arrow RE2 kernels per batch (count + replace), no Python loop;
+    streams, no shuffle at all."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], SCRUB_PATTERN)
+        clean = pc.replace_substring_regex(
+            batch["text"], SCRUB_PATTERN, SCRUB_MASK
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_redactions": pc.cast(n, pa.int64()),
+                "clean_text": clean,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_filter(
+    sf_dir: str,
+    *,
+    eval_max_doc_id: int = 10,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_dup_permille: int = 600,
+    max_top_permille: int = 130,
+    min_stop_permille: int = 20,
+) -> Dataset:
+    """The fused preprocessing keep-decision — the flagship composition a
+    training-data pipeline actually runs (C4/Gopher-style): keep a document
+    iff it is (a) tagged English, (b) inside the word-count band,
+    (c) below the Gopher duplicate-word and top-word repetition caps,
+    (d) above the stopword-density floor, and (e) NOT contaminated against
+    the benchmark eval set.  Output: kept (doc_id, source, n_words).
+
+    ONE streaming map_batches pass computes every feature — the text is
+    read once, split once, and never shuffled; the only non-local input is
+    the benchmark shingle set, broadcast via ``ray.put`` exactly like T19.
+    Each predicate reuses the oracle-checked kernel shape of its standalone
+    operator (doc_repetition / doc_quality / doc_contamination), so the
+    composite is bit-reproducible by one SQL WHERE over the same CTEs."""
+    import ray
+
+    eval_tbl = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id < {eval_max_doc_id}")
+        .take_all()
+    )
+    hasher = ts.WordHasher()
+    ev = [ts.shingles(r["text"], hasher=hasher) for r in eval_tbl]
+    eval_set = np.unique(np.concatenate(ev)) if ev else np.empty(0, np.uint64)
+    eval_ref = ray.put(eval_set)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        # repetition caps (raw-case words, same as doc_repetition)
+        codes = (
+            flat.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_dict = int(codes.max()) + 1 if len(codes) else 1
+        pairs, counts = np.unique(
+            parent.astype(np.int64) * n_dict + codes, return_counts=True
+        )
+        pair_doc = pairs // n_dict
+        distinct = np.bincount(pair_doc, minlength=n_rows).astype(np.int64)
+        doc_starts = np.flatnonzero(
+            np.diff(pair_doc, prepend=pair_doc[0] - 1 if len(pair_doc) else 0)
+        )
+        top = np.zeros(n_rows, dtype=np.int64)
+        if len(pairs):
+            top[pair_doc[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
+        # stopword floor (lowercased words, same as doc_quality)
+        is_stop = pc.is_in(
+            pc.utf8_lower(flat), value_set=pa.array(list(ts.STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parent, weights=is_stop, minlength=n_rows).astype(
+            np.int64
+        )
+        # contamination probe (broadcast eval set, same as doc_contamination)
+        hits = _shingle_hits(batch["text"], ray.get(eval_ref), n_rows)
+
+        n_safe = np.maximum(n_words, 1)
+        dup = np.floor(1000.0 * (n_words - distinct) / n_safe)
+        topf = np.floor(1000.0 * top / n_safe)
+        stopf = np.floor(1000.0 * n_stop / n_safe)
+        lang_en = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+        keep = (
+            lang_en
+            & (n_words >= min_words)
+            & (n_words <= max_words)
+            & (dup <= max_dup_permille)
+            & (topf <= max_top_permille)
+            & (stopf >= min_stop_permille)
+            & (hits == 0)
+        )
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(mask),
+                "source": batch["source"].filter(mask),
+                "n_words": pa.array(n_words[keep]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
 
