@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": td.dup_ngrams,
         "doc_word_scrub": td.word_scrub,
         "doc_quality_filter": td.quality_filter,
+        "doc_top_terms": td.top_terms,
+        "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
         "doc_shuffle_rank": cps.shuffle_rank,
@@ -771,6 +773,30 @@ def oracle_sql() -> dict[str, str]:
               AND floor(1000.0*rep.m/rep.n) <= 130
               AND floor(1000.0*st.s/rep.n) >= 20
               AND t.doc_id NOT IN (SELECT doc_id FROM hit)
+        """,
+        "doc_top_terms": """
+            WITH u AS (SELECT doc_id, unnest(str_split(text,' ')) word
+                       FROM documents),
+            c AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) tf
+                  FROM u GROUP BY 1, 2),
+            d AS (SELECT word, CAST(count(*) AS BIGINT) df FROM c GROUP BY 1),
+            r AS (SELECT c.doc_id, c.word AS term, c.tf, d.df,
+                         CAST(row_number() OVER (PARTITION BY c.doc_id
+                              ORDER BY c.tf DESC, d.df ASC, c.word ASC)
+                           AS BIGINT) AS rank
+                  FROM c JOIN d USING (word))
+            SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
+        """,
+        "f1_bigram_topk": """
+            WITH p AS (SELECT unnest(list_transform(
+                           generate_series(1, len(tokens) - 1),
+                           i -> [tokens[i], tokens[i+1]])) AS pr
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+                       WHERE len(tokens) >= 2)
+            SELECT CAST(pr[1] AS BIGINT) AS tok_a,
+                   CAST(pr[2] AS BIGINT) AS tok_b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 ORDER BY n DESC, tok_a, tok_b LIMIT 20
         """,
         "doc_length_filter": """
             WITH l AS (SELECT doc_id, source,

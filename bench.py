@@ -196,6 +196,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_dup_ngrams",
         "doc_word_scrub",
         "doc_quality_filter",
+        "doc_top_terms",
         "doc_pack_sequences",
         "doc_shuffle_rank",
         "doc_mixture_sample",
@@ -203,6 +204,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_stratified_sample",
         "doc_embedding_join",
         "f1_token_topk",
+        "f1_bigram_topk",
         "doc_exact_dedup",
         "doc_simhash",
         "doc_simhash_near_dup",

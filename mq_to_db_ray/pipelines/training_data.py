@@ -26,6 +26,22 @@ def _docs(sf_dir: str, columns=None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _doc_k(sf_dir: str) -> int:
+    """Shuffle width scaled to the documents table (parquet-footer row
+    count, no data read) — same adaptive rule as the temporal operators'
+    ``_adaptive_k``: small corpora skip the fixed per-partition groupby
+    overhead; at web scale this saturates to the CPU-derived full width."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import shuffle_parts
+
+    rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    k = 8
+    while k < rows // 25_000:
+        k *= 2
+    return min(k, shuffle_parts())
+
+
 # ---------------- text analysis ----------------
 
 
@@ -333,7 +349,8 @@ def dup_ngrams(sf_dir: str, k_shingle: int = 3) -> Dataset:
             }
         )
 
-    partials = hash_partition_merge(exploded, "shingle", fold_by_shingle)
+    kk = _doc_k(sf_dir)
+    partials = hash_partition_merge(exploded, "shingle", fold_by_shingle, k=kk)
 
     def fold_by_doc(t: pa.Table) -> pa.Table:
         g = t.group_by(["doc_id"], use_threads=False).aggregate(
@@ -351,7 +368,7 @@ def dup_ngrams(sf_dir: str, k_shingle: int = 3) -> Dataset:
             }
         )
 
-    return hash_partition_merge(partials, "doc_id", fold_by_doc)
+    return hash_partition_merge(partials, "doc_id", fold_by_doc, k=kk)
 
 
 # Blocklist scrub: the PII/profanity-redaction shape (RE2 word-boundary
@@ -564,6 +581,162 @@ def token_topk(sf_dir: str, k: int = 20) -> pa.Table:
     return pa.table(
         {"token": pc.cast(t["token"], pa.int64()), "n": t["n"]}
     )
+
+
+def bigram_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Heavy hitters over consecutive TOKEN PAIRS of the F1 stream (the
+    n-gram statistics pass of tokenizer/corpus analysis).  Same two-phase
+    shape as :func:`token_topk`: the bigram key is one int64
+    (tok_a << 32 | tok_b, exact for int32 vocab ids), per-batch np.unique
+    combiner, hash-partition merge, tiny global sort — the token stream
+    itself never shuffles."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.arange(len(flat), dtype=np.int64) - starts[row_of]
+        valid = offs <= lens[row_of] - 2
+        i = np.flatnonzero(valid)
+        key = (flat[i] << 32) | flat[i + 1]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "bg": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["tokens"]).map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        agg = g.group_by("bg", use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"bg": agg["bg"], "n": pc.cast(agg["n_sum"], pa.int64())})
+
+    merged = hash_partition_merge(partials, "bg", merge, k=64)
+    top = merged.sort(["n", "bg"], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    bg = t["bg"].to_numpy()
+    return pa.table(
+        {
+            "tok_a": pa.array(bg >> 32, pa.int64()),
+            "tok_b": pa.array(bg & 0xFFFFFFFF, pa.int64()),
+            "n": t["n"],
+        }
+    )
+
+
+def top_terms(sf_dir: str, kk: int = 3) -> Dataset:
+    """Per-doc most DISTINCTIVE terms — the integer-exact TF-IDF shape:
+    rank each document's words by (tf DESC, df ASC, term ASC) and keep the
+    top ``kk``.  Output (doc_id, term, tf, df, rank).
+
+    Classic two-sided aggregation, all narrow:
+      1. per-batch combiner collapses the corpus to unique (doc, word, tf)
+         rows (one dictionary-encode + np.unique, no Python loop);
+      2. hash-partition by WORD-HASH: df = per-partition row count per word
+         (rows are doc-distinct by construction), attached locally;
+      3. hash-partition by doc_id: one lexsort + rank-within-run keeps the
+         top-kk rows per doc.
+    The full text never shuffles — only (doc, word, tf[, df]) rows; at web
+    scale both exchanges are bounded by the distinct-(doc,word) count."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        d = words.flatten().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = int(codes.max()) + 1 if len(codes) else 1
+        pairs, counts = np.unique(
+            parent.astype(np.int64) * n_dict + codes, return_counts=True
+        )
+        pair_doc = (pairs // n_dict).astype(np.int64)
+        pair_code = (pairs % n_dict).astype(np.int64)
+        uniq_words = d.dictionary
+        hasher = ts.WordHasher()
+        wh = np.fromiter(
+            (hasher(w) for w in uniq_words.to_pylist()),
+            dtype=np.uint64,
+            count=len(uniq_words),
+        ).view(np.int64)
+        doc = batch["doc_id"].combine_chunks().take(pa.array(pair_doc, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": doc,
+                "term": uniq_words.take(pa.array(pair_code, pa.int64())),
+                "tf": pa.array(counts.astype(np.int64)),
+                "wh": pa.array(wh[pair_code], pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        d = t["term"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "df": pa.array(df[codes]),
+            }
+        )
+
+    with_df = hash_partition_merge(rows, "wh", attach_df, k=_doc_k(sf_dir))
+
+    def topk_per_doc(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        df = t["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["term"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # lexicographic rank of each unique term (ascii words; matches SQL
+        # ORDER BY collation)
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        lex = np.empty(len(uniq), dtype=np.int64)
+        lex[np.argsort(uniq)] = np.arange(len(uniq))
+        order = np.lexsort((lex[codes], df, -tf, doc))
+        ds_ = doc[order]
+        newg = np.empty(len(order), dtype=bool)
+        if len(order):
+            newg[0] = True
+            newg[1:] = ds_[1:] != ds_[:-1]
+        starts = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        rank = np.arange(len(order)) - starts[gid]
+        keep = rank < kk
+        take = pa.array(order[keep], pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().take(take),
+                "term": t["term"].combine_chunks().take(take),
+                "tf": t["tf"].combine_chunks().take(take),
+                "df": t["df"].combine_chunks().take(take),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(with_df, "doc_id", topk_per_doc, k=_doc_k(sf_dir))
 
 
 def doc_embedding_join(sf_dir: str) -> Dataset:
