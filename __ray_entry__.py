@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_scrub": td.word_scrub,
         "doc_quality_filter": td.quality_filter,
         "doc_top_terms": td.top_terms,
+        "doc_inverted_index": td.inverted_index,
         "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
@@ -786,6 +787,16 @@ def oracle_sql() -> dict[str, str]:
                            AS BIGINT) AS rank
                   FROM c JOIN d USING (word))
             SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
+        """,
+        "doc_inverted_index": """
+            WITH u AS (SELECT doc_id, unnest(str_split(text,' ')) word
+                       FROM documents),
+            d AS (SELECT DISTINCT doc_id, word FROM u),
+            a AS (SELECT word AS term, CAST(count(*) AS BIGINT) df,
+                         string_agg(CAST(doc_id AS VARCHAR), ','
+                                    ORDER BY doc_id) postings
+                  FROM d GROUP BY 1)
+            SELECT term, df, postings FROM a WHERE df >= 5
         """,
         "f1_bigram_topk": """
             WITH p AS (SELECT unnest(list_transform(

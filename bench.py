@@ -197,6 +197,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_word_scrub",
         "doc_quality_filter",
         "doc_top_terms",
+        "doc_inverted_index",
         "doc_pack_sequences",
         "doc_shuffle_rank",
         "doc_mixture_sample",

@@ -739,6 +739,93 @@ def top_terms(sf_dir: str, kk: int = 3) -> Dataset:
     return hash_partition_merge(with_df, "doc_id", topk_per_doc, k=_doc_k(sf_dir))
 
 
+def inverted_index(sf_dir: str, min_df: int = 5) -> Dataset:
+    """Distributed inverted-index build: per term with document frequency
+    >= ``min_df``, the sorted posting list of doc_ids (comma-joined string,
+    so the artifact is one flat row per term and the DuckDB ``string_agg``
+    oracle compares byte-for-byte).  Output (term, df, postings).
+
+    Scale shape: per-batch combiner emits DISTINCT (doc_id, term) rows
+    (one dictionary-encode + np.unique — a doc's words collapse before
+    anything moves); ONE hash shuffle on the term hash co-locates each
+    term's postings; the per-partition build is a lexsort + one vectorized
+    ``pc.binary_join`` (no Python loop over terms).  Posting lists are
+    per-term — the classic index-build partitioning — so a 100 TB corpus
+    shards by term hash and each task materializes only its terms."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def doc_term_rows(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        d = words.flatten().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = int(codes.max()) + 1 if len(codes) else 1
+        pairs = np.unique(parent.astype(np.int64) * n_dict + codes)
+        pair_doc = (pairs // n_dict).astype(np.int64)
+        pair_code = (pairs % n_dict).astype(np.int64)
+        uniq = d.dictionary
+        hasher = ts.WordHasher()
+        wh = np.fromiter(
+            (hasher(w) for w in uniq.to_pylist()),
+            dtype=np.uint64,
+            count=len(uniq),
+        ).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"]
+                .combine_chunks()
+                .take(pa.array(pair_doc, pa.int64())),
+                "term": uniq.take(pa.array(pair_code, pa.int64())),
+                "wh": pa.array(wh[pair_code], pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_term_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        term = t["term"].combine_chunks()
+        d = term.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, codes))
+        cs, ds_ = codes[order], doc[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(newg)
+        sizes = np.diff(np.append(starts, len(order)))
+        keep_g = sizes >= min_df
+        keep_row = np.repeat(keep_g, sizes)
+        kept_docs = pa.array(ds_[keep_row], pa.int64())
+        offsets = np.concatenate(([0], np.cumsum(sizes[keep_g])))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pc.cast(kept_docs, pa.string())
+        )
+        return pa.table(
+            {
+                "term": d.dictionary.take(
+                    pa.array(cs[starts[keep_g]], pa.int64())
+                ),
+                "df": pa.array(sizes[keep_g].astype(np.int64)),
+                "postings": pc.binary_join(lists, ","),
+            }
+        )
+
+    return hash_partition_merge(rows, "wh", build, k=_doc_k(sf_dir))
+
+
 def doc_embedding_join(sf_dir: str) -> Dataset:
     """Broadcast enrichment join: documents x embeddings on doc_id == vec_id.
 

@@ -70,3 +70,43 @@ def test_bigram_topk_matches_bruteforce(ray_session, tmp_path):
     assert len(got) == len(expect)
     for row, ((a, b), n) in zip(got.itertuples(index=False), expect):
         assert (row.tok_a, row.tok_b, row.n) == (a, b, n)
+
+
+def test_inverted_index_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.training_data import inverted_index
+
+    texts = [
+        "a b c",
+        "a b",
+        "a c c c",   # duplicate words collapse to one posting
+        "a d",
+        "b d",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([10, 2, 33, 4, 5], pa.int64()),
+         "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (
+        inverted_index(str(tmp_path), min_df=2)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    ids = [10, 2, 33, 4, 5]
+    from collections import defaultdict
+
+    post = defaultdict(set)
+    for d, t in zip(ids, texts):
+        for w in t.split(" "):
+            post[w].add(d)
+    expect = sorted(
+        (w, len(s), ",".join(str(x) for x in sorted(s)))
+        for w, s in post.items()
+        if len(s) >= 2
+    )
+    assert len(got) == len(expect)
+    for row, (w, df, p) in zip(got.itertuples(index=False), expect):
+        assert (row.term, row.df, row.postings) == (w, df, p)
