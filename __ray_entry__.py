@@ -133,6 +133,18 @@ def _q_events_delta(sf_dir: str):
     return events_delta_1m(sf_dir)
 
 
+def _q_events_locf(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_locf_1m
+
+    return events_locf_1m(sf_dir)
+
+
+def _q_events_cumsum(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_cumsum_1m
+
+    return events_cumsum_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -419,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_1m": _q_events_ohlc,
         "events_top2_per_user": _q_events_top2,
         "events_delta_1m": _q_events_delta,
+        "events_locf_1m": _q_events_locf,
+        "events_cumsum_1m": _q_events_cumsum,
         # --- flagship on the native F1 corpus ---
         "f1_rollup_1m": _q_f1_rollup_1m,
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
@@ -693,6 +707,47 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN iv ON e.user_id = iv.user_id
                    AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+        """,
+        "events_locf_1m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count,
+                     CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                         AS sum_n_tok
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b AS bucket_ts,
+                         COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b)
+            SELECT f.source, f.bucket_ts, f.count,
+                   rr.sum_n_tok AS locf_sum
+            FROM f ASOF LEFT JOIN r rr
+                 ON f.source = rr.source AND f.bucket_ts >= rr.b
+        """,
+        "events_cumsum_1m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count,
+                     CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                         AS sum_n_tok
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b AS bucket_ts,
+                         COALESCE(r.count, 0) AS count,
+                         COALESCE(r.sum_n_tok, 0) AS sum_n_tok
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b)
+            SELECT source, bucket_ts, count, sum_n_tok,
+                   CAST(sum(count) OVER w AS BIGINT) AS cum_count,
+                   CAST(sum(sum_n_tok) OVER w AS BIGINT) AS cum_sum_n_tok
+            FROM f
+            WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "doc_repetition": """
             WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),

@@ -183,6 +183,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_ohlc_1m",
         "events_top2_per_user",
         "events_delta_1m",
+        "events_locf_1m",
+        "events_cumsum_1m",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",

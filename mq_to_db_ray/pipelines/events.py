@@ -262,3 +262,71 @@ def events_delta_1m(sf_dir: str) -> Dataset:
         )
 
     return lagged.map_batches(delta, batch_format="pyarrow")
+
+
+def _hash_source(b: pa.Table, out: str = "src_h") -> pa.Table:
+    """Append an int64 hash of the source string (dictionary-encode, hash
+    each UNIQUE source once) so string-keyed tables can ride the int64-keyed
+    temporal kernels."""
+    from ..functions.textstats import word_hash64
+
+    s = b["source"]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    d = s.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uh = np.fromiter(
+        (word_hash64(w) for w in d.dictionary.to_pylist()),
+        dtype=np.uint64,
+        count=len(d.dictionary),
+    ).view(np.int64)
+    return b.append_column(out, pa.array(uh[codes], pa.int64()))
+
+
+def events_locf_1m(sf_dir: str) -> Dataset:
+    """LOCF (last-observation-carried-forward) interpolation over the dense
+    gap-filled 1m grid: every bucket carries the most recent REAL bucket's
+    sum_n_tok for its source — pure composition: the E13 as-of kernel with
+    the grid as the left side and the unfilled rollup as the right side
+    (the source string rides as a left payload column; the join key is its
+    64-bit hash).  Output (source, bucket_ts, count, locf_sum); oracle =
+    gap-fill CTE ASOF LEFT JOIN the rollup CTE."""
+    from ..stages.temporal import asof_join
+
+    # one rollup pass feeds both sides; rolled points are sources x buckets
+    # rows (MBs even at 10^12-sequence scale), the sanctioned materialize
+    m1 = rollup(events_assigned(sf_dir), "1m", t0_us=EVENTS_T0_US).materialize()
+    grid = gap_fill(m1, "1m").map_batches(
+        lambda b: _hash_source(b.select(["source", "bucket_ts", "count"])),
+        batch_format="pyarrow",
+    )
+    real = m1.map_batches(
+        lambda b: _hash_source(b).select(["src_h", "bucket_ts", "sum_n_tok"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        grid,
+        real,
+        key="src_h",
+        ts="bucket_ts",
+        value="sum_n_tok",
+        out_value="locf_sum",
+        k=_adaptive_k(sf_dir),
+    )
+    return joined.map_batches(
+        lambda b: b.select(["source", "bucket_ts", "count", "locf_sum"]),
+        batch_format="pyarrow",
+    )
+
+
+def events_cumsum_1m(sf_dir: str) -> Dataset:
+    """Running totals over the dense per-source 1m grid (count and
+    sum_n_tok so far) — the distributed ordered prefix scan
+    (stages/temporal.grid_cumsum): per-window sums fold on the driver at
+    O(sources x windows), bases broadcast, groups cumsum locally."""
+    from ..stages.temporal import grid_cumsum
+
+    grid = events_gapfill(sf_dir, "1m")
+    return grid_cumsum(
+        grid, "1m", ["count", "sum_n_tok"], t0_us=EVENTS_T0_US
+    )

@@ -296,6 +296,93 @@ def grid_lag(
     )
 
 
+def grid_cumsum(
+    grid: Dataset,
+    tier: str,
+    cols: list[str],
+    *,
+    t0_us: int,
+    window_buckets: int = 4096,
+) -> Dataset:
+    """Running total of ``cols`` over a DENSE per-source grid — SQL
+    ``SUM(c) OVER (PARTITION BY source ORDER BY bucket_ts ROWS UNBOUNDED
+    PRECEDING)`` — the "continuous aggregate so far" a rollup dashboard
+    plots.  Output: (source, bucket_ts, <cols...>, cum_<c>...).
+
+    A halo can't carry an unbounded prefix, so this is the distributed
+    ordered prefix-scan shape (pipelines/corpus.pack_sequences):
+      1. one narrow pass emits per-(source, window_id) sums; the partials
+         Dataset is folded incrementally on the driver at
+         O(sources x windows) — never row-level data;
+      2. the driver exclusive-scans each source's window sums into base
+         offsets, broadcast via ``ray.put`` (tiny);
+      3. each (source, window_id) group cumsums locally and adds its base.
+    At 100 TB, ``window_buckets`` rises so sources x windows stays ~1e6.
+    """
+    import ray
+
+    step = TIERS[tier] * 1_000_000
+
+    def add_win(b: pa.Table) -> pa.Table:
+        idx = (_i64(b["bucket_ts"]) - t0_us) // step
+        win = idx // window_buckets
+        return (
+            b.select(["source", "bucket_ts", *cols])
+            .append_column("window_id", pa.array(win, pa.int64()))
+            .append_column("idx", pa.array(idx, pa.int64()))
+        )
+
+    keyed = grid.map_batches(add_win, batch_format="pyarrow")
+
+    def window_sums(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "window_id"], use_threads=False).aggregate(
+            [(c, "sum") for c in cols]
+        )
+        return g.rename_columns(["source", "window_id", *[f"s_{c}" for c in cols]])
+
+    partials = keyed.map_batches(window_sums, batch_format="pyarrow")
+    acc: dict[tuple[str, int], list[int]] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        srcs = b["source"].to_pylist()
+        wins = b["window_id"].to_pylist()
+        sums = [b[f"s_{c}"].to_pylist() for c in cols]
+        for i, key_ in enumerate(zip(srcs, wins)):
+            cur = acc.setdefault(key_, [0] * len(cols))
+            for j in range(len(cols)):
+                cur[j] += sums[j][i]
+    # exclusive scan per source over window order
+    bases: dict[tuple[str, int], list[int]] = {}
+    by_src: dict[str, list[int]] = {}
+    for (s, w) in sorted(acc):
+        run = by_src.setdefault(s, [0] * len(cols))
+        bases[(s, w)] = list(run)
+        for j in range(len(cols)):
+            run[j] += acc[(s, w)][j]
+    bases_ref = ray.put(bases)
+
+    def cum_group(g: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)
+        s = g["source"][0].as_py()
+        w = g["window_id"][0].as_py()
+        b0 = base[(s, w)]
+        idx = _i64(g["idx"])
+        order = np.argsort(idx, kind="stable")
+        take = pa.array(order, pa.int64())
+        out = {
+            "source": g["source"].combine_chunks().take(take),
+            "bucket_ts": g["bucket_ts"].combine_chunks().take(take),
+        }
+        for j, c in enumerate(cols):
+            v = _i64(g[c])[order]
+            out[c] = pa.array(v, pa.int64())
+            out[f"cum_{c}"] = pa.array(np.cumsum(v) + b0[j], pa.int64())
+        return pa.table(out)
+
+    return keyed.groupby(["source", "window_id"]).map_groups(
+        cum_group, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------

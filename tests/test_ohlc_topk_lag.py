@@ -132,3 +132,42 @@ def test_grid_lag_matches_lag_semantics(ray_session, window_buckets):
             assert row.lag_count is None or np.isnan(row.lag_count)
         else:
             assert int(row.lag_count) == prev
+
+
+@pytest.mark.parametrize("window_buckets", [8, 4096])
+def test_grid_cumsum_matches_window_semantics(ray_session, window_buckets):
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.temporal import grid_cumsum
+
+    g = _rng(23)
+    t0 = 700_000_000_000
+    tier_us = 60 * 1_000_000
+    rows = []
+    for s, (lo, hi) in {"a": (0, 41), "b": (3, 11)}.items():
+        for idx in range(lo, hi + 1):
+            rows.append((s, t0 + idx * tier_us, int(g.integers(0, 9))))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows]),
+                "bucket_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "count": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = (
+        grid_cumsum(ds, "1m", ["count"], t0_us=t0,
+                    window_buckets=window_buckets)
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(rows)
+    running = {}
+    for (s, t, c), row in zip(sorted(rows), got.itertuples(index=False)):
+        running[s] = running.get(s, 0) + c
+        assert (row.source, row.bucket_ts.value // 1000, row.count) == (s, t, c)
+        assert row.cum_count == running[s]
