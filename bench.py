@@ -29,6 +29,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Some launcher shells export OMP_NUM_THREADS=1, which pins the DRIVER's
+# Arrow thread pool to one core (pa.cpu_count()==1) and measurably slows
+# driver-side parquet/ipc work (cascade A/B on this host: 22s -> 13s).
+# Ray workers size their own OMP independently, so dropping the leaked
+# value only restores the driver pool; a deliberate multi-thread setting
+# is left alone.
+if os.environ.get("OMP_NUM_THREADS") == "1":
+    del os.environ["OMP_NUM_THREADS"]
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(os.cpu_count() or 8)
+
 from mq_to_db_ray.util import quiesce_ray_data_stats  # noqa: E402
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
