@@ -851,7 +851,8 @@ def oracle_sql() -> dict[str, str]:
                          string_agg(CAST(doc_id AS VARCHAR), ','
                                     ORDER BY doc_id) postings
                   FROM d GROUP BY 1)
-            SELECT term, df, postings FROM a WHERE df >= 5
+            SELECT term, df, postings FROM a
+            WHERE df >= 5 AND df <= 1000000
         """,
         "f1_bigram_topk": """
             WITH p AS (SELECT unnest(list_transform(

@@ -359,6 +359,24 @@ def shingles_flat(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     return rows[keep], acc[keep]
 
 
+def hash_strings64(arr) -> np.ndarray:
+    """int64 view of :func:`word_hash64` over a string column — each UNIQUE
+    value hashed once (dictionary-encode + gather).  The shared kernel for
+    keying string columns into the int64-keyed shuffles/joins."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uh = np.fromiter(
+        (word_hash64(w) for w in d.dictionary.to_pylist()),
+        dtype=np.uint64,
+        count=len(d.dictionary),
+    ).view(np.int64)
+    return uh[codes] if len(codes) else np.empty(0, np.int64)
+
+
 # MinHash: 64-bit universal hashing family a*x+b over the shingle hashes.
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)

@@ -84,20 +84,11 @@ def _events_typed(sf_dir: str, event_type: str, cols: list[str]) -> Dataset:
 
 
 def _adaptive_k(sf_dir: str) -> int:
-    """Shuffle width for the temporal operators, scaled to the input size
-    (same rule as minhash's adaptive rounds): the row count comes from
-    parquet FOOTER metadata (no data read), and the width is a power of
-    two capped by the CPU-derived default — small corpora skip the fixed
-    per-partition groupby overhead, web-scale inputs get full width."""
-    import pyarrow.parquet as pq
+    """Shuffle width for the temporal operators, scaled to the events
+    table's footer row count (stages/shuffle.adaptive_width)."""
+    from ..stages.shuffle import adaptive_width
 
-    from ..stages.shuffle import shuffle_parts
-
-    rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    k = 8
-    while k < rows // 50_000:
-        k *= 2
-    return min(k, shuffle_parts())
+    return adaptive_width(f"{sf_dir}/events.parquet", 50_000)
 
 
 def _floor_value(b: pa.Table, name: str) -> pa.Table:
@@ -265,22 +256,13 @@ def events_delta_1m(sf_dir: str) -> Dataset:
 
 
 def _hash_source(b: pa.Table, out: str = "src_h") -> pa.Table:
-    """Append an int64 hash of the source string (dictionary-encode, hash
-    each UNIQUE source once) so string-keyed tables can ride the int64-keyed
-    temporal kernels."""
-    from ..functions.textstats import word_hash64
+    """Append an int64 hash of the source string so string-keyed tables can
+    ride the int64-keyed temporal kernels (textstats.hash_strings64)."""
+    from ..functions.textstats import hash_strings64
 
-    s = b["source"]
-    if isinstance(s, pa.ChunkedArray):
-        s = s.combine_chunks()
-    d = s.dictionary_encode()
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uh = np.fromiter(
-        (word_hash64(w) for w in d.dictionary.to_pylist()),
-        dtype=np.uint64,
-        count=len(d.dictionary),
-    ).view(np.int64)
-    return b.append_column(out, pa.array(uh[codes], pa.int64()))
+    return b.append_column(
+        out, pa.array(hash_strings64(b["source"]), pa.int64())
+    )
 
 
 def events_locf_1m(sf_dir: str) -> Dataset:

@@ -27,19 +27,11 @@ def _docs(sf_dir: str, columns=None) -> Dataset:
 
 
 def _doc_k(sf_dir: str) -> int:
-    """Shuffle width scaled to the documents table (parquet-footer row
-    count, no data read) — same adaptive rule as the temporal operators'
-    ``_adaptive_k``: small corpora skip the fixed per-partition groupby
-    overhead; at web scale this saturates to the CPU-derived full width."""
-    import pyarrow.parquet as pq
+    """Shuffle width scaled to the documents table's footer row count
+    (stages/shuffle.adaptive_width)."""
+    from ..stages.shuffle import adaptive_width
 
-    from ..stages.shuffle import shuffle_parts
-
-    rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    k = 8
-    while k < rows // 25_000:
-        k *= 2
-    return min(k, shuffle_parts())
+    return adaptive_width(f"{sf_dir}/documents.parquet", 25_000)
 
 
 # ---------------- text analysis ----------------
@@ -265,15 +257,7 @@ def contamination(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
     shingle STRINGS (same collision-free convention as T4 jaccard)."""
     import ray
 
-    eval_tbl = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .filter(expr=f"doc_id < {eval_max_doc_id}")
-        .take_all()
-    )
-    hasher = ts.WordHasher()
-    ev = [ts.shingles(r["text"], hasher=hasher) for r in eval_tbl]
-    eval_set = np.unique(np.concatenate(ev)) if ev else np.empty(0, np.uint64)
-    eval_ref = ray.put(eval_set)
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
 
     def fn(batch: pa.Table) -> pa.Table:
         ev_sorted = ray.get(eval_ref)
@@ -289,6 +273,24 @@ def contamination(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def _eval_shingle_ref(sf_dir: str, eval_max_doc_id: int):
+    """Build the benchmark eval set's sorted-unique shingle hashes on the
+    driver (the eval set is benchmark-sized by definition) and ``ray.put``
+    them ONCE — the broadcast-small-side convention shared by
+    :func:`contamination` and :func:`quality_filter`."""
+    import ray
+
+    eval_tbl = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id < {eval_max_doc_id}")
+        .take_all()
+    )
+    hasher = ts.WordHasher()
+    ev = [ts.shingles(r["text"], hasher=hasher) for r in eval_tbl]
+    eval_set = np.unique(np.concatenate(ev)) if ev else np.empty(0, np.uint64)
+    return ray.put(eval_set)
 
 
 def _shingle_hits(texts, ev_sorted: np.ndarray, n_rows: int) -> np.ndarray:
@@ -429,15 +431,7 @@ def quality_filter(
     composite is bit-reproducible by one SQL WHERE over the same CTEs."""
     import ray
 
-    eval_tbl = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .filter(expr=f"doc_id < {eval_max_doc_id}")
-        .take_all()
-    )
-    hasher = ts.WordHasher()
-    ev = [ts.shingles(r["text"], hasher=hasher) for r in eval_tbl]
-    eval_set = np.unique(np.concatenate(ev)) if ev else np.empty(0, np.uint64)
-    eval_ref = ray.put(eval_set)
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
 
     def fn(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
@@ -669,12 +663,7 @@ def top_terms(sf_dir: str, kk: int = 3) -> Dataset:
         pair_doc = (pairs // n_dict).astype(np.int64)
         pair_code = (pairs % n_dict).astype(np.int64)
         uniq_words = d.dictionary
-        hasher = ts.WordHasher()
-        wh = np.fromiter(
-            (hasher(w) for w in uniq_words.to_pylist()),
-            dtype=np.uint64,
-            count=len(uniq_words),
-        ).view(np.int64)
+        wh = ts.hash_strings64(uniq_words)
         doc = batch["doc_id"].combine_chunks().take(pa.array(pair_doc, pa.int64()))
         return pa.table(
             {
@@ -739,19 +728,26 @@ def top_terms(sf_dir: str, kk: int = 3) -> Dataset:
     return hash_partition_merge(with_df, "doc_id", topk_per_doc, k=_doc_k(sf_dir))
 
 
-def inverted_index(sf_dir: str, min_df: int = 5) -> Dataset:
+def inverted_index(
+    sf_dir: str, min_df: int = 5, df_cap: int = 1_000_000
+) -> Dataset:
     """Distributed inverted-index build: per term with document frequency
-    >= ``min_df``, the sorted posting list of doc_ids (comma-joined string,
-    so the artifact is one flat row per term and the DuckDB ``string_agg``
-    oracle compares byte-for-byte).  Output (term, df, postings).
+    in [``min_df``, ``df_cap``], the sorted posting list of doc_ids
+    (comma-joined string, so the artifact is one flat row per term and the
+    DuckDB ``string_agg`` oracle compares byte-for-byte).  Output
+    (term, df, postings).
 
     Scale shape: per-batch combiner emits DISTINCT (doc_id, term) rows
     (one dictionary-encode + np.unique — a doc's words collapse before
     anything moves); ONE hash shuffle on the term hash co-locates each
     term's postings; the per-partition build is a lexsort + one vectorized
-    ``pc.binary_join`` (no Python loop over terms).  Posting lists are
-    per-term — the classic index-build partitioning — so a 100 TB corpus
-    shards by term hash and each task materializes only its terms."""
+    ``pc.binary_join`` (no Python loop over terms).  Sharding is per TERM,
+    so the unit of work is one term's posting list — ``df_cap`` bounds it:
+    a term in more than ``df_cap`` documents is vocabulary, not a useful
+    posting list, and would otherwise be a single unbounded output row
+    (the same documented-cap treatment as jaccard's ``df_cap``).  Capped
+    terms are dropped, keeping per-task memory and every Arrow offset
+    (int32 list offsets, 2 GB string children) within bounds."""
     from ..stages.shuffle import hash_partition_merge
 
     def doc_term_rows(batch: pa.Table) -> pa.Table:
@@ -766,12 +762,7 @@ def inverted_index(sf_dir: str, min_df: int = 5) -> Dataset:
         pair_doc = (pairs // n_dict).astype(np.int64)
         pair_code = (pairs % n_dict).astype(np.int64)
         uniq = d.dictionary
-        hasher = ts.WordHasher()
-        wh = np.fromiter(
-            (hasher(w) for w in uniq.to_pylist()),
-            dtype=np.uint64,
-            count=len(uniq),
-        ).view(np.int64)
+        wh = ts.hash_strings64(uniq)
         return pa.table(
             {
                 "doc_id": batch["doc_id"]
@@ -806,7 +797,7 @@ def inverted_index(sf_dir: str, min_df: int = 5) -> Dataset:
         newg[1:] = cs[1:] != cs[:-1]
         starts = np.flatnonzero(newg)
         sizes = np.diff(np.append(starts, len(order)))
-        keep_g = sizes >= min_df
+        keep_g = (sizes >= min_df) & (sizes <= df_cap)
         keep_row = np.repeat(keep_g, sizes)
         kept_docs = pa.array(ds_[keep_row], pa.int64())
         offsets = np.concatenate(([0], np.cumsum(sizes[keep_g])))

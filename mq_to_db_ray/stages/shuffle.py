@@ -42,6 +42,22 @@ def shuffle_parts(k: int | None = None) -> int:
     return min(p, 1024)
 
 
+def adaptive_width(parquet_path: str, rows_per_part: int) -> int:
+    """Shuffle width scaled to one parquet file's FOOTER row count (no data
+    read): power-of-two `rows // rows_per_part`, floored at 8 and capped by
+    the CPU-derived default.  Small inputs skip the fixed per-partition
+    groupby overhead; at web scale this saturates to full width, leaving
+    behavior unchanged.  Shared rule for the temporal operators' and the
+    documents table's adaptive widths."""
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(parquet_path).metadata.num_rows
+    k = 8
+    while k < rows // rows_per_part:
+        k *= 2
+    return min(k, shuffle_parts())
+
+
 def add_hash_part(batch: pa.Table, key: str, k: int) -> pa.Table:
     """Append an int32 ``part`` column = (key * HASH_MULT) & (k-1)."""
     h = pc.bit_wise_and(
@@ -75,12 +91,19 @@ def grouped_topk(
         if b.num_rows == 0:
             out = b.select([key, value, order_id])
             return out.append_column("rank", pa.array([], pa.int64())) if final else out
+        for c in (key, value, order_id):
+            if b[c].null_count:
+                raise ValueError(f"grouped_topk: null in column {c!r}")
         kv = pc.cast(b[key], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         vv = pc.cast(b[value], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         ov = pc.cast(b[order_id], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         import numpy as np
 
-        order = np.lexsort((ov, -vv, kv))
+        # order-preserving descending key: int64 -> uint64 monotonic flip
+        # then complement — exact for the full range (a plain -vv wraps at
+        # INT64_MIN and would rank it first)
+        v_desc = ~(vv.view(np.uint64) + np.uint64(1 << 63))
+        order = np.lexsort((ov, v_desc, kv))
         ks = kv[order]
         newg = np.empty(len(order), dtype=bool)
         newg[0] = True

@@ -150,6 +150,40 @@ def asof_join(
 # rolling (trailing-window) aggregate over a dense grid
 # ---------------------------------------------------------------------------
 
+def _add_windows(
+    b: pa.Table,
+    cols: list[str],
+    t0_us: int,
+    step: int,
+    window_buckets: int,
+    halo_rows: int,
+) -> pa.Table:
+    """The (source, window_id) windowing contract shared by rolling_sum /
+    grid_lag / grid_cumsum: tag each grid row with its window and bucket
+    index, and replicate each window's LAST ``halo_rows`` rows into the
+    next window (halo=True) so bounded-lookback kernels resolve their
+    predecessors locally.  ``halo_rows=0`` emits no halo."""
+    idx = (_i64(b["bucket_ts"]) - t0_us) // step
+    win = idx // window_buckets
+    base = b.select(["source", "bucket_ts", *cols])
+    main = base.append_column(
+        "window_id", pa.array(win, pa.int64())
+    ).append_column("idx", pa.array(idx, pa.int64())).append_column(
+        "halo", pa.array(np.zeros(len(idx), dtype=bool))
+    )
+    if halo_rows <= 0:
+        return main
+    hmask = idx % window_buckets >= window_buckets - halo_rows
+    if not hmask.any():
+        return main
+    halo = base.filter(pa.array(hmask)).append_column(
+        "window_id", pa.array(win[hmask] + 1, pa.int64())
+    ).append_column(
+        "idx", pa.array(idx[hmask], pa.int64())
+    ).append_column("halo", pa.array(np.ones(int(hmask.sum()), dtype=bool)))
+    return pa.concat_tables([main, halo])
+
+
 def rolling_sum(
     grid: Dataset,
     tier: str,
@@ -175,23 +209,7 @@ def rolling_sum(
     step = TIERS[tier] * 1_000_000
 
     def add_win(b: pa.Table) -> pa.Table:
-        idx = (_i64(b["bucket_ts"]) - t0_us) // step
-        win = idx // window_buckets
-        base = b.select(["source", "bucket_ts", *cols])
-        main = base.append_column(
-            "window_id", pa.array(win, pa.int64())
-        ).append_column("idx", pa.array(idx, pa.int64())).append_column(
-            "halo", pa.array(np.zeros(len(idx), dtype=bool))
-        )
-        hmask = idx % window_buckets >= window_buckets - (w - 1)
-        if not hmask.any():
-            return main
-        halo = base.filter(pa.array(hmask)).append_column(
-            "window_id", pa.array(win[hmask] + 1, pa.int64())
-        ).append_column(
-            "idx", pa.array(idx[hmask], pa.int64())
-        ).append_column("halo", pa.array(np.ones(int(hmask.sum()), dtype=bool)))
-        return pa.concat_tables([main, halo])
+        return _add_windows(b, cols, t0_us, step, window_buckets, w - 1)
 
     def roll_group(g: pa.Table) -> pa.Table:
         idx = _i64(g["idx"])
@@ -245,23 +263,7 @@ def grid_lag(
     step = TIERS[tier] * 1_000_000
 
     def add_win(b: pa.Table) -> pa.Table:
-        idx = (_i64(b["bucket_ts"]) - t0_us) // step
-        win = idx // window_buckets
-        base = b.select(["source", "bucket_ts", *cols])
-        main = base.append_column(
-            "window_id", pa.array(win, pa.int64())
-        ).append_column("idx", pa.array(idx, pa.int64())).append_column(
-            "halo", pa.array(np.zeros(len(idx), dtype=bool))
-        )
-        hmask = idx % window_buckets == window_buckets - 1
-        if not hmask.any():
-            return main
-        halo = base.filter(pa.array(hmask)).append_column(
-            "window_id", pa.array(win[hmask] + 1, pa.int64())
-        ).append_column(
-            "idx", pa.array(idx[hmask], pa.int64())
-        ).append_column("halo", pa.array(np.ones(int(hmask.sum()), dtype=bool)))
-        return pa.concat_tables([main, halo])
+        return _add_windows(b, cols, t0_us, step, window_buckets, 1)
 
     def lag_group(g: pa.Table) -> pa.Table:
         idx = _i64(g["idx"])
@@ -324,15 +326,14 @@ def grid_cumsum(
     step = TIERS[tier] * 1_000_000
 
     def add_win(b: pa.Table) -> pa.Table:
-        idx = (_i64(b["bucket_ts"]) - t0_us) // step
-        win = idx // window_buckets
-        return (
-            b.select(["source", "bucket_ts", *cols])
-            .append_column("window_id", pa.array(win, pa.int64()))
-            .append_column("idx", pa.array(idx, pa.int64()))
-        )
+        return _add_windows(b, cols, t0_us, step, window_buckets, 0)
 
-    keyed = grid.map_batches(add_win, batch_format="pyarrow")
+    # materialize the tagged grid ONCE: both the window-sum fold below and
+    # the final cum_group groupby consume it, and without this the whole
+    # upstream pipeline (read -> rollup shuffle -> gap_fill) would execute
+    # twice.  The grid is rolled points — the sanctioned materialize
+    # (sources x buckets rows, same as pipelines/cascade.py's rolled tiers).
+    keyed = grid.map_batches(add_win, batch_format="pyarrow").materialize()
 
     def window_sums(b: pa.Table) -> pa.Table:
         g = b.group_by(["source", "window_id"], use_threads=False).aggregate(
