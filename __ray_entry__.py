@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_rank": cps.shuffle_rank,
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
+        "doc_corpus_prep": cps.corpus_prep,
         # --- dedup suite ---
         "doc_exact_dedup": td.exact_dedup,
         "doc_simhash": td.simhash,
@@ -876,6 +877,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.source
             FROM l JOIN q USING (source)
             WHERE l.n BETWEEN q.lo AND q.hi
+        """,
+        "doc_corpus_prep": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id, source, lang, text,
+                         str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.da AS doc_a, i.db AS doc_b
+                  FROM i JOIN sizes sa ON i.da = sa.doc_id
+                         JOIN sizes sb ON i.db = sb.doc_id
+                  WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200),
+            nn AS (SELECT doc_a u FROM p UNION SELECT doc_b FROM p),
+            ee AS (SELECT doc_a u, doc_b v FROM p
+                   UNION SELECT doc_b, doc_a FROM p
+                   UNION SELECT u, u FROM nn),
+            reach(u, v) AS (
+                SELECT u, v FROM ee
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u),
+            cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY 1),
+            losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1, 2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            ev AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d2.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d2
+                    JOIN ev ON d2.s = ev.s GROUP BY 1),
+            kept AS (SELECT t.doc_id, t.source, CAST(rep.n AS BIGINT) n_tok
+                     FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id)
+                     WHERE t.lang = 'en'
+                       AND rep.n BETWEEN 20 AND 90
+                       AND floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+                       AND floor(1000.0*rep.m/rep.n) <= 130
+                       AND floor(1000.0*st.s/rep.n) >= 20
+                       AND t.doc_id NOT IN (SELECT doc_id FROM hit)
+                       AND t.doc_id NOT IN (SELECT doc_id FROM losers)),
+            o AS (SELECT doc_id, source,
+                         COALESCE(SUM(n_tok) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+                  FROM kept)
+            SELECT doc_id, source,
+                   CAST(off // 256 AS BIGINT) AS pack_id,
+                   CAST(off % 256 AS BIGINT) AS pack_offset
+            FROM o
         """,
         "doc_pack_sequences": """
             WITH l AS (SELECT doc_id, source,

@@ -97,7 +97,6 @@ def pack_sequences(sf_dir: str, ctx: int = 256, chunk: int = 64) -> Dataset:
     At 100 TB, chunk_size is raised so sources x chunks stays ~1e6; the
     driver never sees a row, only per-chunk sums.
     """
-    k = shuffle_parts()
     chunk_s = pa.scalar(chunk, pa.int64())
 
     def project(b: pa.Table) -> pa.Table:
@@ -117,6 +116,15 @@ def pack_sequences(sf_dir: str, ctx: int = 256, chunk: int = 64) -> Dataset:
         .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
+    return pack_stream(narrow, ctx)
+
+
+def pack_stream(narrow: Dataset, ctx: int = 256) -> Dataset:
+    """The distributed ordered prefix scan behind :func:`pack_sequences`,
+    over an already-MATERIALIZED narrow (doc_id, source, chunk_id, n_tok)
+    dataset (both scan passes consume it) — shared with
+    :func:`corpus_prep`, which packs a filtered survivor set."""
+    k = shuffle_parts()
 
     def partial(b: pa.Table) -> pa.Table:
         return b.select(["source", "chunk_id", "n_tok"]).group_by(
@@ -196,6 +204,84 @@ def pack_sequences(sf_dir: str, ctx: int = 256, chunk: int = 64) -> Dataset:
             lambda g: assign(g.drop_columns(["part"])), batch_format="pyarrow"
         )
     )
+
+
+def corpus_prep(sf_dir: str, ctx: int = 256, chunk: int = 64) -> Dataset:
+    """The end-to-end corpus-preparation pipeline a training run actually
+    consumes — composition of three oracle-checked stages in their
+    production order:
+
+      1. **near-dedup decision** (T20b): drop non-winner members of the
+         n-gram-Jaccard near-dup clusters;
+      2. **fused quality filter** (T29): lang + word band + Gopher caps +
+         stopword floor + benchmark decontamination in one text pass;
+      3. **sequence packing** (T22): assign each survivor its context
+         window and offset via the distributed ordered prefix scan.
+
+    Output: (doc_id, source, pack_id, pack_offset) for every kept doc.
+
+    The intersection of the two keep-sets is a hash-partitioned join on
+    doc_id (survivor ids are corpus-sized at web dup rates — never a
+    broadcast); the packing scan then runs over the FILTERED narrow rows,
+    so dropped documents consume no context-window space.  Text is read
+    by the two filter stages only; nothing corpus-sized touches the
+    driver."""
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition_merge
+    from .training_data import near_dedup_keep, quality_filter
+
+    kept_q = quality_filter(sf_dir)     # (doc_id, source, n_words)
+    survivors = near_dedup_keep(sf_dir)  # (doc_id, source)
+
+    def q_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": b["source"],
+                "n_tok": pc.cast(b["n_words"], pa.int64()),
+                "mark": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            }
+        )
+
+    def s_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": pa.nulls(b.num_rows, pa.string()),
+                "n_tok": pa.nulls(b.num_rows, pa.int64()),
+                "mark": pa.array(np.ones(b.num_rows, dtype=bool)),
+            }
+        )
+
+    def intersect(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        mark = t["mark"].combine_chunks().to_numpy(zero_copy_only=False)
+        marked = np.unique(ids[mark])
+        rows = ~mark
+        if len(marked):
+            pos = np.searchsorted(marked, ids)
+            pos[pos == len(marked)] = 0
+            rows &= marked[pos] == ids
+        else:
+            rows[:] = False
+        out = t.take(pa.array(np.flatnonzero(rows), pa.int64()))
+        return out.drop_columns(["mark"])
+
+    both = kept_q.map_batches(q_rows, batch_format="pyarrow").union(
+        survivors.map_batches(s_rows, batch_format="pyarrow")
+    )
+    kept = hash_partition_merge(both, "doc_id", intersect)
+
+    chunk_s = pa.scalar(chunk, pa.int64())
+
+    def add_chunk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "chunk_id", pc.divide(pc.cast(b["doc_id"], pa.int64()), chunk_s)
+        )
+
+    narrow = kept.map_batches(add_chunk, batch_format="pyarrow").materialize()
+    return pack_stream(narrow, ctx)
 
 
 # -------------------------------------------------------- shuffle order

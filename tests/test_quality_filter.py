@@ -137,3 +137,33 @@ def test_quality_filter_equals_predicate_intersection(ray_session):
             expect.add(d)
     assert kept == expect
     assert len(kept) > 0
+
+
+def test_corpus_prep_is_composition_of_stages(ray_session):
+    """corpus_prep == (quality_filter ∩ near_dedup_keep) packed by the
+    per-source exclusive cumsum in doc_id order."""
+    sf = "/root/testdata/sf0.001"
+    from mq_to_db_ray.pipelines.corpus import corpus_prep
+    from mq_to_db_ray.pipelines.training_data import (
+        near_dedup_keep,
+        quality_filter,
+    )
+
+    got = (
+        corpus_prep(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    q = quality_filter(sf).to_pandas().set_index("doc_id")
+    surv = set(near_dedup_keep(sf).to_pandas()["doc_id"])
+    kept = sorted(set(q.index) & surv)
+    assert got["doc_id"].tolist() == kept
+    off = {}
+    for d in kept:  # kept is doc_id-sorted, so cumsum order == scan order
+        s = q.loc[d, "source"]
+        o = off.get(s, 0)
+        row = got[got["doc_id"] == d].iloc[0]
+        assert (row["pack_id"], row["pack_offset"]) == (o // 256, o % 256)
+        off[s] = o + int(q.loc[d, "n_words"])
+    assert len(kept) > 0
