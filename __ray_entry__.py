@@ -145,6 +145,12 @@ def _q_events_cumsum(sf_dir: str):
     return events_cumsum_1m(sf_dir)
 
 
+def _q_events_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_quantiles_1m
+
+    return events_quantiles_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_delta_1m": _q_events_delta,
         "events_locf_1m": _q_events_locf,
         "events_cumsum_1m": _q_events_cumsum,
+        "events_quantiles_1m": _q_events_quantiles,
         # --- flagship on the native F1 corpus ---
         "f1_rollup_1m": _q_f1_rollup_1m,
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
@@ -749,6 +756,16 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WINDOW w AS (PARTITION BY source ORDER BY bucket_ts
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "events_quantiles_1m": """
+            SELECT event_type AS source,
+                   date_trunc('minute', ts) AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(quantile_disc(CAST(floor(value) AS BIGINT), 0.5)
+                        AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(floor(value) AS BIGINT), 0.95)
+                        AS BIGINT) AS p95
+            FROM events GROUP BY 1, 2
         """,
         "doc_repetition": """
             WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),

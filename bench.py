@@ -197,6 +197,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_delta_1m",
         "events_locf_1m",
         "events_cumsum_1m",
+        "events_quantiles_1m",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",

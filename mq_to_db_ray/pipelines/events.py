@@ -312,3 +312,97 @@ def events_cumsum_1m(sf_dir: str) -> Dataset:
     return grid_cumsum(
         grid, "1m", ["count", "sum_n_tok"], t0_us=EVENTS_T0_US
     )
+
+
+def events_quantiles_1m(sf_dir: str) -> Dataset:
+    """EXACT p50/p95 of floor(value) per (event_type, minute) — the
+    latency-percentile rollup of an observability stack, via the
+    length_quantiles mergeable-histogram pattern applied per bucket:
+    integer values mean each batch pre-aggregates to a
+    (source, bucket, value) histogram, ONLY histograms shuffle (hashed on
+    bucket_id, salt axis = time), and the per-partition merge computes
+    every group's quantiles with one lexsort + reduceat — no per-group
+    Python loop.  ``quantile_disc`` rank semantics (smallest value whose
+    cumulative count >= ceil(q*n)) so the oracle matches bit-exactly.
+    Output (source, bucket_ts, count, p50, p95)."""
+    from ..functions.textstats import hash_strings64
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(ts_us - EVENTS_T0_US, tier_us)
+        vals = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket_id": pa.array(bucket, pa.int64()),
+                "v": pa.array(np.floor(vals).astype(np.int64)),
+            }
+        )
+        return t.group_by(["source", "bucket_id", "v"], use_threads=False).aggregate(
+            [("v", "count")]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "count": pa.array([], pa.int64()),
+                    "p50": pa.array([], pa.int64()),
+                    "p95": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "bucket_id", "v"], use_threads=False).aggregate(
+            [("v_count", "sum")]
+        )
+        src = g["source"].combine_chunks()
+        sh = hash_strings64(src)
+        b = g["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g["v_count_sum"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, b, sh))
+        shs, bs, vs, cs = sh[order], b[order], v[order], cnt[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (shs[1:] != shs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        cum = np.cumsum(cs)
+        base = np.concatenate(([0], cum[starts[1:] - 1]))
+        cumw = cum - base[gid]                       # within-group cumulative
+        totals = np.add.reduceat(cs, starts)
+        n = len(order)
+        idx = np.arange(n)
+        out = {}
+        for name, q in (("p50", 500), ("p95", 950)):
+            thr = (totals * q + 999) // 1000
+            flag = cumw >= thr[gid]
+            cand = np.where(flag, idx, n)
+            first = np.minimum.reduceat(cand, starts)
+            out[name] = vs[first]
+        take = pa.array(order[starts], pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_ts": pa.array(
+                    bs[starts] * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "count": pa.array(totals),
+                "p50": pa.array(out["p50"], pa.int64()),
+                "p95": pa.array(out["p95"], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(
+        partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
+    )

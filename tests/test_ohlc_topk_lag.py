@@ -171,3 +171,50 @@ def test_grid_cumsum_matches_window_semantics(ray_session, window_buckets):
         running[s] = running.get(s, 0) + c
         assert (row.source, row.bucket_ts.value // 1000, row.count) == (s, t, c)
         assert row.cum_count == running[s]
+
+
+def test_events_quantiles_rank_semantics(ray_session, tmp_path):
+    """Per-bucket p50/p95 with quantile_disc rank semantics (smallest
+    value whose cumulative count >= ceil(q*n)) vs brute force."""
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US, events_quantiles_1m
+
+    g = _rng(29)
+    n = 800
+    tier_us = 60 * 1_000_000
+    types = np.array(["a", "b", "c"])[g.integers(0, 3, n)]
+    ts = EVENTS_T0_US + g.integers(0, 12 * tier_us, n).astype(np.int64)
+    val = g.integers(0, 40, n).astype(np.float64) + 0.5  # floor matters
+    tbl = pa.table(
+        {
+            "event_type": pa.array(types.tolist()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(val),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = (
+        events_quantiles_1m(str(tmp_path))
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    import collections
+    import math
+
+    groups = collections.defaultdict(list)
+    for i in range(n):
+        groups[(types[i], (ts[i] - EVENTS_T0_US) // tier_us)].append(
+            int(val[i])
+        )
+    assert len(got) == len(groups)
+    for row in got.itertuples(index=False):
+        b = (row.bucket_ts.value // 1000 - EVENTS_T0_US) // tier_us
+        vs = sorted(groups[(row.source, b)])
+        assert row.count == len(vs)
+        for q, gotv in ((0.5, row.p50), (0.95, row.p95)):
+            rank = math.ceil(q * len(vs))
+            assert gotv == vs[rank - 1], (row.source, b, q)
