@@ -2212,7 +2212,7 @@ def near_dedup_keep(sf_dir: str, threshold_permille: int = 200) -> Dataset:
     both = _docs(sf_dir, ["doc_id", "source"]).map_batches(
         corpus, batch_format="pyarrow"
     ).union(clusters.map_batches(losers, batch_format="pyarrow"))
-    return hash_partition_merge(both, "doc_id", anti)
+    return hash_partition_merge(both, "doc_id", anti, k=_doc_k(sf_dir))
 
 
 def length_filter(
