@@ -423,11 +423,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import corpus as cps
     from mq_to_db_ray.pipelines import training_data as td
 
+    # Ordering contract: the driver's correctness pass covers the FIRST 50
+    # keys, so every oracle-backed entry must sit inside that window.  The 10
+    # dedup/similarity/multimodal oracles (unchecked in round 3's window) come
+    # first, then the remaining oracle-backed entries; two redundant oracles
+    # (`doc_token_count_bpe` — a variant of `doc_token_count`;
+    # `events_rollup_1d_cascaded` — the same cascade code path as the 1h
+    # tier) sit at positions 51-52, and the 14 no_oracle diagnostics last.
     return {
+        # --- dedup suite (oracle-backed) ---
+        "doc_exact_dedup": td.exact_dedup,
+        "doc_jaccard_pairs": td.jaccard_pairs,
+        "doc_dup_clusters": td.dup_clusters,
+        "doc_near_dedup_keep": td.near_dedup_keep,
+        # --- similarity search (oracle-backed) ---
+        "embedding_near_dup": td.embedding_near_dup,
+        "embedding_stats": td.embedding_stats,
+        "ann_cosine_top10": td.ann_topk,
+        # --- multimodal plumbing (oracle-backed) ---
+        "multimodal_meta": td.multimodal_meta,
+        "multimodal_features": td.multimodal_features,
+        "multimodal_frame_sample": td.multimodal_frame_sample,
         # --- time-series rollup engine (E1-E12 over the events adapter) ---
         "events_rollup_1m": _q_events_rollup("1m"),
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
-        "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "events_gapfill_1m": _q_events_gapfill,
         "events_reject_lane": _q_events_rejects,
         "events_asof_join": _q_events_asof,
@@ -445,23 +464,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
         "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
-        "f1_series_roundtrip": _q_f1_series_roundtrip,
-        "f1_tokens_passthrough": _q_f1_tokens_passthrough,
-        "f1_metrics": _q_f1_metrics,
-        "f1_resume_skip": _q_f1_resume,
-        "f1_multi_epoch_view": _q_f1_multi_epoch_view,
-        "f1_retention": _q_f1_retention,
-        "f1_compact": _q_f1_compact,
+        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
+        "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
-        "doc_token_count_bpe": td.token_count_bpe,
         "doc_rollup_1m": _q_doc_rollup_1m,
         "doc_quality": td.quality_score,
         "doc_stratified_sample": td.stratified_sample,
         "doc_embedding_join": td.doc_embedding_join,
-        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
         "doc_langid": td.lang_id,
-        "doc_fingerprint": td.fingerprint,
         "doc_repetition": td.repetition,
         "doc_contamination": td.contamination,
         "doc_length_quantiles": td.length_quantiles,
@@ -471,32 +482,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": td.quality_filter,
         "doc_top_terms": td.top_terms,
         "doc_inverted_index": td.inverted_index,
-        "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
         "doc_shuffle_rank": cps.shuffle_rank,
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
-        # --- dedup suite ---
-        "doc_exact_dedup": td.exact_dedup,
+        # --- positions 51-52: oracle-backed but redundant with entries above
+        "doc_token_count_bpe": td.token_count_bpe,
+        "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
+        # --- no_oracle diagnostics (rows-only driver check) ---
+        "f1_series_roundtrip": _q_f1_series_roundtrip,
+        "f1_tokens_passthrough": _q_f1_tokens_passthrough,
+        "f1_metrics": _q_f1_metrics,
+        "f1_resume_skip": _q_f1_resume,
+        "f1_multi_epoch_view": _q_f1_multi_epoch_view,
+        "f1_retention": _q_f1_retention,
+        "f1_compact": _q_f1_compact,
+        "doc_fingerprint": td.fingerprint,
         "doc_simhash": td.simhash,
         "doc_simhash_near_dup": td.simhash_near_dup,
         "doc_minhash_pairs": td.minhash_lsh_pairs,
-        "doc_jaccard_pairs": td.jaccard_pairs,
-        "doc_dup_clusters": td.dup_clusters,
-        "doc_near_dedup_keep": td.near_dedup_keep,
-        # --- similarity search ---
-        "embedding_near_dup": td.embedding_near_dup,
         "embedding_near_dup_lsh": td.embedding_near_dup_lsh,
-        "embedding_stats": td.embedding_stats,
-        "ann_cosine_top10": td.ann_topk,
         "ann_lsh_topk": td.ann_lsh_topk,
         "ann_ivf_topk": td.ann_ivf_topk,
-        # --- multimodal plumbing ---
-        "multimodal_meta": td.multimodal_meta,
-        "multimodal_features": td.multimodal_features,
-        "multimodal_frame_sample": td.multimodal_frame_sample,
     }
 
 
