@@ -1954,9 +1954,27 @@ def multimodal_meta(sf_dir: str) -> Dataset:
 # T20: near-dup cluster assignment (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
+# Session-scoped cache of materialized dedup intermediates: the cluster
+# labels are a reusable artifact (computed once, applied by near_dedup_keep
+# / corpus_prep / any downstream filter), exactly like the cascade's shared
+# materialized tiers.  Keyed by the Ray job id so a dataset from a dead
+# session is never returned.
+_DEDUP_CACHE: dict[tuple, Dataset] = {}
+
+
+def _dedup_cache_key(sf_dir: str, params: tuple) -> tuple:
+    import ray
+
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = ""
+    return (job, sf_dir, params)
+
+
 def dup_clusters(
     sf_dir: str, threshold_permille: int = 200, max_rounds: int = 32,
-    shuffle_k: int | None = None,
+    shuffle_k: int | None = None, pairs: Dataset | None = None,
 ) -> Dataset:
     """Connected components over the exact-Jaccard near-dup pair graph —
     the step that turns pairwise similarity into DEDUP DECISIONS (one
@@ -1980,12 +1998,25 @@ def dup_clusters(
     yields each node's min label within ``max_rounds`` hops (a refinement,
     documented like df_cap).  State is edge-proportional, never
     corpus-proportional — singleton docs never enter the computation.
+
+    ``pairs`` lets callers supply a precomputed pair graph; otherwise the
+    materialized cluster labels are cached per (session, sf_dir, params)
+    so near_dedup_keep / corpus_prep reuse them instead of re-running the
+    shingle→pair→propagation chain.
     """
     import numpy as np
 
-    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.shuffle import hash_partition_merge, width_for_rows
 
-    pairs = jaccard_pairs(sf_dir, threshold_permille=threshold_permille)
+    cache_key = None
+    if pairs is None:
+        cache_key = _dedup_cache_key(
+            sf_dir, ("clusters", threshold_permille, max_rounds, shuffle_k)
+        )
+        cached = _DEDUP_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
+        pairs = jaccard_pairs(sf_dir, threshold_permille=threshold_permille)
     KIND_EDGE, KIND_LABEL, KIND_MSG, KIND_COUNT = 0, 1, 2, 3
 
     def to_edges(b: pa.Table) -> pa.Table:
@@ -2001,15 +2032,16 @@ def dup_clusters(
             }
         )
 
-    kk = shuffle_k or min(8, shuffle_parts())
     # compact the edge list once: it inherits jaccard's wide block layout
     # (tiny blocks), and every propagation hop re-reads it — kk blocks keep
-    # the per-hop task count at the shuffle width instead of 64+
-    edges = (
-        pairs.map_batches(to_edges, batch_format="pyarrow")
-        .repartition(kk)
-        .materialize()
-    )
+    # the per-hop task count at the shuffle width instead of 64+.  The
+    # propagation width scales with the materialized edge-list row count
+    # (width_for_rows: floor 8, saturating to full shuffle width): at web
+    # dup rates the edge list is corpus-sized, and a fixed small width
+    # would funnel every hop through a handful of partitions.
+    edges0 = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    kk = shuffle_k or width_for_rows(edges0.count(), 65_536)
+    edges = edges0.repartition(kk).materialize()
 
     def seed(b: pa.Table) -> pa.Table:
         """Initial labels (node = own id) AND the first hop's messages
@@ -2108,7 +2140,11 @@ def dup_clusters(
         m = b.filter(pc.equal(b["kind"], KIND_LABEL))
         return pa.table({"doc_id": m["key"], "cluster_id": m["lab"]})
 
-    return state.map_batches(rename, batch_format="pyarrow")
+    out = state.map_batches(rename, batch_format="pyarrow")
+    if cache_key is not None:
+        out = out.materialize()  # edge-proportional label rows, never text
+        _DEDUP_CACHE[cache_key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2159,7 +2195,10 @@ def length_quantiles(sf_dir: str) -> Dataset:
     )
 
 
-def near_dedup_keep(sf_dir: str, threshold_permille: int = 200) -> Dataset:
+def near_dedup_keep(
+    sf_dir: str, threshold_permille: int = 200,
+    clusters: Dataset | None = None,
+) -> Dataset:
     """The dedup DECISION applied: keep every document except non-winner
     near-dup cluster members (winner = min doc_id per T20 cluster).
     Output (doc_id, source) of survivors.
@@ -2169,12 +2208,18 @@ def near_dedup_keep(sf_dir: str, threshold_permille: int = 200) -> Dataset:
     corpus-sized), so corpus ids and loser marks meet by doc_id hash and
     each partition drops its marked rows with one vectorized searchsorted;
     document text never moves, only (doc_id, source) ids.
+
+    ``clusters`` lets callers pass precomputed (doc_id, cluster_id)
+    labels; otherwise :func:`dup_clusters`' session cache supplies them,
+    so the shingle→pair→propagation chain runs once per corpus, not once
+    per downstream consumer.
     """
     import numpy as np
 
     from ..stages.shuffle import hash_partition_merge
 
-    clusters = dup_clusters(sf_dir, threshold_permille=threshold_permille)
+    if clusters is None:
+        clusters = dup_clusters(sf_dir, threshold_permille=threshold_permille)
 
     def losers(b: pa.Table) -> pa.Table:
         keep = pc.not_equal(b["doc_id"], b["cluster_id"])

@@ -42,20 +42,27 @@ def shuffle_parts(k: int | None = None) -> int:
     return min(p, 1024)
 
 
-def adaptive_width(parquet_path: str, rows_per_part: int) -> int:
-    """Shuffle width scaled to one parquet file's FOOTER row count (no data
-    read): power-of-two `rows // rows_per_part`, floored at 8 and capped by
-    the CPU-derived default.  Small inputs skip the fixed per-partition
-    groupby overhead; at web scale this saturates to full width, leaving
-    behavior unchanged.  Shared rule for the temporal operators' and the
-    documents table's adaptive widths."""
-    import pyarrow.parquet as pq
-
-    rows = pq.ParquetFile(parquet_path).metadata.num_rows
+def width_for_rows(rows: int, rows_per_part: int) -> int:
+    """The adaptive-width rule on a known row count: power-of-two
+    ``rows // rows_per_part``, floored at 8 and capped by the CPU-derived
+    default.  Small inputs skip the fixed per-partition groupby overhead;
+    at web scale this saturates to full width.  Used directly when the
+    row count comes from a materialized Dataset (e.g. dup_clusters' edge
+    list) rather than a parquet footer."""
     k = 8
     while k < rows // rows_per_part:
         k *= 2
     return min(k, shuffle_parts())
+
+
+def adaptive_width(parquet_path: str, rows_per_part: int) -> int:
+    """Shuffle width scaled to one parquet file's FOOTER row count (no data
+    read) via :func:`width_for_rows`.  Shared rule for the temporal
+    operators' and the documents table's adaptive widths."""
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(parquet_path).metadata.num_rows
+    return width_for_rows(rows, rows_per_part)
 
 
 def add_hash_part(batch: pa.Table, key: str, k: int) -> pa.Table:

@@ -95,3 +95,57 @@ def test_near_dedup_keep_survivors(ray_session, chain_docs):
     # singleton 20 never entered the pair graph and survives untouched
     assert sorted(got["doc_id"].tolist()) == [0, 10, 20]
     assert set(got.columns) == {"doc_id", "source"}
+
+
+def test_propagation_width_grows_with_edge_count(ray_session, monkeypatch):
+    """The propagation shuffle width must scale with the edge-list size
+    (VERDICT r3 #2): a hardcoded min(8, parts) cap would funnel a
+    corpus-sized edge list through 8 partitions at every hop."""
+    from mq_to_db_ray.stages import shuffle
+
+    assert shuffle.width_for_rows(0, 65_536) == 8  # floor
+    assert shuffle.width_for_rows(100, 65_536) == 8  # tiny input stays small
+    # on a big cluster (the test session runs 4 CPUs, capping parts at 8)
+    monkeypatch.setattr(shuffle, "shuffle_parts", lambda k=None: 256)
+    assert shuffle.width_for_rows(2_000_000, 65_536) == 32  # grows with rows
+    assert shuffle.width_for_rows(50_000_000, 65_536) == 256  # saturates
+    assert shuffle.width_for_rows(10_000_000, 65_536) >= shuffle.width_for_rows(
+        1_000_000, 65_536
+    )
+
+
+def test_cluster_cache_and_pairs_param(ray_session, chain_docs):
+    """dup_clusters memoizes its materialized labels per session so
+    near_dedup_keep / corpus_prep reuse them; an explicit pairs Dataset
+    bypasses the cache and still yields identical clusters."""
+    import ray.data as rd
+
+    from mq_to_db_ray.pipelines.training_data import (
+        dup_clusters,
+        jaccard_pairs,
+        near_dedup_keep,
+    )
+
+    a = dup_clusters(chain_docs)
+    b = dup_clusters(chain_docs)
+    assert a is b  # second call is the cached materialized dataset
+
+    pairs = jaccard_pairs(chain_docs).materialize()
+    c = dup_clusters(chain_docs, pairs=pairs)
+    assert c is not a
+    assert (
+        c.to_pandas().sort_values("doc_id").values.tolist()
+        == a.to_pandas().sort_values("doc_id").values.tolist()
+    )
+
+    # an explicit clusters Dataset short-circuits the chain entirely
+    fake = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "cluster_id": pa.array([0, 0], pa.int64()),
+            }
+        )
+    )
+    got = near_dedup_keep(chain_docs, clusters=fake).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [0, 2, 3, 10, 11, 20]
