@@ -135,26 +135,36 @@ def pack_stream(narrow: Dataset, ctx: int = 256) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # Driver fold: O(sources x chunks) ints, streamed batch by batch.
-    sums: dict[tuple[str, int], int] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for s, c, n in zip(
-            b["source"].to_pylist(),
-            b["chunk_id"].to_pylist(),
-            b["n_tok_sum"].to_pylist(),
-        ):
-            key = (s, int(c))
-            sums[key] = sums.get(key, 0) + int(n)
-
-    bases: dict[tuple[str, int], int] = {}
-    by_source: dict[str, list[int]] = {}
-    for s, c in sums:
-        by_source.setdefault(s, []).append(c)
-    for s, chunks in by_source.items():
-        acc = 0
-        for c in sorted(chunks):
-            bases[(s, c)] = acc
-            acc += sums[(s, c)]
+    # Driver fold: O(sources x chunks) ints, one numpy group-reduce — no
+    # per-row python.  Batches are streamed then re-grouped once (a chunk
+    # can span input batches); the exclusive scan resets at each source
+    # boundary.  The broadcast is three parallel arrays sorted by
+    # (source code, chunk_id): assign() resolves each group's base with
+    # index_in (source -> global code) + searchsorted over the packed key.
+    agg = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow"))
+    ).group_by(["source", "chunk_id"]).aggregate([("n_tok_sum", "sum")])
+    g_codes, g_uniq = _source_codes(agg["source"])
+    g_cid = agg["chunk_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    g_sum = agg["n_tok_sum_sum"].combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    order = np.lexsort((g_cid, g_codes))
+    g_codes, g_cid, g_sum = g_codes[order], g_cid[order], g_sum[order]
+    excl = np.cumsum(g_sum) - g_sum
+    if len(g_codes):
+        new_src = np.empty(len(g_codes), dtype=bool)
+        new_src[0] = True
+        new_src[1:] = g_codes[1:] != g_codes[:-1]
+        starts = np.flatnonzero(new_src)
+        counts = np.diff(np.append(starts, len(g_codes)))
+        base_vals = excl - np.repeat(excl[starts], counts)
+        key_mult = int(g_cid.max()) + 1
+    else:
+        base_vals = np.empty(0, np.int64)
+        key_mult = 1
+    packed_keys = g_codes * key_mult + g_cid  # ascending by construction
+    uniq_arr = pa.array(g_uniq, pa.string())
 
     def add_part(b: pa.Table) -> pa.Table:
         codes, uniq = _source_codes(b["source"])
@@ -180,10 +190,16 @@ def pack_stream(narrow: Dataset, ctx: int = 256) -> Dataset:
         counts = np.diff(np.append(starts, len(n)))
         excl = np.cumsum(n) - n
         within = excl - np.repeat(excl[starts], counts)
-        base = np.array(
-            [bases.get((uniq[codes[s]], int(cid[s])), 0) for s in starts],
-            dtype=np.int64,
+        # group base offsets: partition-local source codes -> global codes
+        # (index_in over the tiny per-partition dictionary), then one
+        # searchsorted over the broadcast packed (code, chunk) key array
+        glob = (
+            pc.index_in(pa.array(uniq, pa.string()), value_set=uniq_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
+        gk = glob[codes[starts]] * key_mult + cid[starts]
+        base = base_vals[np.searchsorted(packed_keys, gk)]
         off = np.repeat(base, counts) + within
         src_sorted = pc.take(
             g["source"].combine_chunks(), pa.array(order, pa.int64())
