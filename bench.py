@@ -32,11 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Some launcher shells export OMP_NUM_THREADS=1, which pins the DRIVER's
 # Arrow thread pool to one core (pa.cpu_count()==1) and measurably slows
 # driver-side parquet/ipc work (cascade A/B on this host: 22s -> 13s).
-# Ray workers size their own OMP independently, so dropping the leaked
-# value only restores the driver pool; a deliberate multi-thread setting
-# is left alone.
+# The fix is DRIVER-ONLY: resize the driver's Arrow pool directly and
+# leave the env var in place, so Ray workers inherit the environment
+# unchanged (they size their own OMP pinning regardless).
 if os.environ.get("OMP_NUM_THREADS") == "1":
-    del os.environ["OMP_NUM_THREADS"]
     import pyarrow as _pa
 
     _pa.set_cpu_count(os.cpu_count() or 8)

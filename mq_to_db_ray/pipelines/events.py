@@ -9,6 +9,8 @@ by the DuckDB oracle — float SUM order-dependence can't bite).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -83,9 +85,12 @@ def _events_typed(sf_dir: str, event_type: str, cols: list[str]) -> Dataset:
     ).select_columns(cols)
 
 
+@lru_cache(maxsize=64)
 def _adaptive_k(sf_dir: str) -> int:
     """Shuffle width for the temporal operators, scaled to the events
-    table's footer row count (stages/shuffle.adaptive_width)."""
+    table's footer row count (stages/shuffle.adaptive_width).  Memoized:
+    several queries consult it twice per build (read fan-out + shuffle
+    width), and each call re-opened the parquet footer."""
     from ..stages.shuffle import adaptive_width
 
     return adaptive_width(f"{sf_dir}/events.parquet", 50_000)
@@ -255,41 +260,39 @@ def events_delta_1m(sf_dir: str) -> Dataset:
     return lagged.map_batches(delta, batch_format="pyarrow")
 
 
-def _hash_source(b: pa.Table, out: str = "src_h") -> pa.Table:
-    """Append an int64 hash of the source string so string-keyed tables can
-    ride the int64-keyed temporal kernels (textstats.hash_strings64)."""
-    from ..functions.textstats import hash_strings64
-
-    return b.append_column(
-        out, pa.array(hash_strings64(b["source"]), pa.int64())
-    )
-
-
 def events_locf_1m(sf_dir: str) -> Dataset:
     """LOCF (last-observation-carried-forward) interpolation over the dense
     gap-filled 1m grid: every bucket carries the most recent REAL bucket's
     sum_n_tok for its source — pure composition: the E13 as-of kernel with
-    the grid as the left side and the unfilled rollup as the right side
-    (the source string rides as a left payload column; the join key is its
-    64-bit hash).  Output (source, bucket_ts, count, locf_sum); oracle =
+    the grid as the left side and the unfilled rollup as the right side.
+    The int64 join key is the source's rank in a broadcast sorted source
+    list (EXACT — sources are a tiny-cardinality column, so a 64-bit-hash
+    identity would risk silently merging two series on a collision for no
+    gain).  Output (source, bucket_ts, count, locf_sum); oracle =
     gap-fill CTE ASOF LEFT JOIN the rollup CTE."""
     from ..stages.temporal import asof_join
 
     # one rollup pass feeds both sides; rolled points are sources x buckets
     # rows (MBs even at 10^12-sequence scale), the sanctioned materialize
     m1 = rollup(events_assigned(sf_dir), "1m", t0_us=EVENTS_T0_US).materialize()
+    srcs = pa.array(sorted(m1.unique("source")), pa.string())
+
+    def code(b: pa.Table, keep: list[str]) -> pa.Table:
+        c = pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+        return b.append_column("src_c", c).select(keep)
+
     grid = gap_fill(m1, "1m").map_batches(
-        lambda b: _hash_source(b.select(["source", "bucket_ts", "count"])),
+        lambda b: code(b, ["source", "bucket_ts", "count", "src_c"]),
         batch_format="pyarrow",
     )
     real = m1.map_batches(
-        lambda b: _hash_source(b).select(["src_h", "bucket_ts", "sum_n_tok"]),
+        lambda b: code(b, ["src_c", "bucket_ts", "sum_n_tok"]),
         batch_format="pyarrow",
     )
     joined = asof_join(
         grid,
         real,
-        key="src_h",
+        key="src_c",
         ts="bucket_ts",
         value="sum_n_tok",
         out_value="locf_sum",
@@ -325,7 +328,6 @@ def events_quantiles_1m(sf_dir: str) -> Dataset:
     Python loop.  ``quantile_disc`` rank semantics (smallest value whose
     cumulative count >= ceil(q*n)) so the oracle matches bit-exactly.
     Output (source, bucket_ts, count, p50, p95)."""
-    from ..functions.textstats import hash_strings64
     from ..stages.shuffle import hash_partition_merge
 
     tier_us = 60 * 1_000_000
@@ -360,7 +362,14 @@ def events_quantiles_1m(sf_dir: str) -> Dataset:
             [("v_count", "sum")]
         )
         src = g["source"].combine_chunks()
-        sh = hash_strings64(src)
+        # group identity = dictionary CODES of the source string (exact —
+        # a 64-bit hash collision between two sources would silently merge
+        # their series); hashes are only ever shuffle keys, never identity
+        sh = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         b = g["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
         v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
         cnt = g["v_count_sum"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)

@@ -9,6 +9,8 @@ names match the corresponding entry in ``__ray_entry__.oracle_sql`` exactly
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -26,9 +28,11 @@ def _docs(sf_dir: str, columns=None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+@lru_cache(maxsize=64)
 def _doc_k(sf_dir: str) -> int:
     """Shuffle width scaled to the documents table's footer row count
-    (stages/shuffle.adaptive_width)."""
+    (stages/shuffle.adaptive_width).  Memoized — queries consult it more
+    than once per build, and each call re-opened the parquet footer."""
     from ..stages.shuffle import adaptive_width
 
     return adaptive_width(f"{sf_dir}/documents.parquet", 25_000)
@@ -746,8 +750,11 @@ def inverted_index(
     a term in more than ``df_cap`` documents is vocabulary, not a useful
     posting list, and would otherwise be a single unbounded output row
     (the same documented-cap treatment as jaccard's ``df_cap``).  Capped
-    terms are dropped, keeping per-task memory and every Arrow offset
-    (int32 list offsets, 2 GB string children) within bounds."""
+    terms are dropped, bounding per-task memory; the posting-list build
+    uses large_list/int64 offsets so a partition's TOTAL kept (doc,term)
+    rows (which df_cap does not bound) can exceed 2^31 without an Arrow
+    offset overflow.  Remaining per-partition bound: each output row's
+    joined postings string (<= df_cap ids), documented like df_cap."""
     from ..stages.shuffle import hash_partition_merge
 
     def doc_term_rows(batch: pa.Table) -> pa.Table:
@@ -801,8 +808,11 @@ def inverted_index(
         keep_row = np.repeat(keep_g, sizes)
         kept_docs = pa.array(ds_[keep_row], pa.int64())
         offsets = np.concatenate(([0], np.cumsum(sizes[keep_g])))
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pc.cast(kept_docs, pa.string())
+        # large_list/int64 offsets: df_cap bounds ONE term's postings but
+        # not a partition's total kept (doc,term) rows, so int32 offsets
+        # would overflow past 2^31 rows per partition at web scale
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pc.cast(kept_docs, pa.string())
         )
         return pa.table(
             {
@@ -810,7 +820,7 @@ def inverted_index(
                     pa.array(cs[starts[keep_g]], pa.int64())
                 ),
                 "df": pa.array(sizes[keep_g].astype(np.int64)),
-                "postings": pc.binary_join(lists, ","),
+                "postings": pc.cast(pc.binary_join(lists, ","), pa.string()),
             }
         )
 
