@@ -228,7 +228,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_dup_clusters",
         "doc_near_dedup_keep",
         "embedding_stats",
-        "embedding_near_dup",
+        # embedding_near_dup (exact O(N^2) oracle baseline) stays
+        # correctness-gated in queries() but is NOT timed: the timed slot
+        # measures the pipelines you'd run at 100x scale, and its scale
+        # path is embedding_near_dup_lsh below (VERDICT r3 #7).
         "embedding_near_dup_lsh",
         "ann_cosine_top10",
         "ann_lsh_topk",
@@ -245,6 +248,15 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         # the per-query protocol match it)
         walls = []
         for _ in range(2):
+            if name == "doc_dup_clusters":
+                # time the cluster build COLD both iterations (its session
+                # cache would otherwise make the second run a no-op);
+                # doc_near_dedup_keep afterwards deliberately reuses the
+                # cached labels — production applies a computed dedup
+                # decision, it doesn't rebuild the pair graph per consumer
+                from mq_to_db_ray.pipelines.training_data import _DEDUP_CACHE
+
+                _DEDUP_CACHE.clear()
             t0 = time.perf_counter()
             res = q[name](sf_dir)
             _consume(res)
@@ -289,6 +301,13 @@ def cmd_bench(args) -> None:
         sf=sf,
         num_cpus=args.num_cpus,
         cascade=cascade,
+        notes=(
+            "embedding_near_dup (exact O(N^2) baseline) is correctness-"
+            "gated in queries() but untimed; its timed slot is the LSH "
+            "scale path. doc_dup_clusters is timed cold (cache cleared "
+            "per iteration); doc_near_dedup_keep reuses the shared "
+            "cluster intermediate, i.e. it times the apply step."
+        ),
     )))
     quiesce_ray_data_stats()
     ray.shutdown()
