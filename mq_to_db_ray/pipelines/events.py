@@ -24,6 +24,13 @@ from ..stages.rollup import cascade, rollup
 # 2024-01-01T00:00:00Z — minute/hour/day aligned, so buckets == date_trunc.
 EVENTS_T0_US = 1704067200 * 1_000_000
 
+# Hot-key sub-window for the temporal operators (stages/temporal.py
+# window_us): one day.  A user/source with a corpus-sized history spreads
+# over (key, day) tasks instead of landing whole in one; at this sf each
+# key spans many windows, so the carried-prefix / session-fold paths are
+# exercised by the driver oracles, not just unit tests.
+TEMPORAL_WINDOW_US = 86_400_000_000
+
 
 def events_assigned(sf_dir: str) -> Dataset:
     """events -> ASSIGNED-narrow shape (source, seq, n_tok)."""
@@ -113,7 +120,8 @@ def events_asof_join(sf_dir: str) -> Dataset:
         lambda b: _floor_value(b, "v"), batch_format="pyarrow"
     )
     return asof_join(
-        left, right, key="user_id", ts="ts", value="v", k=_adaptive_k(sf_dir)
+        left, right, key="user_id", ts="ts", value="v", k=_adaptive_k(sf_dir),
+        window_us=TEMPORAL_WINDOW_US,
     )
 
 
@@ -146,6 +154,7 @@ def events_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         value="v",
         gap_us=gap_s * 1_000_000,
         k=_adaptive_k(sf_dir),
+        window_us=TEMPORAL_WINDOW_US,
     )
 
 
@@ -297,6 +306,7 @@ def events_locf_1m(sf_dir: str) -> Dataset:
         value="sum_n_tok",
         out_value="locf_sum",
         k=_adaptive_k(sf_dir),
+        window_us=TEMPORAL_WINDOW_US,
     )
     return joined.map_batches(
         lambda b: b.select(["source", "bucket_ts", "count", "locf_sum"]),

@@ -32,13 +32,36 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..timegrid import TIERS
-from .shuffle import hash_partition_merge
+from .shuffle import HASH_MULT, hash_partition_merge, shuffle_parts
 
 __all__ = ["asof_join", "range_join", "rolling_sum", "sessionize"]
 
 
 def _i64(col: pa.ChunkedArray) -> np.ndarray:
     return col.cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def _kw_partition(ds: Dataset, merge_fn, parts: int) -> Dataset:
+    """Co-locate rows by hash(k, w) % parts and merge per partition — the
+    (key, coarse-time-window) sub-partitioning the hot-key temporal
+    operators use so a single entity's corpus-sized history never lands in
+    one task.  Columns ``k``/``w`` must be int64; ``w`` is dropped before
+    ``merge_fn`` (kernels are window-agnostic)."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        kk = _i64(b["k"])
+        ww = _i64(b["w"])
+        h = ((kk ^ (ww * HASH_MULT)) * HASH_MULT) & (parts - 1)
+        return b.append_column("part", pa.array(h.astype(np.int32)))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: merge_fn(g.drop_columns(["part", "w"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -54,6 +77,7 @@ def asof_join(
     value: str,
     out_value: str = "asof_value",
     k: int | None = None,
+    window_us: int | None = None,
 ) -> Dataset:
     """For each left row, attach the right row's ``value`` with the largest
     ``right.ts <= left.ts`` for the same ``key`` (null when none exists) —
@@ -67,6 +91,19 @@ def asof_join(
     Scale shape: one hash shuffle on ``key`` co-locates both sides, then a
     single O(n log n) numpy kernel per partition; per-task memory is
     O(partition), driver memory O(1).
+
+    ``window_us`` enables the HOT-KEY defense: rows partition by
+    (key, ts // window_us) so one entity's corpus-sized history spreads
+    over many tasks.  An as-of needs an unbounded-lookback prefix a halo
+    can't carry, so this is the two-pass carried-prefix shape
+    (grid_cumsum's), kept fully distributed because keys are
+    high-cardinality (no driver fold): pass 1 reduces each (key, window)
+    to one summary row (latest right (ts, value); plus a marker for
+    windows holding only left rows), shuffles summaries by key, and one
+    per-key kernel forward-fills across windows to emit each window's
+    carry-in right row; pass 2 shuffles data + carry rows by
+    (key, window) and runs the SAME merge kernel.  Exchanged extra state
+    is O(distinct (key, window)), never row-proportional.
     """
     lsch = left.schema()
     l_types = dict(zip(lsch.names, lsch.types))
@@ -143,7 +180,135 @@ def asof_join(
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
-    return hash_partition_merge(both, "k", merge, k=k)
+    if window_us is None:
+        return hash_partition_merge(both, "k", merge, k=k)
+
+    # ---- sub-windowed path ----
+    def add_w(b: pa.Table) -> pa.Table:
+        w = np.floor_divide(_i64(b["t"]), window_us)
+        return b.append_column("w", pa.array(w, pa.int64()))
+
+    tagged = both.map_batches(add_w, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        """Per-batch combiner: one row per (key, window) — the latest
+        right (t, v) for windows with right rows (isr=1), a bare marker
+        for windows holding left rows (isr=0)."""
+        kk_ = _i64(b["k"])
+        ww = _i64(b["w"])
+        tt = _i64(b["t"])
+        vv = _i64(pc.fill_null(b["v"], 0))
+        right_m = _i64(b["side"]) == 0
+        out_k, out_w, out_t, out_v, out_ir = [], [], [], [], []
+        if right_m.any():
+            rk, rw = kk_[right_m], ww[right_m]
+            rt, rv = tt[right_m], vv[right_m]
+            o = np.lexsort((rv, rt, rw, rk))
+            rk, rw, rt, rv = rk[o], rw[o], rt[o], rv[o]
+            last = np.empty(len(rk), dtype=bool)
+            last[-1] = True
+            last[:-1] = (rk[1:] != rk[:-1]) | (rw[1:] != rw[:-1])
+            out_k.append(rk[last])
+            out_w.append(rw[last])
+            out_t.append(rt[last])
+            out_v.append(rv[last])
+            out_ir.append(np.ones(int(last.sum()), np.int8))
+        left_m = ~right_m
+        if left_m.any():
+            lk, lw = kk_[left_m], ww[left_m]
+            o = np.lexsort((lw, lk))
+            lk, lw = lk[o], lw[o]
+            first = np.empty(len(lk), dtype=bool)
+            first[0] = True
+            first[1:] = (lk[1:] != lk[:-1]) | (lw[1:] != lw[:-1])
+            nf = int(first.sum())
+            out_k.append(lk[first])
+            out_w.append(lw[first])
+            out_t.append(np.zeros(nf, np.int64))
+            out_v.append(np.zeros(nf, np.int64))
+            out_ir.append(np.zeros(nf, np.int8))
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(out_k) if out_k else
+                              np.empty(0, np.int64)),
+                "w": pa.array(np.concatenate(out_w) if out_w else
+                              np.empty(0, np.int64)),
+                "t": pa.array(np.concatenate(out_t) if out_t else
+                              np.empty(0, np.int64)),
+                "v": pa.array(np.concatenate(out_v) if out_v else
+                              np.empty(0, np.int64)),
+                "isr": pa.array(np.concatenate(out_ir) if out_ir else
+                                np.empty(0, np.int8)),
+            }
+        )
+
+    def carry_kernel(t_: pa.Table) -> pa.Table:
+        """Per-key pass over (key, window) summaries: each window's
+        carry-in = the latest right row of any STRICTLY earlier window."""
+        empty = {
+            "k": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+        }
+        if t_.num_rows == 0:
+            return pa.table(empty)
+        kk_ = _i64(t_["k"])
+        ww = _i64(t_["w"])
+        tt = _i64(t_["t"])
+        vv = _i64(t_["v"])
+        ir = _i64(t_["isr"])
+        order = np.lexsort((vv, tt, ir, ww, kk_))
+        ks, ws, ts_, vs, irs = (
+            kk_[order], ww[order], tt[order], vv[order], ir[order]
+        )
+        n = len(order)
+        ridx = np.where(irs == 1, np.arange(n), -1)
+        np.maximum.accumulate(ridx, out=ridx)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.flatnonzero(new_g)
+        prev = starts - 1
+        valid = starts > 0
+        cand = np.where(valid, ridx[np.maximum(prev, 0)], -1)
+        valid &= (cand >= 0) & (ks[np.maximum(cand, 0)] == ks[starts])
+        sel = starts[valid]
+        c = cand[valid]
+        return pa.table(
+            {
+                "k": pa.array(ks[sel]),
+                "w": pa.array(ws[sel]),
+                "t": pa.array(ts_[c]),
+                "v": pa.array(vs[c]),
+            }
+        )
+
+    carries = hash_partition_merge(
+        tagged.map_batches(summarize, batch_format="pyarrow"),
+        "k",
+        carry_kernel,
+        k=k,
+    )
+
+    def tag_carry(b: pa.Table) -> pa.Table:
+        """Carry rows re-enter pass 2 as ordinary right rows of their
+        TARGET window (their ts is earlier, so they sort first and act as
+        the window's as-of floor); schema must match `tagged` exactly."""
+        n = b.num_rows
+        cols = {
+            "k": b["k"],
+            "t": b["t"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "v": b["v"],
+        }
+        for c in l_payload:
+            cols[c] = pa.nulls(n, l_types[c])
+        cols["w"] = b["w"]
+        return pa.table(cols)
+
+    full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
+    return _kw_partition(full, merge, shuffle_parts(k))
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +562,7 @@ def sessionize(
     value: str,
     gap_us: int,
     k: int | None = None,
+    window_us: int | None = None,
 ) -> Dataset:
     """Split each key's event stream into sessions at gaps > ``gap_us`` and
     aggregate per session. Events are ordered by (ts, order_col) — the
@@ -405,6 +571,16 @@ def sessionize(
     Output: (key, session_id [0-based per key], n_events, start_ts, end_ts,
     sum_value). One hash shuffle on ``key``; one lexsort + reduceat kernel
     per partition; per-task memory O(partition).
+
+    ``window_us`` enables the HOT-KEY defense: events partition by
+    (key, ts // window_us), each partition emits its LOCAL maximal
+    sessions (count/extent/sum — all associative), and a second shuffle
+    by key merges boundary-adjacent local sessions (gap <= gap_us) and
+    assigns the per-key ordinals.  A key's windows are time-disjoint, so
+    local sessions are disjoint intervals and the merge is the classic
+    associative interval fold; the second exchange is O(local sessions),
+    never row-proportional.  Works for any window_us (a session spanning
+    empty windows still merges — the fold only compares time gaps).
     """
     sch = ds.schema()
     ts_type = dict(zip(sch.names, sch.types))[ts]
@@ -419,35 +595,41 @@ def sessionize(
             }
         )
 
+    empty_out = {
+        key: pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "start_ts": pa.array([], ts_type),
+        "end_ts": pa.array([], ts_type),
+        "sum_value": pa.array([], pa.int64()),
+    }
+
+    def _ids_and_rows(
+        ks: np.ndarray, starts: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-key 0-based session ordinal: each session's global position
+        minus the position of its key's first session."""
+        new_key_s = np.empty(len(starts), dtype=bool)
+        new_key_s[0] = True
+        new_key_s[1:] = ks[starts][1:] != ks[starts][:-1]
+        sess_pos = np.arange(len(starts))
+        first_pos = sess_pos[new_key_s]
+        return sess_pos - first_pos[np.cumsum(new_key_s) - 1], new_key_s
+
     def merge(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        empty = {
-            key: pa.array([], pa.int64()),
-            "session_id": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "start_ts": pa.array([], ts_type),
-            "end_ts": pa.array([], ts_type),
-            "sum_value": pa.array([], pa.int64()),
-        }
         if n == 0:
-            return pa.table(empty)
+            return pa.table(empty_out)
         kk, tt = _i64(t["k"]), _i64(t["t"])
         oo, vv = _i64(t["o"]), _i64(t["v"])
         order = np.lexsort((oo, tt, kk))
         ks, tss, vs = kk[order], tt[order], vv[order]
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = ks[1:] != ks[:-1]
-        new_sess = new_key.copy()
-        new_sess[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ks[1:] != ks[:-1]) | ((tss[1:] - tss[:-1]) > gap_us)
         starts = np.flatnonzero(new_sess)
         ends = np.append(starts[1:], n) - 1
-        # per-key 0-based ordinal: each session's global position minus the
-        # position of its key's first session
-        sess_pos = np.arange(len(starts))
-        key_starts_sess = new_key[starts]
-        first_pos = sess_pos[key_starts_sess]
-        session_id = sess_pos - first_pos[np.cumsum(key_starts_sess) - 1]
+        session_id, _ = _ids_and_rows(ks, starts)
         return pa.table(
             {
                 key: pa.array(ks[starts]),
@@ -461,9 +643,85 @@ def sessionize(
             }
         )
 
-    return hash_partition_merge(
-        ds.map_batches(narrow, batch_format="pyarrow"), "k", merge, k=k
+    narrowed = ds.map_batches(narrow, batch_format="pyarrow")
+    if window_us is None:
+        return hash_partition_merge(narrowed, "k", merge, k=k)
+
+    # ---- sub-windowed path ----
+    def add_w(b: pa.Table) -> pa.Table:
+        w = np.floor_divide(_i64(b["t"]), window_us)
+        return b.append_column("w", pa.array(w, pa.int64()))
+
+    def local_sessions(t: pa.Table) -> pa.Table:
+        """LOCAL maximal sessions of a (key, window) partition — all
+        columns associative, so the per-key fold can merge across window
+        boundaries.  Same (ts, order) split rule as the global kernel."""
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "st": pa.array([], pa.int64()),
+                    "en": pa.array([], pa.int64()),
+                    "sv": pa.array([], pa.int64()),
+                }
+            )
+        kk, tt = _i64(t["k"]), _i64(t["t"])
+        oo, vv = _i64(t["o"]), _i64(t["v"])
+        order = np.lexsort((oo, tt, kk))
+        ks, tss, vs = kk[order], tt[order], vv[order]
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ks[1:] != ks[:-1]) | ((tss[1:] - tss[:-1]) > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                "k": pa.array(ks[starts]),
+                "n_events": pa.array(ends - starts + 1, pa.int64()),
+                "st": pa.array(tss[starts]),
+                "en": pa.array(tss[ends]),
+                "sv": pa.array(np.add.reduceat(vs, starts), pa.int64()),
+            }
+        )
+
+    def final_merge(t: pa.Table) -> pa.Table:
+        """Per-key fold over local sessions (disjoint intervals — a key's
+        windows are time-disjoint): merge consecutive locals whose gap is
+        <= gap_us, then assign per-key ordinals."""
+        n = t.num_rows
+        if n == 0:
+            return pa.table(empty_out)
+        kk = _i64(t["k"])
+        st, en = _i64(t["st"]), _i64(t["en"])
+        nn, sv = _i64(t["n_events"]), _i64(t["sv"])
+        order = np.lexsort((st, kk))
+        ks, sts, ens = kk[order], st[order], en[order]
+        nns, svs = nn[order], sv[order]
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ks[1:] != ks[:-1]) | ((sts[1:] - ens[:-1]) > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends_i = np.append(starts[1:], n) - 1
+        session_id, _ = _ids_and_rows(ks, starts)
+        return pa.table(
+            {
+                key: pa.array(ks[starts]),
+                "session_id": pa.array(session_id, pa.int64()),
+                "n_events": pa.array(np.add.reduceat(nns, starts), pa.int64()),
+                "start_ts": pa.array(sts[starts]).cast(ts_type),
+                "end_ts": pa.array(ens[ends_i]).cast(ts_type),
+                "sum_value": pa.array(np.add.reduceat(svs, starts), pa.int64()),
+            }
+        )
+
+    locals_ = _kw_partition(
+        narrowed.map_batches(add_w, batch_format="pyarrow"),
+        local_sessions,
+        shuffle_parts(k),
     )
+    return hash_partition_merge(locals_, "k", final_merge, k=k)
 
 
 # ---------------------------------------------------------------------------
