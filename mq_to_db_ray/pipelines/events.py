@@ -184,6 +184,7 @@ def events_session_join(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         hi="end_ts",
         attrs=["session_id"],
         k=_adaptive_k(sf_dir),
+        window_us=TEMPORAL_WINDOW_US,
     )
     return joined.map_batches(
         lambda b: b.select(["event_id", "user_id", "session_id"]),

@@ -738,6 +738,7 @@ def range_join(
     hi: str,
     attrs: list[str],
     k: int | None = None,
+    window_us: int | None = None,
 ) -> Dataset:
     """For each point row, attach ``attrs`` from the interval row of the
     same ``key`` whose ``[lo, hi]`` (inclusive both ends) contains the
@@ -754,6 +755,13 @@ def range_join(
     Scale shape (same as :func:`asof_join`): both sides ride ONE hash
     shuffle on ``key`` as union rows, then a single O(n log n) numpy
     kernel per partition; per-task memory O(partition), driver O(1).
+
+    ``window_us`` enables the same HOT-KEY defense as :func:`asof_join`
+    (rows partition by (key, lo-or-ts // window_us)); the carried prefix
+    here is each window's latest STARTED interval — its lo, hi and attr
+    values ride the per-(key, window) summary rows, so an interval
+    spanning many windows (or a point whose interval started long before
+    its window) still resolves locally.
     """
     psch = points.schema()
     p_types = dict(zip(psch.names, psch.types))
@@ -838,4 +846,134 @@ def range_join(
     both = points.map_batches(tag_points, batch_format="pyarrow").union(
         intervals.map_batches(tag_intervals, batch_format="pyarrow")
     )
-    return hash_partition_merge(both, "k", merge, k=k)
+    if window_us is None:
+        return hash_partition_merge(both, "k", merge, k=k)
+
+    # ---- sub-windowed path (asof_join's carried prefix, attrs riding) ----
+    def add_w(b: pa.Table) -> pa.Table:
+        w = np.floor_divide(_i64(b["t"]), window_us)
+        return b.append_column("w", pa.array(w, pa.int64()))
+
+    tagged = both.map_batches(add_w, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        """One row per (key, window): the latest-started interval (by
+        (lo, hi)) with its hi and attrs, or a bare marker for point-only
+        windows."""
+        kk_ = _i64(b["k"])
+        ww = _i64(b["w"])
+        tt = _i64(b["t"])
+        hh = _i64(pc.fill_null(b["hi_"], -1))
+        right_m = _i64(b["side"]) == 0
+        idx_keep: list[np.ndarray] = []
+        marker_k = marker_w = np.empty(0, np.int64)
+        if right_m.any():
+            ridx = np.flatnonzero(right_m)
+            rk, rw = kk_[ridx], ww[ridx]
+            rt, rh = tt[ridx], hh[ridx]
+            o = np.lexsort((rh, rt, rw, rk))
+            last = np.empty(len(o), dtype=bool)
+            last[-1] = True
+            last[:-1] = (rk[o][1:] != rk[o][:-1]) | (rw[o][1:] != rw[o][:-1])
+            idx_keep.append(ridx[o[last]])
+        left_m = ~right_m
+        if left_m.any():
+            lk, lw = kk_[left_m], ww[left_m]
+            o = np.lexsort((lw, lk))
+            first = np.empty(len(o), dtype=bool)
+            first[0] = True
+            first[1:] = (lk[o][1:] != lk[o][:-1]) | (lw[o][1:] != lw[o][:-1])
+            marker_k, marker_w = lk[o][first], lw[o][first]
+        keep = (
+            np.concatenate(idx_keep)
+            if idx_keep
+            else np.empty(0, np.int64)
+        )
+        take = pa.array(keep, pa.int64())
+        nm = len(marker_k)
+        cols = {
+            "k": pa.array(np.concatenate([kk_[keep], marker_k])),
+            "w": pa.array(np.concatenate([ww[keep], marker_w])),
+            "t": pa.array(
+                np.concatenate([tt[keep], np.zeros(nm, np.int64)])
+            ),
+            "hi_": pa.array(
+                np.concatenate([hh[keep], np.zeros(nm, np.int64)])
+            ),
+            "isr": pa.array(
+                np.concatenate(
+                    [np.ones(len(keep), np.int8), np.zeros(nm, np.int8)]
+                )
+            ),
+        }
+        for a in attrs:
+            av = b[a].combine_chunks().take(take)
+            cols[a] = pa.concat_arrays(
+                [av.combine_chunks() if isinstance(av, pa.ChunkedArray)
+                 else av, pa.nulls(nm, i_types[a])]
+            )
+        return pa.table(cols)
+
+    def carry_kernel(t_: pa.Table) -> pa.Table:
+        empty = {
+            "k": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "hi_": pa.array([], pa.int64()),
+        } | {a: pa.array([], i_types[a]) for a in attrs}
+        if t_.num_rows == 0:
+            return pa.table(empty)
+        kk_ = _i64(t_["k"])
+        ww = _i64(t_["w"])
+        tt = _i64(t_["t"])
+        hh = _i64(t_["hi_"])
+        ir = _i64(t_["isr"])
+        order = np.lexsort((hh, tt, ir, ww, kk_))
+        ks, ws, irs = kk_[order], ww[order], ir[order]
+        n = len(order)
+        ridx = np.where(irs == 1, np.arange(n), -1)
+        np.maximum.accumulate(ridx, out=ridx)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.flatnonzero(new_g)
+        valid = starts > 0
+        cand = np.where(valid, ridx[np.maximum(starts - 1, 0)], -1)
+        valid &= (cand >= 0) & (ks[np.maximum(cand, 0)] == ks[starts])
+        sel = starts[valid]
+        c_orig = order[cand[valid]]  # original row of the carried interval
+        take_c = pa.array(c_orig, pa.int64())
+        out = {
+            "k": pa.array(ks[sel]),
+            "w": pa.array(ws[sel]),
+            "t": pa.array(tt[order][cand[valid]]),
+            "hi_": pa.array(hh[order][cand[valid]]),
+        }
+        for a in attrs:
+            out[a] = t_[a].combine_chunks().take(take_c)
+        return pa.table(out)
+
+    carries = hash_partition_merge(
+        tagged.map_batches(summarize, batch_format="pyarrow"),
+        "k",
+        carry_kernel,
+        k=k,
+    )
+
+    def tag_carry(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "k": b["k"],
+            "t": b["t"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "hi_": b["hi_"],
+        }
+        for a in attrs:
+            cols[a] = b[a]
+        for c in p_payload:
+            cols[c] = pa.nulls(n, p_types[c])
+        cols["w"] = b["w"]
+        return pa.table(cols)
+
+    full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
+    return _kw_partition(full, merge, shuffle_parts(k))

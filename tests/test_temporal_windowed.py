@@ -127,6 +127,62 @@ def test_windowed_sessionize_equals_plain(ray_session):
         )
 
 
+def test_windowed_range_join_equals_plain(ray_session):
+    """Intervals spanning many windows: the carried summary must bring an
+    interval's lo/hi/attrs into every later window its points fall in."""
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.temporal import range_join
+
+    g = _rng(37)
+    n_p, n_i = 500, 60
+    pk = g.integers(0, 8, n_p).astype(np.int64)
+    pt = g.integers(0, 4000, n_p).astype(np.int64)
+    pk[: n_p // 2] = 3  # hot key
+    # non-overlapping intervals per key: carve each key's timeline
+    rows = []
+    iid = 0
+    for key in range(8):
+        cuts = np.sort(g.choice(4000, size=n_i // 8 * 2, replace=False))
+        for j in range(0, len(cuts) - 1, 2):
+            rows.append((key, int(cuts[j]), int(cuts[j + 1]), iid))
+            iid += 1
+    points = rd.from_arrow(
+        pa.table(
+            {"pid": np.arange(n_p, dtype=np.int64), "k": pk, "t": pt}
+        )
+    )
+    intervals = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "lo": pa.array([r[1] for r in rows], pa.int64()),
+                "hi": pa.array([r[2] for r in rows], pa.int64()),
+                "iv": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+    def run(window_us):
+        return (
+            range_join(
+                points, intervals, key="k", ts="t", lo="lo", hi="hi",
+                attrs=["iv"], k=8, window_us=window_us,
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)
+        )
+
+    plain = run(None)
+    for window_us in (64, 997, 100_000):
+        win = run(window_us)
+        assert win["k"].tolist() == plain["k"].tolist()
+        a = win["iv"].fillna(-1).tolist()
+        b = plain["iv"].fillna(-1).tolist()
+        assert a == b, f"window_us={window_us}"
+
+
 def test_windowed_sessionize_cross_window_merge(ray_session):
     """Explicit boundary case: two events 150 apart with gap 200 sit in
     windows 0 and 3 of width 50 (two empty windows between) — one session."""
