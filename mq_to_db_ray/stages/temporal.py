@@ -506,31 +506,51 @@ def grid_cumsum(
         )
         return g.rename_columns(["source", "window_id", *[f"s_{c}" for c in cols]])
 
+    # Driver fold: one numpy group-reduce over the streamed partials — no
+    # per-row python (same shape as pipelines/corpus.pack_stream).  The
+    # broadcast is (sorted source list, packed (code, window) keys, base
+    # matrix); each group resolves its base with one searchsorted.
     partials = keyed.map_batches(window_sums, batch_format="pyarrow")
-    acc: dict[tuple[str, int], list[int]] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        srcs = b["source"].to_pylist()
-        wins = b["window_id"].to_pylist()
-        sums = [b[f"s_{c}"].to_pylist() for c in cols]
-        for i, key_ in enumerate(zip(srcs, wins)):
-            cur = acc.setdefault(key_, [0] * len(cols))
-            for j in range(len(cols)):
-                cur[j] += sums[j][i]
-    # exclusive scan per source over window order
-    bases: dict[tuple[str, int], list[int]] = {}
-    by_src: dict[str, list[int]] = {}
-    for (s, w) in sorted(acc):
-        run = by_src.setdefault(s, [0] * len(cols))
-        bases[(s, w)] = list(run)
-        for j in range(len(cols)):
-            run[j] += acc[(s, w)][j]
-    bases_ref = ray.put(bases)
+    agg = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow"))
+    ).group_by(["source", "window_id"]).aggregate(
+        [(f"s_{c}", "sum") for c in cols]
+    )
+    src_d = pc.dictionary_encode(agg["source"].combine_chunks())
+    g_codes = src_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    g_uniq = src_d.dictionary
+    g_win = agg["window_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((g_win, g_codes))
+    g_codes, g_win = g_codes[order], g_win[order]
+    n_g = len(g_codes)
+    base_mat = np.zeros((n_g, len(cols)), np.int64)
+    if n_g:
+        new_src = np.empty(n_g, dtype=bool)
+        new_src[0] = True
+        new_src[1:] = g_codes[1:] != g_codes[:-1]
+        starts = np.flatnonzero(new_src)
+        counts = np.diff(np.append(starts, n_g))
+        for j, c in enumerate(cols):
+            s_np = (
+                agg[f"s_{c}_sum"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)[order]
+            )
+            excl = np.cumsum(s_np) - s_np
+            base_mat[:, j] = excl - np.repeat(excl[starts], counts)
+    # shift windows non-negative before packing (pre-t0 buckets give
+    # negative window ids, which would break key uniqueness)
+    w_off = int(g_win.min()) if n_g else 0
+    key_mult = int(g_win.max()) - w_off + 1 if n_g else 1
+    packed = g_codes * key_mult + (g_win - w_off)  # ascending by construction
+    bases_ref = ray.put((g_uniq, packed, base_mat, key_mult, w_off))
 
     def cum_group(g: pa.Table) -> pa.Table:
-        base = ray.get(bases_ref)
+        uniq, pk, bm, mult, woff = ray.get(bases_ref)
         s = g["source"][0].as_py()
         w = g["window_id"][0].as_py()
-        b0 = base[(s, w)]
+        gcode = uniq.index(pa.scalar(s)).as_py()
+        b0 = bm[np.searchsorted(pk, gcode * mult + (int(w) - woff))]
         idx = _i64(g["idx"])
         order = np.argsort(idx, kind="stable")
         take = pa.array(order, pa.int64())
