@@ -171,10 +171,13 @@ def events_session_join(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         columns=["event_id", "user_id", "ts"],
         override_num_blocks=_adaptive_k(sf_dir),
     )
+    # materialized: the windowed range join consumes its input twice, and
+    # this side's upstream is the whole sessionize chain; sessions are
+    # per-key summaries — the sanctioned materialize
     intervals = events_sessions(sf_dir, gap_s).map_batches(
         lambda b: b.select(["user_id", "session_id", "start_ts", "end_ts"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     joined = range_join(
         points,
         intervals,
@@ -291,10 +294,13 @@ def events_locf_1m(sf_dir: str) -> Dataset:
         c = pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
         return b.append_column("src_c", c).select(keep)
 
+    # materialized: the windowed as-of consumes its input twice (summary
+    # pass + main shuffle), and this side's upstream contains the gap_fill
+    # shuffle; the grid is rolled points — the sanctioned materialize
     grid = gap_fill(m1, "1m").map_batches(
         lambda b: code(b, ["source", "bucket_ts", "count", "src_c"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     real = m1.map_batches(
         lambda b: code(b, ["src_c", "bucket_ts", "sum_n_tok"]),
         batch_format="pyarrow",

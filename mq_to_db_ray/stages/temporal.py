@@ -188,6 +188,10 @@ def asof_join(
         w = np.floor_divide(_i64(b["t"]), window_us)
         return b.append_column("w", pa.array(w, pa.int64()))
 
+    # `tagged` is consumed twice (summary pass + main shuffle) WITHOUT a
+    # materialize: upstream is map-only over a pruned read, so recomputing
+    # it streams, while materializing would pin the full row-level input
+    # in the object store — the wrong trade at 100 TB.
     tagged = both.map_batches(add_w, batch_format="pyarrow")
 
     def summarize(b: pa.Table) -> pa.Table:
