@@ -334,6 +334,76 @@ def cmd_worker_cascade(args) -> None:
     ray.shutdown()
 
 
+def cmd_skew(args) -> None:
+    """Hot-key stress for the sub-windowed temporal paths: one key owns
+    half of an N-row as-of input.  The plain path funnels that key's whole
+    history through one task kernel; window_us spreads it over (key,
+    ts-window) tasks.  Prints one JSON line with both walls (best-of-2)
+    and the max co-located group size under each partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.temporal import asof_join
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, ignore_reinit_error=True)
+    n = args.rows if args.rows != BENCH_ROWS else 4_000_000
+    g = np.random.default_rng(5)
+    lk = g.integers(0, 50_000, n).astype(np.int64)
+    lk[: n // 2] = 7  # the hot key
+    lt = g.integers(0, 1 << 40, n).astype(np.int64)
+    rk = lk.copy()
+    rt = g.integers(0, 1 << 40, n).astype(np.int64)
+    rv = g.integers(0, 1000, n).astype(np.int64)
+    left = rd.from_arrow(
+        pa.table({"eid": np.arange(n, dtype=np.int64), "k": lk, "t": lt})
+    ).materialize()
+    right = rd.from_arrow(pa.table({"k": rk, "t": rt, "v": rv})).materialize()
+    window_us = 1 << 32  # ~256 windows over the ts domain
+
+    def one(wu):
+        t0 = time.perf_counter()
+        asof_join(
+            left, right, key="k", ts="t", value="v", window_us=wu
+        ).count()
+        return time.perf_counter() - t0
+
+    # the first run in a process pays this host's first-touch page tax
+    # (BASELINE.md, host-generation section) — warm up untimed, then
+    # ALTERNATE paths best-of-2 so neither samples only cold pools
+    warmup()
+    one(None)
+    walls = {None: [], window_us: []}
+    for _ in range(2):
+        for wu in (None, window_us):
+            walls[wu].append(one(wu))
+    plain = round(min(walls[None]), 3)
+    windowed = round(min(walls[window_us]), 3)
+    hot = int(2 * (n // 2))  # hot-key rows across both sides
+    max_win_group = int(
+        np.bincount(
+            (np.concatenate([lt[: n // 2], rt[: n // 2]]) // window_us)
+        ).max()
+    )
+    print(json.dumps(dict(
+        metric="skew_asof_sec",
+        value=windowed,
+        unit="sec",
+        rows=2 * n,
+        hot_key_rows=hot,
+        plain_sec=plain,
+        windowed_sec=windowed,
+        max_group_plain=hot,
+        max_group_windowed=max_win_group,
+        num_cpus=args.num_cpus,
+    )))
+    quiesce_ray_data_stats()
+    ray.shutdown()
+
+
 def cmd_encoders(args) -> None:
     """Series-codec throughput on a 1M-point series (no Ray needed):
     best-of-4 encode wall for a random-walk and a plateaued series."""
@@ -444,6 +514,7 @@ def main() -> None:
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--worker-cascade", action="store_true")
     p.add_argument("--encoders", action="store_true")
+    p.add_argument("--skew", action="store_true")
     p.add_argument("--rows", type=int, default=BENCH_ROWS)
     p.add_argument("--shards", type=int, default=BENCH_SHARDS)
     p.add_argument("--max-tok", type=int, default=BENCH_MAX_TOK)
@@ -473,6 +544,8 @@ def main() -> None:
         cmd_scaling(args)
     elif args.encoders:
         cmd_encoders(args)
+    elif args.skew:
+        cmd_skew(args)
     else:
         cmd_bench(args)
 

@@ -289,7 +289,11 @@ def asof_join(
         )
 
     carries = hash_partition_merge(
-        tagged.map_batches(summarize, batch_format="pyarrow"),
+        tagged.map_batches(
+            # big batches: the combiner compresses to one row per
+            # (key, window) per CALL, so batch size bounds its output
+            summarize, batch_format="pyarrow", batch_size=256 * 1024,
+        ),
         "k",
         carry_kernel,
         k=k,
@@ -978,7 +982,11 @@ def range_join(
         return pa.table(out)
 
     carries = hash_partition_merge(
-        tagged.map_batches(summarize, batch_format="pyarrow"),
+        tagged.map_batches(
+            # big batches: the combiner compresses to one row per
+            # (key, window) per CALL, so batch size bounds its output
+            summarize, batch_format="pyarrow", batch_size=256 * 1024,
+        ),
         "k",
         carry_kernel,
         k=k,
