@@ -2278,19 +2278,35 @@ def length_filter(
     ceil(q*n), same as :func:`length_quantiles`) — the standard
     truncation/boilerplate cleaning step before mixing a corpus.
 
-    Two passes, nothing corpus-sized anywhere: the (source, n_tok)
-    histogram combiner from length_quantiles gives per-source bounds
-    (sources x |length domain| rows -> driver dict, broadcast), then one
-    vectorized filter pass maps each row's source through the bounds via
-    dictionary-encode + numpy take.
+    Two passes over a narrow projection, nothing corpus-sized on the
+    driver: text is tokenized ONCE into a materialized (doc_id, source,
+    n_tok) dataset (~1% of corpus width — pack_sequences' pattern), the
+    (source, n_tok) histogram combiner from length_quantiles gives
+    per-source bounds (sources x |length domain| rows -> driver dict,
+    broadcast), then one vectorized filter pass maps each row's source
+    through the bounds via dictionary-encode + numpy take.
     """
 
-    def partial(batch: pa.Table) -> pa.Table:
-        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
-        t = pa.table(
-            {"source": batch["source"], "n_tok": pc.cast(n, pa.int64())}
+    def project(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": pc.cast(n, pa.int64()),
+            }
         )
-        return t.group_by(["source", "n_tok"]).aggregate([("n_tok", "count")])
+
+    narrow = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["source", "n_tok"]).group_by(
+            ["source", "n_tok"]
+        ).aggregate([("n_tok", "count")])
 
     def bounds(g: pa.Table) -> pa.Table:
         nt = g["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -2307,8 +2323,7 @@ def length_filter(
         return pa.table(out)
 
     bt = (
-        _docs(sf_dir, ["source", "text"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        narrow.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
         .map_groups(bounds, batch_format="pyarrow")
         .take_all()
@@ -2316,9 +2331,7 @@ def length_filter(
     lims = {r["source"]: (r["lo"], r["hi"]) for r in bt}
 
     def keep(b: pa.Table) -> pa.Table:
-        n = pc.cast(
-            pc.list_value_length(pc.split_pattern(b["text"], " ")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
+        n = b["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
         src = b["source"]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
@@ -2331,6 +2344,6 @@ def length_filter(
             {"doc_id": b["doc_id"], "source": b["source"]}
         ).filter(mask)
 
-    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+    return narrow.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
     )
