@@ -183,6 +183,71 @@ def test_windowed_range_join_equals_plain(ray_session):
         assert a == b, f"window_us={window_us}"
 
 
+def test_windowed_equivalence_property(ray_session):
+    """Property-style sweep: windowed == plain for asof and sessionize
+    across several seeds, skew levels and window sizes (cheap fixed draws
+    rather than hypothesis — a live Ray session per example would blow
+    the deadline budget)."""
+    import ray.data as rd
+
+    from mq_to_db_ray.stages.temporal import asof_join, sessionize
+
+    for seed in (101, 202, 303):
+        g = _rng(seed)
+        n = 300
+        skew = [1.0, 0.5, 0.1][seed % 3]
+        n_keys = max(1, int(10 * skew))
+        lk = g.integers(0, n_keys, n).astype(np.int64)
+        lt = g.integers(-500, 2000, n).astype(np.int64)  # negative ts too
+        rk = g.integers(0, n_keys + 2, n).astype(np.int64)
+        rt = g.integers(-500, 2000, n).astype(np.int64)
+        rv = g.integers(-9, 9, n).astype(np.int64)
+        left = rd.from_arrow(
+            pa.table(
+                {"eid": np.arange(n, dtype=np.int64), "k": lk, "t": lt}
+            )
+        )
+        right = rd.from_arrow(pa.table({"k": rk, "t": rt, "v": rv}))
+        plain = (
+            asof_join(left, right, key="k", ts="t", value="v", k=8)
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        for wu in (37, 512):
+            win = (
+                asof_join(
+                    left, right, key="k", ts="t", value="v", k=8,
+                    window_us=wu,
+                )
+                .to_pandas().sort_values("eid").reset_index(drop=True)
+            )
+            assert (
+                win["asof_value"].fillna(1 << 40).tolist()
+                == plain["asof_value"].fillna(1 << 40).tolist()
+            ), f"asof seed={seed} wu={wu}"
+
+        oid = np.arange(n, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"k": lk, "t": lt, "o": oid, "v": rv}))
+        sp = (
+            sessionize(
+                ds, key="k", ts="t", order_col="o", value="v", gap_us=50, k=8
+            )
+            .to_pandas().sort_values(["k", "session_id"])
+            .reset_index(drop=True)
+        )
+        for wu in (37, 512):
+            sw = (
+                sessionize(
+                    ds, key="k", ts="t", order_col="o", value="v", gap_us=50,
+                    k=8, window_us=wu,
+                )
+                .to_pandas().sort_values(["k", "session_id"])
+                .reset_index(drop=True)
+            )
+            assert sw.values.tolist() == sp.values.tolist(), (
+                f"sessions seed={seed} wu={wu}"
+            )
+
+
 def test_windowed_sessionize_cross_window_merge(ray_session):
     """Explicit boundary case: two events 150 apart with gap 200 sit in
     windows 0 and 3 of width 50 (two empty windows between) — one session."""
