@@ -151,6 +151,18 @@ def _q_events_quantiles(sf_dir: str):
     return events_quantiles_1m(sf_dir)
 
 
+def _q_events_distinct(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_distinct_users_1m
+
+    return events_distinct_users_1m(sf_dir)
+
+
+def _q_events_distinct_hll(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_distinct_users_hll_1m
+
+    return events_distinct_users_hll_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -446,7 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_sample": td.multimodal_frame_sample,
         # --- time-series rollup engine (E1-E12 over the events adapter) ---
         "events_rollup_1m": _q_events_rollup("1m"),
-        "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
+        "events_distinct_users_1m": _q_events_distinct,
         "events_gapfill_1m": _q_events_gapfill,
         "events_reject_lane": _q_events_rejects,
         "events_asof_join": _q_events_asof,
@@ -488,8 +500,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
-        # --- positions 51-52: oracle-backed but redundant with entries above
+        # --- positions 51-53: oracle-backed but redundant with entries above
+        # (the cascaded-events tiers share E4's code path with the in-window
+        # f1 cascaded tiers; bpe is a variant of doc_token_count)
         "doc_token_count_bpe": td.token_count_bpe,
+        "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         # --- no_oracle diagnostics (rows-only driver check) ---
         "f1_series_roundtrip": _q_f1_series_roundtrip,
@@ -506,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": td.embedding_near_dup_lsh,
         "ann_lsh_topk": td.ann_lsh_topk,
         "ann_ivf_topk": td.ann_ivf_topk,
+        "events_distinct_users_hll_1m": _q_events_distinct_hll,
     }
 
 
@@ -584,6 +600,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b
         """,
         "events_rollup_1m": events_rollup.format(unit="minute"),
+        "events_distinct_users_1m": """
+            SELECT event_type AS source,
+                   date_trunc('minute', ts) AS bucket_ts,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
         "events_rollup_1h_cascaded": events_rollup.format(unit="hour"),
         "events_rollup_1d_cascaded": events_rollup.format(unit="day"),
         "events_gapfill_1m": """

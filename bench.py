@@ -197,6 +197,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_locf_1m",
         "events_cumsum_1m",
         "events_quantiles_1m",
+        "events_distinct_users_1m",
+        "events_distinct_users_hll_1m",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",

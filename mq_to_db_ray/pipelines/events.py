@@ -432,3 +432,191 @@ def events_quantiles_1m(sf_dir: str) -> Dataset:
     return hash_partition_merge(
         partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
     )
+
+
+def events_distinct_users_1m(sf_dir: str) -> Dataset:
+    """EXACT ``count(DISTINCT user_id)`` per (event_type, minute) — the
+    cardinality rollup of an observability stack (unique visitors per
+    bucket).  COUNT DISTINCT doesn't decompose like sum/min/max, so the
+    combiner DEDUPES instead of aggregating: each batch reduces to its
+    distinct (source, bucket, user) triples (one Arrow group_by), ONLY
+    distinct triples shuffle (hashed on bucket_id — the salt axis is
+    time, so a hot source spreads), and the per-partition merge dedupes
+    across batches and counts per (source, bucket) with one lexsort — no
+    per-group python.  Exchange bound: the number of TRUE distinct
+    triples, the information-theoretic floor for an exact answer; the
+    HLL variant below is the fixed-size-exchange path for when even that
+    is too much.  Output (source, bucket_ts, n_users)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(ts_us - EVENTS_T0_US, tier_us)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket_id": pa.array(bucket, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        return t.group_by(
+            ["source", "bucket_id", "user_id"], use_threads=False
+        ).aggregate([])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        src = t["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, b, codes))
+        cs, bs, us = codes[order], b[order], u[order]
+        n = len(order)
+        # distinct (source, bucket, user) across batches
+        dis = np.empty(n, dtype=bool)
+        dis[0] = True
+        dis[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1]) | (us[1:] != us[:-1])
+        # group boundaries at (source, bucket) level
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(newg)
+        n_users = np.add.reduceat(dis.astype(np.int64), starts)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_ts": pa.array(
+                    bs[starts] * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_users": pa.array(n_users, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(
+        partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
+    )
+
+
+def events_distinct_users_hll_1m(sf_dir: str, p: int = 12) -> Dataset:
+    """APPROXIMATE distinct users per (event_type, minute) via
+    HyperLogLog — the 100 TB path of the E23 pair: the exact combiner's
+    exchange is bounded by true distinct triples (still corpus-sized for
+    high-cardinality ids), while HLL state is capped at 2**p registers
+    per (source, bucket) regardless of cardinality, and registers merge
+    by max (associative, any combine tree).  The representation is
+    SPARSE end to end — (source, bucket, register, max-rank) rows for
+    hit registers only, so no task ever allocates a dense (groups x m)
+    matrix — and the per-batch combiner collapses rows to distinct
+    registers, so the exchange shrinks as rows-per-bucket grows (the
+    regime HLL exists for).  p=12 -> ~1.6% typical error (error-bound
+    pytest).  Output (source, bucket_ts, n_users_est)."""
+    from ..functions.hll import hll_estimate_sparse, hll_ranks
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(ts_us - EVENTS_T0_US, tier_us)
+        src = b["event_type"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        users = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        reg, rank = hll_ranks(users, p=p)
+        # max rank per (source, bucket, register): lexsort + last-of-run
+        order = np.lexsort((rank, reg, bucket, codes))
+        cs, bs, rs = codes[order], bucket[order], reg[order]
+        last = np.empty(len(order), dtype=bool)
+        last[-1] = True
+        last[:-1] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1]) | (rs[1:] != rs[:-1])
+        take = pa.array(order[last], pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_id": pa.array(bs[last], pa.int64()),
+                "reg": pa.array(rs[last], pa.int64()),
+                "rank": pa.array(rank[order][last], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n_users_est": pa.array([], pa.int64()),
+                }
+            )
+        src = t["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        reg = t["reg"].combine_chunks().to_numpy(zero_copy_only=False)
+        rank = t["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank, reg, b, codes))
+        cs, bs, rs, ks = codes[order], b[order], reg[order], rank[order]
+        n = len(order)
+        # keep the max rank per (source, bucket, register) across batches
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1]) | (rs[1:] != rs[:-1])
+        cs, bs, ks = cs[last], bs[last], ks[last]
+        src_idx = order[last]
+        newg = np.empty(len(cs), dtype=bool)
+        newg[0] = True
+        newg[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(newg)
+        inv_sum = np.add.reduceat(np.exp2(-ks.astype(np.float64)), starts)
+        counts = np.diff(np.append(starts, len(cs)))
+        est = hll_estimate_sparse(inv_sum, counts, p=p)
+        take = pa.array(src_idx[starts], pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_ts": pa.array(
+                    bs[starts] * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_users_est": pa.array(est, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=64 * 1024
+    )
+    return hash_partition_merge(
+        partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
+    )
