@@ -163,6 +163,12 @@ def _q_events_distinct_hll(sf_dir: str):
     return events_distinct_users_hll_1m(sf_dir)
 
 
+def _q_events_increase(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_increase_1m
+
+    return events_increase_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -474,7 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship on the native F1 corpus ---
         "f1_rollup_1m": _q_f1_rollup_1m,
         "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
-        "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
+        "events_increase_1m": _q_events_increase,
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
         "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
@@ -500,12 +506,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
-        # --- positions 51-53: oracle-backed but redundant with entries above
-        # (the cascaded-events tiers share E4's code path with the in-window
-        # f1 cascaded tiers; bpe is a variant of doc_token_count)
+        # --- positions 51-54: oracle-backed but redundant with entries above
+        # (the cascaded tiers here share E4's code path with the in-window
+        # f1_rollup_1h_cascaded; bpe is a variant of doc_token_count)
         "doc_token_count_bpe": td.token_count_bpe,
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
+        "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
         # --- no_oracle diagnostics (rows-only driver check) ---
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
@@ -600,6 +607,21 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b
         """,
         "events_rollup_1m": events_rollup.format(unit="minute"),
+        "events_increase_1m": """
+            WITH seq AS (
+                SELECT event_type AS source, ts,
+                       CAST(floor(value) AS BIGINT) AS v,
+                       lag(CAST(floor(value) AS BIGINT)) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS pv
+                FROM events)
+            SELECT source,
+                   date_trunc('minute', ts) AS bucket_ts,
+                   CAST(sum(CASE WHEN pv IS NULL THEN 0
+                                 WHEN v >= pv THEN v - pv
+                                 ELSE v END) AS BIGINT) AS increase
+            FROM seq GROUP BY 1, 2
+        """,
         "events_distinct_users_1m": """
             SELECT event_type AS source,
                    date_trunc('minute', ts) AS bucket_ts,

@@ -620,3 +620,182 @@ def events_distinct_users_hll_1m(sf_dir: str, p: int = 12) -> Dataset:
     return hash_partition_merge(
         partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
     )
+
+
+def events_increase_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
+    """Counter-reset-aware INCREASE per (event_type, minute) — PromQL's
+    ``increase()`` over an irregular event stream, the rate primitive of
+    the reference's own domain (its data product is Prometheus counters,
+    /root/reference/internal/metrics/metrics.go:95-183).  Per source,
+    events ordered by (ts, event_id) form a counter series; each event
+    contributes ``v - prev`` when the counter advanced, ``v`` after a
+    reset (v < prev), and 0 for a source's first event; the rollup sums
+    contributions per minute bucket.
+
+    An order-dependent scan can't ride a plain groupby, and per-source
+    history is unbounded — so this reuses the round-4 hot-key machinery:
+    rows partition by (source, ts-window); a per-(source, window) summary
+    round carries each window's LAST event (ts, order, value) forward as
+    the next window's predecessor (asof_join's carried-prefix shape); the
+    per-partition kernel is one lexsort + shifted compare.  Source
+    identity is an exact broadcast rank (tiny-cardinality column), never
+    a hash.  Output (source, bucket_ts, increase); oracle = lag window +
+    CASE + group by minute."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    tier_us = 60 * 1_000_000
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+            .unique("event_type")
+        ),
+        pa.string(),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.floor(vals).astype(np.int64)),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        """Last event per (source, window) per batch — (t, o, v) max by
+        (t, o), the same order the kernel scans in."""
+        kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = b["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, ww, kk))
+        ks, ws = kk[order], ww[order]
+        last = np.empty(len(order), dtype=bool)
+        last[-1] = True
+        last[:-1] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        sel = order[last]
+        return pa.table(
+            {
+                "k": pa.array(kk[sel]),
+                "w": pa.array(ww[sel]),
+                "t": pa.array(tt[sel]),
+                "o": pa.array(oo[sel]),
+                "v": pa.array(vv[sel]),
+            }
+        )
+
+    def carry_kernel(t_: pa.Table) -> pa.Table:
+        """Per source: each window's carry-in = the last event of the
+        nearest EARLIER window (strictly before; summaries are already
+        one row per (source, window))."""
+        empty = {c: pa.array([], pa.int64()) for c in ("k", "w", "t", "o", "v")}
+        if t_.num_rows == 0:
+            return pa.table(empty)
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = t_["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ww, kk))
+        ks, ws = kk[order], ww[order]
+        prev_same_key = np.empty(len(order), dtype=bool)
+        prev_same_key[0] = False
+        prev_same_key[1:] = ks[1:] == ks[:-1]
+        sel = np.flatnonzero(prev_same_key)
+        take_prev = pa.array(order[sel - 1], pa.int64())
+        return pa.table(
+            {
+                "k": pa.array(ks[sel]),
+                "w": pa.array(ws[sel]),
+                "t": t_["t"].combine_chunks().take(take_prev),
+                "o": t_["o"].combine_chunks().take(take_prev),
+                "v": t_["v"].combine_chunks().take(take_prev),
+            }
+        )
+
+    carries = hash_partition_merge(
+        tagged.map_batches(
+            summarize, batch_format="pyarrow", batch_size=256 * 1024
+        ),
+        "k",
+        carry_kernel,
+    )
+
+    def tag_carry(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b["k"],
+                "t": b["t"],
+                "o": b["o"],
+                "v": b["v"],
+                "carry": pa.array(np.ones(b.num_rows, dtype=bool)),
+                "w": b["w"],
+            }
+        )
+
+    full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        if t_.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "increase": pa.array([], pa.int64()),
+                }
+            )
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))  # carry first on full ties
+        ks, ts_, vs = kk[order], tt[order], vv[order]
+        crs = cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        contrib = np.where(
+            ~has_prev, 0, np.where(vs >= pv, vs - pv, vs)
+        )
+        contrib = np.where(crs, 0, contrib)  # carries are predecessors only
+        keep = ~crs
+        bucket = ts_[keep] // tier_us
+        gk, gc = ks[keep], contrib[keep]
+        o2 = np.lexsort((bucket, gk))
+        gk, gb, gc = gk[o2], bucket[o2], gc[o2]
+        newg = np.empty(len(gk), dtype=bool)
+        newg[0] = True
+        newg[1:] = (gk[1:] != gk[:-1]) | (gb[1:] != gb[:-1])
+        starts = np.flatnonzero(newg)
+        inc = np.add.reduceat(gc, starts)
+        return pa.table(
+            {
+                "source": pc.take(
+                    srcs, pa.array(gk[starts], pa.int64())
+                ),
+                "bucket_ts": pa.array(
+                    gb[starts] * tier_us, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "increase": pa.array(inc, pa.int64()),
+            }
+        )
+
+    return _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))

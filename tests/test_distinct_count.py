@@ -91,3 +91,25 @@ def test_hll_pipeline_matches_exact(ray_session):
     assert ((est - exact).abs() <= np.maximum(1, 0.05 * exact)).all(), (
         rel.sort_values().tail()
     )
+
+
+def test_increase_window_invariance(ray_session):
+    """E25: counter-increase must be invariant to the sub-window size —
+    1-hour windows force carries across many more boundaries than the
+    1-day default, and the result must be identical."""
+    from mq_to_db_ray.pipelines.events import events_increase_1m
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(wu):
+        return (
+            events_increase_1m(sf, window_us=wu)
+            .to_pandas()
+            .sort_values(["source", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+
+    base = run(86_400_000_000)
+    for wu in (3_600_000_000, 600_000_000):
+        got = run(wu)
+        assert got.values.tolist() == base.values.tolist(), wu
