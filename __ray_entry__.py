@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": td.ann_lsh_topk,
         "ann_ivf_topk": td.ann_ivf_topk,
         "events_distinct_users_hll_1m": _q_events_distinct_hll,
+        "embedding_semdedup_keep": td.embedding_semdedup_keep,
     }
 
 

@@ -236,6 +236,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         # measures the pipelines you'd run at 100x scale, and its scale
         # path is embedding_near_dup_lsh below (VERDICT r3 #7).
         "embedding_near_dup_lsh",
+        "embedding_semdedup_keep",
         "ann_cosine_top10",
         "ann_lsh_topk",
         "ann_ivf_topk",

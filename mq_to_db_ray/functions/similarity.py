@@ -303,3 +303,40 @@ class LshBucketer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.vec_col))
         return batch.append_column("lsh_bucket", pa.array(lsh_bucket_ids(m, self.planes)))
+
+
+def semdedup_suppress(
+    mat: np.ndarray, ids: np.ndarray, threshold_permille: int,
+    block: int = 4096,
+) -> np.ndarray:
+    """SemDeDup's within-cluster suppression rule (Abbas et al. 2023,
+    public): a vector is DROPPED iff some LOWER-id vector in the same
+    cluster has cosine similarity >= threshold (min-id representative —
+    the deterministic analog of the paper's keep-one-per-dup-set; like
+    the paper, suppression is pairwise, not a transitive closure).
+
+    Returns the boolean KEEP mask aligned to ``ids``.  Exact over the
+    whole cluster, memory-bounded: rows sort by id and compare against
+    earlier rows in (block x block) matmul tiles, so peak memory is
+    O(block^2) regardless of cluster size (the flop count stays the
+    inherent O(n^2) — SemDeDup bounds n via the number of clusters)."""
+    order = np.argsort(ids, kind="stable")
+    m = _normalize(np.asarray(mat, dtype=np.float64))[order]
+    n = len(order)
+    thr = threshold_permille / 1000.0
+    dropped = np.zeros(n, dtype=bool)
+    for i in range(0, n, block):
+        bi = m[i: i + block]
+        # vs earlier blocks
+        for j in range(0, i, block):
+            sims = bi @ m[j: j + block].T
+            dropped[i: i + block] |= (sims >= thr).any(axis=1)
+        # within-block: strictly-lower ids only
+        sims = bi @ bi.T
+        tri = np.tril(sims >= thr, k=-1)
+        dropped[i: i + block] |= tri.any(axis=1)
+    keep = np.ones(n, dtype=bool)
+    keep[dropped] = False
+    out = np.empty(n, dtype=bool)
+    out[order] = keep
+    return out

@@ -2347,3 +2347,84 @@ def length_filter(
     return narrow.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def embedding_semdedup_keep(
+    sf_dir: str, threshold_permille: int = 950, n_centroids: int = 16,
+) -> Dataset:
+    """T34: SemDeDup (Abbas et al. 2023, public) — semantic deduplication
+    of an embedding corpus: cluster the embedding space with a k-means
+    coarse quantizer, then within each cluster drop every vector whose
+    cosine similarity to a lower-id cluster member reaches the threshold
+    (min-id representative; pairwise suppression, like the paper — not a
+    transitive closure).  Cross-cluster near-dups are missed BY DESIGN:
+    that is SemDeDup's trade — O(sum n_c^2) work instead of O(N^2), with
+    recall set by the cluster count (documented like df_cap/bucket_cap).
+
+    Ray shape: sample -> centroids is the tiny broadcast side (ray.put
+    once), assignment is one matmul per batch, ONE hash shuffle on the
+    cluster id co-locates each cluster, and the per-cluster kernel is
+    functions/similarity.semdedup_suppress (blocked-tile exact, memory
+    O(block^2) however large the cluster).  Output (vec_id, cluster_id)
+    of survivors; rows-only check (k-means is seeded-deterministic but
+    not SQL-expressible) + kernel-vs-brute-force and threshold-limit
+    pytest."""
+    from ..functions.similarity import (
+        IvfAssigner, _batch_matrix, kmeans_centroids, semdedup_suppress,
+    )
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = emb.limit(4096).take_batch(4096, batch_format="pyarrow")
+    cents_ref = ray.put(
+        kmeans_centroids(_batch_matrix(sample, "embedding"), n_centroids)
+    )
+    assigned = emb.map_batches(
+        IvfAssigner(cents_ref), batch_format="pyarrow", batch_size=4096
+    ).map_batches(
+        lambda b: b.append_column(
+            "cluster_id", pc.cast(b["ivf_cell"], pa.int64())
+        ).drop_columns(["ivf_cell"]),
+        batch_format="pyarrow",
+    )
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        cl = t["cluster_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = pc.cast(t["vec_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        keep = np.zeros(len(ids), dtype=bool)
+        order = np.argsort(cl, kind="stable")
+        cls = cl[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = cls[1:] != cls[:-1]
+        starts = np.flatnonzero(newg)
+        bounds = np.append(starts, len(order))
+        for s, e in zip(bounds[:-1], bounds[1:]):  # O(clusters/partition)
+            rows = order[s:e]
+            keep[rows] = semdedup_suppress(
+                mat[rows], ids[rows], threshold_permille
+            )
+        kept = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64())
+                .combine_chunks().take(kept),
+                "cluster_id": t["cluster_id"].combine_chunks().take(kept),
+            }
+        )
+
+    return hash_partition_merge(assigned, "cluster_id", dedup_cluster)
