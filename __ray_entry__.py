@@ -163,6 +163,12 @@ def _q_events_distinct_hll(sf_dir: str):
     return events_distinct_users_hll_1m(sf_dir)
 
 
+def _q_events_distinct_5m(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_distinct_users_5m
+
+    return events_distinct_users_5m(sf_dir)
+
+
 def _q_events_increase(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_increase_1m
 
@@ -514,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
+        # oracle-backed past the window, verified by scripts/driver_sim:
+        "events_distinct_users_5m": _q_events_distinct_5m,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
@@ -609,6 +617,19 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b
         """,
         "events_rollup_1m": events_rollup.format(unit="minute"),
+        "events_distinct_users_5m": """
+            WITH tri AS (
+                SELECT DISTINCT event_type AS source,
+                       date_trunc('minute', ts) AS b, user_id
+                FROM events),
+            grid AS (SELECT DISTINCT source, b FROM tri)
+            SELECT g.source, g.b AS bucket_ts,
+                   CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users_5m
+            FROM grid g
+            JOIN tri t ON t.source = g.source
+                      AND t.b BETWEEN g.b - INTERVAL 4 MINUTE AND g.b
+            GROUP BY 1, 2
+        """,
         "events_increase_1m": """
             WITH seq AS (
                 SELECT event_type AS source, ts,

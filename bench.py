@@ -200,6 +200,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_distinct_users_1m",
         "events_distinct_users_hll_1m",
         "events_increase_1m",
+        "events_distinct_users_5m",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_rollup_1m",

@@ -799,3 +799,100 @@ def events_increase_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Data
         )
 
     return _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+
+def events_distinct_users_5m(sf_dir: str, w: int = 5) -> Dataset:
+    """SLIDING-window distinct cardinality: unique users per (event_type,
+    minute) over the trailing ``w`` minutes — "active users in the last N
+    minutes", the windowed companion of :func:`events_distinct_users_1m`.
+    Distinct counts are not subtractable, so a sliding exact count can't
+    reuse a per-bucket result; instead each distinct (source, bucket,
+    user) triple is REPLICATED into the ``w`` target buckets it is
+    visible from (bounded blow-up: x w narrow int64 rows), and one
+    bucket-hash shuffle dedupes and counts per target.  Only buckets
+    containing real events are emitted (the k=0 replica marks them), so
+    the output grid matches the per-bucket operator's.  Output (source,
+    bucket_ts, n_users_5m); oracle = distinct-triples CTE self-joined on
+    a BETWEEN window.
+    """
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(ts_us - EVENTS_T0_US, tier_us)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "b0": pa.array(bucket, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        tri = t.group_by(["source", "b0", "user_id"], use_threads=False).aggregate([])
+        n = tri.num_rows
+        reps = []
+        for k in range(w):
+            reps.append(
+                pa.table(
+                    {
+                        "source": tri["source"],
+                        "bucket_id": pc.add(tri["b0"], pa.scalar(k, pa.int64())),
+                        "user_id": tri["user_id"],
+                        "real": pa.array(np.full(n, k == 0, dtype=bool)),
+                    }
+                )
+            )
+        return pa.concat_tables(reps)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n_users_5m": pa.array([], pa.int64()),
+                }
+            )
+        src = t["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        rl = t["real"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, b, codes))
+        cs, bs, us, rs = codes[order], b[order], u[order], rl[order]
+        n = len(order)
+        dis = np.empty(n, dtype=bool)
+        dis[0] = True
+        dis[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1]) | (us[1:] != us[:-1])
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(newg)
+        n_users = np.add.reduceat(dis.astype(np.int64), starts)
+        has_real = np.logical_or.reduceat(rs, starts)
+        keep = np.flatnonzero(has_real)
+        take = pa.array(order[starts][keep], pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_ts": pa.array(
+                    bs[starts][keep] * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_users_5m": pa.array(n_users[keep], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(
+        partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
+    )
