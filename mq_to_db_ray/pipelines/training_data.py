@@ -2404,7 +2404,7 @@ def embedding_semdedup_keep(
         ids = pc.cast(t["vec_id"], pa.int64()).combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = _batch_matrix(t, "embedding")  # flatten+reshape, no pylist
         keep = np.zeros(len(ids), dtype=bool)
         order = np.argsort(cl, kind="stable")
         cls = cl[order]
