@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": td.ann_ivf_topk,
         "events_distinct_users_hll_1m": _q_events_distinct_hll,
         "embedding_semdedup_keep": td.embedding_semdedup_keep,
+        "embedding_cluster_balance": td.embedding_cluster_balance,
     }
 
 

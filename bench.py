@@ -238,6 +238,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         # path is embedding_near_dup_lsh below (VERDICT r3 #7).
         "embedding_near_dup_lsh",
         "embedding_semdedup_keep",
+        "embedding_cluster_balance",
         "ann_cosine_top10",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -2428,3 +2428,79 @@ def embedding_semdedup_keep(
         )
 
     return hash_partition_merge(assigned, "cluster_id", dedup_cluster)
+
+
+def embedding_cluster_balance(
+    sf_dir: str, target_per_cluster: int | None = None, n_centroids: int = 16,
+) -> Dataset:
+    """T35: cluster-balanced sampling — down-sample over-represented
+    k-means clusters of the embedding space to at most
+    ``target_per_cluster`` members (default: the median cluster size), the
+    mixture-balancing step that follows semantic dedup in a curation
+    pipeline (cluster mass ~ topic mass; balancing stops one topic from
+    dominating the mix).
+
+    Ray shape: reuse T34's centroids/assignment (broadcast once, one
+    matmul per batch); cluster SIZES come from a bincount combiner (one
+    tiny row per (cluster, batch) — never vectors) folded on the driver
+    at O(n_centroids); keep decisions are T23's exact integer hash
+    arithmetic with per-cluster keep-rates broadcast as an array, so the
+    sample is deterministic and engine-independent.  Output
+    (vec_id, cluster_id) of kept members; rows-only check (seeded
+    k-means) + determinism/bound pytest."""
+    from .corpus import K_MIX, P
+    from ..functions.similarity import (
+        IvfAssigner, _batch_matrix, kmeans_centroids,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = emb.limit(4096).take_batch(4096, batch_format="pyarrow")
+    cents = kmeans_centroids(_batch_matrix(sample, "embedding"), n_centroids)
+    cents_ref = ray.put(cents)
+    assigned = emb.map_batches(
+        IvfAssigner(cents_ref), batch_format="pyarrow", batch_size=4096
+    )
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            b["ivf_cell"].combine_chunks().to_numpy(zero_copy_only=False),
+            minlength=len(cents),
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    np.arange(len(cents), dtype=np.int64)
+                ),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    sizes = np.zeros(len(cents), dtype=np.int64)
+    for b in assigned.map_batches(
+        size_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        sizes += b["n"].to_numpy(zero_copy_only=False)
+
+    nonempty = sizes[sizes > 0]
+    target = target_per_cluster or int(np.median(nonempty)) if len(nonempty) else 1
+    target = max(1, int(target))
+    # keep-rate per cluster in permille (exact ints, same domain as T23)
+    rate = np.minimum(1000, (target * 1000) // np.maximum(sizes, 1))
+
+    def keep(b: pa.Table) -> pa.Table:
+        cell = b["ivf_cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = pc.cast(b["vec_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        u = ((ids % P) * K_MIX) % P % 1000
+        mask = pa.array(u < rate[cell])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cell.astype(np.int64)),
+            }
+        ).filter(mask)
+
+    return assigned.map_batches(keep, batch_format="pyarrow")
