@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
         # oracle-backed past the window, verified by scripts/driver_sim:
         "events_distinct_users_5m": _q_events_distinct_5m,
+        "doc_tokenizer_fertility": td.tokenizer_fertility,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
@@ -1097,6 +1098,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
             FROM documents
+        """,
+        "doc_tokenizer_fertility": r"""
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(
+                       text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+                     AS BIGINT) AS n_bpe,
+                   CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_words,
+                   CAST(sum(len(regexp_extract_all(
+                       text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+                        * 1000
+                        // greatest(sum(len(str_split(text, ' '))), 1)
+                     AS BIGINT) AS fertility_permille
+            FROM documents GROUP BY 1
         """,
         "doc_token_count_bpe": r"""
             SELECT doc_id,

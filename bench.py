@@ -203,6 +203,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_distinct_users_5m",
         "doc_token_count",
         "doc_token_count_bpe",
+        "doc_tokenizer_fertility",
         "doc_rollup_1m",
         "doc_quality",
         "doc_langid",

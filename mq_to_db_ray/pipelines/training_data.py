@@ -2504,3 +2504,51 @@ def embedding_cluster_balance(
         ).filter(mask)
 
     return assigned.map_batches(keep, batch_format="pyarrow")
+
+
+def tokenizer_fertility(sf_dir: str) -> Dataset:
+    """T36: per-source tokenizer fertility — BPE-ish tokens per whitespace
+    word, in exact permille (``sum_bpe * 1000 // sum_words``).  The
+    tokenizer-efficiency statistic a mixture designer reads per source:
+    high fertility flags sources (code, non-Latin scripts) that consume
+    disproportionate context-window budget per word.
+
+    Shape: two Arrow kernels per batch (the T11/T11b counters), a
+    per-batch (source, sum) combiner, and a tiny per-source final merge —
+    one shuffle of O(sources x batches) rows, text never moves.  Output
+    (source, n_bpe, n_words, fertility_permille); exact SQL oracle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        bpe = pc.cast(
+            pc.count_substring_regex(b["text"], BPE_ISH_PATTERN), pa.int64()
+        )
+        w = pc.cast(
+            pc.list_value_length(pc.split_pattern(b["text"], " ")), pa.int64()
+        )
+        t = pa.table({"source": b["source"], "n_bpe": bpe, "n_words": w})
+        return t.group_by("source", use_threads=False).aggregate(
+            [("n_bpe", "sum"), ("n_words", "sum")]
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        nb = int(
+            pc.sum(g["n_bpe_sum"]).as_py() or 0
+        )
+        nw = int(pc.sum(g["n_words_sum"]).as_py() or 0)
+        return pa.table(
+            {
+                "source": g["source"][:1],
+                "n_bpe": pa.array([nb], pa.int64()),
+                "n_words": pa.array([nw], pa.int64()),
+                "fertility_permille": pa.array(
+                    [nb * 1000 // max(nw, 1)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+    )
