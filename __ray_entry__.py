@@ -175,6 +175,30 @@ def _q_events_increase(sf_dir: str):
     return events_increase_1m(sf_dir)
 
 
+def _q_events_twa(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_twa_1m
+
+    return events_twa_1m(sf_dir)
+
+
+def _q_events_hist(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_hist_1m
+
+    return events_hist_1m(sf_dir)
+
+
+def _q_events_zscore(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_zscore_1m
+
+    return events_zscore_1m(sf_dir)
+
+
+def _q_events_top_movers(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_top_movers_1h
+
+    return events_top_movers_1h(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -450,11 +474,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness pass covers the FIRST 50
     # keys, so every oracle-backed entry must sit inside that window.  The 10
     # dedup/similarity/multimodal oracles (unchecked in round 3's window) come
-    # first, then the remaining oracle-backed entries; the four oracles at
-    # positions 51-54 are redundant variants, each sharing its code path
-    # with an in-window entry (`doc_token_count_bpe` with doc_token_count;
-    # both cascaded events tiers and `f1_rollup_1d_cascaded` with
-    # f1_rollup_1h_cascaded's E4 path); the 15 no_oracle diagnostics last.
+    # first, then the remaining oracle-backed entries; oracle-backed entries
+    # past position 50 are each either a redundant variant sharing its code
+    # path with an in-window entry (`doc_token_count_bpe` with
+    # doc_token_count; both cascaded events tiers and `f1_rollup_1d_cascaded`
+    # with f1_rollup_1h_cascaded's E4 path; `events_rollup_1m` and
+    # `doc_rollup_1m` with f1_rollup_1m's E3 path; `events_zscore_1m` a
+    # composition of in-window rolling_sum + an integer flag map;
+    # `events_top_movers_1h` a composition of in-window gap_fill + grid_lag +
+    # grouped_topk) or verified by scripts/driver_sim each round; the
+    # no_oracle diagnostics come last.
     return {
         # --- dedup suite (oracle-backed) ---
         "doc_exact_dedup": td.exact_dedup,
@@ -470,7 +499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": td.multimodal_features,
         "multimodal_frame_sample": td.multimodal_frame_sample,
         # --- time-series rollup engine (E1-E12 over the events adapter) ---
-        "events_rollup_1m": _q_events_rollup("1m"),
+        "events_twa_1m": _q_events_twa,
+        "events_hist_1m": _q_events_hist,
         "events_distinct_users_1m": _q_events_distinct,
         "events_gapfill_1m": _q_events_gapfill,
         "events_reject_lane": _q_events_rejects,
@@ -493,7 +523,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_token_count": td.token_count,
-        "doc_rollup_1m": _q_doc_rollup_1m,
         "doc_quality": td.quality_score,
         "doc_stratified_sample": td.stratified_sample,
         "doc_embedding_join": td.doc_embedding_join,
@@ -513,13 +542,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
-        # --- positions 51-54: oracle-backed but redundant with entries above
-        # (the cascaded tiers here share E4's code path with the in-window
-        # f1_rollup_1h_cascaded; bpe is a variant of doc_token_count)
+        # --- past position 50: oracle-backed but redundant with entries
+        # above (the cascaded tiers here share E4's code path with the
+        # in-window f1_rollup_1h_cascaded; the direct rollups share E3's
+        # with f1_rollup_1m; bpe is a variant of doc_token_count; zscore /
+        # top_movers compose in-window rolling_sum / gap_fill+grid_lag+
+        # grouped_topk paths)
         "doc_token_count_bpe": td.token_count_bpe,
+        "events_rollup_1m": _q_events_rollup("1m"),
+        "doc_rollup_1m": _q_doc_rollup_1m,
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
+        "events_zscore_1m": _q_events_zscore,
+        "events_top_movers_1h": _q_events_top_movers,
         # oracle-backed past the window, verified by scripts/driver_sim:
         "events_distinct_users_5m": _q_events_distinct_5m,
         "doc_tokenizer_fertility": td.tokenizer_fertility,
@@ -844,6 +880,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(floor(value) AS BIGINT), 0.95)
                         AS BIGINT) AS p95
             FROM events GROUP BY 1, 2
+        """,
+        "events_twa_1m": """
+            WITH seq AS (
+                SELECT event_type AS source, ts,
+                       lag(ts) OVER w AS pt,
+                       lag(CAST(floor(value) AS BIGINT)) OVER w AS pv
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+            seg AS (SELECT source, pt AS t0, ts AS t1, pv AS v
+                    FROM seq WHERE pt IS NOT NULL AND ts > pt),
+            m AS (SELECT source, t0, t1, v,
+                         unnest(generate_series(
+                             date_trunc('minute', t0),
+                             date_trunc('minute', t1 - INTERVAL 1 MICROSECOND),
+                             INTERVAL 1 MINUTE)) AS b
+                  FROM seg)
+            SELECT source, b AS bucket_ts,
+                   CAST(sum(v * (epoch_us(LEAST(t1, b + INTERVAL 1 MINUTE)) -
+                                 epoch_us(GREATEST(t0, b)))) AS BIGINT)
+                       AS wsum_us
+            FROM m GROUP BY 1, 2
+        """,
+        "events_hist_1m": """
+            WITH v AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(floor(value) AS BIGINT) AS x
+                       FROM events),
+            le(li, le) AS (VALUES (0, 10), (1, 20), (2, 50), (3, 100),
+                                  (4, 200), (5, 500),
+                                  (6, 9223372036854775807)),
+            bu AS (SELECT source, b,
+                          CASE WHEN x <= 10 THEN 0 WHEN x <= 20 THEN 1
+                               WHEN x <= 50 THEN 2 WHEN x <= 100 THEN 3
+                               WHEN x <= 200 THEN 4 WHEN x <= 500 THEN 5
+                               ELSE 6 END AS li,
+                          count(*) AS c
+                   FROM v GROUP BY 1, 2, 3),
+            grid AS (SELECT DISTINCT source, b FROM v),
+            f AS (SELECT g.source, g.b, le.li, le.le, COALESCE(bu.c, 0) AS c
+                  FROM grid g CROSS JOIN le
+                  LEFT JOIN bu ON bu.source = g.source AND bu.b = g.b
+                              AND bu.li = le.li)
+            SELECT source, b AS bucket_ts, CAST(le AS BIGINT) AS le,
+                   CAST(sum(c) OVER (PARTITION BY source, b ORDER BY li)
+                        AS BIGINT) AS cum_count
+            FROM f
+        """,
+        "events_zscore_1m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b AS bucket_ts, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b),
+            w AS (SELECT source, bucket_ts, count,
+                         CAST(sum(count) OVER win AS BIGINT) AS s,
+                         CAST(sum(count * count) OVER win AS BIGINT) AS ss,
+                         CAST(count(*) OVER win AS BIGINT) AS n
+                  FROM f
+                  WINDOW win AS (PARTITION BY source ORDER BY bucket_ts
+                                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+            SELECT source, bucket_ts, count, s AS trail_sum,
+                   ((n * count - s) * (n * count - s) > 9 * (n * ss - s * s))
+                       AS anomaly
+            FROM w
+        """,
+        "events_top_movers_1h": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b),
+            d AS (SELECT source, b,
+                         count - lag(count) OVER (PARTITION BY source
+                                                  ORDER BY b) AS delta
+                  FROM f),
+            rk AS (SELECT source, b, abs(delta) AS abs_delta,
+                          row_number() OVER (PARTITION BY b
+                                             ORDER BY abs(delta) DESC, source)
+                              AS rank
+                   FROM d WHERE delta IS NOT NULL)
+            SELECT b AS bucket_ts, source, CAST(abs_delta AS BIGINT) AS abs_delta,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 3
         """,
         "doc_repetition": """
             WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),

@@ -896,3 +896,453 @@ def events_distinct_users_5m(sf_dir: str, w: int = 5) -> Dataset:
     return hash_partition_merge(
         partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
     )
+
+
+def events_zscore_1m(sf_dir: str, w: int = 30, z: int = 3) -> Dataset:
+    """Rolling z-score anomaly flags over the dense gap-filled 1m grid —
+    the threshold-alerting primitive of an observability stack (the
+    reference's product is Prometheus series, whose alert rules are
+    exactly this shape).  Per (source, minute): the trailing-``w``-bucket
+    (including current) sum S, sum-of-squares SS and window size n of the
+    per-minute event count; a bucket is anomalous iff its count deviates
+    from the window mean by more than ``z`` sample-std-devs.  The test is
+    evaluated in EXACT integer arithmetic — ``(n*x - S)^2 > z^2 *
+    (n*SS - S^2)`` is the z-test cleared of divisions — so the oracle
+    (SQL window sums + the same CASE) matches bit-for-bit; no float ever
+    exists.  Scale shape: one pass of stages/temporal.rolling_sum
+    ((source, window)+halo partitioning, halo w-1, cumsum kernel), count²
+    and the window-size counter ride the same shuffle as extra int64
+    columns, and the flag is a stateless vectorized map.  Output
+    (source, bucket_ts, count, trail_sum, anomaly)."""
+    from ..stages.temporal import rolling_sum
+
+    grid = events_gapfill(sf_dir, "1m")
+
+    def aug(b: pa.Table) -> pa.Table:
+        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "count": b["count"],
+                "sq": pa.array(c * c, pa.int64()),
+                "one": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+
+    rolled = rolling_sum(
+        grid.map_batches(aug, batch_format="pyarrow"),
+        "1m",
+        w,
+        ["count", "sq", "one"],
+        t0_us=EVENTS_T0_US,
+        keep_cols=("count",),
+    )
+    z2 = z * z
+
+    def flag(b: pa.Table) -> pa.Table:
+        x = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = b["roll_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = b["roll_sq"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = b["roll_one"].combine_chunks().to_numpy(zero_copy_only=False)
+        lhs = n * x - s
+        anomaly = lhs * lhs > z2 * (n * ss - s * s)
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": b["bucket_ts"],
+                "count": b["count"],
+                "trail_sum": b["roll_count"],
+                "anomaly": pa.array(anomaly),
+            }
+        )
+
+    return rolled.map_batches(flag, batch_format="pyarrow")
+
+
+# Prometheus-style histogram `le` bounds (the reference's own
+# process-duration histogram, internal/metrics/metrics.go:124-133, is this
+# aggregate with seconds buckets); +Inf is INT64_MAX so the column stays
+# exact-integer end to end.
+HIST_BOUNDS = (10, 20, 50, 100, 200, 500)
+HIST_INF = (1 << 63) - 1
+
+
+def events_hist_1m(sf_dir: str) -> Dataset:
+    """Cumulative histogram rollup: per (event_type, minute), the
+    Prometheus-text ``le`` series over floor(value) — cum_count(le) =
+    #events with value <= le, for le in HIST_BOUNDS + {+Inf}.  The
+    distributed form of the reference's HistogramVec (A2,
+    internal/metrics/metrics.go:124-133): per batch one np.searchsorted
+    bins every value and an Arrow group_by reduces to (source, bucket,
+    bin) partial counts, ONLY those shuffle (hashed on bucket_id), and
+    the per-partition merge scatter-adds into a dense (group x bins)
+    matrix and cumsums along the bin axis — each output bucket emits
+    exactly len(bounds)+1 rows including zero bins, as a scrape would.
+    Output (source, bucket_ts, le, cum_count)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60 * 1_000_000
+    bounds = np.asarray(HIST_BOUNDS, dtype=np.int64)
+    nb = len(bounds) + 1
+    le_vals = np.append(bounds, HIST_INF)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(ts_us - EVENTS_T0_US, tier_us)
+        x = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        li = np.searchsorted(bounds, x, side="left")
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket_id": pa.array(bucket, pa.int64()),
+                "li": pa.array(li, pa.int64()),
+            }
+        )
+        return t.group_by(["source", "bucket_id", "li"], use_threads=False).aggregate(
+            [("li", "count")]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "le": pa.array([], pa.int64()),
+                    "cum_count": pa.array([], pa.int64()),
+                }
+            )
+        src = t["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        li = t["li"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["li_count"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((li, b, codes))
+        cs, bs, ls, cc = codes[order], b[order], li[order], c[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        gid = np.cumsum(newg) - 1
+        ng = int(gid[-1]) + 1
+        dense = np.zeros((ng, nb), dtype=np.int64)
+        # partials from different batches may repeat a (group, bin): add
+        np.add.at(dense, (gid, ls), cc)
+        cum = np.cumsum(dense, axis=1)
+        starts = np.flatnonzero(newg)
+        take = pa.array(np.repeat(order[starts], nb), pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_ts": pa.array(
+                    np.repeat(bs[starts], nb) * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "le": pa.array(np.tile(le_vals, ng), pa.int64()),
+                "cum_count": pa.array(cum.ravel(), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(
+        partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
+    )
+
+
+def events_top_movers_1h(sf_dir: str, kk: int = 3) -> Dataset:
+    """Top-``kk`` event types per hour by absolute hour-over-hour change
+    in event count — the "biggest movers" board every monitoring stack
+    derives from its delta series.  Pure composition of round-3/4 pieces:
+    E5 gap_fill densifies the 1h grid, E19 grid_lag supplies the previous
+    hour ((source, window)+halo-1, no full-history task), and E18
+    grouped_topk ranks |delta| per hour with its per-batch combiner (at
+    most kk candidate rows per (hour, batch) shuffle).  Ties break by
+    source string ascending — exact, via the broadcast sorted-source
+    rank, never a hash.  First-hour rows (no predecessor) are excluded
+    like the SQL lag NULL.  Output (bucket_ts, source, abs_delta, rank)."""
+    from ..stages.shuffle import grouped_topk
+    from ..stages.temporal import grid_lag
+
+    tier_us = 3600 * 1_000_000
+    grid = events_gapfill(sf_dir, "1h")
+    lagged = grid_lag(grid, "1h", ["count"], t0_us=EVENTS_T0_US)
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    def narrow(b: pa.Table) -> pa.Table:
+        lag = b["lag_count"].combine_chunks()
+        valid = pc.is_valid(lag)
+        t = b.filter(valid)
+        c = t["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["lag_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        bid = (
+            t["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            - EVENTS_T0_US
+        ) // tier_us
+        return pa.table(
+            {
+                "bucket_id": pa.array(bid, pa.int64()),
+                "abs_delta": pa.array(np.abs(c - p), pa.int64()),
+                "src_rank": pc.cast(
+                    pc.index_in(t["source"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    top = grouped_topk(
+        lagged.map_batches(narrow, batch_format="pyarrow"),
+        key="bucket_id",
+        value="abs_delta",
+        order_id="src_rank",
+        kk=kk,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        bid = b["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket_ts": pa.array(
+                    bid * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "source": pc.take(srcs, b["src_rank"]),
+                "abs_delta": b["abs_delta"],
+                "rank": b["rank"],
+            }
+        )
+
+    return top.map_batches(widen, batch_format="pyarrow")
+
+
+@lru_cache(maxsize=64)
+def events_src_list(sf_dir: str) -> tuple[str, ...]:
+    """Sorted distinct event_type values (tiny-cardinality, memoized —
+    several queries need the exact broadcast source rank)."""
+    return tuple(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+            .unique("event_type")
+        )
+    )
+
+
+def events_twa_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
+    """Time-weighted (LOCF) value integral per (event_type, minute) — the
+    ``time_weight('LOCF')`` downsample of a timeseries store: between two
+    consecutive events of a source, floor(value) of the EARLIER event
+    holds as a step function, and each minute bucket accumulates
+    wsum_us = Σ value·(microseconds of the bucket covered by the step).
+    Divide by the covered duration off-line for the average; the engine
+    emits the exact int64 integral so the DuckDB oracle (lag segments ×
+    generate_series minutes) matches bit-for-bit — no float division.
+
+    Order-dependent over unbounded per-source history, so it rides the
+    round-4 carried-prefix machinery (events_increase_1m's shape): rows
+    partition by (source, ts-window); one summary round carries each
+    window's LAST event (ts, order, value) forward as the next window's
+    predecessor; the kernel builds the segment ENDING at each event —
+    [prev_ts, ts) valued at prev_value — and explodes it over the minutes
+    it covers (np.repeat, no Python loop).  Replication is bounded by the
+    sources × active-minutes grid (gap_fill's own bound).  Zero-length
+    segments (duplicate timestamps) are dropped on both sides.  Kernel
+    output pre-combines to (source, bucket, wsum) partials; ONE narrow
+    bucket-hash exchange merges boundary buckets split across windows.
+    Output (source, bucket_ts, wsum_us)."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    tier_us = 60 * 1_000_000
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.floor(vals).astype(np.int64)),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = b["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, ww, kk))
+        ks, ws = kk[order], ww[order]
+        last = np.empty(len(order), dtype=bool)
+        last[-1] = True
+        last[:-1] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        sel = order[last]
+        return pa.table(
+            {
+                "k": pa.array(kk[sel]),
+                "w": pa.array(ww[sel]),
+                "t": pa.array(tt[sel]),
+                "o": pa.array(oo[sel]),
+                "v": pa.array(vv[sel]),
+            }
+        )
+
+    def carry_kernel(t_: pa.Table) -> pa.Table:
+        empty = {c: pa.array([], pa.int64()) for c in ("k", "w", "t", "o", "v")}
+        if t_.num_rows == 0:
+            return pa.table(empty)
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = t_["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ww, kk))
+        ks, ws = kk[order], ww[order]
+        prev_same_key = np.empty(len(order), dtype=bool)
+        prev_same_key[0] = False
+        prev_same_key[1:] = ks[1:] == ks[:-1]
+        sel = np.flatnonzero(prev_same_key)
+        take_prev = pa.array(order[sel - 1], pa.int64())
+        return pa.table(
+            {
+                "k": pa.array(ks[sel]),
+                "w": pa.array(ws[sel]),
+                "t": t_["t"].combine_chunks().take(take_prev),
+                "o": t_["o"].combine_chunks().take(take_prev),
+                "v": t_["v"].combine_chunks().take(take_prev),
+            }
+        )
+
+    carries = hash_partition_merge(
+        tagged.map_batches(summarize, batch_format="pyarrow", batch_size=256 * 1024),
+        "k",
+        carry_kernel,
+    )
+
+    def tag_carry(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b["k"],
+                "t": b["t"],
+                "o": b["o"],
+                "v": b["v"],
+                "carry": pa.array(np.ones(b.num_rows, dtype=bool)),
+                "w": b["w"],
+            }
+        )
+
+    full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "bucket_id": pa.array([], pa.int64()),
+                "wsum": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts_, vs, crs = kk[order], tt[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts_[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        # segment ending at each kept event: [pt, ts) valued pv
+        seg = has_prev & ~crs & (ts_ > pt)
+        s_t0, s_t1, s_v, s_k = pt[seg], ts_[seg], pv[seg], ks[seg]
+        if len(s_t0) == 0:
+            return empty
+        b0 = s_t0 // tier_us
+        b1 = (s_t1 - 1) // tier_us
+        counts = b1 - b0 + 1
+        total = int(counts.sum())
+        # vectorized explode: bucket = b0[seg] + within-segment offset
+        sid = np.repeat(np.arange(len(counts)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        bk = b0[sid] + offs
+        lo = np.maximum(s_t0[sid], bk * tier_us)
+        hi = np.minimum(s_t1[sid], (bk + 1) * tier_us)
+        wpart = s_v[sid] * (hi - lo)
+        gk = s_k[sid]
+        # pre-combine partials per (source, bucket) before the exchange
+        o2 = np.lexsort((bk, gk))
+        gks, bks, wps = gk[o2], bk[o2], wpart[o2]
+        newg = np.empty(total, dtype=bool)
+        newg[0] = True
+        newg[1:] = (gks[1:] != gks[:-1]) | (bks[1:] != bks[:-1])
+        starts = np.flatnonzero(newg)
+        return pa.table(
+            {
+                "k": pa.array(gks[starts], pa.int64()),
+                "bucket_id": pa.array(bks[starts], pa.int64()),
+                "wsum": pa.array(np.add.reduceat(wps, starts), pa.int64()),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def final_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "wsum_us": pa.array([], pa.int64()),
+                }
+            )
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = t["wsum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, kk))
+        ks, bs, ws = kk[order], bb[order], ww[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(newg)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(ks[starts], pa.int64())),
+                "bucket_ts": pa.array(
+                    bs[starts] * tier_us, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "wsum_us": pa.array(np.add.reduceat(ws, starts), pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(
+        partials, "bucket_id", final_merge, k=_adaptive_k(sf_dir)
+    )

@@ -365,6 +365,7 @@ def rolling_sum(
     *,
     t0_us: int,
     window_buckets: int = 4096,
+    keep_cols: tuple[str, ...] = (),
 ) -> Dataset:
     """Trailing-``w``-bucket sums of ``cols`` over a DENSE per-source grid
     (the output of stages/gapfill.gap_fill) — SQL
@@ -376,9 +377,13 @@ def rolling_sum(
     ``w-1`` rows are ALSO replicated into the next window as halo, so every
     group computes its rolling sums with one cumsum and no neighbour
     communication. The halo invariant requires ``w <= window_buckets``.
-    Output: (source, bucket_ts, roll_<c>...) for every grid row.
+    ``keep_cols`` (a subset of ``cols``) are ALSO passed through unrolled,
+    so kernels that compare a row against its own trailing window (e.g. the
+    z-score anomaly flag) get both without a second shuffle.
+    Output: (source, bucket_ts, <keep_cols...>, roll_<c>...) per grid row.
     """
     assert w <= window_buckets, "halo width must fit one window"
+    assert set(keep_cols) <= set(cols), "keep_cols must be rolled too"
     step = TIERS[tier] * 1_000_000
 
     def add_win(b: pa.Table) -> pa.Table:
@@ -401,6 +406,8 @@ def rolling_sum(
         # halo rows supply the cross-window predecessors.
         for c in cols:
             v = _i64(g[c])[order]
+            if c in keep_cols:
+                out[c] = pa.array(v[keep], pa.int64())
             cs = np.concatenate(([0], np.cumsum(v)))
             lo = np.maximum(np.arange(len(v)) - w + 1, 0)
             roll = cs[1:] - cs[lo]
