@@ -201,6 +201,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_distinct_users_hll_1m",
         "events_increase_1m",
         "events_distinct_users_5m",
+        "events_twa_1m",
+        "events_hist_1m",
+        "events_zscore_1m",
+        "events_top_movers_1h",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_tokenizer_fertility",
