@@ -199,6 +199,12 @@ def _q_events_top_movers(sf_dir: str):
     return events_top_movers_1h(sf_dir)
 
 
+def _q_events_autocorr(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_autocorr_1m
+
+    return events_autocorr_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -559,6 +565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed past the window, verified by scripts/driver_sim:
         "events_distinct_users_5m": _q_events_distinct_5m,
         "doc_tokenizer_fertility": td.tokenizer_fertility,
+        "events_autocorr_1m": _q_events_autocorr,
+        "doc_source_overlap": td.source_overlap,
+        "doc_commonness": td.commonness,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
@@ -949,6 +958,57 @@ def oracle_sql() -> dict[str, str]:
                    ((n * count - s) * (n * count - s) > 9 * (n * ss - s * s))
                        AS anomaly
             FROM w
+        """,
+        "events_autocorr_1m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b),
+            d AS (SELECT source, count,
+                         lag(count) OVER (PARTITION BY source ORDER BY b) AS p
+                  FROM f)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(count) AS BIGINT) AS s_cur,
+                   CAST(sum(p) AS BIGINT) AS s_prev,
+                   CAST(sum(count * p) AS BIGINT) AS s_cc,
+                   CAST(sum(count * count) AS BIGINT) AS s_cur2,
+                   CAST(sum(p * p) AS BIGINT) AS s_prev2
+            FROM d WHERE p IS NOT NULL GROUP BY 1
+        """,
+        "doc_source_overlap": """
+            WITH t AS (SELECT source, str_split(text, ' ') w FROM documents),
+            g AS (SELECT source, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            d AS (SELECT DISTINCT source, unnest(sh) s FROM g),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) n
+                    FROM d GROUP BY 1),
+            p AS (SELECT a.source sa, b.source sb, CAST(count(*) AS BIGINT) c
+                  FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT p.sa AS source_a, p.sb AS source_b, ta.n AS n_a,
+                   tb.n AS n_b, p.c AS n_common,
+                   CAST(1000 * p.c // (ta.n + tb.n - p.c) AS BIGINT)
+                       AS jaccard_permille
+            FROM p JOIN tot ta ON ta.source = p.sa
+                   JOIN tot tb ON tb.source = p.sb
+        """,
+        "doc_commonness": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            u AS (SELECT doc_id, unnest(w) AS word FROM t),
+            c AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) tf
+                  FROM u GROUP BY 1, 2),
+            g AS (SELECT word, CAST(sum(tf) AS BIGINT) ct FROM c GROUP BY 1)
+            SELECT c.doc_id, CAST(sum(c.tf) AS BIGINT) AS n_words,
+                   CAST(sum(c.tf * g.ct) AS BIGINT) AS commonness_sum
+            FROM c JOIN g USING (word) GROUP BY 1
         """,
         "events_top_movers_1h": """
             WITH r AS (

@@ -205,6 +205,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_hist_1m",
         "events_zscore_1m",
         "events_top_movers_1h",
+        "events_autocorr_1m",
+        "doc_source_overlap",
+        "doc_commonness",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_tokenizer_fertility",

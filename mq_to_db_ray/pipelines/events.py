@@ -1346,3 +1346,86 @@ def events_twa_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
     return hash_partition_merge(
         partials, "bucket_id", final_merge, k=_adaptive_k(sf_dir)
     )
+
+
+def events_autocorr_1m(sf_dir: str) -> Dataset:
+    """E31: lag-1 autocorrelation sufficient statistics of the per-minute
+    event count, per source, over the dense gap-filled grid — the
+    seasonality/burstiness detector of a timeseries store, reduced to its
+    exact-integer core.  For every adjacent grid pair (x_prev, x_cur)
+    within a source: n_pairs, Σx_cur, Σx_prev, Σx_cur², Σx_prev², and the
+    cross term Σx_cur·x_prev — the six sufficient statistics from which
+    r₁ = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) follows off-line;
+    emitting the statistics instead of the float keeps the DuckDB oracle
+    (lag window + SUMs) bit-exact.  Scale shape: E19 grid_lag supplies
+    predecessors ((source, window)+1-row-halo, no full-history task), a
+    stateless map squares/multiplies, and per-batch partials reduce per
+    source before ONE tiny source-hash merge (one row per (source, batch)
+    moves).  Output (source, n_pairs, s_cur, s_prev, s_cc, s_cur2,
+    s_prev2)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    from ..stages.temporal import grid_lag
+
+    grid = events_gapfill(sf_dir, "1m")
+    lagged = grid_lag(grid, "1m", ["count"], t0_us=EVENTS_T0_US)
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        lag = b["lag_count"].combine_chunks()
+        t = b.filter(pc.is_valid(lag))
+        x = t["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["lag_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        code = pc.cast(
+            pc.index_in(t["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(code, return_inverse=True)
+        cols = {
+            "src": np.ones(len(x), dtype=np.int64),  # n_pairs contributor
+            "s_cur": x,
+            "s_prev": p,
+            "s_cc": x * p,
+            "s_cur2": x * x,
+            "s_prev2": p * p,
+        }
+        out = {"src": pa.array(u, pa.int64())}
+        for name, v in cols.items():
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            out["n_pairs" if name == "src" else name] = pa.array(acc)
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in (
+                            "n_pairs", "s_cur", "s_prev", "s_cc",
+                            "s_cur2", "s_prev2",
+                        )
+                    },
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [
+                ("n_pairs", "sum"), ("s_cur", "sum"), ("s_prev", "sum"),
+                ("s_cc", "sum"), ("s_cur2", "sum"), ("s_prev2", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "source": pc.take(srcs, g["src"]),
+                "n_pairs": g["n_pairs_sum"],
+                "s_cur": g["s_cur_sum"],
+                "s_prev": g["s_prev_sum"],
+                "s_cc": g["s_cc_sum"],
+                "s_cur2": g["s_cur2_sum"],
+                "s_prev2": g["s_prev2_sum"],
+            }
+        )
+
+    partials = lagged.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "src", merge, k=1)

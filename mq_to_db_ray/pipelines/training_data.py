@@ -2552,3 +2552,231 @@ def tokenizer_fertility(sf_dir: str) -> Dataset:
         .groupby("source")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def source_overlap(sf_dir: str) -> Dataset:
+    """T37: cross-source n-gram overlap matrix — for every source pair,
+    how many DISTINCT 3-word shingles the two sources share, plus exact
+    Jaccard permille.  The corpus-composition diagnostic behind
+    mixture/dedup decisions ("is src3 a subset of src7?") and the
+    source-level view of T19's doc-level contamination check.
+    Output (source_a, source_b, n_a, n_b, n_common, jaccard_permille),
+    pairs ordered source_a < source_b (string order), zero-overlap pairs
+    absent — exactly the SQL self-join's shape.
+
+    Scale shape — text never shuffles, only (source-rank, shingle-hash)
+    int64 rows do:
+      1. one vectorized shingle pass per batch (textstats.shingles_flat)
+         reduced to per-(source, shingle) DISTINCT rows before the
+         exchange;
+      2. hash-partition by SHINGLE: every occurrence of a shingle meets in
+         one task, so its source set is decided locally; each shingle
+         emits C(m, 2) pair rows and per-source distinct-count partials —
+         ``source`` is a tiny-cardinality mixture-domain column (like the
+         reference's per-worker metric labels, metrics.go:115-123), so the
+         pair fan-out is bounded by C(n_sources, 2), NOT by corpus size;
+      3. the partials (<= parts * n_sources^2 rows) fold in one final
+         task.
+    Engine compares 64-bit shingle hashes, the oracle shingle STRINGS
+    (the T4/T19/T27 collision convention: a 2^-64 collision could merge
+    two shingles, never two sources — source identity is the exact
+    broadcast rank)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    n_src = len(srcs)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"])
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        src = code[rows]
+        # per-batch distinct (source, shingle): shingles_flat is distinct
+        # per ROW; two docs of one source in this batch may repeat one
+        h = sh.view(np.int64)
+        order = np.lexsort((h, src))
+        s2, h2 = src[order], h[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (s2[1:] != s2[:-1]) | (h2[1:] != h2[:-1])
+        return pa.table(
+            {
+                "shingle": pa.array(h2[keep], pa.int64()),
+                "src": pa.array(s2[keep], pa.int64()),
+            }
+        )
+
+    def fold_by_shingle(t: pa.Table) -> pa.Table:
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, h))
+        hs, ss = h[order], s[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        hs, ss = hs[keep], ss[keep]
+        # per-source distinct totals (each (source, shingle) lives in
+        # exactly this partition, so the bincount partial is exact)
+        tot = np.bincount(ss, minlength=n_src).astype(np.int64)
+        out_a = [np.arange(n_src, dtype=np.int64)]
+        out_b = [np.full(n_src, -1, dtype=np.int64)]
+        out_n = [tot]
+        # per-shingle source runs -> pair counts, vectorized per run size
+        newg = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            newg[0] = True
+            newg[1:] = hs[1:] != hs[:-1]
+            starts = np.flatnonzero(newg)
+            sizes = np.diff(np.append(starts, len(hs)))
+            pair_counts = np.zeros((n_src, n_src), dtype=np.int64)
+            for m in np.unique(sizes):
+                if m < 2:
+                    continue
+                mat = ss[
+                    (starts[sizes == m][:, None] + np.arange(m)[None, :])
+                ]  # (runs_of_size_m, m), each row ascending distinct srcs
+                for i in range(int(m) - 1):
+                    for j in range(i + 1, int(m)):
+                        np.add.at(pair_counts, (mat[:, i], mat[:, j]), 1)
+            pa_, pb_ = np.nonzero(pair_counts)
+            out_a.append(pa_.astype(np.int64))
+            out_b.append(pb_.astype(np.int64))
+            out_n.append(pair_counts[pa_, pb_])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    exploded = _docs(sf_dir, ["source", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(
+        exploded, "shingle", fold_by_shingle, k=_doc_k(sf_dir)
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.zeros(n_src, dtype=np.int64)
+        is_tot = b < 0
+        np.add.at(tot, a[is_tot], n[is_tot])
+        pair_counts = np.zeros((n_src, n_src), dtype=np.int64)
+        np.add.at(pair_counts, (a[~is_tot], b[~is_tot]), n[~is_tot])
+        pa_, pb_ = np.nonzero(pair_counts)
+        c = pair_counts[pa_, pb_]
+        na, nb = tot[pa_], tot[pb_]
+        return pa.table(
+            {
+                "source_a": pc.take(srcs, pa.array(pa_, pa.int64())),
+                "source_b": pc.take(srcs, pa.array(pb_, pa.int64())),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "n_common": pa.array(c, pa.int64()),
+                "jaccard_permille": pa.array(
+                    1000 * c // (na + nb - c), pa.int64()
+                ),
+            }
+        )
+
+    # the partials are <= parts * n_sources^2 tiny int64 rows; k=1 folds
+    # them in one task (hash & 0 == single partition)
+    return hash_partition_merge(partials, "a", final, k=1)
+
+
+def commonness(sf_dir: str) -> Dataset:
+    """T38: corpus-frequency commonness score — per document, the exact
+    sum over word OCCURRENCES of that word's corpus-wide occurrence count
+    (plus n_words).  High values = documents made of globally common
+    words; the integer-exact core of frequency-based quality signals
+    (a unigram-LM log-prob replaces ct with log p(w) in production — the
+    dataflow is identical, the log is the only float).
+    Output (doc_id, n_words, commonness_sum).
+
+    Scale shape — two narrow int64 exchanges, text never shuffles:
+      1. per batch: one vectorized word-hash pass (textstats.
+         batch_word_hashes) reduced to (word, doc, tf) term-frequency
+         rows via one lexsort;
+      2. hash-partition by WORD: every tf row of a word meets in one
+         task, so ct(word) = Σ tf is decided locally and folded into
+         per-doc PARTIAL Σ tf·ct — the corpus-wide count table is never
+         materialized or broadcast anywhere (contrast T19's broadcast,
+         which is only valid because the eval set is benchmark-sized);
+      3. hash-partition the (doc, n, s) partials by doc_id and sum.
+    Engine compares 64-bit word hashes, the oracle word STRINGS (the
+    T4/T19/T27 collision convention)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        uh, nw = ts.batch_word_hashes(batch["text"])
+        h = uh.view(np.int64)
+        doc = (
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        drep = np.repeat(doc, nw)
+        order = np.lexsort((h, drep))
+        d2, h2 = drep[order], h[order]
+        newg = np.empty(len(order), dtype=bool)
+        if len(order):
+            newg[0] = True
+            newg[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(newg)
+        tf = np.diff(np.append(starts, len(order)))
+        return pa.table(
+            {
+                "word": pa.array(h2[starts], pa.int64()),
+                "doc_id": pa.array(d2[starts], pa.int64()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    def fold_by_word(t: pa.Table) -> pa.Table:
+        h = t["word"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        uw, winv = np.unique(h, return_inverse=True)
+        # int64 np.add.at accumulators, NOT bincount(weights=...) — its
+        # float64 accumulation loses exactness past 2^53 at corpus scale
+        ct = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(ct, winv, tf)
+        ud, dinv = np.unique(d, return_inverse=True)
+        n_part = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(n_part, dinv, tf)
+        s_part = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(s_part, dinv, tf * ct[winv])
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n": pa.array(n_part),
+                "s": pa.array(s_part),
+            }
+        )
+
+    def fold_by_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "commonness_sum": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("doc_id", use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_words", "commonness_sum"])
+
+    kk = _doc_k(sf_dir)
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(exploded, "word", fold_by_word, k=kk)
+    return hash_partition_merge(partials, "doc_id", fold_by_doc, k=kk)

@@ -1,0 +1,134 @@
+"""Round-4 fourth-wave operators: cross-source shingle overlap matrix,
+corpus-frequency commonness score, lag-1 autocorrelation statistics —
+each vs a scalar brute-force reference (string shingles/words, exactly
+the oracle's identity, not the engine's 64-bit hashes)."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def _write_docs(tmp_path, seed: int, n: int = 120, n_src: int = 4):
+    import pyarrow.parquet as pq
+
+    g = _rng(seed)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    texts, srcs = [], []
+    for i in range(n):
+        k = int(g.integers(1, 25))  # includes <3-word docs
+        texts.append(" ".join(vocab[g.integers(0, len(vocab), k)]))
+        srcs.append(f"s{int(g.integers(0, n_src))}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return texts, srcs
+
+
+def _shingle_set(text: str) -> set[str]:
+    w = text.split(" ")
+    if len(w) < 3:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def test_source_overlap_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import source_overlap
+
+    texts, srcs = _write_docs(tmp_path, seed=61)
+    per_src: dict[str, set[str]] = collections.defaultdict(set)
+    for t, s in zip(texts, srcs):
+        per_src[s] |= _shingle_set(t)
+
+    got = (
+        source_overlap(str(tmp_path))
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    want = {}
+    for a, b in itertools.combinations(sorted(per_src), 2):
+        c = len(per_src[a] & per_src[b])
+        if c:
+            want[(a, b)] = (len(per_src[a]), len(per_src[b]), c)
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        na, nb, c = want[(row.source_a, row.source_b)]
+        assert (row.n_a, row.n_b, row.n_common) == (na, nb, c)
+        assert row.jaccard_permille == 1000 * c // (na + nb - c)
+
+
+def test_commonness_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import commonness
+
+    texts, _ = _write_docs(tmp_path, seed=67)
+    ct: dict[str, int] = collections.Counter()
+    for t in texts:
+        ct.update(t.split(" "))
+
+    got = (
+        commonness(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(texts)
+    for row in got.itertuples(index=False):
+        words = texts[int(row.doc_id)].split(" ")
+        assert row.n_words == len(words)
+        assert row.commonness_sum == sum(ct[w] for w in words)
+
+
+def test_autocorr_stats_match_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US, events_autocorr_1m
+
+    g = _rng(71)
+    n = 700
+    tier_us = 60 * 1_000_000
+    types = np.array(["a", "b", "c"])[g.integers(0, 3, n)]
+    ts = EVENTS_T0_US + g.integers(0, 50 * tier_us, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "event_type": pa.array(types.tolist()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(np.ones(n)),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    counts: dict[tuple[str, int], int] = collections.defaultdict(int)
+    for s, t in zip(types, ts):
+        counts[(s, t // tier_us)] += 1
+
+    got = events_autocorr_1m(str(tmp_path)).to_pandas().set_index("source")
+    for s in np.unique(types):
+        bks = [b for (s2, b) in counts if s2 == s]
+        lo, hi = min(bks), max(bks)
+        series = [counts.get((s, b), 0) for b in range(lo, hi + 1)]
+        pairs = list(zip(series[:-1], series[1:]))
+        row = got.loc[s]
+        assert row["n_pairs"] == len(pairs)
+        assert row["s_cur"] == sum(x for _, x in pairs)
+        assert row["s_prev"] == sum(p for p, _ in pairs)
+        assert row["s_cc"] == sum(p * x for p, x in pairs)
+        assert row["s_cur2"] == sum(x * x for _, x in pairs)
+        assert row["s_prev2"] == sum(p * p for p, _ in pairs)
