@@ -205,6 +205,12 @@ def _q_events_autocorr(sf_dir: str):
     return events_autocorr_1m(sf_dir)
 
 
+def _q_events_max_gap(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_max_gap
+
+    return events_max_gap(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -566,9 +572,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_5m": _q_events_distinct_5m,
         "doc_tokenizer_fertility": td.tokenizer_fertility,
         "events_autocorr_1m": _q_events_autocorr,
+        "events_max_gap": _q_events_max_gap,
         "doc_source_overlap": td.source_overlap,
         "doc_commonness": td.commonness,
         # --- no_oracle diagnostics (rows-only driver check) ---
+        "doc_source_overlap_minhash": td.source_overlap_minhash,
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
         "f1_metrics": _q_f1_metrics,
@@ -958,6 +966,17 @@ def oracle_sql() -> dict[str, str]:
                    ((n * count - s) * (n * count - s) > 9 * (n * ss - s * s))
                        AS anomaly
             FROM w
+        """,
+        "events_max_gap": """
+            WITH seq AS (
+                SELECT event_type AS source, ts,
+                       lag(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS pt
+                FROM events)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(max(epoch_us(ts) - epoch_us(pt)) AS BIGINT)
+                       AS max_gap_us
+            FROM seq WHERE pt IS NOT NULL GROUP BY 1
         """,
         "events_autocorr_1m": """
             WITH r AS (

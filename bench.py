@@ -206,7 +206,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_zscore_1m",
         "events_top_movers_1h",
         "events_autocorr_1m",
+        "events_max_gap",
         "doc_source_overlap",
+        "doc_source_overlap_minhash",
         "doc_commonness",
         "doc_token_count",
         "doc_token_count_bpe",

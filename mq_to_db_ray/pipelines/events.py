@@ -622,6 +622,86 @@ def events_distinct_users_hll_1m(sf_dir: str, p: int = 12) -> Dataset:
     )
 
 
+def _last_event_carries(tagged: Dataset, k: int | None = None) -> Dataset:
+    """The carried-prefix round shared by the order-dependent event scans
+    (events_increase_1m / events_twa_1m / events_max_gap): from rows
+    tagged (k, t, o, v, w), produce one carry row per (k, w) holding the
+    LAST event (by (t, o)) of the nearest EARLIER window of the same key.
+    Two narrow exchanges: a per-batch last-per-(k, w) combiner (so only
+    one summary row per (key, window, batch) shuffles) and a per-key
+    merge that shifts each key's window summaries forward one step."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def summarize(b: pa.Table) -> pa.Table:
+        kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = b["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, ww, kk))
+        ks, ws = kk[order], ww[order]
+        last = np.empty(len(order), dtype=bool)
+        last[-1] = True
+        last[:-1] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        sel = order[last]
+        return pa.table(
+            {
+                "k": pa.array(kk[sel]),
+                "w": pa.array(ww[sel]),
+                "t": pa.array(tt[sel]),
+                "o": pa.array(oo[sel]),
+                "v": pa.array(vv[sel]),
+            }
+        )
+
+    def carry_kernel(t_: pa.Table) -> pa.Table:
+        """Per key: each window's carry-in = the last event of the nearest
+        EARLIER window (strictly before; summaries are already one row per
+        (key, window))."""
+        empty = {c: pa.array([], pa.int64()) for c in ("k", "w", "t", "o", "v")}
+        if t_.num_rows == 0:
+            return pa.table(empty)
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = t_["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ww, kk))
+        ks, ws = kk[order], ww[order]
+        prev_same_key = np.empty(len(order), dtype=bool)
+        prev_same_key[0] = False
+        prev_same_key[1:] = ks[1:] == ks[:-1]
+        sel = np.flatnonzero(prev_same_key)
+        take_prev = pa.array(order[sel - 1], pa.int64())
+        return pa.table(
+            {
+                "k": pa.array(ks[sel]),
+                "w": pa.array(ws[sel]),
+                "t": t_["t"].combine_chunks().take(take_prev),
+                "o": t_["o"].combine_chunks().take(take_prev),
+                "v": t_["v"].combine_chunks().take(take_prev),
+            }
+        )
+
+    return hash_partition_merge(
+        tagged.map_batches(summarize, batch_format="pyarrow", batch_size=256 * 1024),
+        "k",
+        carry_kernel,
+        k=k,
+    )
+
+
+def _tag_carry(b: pa.Table) -> pa.Table:
+    """Re-shape carry rows to the tagged-event schema with carry=True."""
+    return pa.table(
+        {
+            "k": b["k"],
+            "t": b["t"],
+            "o": b["o"],
+            "v": b["v"],
+            "carry": pa.array(np.ones(b.num_rows, dtype=bool)),
+            "w": b["w"],
+        }
+    )
+
+
 def events_increase_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
     """Counter-reset-aware INCREASE per (event_type, minute) — PromQL's
     ``increase()`` over an irregular event stream, the rate primitive of
@@ -676,77 +756,10 @@ def events_increase_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Data
 
     tagged = ds.map_batches(narrow, batch_format="pyarrow")
 
-    def summarize(b: pa.Table) -> pa.Table:
-        """Last event per (source, window) per batch — (t, o, v) max by
-        (t, o), the same order the kernel scans in."""
-        kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        ww = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
-        tt = b["t"].combine_chunks().to_numpy(zero_copy_only=False)
-        oo = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
-        vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((oo, tt, ww, kk))
-        ks, ws = kk[order], ww[order]
-        last = np.empty(len(order), dtype=bool)
-        last[-1] = True
-        last[:-1] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
-        sel = order[last]
-        return pa.table(
-            {
-                "k": pa.array(kk[sel]),
-                "w": pa.array(ww[sel]),
-                "t": pa.array(tt[sel]),
-                "o": pa.array(oo[sel]),
-                "v": pa.array(vv[sel]),
-            }
-        )
-
-    def carry_kernel(t_: pa.Table) -> pa.Table:
-        """Per source: each window's carry-in = the last event of the
-        nearest EARLIER window (strictly before; summaries are already
-        one row per (source, window))."""
-        empty = {c: pa.array([], pa.int64()) for c in ("k", "w", "t", "o", "v")}
-        if t_.num_rows == 0:
-            return pa.table(empty)
-        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        ww = t_["w"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ww, kk))
-        ks, ws = kk[order], ww[order]
-        prev_same_key = np.empty(len(order), dtype=bool)
-        prev_same_key[0] = False
-        prev_same_key[1:] = ks[1:] == ks[:-1]
-        sel = np.flatnonzero(prev_same_key)
-        take_prev = pa.array(order[sel - 1], pa.int64())
-        return pa.table(
-            {
-                "k": pa.array(ks[sel]),
-                "w": pa.array(ws[sel]),
-                "t": t_["t"].combine_chunks().take(take_prev),
-                "o": t_["o"].combine_chunks().take(take_prev),
-                "v": t_["v"].combine_chunks().take(take_prev),
-            }
-        )
-
-    carries = hash_partition_merge(
-        tagged.map_batches(
-            summarize, batch_format="pyarrow", batch_size=256 * 1024
-        ),
-        "k",
-        carry_kernel,
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
     )
-
-    def tag_carry(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "k": b["k"],
-                "t": b["t"],
-                "o": b["o"],
-                "v": b["v"],
-                "carry": pa.array(np.ones(b.num_rows, dtype=bool)),
-                "w": b["w"],
-            }
-        )
-
-    full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
 
     def kernel(t_: pa.Table) -> pa.Table:
         if t_.num_rows == 0:
@@ -1187,70 +1200,10 @@ def events_twa_1m(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
 
     tagged = ds.map_batches(narrow, batch_format="pyarrow")
 
-    def summarize(b: pa.Table) -> pa.Table:
-        kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        ww = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
-        tt = b["t"].combine_chunks().to_numpy(zero_copy_only=False)
-        oo = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
-        vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((oo, tt, ww, kk))
-        ks, ws = kk[order], ww[order]
-        last = np.empty(len(order), dtype=bool)
-        last[-1] = True
-        last[:-1] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
-        sel = order[last]
-        return pa.table(
-            {
-                "k": pa.array(kk[sel]),
-                "w": pa.array(ww[sel]),
-                "t": pa.array(tt[sel]),
-                "o": pa.array(oo[sel]),
-                "v": pa.array(vv[sel]),
-            }
-        )
-
-    def carry_kernel(t_: pa.Table) -> pa.Table:
-        empty = {c: pa.array([], pa.int64()) for c in ("k", "w", "t", "o", "v")}
-        if t_.num_rows == 0:
-            return pa.table(empty)
-        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        ww = t_["w"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ww, kk))
-        ks, ws = kk[order], ww[order]
-        prev_same_key = np.empty(len(order), dtype=bool)
-        prev_same_key[0] = False
-        prev_same_key[1:] = ks[1:] == ks[:-1]
-        sel = np.flatnonzero(prev_same_key)
-        take_prev = pa.array(order[sel - 1], pa.int64())
-        return pa.table(
-            {
-                "k": pa.array(ks[sel]),
-                "w": pa.array(ws[sel]),
-                "t": t_["t"].combine_chunks().take(take_prev),
-                "o": t_["o"].combine_chunks().take(take_prev),
-                "v": t_["v"].combine_chunks().take(take_prev),
-            }
-        )
-
-    carries = hash_partition_merge(
-        tagged.map_batches(summarize, batch_format="pyarrow", batch_size=256 * 1024),
-        "k",
-        carry_kernel,
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
     )
-
-    def tag_carry(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "k": b["k"],
-                "t": b["t"],
-                "o": b["o"],
-                "v": b["v"],
-                "carry": pa.array(np.ones(b.num_rows, dtype=bool)),
-                "w": b["w"],
-            }
-        )
-
-    full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
 
     def kernel(t_: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1428,4 +1381,111 @@ def events_autocorr_1m(sf_dir: str) -> Dataset:
         )
 
     partials = lagged.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_max_gap(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
+    """E32: per-source maximum inter-event gap (and gap count) — the
+    silence/outage detector of a monitoring stack ("longest interval with
+    no events from this source"), in exact integer microseconds.  Gaps are
+    differences between consecutive events in (ts, event_id) order, an
+    order-dependent scan over unbounded per-source history: rows partition
+    by (source, ts-window) and :func:`_last_event_carries` supplies each
+    window's predecessor, so the kernel (one lexsort + shifted diff) never
+    needs a source's full history in one task; per-partition (count, max)
+    partials fold in one tiny source merge.  Output (source, n_gaps,
+    max_gap_us); oracle = lag window + max/count."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts_, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts_[:-1]
+        sel = has_prev & ~crs
+        if not sel.any():
+            return empty
+        gaps = ts_[sel] - pt[sel]
+        gk = ks[sel]
+        u, inv = np.unique(gk, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        mx = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(mx, inv, gaps)
+        return pa.table(
+            {
+                "src": pa.array(u, pa.int64()),
+                "n": pa.array(cnt),
+                "mx": pa.array(mx),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("n", "sum"), ("mx", "max")]
+        )
+        return pa.table(
+            {
+                "source": pc.take(srcs, g["src"]),
+                "n_gaps": g["n_sum"],
+                "max_gap_us": g["mx_max"],
+            }
+        )
+
     return hash_partition_merge(partials, "src", merge, k=1)

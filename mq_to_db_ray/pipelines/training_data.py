@@ -2554,6 +2554,28 @@ def tokenizer_fertility(sf_dir: str) -> Dataset:
     )
 
 
+def _src_shingle_rows(
+    batch: pa.Table, srcs: pa.Array
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch DISTINCT (source-rank, shingle-hash) int64 rows: one
+    vectorized shingle pass (shingles_flat is distinct per ROW; two docs
+    of one source in a batch may repeat a shingle, hence the dedupe).
+    Shared by T37 source_overlap (exact) and T39 its MinHash sketch."""
+    rows, sh = ts.shingles_flat(batch["text"])
+    code = pc.cast(
+        pc.index_in(batch["source"], value_set=srcs), pa.int64()
+    ).combine_chunks().to_numpy(zero_copy_only=False)
+    src = code[rows]
+    h = sh.view(np.int64)
+    order = np.lexsort((h, src))
+    s2, h2 = src[order], h[order]
+    keep = np.empty(len(order), dtype=bool)
+    if len(order):
+        keep[0] = True
+        keep[1:] = (s2[1:] != s2[:-1]) | (h2[1:] != h2[:-1])
+    return s2[keep], h2[keep]
+
+
 def source_overlap(sf_dir: str) -> Dataset:
     """T37: cross-source n-gram overlap matrix — for every source pair,
     how many DISTINCT 3-word shingles the two sources share, plus exact
@@ -2589,24 +2611,11 @@ def source_overlap(sf_dir: str) -> Dataset:
     n_src = len(srcs)
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows, sh = ts.shingles_flat(batch["text"])
-        code = pc.cast(
-            pc.index_in(batch["source"], value_set=srcs), pa.int64()
-        ).combine_chunks().to_numpy(zero_copy_only=False)
-        src = code[rows]
-        # per-batch distinct (source, shingle): shingles_flat is distinct
-        # per ROW; two docs of one source in this batch may repeat one
-        h = sh.view(np.int64)
-        order = np.lexsort((h, src))
-        s2, h2 = src[order], h[order]
-        keep = np.empty(len(order), dtype=bool)
-        if len(order):
-            keep[0] = True
-            keep[1:] = (s2[1:] != s2[:-1]) | (h2[1:] != h2[:-1])
+        s2, h2 = _src_shingle_rows(batch, srcs)
         return pa.table(
             {
-                "shingle": pa.array(h2[keep], pa.int64()),
-                "src": pa.array(s2[keep], pa.int64()),
+                "shingle": pa.array(h2, pa.int64()),
+                "src": pa.array(s2, pa.int64()),
             }
         )
 
@@ -2780,3 +2789,126 @@ def commonness(sf_dir: str) -> Dataset:
     )
     partials = hash_partition_merge(exploded, "word", fold_by_word, k=kk)
     return hash_partition_merge(partials, "doc_id", fold_by_doc, k=kk)
+
+
+def source_overlap_minhash(sf_dir: str, num_perm: int = 128) -> Dataset:
+    """T39: the 100 TB sketch path of T37 — estimate every source pair's
+    shingle Jaccard from per-source MinHash signatures instead of the
+    exact intersection.  T37's exchange is bounded by the number of TRUE
+    distinct (source, shingle) rows (the exact answer's floor, like
+    E23's distinct triples); this variant caps the exchange at
+    ``n_sources × num_perm`` int64 rows per batch REGARDLESS of corpus
+    size (the E23→E24 exact→sketch pattern).  Signature min is
+    associative, so per-batch partial signatures merge by elementwise
+    min — order- and partitioning-independent by construction.
+    Output (source_a, source_b, n_match, est_jaccard_permille), all
+    C(n_sources, 2) pairs of sources that have at least one shingle
+    (the estimator can also emit ~0 rows for disjoint pairs, unlike
+    T37's absent rows — consumers threshold, as with any sketch).
+    Rows-only (blake2b word hashes aren't SQL-expressible); pytest
+    checks estimate-vs-exact tolerance, merge associativity across
+    partitionings, and determinism."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    n_src = len(srcs)
+    av, bv = ts.minhash_params(num_perm)
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        src, h = _src_shingle_rows(batch, srcs)
+        out_s, out_p, out_v = [], [], []
+        for s in np.unique(src):
+            sig = ts.minhash_signature(
+                h[src == s].view(np.uint64), av, bv
+            )
+            out_s.append(np.full(num_perm, s, dtype=np.int64))
+            out_p.append(np.arange(num_perm, dtype=np.int64))
+            out_v.append(sig.view(np.int64))
+        if not out_s:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "perm": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(out_s)),
+                "perm": pa.array(np.concatenate(out_p)),
+                "v": pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    def merge_min(t: pa.Table) -> pa.Table:
+        # elementwise min per (src, perm) — uint64 order, not int64
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["perm"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((v, p, s))
+        ss, ps = s[order], p[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ss[1:] != ss[:-1]) | (ps[1:] != ps[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                "src": pa.array(s[sel]),
+                "perm": pa.array(p[sel]),
+                "v": pa.array(v[order][first].view(np.int64)),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sigs = hash_partition_merge(partials, "src", merge_min, k=_doc_k(sf_dir))
+
+    def final(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t["perm"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        mat = np.full((n_src, num_perm), mask64, dtype=np.uint64)
+        np.minimum.at(mat, (s, p), v)
+        present = np.zeros(n_src, dtype=bool)
+        present[np.unique(s)] = True
+        pa_i, pb_i, nm = [], [], []
+        for i in range(n_src - 1):
+            if not present[i]:
+                continue
+            js = np.flatnonzero(present[i + 1:]) + i + 1
+            if not len(js):
+                continue
+            m = (mat[js] == mat[i][None, :]).sum(axis=1)
+            pa_i.append(np.full(len(js), i, dtype=np.int64))
+            pb_i.append(js.astype(np.int64))
+            nm.append(m.astype(np.int64))
+        if not pa_i:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_match": pa.array([], pa.int64()),
+                    "est_jaccard_permille": pa.array([], pa.int64()),
+                }
+            )
+        pa_c = np.concatenate(pa_i)
+        pb_c = np.concatenate(pb_i)
+        nm_c = np.concatenate(nm)
+        return pa.table(
+            {
+                "source_a": pc.take(srcs, pa.array(pa_c, pa.int64())),
+                "source_b": pc.take(srcs, pa.array(pb_c, pa.int64())),
+                "n_match": pa.array(nm_c, pa.int64()),
+                "est_jaccard_permille": pa.array(
+                    1000 * nm_c // num_perm, pa.int64()
+                ),
+            }
+        )
+
+    # signatures are n_sources x num_perm tiny rows; fold in one task
+    return hash_partition_merge(sigs, "src", final, k=1)

@@ -56,12 +56,23 @@ def width_for_rows(rows: int, rows_per_part: int) -> int:
 
 
 def adaptive_width(parquet_path: str, rows_per_part: int) -> int:
-    """Shuffle width scaled to one parquet file's FOOTER row count (no data
+    """Shuffle width scaled to a parquet table's FOOTER row count (no data
     read) via :func:`width_for_rows`.  Shared rule for the temporal
-    operators' and the documents table's adaptive widths."""
+    operators' and the documents table's adaptive widths.  The path may be
+    a single file or a sharded directory of part files (the normal layout
+    at scale) — footers only, never data, are read either way."""
+    import os
+
     import pyarrow.parquet as pq
 
-    rows = pq.ParquetFile(parquet_path).metadata.num_rows
+    if os.path.isdir(parquet_path):
+        rows = sum(
+            pq.ParquetFile(os.path.join(parquet_path, f)).metadata.num_rows
+            for f in os.listdir(parquet_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        rows = pq.ParquetFile(parquet_path).metadata.num_rows
     return width_for_rows(rows, rows_per_part)
 
 

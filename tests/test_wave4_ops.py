@@ -132,3 +132,92 @@ def test_autocorr_stats_match_bruteforce(ray_session, tmp_path):
         assert row["s_cc"] == sum(p * x for p, x in pairs)
         assert row["s_cur2"] == sum(x * x for _, x in pairs)
         assert row["s_prev2"] == sum(p * p for p, _ in pairs)
+
+
+@pytest.mark.parametrize("window_us", [5 * 60 * 1_000_000, 86_400_000_000])
+def test_max_gap_matches_bruteforce(ray_session, tmp_path, window_us):
+    """window_us=5min forces gaps to span carried-prefix windows."""
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US, events_max_gap
+
+    g = _rng(73)
+    n = 500
+    types = np.array(["a", "b", "c"])[g.integers(0, 3, n)]
+    ts = EVENTS_T0_US + g.integers(0, 3_600_000_000 * 4, n).astype(np.int64)
+    ts[1] = ts[0]  # duplicate timestamp -> zero gap, still counted
+    types[1] = types[0]
+    tbl = pa.table(
+        {
+            "event_type": pa.array(types.tolist()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(np.ones(n)),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = (
+        events_max_gap(str(tmp_path), window_us=window_us)
+        .to_pandas()
+        .set_index("source")
+    )
+    for s in np.unique(types):
+        idx = np.flatnonzero(types == s)
+        order = idx[np.lexsort((idx, ts[idx]))]
+        gaps = np.diff(ts[order])
+        assert got.loc[s, "n_gaps"] == len(gaps)
+        assert got.loc[s, "max_gap_us"] == gaps.max()
+
+
+def test_source_overlap_minhash_estimates_and_associativity(
+    ray_session, tmp_path
+):
+    """Estimate within sketch tolerance of the exact T37 Jaccard; identical
+    output regardless of input sharding (signature min is associative)."""
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.training_data import (
+        source_overlap,
+        source_overlap_minhash,
+    )
+
+    texts, srcs = _write_docs(tmp_path, seed=79, n=200, n_src=3)
+    exact = source_overlap(str(tmp_path)).to_pandas()
+    exact_j = {
+        (r.source_a, r.source_b): r.jaccard_permille
+        for r in exact.itertuples(index=False)
+    }
+    est = (
+        source_overlap_minhash(str(tmp_path), num_perm=256)
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    # every pair within ~4 sigma of the exact Jaccard (sigma ~ sqrt(j(1-j)/k))
+    for r in est.itertuples(index=False):
+        j = exact_j.get((r.source_a, r.source_b), 0)
+        assert abs(r.est_jaccard_permille - j) <= 150, (r, j)
+
+    # associativity: same rows re-sharded into 4 part files (and a shuffled
+    # row order) -> bit-identical output, because per-batch signature
+    # partials merge by elementwise min
+    sharded = tmp_path / "sharded"
+    shard_dir = sharded / "documents.parquet"
+    shard_dir.mkdir(parents=True)
+    tbl = pq.read_table(tmp_path / "documents.parquet")
+    perm = _rng(80).permutation(tbl.num_rows)
+    tbl = tbl.take(pa.array(perm, pa.int64()))
+    qtr = tbl.num_rows // 4
+    for i in range(4):
+        lo = i * qtr
+        hi = tbl.num_rows if i == 3 else (i + 1) * qtr
+        pq.write_table(tbl.slice(lo, hi - lo), shard_dir / f"part-{i}.parquet")
+    est2 = (
+        source_overlap_minhash(str(sharded), num_perm=256)
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    assert est.equals(est2)
