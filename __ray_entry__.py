@@ -211,6 +211,12 @@ def _q_events_max_gap(sf_dir: str):
     return events_max_gap(sf_dir)
 
 
+def _q_events_quantiles_sketch(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_quantiles_sketch_1m
+
+    return events_quantiles_sketch_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -577,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": td.commonness,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "doc_source_overlap_minhash": td.source_overlap_minhash,
+        "events_quantiles_sketch_1m": _q_events_quantiles_sketch,
         "f1_series_roundtrip": _q_f1_series_roundtrip,
         "f1_tokens_passthrough": _q_f1_tokens_passthrough,
         "f1_metrics": _q_f1_metrics,

@@ -207,6 +207,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_top_movers_1h",
         "events_autocorr_1m",
         "events_max_gap",
+        "events_quantiles_sketch_1m",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -334,6 +334,34 @@ def events_cumsum_1m(sf_dir: str) -> Dataset:
     )
 
 
+def _disc_quantile_runs(
+    shs: np.ndarray, bs: np.ndarray, cs: np.ndarray, qs: tuple[int, ...]
+) -> tuple[np.ndarray, np.ndarray, dict[int, np.ndarray]]:
+    """Per-(source, bucket)-run discrete quantiles over rows already
+    lexsorted by (source-code, bucket, value-axis) with counts ``cs``:
+    returns (run starts, run totals, {q_permille: index of the first row
+    whose within-run cumulative count >= ceil(q*n)}) — quantile_disc rank
+    semantics, shared by the exact (E22) and DDSketch (E33) rollups."""
+    newg = np.empty(len(shs), dtype=bool)
+    newg[0] = True
+    newg[1:] = (shs[1:] != shs[:-1]) | (bs[1:] != bs[:-1])
+    starts = np.flatnonzero(newg)
+    gid = np.cumsum(newg) - 1
+    cum = np.cumsum(cs)
+    base = np.concatenate(([0], cum[starts[1:] - 1]))
+    cumw = cum - base[gid]                       # within-group cumulative
+    totals = np.add.reduceat(cs, starts)
+    n = len(shs)
+    idx = np.arange(n)
+    firsts = {}
+    for q in qs:
+        thr = (totals * q + 999) // 1000
+        flag = cumw >= thr[gid]
+        cand = np.where(flag, idx, n)
+        firsts[q] = np.minimum.reduceat(cand, starts)
+    return starts, totals, firsts
+
+
 def events_quantiles_1m(sf_dir: str) -> Dataset:
     """EXACT p50/p95 of floor(value) per (event_type, minute) — the
     latency-percentile rollup of an observability stack, via the
@@ -392,24 +420,10 @@ def events_quantiles_1m(sf_dir: str) -> Dataset:
         cnt = g["v_count_sum"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((v, b, sh))
         shs, bs, vs, cs = sh[order], b[order], v[order], cnt[order]
-        newg = np.empty(len(order), dtype=bool)
-        newg[0] = True
-        newg[1:] = (shs[1:] != shs[:-1]) | (bs[1:] != bs[:-1])
-        starts = np.flatnonzero(newg)
-        gid = np.cumsum(newg) - 1
-        cum = np.cumsum(cs)
-        base = np.concatenate(([0], cum[starts[1:] - 1]))
-        cumw = cum - base[gid]                       # within-group cumulative
-        totals = np.add.reduceat(cs, starts)
-        n = len(order)
-        idx = np.arange(n)
-        out = {}
-        for name, q in (("p50", 500), ("p95", 950)):
-            thr = (totals * q + 999) // 1000
-            flag = cumw >= thr[gid]
-            cand = np.where(flag, idx, n)
-            first = np.minimum.reduceat(cand, starts)
-            out[name] = vs[first]
+        starts, totals, firsts = _disc_quantile_runs(
+            shs, bs, cs, (500, 950)
+        )
+        out = {name: vs[firsts[q]] for name, q in (("p50", 500), ("p95", 950))}
         take = pa.array(order[starts], pa.int64())
         return pa.table(
             {
@@ -1489,3 +1503,122 @@ def events_max_gap(sf_dir: str, window_us: int = TEMPORAL_WINDOW_US) -> Dataset:
         )
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_quantiles_sketch_1m(
+    sf_dir: str, alpha_permille: int = 20
+) -> Dataset:
+    """E33: DDSketch-style approximate p50/p95 per (event_type, minute) —
+    the 100 TB path of E22's exact quantiles (the E23→E24 exact→sketch
+    pattern).  E22's exchange is bounded by the number of DISTINCT values
+    per bucket — exact, but unbounded for continuous metrics; this sketch
+    bins values into relative-accuracy log buckets (Masson, Lee & Rim,
+    "DDSketch", VLDB 2019: bin = ceil(ln v / ln γ), γ = (1+α)/(1-α)),
+    capping per-bucket state at O(log(range)/α) rows — ~350 bins for
+    int64 at α=2% — whatever the value distribution.  Bin counts merge by
+    SUM (associative, partitioning-independent), and the estimator
+    (2γⁱ/(γ+1), relative error ≤ α) shares E22's discrete-rank kernel
+    via _disc_quantile_runs, so the sketch and exact paths use one rank
+    semantics.  Zero and negative values get exact-zero and mirrored bins.
+    Output (source, bucket_ts, count, p50_est, p95_est) — rows-only
+    (estimates are floats by construction); pytest asserts the ≤ α
+    relative-error bound per group against the exact quantiles."""
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60 * 1_000_000
+    a = alpha_permille / 1000.0
+    gamma = (1.0 + a) / (1.0 - a)
+    ln_g = np.log(gamma)
+    ZERO_BIN = -(1 << 40)
+    NEG_OFF = -(1 << 41)
+
+    def to_bins(x: np.ndarray) -> np.ndarray:
+        out = np.empty(len(x), dtype=np.int64)
+        pos, neg = x > 0, x < 0
+        out[pos] = np.ceil(np.log(x[pos]) / ln_g).astype(np.int64)
+        out[x == 0] = ZERO_BIN
+        # mirrored: more negative -> larger magnitude -> smaller bin
+        out[neg] = NEG_OFF - np.ceil(np.log(-x[neg]) / ln_g).astype(np.int64)
+        return out
+
+    def from_bins(bins: np.ndarray) -> np.ndarray:
+        est = np.empty(len(bins), dtype=np.float64)
+        zero = bins == ZERO_BIN
+        neg = bins < NEG_OFF // 2
+        neg &= ~zero
+        pos = ~zero & ~neg
+        est[pos] = 2.0 * np.power(gamma, bins[pos].astype(np.float64)) / (gamma + 1.0)
+        est[zero] = 0.0
+        est[neg] = -2.0 * np.power(
+            gamma, (NEG_OFF - bins[neg]).astype(np.float64)
+        ) / (gamma + 1.0)
+        return est
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = np.floor_divide(ts_us - EVENTS_T0_US, tier_us)
+        vals = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "bucket_id": pa.array(bucket, pa.int64()),
+                "bin": pa.array(to_bins(vals), pa.int64()),
+            }
+        )
+        return t.group_by(["source", "bucket_id", "bin"], use_threads=False).aggregate(
+            [("bin", "count")]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "count": pa.array([], pa.int64()),
+                    "p50_est": pa.array([], pa.float64()),
+                    "p95_est": pa.array([], pa.float64()),
+                }
+            )
+        g = t.group_by(["source", "bucket_id", "bin"], use_threads=False).aggregate(
+            [("bin_count", "sum")]
+        )
+        src = g["source"].combine_chunks()
+        sh = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = g["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["bin"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = (
+            g["bin_count_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((v, b, sh))
+        shs, bs, vs, cs = sh[order], b[order], v[order], cnt[order]
+        starts, totals, firsts = _disc_quantile_runs(shs, bs, cs, (500, 950))
+        take = pa.array(order[starts], pa.int64())
+        return pa.table(
+            {
+                "source": src.take(take),
+                "bucket_ts": pa.array(
+                    bs[starts] * tier_us + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "count": pa.array(totals),
+                "p50_est": pa.array(from_bins(vs[firsts[500]])),
+                "p95_est": pa.array(from_bins(vs[firsts[950]])),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(
+        partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
+    )

@@ -221,3 +221,60 @@ def test_source_overlap_minhash_estimates_and_associativity(
         .reset_index(drop=True)
     )
     assert est.equals(est2)
+
+
+def test_quantile_sketch_error_bound(ray_session, tmp_path):
+    """DDSketch guarantee: each estimated quantile within alpha relative
+    error of the exact quantile_disc value, every (source, bucket)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.events import (
+        EVENTS_T0_US,
+        events_quantiles_sketch_1m,
+    )
+
+    g = _rng(83)
+    n = 2000
+    tier_us = 60 * 1_000_000
+    types = np.array(["a", "b"])[g.integers(0, 2, n)]
+    ts = EVENTS_T0_US + g.integers(0, 20 * tier_us, n).astype(np.int64)
+    # heavy-tailed values incl. zeros so the zero bin is exercised
+    val = np.where(
+        g.random(n) < 0.1, 0.0, np.exp(g.normal(3.0, 2.0, n))
+    )
+    tbl = pa.table(
+        {
+            "event_type": pa.array(types.tolist()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(val),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    alpha = 0.02
+    got = events_quantiles_sketch_1m(
+        str(tmp_path), alpha_permille=20
+    ).to_pandas()
+
+    groups: dict[tuple[str, int], list[int]] = collections.defaultdict(list)
+    for s, t, v in zip(types, ts, np.floor(val).astype(np.int64)):
+        groups[(s, t // tier_us)].append(int(v))
+    assert len(got) == len(groups)
+    for row in got.itertuples(index=False):
+        bk = row.bucket_ts.value // 1000 // tier_us
+        vs = sorted(groups[(row.source, bk)])
+        assert row.count == len(vs)
+        for q, est in ((0.5, row.p50_est), (0.95, row.p95_est)):
+            exact = vs[math.ceil(q * len(vs)) - 1]
+            if exact == 0:
+                assert est == 0.0
+            else:
+                # the sketch bins floor(value) ints; the bin's relative
+                # guarantee is alpha plus the <1 integer flooring slack
+                assert abs(est - exact) <= alpha * exact + 1e-9, (
+                    row.source, bk, q, est, exact,
+                )
