@@ -211,6 +211,18 @@ def _q_events_max_gap(sf_dir: str):
     return events_max_gap(sf_dir)
 
 
+def _q_events_seasonal(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_seasonal_profile
+
+    return events_seasonal_profile(sf_dir)
+
+
+def _q_events_user_hist(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_hist
+
+    return events_user_hist(sf_dir)
+
+
 def _q_events_quantiles_sketch(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_quantiles_sketch_1m
 
@@ -581,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_max_gap": _q_events_max_gap,
         "doc_source_overlap": td.source_overlap,
         "doc_commonness": td.commonness,
+        "events_seasonal_profile": _q_events_seasonal,
+        "events_user_hist": _q_events_user_hist,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "doc_source_overlap_minhash": td.source_overlap_minhash,
         "events_quantiles_sketch_1m": _q_events_quantiles_sketch,
@@ -1006,6 +1020,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(count * count) AS BIGINT) AS s_cur2,
                    CAST(sum(p * p) AS BIGINT) AS s_prev2
             FROM d WHERE p IS NOT NULL GROUP BY 1
+        """,
+        "events_seasonal_profile": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b)
+            SELECT source,
+                   CAST(extract(minute FROM b) AS BIGINT) AS minute_of_hour,
+                   CAST(count(*) AS BIGINT) AS n_slots,
+                   CAST(sum(count) AS BIGINT) AS total_count
+            FROM f GROUP BY 1, 2
+        """,
+        "events_user_hist": """
+            WITH p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1)
+            SELECT n AS events_per_user, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1
         """,
         "doc_source_overlap": """
             WITH t AS (SELECT source, str_split(text, ' ') w FROM documents),

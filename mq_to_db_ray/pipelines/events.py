@@ -1622,3 +1622,153 @@ def events_quantiles_sketch_1m(
     return hash_partition_merge(
         partials, "bucket_id", merge, k=_adaptive_k(sf_dir)
     )
+
+
+def events_seasonal_profile(sf_dir: str) -> Dataset:
+    """E35: seasonal minute-of-hour profile — per (source, minute-of-hour
+    0..59), how many grid minutes exist (n_slots) and the total event
+    count over them, computed over the DENSE gap-filled 1m grid so quiet
+    minutes weigh in as zeros.  The "what does a typical hour look like"
+    rollup of a timeseries dashboard, reduced to its exact-integer
+    sufficient statistics (avg/min-of-hour = total_count / n_slots
+    off-line; emitting the integers keeps the DuckDB oracle bit-exact).
+
+    Scale shape (E31 autocorr's): the grid arrives dense from gap_fill
+    (windowed, no full-history task), a stateless per-batch partial
+    reduces grid rows to at most sources x 60 rows via one np.add.at
+    group-reduce, and ONLY those partials shuffle — one tiny source-hash
+    merge (k=1; output cardinality is sources x 60 regardless of corpus
+    size).  Source identity is the exact broadcast rank (events_src_list),
+    not a hash (round-3 advice convention).  Output (source,
+    minute_of_hour, n_slots, total_count)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    grid = events_gapfill(sf_dir, "1m")
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    n_src = len(srcs)
+    tier_us = 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["bucket_ts"].cast(pa.int64()).combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        # t0 is hour-aligned, so (minutes since t0) mod 60 == extract(minute)
+        # (numpy floor-mod keeps this true for pre-t0 grids too)
+        moh = ((ts_us - EVENTS_T0_US) // tier_us) % 60
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        flat = code * 60 + moh
+        slots = np.zeros(n_src * 60, dtype=np.int64)
+        total = np.zeros(n_src * 60, dtype=np.int64)
+        np.add.at(slots, flat, 1)
+        np.add.at(total, flat, cnt)
+        nz = np.flatnonzero(slots)
+        return pa.table(
+            {
+                "key": pa.array(nz, pa.int64()),
+                "n_slots": pa.array(slots[nz]),
+                "total_count": pa.array(total[nz]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "minute_of_hour": pa.array([], pa.int64()),
+                    "n_slots": pa.array([], pa.int64()),
+                    "total_count": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("key", use_threads=False).aggregate(
+            [("n_slots", "sum"), ("total_count", "sum")]
+        )
+        key = g["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(key // 60, pa.int64())),
+                "minute_of_hour": pa.array(key % 60, pa.int64()),
+                "n_slots": g["n_slots_sum"],
+                "total_count": g["total_count_sum"],
+            }
+        )
+
+    partials = grid.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "key", merge, k=1)
+
+
+def events_user_hist(sf_dir: str) -> Dataset:
+    """E36: user-activity histogram — the distribution of events-per-user
+    (for each activity level n, how many users emitted exactly n events).
+    The aggregate-of-aggregates every engagement/abuse dashboard draws
+    ("how heavy is the heavy tail of senders"), exact by construction.
+
+    Scale shape — two exchanges, both NARROWER than their inputs:
+      1. per batch: one Arrow group_by reduces event rows to (user_id,
+         partial count) — at most distinct-users-per-batch rows move;
+      2. hash-partition by user_id: every partial of a user meets in one
+         task, exact per-user totals are decided locally, and the task
+         immediately re-reduces them to (events_per_user, n_users)
+         histogram partials — per-user rows never leave their partition;
+      3. one k=1 merge sums histogram partials (output cardinality =
+         number of DISTINCT activity levels, ~log-scale of corpus size).
+    Output (events_per_user, n_users)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id", use_threads=False).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(g["user_id"], pa.int64()),
+                "c": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "events_per_user": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("user_id", use_threads=False).aggregate([("c", "sum")])
+        n = g["c_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        lv, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "events_per_user": pa.array(lv, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def hist_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "events_per_user": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("events_per_user", use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["events_per_user", "n_users"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "events_per_user", hist_fold, k=1)
