@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": td.commonness,
         "events_seasonal_profile": _q_events_seasonal,
         "events_user_hist": _q_events_user_hist,
+        "doc_lexical_diversity": td.lexical_diversity,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "doc_source_overlap_minhash": td.source_overlap_minhash,
         "events_quantiles_sketch_1m": _q_events_quantiles_sketch,
@@ -1043,6 +1044,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM events GROUP BY 1)
             SELECT n AS events_per_user, CAST(count(*) AS BIGINT) AS n_users
             FROM p GROUP BY 1
+        """,
+        "doc_lexical_diversity": """
+            WITH u AS (SELECT source, unnest(str_split(text, ' ')) word
+                       FROM documents),
+            c AS (SELECT source, word, CAST(count(*) AS BIGINT) n
+                  FROM u GROUP BY 1, 2)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM c GROUP BY 1
         """,
         "doc_source_overlap": """
             WITH t AS (SELECT source, str_split(text, ' ') w FROM documents),

@@ -2912,3 +2912,116 @@ def source_overlap_minhash(sf_dir: str, num_perm: int = 128) -> Dataset:
 
     # signatures are n_sources x num_perm tiny rows; fold in one task
     return hash_partition_merge(sigs, "src", final, k=1)
+
+
+def lexical_diversity(sf_dir: str) -> Dataset:
+    """T40: per-source lexical diversity — exact token occurrences
+    (n_tokens), distinct word types (n_types), and hapax legomena count
+    (words occurring exactly once in the source's whole corpus, n_hapax).
+    Type/token and hapax ratios are the classic corpus-health signals
+    (vocabulary growth, boilerplate collapse) and follow off-line from the
+    integers; emitting the exact counts keeps the DuckDB oracle bit-exact.
+
+    Scale shape (T38 commonness's): text never shuffles —
+      1. per batch: one vectorized word-hash pass (textstats.
+         batch_word_hashes) reduced to distinct (word, source, n) rows via
+         one lexsort (n = occurrences of that word in this batch's slice
+         of the source);
+      2. hash-partition by WORD: every row of a word meets in one task, so
+         the source-wide total per (source, word) is decided locally and
+         immediately re-reduced to per-source (n_tokens, n_types, n_hapax)
+         partials — the corpus vocabulary is never materialized anywhere;
+      3. one k=1 merge sums partials (output = one row per source).
+    Engine compares 64-bit word hashes, the oracle word STRINGS (the
+    T4/T19/T27 collision convention).  Output (source, n_tokens, n_types,
+    n_hapax)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        uh, nw = ts.batch_word_hashes(batch["text"])
+        h = uh.view(np.int64)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        crep = np.repeat(code, nw)
+        order = np.lexsort((h, crep))
+        c2, h2 = crep[order], h[order]
+        newg = np.empty(len(order), dtype=bool)
+        if len(order):
+            newg[0] = True
+            newg[1:] = (c2[1:] != c2[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(newg)
+        n = np.diff(np.append(starts, len(order)))
+        return pa.table(
+            {
+                "word": pa.array(h2[starts], pa.int64()),
+                "src": pa.array(c2[starts], pa.int64()),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    def fold_by_word(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "n_hapax": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["src", "word"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        c = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(c, return_inverse=True)
+        toks = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(toks, inv, n)
+        typ = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        # int64 np.add.at, not bincount(weights=) — float64 accumulation
+        # (the T38 exactness rule)
+        hap = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(hap, inv, (n == 1).astype(np.int64))
+        return pa.table(
+            {
+                "src": pa.array(uc),
+                "n_tokens": pa.array(toks),
+                "n_types": pa.array(typ),
+                "n_hapax": pa.array(hap),
+            }
+        )
+
+    def fold_by_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_types", "sum"), ("n_hapax", "sum")]
+        )
+        return pa.table(
+            {
+                "source": pc.take(srcs, g["src"]),
+                "n_tokens": g["n_tokens_sum"],
+                "n_types": g["n_types_sum"],
+                "n_hapax": g["n_hapax_sum"],
+            }
+        )
+
+    kk = _doc_k(sf_dir)
+    exploded = _docs(sf_dir, ["source", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(exploded, "word", fold_by_word, k=kk)
+    return hash_partition_merge(partials, "src", fold_by_src, k=1)
