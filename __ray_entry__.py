@@ -229,6 +229,12 @@ def _q_events_quantiles_sketch(sf_dir: str):
     return events_quantiles_sketch_1m(sf_dir)
 
 
+def _q_events_ewma(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_ewma_1m
+
+    return events_ewma_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -597,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hist": _q_events_user_hist,
         "doc_lexical_diversity": td.lexical_diversity,
         # --- no_oracle diagnostics (rows-only driver check) ---
+        "events_ewma_1m": _q_events_ewma,
         "doc_source_overlap_minhash": td.source_overlap_minhash,
         "events_quantiles_sketch_1m": _q_events_quantiles_sketch,
         "f1_series_roundtrip": _q_f1_series_roundtrip,

@@ -1772,3 +1772,27 @@ def events_user_hist(sf_dir: str) -> Dataset:
         partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(per_user, "events_per_user", hist_fold, k=1)
+
+
+def events_ewma_1m(
+    sf_dir: str, alpha: float = 0.125, window_buckets: int = 4096
+) -> Dataset:
+    """E34: exponentially weighted moving average of the per-minute event
+    count over the dense gap-filled grid — the smoothed baseline an
+    alerting rule compares raw counts against (Prometheus' avg_over_time /
+    holt_winters family).  Zero-initialized recurrence
+    s_i = alpha*count_i + (1-alpha)*s_{i-1}; see stages/temporal.grid_ewma
+    for the distributed prefix-scan shape (per-window partials are
+    batch-summable, the driver folds O(sources x windows) floats, one
+    groupby applies the seeded in-window scan).  Float output, so this is
+    a rows-only driver entry; exactness vs the serial recurrence is pinned
+    by tests/test_wave6_ops.py.  Output (source, bucket_ts, count, ewma)."""
+    from ..stages.temporal import grid_ewma
+
+    grid = events_gapfill(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+    return grid_ewma(
+        grid, "1m", "count", alpha=alpha, t0_us=EVENTS_T0_US,
+        window_buckets=window_buckets,
+    )

@@ -584,6 +584,149 @@ def grid_cumsum(
     )
 
 
+def _ewma_scan(
+    x: np.ndarray, a: float, d: float, carry: float
+) -> np.ndarray:
+    """Serial recurrence s_i = a*x_i + d*s_{i-1} (s_{-1} = carry),
+    vectorized via the renormalized prefix form
+    ``s_t = d^t * cumsum(a * x_j * d^-j) + d^(t+1) * carry`` in chunks
+    small enough that ``x_j * d^-j`` cannot overflow float64 (exponent
+    budget 600 nats leaves ~1e47 of headroom for the data magnitude).
+    One numpy pass per chunk; the Python loop runs ``len(x) / chunk``
+    times (<= 7 for the default window sizes)."""
+    out = np.empty(len(x), dtype=np.float64)
+    if not len(x):
+        return out
+    if d <= 0.0:
+        out[:] = a * x
+        return out
+    chunk = max(1, min(1024, int(600.0 / max(1e-12, -np.log(d)))))
+    c = carry
+    for start in range(0, len(x), chunk):
+        seg = x[start : start + chunk]
+        t = np.arange(len(seg), dtype=np.float64)
+        dpow = d**t
+        s = dpow * np.cumsum(a * seg / dpow) + dpow * d * c
+        out[start : start + len(seg)] = s
+        c = s[-1]
+    return out
+
+
+def grid_ewma(
+    grid: Dataset,
+    tier: str,
+    col: str,
+    *,
+    alpha: float,
+    t0_us: int,
+    window_buckets: int = 4096,
+) -> Dataset:
+    """Exponentially weighted moving average of ``col`` over a DENSE
+    per-source grid — the zero-initialized recurrence
+    ``s_i = alpha*x_i + (1-alpha)*s_{i-1}`` (s_{-1} = 0), the smoothed
+    series every alerting rule compares its raw counts against.
+    Output: (source, bucket_ts, <col>, ewma).
+
+    A linear recurrence can't halo (unbounded lookback), but it IS a
+    prefix scan under the associative map (A, L) — grid_cumsum's shape
+    with a multiplicative twist:
+      1. one narrow pass emits per-(source, window_id) partials
+         ``A_w = alpha * sum d^(nominal_end_w - idx_j) * x_j`` — the
+         window's end-state under zero init.  The exponent depends only
+         on each row's own idx, so fragments of a window sum across
+         batches (unlike the end-state under an arbitrary init);
+      2. the driver scans each source's window partials
+         ``S_w = A_w + d^window_buckets * S_{w-1}`` (O(sources x windows)
+         floats, same bound as grid_cumsum's fold) and broadcasts the
+         exclusive carries;
+      3. each (source, window_id) group runs the in-window recurrence
+         seeded with its carry (one vectorized _ewma_scan).
+    Missing leading rows of a source's first window contribute exactly
+    zero under zero init, so the dense-interior grid invariant (gap_fill
+    output) is the only ordering assumption."""
+    import ray
+
+    step = TIERS[tier] * 1_000_000
+    d = 1.0 - alpha
+
+    def add_win(b: pa.Table) -> pa.Table:
+        return _add_windows(b, [col], t0_us, step, window_buckets, 0)
+
+    # same sanctioned materialize as grid_cumsum: both the fold and the
+    # final groupby consume the tagged grid
+    keyed = grid.map_batches(add_win, batch_format="pyarrow").materialize()
+
+    def window_partials(b: pa.Table) -> pa.Table:
+        idx = _i64(b["idx"])
+        win = _i64(b["window_id"])
+        x = _i64(b[col]).astype(np.float64)
+        e = (win + 1) * window_buckets - 1 - idx
+        t = pa.table(
+            {
+                "source": b["source"],
+                "window_id": b["window_id"],
+                "a_part": pa.array(alpha * np.power(d, e.astype(np.float64)) * x),
+            }
+        )
+        g = t.group_by(["source", "window_id"], use_threads=False).aggregate(
+            [("a_part", "sum")]
+        )
+        return g.rename_columns(["source", "window_id", "a_part"])
+
+    partials = keyed.map_batches(window_partials, batch_format="pyarrow")
+    agg = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow"))
+    ).group_by(["source", "window_id"]).aggregate([("a_part", "sum")])
+    src_d = pc.dictionary_encode(agg["source"].combine_chunks())
+    g_codes = src_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    g_uniq = src_d.dictionary
+    g_win = agg["window_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((g_win, g_codes))
+    g_codes, g_win = g_codes[order], g_win[order]
+    a_vals = (
+        agg["a_part_sum"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+    )
+    n_g = len(g_codes)
+    carries = np.zeros(n_g, dtype=np.float64)
+    if n_g:
+        dd = d**window_buckets
+        new_src = np.empty(n_g, dtype=bool)
+        new_src[0] = True
+        new_src[1:] = g_codes[1:] != g_codes[:-1]
+        starts = np.flatnonzero(new_src)
+        bounds = np.append(starts, n_g)
+        for si, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            s_scan = _ewma_scan(a_vals[lo:hi], 1.0, dd, 0.0)
+            carries[lo + 1 : hi] = s_scan[:-1]  # exclusive: C_w = S_{w-1}
+    w_off = int(g_win.min()) if n_g else 0
+    key_mult = int(g_win.max()) - w_off + 1 if n_g else 1
+    packed = g_codes * key_mult + (g_win - w_off)
+    bases_ref = ray.put((g_uniq, packed, carries, key_mult, w_off))
+
+    def ewma_group(g: pa.Table) -> pa.Table:
+        uniq, pk, cv, mult, woff = ray.get(bases_ref)
+        s = g["source"][0].as_py()
+        w = g["window_id"][0].as_py()
+        gcode = uniq.index(pa.scalar(s)).as_py()
+        c0 = cv[np.searchsorted(pk, gcode * mult + (int(w) - woff))]
+        idx = _i64(g["idx"])
+        order = np.argsort(idx, kind="stable")
+        take = pa.array(order, pa.int64())
+        x = _i64(g[col])[order].astype(np.float64)
+        return pa.table(
+            {
+                "source": g["source"].combine_chunks().take(take),
+                "bucket_ts": g["bucket_ts"].combine_chunks().take(take),
+                col: pa.array(x.astype(np.int64), pa.int64()),
+                "ewma": pa.array(_ewma_scan(x, alpha, d, float(c0))),
+            }
+        )
+
+    return keyed.groupby(["source", "window_id"]).map_groups(
+        ewma_group, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------
