@@ -208,9 +208,13 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_autocorr_1m",
         "events_max_gap",
         "events_quantiles_sketch_1m",
+        "events_seasonal_profile",
+        "events_user_hist",
+        "events_ewma_1m",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",
+        "doc_lexical_diversity",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_tokenizer_fertility",
