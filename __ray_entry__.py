@@ -602,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_profile": _q_events_seasonal,
         "events_user_hist": _q_events_user_hist,
         "doc_lexical_diversity": td.lexical_diversity,
+        "doc_freq_spectrum": td.freq_spectrum,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "doc_source_overlap_minhash": td.source_overlap_minhash,
@@ -1061,6 +1062,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_types,
                    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_hapax
+            FROM c GROUP BY 1
+        """,
+        "doc_freq_spectrum": """
+            WITH u AS (SELECT unnest(str_split(text, ' ')) word
+                       FROM documents),
+            c AS (SELECT word, CAST(count(*) AS BIGINT) n
+                  FROM u GROUP BY 1)
+            SELECT n AS word_count, CAST(count(*) AS BIGINT) AS n_words
             FROM c GROUP BY 1
         """,
         "doc_source_overlap": """

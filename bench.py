@@ -215,6 +215,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_source_overlap_minhash",
         "doc_commonness",
         "doc_lexical_diversity",
+        "doc_freq_spectrum",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_tokenizer_fertility",

@@ -3025,3 +3025,73 @@ def lexical_diversity(sf_dir: str) -> Dataset:
     )
     partials = hash_partition_merge(exploded, "word", fold_by_word, k=kk)
     return hash_partition_merge(partials, "src", fold_by_src, k=1)
+
+
+def freq_spectrum(sf_dir: str) -> Dataset:
+    """T41: corpus word-frequency spectrum — for each occurrence count c,
+    how many distinct words occur exactly c times corpus-wide.  The
+    frequency-of-frequencies vector behind Zipf-slope fits, Heaps-law
+    vocabulary projections and Good-Turing smoothing, exact by
+    construction (E36's aggregate-of-aggregates shape on the doc side;
+    T40's hapax count is this spectrum at c = 1).
+
+    Scale shape — text never shuffles, and both exchanges are narrower
+    than their inputs:
+      1. per batch: one vectorized word-hash pass reduced to distinct
+         (word, n) rows via np.unique;
+      2. hash-partition by WORD: corpus-wide totals are decided locally
+         and immediately re-reduced to (word_count, n_words) spectrum
+         partials — per-word rows never leave their partition;
+      3. one k=1 merge sums partials (output cardinality ~ log-scale of
+         corpus size).
+    Engine counts 64-bit word hashes, the oracle word STRINGS (the
+    T4/T19/T27 collision convention).  Output (word_count, n_words)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        uh, _ = ts.batch_word_hashes(batch["text"])
+        h, n = np.unique(uh.view(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(h, pa.int64()),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    def fold_by_word(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "word_count": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("word", use_threads=False).aggregate([("n", "sum")])
+        totals = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        c, nw = np.unique(totals, return_counts=True)
+        return pa.table(
+            {
+                "word_count": pa.array(c, pa.int64()),
+                "n": pa.array(nw.astype(np.int64)),
+            }
+        )
+
+    def fold_by_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "word_count": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("word_count", use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["word_count", "n_words"])
+
+    kk = _doc_k(sf_dir)
+    exploded = _docs(sf_dir, ["text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(exploded, "word", fold_by_word, k=kk)
+    return hash_partition_merge(partials, "word_count", fold_by_count, k=1)

@@ -180,3 +180,20 @@ def test_ewma_matches_serial(ray_session, tmp_path, window_buckets):
         np.testing.assert_allclose(
             sub["ewma"].to_numpy(), want, rtol=1e-9, atol=1e-12
         )
+
+
+def test_freq_spectrum_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import freq_spectrum
+
+    texts, _ = _write_docs(tmp_path, seed=89)
+    corpus = collections.Counter()
+    for t in texts:
+        corpus.update(t.split(" "))
+    want = collections.Counter(corpus.values())
+
+    got = freq_spectrum(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert want[row.word_count] == row.n_words
+    # hapax suffixes guarantee the c=1 bin exists
+    assert (got["word_count"] == 1).any()
