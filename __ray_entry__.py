@@ -235,6 +235,12 @@ def _q_events_ewma(sf_dir: str):
     return events_ewma_1m(sf_dir)
 
 
+def _q_events_cusum(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_cusum_1m
+
+    return events_cusum_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -603,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hist": _q_events_user_hist,
         "doc_lexical_diversity": td.lexical_diversity,
         "doc_freq_spectrum": td.freq_spectrum,
+        "events_cusum_detector_1m": _q_events_cusum,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "doc_source_overlap_minhash": td.source_overlap_minhash,
@@ -1071,6 +1078,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM u GROUP BY 1)
             SELECT n AS word_count, CAST(count(*) AS BIGINT) AS n_words
             FROM c GROUP BY 1
+        """,
+        "events_cusum_detector_1m": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b),
+            k AS (SELECT source,
+                         (sum(count) + count(*) - 1) // count(*) AS kk
+                  FROM f GROUP BY 1),
+            p AS (SELECT f.source, f.b, f.count,
+                         sum(f.count - k.kk) OVER (PARTITION BY f.source
+                                                   ORDER BY f.b) AS pp
+                  FROM f JOIN k USING (source))
+            SELECT source, b AS bucket_ts, CAST(count AS BIGINT) AS count,
+                   CAST(pp - least(0, min(pp) OVER (PARTITION BY source
+                                                    ORDER BY b))
+                        AS BIGINT) AS cusum
+            FROM p
         """,
         "doc_source_overlap": """
             WITH t AS (SELECT source, str_split(text, ' ') w FROM documents),

@@ -1796,3 +1796,22 @@ def events_ewma_1m(
         grid, "1m", "count", alpha=alpha, t0_us=EVENTS_T0_US,
         window_buckets=window_buckets,
     )
+
+
+def events_cusum_1m(sf_dir: str) -> Dataset:
+    """E37: one-sided CUSUM burst statistic of the per-minute event count
+    over the dense gap-filled grid — S_i = max(0, S_{i-1} + count_i - k)
+    with per-source integer drift k = ceil(mean count), the textbook
+    change-point/level-shift detector (Page 1954) a monitoring stack runs
+    beside its z-score rule (E28 flags single outliers; CUSUM accumulates
+    small sustained shifts).  Exact int64 throughout via the closed form
+    S_i = P_i - min(0, min_{j<=i} P_j) (P = running sum of count - k), so
+    the DuckDB oracle (window SUM + window MIN + the same ceil-mean) is
+    bit-exact; see stages/temporal.grid_cusum for the shuffle-free
+    three-pass scan.  Output (source, bucket_ts, count, cusum)."""
+    from ..stages.temporal import grid_cusum
+
+    grid = events_gapfill(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+    return grid_cusum(grid, "1m", "count", t0_us=EVENTS_T0_US)

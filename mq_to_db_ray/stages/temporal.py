@@ -727,6 +727,200 @@ def grid_ewma(
     )
 
 
+def grid_cusum(
+    grid: Dataset,
+    tier: str,
+    col: str,
+    *,
+    t0_us: int,
+) -> Dataset:
+    """One-sided CUSUM change detector over a DENSE per-source grid — the
+    classic burst/level-shift statistic ``S_i = max(0, S_{i-1} + x_i - k)``
+    with per-source integer drift ``k = ceil(mean(x))``, in its scan-free
+    closed form ``S_i = P_i - min(0, min_{j<=i} P_j)`` where ``P`` is the
+    running sum of ``y = x - k``.  Everything stays exact int64.
+    Output: (source, bucket_ts, <col>, cusum).
+
+    Scale shape — NO shuffle at all; three streaming passes over the one
+    sanctioned materialized grid (rolled points, the grid_cumsum bound):
+      A. batch-summable (source, n, sum) partials -> driver computes each
+         source's exact integer drift k (O(sources) rows);
+      B. with ``batch_size=None`` a batch IS a materialized block, so
+         blocks are identical across passes; each block lexsorts by
+         (source, idx) and emits one summary per CONTIGUOUS RUN
+         (source, start_idx, run_len, sum_y, min_prefix_y) — the grid is
+         dense per source (gap_fill invariant), so the runs of a source
+         tile its extent and the driver can fold them in idx order with
+         the associative pair rule (s1,m1)+(s2,m2) = (s1+s2, min(m1,
+         s1+m2)), O(blocks x sources-per-block) summaries total;
+      C. the same blocks re-derive their runs bit-identically, look up
+         each run's carried (base_P, min_before) via one searchsorted
+         into the broadcast fold, and finish with vectorized
+         cumsum/minimum.accumulate.
+    At 100 TB the driver fold stays tiny (summaries, never rows) and no
+    row-level exchange exists to skew."""
+    import ray
+
+    step = TIERS[tier] * 1_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        idx = (_i64(b["bucket_ts"]) - t0_us) // step
+        return b.select(["source", "bucket_ts", col]).append_column(
+            "idx", pa.array(idx, pa.int64())
+        )
+
+    keyed = grid.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # --- pass A: per-source totals -> integer drift k ---
+    def totals(b: pa.Table) -> pa.Table:
+        g = b.group_by("source", use_threads=False).aggregate(
+            [(col, "sum"), (col, "count")]
+        )
+        return g.rename_columns(["source", "s", "n"])
+
+    tot = pa.concat_tables(
+        list(
+            keyed.map_batches(totals, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    ).group_by("source").aggregate([("s", "sum"), ("n", "sum")])
+    src_sorted = pc.array_sort_indices(tot["source"].combine_chunks())
+    srcs = tot["source"].combine_chunks().take(src_sorted)
+    s_tot = _i64(tot["s_sum"])[src_sorted.to_numpy(zero_copy_only=False)]
+    n_tot = _i64(tot["n_sum"])[src_sorted.to_numpy(zero_copy_only=False)]
+    k_arr = np.zeros(len(srcs), dtype=np.int64)
+    nz = n_tot > 0
+    k_arr[nz] = (s_tot[nz] + n_tot[nz] - 1) // n_tot[nz]  # ceil(mean)
+    k_ref = ray.put((srcs, k_arr))
+
+    def _runs(b: pa.Table):
+        """Deterministic per-block segmentation: lexsort by (source, idx),
+        split on source change or idx jump.  Returns (order, code, idx,
+        starts) — identical in passes B and C because the block is."""
+        uniq, _ = ray.get(k_ref)
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=uniq), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        idx = _i64(b["idx"])
+        order = np.lexsort((idx, code))
+        c2, i2 = code[order], idx[order]
+        newr = np.empty(len(order), dtype=bool)
+        if len(order):
+            newr[0] = True
+            newr[1:] = (c2[1:] != c2[:-1]) | (i2[1:] != i2[:-1] + 1)
+        return order, c2, i2, np.flatnonzero(newr)
+
+    def run_summaries(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "start_idx": pa.array([], pa.int64()),
+                "run_len": pa.array([], pa.int64()),
+                "sum_y": pa.array([], pa.int64()),
+                "min_prefix_y": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        _, kv = ray.get(k_ref)
+        order, c2, i2, starts = _runs(b)
+        x = _i64(b[col])[order]
+        y = x - kv[c2]
+        p = np.cumsum(y)
+        bounds = np.append(starts, len(order))
+        # per-run exclusive base so prefix/min are run-local
+        base = np.repeat(p[starts] - y[starts], np.diff(bounds))
+        local = p - base
+        mins = np.minimum.reduceat(local, starts)
+        return pa.table(
+            {
+                "src": pa.array(c2[starts], pa.int64()),
+                "start_idx": pa.array(i2[starts], pa.int64()),
+                "run_len": pa.array(np.diff(bounds), pa.int64()),
+                "sum_y": pa.array(local[bounds[1:] - 1], pa.int64()),
+                "min_prefix_y": pa.array(mins, pa.int64()),
+            }
+        )
+
+    summ = pa.concat_tables(
+        list(
+            keyed.map_batches(
+                run_summaries, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    sc = summ["src"].combine_chunks().to_numpy(zero_copy_only=False)
+    si = summ["start_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    sl = summ["run_len"].combine_chunks().to_numpy(zero_copy_only=False)
+    sy = summ["sum_y"].combine_chunks().to_numpy(zero_copy_only=False)
+    sm = summ["min_prefix_y"].combine_chunks().to_numpy(zero_copy_only=False)
+    o = np.lexsort((si, sc))
+    sc, si, sl, sy, sm = sc[o], si[o], sl[o], sy[o], sm[o]
+    n_runs = len(sc)
+    base_p = np.zeros(n_runs, dtype=np.int64)
+    min_before = np.full(n_runs, np.iinfo(np.int64).max, dtype=np.int64)
+    if n_runs:
+        new_src = np.empty(n_runs, dtype=bool)
+        new_src[0] = True
+        new_src[1:] = sc[1:] != sc[:-1]
+        bnds = np.append(np.flatnonzero(new_src), n_runs)
+        for lo, hi in zip(bnds[:-1], bnds[1:]):
+            # dense-grid invariant: a source's runs tile its extent
+            assert (si[lo + 1 : hi] == si[lo:hi - 1] + sl[lo:hi - 1]).all()
+            cs = np.cumsum(sy[lo:hi])
+            base_p[lo + 1 : hi] = cs[:-1]
+            mp = np.minimum.accumulate(base_p[lo:hi] + sm[lo:hi])
+            min_before[lo + 1 : hi] = mp[:-1]
+    # packed (src, start_idx) lookup key; idx can be negative -> offset
+    i_off = int(si.min()) if n_runs else 0
+    i_mult = int(si.max()) - i_off + 1 if n_runs else 1
+    packed = sc * i_mult + (si - i_off)
+    fold_ref = ray.put((packed, base_p, min_before, i_mult, i_off))
+
+    def apply(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    col: pa.array([], pa.int64()),
+                    "cusum": pa.array([], pa.int64()),
+                }
+            )
+        _, kv = ray.get(k_ref)
+        pk, bp, mb, mult, ioff = ray.get(fold_ref)
+        order, c2, i2, starts = _runs(b)
+        x = _i64(b[col])[order]
+        y = x - kv[c2]
+        p = np.cumsum(y)
+        bounds = np.append(starts, len(order))
+        lens = np.diff(bounds)
+        base = np.repeat(p[starts] - y[starts], lens)
+        local = p - base  # run-local prefix sums
+        pos = np.searchsorted(pk, c2[starts] * mult + (i2[starts] - ioff))
+        gbase = np.repeat(bp[pos], lens)
+        gmin_b = np.repeat(mb[pos], lens)
+        gp = gbase + local  # global P per row
+        # running min of P within each run (reset at run starts); the loop
+        # is over RUNS (<= sources per block), not rows
+        m = np.empty_like(gp)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            m[lo:hi] = np.minimum.accumulate(gp[lo:hi])
+        m = np.minimum(m, gmin_b)
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "source": b["source"].combine_chunks().take(take),
+                "bucket_ts": b["bucket_ts"].combine_chunks().take(take),
+                col: pa.array(x, pa.int64()),
+                "cusum": pa.array(gp - np.minimum(m, 0), pa.int64()),
+            }
+        )
+
+    return keyed.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------

@@ -197,3 +197,57 @@ def test_freq_spectrum_matches_bruteforce(ray_session, tmp_path):
         assert want[row.word_count] == row.n_words
     # hapax suffixes guarantee the c=1 bin exists
     assert (got["word_count"] == 1).any()
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_cusum_matches_bruteforce(ray_session, tmp_path, n_blocks):
+    """grid_cusum on a shuffled, multi-block dense grid: random row order
+    scatters each source's run structure into per-block fragments (down
+    to singleton runs), which the driver fold must re-tile exactly."""
+    import ray.data as rd
+
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US
+    from mq_to_db_ray.stages.temporal import grid_cusum
+
+    g = _rng(97)
+    tier_us = 60 * 1_000_000
+    rows = []
+    for s, n in (("a", 300), ("b", 37), ("c", 1)):
+        counts = g.integers(0, 9, n)
+        counts[n // 2 :] += 6  # level shift mid-series: CUSUM must climb
+        for i, c in enumerate(counts):
+            rows.append((s, EVENTS_T0_US + i * tier_us, int(c)))
+    g.shuffle(rows)
+    tbl = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows]),
+            "bucket_ts": pa.array(
+                np.array([r[1] for r in rows], np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "count": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(n_blocks)
+    got = (
+        grid_cusum(ds, "1m", "count", t0_us=EVENTS_T0_US)
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+    by_src = collections.defaultdict(list)
+    for s, t, c in rows:
+        by_src[s].append((t, c))
+    n_checked = 0
+    for s, pairs in by_src.items():
+        pairs.sort()
+        xs = np.array([c for _, c in pairs], np.int64)
+        k = -(-int(xs.sum()) // len(xs))  # ceil(mean)
+        cu, want = 0, []
+        for x in xs:
+            cu = max(0, cu + int(x) - k)
+            want.append(cu)
+        sub = got[got["source"] == s]
+        assert sub["cusum"].tolist() == want
+        n_checked += len(want)
+    assert n_checked == len(got)
