@@ -514,18 +514,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import training_data as td
 
     # Ordering contract: the driver's correctness pass covers the FIRST 50
-    # keys, so every oracle-backed entry must sit inside that window.  The 10
-    # dedup/similarity/multimodal oracles (unchecked in round 3's window) come
-    # first, then the remaining oracle-backed entries; oracle-backed entries
-    # past position 50 are each either a redundant variant sharing its code
-    # path with an in-window entry (`doc_token_count_bpe` with
-    # doc_token_count; both cascaded events tiers and `f1_rollup_1d_cascaded`
-    # with f1_rollup_1h_cascaded's E4 path; `events_rollup_1m` and
-    # `doc_rollup_1m` with f1_rollup_1m's E3 path; `events_zscore_1m` a
-    # composition of in-window rolling_sum + an integer flag map;
-    # `events_top_movers_1h` a composition of in-window gap_fill + grid_lag +
-    # grouped_topk) or verified by scripts/driver_sim each round; the
-    # no_oracle diagnostics come last.
+    # keys, so with 69 oracle-backed entries the window is allocated by
+    # verification need: (a) the 10 dedup/similarity/multimodal oracles that
+    # fell past round 3's window come first; (b) every oracle-backed operator
+    # ADDED this round (twa/hist/distinct/increase/zscore/top_movers/
+    # distinct_5m/autocorr/max_gap/seasonal/user_hist/cusum, fertility/
+    # source_overlap/commonness/lexical_diversity/freq_spectrum) — none has a
+    # prior driver row; (c) round-3-green operators whose code paths CHANGED
+    # this round (asof/sessionize sub-windowing, locf/quantiles exact group
+    # identity, ohlc/top2 adaptive_k reuse, inverted_index int64 offsets,
+    # pack_sequences vectorized fold, dup-suite adaptive width + shared pair
+    # graph feeding corpus_prep).  Oracle-backed entries past position 50 are
+    # all round-3-driver-green with code paths unchanged this round, and most
+    # are additionally covered transitively by in-window entries (gap_fill
+    # feeds twa/locf/delta/cumsum/cusum; E3/E4 rollups feed the in-window
+    # cascades; doc_quality composes into doc_quality_filter; token_count
+    # into tokenizer_fertility) — and every oracle-backed entry, windowed or
+    # not, is re-verified by scripts/driver_sim each round.  The no_oracle
+    # diagnostics come last.
     return {
         # --- dedup suite (oracle-backed) ---
         "doc_exact_dedup": td.exact_dedup,
@@ -544,8 +550,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa_1m": _q_events_twa,
         "events_hist_1m": _q_events_hist,
         "events_distinct_users_1m": _q_events_distinct,
-        "events_gapfill_1m": _q_events_gapfill,
-        "events_reject_lane": _q_events_rejects,
         "events_asof_join": _q_events_asof,
         "events_rolling_5m": _q_events_rolling,
         "events_sessions": _q_events_sessions,
@@ -556,24 +560,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_locf_1m": _q_events_locf,
         "events_cumsum_1m": _q_events_cumsum,
         "events_quantiles_1m": _q_events_quantiles,
-        # --- flagship on the native F1 corpus ---
-        "f1_rollup_1m": _q_f1_rollup_1m,
-        "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
         "events_increase_1m": _q_events_increase,
+        # --- round-4 grid analytics (first driver check this round) ---
+        "events_zscore_1m": _q_events_zscore,
+        "events_top_movers_1h": _q_events_top_movers,
+        "events_distinct_users_5m": _q_events_distinct_5m,
+        "events_autocorr_1m": _q_events_autocorr,
+        "events_max_gap": _q_events_max_gap,
+        "events_seasonal_profile": _q_events_seasonal,
+        "events_user_hist": _q_events_user_hist,
+        "events_cusum_detector_1m": _q_events_cusum,
+        # --- flagship on the native F1 corpus ---
+        "f1_rollup_1h_cascaded": _q_f1_cascaded("1h"),
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
-        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
-        "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
-        "doc_token_count": td.token_count,
-        "doc_quality": td.quality_score,
-        "doc_stratified_sample": td.stratified_sample,
-        "doc_embedding_join": td.doc_embedding_join,
-        "doc_langid": td.lang_id,
-        "doc_repetition": td.repetition,
-        "doc_contamination": td.contamination,
+        "doc_tokenizer_fertility": td.tokenizer_fertility,
+        "doc_source_overlap": td.source_overlap,
+        "doc_commonness": td.commonness,
+        "doc_lexical_diversity": td.lexical_diversity,
+        "doc_freq_spectrum": td.freq_spectrum,
         "doc_length_quantiles": td.length_quantiles,
         "doc_length_filter": td.length_filter,
-        "doc_dup_ngrams": td.dup_ngrams,
         "doc_word_scrub": td.word_scrub,
         "doc_quality_filter": td.quality_filter,
         "doc_top_terms": td.top_terms,
@@ -584,32 +591,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
-        # --- past position 50: oracle-backed but redundant with entries
-        # above (the cascaded tiers here share E4's code path with the
-        # in-window f1_rollup_1h_cascaded; the direct rollups share E3's
-        # with f1_rollup_1m; bpe is a variant of doc_token_count; zscore /
-        # top_movers compose in-window rolling_sum / gap_fill+grid_lag+
-        # grouped_topk paths)
+        # --- past position 50: all round-3-driver-green, code unchanged
+        # this round, most covered transitively by in-window entries;
+        # re-verified by scripts/driver_sim each round ---
+        "events_gapfill_1m": _q_events_gapfill,
+        "events_reject_lane": _q_events_rejects,
+        "f1_rollup_1m": _q_f1_rollup_1m,
+        "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
+        "f1_token_topk": lambda sf_dir: td.token_topk(_f1_oracle_dir(sf_dir)),
+        "f1_bigram_topk": lambda sf_dir: td.bigram_topk(_f1_oracle_dir(sf_dir)),
+        "doc_token_count": td.token_count,
         "doc_token_count_bpe": td.token_count_bpe,
+        "doc_quality": td.quality_score,
+        "doc_stratified_sample": td.stratified_sample,
+        "doc_embedding_join": td.doc_embedding_join,
+        "doc_langid": td.lang_id,
+        "doc_repetition": td.repetition,
+        "doc_contamination": td.contamination,
+        "doc_dup_ngrams": td.dup_ngrams,
         "events_rollup_1m": _q_events_rollup("1m"),
         "doc_rollup_1m": _q_doc_rollup_1m,
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
-        "f1_rollup_1d_cascaded": _q_f1_cascaded("1d"),
-        "events_zscore_1m": _q_events_zscore,
-        "events_top_movers_1h": _q_events_top_movers,
-        # oracle-backed past the window, verified by scripts/driver_sim:
-        "events_distinct_users_5m": _q_events_distinct_5m,
-        "doc_tokenizer_fertility": td.tokenizer_fertility,
-        "events_autocorr_1m": _q_events_autocorr,
-        "events_max_gap": _q_events_max_gap,
-        "doc_source_overlap": td.source_overlap,
-        "doc_commonness": td.commonness,
-        "events_seasonal_profile": _q_events_seasonal,
-        "events_user_hist": _q_events_user_hist,
-        "doc_lexical_diversity": td.lexical_diversity,
-        "doc_freq_spectrum": td.freq_spectrum,
-        "events_cusum_detector_1m": _q_events_cusum,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "doc_source_overlap_minhash": td.source_overlap_minhash,
