@@ -211,6 +211,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_seasonal_profile",
         "events_user_hist",
         "events_ewma_1m",
+        "events_cusum_detector_1m",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",
