@@ -212,11 +212,14 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_user_hist",
         "events_ewma_1m",
         "events_cusum_detector_1m",
+        "events_user_conc_1m",
+        "events_interarrival_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",
         "doc_lexical_diversity",
         "doc_freq_spectrum",
+        "doc_word_concentration",
         "doc_token_count",
         "doc_token_count_bpe",
         "doc_tokenizer_fertility",

@@ -1815,3 +1815,266 @@ def events_cusum_1m(sf_dir: str) -> Dataset:
         ["source", "bucket_ts", "count"]
     )
     return grid_cusum(grid, "1m", "count", t0_us=EVENTS_T0_US)
+
+
+def events_user_conc_1m(sf_dir: str) -> Dataset:
+    """E38: per-(source, minute) user-concentration sufficient statistics
+    — total events ``n``, distinct users ``n_users``, and
+    ``sum_cc = sum_u c_u*(c_u-1)`` over each user's in-bucket event count.
+    Simpson concentration lambda = sum_cc / (n*(n-1)) — the "one user is
+    most of this minute's traffic" bot/abuse flag — follows off-line;
+    emitting exact int64 sufficient statistics keeps the DuckDB two-level
+    GROUP BY oracle bit-exact (the E31/E35 convention).
+
+    Scale shape — E36's aggregate-of-aggregates, keyed per bucket; both
+    exchanges NARROWER than their inputs:
+      1. per batch: one lexsort reduces event rows to distinct
+         (user_id, src, bucket, c) partials;
+      2. hash-partition by USER: every partial of a user meets in one
+         task, exact per-(user, src, bucket) counts are decided locally
+         and immediately re-reduced to per-(src, bucket) partials — rows
+         carrying a user_id never leave their partition;
+      3. bucket-hash merge sums the <= k partials per (src, bucket).
+    Output (source, bucket_ts, n, n_users, sum_cc)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    tier_us = 60_000_000
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        uu = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bk = ts_us // tier_us
+        order = np.lexsort((uu, bk, code))
+        cs, bs, us = code[order], bk[order], uu[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1]) | (us[1:] != us[:-1])
+        starts = np.flatnonzero(newg)
+        c = np.diff(np.append(starts, len(order)))
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts], pa.int64()),
+                "src": pa.array(cs[starts], pa.int64()),
+                "bucket_id": pa.array(bs[starts], pa.int64()),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "bucket_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "nu": pa.array([], pa.int64()),
+                "scc": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cs = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        bs = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((uu, bs, cs))
+        c2, b2, u2 = cs[order], bs[order], uu[order]
+        n = len(order)
+        # exact per-(src, bucket, user) totals (all of a user's partials
+        # are in this partition)
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = (c2[1:] != c2[:-1]) | (b2[1:] != b2[:-1]) | (u2[1:] != u2[:-1])
+        su = np.flatnonzero(newu)
+        cu = np.add.reduceat(cc[order], su)
+        # immediately re-reduce to per-(src, bucket) partials
+        cg, bg = c2[su], b2[su]
+        newg = np.empty(len(su), dtype=bool)
+        newg[0] = True
+        newg[1:] = (cg[1:] != cg[:-1]) | (bg[1:] != bg[:-1])
+        sg = np.flatnonzero(newg)
+        counts = np.diff(np.append(sg, len(su)))
+        return pa.table(
+            {
+                "src": pa.array(cg[sg], pa.int64()),
+                "bucket_id": pa.array(bg[sg], pa.int64()),
+                "n": pa.array(np.add.reduceat(cu, sg).astype(np.int64)),
+                "nu": pa.array(counts.astype(np.int64)),
+                "scc": pa.array(
+                    np.add.reduceat(cu * (cu - 1), sg).astype(np.int64)
+                ),
+            }
+        )
+
+    def final_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "sum_cc": pa.array([], pa.int64()),
+                }
+            )
+        cs = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        bs = t["bucket_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((bs, cs))
+        c2, b2 = cs[order], bs[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (c2[1:] != c2[:-1]) | (b2[1:] != b2[:-1])
+        starts = np.flatnonzero(newg)
+        out = {"source": pc.take(srcs, pa.array(c2[starts], pa.int64()))}
+        out["bucket_ts"] = pa.array(b2[starts] * tier_us, pa.int64()).cast(
+            pa.timestamp("us")
+        )
+        for name, col in (("n", "n"), ("n_users", "nu"), ("sum_cc", "scc")):
+            v = t[col].combine_chunks().to_numpy(zero_copy_only=False)[order]
+            out[name] = pa.array(np.add.reduceat(v, starts).astype(np.int64))
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_bucket = hash_partition_merge(
+        partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(
+        per_bucket, "bucket_id", final_merge, k=_adaptive_k(sf_dir)
+    )
+
+
+def events_interarrival_hist(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E39: per-source log2-binned inter-arrival histogram — for each
+    source, how many consecutive-event gaps fall in [2^(b-1), 2^b) exact
+    integer microseconds (bin 0 = zero-length gaps).  The latency/liveness
+    distribution behind burstiness and Poisson-ness diagnostics; E32's
+    max-gap is this histogram's top occupied bin.  Gaps are differences in
+    (ts, event_id) order, an order-dependent scan over unbounded per-source
+    history: rows partition by (source, ts-window), the shared
+    :func:`_last_event_carries` supplies each window's predecessor, and the
+    per-partition kernel bins its gaps locally — only (src, bin, n)
+    partials (<= 64 bins/source) reach the k=1 merge.  The bin index is a
+    pure bit-length (np.frexp exponent; exact for gaps < 2^53 us ~ 285
+    years), so the floor(log2)+1 DuckDB oracle is bit-exact.
+    Output (source, gap_bin, n_gaps)."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(carries.map_batches(_tag_carry, batch_format="pyarrow"))
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "gap_bin": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts_, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts_[:-1]
+        sel = has_prev & ~crs
+        if not sel.any():
+            return empty
+        gaps = ts_[sel] - pt[sel]
+        # bit-length bin: frexp's exponent e satisfies g = m * 2^e with
+        # 0.5 <= m < 1, so e == floor(log2(g)) + 1 for g > 0 and frexp(0)
+        # yields 0 — exact while gaps < 2^53 us
+        bins = np.frexp(gaps.astype(np.float64))[1].astype(np.int64)
+        pack = ks[sel] * 64 + bins
+        u, cnt = np.unique(pack, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(u // 64, pa.int64()),
+                "gap_bin": pa.array(u % 64, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "gap_bin": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                }
+            )
+        ss = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = t["gap_bin"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, ss))
+        s2, b2 = ss[order], bb[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (s2[1:] != s2[:-1]) | (b2[1:] != b2[:-1])
+        starts = np.flatnonzero(newg)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(s2[starts], pa.int64())),
+                "gap_bin": pa.array(b2[starts], pa.int64()),
+                "n_gaps": pa.array(
+                    np.add.reduceat(nn[order], starts).astype(np.int64)
+                ),
+            }
+        )
+
+    return hash_partition_merge(partials, "src", merge, k=1)

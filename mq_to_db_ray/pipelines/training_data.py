@@ -3095,3 +3095,58 @@ def freq_spectrum(sf_dir: str) -> Dataset:
     )
     partials = hash_partition_merge(exploded, "word", fold_by_word, k=kk)
     return hash_partition_merge(partials, "word_count", fold_by_count, k=1)
+
+
+def word_concentration(sf_dir: str) -> Dataset:
+    """T42: per-doc word-concentration sufficient statistics — token count
+    ``n_tokens``, distinct types ``n_types``, and
+    ``sum_cc = sum_w c_w*(c_w-1)`` over the doc's word counts.  Simpson
+    repetition concentration lambda = sum_cc / (n*(n-1)) follows off-line:
+    the probability two random tokens of the doc are the same word, the
+    smooth single-pass cousin of T18's fixed-n repetition ratios (high
+    lambda = keyword-stuffed/boilerplate text); exact int64 keeps the
+    DuckDB two-level GROUP BY oracle bit-exact.
+
+    Scale shape — NO shuffle at all: a document is one row, so its whole
+    word multiset is local to the batch; one vectorized word-hash pass
+    (textstats.batch_word_hashes) + one lexsort + two group-reduces per
+    batch, output exactly one row per input row.  Engine compares 64-bit
+    word hashes, the oracle word STRINGS (the T4/T19/T27 collision
+    convention).  Output (doc_id, n_tokens, n_types, sum_cc)."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "sum_cc": pa.array([], pa.int64()),
+                }
+            )
+        uh, nw = ts.batch_word_hashes(b["text"])
+        h = uh.view(np.int64)
+        did = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+        order = np.lexsort((h, did))
+        d2, h2 = did[order], h[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(newg)
+        c = np.diff(np.append(starts, len(order))).astype(np.int64)
+        run_doc = d2[starts]
+        n_types = np.bincount(run_doc, minlength=len(nw)).astype(np.int64)
+        scc = np.zeros(len(nw), dtype=np.int64)
+        np.add.at(scc, run_doc, c * (c - 1))
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_tokens": pa.array(nw.astype(np.int64)),
+                "n_types": pa.array(n_types),
+                "sum_cc": pa.array(scc),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
