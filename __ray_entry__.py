@@ -253,6 +253,12 @@ def _q_events_interarrival(sf_dir: str):
     return events_interarrival_hist(sf_dir)
 
 
+def _q_events_holt(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_holt_1m
+
+    return events_holt_1m(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -631,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
+        "events_holt_1m": _q_events_holt,
         "doc_source_overlap_minhash": td.source_overlap_minhash,
         "events_quantiles_sketch_1m": _q_events_quantiles_sketch,
         "f1_series_roundtrip": _q_f1_series_roundtrip,

@@ -211,6 +211,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_seasonal_profile",
         "events_user_hist",
         "events_ewma_1m",
+        "events_holt_1m",
         "events_cusum_detector_1m",
         "events_user_conc_1m",
         "events_interarrival_hist",

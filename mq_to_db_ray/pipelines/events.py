@@ -2078,3 +2078,29 @@ def events_interarrival_hist(
         )
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_holt_1m(
+    sf_dir: str, alpha: float = 0.2, beta: float = 0.1,
+    window_buckets: int = 4096,
+) -> Dataset:
+    """E40: Holt linear-trend (double exponential) smoothing of the
+    per-minute event count over the dense gap-filled grid — the
+    trend-aware forecasting baseline (PromQL holt_winters) one step up
+    from E34's plain EWMA: ``level`` tracks the smoothed count, ``trend``
+    its smoothed slope, so level + h*trend is the h-minute-ahead
+    forecast.  A 2x2 affine recurrence, distributed by eigen-decoupling
+    into two scalar prefix scans on grid_ewma's machinery (see
+    stages/temporal.grid_holt); float output, rows-only driver entry —
+    exactness vs the serial recurrence is pinned to rounding by
+    tests/test_wave7_ops.py.  Output (source, bucket_ts, count, level,
+    trend)."""
+    from ..stages.temporal import grid_holt
+
+    grid = events_gapfill(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+    return grid_holt(
+        grid, "1m", "count", alpha=alpha, beta=beta, t0_us=EVENTS_T0_US,
+        window_buckets=window_buckets,
+    )

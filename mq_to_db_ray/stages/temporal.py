@@ -1353,3 +1353,181 @@ def range_join(
 
     full = tagged.union(carries.map_batches(tag_carry, batch_format="pyarrow"))
     return _kw_partition(full, merge, shuffle_parts(k))
+
+
+def _linrec_scan_c(x, a, lam, carry) -> np.ndarray:
+    """Complex serial recurrence ``s_i = a*x_i + lam*s_{i-1}`` (s_{-1} =
+    carry) — _ewma_scan's renormalized chunked kernel over complex128
+    (the eigen-component form of a 2x2 affine scan).  Chunks are sized so
+    ``|lam|^-j`` cannot overflow float64; one numpy pass per chunk."""
+
+    out = np.empty(len(x), dtype=np.complex128)
+    if not len(x):
+        return out
+    mod = abs(lam)
+    if mod <= 0.0:
+        out[:] = a * x
+        return out
+    chunk = max(
+        1, min(1024, int(600.0 / max(1e-12, -np.log(min(mod, 1.0 - 1e-15)))))
+    )
+    c = complex(carry)
+    for start in range(0, len(x), chunk):
+        seg = x[start : start + chunk]
+        t = np.arange(len(seg), dtype=np.float64)
+        lpow = lam**t
+        s = lpow * np.cumsum(a * seg / lpow) + lpow * lam * c
+        out[start : start + len(seg)] = s
+        c = s[-1]
+    return out
+
+
+def _holt_basis(alpha: float, beta: float):
+    """Eigendecompose Holt's transition matrix.  The joint (level, trend)
+    update
+        l_i = alpha*x_i + d*(l_{i-1} + b_{i-1})          (d = 1-alpha)
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+    is the affine scan s_i = M s_{i-1} + x_i*(alpha, alpha*beta) with
+    M = [[d, d], [-alpha*beta, beta*d + 1 - beta]]; det(M) = 1-alpha.  In
+    M's eigenbasis the scan decouples into two INDEPENDENT scalar linear
+    recurrences u_k,i = gain_k*x_i + lam_k*u_k,{i-1} (lam may be a complex
+    conjugate pair — |lam| = sqrt(1-alpha) there), each of which the
+    grid_ewma machinery already distributes.  Returns (lam[2], gain[2] =
+    P^-1 @ (alpha, alpha*beta), P) as complex128."""
+    d = 1.0 - alpha
+    M = np.array(
+        [[d, d], [-alpha * beta, beta * d + 1.0 - beta]], dtype=np.complex128
+    )
+    lam, P = np.linalg.eig(M)
+    if np.linalg.cond(P) > 1e8:
+        raise ValueError(
+            "holt transition matrix is (near-)defective for "
+            f"alpha={alpha}, beta={beta}; perturb beta slightly"
+        )
+    gain = np.linalg.solve(P, np.array([alpha, alpha * beta], np.complex128))
+    return lam, gain, P
+
+
+def grid_holt(
+    grid: Dataset,
+    tier: str,
+    col: str,
+    *,
+    alpha: float,
+    beta: float,
+    t0_us: int,
+    window_buckets: int = 4096,
+) -> Dataset:
+    """Holt linear-trend (double exponential) smoothing of ``col`` over a
+    DENSE per-source grid — zero-initialized level+trend recurrence, the
+    trend-aware upgrade of grid_ewma every forecasting/alerting baseline
+    uses (holt_winters without seasonality).  Output: (source, bucket_ts,
+    <col>, level, trend) — floats; exactness vs the serial recurrence is
+    to rounding (the eigenbasis reassociates float ops), pinned by pytest
+    at rtol 1e-8.
+
+    Scale shape — grid_ewma's distributed prefix scan run over a PAIR of
+    eigen-decoupled scalar recurrences (see _holt_basis): one narrow pass
+    emits batch-summable per-(source, window) complex partials
+    ``A_k,w = gain_k * sum lam_k^(nominal_end - idx_j) * x_j`` (four float
+    columns), the driver scans ``S_k,w = A_k,w + lam_k^wb * S_k,{w-1}``
+    over O(sources x windows x 2) floats and broadcasts exclusive
+    carries, and each (source, window) group runs the two seeded in-window
+    scans and recombines level/trend through P.  Same exchange plan and
+    driver bound as grid_ewma; the matrix never appears at scale — only
+    its two eigenvalues do."""
+    import ray
+
+    step = TIERS[tier] * 1_000_000
+    lam, gain, P = _holt_basis(alpha, beta)
+
+    def add_win(b: pa.Table) -> pa.Table:
+        return _add_windows(b, [col], t0_us, step, window_buckets, 0)
+
+    keyed = grid.map_batches(add_win, batch_format="pyarrow").materialize()
+
+    def window_partials(b: pa.Table) -> pa.Table:
+        idx = _i64(b["idx"])
+        win = _i64(b["window_id"])
+        x = _i64(b[col]).astype(np.float64)
+        e = ((win + 1) * window_buckets - 1 - idx).astype(np.float64)
+        cols = {"source": b["source"], "window_id": b["window_id"]}
+        for k in range(2):
+            part = gain[k] * (lam[k] ** e) * x
+            cols[f"ar{k}"] = pa.array(part.real)
+            cols[f"ai{k}"] = pa.array(part.imag)
+        t = pa.table(cols)
+        g = t.group_by(["source", "window_id"], use_threads=False).aggregate(
+            [(c, "sum") for c in ("ar0", "ai0", "ar1", "ai1")]
+        )
+        return g.rename_columns(
+            ["source", "window_id", "ar0", "ai0", "ar1", "ai1"]
+        )
+
+    partials = keyed.map_batches(window_partials, batch_format="pyarrow")
+    agg = (
+        pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+        .group_by(["source", "window_id"])
+        .aggregate([(c, "sum") for c in ("ar0", "ai0", "ar1", "ai1")])
+    )
+    src_d = pc.dictionary_encode(agg["source"].combine_chunks())
+    g_codes = src_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    g_uniq = src_d.dictionary
+    g_win = agg["window_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((g_win, g_codes))
+    g_codes, g_win = g_codes[order], g_win[order]
+    a_vals = [
+        (
+            agg["ar%d_sum" % k].combine_chunks().to_numpy(zero_copy_only=False)
+            + 1j
+            * agg["ai%d_sum" % k]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )[order]
+        for k in range(2)
+    ]
+    n_g = len(g_codes)
+    carries = np.zeros((2, n_g), dtype=np.complex128)
+    if n_g:
+        new_src = np.empty(n_g, dtype=bool)
+        new_src[0] = True
+        new_src[1:] = g_codes[1:] != g_codes[:-1]
+        starts = np.flatnonzero(new_src)
+        bounds = np.append(starts, n_g)
+        for k in range(2):
+            dd = lam[k] ** window_buckets
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                s_scan = _linrec_scan_c(a_vals[k][lo:hi], 1.0, dd, 0.0)
+                carries[k, lo + 1 : hi] = s_scan[:-1]
+    w_off = int(g_win.min()) if n_g else 0
+    key_mult = int(g_win.max()) - w_off + 1 if n_g else 1
+    packed = g_codes * key_mult + (g_win - w_off)
+    bases_ref = ray.put((g_uniq, packed, carries, key_mult, w_off))
+
+    def holt_group(g: pa.Table) -> pa.Table:
+        uniq, pk, cv, mult, woff = ray.get(bases_ref)
+        s = g["source"][0].as_py()
+        w = g["window_id"][0].as_py()
+        gcode = uniq.index(pa.scalar(s)).as_py()
+        at = np.searchsorted(pk, gcode * mult + (int(w) - woff))
+        idx = _i64(g["idx"])
+        order = np.argsort(idx, kind="stable")
+        take = pa.array(order, pa.int64())
+        x = _i64(g[col])[order].astype(np.float64)
+        u0 = _linrec_scan_c(x, gain[0], lam[0], cv[0, at])
+        u1 = _linrec_scan_c(x, gain[1], lam[1], cv[1, at])
+        level = (P[0, 0] * u0 + P[0, 1] * u1).real
+        trend = (P[1, 0] * u0 + P[1, 1] * u1).real
+        return pa.table(
+            {
+                "source": g["source"].combine_chunks().take(take),
+                "bucket_ts": g["bucket_ts"].combine_chunks().take(take),
+                col: pa.array(x.astype(np.int64), pa.int64()),
+                "level": pa.array(level),
+                "trend": pa.array(trend),
+            }
+        )
+
+    return keyed.groupby(["source", "window_id"]).map_groups(
+        holt_group, batch_format="pyarrow"
+    )

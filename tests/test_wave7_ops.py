@@ -155,3 +155,48 @@ def test_word_concentration_matches_bruteforce(ray_session, tmp_path):
         assert int(out.loc[i, "sum_cc"]) == sum(
             c * (c - 1) for c in counts.values()
         )
+
+
+@pytest.mark.parametrize("window_buckets", [16, 4096])
+def test_holt_matches_serial_recurrence(ray_session, tmp_path, window_buckets):
+    """grid_holt (eigen-decoupled distributed scan) vs the literal serial
+    level/trend recurrence — to rounding (the eigenbasis reassociates
+    float ops), across window-boundary carries (wb=16 forces many)."""
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US, events_holt_1m
+
+    types, ts, _ = _write_events(tmp_path, seed=113, n=700, minutes=300)
+    tier_us = 60 * 1_000_000
+    alpha, beta = 0.2, 0.1
+
+    out = (
+        events_holt_1m(
+            str(tmp_path), alpha=alpha, beta=beta,
+            window_buckets=window_buckets,
+        )
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+    for src in np.unique(types):
+        sub = out[out.source == src]
+        # dense-grid counts between the source's first and last minute
+        bks = ts[types == src] // tier_us
+        lo, hi = bks.min(), bks.max()
+        counts = np.bincount((bks - lo).astype(np.int64), minlength=hi - lo + 1)
+        assert len(sub) == hi - lo + 1
+        assert sub["count"].to_numpy().tolist() == counts.tolist()
+        l = b = 0.0
+        want_l, want_b = [], []
+        for x in counts:
+            l_new = alpha * x + (1 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1 - beta) * b
+            l = l_new
+            want_l.append(l)
+            want_b.append(b)
+        np.testing.assert_allclose(
+            sub["level"].to_numpy(), want_l, rtol=1e-8, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            sub["trend"].to_numpy(), want_b, rtol=1e-8, atol=1e-8
+        )
