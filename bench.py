@@ -215,6 +215,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_cusum_detector_1m",
         "events_user_conc_1m",
         "events_interarrival_hist",
+        "events_source_corr",
+        "events_mad_anomaly_1m",
+        "events_busy_streaks",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -2104,3 +2104,421 @@ def events_holt_1m(
         grid, "1m", "count", alpha=alpha, beta=beta, t0_us=EVENTS_T0_US,
         window_buckets=window_buckets,
     )
+
+
+def events_source_corr(sf_dir: str) -> Dataset:
+    """E41: pairwise cross-source correlation sufficient statistics of the
+    per-minute event counts — "which feeds move together" (the fleet-level
+    incident-correlation primitive of a monitoring stack).  For every
+    ordered source pair a < b, over the GLOBAL dense minute grid
+    [min bucket, max bucket] with absent minutes = 0: n_buckets, Σa, Σb,
+    Σa·b, Σa², Σb² — the six exact-int64 sufficient statistics from which
+    Pearson r follows off-line.  Emitting statistics (not the float) keeps
+    the DuckDB oracle (self-join on bucket + SUMs) bit-exact.
+
+    Scale shape — zeros contribute nothing to any Σ, so the dense grid is
+    never materialized: the job runs on ROLLED points only (the
+    grid_cumsum bound).  One bucket-hash exchange co-locates each minute's
+    ≤k_src rows, every partition scatters its minutes into a (minutes ×
+    k_src) int64 matrix and emits ONE k_src×k_src partial Gram + column
+    sums + bucket bounds (O(k_src²) rows per partition, never minutes),
+    and a k=1 merge sums the tiny Grams.  Sources are the low-cardinality
+    axis by construction (reference routing keys), so k_src² stays
+    driver-safe at any row scale."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    k_src = len(srcs)
+    step = 60 * 1_000_000
+
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bkt": b["bucket_ts"].cast(pa.int64()),
+                "code": pc.cast(
+                    pc.index_in(b["source"], value_set=srcs), pa.int64()
+                ),
+                "c": b["count"],
+            }
+        )
+
+    PART_COLS = ("ia", "ib", "v")
+
+    def _empty_partial() -> pa.Table:
+        return pa.table({c: pa.array([], pa.int64()) for c in PART_COLS})
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_partial()
+        bkt = t["bkt"].combine_chunks().to_numpy(zero_copy_only=False)
+        code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(bkt, return_inverse=True)
+        C = np.zeros((len(u), k_src), dtype=np.int64)
+        C[inv, code] = c  # (bucket, source) unique post-rollup
+        G = C.T @ C
+        ia, ib = np.triu_indices(k_src)
+        out_ia = np.concatenate([ia, np.arange(k_src), [-2, -3]])
+        out_ib = np.concatenate(
+            [ib, np.full(k_src, -1, np.int64), [-2, -3]]
+        )
+        out_v = np.concatenate(
+            [G[ia, ib], C.sum(axis=0), [u.min(), u.max()]]
+        )
+        return pa.table(
+            {
+                "ia": pa.array(out_ia, pa.int64()),
+                "ib": pa.array(out_ib, pa.int64()),
+                "v": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    keyed = rolled.map_batches(to_int, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        keyed, "bkt", gram_partial, k=_adaptive_k(sf_dir)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in (
+                            "n_buckets", "s_a", "s_b", "s_ab", "s_aa", "s_bb"
+                        )
+                    },
+                }
+            )
+        ia = t["ia"].combine_chunks().to_numpy(zero_copy_only=False)
+        ib = t["ib"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = v[ia == -2].min()
+        hi = v[ia == -3].max()
+        n_buckets = (hi - lo) // step + 1
+        gram = np.zeros((k_src, k_src), dtype=np.int64)
+        colsum = np.zeros(k_src, dtype=np.int64)
+        pair = ia >= 0
+        np.add.at(gram, (ia[pair & (ib >= 0)], ib[pair & (ib >= 0)]),
+                  v[pair & (ib >= 0)])
+        np.add.at(colsum, ia[pair & (ib == -1)], v[pair & (ib == -1)])
+        a, b = np.triu_indices(k_src, k=1)
+        return pa.table(
+            {
+                "src_a": pc.take(srcs, pa.array(a, pa.int64())),
+                "src_b": pc.take(srcs, pa.array(b, pa.int64())),
+                "n_buckets": pa.array(
+                    np.full(len(a), n_buckets, np.int64)
+                ),
+                "s_a": pa.array(colsum[a]),
+                "s_b": pa.array(colsum[b]),
+                "s_ab": pa.array(gram[a, b]),
+                "s_aa": pa.array(gram[a, a]),
+                "s_bb": pa.array(gram[b, b]),
+            }
+        )
+
+    return hash_partition_merge(partials, "ia", finish, k=1)
+
+
+def events_mad_anomaly_1m(sf_dir: str, k_sigma: int = 4) -> Dataset:
+    """E42: per-source robust anomaly summary over the dense minute grid —
+    the median/MAD outlier rule every alerting stack runs (robust to the
+    very bursts it is hunting, unlike mean/stddev).  Per source: med =
+    discrete median of the per-minute counts, mad = discrete median of
+    |count − med|, n_anom = # minutes with |count − med| > k_sigma·mad.
+    All exact int64 under the repo's quantile_disc rank rule (smallest
+    value whose cumulative count ≥ ceil(q·n)), so the DuckDB
+    quantile_disc oracle matches bit-for-bit.
+
+    Scale shape — the dense grid is never materialized: the minute axis is
+    collapsed per batch into (source, value) FREQUENCY partials (plus
+    per-source bucket bounds), zeros re-enter arithmetically as
+    grid_len − Σfreq, and both medians + the anomaly count are read off
+    the merged histogram in one k=1 exchange.  Rows moved =
+    O(batches × distinct count values), never minutes; count values are
+    the long-tailed-but-small axis of a rollup, so the histogram stays
+    tiny at any row scale."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    step = 60 * 1_000_000
+
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("code", "value", "freq", "lo", "hi")
+                }
+            )
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, code))
+        co, cv = code[order], c[order]
+        new = np.empty(len(co), dtype=bool)
+        new[0] = True
+        new[1:] = (co[1:] != co[:-1]) | (cv[1:] != cv[:-1])
+        starts = np.flatnonzero(new)
+        freq = np.diff(np.append(starts, len(co)))
+        # per-code bucket bounds mapped onto the histogram rows
+        bo = bkt[order]
+        newc = np.empty(len(co), dtype=bool)
+        newc[0] = True
+        newc[1:] = co[1:] != co[:-1]
+        cstarts = np.flatnonzero(newc)
+        cid = np.cumsum(newc) - 1
+        lo_c = np.minimum.reduceat(bo, cstarts)
+        hi_c = np.maximum.reduceat(bo, cstarts)
+        return pa.table(
+            {
+                "code": pa.array(co[starts], pa.int64()),
+                "value": pa.array(cv[starts], pa.int64()),
+                "freq": pa.array(freq, pa.int64()),
+                "lo": pa.array(lo_c[cid[starts]], pa.int64()),
+                "hi": pa.array(hi_c[cid[starts]], pa.int64()),
+            }
+        )
+
+    def _disc(values: np.ndarray, freqs: np.ndarray, n: int) -> int:
+        """Smallest value whose cumulative freq >= ceil(n/2) — the repo's
+        quantile_disc rank rule at q=0.5 (events.py _disc_quantile_runs)."""
+        thr = (n * 500 + 999) // 1000
+        cum = np.cumsum(freqs)
+        return int(values[np.searchsorted(cum, thr)])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in ("med", "mad", "n_anom")
+                    },
+                }
+            )
+        code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+        value = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        freq = t["freq"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_code, out_med, out_mad, out_anom = [], [], [], []
+        for cd in np.unique(code):
+            m = code == cd
+            vals, inv = np.unique(value[m], return_inverse=True)
+            fr = np.zeros(len(vals), dtype=np.int64)
+            np.add.at(fr, inv, freq[m])
+            grid_len = (hi[m].max() - lo[m].min()) // step + 1
+            zeros = grid_len - fr.sum()
+            if zeros > 0:
+                vals = np.concatenate(([0], vals))
+                fr = np.concatenate(([zeros], fr))
+            med = _disc(vals, fr, int(grid_len))
+            dev = np.abs(vals - med)
+            dorder = np.argsort(dev, kind="stable")
+            dv, di = np.unique(dev[dorder], return_inverse=True)
+            df = np.zeros(len(dv), dtype=np.int64)
+            np.add.at(df, di, fr[dorder])
+            mad = _disc(dv, df, int(grid_len))
+            n_anom = int(df[dv > k_sigma * mad].sum())
+            out_code.append(int(cd))
+            out_med.append(med)
+            out_mad.append(mad)
+            out_anom.append(n_anom)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(out_code, pa.int64())),
+                "med": pa.array(out_med, pa.int64()),
+                "mad": pa.array(out_mad, pa.int64()),
+                "n_anom": pa.array(out_anom, pa.int64()),
+            }
+        )
+
+    partials = rolled.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "code", merge, k=1)
+
+
+def events_busy_streaks(
+    sf_dir: str, window_buckets: int = 4096
+) -> Dataset:
+    """E43: per-source busy-streak statistics — the longest run of
+    CONSECUTIVE minutes with ≥1 event, the number of such runs, and the
+    total busy minutes ("how long did the burst last / how fragmented is
+    this feed's activity").  Exact int64; the DuckDB oracle is the classic
+    gaps-and-islands window query (bucket − row_number islands).
+
+    Scale shape — runs only on ROLLED points (present minutes): one
+    (source, minute-window) hash exchange co-locates each window's present
+    buckets, every window collapses to ONE constant-size run summary
+    (n_runs, first/last bucket idx, first/last run length, max interior
+    run, busy total), and a k=1 merge folds each source's summaries in idx
+    order with the associative adjacency rule (runs join iff
+    left.last_idx + 1 == right.first_idx).  Rows moved after the first
+    exchange = O(sources × windows), never minutes — the grid_cusum
+    driver-fold bound, here inside one task."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    step = 60 * 1_000_000
+
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts"]
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        idx = (
+            b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            - EVENTS_T0_US
+        ) // step
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        win = idx // window_buckets
+        return pa.table(
+            {
+                "code": pa.array(code, pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+                "kw": pa.array(code * (1 << 40) + win, pa.int64()),
+            }
+        )
+
+    SUMM = ("code", "first_idx", "last_idx", "first_len", "last_len",
+            "mid_max", "n_runs", "busy")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in SUMM})
+        code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = t["idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        kw = t["kw"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, kw))
+        k2, i2 = kw[order], idx[order]
+        c2 = code[order]
+        # run break: window change or idx jump
+        newr = np.empty(len(order), dtype=bool)
+        newr[0] = True
+        newr[1:] = (k2[1:] != k2[:-1]) | (i2[1:] != i2[:-1] + 1)
+        rstarts = np.flatnonzero(newr)
+        rlen = np.diff(np.append(rstarts, len(order)))
+        # group runs per (code, window)
+        rk = k2[rstarts]
+        neww = np.empty(len(rk), dtype=bool)
+        neww[0] = True
+        neww[1:] = rk[1:] != rk[:-1]
+        wstarts = np.flatnonzero(neww)
+        wends = np.append(wstarts[1:], len(rk))
+        n_runs = wends - wstarts
+        first_len = rlen[wstarts]
+        last_len = rlen[wends - 1]
+        first_idx = i2[rstarts[wstarts]]
+        last_idx = i2[rstarts[wends - 1]] + rlen[wends - 1] - 1
+        busy = np.add.reduceat(rlen, wstarts)
+        # max over interior runs (exclude first and last of each window)
+        mid_max = np.zeros(len(wstarts), dtype=np.int64)
+        for j in range(len(wstarts)):
+            if n_runs[j] > 2:
+                mid_max[j] = rlen[wstarts[j] + 1 : wends[j] - 1].max()
+        return pa.table(
+            {
+                "code": pa.array(c2[rstarts[wstarts]], pa.int64()),
+                "first_idx": pa.array(first_idx, pa.int64()),
+                "last_idx": pa.array(last_idx, pa.int64()),
+                "first_len": pa.array(first_len, pa.int64()),
+                "last_len": pa.array(last_len, pa.int64()),
+                "mid_max": pa.array(mid_max, pa.int64()),
+                "n_runs": pa.array(n_runs, pa.int64()),
+                "busy": pa.array(busy, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in ("max_streak", "n_streaks", "n_busy")
+                    },
+                }
+            )
+        cols = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in SUMM
+        }
+        order = np.lexsort((cols["first_idx"], cols["code"]))
+        out_code, out_mx, out_n, out_busy = [], [], [], []
+        i = 0
+        n = len(order)
+        while i < n:
+            j = order[i]
+            cd = cols["code"][j]
+            # state: closed-run max mx, open last-run length L, last idx
+            mx = max(cols["mid_max"][j],
+                     cols["first_len"][j] if cols["n_runs"][j] > 1 else 0)
+            L = cols["last_len"][j]
+            if cols["n_runs"][j] == 1:
+                L = cols["first_len"][j]
+            last = cols["last_idx"][j]
+            nr = cols["n_runs"][j]
+            busy = cols["busy"][j]
+            i += 1
+            while i < n and cols["code"][order[i]] == cd:
+                j = order[i]
+                adj = last + 1 == cols["first_idx"][j]
+                if cols["n_runs"][j] == 1:
+                    if adj:
+                        L += cols["first_len"][j]
+                    else:
+                        mx = max(mx, L)
+                        L = cols["first_len"][j]
+                        nr += 1
+                else:
+                    if adj:
+                        mx = max(mx, L + cols["first_len"][j],
+                                 cols["mid_max"][j])
+                        nr += cols["n_runs"][j] - 1
+                    else:
+                        mx = max(mx, L, cols["first_len"][j],
+                                 cols["mid_max"][j])
+                        nr += cols["n_runs"][j]
+                    L = cols["last_len"][j]
+                last = cols["last_idx"][j]
+                busy += cols["busy"][j]
+                i += 1
+            out_code.append(int(cd))
+            out_mx.append(int(max(mx, L)))
+            out_n.append(int(nr))
+            out_busy.append(int(busy))
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(out_code, pa.int64())),
+                "max_streak": pa.array(out_mx, pa.int64()),
+                "n_streaks": pa.array(out_n, pa.int64()),
+                "n_busy": pa.array(out_busy, pa.int64()),
+            }
+        )
+
+    keyed = rolled.map_batches(key, batch_format="pyarrow")
+    summaries = hash_partition_merge(
+        keyed, "kw", summarize, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(summaries, "code", fold, k=1)

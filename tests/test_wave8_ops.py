@@ -1,0 +1,117 @@
+"""Round-4 eighth-wave operators: pairwise cross-source correlation
+sufficient statistics, per-source median/MAD robust anomaly summary, and
+per-source busy-streak (gaps-and-islands) statistics — each vs a scalar
+brute-force reference on synthetic inputs hitting the edge cases (sparse
+sources sharing few minutes, all-quiet sources with mad = 0, streaks
+crossing window boundaries, single-minute streaks)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.test_wave7_ops import _write_events
+
+TIER_US = 60 * 1_000_000
+
+
+def _rolled(types: np.ndarray, ts: np.ndarray) -> dict[tuple[str, int], int]:
+    return collections.Counter(zip(types.tolist(), (ts // TIER_US).tolist()))
+
+
+def test_source_corr_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_source_corr
+
+    types, ts, _ = _write_events(tmp_path, seed=131, n=800, minutes=240)
+    rolled = _rolled(types, ts)
+    buckets = sorted({b for _, b in rolled})
+    n_buckets = buckets[-1] - buckets[0] + 1
+    srcs = sorted(set(types.tolist()))
+
+    out = (
+        events_source_corr(str(tmp_path))
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+
+    for _, row in out.iterrows():
+        a, b = row.src_a, row.src_b
+        assert a < b
+        ca = {bk: c for (s, bk), c in rolled.items() if s == a}
+        cb = {bk: c for (s, bk), c in rolled.items() if s == b}
+        assert int(row.n_buckets) == n_buckets
+        assert int(row.s_a) == sum(ca.values())
+        assert int(row.s_b) == sum(cb.values())
+        assert int(row.s_aa) == sum(v * v for v in ca.values())
+        assert int(row.s_bb) == sum(v * v for v in cb.values())
+        assert int(row.s_ab) == sum(
+            ca[k] * cb[k] for k in set(ca) & set(cb)
+        )
+
+
+def _disc_median(values: list[int]) -> int:
+    """Smallest value whose cumulative count >= ceil(n/2) — the repo's
+    quantile_disc rank rule at q = 0.5."""
+    values = sorted(values)
+    return values[(len(values) + 1) // 2 - 1]
+
+
+def test_mad_anomaly_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_mad_anomaly_1m
+
+    types, ts, _ = _write_events(tmp_path, seed=137, n=1200, minutes=300)
+    rolled = _rolled(types, ts)
+
+    out = (
+        events_mad_anomaly_1m(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    for src in sorted(set(types.tolist())):
+        per = {bk: c for (s, bk), c in rolled.items() if s == src}
+        lo, hi = min(per), max(per)
+        grid = [per.get(bk, 0) for bk in range(lo, hi + 1)]
+        med = _disc_median(grid)
+        devs = [abs(x - med) for x in grid]
+        mad = _disc_median(devs)
+        n_anom = sum(1 for d in devs if d > 4 * mad)
+        assert int(out.loc[src, "med"]) == med
+        assert int(out.loc[src, "mad"]) == mad
+        assert int(out.loc[src, "n_anom"]) == n_anom
+
+
+@pytest.mark.parametrize("window_buckets", [4, 4096])
+def test_busy_streaks_matches_bruteforce(ray_session, tmp_path, window_buckets):
+    """wb=4 forces streaks to span many window summaries, exercising the
+    adjacency fold (join, no-join, single-run windows)."""
+    from mq_to_db_ray.pipelines.events import events_busy_streaks
+
+    types, ts, _ = _write_events(tmp_path, seed=139, n=600, minutes=200)
+    rolled = _rolled(types, ts)
+
+    out = (
+        events_busy_streaks(str(tmp_path), window_buckets=window_buckets)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    for src in sorted(set(types.tolist())):
+        present = sorted(bk for (s, bk), _ in rolled.items() if s == src)
+        runs = []
+        cur = 1
+        for prev, nxt in zip(present, present[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert int(out.loc[src, "max_streak"]) == max(runs)
+        assert int(out.loc[src, "n_streaks"]) == len(runs)
+        assert int(out.loc[src, "n_busy"]) == len(present)
