@@ -277,6 +277,12 @@ def _q_events_streaks(sf_dir: str):
     return events_busy_streaks(sf_dir)
 
 
+def _q_events_top_anomalies(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_top_anomalies
+
+    return events_top_anomalies(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -591,7 +597,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_sessions": _q_events_sessions,
         "events_session_join": _q_events_session_join,
-        "events_ohlc_1m": _q_events_ohlc,
         "events_top2_per_user": _q_events_top2,
         "events_locf_1m": _q_events_locf,
         "events_cumsum_1m": _q_events_cumsum,
@@ -611,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_corr": _q_events_source_corr,
         "events_mad_anomaly_1m": _q_events_mad,
         "events_busy_streaks": _q_events_streaks,
+        "events_top_anomalies": _q_events_top_anomalies,
         # --- flagship on the native F1 corpus ---
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
@@ -634,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-verified by scripts/driver_sim each round ---
         "events_rolling_5m": _q_events_rolling,
         "events_delta_1m": _q_events_delta,
+        "events_ohlc_1m": _q_events_ohlc,
         "events_gapfill_1m": _q_events_gapfill,
         "events_reject_lane": _q_events_rejects,
         "f1_rollup_1m": _q_f1_rollup_1m,
@@ -657,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rollup_1m": _q_doc_rollup_1m,
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
+        "events_rollup_1w_cascaded": _q_events_cascaded("1w"),
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -793,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_rollup_1h_cascaded": events_rollup.format(unit="hour"),
         "events_rollup_1d_cascaded": events_rollup.format(unit="day"),
+        "events_rollup_1w_cascaded": events_rollup.format(unit="week"),
         "events_gapfill_1m": """
             WITH r AS (
               SELECT event_type AS source,
@@ -1249,6 +1258,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_streaks,
                    CAST(sum(len) AS BIGINT) AS n_busy
             FROM runs GROUP BY 1
+        """,
+        "events_top_anomalies": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b),
+            m AS (SELECT source, CAST(quantile_disc(count, 0.5) AS BIGINT)
+                             AS med
+                  FROM f GROUP BY 1),
+            d AS (SELECT f.source, f.b,
+                         CAST(abs(f.count - m.med) AS BIGINT) AS dev
+                  FROM f JOIN m USING (source)),
+            rk AS (SELECT source, b, dev,
+                          CAST(row_number() OVER (PARTITION BY source
+                                                  ORDER BY dev DESC, b)
+                               AS BIGINT) AS rank
+                   FROM d)
+            SELECT source, b AS bucket_ts, dev, rank FROM rk WHERE rank <= 3
         """,
         "doc_source_overlap": """
             WITH t AS (SELECT source, str_split(text, ' ') w FROM documents),

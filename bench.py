@@ -218,6 +218,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_source_corr",
         "events_mad_anomaly_1m",
         "events_busy_streaks",
+        "events_top_anomalies",
+        "events_rollup_1w_cascaded",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

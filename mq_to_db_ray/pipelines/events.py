@@ -69,7 +69,13 @@ def events_rollup_cascaded(sf_dir: str, tier: str) -> Dataset:
         out = m1
     else:
         h1 = cascade(m1, "1m", "1h", t0_us=EVENTS_T0_US)
-        out = h1 if tier == "1h" else cascade(h1, "1h", "1d", t0_us=EVENTS_T0_US)
+        if tier == "1h":
+            out = h1
+        else:
+            d1 = cascade(h1, "1h", "1d", t0_us=EVENTS_T0_US)
+            out = d1 if tier == "1d" else cascade(
+                d1, "1d", "1w", t0_us=EVENTS_T0_US
+            )
     return out.drop_columns(["filled"])
 
 
@@ -2522,3 +2528,82 @@ def events_busy_streaks(
         keyed, "kw", summarize, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(summaries, "code", fold, k=1)
+
+
+def events_top_anomalies(sf_dir: str, kk: int = 3) -> Dataset:
+    """E44: per-source top-k most anomalous minutes — the ranked
+    "worst minutes" view an on-call dashboard shows, scored by the E42
+    robust deviation dev = |count − med| over the dense grid (med = the
+    source's discrete median minute count) and ranked (dev DESC, bucket
+    ASC).  Exact int64; the DuckDB oracle is quantile_disc + a
+    row_number window.  Output (source, bucket_ts, dev, rank).
+
+    Scale shape — a composition of two existing scale-safe stages: the
+    E42 histogram merge yields one med per source (O(sources) rows,
+    broadcast via ray.put), a stateless map scores the gap-filled grid,
+    and stages/shuffle.grouped_topk keeps ≤kk candidates per source in
+    its per-batch combiner, so only O(batches × sources × kk) candidate
+    rows ever shuffle."""
+    import ray
+
+    from ..stages.shuffle import grouped_topk
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    step = 60 * 1_000_000
+
+    med_t = pa.concat_tables(
+        list(
+            events_mad_anomaly_1m(sf_dir)
+            .select_columns(["source", "med"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    med = np.zeros(len(srcs), dtype=np.int64)
+    codes = pc.cast(
+        pc.index_in(med_t["source"], value_set=srcs), pa.int64()
+    ).combine_chunks().to_numpy(zero_copy_only=False)
+    med[codes] = med_t["med"].combine_chunks().to_numpy(zero_copy_only=False)
+    med_ref = ray.put(med)
+
+    def score(b: pa.Table) -> pa.Table:
+        mv = ray.get(med_ref)
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        idx = (
+            b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            - EVENTS_T0_US
+        ) // step
+        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "code": pa.array(code, pa.int64()),
+                "dev": pa.array(np.abs(c - mv[code]), pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+            }
+        )
+
+    grid = events_gapfill(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+    top = grouped_topk(
+        grid.map_batches(score, batch_format="pyarrow"),
+        key="code", value="dev", order_id="idx", kk=kk,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        idx = b["idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": pc.take(srcs, b["code"]),
+                "bucket_ts": pa.array(
+                    idx * step + EVENTS_T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "dev": b["dev"],
+                "rank": b["rank"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")

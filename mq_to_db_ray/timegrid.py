@@ -25,7 +25,12 @@ T0_US = T0_S * 1_000_000
 TICK_S = 1
 
 # Tier name -> bucket width in seconds. "raw" keeps per-second resolution.
-TIERS: dict[str, int] = {"raw": 1, "1m": 60, "1h": 3600, "1d": 86400}
+# "1w" extends the retention ladder one more cascade hop (7-day buckets from
+# t0; the events adapter's t0 2024-01-01 is a Monday, so weekly buckets
+# coincide with SQL date_trunc('week')).
+TIERS: dict[str, int] = {
+    "raw": 1, "1m": 60, "1h": 3600, "1d": 86400, "1w": 604800,
+}
 # The downsampling cascade: each tier aggregates the previous one.
 CASCADE: list[tuple[str, str]] = [("raw", "1m"), ("1m", "1h"), ("1h", "1d")]
 

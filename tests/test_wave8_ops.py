@@ -115,3 +115,56 @@ def test_busy_streaks_matches_bruteforce(ray_session, tmp_path, window_buckets):
         assert int(out.loc[src, "max_streak"]) == max(runs)
         assert int(out.loc[src, "n_streaks"]) == len(runs)
         assert int(out.loc[src, "n_busy"]) == len(present)
+
+
+def test_top_anomalies_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_top_anomalies
+
+    types, ts, _ = _write_events(tmp_path, seed=149, n=1000, minutes=240)
+    rolled = _rolled(types, ts)
+
+    out = (
+        events_top_anomalies(str(tmp_path))
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    tier_us = TIER_US
+    for src in sorted(set(types.tolist())):
+        per = {bk: c for (s, bk), c in rolled.items() if s == src}
+        lo, hi = min(per), max(per)
+        grid = [(bk, per.get(bk, 0)) for bk in range(lo, hi + 1)]
+        med = _disc_median([c for _, c in grid])
+        ranked = sorted(grid, key=lambda t: (-abs(t[1] - med), t[0]))[:3]
+        sub = out[out.source == src].reset_index(drop=True)
+        assert len(sub) == 3
+        for i, (bk, c) in enumerate(ranked):
+            assert int(sub.loc[i, "rank"]) == i + 1
+            assert int(sub.loc[i, "dev"]) == abs(c - med)
+            # pandas Timestamp.value is ns
+            assert int(sub.loc[i, "bucket_ts"].value) // 1000 == bk * tier_us
+
+
+def test_weekly_cascade_matches_direct(ray_session, tmp_path):
+    """1d -> 1w cascade hop == direct weekly rollup (E4 extended one tier)."""
+    from mq_to_db_ray.pipelines.events import events_rollup_cascaded
+
+    types, ts, _ = _write_events(tmp_path, seed=151, n=900,
+                                 minutes=60 * 24 * 20)
+    out = (
+        events_rollup_cascaded(str(tmp_path), "1w")
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US
+
+    # weeks are t0-aligned (2024-01-01, a Monday), not epoch-aligned
+    week_us = 7 * 86400 * 1_000_000
+    per = collections.Counter(
+        zip(types.tolist(), ((ts - EVENTS_T0_US) // week_us).tolist())
+    )
+    assert len(out) == len(per)
+    for _, row in out.iterrows():
+        wk = (row.bucket_ts.value // 1000 - EVENTS_T0_US) // week_us
+        assert per[(row.source, wk)] == int(row["count"])
