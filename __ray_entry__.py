@@ -283,6 +283,12 @@ def _q_events_top_anomalies(sf_dir: str):
     return events_top_anomalies(sf_dir)
 
 
+def _q_events_leadlag(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_leadlag_corr
+
+    return events_leadlag_corr(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -617,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_anomaly_1m": _q_events_mad,
         "events_busy_streaks": _q_events_streaks,
         "events_top_anomalies": _q_events_top_anomalies,
+        "events_leadlag_corr": _q_events_leadlag,
         # --- flagship on the native F1 corpus ---
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
@@ -632,7 +639,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
         "doc_shuffle_rank": cps.shuffle_rank,
-        "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
         # --- past position 50: all round-3-driver-green, code unchanged
@@ -665,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1h_cascaded": _q_events_cascaded("1h"),
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "events_rollup_1w_cascaded": _q_events_cascaded("1w"),
+        "doc_mixture_sample": cps.mixture_sample,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -1258,6 +1265,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_streaks,
                    CAST(sum(len) AS BIGINT) AS n_busy
             FROM runs GROUP BY 1
+        """,
+        "events_leadlag_corr": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            x AS (SELECT ra.source sa, rb.source sb,
+                         CAST(sum(ra.c * rb.c) AS BIGINT) v
+                  FROM r ra JOIN r rb ON rb.b = ra.b + INTERVAL 1 minute
+                  GROUP BY 1, 2),
+            p AS (SELECT a.source sa, b.source sb
+                  FROM (SELECT DISTINCT source FROM r) a
+                  CROSS JOIN (SELECT DISTINCT source FROM r) b)
+            SELECT p.sa AS src_a, p.sb AS src_b,
+                   COALESCE(x.v, CAST(0 AS BIGINT)) AS s_ab_lag1
+            FROM p LEFT JOIN x ON x.sa = p.sa AND x.sb = p.sb
         """,
         "events_top_anomalies": """
             WITH r AS (

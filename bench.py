@@ -220,6 +220,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_busy_streaks",
         "events_top_anomalies",
         "events_rollup_1w_cascaded",
+        "events_leadlag_corr",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -2607,3 +2607,102 @@ def events_top_anomalies(sf_dir: str, kk: int = 3) -> Dataset:
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def events_leadlag_corr(sf_dir: str) -> Dataset:
+    """E45: lag-1 lead/lag cross-product matrix — for every ORDERED source
+    pair (a, b), Σ_t c_a(t)·c_b(t+1) over the global dense minute grid
+    (absent minutes = 0), the directional "does a lead b by one minute"
+    statistic (asymmetric, unlike E41's contemporaneous Gram; the diagonal
+    is each source's lag-1 autocovariance cross term, tying out to E31).
+    Exact int64; DuckDB oracle = self-join on b + 1 minute.
+
+    Scale shape — E41's zero-vanishing trick with a ROLE axis: each rolled
+    row ships twice, once as the "current" vector at its own minute and
+    once as the "next" vector keyed to the PREVIOUS minute, so one
+    bucket-hash exchange co-locates u(t) = counts at t and v(t) = counts
+    at t+1; each partition accumulates Σ outer(u, v) — ONE k_src×k_src
+    int64 partial per partition, never minutes — and a k=1 merge sums the
+    tiny matrices."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    k_src = len(srcs)
+
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def two_roles(b: pa.Table) -> pa.Table:
+        bkt = b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ) // (60 * 1_000_000)
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([bkt, bkt - 1]), pa.int64()),
+                "role": pa.array(
+                    np.repeat([0, 1], len(bkt)), pa.int64()
+                ),
+                "code": pa.array(np.concatenate([code, code]), pa.int64()),
+                "c": pa.array(np.concatenate([c, c]), pa.int64()),
+            }
+        )
+
+    def outer_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("ia", "ib", "v")}
+            )
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(key, return_inverse=True)
+        U = np.zeros((len(u), k_src), dtype=np.int64)  # current at t
+        V = np.zeros((len(u), k_src), dtype=np.int64)  # next at t+1
+        cur = role == 0
+        U[inv[cur], code[cur]] = c[cur]
+        V[inv[~cur], code[~cur]] = c[~cur]
+        M = U.T @ V
+        ia, ib = np.divmod(np.arange(k_src * k_src), k_src)
+        return pa.table(
+            {
+                "ia": pa.array(ia, pa.int64()),
+                "ib": pa.array(ib, pa.int64()),
+                "v": pa.array(M.ravel(), pa.int64()),
+            }
+        )
+
+    keyed = rolled.map_batches(two_roles, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        keyed, "key", outer_partial, k=_adaptive_k(sf_dir)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "s_ab_lag1": pa.array([], pa.int64()),
+                }
+            )
+        ia = t["ia"].combine_chunks().to_numpy(zero_copy_only=False)
+        ib = t["ib"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        M = np.zeros((k_src, k_src), dtype=np.int64)
+        np.add.at(M, (ia, ib), v)
+        a, b = np.divmod(np.arange(k_src * k_src), k_src)
+        return pa.table(
+            {
+                "src_a": pc.take(srcs, pa.array(a, pa.int64())),
+                "src_b": pc.take(srcs, pa.array(b, pa.int64())),
+                "s_ab_lag1": pa.array(M.ravel(), pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(partials, "ia", finish, k=1)

@@ -168,3 +168,25 @@ def test_weekly_cascade_matches_direct(ray_session, tmp_path):
     for _, row in out.iterrows():
         wk = (row.bucket_ts.value // 1000 - EVENTS_T0_US) // week_us
         assert per[(row.source, wk)] == int(row["count"])
+
+
+def test_leadlag_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_leadlag_corr
+
+    types, ts, _ = _write_events(tmp_path, seed=157, n=900, minutes=180)
+    rolled = _rolled(types, ts)
+    srcs = sorted(set(types.tolist()))
+
+    out = (
+        events_leadlag_corr(str(tmp_path))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+        .sort_index()
+    )
+    assert len(out) == len(srcs) ** 2
+    for a in srcs:
+        ca = {bk: c for (s, bk), c in rolled.items() if s == a}
+        for b in srcs:
+            cb = {bk: c for (s, bk), c in rolled.items() if s == b}
+            want = sum(c * cb.get(bk + 1, 0) for bk, c in ca.items())
+            assert int(out.loc[(a, b), "s_ab_lag1"]) == want
