@@ -2233,7 +2233,9 @@ def events_source_corr(sf_dir: str) -> Dataset:
     return hash_partition_merge(partials, "ia", finish, k=1)
 
 
-def events_mad_anomaly_1m(sf_dir: str, k_sigma: int = 4) -> Dataset:
+def events_mad_anomaly_1m(
+    sf_dir: str, k_sigma: int = 4, *, rolled: Dataset | None = None
+) -> Dataset:
     """E42: per-source robust anomaly summary over the dense minute grid —
     the median/MAD outlier rule every alerting stack runs (robust to the
     very bursts it is hunting, unlike mean/stddev).  Per source: med =
@@ -2250,15 +2252,20 @@ def events_mad_anomaly_1m(sf_dir: str, k_sigma: int = 4) -> Dataset:
     the merged histogram in one k=1 exchange.  Rows moved =
     O(batches × distinct count values), never minutes; count values are
     the long-tailed-but-small axis of a rollup, so the histogram stays
-    tiny at any row scale."""
+    tiny at any row scale.
+
+    ``rolled`` lets a caller share an already-built (source, bucket_ts,
+    count) rollup (the cascade's shared-tier convention) — E44 threads its
+    materialized 1m tier through to avoid rolling the raw table twice."""
     from ..stages.shuffle import hash_partition_merge
 
     srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
     step = 60 * 1_000_000
 
-    rolled = events_rollup(sf_dir, "1m").select_columns(
-        ["source", "bucket_ts", "count"]
-    )
+    if rolled is None:
+        rolled = events_rollup(sf_dir, "1m").select_columns(
+            ["source", "bucket_ts", "count"]
+        )
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -2539,11 +2546,12 @@ def events_top_anomalies(sf_dir: str, kk: int = 3) -> Dataset:
     row_number window.  Output (source, bucket_ts, dev, rank).
 
     Scale shape — a composition of two existing scale-safe stages: the
-    E42 histogram merge yields one med per source (O(sources) rows,
-    broadcast via ray.put), a stateless map scores the gap-filled grid,
-    and stages/shuffle.grouped_topk keeps ≤kk candidates per source in
-    its per-batch combiner, so only O(batches × sources × kk) candidate
-    rows ever shuffle."""
+    1m rollup is materialized ONCE (rolled points, the sanctioned bound)
+    and shared by both passes, the E42 histogram merge yields one med per
+    source (O(sources) rows, broadcast via ray.put), a stateless map
+    scores the gap-filled grid, and stages/shuffle.grouped_topk keeps ≤kk
+    candidates per source in its per-batch combiner, so only
+    O(batches × sources × kk) candidate rows ever shuffle."""
     import ray
 
     from ..stages.shuffle import grouped_topk
@@ -2551,9 +2559,15 @@ def events_top_anomalies(sf_dir: str, kk: int = 3) -> Dataset:
     srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
     step = 60 * 1_000_000
 
+    m1 = rollup(
+        events_assigned(sf_dir), "1m", t0_us=EVENTS_T0_US
+    ).materialize()
     med_t = pa.concat_tables(
         list(
-            events_mad_anomaly_1m(sf_dir)
+            events_mad_anomaly_1m(
+                sf_dir,
+                rolled=m1.select_columns(["source", "bucket_ts", "count"]),
+            )
             .select_columns(["source", "med"])
             .iter_batches(batch_format="pyarrow")
         )
@@ -2585,7 +2599,7 @@ def events_top_anomalies(sf_dir: str, kk: int = 3) -> Dataset:
             }
         )
 
-    grid = events_gapfill(sf_dir, "1m").select_columns(
+    grid = gap_fill(m1, "1m").select_columns(
         ["source", "bucket_ts", "count"]
     )
     top = grouped_topk(
