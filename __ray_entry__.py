@@ -289,6 +289,12 @@ def _q_events_leadlag(sf_dir: str):
     return events_leadlag_corr(sf_dir)
 
 
+def _q_events_alerts(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_alert_episodes
+
+    return events_alert_episodes(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -624,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_busy_streaks": _q_events_streaks,
         "events_top_anomalies": _q_events_top_anomalies,
         "events_leadlag_corr": _q_events_leadlag,
+        "events_alert_episodes": _q_events_alerts,
         # --- flagship on the native F1 corpus ---
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
@@ -639,7 +646,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
         "doc_shuffle_rank": cps.shuffle_rank,
-        "doc_vocab_ids": cps.vocab_ids,
         "doc_corpus_prep": cps.corpus_prep,
         # --- past position 50: all round-3-driver-green, code unchanged
         # this round, most covered transitively by in-window entries;
@@ -672,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1d_cascaded": _q_events_cascaded("1d"),
         "events_rollup_1w_cascaded": _q_events_cascaded("1w"),
         "doc_mixture_sample": cps.mixture_sample,
+        "doc_vocab_ids": cps.vocab_ids,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -1264,6 +1271,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(max(len) AS BIGINT) AS max_streak,
                    CAST(count(*) AS BIGINT) AS n_streaks,
                    CAST(sum(len) AS BIGINT) AS n_busy
+            FROM runs GROUP BY 1
+        """,
+        "events_alert_episodes": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b),
+            m AS (SELECT source, CAST(quantile_disc(count, 0.5) AS BIGINT)
+                             AS med
+                  FROM f GROUP BY 1),
+            hot AS (SELECT r.source, r.b
+                    FROM r JOIN m USING (source) WHERE r.count > m.med),
+            i AS (SELECT source, b,
+                         epoch_us(b) // 60000000
+                           - row_number() OVER (PARTITION BY source
+                                                ORDER BY b) AS isl
+                  FROM hot),
+            runs AS (SELECT source, CAST(count(*) AS BIGINT) AS len
+                     FROM i GROUP BY source, isl)
+            SELECT source, CAST(max(len) AS BIGINT) AS max_episode,
+                   CAST(count(*) AS BIGINT) AS n_episodes,
+                   CAST(sum(len) AS BIGINT) AS n_hot
             FROM runs GROUP BY 1
         """,
         "events_leadlag_corr": """

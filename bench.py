@@ -221,6 +221,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_top_anomalies",
         "events_rollup_1w_cascaded",
         "events_leadlag_corr",
+        "events_alert_episodes",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -2367,32 +2367,26 @@ def events_mad_anomaly_1m(
     return hash_partition_merge(partials, "code", merge, k=1)
 
 
-def events_busy_streaks(
-    sf_dir: str, window_buckets: int = 4096
+def _streak_stats(
+    rolled: Dataset,
+    srcs: pa.Array,
+    k: int,
+    window_buckets: int,
+    names: tuple[str, str, str],
 ) -> Dataset:
-    """E43: per-source busy-streak statistics — the longest run of
-    CONSECUTIVE minutes with ≥1 event, the number of such runs, and the
-    total busy minutes ("how long did the burst last / how fragmented is
-    this feed's activity").  Exact int64; the DuckDB oracle is the classic
-    gaps-and-islands window query (bucket − row_number islands).
-
-    Scale shape — runs only on ROLLED points (present minutes): one
-    (source, minute-window) hash exchange co-locates each window's present
-    buckets, every window collapses to ONE constant-size run summary
-    (n_runs, first/last bucket idx, first/last run length, max interior
-    run, busy total), and a k=1 merge folds each source's summaries in idx
-    order with the associative adjacency rule (runs join iff
-    left.last_idx + 1 == right.first_idx).  Rows moved after the first
-    exchange = O(sources × windows), never minutes — the grid_cusum
-    driver-fold bound, here inside one task."""
+    """Shared gaps-and-islands kernel behind E43/E46: per-source (longest
+    run, run count, total rows) over the integer minute indices of the
+    (source, bucket_ts) ``rolled`` rows.  One (source, minute-window) hash
+    exchange co-locates each window's present buckets, every window
+    collapses to ONE constant-size run summary (n_runs, first/last bucket
+    idx, first/last run length, max interior run, total), and a k=1 merge
+    folds each source's summaries in idx order with the associative
+    adjacency rule (runs join iff left.last_idx + 1 == right.first_idx).
+    Rows moved after the first exchange = O(sources × windows), never
+    minutes — the grid_cusum driver-fold bound, here inside one task."""
     from ..stages.shuffle import hash_partition_merge
 
-    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
     step = 60 * 1_000_000
-
-    rolled = events_rollup(sf_dir, "1m").select_columns(
-        ["source", "bucket_ts"]
-    )
 
     def key(b: pa.Table) -> pa.Table:
         idx = (
@@ -2467,10 +2461,7 @@ def events_busy_streaks(
             return pa.table(
                 {
                     "source": pa.array([], pa.string()),
-                    **{
-                        c: pa.array([], pa.int64())
-                        for c in ("max_streak", "n_streaks", "n_busy")
-                    },
+                    **{c: pa.array([], pa.int64()) for c in names},
                 }
             )
         cols = {
@@ -2524,17 +2515,92 @@ def events_busy_streaks(
         return pa.table(
             {
                 "source": pc.take(srcs, pa.array(out_code, pa.int64())),
-                "max_streak": pa.array(out_mx, pa.int64()),
-                "n_streaks": pa.array(out_n, pa.int64()),
-                "n_busy": pa.array(out_busy, pa.int64()),
+                names[0]: pa.array(out_mx, pa.int64()),
+                names[1]: pa.array(out_n, pa.int64()),
+                names[2]: pa.array(out_busy, pa.int64()),
             }
         )
 
     keyed = rolled.map_batches(key, batch_format="pyarrow")
-    summaries = hash_partition_merge(
-        keyed, "kw", summarize, k=_adaptive_k(sf_dir)
-    )
+    summaries = hash_partition_merge(keyed, "kw", summarize, k=k)
     return hash_partition_merge(summaries, "code", fold, k=1)
+
+
+def events_busy_streaks(
+    sf_dir: str, window_buckets: int = 4096
+) -> Dataset:
+    """E43: per-source busy-streak statistics — the longest run of
+    CONSECUTIVE minutes with ≥1 event, the number of such runs, and the
+    total busy minutes ("how long did the burst last / how fragmented is
+    this feed's activity").  Exact int64; the DuckDB oracle is the classic
+    gaps-and-islands window query (bucket − row_number islands).  Scale
+    shape: :func:`_streak_stats` over ROLLED points (present minutes)."""
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts"]
+    )
+    return _streak_stats(
+        rolled, srcs, _adaptive_k(sf_dir), window_buckets,
+        ("max_streak", "n_streaks", "n_busy"),
+    )
+
+
+def events_alert_episodes(
+    sf_dir: str, window_buckets: int = 4096
+) -> Dataset:
+    """E46: per-source alert-episode statistics — the longest run of
+    CONSECUTIVE minutes with count strictly above the source's robust
+    median (the E42 med), the number of such episodes, and the total hot
+    minutes — "how long did the alert stay firing, and how often did it
+    flap".  Exact int64; the DuckDB oracle filters the rollup on the
+    quantile_disc median and runs the gaps-and-islands window.
+
+    Scale shape — med comes from E42's histogram merge over a SHARED
+    materialized 1m rollup (O(sources) rows, ray.put broadcast); hot
+    minutes have count > med ≥ 0 so they are a FILTER of rolled points
+    (zero minutes can never be hot — the dense grid never materializes),
+    and the filtered set rides :func:`_streak_stats`' summary/fold
+    machinery unchanged."""
+    import ray
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    m1 = rollup(
+        events_assigned(sf_dir), "1m", t0_us=EVENTS_T0_US
+    ).materialize()
+    med_t = pa.concat_tables(
+        list(
+            events_mad_anomaly_1m(
+                sf_dir,
+                rolled=m1.select_columns(["source", "bucket_ts", "count"]),
+            )
+            .select_columns(["source", "med"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    med = np.zeros(len(srcs), dtype=np.int64)
+    codes = pc.cast(
+        pc.index_in(med_t["source"], value_set=srcs), pa.int64()
+    ).combine_chunks().to_numpy(zero_copy_only=False)
+    med[codes] = med_t["med"].combine_chunks().to_numpy(zero_copy_only=False)
+    med_ref = ray.put(med)
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        mv = ray.get(med_ref)
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = pa.array(c > mv[code])
+        return b.select(["source", "bucket_ts"]).filter(keep)
+
+    hot = m1.select_columns(["source", "bucket_ts", "count"]).map_batches(
+        hot_only, batch_format="pyarrow"
+    )
+    return _streak_stats(
+        hot, srcs, _adaptive_k(sf_dir), window_buckets,
+        ("max_episode", "n_episodes", "n_hot"),
+    )
 
 
 def events_top_anomalies(sf_dir: str, kk: int = 3) -> Dataset:

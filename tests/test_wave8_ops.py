@@ -190,3 +190,37 @@ def test_leadlag_matches_bruteforce(ray_session, tmp_path):
             cb = {bk: c for (s, bk), c in rolled.items() if s == b}
             want = sum(c * cb.get(bk + 1, 0) for bk, c in ca.items())
             assert int(out.loc[(a, b), "s_ab_lag1"]) == want
+
+
+def test_alert_episodes_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_alert_episodes
+
+    types, ts, _ = _write_events(tmp_path, seed=163, n=1500, minutes=240)
+    rolled = _rolled(types, ts)
+
+    out = (
+        events_alert_episodes(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    for src in sorted(set(types.tolist())):
+        per = {bk: c for (s, bk), c in rolled.items() if s == src}
+        lo, hi = min(per), max(per)
+        med = _disc_median([per.get(bk, 0) for bk in range(lo, hi + 1)])
+        hot = sorted(bk for bk, c in per.items() if c > med)
+        if not hot:
+            assert src not in out.index
+            continue
+        runs = []
+        cur = 1
+        for prev, nxt in zip(hot, hot[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert int(out.loc[src, "max_episode"]) == max(runs)
+        assert int(out.loc[src, "n_episodes"]) == len(runs)
+        assert int(out.loc[src, "n_hot"]) == len(hot)
