@@ -295,6 +295,18 @@ def _q_events_alerts(sf_dir: str):
     return events_alert_episodes(sf_dir)
 
 
+def _q_events_grid_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_grid_quantiles
+
+    return events_grid_quantiles(sf_dir)
+
+
+def _q_events_peak_minute(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_peak_minute_1h
+
+    return events_peak_minute_1h(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -609,7 +621,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_sessions": _q_events_sessions,
         "events_session_join": _q_events_session_join,
-        "events_top2_per_user": _q_events_top2,
         "events_locf_1m": _q_events_locf,
         "events_cumsum_1m": _q_events_cumsum,
         "events_quantiles_1m": _q_events_quantiles,
@@ -631,6 +642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_anomalies": _q_events_top_anomalies,
         "events_leadlag_corr": _q_events_leadlag,
         "events_alert_episodes": _q_events_alerts,
+        "events_grid_quantiles": _q_events_grid_quantiles,
+        "events_peak_minute_1h": _q_events_peak_minute,
+        "doc_length_hist": td.length_hist,
         # --- flagship on the native F1 corpus ---
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
@@ -641,11 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_freq_spectrum": td.freq_spectrum,
         "doc_word_concentration": td.word_concentration,
         "doc_length_filter": td.length_filter,
-        "doc_quality_filter": td.quality_filter,
         "doc_inverted_index": td.inverted_index,
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_pack_sequences": cps.pack_sequences,
-        "doc_shuffle_rank": cps.shuffle_rank,
         "doc_corpus_prep": cps.corpus_prep,
         # --- past position 50: all round-3-driver-green, code unchanged
         # this round, most covered transitively by in-window entries;
@@ -679,6 +691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_1w_cascaded": _q_events_cascaded("1w"),
         "doc_mixture_sample": cps.mixture_sample,
         "doc_vocab_ids": cps.vocab_ids,
+        "events_top2_per_user": _q_events_top2,
+        "doc_quality_filter": td.quality_filter,
+        "doc_shuffle_rank": cps.shuffle_rank,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -1272,6 +1287,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_streaks,
                    CAST(sum(len) AS BIGINT) AS n_busy
             FROM runs GROUP BY 1
+        """,
+        "events_grid_quantiles": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r ON g.source = r.source AND g.b = r.b)
+            SELECT source, CAST(quantile_disc(count, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(count, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(count, 0.99) AS BIGINT) AS p99
+            FROM f GROUP BY 1
+        """,
+        "events_peak_minute_1h": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            rk AS (SELECT source, date_trunc('hour', b) AS hour_ts, b, count,
+                          row_number() OVER (
+                              PARTITION BY source, date_trunc('hour', b)
+                              ORDER BY count DESC, b) AS rn
+                   FROM r)
+            SELECT source, hour_ts, b AS bucket_ts, count
+            FROM rk WHERE rn = 1
+        """,
+        "doc_length_hist": """
+            SELECT source,
+                   CASE WHEN n_chars = 0 THEN 0
+                        ELSE CAST(floor(log2(n_chars)) AS BIGINT) + 1
+                   END AS len_bin,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         "events_alert_episodes": """
             WITH r AS (

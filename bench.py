@@ -222,6 +222,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_rollup_1w_cascaded",
         "events_leadlag_corr",
         "events_alert_episodes",
+        "events_grid_quantiles",
+        "events_peak_minute_1h",
+        "doc_length_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -2233,6 +2233,73 @@ def events_source_corr(sf_dir: str) -> Dataset:
     return hash_partition_merge(partials, "ia", finish, k=1)
 
 
+def _grid_value_partial(b: pa.Table, srcs: pa.Array) -> pa.Table:
+    """Per-batch (source-code, count-value) FREQUENCY partial with
+    per-source bucket bounds — the shared E42/E48 histogram combiner.
+    The minute axis collapses here; zeros re-enter downstream as
+    grid_len − Σfreq."""
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("code", "value", "freq", "lo", "hi")
+            }
+        )
+    code = pc.cast(
+        pc.index_in(b["source"], value_set=srcs), pa.int64()
+    ).combine_chunks().to_numpy(zero_copy_only=False)
+    bkt = b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((c, code))
+    co, cv = code[order], c[order]
+    new = np.empty(len(co), dtype=bool)
+    new[0] = True
+    new[1:] = (co[1:] != co[:-1]) | (cv[1:] != cv[:-1])
+    starts = np.flatnonzero(new)
+    freq = np.diff(np.append(starts, len(co)))
+    # per-code bucket bounds mapped onto the histogram rows
+    bo = bkt[order]
+    newc = np.empty(len(co), dtype=bool)
+    newc[0] = True
+    newc[1:] = co[1:] != co[:-1]
+    cstarts = np.flatnonzero(newc)
+    cid = np.cumsum(newc) - 1
+    lo_c = np.minimum.reduceat(bo, cstarts)
+    hi_c = np.maximum.reduceat(bo, cstarts)
+    return pa.table(
+        {
+            "code": pa.array(co[starts], pa.int64()),
+            "value": pa.array(cv[starts], pa.int64()),
+            "freq": pa.array(freq, pa.int64()),
+            "lo": pa.array(lo_c[cid[starts]], pa.int64()),
+            "hi": pa.array(hi_c[cid[starts]], pa.int64()),
+        }
+    )
+
+
+def _merged_histograms(t: pa.Table, step: int):
+    """Iterate (code, values, freqs, grid_len) per source from merged
+    _grid_value_partial rows, zero bucket re-entered — shared E42/E48."""
+    code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+    value = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+    freq = t["freq"].combine_chunks().to_numpy(zero_copy_only=False)
+    lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+    hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+    for cd in np.unique(code):
+        m = code == cd
+        vals, inv = np.unique(value[m], return_inverse=True)
+        fr = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(fr, inv, freq[m])
+        grid_len = (hi[m].max() - lo[m].min()) // step + 1
+        zeros = grid_len - fr.sum()
+        if zeros > 0:
+            vals = np.concatenate(([0], vals))
+            fr = np.concatenate(([zeros], fr))
+        yield int(cd), vals, fr, int(grid_len)
+
+
 def events_mad_anomaly_1m(
     sf_dir: str, k_sigma: int = 4, *, rolled: Dataset | None = None
 ) -> Dataset:
@@ -2268,45 +2335,7 @@ def events_mad_anomaly_1m(
         )
 
     def partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    c: pa.array([], pa.int64())
-                    for c in ("code", "value", "freq", "lo", "hi")
-                }
-            )
-        code = pc.cast(
-            pc.index_in(b["source"], value_set=srcs), pa.int64()
-        ).combine_chunks().to_numpy(zero_copy_only=False)
-        bkt = b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((c, code))
-        co, cv = code[order], c[order]
-        new = np.empty(len(co), dtype=bool)
-        new[0] = True
-        new[1:] = (co[1:] != co[:-1]) | (cv[1:] != cv[:-1])
-        starts = np.flatnonzero(new)
-        freq = np.diff(np.append(starts, len(co)))
-        # per-code bucket bounds mapped onto the histogram rows
-        bo = bkt[order]
-        newc = np.empty(len(co), dtype=bool)
-        newc[0] = True
-        newc[1:] = co[1:] != co[:-1]
-        cstarts = np.flatnonzero(newc)
-        cid = np.cumsum(newc) - 1
-        lo_c = np.minimum.reduceat(bo, cstarts)
-        hi_c = np.maximum.reduceat(bo, cstarts)
-        return pa.table(
-            {
-                "code": pa.array(co[starts], pa.int64()),
-                "value": pa.array(cv[starts], pa.int64()),
-                "freq": pa.array(freq, pa.int64()),
-                "lo": pa.array(lo_c[cid[starts]], pa.int64()),
-                "hi": pa.array(hi_c[cid[starts]], pa.int64()),
-            }
-        )
+        return _grid_value_partial(b, srcs)
 
     def _disc(values: np.ndarray, freqs: np.ndarray, n: int) -> int:
         """Smallest value whose cumulative freq >= ceil(n/2) — the repo's
@@ -2326,31 +2355,17 @@ def events_mad_anomaly_1m(
                     },
                 }
             )
-        code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
-        value = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
-        freq = t["freq"].combine_chunks().to_numpy(zero_copy_only=False)
-        lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
-        hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
         out_code, out_med, out_mad, out_anom = [], [], [], []
-        for cd in np.unique(code):
-            m = code == cd
-            vals, inv = np.unique(value[m], return_inverse=True)
-            fr = np.zeros(len(vals), dtype=np.int64)
-            np.add.at(fr, inv, freq[m])
-            grid_len = (hi[m].max() - lo[m].min()) // step + 1
-            zeros = grid_len - fr.sum()
-            if zeros > 0:
-                vals = np.concatenate(([0], vals))
-                fr = np.concatenate(([zeros], fr))
-            med = _disc(vals, fr, int(grid_len))
+        for cd, vals, fr, grid_len in _merged_histograms(t, step):
+            med = _disc(vals, fr, grid_len)
             dev = np.abs(vals - med)
             dorder = np.argsort(dev, kind="stable")
             dv, di = np.unique(dev[dorder], return_inverse=True)
             df = np.zeros(len(dv), dtype=np.int64)
             np.add.at(df, di, fr[dorder])
-            mad = _disc(dv, df, int(grid_len))
+            mad = _disc(dv, df, grid_len)
             n_anom = int(df[dv > k_sigma * mad].sum())
-            out_code.append(int(cd))
+            out_code.append(cd)
             out_med.append(med)
             out_mad.append(mad)
             out_anom.append(n_anom)
@@ -2786,3 +2801,119 @@ def events_leadlag_corr(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(partials, "ia", finish, k=1)
+
+
+def events_grid_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """E48: per-source discrete quantiles (p50/p90/p99 permille) of the
+    per-minute event count over the dense grid — the capacity-planning
+    view ("what does a busy minute look like for this feed").  Exact
+    int64 under the repo's quantile_disc rank rule (smallest value whose
+    cumulative count ≥ ceil(q·n)); DuckDB quantile_disc oracle.
+
+    Scale shape — E42's shared histogram machinery verbatim
+    (:func:`_grid_value_partial` per batch, zeros re-entering as
+    grid_len − Σfreq in :func:`_merged_histograms`); all three quantiles
+    read off the one merged histogram in the same k=1 exchange.  Rows
+    moved = O(batches × distinct count values), never minutes."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    step = 60 * 1_000_000
+
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+    names = tuple(f"p{q // 10}" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        out_code = []
+        out_q: dict[str, list[int]] = {c: [] for c in names}
+        for cd, vals, fr, grid_len in _merged_histograms(t, step):
+            cum = np.cumsum(fr)
+            for q, c in zip(qs, names):
+                thr = (grid_len * q + 999) // 1000
+                out_q[c].append(int(vals[np.searchsorted(cum, thr)]))
+            out_code.append(cd)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(out_code, pa.int64())),
+                **{c: pa.array(out_q[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = rolled.map_batches(
+        lambda b: _grid_value_partial(b, srcs), batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "code", merge, k=1)
+
+
+def events_peak_minute_1h(sf_dir: str) -> Dataset:
+    """E47: the peak minute of every (source, hour) — which minute carried
+    the hour's highest event count (count DESC, earliest minute on ties);
+    the drill-down from an hourly rollup to its hottest minute.  Exact
+    int64; DuckDB oracle = row_number window at rn = 1.  Absent minutes
+    (count 0) can never beat a present one (count ≥ 1) and hours with no
+    events have no row, so the job runs on ROLLED points only.
+
+    Scale shape — stages/shuffle.grouped_topk at kk = 1 keyed by the
+    packed (source, hour) id: the per-batch combiner keeps one candidate
+    per (source, hour) locally, so only O(batches × sources-per-hour)
+    rows shuffle.  Output (source, hour_ts, bucket_ts, count)."""
+    from ..stages.shuffle import grouped_topk
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    step = 60 * 1_000_000
+    hour_us = 3600 * 1_000_000
+
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        bkt = b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "kh": pa.array(
+                    code * (1 << 40) + bkt // hour_us, pa.int64()
+                ),
+                "count": b["count"],
+                "idx": pa.array(bkt // step, pa.int64()),
+            }
+        )
+
+    top = grouped_topk(
+        rolled.map_batches(key, batch_format="pyarrow"),
+        key="kh", value="count", order_id="idx", kk=1,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        kh = b["kh"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = b["idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(kh >> 40, pa.int64())),
+                "hour_ts": pa.array(
+                    (kh & ((1 << 40) - 1)) * hour_us, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "bucket_ts": pa.array(idx * step, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "count": b["count"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")

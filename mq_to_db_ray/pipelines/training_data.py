@@ -3150,3 +3150,52 @@ def word_concentration(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def length_hist(sf_dir: str) -> Dataset:
+    """T43: per-source log2-binned document-length histogram (chars) —
+    the full length DISTRIBUTION behind length_quantiles' three points
+    (mixture diagnostics: truncation spikes, short-doc floods, heavy
+    tails at a glance).  bin = bit_length(n_chars), bin 0 = empty docs —
+    the E39 inter-arrival binning convention, bit-exact vs the DuckDB
+    floor(log2)+1 oracle because bit_length is a pure frexp.
+
+    Scale shape — a column-pruned (source, n_chars) read; each batch
+    collapses to ≤64 (source, bin) partial rows (one Arrow group_by),
+    and the ONLY shuffle moves those partials into a k=1 merge.  No
+    text, no tokens, no per-doc rows ever move."""
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        # bit_length via the frexp exponent — exact while n < 2^53 (the
+        # float conversion is lossless there; n_chars is a doc length)
+        bins = np.zeros(len(n), dtype=np.int64)
+        nz = n > 0
+        bins[nz] = np.frexp(n[nz].astype(np.float64))[1]
+        t = pa.table({"source": batch["source"], "len_bin": pa.array(bins)})
+        g = t.group_by(["source", "len_bin"], use_threads=False).aggregate(
+            [("len_bin", "count")]
+        )
+        return g.rename_columns(["source", "len_bin", "n_docs"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "len_bin": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "len_bin"], use_threads=False).aggregate(
+            [("n_docs", "sum")]
+        )
+        return g.rename_columns(["source", "len_bin", "n_docs"])
+
+    partials = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "len_bin", merge, k=1)

@@ -224,3 +224,88 @@ def test_alert_episodes_matches_bruteforce(ray_session, tmp_path):
         assert int(out.loc[src, "max_episode"]) == max(runs)
         assert int(out.loc[src, "n_episodes"]) == len(runs)
         assert int(out.loc[src, "n_hot"]) == len(hot)
+
+
+def test_grid_quantiles_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_grid_quantiles
+
+    types, ts, _ = _write_events(tmp_path, seed=167, n=1400, minutes=300)
+    rolled = _rolled(types, ts)
+
+    out = (
+        events_grid_quantiles(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    for src in sorted(set(types.tolist())):
+        per = {bk: c for (s, bk), c in rolled.items() if s == src}
+        lo, hi = min(per), max(per)
+        grid = sorted(per.get(bk, 0) for bk in range(lo, hi + 1))
+        n = len(grid)
+        for name, q in (("p50", 500), ("p90", 900), ("p99", 990)):
+            want = grid[(n * q + 999) // 1000 - 1]
+            assert int(out.loc[src, name]) == want
+
+
+def test_peak_minute_matches_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_peak_minute_1h
+
+    types, ts, _ = _write_events(tmp_path, seed=173, n=1200, minutes=240)
+    rolled = _rolled(types, ts)
+
+    out = (
+        events_peak_minute_1h(str(tmp_path))
+        .to_pandas()
+        .sort_values(["source", "hour_ts"])
+        .reset_index(drop=True)
+    )
+    want = {}
+    for (src, bk), c in rolled.items():
+        h = bk // 60
+        cur = want.get((src, h))
+        # count DESC, earliest minute on ties
+        if cur is None or (c, -bk) > (cur[1], -cur[0]):
+            want[(src, h)] = (bk, c)
+    assert len(out) == len(want)
+    for _, row in out.iterrows():
+        h = (row.hour_ts.value // 1000) // (3600 * 1_000_000)
+        bk, c = want[(row.source, h)]
+        assert int(row.bucket_ts.value // 1000) == bk * TIER_US
+        assert int(row["count"]) == c
+
+
+def test_length_hist_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.training_data import length_hist
+
+    g = np.random.default_rng(179)
+    n = 500
+    srcs = np.array(["web", "book", "code"])[g.integers(0, 3, n)]
+    # hit bin edges: 0, 1, powers of two, one huge doc
+    n_chars = g.integers(0, 5000, n).astype(np.int64)
+    n_chars[:8] = [0, 1, 2, 3, 4, 1023, 1024, 1025]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(srcs.tolist()),
+            "n_chars": pa.array(n_chars),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = (
+        length_hist(str(tmp_path))
+        .to_pandas()
+        .set_index(["source", "len_bin"])
+        .sort_index()
+    )
+    want = collections.Counter(
+        (s, int(c).bit_length()) for s, c in zip(srcs.tolist(), n_chars)
+    )
+    assert len(out) == len(want)
+    for (s, b), c in want.items():
+        assert int(out.loc[(s, b), "n_docs"]) == c
