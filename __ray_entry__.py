@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grid_quantiles": _q_events_grid_quantiles,
         "events_peak_minute_1h": _q_events_peak_minute,
         "doc_length_hist": td.length_hist,
+        "doc_lang_mix": td.lang_mix,
         # --- flagship on the native F1 corpus ---
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
@@ -657,7 +658,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
-        "doc_pack_sequences": cps.pack_sequences,
         "doc_corpus_prep": cps.corpus_prep,
         # --- past position 50: all round-3-driver-green, code unchanged
         # this round, most covered transitively by in-window entries;
@@ -694,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top2_per_user": _q_events_top2,
         "doc_quality_filter": td.quality_filter,
         "doc_shuffle_rank": cps.shuffle_rank,
+        "doc_pack_sequences": cps.pack_sequences,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -1316,6 +1317,11 @@ def oracle_sql() -> dict[str, str]:
                    FROM r)
             SELECT source, hour_ts, b AS bucket_ts, count
             FROM rk WHERE rn = 1
+        """,
+        "doc_lang_mix": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2
         """,
         "doc_length_hist": """
             SELECT source,

@@ -225,6 +225,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_grid_quantiles",
         "events_peak_minute_1h",
         "doc_length_hist",
+        "doc_lang_mix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

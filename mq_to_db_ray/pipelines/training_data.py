@@ -3199,3 +3199,44 @@ def length_hist(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "len_bin", merge, k=1)
+
+
+def lang_mix(sf_dir: str) -> Dataset:
+    """T44: corpus language-mix composition — doc counts and total chars
+    per (source, labeled lang), the per-source language balance sheet a
+    mixture designer reads before setting sampling weights (complements
+    T9's predicted-language heuristic with the table's own labels).
+    Exact int64; trivial GROUP BY oracle.
+
+    Scale shape — a column-pruned (source, lang, n_chars) read; each
+    batch collapses to ≤(sources × langs) partial rows via one Arrow
+    group_by, and the ONLY shuffle moves those partials into a per-lang
+    merge (the length_quantiles string-keyed groupby shape)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"], use_threads=False).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "sum_chars"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_chars": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "lang"], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "sum_chars"])
+
+    return (
+        _docs(sf_dir, ["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )

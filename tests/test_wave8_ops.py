@@ -309,3 +309,40 @@ def test_length_hist_matches_bruteforce(ray_session, tmp_path):
     assert len(out) == len(want)
     for (s, b), c in want.items():
         assert int(out.loc[(s, b), "n_docs"]) == c
+
+
+def test_lang_mix_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from mq_to_db_ray.pipelines.training_data import lang_mix
+
+    g = np.random.default_rng(181)
+    n = 400
+    srcs = np.array(["web", "book"])[g.integers(0, 2, n)]
+    langs = np.array(["en", "de", "fr"])[g.integers(0, 3, n)]
+    n_chars = g.integers(0, 900, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(langs.tolist()),
+            "source": pa.array(srcs.tolist()),
+            "n_chars": pa.array(n_chars),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = (
+        lang_mix(str(tmp_path))
+        .to_pandas()
+        .set_index(["source", "lang"])
+        .sort_index()
+    )
+    docs = collections.Counter(zip(srcs.tolist(), langs.tolist()))
+    chars = collections.Counter()
+    for s, l, c in zip(srcs.tolist(), langs.tolist(), n_chars.tolist()):
+        chars[(s, l)] += c
+    assert len(out) == len(docs)
+    for k, nd in docs.items():
+        assert int(out.loc[k, "n_docs"]) == nd
+        assert int(out.loc[k, "sum_chars"]) == chars[k]
