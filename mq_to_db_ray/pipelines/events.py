@@ -2917,3 +2917,364 @@ def events_peak_minute_1h(sf_dir: str) -> Dataset:
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+DAY_US = 86_400_000_000
+
+
+def events_retention_cohort(sf_dir: str) -> Dataset:
+    """E49: cohort retention triangle — for every (cohort day = a user's
+    first active day, day offset), the number of distinct users active on
+    ``cohort + offset`` — the product-analytics retention curve over the
+    reference's own event stream (the "do users come back" counterpart of
+    E36's engagement histogram).  Exact int64; DuckDB oracle = distinct
+    (user, day) pairs joined to each user's min day.
+
+    Scale shape — E38's aggregate-of-aggregates keyed per user-day; both
+    exchanges NARROWER than their inputs:
+      1. per batch one lexsort reduces event rows to distinct
+         (user_id, day) pairs — timestamps/payloads never shuffle;
+      2. hash-partition by USER: each user's full day set is local, so the
+         cohort (min day) and every (cohort, offset) membership are decided
+         exactly in one task and immediately re-reduced to
+         (cohort, offset, n) partials — per-user rows never leave their
+         partition;
+      3. one k=1 merge sums partials (output is the retention triangle
+         itself, O(active-days²) rows regardless of corpus size)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        uu = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = ts_us // DAY_US
+        order = np.lexsort((day, uu))
+        u2, d2 = uu[order], day[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u2[starts], pa.int64()),
+                "day": pa.array(d2[starts], pa.int64()),
+            }
+        )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "cohort": pa.array([], pa.int64()),
+                "offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, uu))
+        u2, d2 = uu[order], dd[order]
+        # dedupe (user, day) across source batches
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        su = np.flatnonzero(new)
+        u3, d3 = u2[su], d2[su]
+        # cohort = each user's first (smallest) day — runs are user-sorted
+        newu = np.empty(len(su), dtype=bool)
+        newu[0] = True
+        newu[1:] = u3[1:] != u3[:-1]
+        ustart = np.flatnonzero(newu)
+        runlen = np.diff(np.append(ustart, len(u3)))
+        cohort = np.repeat(d3[ustart], runlen)
+        off = d3 - cohort
+        # reduce in place to (cohort, offset, n) partials
+        o2 = np.lexsort((off, cohort))
+        c2, f2 = cohort[o2], off[o2]
+        ng = np.empty(len(o2), dtype=bool)
+        ng[0] = True
+        ng[1:] = (c2[1:] != c2[:-1]) | (f2[1:] != f2[:-1])
+        gs = np.flatnonzero(ng)
+        return pa.table(
+            {
+                "cohort": pa.array(c2[gs], pa.int64()),
+                "offset": pa.array(f2[gs], pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(gs, len(o2))).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_ts": pa.array([], pa.timestamp("us")),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        cc = t["cohort"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = t["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ff, cc))
+        c2, f2 = cc[order], ff[order]
+        ng = np.empty(len(order), dtype=bool)
+        ng[0] = True
+        ng[1:] = (c2[1:] != c2[:-1]) | (f2[1:] != f2[:-1])
+        gs = np.flatnonzero(ng)
+        return pa.table(
+            {
+                "cohort_ts": pa.array(c2[gs] * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "day_offset": pa.array(f2[gs], pa.int64()),
+                "n_users": pa.array(
+                    np.add.reduceat(nn[order], gs).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "cohort", merge, k=1)
+
+
+def events_session_quantiles(
+    sf_dir: str, gap_s: int = 6 * 3600, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """E50: corpus-wide session-duration distribution — n_sessions plus
+    discrete p50/p90/p99 and max of session duration floored to whole
+    seconds — "how long do users stay", the composition of E15's
+    sessionizer with E22/E48's quantile machinery.  Exact int64 under the
+    repo's quantile_disc rank rule; DuckDB oracle = the events_sessions
+    gaps-and-islands CTE + quantile_disc over floor-second durations.
+
+    Scale shape: sessions come off E15's (key, window)+fold machinery
+    (already bounded); flooring durations to SECONDS bounds the value
+    domain at the longest session, so per-batch (dur_s, freq) histogram
+    partials — not session rows — are all that shuffles into the one k=1
+    merge (the E42 zero-trick histogram convention, minus the zeros)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sess = events_sessions(sf_dir, gap_s=gap_s)
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = (
+            b["start_ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        en = (
+            b["end_ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dur = (en - st) // 1_000_000
+        vals, freq = np.unique(dur, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(vals), np.int64)),
+                "dur_s": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_s" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_sessions": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                    "max_s": pa.array([], pa.int64()),
+                }
+            )
+        vv = t["dur_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(vv, kind="stable")
+        v2 = vv[order]
+        ng = np.empty(len(order), dtype=bool)
+        ng[0] = True
+        ng[1:] = v2[1:] != v2[:-1]
+        gs = np.flatnonzero(ng)
+        vals = v2[gs]
+        freq = np.add.reduceat(ff[order], gs)
+        n = int(freq.sum())
+        cum = np.cumsum(freq)
+        out = {"n_sessions": pa.array([n], pa.int64())}
+        for q, c in zip(qs, names):
+            thr = (n * q + 999) // 1000
+            out[c] = pa.array([int(vals[np.searchsorted(cum, thr)])], pa.int64())
+        out["max_s"] = pa.array([int(vals[-1])], pa.int64())
+        return pa.table(out)
+
+    partials = sess.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def events_funnel(sf_dir: str, n_steps: int = 3) -> Dataset:
+    """E51: ordered funnel conversion — with funnel steps defined as the
+    ``n_steps`` alphabetically-first event types, the number of users whose
+    FIRST occurrences happen in step order (first step-2 event at-or-after
+    the first step-1 event, and so on) — the activation-funnel board of a
+    product-analytics stack.  Cumulative: a user counts toward step s iff
+    they completed steps 1..s in order.  Exact int64 on first-occurrence
+    timestamps; DuckDB oracle = min(ts) per (user, step) + a CASE ladder.
+
+    Scale shape — E38's aggregate-of-aggregates keyed per user:
+      1. per batch, rows filter to the ≤ n_steps funnel types and one
+         lexsort reduces them to (user, step, min_ts) partials;
+      2. hash-partition by USER: each user's first-occurrence vector is
+         decided exactly in one task and collapses to a funnel DEPTH,
+         which re-reduces to ≤ n_steps (step, n) partials per partition;
+      3. one k=1 merge sums partials → n_steps output rows.
+    Step identity = exact broadcast rank over the tiny source domain."""
+    from ..stages.shuffle import hash_partition_merge
+
+    steps = pa.array(sorted(events_src_list(sf_dir))[:n_steps], pa.string())
+    ns = len(steps)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=steps), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = ~np.isnan(code) if code.dtype.kind == "f" else code >= 0
+        # index_in yields null (NaN after to_numpy float) for non-steps
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        uu = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code, ts_us, uu = code[keep].astype(np.int64), ts_us[keep], uu[keep]
+        if len(code) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "step": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts_us, code, uu))
+        u2, c2, t2 = uu[order], code[order], ts_us[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u2[starts], pa.int64()),
+                "step": pa.array(c2[starts], pa.int64()),
+                "first_ts": pa.array(t2[starts], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "step": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["step"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["first_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tt, cc, uu))
+        u2, c2, t2 = uu[order], cc[order], tt[order]
+        # exact first ts per (user, step) — min is the run head
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        su = np.flatnonzero(new)
+        u3, c3, t3 = u2[su], c2[su], t2[su]
+        # scatter each user's first-occurrence vector into a dense
+        # (n_local_users × n_steps) matrix; absent steps = sentinel
+        newu = np.empty(len(su), dtype=bool)
+        newu[0] = True
+        newu[1:] = u3[1:] != u3[:-1]
+        uid = np.cumsum(newu) - 1
+        nloc = int(uid[-1]) + 1
+        sentinel = np.iinfo(np.int64).max
+        first = np.full((nloc, ns), sentinel, dtype=np.int64)
+        first[uid, c3] = t3
+        # funnel depth: steps completed in first-occurrence order
+        ok = first[:, 0] != sentinel
+        depth = ok.astype(np.int64)
+        prev = first[:, 0]
+        for s in range(1, ns):
+            ok = ok & (first[:, s] != sentinel) & (first[:, s] >= prev)
+            depth += ok
+            prev = np.where(ok, first[:, s], prev)
+        # cumulative: n users with depth >= s, for s = 1..ns
+        counts = np.array(
+            [(depth >= s).sum() for s in range(1, ns + 1)], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, ns + 1, dtype=np.int64)),
+                "n": pa.array(counts),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "step": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        ss = t["step"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss, kind="stable")
+        s2 = ss[order]
+        ng = np.empty(len(order), dtype=bool)
+        ng[0] = True
+        ng[1:] = s2[1:] != s2[:-1]
+        gs = np.flatnonzero(ng)
+        return pa.table(
+            {
+                "step": pa.array(s2[gs], pa.int64()),
+                "n_users": pa.array(
+                    np.add.reduceat(nn[order], gs).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
+    )
+    # per-partition (step, n) partials carry no user key; constant-key
+    # merge is fine — the table is O(partitions × n_steps) rows
+    return hash_partition_merge(per_user, "step", merge, k=1)

@@ -3240,3 +3240,166 @@ def lang_mix(sf_dir: str) -> Dataset:
         .groupby("lang")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def length_gini(sf_dir: str) -> Dataset:
+    """T45: per-source Gini coefficient of document length (n_chars), in
+    exact integer permille — the length-inequality number behind "is this
+    source a few giant pages plus boilerplate stubs, or uniformly sized"
+    mixture diagnostics.  With lengths sorted ascending and 1-based ranks,
+    ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)``; both numerator and denominator
+    are exact integers, so ``gini_permille = 1000·num // den`` matches a
+    DuckDB row_number oracle bit-for-bit (rank permutations within tied
+    values leave Σ i·xᵢ unchanged because the tied x are equal).
+
+    Scale shape — length_quantiles' mergeable-histogram pattern: each
+    batch collapses to a (source, n_chars) frequency histogram via one
+    Arrow group_by, ONLY histograms shuffle into the k=1 merge, and the
+    rank sum folds over histogram RUNS (a run of f copies of value v
+    starting after c earlier docs contributes v·(f·c + f(f+1)/2)) — the
+    merge is O(sources × distinct lengths), never O(docs).  The fold runs
+    in object dtype (Python ints) because Σ i·xᵢ grows as n²·x and would
+    overflow int64 near ~10⁹ docs/source; output permille is tiny."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"], use_threads=False).aggregate(
+            [("n_chars", "count")]
+        )
+        return g.rename_columns(["source", "len", "f"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_len": pa.array([], pa.int64()),
+                    "gini_permille": pa.array([], pa.int64()),
+                }
+            )
+        # combine per-batch histograms, then fold runs per source
+        g = (
+            t.group_by(["source", "len"], use_threads=False)
+            .aggregate([("f", "sum")])
+            .rename_columns(["source", "len", "f"])
+        )
+        src = g["source"]
+        codes = (
+            pc.dictionary_encode(src)
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vv = g["len"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, codes))
+        c2, v2, f2 = codes[order], vv[order], ff[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = c2[1:] != c2[:-1]
+        gs = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        # exact arithmetic: object dtype = arbitrary-precision Python ints
+        fo = f2.astype(object)
+        vo = v2.astype(object)
+        # docs counted before each run, within its source
+        cum = np.cumsum(f2)
+        base = np.concatenate(([0], cum[gs[1:] - 1]))
+        before = (cum - f2 - base[gid]).astype(object)
+        contrib = vo * (fo * before + fo * (fo + 1) // 2)
+        srx = np.add.reduceat(contrib, gs)
+        n = np.add.reduceat(fo, gs)
+        sx = np.add.reduceat(vo * fo, gs)
+        num = 2 * srx - (n + 1) * sx
+        gini = [
+            int(1000 * a // b) if b else 0 for a, b in zip(num, n * sx)
+        ]
+        return pa.table(
+            {
+                "source": pc.take(src, pa.array(order[gs], pa.int64())),
+                "n_docs": pa.array([int(x) for x in n], pa.int64()),
+                "sum_len": pa.array([int(x) for x in sx], pa.int64()),
+                "gini_permille": pa.array(gini, pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "len", merge, k=1)
+
+
+def dup_size_hist(
+    sf_dir: str, threshold_permille: int = 200, clusters: Dataset | None = None
+) -> Dataset:
+    """T46: duplicate-family size distribution — for each cluster size s,
+    how many near-dup clusters (T20 connected components over the exact
+    Jaccard pair graph) have exactly s members.  The "how duplicated is
+    this corpus" fingerprint a dedup pass is judged by: mass in large
+    families means template/mirror content, an all-singletons histogram
+    means the threshold is too tight.  Covers docs with ≥1 near-dup
+    partner (T20's domain), so every family has size ≥ 2.  Exact int64;
+    the DuckDB oracle is T20's recursive-CTE components + GROUP BY size.
+
+    Scale shape — E36's aggregate-of-aggregates on the cluster axis; both
+    exchanges NARROWER than their inputs:
+      1. per batch, (doc_id, cluster_id) labels collapse to
+         (cluster_id, n) partials via one Arrow group_by;
+      2. hash-partition by CLUSTER: exact family sizes are decided
+         locally and immediately re-reduce to (size, n_clusters)
+         partials — per-cluster rows never leave their partition;
+      3. one k=1 merge sums partials (output is O(max family size)).
+    Accepts a precomputed ``clusters`` Dataset (the T20/T20b shared
+    pair-graph convention) so corpus-wide callers pay for the component
+    chain once."""
+    from ..stages.shuffle import hash_partition_merge
+
+    if clusters is None:
+        clusters = dup_clusters(sf_dir, threshold_permille=threshold_permille)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cluster_id"], use_threads=False).aggregate(
+            [("cluster_id", "count")]
+        )
+        return g.rename_columns(["cluster_id", "n"])
+
+    def cluster_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        sizes = (
+            t.group_by(["cluster_id"], use_threads=False)
+            .aggregate([("n", "sum")])
+            .column("n_sum")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, freq = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "size": pa.array(vals.astype(np.int64)),
+                "n_clusters": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["size"], use_threads=False).aggregate(
+            [("n_clusters", "sum")]
+        )
+        return g.rename_columns(["size", "n_clusters"])
+
+    partials = clusters.map_batches(partial, batch_format="pyarrow")
+    per_cluster = hash_partition_merge(partials, "cluster_id", cluster_fold)
+    return hash_partition_merge(per_cluster, "size", merge, k=1)
