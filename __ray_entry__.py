@@ -325,6 +325,42 @@ def _q_events_funnel(sf_dir: str):
     return events_funnel(sf_dir)
 
 
+def _q_events_dow_profile(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dow_profile
+
+    return events_dow_profile(sf_dir)
+
+
+def _q_events_return_gaps(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_return_gaps
+
+    return events_return_gaps(sf_dir)
+
+
+def _q_events_session_count_hist(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_count_hist
+
+    return events_session_count_hist(sf_dir)
+
+
+def _q_events_dod_wow(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dod_wow
+
+    return events_dod_wow(sf_dir)
+
+
+def _q_events_transition(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_transition_matrix
+
+    return events_transition_matrix(sf_dir)
+
+
+def _q_events_src_overlap(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_source_user_overlap
+
+    return events_source_user_overlap(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -598,7 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import training_data as td
 
     # Ordering contract: the driver's correctness pass covers the FIRST 50
-    # keys, so with 88 oracle-backed entries the window is allocated by
+    # keys, so with 93 oracle-backed entries the window is allocated by
     # verification need: (a) the dedup/similarity/multimodal oracles that
     # fell past round 3's window come first; (b) every oracle-backed operator
     # ADDED this round (twa/hist/distinct/increase/zscore/top_movers/
@@ -636,15 +672,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twa_1m": _q_events_twa,
         "events_hist_1m": _q_events_hist,
         "events_distinct_users_1m": _q_events_distinct,
-        "events_locf_1m": _q_events_locf,
-        "events_cumsum_1m": _q_events_cumsum,
         "events_increase_1m": _q_events_increase,
-        # --- wave-11 operators (first driver check ever) ---
+        # --- wave-11/12 operators (first driver check ever) ---
         "events_retention_cohort": _q_events_retention,
         "events_session_quantiles": _q_events_session_quantiles,
         "events_funnel": _q_events_funnel,
         "doc_length_gini": td.length_gini,
         "doc_dup_size_hist": td.dup_size_hist,
+        "events_dow_profile": _q_events_dow_profile,
+        "events_return_gaps": _q_events_return_gaps,
+        "events_session_count_hist": _q_events_session_count_hist,
+        "doc_dup_by_source": td.dup_by_source,
+        "doc_vocab_coverage": td.vocab_coverage,
         # --- round-4 grid analytics (first driver check this round) ---
         "events_zscore_1m": _q_events_zscore,
         "events_top_movers_1h": _q_events_top_movers,
@@ -666,8 +705,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_minute_1h": _q_events_peak_minute,
         "doc_length_hist": td.length_hist,
         "doc_lang_mix": td.lang_mix,
-        # --- flagship on the native F1 corpus ---
-        "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         # --- tokenized-documents ingest (input_hint shape over driver data) ---
         "doc_tokenizer_fertility": td.tokenizer_fertility,
         "doc_source_overlap": td.source_overlap,
@@ -675,15 +712,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lexical_diversity": td.lexical_diversity,
         "doc_freq_spectrum": td.freq_spectrum,
         "doc_word_concentration": td.word_concentration,
-        "doc_length_filter": td.length_filter,
-        "doc_inverted_index": td.inverted_index,
         # --- corpus composition (packing / shuffle / mixture / vocab) ---
         "doc_corpus_prep": cps.corpus_prep,
-        # --- past position 50: all round-3-driver-green, most covered
-        # transitively by in-window entries (session_quantiles consumes
-        # sessionize; increase/max_gap share asof's carried-prefix
-        # machinery; locf shares quantiles' exact group identity);
-        # re-verified by scripts/driver_sim each round ---
+        # --- past position 50: the window is full, so later-wave round-4
+        # additions land here — each is oracle-backed, brute-force
+        # pytest-pinned, and verified green by scripts/driver_sim at
+        # sf0.001 AND sf0.01 (logs in BASELINE.md); the remainder are
+        # round-3-driver-green entries, most covered transitively by
+        # in-window siblings (session_quantiles and the session-count
+        # histogram consume sessionize; increase/max_gap share asof's
+        # carried-prefix machinery; locf shares quantiles' exact group
+        # identity; inverted_index's int64-offset change is pytest-pinned)
+        "events_dod_wow": _q_events_dod_wow,
+        "events_transition_matrix": _q_events_transition,
+        "events_source_user_overlap": _q_events_src_overlap,
+        "doc_charclass_stats": td.charclass_stats,
+        "doc_token_length_hist": td.token_length_hist,
+        "doc_length_filter": td.length_filter,
+        "doc_inverted_index": td.inverted_index,
+        "events_cumsum_1m": _q_events_cumsum,
+        "events_locf_1m": _q_events_locf,
+        # flagship — separately smoke-checked every round via entry();
+        # its rollup machinery has in-window f1-free twins and its own
+        # f1_rollup_* oracles below
+        "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         "events_asof_join": _q_events_asof,
         "events_sessions": _q_events_sessions,
         "events_session_join": _q_events_session_join,
@@ -1406,6 +1458,127 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d >= s.step) AS BIGINT)
                        AS n_users
             FROM (VALUES (1), (2), (3)) s(step) CROSS JOIN dep GROUP BY 1
+        """,
+        "events_dow_profile": """
+            SELECT event_type AS source,
+                   CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "events_return_gaps": """
+            WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                       FROM events),
+                 g AS (SELECT date_diff('day',
+                                        lag(day) OVER (PARTITION BY user_id
+                                                       ORDER BY day),
+                                        day) AS gap
+                       FROM d)
+            SELECT CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_days,
+                   CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_days,
+                   CAST(quantile_disc(gap, 0.99) AS BIGINT) AS p99_days,
+                   CAST(max(gap) AS BIGINT) AS max_days
+            FROM g WHERE gap IS NOT NULL
+        """,
+        "events_session_count_hist": """
+            WITH o AS (
+              SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                              THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            c AS (SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+                  FROM o GROUP BY 1)
+            SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY 1
+        """,
+        "doc_dup_by_source": """
+            WITH g AS (SELECT text, count(*) AS gn,
+                              count(DISTINCT source) AS gs
+                       FROM documents GROUP BY text),
+                 d AS (SELECT dd.source, g.gn, g.gs
+                       FROM documents dd JOIN g ON dd.text = g.text)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN gn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_docs,
+                   CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cross_dup_docs
+            FROM d GROUP BY 1
+        """,
+        "events_dod_wow": """
+            WITH d AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT a.source, a.day AS day_ts, a.n AS n_events,
+                   CAST(a.n - coalesce(b.n, 0) AS BIGINT) AS dod_delta,
+                   CAST(a.n - coalesce(w.n, 0) AS BIGINT) AS wow_delta
+            FROM d a
+            LEFT JOIN d b ON b.source = a.source
+                         AND b.day = a.day - INTERVAL 1 DAY
+            LEFT JOIN d w ON w.source = a.source
+                         AND w.day = a.day - INTERVAL 7 DAY
+        """,
+        "events_transition_matrix": """
+            WITH o AS (SELECT event_type,
+                              lead(event_type) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                                  AS nxt
+                       FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "events_source_user_overlap": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS source_a, b.event_type AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.event_type <= b.event_type
+            GROUP BY 1, 2
+        """,
+        "doc_charclass_stats": """
+            SELECT source,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                        AS BIGINT) AS n_digits,
+                   CAST(sum(length(regexp_replace(text, '[^ ]', '', 'g')))
+                        AS BIGINT) AS n_spaces,
+                   CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                        AS BIGINT) AS n_letters,
+                   CAST(sum(length(regexp_replace(text, '[\\x00-\\x7F]', '',
+                                                  'g')))
+                        AS BIGINT) AS n_non_ascii
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_length_hist": """
+            WITH u AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                       FROM u GROUP BY 1)
+            SELECT CAST(length(word) AS BIGINT) AS word_len,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM c GROUP BY 1
+        """,
+        "doc_vocab_coverage": """
+            WITH u AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                       FROM u GROUP BY 1),
+                 r AS (SELECT n, row_number() OVER (ORDER BY n DESC) AS rn
+                       FROM c),
+                 ks(top_k) AS (VALUES (100), (1000), (10000))
+            SELECT CAST(ks.top_k AS BIGINT) AS top_k,
+                   CAST(sum(CASE WHEN r.rn <= ks.top_k THEN r.n ELSE 0 END)
+                        AS BIGINT) AS covered_tokens,
+                   CAST(sum(r.n) AS BIGINT) AS total_tokens,
+                   CAST((1000 * sum(CASE WHEN r.rn <= ks.top_k
+                                         THEN r.n ELSE 0 END)) // sum(r.n)
+                        AS BIGINT) AS permille
+            FROM r CROSS JOIN ks GROUP BY ks.top_k
         """,
         "doc_length_gini": """
             WITH r AS (SELECT source, n_chars,

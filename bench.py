@@ -227,10 +227,20 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_retention_cohort",
         "events_session_quantiles",
         "events_funnel",
+        "events_dow_profile",
+        "events_return_gaps",
+        "events_session_count_hist",
+        "events_dod_wow",
+        "events_transition_matrix",
+        "events_source_user_overlap",
         "doc_length_hist",
         "doc_lang_mix",
         "doc_length_gini",
         "doc_dup_size_hist",
+        "doc_dup_by_source",
+        "doc_vocab_coverage",
+        "doc_charclass_stats",
+        "doc_token_length_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

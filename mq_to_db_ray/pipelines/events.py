@@ -3278,3 +3278,570 @@ def events_funnel(sf_dir: str, n_steps: int = 3) -> Dataset:
     # per-partition (step, n) partials carry no user key; constant-key
     # merge is fine — the table is O(partitions × n_steps) rows
     return hash_partition_merge(per_user, "step", merge, k=1)
+
+
+HOUR_US = 3_600_000_000
+
+
+def events_dow_profile(sf_dir: str) -> Dataset:
+    """E52: day-of-week × hour-of-day traffic profile — for every
+    (source, isodow, hour): total event count and EXACT distinct users —
+    the weekly capacity heatmap behind "when are we busy and who shows
+    up" staffing/provisioning decisions (E35's seasonal minute profile on
+    the weekly axis, with E23's exact-cardinality column riding along).
+    isodow is 1=Monday..7=Sunday, computed calendar-free from the epoch
+    (1970-01-01 is a Thursday: ``isodow = ((days + 3) % 7) + 1``), so the
+    engine and DuckDB's ``isodow(ts)`` agree by construction.
+
+    Scale shape — the aggregate-of-aggregates on the USER axis (cells are
+    tiny-cardinality, sources × 7 × 24, so users are the spread key):
+      1. per batch one Arrow group_by reduces events to
+         (source, dow, hour, user, n) partials;
+      2. hash-partition by USER: every copy of a (cell, user) pair meets
+         in one task, so the pair dedupes exactly and re-reduces to
+         (cell, n_events, n_users) partials — user rows never re-shuffle;
+      3. one k=1 merge sums partials (output O(sources × 168))."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        days = ts_us // DAY_US
+        dow = ((days + 3) % 7) + 1
+        hour = (ts_us % DAY_US) // HOUR_US
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "dow": pa.array(dow, pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(
+            ["source", "dow", "hour", "user_id"], use_threads=False
+        ).aggregate([("user_id", "count")])
+        return g.rename_columns(["source", "dow", "hour", "user_id", "n"])
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "dow": pa.array([], pa.int64()),
+                "hour": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        # all copies of a (cell, user) pair are in this partition: collapse
+        # them (n_events sums; the collapsed row IS one distinct user)
+        g = t.group_by(
+            ["source", "dow", "hour", "user_id"], use_threads=False
+        ).aggregate([("n", "sum")])
+        g2 = g.group_by(["source", "dow", "hour"], use_threads=False).aggregate(
+            [("n_sum", "sum"), ("n_sum", "count")]
+        )
+        return g2.rename_columns(["source", "dow", "hour", "n_events", "n_users"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        g = t.group_by(["source", "dow", "hour"], use_threads=False).aggregate(
+            [("n_events", "sum"), ("n_users", "sum")]
+        )
+        return g.rename_columns(["source", "dow", "hour", "n_events", "n_users"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    cells = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "dow", merge, k=1)
+
+
+def events_return_gaps(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """E53: return-gap distribution — n_gaps plus discrete p50/p90/p99 and
+    max of the gap IN WHOLE DAYS between a user's consecutive ACTIVE days
+    — "how long until users come back", the dual of E49's retention
+    triangle (E49 counts who returns at each offset; E53 summarizes the
+    wait itself).  Exact int64 under the repo's quantile_disc rank rule;
+    DuckDB oracle = DISTINCT user-days + lag + quantile_disc.
+
+    Scale shape — E49's machinery with a histogram tail:
+      1. per batch one lexsort reduces events to distinct (user, day)
+         pairs (timestamps/payloads never shuffle);
+      2. hash-partition by USER: each user's day set is local, so gaps =
+         diff(sorted days) are decided exactly and immediately re-reduced
+         to (gap_days, f) histogram partials — bounded by the corpus
+         time-span in days, never by user count;
+      3. one k=1 histogram merge reads off all quantiles (E50's shape)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        day = ts_us // DAY_US
+        order = np.lexsort((day, uu))
+        u2, d2 = uu[order], day[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u2[starts], pa.int64()),
+                "day": pa.array(d2[starts], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, uu))
+        u2, d2 = uu[order], dd[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        su = np.flatnonzero(new)
+        u3, d3 = u2[su], d2[su]
+        # consecutive-day gaps within each user's sorted run
+        same = np.empty(len(su), dtype=bool)
+        same[0] = False
+        same[1:] = u3[1:] == u3[:-1]
+        gaps = (d3 - np.concatenate(([0], d3[:-1])))[same]
+        if len(gaps) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        vals, freq = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(vals), np.int64)),
+                "gap": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_days" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_gaps": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                    "max_days": pa.array([], pa.int64()),
+                }
+            )
+        vv = t["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(vv, kind="stable")
+        v2 = vv[order]
+        ng = np.empty(len(order), dtype=bool)
+        ng[0] = True
+        ng[1:] = v2[1:] != v2[:-1]
+        gs = np.flatnonzero(ng)
+        vals = v2[gs]
+        freq = np.add.reduceat(ff[order], gs)
+        n = int(freq.sum())
+        cum = np.cumsum(freq)
+        out = {"n_gaps": pa.array([n], pa.int64())}
+        for q, c in zip(qs, names):
+            thr = (n * q + 999) // 1000
+            out[c] = pa.array([int(vals[np.searchsorted(cum, thr)])], pa.int64())
+        out["max_days"] = pa.array([int(vals[-1])], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    hist = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(hist, "g", merge, k=1)
+
+
+def events_session_count_hist(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E54: sessions-per-user histogram — for every session count s, how
+    many users had exactly s sessions — the visit-frequency distribution
+    ("one-and-done vs habitual") that complements E36's events-per-user
+    histogram and E50's session-duration quantiles.  Exact int64; DuckDB
+    oracle = the gaps-and-islands session starts summed per user.
+
+    Scale shape — E36's aggregate-of-aggregates over E15's sessionizer
+    output (already bounded by (key, window)+fold):
+      1. per batch one Arrow group_by reduces session rows to (user, n)
+         partials;
+      2. hash-partition by USER decides each user's exact session count
+         locally and immediately re-reduces to (n_sessions, n_users)
+         partials;
+      3. one k=1 merge sums (output O(max sessions per user))."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sess = events_sessions(sf_dir, gap_s=gap_s)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id"]).group_by("user_id", use_threads=False).aggregate(
+            [("user_id", "count")]
+        )
+        return g.rename_columns(["user_id", "n"])
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("user_id", use_threads=False).aggregate([("n", "sum")])
+        h = g.group_by("n_sum", use_threads=False).aggregate([("n_sum", "count")])
+        return h.rename_columns(["n_sessions", "n_users"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("n_sessions", use_threads=False).aggregate(
+            [("n_users", "sum")]
+        )
+        return g.rename_columns(["n_sessions", "n_users"])
+
+    partials = sess.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "n_sessions", merge, k=1)
+
+
+def events_dod_wow(sf_dir: str) -> Dataset:
+    """E55: day-over-day / week-over-week deltas — for every (source, day)
+    PRESENT in the stream: the day's event count, its delta vs the
+    previous calendar day, and its delta vs the same weekday one week
+    earlier (absent comparison days count 0) — the seasonal-naive "are we
+    growing or was that just the weekend" board on top of E4's daily
+    rollup.  Exact int64; DuckDB oracle = day rollup LEFT JOINed to
+    itself at day-1 and day-7.
+
+    Scale shape — the E45 role-tagged double-emit on the DAY grid: each
+    batch reduces to (source, day, n) cells and emits each cell THREE
+    times (main at d, dod-comparison at d+1, wow-comparison at d+7);
+    one day-hash exchange of O(sources × days × 3) partial rows — event
+    rows never shuffle — and the merge settles n/dod/wow per cell,
+    keeping only days with main mass (days present in the stream)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        day = ts_us // DAY_US
+        t = pa.table({"source": b["event_type"], "day": pa.array(day, pa.int64())})
+        g = t.group_by(["source", "day"], use_threads=False).aggregate(
+            [("day", "count")]
+        )
+        src, dd = g["source"], g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["day_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(dd)
+        src3 = pa.concat_arrays([src.combine_chunks()] * 3)
+        return pa.table(
+            {
+                "source": src3,
+                "day": pa.array(
+                    np.concatenate([dd, dd + 1, dd + 7]), pa.int64()
+                ),
+                "role": pa.array(
+                    np.repeat(np.array([0, 1, 2], np.int64), m)
+                ),
+                "n": pa.array(np.concatenate([nn, nn, nn]).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "dod_delta": pa.array([], pa.int64()),
+                    "wow_delta": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "day", "role"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        src = g["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dd = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = g["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((rr, dd, codes))
+        c2, d2, r2, n2 = codes[order], dd[order], rr[order], nn[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+        gs = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        ncell = len(gs)
+        main = np.zeros(ncell, np.int64)
+        d1 = np.zeros(ncell, np.int64)
+        d7 = np.zeros(ncell, np.int64)
+        main[gid[r2 == 0]] = n2[r2 == 0]
+        d1[gid[r2 == 1]] = n2[r2 == 1]
+        d7[gid[r2 == 2]] = n2[r2 == 2]
+        keep = main > 0
+        idx = gs[keep]
+        return pa.table(
+            {
+                "source": src.take(pa.array(order[idx], pa.int64())),
+                "day_ts": pa.array(d2[gs][keep] * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(main[keep]),
+                "dod_delta": pa.array(main[keep] - d1[keep]),
+                "wow_delta": pa.array(main[keep] - d7[keep]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "day", merge, k=_adaptive_k(sf_dir))
+
+
+def events_transition_matrix(sf_dir: str) -> Dataset:
+    """E56: event-type transition matrix — for every (from_type, to_type):
+    how many times a user's NEXT event (ordered by ts, event_id) was of
+    to_type given the current one was from_type — the first-order Markov
+    counts behind journey/flow analysis ("what do users do after a
+    search"); exact int64 (lead() window oracle).
+
+    Scale shape: transitions need each user's adjacent pairs, so the
+    exchange ships one narrow row per event (user, ts, order, type-code —
+    the E15 sessionize exchange; payloads never shuffle) hash-partitioned
+    by USER; each partition lexsorts its complete user streams once and
+    reduces adjacent same-user pairs straight to (from, to, n) partials;
+    the k=1 merge sums O(types²) rows.  Type identity is an exact
+    broadcast rank (the E51 funnel convention), never a hash."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "c": code,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "fc": pa.array([], pa.int64()),
+                    "tc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, c2 = uu[order], cc[order]
+        same = u2[1:] == u2[:-1]
+        fr, to = c2[:-1][same], c2[1:][same]
+        if len(fr) == 0:
+            return pa.table(
+                {
+                    "fc": pa.array([], pa.int64()),
+                    "tc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        packed = fr * len(srcs) + to
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "fc": pa.array(vals // len(srcs), pa.int64()),
+                "tc": pa.array(vals % len(srcs), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["fc", "tc"], use_threads=False).aggregate([("n", "sum")])
+        fi = pa.array(
+            g["fc"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        ti = pa.array(
+            g["tc"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "from_type": srcs.take(fi),
+                "to_type": srcs.take(ti),
+                "n": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(partials, "fc", merge, k=1)
+
+
+def events_source_user_overlap(sf_dir: str) -> Dataset:
+    """E57: source user-overlap matrix — for every source pair a <= b:
+    the EXACT number of distinct users active in BOTH — the audience
+    co-usage matrix behind cross-sell / cannibalization reads (the
+    diagonal is each source's exact reach; T37/T39 answer the same
+    question for document shingles).  Exact int64 (distinct-pair
+    self-join oracle).
+
+    Scale shape — E23's dedupe-combiner feeding a per-user outer product:
+      1. per batch one Arrow group_by reduces events to distinct
+         (source, user) pairs;
+      2. hash-partition by USER: each user's source set is local, so the
+         user's s·(s+1)/2 ordered pairs (s = sources-per-user, bounded by
+         the tiny source cardinality) re-reduce in place to
+         (a, b, n) partials;
+      3. one k=1 merge sums O(sources²) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        t = pa.table(
+            {"c": code, "user_id": pc.cast(b["user_id"], pa.int64())}
+        )
+        return t.group_by(["c", "user_id"], use_threads=False).aggregate([])
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, uu))
+        u2, c2 = uu[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        su = np.flatnonzero(new)
+        u3, c3 = u2[su], c2[su]
+        # per user, emit every ordered source pair a <= b via a bounded
+        # python-free expansion: pair all (i, j >= i) offsets within runs
+        newu = np.empty(len(su), dtype=bool)
+        newu[0] = True
+        newu[1:] = u3[1:] != u3[:-1]
+        ustart = np.flatnonzero(newu)
+        runlen = np.diff(np.append(ustart, len(u3)))
+        # offsets within each user's run
+        pos = np.arange(len(u3)) - np.repeat(ustart, runlen)
+        # emit pairs (k, k..runlen-1) — expand with repeat/arange algebra
+        rep = np.repeat(runlen, runlen) - pos  # pairs per element
+        ai = np.repeat(np.arange(len(u3)), rep)
+        # second index: for element at pos p with r remaining, offsets p..end
+        csum = np.cumsum(rep)
+        first = np.concatenate(([0], csum[:-1]))
+        bi = ai + (np.arange(csum[-1]) - np.repeat(first, rep))
+        packed = c3[ai] * ns + c3[bi]
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array(vals // ns, pa.int64()),
+                "b": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["a", "b"], use_threads=False).aggregate([("n", "sum")])
+        ai = pa.array(g["a"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64())
+        bi = pa.array(g["b"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64())
+        return pa.table(
+            {
+                "source_a": srcs.take(ai),
+                "source_b": srcs.take(bi),
+                "n_users": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "a", merge, k=1)

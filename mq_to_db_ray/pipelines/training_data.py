@@ -3403,3 +3403,377 @@ def dup_size_hist(
     partials = clusters.map_batches(partial, batch_format="pyarrow")
     per_cluster = hash_partition_merge(partials, "cluster_id", cluster_fold)
     return hash_partition_merge(per_cluster, "size", merge, k=1)
+
+
+def dup_by_source(sf_dir: str) -> Dataset:
+    """T47: per-source duplication balance sheet — for every source: total
+    docs, docs whose byte-identical text occurs MORE THAN ONCE corpus-wide
+    (n_dup_docs), and docs whose text also occurs in ANOTHER source
+    (n_cross_dup_docs) — the mirror / syndication / boilerplate-reuse
+    exposure a mixture designer checks before trusting per-source sampling
+    weights (T1's exact-dedup groups projected back onto the source axis
+    that T44 tracks; cross-source mass means sources are not independent).
+    One row per source ALWAYS (exact zeros when the corpus is dup-free),
+    so the oracle is non-vacuous at every scale.  Engine groups by a
+    64-bit content hash, the oracle by the text itself (T1/T4 collision
+    convention).
+
+    Scale shape — T1's exact-dedup exchange with a per-source fold: text
+    never shuffles;
+      1. per batch one polars content-hash pass + one Arrow group_by
+         reduces docs to (hash, source, n) partials;
+      2. hash-partition by CONTENT HASH: every row of a content group
+         meets in one task, so the group's corpus count and source span
+         are decided exactly and fold IN PLACE to per-source
+         (n_docs, n_dup_docs, n_cross_dup_docs) partials — group rows
+         never re-shuffle;
+      3. one k=1 merge sums partials (output = one row per source)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hs = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        t = pa.table(
+            {
+                "text_hash": pa.array(hs, pa.int64()),
+                "source": batch["source"],
+            }
+        )
+        g = t.group_by(["text_hash", "source"], use_threads=False).aggregate(
+            [("source", "count")]
+        )
+        return g.rename_columns(["text_hash", "source", "n"])
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_dup_docs": pa.array([], pa.int64()),
+                "n_cross_dup_docs": pa.array([], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        # collapse per-batch partials to exact (hash, source, n), then
+        # attach each content group's corpus count / source span
+        g = t.group_by(["text_hash", "source"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        h = g["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h2, n2 = h[order], n[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        gs = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        gtot = np.add.reduceat(n2, gs)  # corpus count per content group
+        gspan = np.diff(np.append(gs, len(h2)))  # distinct sources per group
+        dup = np.where(gtot[gid] > 1, n2, 0)
+        cross = np.where(gspan[gid] >= 2, n2, 0)
+        out = pa.table(
+            {
+                "source": g["source"].take(pa.array(order, pa.int64())),
+                "nd": pa.array(n2.astype(np.int64)),
+                "dd": pa.array(dup.astype(np.int64)),
+                "cd": pa.array(cross.astype(np.int64)),
+            }
+        )
+        f = out.group_by("source", use_threads=False).aggregate(
+            [("nd", "sum"), ("dd", "sum"), ("cd", "sum")]
+        )
+        return f.rename_columns(
+            ["source", "n_docs", "n_dup_docs", "n_cross_dup_docs"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_dup_docs", "sum"), ("n_cross_dup_docs", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_dup_docs", "n_cross_dup_docs"]
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_hash = hash_partition_merge(partials, "text_hash", fold, k=_doc_k(sf_dir))
+    # per-hash fold leaves O(partitions × sources) partial rows; the final
+    # per-source sum rides a tiny sort-based groupby (the T44 lang_mix
+    # convention for string keys)
+    return per_hash.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def vocab_coverage(
+    sf_dir: str, ks: tuple[int, ...] = (100, 1000, 10000)
+) -> Dataset:
+    """T48: vocabulary coverage at top-k — for each k, the exact token
+    mass covered by the k most frequent words, corpus-wide, plus the
+    coverage permille — the "how big a vocab do we actually need" curve
+    behind tokenizer sizing and stopword budgets (T16 lists the heavy
+    hitters; T48 integrates their mass; T41's spectrum is the same
+    distribution on the other axis).  Tie-safe by construction: the SUM of
+    the k largest counts is unique even when boundary words tie, so the
+    engine (word hashes) and the oracle (word strings, row_number over
+    count DESC) agree bit-for-bit without a word-level tiebreak.
+
+    Scale shape — T40's word-hash partition with a bounded-tail merge:
+      1. per batch one vectorized word-hash pass reduces text to distinct
+         (word, n) rows (text never shuffles);
+      2. hash-partition by WORD decides each word's exact corpus count
+         locally; each partition keeps only its max(ks) LARGEST counts
+         plus one residual row (count sum of everything below the cut) —
+         the vocabulary is never materialized;
+      3. one k=1 merge sorts the <= parts × max(ks) survivors, cumsums,
+         and reads off every k (coverage = sum of k largest counts)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    kmax = max(ks)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        uh, _ = ts.batch_word_hashes(batch["text"])
+        h = uh.view(np.int64)
+        vals, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(vals, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold_by_word(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "rest": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("word", use_threads=False).aggregate([("n", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(n) > kmax:
+            top = np.partition(n, len(n) - kmax)[len(n) - kmax :]
+            rest = int(n.sum() - top.sum())
+        else:
+            top, rest = n, 0
+        top = np.sort(top)[::-1].astype(np.int64)
+        r = np.zeros(len(top), np.int64)
+        r[0] = rest
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(top), np.int64)),
+                "cnt": pa.array(top),
+                "rest": pa.array(r),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "top_k": pa.array([], pa.int64()),
+                    "covered_tokens": pa.array([], pa.int64()),
+                    "total_tokens": pa.array([], pa.int64()),
+                    "permille": pa.array([], pa.int64()),
+                }
+            )
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        total = int(cnt.sum()) + int(
+            t["rest"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        )
+        # partition-local top-kmax survivors are a superset of any global
+        # top-k for k <= kmax (a global top-k word is top-k in its own
+        # partition), so sorting the survivors suffices
+        srt = np.sort(cnt)[::-1]
+        cum = np.cumsum(srt)
+        out_k, out_cov = [], []
+        for k in ks:
+            kk = min(k, len(srt))
+            out_k.append(k)
+            out_cov.append(int(cum[kk - 1]) if kk else 0)
+        cov = np.array(out_cov, np.int64)
+        return pa.table(
+            {
+                "top_k": pa.array(np.array(out_k, np.int64)),
+                "covered_tokens": pa.array(cov),
+                "total_tokens": pa.array(np.full(len(ks), total, np.int64)),
+                "permille": pa.array(
+                    (1000 * cov) // max(total, 1), pa.int64()
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
+    per_word = hash_partition_merge(
+        partials, "word", fold_by_word, k=_doc_k(sf_dir)
+    )
+    return hash_partition_merge(per_word, "g", merge, k=1)
+
+
+def charclass_stats(sf_dir: str) -> Dataset:
+    """T49: per-source character-class composition — exact totals of
+    chars, ASCII digits, spaces, ASCII letters, and non-ASCII bytes'
+    codepoints per source — the cheap "is this prose, tables, or binary
+    spill" fingerprint read next to T10's quality score (a source whose
+    digit share spikes is logs/markup, not prose; non-ASCII share
+    cross-checks T9/T44's language labels).  Exact int64; DuckDB oracle =
+    length(regexp_replace(...)) sums.
+
+    Scale shape: ZERO wide exchange for the heavy part — each batch runs
+    four compiled RE2 count kernels (pyarrow count_substring_regex) and
+    reduces to one partial row per source; only O(batches × sources)
+    partial rows shuffle into the per-source merge (the T44 convention)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "digits": pc.cast(
+                    pc.count_substring_regex(txt, "[0-9]"), pa.int64()
+                ),
+                "spaces": pc.cast(
+                    pc.count_substring_regex(txt, " "), pa.int64()
+                ),
+                "letters": pc.cast(
+                    pc.count_substring_regex(txt, "[A-Za-z]"), pa.int64()
+                ),
+                "non_ascii": pc.cast(
+                    pc.count_substring_regex(txt, "[^\\x00-\\x7F]"), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [
+                ("chars", "sum"),
+                ("digits", "sum"),
+                ("spaces", "sum"),
+                ("letters", "sum"),
+                ("non_ascii", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_chars", "n_digits", "n_spaces", "n_letters", "n_non_ascii"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "n_digits": pa.array([], pa.int64()),
+                    "n_spaces": pa.array([], pa.int64()),
+                    "n_letters": pa.array([], pa.int64()),
+                    "n_non_ascii": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [
+                ("n_chars", "sum"),
+                ("n_digits", "sum"),
+                ("n_spaces", "sum"),
+                ("n_letters", "sum"),
+                ("n_non_ascii", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_chars", "n_digits", "n_spaces", "n_letters", "n_non_ascii"]
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def token_length_hist(sf_dir: str) -> Dataset:
+    """T50: token-length histogram — for every word length L (in chars):
+    total occurrences and DISTINCT words of that length, corpus-wide —
+    the length profile behind BPE fertility (long words fragment; T36
+    measures the fragmentation, T50 the cause) and tokenizer vocab
+    budgeting next to T48's coverage curve.  Exact int64; DuckDB oracle
+    = unnest + length(word) two-level GROUP BY.
+
+    Scale shape — T40's word-hash partition with length riding along:
+      1. per batch one vectorized word pass reduces text to distinct
+         (word_hash, len, n) rows (a hash keeps ONE length, so the pair
+         collapses to the hash key; text never shuffles);
+      2. hash-partition by WORD decides each word's exact corpus count
+         locally and re-reduces in place to (len, occ, distinct)
+         partials — the vocabulary is never materialized;
+      3. one k=1 merge sums O(max word length) rows.
+    Engine counts word hashes, the oracle word strings (T4/T19/T27
+    collision convention)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].combine_chunks()
+        words = pc.split_pattern(txt, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        d = flat.dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary
+        lens = pc.utf8_length(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        uh = np.fromiter(
+            (ts.word_hash64(w) for w in uniq.to_pylist()),
+            dtype=np.uint64,
+            count=len(uniq),
+        ).view(np.int64)
+        cnt = np.bincount(idx, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "word": pa.array(uh, pa.int64()),
+                "len": pa.array(lens),
+                "n": pa.array(cnt),
+            }
+        )
+
+    def fold_by_word(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "len": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "dis": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["word", "len"], use_threads=False).aggregate([("n", "sum")])
+        h = g.group_by("len", use_threads=False).aggregate(
+            [("n_sum", "sum"), ("len", "count")]
+        )
+        return h.rename_columns(["len", "occ", "dis"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "word_len": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("len", use_threads=False).aggregate(
+            [("occ", "sum"), ("dis", "sum")]
+        )
+        return g.rename_columns(["word_len", "n_occurrences", "n_words"])
+
+    partials = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
+    per_word = hash_partition_merge(partials, "word", fold_by_word, k=_doc_k(sf_dir))
+    return hash_partition_merge(per_word, "len", merge, k=1)
