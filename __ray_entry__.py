@@ -361,6 +361,24 @@ def _q_events_src_overlap(sf_dir: str):
     return events_source_user_overlap(sf_dir)
 
 
+def _q_events_grid_coverage(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_grid_coverage
+
+    return events_grid_coverage(sf_dir)
+
+
+def _q_events_lifecycle(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_lifecycle
+
+    return events_lifecycle(sf_dir)
+
+
+def _q_events_top_sessions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_top_sessions
+
+    return events_top_sessions(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -728,6 +746,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_user_overlap": _q_events_src_overlap,
         "doc_charclass_stats": td.charclass_stats,
         "doc_token_length_hist": td.token_length_hist,
+        "events_grid_coverage": _q_events_grid_coverage,
+        "events_lifecycle": _q_events_lifecycle,
+        "events_top_sessions": _q_events_top_sessions,
+        "doc_pattern_scan": td.pattern_scan,
+        "doc_token_quantiles": td.token_quantiles,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1506,6 +1529,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_grid_coverage": """
+            WITH m AS (SELECT DISTINCT event_type AS source,
+                              date_trunc('minute', ts) AS minute
+                       FROM events)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_minutes,
+                   min(minute) AS first_ts, max(minute) AS last_ts,
+                   CAST(date_diff('minute', min(minute), max(minute)) + 1
+                        AS BIGINT) AS span_minutes,
+                   CAST((1000 * count(*))
+                        // (date_diff('minute', min(minute), max(minute)) + 1)
+                        AS BIGINT) AS coverage_permille
+            FROM m GROUP BY 1
+        """,
+        "events_lifecycle": """
+            WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                       FROM events),
+                 c AS (SELECT day,
+                              lag(day) OVER (PARTITION BY user_id
+                                             ORDER BY day) AS prev,
+                              max(day) OVER (PARTITION BY user_id)
+                                  AS last_day
+                       FROM d)
+            SELECT day AS day_ts,
+                   CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT)
+                       AS n_new,
+                   CAST(count(*) FILTER (WHERE prev = day - INTERVAL 1 DAY)
+                        AS BIGINT) AS n_returning,
+                   CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                                         AND prev < day - INTERVAL 1 DAY)
+                        AS BIGINT) AS n_resurrected,
+                   CAST(count(*) FILTER (WHERE day = last_day) AS BIGINT)
+                       AS n_last_active
+            FROM c GROUP BY 1
+        """,
+        "events_top_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            d AS (SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+                         CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                              // 1000000 AS BIGINT) AS dur_s,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM s GROUP BY user_id, sid)
+            SELECT * FROM d
+            ORDER BY dur_s DESC, user_id, start_ts LIMIT 20
+        """,
+        "doc_pattern_scan": """
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))) AS BIGINT)
+                       AS n_emails,
+                   CAST(sum(len(regexp_extract_all(text,
+                        'https?://[A-Za-z0-9./_-]+'))) AS BIGINT) AS n_urls,
+                   CAST(sum(len(regexp_extract_all(text, '[0-9]{6,}')))
+                        AS BIGINT) AS n_long_numbers
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_quantiles": """
+            WITH t AS (SELECT source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_tokens,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90_tokens,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_tokens,
+                   CAST(max(n) AS BIGINT) AS max_tokens
+            FROM t GROUP BY 1
         """,
         "events_dod_wow": """
             WITH d AS (SELECT event_type AS source,

@@ -233,6 +233,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dod_wow",
         "events_transition_matrix",
         "events_source_user_overlap",
+        "events_grid_coverage",
+        "events_lifecycle",
+        "events_top_sessions",
         "doc_length_hist",
         "doc_lang_mix",
         "doc_length_gini",
@@ -241,6 +244,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_vocab_coverage",
         "doc_charclass_stats",
         "doc_token_length_hist",
+        "doc_pattern_scan",
+        "doc_token_quantiles",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -3845,3 +3845,277 @@ def events_source_user_overlap(sf_dir: str) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(per_user, "a", merge, k=1)
+
+
+MIN_US = 60_000_000
+
+
+def events_grid_coverage(sf_dir: str) -> Dataset:
+    """E58: minute-grid coverage report — per source: distinct minutes
+    with at least one event, first/last active minute, the inclusive span
+    between them, and coverage permille (present/span) — the uptime /
+    telemetry-liveness board that says how dense each series is before
+    anyone trusts its gaps (E5 fills them; E32 finds the worst one; E58
+    scores the whole series).  Exact int64 (DISTINCT minute + date_diff
+    oracle).
+
+    Scale shape — E23's dedupe combiner with the user column dropped:
+      1. per batch one Arrow group_by reduces events to distinct
+         (source, minute) cells;
+      2. hash-partition by MINUTE (the spread axis): cells dedupe exactly
+         and re-reduce in place to per-source (n, min, max) partials;
+      3. one k=1 merge sums counts and folds min/max (output = one row
+         per source)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "minute": pa.array(ts_us // MIN_US, pa.int64()),
+            }
+        )
+        return t.group_by(["source", "minute"], use_threads=False).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "minute"], use_threads=False).aggregate([])
+        h = g.group_by("source", use_threads=False).aggregate(
+            [("minute", "count"), ("minute", "min"), ("minute", "max")]
+        )
+        return h.rename_columns(["source", "n", "mn", "mx"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_minutes": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.timestamp("us")),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                    "span_minutes": pa.array([], pa.int64()),
+                    "coverage_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["mn_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        span = mx - mn + 1
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_minutes": pa.array(n.astype(np.int64)),
+                "first_ts": pa.array(mn * MIN_US, pa.int64()).cast(pa.timestamp("us")),
+                "last_ts": pa.array(mx * MIN_US, pa.int64()).cast(pa.timestamp("us")),
+                "span_minutes": pa.array(span.astype(np.int64)),
+                "coverage_permille": pa.array((1000 * n) // span, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_min = hash_partition_merge(partials, "minute", fold, k=_adaptive_k(sf_dir))
+    return per_min.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def events_lifecycle(sf_dir: str) -> Dataset:
+    """E59: daily growth accounting — per active day: users seen for the
+    FIRST time (new), users also active the previous calendar day
+    (returning), users back after a gap of 2+ days (resurrected), and
+    users whose LAST-ever active day this is (last_active — the churn
+    column read right-to-left) — the new/retained/resurrected ledger
+    every growth dashboard opens with; exact int64 (DISTINCT user-days +
+    lag/max window oracle).
+
+    Scale shape — E49's user-day machinery with a 4-way classifier:
+      1. per batch one lexsort reduces events to distinct (user, day);
+      2. hash-partition by USER: each user's sorted day run classifies
+         every day locally (first → new; prev == day-1 → returning; else
+         resurrected; run max → last_active) and re-reduces to
+         (day, class, n) partials;
+      3. one k=1 merge pivots classes to columns (output O(days))."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        day = ts_us // DAY_US
+        order = np.lexsort((day, uu))
+        u2, d2 = uu[order], day[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u2[st], pa.int64()),
+                "day": pa.array(d2[st], pa.int64()),
+            }
+        )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "cls": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, uu))
+        u2, d2 = uu[order], dd[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        su = np.flatnonzero(new)
+        u3, d3 = u2[su], d2[su]
+        first = np.empty(len(su), dtype=bool)
+        first[0] = True
+        first[1:] = u3[1:] != u3[:-1]
+        last = np.empty(len(su), dtype=bool)
+        last[-1] = True
+        last[:-1] = u3[1:] != u3[:-1]
+        consec = np.zeros(len(su), dtype=bool)
+        consec[1:] = (~first[1:]) & (d3[1:] - d3[:-1] == 1)
+        # classes: 0 new, 1 returning, 2 resurrected, 3 last_active
+        cls = np.where(first, 0, np.where(consec, 1, 2)).astype(np.int64)
+        days = np.concatenate([d3, d3[last]])
+        classes = np.concatenate([cls, np.full(int(last.sum()), 3, np.int64)])
+        packed = days * 4 + classes
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals // 4, pa.int64()),
+                "cls": pa.array(vals % 4, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "n_new": pa.array([], pa.int64()),
+                    "n_returning": pa.array([], pa.int64()),
+                    "n_resurrected": pa.array([], pa.int64()),
+                    "n_last_active": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["day", "cls"], use_threads=False).aggregate([("n", "sum")])
+        dd = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["cls"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        udays, inv = np.unique(dd, return_inverse=True)
+        cols = np.zeros((len(udays), 4), np.int64)
+        cols[inv, cc] = nn
+        return pa.table(
+            {
+                "day_ts": pa.array(udays * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_new": pa.array(cols[:, 0]),
+                "n_returning": pa.array(cols[:, 1]),
+                "n_resurrected": pa.array(cols[:, 2]),
+                "n_last_active": pa.array(cols[:, 3]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "day", merge, k=1)
+
+
+def events_top_sessions(sf_dir: str, k: int = 20, gap_s: int = 6 * 3600) -> Dataset:
+    """E60: top-k longest sessions — the k longest sessions corpus-wide
+    (duration in floor seconds; ties broken user ASC, start ASC so the
+    answer is unique) with their user, bounds, and event count — the
+    "who are the marathon users" drill-down on E50's duration
+    distribution; exact int64 (gaps-and-islands + ORDER BY ... LIMIT k
+    oracle).
+
+    Scale shape: sessions come off E15's bounded machinery; each batch
+    keeps only its local top-k by one lexsort (O(batch log batch), k
+    rows survive), so the k=1 merge sees O(batches × k) rows — session
+    rows never land anywhere whole."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sess = events_sessions(sf_dir, gap_s=gap_s)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        st = b["start_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        en = b["end_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        uu = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = b["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        dur = (en - st) // 1_000_000
+        order = np.lexsort((st, uu, -dur))[: min(k, len(dur))]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64)),
+                "user_id": pa.array(uu[order], pa.int64()),
+                "start": pa.array(st[order], pa.int64()),
+                "end": pa.array(en[order], pa.int64()),
+                "dur_s": pa.array(dur[order], pa.int64()),
+                "n_events": pa.array(ne[order], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.timestamp("us")),
+                    "end_ts": pa.array([], pa.timestamp("us")),
+                    "dur_s": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = t["start"].combine_chunks().to_numpy(zero_copy_only=False)
+        en = t["end"].combine_chunks().to_numpy(zero_copy_only=False)
+        du = t["dur_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = t["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, uu, -du))[: min(k, len(du))]
+        return pa.table(
+            {
+                "user_id": pa.array(uu[order], pa.int64()),
+                "start_ts": pa.array(st[order], pa.int64()).cast(pa.timestamp("us")),
+                "end_ts": pa.array(en[order], pa.int64()).cast(pa.timestamp("us")),
+                "dur_s": pa.array(du[order], pa.int64()),
+                "n_events": pa.array(ne[order], pa.int64()),
+            }
+        )
+
+    partials = sess.map_batches(local_topk, batch_format="pyarrow")
+    return hash_partition_merge(partials, "g", merge, k=1)

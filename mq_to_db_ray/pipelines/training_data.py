@@ -3777,3 +3777,137 @@ def token_length_hist(sf_dir: str) -> Dataset:
     partials = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
     per_word = hash_partition_merge(partials, "word", fold_by_word, k=_doc_k(sf_dir))
     return hash_partition_merge(per_word, "len", merge, k=1)
+
+
+PATTERN_SCAN = (
+    ("n_emails", "[A-Za-z0-9._]+@[A-Za-z0-9.]+"),
+    ("n_urls", "https?://[A-Za-z0-9./_-]+"),
+    ("n_long_numbers", "[0-9]{6,}"),
+)
+
+
+def pattern_scan(sf_dir: str) -> Dataset:
+    """T51: PII / pattern scan — per source: exact counts of email-like
+    tokens, URLs, and 6+-digit runs (phone/account/id-shaped strings) —
+    the scrub-audit pass run before and after T28's blocklist scrub to
+    size the redaction problem per source.  Both sides count
+    NON-OVERLAPPING leftmost RE2 matches of the identical patterns
+    (pyarrow count_substring_regex vs DuckDB regexp_extract_all), so the
+    totals are exact int64 by construction.
+
+    Scale shape — T49's zero-wide-exchange profile: three compiled RE2
+    count kernels per batch reduce to one partial row per source; only
+    O(batches × sources) partials ride the tiny per-source merge."""
+    names = [n for n, _ in PATTERN_SCAN]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        cols = {"source": batch["source"]}
+        for name, pat in PATTERN_SCAN:
+            cols[name] = pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+        t = pa.table(cols)
+        g = t.group_by("source", use_threads=False).aggregate(
+            [(n, "sum") for n in names]
+        )
+        return g.rename_columns(["source", *names])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{n: pa.array([], pa.int64()) for n in names},
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [(n, "sum") for n in names]
+        )
+        return g.rename_columns(["source", *names])
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def token_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """T52: tokens-per-doc quantiles — per source: n_docs + discrete
+    p50/p90/p99 and max of the whitespace token count (T11's convention:
+    split(' '), every doc >= 1 token) — T21's length-quantile board moved
+    from the char axis to the token axis sequence-budget planners
+    actually allocate in.  Exact int64 under the repo's quantile_disc
+    rank rule (len(str_split) + quantile_disc oracle).
+
+    Scale shape — T21's mergeable-histogram pattern: token counts are
+    batch-local (one Arrow split-length kernel), so each batch reduces to
+    (source, n_tokens, f) frequency partials via one group_by; ONLY
+    histograms shuffle into the per-source merge, where every quantile
+    reads off one cumulative sum — O(sources × distinct counts), never
+    O(docs)."""
+    names = tuple(f"p{q // 10}_tokens" for q in qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].combine_chunks()
+        words = pc.split_pattern(txt, " ")
+        n = pc.cast(pc.list_value_length(words), pa.int64())
+        t = pa.table({"source": batch["source"], "n_tokens": n})
+        g = t.group_by(["source", "n_tokens"], use_threads=False).aggregate(
+            [("n_tokens", "count")]
+        )
+        return g.rename_columns(["source", "n_tokens", "f"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                    "max_tokens": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            t.group_by(["source", "n_tokens"], use_threads=False)
+            .aggregate([("f", "sum")])
+            .rename_columns(["source", "n_tokens", "f"])
+        )
+        src = g["source"]
+        codes = (
+            pc.dictionary_encode(src)
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vv = g["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, codes))
+        c2, v2, f2 = codes[order], vv[order], ff[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = c2[1:] != c2[:-1]
+        gs = np.flatnonzero(newg)
+        cum = np.cumsum(f2)
+        base = np.concatenate(([0], cum[gs[1:] - 1]))
+        gid = np.cumsum(newg) - 1
+        within = cum - base[gid]
+        ndocs = np.add.reduceat(f2, gs)
+        out = {
+            "source": src.take(pa.array(order[gs], pa.int64())),
+            "n_docs": pa.array(ndocs.astype(np.int64)),
+        }
+        ends = np.append(gs[1:], len(v2))
+        for q, c in zip(qs, names):
+            vals = np.empty(len(gs), np.int64)
+            for gi, (s0, e0) in enumerate(zip(gs, ends)):
+                thr = (int(ndocs[gi]) * q + 999) // 1000
+                vals[gi] = v2[s0 + np.searchsorted(within[s0:e0], thr)]
+            out[c] = pa.array(vals)
+        out["max_tokens"] = pa.array(v2[ends - 1].astype(np.int64))
+        return pa.table(out)
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
