@@ -649,6 +649,7 @@ def _q_f1_resume(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import corpus as cps
+    from mq_to_db_ray.pipelines import relational as rel
     from mq_to_db_ray.pipelines import training_data as td
 
     # Ordering contract: the driver's correctness pass covers the FIRST 50
@@ -751,6 +752,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_sessions": _q_events_top_sessions,
         "doc_pattern_scan": td.pattern_scan,
         "doc_token_quantiles": td.token_quantiles,
+        # relational join suite over the TPC-H-shaped tables (R1-R3)
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_order_fulfillment": rel.order_fulfillment,
+        "rel_segment_sales": rel.segment_sales,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1529,6 +1534,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+                       AS sum_price_floor
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY 1, 2
+        """,
+        "rel_order_fulfillment": """
+            SELECT o_orderpriority,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS order_month,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+                       AS revenue_floor
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        """,
+        "rel_segment_sales": """
+            SELECT c_mktsegment,
+                   CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)
+                       AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                       AS sum_total_floor
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
         """,
         "events_grid_coverage": """
             WITH m AS (SELECT DISTINCT event_type AS source,

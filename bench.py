@@ -246,6 +246,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_token_length_hist",
         "doc_pattern_scan",
         "doc_token_quantiles",
+        "rel_pricing_summary",
+        "rel_order_fulfillment",
+        "rel_segment_sales",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",
