@@ -752,10 +752,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_sessions": _q_events_top_sessions,
         "doc_pattern_scan": td.pattern_scan,
         "doc_token_quantiles": td.token_quantiles,
-        # relational join suite over the TPC-H-shaped tables (R1-R3)
+        # relational join suite over the TPC-H-shaped tables (R1-R5)
         "rel_pricing_summary": rel.pricing_summary,
         "rel_order_fulfillment": rel.order_fulfillment,
         "rel_segment_sales": rel.segment_sales,
+        "rel_region_revenue": rel.region_revenue,
+        "rel_brand_volume": rel.brand_volume,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1566,6 +1568,33 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_total_floor
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "rel_region_revenue": """
+            SELECT r.r_name,
+                   CAST(date_trunc('year', l.l_shipdate) AS TIMESTAMP)
+                       AS ship_year,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l.l_extendedprice) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "rel_brand_volume": """
+            WITH j AS (SELECT p.p_brand, l.l_partkey,
+                              CAST(l.l_quantity AS BIGINT) AS qty
+                       FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey),
+                 b AS (SELECT p_brand,
+                              CAST(count(DISTINCT l_partkey) AS BIGINT)
+                                  AS n_parts,
+                              CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(qty) AS BIGINT) AS sum_qty
+                       FROM j GROUP BY 1)
+            SELECT p_brand, n_parts, n_lines, sum_qty
+            FROM b ORDER BY sum_qty DESC, p_brand LIMIT 10
         """,
         "events_grid_coverage": """
             WITH m AS (SELECT DISTINCT event_type AS source,

@@ -249,6 +249,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "rel_pricing_summary",
         "rel_order_fulfillment",
         "rel_segment_sales",
+        "rel_region_revenue",
+        "rel_brand_volume",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -401,3 +401,236 @@ def segment_sales(sf_dir: str) -> Dataset:
         concurrency=2,
     )
     return hash_partition_merge(partials, "seg", merge, k=1)
+
+
+def region_revenue(sf_dir: str) -> Dataset:
+    """R4: supplier-region revenue — per (region name, ship year): line
+    count and floored revenue, resolved through the THREE-HOP snowflake
+    lineitem -> supplier -> nation -> region — the chained dimension
+    lookup every star/snowflake schema needs (R3 is one hop; R4 composes
+    the hops at the DRIVER so the fact scan still does exactly ONE
+    searchsorted per batch).
+
+    Scale shape: the three dims collapse driver-side into one
+    (suppkey -> region-rank) int64 pair array (suppliers are the largest
+    dim, still tiny next to the fact table) shipped ONCE via ``ray.put``;
+    fact batches reduce to O(regions x years) partials before the k=1
+    merge.  Region identity is the exact broadcast rank."""
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    reg = reg.sort_values("r_name").reset_index(drop=True)
+    names = pa.array(reg["r_name"].tolist(), pa.string())
+    rk_to_rank = dict(zip(reg["r_regionkey"].astype(int), range(len(reg))))
+    nk_to_rank = {
+        int(nk): rk_to_rank[int(rk)]
+        for nk, rk in zip(nat["n_nationkey"], nat["n_regionkey"])
+    }
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    sv = np.array(
+        [nk_to_rank[int(nk)] for nk in sup["s_nationkey"]], np.int64
+    )
+    order = np.argsort(sk, kind="stable")
+    dim_ref = ray.put((sk[order], sv[order]))
+
+    class RegionJoin:
+        def __init__(self, ref):
+            self.keys, self.codes = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s = (
+                pc.cast(b["l_suppkey"], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            pos = np.clip(np.searchsorted(self.keys, s), 0, len(self.keys) - 1)
+            hit = self.keys[pos] == s
+            code = self.codes[pos]
+            ts_us = (
+                b["l_shipdate"]
+                .cast(pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            yr = ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(
+                np.int64
+            )
+            price = (
+                pc.cast(pc.floor(b["l_extendedprice"]), pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            t = pa.table(
+                {
+                    "rg": pa.array(code[hit], pa.int64()),
+                    "yr": pa.array(yr[hit], pa.int64()),
+                    "price": pa.array(price[hit], pa.int64()),
+                }
+            )
+            g = t.group_by(["rg", "yr"], use_threads=False).aggregate(
+                [("price", "count"), ("price", "sum")]
+            )
+            return g.rename_columns(["rg", "yr", "n_lines", "revenue_floor"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "ship_year": pa.array([], pa.timestamp("us")),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["rg", "yr"], use_threads=False).aggregate(
+            [("n_lines", "sum"), ("revenue_floor", "sum")]
+        )
+        ri = pa.array(
+            g["rg"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        yr = g["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = yr.astype("datetime64[Y]").astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "r_name": names.take(ri),
+                "ship_year": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+                "n_lines": pc.cast(g["n_lines_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["revenue_floor_sum"], pa.int64()),
+            }
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    partials = lines.map_batches(
+        RegionJoin,
+        fn_constructor_args=(dim_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return hash_partition_merge(partials, "rg", merge, k=1)
+
+
+def brand_volume(sf_dir: str, top_k: int = 10) -> Dataset:
+    """R5: top-k part brands by shipped quantity — per brand: exact Σqty,
+    line count, and DISTINCT part count, top-k by quantity (ties brand
+    ASC so the answer is unique) — the part >< lineitem join read every
+    catalog team runs ("which brands move").
+
+    Scale shape: brand identity rides the part dim (ray.put once, one
+    searchsorted per batch — parts are a dimension next to lineitem);
+    the DISTINCT part count dedupes (brand, partkey) pairs via the E23
+    combiner on the PART axis, so only distinct pairs and (brand, qty,
+    lines) partials shuffle; k=1 merge folds both and takes top-k."""
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brands = sorted(part["p_brand"].unique())
+    b_arr = pa.array(brands, pa.string())
+    b_rank = {b: i for i, b in enumerate(brands)}
+    pk = part["p_partkey"].to_numpy(np.int64)
+    pv = np.array([b_rank[b] for b in part["p_brand"]], np.int64)
+    order = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[order], pv[order]))
+
+    class BrandJoin:
+        def __init__(self, ref):
+            self.keys, self.codes = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            p = (
+                pc.cast(b["l_partkey"], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            pos = np.clip(np.searchsorted(self.keys, p), 0, len(self.keys) - 1)
+            hit = self.keys[pos] == p
+            code = self.codes[pos]
+            qty = (
+                pc.cast(b["l_quantity"], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            t = pa.table(
+                {
+                    "br": pa.array(code[hit], pa.int64()),
+                    "pkey": pa.array(p[hit], pa.int64()),
+                    "qty": pa.array(qty[hit], pa.int64()),
+                }
+            )
+            g = t.group_by(["br", "pkey"], use_threads=False).aggregate(
+                [("qty", "count"), ("qty", "sum")]
+            )
+            return g.rename_columns(["br", "pkey", "nl", "qty"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "br": pa.array([], pa.int64()),
+                    "n_parts": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["br", "pkey"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum")]
+        )
+        h = g.group_by("br", use_threads=False).aggregate(
+            [("pkey", "count"), ("nl_sum", "sum"), ("qty_sum", "sum")]
+        )
+        return h.rename_columns(["br", "n_parts", "n_lines", "sum_qty"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n_parts": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("br", use_threads=False).aggregate(
+            [("n_parts", "sum"), ("n_lines", "sum"), ("sum_qty", "sum")]
+        )
+        br = g["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        qt = g["sum_qty_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((br, -qt))[: min(top_k, len(br))]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "p_brand": b_arr.take(
+                    pa.array(br[order], pa.int64())
+                ),
+                "n_parts": pc.cast(g["n_parts_sum"], pa.int64()).take(take),
+                "n_lines": pc.cast(g["n_lines_sum"], pa.int64()).take(take),
+                "sum_qty": pc.cast(g["sum_qty_sum"], pa.int64()).take(take),
+            }
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    partials = lines.map_batches(
+        BrandJoin,
+        fn_constructor_args=(dim_ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    per_part = hash_partition_merge(partials, "pkey", fold, k=_rel_k(sf_dir, "part"))
+    return hash_partition_merge(per_part, "br", merge, k=1)

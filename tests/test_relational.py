@@ -174,3 +174,146 @@ def test_segment_sales_bruteforce(ray_session, tmp_path):
         yr = np.datetime64(r.order_year.to_datetime64(), "Y")
         c = want[(r.c_mktsegment, yr)]
         assert (r.n_orders, r.sum_total_floor) == tuple(c)
+
+
+def test_region_revenue_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.relational import region_revenue
+
+    g = np.random.default_rng(67)
+    # snowflake dims: 5 regions, 8 nations, 12 suppliers (plus one orphan
+    # suppkey in lineitem that must drop out of the inner join)
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(np.arange(5, dtype=np.int64)),
+                "r_name": pa.array([f"R{i}" for i in range(5)]),
+            }
+        ),
+        tmp_path / "region.parquet",
+    )
+    n_rk = g.integers(0, 5, 8).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(np.arange(8, dtype=np.int64)),
+                "n_name": pa.array([f"N{i}" for i in range(8)]),
+                "n_regionkey": pa.array(n_rk),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    s_nk = g.integers(0, 8, 12).astype(np.int64)
+    skeys = (np.arange(12, dtype=np.int64) * 3) + 1  # holes in the key space
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(skeys),
+                "s_name": pa.array([f"S{i}" for i in range(12)]),
+                "s_nationkey": pa.array(s_nk),
+                "s_acctbal": pa.array(g.uniform(0, 100, 12)),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    m = 400
+    lsup = skeys[g.integers(0, 12, m)].astype(np.int64)
+    lsup[0] = 999  # orphan supplier
+    lship = T0 + g.integers(0, 1200, m).astype(np.int64) * DAY_US
+    lprice = np.round(g.uniform(10, 900, m), 2)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(m, dtype=np.int64)),
+                "l_partkey": pa.array(np.zeros(m, np.int64)),
+                "l_suppkey": pa.array(lsup),
+                "l_linenumber": pa.array(np.zeros(m, np.int32)),
+                "l_quantity": pa.array(np.ones(m)),
+                "l_extendedprice": pa.array(lprice),
+                "l_discount": pa.array(np.zeros(m)),
+                "l_tax": pa.array(np.zeros(m)),
+                "l_returnflag": pa.array(["A"] * m),
+                "l_linestatus": pa.array(["F"] * m),
+                "l_shipdate": pa.array(lship, pa.int64()).cast(pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    region_of = {int(k): f"R{n_rk[nk]}" for k, nk in zip(skeys, s_nk)}
+    year = lship.astype("datetime64[us]").astype("datetime64[Y]")
+    want = collections.defaultdict(lambda: [0, 0])
+    for sk, yr, p in zip(lsup, year, lprice):
+        if int(sk) not in region_of:
+            continue
+        c = want[(region_of[int(sk)], yr)]
+        c[0] += 1
+        c[1] += math.floor(p)
+
+    got = region_revenue(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    assert got.n_lines.sum() == m - 1  # exactly the orphan line dropped
+    for r in got.itertuples():
+        yr = np.datetime64(r.ship_year.to_datetime64(), "Y")
+        assert (r.n_lines, r.revenue_floor) == tuple(want[(r.r_name, yr)])
+
+
+def test_brand_volume_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.relational import brand_volume
+
+    g = np.random.default_rng(68)
+    n_parts = 30
+    pkeys = np.arange(1, n_parts + 1, dtype=np.int64)
+    pbrand = np.array([f"B{i % 4}" for i in range(n_parts)])
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(pkeys),
+                "p_name": pa.array([f"p{k}" for k in pkeys]),
+                "p_brand": pa.array(pbrand.tolist()),
+                "p_type": pa.array(["t"] * n_parts),
+                "p_size": pa.array(np.ones(n_parts, np.int64)),
+                "p_retailprice": pa.array(np.ones(n_parts)),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    m = 500
+    lpart = pkeys[g.integers(0, n_parts, m)].astype(np.int64)
+    lqty = g.integers(1, 50, m).astype(float)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(m, dtype=np.int64)),
+                "l_partkey": pa.array(lpart),
+                "l_suppkey": pa.array(np.zeros(m, np.int64)),
+                "l_linenumber": pa.array(np.zeros(m, np.int32)),
+                "l_quantity": pa.array(lqty),
+                "l_extendedprice": pa.array(np.ones(m)),
+                "l_discount": pa.array(np.zeros(m)),
+                "l_tax": pa.array(np.zeros(m)),
+                "l_returnflag": pa.array(["A"] * m),
+                "l_linestatus": pa.array(["F"] * m),
+                "l_shipdate": pa.array(
+                    np.full(m, T0, np.int64), pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    brand_of = {int(k): b for k, b in zip(pkeys, pbrand)}
+    agg = collections.defaultdict(lambda: [set(), 0, 0])
+    for pk, q in zip(lpart, lqty):
+        c = agg[brand_of[int(pk)]]
+        c[0].add(int(pk))
+        c[1] += 1
+        c[2] += int(q)
+    want = sorted(agg.items(), key=lambda kv: (-kv[1][2], kv[0]))[:3]
+
+    got = brand_volume(str(tmp_path), top_k=3).to_pandas()
+    assert len(got) == 3
+    for r, (b, c) in zip(got.itertuples(), want):
+        assert (r.p_brand, r.n_parts, r.n_lines, r.sum_qty) == (
+            b,
+            len(c[0]),
+            c[1],
+            c[2],
+        )
