@@ -379,6 +379,18 @@ def _q_events_top_sessions(sf_dir: str):
     return events_top_sessions(sf_dir)
 
 
+def _q_events_pareto(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_pareto
+
+    return events_pareto(sf_dir)
+
+
+def _q_events_dau_wau_mau(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dau_wau_mau
+
+    return events_dau_wau_mau(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -758,6 +770,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_segment_sales": rel.segment_sales,
         "rel_region_revenue": rel.region_revenue,
         "rel_brand_volume": rel.brand_volume,
+        # concentration / stickiness boards (wave 16)
+        "events_pareto": _q_events_pareto,
+        "events_dau_wau_mau": _q_events_dau_wau_mau,
+        "doc_token_pareto": td.token_pareto,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1568,6 +1584,68 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_total_floor
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "events_pareto": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+                 r AS (SELECT n,
+                              sum(n) OVER (ORDER BY n DESC, user_id) AS cum,
+                              row_number() OVER (ORDER BY n DESC, user_id)
+                                  AS rn
+                       FROM c),
+                 t AS (SELECT CAST(count(*) AS BIGINT) AS tu,
+                              CAST(sum(n) AS BIGINT) AS te
+                       FROM c)
+            SELECT t.tu AS total_users, t.te AS total_events,
+                   CAST(min(CASE WHEN r.cum >= (t.te * 500 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS users_p50,
+                   CAST(min(CASE WHEN r.cum >= (t.te * 800 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS users_p80,
+                   CAST(min(CASE WHEN r.cum >= (t.te * 900 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS users_p90,
+                   CAST(min(CASE WHEN r.cum >= (t.te * 990 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS users_p99
+            FROM r CROSS JOIN t GROUP BY 1, 2
+        """,
+        "events_dau_wau_mau": """
+            WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                       FROM events),
+                 days AS (SELECT DISTINCT day FROM d)
+            SELECT t.day AS day_ts,
+                   CAST(count(DISTINCT CASE WHEN d.day = t.day
+                                            THEN d.user_id END) AS BIGINT)
+                       AS dau,
+                   CAST(count(DISTINCT CASE WHEN d.day >= t.day
+                                                 - INTERVAL 6 DAY
+                                            THEN d.user_id END) AS BIGINT)
+                       AS wau,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS mau
+            FROM days t
+            JOIN d ON d.day BETWEEN t.day - INTERVAL 27 DAY AND t.day
+            GROUP BY 1
+        """,
+        "doc_token_pareto": """
+            WITH c AS (SELECT doc_id,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+                       FROM documents),
+                 r AS (SELECT n,
+                              sum(n) OVER (ORDER BY n DESC, doc_id) AS cum,
+                              row_number() OVER (ORDER BY n DESC, doc_id)
+                                  AS rn
+                       FROM c),
+                 t AS (SELECT CAST(count(*) AS BIGINT) AS td,
+                              CAST(sum(n) AS BIGINT) AS tt
+                       FROM c)
+            SELECT t.td AS total_docs, t.tt AS total_tokens,
+                   CAST(min(CASE WHEN r.cum >= (t.tt * 500 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS docs_p50,
+                   CAST(min(CASE WHEN r.cum >= (t.tt * 800 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS docs_p80,
+                   CAST(min(CASE WHEN r.cum >= (t.tt * 900 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS docs_p90,
+                   CAST(min(CASE WHEN r.cum >= (t.tt * 990 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT) AS docs_p99
+            FROM r CROSS JOIN t GROUP BY 1, 2
         """,
         "rel_region_revenue": """
             SELECT r.r_name,

@@ -251,6 +251,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "rel_segment_sales",
         "rel_region_revenue",
         "rel_brand_volume",
+        "events_pareto",
+        "events_dau_wau_mau",
+        "doc_token_pareto",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",
@@ -340,7 +343,9 @@ def _consume(res) -> int:
 def cmd_bench(args) -> None:
     import ray
 
-    ray.init(address="local", num_cpus=args.num_cpus,
+    # the driver parses stdout as ONE JSON line: keep worker-log echoes
+    # (log_to_driver) off stdout entirely
+    ray.init(address="local", num_cpus=args.num_cpus, log_to_driver=False,
              include_dashboard=False, ignore_reinit_error=True)
     corpus = bench_corpus_dir()
     warmup()
@@ -380,7 +385,8 @@ def cmd_worker_cascade(args) -> None:
     """Internal: one fresh-process cascade run at --num-cpus (for --scaling)."""
     import ray
 
-    ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+    ray.init(address="local", num_cpus=args.num_cpus, log_to_driver=False,
+             include_dashboard=False)
     corpus = bench_corpus_dir(args.rows, args.shards, args.max_tok,
                               base=args.workdir)
     warmup()
@@ -411,7 +417,7 @@ def cmd_skew(args) -> None:
 
     from mq_to_db_ray.stages.temporal import asof_join
 
-    ray.init(address="local", num_cpus=args.num_cpus,
+    ray.init(address="local", num_cpus=args.num_cpus, log_to_driver=False,
              include_dashboard=False, ignore_reinit_error=True)
     n = args.rows if args.rows != BENCH_ROWS else 4_000_000
     g = np.random.default_rng(5)

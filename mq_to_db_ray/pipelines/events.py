@@ -4119,3 +4119,207 @@ def events_top_sessions(sf_dir: str, k: int = 20, gap_s: int = 6 * 3600) -> Data
 
     partials = sess.map_batches(local_topk, batch_format="pyarrow")
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def _pareto_from_hist(
+    vals: np.ndarray, freq: np.ndarray, targets: tuple[int, ...]
+) -> tuple[np.ndarray, int, int]:
+    """Minimal number of units covering >= p permille of total mass, for
+    each p in ``targets``, from a (value, frequency) histogram.  Unique
+    even with tied values: within a tie run every unit adds the same
+    mass, so the minimal count is order-independent.  Returns
+    (counts per target, n_units, total_mass)."""
+    order = np.argsort(vals, kind="stable")[::-1]
+    v, f = vals[order], freq[order]
+    mass = v * f
+    cum_mass = np.cumsum(mass)
+    cum_units = np.cumsum(f)
+    total = int(cum_mass[-1]) if len(cum_mass) else 0
+    n_units = int(cum_units[-1]) if len(cum_units) else 0
+    out = np.zeros(len(targets), np.int64)
+    for i, p in enumerate(targets):
+        need = -(-total * p // 1000)  # ceil
+        j = int(np.searchsorted(cum_mass, need))
+        before_mass = int(cum_mass[j - 1]) if j else 0
+        before_units = int(cum_units[j - 1]) if j else 0
+        within = -(-(need - before_mass) // int(v[j])) if need > before_mass else 0
+        out[i] = before_units + within
+    return out, n_units, total
+
+
+def events_pareto(
+    sf_dir: str, targets: tuple[int, ...] = (500, 800, 900, 990)
+) -> Dataset:
+    """E61: user-concentration Pareto curve — for each target p (permille
+    of ALL events): the MINIMAL number of users whose event counts cover
+    at least that share — the "how few whales carry the traffic"
+    concentration read (E36 shows the whole distribution; E61 answers the
+    80/20 question as one number per target).  Unique under count ties
+    (every tied user adds equal mass, so the minimum is order-free) and
+    exact int64 (row_number-over-count-DESC + running-sum oracle).
+
+    Scale shape — E36's machinery with a Pareto tail:
+      1. per batch one Arrow group_by reduces events to (user, n) partials;
+      2. hash-partition by USER decides exact per-user totals locally and
+         re-reduces to (count, n_users) histogram partials;
+      3. one k=1 merge sorts the tiny histogram and reads every target off
+         two cumulative sums."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id"]).group_by("user_id", use_threads=False).aggregate(
+            [("user_id", "count")]
+        )
+        return g.rename_columns(["user_id", "n"])
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cnt": pa.array([], pa.int64()), "f": pa.array([], pa.int64())}
+            )
+        g = t.group_by("user_id", use_threads=False).aggregate([("n", "sum")])
+        h = g.group_by("n_sum", use_threads=False).aggregate([("n_sum", "count")])
+        return h.rename_columns(["cnt", "f"])
+
+    names = tuple(f"users_p{p // 10}" for p in targets)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "total_users": pa.array([], pa.int64()),
+                    "total_events": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by("cnt", use_threads=False).aggregate([("f", "sum")])
+        vals = g["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        freq = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts, n_users, total = _pareto_from_hist(vals, freq, targets)
+        out = {
+            "total_users": pa.array([n_users], pa.int64()),
+            "total_events": pa.array([total], pa.int64()),
+        }
+        for c, v in zip(names, counts):
+            out[c] = pa.array([int(v)], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    hist = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(hist, "cnt", merge, k=1)
+
+
+def events_dau_wau_mau(sf_dir: str) -> Dataset:
+    """E62: DAU/WAU/MAU stickiness board — for every day PRESENT in the
+    stream: exact distinct users active that day (dau), in the trailing 7
+    days (wau), and in the trailing 28 days (mau) — the engagement ratios
+    (dau/mau "stickiness") every product review opens with; exact int64
+    (window BETWEEN self-join oracle).
+
+    Scale shape — E26's replicate-then-dedupe on the DAY axis:
+      1. per batch one lexsort reduces events to distinct (user, day)
+         pairs (the E49 combiner);
+      2. each pair fans out to the target days it can serve (1 dau + 7
+         wau + 28 mau role-tagged rows — bounded 36x replication of
+         DISTINCT user-days, never of events);
+      3. hash-partition by USER: all of a user's rows co-locate, so
+         (user, target, role) dedupes exactly and re-reduces to
+         (target, role, n) partials;
+      4. one k=1 merge pivots roles to columns, keeping only targets with
+         dau >= 1 (days present in the stream, matching the oracle's
+         days-CTE domain)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        day = ts_us // DAY_US
+        order = np.lexsort((day, uu))
+        u2, d2 = uu[order], day[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        st = np.flatnonzero(new)
+        u3, d3 = u2[st], d2[st]
+        # fan out to (target, role): role 0 = dau (offset 0), 1 = wau
+        # (offsets 0..6), 2 = mau (offsets 0..27)
+        offs = np.concatenate(
+            [np.zeros(1, np.int64), np.arange(7), np.arange(28)]
+        )
+        roles = np.concatenate(
+            [np.zeros(1, np.int64), np.ones(7, np.int64), np.full(28, 2, np.int64)]
+        )
+        m = len(u3)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u3, len(offs))),
+                "target": pa.array(
+                    (np.repeat(d3, len(offs)) + np.tile(offs, m)).astype(np.int64)
+                ),
+                "role": pa.array(np.tile(roles, m)),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "target": pa.array([], pa.int64()),
+                    "role": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # all rows of a user are local: dedupe (user, target, role) then
+        # count per (target, role)
+        g = t.group_by(["user_id", "target", "role"], use_threads=False).aggregate([])
+        h = g.group_by(["target", "role"], use_threads=False).aggregate(
+            [("role", "count")]
+        )
+        return h.rename_columns(["target", "role", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "dau": pa.array([], pa.int64()),
+                    "wau": pa.array([], pa.int64()),
+                    "mau": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["target", "role"], use_threads=False).aggregate([("n", "sum")])
+        dd = g["target"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = g["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        udays, inv = np.unique(dd, return_inverse=True)
+        cols = np.zeros((len(udays), 3), np.int64)
+        cols[inv, rr] = nn
+        keep = cols[:, 0] > 0  # only days present in the stream
+        return pa.table(
+            {
+                "day_ts": pa.array(udays[keep] * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "dau": pa.array(cols[keep, 0]),
+                "wau": pa.array(cols[keep, 1]),
+                "mau": pa.array(cols[keep, 2]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "target", merge, k=1)

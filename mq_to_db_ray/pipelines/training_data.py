@@ -3911,3 +3911,63 @@ def token_quantiles(
         partial, batch_format="pyarrow"
     )
     return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def token_pareto(
+    sf_dir: str, targets: tuple[int, ...] = (500, 800, 900, 990)
+) -> Dataset:
+    """T53: token-mass Pareto curve — for each target p (permille of ALL
+    corpus tokens): the MINIMAL number of documents whose token counts
+    cover at least that share — "how few giant documents carry the token
+    budget", the concentration twin of T45's length Gini (one number per
+    target instead of a coefficient; E61 is the same question on the
+    event-user axis).  Unique under count ties and exact int64
+    (row_number-over-count-DESC + running-sum oracle; T11's split(' ')
+    token convention).
+
+    Scale shape: token counts are batch-local (one Arrow split-length
+    kernel), so each batch reduces straight to (n_tokens, f) histogram
+    partials — no per-doc exchange at all — and the one k=1 merge reads
+    every target off two cumulative sums."""
+    from ..pipelines.events import _pareto_from_hist
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].combine_chunks()
+        n = np.asarray(
+            pc.cast(pc.list_value_length(pc.split_pattern(txt, " ")), pa.int64())
+        )
+        vals, freq = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(vals), np.int64)),
+                "cnt": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"docs_p{p // 10}" for p in targets)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "total_docs": pa.array([], pa.int64()),
+                    "total_tokens": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by("cnt", use_threads=False).aggregate([("f", "sum")])
+        vals = g["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        freq = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts, n_docs, total = _pareto_from_hist(vals, freq, targets)
+        out = {
+            "total_docs": pa.array([n_docs], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+        }
+        for c, v in zip(names, counts):
+            out[c] = pa.array([int(v)], pa.int64())
+        return pa.table(out)
+
+    partials = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "g", merge, k=1)

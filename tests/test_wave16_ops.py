@@ -1,0 +1,115 @@
+"""Round-4 wave-16 operators: user-concentration Pareto, DAU/WAU/MAU
+stickiness board, token-mass Pareto — each vs a scalar brute-force
+reference on synthetic inputs hitting the edge cases (count ties at every
+Pareto boundary, window edges at the stream start, single-day users)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DAY_US = 86_400_000_000
+
+
+def _pareto_brute(masses: list[int], p: int) -> int:
+    total = sum(masses)
+    need = -(-total * p // 1000)
+    acc = units = 0
+    for m in sorted(masses, reverse=True):
+        if acc >= need:
+            break
+        acc += m
+        units += 1
+    return units
+
+
+def _write_events(tmp_path, seed: int, n: int = 900, days: int = 40):
+    from mq_to_db_ray.pipelines.events import EVENTS_T0_US
+
+    g = np.random.default_rng(seed)
+    types = np.array(["a", "b"])[g.integers(0, 2, n)]
+    ts = EVENTS_T0_US + g.integers(0, days * DAY_US, n).astype(np.int64)
+    # Zipf-ish user skew so Pareto boundaries include tie runs
+    users = (g.zipf(1.6, n) % 50).astype(np.int64)
+    tbl = pa.table(
+        {
+            "event_type": pa.array(types.tolist()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(g.uniform(0, 50, n)),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(users),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return types, ts, users
+
+
+def test_events_pareto_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_pareto
+
+    _, _, users = _write_events(tmp_path, seed=70)
+    counts = list(collections.Counter(users.tolist()).values())
+    # the fixture must actually contain ties
+    assert len(counts) != len(set(counts))
+
+    got = events_pareto(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.total_users == len(counts)
+    assert r.total_events == sum(counts)
+    for p, col in ((500, "users_p50"), (800, "users_p80"), (900, "users_p90"), (990, "users_p99")):
+        assert r[col] == _pareto_brute(counts, p), col
+
+
+def test_dau_wau_mau_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_dau_wau_mau
+
+    _, ts, users = _write_events(tmp_path, seed=71)
+    pairs = {(int(u), int(t // DAY_US)) for u, t in zip(users, ts)}
+    days = sorted({d for _, d in pairs})
+    want = {}
+    for t in days:
+        dau = {u for u, d in pairs if d == t}
+        wau = {u for u, d in pairs if t - 6 <= d <= t}
+        mau = {u for u, d in pairs if t - 27 <= d <= t}
+        want[t] = (len(dau), len(wau), len(mau))
+
+    got = events_dau_wau_mau(str(tmp_path)).to_pandas()
+    assert len(got) == len(days)
+    for r in got.itertuples():
+        day = int(r.day_ts.value // 1000 // DAY_US)
+        assert (r.dau, r.wau, r.mau) == want[day], day
+    # monotonicity sanity: dau <= wau <= mau everywhere
+    assert (got.dau <= got.wau).all() and (got.wau <= got.mau).all()
+
+
+def test_token_pareto_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import token_pareto
+
+    g = np.random.default_rng(72)
+    # heavy-tailed doc lengths + deliberate duplicates (tie runs)
+    lens = np.concatenate(
+        [g.zipf(1.5, 150) % 200 + 1, np.full(30, 17, np.int64)]
+    )
+    texts = [" ".join("w" for _ in range(int(L))) for L in lens]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    masses = [len(t.split(" ")) for t in texts]
+    got = token_pareto(str(tmp_path)).to_pandas()
+    r = got.iloc[0]
+    assert r.total_docs == len(masses)
+    assert r.total_tokens == sum(masses)
+    for p, col in ((500, "docs_p50"), (800, "docs_p80"), (900, "docs_p90"), (990, "docs_p99")):
+        assert r[col] == _pareto_brute(masses, p), col
