@@ -774,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto": _q_events_pareto,
         "events_dau_wau_mau": _q_events_dau_wau_mau,
         "doc_token_pareto": td.token_pareto,
+        "doc_quality_funnel": td.quality_funnel,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2079,6 +2080,47 @@ def oracle_sql() -> dict[str, str]:
               AND floor(1000.0*rep.m/rep.n) <= 130
               AND floor(1000.0*st.s/rep.n) >= 20
               AND t.doc_id NOT IN (SELECT doc_id FROM hit)
+        """,
+        "doc_quality_funnel": """
+            WITH t AS (SELECT doc_id, source, lang, text,
+                              str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1),
+            f AS (SELECT t.source,
+                         CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS f1,
+                         CASE WHEN rep.n BETWEEN 20 AND 90
+                              THEN 1 ELSE 0 END AS f2,
+                         CASE WHEN floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+                               AND floor(1000.0*rep.m/rep.n) <= 130
+                              THEN 1 ELSE 0 END AS f3,
+                         CASE WHEN floor(1000.0*st.s/rep.n) >= 20
+                              THEN 1 ELSE 0 END AS f4,
+                         CASE WHEN t.doc_id IN (SELECT doc_id FROM hit)
+                              THEN 0 ELSE 1 END AS f5
+                  FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(f1) AS BIGINT) AS n_pass_lang,
+                   CAST(sum(f1*f2) AS BIGINT) AS n_pass_band,
+                   CAST(sum(f1*f2*f3) AS BIGINT) AS n_pass_rep,
+                   CAST(sum(f1*f2*f3*f4) AS BIGINT) AS n_pass_stop,
+                   CAST(sum(f1*f2*f3*f4*f5) AS BIGINT) AS n_pass_all
+            FROM f GROUP BY 1
         """,
         "doc_top_terms": """
             WITH u AS (SELECT doc_id, unnest(str_split(text,' ')) word

@@ -254,6 +254,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_pareto",
         "events_dau_wau_mau",
         "doc_token_pareto",
+        "doc_quality_funnel",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -410,6 +410,58 @@ def word_scrub(sf_dir: str) -> Dataset:
     )
 
 
+def _quality_features(batch: pa.Table, eval_set):
+    """Shared fused feature kernel for T29/T54: ONE text pass computes
+    n_words, the Gopher dup/top repetition permilles, the stopword
+    permille, the language flag, and the contamination hit counts — each
+    bit-identical to its standalone operator's kernel (doc_repetition /
+    doc_quality / doc_contamination), so any composite of these features
+    is reproducible by one SQL pass over the same CTEs."""
+    n_rows = batch.num_rows
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_words = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    flat = words.flatten()
+    # repetition caps (raw-case words, same as doc_repetition)
+    codes = (
+        flat.dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_dict = int(codes.max()) + 1 if len(codes) else 1
+    pairs, counts = np.unique(
+        parent.astype(np.int64) * n_dict + codes, return_counts=True
+    )
+    pair_doc = pairs // n_dict
+    distinct = np.bincount(pair_doc, minlength=n_rows).astype(np.int64)
+    doc_starts = np.flatnonzero(
+        np.diff(pair_doc, prepend=pair_doc[0] - 1 if len(pair_doc) else 0)
+    )
+    top = np.zeros(n_rows, dtype=np.int64)
+    if len(pairs):
+        top[pair_doc[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
+    # stopword floor (lowercased words, same as doc_quality)
+    is_stop = pc.is_in(
+        pc.utf8_lower(flat), value_set=pa.array(list(ts.STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parent, weights=is_stop, minlength=n_rows).astype(
+        np.int64
+    )
+    # contamination probe (broadcast eval set, same as doc_contamination)
+    hits = _shingle_hits(batch["text"], eval_set, n_rows)
+
+    n_safe = np.maximum(n_words, 1)
+    dup = np.floor(1000.0 * (n_words - distinct) / n_safe)
+    topf = np.floor(1000.0 * top / n_safe)
+    stopf = np.floor(1000.0 * n_stop / n_safe)
+    lang_en = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+    return n_words, dup, topf, stopf, lang_en, hits
+
+
 def quality_filter(
     sf_dir: str,
     *,
@@ -439,47 +491,9 @@ def quality_filter(
 
     def fn(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
-        words = pc.split_pattern(batch["text"], " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        n_words = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        flat = words.flatten()
-        # repetition caps (raw-case words, same as doc_repetition)
-        codes = (
-            flat.dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
         )
-        n_dict = int(codes.max()) + 1 if len(codes) else 1
-        pairs, counts = np.unique(
-            parent.astype(np.int64) * n_dict + codes, return_counts=True
-        )
-        pair_doc = pairs // n_dict
-        distinct = np.bincount(pair_doc, minlength=n_rows).astype(np.int64)
-        doc_starts = np.flatnonzero(
-            np.diff(pair_doc, prepend=pair_doc[0] - 1 if len(pair_doc) else 0)
-        )
-        top = np.zeros(n_rows, dtype=np.int64)
-        if len(pairs):
-            top[pair_doc[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
-        # stopword floor (lowercased words, same as doc_quality)
-        is_stop = pc.is_in(
-            pc.utf8_lower(flat), value_set=pa.array(list(ts.STOPWORDS))
-        ).to_numpy(zero_copy_only=False)
-        n_stop = np.bincount(parent, weights=is_stop, minlength=n_rows).astype(
-            np.int64
-        )
-        # contamination probe (broadcast eval set, same as doc_contamination)
-        hits = _shingle_hits(batch["text"], ray.get(eval_ref), n_rows)
-
-        n_safe = np.maximum(n_words, 1)
-        dup = np.floor(1000.0 * (n_words - distinct) / n_safe)
-        topf = np.floor(1000.0 * top / n_safe)
-        stopf = np.floor(1000.0 * n_stop / n_safe)
-        lang_en = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
         keep = (
             lang_en
             & (n_words >= min_words)
@@ -3971,3 +3985,82 @@ def token_pareto(
 
     partials = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def quality_funnel(
+    sf_dir: str,
+    *,
+    eval_max_doc_id: int = 10,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_dup_permille: int = 600,
+    max_top_permille: int = 130,
+    min_stop_permille: int = 20,
+) -> Dataset:
+    """T54: quality-filter funnel — per source: total docs and the
+    CUMULATIVE survivor count after each stage of T29's fused keep
+    decision (language -> word band -> Gopher repetition caps -> stopword
+    floor -> decontamination) — the "where do documents die" board a
+    pipeline owner reads before changing any threshold (T29 gives the
+    final survivors; T54 attributes the losses).  n_pass_all equals
+    T29's per-source keep count by construction.  Exact int64.
+
+    Scale shape: T29's shape exactly — ONE streaming text pass through
+    the shared ``_quality_features`` kernel, each batch reducing to one
+    partial row per source (7 int64 columns); only partials ride the
+    tiny per-source merge.  The eval shingle set is the same ray.put
+    broadcast T19/T29 use."""
+    import ray
+
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+    cols = [
+        "n_docs",
+        "n_pass_lang",
+        "n_pass_band",
+        "n_pass_rep",
+        "n_pass_stop",
+        "n_pass_all",
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        f1 = lang_en
+        f2 = f1 & (n_words >= min_words) & (n_words <= max_words)
+        f3 = f2 & (dup <= max_dup_permille) & (topf <= max_top_permille)
+        f4 = f3 & (stopf >= min_stop_permille)
+        f5 = f4 & (hits == 0)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_pass_lang": pa.array(f1.astype(np.int64)),
+                "n_pass_band": pa.array(f2.astype(np.int64)),
+                "n_pass_rep": pa.array(f3.astype(np.int64)),
+                "n_pass_stop": pa.array(f4.astype(np.int64)),
+                "n_pass_all": pa.array(f5.astype(np.int64)),
+            }
+        )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [(c, "sum") for c in cols]
+        )
+        return g.rename_columns(["source", *cols])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in cols},
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [(c, "sum") for c in cols]
+        )
+        return g.rename_columns(["source", *cols])
+
+    partials = _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")

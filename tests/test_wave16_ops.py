@@ -113,3 +113,48 @@ def test_token_pareto_bruteforce(ray_session, tmp_path):
     assert r.total_tokens == sum(masses)
     for p, col in ((500, "docs_p50"), (800, "docs_p80"), (900, "docs_p90"), (990, "docs_p99")):
         assert r[col] == _pareto_brute(masses, p), col
+
+
+def test_quality_funnel_consistency(ray_session, tmp_path):
+    """The funnel must be monotone non-increasing and its n_pass_all must
+    equal the fused filter's per-source survivor count (same kernel)."""
+    from mq_to_db_ray.pipelines.training_data import quality_filter, quality_funnel
+
+    g = np.random.default_rng(73)
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    other = [f"w{i}" for i in range(30)]
+    texts, srcs, langs = [], [], []
+    for i in range(120):
+        n = int(g.integers(5, 120))
+        words = list(g.choice(other, n))
+        # salt some docs with stopwords so the stop floor differentiates
+        if i % 3 == 0:
+            words[: max(1, n // 8)] = list(
+                g.choice(stop, max(1, n // 8))
+            )
+        texts.append(" ".join(words))
+        srcs.append(f"s{i % 4}")
+        langs.append("en" if i % 5 else "de")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    funnel = quality_funnel(str(tmp_path)).to_pandas().set_index("source")
+    kept = quality_filter(str(tmp_path)).to_pandas()
+    kept_per_src = kept.groupby("source").size()
+    for s in funnel.index:
+        r = funnel.loc[s]
+        seq = [r.n_docs, r.n_pass_lang, r.n_pass_band, r.n_pass_rep,
+               r.n_pass_stop, r.n_pass_all]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), s
+        assert r.n_pass_all == kept_per_src.get(s, 0), s
+    # the fixture must actually exercise every stage
+    assert funnel.n_pass_lang.sum() < funnel.n_docs.sum()
+    assert funnel.n_pass_band.sum() < funnel.n_pass_lang.sum()
