@@ -391,6 +391,12 @@ def _q_events_dau_wau_mau(sf_dir: str):
     return events_dau_wau_mau(sf_dir)
 
 
+def _q_events_minute_percentile(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_minute_percentile
+
+    return events_minute_percentile(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -775,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau_mau": _q_events_dau_wau_mau,
         "doc_token_pareto": td.token_pareto,
         "doc_quality_funnel": td.quality_funnel,
+        "events_minute_percentile": _q_events_minute_percentile,
+        "doc_curriculum_rank": td.curriculum_rank,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1553,6 +1561,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_minute_percentile": """
+            WITH r AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS minute,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 h AS (SELECT source, n, count(*) AS f FROM r GROUP BY 1, 2),
+                 cum AS (SELECT source, n,
+                                sum(f) OVER (PARTITION BY source
+                                             ORDER BY n) - f AS below
+                         FROM h),
+                 tot AS (SELECT source, count(*) AS t FROM r GROUP BY 1)
+            SELECT r.source, r.minute AS bucket_ts, r.n AS n_events,
+                   CAST((1000 * cum.below) // tot.t AS BIGINT) AS permille
+            FROM r
+            JOIN cum ON r.source = cum.source AND r.n = cum.n
+            JOIN tot ON tot.source = r.source
+        """,
+        "doc_curriculum_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                        - 1 AS BIGINT) AS rank
+            FROM documents
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -255,6 +255,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dau_wau_mau",
         "doc_token_pareto",
         "doc_quality_funnel",
+        "events_minute_percentile",
+        "doc_curriculum_rank",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

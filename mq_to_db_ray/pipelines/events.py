@@ -4323,3 +4323,101 @@ def events_dau_wau_mau(sf_dir: str) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(per_user, "target", merge, k=1)
+
+
+def events_minute_percentile(sf_dir: str) -> Dataset:
+    """E63: per-minute percentile rank — every rolled (source, minute)
+    tagged with its exact permille rank within the source's own
+    minute-count distribution (permille = 1000 · #minutes-with-strictly-
+    smaller-count // n_minutes) — the "is this minute a p99 minute"
+    contextualizer dashboards draw as a percentile band; exact int64
+    (histogram window-cumsum oracle).
+
+    Scale shape — broadcast-of-aggregate over the sanctioned rolled-point
+    bound: the 1m rollup is materialized ONCE; its per-source count
+    HISTOGRAM (O(sources × distinct counts) rows) collapses at the driver
+    into per-source (sorted counts, strictly-below cumsum, total) arrays
+    shipped via ``ray.put``; a stateless second pass attaches the permille
+    with one searchsorted per (batch, source) — no second shuffle."""
+    import ray
+
+    from ..stages.rollup import rollup
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    m1 = rollup(events_assigned(sf_dir), "1m", t0_us=EVENTS_T0_US).materialize()
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+        t = pa.table({"c": code, "n": pc.cast(b["count"], pa.int64())})
+        g = t.group_by(["c", "n"], use_threads=False).aggregate([("n", "count")])
+        return g.rename_columns(["c", "n", "f"])
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["c", "n"], use_threads=False).aggregate([("f", "sum")])
+        return g.rename_columns(["c", "n", "f"])
+
+    hist = pa.concat_tables(
+        list(
+            hash_partition_merge(
+                m1.map_batches(hist_partial, batch_format="pyarrow"),
+                "n",
+                hist_merge,
+                k=1,
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    cc = hist["c"].combine_chunks().to_numpy(zero_copy_only=False)
+    nn = hist["n"].combine_chunks().to_numpy(zero_copy_only=False)
+    ff = hist["f"].combine_chunks().to_numpy(zero_copy_only=False)
+    lut = []
+    for ci in range(len(srcs)):
+        m = cc == ci
+        order = np.argsort(nn[m], kind="stable")
+        vals, freq = nn[m][order], ff[m][order]
+        below = np.concatenate(([0], np.cumsum(freq)[:-1]))
+        lut.append((vals, below, int(freq.sum())))
+    lut_ref = ray.put(lut)
+
+    class Attach:
+        def __init__(self, ref):
+            self.lut = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            code = (
+                pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            n = (
+                pc.cast(b["count"], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            perm = np.zeros(len(n), np.int64)
+            for ci in np.unique(code):
+                vals, below, total = self.lut[ci]
+                m = code == ci
+                pos = np.searchsorted(vals, n[m])
+                perm[m] = (1000 * below[pos]) // max(total, 1)
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "bucket_ts": b["bucket_ts"],
+                    "n_events": pa.array(n),
+                    "permille": pa.array(perm),
+                }
+            )
+
+    return m1.map_batches(
+        Attach, fn_constructor_args=(lut_ref,), batch_format="pyarrow",
+        concurrency=2,
+    )

@@ -4064,3 +4064,90 @@ def quality_funnel(
         fn, batch_format="pyarrow"
     )
     return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def curriculum_rank(sf_dir: str) -> Dataset:
+    """T55: curriculum ordering rank — every document tagged with its
+    0-based global rank under (n_chars DESC, doc_id ASC): the
+    longest-first curriculum/packing order, materialized as a rank column
+    WITHOUT a global sort (T25's shuffle_rank is the hash-order variant;
+    T55 is the value-ordered one).  Exact int64 (row_number oracle).
+
+    Scale shape — count-based ranking, the distributed ORDER BY answer:
+      1. one mergeable (n_chars, f) histogram pass (O(distinct lengths)
+         rows) collapses at the driver into per-length GLOBAL OFFSETS
+         (#docs with strictly longer text), shipped via ray.put;
+      2. hash-partition by N_CHARS: every doc of a length meets in one
+         task, so the within-length doc_id order is one local lexsort and
+         rank = offset[len] + within-group index — no doc row ever moves
+         twice, no global sort anywhere."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    narrow = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["n_chars"]).group_by("n_chars", use_threads=False).aggregate(
+            [("n_chars", "count")]
+        )
+        return g.rename_columns(["len", "f"])
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"len": pa.array([], pa.int64()), "f": pa.array([], pa.int64())}
+            )
+        g = t.group_by("len", use_threads=False).aggregate([("f", "sum")])
+        return g.rename_columns(["len", "f"])
+
+    hist = pa.concat_tables(
+        list(
+            hash_partition_merge(
+                narrow.map_batches(hist_partial, batch_format="pyarrow"),
+                "len",
+                hist_merge,
+                k=1,
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    lens = hist["len"].combine_chunks().to_numpy(zero_copy_only=False)
+    freq = hist["f"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(lens, kind="stable")[::-1]  # longest first
+    lens_d, freq_d = lens[order], freq[order]
+    offsets = np.concatenate(([0], np.cumsum(freq_d)[:-1]))
+    # lookup keyed by ascending length for searchsorted
+    asc = np.argsort(lens_d, kind="stable")
+    lut_ref = ray.put((lens_d[asc], offsets[asc]))
+
+    def rank_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        keys, offs = ray.get(lut_ref)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        L = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -L))
+        d2, L2 = d[order], L[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = L2[1:] != L2[:-1]
+        gs = np.flatnonzero(newg)
+        within = np.arange(len(order)) - np.repeat(
+            gs, np.diff(np.append(gs, len(order)))
+        )
+        base = offs[np.searchsorted(keys, L2)]
+        return pa.table(
+            {
+                "doc_id": pa.array(d2, pa.int64()),
+                "n_chars": pa.array(L2, pa.int64()),
+                "rank": pa.array(base + within, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(narrow, "n_chars", rank_fold, k=_doc_k(sf_dir))

@@ -158,3 +158,54 @@ def test_quality_funnel_consistency(ray_session, tmp_path):
     # the fixture must actually exercise every stage
     assert funnel.n_pass_lang.sum() < funnel.n_docs.sum()
     assert funnel.n_pass_band.sum() < funnel.n_pass_lang.sum()
+
+
+def test_minute_percentile_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_minute_percentile
+
+    MIN_US = 60_000_000
+    types, ts, _ = _write_events(tmp_path, seed=74)
+    per_cell = collections.Counter(
+        (s, int(t // MIN_US)) for s, t in zip(types, ts)
+    )
+    per_src = collections.defaultdict(list)
+    for (s, _), n in per_cell.items():
+        per_src[s].append(n)
+
+    got = events_minute_percentile(str(tmp_path)).to_pandas()
+    assert len(got) == len(per_cell)
+    for r in got.itertuples():
+        minute = int(r.bucket_ts.value // 1000 // MIN_US)
+        n = per_cell[(r.source, minute)]
+        assert r.n_events == n
+        counts = per_src[r.source]
+        below = sum(1 for c in counts if c < n)
+        assert r.permille == (1000 * below) // len(counts)
+
+
+def test_curriculum_rank_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import curriculum_rank
+
+    g = np.random.default_rng(75)
+    # many tied lengths so within-length doc_id ordering is exercised
+    lens = g.integers(1, 15, 200).astype(np.int64)
+    texts = ["x" * int(L) for L in lens]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s0"] * len(texts)),
+            "n_chars": pa.array(lens),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    want = sorted(range(len(lens)), key=lambda i: (-lens[i], i))
+    rank_of = {doc: r for r, doc in enumerate(want)}
+
+    got = curriculum_rank(str(tmp_path)).to_pandas()
+    assert len(got) == len(lens)
+    assert sorted(got["rank"].tolist()) == list(range(len(lens)))  # a permutation
+    for r in got.itertuples():
+        assert r.rank == rank_of[r.doc_id], r.doc_id
