@@ -783,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_funnel": td.quality_funnel,
         "events_minute_percentile": _q_events_minute_percentile,
         "doc_curriculum_rank": td.curriculum_rank,
+        "doc_near_dup_rate": td.near_dup_rate_by_source,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2433,6 +2434,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u)
             SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
             FROM reach GROUP BY 1
+        """,
+        "doc_near_dup_rate": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db, CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.da AS doc_a, i.db AS doc_b
+                  FROM i JOIN sizes sa ON i.da = sa.doc_id
+                         JOIN sizes sb ON i.db = sb.doc_id
+                  WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200),
+            nn AS (SELECT doc_a u FROM p UNION SELECT doc_b FROM p)
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN nn.u IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in_family
+            FROM documents d LEFT JOIN nn ON d.doc_id = nn.u
+            GROUP BY 1
         """,
         "doc_near_dedup_keep": """
             WITH RECURSIVE

@@ -257,6 +257,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_quality_funnel",
         "events_minute_percentile",
         "doc_curriculum_rank",
+        "doc_near_dup_rate",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -4151,3 +4151,96 @@ def curriculum_rank(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(narrow, "n_chars", rank_fold, k=_doc_k(sf_dir))
+
+
+def near_dup_rate_by_source(
+    sf_dir: str, threshold_permille: int = 200, clusters: Dataset | None = None
+) -> Dataset:
+    """T56: near-duplication rate by source — per source: total docs and
+    docs with at least one NEAR-dup partner (a T20 pair-graph node) —
+    T47's balance sheet moved from byte-identical to Jaccard-near
+    duplication, the number that decides whether a source needs the full
+    dedup pass before its sampling weight is trusted.  Exact int64 (the
+    T20 pair CTE's node set LEFT JOINed back to documents).
+
+    Scale shape — near_dedup_keep's co-partitioned membership join, semi
+    instead of anti: cluster labels (already bounded by T20's machinery;
+    accepts the precomputed ``clusters`` Dataset so corpus-wide callers
+    pay for the chain once) and the narrow (doc_id, source) corpus union
+    under one role-tagged schema, hash-partition by DOC_ID, and each
+    partition reduces straight to per-source (n_docs, n_in_family)
+    partials — membership never broadcasts."""
+    from ..stages.shuffle import hash_partition_merge
+
+    if clusters is None:
+        clusters = dup_clusters(sf_dir, threshold_permille=threshold_permille)
+
+    def members(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": pa.nulls(b.num_rows, pa.string()),
+                "is_member": pa.array(np.ones(b.num_rows, dtype=bool)),
+            }
+        )
+
+    def corpus(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "source": b["source"],
+                "is_member": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_in_family": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ism = t["is_member"].combine_chunks().to_numpy(zero_copy_only=False)
+        fam = np.unique(ids[ism])
+        rows = ~ism
+        pos = np.searchsorted(fam, ids[rows])
+        pos = np.clip(pos, 0, max(len(fam) - 1, 0))
+        hit = (fam[pos] == ids[rows]) if len(fam) else np.zeros(
+            int(rows.sum()), dtype=bool
+        )
+        out = pa.table(
+            {
+                "source": t.filter(pa.array(rows))["source"],
+                "nd": pa.array(np.ones(int(rows.sum()), np.int64)),
+                "nf": pa.array(hit.astype(np.int64)),
+            }
+        )
+        g = out.group_by("source", use_threads=False).aggregate(
+            [("nd", "sum"), ("nf", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_in_family"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_in_family": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_in_family", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_in_family"])
+
+    both = clusters.map_batches(members, batch_format="pyarrow").union(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            corpus, batch_format="pyarrow"
+        )
+    )
+    partials = hash_partition_merge(both, "doc_id", fold, k=_doc_k(sf_dir))
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")

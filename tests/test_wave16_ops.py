@@ -209,3 +209,44 @@ def test_curriculum_rank_bruteforce(ray_session, tmp_path):
     assert sorted(got["rank"].tolist()) == list(range(len(lens)))  # a permutation
     for r in got.itertuples():
         assert r.rank == rank_of[r.doc_id], r.doc_id
+
+
+def test_near_dup_rate_bruteforce(ray_session, tmp_path):
+    """Known family structure: groups of identical docs (Jaccard 1000)
+    with disjoint vocabularies, plus singletons — membership per source
+    must match exactly."""
+    from mq_to_db_ray.pipelines.training_data import near_dup_rate_by_source
+
+    texts, srcs = [], []
+    # family A: 3 copies split across s0/s1; family B: 2 copies in s1
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta"
+    fam_b = "one two three four five six seven eight nine"
+    texts += [fam_a, fam_a, fam_a]
+    srcs += ["s0", "s0", "s1"]
+    texts += [fam_b, fam_b]
+    srcs += ["s1", "s1"]
+    # singletons with disjoint vocab (cannot share any 3-gram shingle)
+    for i in range(6):
+        texts.append(" ".join(f"u{i}w{j}" for j in range(10)))
+        srcs.append("s0" if i % 2 else "s1")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = (
+        near_dup_rate_by_source(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["s0"].n_docs == 2 + 3  # 2 family-A copies + 3 singletons
+    assert got.loc["s0"].n_in_family == 2
+    assert got.loc["s1"].n_docs == 1 + 2 + 3
+    assert got.loc["s1"].n_in_family == 3
