@@ -397,6 +397,12 @@ def _q_events_minute_percentile(sf_dir: str):
     return events_minute_percentile(sf_dir)
 
 
+def _q_events_share_drift(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_share_drift
+
+    return events_share_drift(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -784,6 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minute_percentile": _q_events_minute_percentile,
         "doc_curriculum_rank": td.curriculum_rank,
         "doc_near_dup_rate": td.near_dup_rate_by_source,
+        "events_share_drift": _q_events_share_drift,
+        "doc_contamination_by_source": td.contamination_by_source,
+        "doc_scrub_impact": td.scrub_impact,
+        "multimodal_size_hist": td.multimodal_size_hist,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1562,6 +1572,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_share_drift": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              event_type AS source,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 t AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot
+                       FROM d GROUP BY 1)
+            SELECT d.day AS day_ts, d.source, d.n AS n_events,
+                   CAST((1000 * d.n) // t.tot AS BIGINT) AS share_permille
+            FROM d JOIN t USING (day)
+        """,
+        "doc_contamination_by_source": """
+            WITH t AS (SELECT doc_id, source, str_split(text, ' ') w
+                       FROM documents),
+            g AS (SELECT doc_id, source, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            d AS (SELECT doc_id, unnest(sh) s FROM g),
+            h AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) n_hits
+                  FROM d JOIN e ON d.s = e.s GROUP BY 1)
+            SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN COALESCE(h.n_hits, 0) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated,
+                   CAST(sum(COALESCE(h.n_hits, 0)) AS BIGINT) AS n_hits
+            FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+            GROUP BY 1
+        """,
+        "doc_scrub_impact": r"""
+            WITH c AS (SELECT source,
+                              CAST(len(regexp_extract_all(text,
+                                   '\b(spark|customer)\b')) AS BIGINT) AS n
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_hit,
+                   CAST(sum(n) AS BIGINT) AS n_redactions
+            FROM c GROUP BY 1
+        """,
+        "multimodal_size_hist": """
+            WITH p AS (SELECT 'unknown' AS kind,
+                              CAST(octet_length(encode(text)) AS BIGINT) AS b
+                       FROM documents)
+            SELECT kind,
+                   CASE WHEN b = 0 THEN 0
+                        ELSE CAST(floor(log2(b)) AS BIGINT) + 1
+                   END AS size_bin,
+                   CAST(count(*) AS BIGINT) AS n_payloads,
+                   CAST(sum(b) AS BIGINT) AS total_bytes
+            FROM p GROUP BY 1, 2
         """,
         "events_minute_percentile": """
             WITH r AS (SELECT event_type AS source,

@@ -258,6 +258,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_minute_percentile",
         "doc_curriculum_rank",
         "doc_near_dup_rate",
+        "events_share_drift",
+        "doc_contamination_by_source",
+        "doc_scrub_impact",
+        "multimodal_size_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -4421,3 +4421,66 @@ def events_minute_percentile(sf_dir: str) -> Dataset:
         Attach, fn_constructor_args=(lut_ref,), batch_format="pyarrow",
         concurrency=2,
     )
+
+
+def events_share_drift(sf_dir: str) -> Dataset:
+    """E64: daily traffic-mix share — per (day, source): event count and
+    the source's exact permille share of that DAY's total — the mix-drift
+    board that catches one source silently displacing another while total
+    volume looks flat (E55 tracks each source against itself; E64 tracks
+    sources against each other).  Exact int64 (day-total join oracle).
+
+    Scale shape: ONE exchange — per batch one Arrow group_by reduces
+    events to (day, source, n) cells; hash-partition by DAY co-locates a
+    day's full source vector, so the day total and every share are
+    decided in place (output O(days × sources))."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "day": pa.array(ts_us // DAY_US, pa.int64()),
+                "source": b["event_type"],
+            }
+        )
+        g = t.group_by(["day", "source"], use_threads=False).aggregate(
+            [("day", "count")]
+        )
+        return g.rename_columns(["day", "source", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "source": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "share_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["day", "source"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        dd = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        udays, inv = np.unique(dd, return_inverse=True)
+        tot = np.zeros(len(udays), np.int64)
+        np.add.at(tot, inv, nn)
+        return pa.table(
+            {
+                "day_ts": pa.array(dd * DAY_US, pa.int64()).cast(pa.timestamp("us")),
+                "source": g["source"],
+                "n_events": pa.array(nn.astype(np.int64)),
+                "share_permille": pa.array((1000 * nn) // tot[inv], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "day", merge, k=_adaptive_k(sf_dir))

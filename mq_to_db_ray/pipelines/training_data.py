@@ -4244,3 +4244,165 @@ def near_dup_rate_by_source(
     )
     partials = hash_partition_merge(both, "doc_id", fold, k=_doc_k(sf_dir))
     return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def contamination_by_source(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
+    """T57: contamination exposure by source — per source: total docs,
+    docs sharing ≥1 three-word shingle with the eval set, and the total
+    shingle-hit count — T19's per-doc verdicts rolled into the board a
+    pipeline owner actually reads ("which source leaks the benchmark").
+    Exact int64; engine compares 64-bit shingle hashes, the oracle
+    shingle STRINGS (T4/T19 convention).
+
+    Scale shape: T19's broadcast probe verbatim (eval shingles ray.put
+    once, one searchsorted per task) with the per-doc output replaced by
+    one partial row per source per batch — ZERO wide exchange."""
+    import ray
+
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hits = _shingle_hits(batch["text"], ray.get(eval_ref), batch.num_rows)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "nd": pa.array(np.ones(batch.num_rows, np.int64)),
+                "nc": pa.array((hits > 0).astype(np.int64)),
+                "nh": pa.array(hits.astype(np.int64)),
+            }
+        )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("nd", "sum"), ("nc", "sum"), ("nh", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_contaminated", "n_hits"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_contaminated": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_contaminated", "sum"), ("n_hits", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "n_contaminated", "n_hits"]
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def scrub_impact(sf_dir: str) -> Dataset:
+    """T58: blocklist scrub impact — per source: total docs, docs with at
+    least one blocklist hit, and total redactions — the sizing board run
+    before T28's scrub rewrites anything (identical RE2 word-boundary
+    pattern on both sides, so the totals are exact by construction).
+
+    Scale shape: one compiled RE2 count kernel per batch reducing to one
+    partial row per source — T49's zero-wide-exchange profile."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], SCRUB_PATTERN), pa.int64()
+        )
+        narr = n.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(
+            n, pa.ChunkedArray
+        ) else np.asarray(n)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "nd": pa.array(np.ones(batch.num_rows, np.int64)),
+                "nh": pa.array((narr > 0).astype(np.int64)),
+                "nr": pa.array(narr.astype(np.int64)),
+            }
+        )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("nd", "sum"), ("nh", "sum"), ("nr", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_docs_hit", "n_redactions"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_docs_hit": pa.array([], pa.int64()),
+                    "n_redactions": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_docs_hit", "sum"), ("n_redactions", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_docs_hit", "n_redactions"])
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def multimodal_size_hist(sf_dir: str) -> Dataset:
+    """T59/M4: payload-size histogram — per (kind, log2 byte-size bin):
+    payload count and total bytes — the capacity sheet a multimodal
+    ingest is sized by (batch-size and block-size tuning read straight
+    off it; bin = bit_length(payload_bytes), the T43 convention).  Runs
+    on the REAL payload plumbing (the actor-pool metadata stage over
+    opaque binary), so the histogram exercises the same path a production
+    image/audio corpus would; exact int64 (octet_length + floor(log2)
+    oracle).
+
+    Scale shape: metadata rows are already narrow; each batch reduces to
+    ≤(kinds × 64) partial rows via one Arrow group_by, and only partials
+    ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    meta = multimodal_meta(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nb = (
+            pc.cast(b["payload_bytes"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        f, e = np.frexp(nb.astype(np.float64))
+        bins = np.where(nb > 0, e, 0).astype(np.int64)
+        t = pa.table(
+            {
+                "kind": b["kind"],
+                "bin": pa.array(bins),
+                "n": pa.array(np.ones(len(bins), np.int64)),
+                "b": pa.array(nb),
+            }
+        )
+        g = t.group_by(["kind", "bin"], use_threads=False).aggregate(
+            [("n", "sum"), ("b", "sum")]
+        )
+        return g.rename_columns(["kind", "bin", "n_payloads", "total_bytes"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "size_bin": pa.array([], pa.int64()),
+                    "n_payloads": pa.array([], pa.int64()),
+                    "total_bytes": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["kind", "bin"], use_threads=False).aggregate(
+            [("n_payloads", "sum"), ("total_bytes", "sum")]
+        )
+        return g.rename_columns(["kind", "size_bin", "n_payloads", "total_bytes"])
+
+    partials = meta.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "bin", merge, k=1)

@@ -250,3 +250,57 @@ def test_near_dup_rate_bruteforce(ray_session, tmp_path):
     assert got.loc["s0"].n_in_family == 2
     assert got.loc["s1"].n_docs == 1 + 2 + 3
     assert got.loc["s1"].n_in_family == 3
+
+
+def test_share_drift_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_share_drift
+
+    types, ts, _ = _write_events(tmp_path, seed=76)
+    cell = collections.Counter((s, int(t // DAY_US)) for s, t in zip(types, ts))
+    day_tot = collections.Counter()
+    for (s, d), n in cell.items():
+        day_tot[d] += n
+
+    got = events_share_drift(str(tmp_path)).to_pandas()
+    assert len(got) == len(cell)
+    for r in got.itertuples():
+        d = int(r.day_ts.value // 1000 // DAY_US)
+        n = cell[(r.source, d)]
+        assert r.n_events == n
+        assert r.share_permille == (1000 * n) // day_tot[d]
+    # per-day shares sum to <= 1000 and > 1000 - n_sources (floor slack)
+    agg = got.groupby(got.day_ts).share_permille.sum()
+    assert (agg <= 1000).all()
+
+
+def test_scrub_impact_bruteforce(ray_session, tmp_path):
+    import re
+
+    from mq_to_db_ray.pipelines.training_data import scrub_impact, SCRUB_PATTERN
+
+    texts = [
+        "spark and customer spark",
+        "no hits here",
+        "customerx is not a hit but customer is",
+        "sparkly sparks do not count",
+    ]
+    srcs = ["s0", "s0", "s1", "s1"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = scrub_impact(str(tmp_path)).to_pandas().set_index("source")
+    for s in ("s0", "s1"):
+        joined = [t for t, ss in zip(texts, srcs) if ss == s]
+        hits = [len(re.findall(SCRUB_PATTERN, t)) for t in joined]
+        assert got.loc[s].n_docs == len(joined)
+        assert got.loc[s].n_docs_hit == sum(1 for h in hits if h)
+        assert got.loc[s].n_redactions == sum(hits)
+    assert got.loc["s1"].n_redactions == 1  # word-boundary semantics
