@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 
@@ -73,8 +74,20 @@ def cosine_topk(
         concurrency=concurrency,
     )
     # deterministic tie-break on id: equal-cosine candidates at the k
-    # boundary must resolve the same way as the SQL oracle's ORDER BY
-    return candidates.sort(["sim", id_col], descending=[True, False]).limit(k)
+    # boundary must resolve the same way as the SQL oracle's ORDER BY.
+    # The 0-row typed stub keeps the sort schema-stable even when EVERY
+    # candidate block is empty (a fully-filtered shard/corpus): Ray drops
+    # the schema of all-empty map outputs, and a schema-less sort raises.
+    stub = rd.from_arrow(
+        pa.table(
+            {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    )
+    return (
+        candidates.sort(["sim", id_col], descending=[True, False])
+        .limit(k)
+        .union(stub)
+    )
 
 
 class NearDupScorer:

@@ -141,8 +141,18 @@ def pack_stream(narrow: Dataset, ctx: int = 256) -> Dataset:
     # boundary.  The broadcast is three parallel arrays sorted by
     # (source code, chunk_id): assign() resolves each group's base with
     # index_in (source -> global code) + searchsorted over the packed key.
+    # the typed stub keeps the fold alive when EVERY partial batch is
+    # empty (an all-filtered corpus): concat_tables refuses an empty list
+    stub = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "chunk_id": pa.array([], pa.int64()),
+            "n_tok_sum": pa.array([], pa.int64()),
+        }
+    )
     agg = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow"))
+        [stub] + list(partials.iter_batches(batch_format="pyarrow")),
+        promote_options="default",
     ).group_by(["source", "chunk_id"]).aggregate([("n_tok_sum", "sum")])
     g_codes, g_uniq = _source_codes(agg["source"])
     g_cid = agg["chunk_id"].combine_chunks().to_numpy(zero_copy_only=False)

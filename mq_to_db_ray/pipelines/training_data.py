@@ -1699,6 +1699,18 @@ def embedding_near_dup_lsh(
 # ---------------- similarity search ----------------
 
 
+def _pandas_with_cols(ds, cols):
+    """to_pandas that survives the all-empty case: Ray's to_pandas drops
+    column names when a dataset has zero rows, so downstream column access
+    on a fully-filtered corpus raises — rebuild the empty frame typed."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame({c: [] for c in cols})
+    return df
+
+
 def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Exact cosine top-k of embeddings vs the query vector (vec_id == 0).
 
@@ -1713,7 +1725,7 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
             break
     assert q is not None, "vec_id 0 not found"
     ds = emb.filter(expr="vec_id != 0")
-    top = cosine_topk(ds, q[None, :], k=k).to_pandas()
+    top = _pandas_with_cols(cosine_topk(ds, q[None, :], k=k), ["vec_id", "sim"])
     top = top.sort_values(
         ["sim", "vec_id"], ascending=[False, True]
     ).reset_index(drop=True)
@@ -1796,7 +1808,7 @@ def ann_lsh_topk(
         return b.filter(pc.is_in(b["vec_id"], value_set=cand_set))
 
     cand = emb.map_batches(pick, batch_format="pyarrow")
-    top = cosine_topk(cand, q[None, :], k=k).to_pandas()
+    top = _pandas_with_cols(cosine_topk(cand, q[None, :], k=k), ["vec_id", "sim"])
     return pa.table(
         {
             "vec_id": pa.array(top["vec_id"].astype("int64")),
@@ -1837,7 +1849,10 @@ def ann_ivf_topk(
     qcells = np.argsort(-(_normalize(q[None, :]) @ cents.T)[0])[:nprobe]
     cells = ", ".join(str(int(c)) for c in qcells)
     cand = assigned.filter(expr=f"ivf_cell in [{cells}] and vec_id != 0")
-    top = cosine_topk(cand.drop_columns(["ivf_cell"]), q[None, :], k=k).to_pandas()
+    top = _pandas_with_cols(
+        cosine_topk(cand.drop_columns(["ivf_cell"]), q[None, :], k=k),
+        ["vec_id", "sim"],
+    )
     return pa.table(
         {
             "vec_id": pa.array(top["vec_id"].astype("int64")),
