@@ -794,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination_by_source": td.contamination_by_source,
         "doc_scrub_impact": td.scrub_impact,
         "multimodal_size_hist": td.multimodal_size_hist,
+        "doc_dup_matrix": td.dup_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1559,6 +1560,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM o GROUP BY 1)
             SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
             FROM c GROUP BY 1
+        """,
+        "doc_dup_matrix": """
+            WITH s AS (SELECT DISTINCT source FROM documents),
+                 p AS (SELECT text, source,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+                 j AS (SELECT a.source AS sa, b.source AS sb,
+                              CAST(count(*) AS BIGINT) AS n_groups
+                       FROM p a JOIN p b ON a.text = b.text
+                                        AND a.source <= b.source
+                       WHERE a.source < b.source OR a.n >= 2
+                       GROUP BY 1, 2)
+            SELECT s1.source AS source_a, s2.source AS source_b,
+                   CAST(COALESCE(j.n_groups, 0) AS BIGINT) AS n_groups
+            FROM s s1 JOIN s s2 ON s1.source <= s2.source
+            LEFT JOIN j ON j.sa = s1.source AND j.sb = s2.source
         """,
         "doc_dup_by_source": """
             WITH g AS (SELECT text, count(*) AS gn,

@@ -262,6 +262,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_contamination_by_source",
         "doc_scrub_impact",
         "multimodal_size_hist",
+        "doc_dup_matrix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

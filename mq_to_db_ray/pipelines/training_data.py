@@ -4421,3 +4421,130 @@ def multimodal_size_hist(sf_dir: str) -> Dataset:
 
     partials = meta.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "bin", merge, k=1)
+
+
+def dup_matrix(sf_dir: str) -> Dataset:
+    """T60: cross-source duplication matrix — for every source pair
+    a <= b: how many exact-content groups have at least one copy in BOTH
+    (diagonal = groups with >= 2 copies inside the source) — T47 says how
+    exposed each source is, T60 says WHO mirrors WHOM (the pair you read
+    before dropping one of two syndicated feeds).  Exact int64; engine
+    groups by a 64-bit content hash, the oracle by the text itself
+    (T1/T4 collision convention).
+
+    Scale shape — T47's content-hash exchange feeding E57's pair
+    expansion on the GROUP axis:
+      1. per batch one polars content-hash pass + one Arrow group_by
+         reduces docs to distinct (hash, source, n) partials;
+      2. hash-partition by CONTENT HASH: each group's source multiset is
+         local, so its ordered pairs (diagonal iff n >= 2 copies within
+         the source, off-diagonal for every co-present pair) re-reduce in
+         place to (a, b, n_groups) partials — bounded by
+         groups x sources-per-group^2, text never shuffles;
+      3. one k=1 merge sums O(sources^2) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hs = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        code = pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+        t = pa.table(
+            {"text_hash": pa.array(hs, pa.int64()), "c": code}
+        )
+        g = t.group_by(["text_hash", "c"], use_threads=False).aggregate(
+            [("c", "count")]
+        )
+        return g.rename_columns(["text_hash", "c", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n_groups": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["text_hash", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        h = g["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, h))
+        h2, c2, n2 = h[order], c[order], n[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        gs = np.flatnonzero(newg)
+        runlen = np.diff(np.append(gs, len(h2)))
+        # within-group ordered pairs (the E57 expansion) over source runs;
+        # a source pairs with itself only when it holds >= 2 copies
+        pos = np.arange(len(h2)) - np.repeat(gs, runlen)
+        rep = np.repeat(runlen, runlen) - pos
+        ai = np.repeat(np.arange(len(h2)), rep)
+        csum = np.cumsum(rep)
+        first = np.concatenate(([0], csum[:-1]))
+        bi = ai + (np.arange(csum[-1]) - np.repeat(first, rep))
+        keep = (ai != bi) | (n2[ai] >= 2)
+        packed = c2[ai[keep]] * ns + c2[bi[keep]]
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array(vals // ns, pa.int64()),
+                "b": pa.array(vals % ns, pa.int64()),
+                "n_groups": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        # densify to the FULL upper triangle (zero cells included) so the
+        # matrix is non-vacuous at every scale — a dup-free corpus reads
+        # as an all-zero board, not an empty result (the T47 convention)
+        dense = np.zeros((ns, ns), np.int64)
+        if t.num_rows:
+            g = t.group_by(["a", "b"], use_threads=False).aggregate(
+                [("n_groups", "sum")]
+            )
+            aa = g["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            bb = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            dense[aa, bb] = g["n_groups_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ai, bi = np.triu_indices(ns)
+        return pa.table(
+            {
+                "source_a": srcs.take(pa.array(ai, pa.int64())),
+                "source_b": srcs.take(pa.array(bi, pa.int64())),
+                "n_groups": pa.array(dense[ai, bi]),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    cells = hash_partition_merge(partials, "text_hash", fold, k=_doc_k(sf_dir))
+    # zero-contribution seed row: a dup-free corpus produces NO cell
+    # partials, and a groupby over zero rows never invokes the merge —
+    # the seed guarantees the dense all-zero board still materializes
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0], pa.int64()),
+                "b": pa.array([0], pa.int64()),
+                "n_groups": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    return hash_partition_merge(cells.union(seed), "a", merge, k=1)

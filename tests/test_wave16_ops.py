@@ -304,3 +304,34 @@ def test_scrub_impact_bruteforce(ray_session, tmp_path):
         assert got.loc[s].n_docs_hit == sum(1 for h in hits if h)
         assert got.loc[s].n_redactions == sum(hits)
     assert got.loc["s1"].n_redactions == 1  # word-boundary semantics
+
+
+def test_dup_matrix_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import dup_matrix
+
+    # group X: copies in s0(x2) + s1(x1); group Y: s1 + s2; group Z: s2 x3;
+    # plus unique docs everywhere
+    texts = ["X", "X", "X", "Y", "Y", "Z", "Z", "Z", "u0", "u1", "u2"]
+    srcs = ["s0", "s0", "s1", "s1", "s2", "s2", "s2", "s2", "s0", "s1", "s2"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = dup_matrix(str(tmp_path)).to_pandas()
+    want = {
+        ("s0", "s0"): 1,  # X has 2 copies inside s0
+        ("s0", "s1"): 1,  # X spans s0/s1
+        ("s1", "s2"): 1,  # Y spans s1/s2
+        ("s2", "s2"): 1,  # Z has 3 copies inside s2
+    }
+    # the matrix is dense: every a <= b pair present, zeros included
+    assert len(got) == 6
+    for r in got.itertuples():
+        assert want.get((r.source_a, r.source_b), 0) == r.n_groups
