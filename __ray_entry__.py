@@ -403,6 +403,18 @@ def _q_events_share_drift(sf_dir: str):
     return events_share_drift(sf_dir)
 
 
+def _q_events_tenure(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_tenure_hist
+
+    return events_tenure_hist(sf_dir)
+
+
+def _q_events_concurrent(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_concurrent_sessions
+
+    return events_concurrent_sessions(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -795,6 +807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub_impact": td.scrub_impact,
         "multimodal_size_hist": td.multimodal_size_hist,
         "doc_dup_matrix": td.dup_matrix,
+        "events_tenure_hist": _q_events_tenure,
+        "events_concurrent_sessions": _q_events_concurrent,
+        "doc_shingle_novelty": td.shingle_novelty,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1589,6 +1604,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_tenure_hist": """
+            WITH u AS (SELECT user_id,
+                              date_diff('day',
+                                        date_trunc('day', min(ts)),
+                                        date_trunc('day', max(ts))) + 1
+                                  AS tenure
+                       FROM events GROUP BY 1)
+            SELECT CAST(tenure AS BIGINT) AS tenure_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM u GROUP BY 1
+        """,
+        "events_concurrent_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            d AS (SELECT date_trunc('minute', min(ts)) AS m0,
+                         date_trunc('minute', max(ts)) AS m1
+                  FROM s GROUP BY user_id, sid),
+            m AS (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MINUTE))
+                      AS minute
+                  FROM d)
+            SELECT minute AS minute_ts, CAST(count(*) AS BIGINT)
+                AS n_sessions
+            FROM m GROUP BY 1
+        """,
+        "doc_shingle_novelty": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY 1),
+            a AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(CASE WHEN f.first_doc = e.doc_id
+                                       THEN 1 ELSE 0 END) AS BIGINT) nv
+                  FROM e JOIN f USING (s) GROUP BY 1)
+            SELECT doc_id, n AS n_shingles, nv AS n_novel,
+                   CAST((1000 * nv) // n AS BIGINT) AS novelty_permille
+            FROM a
         """,
         "events_share_drift": """
             WITH d AS (SELECT date_trunc('day', ts) AS day,

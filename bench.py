@@ -263,6 +263,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_scrub_impact",
         "multimodal_size_hist",
         "doc_dup_matrix",
+        "events_tenure_hist",
+        "events_concurrent_sessions",
+        "doc_shingle_novelty",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

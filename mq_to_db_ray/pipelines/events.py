@@ -4484,3 +4484,143 @@ def events_share_drift(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "day", merge, k=_adaptive_k(sf_dir))
+
+
+def events_tenure_hist(sf_dir: str) -> Dataset:
+    """E65: user-tenure histogram — for every tenure t (whole days
+    between a user's first and last activity, inclusive): how many users
+    have exactly that tenure — the lifetime-length distribution that
+    complements E49's retention triangle (E49: do they come back; E65:
+    how long do they stay around overall); exact int64 (min/max per user
+    + GROUP BY oracle).
+
+    Scale shape — E49's distinct user-day machinery with a min/max fold:
+      1. per batch one lexsort reduces events to distinct (user, day);
+      2. hash-partition by USER: each user's (first, last) day pair is
+         decided locally and re-reduces to (tenure_days, n_users)
+         histogram partials;
+      3. one k=1 merge sums (output O(corpus span in days))."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array(uu),
+                "day": pa.array(ts_us // DAY_US, pa.int64()),
+            }
+        )
+        g = t.group_by("user_id", use_threads=False).aggregate(
+            [("day", "min"), ("day", "max")]
+        )
+        return g.rename_columns(["user_id", "mn", "mx"])
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tenure_days": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("user_id", use_threads=False).aggregate(
+            [("mn", "min"), ("mx", "max")]
+        )
+        ten = (
+            g["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
+            - g["mn_min"].combine_chunks().to_numpy(zero_copy_only=False)
+            + 1
+        )
+        vals, cnt = np.unique(ten, return_counts=True)
+        return pa.table(
+            {
+                "tenure_days": pa.array(vals, pa.int64()),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tenure_days": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("tenure_days", use_threads=False).aggregate(
+            [("n_users", "sum")]
+        )
+        return g.rename_columns(["tenure_days", "n_users"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "tenure_days", merge, k=1)
+
+
+def events_concurrent_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E66: concurrent-session load curve — for every minute covered by
+    at least one session: how many sessions are OPEN during that minute
+    (interval-overlap counting, the capacity metric connection pools and
+    seat licenses are sized by).  A session [start, end] covers every
+    minute from floor(start) to floor(end) inclusive; exact int64
+    (generate_series explode oracle).
+
+    Scale shape — the interval-overlap family done by bounded explode:
+    sessions come off E15's machinery; each batch EXPLODES its sessions
+    to (minute, 1) rows with pure repeat/arange algebra (bounded by
+    session duration in minutes, the same bound the oracle pays) and
+    immediately reduces to (minute, n) partials; one minute-hash exchange
+    of partials — session rows never shuffle."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sess = events_sessions(sf_dir, gap_s=gap_s)
+
+    def explode(b: pa.Table) -> pa.Table:
+        st = b["start_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        en = b["end_ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        m0 = st // MIN_US
+        m1 = en // MIN_US
+        span = (m1 - m0 + 1).astype(np.int64)
+        tot = int(span.sum())
+        if tot == 0:
+            return pa.table(
+                {"minute": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        base = np.repeat(m0, span)
+        csum = np.cumsum(span)
+        first = np.concatenate(([0], csum[:-1]))
+        off = np.arange(tot) - np.repeat(first, span)
+        t = pa.table({"minute": pa.array(base + off, pa.int64())})
+        g = t.group_by("minute", use_threads=False).aggregate([("minute", "count")])
+        return g.rename_columns(["minute", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "minute_ts": pa.array([], pa.timestamp("us")),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("minute", use_threads=False).aggregate([("n", "sum")])
+        mm = g["minute"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "minute_ts": pa.array(mm * MIN_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_sessions": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = sess.map_batches(explode, batch_format="pyarrow")
+    return hash_partition_merge(partials, "minute", merge, k=_adaptive_k(sf_dir))

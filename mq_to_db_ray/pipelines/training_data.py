@@ -4548,3 +4548,93 @@ def dup_matrix(sf_dir: str) -> Dataset:
         )
     )
     return hash_partition_merge(cells.union(seed), "a", merge, k=1)
+
+
+def shingle_novelty(sf_dir: str, k_shingle: int = 3) -> Dataset:
+    """T61: shingle novelty by corpus order — per doc: distinct 3-word
+    shingles, shingles this doc INTRODUCES (no lower doc_id holds them),
+    and the novelty permille — the "is the crawl still finding new
+    content" curve dedup schedulers read (T27 asks "is it duplicated
+    anywhere", T61 "who said it FIRST" under the doc_id ingest order).
+    Exact int64; engine compares 64-bit shingle hashes, the oracle
+    shingle STRINGS (T4/T19/T27 convention).
+
+    Scale shape — T27's two narrow int64 exchanges verbatim:
+      1. one vectorized shingle pass per batch emits distinct
+         (doc_id, shingle) rows — text never shuffles;
+      2. hash-partition by SHINGLE: each shingle's minimum doc_id is
+         decided locally (one lexsort; the first row of each run is the
+         introducer) and folds into per-doc (n, novel) partials;
+      3. hash-partition partials by DOC_ID and sum."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"], k_shingle)
+        doc = batch["doc_id"].combine_chunks().take(pa.array(rows, pa.int64()))
+        return pa.table(
+            {"doc_id": doc, "shingle": pa.array(sh.view(np.int64), pa.int64())}
+        )
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold_by_shingle(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                }
+            )
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h2, d2 = h[order], doc[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        # (doc, shingle) rows are distinct per doc, so the first row of
+        # each shingle run is its unique minimum-doc introducer
+        ud, dinv = np.unique(d2, return_inverse=True)
+        n_part = np.bincount(dinv, minlength=len(ud)).astype(np.int64)
+        nv_part = np.zeros(len(ud), np.int64)
+        np.add.at(nv_part, dinv[newg], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "n": pa.array(n_part),
+                "nv": pa.array(nv_part),
+            }
+        )
+
+    def fold_by_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("doc_id", use_threads=False).aggregate(
+            [("n", "sum"), ("nv", "sum")]
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nv = g["nv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "n_shingles": pa.array(n.astype(np.int64)),
+                "n_novel": pa.array(nv.astype(np.int64)),
+                "novelty_permille": pa.array(
+                    (1000 * nv) // np.maximum(n, 1), pa.int64()
+                ),
+            }
+        )
+
+    kk = _doc_k(sf_dir)
+    partials = hash_partition_merge(exploded, "shingle", fold_by_shingle, k=kk)
+    return hash_partition_merge(partials, "doc_id", fold_by_doc, k=kk)

@@ -335,3 +335,97 @@ def test_dup_matrix_bruteforce(ray_session, tmp_path):
     assert len(got) == 6
     for r in got.itertuples():
         assert want.get((r.source_a, r.source_b), 0) == r.n_groups
+
+
+def test_tenure_hist_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_tenure_hist
+
+    _, ts, users = _write_events(tmp_path, seed=77)
+    per_user = collections.defaultdict(list)
+    for u, t in zip(users, ts):
+        per_user[int(u)].append(int(t // DAY_US))
+    tenures = [max(d) - min(d) + 1 for d in per_user.values()]
+    want = collections.Counter(tenures)
+
+    got = events_tenure_hist(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.tenure_days] == r.n_users
+    assert got.n_users.sum() == len(per_user)
+
+
+def test_concurrent_sessions_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_concurrent_sessions
+
+    MIN_US = 60_000_000
+    _, ts, users = _write_events(tmp_path, seed=78)
+    gap_us = 6 * 3600 * 1_000_000
+    per_user = collections.defaultdict(list)
+    for u, t in zip(users, ts):
+        per_user[int(u)].append(int(t))
+    load = collections.Counter()
+    for tt in per_user.values():
+        tt.sort()
+        start = prev = tt[0]
+        for t in tt[1:]:
+            if t - prev > gap_us:
+                for m in range(start // MIN_US, prev // MIN_US + 1):
+                    load[m] += 1
+                start = t
+            prev = t
+        for m in range(start // MIN_US, prev // MIN_US + 1):
+            load[m] += 1
+
+    got = events_concurrent_sessions(str(tmp_path)).to_pandas()
+    assert len(got) == len(load)
+    for r in got.itertuples():
+        m = int(r.minute_ts.value // 1000 // MIN_US)
+        assert load[m] == r.n_sessions, m
+
+
+def test_shingle_novelty_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import shingle_novelty
+
+    g = np.random.default_rng(79)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(g.choice(vocab, size=g.integers(3, 20))) for _ in range(80)
+    ]
+    _write_docs(tmp_path, texts, ["s0"] * len(texts))
+
+    def shingles(t):
+        w = t.split(" ")
+        k = max(len(w) - 2, 1)
+        return {" ".join(w[i : i + 3]) for i in range(k)}
+
+    first = {}
+    per_doc = []
+    for i, t in enumerate(texts):
+        sh = shingles(t)
+        per_doc.append(sh)
+        for s in sh:
+            first.setdefault(s, i)
+
+    got = shingle_novelty(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert len(got) == len(texts)
+    for i, sh in enumerate(per_doc):
+        nv = sum(1 for s in sh if first[s] == i)
+        assert got.loc[i].n_shingles == len(sh)
+        assert got.loc[i].n_novel == nv, i
+        assert got.loc[i].novelty_permille == (1000 * nv) // len(sh)
+    # the fixture reuses vocabulary, so novelty must actually decay
+    assert got.loc[0].n_novel == got.loc[0].n_shingles
+    assert got.n_novel.sum() < got.n_shingles.sum()
+
+
+def _write_docs(tmp_path, texts, srcs):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
