@@ -415,6 +415,18 @@ def _q_events_concurrent(sf_dir: str):
     return events_concurrent_sessions(sf_dir)
 
 
+def _q_events_rolling_7d(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_rolling_7d
+
+    return events_rolling_7d(sf_dir)
+
+
+def _q_events_weekly_users(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_weekly_users
+
+    return events_weekly_users(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -810,6 +822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tenure_hist": _q_events_tenure,
         "events_concurrent_sessions": _q_events_concurrent,
         "doc_shingle_novelty": td.shingle_novelty,
+        "events_rolling_7d": _q_events_rolling_7d,
+        "events_weekly_users": _q_events_weekly_users,
+        "doc_lang_token_mix": td.lang_token_mix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1604,6 +1619,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_rolling_7d": """
+            WITH d AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT source, day AS day_ts, n AS n_events,
+                   CAST(sum(n) OVER (PARTITION BY source ORDER BY day
+                                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n_7d
+            FROM d
+        """,
+        "events_weekly_users": """
+            SELECT event_type AS source,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_ts,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_lang_token_mix": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2
         """,
         "events_tenure_hist": """
             WITH u AS (SELECT user_id,

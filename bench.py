@@ -266,6 +266,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_tenure_hist",
         "events_concurrent_sessions",
         "doc_shingle_novelty",
+        "events_rolling_7d",
+        "events_weekly_users",
+        "doc_lang_token_mix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -4624,3 +4624,166 @@ def events_concurrent_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
 
     partials = sess.map_batches(explode, batch_format="pyarrow")
     return hash_partition_merge(partials, "minute", merge, k=_adaptive_k(sf_dir))
+
+
+def events_rolling_7d(sf_dir: str) -> Dataset:
+    """E67: trailing-7-day volume — per (source, day) present in the
+    stream: the day's count and the total over the trailing 7 calendar
+    days (absent days count 0) — the smoothed-volume line every ops
+    review plots over the raw daily bars (E55 differences days; E67
+    integrates them).  Exact int64 (RANGE-interval window oracle).
+
+    Scale shape — E55's role-tagged multi-emit on the DAY grid: each
+    (source, day, n) cell emits once as itself and once into each of the
+    7 target days it can serve; ONE day-hash exchange of
+    O(cells × 8) partial rows, merge keeps only days with main mass."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "day": pa.array(ts_us // DAY_US, pa.int64()),
+                "source": b["event_type"],
+            }
+        )
+        g = t.group_by(["day", "source"], use_threads=False).aggregate(
+            [("day", "count")]
+        )
+        src = g["source"].combine_chunks()
+        dd = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["day_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(dd)
+        offs = np.arange(7, dtype=np.int64)  # 0 = main, 1..6 = window feed
+        roles = (offs > 0).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.concat_arrays([src] * 7),
+                "day": pa.array(
+                    (np.tile(dd, 7) + np.repeat(offs, m)).astype(np.int64)
+                ),
+                "role": pa.array(np.repeat(roles, m)),
+                "n": pa.array(np.tile(nn, 7).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_7d": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "day", "role"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        src = g["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dd = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = g["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((rr, dd, codes))
+        c2, d2, r2, n2 = codes[order], dd[order], rr[order], nn[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+        gs = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        ncell = len(gs)
+        main = np.zeros(ncell, np.int64)
+        feed = np.zeros(ncell, np.int64)
+        main[gid[r2 == 0]] = n2[r2 == 0]
+        feed[gid[r2 == 1]] = n2[r2 == 1]
+        keep = main > 0
+        idx = gs[keep]
+        return pa.table(
+            {
+                "source": src.take(pa.array(order[idx], pa.int64())),
+                "day_ts": pa.array(d2[gs][keep] * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(main[keep]),
+                "n_7d": pa.array(main[keep] + feed[keep]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "day", merge, k=_adaptive_k(sf_dir))
+
+
+def events_weekly_users(sf_dir: str) -> Dataset:
+    """E68: weekly reach — per (source, t0-aligned Monday week): EXACT
+    distinct users — the calendar-week audience line next to E62's
+    trailing-window WAU (calendar weeks are what contracts and OKRs are
+    written against); exact int64 (date_trunc('week') count-distinct
+    oracle; t0 is a Monday so the engine's integer week grid coincides
+    with DuckDB's week truncation, the 1w-cascade convention).
+
+    Scale shape — E23's dedupe combiner on the WEEK axis: per batch one
+    Arrow group_by reduces events to distinct (source, week, user)
+    triples; week-hash partition dedupes exactly and counts per cell."""
+    from ..stages.shuffle import hash_partition_merge
+
+    week_us = 7 * DAY_US
+    # epoch day 0 is a Thursday; Mondays are at (days + 3) % 7 == 0
+    monday0_us = 4 * DAY_US  # 1970-01-05, the first Monday after epoch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        week = (ts_us - monday0_us) // week_us
+        t = pa.table(
+            {
+                "source": b["event_type"],
+                "week": pa.array(week, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        return t.group_by(
+            ["source", "week", "user_id"], use_threads=False
+        ).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "week_ts": pa.array([], pa.timestamp("us")),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "week", "user_id"], use_threads=False).aggregate([])
+        h = g.group_by(["source", "week"], use_threads=False).aggregate(
+            [("week", "count")]
+        )
+        ww = h["week"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": h["source"],
+                "week_ts": pa.array(
+                    ww * week_us + monday0_us, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_users": pc.cast(h["week_count"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "week", fold, k=_adaptive_k(sf_dir))

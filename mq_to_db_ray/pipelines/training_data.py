@@ -4638,3 +4638,50 @@ def shingle_novelty(sf_dir: str, k_shingle: int = 3) -> Dataset:
     kk = _doc_k(sf_dir)
     partials = hash_partition_merge(exploded, "shingle", fold_by_shingle, k=kk)
     return hash_partition_merge(partials, "doc_id", fold_by_doc, k=kk)
+
+
+def lang_token_mix(sf_dir: str) -> Dataset:
+    """T62: language-mix token budget — per (source, labeled lang): doc
+    count and EXACT whitespace-token total (T11's split(' ') convention)
+    — T44's balance sheet moved to the unit mixture weights are actually
+    set in (tokens, not chars); exact int64 (len(str_split) oracle).
+
+    Scale shape — T44's convention with the token kernel folded in: one
+    Arrow split-length pass per batch, one group_by to
+    ≤(sources × langs) partials, ONLY partials shuffle into the per-lang
+    merge; text never leaves the batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].combine_chunks()
+        n = pc.cast(pc.list_value_length(pc.split_pattern(txt, " ")), pa.int64())
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "n_tokens": n,
+            }
+        )
+        g = t.group_by(["source", "lang"], use_threads=False).aggregate(
+            [("n_tokens", "count"), ("n_tokens", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "n_tokens"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["source", "lang"], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "n_tokens"])
+
+    partials = _docs(sf_dir, ["source", "lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("lang").map_groups(merge, batch_format="pyarrow")

@@ -429,3 +429,66 @@ def _write_docs(tmp_path, texts, srcs):
         }
     )
     pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_rolling_7d_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_rolling_7d
+
+    types, ts, _ = _write_events(tmp_path, seed=80)
+    cell = collections.Counter((s, int(t // DAY_US)) for s, t in zip(types, ts))
+
+    got = events_rolling_7d(str(tmp_path)).to_pandas()
+    assert len(got) == len(cell)
+    for r in got.itertuples():
+        d = int(r.day_ts.value // 1000 // DAY_US)
+        assert r.n_events == cell[(r.source, d)]
+        want = sum(cell.get((r.source, d - off), 0) for off in range(7))
+        assert r.n_7d == want, (r.source, d)
+
+
+def test_weekly_users_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_weekly_users
+
+    WEEK_US = 7 * DAY_US
+    MONDAY0 = 4 * DAY_US
+    types, ts, users = _write_events(tmp_path, seed=81)
+    want = collections.defaultdict(set)
+    for s, t, u in zip(types, ts, users):
+        want[(s, int((t - MONDAY0) // WEEK_US))].add(int(u))
+
+    got = events_weekly_users(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = int((r.week_ts.value // 1000 - MONDAY0) // WEEK_US)
+        assert len(want[(r.source, w)]) == r.n_users
+        # week starts on a Monday: isodow(monday) == 1
+        assert ((r.week_ts.value // 1000 // DAY_US + 3) % 7) == 0
+
+
+def test_lang_token_mix_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import lang_token_mix
+
+    texts = ["a b c", "d e", "f", "g h i j", "k l"]
+    srcs = ["s0", "s0", "s1", "s1", "s1"]
+    langs = ["en", "de", "en", "en", "de"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    want = collections.defaultdict(lambda: [0, 0])
+    for t, s, L in zip(texts, srcs, langs):
+        c = want[(s, L)]
+        c[0] += 1
+        c[1] += len(t.split(" "))
+
+    got = lang_token_mix(str(tmp_path)).to_pandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert tuple(want[(r.source, r.lang)]) == (r.n_docs, r.n_tokens)
