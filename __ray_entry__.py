@@ -427,6 +427,18 @@ def _q_events_weekly_users(sf_dir: str):
     return events_weekly_users(sf_dir)
 
 
+def _q_events_session_conversion(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_conversion
+
+    return events_session_conversion(sf_dir)
+
+
+def _q_events_mix_conc(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_mix_concentration
+
+    return events_mix_concentration(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -825,6 +837,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_7d": _q_events_rolling_7d,
         "events_weekly_users": _q_events_weekly_users,
         "doc_lang_token_mix": td.lang_token_mix,
+        "events_session_conversion": _q_events_session_conversion,
+        "events_mix_concentration": _q_events_mix_conc,
+        "doc_longest_per_source": td.longest_per_source,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1619,6 +1634,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_session_conversion": """
+            WITH tgt AS (SELECT min(event_type) AS t FROM events),
+            o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            c AS (SELECT user_id, sid,
+                         max(CASE WHEN event_type = (SELECT t FROM tgt)
+                                  THEN 1 ELSE 0 END) AS conv
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   CAST((1000 * sum(conv)) // count(*) AS BIGINT)
+                       AS conv_permille
+            FROM c
+        """,
+        "events_mix_concentration": """
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT day AS day_ts, CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num
+            FROM d GROUP BY 1
+        """,
+        "doc_longest_per_source": """
+            WITH r AS (SELECT source, doc_id, n_chars,
+                              CAST(row_number() OVER (
+                                  PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id)
+                                AS BIGINT) AS rank
+                       FROM documents)
+            SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3
         """,
         "events_rolling_7d": """
             WITH d AS (SELECT event_type AS source,

@@ -269,6 +269,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_rolling_7d",
         "events_weekly_users",
         "doc_lang_token_mix",
+        "events_session_conversion",
+        "events_mix_concentration",
+        "doc_longest_per_source",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

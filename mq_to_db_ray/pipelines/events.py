@@ -4787,3 +4787,161 @@ def events_weekly_users(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "week", fold, k=_adaptive_k(sf_dir))
+
+
+def events_session_conversion(
+    sf_dir: str, gap_s: int = 6 * 3600
+) -> Dataset:
+    """E69: session conversion rate — corpus-wide session count, sessions
+    containing at least one event of the TARGET type (the alphabetically
+    first, the E51 funnel convention), and the conversion permille — the
+    top-line "did the visit do the thing" number between E51's
+    first-occurrence funnel and E50's duration board; exact int64
+    (gaps-and-islands + max(CASE) oracle).
+
+    Scale shape — E56's narrow per-event exchange (user, ts, order,
+    is_target — payloads never shuffle) hash-partitioned by USER; each
+    partition lexsorts its complete user streams once, splits sessions at
+    the gap rule, and reduces straight to three integers via reduceat —
+    session rows never materialize anywhere."""
+    from ..stages.shuffle import hash_partition_merge
+
+    target = sorted(events_src_list(sf_dir))[0]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "hit": pc.cast(
+                    pc.equal(b["event_type"], target), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        hh = t["hit"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, h2 = uu[order], tt[order], hh[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        starts = np.flatnonzero(new_s)
+        conv = np.maximum.reduceat(h2, starts)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ns": pa.array([len(starts)], pa.int64()),
+                "nc": pa.array([int(conv.sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                    "conv_permille": pa.array([], pa.int64()),
+                }
+            )
+        ns = int(t["ns"].combine_chunks().to_numpy(zero_copy_only=False).sum())
+        nc = int(t["nc"].combine_chunks().to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "n_sessions": pa.array([ns], pa.int64()),
+                "n_converted": pa.array([nc], pa.int64()),
+                "conv_permille": pa.array(
+                    [(1000 * nc) // max(ns, 1)], pa.int64()
+                ),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def events_mix_concentration(sf_dir: str) -> Dataset:
+    """E70: daily source-mix concentration — per day: total events and
+    the Simpson sufficient statistic Σₛ nₛ(nₛ−1) over source counts —
+    "is today's traffic one source or a healthy mix" as exact integers
+    (the concentration probability follows off-line as Σ/(n(n−1)); E38
+    computes the same statistic per minute over USERS, E70 per day over
+    SOURCES, reading E64's share board as one number); exact int64
+    (two-level GROUP BY oracle).
+
+    Scale shape — ONE exchange, E64's: per-batch (day, source, n) cells
+    hash-partition by DAY so each day's source vector folds in place."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "day": pa.array(ts_us // DAY_US, pa.int64()),
+                "source": b["event_type"],
+            }
+        )
+        g = t.group_by(["day", "source"], use_threads=False).aggregate(
+            [("day", "count")]
+        )
+        return g.rename_columns(["day", "source", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "simpson_num": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["day", "source"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        dd = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        udays, inv = np.unique(dd, return_inverse=True)
+        tot = np.zeros(len(udays), np.int64)
+        np.add.at(tot, inv, nn)
+        num = np.zeros(len(udays), np.int64)
+        np.add.at(num, inv, nn * (nn - 1))
+        return pa.table(
+            {
+                "day_ts": pa.array(udays * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(tot),
+                "simpson_num": pa.array(num),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "day", merge, k=_adaptive_k(sf_dir))

@@ -4685,3 +4685,78 @@ def lang_token_mix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return partials.groupby("lang").map_groups(merge, batch_format="pyarrow")
+
+
+def longest_per_source(sf_dir: str, k: int = 3) -> Dataset:
+    """T63: longest documents per source — the top-k docs by (n_chars
+    DESC, doc_id ASC) within each source, with their 1-based rank — the
+    outlier-inspection drill-down next to T26's length filter and T45's
+    Gini (what exactly IS the giant page this source keeps shipping);
+    exact int64 (row_number oracle).
+
+    Scale shape — grouped top-k on the DOC table (E18's combiner shape):
+    each batch keeps only its local top-k per source via one lexsort, so
+    the per-source merge sees O(batches × k) narrow rows — text never
+    leaves the scan."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        src = b["source"].combine_chunks()
+        codes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        L = pc.cast(b["n_chars"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((d, -L, codes))
+        c2 = codes[order]
+        newg = np.empty(len(order), dtype=bool)
+        if len(order):
+            newg[0] = True
+            newg[1:] = c2[1:] != c2[:-1]
+        gs = np.flatnonzero(newg)
+        pos = np.arange(len(order)) - np.repeat(
+            gs, np.diff(np.append(gs, len(order)))
+        )
+        keep = order[pos < k]
+        return pa.table(
+            {
+                "source": src.take(pa.array(keep, pa.int64())),
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "n_chars": pa.array(L[keep], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        L = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -L))[: min(k, len(d))]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "source": t["source"].take(take),
+                "doc_id": pa.array(d[order], pa.int64()),
+                "n_chars": pa.array(L[order], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")

@@ -492,3 +492,75 @@ def test_lang_token_mix_bruteforce(ray_session, tmp_path):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert tuple(want[(r.source, r.lang)]) == (r.n_docs, r.n_tokens)
+
+
+def test_session_conversion_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_session_conversion
+
+    types, ts, users = _write_events(tmp_path, seed=82)
+    target = min(set(types.tolist()))
+    gap_us = 6 * 3600 * 1_000_000
+    per_user = collections.defaultdict(list)
+    for s, t, u in zip(types, ts, users):
+        per_user[int(u)].append((int(t), s))
+    ns = nc = 0
+    for evs in per_user.values():
+        evs.sort()
+        prev = None
+        conv = False
+        for t, s in evs:
+            if prev is not None and t - prev > gap_us:
+                ns += 1
+                nc += conv
+                conv = False
+            conv = conv or (s == target)
+            prev = t
+        ns += 1
+        nc += conv
+
+    got = events_session_conversion(str(tmp_path)).to_pandas()
+    r = got.iloc[0]
+    assert (r.n_sessions, r.n_converted) == (ns, nc)
+    assert r.conv_permille == (1000 * nc) // ns
+
+
+def test_mix_concentration_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_mix_concentration
+
+    types, ts, _ = _write_events(tmp_path, seed=83)
+    cell = collections.Counter((int(t // DAY_US), s) for t, s in zip(ts, types))
+    days = collections.defaultdict(lambda: [0, 0])
+    for (d, _), n in cell.items():
+        days[d][0] += n
+        days[d][1] += n * (n - 1)
+
+    got = events_mix_concentration(str(tmp_path)).to_pandas()
+    assert len(got) == len(days)
+    for r in got.itertuples():
+        d = int(r.day_ts.value // 1000 // DAY_US)
+        assert (r.n_events, r.simpson_num) == tuple(days[d])
+
+
+def test_longest_per_source_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import longest_per_source
+
+    g = np.random.default_rng(84)
+    lens = g.integers(1, 40, 120).astype(np.int64)
+    # tie run at the top of s1 so the doc_id tie-break is exercised
+    lens[60:64] = 40
+    texts = ["x" * int(L) for L in lens]
+    srcs = [f"s{i % 2}" for i in range(120)]
+    _write_docs(tmp_path, texts, srcs)
+
+    want = collections.defaultdict(list)
+    for i, (L, s) in enumerate(zip(lens, srcs)):
+        want[s].append((int(-L), i))
+    got = longest_per_source(str(tmp_path), k=3).to_pandas()
+    assert len(got) == 6
+    for s, items in want.items():
+        items.sort()
+        rows = got[got.source == s].sort_values("rank")
+        for rank, ((negL, i), r) in enumerate(
+            zip(items[:3], rows.itertuples()), 1
+        ):
+            assert (r.doc_id, r.n_chars, r.rank) == (i, -negL, rank)
