@@ -288,79 +288,121 @@ def order_fulfillment(sf_dir: str) -> Dataset:
     return hash_partition_merge(cells, "pr", merge, k=1)
 
 
+def _copartition_attach(
+    fact: "Dataset", dim: "Dataset", fold, k: int
+) -> Dataset:
+    """Role-tagged union co-partition (the order_fulfillment shape): both
+    streams hash-partition by the shared int64 key column ``k``so each
+    partition holds a key's dim row(s) AND fact partials; ``fold`` settles
+    the join + reduction in place.  This is the scale answer for
+    FACT >< DIM when the dim GROWS WITH THE CORPUS (customers, suppliers,
+    parts all scale with SF in TPC-H — at 100 TB none of them is a
+    broadcastable small side; only fixed-cardinality satellites like
+    nation/region compose at the driver)."""
+    return hash_partition_merge(fact.union(dim), "k", fold, k=k)
+
+
 def segment_sales(sf_dir: str) -> Dataset:
     """R3: market-segment sales — per (c_mktsegment, order year): order
-    count and floored order-value total — the customer >< orders join
-    where customer is the DIMENSION side (ships once via ``ray.put``,
-    looked up per batch with one searchsorted — the T17 broadcast
-    convention; no shuffle join for a dim table).
+    count and floored order-value total — the customer >< orders join.
 
-    Scale shape: the dimension payload is (custkey, segment-rank) int64
-    pairs — tiny even at 10^9 customers relative to the fact table — and
-    each orders batch reduces to O(segments x years) partials before the
-    tiny merge."""
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    Scale shape: customers GROW WITH THE CORPUS (SF x 150k: billions of
+    rows at 100 TB), so the dim is NOT broadcast — both streams
+    co-partition by CUSTKEY (the R2 role-union shape) with orders
+    pre-reduced to (custkey, year) partials per batch; only the distinct
+    SEGMENT VALUE list (a handful of strings) broadcasts as an exact
+    rank.  Per-partition attach is one searchsorted; output partials are
+    O(segments x years)."""
+    segs: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+        .unique("c_mktsegment")
     )
-    segs: list[str] = sorted(cust.unique("c_mktsegment"))
     seg_arr = pa.array(segs, pa.string())
-    keys, codes = [], []
-    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
-        keys.append(
-            pc.cast(b["c_custkey"], pa.int64())
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-        )
-        codes.append(
-            pc.cast(pc.index_in(b["c_mktsegment"], value_set=seg_arr), pa.int64())
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-        )
-    k = np.concatenate(keys)
-    c = np.concatenate(codes)
-    order = np.argsort(k, kind="stable")
-    dim_ref = ray.put((k[order], c[order]))
 
-    class SegmentJoin:
-        def __init__(self, ref):
-            self.keys, self.codes = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ck = (
-                pc.cast(b["o_custkey"], pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["c_mktsegment"], value_set=seg_arr), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "seg": code,
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "tp": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
             )
-            pos = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
-            hit = self.keys[pos] == ck
-            seg = self.codes[pos]
-            ts_us = (
-                b["o_orderdate"]
-                .cast(pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            yr = ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(
-                np.int64
-            )
-            price = (
-                pc.cast(pc.floor(b["o_totalprice"]), pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            t = pa.table(
-                {
-                    "seg": pa.array(seg[hit], pa.int64()),
-                    "yr": pa.array(yr[hit], pa.int64()),
-                    "price": pa.array(price[hit], pa.int64()),
-                }
-            )
-            g = t.group_by(["seg", "yr"], use_threads=False).aggregate(
-                [("price", "count"), ("price", "sum")]
-            )
-            return g.rename_columns(["seg", "yr", "n_orders", "sum_total_floor"])
+        )
+        yr = ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "yr": pa.array(yr),
+                "tp": pc.cast(pc.floor(b["o_totalprice"]), pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "yr"], use_threads=False).aggregate(
+            [("tp", "count"), ("tp", "sum")]
+        )
+        g = g.rename_columns(["k", "yr", "n", "tp"])
+        return g.append_column(
+            "seg", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "seg", "yr", "n", "tp"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "seg": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "sum_total_floor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dseg = d["seg"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        cells = pa.table(
+            {
+                "seg": pa.array(dseg[pos][hit], pa.int64()),
+                "yr": pc.cast(f["yr"], pa.int64()).filter(pa.array(hit)),
+                "n_orders": pc.cast(f["n"], pa.int64()).filter(pa.array(hit)),
+                "sum_total_floor": pc.cast(f["tp"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
+        )
+        g = cells.group_by(["seg", "yr"], use_threads=False).aggregate(
+            [("n_orders", "sum"), ("sum_total_floor", "sum")]
+        )
+        return g.rename_columns(["seg", "yr", "n_orders", "sum_total_floor"])
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -389,36 +431,23 @@ def segment_sales(sf_dir: str) -> Dataset:
             }
         )
 
-    ords = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderdate", "o_totalprice"],
-        override_num_blocks=_rel_k(sf_dir, "orders"),
-    )
-    partials = ords.map_batches(
-        SegmentJoin,
-        fn_constructor_args=(dim_ref,),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    return hash_partition_merge(partials, "seg", merge, k=1)
+    fact = ords.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "orders"))
+    return hash_partition_merge(cells, "seg", merge, k=1)
 
 
 def region_revenue(sf_dir: str) -> Dataset:
     """R4: supplier-region revenue — per (region name, ship year): line
-    count and floored revenue, resolved through the THREE-HOP snowflake
-    lineitem -> supplier -> nation -> region — the chained dimension
-    lookup every star/snowflake schema needs (R3 is one hop; R4 composes
-    the hops at the DRIVER so the fact scan still does exactly ONE
-    searchsorted per batch).
+    count and floored revenue through lineitem -> supplier -> nation ->
+    region.
 
-    Scale shape: the three dims collapse driver-side into one
-    (suppkey -> region-rank) int64 pair array (suppliers are the largest
-    dim, still tiny next to the fact table) shipped ONCE via ``ray.put``;
-    fact batches reduce to O(regions x years) partials before the k=1
-    merge.  Region identity is the exact broadcast rank."""
-    sup = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    Scale shape: suppliers GROW WITH THE CORPUS (SF x 10k), so the
+    supplier hop is a CO-PARTITIONED join by SUPPKEY (the R2 role-union
+    shape) with lineitem pre-reduced to (suppkey, year) partials per
+    batch; only the FIXED-cardinality satellites compose at the driver
+    (nation 25 rows, region 5 — true broadcast material), collapsing to
+    a nationkey -> region-rank map each supplier dim row carries."""
     nat = rd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
     ).to_pandas()
@@ -428,57 +457,98 @@ def region_revenue(sf_dir: str) -> Dataset:
     reg = reg.sort_values("r_name").reset_index(drop=True)
     names = pa.array(reg["r_name"].tolist(), pa.string())
     rk_to_rank = dict(zip(reg["r_regionkey"].astype(int), range(len(reg))))
-    nk_to_rank = {
-        int(nk): rk_to_rank[int(rk)]
-        for nk, rk in zip(nat["n_nationkey"], nat["n_regionkey"])
-    }
-    sk = sup["s_suppkey"].to_numpy(np.int64)
-    sv = np.array(
-        [nk_to_rank[int(nk)] for nk in sup["s_nationkey"]], np.int64
+    nk_rank = np.full(int(nat["n_nationkey"].max()) + 1, -1, np.int64)
+    for nk, rk in zip(nat["n_nationkey"], nat["n_regionkey"]):
+        nk_rank[int(nk)] = rk_to_rank[int(rk)]
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
     )
-    order = np.argsort(sk, kind="stable")
-    dim_ref = ray.put((sk[order], sv[order]))
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
 
-    class RegionJoin:
-        def __init__(self, ref):
-            self.keys, self.codes = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            )
+    def dim_partial(b: pa.Table) -> pa.Table:
+        nk = (
+            pc.cast(b["s_nationkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "rg": pa.array(nk_rank[nk], pa.int64()),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            s = (
-                pc.cast(b["l_suppkey"], pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["l_shipdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
             )
-            pos = np.clip(np.searchsorted(self.keys, s), 0, len(self.keys) - 1)
-            hit = self.keys[pos] == s
-            code = self.codes[pos]
-            ts_us = (
-                b["l_shipdate"]
-                .cast(pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            yr = ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(
-                np.int64
-            )
-            price = (
-                pc.cast(pc.floor(b["l_extendedprice"]), pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            t = pa.table(
-                {
-                    "rg": pa.array(code[hit], pa.int64()),
-                    "yr": pa.array(yr[hit], pa.int64()),
-                    "price": pa.array(price[hit], pa.int64()),
-                }
-            )
-            g = t.group_by(["rg", "yr"], use_threads=False).aggregate(
-                [("price", "count"), ("price", "sum")]
-            )
-            return g.rename_columns(["rg", "yr", "n_lines", "revenue_floor"])
+        )
+        yr = ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "yr": pa.array(yr),
+                "rev": pc.cast(pc.floor(b["l_extendedprice"]), pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "yr"], use_threads=False).aggregate(
+            [("rev", "count"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "yr", "nl", "rev"])
+        return g.append_column(
+            "rg", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "rg", "yr", "nl", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rg": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "revenue_floor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["rg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        drg = d["rg"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        cells = pa.table(
+            {
+                "rg": pa.array(drg[pos][hit], pa.int64()),
+                "yr": pc.cast(f["yr"], pa.int64()).filter(pa.array(hit)),
+                "n_lines": pc.cast(f["nl"], pa.int64()).filter(pa.array(hit)),
+                "revenue_floor": pc.cast(f["rev"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
+        )
+        g = cells.group_by(["rg", "yr"], use_threads=False).aggregate(
+            [("n_lines", "sum"), ("revenue_floor", "sum")]
+        )
+        return g.rename_columns(["rg", "yr", "n_lines", "revenue_floor"])
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -507,91 +577,113 @@ def region_revenue(sf_dir: str) -> Dataset:
             }
         )
 
-    lines = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_suppkey", "l_shipdate", "l_extendedprice"],
-        override_num_blocks=_rel_k(sf_dir, "lineitem"),
-    )
-    partials = lines.map_batches(
-        RegionJoin,
-        fn_constructor_args=(dim_ref,),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    return hash_partition_merge(partials, "rg", merge, k=1)
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = sup.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "rg", merge, k=1)
 
 
 def brand_volume(sf_dir: str, top_k: int = 10) -> Dataset:
     """R5: top-k part brands by shipped quantity — per brand: exact Σqty,
     line count, and DISTINCT part count, top-k by quantity (ties brand
-    ASC so the answer is unique) — the part >< lineitem join read every
-    catalog team runs ("which brands move").
+    ASC so the answer is unique).
 
-    Scale shape: brand identity rides the part dim (ray.put once, one
-    searchsorted per batch — parts are a dimension next to lineitem);
-    the DISTINCT part count dedupes (brand, partkey) pairs via the E23
-    combiner on the PART axis, so only distinct pairs and (brand, qty,
-    lines) partials shuffle; k=1 merge folds both and takes top-k."""
-    part = rd.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    ).to_pandas()
-    brands = sorted(part["p_brand"].unique())
+    Scale shape: parts GROW WITH THE CORPUS (SF x 200k), so the part dim
+    is NOT broadcast — both streams co-partition by PARTKEY (the R2
+    role-union shape) with lineitem pre-reduced to per-part partials;
+    only the distinct BRAND VALUE list broadcasts as an exact rank.  The
+    per-partition fold decides each matched part's totals locally (so
+    the DISTINCT part count is exact by co-location) and re-reduces to
+    per-brand partials; k=1 merge takes the tie-broken top-k."""
+    brands: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"]).unique(
+            "p_brand"
+        )
+    )
     b_arr = pa.array(brands, pa.string())
-    b_rank = {b: i for i, b in enumerate(brands)}
-    pk = part["p_partkey"].to_numpy(np.int64)
-    pv = np.array([b_rank[b] for b in part["p_brand"]], np.int64)
-    order = np.argsort(pk, kind="stable")
-    dim_ref = ray.put((pk[order], pv[order]))
 
-    class BrandJoin:
-        def __init__(self, ref):
-            self.keys, self.codes = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            p = (
-                pc.cast(b["l_partkey"], pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            pos = np.clip(np.searchsorted(self.keys, p), 0, len(self.keys) - 1)
-            hit = self.keys[pos] == p
-            code = self.codes[pos]
-            qty = (
-                pc.cast(b["l_quantity"], pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            t = pa.table(
-                {
-                    "br": pa.array(code[hit], pa.int64()),
-                    "pkey": pa.array(p[hit], pa.int64()),
-                    "qty": pa.array(qty[hit], pa.int64()),
-                }
-            )
-            g = t.group_by(["br", "pkey"], use_threads=False).aggregate(
-                [("qty", "count"), ("qty", "sum")]
-            )
-            return g.rename_columns(["br", "pkey", "nl", "qty"])
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["p_brand"], value_set=b_arr), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "br": code,
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("qty", "count"), ("qty", "sum")]
+        )
+        g = g.rename_columns(["k", "nl", "qty"])
+        return g.append_column(
+            "br", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "br", "nl", "qty"])
 
     def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "br": pa.array([], pa.int64()),
+                "n_parts": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+            }
+        )
         if t.num_rows == 0:
-            return pa.table(
-                {
-                    "br": pa.array([], pa.int64()),
-                    "n_parts": pa.array([], pa.int64()),
-                    "n_lines": pa.array([], pa.int64()),
-                    "sum_qty": pa.array([], pa.int64()),
-                }
-            )
-        g = t.group_by(["br", "pkey"], use_threads=False).aggregate(
+            return empty
+        role = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        # collapse fact partials to one row per partkey (batches overlap)
+        fg = f.group_by("k", use_threads=False).aggregate(
             [("nl", "sum"), ("qty", "sum")]
         )
-        h = g.group_by("br", use_threads=False).aggregate(
-            [("pkey", "count"), ("nl_sum", "sum"), ("qty_sum", "sum")]
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dbr = d["br"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        cells = pa.table(
+            {
+                "br": pa.array(dbr[pos][hit], pa.int64()),
+                "n_parts": pa.array(np.ones(int(hit.sum()), np.int64)),
+                "n_lines": pc.cast(fg["nl_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+                "sum_qty": pc.cast(fg["qty_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
         )
-        return h.rename_columns(["br", "n_parts", "n_lines", "sum_qty"])
+        g = cells.group_by("br", use_threads=False).aggregate(
+            [("n_parts", "sum"), ("n_lines", "sum"), ("sum_qty", "sum")]
+        )
+        return g.rename_columns(["br", "n_parts", "n_lines", "sum_qty"])
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -612,25 +704,14 @@ def brand_volume(sf_dir: str, top_k: int = 10) -> Dataset:
         take = pa.array(order, pa.int64())
         return pa.table(
             {
-                "p_brand": b_arr.take(
-                    pa.array(br[order], pa.int64())
-                ),
+                "p_brand": b_arr.take(pa.array(br[order], pa.int64())),
                 "n_parts": pc.cast(g["n_parts_sum"], pa.int64()).take(take),
                 "n_lines": pc.cast(g["n_lines_sum"], pa.int64()).take(take),
                 "sum_qty": pc.cast(g["sum_qty_sum"], pa.int64()).take(take),
             }
         )
 
-    lines = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_quantity"],
-        override_num_blocks=_rel_k(sf_dir, "lineitem"),
-    )
-    partials = lines.map_batches(
-        BrandJoin,
-        fn_constructor_args=(dim_ref,),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    per_part = hash_partition_merge(partials, "pkey", fold, k=_rel_k(sf_dir, "part"))
-    return hash_partition_merge(per_part, "br", merge, k=1)
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "br", merge, k=1)
