@@ -3656,7 +3656,13 @@ def events_transition_matrix(sf_dir: str) -> Dataset:
     by USER; each partition lexsorts its complete user streams once and
     reduces adjacent same-user pairs straight to (from, to, n) partials;
     the k=1 merge sums O(types²) rows.  Type identity is an exact
-    broadcast rank (the E51 funnel convention), never a hash."""
+    broadcast rank (the E51 funnel convention), never a hash.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default).  A corpus-hot key would need the
+    (key, ts-window) sub-partitioning + boundary-pair carry that
+    stages/temporal already implements for sessionize — transitions are
+    associative over window boundaries (one carried edge per boundary)."""
     from ..stages.shuffle import hash_partition_merge
 
     srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
@@ -4803,7 +4809,11 @@ def events_session_conversion(
     is_target — payloads never shuffle) hash-partitioned by USER; each
     partition lexsorts its complete user streams once, splits sessions at
     the gap rule, and reduces straight to three integers via reduceat —
-    session rows never materialize anywhere."""
+    session rows never materialize anywhere.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default); the windowed boundary-fold sessionize
+    uses for hot keys applies verbatim if a corpus-hot user exists."""
     from ..stages.shuffle import hash_partition_merge
 
     target = sorted(events_src_list(sf_dir))[0]
