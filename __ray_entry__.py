@@ -439,6 +439,12 @@ def _q_events_mix_conc(sf_dir: str):
     return events_mix_concentration(sf_dir)
 
 
+def _q_events_week_retention(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_week_retention
+
+    return events_week_retention(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -840,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_conversion": _q_events_session_conversion,
         "events_mix_concentration": _q_events_mix_conc,
         "doc_longest_per_source": td.longest_per_source,
+        "events_week_retention": _q_events_week_retention,
+        "doc_novelty_by_source": td.novelty_by_source,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1634,6 +1642,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_cross_dup_docs
             FROM d GROUP BY 1
+        """,
+        "events_week_retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              date_trunc('week', ts) AS week
+                       FROM events),
+                 c AS (SELECT week,
+                              CASE WHEN lag(week) OVER (
+                                       PARTITION BY user_id ORDER BY week)
+                                   = week - INTERVAL 7 DAY
+                              THEN 1 ELSE 0 END AS ret
+                       FROM d)
+            SELECT CAST(week AS TIMESTAMP) AS week_ts,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(ret) AS BIGINT) AS n_retained,
+                   CAST((1000 * sum(ret)) // count(*) AS BIGINT)
+                       AS retained_permille
+            FROM c GROUP BY 1
+        """,
+        "doc_novelty_by_source": """
+            WITH t AS (SELECT doc_id, source, str_split(text, ' ') w
+                       FROM documents),
+            g AS (SELECT doc_id, source, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT doc_id, source, unnest(sh) s FROM g),
+            f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY 1)
+            SELECT e.source, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f.first_doc = e.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   CAST((1000 * sum(CASE WHEN f.first_doc = e.doc_id
+                                         THEN 1 ELSE 0 END))
+                        // count(*) AS BIGINT) AS novelty_permille
+            FROM e JOIN f USING (s) GROUP BY 1
         """,
         "events_session_conversion": """
             WITH tgt AS (SELECT min(event_type) AS t FROM events),

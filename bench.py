@@ -272,6 +272,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_session_conversion",
         "events_mix_concentration",
         "doc_longest_per_source",
+        "events_week_retention",
+        "doc_novelty_by_source",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

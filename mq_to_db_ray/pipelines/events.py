@@ -4955,3 +4955,116 @@ def events_mix_concentration(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "day", merge, k=_adaptive_k(sf_dir))
+
+
+def events_week_retention(sf_dir: str) -> Dataset:
+    """E71: week-over-week retention — per Monday calendar week: active
+    users, users ALSO active the previous week (retained), and the
+    retained permille — the weekly habit line between E49's daily cohort
+    triangle and E68's raw weekly reach; exact int64 (distinct user-weeks
+    + lag oracle).
+
+    Scale shape — E49's machinery on the WEEK axis: per batch one lexsort
+    reduces events to distinct (user, week) pairs; user-hash partition
+    decides each user's week set locally and re-reduces to (week, n, n_ret)
+    partials (retained iff week-1 present in the same local set); one k=1
+    merge sums O(weeks) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    week_us = 7 * DAY_US
+    monday0_us = 4 * DAY_US
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        wk = (ts_us - monday0_us) // week_us
+        order = np.lexsort((wk, uu))
+        u2, w2 = uu[order], wk[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (w2[1:] != w2[:-1])
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u2[st], pa.int64()),
+                "week": pa.array(w2[st], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "week": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = t["week"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ww, uu))
+        u2, w2 = uu[order], ww[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (w2[1:] != w2[:-1])
+        su = np.flatnonzero(new)
+        u3, w3 = u2[su], w2[su]
+        ret = np.zeros(len(su), dtype=bool)
+        ret[1:] = (u3[1:] == u3[:-1]) & (w3[1:] - w3[:-1] == 1)
+        packed = w3 * 2 + ret
+        vals, cnt = np.unique(packed, return_counts=True)
+        wk = vals // 2
+        isr = (vals % 2).astype(bool)
+        out_w, inv = np.unique(wk, return_inverse=True)
+        n = np.zeros(len(out_w), np.int64)
+        nr = np.zeros(len(out_w), np.int64)
+        np.add.at(n, inv, cnt)
+        np.add.at(nr, inv[isr], cnt[isr])
+        return pa.table(
+            {
+                "week": pa.array(out_w, pa.int64()),
+                "n": pa.array(n),
+                "nr": pa.array(nr),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "week_ts": pa.array([], pa.timestamp("us")),
+                    "n_users": pa.array([], pa.int64()),
+                    "n_retained": pa.array([], pa.int64()),
+                    "retained_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("week", use_threads=False).aggregate(
+            [("n", "sum"), ("nr", "sum")]
+        )
+        ww = g["week"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "week_ts": pa.array(
+                    ww * week_us + monday0_us, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_users": pa.array(n.astype(np.int64)),
+                "n_retained": pa.array(nr.astype(np.int64)),
+                "retained_permille": pa.array(
+                    (1000 * nr) // np.maximum(n, 1), pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "week", merge, k=1)

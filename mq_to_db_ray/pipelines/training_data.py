@@ -4760,3 +4760,104 @@ def longest_per_source(sf_dir: str, k: int = 3) -> Dataset:
         local_topk, batch_format="pyarrow"
     )
     return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def novelty_by_source(sf_dir: str, k_shingle: int = 3) -> Dataset:
+    """T64: novelty contribution by source — per source: total distinct
+    doc-shingles, shingles its docs INTRODUCE corpus-wide (T61's
+    first-introduction rule under doc_id order), and the novelty permille
+    — "which source is still bringing new content" as the per-source roll
+    of T61's per-doc curve; exact int64 (min(doc_id)-per-shingle join +
+    source GROUP BY oracle; string/hash collision convention).
+
+    Scale shape — T61's shingle-hash exchange with the source label
+    riding as an exact broadcast rank (the T40 convention), so the
+    per-shingle fold re-reduces straight to per-source partials and the
+    per-doc table never materializes; one k=1 source merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"], k_shingle)
+        take = pa.array(rows, pa.int64())
+        doc = batch["doc_id"].combine_chunks().take(take)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().take(take)
+        return pa.table(
+            {
+                "doc_id": doc,
+                "src": code,
+                "shingle": pa.array(sh.view(np.int64), pa.int64()),
+            }
+        )
+
+    def fold_by_shingle(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                }
+            )
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h2, s2 = h[order], src[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        n = np.zeros(len(srcs), np.int64)
+        nv = np.zeros(len(srcs), np.int64)
+        np.add.at(n, s2, 1)
+        np.add.at(nv, s2[newg], 1)
+        keep = n > 0
+        return pa.table(
+            {
+                "src": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n": pa.array(n[keep]),
+                "nv": pa.array(nv[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("n", "sum"), ("nv", "sum")]
+        )
+        si = pa.array(
+            g["src"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nv = g["nv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs.take(si),
+                "n_shingles": pa.array(n.astype(np.int64)),
+                "n_novel": pa.array(nv.astype(np.int64)),
+                "novelty_permille": pa.array(
+                    (1000 * nv) // np.maximum(n, 1), pa.int64()
+                ),
+            }
+        )
+
+    exploded = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(
+        exploded, "shingle", fold_by_shingle, k=_doc_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)

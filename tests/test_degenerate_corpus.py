@@ -34,6 +34,12 @@ QUERIES = [
     "doc_vocab_coverage",        # per-partition top-k + residual
     "doc_curriculum_rank",       # count-based ranking
     "rel_order_fulfillment",     # big-by-big co-partitioned join
+    "rel_segment_sales",         # co-partitioned dim join
+    "events_session_conversion", # per-user gap split
+    "events_concurrent_sessions",# interval explode
+    "events_week_retention",     # week-axis retention fold
+    "doc_shingle_novelty",       # shingle first-introduction
+    "doc_dup_matrix",            # dense zero board on a dup-free corpus
 ]
 
 
@@ -79,6 +85,18 @@ def micro_dir(tmp_path_factory):
             }
         ),
         d / "embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_name": pa.array(["c1"]),
+                "c_nationkey": pa.array([0], pa.int64()),
+                "c_acctbal": pa.array([1.0]),
+                "c_mktsegment": pa.array(["M"]),
+            }
+        ),
+        d / "customer.parquet",
     )
     pq.write_table(
         pa.table(

@@ -564,3 +564,59 @@ def test_longest_per_source_bruteforce(ray_session, tmp_path):
             zip(items[:3], rows.itertuples()), 1
         ):
             assert (r.doc_id, r.n_chars, r.rank) == (i, -negL, rank)
+
+
+def test_week_retention_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.events import events_week_retention
+
+    WEEK_US = 7 * DAY_US
+    MONDAY0 = 4 * DAY_US
+    _, ts, users = _write_events(tmp_path, seed=85)
+    pairs = {(int(u), int((t - MONDAY0) // WEEK_US)) for u, t in zip(users, ts)}
+    weeks = collections.defaultdict(lambda: [0, 0])
+    for u, w in pairs:
+        weeks[w][0] += 1
+        if (u, w - 1) in pairs:
+            weeks[w][1] += 1
+
+    got = events_week_retention(str(tmp_path)).to_pandas()
+    assert len(got) == len(weeks)
+    for r in got.itertuples():
+        w = int((r.week_ts.value // 1000 - MONDAY0) // WEEK_US)
+        n, nr = weeks[w]
+        assert (r.n_users, r.n_retained) == (n, nr), w
+        assert r.retained_permille == (1000 * nr) // n
+
+
+def test_novelty_by_source_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import novelty_by_source
+
+    g = np.random.default_rng(86)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [
+        " ".join(g.choice(vocab, size=g.integers(3, 15))) for _ in range(60)
+    ]
+    srcs = [f"s{i % 3}" for i in range(60)]
+    _write_docs(tmp_path, texts, srcs)
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    first = {}
+    per_doc = [shingles(t) for t in texts]
+    for i, sh in enumerate(per_doc):
+        for s in sh:
+            first.setdefault(s, i)
+    want = collections.defaultdict(lambda: [0, 0])
+    for i, (sh, src) in enumerate(zip(per_doc, srcs)):
+        c = want[src]
+        c[0] += len(sh)
+        c[1] += sum(1 for s in sh if first[s] == i)
+
+    got = novelty_by_source(str(tmp_path)).to_pandas().set_index("source")
+    assert len(got) == len(want)
+    for src, (n, nv) in want.items():
+        assert got.loc[src].n_shingles == n
+        assert got.loc[src].n_novel == nv
+        assert got.loc[src].novelty_permille == (1000 * nv) // n
