@@ -824,6 +824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_segment_sales": rel.segment_sales,
         "rel_region_revenue": rel.region_revenue,
         "rel_brand_volume": rel.brand_volume,
+        "rel_order_count_dist": rel.order_count_distribution,
+        "rel_top_orders": rel.top_revenue_orders,
+        "rel_priority_discount": rel.priority_discount_orders,
         # concentration / stickiness boards (wave 16)
         "events_pareto": _q_events_pareto,
         "events_dau_wau_mau": _q_events_dau_wau_mau,
@@ -1973,6 +1976,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
+        """,
+        "rel_order_count_dist": """
+            WITH c AS (SELECT c.c_custkey,
+                              count(o.o_custkey) AS n_orders
+                       FROM customer c
+                       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                       GROUP BY 1)
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM c GROUP BY 1
+        """,
+        "rel_top_orders": """
+            WITH seg AS (SELECT min(c_mktsegment) AS s FROM customer),
+                 c AS (SELECT c_custkey FROM customer, seg
+                       WHERE c_mktsegment = seg.s),
+                 o AS (SELECT o_orderkey, o_orderdate
+                       FROM orders JOIN c ON o_custkey = c_custkey
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                 r AS (SELECT l_orderkey,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT)
+                                  AS revenue_floor
+                       FROM lineitem
+                       WHERE l_shipdate > TIMESTAMP '1998-01-01'
+                       GROUP BY 1)
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   r.revenue_floor
+            FROM o JOIN r ON o.o_orderkey = r.l_orderkey
+            ORDER BY r.revenue_floor DESC, o.o_orderkey LIMIT 10
+        """,
+        "rel_priority_discount": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount > 0.09)
+            GROUP BY 1
         """,
         "rel_brand_volume": """
             WITH j AS (SELECT p.p_brand, l.l_partkey,

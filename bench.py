@@ -251,6 +251,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "rel_segment_sales",
         "rel_region_revenue",
         "rel_brand_volume",
+        "rel_order_count_dist",
+        "rel_top_orders",
+        "rel_priority_discount",
         "events_pareto",
         "events_dau_wau_mau",
         "doc_token_pareto",

@@ -715,3 +715,389 @@ def brand_volume(sf_dir: str, top_k: int = 10) -> Dataset:
     dim = part.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "br", merge, k=1)
+
+
+def order_count_distribution(sf_dir: str) -> Dataset:
+    """R6: customer order-count distribution (the TPC-H Q13 shape) — for
+    each order count c INCLUDING ZERO: how many customers placed exactly c
+    orders.  The LEFT-OUTER-join histogram: customers with no orders must
+    appear in the c=0 bucket, so an inner co-partitioned join (R2/R3) is
+    not enough — the dim side drives.
+
+    Scale shape: customers GROW WITH THE CORPUS (SF x 150k), so no side
+    broadcasts.  Orders pre-reduce per batch to (custkey, n) partials; both
+    streams co-partition by CUSTKEY (role-tagged union), where each
+    customer key meets ALL its order partials in one task: the fold sums
+    partials per key, attaches count-or-ZERO to every dim row via one
+    searchsorted, and immediately re-reduces to (n_orders, n_customers)
+    histogram partials — per-customer rows never leave their partition
+    (E36's aggregate-of-aggregates shape on the customer axis).  One k=1
+    merge sums O(max orders per customer) rows."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "n": pa.array(np.full(n, -1, np.int64)),  # -1 marks dim rows
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.cast(b["o_custkey"], pa.int64())})
+        g = t.group_by("k", use_threads=False).aggregate([("k", "count")])
+        return g.rename_columns(["k", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_orders": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = n < 0
+        dk = k[is_dim]
+        if len(dk) == 0:
+            return empty  # orders for custkeys absent from customer: dropped
+        fk, fn = k[~is_dim], n[~is_dim]
+        # collapse fact partials (batches overlap) to one total per key
+        fku, inv = np.unique(fk, return_inverse=True)
+        tot = np.zeros(len(fku), np.int64)
+        np.add.at(tot, inv, fn)
+        pos = np.searchsorted(fku, dk)
+        pos_c = np.clip(pos, 0, max(len(fku) - 1, 0))
+        cnt = np.where(
+            (len(fku) > 0) & (fku[pos_c] == dk), tot[pos_c], 0
+        ).astype(np.int64)
+        vals, freq = np.unique(cnt, return_counts=True)
+        return pa.table(
+            {
+                "n_orders": pa.array(vals, pa.int64()),
+                "n_customers": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("n_orders", use_threads=False).aggregate(
+            [("n_customers", "sum")]
+        )
+        return g.rename_columns(["n_orders", "n_customers"])
+
+    both = ords.map_batches(fact_partial, batch_format="pyarrow").union(
+        cust.map_batches(dim_partial, batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(both, "k", fold, k=_rel_k(sf_dir, "orders"))
+    return hash_partition_merge(cells, "n_orders", merge, k=1)
+
+
+def top_revenue_orders(
+    sf_dir: str,
+    segment: str | None = None,
+    cutoff: str = "1998-01-01",
+    top_k: int = 10,
+) -> Dataset:
+    """R7: top-k open-order revenue (the TPC-H Q3 shape) — among orders
+    placed by SEGMENT customers BEFORE the cutoff, ranked by the floored
+    revenue of their lines shipped AFTER the cutoff: the "largest
+    unshipped orders" board.  Segment defaults to the alphabetically
+    first c_mktsegment (the E51 convention — no hardcoded literal).
+    Ties break by o_orderkey ASC so the answer is unique; revenue =
+    Σ floor(l_extendedprice·(1−l_discount)) is exact int64 (floor is
+    exact on doubles and both engines evaluate the identical IEEE
+    product).
+
+    Scale shape — two chained co-partitioned hops, each the R2
+    role-union shape, with every predicate PUSHED TO THE READ:
+      1. CUSTKEY hop: segment customers (filter at the read, keys only)
+         × date-filtered orders → surviving (orderkey, orderdate) rows;
+      2. ORDERKEY hop: shipdate-filtered lineitem pre-reduced to
+         per-order floored-revenue partials × the hop-1 survivors; the
+         fold attaches revenue, keeps its LOCAL top-k (one lexsort), so
+         only O(partitions × k) candidate rows reach the k=1 merge.
+    Customers, orders and lines all grow with the corpus; nothing
+    broadcasts but the segment VALUE string."""
+    if segment is None:
+        segment = min(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        )
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us").item(), pa.timestamp("us"))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == segment),
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < cutoff_ts),
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > cutoff_ts),
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 1: orderkeys of segment customers' pre-cutoff orders ----
+    def cust_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),  # dim marker
+                "dt": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "okey": pc.cast(b["o_orderkey"], pa.int64()),
+                "dt": b["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"okey": pa.array([], pa.int64()), "dt": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        dk = np.unique(t["k"].combine_chunks().to_numpy(zero_copy_only=False)[is_dim])
+        if len(dk) == 0:
+            return empty
+        f = t.filter(pa.array(~is_dim))
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk, fk), 0, len(dk) - 1)
+        hit = dk[pos] == fk
+        return pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "dt": pc.cast(f["dt"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+
+    surviving = hash_partition_merge(
+        ords.map_batches(order_row, batch_format="pyarrow").union(
+            cust.map_batches(cust_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 2: attach line revenue, local top-k per partition ----
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "okey": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("okey", use_threads=False).aggregate([("rev", "sum")])
+        g = g.rename_columns(["okey", "rev"])
+        return g.append_column("dt", pa.array(np.zeros(g.num_rows, np.int64)))
+
+    def order_survivor(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["okey"],
+                "rev": pa.array(np.full(n, -1, np.int64)),  # dim marker
+                "dt": b["dt"],
+            }
+        )
+
+    def fold_rev(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.int64()),
+                "revenue_floor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = rv < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("okey", use_threads=False).aggregate([("rev", "sum")])
+        fk = fg["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = fg["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dk = d["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = d["dt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s, dd_s = dk[order], dd[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        ok, dt, rev = fk[hit], dd_s[pos][hit], fr[hit]
+        keep = np.lexsort((ok, -rev))[: min(len(ok), top_k)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[keep], pa.int64()),
+                "o_orderdate": pa.array(dt[keep], pa.int64()),
+                "revenue_floor": pa.array(rev[keep], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        dt = t["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["revenue_floor"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ok, -rv))[: min(len(ok), top_k)]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[keep], pa.int64()),
+                "o_orderdate": pa.array(dt[keep], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "revenue_floor": pa.array(rv[keep], pa.int64()),
+            }
+        )
+
+    both = lines.map_batches(line_partial, batch_format="pyarrow").union(
+        surviving.map_batches(order_survivor, batch_format="pyarrow")
+    )
+    cand = hash_partition_merge(both, "okey", fold_rev, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cand, "o_orderkey", merge, k=1)
+
+
+def priority_discount_orders(sf_dir: str, min_discount: float = 0.09) -> Dataset:
+    """R8: discounted-order priority board (the TPC-H Q4 EXISTS shape) —
+    per o_orderpriority: orders with AT LEAST ONE line discounted above
+    ``min_discount``.  A distributed SEMI-join: the fact side's job is
+    pure existence, so everything narrows to distinct keys before any
+    exchange (R2 counts lines; R8 dedupes them).
+
+    Scale shape: the discount predicate is PUSHED TO THE READ (row
+    groups without a qualifying line never leave storage) and each line
+    batch collapses to its DISTINCT orderkeys (one np.unique — the
+    information-theoretic floor of an existence probe); orders reduce to
+    (orderkey, priority-rank).  Both streams co-partition by ORDERKEY;
+    the fold re-dedupes the key set (batches overlap) and bincounts
+    matched orders straight to per-priority partials.  Priority identity
+    is an exact broadcast rank, never a hash (events_src_list
+    convention)."""
+    pr = _priority_rank(sf_dir)
+    prs = pa.array(list(pr), pa.string())
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=(pc.field("l_discount") > min_discount),
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        ok = np.unique(
+            pc.cast(b["l_orderkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(ok, pa.int64()),
+                "pr": pa.array(np.full(len(ok), -1, np.int64)),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["o_orderpriority"], value_set=prs), pa.int64())
+        return pa.table({"k": pc.cast(b["o_orderkey"], pa.int64()), "pr": code})
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pr": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        prc = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_line = prc < 0
+        lk = np.unique(k[is_line])
+        if len(lk) == 0:
+            return empty
+        ok, opr = k[~is_line], prc[~is_line]
+        pos = np.clip(np.searchsorted(lk, ok), 0, len(lk) - 1)
+        hit = lk[pos] == ok
+        cnt = np.bincount(opr[hit], minlength=len(prs)).astype(np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "pr": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("pr", use_threads=False).aggregate([("n", "sum")])
+        pi = pa.array(
+            g["pr"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": prs.take(pi),
+                "n_orders": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    both = lines.map_batches(line_partial, batch_format="pyarrow").union(
+        ords.map_batches(order_partial, batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(both, "k", fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "pr", merge, k=1)
