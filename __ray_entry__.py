@@ -445,6 +445,24 @@ def _q_events_week_retention(sf_dir: str):
     return events_week_retention(sf_dir)
 
 
+def _q_events_nth_event(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_nth_event_time
+
+    return events_nth_event_time(sf_dir)
+
+
+def _q_events_entry_exit(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_entry_exit
+
+    return events_entry_exit(sf_dir)
+
+
+def _q_events_intersession(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_intersession_gaps
+
+    return events_intersession_gaps(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -851,6 +869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_longest_per_source": td.longest_per_source,
         "events_week_retention": _q_events_week_retention,
         "doc_novelty_by_source": td.novelty_by_source,
+        "events_nth_event_time": _q_events_nth_event,
+        "events_entry_exit": _q_events_entry_exit,
+        "events_intersession_gaps": _q_events_intersession,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1679,6 +1700,65 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "events_nth_event_time": """
+            WITH r AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS day, ts,
+                              row_number() OVER (
+                                  PARTITION BY event_type,
+                                               date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn,
+                              count(*) OVER (
+                                  PARTITION BY event_type,
+                                               date_trunc('day', ts)) AS n
+                       FROM events)
+            SELECT source, CAST(day AS TIMESTAMP) AS day_ts,
+                   ts AS nth_ts, CAST(n AS BIGINT) AS n_events
+            FROM r WHERE rn = 5
+        """,
+        "events_entry_exit": """
+            WITH o AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn,
+                              count(*) OVER (PARTITION BY user_id) AS n
+                       FROM events),
+                 f AS (SELECT user_id,
+                              max(CASE WHEN rn = 1 THEN event_type END)
+                                  AS first_type,
+                              max(CASE WHEN rn = n THEN event_type END)
+                                  AS last_type
+                       FROM o GROUP BY 1)
+            SELECT first_type, last_type,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM f GROUP BY 1, 2
+        """,
+        "events_intersession_gaps": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+                     FROM s GROUP BY 1, 2),
+            gaps AS (SELECT (epoch_us(st)
+                             - epoch_us(lag(en) OVER (
+                                   PARTITION BY user_id ORDER BY sid)))
+                            // 1000000 AS gap_s
+                     FROM sess),
+            g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL)
+            SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
+                   CAST(quantile_disc(gap_s, 0.99) AS BIGINT) AS p99_s,
+                   CAST(max(gap_s) AS BIGINT) AS max_s
+            FROM g
         """,
         "events_session_conversion": """
             WITH tgt AS (SELECT min(event_type) AS t FROM events),

@@ -277,6 +277,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_longest_per_source",
         "events_week_retention",
         "doc_novelty_by_source",
+        "events_nth_event_time",
+        "events_entry_exit",
+        "events_intersession_gaps",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

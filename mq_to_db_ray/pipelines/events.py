@@ -5068,3 +5068,336 @@ def events_week_retention(sf_dir: str) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     per_user = hash_partition_merge(partials, "user_id", user_fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(per_user, "week", merge, k=1)
+
+
+def events_nth_event_time(sf_dir: str, n: int = 5) -> Dataset:
+    """E72: time-to-Nth-event — per (source, day) with at least ``n``
+    events: the timestamp of the Nth event under (ts, event_id) order,
+    plus the cell's total count — the "when did the feed warm up" /
+    SLA-arrival board, and the grouped ASCENDING k-th order statistic
+    that completes E18's top-k (selection, not ranking) and E47's
+    argmax-per-hour family.  Exact int64 (row_number rn = n oracle).
+
+    Scale shape — a per-batch SELECTION combiner: each batch keeps only
+    its n smallest (ts, event_id) rows per cell (one lexsort; the global
+    n smallest of a cell is always a subset of the union of per-batch
+    n-smallest — the E18 superset argument in reverse order) plus one
+    count partial per (cell, batch); ONE cell-hash exchange settles each
+    cell entirely in its partition: candidates re-sort, the (n-1)th is
+    THE global Nth, cells short of n drop.  Rows moved = O(batches ×
+    cells × n) narrow int64, never the event stream."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        oid = pc.cast(b["event_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cell = (ts_us // DAY_US) * ns + code
+        order = np.lexsort((oid, ts_us, cell))
+        c2, t2, o2 = cell[order], ts_us[order], oid[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = c2[1:] != c2[:-1]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        within = np.arange(len(order)) - starts[gid]
+        keep = within < n
+        lens = np.diff(np.append(starts, len(order)))
+        cand = pa.table(
+            {
+                "cell": pa.array(c2[keep], pa.int64()),
+                "t": pa.array(t2[keep], pa.int64()),
+                "o": pa.array(o2[keep], pa.int64()),
+                "cnt": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+        cnts = pa.table(
+            {
+                "cell": pa.array(c2[starts], pa.int64()),
+                "t": pa.array(np.full(len(starts), -1, np.int64)),
+                "o": pa.array(np.full(len(starts), -1, np.int64)),
+                "cnt": pa.array(lens.astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([cand, cnts])
+
+    def settle(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "day_ts": pa.array([], pa.timestamp("us")),
+                "nth_ts": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cnt = oo < 0
+        c = t.filter(pa.array(is_cnt))
+        cg = c.group_by("cell", use_threads=False).aggregate([("cnt", "sum")])
+        ck = cg["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ctot = cg["cnt_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(~is_cnt))
+        if f.num_rows == 0:
+            return empty
+        cell = f["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts_us = f["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oid = f["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oid, ts_us, cell))
+        c2, t2 = cell[order], ts_us[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = c2[1:] != c2[:-1]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        within = np.arange(len(order)) - starts[gid]
+        hit = within == n - 1
+        if not hit.any():
+            return empty
+        hcell, hts = c2[hit], t2[hit]
+        corder = np.argsort(ck, kind="stable")
+        pos = np.searchsorted(ck[corder], hcell)
+        tot = ctot[corder][pos]
+        ok = tot >= n  # always true (a candidate at rank n-1 implies >= n)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(hcell[ok] % ns, pa.int64())),
+                "day_ts": pa.array((hcell[ok] // ns) * DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "nth_ts": pa.array(hts[ok], pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(tot[ok], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    return hash_partition_merge(partials, "cell", settle, k=_adaptive_k(sf_dir))
+
+
+def events_entry_exit(sf_dir: str) -> Dataset:
+    """E73: entry/exit type board — per (first_type, last_type): users
+    whose FIRST event (by ts, event_id) is first_type and LAST event is
+    last_type — the "how journeys begin and end" matrix next to E56's
+    step-by-step transitions (E56 counts every adjacent pair, E73 only
+    each user's endpoints; the diagonal is single-mode users).  Exact
+    int64 (row_number rn=1 / rn=n oracle).
+
+    Scale shape — E56's narrow per-event exchange verbatim (user, ts,
+    order, type-code; payloads never shuffle), user-hash partitioned;
+    each partition lexsorts its complete user streams once and reads
+    each run's endpoints directly, reducing straight to (first, last, n)
+    partials; the k=1 merge sums O(types²) rows.  Type identity is an
+    exact broadcast rank (E51 convention).  Partitioning assumption:
+    one user's stream fits a task (the E15/E56 default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "c": code,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "fc": pa.array([], pa.int64()),
+                    "lc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, c2 = uu[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = u2[1:] != u2[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order)) - 1
+        packed = c2[starts] * ns + c2[ends]
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "fc": pa.array(vals // ns, pa.int64()),
+                "lc": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "first_type": pa.array([], pa.string()),
+                    "last_type": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["fc", "lc"], use_threads=False).aggregate([("n", "sum")])
+        fi = pa.array(
+            g["fc"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        li = pa.array(
+            g["lc"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "first_type": srcs.take(fi),
+                "last_type": srcs.take(li),
+                "n_users": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(partials, "fc", merge, k=1)
+
+
+def events_intersession_gaps(
+    sf_dir: str, gap_s: int = 6 * 3600, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """E74: inter-session gap distribution — corpus-wide count plus
+    discrete p50/p90/p99 and max of the floor-second gap between a
+    user's consecutive sessions (previous end → next start) — "how long
+    do users stay AWAY", the complement of E50's within-session
+    durations and the continuous dual of E53's whole-day return gaps.
+    Exact int64 under the quantile_disc rank rule (gaps-and-islands CTE
+    + lag-over-sessions + quantile_disc oracle); a corpus with no
+    returning user yields the n_gaps=0 row with NULL quantiles, exactly
+    like the SQL aggregate.
+
+    Scale shape: sessions come off E15's bounded (key, window)+fold
+    machinery; ONE user-hash exchange of narrow session rows (sessions
+    per user are bounded by the gap rule) lets each partition lexsort
+    its users' sessions once and diff consecutive (end, next-start)
+    pairs; flooring gaps to SECONDS bounds the histogram domain, so
+    only (gap_s, freq) partials reach the k=1 quantile merge (E50's
+    histogram convention)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sess = events_sessions(sf_dir, gap_s=gap_s)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "sid": pc.cast(b["session_id"], pa.int64()),
+                "st": b["start_ts"].cast(pa.int64()),
+                "en": b["end_ts"].cast(pa.int64()),
+            }
+        )
+
+    def gap_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+                "f": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        si = t["sid"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = t["st"].combine_chunks().to_numpy(zero_copy_only=False)
+        en = t["en"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, uu))
+        u2, st2, en2 = uu[order], st[order], en[order]
+        same = u2[1:] == u2[:-1]
+        gaps = (st2[1:][same] - en2[:-1][same]) // 1_000_000
+        vals, freq = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(vals), np.int64)),
+                "gap_s": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_s" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        vv = t["gap_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+        nz = ff > 0
+        vv, ff = vv[nz], ff[nz]
+        if len(vv) == 0:
+            null = pa.array([None], pa.int64())
+            return pa.table(
+                {
+                    "n_gaps": pa.array([0], pa.int64()),
+                    **{c: null for c in names},
+                    "max_s": null,
+                }
+            )
+        order = np.argsort(vv, kind="stable")
+        v2 = vv[order]
+        ng = np.empty(len(order), dtype=bool)
+        ng[0] = True
+        ng[1:] = v2[1:] != v2[:-1]
+        gs = np.flatnonzero(ng)
+        vals = v2[gs]
+        freq = np.add.reduceat(ff[order], gs)
+        n = int(freq.sum())
+        cum = np.cumsum(freq)
+        out = {"n_gaps": pa.array([n], pa.int64())}
+        for q, c in zip(qs, names):
+            thr = (n * q + 999) // 1000
+            out[c] = pa.array([int(vals[np.searchsorted(cum, thr)])], pa.int64())
+        out["max_s"] = pa.array([int(vals[-1])], pa.int64())
+        return pa.table(out)
+
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "gap_s": pa.array([0], pa.int64()),
+                "f": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    partials = (
+        hash_partition_merge(
+            sess.map_batches(narrow, batch_format="pyarrow"),
+            "user_id",
+            gap_partial,
+            k=_adaptive_k(sf_dir),
+        )
+        .union(seed)
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
