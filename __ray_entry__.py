@@ -872,6 +872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nth_event_time": _q_events_nth_event,
         "events_entry_exit": _q_events_entry_exit,
         "events_intersession_gaps": _q_events_intersession,
+        "doc_vocab_overlap": td.vocab_overlap,
+        "doc_prefix_exposure": td.prefix_exposure,
+        "rel_returned_customers": rel.returned_revenue_customers,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1700,6 +1703,47 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "doc_vocab_overlap": """
+            WITH w AS (SELECT DISTINCT source,
+                              unnest(str_split(text, ' ')) AS word
+                       FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_common_words
+            FROM w a JOIN w b ON a.word = b.word AND a.source <= b.source
+            GROUP BY 1, 2
+        """,
+        "doc_prefix_exposure": """
+            WITH t AS (SELECT doc_id, source, str_split(text, ' ') w
+                       FROM documents),
+                 p AS (SELECT doc_id, source,
+                              concat_ws(' ', w[1], w[2], w[3]) AS pre
+                       FROM t),
+                 c AS (SELECT pre, count(*) AS tot FROM p GROUP BY 1)
+            SELECT p.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT p.pre) AS BIGINT) AS n_prefixes,
+                   CAST(sum(CASE WHEN c.tot > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   CAST((1000 * sum(CASE WHEN c.tot > 1 THEN 1 ELSE 0 END))
+                        // count(*) AS BIGINT) AS shared_permille
+            FROM p JOIN c USING (pre) GROUP BY 1
+        """,
+        "rel_returned_customers": """
+            WITH r AS (SELECT l_orderkey,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT) AS rev
+                       FROM lineitem WHERE l_returnflag = 'R'
+                       GROUP BY 1),
+                 o AS (SELECT o.o_custkey,
+                              CAST(sum(r.rev) AS BIGINT) AS rev
+                       FROM orders o
+                       JOIN r ON o.o_orderkey = r.l_orderkey
+                       GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, o.rev AS revenue_floor
+            FROM customer c JOIN o ON c.c_custkey = o.o_custkey
+            ORDER BY o.rev DESC, c.c_custkey LIMIT 20
         """,
         "events_nth_event_time": """
             WITH r AS (SELECT event_type AS source,

@@ -280,6 +280,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_nth_event_time",
         "events_entry_exit",
         "events_intersession_gaps",
+        "doc_vocab_overlap",
+        "doc_prefix_exposure",
+        "rel_returned_customers",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -1101,3 +1101,186 @@ def priority_discount_orders(sf_dir: str, min_discount: float = 0.09) -> Dataset
     )
     cells = hash_partition_merge(both, "k", fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "pr", merge, k=1)
+
+
+def returned_revenue_customers(sf_dir: str, top_k: int = 20) -> Dataset:
+    """R9: top-k customers by RETURNED revenue (the TPC-H Q10 shape) —
+    the customers whose returned lines (l_returnflag = 'R') cost the
+    most floored revenue Σfloor(extprice·(1−disc)), with c_name
+    attached; ties break by c_custkey ASC so the answer is unique.
+    Exact int64 (3-way join + ORDER BY LIMIT oracle).
+
+    Scale shape — R7's two chained co-partitioned hops pointed the other
+    way (fact → customer attribute attach instead of customer filter →
+    fact): the returnflag predicate is PUSHED TO THE READ; line batches
+    pre-reduce to per-order revenue partials; the ORDERKEY hop attaches
+    each order's custkey and re-reduces to (custkey, revenue) partials;
+    the CUSTKEY hop co-partitions those with the customer dim (which
+    GROWS WITH THE CORPUS — never broadcast), sums per customer, attaches
+    the name, and keeps its LOCAL top-k so only O(partitions × k)
+    candidate rows reach the k=1 merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    # ---- hop 1 (ORDERKEY): returned-line revenue -> per-custkey partials
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {"k": pc.cast(b["l_orderkey"], pa.int64()), "rev": pa.array(rev)}
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        g = g.rename_columns(["k", "rev"])
+        return g.append_column(
+            "ck", pa.array(np.full(g.num_rows, -1, np.int64))
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_order = ck >= 0
+        o = t.filter(pa.array(is_order))
+        l = t.filter(pa.array(~is_order))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return empty
+        lg = l.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        lr = lg["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok_s = ok[order]
+        ock = o["ck"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        cells = pa.table(
+            {
+                "k": pa.array(ock[pos][hit], pa.int64()),
+                "rev": pa.array(lr[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        return g.rename_columns(["k", "rev"])
+
+    per_cust = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            ords.map_batches(order_row, batch_format="pyarrow")
+        ),
+        "k",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2 (CUSTKEY): attach c_name, local top-k ----
+    def fact_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b["k"],
+                "rev": b["rev"],
+                "nm": pa.array([""] * b.num_rows, pa.string()),
+            }
+        )
+
+    def dim_tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "rev": pa.array(np.full(n, -1, np.int64)),
+                "nm": b["c_name"],
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "revenue_floor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = rv < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = fg["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dn = d["nm"].combine_chunks().take(pa.array(order, pa.int64()))
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        keep = np.lexsort((fk[hit], -fr[hit]))[: min(int(hit.sum()), top_k)]
+        hidx = np.flatnonzero(hit)[keep]
+        return pa.table(
+            {
+                "c_custkey": pa.array(fk[hidx], pa.int64()),
+                "c_name": dn.take(pa.array(pos[hidx], pa.int64())),
+                "revenue_floor": pa.array(fr[hidx], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        ck = t["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["revenue_floor"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ck, -rv))[: min(len(ck), top_k)]
+        take = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[keep], pa.int64()),
+                "c_name": t["c_name"].combine_chunks().take(take),
+                "revenue_floor": pa.array(rv[keep], pa.int64()),
+            }
+        )
+
+    cand = hash_partition_merge(
+        per_cust.map_batches(fact_tag, batch_format="pyarrow").union(
+            cust.map_batches(dim_tag, batch_format="pyarrow")
+        ),
+        "k",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+    return hash_partition_merge(cand, "c_custkey", merge, k=1)

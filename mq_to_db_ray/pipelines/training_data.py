@@ -4861,3 +4861,270 @@ def novelty_by_source(sf_dir: str, k_shingle: int = 3) -> Dataset:
         exploded, "shingle", fold_by_shingle, k=_doc_k(sf_dir)
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def vocab_overlap(sf_dir: str) -> Dataset:
+    """T65: cross-source vocabulary overlap matrix — for every source
+    pair a <= b: the EXACT number of distinct WORDS present in both (the
+    diagonal is each source's vocabulary size) — T37's n-gram overlap
+    moved to the lexical axis (shingles measure shared CONTENT, shared
+    words measure shared REGISTER/domain: two sources can share a whole
+    vocabulary yet no 3-gram), and E57's user-overlap question asked of
+    words.  Exact int64 (distinct source-word self-join oracle; engine
+    compares 64-bit word hashes, the oracle word strings — the T4/T40
+    collision convention; source identity is the exact broadcast rank).
+
+    Scale shape — E57's dedupe-combiner + bounded outer product on the
+    WORD axis: per batch one vectorized word-hash pass reduces to
+    DISTINCT (word, source) rows; word-hash partition holds each word's
+    whole source set locally, expanding its s(s+1)/2 ordered pairs in
+    place with repeat/arange algebra (s bounded by the tiny source
+    cardinality) and re-reducing to (a, b, n) partials; the k=1 merge
+    sums O(sources²) rows.  The vocabulary is never materialized."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        uh, n = ts.batch_word_hashes(batch["text"])
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.repeat(code, n)
+        h = uh.view(np.int64)
+        order = np.lexsort((h, src))
+        s2, h2 = src[order], h[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (s2[1:] != s2[:-1]) | (h2[1:] != h2[:-1])
+        return pa.table(
+            {
+                "word": pa.array(h2[keep], pa.int64()),
+                "src": pa.array(s2[keep], pa.int64()),
+            }
+        )
+
+    def word_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        hh = t["word"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, hh))
+        h2, c2 = hh[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (h2[1:] != h2[:-1]) | (c2[1:] != c2[:-1])
+        su = np.flatnonzero(new)
+        h3, c3 = h2[su], c2[su]
+        neww = np.empty(len(su), dtype=bool)
+        neww[0] = True
+        neww[1:] = h3[1:] != h3[:-1]
+        wstart = np.flatnonzero(neww)
+        runlen = np.diff(np.append(wstart, len(h3)))
+        pos = np.arange(len(h3)) - np.repeat(wstart, runlen)
+        rep = np.repeat(runlen, runlen) - pos
+        ai = np.repeat(np.arange(len(h3)), rep)
+        csum = np.cumsum(rep)
+        first = np.concatenate(([0], csum[:-1]))
+        bi = ai + (np.arange(csum[-1]) - np.repeat(first, rep))
+        packed = c3[ai] * ns + c3[bi]
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array(vals // ns, pa.int64()),
+                "b": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_common_words": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["a", "b"], use_threads=False).aggregate([("n", "sum")])
+        ai = pa.array(
+            g["a"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        bi = pa.array(
+            g["b"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "source_a": srcs.take(ai),
+                "source_b": srcs.take(bi),
+                "n_common_words": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    exploded = _docs(sf_dir, ["source", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_word = hash_partition_merge(exploded, "word", word_fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(per_word, "a", merge, k=1)
+
+
+def _prefix_hashes(texts) -> np.ndarray:
+    """Per-row 64-bit hash of the doc's first min(3, n_words) words —
+    the polynomial shingle fold applied at POSITION ZERO only, with the
+    natural truncation for 1- and 2-word docs (matching the oracle's
+    ``concat_ws(' ', w[1], w[2], w[3])`` NULL-skipping semantics: equal
+    prefix strings hash equal; distinct ones collide only at the
+    documented 2^-64 convention)."""
+    uh, n = ts.batch_word_hashes(texts)
+    starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+    out = np.empty(len(n), np.uint64)
+    with np.errstate(over="ignore"):
+        m1 = n == 1
+        out[m1] = uh[starts[m1]]
+        m2 = n == 2
+        s2 = starts[m2]
+        out[m2] = uh[s2] * ts._SH_A + uh[s2 + 1]
+        m3 = n >= 3
+        s3 = starts[m3]
+        out[m3] = (uh[s3] * ts._SH_A + uh[s3 + 1] * ts._SH_B) * ts._SH_A + uh[
+            s3 + 2
+        ]
+    return out
+
+
+def prefix_exposure(sf_dir: str) -> Dataset:
+    """T66: boilerplate-opening exposure by source — per source: total
+    docs, distinct opening prefixes (first 3 words), docs whose prefix is
+    SHARED with at least one other doc corpus-wide, and the shared
+    permille — the template/boilerplate detector read before trusting
+    near-dup rates (mirror sites and CMS templates share openings long
+    before they share whole shingle sets; T47 asks this of whole texts,
+    T66 of their first line).  One row per source ALWAYS (T47's
+    non-vacuous convention).  Exact int64 (prefix GROUP BY + corpus-count
+    join oracle; hash/string collision convention).
+
+    Scale shape — T47's content-hash exchange on the PREFIX axis: per
+    batch one vectorized pass reduces docs to (prefix, source, n) cells;
+    prefix-hash partition decides each prefix's corpus-wide count
+    exactly and folds IN PLACE to per-source (n_docs, n_prefixes,
+    n_shared) partials — per-doc rows never leave their partition; tiny
+    per-source merge.  Text never shuffles."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        pre = _prefix_hashes(batch["text"]).view(np.int64)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "prefix": pa.array(pre, pa.int64()),
+                "src": pa.array(code, pa.int64()),
+            }
+        )
+        g = t.group_by(["prefix", "src"], use_threads=False).aggregate(
+            [("src", "count")]
+        )
+        return g.rename_columns(["prefix", "src", "n"])
+
+    def prefix_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                    "nsh": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["prefix", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        hh = g["prefix"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(hh, kind="stable")
+        h2, c2, n2 = hh[order], cc[order], nn[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = h2[1:] != h2[:-1]
+        gid = np.cumsum(new) - 1
+        tot = np.zeros(gid[-1] + 1, np.int64)
+        np.add.at(tot, gid, n2)
+        shared = tot[gid] > 1
+        nd = np.zeros(ns, np.int64)
+        npf = np.zeros(ns, np.int64)
+        nsh = np.zeros(ns, np.int64)
+        np.add.at(nd, c2, n2)
+        np.add.at(npf, c2, 1)
+        np.add.at(nsh, c2[shared], n2[shared])
+        keep = nd > 0
+        return pa.table(
+            {
+                "src": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "nd": pa.array(nd[keep]),
+                "np_": pa.array(npf[keep]),
+                "nsh": pa.array(nsh[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array(np.zeros(ns, np.int64))
+            return pa.table(
+                {
+                    "source": srcs,
+                    "n_docs": z,
+                    "n_prefixes": z,
+                    "n_shared": z,
+                    "shared_permille": z,
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("nd", "sum"), ("np_", "sum"), ("nsh", "sum")]
+        )
+        si = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        npf = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nsh = g["nsh_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        # densify: one row per source ALWAYS (T47 convention)
+        out_nd = np.zeros(ns, np.int64)
+        out_np = np.zeros(ns, np.int64)
+        out_ns = np.zeros(ns, np.int64)
+        out_nd[si] = nd
+        out_np[si] = npf
+        out_ns[si] = nsh
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(out_nd),
+                "n_prefixes": pa.array(out_np),
+                "n_shared": pa.array(out_ns),
+                "shared_permille": pa.array(
+                    (1000 * out_ns) // np.maximum(out_nd, 1), pa.int64()
+                ),
+            }
+        )
+
+    cells_ds = _docs(sf_dir, ["source", "text"]).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(
+        cells_ds, "prefix", prefix_fold, k=_doc_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
