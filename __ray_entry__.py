@@ -463,6 +463,18 @@ def _q_events_intersession(sf_dir: str):
     return events_intersession_gaps(sf_dir)
 
 
+def _q_events_ramps(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_ramps
+
+    return events_ramps(sf_dir)
+
+
+def _q_events_session_size_hist(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_size_hist
+
+    return events_session_size_hist(sf_dir)
+
+
 def _q_events_session_join(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_join
 
@@ -875,6 +887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_overlap": td.vocab_overlap,
         "doc_prefix_exposure": td.prefix_exposure,
         "rel_returned_customers": rel.returned_revenue_customers,
+        "events_ramps": _q_events_ramps,
+        "events_session_size_hist": _q_events_session_size_hist,
+        "doc_len_token_stats": td.len_token_stats,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1703,6 +1718,66 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "events_ramps": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS count
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi
+                  FROM r GROUP BY 1),
+            g AS (SELECT source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute))
+                             AS b
+                  FROM s),
+            f AS (SELECT g.source, g.b, COALESCE(r.count, 0) AS count
+                  FROM g LEFT JOIN r
+                    ON g.source = r.source AND g.b = r.b),
+            d AS (SELECT source, b,
+                         count - lag(count) OVER (PARTITION BY source
+                                                  ORDER BY b) AS dc
+                  FROM f),
+            ri AS (SELECT source, b,
+                          epoch_us(b) // 60000000
+                            - row_number() OVER (PARTITION BY source
+                                                 ORDER BY b) AS isl
+                   FROM d WHERE dc > 0),
+            runs AS (SELECT source, CAST(count(*) AS BIGINT) AS len
+                     FROM ri GROUP BY source, isl)
+            SELECT source, CAST(max(len) AS BIGINT) AS max_ramp,
+                   CAST(count(*) AS BIGINT) AS n_ramps,
+                   CAST(sum(len) AS BIGINT) AS n_rising
+            FROM runs GROUP BY 1
+        """,
+        "events_session_size_hist": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS ne
+                  FROM s GROUP BY user_id, sid)
+            SELECT ne AS n_events, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM c GROUP BY 1
+        """,
+        "doc_len_token_stats": """
+            WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS c,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) AS w
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(c) AS BIGINT) AS sum_chars,
+                   CAST(sum(w) AS BIGINT) AS sum_tokens,
+                   CAST(sum(c*c) AS BIGINT) AS sum_chars_sq,
+                   CAST(sum(w*w) AS BIGINT) AS sum_tokens_sq,
+                   CAST(sum(c*w) AS BIGINT) AS sum_cross
+            FROM t GROUP BY 1
         """,
         "doc_vocab_overlap": """
             WITH w AS (SELECT DISTINCT source,

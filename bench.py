@@ -283,6 +283,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_vocab_overlap",
         "doc_prefix_exposure",
         "rel_returned_customers",
+        "events_ramps",
+        "events_session_size_hist",
+        "doc_len_token_stats",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -5401,3 +5401,78 @@ def events_intersession_gaps(
         .union(seed)
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def events_ramps(sf_dir: str, window_buckets: int = 4096) -> Dataset:
+    """E75: ramp detector — per source over the DENSE gap-filled 1m grid:
+    the longest run of CONSECUTIVE strictly-rising minutes, the number of
+    such maximal runs, and the total rising minutes — the sustained-growth
+    /spin-up detector next to E37's CUSUM level shifts (CUSUM finds how
+    far a burst got, E75 how long the climb lasted); zero minutes break a
+    ramp because the grid is gap-filled.  Exact int64 (gapfill + lag +
+    gaps-and-islands oracle; a run is counted in RISING PAIRS, so a ramp
+    of m ever-increasing minutes scores m−1).
+
+    Scale shape — pure composition of two existing scale-safe stages:
+    E19's grid_lag supplies each minute's predecessor count under the
+    (source, window)+1-row-halo partitioning (a source's history never
+    lands in one task), a stateless filter keeps the rising minutes, and
+    the shared `_streak_stats` summary/fold kernel (E43/E46's machinery,
+    unchanged) turns them into per-source run statistics — after its one
+    exchange only O(sources × windows) summary rows move."""
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    d = events_delta_1m(sf_dir)
+
+    def rising(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["delta_count"], 0)).select(
+            ["source", "bucket_ts"]
+        )
+
+    flags = d.map_batches(rising, batch_format="pyarrow")
+    return _streak_stats(
+        flags, srcs, _adaptive_k(sf_dir), window_buckets,
+        ("max_ramp", "n_ramps", "n_rising"),
+    )
+
+
+def events_session_size_hist(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E76: session-size histogram — for each event count s: how many
+    sessions contain exactly s events — the visit-depth distribution
+    completing the session triptych (E50 how LONG visits run, E54 how
+    OFTEN users visit, E76 how MUCH happens inside one); exact int64
+    (gaps-and-islands CTE + per-session count + GROUP BY oracle).
+
+    Scale shape: sessions come off E15's bounded machinery already
+    carrying n_events; each batch collapses to (n_events, freq) partials
+    (one np.unique — bounded by the largest session, not session count),
+    and only those ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sess = events_sessions(sf_dir, gap_s=gap_s)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ne = pc.cast(b["n_events"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        vals, freq = np.unique(ne, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(vals), np.int64)),
+                "n_events": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("n_events", use_threads=False).aggregate([("f", "sum")])
+        return g.rename_columns(["n_events", "n_sessions"])
+
+    partials = sess.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "g", merge, k=1)

@@ -5128,3 +5128,80 @@ def prefix_exposure(sf_dir: str) -> Dataset:
         cells_ds, "prefix", prefix_fold, k=_doc_k(sf_dir)
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def len_token_stats(sf_dir: str) -> Dataset:
+    """T67: length/token second-moment stats — per source: n_docs,
+    Σchars, Σtokens, Σchars², Σtokens², Σchars·tokens, all exact int64 —
+    the sufficient statistics of the per-source length↔token-count
+    correlation (Pearson r follows off-line), read next to T36's
+    fertility ratio to see whether token cost scales LINEARLY with
+    length or some docs fragment disproportionately (E31's exact-Gram
+    pattern on the doc axis).  Int64 bound: chars ≤ 10⁵ → per-doc
+    squares ≤ 10¹⁰ → ~9·10⁸ docs per source before overflow; beyond
+    that, shard the partials (documented like T45's object-dtype rank
+    sums).  Exact (len(str_split) + SUM oracle).
+
+    Scale shape: ZERO wide exchange — tokens are batch-local (one Arrow
+    split-length kernel), chars ride the n_chars column, and one
+    np.add.at pass reduces each batch to a single partial row per
+    source; only O(batches × sources) rows reach the tiny per-source
+    merge (T49's profile)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+    COLS = ("n_docs", "sum_chars", "sum_tokens", "sum_chars_sq",
+            "sum_tokens_sq", "sum_cross")
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        ch = pc.cast(b["n_chars"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        tok = (
+            pc.list_value_length(pc.split_pattern(b["text"], " "))
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        acc = np.zeros((ns, 6), np.int64)
+        np.add.at(acc[:, 0], code, 1)
+        np.add.at(acc[:, 1], code, ch)
+        np.add.at(acc[:, 2], code, tok)
+        np.add.at(acc[:, 3], code, ch * ch)
+        np.add.at(acc[:, 4], code, tok * tok)
+        np.add.at(acc[:, 5], code, ch * tok)
+        keep = acc[:, 0] > 0
+        out = {"src": pa.array(np.flatnonzero(keep).astype(np.int64))}
+        for i, c in enumerate(COLS):
+            out[c] = pa.array(acc[keep, i])
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in COLS},
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [(c, "sum") for c in COLS]
+        )
+        si = pa.array(
+            g["src"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        out = {"source": srcs.take(si)}
+        for c in COLS:
+            out[c] = pc.cast(g[f"{c}_sum"], pa.int64())
+        return pa.table(out)
+
+    partials = _docs(sf_dir, ["source", "text", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
