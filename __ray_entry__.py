@@ -469,6 +469,12 @@ def _q_events_ramps(sf_dir: str):
     return events_ramps(sf_dir)
 
 
+def _q_events_top_user_minutes(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_top_user_minutes
+
+    return events_top_user_minutes(sf_dir)
+
+
 def _q_events_session_size_hist(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_size_hist
 
@@ -890,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ramps": _q_events_ramps,
         "events_session_size_hist": _q_events_session_size_hist,
         "doc_len_token_stats": td.len_token_stats,
+        "rel_brand_suppliers": rel.brand_supplier_diversity,
+        "events_top_user_minutes": _q_events_top_user_minutes,
+        "doc_quality_quantiles": td.quality_quantiles,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1718,6 +1727,44 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "rel_brand_suppliers": """
+            SELECT p.p_brand,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "events_top_user_minutes": """
+            WITH d AS (SELECT DISTINCT event_type AS source,
+                              date_trunc('minute', ts) AS minute, user_id
+                       FROM events),
+                 c AS (SELECT source, minute,
+                              CAST(count(*) AS BIGINT) AS n_users
+                       FROM d GROUP BY 1, 2),
+                 r AS (SELECT source, minute, n_users,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n_users DESC,
+                                                          minute) AS rank
+                       FROM c)
+            SELECT source, CAST(minute AS TIMESTAMP) AS minute_ts,
+                   n_users, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "doc_quality_quantiles": f"""
+            WITH q AS (SELECT source,
+                              CAST(floor(1000.0
+                                   * len(list_filter(
+                                         str_split(lower(text), ' '),
+                                         w -> w IN ({stop_list})))
+                                   / len(str_split(text, ' ')))
+                                  AS BIGINT) AS sp
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(sp, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(sp, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(sp, 0.99) AS BIGINT) AS p99
+            FROM q GROUP BY 1
         """,
         "events_ramps": """
             WITH r AS (

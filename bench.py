@@ -286,6 +286,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_ramps",
         "events_session_size_hist",
         "doc_len_token_stats",
+        "rel_brand_suppliers",
+        "events_top_user_minutes",
+        "doc_quality_quantiles",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

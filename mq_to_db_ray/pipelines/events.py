@@ -5476,3 +5476,133 @@ def events_session_size_hist(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
 
     partials = sess.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def events_top_user_minutes(sf_dir: str, kk: int = 3) -> Dataset:
+    """E77: top-k minutes by distinct users — per source, the kk minutes
+    with the most DISTINCT active users (n_users DESC, minute ASC, 1-based
+    rank — unique answer) — the crowd-peak drill-down: E47 ranks minutes
+    by event volume, E77 by AUDIENCE, and the two disagree exactly when
+    bots inflate volume (E38's concentration flag as a leaderboard).
+    Exact int64 (distinct user-minute + row_number oracle).
+
+    Scale shape — a distinct-cardinality feeding a grouped top-k, the
+    E23→E18 composition: per batch one Arrow group_by reduces events to
+    distinct (source, minute, user) triples; ONE minute-hash exchange
+    dedupes each cell exactly (a cell lives wholly in its partition) and
+    keeps the partition's LOCAL top-k per source (a cell's count is
+    final, so local top-k is a valid combiner); the k=1 merge re-ranks
+    O(partitions × sources × kk) candidate rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "cell": pa.array((ts_us // MIN_US) * ns + code, pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        return t.group_by(["cell", "user_id"], use_threads=False).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "minute": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cc = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((uu, cc))
+        c2, u2 = cc[order], uu[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (c2[1:] != c2[:-1]) | (u2[1:] != u2[:-1])
+        su = np.flatnonzero(new)
+        c3 = c2[su]
+        newc = np.empty(len(su), dtype=bool)
+        newc[0] = True
+        newc[1:] = c3[1:] != c3[:-1]
+        cs = np.flatnonzero(newc)
+        cells = c3[cs]
+        nu = np.diff(np.append(cs, len(c3)))
+        src = cells % ns
+        minute = cells // ns
+        # local top-k per source: (src, -n_users, minute) lexsort
+        order2 = np.lexsort((minute, -nu, src))
+        s2 = src[order2]
+        news = np.empty(len(order2), dtype=bool)
+        if len(order2) == 0:
+            return empty
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        sstart = np.flatnonzero(news)
+        gid = np.cumsum(news) - 1
+        within = np.arange(len(order2)) - sstart[gid]
+        keep = within < kk
+        sel = order2[keep]
+        return pa.table(
+            {
+                "src": pa.array(src[sel], pa.int64()),
+                "minute": pa.array(minute[sel], pa.int64()),
+                "n_users": pa.array(nu[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "minute_ts": pa.array([], pa.timestamp("us")),
+                    "n_users": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        minute = t["minute"].combine_chunks().to_numpy(zero_copy_only=False)
+        nu = t["n_users"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((minute, -nu, src))
+        s2 = src[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        sstart = np.flatnonzero(news)
+        gid = np.cumsum(news) - 1
+        within = np.arange(len(order)) - sstart[gid]
+        keep = within < kk
+        sel = order[keep]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(src[sel], pa.int64())),
+                "minute_ts": pa.array(minute[sel] * MIN_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_users": pa.array(nu[sel], pa.int64()),
+                "rank": pa.array(within[keep] + 1, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    cand = hash_partition_merge(partials, "cell", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cand, "src", merge, k=1)

@@ -1284,3 +1284,176 @@ def returned_revenue_customers(sf_dir: str, top_k: int = 20) -> Dataset:
         k=_rel_k(sf_dir, "orders"),
     )
     return hash_partition_merge(cand, "c_custkey", merge, k=1)
+
+
+def brand_supplier_diversity(sf_dir: str) -> Dataset:
+    """R10: brand supplier diversity (the TPC-H Q16 question on the
+    available tables) — per p_brand: the EXACT number of distinct
+    suppliers that shipped its parts, plus total line count — the
+    supply-chain-concentration board (one brand / one supplier = risk).
+    Exact int64 (join + count(DISTINCT) oracle).
+
+    Scale shape — a join feeding a distinct-cardinality, both sides
+    corpus-sized, in two exchanges each NARROWER than its input:
+      1. PARTKEY hop (R2 role-union): line batches pre-reduce to
+         distinct (partkey, suppkey) pairs + per-part line counts; the
+         fold attaches each part's brand rank and emits (brand, supp)
+         membership rows + per-brand line-count partials;
+      2. SUPPKEY hop: all copies of a supplier co-locate, so each
+         (brand, supp) pair dedupes EXACTLY in its partition (E38's
+         aggregate-of-aggregates rule) and re-reduces to per-brand
+         (n_suppliers, n_lines) partials; k=1 merge.
+    Only the brand VALUE list broadcasts (exact rank, never a hash)."""
+    brands: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"]).unique(
+            "p_brand"
+        )
+    )
+    b_arr = pa.array(brands, pa.string())
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["p_brand"], value_set=b_arr), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "br": code,
+                "supp": pa.array(np.full(n, -1, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "supp": pc.cast(b["l_suppkey"], pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "supp"], use_threads=False).aggregate(
+            [("supp", "count")]
+        )
+        g = g.rename_columns(["k", "supp", "nl"])
+        return g.append_column(
+            "br", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "br", "supp", "nl"])
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "br": pa.array([], pa.int64()),
+                "supp": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = br >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dbr = d["br"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fs = f["supp"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        bb, ss, nn = dbr[pos][hit], fs[hit], fn[hit]
+        # distinct (brand, supp) membership within this partition
+        packed = bb * (1 << 40) + ss
+        vals, first = np.unique(packed, return_index=True)
+        memb = pa.table(
+            {
+                "br": pa.array(bb[first], pa.int64()),
+                "supp": pa.array(ss[first], pa.int64()),
+                "nl": pa.array(np.zeros(len(first), np.int64)),
+            }
+        )
+        nlb = np.zeros(len(b_arr), np.int64)
+        np.add.at(nlb, bb, nn)
+        keep = nlb > 0
+        cnts = pa.table(
+            {
+                "br": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "supp": pa.array(np.full(int(keep.sum()), -1, np.int64)),
+                "nl": pa.array(nlb[keep]),
+            }
+        )
+        return pa.concat_tables([memb, cnts])
+
+    def fold_supp(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "br": pa.array([], pa.int64()),
+                "nsup": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ss = t["supp"].combine_chunks().to_numpy(zero_copy_only=False)
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cnt = ss < 0
+        nl = np.zeros(len(b_arr), np.int64)
+        np.add.at(nl, br[is_cnt], nn[is_cnt])
+        bb, s2 = br[~is_cnt], ss[~is_cnt]
+        packed = bb * (1 << 40) + s2
+        ub = np.unique(packed) // (1 << 40)
+        nsup = np.bincount(ub, minlength=len(b_arr)).astype(np.int64)
+        keep = (nsup > 0) | (nl > 0)
+        return pa.table(
+            {
+                "br": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "nsup": pa.array(nsup[keep]),
+                "nl": pa.array(nl[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("br", use_threads=False).aggregate(
+            [("nsup", "sum"), ("nl", "sum")]
+        )
+        bi = pa.array(
+            g["br"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "p_brand": b_arr.take(bi),
+                "n_suppliers": pc.cast(g["nsup_sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+            }
+        )
+
+    both = lines.map_batches(fact_partial, batch_format="pyarrow").union(
+        part.map_batches(dim_partial, batch_format="pyarrow")
+    )
+    memb = hash_partition_merge(both, "k", fold_part, k=_rel_k(sf_dir, "lineitem"))
+    per_brand = hash_partition_merge(
+        memb, "supp", fold_supp, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(per_brand, "br", merge, k=1)

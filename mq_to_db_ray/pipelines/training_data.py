@@ -5205,3 +5205,105 @@ def len_token_stats(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def quality_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """T68: stopword-permille quantiles by source — per source: n_docs +
+    discrete p50/p90/p99 of the T10 stopword permille
+    floor(1000·n_stop/n_words) — the quality-score DISTRIBUTION behind
+    T10's per-doc features and T29's fixed-floor filter (a source whose
+    p50 sits below the filter floor is about to lose half its mass; the
+    board that says so before the filter runs).  Exact int64 under the
+    quantile_disc rank rule (list_filter stopword CTE + quantile_disc
+    oracle; bit-exact because both sides floor the same 1000.0·x/y
+    double division).
+
+    Scale shape — T21's mergeable-histogram pattern with a domain bound
+    of 1001 values: the permille is batch-local (T10's vectorized
+    kernel), so each batch reduces to (source, permille, freq) partials
+    (≤ sources × 1001 rows however large the corpus) and every quantile
+    reads off one cumulative sum in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(list(ts.STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            parent, weights=is_stop, minlength=batch.num_rows
+        ).astype(np.int64)
+        sp = np.floor(1000.0 * n_stop / np.maximum(n_words, 1)).astype(np.int64)
+        sp[n_words == 0] = 0
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        packed = code * 1001 + sp
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(vals // 1001, pa.int64()),
+                "sp": pa.array(vals % 1001, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["src", "sp"], use_threads=False).aggregate([("f", "sum")])
+        ss = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, ss))
+        s2, v2, f2 = ss[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        sstart = np.flatnonzero(news)
+        send = np.append(sstart[1:], len(order))
+        out = {
+            "source": [], "n_docs": [],
+            **{c: [] for c in names},
+        }
+        for a, b in zip(sstart, send):
+            vals, freq = v2[a:b], f2[a:b]
+            n = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["source"].append(int(s2[a]))
+            out["n_docs"].append(n)
+            for q, c in zip(qs, names):
+                thr = (n * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
