@@ -475,6 +475,18 @@ def _q_events_top_user_minutes(sf_dir: str):
     return events_top_user_minutes(sf_dir)
 
 
+def _q_events_user_type_div(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_type_diversity
+
+    return events_user_type_diversity(sf_dir)
+
+
+def _q_events_dispersion(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dispersion
+
+    return events_dispersion(sf_dir)
+
+
 def _q_events_session_size_hist(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_size_hist
 
@@ -899,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_brand_suppliers": rel.brand_supplier_diversity,
         "events_top_user_minutes": _q_events_top_user_minutes,
         "doc_quality_quantiles": td.quality_quantiles,
+        "events_user_type_diversity": _q_events_user_type_div,
+        "events_dispersion": _q_events_dispersion,
+        "doc_first_publisher": td.first_publisher,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1727,6 +1742,43 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "events_user_type_diversity": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+                 c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS s
+                       FROM d GROUP BY 1)
+            SELECT s AS n_types, CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY 1
+        """,
+        "events_dispersion": """
+            WITH r AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(date_diff('minute', min(b), max(b)) + 1 AS BIGINT)
+                       AS n_minutes,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(sum(c*c) AS BIGINT) AS sum_sq
+            FROM r GROUP BY 1
+        """,
+        "doc_first_publisher": """
+            WITH g AS (SELECT text, count(*) AS n, min(doc_id) AS first_doc
+                       FROM documents GROUP BY 1),
+                 led AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_led
+                         FROM g JOIN documents d ON g.first_doc = d.doc_id
+                         WHERE g.n > 1 GROUP BY 1),
+                 echo AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_echo
+                          FROM documents d JOIN g ON d.text = g.text
+                          WHERE g.n > 1 AND d.doc_id <> g.first_doc
+                          GROUP BY 1),
+                 s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY 1)
+            SELECT s.source, s.n_docs,
+                   CAST(COALESCE(led.n_led, 0) AS BIGINT) AS n_led_groups,
+                   CAST(COALESCE(echo.n_echo, 0) AS BIGINT) AS n_echo_docs
+            FROM s LEFT JOIN led ON s.source = led.source
+                   LEFT JOIN echo ON s.source = echo.source
         """,
         "rel_brand_suppliers": """
             SELECT p.p_brand,

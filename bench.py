@@ -289,6 +289,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "rel_brand_suppliers",
         "events_top_user_minutes",
         "doc_quality_quantiles",
+        "events_user_type_diversity",
+        "events_dispersion",
+        "doc_first_publisher",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

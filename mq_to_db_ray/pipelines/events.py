@@ -5606,3 +5606,165 @@ def events_top_user_minutes(sf_dir: str, kk: int = 3) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     cand = hash_partition_merge(partials, "cell", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cand, "src", merge, k=1)
+
+
+def events_user_type_diversity(sf_dir: str) -> Dataset:
+    """E78: user type-diversity histogram — for each s: users active in
+    exactly s distinct event types — the breadth-of-usage distribution
+    next to E36's events-per-user depth histogram (depth says how MUCH,
+    diversity how WIDELY; single-type users are the integration-risk
+    mass E57's overlap matrix aggregates away).  Exact int64 (distinct
+    user-type + two-level GROUP BY oracle).
+
+    Scale shape — E36's aggregate-of-aggregates on the type axis: per
+    batch one Arrow group_by reduces events to distinct (user, type)
+    pairs; user-hash partition decides each user's exact distinct-type
+    count locally (pairs dedupe in place) and immediately re-reduces to
+    (n_types, n_users) partials; k=1 merge sums O(n_types) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        t = pa.table({"c": code, "user_id": pc.cast(b["user_id"], pa.int64())})
+        return t.group_by(["user_id", "c"], use_threads=False).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_types": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, uu))
+        u2, c2 = uu[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        su = np.flatnonzero(new)
+        u3 = u2[su]
+        newu = np.empty(len(su), dtype=bool)
+        newu[0] = True
+        newu[1:] = u3[1:] != u3[:-1]
+        us = np.flatnonzero(newu)
+        s = np.diff(np.append(us, len(u3)))
+        vals, cnt = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "n_types": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_types": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("n_types", use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["n_types", "n_users"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "n_types", merge, k=1)
+
+
+def events_dispersion(sf_dir: str) -> Dataset:
+    """E79: burstiness dispersion stats — per source over the dense 1m
+    grid: n_minutes (inclusive span), n_events (=Σ per-minute counts),
+    and Σcount² — the exact-int64 sufficient statistics of the Fano
+    factor / index of dispersion (var/mean; ≫1 = bursty, ≈1 = Poisson),
+    the one-number burstiness next to E42's robust median/MAD and E39's
+    inter-arrival histogram.  Zero minutes contribute nothing to either
+    Σ, so the dense grid NEVER materializes (E41's zero-vanishing
+    trick): rolled points plus the span bound recover it arithmetically.
+    Exact (minute-rollup + SUM + date_diff span oracle).
+
+    Scale shape: the 1m rollup's (source, bucket, count) rows — one row
+    per cell by construction, so Σcount² is a plain per-batch partial —
+    reduce to (n_present, Σc, Σc², min_idx, max_idx) per source per
+    batch; one tiny k=1 source merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    rolled = events_rollup(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        idx = (
+            b["bucket_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            - EVENTS_T0_US
+        ) // MIN_US
+        c = pc.cast(b["count"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sums = np.zeros(ns, np.int64)
+        sq = np.zeros(ns, np.int64)
+        npn = np.zeros(ns, np.int64)
+        lo = np.full(ns, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(ns, np.iinfo(np.int64).min, np.int64)
+        np.add.at(sums, code, c)
+        np.add.at(sq, code, c * c)
+        np.add.at(npn, code, 1)
+        np.minimum.at(lo, code, idx)
+        np.maximum.at(hi, code, idx)
+        keep = npn > 0
+        return pa.table(
+            {
+                "src": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "s": pa.array(sums[keep]),
+                "sq": pa.array(sq[keep]),
+                "lo": pa.array(lo[keep]),
+                "hi": pa.array(hi[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_minutes": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_sq": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("s", "sum"), ("sq", "sum"), ("lo", "min"), ("hi", "max")]
+        )
+        si = pa.array(
+            g["src"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        lo = g["lo_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = g["hi_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs.take(si),
+                "n_minutes": pa.array(hi - lo + 1, pa.int64()),
+                "n_events": pc.cast(g["s_sum"], pa.int64()),
+                "sum_sq": pc.cast(g["sq_sum"], pa.int64()),
+            }
+        )
+
+    partials = rolled.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "src", merge, k=1)

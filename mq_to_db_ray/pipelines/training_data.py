@@ -5307,3 +5307,134 @@ def quality_quantiles(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def first_publisher(sf_dir: str) -> Dataset:
+    """T69: first-publisher attribution — per source: total docs, exact
+    dup groups (byte-identical text, ≥2 copies corpus-wide) this
+    source's doc LEADS (holds the minimum doc_id — T61's
+    first-introduction rule applied to whole texts), and this source's
+    ECHO docs (non-minimum members of any dup group) — the syndication
+    DIRECTION board: T60's matrix says who shares with whom, T69 who
+    published first and who repeats.  One row per source ALWAYS (exact
+    zeros on a dup-free corpus — the T47 non-vacuous convention; real
+    dup groups live at sf0.1 where this is driver-verified).  Exact
+    int64 (min(doc_id)-per-text join oracle; engine groups by the
+    64-bit content hash, oracle by text — T1/T4 collision convention;
+    source identity is the exact broadcast rank).
+
+    Scale shape — T47's content-hash exchange with a min-doc column
+    riding: per batch one polars hash + one Arrow group_by reduce docs
+    to (hash, src, n, min_doc) cells; the content-hash partition holds
+    each group whole, so its corpus count, global minimum doc and that
+    doc's source are decided locally and fold IN PLACE to per-source
+    (n_docs, n_led, n_echo) partials; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hs = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {
+                "text_hash": pa.array(hs, pa.int64()),
+                "src": code,
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["text_hash", "src"], use_threads=False).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        return g.rename_columns(["text_hash", "src", "n", "min_doc"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "led": pa.array([], pa.int64()),
+                    "echo": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["text_hash", "src"], use_threads=False).aggregate(
+            [("n", "sum"), ("min_doc", "min")]
+        )
+        h = g["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        md = g["min_doc_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((md, h))
+        h2, s2, n2, m2 = h[order], s[order], n[order], md[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        gs = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        gtot = np.add.reduceat(n2, gs)
+        is_dup = gtot[gid] > 1
+        # group leader = the cell holding the group's global min doc
+        # (first cell of each run under the (hash, min_doc) lexsort)
+        nd = np.zeros(ns, np.int64)
+        led = np.zeros(ns, np.int64)
+        echo = np.zeros(ns, np.int64)
+        np.add.at(nd, s2, n2)
+        lead_cell = newg & is_dup
+        np.add.at(led, s2[lead_cell], 1)
+        # echo docs: every dup-group member except the single leader doc
+        e = np.where(is_dup, n2, 0)
+        e[lead_cell] -= 1
+        np.add.at(echo, s2, e)
+        keep = nd > 0
+        return pa.table(
+            {
+                "src": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "nd": pa.array(nd[keep]),
+                "led": pa.array(led[keep]),
+                "echo": pa.array(echo[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out_nd = np.zeros(ns, np.int64)
+        out_led = np.zeros(ns, np.int64)
+        out_echo = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("src", use_threads=False).aggregate(
+                [("nd", "sum"), ("led", "sum"), ("echo", "sum")]
+            )
+            si = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            out_nd[si] = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            out_led[si] = g["led_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            out_echo[si] = g["echo_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(out_nd),
+                "n_led_groups": pa.array(out_led),
+                "n_echo_docs": pa.array(out_echo),
+            }
+        )
+
+    cells = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(cells, "text_hash", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(partials, "src", merge, k=1)
