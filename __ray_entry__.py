@@ -475,6 +475,18 @@ def _q_events_top_user_minutes(sf_dir: str):
     return events_top_user_minutes(sf_dir)
 
 
+def _q_events_primary_type(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_primary_type
+
+    return events_primary_type(sf_dir)
+
+
+def _q_events_interarrival_q(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_interarrival_quantiles
+
+    return events_interarrival_quantiles(sf_dir)
+
+
 def _q_events_user_type_div(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_user_type_diversity
 
@@ -914,6 +926,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_diversity": _q_events_user_type_div,
         "events_dispersion": _q_events_dispersion,
         "doc_first_publisher": td.first_publisher,
+        "events_primary_type": _q_events_primary_type,
+        "events_interarrival_quantiles": _q_events_interarrival_q,
+        "doc_ttr_quantiles": td.ttr_quantiles,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1742,6 +1757,47 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "events_primary_type": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY n DESC,
+                                                          event_type) AS rn
+                       FROM c)
+            SELECT event_type AS primary_type,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM r WHERE rn = 1 GROUP BY 1
+        """,
+        "events_interarrival_quantiles": """
+            WITH o AS (SELECT event_type AS source, ts,
+                              lag(ts) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS pts
+                       FROM events),
+                 g AS (SELECT source,
+                              (epoch_us(ts) - epoch_us(pts)) // 1000000
+                                  AS gap_s
+                       FROM o WHERE pts IS NOT NULL)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s,
+                   CAST(quantile_disc(gap_s, 0.99) AS BIGINT) AS p99_s
+            FROM g GROUP BY 1
+        """,
+        "doc_ttr_quantiles": """
+            WITH t AS (SELECT source, str_split(text, ' ') w
+                       FROM documents),
+                 d AS (SELECT source,
+                              CAST((1000 * len(list_distinct(w))) // len(w)
+                                   AS BIGINT) AS ttr
+                       FROM t)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(ttr, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(ttr, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(ttr, 0.99) AS BIGINT) AS p99
+            FROM d GROUP BY 1
         """,
         "events_user_type_diversity": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -292,6 +292,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_user_type_diversity",
         "events_dispersion",
         "doc_first_publisher",
+        "events_primary_type",
+        "events_interarrival_quantiles",
+        "doc_ttr_quantiles",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

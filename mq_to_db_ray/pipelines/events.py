@@ -5768,3 +5768,224 @@ def events_dispersion(sf_dir: str) -> Dataset:
 
     partials = rolled.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_primary_type(sf_dir: str) -> Dataset:
+    """E80: primary-mode board — per event type: users for whom it is the
+    MOST FREQUENT type (ties break by type string ascending via the exact
+    broadcast rank, so every user has exactly one primary) — the
+    "what is each user mainly here for" partition of the user base,
+    the grouped-ARGMAX dual of E78's breadth histogram; exact int64
+    (per-(user, type) counts + row_number rn=1 oracle).
+
+    Scale shape — E36's aggregate-of-aggregates with an argmax fold: per
+    batch one Arrow group_by to (user, type, n) partials; user-hash
+    partition collapses partials per (user, type) exactly, one lexsort
+    (user, −n, type) reads each user's argmax as its run head, and a
+    bincount re-reduces straight to (type, n_users) partials; k=1 merge
+    of O(types) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        t = pa.table({"c": code, "user_id": pc.cast(b["user_id"], pa.int64())})
+        g = t.group_by(["user_id", "c"], use_threads=False).aggregate(
+            [("c", "count")]
+        )
+        return g.rename_columns(["user_id", "c", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["user_id", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        uu = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, -nn, uu))
+        u2, c2 = uu[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = u2[1:] != u2[:-1]
+        top = c2[new]
+        cnt = np.bincount(top, minlength=ns).astype(np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "c": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "primary_type": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("c", use_threads=False).aggregate([("n", "sum")])
+        ci = pa.array(
+            g["c"].combine_chunks().to_numpy(zero_copy_only=False), pa.int64()
+        )
+        return pa.table(
+            {
+                "primary_type": srcs.take(ci),
+                "n_users": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "user_id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "c", merge, k=1)
+
+
+def events_interarrival_quantiles(
+    sf_dir: str,
+    window_us: int = TEMPORAL_WINDOW_US,
+    qs: tuple[int, ...] = (500, 900, 990),
+) -> Dataset:
+    """E81: inter-arrival quantiles — per source: n_gaps + discrete
+    p50/p90/p99 of the floor-second gap between consecutive events in
+    (ts, event_id) order — the EXACT centre of the distribution E39 bins
+    logarithmically and E32 takes the max of (the liveness SLO number:
+    "half of all gaps are under N seconds"); exact int64 under the
+    quantile_disc rank rule (lag + quantile_disc oracle).
+
+    Scale shape — E39's order-dependent machinery verbatim ((source,
+    ts-window) sub-partitioning + the shared `_last_event_carries`
+    predecessor round) with a histogram tail instead of log2 bins:
+    flooring gaps to SECONDS bounds the value domain, so each partition
+    reduces to (src, gap_s, n) partials and all quantiles read off one
+    cumulative sum per source in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(carries.map_batches(_tag_carry, batch_format="pyarrow"))
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts_, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts_[:-1]
+        sel = has_prev & ~crs
+        if not sel.any():
+            return empty
+        gaps = (ts_[sel] - pt[sel]) // 1_000_000
+        order2 = np.lexsort((gaps, ks[sel]))
+        k2, g2 = ks[sel][order2], gaps[order2]
+        new = np.empty(len(order2), dtype=bool)
+        new[0] = True
+        new[1:] = (k2[1:] != k2[:-1]) | (g2[1:] != g2[:-1])
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "src": pa.array(k2[st], pa.int64()),
+                "gap_s": pa.array(g2[st], pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(st, len(order2))).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+    names = tuple(f"p{q // 10}_s" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["src", "gap_s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ss = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["gap_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, ss))
+        s2, v2, f2 = ss[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        sstart = np.flatnonzero(news)
+        send = np.append(sstart[1:], len(order))
+        out = {"source": [], "n_gaps": [], **{c: [] for c in names}}
+        for a, b in zip(sstart, send):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["source"].append(int(s2[a]))
+            out["n_gaps"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    return hash_partition_merge(partials, "src", merge, k=1)

@@ -5438,3 +5438,96 @@ def first_publisher(sf_dir: str) -> Dataset:
     )
     partials = hash_partition_merge(cells, "text_hash", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def ttr_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900, 990)
+) -> Dataset:
+    """T70: type-token-ratio quantiles by source — per source: n_docs +
+    discrete p50/p90/p99 of each doc's 1000·distinct_words // n_words —
+    the per-doc lexical-richness DISTRIBUTION (T40 sums the corpus-level
+    ratio, T42 the repetition concentration; T70 shows the shape a
+    single mean hides — a source mixing boilerplate and prose is bimodal
+    here).  Exact int64 under the quantile_disc rank rule
+    (list_distinct + quantile_disc oracle; engine counts distinct word
+    HASHES, oracle distinct strings — the T4/T40 collision convention).
+
+    Scale shape — T21's mergeable-histogram pattern with the ≤1001-value
+    permille domain: a doc is one row, so its distinct-word count is
+    batch-local (one vectorized word-hash pass + one lexsort per batch);
+    batches reduce to (source, ttr, freq) partials and every quantile
+    reads off one cumulative sum in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uh, n = ts.batch_word_hashes(batch["text"])
+        parent = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        order = np.lexsort((uh, parent))
+        p2, h2 = parent[order], uh[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1])
+        distinct = np.bincount(p2[new], minlength=len(n)).astype(np.int64)
+        ttr = (1000 * distinct) // np.maximum(n, 1)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        packed = code * 1001 + ttr
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(vals // 1001, pa.int64()),
+                "ttr": pa.array(vals % 1001, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["src", "ttr"], use_threads=False).aggregate([("f", "sum")])
+        ss = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["ttr"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, ss))
+        s2, v2, f2 = ss[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        sstart = np.flatnonzero(news)
+        send = np.append(sstart[1:], len(order))
+        out = {"source": [], "n_docs": [], **{c: [] for c in names}}
+        for a, b in zip(sstart, send):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["source"].append(int(s2[a]))
+            out["n_docs"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
