@@ -929,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_primary_type": _q_events_primary_type,
         "events_interarrival_quantiles": _q_events_interarrival_q,
         "doc_ttr_quantiles": td.ttr_quantiles,
+        "rel_local_volume": rel.local_supplier_volume,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1757,6 +1758,20 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END))
                         // count(*) AS BIGINT) AS novelty_permille
             FROM e JOIN f USING (s) GROUP BY 1
+        """,
+        "rel_local_volume": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount)) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY 1
         """,
         "events_primary_type": """
             WITH c AS (SELECT user_id, event_type,

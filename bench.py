@@ -295,6 +295,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_primary_type",
         "events_interarrival_quantiles",
         "doc_ttr_quantiles",
+        "rel_local_volume",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

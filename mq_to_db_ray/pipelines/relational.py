@@ -1457,3 +1457,266 @@ def brand_supplier_diversity(sf_dir: str) -> Dataset:
         memb, "supp", fold_supp, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(per_brand, "br", merge, k=1)
+
+
+def local_supplier_volume(sf_dir: str) -> Dataset:
+    """R11: local-supplier volume (the TPC-H Q5 shape) — per nation:
+    line count + floored revenue Σfloor(extprice·(1−disc)) of lines
+    where the ORDERING CUSTOMER and the SUPPLYING SUPPLIER share that
+    nation — the join-with-a-cross-side-predicate that distinguishes Q5
+    from every plain star join: the filter compares attributes arriving
+    through two DIFFERENT join paths, so no single hop can apply it.
+    Exact int64 (4-way join + nation-equality WHERE oracle).
+
+    Scale shape — three chained co-partitioned hops, every stream
+    pre-reduced before its exchange; the nation attributes ride as
+    int64 columns until they MEET at the orderkey hop:
+      1. CUSTKEY hop: customer (custkey → nationkey) × orders →
+         (orderkey, cust_nation) rows;
+      2. SUPPKEY hop: supplier (suppkey → nationkey) × lineitem
+         pre-reduced per (suppkey, orderkey) → (orderkey, supp_nation,
+         n_lines, rev) partials;
+      3. ORDERKEY hop: both sides meet, the equality filter applies
+         IN PLACE, and rows collapse to per-nation partials; k=1 merge.
+    Customers, suppliers, orders and lines all grow with the corpus;
+    only nation (25 rows, fixed) composes at the driver for the final
+    name attach."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nk_pos = {int(k): i for i, k in enumerate(nat["n_nationkey"])}
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 1 (CUSTKEY): orderkey -> customer nation ----
+    def cust_dim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "nat": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "okey": pc.cast(b["o_orderkey"], pa.int64()),
+                "nat": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"okey": pa.array([], pa.int64()), "nat": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dn = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        return pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "nat": pa.array(dn[pos][hit], pa.int64()),
+            }
+        )
+
+    cust_side = hash_partition_merge(
+        ords.map_batches(order_row, batch_format="pyarrow").union(
+            cust.map_batches(cust_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 2 (SUPPKEY): (orderkey, supplier nation, nl, rev) ----
+    def supp_dim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "nat": pc.cast(b["s_nationkey"], pa.int64()),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "okey": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "okey"], use_threads=False).aggregate(
+            [("rev", "count"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "okey", "nl", "rev"])
+        return g.append_column(
+            "nat", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "okey", "nat", "nl", "rev"])
+
+    def fold_supp(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "okey": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dn = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        out = pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "nat": pa.array(dn[pos][hit], pa.int64()),
+                "nl": pc.cast(f["nl"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(f["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = out.group_by(["okey", "nat"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["okey", "nat", "nl", "rev"])
+
+    supp_side = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            sup.map_batches(supp_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_supp,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 3 (ORDERKEY): nations meet, equality filter in place ----
+    def cust_tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["okey"],
+                "nat": b["nat"],
+                "nl": pa.array(np.full(n, -1, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "revenue_floor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nl = t["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = nl < 0
+        c = t.filter(pa.array(is_cust))
+        f = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or f.num_rows == 0:
+            return empty
+        ck = c["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        cn = c["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck_s, fk), 0, len(ck_s) - 1)
+        hit = (ck_s[pos] == fk) & (cn[pos] == fn)
+        cells = pa.table(
+            {
+                "nat": pa.array(fn[hit], pa.int64()),
+                "n_lines": pc.cast(f["nl"], pa.int64()).filter(pa.array(hit)),
+                "revenue_floor": pc.cast(f["rev"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
+        )
+        g = cells.group_by("nat", use_threads=False).aggregate(
+            [("n_lines", "sum"), ("revenue_floor", "sum")]
+        )
+        return g.rename_columns(["nat", "n_lines", "revenue_floor"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("nat", use_threads=False).aggregate(
+            [("n_lines", "sum"), ("revenue_floor", "sum")]
+        )
+        nk = g["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = pa.array([nk_pos[int(k)] for k in nk], pa.int64())
+        return pa.table(
+            {
+                "n_name": names.take(pos),
+                "n_lines": pc.cast(g["n_lines_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["revenue_floor_sum"], pa.int64()),
+            }
+        )
+
+    both = supp_side.union(
+        cust_side.map_batches(cust_tag, batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(both, "okey", fold_order, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "nat", merge, k=1)
