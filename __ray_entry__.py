@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_props_stats(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_props_stats
+
+    return events_props_stats(sf_dir)
+
+
 def _q_events_user_type_div(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_user_type_diversity
 
@@ -930,6 +936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_quantiles": _q_events_interarrival_q,
         "doc_ttr_quantiles": td.ttr_quantiles,
         "rel_local_volume": rel.local_supplier_volume,
+        "events_props_stats": _q_events_props_stats,
+        "doc_word_len_hist": td.word_len_hist,
+        "rel_promo_share": rel.promo_revenue_share,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1772,6 +1781,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_props_stats": """
+            WITH p AS (SELECT event_type AS source,
+                              TRY_CAST(regexp_extract(props,
+                                                      '"k"\\s*:\\s*(-?\\d+)',
+                                                      1) AS BIGINT) AS k
+                       FROM events)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bad,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+                   CAST(coalesce(min(k), 0) AS BIGINT) AS min_k,
+                   CAST(coalesce(max(k), 0) AS BIGINT) AS max_k,
+                   CAST(coalesce(quantile_disc(k, 0.5), 0) AS BIGINT)
+                       AS p50_k
+            FROM p GROUP BY 1
+        """,
+        "doc_word_len_hist": """
+            WITH w AS (SELECT source, unnest(str_split(text, ' ')) AS w
+                       FROM documents)
+            SELECT source, CAST(len(w) AS BIGINT) AS wlen,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM w GROUP BY 1, 2
+        """,
+        "rel_promo_share": """
+            WITH j AS (SELECT CAST(date_trunc('month', l_shipdate)
+                                   AS TIMESTAMP) AS month,
+                              CAST(floor(l_extendedprice
+                                         * (1 - l_discount)) AS BIGINT)
+                                  AS rev,
+                              CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                                  AS pr
+                       FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT month,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(pr * rev) AS BIGINT) AS promo_rev,
+                   CAST(sum(rev) AS BIGINT) AS total_rev,
+                   CAST((1000 * sum(pr * rev))
+                        // greatest(sum(rev), 1) AS BIGINT)
+                       AS promo_permille
+            FROM j GROUP BY 1
         """,
         "events_primary_type": """
             WITH c AS (SELECT user_id, event_type,

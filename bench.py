@@ -296,6 +296,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_interarrival_quantiles",
         "doc_ttr_quantiles",
         "rel_local_volume",
+        "events_props_stats",
+        "doc_word_len_hist",
+        "rel_promo_share",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

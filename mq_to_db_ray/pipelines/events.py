@@ -5989,3 +5989,139 @@ def events_interarrival_quantiles(
         )
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_props_stats(sf_dir: str) -> Dataset:
+    """E82: props JSON lane — per source: total events, unparsable-props
+    count, and sum / min / max / discrete p50 of the integer ``k`` field
+    inside the ``props`` JSON payload — the first operator to consume the
+    message BODY's structured payload rather than the envelope columns,
+    the Ray analog of the reference's per-message JSON parse + validate
+    lane (consumer payload unmarshalling, reference internal/consumer
+    semantics) fused with an aggregate: parse failures are COUNTED into a
+    reject column instead of killing the batch, exactly the reference's
+    Reject-without-requeue disposition.  Exact int64 (TRY_CAST +
+    regexp_extract + quantile_disc oracle).
+
+    Scale shape — one RE2 ``extract_regex`` kernel per batch (compiled
+    once per worker by Arrow, no Python-level row loop), then the
+    bounded-domain histogram trick (E81): valid rows reduce to
+    (source, k-value, freq) partials — the value domain of a payload
+    field is its OWN cardinality, not the row count — so sum/min/max and
+    any discrete quantile all read off one cumulative sum per source in
+    the k=1 merge; bad rows ride as one counter row per (batch, source)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "props"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ex = pc.extract_regex(
+            b["props"].combine_chunks(), r'"k"\s*:\s*(?P<v>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        bad = pc.is_null(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        rows = {"c": [], "k": [], "bad": [], "n": []}
+        ok = ~bad
+        if ok.any():
+            # bias keeps negative payload values inside the 32-bit lane
+            packed = (
+                code[ok] * (1 << 32) + kv[ok].astype(np.int64) + (1 << 31)
+            )
+            vals, freq = np.unique(packed, return_counts=True)
+            rows["c"].append(vals >> 32)
+            rows["k"].append((vals & 0xFFFFFFFF) - (1 << 31))
+            rows["bad"].append(np.zeros(len(vals), np.int64))
+            rows["n"].append(freq.astype(np.int64))
+        if bad.any():
+            bc = np.bincount(code[bad], minlength=len(srcs))
+            nz = np.flatnonzero(bc)
+            rows["c"].append(nz.astype(np.int64))
+            rows["k"].append(np.zeros(len(nz), np.int64))
+            rows["bad"].append(bc[nz].astype(np.int64))
+            rows["n"].append(np.zeros(len(nz), np.int64))
+        return pa.table(
+            {
+                col: pa.array(
+                    np.concatenate(rows[col])
+                    if rows[col]
+                    else np.array([], np.int64)
+                )
+                for col in ("c", "k", "bad", "n")
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "n_bad": pa.array([], pa.int64()),
+                "sum_k": pa.array([], pa.int64()),
+                "min_k": pa.array([], pa.int64()),
+                "max_k": pa.array([], pa.int64()),
+                "p50_k": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["c", "k"], use_threads=False).aggregate(
+            [("n", "sum"), ("bad", "sum")]
+        )
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        kk = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = g["bad_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((kk, cc))
+        c2, k2, n2, b2 = cc[order], kk[order], nn[order], bb[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = c2[1:] != c2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {c: [] for c in ("src", "n", "bad", "s", "lo", "hi", "p50")}
+        for a, b in zip(starts, ends):
+            vals, freq = k2[a:b], n2[a:b]
+            nbad = int(b2[a:b].sum())
+            nv = int(freq.sum())
+            out["src"].append(int(c2[a]))
+            out["n"].append(nv + nbad)
+            out["bad"].append(nbad)
+            out["s"].append(int((vals * freq).sum()))
+            live = freq > 0
+            if live.any():
+                lv = vals[live]
+                out["lo"].append(int(lv[0]))
+                out["hi"].append(int(lv[-1]))
+                cum = np.cumsum(freq)
+                thr = (nv * 500 + 999) // 1000
+                out["p50"].append(int(vals[np.searchsorted(cum, thr)]))
+            else:  # all rows for this source were unparsable
+                out["lo"].append(0)
+                out["hi"].append(0)
+                out["p50"].append(0)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["src"], pa.int64())),
+                "n_events": pa.array(out["n"], pa.int64()),
+                "n_bad": pa.array(out["bad"], pa.int64()),
+                "sum_k": pa.array(out["s"], pa.int64()),
+                "min_k": pa.array(out["lo"], pa.int64()),
+                "max_k": pa.array(out["hi"], pa.int64()),
+                "p50_k": pa.array(out["p50"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "c", merge, k=1)

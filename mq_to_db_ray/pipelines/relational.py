@@ -1720,3 +1720,153 @@ def local_supplier_volume(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(both, "okey", fold_order, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "nat", merge, k=1)
+
+
+def promo_revenue_share(sf_dir: str) -> Dataset:
+    """R12: promo revenue share (the TPC-H Q14 shape) — per ship month:
+    line count, floored promo revenue (lines whose part is p_type =
+    'PROMO'), floored total revenue, and the promo share in permille
+    (1000·promo // total) — the classic "what fraction of this month's
+    business came through the campaign" board, and the first R-series
+    entry whose MEASURE depends on a DIM attribute (R5 groups by one;
+    R12 conditions a sum on one), so the flag must physically travel to
+    the fact rows before any aggregate can close.  Exact int64
+    (lineitem >< part + CASE-sum oracle; permille floors via //).
+
+    Scale shape — parts GROW WITH THE CORPUS, so the flag travels by
+    CO-PARTITION, never broadcast (the R5 role-union shape): part rows
+    reduce to (partkey, promo-bit); lineitem batches pre-reduce to
+    (partkey, month, n, floored-rev) partials — the month axis is ~12
+    values/year so the pre-reduce still collapses ~4:1 — and the
+    per-partition fold attaches each part's bit with one searchsorted,
+    re-reducing to (month, n, promo_rev, total_rev) partials; the k=1
+    merge sums O(months) rows and emits the permille."""
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        promo = pc.cast(pc.equal(b["p_type"], "PROMO"), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "pr": promo,  # dim role: 0/1 promo bit
+                "m": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        ts_us = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "m": pa.array(_month_id(ts_us)),
+                "nl": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "m"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "m", "nl", "rev"])
+        return g.append_column(
+            "pr", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "pr", "m", "nl", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "m": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "prev": pa.array([], pa.int64()),
+                "trev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by(["k", "m"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dpr = d["pr"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        rev = pc.cast(fg["rev_sum"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        promo_bit = dpr[pos]
+        cells = pa.table(
+            {
+                "m": fg["m"].filter(pa.array(hit)),
+                "nl": pc.cast(fg["nl_sum"], pa.int64()).filter(pa.array(hit)),
+                "prev": pa.array((rev * promo_bit)[hit]),
+                "trev": pa.array(rev[hit]),
+            }
+        )
+        g = cells.group_by("m", use_threads=False).aggregate(
+            [("nl", "sum"), ("prev", "sum"), ("trev", "sum")]
+        )
+        return g.rename_columns(["m", "nl", "prev", "trev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "month": pa.array([], pa.timestamp("us")),
+                    "n_lines": pa.array([], pa.int64()),
+                    "promo_rev": pa.array([], pa.int64()),
+                    "total_rev": pa.array([], pa.int64()),
+                    "promo_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("m", use_threads=False).aggregate(
+            [("nl", "sum"), ("prev", "sum"), ("trev", "sum")]
+        )
+        mm = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = g["prev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        tr = g["trev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "month": _month_ts(mm),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "promo_rev": pa.array(pr),
+                "total_rev": pa.array(tr),
+                "promo_permille": pa.array(
+                    (1000 * pr) // np.maximum(tr, 1)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "m", merge, k=1)

@@ -5531,3 +5531,79 @@ def ttr_quantiles(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def word_len_hist(sf_dir: str) -> Dataset:
+    """T71: word-length histogram — per (source, CHARACTER length of each
+    whitespace word): occurrence count — the orthography profile of a
+    corpus slice (tokenizer-fertility planning reads directly off it:
+    long-tail word lengths predict subword splits; a mass spike at
+    length 1-2 flags CJK-style scripts or broken segmentation).  T43
+    bins DOCUMENT lengths and T50 bins chars by CLASS; T71 bins the word
+    inventory itself.  Exact int64 (unnest + len() oracle; utf8_length
+    is DuckDB len()'s codepoint semantics, so multi-byte scripts agree).
+
+    Scale shape — zero shuffles of anything corpus-sized: one
+    ``split_pattern`` + ``utf8_length`` Arrow kernel pair per batch (the
+    word STRINGS never leave the batch — only their lengths), a
+    bit-packed np.unique reduces each batch to (source, length, freq)
+    partials, and the value domain (sources x max word length) is tiny,
+    so the k=1 merge sums O(domain) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(batch["text"], " ")
+        nwords = (
+            pc.cast(pc.list_value_length(lst), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(lst)
+        wl = (
+            pc.cast(pc.utf8_length(flat), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = np.repeat(code, nwords) * (1 << 32) + wl
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(vals >> 32, pa.int64()),
+                "wlen": pa.array(vals & 0xFFFFFFFF, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "wlen": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["src", "wlen"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["src"].combine_chunks()),
+                "wlen": pc.cast(g["wlen"], pa.int64()),
+                "n_words": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
