@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_coverage_q(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_coverage_quantiles
+
+    return events_coverage_quantiles(sf_dir)
+
+
 def _q_events_props_stats(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_props_stats
 
@@ -939,6 +945,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,
         "doc_word_len_hist": td.word_len_hist,
         "rel_promo_share": rel.promo_revenue_share,
+        "events_coverage_quantiles": _q_events_coverage_q,
+        "doc_stutter_stats": td.stutter_stats,
+        "rel_top_supplier": rel.top_supplier_revenue,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1781,6 +1790,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_coverage_quantiles": """
+            WITH d AS (SELECT DISTINCT event_type AS source, user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+                 u AS (SELECT source, user_id,
+                              CAST(count(*) AS BIGINT) AS nd,
+                              CAST(max(day) - min(day) + 1 AS BIGINT)
+                                  AS span
+                       FROM d GROUP BY 1, 2),
+                 c AS (SELECT source, (1000 * nd) // span AS cov FROM u)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(quantile_disc(cov, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(cov, 0.9) AS BIGINT) AS p90
+            FROM c GROUP BY 1
+        """,
+        "doc_stutter_stats": """
+            WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w
+                       FROM documents),
+                 u AS (SELECT doc_id, source, unnest(w) AS word,
+                              generate_subscripts(w, 1) AS i
+                       FROM t),
+                 p AS (SELECT doc_id, source, word,
+                              lag(word) OVER (PARTITION BY doc_id
+                                              ORDER BY i) AS pw
+                       FROM u),
+                 s AS (SELECT source,
+                              CAST(count(pw) AS BIGINT) AS n_pairs,
+                              CAST(coalesce(sum(CASE WHEN word = pw
+                                                     THEN 1 ELSE 0 END),
+                                            0) AS BIGINT) AS n_stutters
+                       FROM p GROUP BY 1),
+                 nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                        FROM documents GROUP BY 1)
+            SELECT source, n_docs, n_pairs, n_stutters,
+                   CAST((1000 * n_stutters) // greatest(n_pairs, 1)
+                        AS BIGINT) AS stutter_permille
+            FROM nd JOIN s USING (source)
+        """,
+        "rel_top_supplier": """
+            WITH r AS (SELECT l_suppkey AS s_suppkey,
+                              CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT)
+                                  AS revenue_floor
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-04-01'
+                       GROUP BY 1),
+                 t AS (SELECT s_suppkey, s_name, n_lines, revenue_floor,
+                              row_number() OVER (ORDER BY revenue_floor
+                                                 DESC, s_suppkey) AS rnk
+                       FROM r JOIN supplier USING (s_suppkey))
+            SELECT s_suppkey, s_name, n_lines, revenue_floor,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM t WHERE rnk <= 10
         """,
         "events_props_stats": """
             WITH p AS (SELECT event_type AS source,

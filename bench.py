@@ -299,6 +299,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_props_stats",
         "doc_word_len_hist",
         "rel_promo_share",
+        "events_coverage_quantiles",
+        "doc_stutter_stats",
+        "rel_top_supplier",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

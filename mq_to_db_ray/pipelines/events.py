@@ -6125,3 +6125,138 @@ def events_props_stats(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "c", merge, k=1)
+
+
+def events_coverage_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """E83: engagement-coverage quantiles — per source: n_users + discrete
+    p50/p90 of each (source, user)'s 1000·active_days // span_days (span =
+    last day − first day + 1) — the CONTINUITY of engagement E65's tenure
+    histogram ignores (a 100-day-tenure user with 3 active days scores 30;
+    a daily user scores 1000): the churn-risk shape next to E62's
+    stickiness ratio.  Exact int64 under the quantile_disc rank rule
+    (distinct user-day + span + quantile_disc oracle).
+
+    Scale shape — E36's aggregate-of-aggregates feeding T21's mergeable
+    histogram: per batch one lexsort reduces events to distinct (source,
+    user, day) triples; ONE user-hash exchange co-locates each (source,
+    user)'s days, where a group_by settles exact distinct-day count +
+    span and the 1001-value coverage permille reduces to (source, cov,
+    freq) partials; every quantile reads off one cumsum per source in
+    the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = ts_us // DAY_US
+        order = np.lexsort((day, uu, code))
+        c2, u2, d2 = code[order], uu[order], day[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (
+                (c2[1:] != c2[:-1]) | (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+            )
+        return pa.table(
+            {
+                "s": pa.array(c2[new]),
+                "u": pa.array(u2[new]),
+                "d": pa.array(d2[new]),
+            }
+        )
+
+    names = tuple(f"p{q // 10}" for q in qs)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "cov": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        # batches overlap: re-dedupe triples, then settle each (s, u)
+        dd = t.group_by(["s", "u", "d"], use_threads=False).aggregate(
+            [("d", "count")]
+        )
+        g = dd.group_by(["s", "u"], use_threads=False).aggregate(
+            [("d", "count"), ("d", "min"), ("d", "max")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["d_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = g["d_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = g["d_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        cov = (1000 * nd) // (hi - lo + 1)
+        packed = ss * 1001 + cov
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array(vals // 1001, pa.int64()),
+                "cov": pa.array(vals % 1001, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["s", "cov"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["cov"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, ss))
+        s2, v2, f2 = ss[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {"source": [], "n_users": [], **{c: [] for c in names}}
+        for a, b in zip(starts, ends):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["source"].append(int(s2[a]))
+            out["n_users"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                "n_users": pa.array(out["n_users"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "s", merge, k=1)

@@ -5607,3 +5607,92 @@ def word_len_hist(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def stutter_stats(sf_dir: str) -> Dataset:
+    """T72: word-stutter board — per source: n_docs, adjacent word pairs,
+    pairs whose two words are EQUAL ("the the"), and the stutter permille
+    — the OCR-glitch / boilerplate-concatenation / decoder-loop detector
+    that reads WORD ORDER where T18/T27 read n-gram multiplicity (a
+    looping generator maximizes stutter long before its 5-gram dup
+    fraction moves).  Exact int64 (generate_subscripts + lag oracle;
+    equality via the word-hash collision convention — a collision can
+    only create a false stutter, at the documented 64-bit rate).
+
+    Scale shape — ZERO wide exchange (T49's profile): adjacency is
+    batch-local by construction (a doc is one row), so one
+    batch_word_hashes pass + one shifted compare reduce each batch to one
+    partial row per source; O(batches × sources) rows ride the tiny
+    per-source merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uh, n = ts.batch_word_hashes(batch["text"])
+        parent = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        same = np.zeros(0, dtype=bool)
+        if len(uh) > 1:
+            same = (uh[1:] == uh[:-1]) & (parent[1:] == parent[:-1])
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        k = len(srcs)
+        ndocs = np.bincount(code, minlength=k).astype(np.int64)
+        npairs = np.bincount(
+            code, weights=np.maximum(n - 1, 0), minlength=k
+        ).astype(np.int64)
+        # doc index of each stuttering pair's second word -> its source
+        per_doc_stut = np.bincount(
+            parent[1:][same], minlength=len(n)
+        ).astype(np.int64)
+        nstut = np.bincount(
+            code, weights=per_doc_stut, minlength=k
+        ).astype(np.int64)
+        live = ndocs > 0
+        return pa.table(
+            {
+                "s": pa.array(np.flatnonzero(live).astype(np.int64)),
+                "nd": pa.array(ndocs[live]),
+                "np_": pa.array(npairs[live]),
+                "st": pa.array(nstut[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "n_stutters": pa.array([], pa.int64()),
+                    "stutter_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nd", "sum"), ("np_", "sum"), ("st", "sum")]
+        )
+        npv = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        stv = g["st_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs.take(g["s"].combine_chunks()),
+                "n_docs": pc.cast(g["nd_sum"], pa.int64()),
+                "n_pairs": pa.array(npv.astype(np.int64)),
+                "n_stutters": pa.array(stv.astype(np.int64)),
+                "stutter_permille": pa.array(
+                    (1000 * stv.astype(np.int64))
+                    // np.maximum(npv.astype(np.int64), 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
