@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_redelivery(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_redelivery_board
+
+    return events_redelivery_board(sf_dir)
+
+
 def _q_events_coverage_q(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_coverage_quantiles
 
@@ -948,6 +954,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_coverage_quantiles": _q_events_coverage_q,
         "doc_stutter_stats": td.stutter_stats,
         "rel_top_supplier": rel.top_supplier_revenue,
+        "events_redelivery_board": _q_events_redelivery,
+        "doc_lang_quality_matrix": td.lang_quality_matrix,
+        "rel_large_orders": rel.large_orders,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1790,6 +1799,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "doc_lang_quality_matrix": f"""
+            WITH p AS (SELECT lang,
+                              CAST(floor(1000.0
+                                   * len(list_filter(
+                                         str_split(lower(text), ' '),
+                                         w -> w IN ({stop_list})))
+                                   / len(str_split(text, ' ')))
+                                   AS BIGINT) // 100 AS band
+                       FROM documents)
+            SELECT lang, CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM p GROUP BY 1, 2
+        """,
+        "events_redelivery_board": """
+            SELECT event_type AS source,
+                   CAST(count(*) AS BIGINT) AS n_raw,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique,
+                   CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                       AS n_redelivered,
+                   CAST((1000 * (count(*) - count(DISTINCT event_id)))
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS redelivery_permille
+            FROM events GROUP BY 1
+        """,
+        "rel_large_orders": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING sum(CAST(l_quantity AS BIGINT)) >= 120),
+                 t AS (SELECT c_custkey, c_name, o_orderkey,
+                              CAST(o_orderdate AS TIMESTAMP)
+                                  AS o_orderdate,
+                              CAST(floor(o_totalprice) AS BIGINT)
+                                  AS total_floor,
+                              sum_qty,
+                              row_number() OVER (ORDER BY sum_qty DESC,
+                                                 o_orderkey) AS rnk
+                       FROM q JOIN orders ON l_orderkey = o_orderkey
+                              JOIN customer ON o_custkey = c_custkey)
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   total_floor, sum_qty, CAST(rnk AS BIGINT) AS rank
+            FROM t WHERE rnk <= 20
         """,
         "events_coverage_quantiles": """
             WITH d AS (SELECT DISTINCT event_type AS source, user_id,

@@ -302,6 +302,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_coverage_quantiles",
         "doc_stutter_stats",
         "rel_top_supplier",
+        "events_redelivery_board",
+        "doc_lang_quality_matrix",
+        "rel_large_orders",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

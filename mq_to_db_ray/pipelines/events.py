@@ -6260,3 +6260,134 @@ def events_coverage_quantiles(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     per_user = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(per_user, "s", merge, k=1)
+
+
+def events_redelivery_board(sf_dir: str) -> Dataset:
+    """E84: redelivery / idempotency board — per source: raw deliveries,
+    DISTINCT event_ids, redelivered copies (raw − distinct), redelivery
+    permille — the at-least-once-delivery accounting behind the
+    reference's Ack/Requeue contract (a requeued message arrives again
+    with the same id; an idempotent sink must count it once — the board
+    says how much of the feed is re-sent): one dense row per source
+    ALWAYS, zero-valued when delivery is exactly-once.  Exact int64
+    (count(DISTINCT event_id) oracle).
+
+    Scale shape — the E23 distinct-count discipline with a raw-counter
+    stream riding the same exchange: per batch one lexsort dedupes to
+    (source, event_id) pairs plus one bincount row per (batch, source)
+    carrying raw counts (tagged id −1); ONE id-hash exchange dedupes
+    pairs exactly — each partition re-reduces to per-source (raw, uniq)
+    partials — and the k=1 merge sums O(k × sources) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = pc.cast(b["event_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        raw = np.bincount(code, minlength=ns).astype(np.int64)
+        live = np.flatnonzero(raw)
+        order = np.lexsort((eid, code))
+        c2, e2 = code[order], eid[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (c2[1:] != c2[:-1]) | (e2[1:] != e2[:-1])
+        return pa.table(
+            {
+                # counter rows spread over sources (eid = -1-src), so no
+                # single partition collects every batch's counters
+                "eid": pa.array(
+                    np.concatenate(
+                        [-1 - live.astype(np.int64), e2[new]]
+                    )
+                ),
+                "s": pa.array(
+                    np.concatenate([live.astype(np.int64), c2[new]])
+                ),
+                "raw": pa.array(
+                    np.concatenate(
+                        [raw[live], np.zeros(int(new.sum()), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "raw": pa.array([], pa.int64()),
+                    "uniq": pa.array([], pa.int64()),
+                }
+            )
+        eid = t["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        rawv = t["raw"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_ctr = eid < 0
+        raw_sum = np.bincount(ss[is_ctr], weights=rawv[is_ctr], minlength=ns)
+        # exact distinct (source, id) pairs across overlapping batches
+        c2, e2 = ss[~is_ctr], eid[~is_ctr]
+        order = np.lexsort((e2, c2))
+        c2, e2 = c2[order], e2[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (c2[1:] != c2[:-1]) | (e2[1:] != e2[:-1])
+        uniq = np.bincount(c2[new], minlength=ns).astype(np.int64)
+        live = (raw_sum > 0) | (uniq > 0)
+        idx = np.flatnonzero(live)
+        return pa.table(
+            {
+                "s": pa.array(idx.astype(np.int64)),
+                "raw": pa.array(raw_sum[idx].astype(np.int64)),
+                "uniq": pa.array(uniq[idx]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_raw": pa.array([], pa.int64()),
+                    "n_unique": pa.array([], pa.int64()),
+                    "n_redelivered": pa.array([], pa.int64()),
+                    "redelivery_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("raw", "sum"), ("uniq", "sum")]
+        )
+        raw = g["raw_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        un = g["uniq_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        red = raw - un
+        return pa.table(
+            {
+                "source": srcs.take(g["s"].combine_chunks()),
+                "n_raw": pa.array(raw.astype(np.int64)),
+                "n_unique": pa.array(un.astype(np.int64)),
+                "n_redelivered": pa.array(red.astype(np.int64)),
+                "redelivery_permille": pa.array(
+                    (1000 * red) // np.maximum(raw, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_id = hash_partition_merge(partials, "eid", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_id, "s", merge, k=1)

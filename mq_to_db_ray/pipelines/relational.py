@@ -2023,3 +2023,217 @@ def top_supplier_revenue(
     dim = sup.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "supplier"))
     return hash_partition_merge(cells, "k", merge, k=1)
+
+
+def large_orders(
+    sf_dir: str, min_qty: int = 120, top_k: int = 20
+) -> Dataset:
+    """R14: large-order drill-down (the TPC-H Q18 shape) — the top_k
+    orders by total line quantity among orders with Σqty ≥ min_qty, with
+    the ordering customer's name attached (qty DESC, orderkey ASC,
+    1-based rank — unique answer).  The HAVING-over-a-join shape: the
+    filter is on an AGGREGATE of the fact table, so no read-time
+    predicate can apply it — it must close after the per-order fold.
+    Exact int64 (HAVING + 3-way join + row_number LIMIT oracle;
+    o_totalprice floors to int64, quantities cast exactly).
+
+    Scale shape — two chained co-partitioned hops, a local top-k
+    combiner between them:
+      1. ORDERKEY hop: line batches pre-reduce to per-order (n, qty)
+         partials; orders ride as (orderkey, custkey, date, floored
+         total); all an order's lines co-locate, so Σqty is FINAL in
+         partition — the HAVING filter and a LOCAL top-k both apply
+         there, and only O(partitions × k) candidates continue;
+      2. CUSTKEY hop: candidates co-partition with the customer dim
+         (which GROWS WITH THE CORPUS — never broadcast) for the name
+         attach; the k=1 merge re-ranks the surviving candidates."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("qty", "sum")])
+        g = g.rename_columns(["k", "qty"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "k": g["k"],
+                "ck": pa.array(np.full(n, -1, np.int64)),  # fact role
+                "dt": pa.array(np.zeros(n, np.int64)),
+                "tot": pa.array(np.zeros(n, np.int64)),
+                "qty": g["qty"],
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        tot = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "dt": pc.cast(b["o_orderdate"], pa.int64()),
+                "tot": pa.array(tot),
+                "qty": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold1(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "okey": pa.array([], pa.int64()),
+                "dt": pa.array([], pa.int64()),
+                "tot": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("qty", "sum")])
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = pc.cast(fg["qty_sum"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        big = qty >= min_qty
+        fk, qty = fk[big], qty[big]
+        if len(fk) == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        fk, qty, pos = fk[hit], qty[hit], pos[hit]
+        keep = np.lexsort((fk, -qty))[: min(top_k, len(fk))]
+        take_d = pa.array(order[pos[keep]], pa.int64())
+        return pa.table(
+            {
+                "k": d["ck"].combine_chunks().take(take_d),  # custkey
+                "name": pa.array([""] * len(keep), pa.string()),
+                "okey": pa.array(fk[keep], pa.int64()),
+                "dt": d["dt"].combine_chunks().take(take_d),
+                "tot": d["tot"].combine_chunks().take(take_d),
+                "qty": pa.array(qty[keep], pa.int64()),
+            }
+        )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "name": b["c_name"],
+                "okey": pa.array(np.full(n, -1, np.int64)),  # dim role
+                "dt": pa.array(np.zeros(n, np.int64)),
+                "tot": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ck": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "okey": pa.array([], pa.int64()),
+                "dt": pa.array([], pa.int64()),
+                "tot": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, max(len(dk_s) - 1, 0))
+        hit = dk_s[pos] == fk
+        take_f = pa.array(np.flatnonzero(hit), pa.int64())
+        take_d = pa.array(order[pos[hit]], pa.int64())
+        return pa.table(
+            {
+                "ck": pa.array(fk[hit], pa.int64()),
+                "name": d["name"].combine_chunks().take(take_d),
+                "okey": f["okey"].combine_chunks().take(take_f),
+                "dt": f["dt"].combine_chunks().take(take_f),
+                "tot": f["tot"].combine_chunks().take(take_f),
+                "qty": f["qty"].combine_chunks().take(take_f),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "total_floor": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = t["qty"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ok, -qty))[: min(top_k, len(ok))]
+        take = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": t["ck"].combine_chunks().take(take),
+                "c_name": t["name"].combine_chunks().take(take),
+                "o_orderkey": pa.array(ok[keep], pa.int64()),
+                "o_orderdate": t["dt"]
+                .combine_chunks()
+                .take(take)
+                .cast(pa.timestamp("us")),
+                "total_floor": t["tot"].combine_chunks().take(take),
+                "sum_qty": pa.array(qty[keep], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(keep) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = orders.map_batches(order_partial, batch_format="pyarrow")
+    cand = _copartition_attach(fact, dim, fold1, k=_rel_k(sf_dir, "lineitem"))
+    cdim = cust.map_batches(cust_partial, batch_format="pyarrow")
+    named = _copartition_attach(
+        cand, cdim, fold2, k=_rel_k(sf_dir, "customer")
+    )
+    return hash_partition_merge(named, "okey", merge, k=1)

@@ -5696,3 +5696,81 @@ def stutter_stats(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def lang_quality_matrix(sf_dir: str) -> Dataset:
+    """T73: language × quality-band composition matrix — per (labeled
+    lang, stop-permille band of width 100): document count — the
+    "is low-quality mass concentrated in one language" pivot a mixture
+    designer reads before setting per-language T29 thresholds (T44
+    crosses lang with SOURCE, T68 gives per-source quality SHAPE; T73
+    crosses lang with the quality score itself).  Exact int64 (T10's
+    floored stop-permille expression // 100 oracle; the 1000.0·x/y
+    double divide floors identically on both sides — the T68
+    convention).
+
+    Scale shape — ZERO corpus-sized exchange: the permille is
+    batch-local (T10's vectorized stopword kernel), each batch reduces
+    to (lang, band, freq) partials over a ≤ langs × 11 domain, and the
+    k=1 merge sums O(domain) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    langs = pa.array(
+        sorted(_docs(sf_dir, ["lang"]).unique("lang")), pa.string()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(list(ts.STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            parent, weights=is_stop, minlength=batch.num_rows
+        ).astype(np.int64)
+        sp = np.floor(1000.0 * n_stop / np.maximum(n_words, 1)).astype(
+            np.int64
+        )
+        sp[n_words == 0] = 0
+        band = sp // 100
+        code = pc.cast(
+            pc.index_in(batch["lang"], value_set=langs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        packed = code * 11 + band
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "lg": pa.array(vals // 11, pa.int64()),
+                "band": pa.array(vals % 11, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "band": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["lg", "band"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": langs.take(g["lg"].combine_chunks()),
+                "band": pc.cast(g["band"], pa.int64()),
+                "n_docs": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "lg", merge, k=1)
