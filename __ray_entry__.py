@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_minute_mode(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_minute_mode
+
+    return events_minute_mode(sf_dir)
+
+
 def _q_events_redelivery(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_redelivery_board
 
@@ -957,6 +963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_redelivery_board": _q_events_redelivery,
         "doc_lang_quality_matrix": td.lang_quality_matrix,
         "rel_large_orders": rel.large_orders,
+        "events_minute_mode": _q_events_minute_mode,
+        "doc_vocab_growth": td.vocab_growth,
+        "rel_nation_trade": rel.nation_trade_volume,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1799,6 +1808,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_minute_mode": """
+            WITH c AS (SELECT date_trunc('minute', ts) AS minute_ts,
+                              event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT minute_ts, event_type, n,
+                              CAST(sum(n) OVER (PARTITION BY minute_ts)
+                                   AS BIGINT) AS n_total,
+                              row_number() OVER (PARTITION BY minute_ts
+                                                 ORDER BY n DESC,
+                                                          event_type)
+                                  AS rn
+                       FROM c)
+            SELECT CAST(minute_ts AS TIMESTAMP) AS minute_ts,
+                   event_type AS mode_type, n AS n_mode, n_total
+            FROM r WHERE rn = 1
+        """,
+        "doc_vocab_growth": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              list_distinct(list_transform(
+                                  generate_series(1,
+                                      greatest(len(w) - 2, 1)),
+                                  i -> concat_ws(' ', w[i], w[i+1],
+                                                 w[i+2]))) sh
+                       FROM t),
+                 e AS (SELECT doc_id, unnest(sh) s FROM g),
+                 f AS (SELECT s, min(doc_id) AS first_doc
+                       FROM e GROUP BY 1),
+                 n AS (SELECT max(doc_id) + 1 AS nd FROM documents)
+            SELECT CAST(least((10 * first_doc) // nd, 9) AS BIGINT)
+                       AS decile,
+                   CAST(count(*) AS BIGINT) AS n_new_shingles
+            FROM f, n GROUP BY 1
+        """,
+        "rel_nation_trade": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount)) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2, 3
         """,
         "doc_lang_quality_matrix": f"""
             WITH p AS (SELECT lang,

@@ -305,6 +305,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_redelivery_board",
         "doc_lang_quality_matrix",
         "rel_large_orders",
+        "events_minute_mode",
+        "doc_vocab_growth",
+        "rel_nation_trade",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -6391,3 +6391,85 @@ def events_redelivery_board(sf_dir: str) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     per_id = hash_partition_merge(partials, "eid", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(per_id, "s", merge, k=1)
+
+
+def events_minute_mode(sf_dir: str) -> Dataset:
+    """E85: per-minute dominant-type board — one row per minute PRESENT
+    in the stream: the most frequent event type that minute (ties → type
+    string ascending via the exact broadcast rank), its count, and the
+    minute's total — E80's grouped argmax flipped to the HIGH-CARDINALITY
+    axis (E80 partitions the USER base, one row per type; E85 emits one
+    row per minute — the output scales with the grid, so the argmax must
+    settle DISTRIBUTED, never in a k=1 funnel).  Exact int64 (per-minute
+    counts + row_number rn=1 oracle).
+
+    Scale shape — the rollup discipline with an argmax fold: per batch
+    one Arrow group_by to (minute, type, n) partials; ONE minute-hash
+    exchange collapses partials exactly per (minute, type), a lexsort
+    (minute, −n, type) reads each minute's argmax as its run head and a
+    reduceat supplies the total — final rows LEAVE each partition
+    directly (no global merge; minutes already partition the output)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = m * len(srcs) + code
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "m": pa.array(vals // len(srcs), pa.int64()),
+                "c": pa.array(vals % len(srcs), pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "minute_ts": pa.array([], pa.timestamp("us")),
+                    "mode_type": pa.array([], pa.string()),
+                    "n_mode": pa.array([], pa.int64()),
+                    "n_total": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["m", "c"], use_threads=False).aggregate([("n", "sum")])
+        mm = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, -nn, mm))
+        m2, c2, n2 = mm[order], cc[order], nn[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = m2[1:] != m2[:-1]
+        starts = np.flatnonzero(new)
+        totals = np.add.reduceat(n2, starts)
+        return pa.table(
+            {
+                "minute_ts": pa.array(m2[starts] * MIN_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "mode_type": srcs.take(pa.array(c2[starts], pa.int64())),
+                "n_mode": pa.array(n2[starts].astype(np.int64)),
+                "n_total": pa.array(totals.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "m", fold, k=_adaptive_k(sf_dir))

@@ -2237,3 +2237,299 @@ def large_orders(
         cand, cdim, fold2, k=_rel_k(sf_dir, "customer")
     )
     return hash_partition_merge(named, "okey", merge, k=1)
+
+
+def nation_trade_volume(sf_dir: str) -> Dataset:
+    """R15: bilateral trade volume (the TPC-H Q7 shape) — per (supplier
+    nation, customer nation, ship year) with the two nations DIFFERENT:
+    line count + floored revenue Σfloor(extprice·(1−disc)) — the
+    cross-border complement of R11 (same three-hop machinery, the
+    cross-side predicate flipped from equality to inequality, and the
+    result keyed by the nation PAIR instead of collapsing onto one
+    side).  Exact int64 (4-way join + <> WHERE + year GROUP BY oracle).
+
+    Scale shape — R11's three chained co-partitioned hops verbatim, with
+    the ship YEAR riding the supplier-side partials from the first
+    pre-reduce on; the pair axis multiplies the output domain
+    (nations² × years — still driver-tiny), never the exchanged rows:
+      1. CUSTKEY hop: customer (custkey → nationkey) × orders →
+         (orderkey, cust_nation);
+      2. SUPPKEY hop: supplier × lineitem pre-reduced per (suppkey,
+         orderkey, year) → (orderkey, supp_nation, year, nl, rev);
+      3. ORDERKEY hop: nations meet, the INEQUALITY filter applies in
+         place, rows collapse to (snat, cnat, year) partials; k=1
+         merge attaches both names from the 25-row broadcast."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nk_pos = {int(k): i for i, k in enumerate(nat["n_nationkey"])}
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 1 (CUSTKEY): orderkey -> customer nation ----
+    def cust_dim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "nat": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "okey": pc.cast(b["o_orderkey"], pa.int64()),
+                "nat": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"okey": pa.array([], pa.int64()), "nat": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dn = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        return pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "nat": pa.array(dn[pos][hit], pa.int64()),
+            }
+        )
+
+    cust_side = hash_partition_merge(
+        ords.map_batches(order_row, batch_format="pyarrow").union(
+            cust.map_batches(cust_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 2 (SUPPKEY): (orderkey, supp nation, year, nl, rev) ----
+    def supp_dim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "nat": pc.cast(b["s_nationkey"], pa.int64()),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        ts_us = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts_us.astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "okey": pc.cast(b["l_orderkey"], pa.int64()),
+                "yr": pa.array(yr),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "okey", "yr"], use_threads=False).aggregate(
+            [("rev", "count"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "okey", "yr", "nl", "rev"])
+        return g.append_column(
+            "nat", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "okey", "nat", "yr", "nl", "rev"])
+
+    def fold_supp(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "okey": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dn = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        out = pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "nat": pa.array(dn[pos][hit], pa.int64()),
+                "yr": pc.cast(f["yr"], pa.int64()).filter(pa.array(hit)),
+                "nl": pc.cast(f["nl"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(f["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = out.group_by(["okey", "nat", "yr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["okey", "nat", "yr", "nl", "rev"])
+
+    supp_side = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            sup.map_batches(supp_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_supp,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 3 (ORDERKEY): nations meet; inequality filter in place ----
+    def cust_tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["okey"],
+                "nat": b["nat"],
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(np.full(n, -1, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "snat": pa.array([], pa.int64()),
+                "cnat": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nl = t["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = nl < 0
+        c = t.filter(pa.array(is_cust))
+        f = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or f.num_rows == 0:
+            return empty
+        ck = c["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        cn = c["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck_s, fk), 0, len(ck_s) - 1)
+        hit = (ck_s[pos] == fk) & (cn[pos] != fn)  # cross-border only
+        cells = pa.table(
+            {
+                "snat": pa.array(fn[hit], pa.int64()),
+                "cnat": pa.array(cn[pos][hit], pa.int64()),
+                "yr": pc.cast(f["yr"], pa.int64()).filter(pa.array(hit)),
+                "nl": pc.cast(f["nl"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(f["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = cells.group_by(["snat", "cnat", "yr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["snat", "cnat", "yr", "nl", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "supp_nation": pa.array([], pa.string()),
+                    "cust_nation": pa.array([], pa.string()),
+                    "l_year": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["snat", "cnat", "yr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        sn = g["snat"].combine_chunks().to_numpy(zero_copy_only=False)
+        cn = g["cnat"].combine_chunks().to_numpy(zero_copy_only=False)
+        spos = pa.array([nk_pos[int(k)] for k in sn], pa.int64())
+        cpos = pa.array([nk_pos[int(k)] for k in cn], pa.int64())
+        return pa.table(
+            {
+                "supp_nation": names.take(spos),
+                "cust_nation": names.take(cpos),
+                "l_year": pc.cast(g["yr"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    both = supp_side.union(
+        cust_side.map_batches(cust_tag, batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(
+        both, "okey", fold_order, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "snat", merge, k=1)

@@ -5774,3 +5774,82 @@ def lang_quality_matrix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "lg", merge, k=1)
+
+
+def vocab_growth(sf_dir: str, k_shingle: int = 3) -> Dataset:
+    """T74: shingle-vocabulary growth curve (Heaps' law board) — per
+    corpus-position DECILE (doc_id scaled to 0-9): distinct 3-word
+    shingles INTRODUCED there (first occurrence under T61's minimum-
+    doc_id rule) — the "is content still arriving or just repeating"
+    summary T61 gives per doc, collapsed to the 10-point curve a crawl
+    review actually reads (a healthy crawl decays slowly; a loop
+    crashes to zero).  Exact int64; engine compares 64-bit shingle
+    hashes, the oracle shingle STRINGS (T4/T19/T27 convention).
+
+    Scale shape — T61's shingle-hash exchange with a decile tail:
+    distinct (doc, shingle) rows explode per batch (text never
+    shuffles); each shingle's minimum doc_id settles locally in its
+    hash partition (one lexsort run head) and bincounts straight to
+    (decile, n) partials — ≤ 10 rows per partition ride the k=1
+    merge.  The doc_id scale (max+1) is one footer-cheap aggregate."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nd = int(
+        _docs(sf_dir, ["doc_id"]).max("doc_id") + 1
+    )  # position scale; tiny count-scan aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"], k_shingle)
+        doc = batch["doc_id"].combine_chunks().take(pa.array(rows, pa.int64()))
+        return pa.table(
+            {"doc_id": doc, "shingle": pa.array(sh.view(np.int64), pa.int64())}
+        )
+
+    exploded = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "decile": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h2, d2 = h[order], doc[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        first_doc = d2[newg]  # each shingle's introducing doc
+        dec = np.minimum((10 * first_doc) // max(nd, 1), 9)
+        cnt = np.bincount(dec, minlength=10).astype(np.int64)
+        live = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "decile": pa.array(live.astype(np.int64)),
+                "n": pa.array(cnt[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "decile": pa.array([], pa.int64()),
+                    "n_new_shingles": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("decile", use_threads=False).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "decile": pc.cast(g["decile"], pa.int64()),
+                "n_new_shingles": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = hash_partition_merge(exploded, "shingle", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(partials, "decile", merge, k=1)
