@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_record_minutes(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_record_minutes
+
+    return events_record_minutes(sf_dir)
+
+
 def _q_events_minute_mode(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_minute_mode
 
@@ -966,6 +972,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minute_mode": _q_events_minute_mode,
         "doc_vocab_growth": td.vocab_growth,
         "rel_nation_trade": rel.nation_trade_volume,
+        "events_record_minutes": _q_events_record_minutes,
+        "embedding_dim_profile": td.embedding_dim_profile,
+        "rel_banded_revenue": rel.banded_revenue,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1808,6 +1817,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_record_minutes": """
+            WITH c AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 w AS (SELECT source, b, n,
+                              max(n) OVER (PARTITION BY source ORDER BY b
+                                           ROWS BETWEEN UNBOUNDED
+                                           PRECEDING AND 1 PRECEDING)
+                                  AS pm
+                       FROM c),
+                 s AS (SELECT source,
+                              CAST(count(*) FILTER (WHERE pm IS NULL
+                                                    OR n > pm) AS BIGINT)
+                                  AS n_records,
+                              CAST(max(n) AS BIGINT) AS peak
+                       FROM w GROUP BY 1),
+                 p AS (SELECT c.source, min(c.b) AS peak_ts
+                       FROM c JOIN s ON c.source = s.source
+                                    AND c.n = s.peak
+                       GROUP BY 1)
+            SELECT s.source, s.n_records, s.peak,
+                   CAST(p.peak_ts AS TIMESTAMP) AS peak_ts
+            FROM s JOIN p ON s.source = p.source
+        """,
+        "embedding_dim_profile": """
+            WITH u AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding) AS x
+                       FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(min(x) AS DOUBLE) AS min_x,
+                   CAST(max(x) AS DOUBLE) AS max_x,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM u GROUP BY 1
+        """,
+        "rel_banded_revenue": """
+            WITH arms(p_brand, qty_lo, qty_hi) AS
+                     (VALUES ('Brand#1', 1, 11),
+                             ('Brand#2', 10, 20),
+                             ('Brand#3', 20, 30)),
+                 j AS (SELECT a.p_brand,
+                              CAST(floor(l.l_extendedprice
+                                         * (1 - l.l_discount)) AS BIGINT)
+                                  AS rev
+                       FROM arms a
+                       JOIN part p ON p.p_brand = a.p_brand
+                       JOIN lineitem l ON l.l_partkey = p.p_partkey
+                                      AND l.l_quantity
+                                          BETWEEN a.qty_lo AND a.qty_hi)
+            SELECT a.p_brand,
+                   CAST(a.qty_lo AS BIGINT) AS qty_lo,
+                   CAST(a.qty_hi AS BIGINT) AS qty_hi,
+                   CAST(count(j.rev) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(j.rev), 0) AS BIGINT)
+                       AS revenue_floor
+            FROM arms a LEFT JOIN j ON j.p_brand = a.p_brand
+            GROUP BY 1, 2, 3
         """,
         "events_minute_mode": """
             WITH c AS (SELECT date_trunc('minute', ts) AS minute_ts,

@@ -308,6 +308,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_minute_mode",
         "doc_vocab_growth",
         "rel_nation_trade",
+        "events_record_minutes",
+        "embedding_dim_profile",
+        "rel_banded_revenue",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

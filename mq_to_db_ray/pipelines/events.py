@@ -6473,3 +6473,171 @@ def events_minute_mode(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "m", fold, k=_adaptive_k(sf_dir))
+
+
+def events_record_minutes(sf_dir: str, window_buckets: int = 4096) -> Dataset:
+    """E86: record-high board — per source over PRESENT minutes in (ts)
+    order: minutes that set a NEW ALL-TIME HIGH count (strictly above
+    every earlier minute; the first minute is a record by definition),
+    the peak count, and the first minute that reached the peak — the
+    "are we still breaking records" growth summary (E75 measures how
+    long climbs last, E37 how far bursts go; E86 how often history is
+    rewritten).  Exact int64 (running-max window + FILTER oracle).
+
+    Scale shape — the distributed ordered prefix scan (grid_cumsum's
+    two-pass shape) with MAX as the monoid:
+      1. per batch (source, minute, n) partials; ONE (source,
+         window)-hash exchange collapses counts exactly (counts are
+         final in partition);
+      2. per-window maxes fold on the driver at O(sources × windows);
+         an exclusive prefix-MAX per source broadcasts as each window's
+         base (−1 base = empty prefix, so the first minute records);
+      3. each (source, window) group scans locally: records = n above
+         the base-seeded running max; peak candidates compare against
+         the broadcast global peak; a k=1 merge sums records and takes
+         the earliest peak minute."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    W = window_buckets
+    M = 1 << 40  # packed (source, window) key lane
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 44) + m
+        vals, freq = np.unique(packed, return_counts=True)
+        s2, b2 = vals >> 44, vals & ((1 << 44) - 1)
+        return pa.table(
+            {
+                "sw": pa.array(s2 * M + b2 // W, pa.int64()),
+                "s": pa.array(s2, pa.int64()),
+                "b": pa.array(b2, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def collapse(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "b"], use_threads=False).aggregate([("n", "sum")])
+        bb = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pc.cast(g["s"], pa.int64()),
+                "w": pa.array(bb // W, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "n": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # rolled present-minute points — the sanctioned materialize (the
+    # window-max fold and the per-window scan both consume it)
+    keyed = hash_partition_merge(
+        partials, "sw", collapse, k=_adaptive_k(sf_dir)
+    ).materialize()
+
+    def win_max(b: pa.Table) -> pa.Table:
+        g = b.group_by(["s", "w"], use_threads=False).aggregate([("n", "max")])
+        return g.rename_columns(["s", "w", "mx"])
+
+    agg = pa.concat_tables(
+        list(
+            keyed.map_batches(win_max, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    agg = agg.group_by(["s", "w"], use_threads=False).aggregate([("mx", "max")])
+    ss = agg["s"].combine_chunks().to_numpy(zero_copy_only=False)
+    ww = agg["w"].combine_chunks().to_numpy(zero_copy_only=False)
+    mx = agg["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ww, ss))
+    ss, ww, mx = ss[order], ww[order], mx[order]
+    # exclusive prefix max per source — one numpy pass per SOURCE (tiny
+    # cardinality), vectorized over its windows
+    base = np.full(len(ss), -1, np.int64)
+    peak = {}
+    for s_val in np.unique(ss):
+        seg = np.flatnonzero(ss == s_val)
+        incl = np.maximum.accumulate(mx[seg])
+        base[seg[1:]] = incl[:-1]
+        peak[int(s_val)] = int(incl[-1])
+    bases_ref = ray.put((ss * M + ww, base, peak))
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        pk, bm, pks = ray.get(bases_ref)
+        s = int(g["s"][0].as_py())
+        w = int(g["w"][0].as_py())
+        b0 = int(bm[np.searchsorted(pk, s * M + w)])
+        bb = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(bb, kind="stable")
+        bb, nn = bb[order], nn[order]
+        run = np.maximum.accumulate(np.concatenate(([b0], nn)))[:-1]
+        n_rec = int((nn > run).sum())
+        pk_s = pks[s]
+        at = np.flatnonzero(nn == pk_s)
+        first_pk = int(bb[at[0]]) if len(at) else (1 << 60)
+        return pa.table(
+            {
+                "s": pa.array([s], pa.int64()),
+                "nr": pa.array([n_rec], pa.int64()),
+                "pk": pa.array([pk_s], pa.int64()),
+                "fp": pa.array([first_pk], pa.int64()),
+            }
+        )
+
+    cells = keyed.groupby(["s", "w"]).map_groups(
+        scan_group, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_records": pa.array([], pa.int64()),
+                    "peak": pa.array([], pa.int64()),
+                    "peak_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nr", "sum"), ("pk", "max"), ("fp", "min")]
+        )
+        fp = g["fp_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs.take(g["s"].combine_chunks()),
+                "n_records": pc.cast(g["nr_sum"], pa.int64()),
+                "peak": pc.cast(g["pk_max"], pa.int64()),
+                "peak_ts": pa.array(fp * MIN_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

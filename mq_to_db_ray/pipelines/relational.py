@@ -2533,3 +2533,158 @@ def nation_trade_volume(sf_dir: str) -> Dataset:
         both, "okey", fold_order, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "snat", merge, k=1)
+
+
+BANDED_ARMS: tuple[tuple[str, int, int], ...] = (
+    ("Brand#1", 1, 11),
+    ("Brand#2", 10, 20),
+    ("Brand#3", 20, 30),
+)
+
+
+def banded_revenue(
+    sf_dir: str, arms: tuple[tuple[str, int, int], ...] = BANDED_ARMS
+) -> Dataset:
+    """R16: banded disjunctive-predicate revenue (the TPC-H Q19 shape) —
+    per arm (brand, qty-band): line count + floored revenue of lines
+    whose part matches the arm's BRAND and whose quantity falls in the
+    arm's BAND — the OR-of-ANDs predicate that spans BOTH join sides
+    (brand lives on the part, quantity on the line), so no single-table
+    filter and no post-join conjunction can express it; one dense row
+    per arm ALWAYS.  Exact int64 (disjunctive CASE join oracle).
+
+    Scale shape — R12's co-partition with the predicate DECOMPOSED: the
+    quantity test is line-local so each line batch pre-reduces to
+    (partkey, band-mask, n, rev) partials (a line can satisfy several
+    arms' bands — the mask keeps them all); parts reduce to (partkey,
+    brand-arm); the per-partition fold attaches the arm with one
+    searchsorted and keeps rows whose mask BIT matches their part's arm
+    — the conjunction closes exactly where the two sides meet; k=1
+    merge sums O(arms) rows and densifies."""
+    brands = pa.array([a[0] for a in arms], pa.string())
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        arm = pc.cast(pc.index_in(b["p_brand"], value_set=brands), pa.int64())
+        arm = pc.fill_null(arm, -2)  # parts outside every arm
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "arm": arm,  # >= -2 marks the dim role
+                "mask": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(qty), np.int64)
+        for i, (_br, lo, hi) in enumerate(arms):
+            mask |= ((qty >= lo) & (qty <= hi)).astype(np.int64) << i
+        keep = mask > 0  # lines in no band never leave the batch
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[keep]
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)[
+            keep
+        ]
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "mask": pa.array(mask[keep]),
+                "nl": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "mask"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "mask", "nl", "rev"])
+        return g.append_column(
+            "arm", pa.array(np.full(g.num_rows, -3, np.int64))  # fact role
+        ).select(["k", "arm", "mask", "nl", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "arm": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["arm"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= -2
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        darm = d["arm"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        arm = darm[pos]
+        mask = f["mask"].combine_chunks().to_numpy(zero_copy_only=False)
+        hit = (
+            (dk_s[pos] == fk)
+            & (arm >= 0)
+            & ((mask >> np.maximum(arm, 0)) & 1).astype(bool)
+        )
+        cells = pa.table(
+            {
+                "arm": pa.array(arm[hit], pa.int64()),
+                "nl": pc.cast(f["nl"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(f["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = cells.group_by("arm", use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["arm", "nl", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        nl = np.zeros(len(arms), np.int64)
+        rev = np.zeros(len(arms), np.int64)
+        if t.num_rows:
+            g = t.group_by("arm", use_threads=False).aggregate(
+                [("nl", "sum"), ("rev", "sum")]
+            )
+            aa = g["arm"].combine_chunks().to_numpy(zero_copy_only=False)
+            nl[aa] = g["nl_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            rev[aa] = g["rev_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "p_brand": brands,
+                "qty_lo": pa.array([a[1] for a in arms], pa.int64()),
+                "qty_hi": pa.array([a[2] for a in arms], pa.int64()),
+                "n_lines": pa.array(nl),
+                "revenue_floor": pa.array(rev),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "arm", merge, k=1)

@@ -5853,3 +5853,82 @@ def vocab_growth(sf_dir: str, k_shingle: int = 3) -> Dataset:
 
     partials = hash_partition_merge(exploded, "shingle", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(partials, "decile", merge, k=1)
+
+
+def embedding_dim_profile(sf_dir: str) -> Dataset:
+    """T75: per-dimension embedding profile — for each vector dimension
+    (1-based, matching generate_subscripts): component min, max, and the
+    vector count — the feature-drift / normalization sanity board an
+    embedding pipeline reads before ANN indexing (a dimension whose
+    range collapses to a point is dead weight in T6's cosine; one whose
+    range explodes dominates T5b's hyperplane buckets).  min/max are
+    EXACT on floats (no accumulation — unlike sums, order cannot change
+    them), emitted as float64 so both sides widen float32 identically
+    (unnest + generate_subscripts + min/max oracle).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per batch
+    (one flatten — the list child is contiguous), one np.min/np.max per
+    axis reduces each batch to d partial rows, and the k=1 merge folds
+    O(batches × d) rows with one group_by."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0)),
+                "hi": pa.array(m.max(axis=0)),
+                "n": pa.array(np.full(d, n, np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "min_x": pa.array([], pa.float64()),
+                    "max_x": pa.array([], pa.float64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dim", use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "min_x": pc.cast(g["lo_min"], pa.float64()),
+                "max_x": pc.cast(g["hi_max"], pa.float64()),
+                "n_vecs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
