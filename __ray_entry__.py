@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_primary_migration(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_primary_migration
+
+    return events_primary_migration(sf_dir)
+
+
 def _q_events_record_minutes(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_record_minutes
 
@@ -975,6 +981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_record_minutes": _q_events_record_minutes,
         "embedding_dim_profile": td.embedding_dim_profile,
         "rel_banded_revenue": rel.banded_revenue,
+        "events_primary_migration": _q_events_primary_migration,
+        "doc_freq_coverage": td.freq_coverage,
+        "rel_market_share": rel.market_share,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1817,6 +1826,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_primary_migration": """
+            WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                           AS mid FROM events),
+                 c AS (SELECT user_id, event_type,
+                              CASE WHEN epoch_us(ts) <
+                                        (SELECT mid FROM b)
+                                   THEN 0 ELSE 1 END AS half,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2, 3),
+                 r AS (SELECT user_id, half, event_type,
+                              row_number() OVER (PARTITION BY user_id,
+                                                 half
+                                                 ORDER BY n DESC,
+                                                          event_type)
+                                  AS rn
+                       FROM c)
+            SELECT a.event_type AS from_type,
+                   z.event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id, event_type FROM r
+                  WHERE rn = 1 AND half = 0) a
+            JOIN (SELECT user_id, event_type FROM r
+                  WHERE rn = 1 AND half = 1) z USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "doc_freq_coverage": """
+            WITH w AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                       FROM w GROUP BY 1),
+                 tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+                 f(min_freq) AS (VALUES (10), (100), (1000))
+            SELECT CAST(f.min_freq AS BIGINT) AS min_freq,
+                   CAST(coalesce(sum(CASE WHEN c.n >= f.min_freq
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_words,
+                   CAST(coalesce(sum(CASE WHEN c.n >= f.min_freq
+                                          THEN c.n ELSE 0 END), 0)
+                        AS BIGINT) AS n_occurrences,
+                   CAST((1000 * coalesce(sum(CASE WHEN c.n >= f.min_freq
+                                                  THEN c.n ELSE 0 END),
+                                         0))
+                        // greatest((SELECT t FROM tot), 1) AS BIGINT)
+                       AS coverage_permille
+            FROM f CROSS JOIN c GROUP BY 1
+        """,
+        "rel_market_share": """
+            WITH rc AS (SELECT n_nationkey FROM nation
+                        JOIN region ON n_regionkey = r_regionkey
+                        WHERE r_name = 'AMERICA'),
+                 x AS (SELECT n_nationkey FROM nation
+                       WHERE n_name = 'NATION_1'),
+                 j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT)
+                                  AS o_year,
+                              CAST(floor(l.l_extendedprice
+                                         * (1 - l.l_discount)) AS BIGINT)
+                                  AS rev,
+                              CASE WHEN s.s_nationkey =
+                                        (SELECT n_nationkey FROM x)
+                                   THEN 1 ELSE 0 END AS xb
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       WHERE c.c_nationkey IN
+                             (SELECT n_nationkey FROM rc))
+            SELECT o_year,
+                   CAST(sum(rev) AS BIGINT) AS total_rev,
+                   CAST(sum(xb * rev) AS BIGINT) AS nation_rev,
+                   CAST((1000 * sum(xb * rev))
+                        // greatest(sum(rev), 1) AS BIGINT)
+                       AS share_permille
+            FROM j GROUP BY 1
         """,
         "events_record_minutes": """
             WITH c AS (SELECT event_type AS source,

@@ -311,6 +311,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_record_minutes",
         "embedding_dim_profile",
         "rel_banded_revenue",
+        "events_primary_migration",
+        "doc_freq_coverage",
+        "rel_market_share",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

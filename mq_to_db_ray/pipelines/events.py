@@ -6641,3 +6641,114 @@ def events_record_minutes(sf_dir: str, window_buckets: int = 4096) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_primary_migration(sf_dir: str) -> Dataset:
+    """E87: primary-type migration matrix — split the stream at its
+    temporal midpoint ((min_ts + max_ts) // 2): for users active in BOTH
+    halves, the (first-half primary type → second-half primary type)
+    transition counts under E80's argmax + tie rule — behavioral DRIFT
+    of the user base (E56 tracks event-to-event transitions, E87
+    era-to-era identity changes; the diagonal is the stable core).
+    Exact int64 (two rn=1 CTEs joined on user oracle).
+
+    Scale shape — E80's argmax fold run once per (user, half) on the
+    SAME single user-hash exchange: per batch (user, half, type, n)
+    partials; each partition lexsorts (user, half, −n, type) once, reads
+    both halves' argmaxes as run heads, pairs them where a user has
+    both, and bincounts straight to (from, to, n) partials; k=1 merge of
+    O(types²) rows.  The midpoint is one footer-cheap min/max pass."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    bounds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    lo_us = int(np.datetime64(bounds.min("ts"), "us").astype(np.int64))
+    hi_us = int(np.datetime64(bounds.max("ts"), "us").astype(np.int64))
+    mid = (lo_us + hi_us) // 2
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        half = (ts_us >= mid).astype(np.int64)
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "h": pa.array(half),
+                "c": code,
+            }
+        )
+        g = t.group_by(["user_id", "h", "c"], use_threads=False).aggregate(
+            [("c", "count")]
+        )
+        return g.rename_columns(["user_id", "h", "c", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["user_id", "h", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        uu = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        hh = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, -nn, hh, uu))
+        u2, h2, c2 = uu[order], hh[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (h2[1:] != h2[:-1])
+        heads = np.flatnonzero(new)  # argmax row per (user, half)
+        hu, hh2, hc = u2[heads], h2[heads], c2[heads]
+        # pair halves: (user, half) heads are sorted by (user, half), so a
+        # user with both halves occupies two consecutive rows (0 then 1)
+        both = np.flatnonzero(
+            (hu[:-1] == hu[1:]) & (hh2[:-1] == 0) & (hh2[1:] == 1)
+        )
+        pair = hc[both] * ns + hc[both + 1]
+        vals, freq = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "p": pa.array(vals, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("p", use_threads=False).aggregate([("n", "sum")])
+        pp = g["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "from_type": srcs.take(pa.array(pp // ns, pa.int64())),
+                "to_type": srcs.take(pa.array(pp % ns, pa.int64())),
+                "n_users": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        partials, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "p", merge, k=1)

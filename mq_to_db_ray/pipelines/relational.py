@@ -2688,3 +2688,292 @@ def banded_revenue(
     dim = part.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "arm", merge, k=1)
+
+
+def market_share(
+    sf_dir: str, region: str = "AMERICA", nation: str = "NATION_1"
+) -> Dataset:
+    """R17: supplier market share (the TPC-H Q8 shape) — per order year,
+    over lines bought by CUSTOMERS of ``region``: total floored revenue,
+    the slice supplied by SUPPLIERS of ``nation``, and the share in
+    permille — "how much of that market do our suppliers hold", the
+    share-of-a-join dual of R12 (there the measure splits on a part
+    attribute; here on an attribute of the OTHER side of the same
+    order).  Exact int64 (4-way join + region IN-filter + CASE-sum +
+    year GROUP BY oracle).
+
+    Scale shape — R15's three co-partitioned hops with the REGION
+    filter pushed into the first dim partial (customers outside the
+    region never enter the exchange — at 5 regions that is ~80% of the
+    customer dim gone before any shuffle) and the order YEAR riding the
+    customer side (Q8 groups by ORDER date, not ship date):
+      1. CUSTKEY hop: region-filtered customers × orders →
+         (orderkey, year);
+      2. SUPPKEY hop: suppliers reduced to a nation BIT × lineitem
+         pre-reduced per (suppkey, orderkey) → (orderkey, bit, rev);
+      3. ORDERKEY hop: the semi-join closes (only region orders
+         survive), rows collapse to (year, total, nation_rev)
+         partials; k=1 merge emits the permille."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(
+        int(k) for k in nat.loc[nat["n_regionkey"] == rk, "n_nationkey"]
+    )
+    xkey = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    rn_arr = pa.array(sorted(region_nations), pa.int64())
+
+    # ---- hop 1 (CUSTKEY): region orders -> (orderkey, year) ----
+    def cust_dim(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(b["c_nationkey"], pa.int64()), value_set=rn_arr)
+        kept = b.filter(keep)
+        n = kept.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(kept["c_custkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "yr": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts_us.astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "okey": pc.cast(b["o_orderkey"], pa.int64()),
+                "yr": pa.array(yr),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"okey": pa.array([], pa.int64()), "yr": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = np.sort(d["k"].combine_chunks().to_numpy(zero_copy_only=False))
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk, fk), 0, len(dk) - 1)
+        hit = dk[pos] == fk  # semi-join: region customers only
+        return pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "yr": pc.cast(f["yr"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+
+    cust_side = hash_partition_merge(
+        ords.map_batches(order_row, batch_format="pyarrow").union(
+            cust.map_batches(cust_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 2 (SUPPKEY): (orderkey, nation bit, rev) ----
+    def supp_dim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        xb = pc.cast(
+            pc.equal(pc.cast(b["s_nationkey"], pa.int64()), xkey), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "xb": xb,
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "okey": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "okey"], use_threads=False).aggregate(
+            [("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "okey", "rev"])
+        return g.append_column(
+            "xb", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "okey", "xb", "rev"])
+
+    def fold_supp(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "okey": pa.array([], pa.int64()),
+                "xb": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dx = d["xb"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        out = pa.table(
+            {
+                "okey": pc.cast(f["okey"], pa.int64()).filter(pa.array(hit)),
+                "xb": pa.array(dx[pos][hit], pa.int64()),
+                "rev": pc.cast(f["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = out.group_by(["okey", "xb"], use_threads=False).aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["okey", "xb", "rev"])
+
+    supp_side = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            sup.map_batches(supp_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_supp,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 3 (ORDERKEY): semi-join on region orders; year attaches ----
+    def cust_tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "okey": b["okey"],
+                "xb": pa.array(np.full(n, -9, np.int64)),  # cust role
+                "rev": b["yr"],  # year rides the rev lane
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "yr": pa.array([], pa.int64()),
+                "tot": pa.array([], pa.int64()),
+                "xrev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        xb = t["xb"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = xb == -9
+        c = t.filter(pa.array(is_cust))
+        f = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or f.num_rows == 0:
+            return empty
+        ck = c["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        cyr = c["rev"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        fx = f["xb"].combine_chunks().to_numpy(zero_copy_only=False)
+        frev = f["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck_s, fk), 0, len(ck_s) - 1)
+        hit = ck_s[pos] == fk
+        cells = pa.table(
+            {
+                "yr": pa.array(cyr[pos][hit], pa.int64()),
+                "tot": pa.array(frev[hit], pa.int64()),
+                "xrev": pa.array((frev * fx)[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by("yr", use_threads=False).aggregate(
+            [("tot", "sum"), ("xrev", "sum")]
+        )
+        return g.rename_columns(["yr", "tot", "xrev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "total_rev": pa.array([], pa.int64()),
+                    "nation_rev": pa.array([], pa.int64()),
+                    "share_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("tot", "sum"), ("xrev", "sum")]
+        )
+        tot = g["tot_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        xr = g["xrev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_year": pc.cast(g["yr"], pa.int64()),
+                "total_rev": pa.array(tot),
+                "nation_rev": pa.array(xr),
+                "share_permille": pa.array(
+                    (1000 * xr) // np.maximum(tot, 1)
+                ),
+            }
+        )
+
+    both = supp_side.union(
+        cust_side.map_batches(cust_tag, batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(
+        both, "okey", fold_order, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "yr", merge, k=1)

@@ -5932,3 +5932,96 @@ def embedding_dim_profile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+FREQ_COVERAGE_FLOORS: tuple[int, ...] = (10, 100, 1000)
+
+
+def freq_coverage(
+    sf_dir: str, floors: tuple[int, ...] = FREQ_COVERAGE_FLOORS
+) -> Dataset:
+    """T76: frequency-coverage board — for each corpus-frequency floor F:
+    words with ≥ F occurrences, their total occurrences, and the permille
+    of ALL word occurrences they cover — the vocab-size planning curve
+    behind T24's id mapping ("a 10k vocab built at floor F covers X‰ of
+    the stream; everything else is <unk>").  Floor-thresholds instead of
+    top-N so the answer is TIE-FREE (a top-N cut at the frequency
+    boundary is ambiguous; ≥ F is not); one dense row per floor ALWAYS.
+    Exact int64 (HAVING-style CASE-sum oracle; hash/string collision
+    convention).
+
+    Scale shape — T16's exact-count exchange with a threshold tail: per
+    batch one word-hash count pass; each word's corpus count settles
+    exactly in its hash partition, which reduces IN PLACE to ≤ floors+1
+    rows (per-floor word/occurrence sums + the partition's total) — the
+    vocabulary never leaves the partitions; k=1 merge of O(k × floors)
+    rows emits the permilles."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uh, _n = ts.batch_word_hashes(batch["text"])
+        vals, freq = np.unique(uh, return_counts=True)
+        return pa.table(
+            {
+                "wh": pa.array(vals.view(np.int64), pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "f": pa.array([], pa.int64()),
+                    "nw": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("wh", use_threads=False).aggregate([("n", "sum")])
+        cnt = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = {"f": [], "nw": [], "occ": [], "tot": []}
+        for fl in floors:
+            sel = cnt >= fl
+            rows["f"].append(fl)
+            rows["nw"].append(int(sel.sum()))
+            rows["occ"].append(int(cnt[sel].sum()))
+            rows["tot"].append(int(cnt.sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        nw = np.zeros(len(floors), np.int64)
+        occ = np.zeros(len(floors), np.int64)
+        tot = np.zeros(len(floors), np.int64)
+        if t.num_rows:
+            g = t.group_by("f", use_threads=False).aggregate(
+                [("nw", "sum"), ("occ", "sum"), ("tot", "sum")]
+            )
+            ff = g["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = {int(fl): i for i, fl in enumerate(floors)}
+            idx = np.array([pos[int(x)] for x in ff], np.int64)
+            nw[idx] = g["nw_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            occ[idx] = g["occ_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            tot[idx] = g["tot_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "min_freq": pa.array(list(floors), pa.int64()),
+                "n_words": pa.array(nw),
+                "n_occurrences": pa.array(occ),
+                "coverage_permille": pa.array(
+                    (1000 * occ) // np.maximum(tot, 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "wh", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(cells, "f", merge, k=1)
