@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_transition_latency(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_transition_latency
+
+    return events_transition_latency(sf_dir)
+
+
 def _q_events_primary_migration(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_primary_migration
 
@@ -984,6 +990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_primary_migration": _q_events_primary_migration,
         "doc_freq_coverage": td.freq_coverage,
         "rel_market_share": rel.market_share,
+        "events_transition_latency": _q_events_transition_latency,
+        "doc_split_board": td.split_board,
+        "rel_lapsed_customers": rel.lapsed_customers,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1825,6 +1834,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY 1
+        """,
+        "events_transition_latency": """
+            WITH o AS (SELECT user_id, event_type, ts,
+                              lead(event_type) OVER w AS nt,
+                              lead(ts) OVER w AS nts
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+                 g AS (SELECT event_type AS from_type, nt AS to_type,
+                              (epoch_us(nts) - epoch_us(ts)) // 1000000
+                                  AS gap_s
+                       FROM o WHERE nt IS NOT NULL)
+            SELECT from_type, to_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s
+            FROM g GROUP BY 1, 2
+        """,
+        "doc_split_board": """
+            WITH a AS (SELECT doc_id, text,
+                              CAST(len(str_split(text, ' ')) AS BIGINT)
+                                  AS ntok,
+                              ((doc_id % 1000000007) * 2654435761)
+                                  % 1000000007 % 1000 AS b
+                       FROM documents),
+                 s AS (SELECT doc_id, text, ntok,
+                              CASE WHEN b < 980 THEN 'train'
+                                   WHEN b < 990 THEN 'val'
+                                   ELSE 'test' END AS split
+                       FROM a),
+                 leak AS (SELECT s1.split,
+                                 CAST(count(*) AS BIGINT) AS n_leaked
+                          FROM s s1
+                          WHERE EXISTS (SELECT 1 FROM s s2
+                                        WHERE s2.text = s1.text
+                                          AND s2.split <> s1.split)
+                          GROUP BY 1),
+                 base AS (SELECT split,
+                                 CAST(count(*) AS BIGINT) AS n_docs,
+                                 CAST(sum(ntok) AS BIGINT) AS n_tokens
+                          FROM s GROUP BY 1),
+                 names(split) AS (VALUES ('train'), ('val'), ('test'))
+            SELECT names.split,
+                   CAST(coalesce(base.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(base.n_tokens, 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(coalesce(leak.n_leaked, 0) AS BIGINT)
+                       AS n_leaked
+            FROM names
+            LEFT JOIN base ON base.split = names.split
+            LEFT JOIN leak ON leak.split = names.split
+        """,
+        "rel_lapsed_customers": """
+            WITH lastord AS (SELECT o_custkey, max(o_orderdate) AS m
+                             FROM orders GROUP BY 1),
+                 c AS (SELECT c_custkey, c_nationkey,
+                              CAST(floor(c_acctbal) AS BIGINT) AS bal,
+                              CASE WHEN m IS NULL
+                                     OR m < TIMESTAMP '2000-01-01'
+                                   THEN 1 ELSE 0 END AS lapsed
+                       FROM customer
+                       LEFT JOIN lastord ON c_custkey = o_custkey)
+            SELECT n_name,
+                   CAST(count(c_custkey) AS BIGINT) AS n_customers,
+                   CAST(coalesce(sum(lapsed), 0) AS BIGINT) AS n_lapsed,
+                   CAST(coalesce(sum(lapsed * bal), 0) AS BIGINT)
+                       AS lapsed_bal_floor
+            FROM nation LEFT JOIN c ON c_nationkey = n_nationkey
             GROUP BY 1
         """,
         "events_primary_migration": """

@@ -314,6 +314,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_primary_migration",
         "doc_freq_coverage",
         "rel_market_share",
+        "events_transition_latency",
+        "doc_split_board",
+        "rel_lapsed_customers",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -6752,3 +6752,127 @@ def events_primary_migration(sf_dir: str) -> Dataset:
         partials, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(per_user, "p", merge, k=1)
+
+
+def events_transition_latency(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """E88: transition-latency quantiles — per (from_type, to_type)
+    adjacent pair in a user's (ts, event_id)-ordered stream: pair count
+    + discrete p50/p90 of the floor-second gap — "how long after a click
+    does the purchase come", the LATENCY dimension E56's Markov counts
+    flatten away (funnel speed, not just funnel flow); exact int64 under
+    the quantile_disc rank rule (lead() + quantile_disc oracle).
+
+    Scale shape — E56's narrow per-event user-hash exchange fused with
+    E81's bounded-domain histogram tail: each partition lexsorts its
+    complete user streams once, adjacent same-user pairs reduce to
+    (from, to, gap_s, freq) partials — flooring to SECONDS bounds the
+    value axis at the data's gap cardinality, never its row count — and
+    every pair's quantiles read off one cumsum in the k=1 merge.
+    Partitioning assumption: E56's (one user's stream fits a task; the
+    (key, ts-window) + carried-edge sub-partitioning applies the same
+    way when it doesn't)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "c": code,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p": pa.array([], pa.int64()),
+                "gap": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, c2 = uu[order], tt[order], cc[order]
+        same = u2[1:] == u2[:-1]
+        if not same.any():
+            return empty
+        pair = (c2[:-1] * ns + c2[1:])[same]
+        gap = ((t2[1:] - t2[:-1]) // 1_000_000)[same]
+        packed = pair * (1 << 40) + gap  # gaps < 2^40 s by construction
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "p": pa.array(vals >> 40, pa.int64()),
+                "gap": pa.array(vals & ((1 << 40) - 1), pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_s" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["p", "gap"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        pp = g["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, pp))
+        p2, v2, f2 = pp[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = p2[1:] != p2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {"p": [], "n": [], **{c: [] for c in names}}
+        for a, b in zip(starts, ends):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["p"].append(int(p2[a]))
+            out["n"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        pv = np.array(out["p"], np.int64)
+        return pa.table(
+            {
+                "from_type": srcs.take(pa.array(pv // ns, pa.int64())),
+                "to_type": srcs.take(pa.array(pv % ns, pa.int64())),
+                "n_pairs": pa.array(out["n"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    narrowed = ds.map_batches(narrow, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        narrowed, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "p", merge, k=1)

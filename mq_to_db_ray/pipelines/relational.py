@@ -2977,3 +2977,162 @@ def market_share(
         both, "okey", fold_order, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "yr", merge, k=1)
+
+
+def lapsed_customers(sf_dir: str, cutoff: str = "2000-01-01") -> Dataset:
+    """R18: lapsed-customer board (the TPC-H Q22 anti-join shape,
+    churn-flavored) — per nation: customers, customers LAPSED (last
+    order strictly before ``cutoff``, or never ordered at all — the
+    NOT-EXISTS lane), and the lapsed customers' floored account-balance
+    total — "how much balance sits with customers we have lost"; one
+    dense row per nation ALWAYS.  Exact int64 (LEFT JOIN max-orderdate +
+    CASE oracle).
+
+    Scale shape — the co-partitioned ANTI/semi join: orders pre-reduce
+    per batch to per-custkey LAST-order partials (max is the combiner,
+    so the exchange carries one row per (batch, custkey), never
+    orders); customers ride as (custkey, nation, floored bal) dim rows;
+    the CUSTKEY hop settles each customer's true last order — or its
+    ABSENCE, decidable only under co-location — and reduces straight to
+    per-nation partials; the k=1 merge densifies over the 25-row nation
+    broadcast."""
+    import datetime as _dt
+
+    cut_us = int(
+        np.datetime64(_dt.datetime.fromisoformat(cutoff), "us").astype(
+            np.int64
+        )
+    )
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nk_pos = {int(k): i for i, k in enumerate(nkeys)}
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def cust_dim(b: pa.Table) -> pa.Table:
+        bal = np.floor(
+            b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "nat": pc.cast(b["c_nationkey"], pa.int64()),
+                "bal": pa.array(bal),
+                "m": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "m": b["o_orderdate"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("m", "max")])
+        g = g.rename_columns(["k", "m"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "k": g["k"],
+                "nat": pa.array(np.full(n, -1, np.int64)),  # fact role
+                "bal": pa.array(np.zeros(n, np.int64)),
+                "m": g["m"],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "lapsed": pa.array([], pa.int64()),
+                "lbal": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        if d.num_rows == 0:
+            return empty
+        f = t.filter(pa.array(~is_dim))
+        # collapse order partials to each custkey's true last order
+        last = np.zeros(0, np.int64)
+        fk = np.zeros(0, np.int64)
+        if f.num_rows:
+            fg = f.group_by("k", use_threads=False).aggregate([("m", "max")])
+            fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            last = fg["m_max"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(fk, kind="stable")
+            fk, last = fk[order], last[order]
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dn = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = d["bal"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(fk):
+            pos = np.clip(np.searchsorted(fk, dk), 0, len(fk) - 1)
+            has = fk[pos] == dk
+            lastd = np.where(has, last[pos], np.int64(-(1 << 62)))
+        else:
+            lastd = np.full(len(dk), -(1 << 62), np.int64)
+        lapsed = (lastd < cut_us).astype(np.int64)  # never-ordered lapses too
+        cells = pa.table(
+            {
+                "nat": pa.array(dn, pa.int64()),
+                "n": pa.array(np.ones(len(dn), np.int64)),
+                "lapsed": pa.array(lapsed),
+                "lbal": pa.array(lapsed * db),
+            }
+        )
+        g = cells.group_by("nat", use_threads=False).aggregate(
+            [("n", "sum"), ("lapsed", "sum"), ("lbal", "sum")]
+        )
+        return g.rename_columns(["nat", "n", "lapsed", "lbal"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(len(nkeys), np.int64)
+        lap = np.zeros(len(nkeys), np.int64)
+        lbal = np.zeros(len(nkeys), np.int64)
+        if t.num_rows:
+            g = t.group_by("nat", use_threads=False).aggregate(
+                [("n", "sum"), ("lapsed", "sum"), ("lbal", "sum")]
+            )
+            kk = g["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.array([nk_pos[int(x)] for x in kk], np.int64)
+            n[idx] = g["n_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            lap[idx] = g["lapsed_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            lbal[idx] = g["lbal_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "n_name": names,
+                "n_customers": pa.array(n),
+                "n_lapsed": pa.array(lap),
+                "lapsed_bal_floor": pa.array(lbal),
+            }
+        )
+
+    fact = ords.map_batches(order_partial, batch_format="pyarrow")
+    dim = cust.map_batches(cust_dim, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "customer"))
+    return hash_partition_merge(cells, "nat", merge, k=1)

@@ -6025,3 +6025,148 @@ def freq_coverage(
     )
     cells = hash_partition_merge(partials, "wh", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(cells, "f", merge, k=1)
+
+
+def split_board(sf_dir: str) -> Dataset:
+    """T77: deterministic train/val/test split + leakage board — assign
+    every doc to a split by the T15 salted-hash convention
+    (((doc_id % p) · 2654435761) % p % 1000 → <980 train, <990 val,
+    else test) and report per split: docs, whitespace tokens, and docs
+    LEAKED — sharing their exact text with a doc in a DIFFERENT split
+    (the contamination mode that silently inflates eval scores; T19
+    checks against an external eval set, T77 against the split's own
+    siblings).  One dense row per split ALWAYS (zero-valued leak column
+    under a dup-free corpus, per the dup-board convention).  Exact int64
+    (hash-formula + text self-join oracle; content-hash collision
+    convention on the leak lane).
+
+    Scale shape — one stateless hash assigns splits batch-locally (the
+    split ITSELF needs no exchange — the property that makes it usable
+    as a read-time filter at 100 TB); the leak lane is T69's
+    content-hash exchange with split FLAGS riding: per batch (text-hash,
+    split, n) cells; each hash partition holds whole dup groups, so
+    "group spans >1 split" decides locally and folds to per-split
+    leaked counts; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    P = 1_000_000_007
+    MULT = 2_654_435_761
+
+    def split_of(doc_id: np.ndarray) -> np.ndarray:
+        b = ((doc_id % P) * MULT) % P % 1000
+        return np.where(b < 980, 0, np.where(b < 990, 1, 2)).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        doc = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sp = split_of(doc)
+        ntok = (
+            pc.cast(
+                pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        h = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        counts = {
+            "h": [],
+            "sp": [],
+            "nd": [],
+            "ntok": [],
+        }
+        packed = h * 4 + sp  # 3 splits fit 2 bits
+        vals, idx, freq = np.unique(
+            packed, return_index=True, return_counts=True
+        )
+        tok_sum = np.zeros(len(vals), np.int64)
+        inv = np.searchsorted(vals, packed)
+        np.add.at(tok_sum, inv, ntok)
+        counts["h"].append(vals >> 2)
+        counts["sp"].append(vals & 3)
+        counts["nd"].append(freq.astype(np.int64))
+        counts["ntok"].append(tok_sum)
+        return pa.table(
+            {k: pa.array(np.concatenate(v)) for k, v in counts.items()}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sp": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "ntok": pa.array([], pa.int64()),
+                    "leak": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["h", "sp"], use_threads=False).aggregate(
+            [("nd", "sum"), ("ntok", "sum")]
+        )
+        hh = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        sp = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ntok = g["ntok_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(hh, kind="stable")
+        h2, sp2, nd2 = hh[order], sp[order], nd[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = h2[1:] != h2[:-1]
+        gid = np.cumsum(new) - 1
+        n_groups = int(new.sum())
+        splits_per_group = np.bincount(gid, minlength=n_groups)
+        spans = splits_per_group > 1  # >1 distinct (hash, split) rows
+        leak_rows = spans[gid]  # rows of multi-split groups
+        leaked = np.zeros(3, np.int64)
+        np.add.at(leaked, sp2[leak_rows], nd2[leak_rows])
+        base_nd = np.zeros(3, np.int64)
+        base_tok = np.zeros(3, np.int64)
+        np.add.at(base_nd, sp, nd)
+        np.add.at(base_tok, sp, ntok)
+        return pa.table(
+            {
+                "sp": pa.array(np.arange(3, dtype=np.int64)),
+                "nd": pa.array(base_nd),
+                "ntok": pa.array(base_tok),
+                "leak": pa.array(leaked),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(3, np.int64)
+        ntok = np.zeros(3, np.int64)
+        leak = np.zeros(3, np.int64)
+        if t.num_rows:
+            g = t.group_by("sp", use_threads=False).aggregate(
+                [("nd", "sum"), ("ntok", "sum"), ("leak", "sum")]
+            )
+            ss = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd[ss] = g["nd_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ntok[ss] = g["ntok_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            leak[ss] = g["leak_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "split": pa.array(["train", "val", "test"], pa.string()),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(ntok),
+                "n_leaked": pa.array(leak),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(cells, "sp", merge, k=1)
