@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_max_value(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_max_value_event
+
+    return events_max_value_event(sf_dir)
+
+
 def _q_events_transition_latency(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_transition_latency
 
@@ -993,6 +999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_latency": _q_events_transition_latency,
         "doc_split_board": td.split_board,
         "rel_lapsed_customers": rel.lapsed_customers,
+        "events_max_value_event": _q_events_max_value,
+        "embedding_norm_hist": td.embedding_norm_hist,
+        "rel_ltv_digits": rel.ltv_digit_bands,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1835,6 +1844,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_max_value_event": """
+            WITH r AS (SELECT event_type AS source, event_id, ts, value,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY value DESC,
+                                                          event_id) AS rn
+                       FROM events)
+            SELECT source, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM r WHERE rn = 1
+        """,
+        "embedding_norm_hist": """
+            WITH q AS (SELECT list_sum(list_transform(embedding,
+                                  x -> CAST(floor(1000
+                                            * CAST(x AS DOUBLE)
+                                            * CAST(x AS DOUBLE))
+                                            AS BIGINT))) AS s
+                       FROM embeddings)
+            SELECT CAST(s // 2 AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM q GROUP BY 1
+        """,
+        "rel_ltv_digits": """
+            WITH orev AS (SELECT l_orderkey,
+                                 CAST(sum(CAST(floor(l_extendedprice
+                                               * (1 - l_discount))
+                                               AS BIGINT)) AS BIGINT)
+                                     AS rev
+                          FROM lineitem GROUP BY 1),
+                 crev AS (SELECT o_custkey,
+                                 CAST(sum(rev) AS BIGINT) AS rev
+                          FROM orev JOIN orders
+                               ON l_orderkey = o_orderkey
+                          GROUP BY 1)
+            SELECT CAST(length(CAST(rev AS VARCHAR)) AS BIGINT)
+                       AS n_digits,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(rev) AS BIGINT) AS revenue_floor
+            FROM crev GROUP BY 1
         """,
         "events_transition_latency": """
             WITH o AS (SELECT user_id, event_type, ts,

@@ -317,6 +317,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_transition_latency",
         "doc_split_board",
         "rel_lapsed_customers",
+        "events_max_value_event",
+        "embedding_norm_hist",
+        "rel_ltv_digits",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

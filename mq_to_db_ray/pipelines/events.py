@@ -6876,3 +6876,98 @@ def events_transition_latency(
         narrowed, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(per_user, "p", merge, k=1)
+
+
+def events_max_value_event(sf_dir: str) -> Dataset:
+    """E89: max-value drill-down — per source: the RAW EVENT ROW
+    (event_id, ts, value) achieving the maximum ``value`` (ties → lowest
+    event_id, so the answer is unique) — record RETRIEVAL, not
+    aggregation: the "show me the actual spike" click-through behind
+    E17's OHLC high and E44's anomaly list; the payload column travels
+    ONLY for each batch's single winner.  Exact (row_number rn=1 oracle;
+    doubles pass through untouched — no arithmetic, so no float risk).
+
+    Scale shape — the argmax combiner at its narrowest: each batch
+    keeps ONE candidate row per source (a batch's loser can never beat
+    its winner globally), so O(batches × sources) rows reach the k=1
+    merge, which re-applies the same (value DESC, event_id ASC) rule."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def top1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = pc.cast(b["event_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        val = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, -val, code))
+        c2 = code[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = c2[1:] != c2[:-1]
+        keep = order[new]
+        return pa.table(
+            {
+                "c": pa.array(code[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "t": pa.array(tt[keep], pa.int64()),
+                "value": pa.array(val[keep], pa.float64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        code = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, code))
+        c2 = code[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = c2[1:] != c2[:-1]
+        keep = order[new]
+        take = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(code[keep], pa.int64())),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "ts": t["t"].combine_chunks().take(take).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array(val[keep], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(top1, batch_format="pyarrow")
+    return hash_partition_merge(partials, "c", merge, k=1)

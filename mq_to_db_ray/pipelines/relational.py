@@ -3136,3 +3136,155 @@ def lapsed_customers(sf_dir: str, cutoff: str = "2000-01-01") -> Dataset:
     dim = cust.map_batches(cust_dim, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "customer"))
     return hash_partition_merge(cells, "nat", merge, k=1)
+
+
+def ltv_digit_bands(sf_dir: str) -> Dataset:
+    """R19: lifetime-value magnitude histogram — per DECIMAL-DIGIT count
+    of each customer's floored lifetime revenue Σfloor(extprice·(1−disc))
+    (digits = order of magnitude + 1; revenue 0 → 1 digit): customer
+    count and that band's revenue total — the LTV distribution board a
+    revenue team reads as "how many 5-figure customers do we have"
+    (R9 names the top 20; R19 shapes the whole base).  Digit bands
+    instead of log2/log10 floats so the boundary is EXACT (an integer
+    compare against powers of ten, never a float log at 10^k); exact
+    int64 (length(CAST(rev AS VARCHAR)) oracle).
+
+    Scale shape — two chained co-partitioned pre-reduces (R9's path
+    without the name attach): lineitem → per-order revenue partials →
+    ORDERKEY hop attaches custkey and re-reduces to per-customer
+    partials → CUSTKEY hop settles each customer's exact lifetime total
+    and bincounts its digits IN PLACE — O(partitions × ~10) band rows
+    reach the k=1 merge; the customer dim never ships (digits need no
+    attribute)."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 1 (ORDERKEY): per-order revenue -> custkey ----
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        g = g.rename_columns(["k", "rev"])
+        return g.append_column(
+            "ck", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "ck", "rev"])
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "rev": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ck": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dck = d["ck"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        out = pa.table(
+            {
+                "ck": pa.array(dck[pos][hit], pa.int64()),
+                "rev": pc.cast(fg["rev_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
+        )
+        g = out.group_by("ck", use_threads=False).aggregate([("rev", "sum")])
+        return g.rename_columns(["ck", "rev"])
+
+    cust_rev = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            ords.map_batches(order_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2 (CUSTKEY): exact lifetime totals -> digit bands ----
+    POW10 = np.array([10**i for i in range(1, 19)], np.int64)
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dg": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("ck", use_threads=False).aggregate([("rev", "sum")])
+        rev = g["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        digits = np.searchsorted(POW10, rev, side="right") + 1
+        cells = pa.table(
+            {
+                "dg": pa.array(digits.astype(np.int64)),
+                "n": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g2 = cells.group_by("dg", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g2.rename_columns(["dg", "n", "rev"])
+
+    # width keyed on orders (the customer dim itself never ships here)
+    bands = hash_partition_merge(
+        cust_rev, "ck", fold_cust, k=_rel_k(sf_dir, "orders")
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_digits": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dg", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "n_digits": pc.cast(g["dg"], pa.int64()),
+                "n_customers": pc.cast(g["n_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(bands, "dg", merge, k=1)

@@ -6170,3 +6170,68 @@ def split_board(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(cells, "sp", merge, k=1)
+
+
+def embedding_norm_hist(sf_dir: str, band_width: int = 2) -> Dataset:
+    """T78: embedding norm histogram — per band of the INTEGER-QUANTIZED
+    squared L2 norm (Σ floor(1000·x²), banded by ``band_width``): vector
+    count — the normalization audit run before cosine ANN (T6/T7/T8
+    assume comparable norms; a bimodal band histogram means two
+    un-normalized populations and broken similarity scores).  The
+    element-wise floor happens BEFORE the sum, so both sides add exact
+    int64 — float addition order (numpy pairwise vs DuckDB sequential)
+    can never differ (unnest/list_transform + list_sum would; this is
+    the T68 double-floor convention applied per element).  Exact int64.
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per batch,
+    one float64 square + floor + row-sum per batch reduces to (band,
+    freq) partials over a tiny domain; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int64()), "f": pa.array([], pa.int64())}
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        q = np.floor(1000.0 * m * m).astype(np.int64).sum(axis=1)
+        band = q // band_width
+        vals, freq = np.unique(band, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("band", use_threads=False).aggregate([("f", "sum")])
+        return pa.table(
+            {
+                "band": pc.cast(g["band"], pa.int64()),
+                "n_vecs": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)
