@@ -1002,6 +1002,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_max_value_event": _q_events_max_value,
         "embedding_norm_hist": td.embedding_norm_hist,
         "rel_ltv_digits": rel.ltv_digit_bands,
+        "f1_token_band_hist": lambda sf_dir: td.token_band_hist(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "f1_seq_dedup": lambda sf_dir: td.seq_dedup_board(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_fulfillment_latency": rel.fulfillment_latency,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1844,6 +1851,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "f1_token_band_hist": """
+            SELECT source, CAST(t // 4096 AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT source, unnest(tokens) AS t
+                  FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+            GROUP BY 1, 2
+        """,
+        "f1_seq_dedup": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(count(DISTINCT tokens) AS BIGINT) AS n_unique,
+                   CAST(count(*) - count(DISTINCT tokens) AS BIGINT)
+                       AS n_dup_copies,
+                   CAST((1000 * (count(*) - count(DISTINCT tokens)))
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS dup_permille
+            FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+            GROUP BY 1
+        """,
+        "rel_fulfillment_latency": """
+            WITH j AS (SELECT o_orderpriority,
+                              (epoch_us(l_shipdate)
+                               - epoch_us(o_orderdate)) // 86400000000
+                                  AS gap
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_days,
+                   CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_days
+            FROM j GROUP BY 1
         """,
         "events_max_value_event": """
             WITH r AS (SELECT event_type AS source, event_id, ts, value,

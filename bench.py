@@ -320,6 +320,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_max_value_event",
         "embedding_norm_hist",
         "rel_ltv_digits",
+        "f1_token_band_hist",
+        "f1_seq_dedup",
+        "rel_fulfillment_latency",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

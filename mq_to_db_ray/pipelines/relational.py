@@ -3288,3 +3288,153 @@ def ltv_digit_bands(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(bands, "dg", merge, k=1)
+
+
+def fulfillment_latency(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """R20: fulfillment-latency quantiles — per order priority: line
+    count + discrete p50/p90 of each line's floor-day ship delay
+    (l_shipdate − o_orderdate) — the SLA distribution behind R2's
+    volume board (R2 counts what shipped; R20 how LATE it shipped,
+    priority by priority).  Exact int64 under the quantile_disc rank
+    rule (epoch_us floor-div + quantile_disc oracle; priority identity
+    is the exact broadcast rank).
+
+    Scale shape — R2's co-partitioned ORDERKEY join with E81's
+    bounded-domain histogram tail: line batches pre-reduce to
+    (orderkey, ship_ts, n) cells (same-day lines of an order collapse);
+    orders ride as (orderkey, priority-rank, orderdate); the fold's
+    searchsorted attach turns cells into (priority, gap_days, n)
+    partials — the value domain is the RETENTION WINDOW in days, never
+    the line count — and every priority's quantiles read off one cumsum
+    in the k=1 merge."""
+    pris = _priority_rank(sf_dir)
+    pri_arr = pa.array(list(pris), pa.string())
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        pr = pc.cast(
+            pc.index_in(b["o_orderpriority"], value_set=pri_arr), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "pr": pr,
+                "t": b["o_orderdate"].cast(pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),  # dim role
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "t": b["l_shipdate"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "t"], use_threads=False).aggregate(
+            [("t", "count")]
+        )
+        g = g.rename_columns(["k", "t", "n"])
+        return g.append_column(
+            "pr", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "pr", "t", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pr": pa.array([], pa.int64()),
+                "gap": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_fact = nn > 0
+        d = t.filter(pa.array(~is_fact))
+        f = t.filter(pa.array(is_fact))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dpr = d["pr"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        dt = d["t"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ft = f["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        gap = (ft[hit] - dt[pos][hit]) // 86_400_000_000
+        cells = pa.table(
+            {
+                "pr": pa.array(dpr[pos][hit], pa.int64()),
+                "gap": pa.array(gap, pa.int64()),
+                "n": pa.array(fn[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by(["pr", "gap"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["pr", "gap", "n"])
+
+    names = tuple(f"p{q // 10}_days" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["pr", "gap"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        pp = g["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, pp))
+        p2, v2, f2 = pp[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = p2[1:] != p2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {"p": [], "n": [], **{c: [] for c in names}}
+        for a, b in zip(starts, ends):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["p"].append(int(p2[a]))
+            out["n"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "o_orderpriority": pri_arr.take(
+                    pa.array(out["p"], pa.int64())
+                ),
+                "n_lines": pa.array(out["n"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    fact = lines.map_batches(line_partial, batch_format="pyarrow")
+    dim = ords.map_batches(order_dim, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "pr", merge, k=1)

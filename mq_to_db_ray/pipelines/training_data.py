@@ -6235,3 +6235,222 @@ def embedding_norm_hist(sf_dir: str, band_width: int = 2) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def token_band_hist(
+    sf_dir: str, band_width: int = 4096
+) -> Dataset:
+    """T79/F: token-id band histogram over the F1 tokenized stream — per
+    (source, token_id // band_width): occurrence count — the vocabulary
+    USAGE heatmap of the flagship payload (a band the tokenizer never
+    emits is reclaimable id space; a band one source saturates flags
+    domain skew), the id-space dual of T16's per-token heavy hitters.
+    Exact int64 (unnest + integer-divide oracle).
+
+    Scale shape — ZERO corpus-sized exchange: one flatten + one
+    bit-packed np.unique per batch reduces the token stream to
+    (source, band, freq) partials over a ≤ sources × (vocab/band_width)
+    domain; k=1 merge.  The token lists themselves never shuffle."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = np.repeat(code, nper) * (1 << 32) + flat // band_width
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(vals >> 32, pa.int64()),
+                "band": pa.array(vals & 0xFFFFFFFF, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "band": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["src", "band"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["src"].combine_chunks()),
+                "band": pc.cast(g["band"], pa.int64()),
+                "n_tokens": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def seq_dedup_board(sf_dir: str) -> Dataset:
+    """T80/F: sequence-level exact-dedup board over the F1 tokenized
+    stream — per source: sequences, DISTINCT token arrays, duplicate
+    copies (seqs − distinct), dup permille — T1's exact dedup asked of
+    the TOKENIZED payload (post-tokenization dedup catches what T1
+    misses: two texts that tokenize identically), and the training-side
+    answer to E84's redelivery accounting.  One dense row per source
+    ALWAYS.  Exact int64 (count(DISTINCT tokens) on the LIST column
+    oracle; engine hashes token arrays — polars 64-bit list hash, the
+    T69 content-hash collision convention).
+
+    Scale shape — E84's dedupe + counter-stream exchange with the key
+    built from the PAYLOAD: one polars list-hash per batch (tokens never
+    shuffle — only their 8-byte hashes), distinct (hash, source) pairs +
+    per-(batch, source) raw counters ride ONE hash exchange; partitions
+    re-dedupe exactly and reduce to per-source (raw, uniq) partials;
+    k=1 merge."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = (
+            pl.from_arrow(b.select(["tokens"]))["tokens"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        raw = np.bincount(code, minlength=ns).astype(np.int64)
+        live = np.flatnonzero(raw)
+        order = np.lexsort((h, code))
+        c2, h2 = code[order], h[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (c2[1:] != c2[:-1]) | (h2[1:] != h2[:-1])
+        return pa.table(
+            {
+                "hh": pa.array(
+                    np.concatenate([-1 - live.astype(np.int64), h2[new]])
+                ),
+                "s": pa.array(
+                    np.concatenate([live.astype(np.int64), c2[new]])
+                ),
+                "raw": pa.array(
+                    np.concatenate(
+                        [raw[live], np.zeros(int(new.sum()), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "raw": pa.array([], pa.int64()),
+                    "uniq": pa.array([], pa.int64()),
+                }
+            )
+        hh = t["hh"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        rawv = t["raw"].combine_chunks().to_numpy(zero_copy_only=False)
+        # counter rows use the low id lane -1..-ns (hash rows are raw
+        # 64-bit values, which can be negative too — disambiguate by raw>0)
+        is_ctr = rawv > 0
+        raw_sum = np.bincount(ss[is_ctr], weights=rawv[is_ctr], minlength=ns)
+        c2, h2 = ss[~is_ctr], hh[~is_ctr]
+        order = np.lexsort((h2, c2))
+        c2, h2 = c2[order], h2[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (c2[1:] != c2[:-1]) | (h2[1:] != h2[:-1])
+        uniq = np.bincount(c2[new], minlength=ns).astype(np.int64)
+        live = (raw_sum > 0) | (uniq > 0)
+        idx = np.flatnonzero(live)
+        return pa.table(
+            {
+                "s": pa.array(idx.astype(np.int64)),
+                "raw": pa.array(raw_sum[idx].astype(np.int64)),
+                "uniq": pa.array(uniq[idx]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        raw = np.zeros(ns, np.int64)
+        un = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [("raw", "sum"), ("uniq", "sum")]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            raw[ss] = g["raw_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            un[ss] = g["uniq_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        dup = raw - un
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(raw),
+                "n_unique": pa.array(un),
+                "n_dup_copies": pa.array(dup),
+                "dup_permille": pa.array((1000 * dup) // np.maximum(raw, 1)),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_hash = hash_partition_merge(partials, "hh", fold, k=_doc_k_files(files))
+    return hash_partition_merge(per_hash, "s", merge, k=1)
+
+
+def _doc_k_files(files) -> int:
+    """adaptive_width over an explicit file list (the F1 cache has no
+    fixed documents.parquet path)."""
+    from ..stages.shuffle import adaptive_width
+
+    return adaptive_width(files[0], 25_000)
