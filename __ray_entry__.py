@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_daily_churn(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_daily_churn
+
+    return events_daily_churn(sf_dir)
+
+
 def _q_events_max_value(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_max_value_event
 
@@ -1009,6 +1015,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_fulfillment_latency": rel.fulfillment_latency,
+        "events_daily_churn": _q_events_daily_churn,
+        "doc_lang_confusion": td.lang_confusion,
+        "rel_order_gaps": rel.order_gap_quantiles,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1851,6 +1860,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_daily_churn": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+                 l AS (SELECT user_id, day,
+                              lag(day) OVER (PARTITION BY user_id
+                                             ORDER BY day) AS pd,
+                              lead(day) OVER (PARTITION BY user_id
+                                              ORDER BY day) AS nd
+                       FROM d),
+                 nr AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+                               CAST(sum(CASE WHEN pd = day - 1
+                                             THEN 1 ELSE 0 END)
+                                    AS BIGINT) AS n_retained
+                        FROM l GROUP BY 1),
+                 ch AS (SELECT day + 1 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM l WHERE nd IS NULL OR nd > day + 1
+                        GROUP BY 1)
+            SELECT nr.day AS day_id, nr.dau,
+                   CAST(nr.dau - nr.n_retained AS BIGINT) AS n_new,
+                   nr.n_retained,
+                   CAST(coalesce(ch.c, 0) AS BIGINT) AS n_churned
+            FROM nr LEFT JOIN ch ON ch.day = nr.day
+        """,
+        "doc_lang_confusion": """
+            WITH w AS (SELECT doc_id,
+                              list_distinct(str_split(lower(text), ' ')) AS ws
+                       FROM documents),
+            v AS (SELECT doc_id,
+                         len(list_filter(ws, x -> x IN
+                             ('the','and','of','to','is','a','in','that'))) AS en,
+                         len(list_filter(ws, x -> x IN
+                             ('der','die','das','und','ist','nicht','ein'))) AS de,
+                         len(list_filter(ws, x -> x IN
+                             ('le','la','les','et','est','une','que'))) AS fr
+                  FROM w),
+            p AS (SELECT doc_id,
+                         CASE WHEN greatest(en, de, fr) = 0 THEN 'unknown'
+                              WHEN fr >= en AND fr >= de THEN 'fr'
+                              WHEN en >= de THEN 'en'
+                              ELSE 'de' END AS lang_pred
+                  FROM v)
+            SELECT d.lang, p.lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "rel_order_gaps": """
+            WITH o AS (SELECT o_custkey, o_orderdate,
+                              lag(o_orderdate) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS pd
+                       FROM orders),
+                 g AS (SELECT (epoch_us(o_orderdate) - epoch_us(pd))
+                                  // 86400000000 AS gap
+                       FROM o WHERE pd IS NOT NULL)
+            SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_days,
+                   CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_days
+            FROM g
         """,
         "f1_token_band_hist": """
             SELECT source, CAST(t // 4096 AS BIGINT) AS band,

@@ -323,6 +323,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "f1_token_band_hist",
         "f1_seq_dedup",
         "rel_fulfillment_latency",
+        "events_daily_churn",
+        "doc_lang_confusion",
+        "rel_order_gaps",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

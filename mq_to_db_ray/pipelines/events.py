@@ -6971,3 +6971,125 @@ def events_max_value_event(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(top1, batch_format="pyarrow")
     return hash_partition_merge(partials, "c", merge, k=1)
+
+
+def events_daily_churn(sf_dir: str) -> Dataset:
+    """E90: daily churn decomposition — for every day PRESENT in the
+    stream: dau, NEW users (not active the previous day), RETAINED
+    (active both days), and CHURNED (active the previous day, gone
+    today) — the flow decomposition of E62's stock numbers (dau says how
+    many; E90 says who they are relative to yesterday: dau = new +
+    retained, and yesterday's dau = retained + churned).  Exact int64
+    (per-user lag/lead window oracle).
+
+    Scale shape — E62's distinct user-day discipline with a
+    consecutive-day scan: per batch one lexsort → distinct (user, day)
+    pairs; ONE user-hash exchange holds each user's complete day set, so
+    retained/new/churned bits decide locally from adjacent days and
+    reduce to per-day partials; the k=1 merge sums O(days) rows and
+    keeps days with dau ≥ 1 (churn attributed to an absent day drops,
+    matching the oracle's present-day domain)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        day = ts_us // DAY_US
+        order = np.lexsort((day, uu))
+        u2, d2 = uu[order], day[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        return pa.table(
+            {"u": pa.array(u2[new]), "d": pa.array(d2[new])}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "dau": pa.array([], pa.int64()),
+                    "ret": pa.array([], pa.int64()),
+                    "chn": pa.array([], pa.int64()),
+                }
+            )
+        # re-dedupe overlapping batches, then scan each user's days
+        g = t.group_by(["u", "d"], use_threads=False).aggregate(
+            [("d", "count")]
+        )
+        uu = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, uu))
+        u2, d2 = uu[order], dd[order]
+        samep = np.zeros(len(order), dtype=bool)
+        samen = np.zeros(len(order), dtype=bool)
+        if len(order) > 1:
+            prev_same = u2[1:] == u2[:-1]
+            samep[1:] = prev_same & (d2[1:] == d2[:-1] + 1)  # retained
+            samen[:-1] = prev_same & (d2[1:] == d2[:-1] + 1)  # kept tmrw
+        rows = {"d": [], "dau": [], "ret": [], "chn": []}
+        # per-day dau/retained
+        vals, inv = np.unique(d2, return_inverse=True)
+        dau = np.bincount(inv, minlength=len(vals)).astype(np.int64)
+        ret = np.bincount(
+            inv, weights=samep.astype(np.int64), minlength=len(vals)
+        ).astype(np.int64)
+        rows["d"].append(vals)
+        rows["dau"].append(dau)
+        rows["ret"].append(ret)
+        rows["chn"].append(np.zeros(len(vals), np.int64))
+        # churn: users NOT kept tomorrow contribute to day+1
+        lost_days = d2[~samen] + 1
+        cv, cf = np.unique(lost_days, return_counts=True)
+        rows["d"].append(cv)
+        rows["dau"].append(np.zeros(len(cv), np.int64))
+        rows["ret"].append(np.zeros(len(cv), np.int64))
+        rows["chn"].append(cf.astype(np.int64))
+        return pa.table(
+            {k: pa.array(np.concatenate(v)) for k, v in rows.items()}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day_id": pa.array([], pa.int64()),
+                    "dau": pa.array([], pa.int64()),
+                    "n_new": pa.array([], pa.int64()),
+                    "n_retained": pa.array([], pa.int64()),
+                    "n_churned": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("d", use_threads=False).aggregate(
+            [("dau", "sum"), ("ret", "sum"), ("chn", "sum")]
+        )
+        dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        dau = g["dau_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ret = g["ret_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        chn = g["chn_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = dau > 0  # present-day domain (oracle parity)
+        return pa.table(
+            {
+                "day_id": pa.array(dd[keep].astype(np.int64)),
+                "dau": pa.array(dau[keep].astype(np.int64)),
+                "n_new": pa.array((dau - ret)[keep].astype(np.int64)),
+                "n_retained": pa.array(ret[keep].astype(np.int64)),
+                "n_churned": pa.array(chn[keep].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    per_user = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "d", merge, k=1)

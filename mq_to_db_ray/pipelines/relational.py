@@ -3438,3 +3438,90 @@ def fulfillment_latency(
     dim = ords.map_batches(order_dim, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "pr", merge, k=1)
+
+
+def order_gap_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """R21: repeat-order gap quantiles — over every customer's
+    consecutive orders in (o_orderdate, o_orderkey) order: gap count +
+    discrete p50/p90 of the floor-day gap — the purchase-cadence number
+    behind R18's lapse cutoff (R18 applies a fixed threshold; R21 says
+    what threshold the base's own rhythm justifies).  One row ALWAYS.
+    Exact int64 under the quantile_disc rank rule (lag + quantile_disc
+    oracle).
+
+    Scale shape — E81's order-dependent machinery on the CUSTKEY axis:
+    orders ship as narrow (custkey, date, orderkey) rows on ONE
+    custkey-hash exchange; each partition lexsorts its complete
+    customers once, adjacent same-customer gaps floor to DAYS and reduce
+    to (gap, freq) partials — the value domain is the retention window
+    in days; the k=1 merge reads both quantiles off one cumsum."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "t": b["o_orderdate"].cast(pa.int64()),
+                "o": pc.cast(b["o_orderkey"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gap": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, ck))
+        c2, t2 = ck[order], tt[order]
+        same = c2[1:] == c2[:-1]
+        if not same.any():
+            return empty
+        gap = ((t2[1:] - t2[:-1]) // 86_400_000_000)[same]
+        vals, freq = np.unique(gap, return_counts=True)
+        return pa.table(
+            {
+                "gap": pa.array(vals, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_days" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_gaps": pa.array([0], pa.int64()),
+                    **{c: pa.array([0], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by("gap", use_threads=False).aggregate([("n", "sum")])
+        vv = g["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(vv, kind="stable")
+        vv, ff = vv[order], ff[order]
+        nt = int(ff.sum())
+        cum = np.cumsum(ff)
+        out = {"n_gaps": pa.array([nt], pa.int64())}
+        for q, c in zip(qs, names):
+            thr = (nt * q + 999) // 1000
+            out[c] = pa.array(
+                [int(vv[np.searchsorted(cum, thr)])], pa.int64()
+            )
+        return pa.table(out)
+
+    narrowed = ords.map_batches(narrow, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        narrowed, "ck", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "gap", merge, k=1)

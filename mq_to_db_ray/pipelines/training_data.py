@@ -127,51 +127,59 @@ def quality_score(sf_dir: str) -> Dataset:
     )
 
 
+LANGID_WORDS = {
+    "en": ["the", "and", "of", "to", "is", "a", "in", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+}
+
+
+def _langid_pred(texts) -> np.ndarray:
+    """Vectorized stopword-vote language prediction for a text column —
+    per language, DISTINCT matching words per row counted with
+    ``pc.index_in`` + one np.unique over (row, word-index) codes; argmax
+    tie-break (votes desc, language name asc... largest name on vote
+    ties) matches the scalar kernel ``textstats.lang_id`` exactly.
+    Returns an object ndarray of predictions ('unknown' on zero votes).
+    Shared by T9 (per-doc labels) and T81 (confusion matrix)."""
+    words = pc.split_pattern(pc.utf8_lower(texts), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    n = len(words)
+    votes = np.zeros((n, len(LANGID_WORDS)), dtype=np.int64)
+    for li, (_lang, ws) in enumerate(sorted(LANGID_WORDS.items())):
+        idx = pc.index_in(flat, value_set=pa.array(ws))
+        iv = idx.to_numpy(zero_copy_only=False)  # float with NaN for miss
+        hit = ~np.isnan(iv)
+        codes = np.unique(parent[hit] * len(ws) + iv[hit].astype(np.int64))
+        rows = codes // len(ws)
+        votes[:, li] = np.bincount(rows, minlength=n)
+    names = sorted(LANGID_WORDS)
+    best = np.zeros(n, dtype=np.int64)
+    rows_idx = np.arange(n)
+    for li in range(1, len(names)):
+        # >= prefers the later (larger) name on vote ties, matching
+        # max(..., key=(votes, name)) in the scalar kernel
+        better = votes[:, li] >= votes[rows_idx, best]
+        best = np.where(better, li, best)
+    pred = np.asarray(names, dtype=object)[best]
+    pred[votes.max(axis=1) == 0] = "unknown"
+    return pred
+
+
 def lang_id(sf_dir: str) -> Dataset:
-    """(doc_id, lang_pred) — stopword-vote heuristic (no SQL oracle),
-    vectorized: per language, DISTINCT matching words per row are counted
-    with ``pc.index_in`` + one np.unique over (row, word-index) codes; the
-    argmax tie-break (votes desc, language name asc) matches the scalar
-    reference kernel ``textstats.lang_id`` exactly (asserted in tests)."""
-    lang_words = {
-        "en": ["the", "and", "of", "to", "is", "a", "in", "that"],
-        "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
-        "fr": ["le", "la", "les", "et", "est", "une", "que"],
-    }
+    """(doc_id, lang_pred) — stopword-vote heuristic over the shared
+    :func:`_langid_pred` kernel (SQL list_filter oracle)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        flat = words.flatten()
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        n = batch.num_rows
-        votes = np.zeros((n, len(lang_words)), dtype=np.int64)
-        for li, (_lang, ws) in enumerate(sorted(lang_words.items())):
-            idx = pc.index_in(flat, value_set=pa.array(ws))
-            iv = idx.to_numpy(zero_copy_only=False)  # float with NaN for miss
-            hit = ~np.isnan(iv)
-            codes = np.unique(
-                parent[hit] * len(ws) + iv[hit].astype(np.int64)
-            )
-            rows = codes // len(ws)
-            votes[:, li] = np.bincount(rows, minlength=n)
-        # argmax with (votes, lang-name) tie-break == scalar lang_id: max()
-        # over dict with key (votes[k], k) picks the LARGEST name on ties
-        names = sorted(lang_words)
-        best = np.zeros(n, dtype=np.int64)
-        rows_idx = np.arange(n)
-        for li in range(1, len(names)):
-            # >= prefers the later (larger) name on vote ties, matching
-            # max(..., key=(votes, name)) in the scalar kernel
-            better = votes[:, li] >= votes[rows_idx, best]
-            best = np.where(better, li, best)
-        pred = np.asarray(names, dtype=object)[best]
-        pred[votes.max(axis=1) == 0] = "unknown"
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_pred": pa.array(pred, type=pa.string()),
+                "lang_pred": pa.array(
+                    _langid_pred(batch["text"]), type=pa.string()
+                ),
             }
         )
 
@@ -6454,3 +6462,73 @@ def _doc_k_files(files) -> int:
     from ..stages.shuffle import adaptive_width
 
     return adaptive_width(files[0], 25_000)
+
+
+def lang_confusion(sf_dir: str) -> Dataset:
+    """T81: language-ID confusion matrix — per (labeled lang, T9
+    prediction): document count — the CLASSIFIER AUDIT read before
+    trusting T9-driven routing (T44 assumes the label, T9 predicts; T81
+    says where they disagree and in which direction — 'unknown' columns
+    are coverage gaps, off-diagonal mass is mislabeling risk).  Exact
+    int64 (the doc_langid list_filter CASE joined to the label oracle).
+
+    Scale shape — ZERO corpus-sized exchange: the prediction is
+    batch-local (the shared _langid_pred kernel), each batch reduces to
+    (label, pred, freq) partials over a ≤ langs × 4 domain; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    langs = pa.array(
+        sorted(_docs(sf_dir, ["lang"]).unique("lang")), pa.string()
+    )
+    preds = pa.array(
+        sorted(LANGID_WORDS) + ["unknown"], pa.string()
+    )
+    npred = len(preds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = _langid_pred(batch["text"])
+        pcode = (
+            pc.cast(
+                pc.index_in(pa.array(pred, pa.string()), value_set=preds),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+        lcode = (
+            pc.cast(pc.index_in(batch["lang"], value_set=langs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = lcode * npred + pcode
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "lg": pa.array(vals // npred, pa.int64()),
+                "pd": pa.array(vals % npred, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "lang_pred": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["lg", "pd"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": langs.take(g["lg"].combine_chunks()),
+                "lang_pred": preds.take(g["pd"].combine_chunks()),
+                "n_docs": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "lg", merge, k=1)
