@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_type_runs(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_type_runs
+
+    return events_type_runs(sf_dir)
+
+
 def _q_events_daily_churn(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_daily_churn
 
@@ -1018,6 +1024,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_churn": _q_events_daily_churn,
         "doc_lang_confusion": td.lang_confusion,
         "rel_order_gaps": rel.order_gap_quantiles,
+        "events_type_runs": _q_events_type_runs,
+        "embedding_join_audit": td.embedding_join_audit,
+        "rel_value_lines_gram": rel.order_value_lines_gram,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1860,6 +1869,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_type_runs": """
+            WITH o AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                  AS rn
+                       FROM events),
+                 g AS (SELECT user_id, event_type,
+                              rn - row_number() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY rn) AS grp
+                       FROM o),
+                 runs AS (SELECT event_type,
+                                 CAST(count(*) AS BIGINT) AS len
+                          FROM g GROUP BY user_id, event_type, grp)
+            SELECT event_type AS source,
+                   CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(max(len) AS BIGINT) AS longest_run,
+                   CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS runs_ge3
+            FROM runs GROUP BY 1
+        """,
+        "embedding_join_audit": """
+            SELECT CAST(count(*) FILTER (WHERE d.doc_id IS NOT NULL
+                                           AND e.vec_id IS NOT NULL)
+                        AS BIGINT) AS n_matched,
+                   CAST(count(*) FILTER (WHERE e.vec_id IS NULL)
+                        AS BIGINT) AS n_doc_only,
+                   CAST(count(*) FILTER (WHERE d.doc_id IS NULL)
+                        AS BIGINT) AS n_emb_only
+            FROM documents d
+            FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "rel_value_lines_gram": """
+            WITH n AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+                       FROM lineitem GROUP BY 1),
+                 j AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS x,
+                              y
+                       FROM orders JOIN n ON o_orderkey = l_orderkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                   CAST(sum(y * y) AS BIGINT) AS sum_y2
+            FROM j
         """,
         "events_daily_churn": """
             WITH d AS (SELECT DISTINCT user_id,

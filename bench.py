@@ -326,6 +326,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_daily_churn",
         "doc_lang_confusion",
         "rel_order_gaps",
+        "events_type_runs",
+        "embedding_join_audit",
+        "rel_value_lines_gram",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

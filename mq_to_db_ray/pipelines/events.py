@@ -7093,3 +7093,104 @@ def events_daily_churn(sf_dir: str) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     per_user = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(per_user, "d", merge, k=1)
+
+
+def events_type_runs(sf_dir: str) -> Dataset:
+    """E91: same-type run board — per event type: maximal CONSECUTIVE
+    same-type runs inside user (ts, event_id)-ordered streams, the
+    longest such run, and runs of length ≥ 3 — the "is the feed
+    stuttering / is one action spamming" order-dependent diagnostic E56
+    aggregates away (a high self-transition count can be many pairs or
+    one pathological run; E91 tells them apart).  Exact int64
+    (gaps-and-islands rn-difference oracle).
+
+    Scale shape — E56's narrow per-event user-hash exchange with a run
+    detector instead of a pair counter: each partition lexsorts its
+    complete user streams once, run boundaries fall out of one shifted
+    compare, run lengths from one diff over boundary indices, and
+    everything reduces to (type, n_runs, longest, runs_ge3) partials;
+    the k=1 merge sums/maxes O(types) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "c": code,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                    "lg": pa.array([], pa.int64()),
+                    "g3": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, c2 = uu[order], cc[order]
+        n = len(order)
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(newrun)
+        lens = np.diff(np.append(starts, n))
+        rtype = c2[starts]
+        cells = pa.table(
+            {
+                "c": pa.array(rtype, pa.int64()),
+                "nr": pa.array(np.ones(len(starts), np.int64)),
+                "lg": pa.array(lens.astype(np.int64)),
+                "g3": pa.array((lens >= 3).astype(np.int64)),
+            }
+        )
+        g = cells.group_by("c", use_threads=False).aggregate(
+            [("nr", "sum"), ("lg", "max"), ("g3", "sum")]
+        )
+        return g.rename_columns(["c", "nr", "lg", "g3"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "longest_run": pa.array([], pa.int64()),
+                    "runs_ge3": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("c", use_threads=False).aggregate(
+            [("nr", "sum"), ("lg", "max"), ("g3", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["c"].combine_chunks()),
+                "n_runs": pc.cast(g["nr_sum"], pa.int64()),
+                "longest_run": pc.cast(g["lg_max"], pa.int64()),
+                "runs_ge3": pc.cast(g["g3_sum"], pa.int64()),
+            }
+        )
+
+    narrowed = ds.map_batches(narrow, batch_format="pyarrow")
+    per_user = hash_partition_merge(
+        narrowed, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "c", merge, k=1)

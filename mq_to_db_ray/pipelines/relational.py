@@ -3525,3 +3525,111 @@ def order_gap_quantiles(
         narrowed, "ck", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "gap", merge, k=1)
+
+
+def order_value_lines_gram(sf_dir: str) -> Dataset:
+    """R22: order-value ↔ line-count Gram board — over orders with at
+    least one line: n, Σx, Σy, Σxy, Σx², Σy² for x = floor(o_totalprice)
+    and y = line count — the exact-int64 sufficient statistics of the
+    value↔breadth correlation (Pearson off-line: does order value scale
+    with line count, or do a few big-ticket single-line orders carry the
+    book) — T67's zero-wide-exchange Gram pattern on the relational
+    axis.  One row ALWAYS.  Exact int64 (SUM-of-products oracle; int64
+    bound documented: x ≤ ~10⁶, x² ≤ 10¹², safe to ~9·10⁶ orders per
+    partition-sum — the driver-scale tables are far below).
+
+    Scale shape — ONE co-partitioned hop then pure counters: lineitem
+    pre-reduces to per-order line counts; orders ride as (orderkey,
+    floored total); the ORDERKEY hop settles each order's exact (x, y)
+    and reduces IN PLACE to one 6-counter row per partition; k=1 sums."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        x = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(np.full(b.num_rows, -1, np.int64)),  # dim
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.cast(b["l_orderkey"], pa.int64())})
+        g = t.group_by("k", use_threads=False).aggregate([("k", "count")])
+        g = g.rename_columns(["k", "y"])
+        return g.append_column(
+            "x", pa.array(np.zeros(g.num_rows, np.int64))
+        ).select(["k", "x", "y"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "one": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+                "sx2": pa.array([], pa.int64()),
+                "sy2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        yy = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = yy < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("y", "sum")])
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dx = d["x"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fy = pc.cast(fg["y_sum"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        x, y = dx[pos][hit], fy[hit]
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "n": pa.array([int(hit.sum())], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sx2": pa.array([int((x * x).sum())], pa.int64()),
+                "sy2": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        cols = ["n", "sx", "sy", "sxy", "sx2", "sy2"]
+        out = {}
+        for c, name in zip(
+            cols, ["n_orders", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+        ):
+            out[name] = pa.array(
+                [int(pc.sum(t[c]).as_py() or 0) if t.num_rows else 0],
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    fact = lines.map_batches(line_partial, batch_format="pyarrow")
+    dim = ords.map_batches(order_dim, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "one", merge, k=1)

@@ -6532,3 +6532,88 @@ def lang_confusion(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "lg", merge, k=1)
+
+
+def embedding_join_audit(sf_dir: str) -> Dataset:
+    """T82: doc↔embedding referential-integrity board — matched pairs
+    (doc_id = vec_id), docs WITHOUT an embedding, embeddings WITHOUT a
+    doc — the pipeline-health audit run before T17's enrichment join or
+    any T5/T6 similarity pass silently drops rows (a non-zero doc_only
+    column means the embedding job lagged the crawl; emb_only means
+    stale vectors survive deletion).  One row ALWAYS, zero-valued when
+    the join is total.  Exact int64 (FULL OUTER JOIN FILTER oracle).
+
+    Scale shape — the co-partitioned FULL-OUTER existence probe: both
+    tables reduce to role-tagged id rows (nothing else ships), ONE
+    id-hash exchange co-locates equal ids, each partition settles
+    matched / left-only / right-only with one lexsort, and the k=1
+    merge sums three counters."""
+    from ..stages.shuffle import hash_partition_merge
+
+    docs = _docs(sf_dir, ["doc_id"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def tag(role: int, col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": pc.cast(b[col], pa.int64()),
+                    "r": pa.array(
+                        np.full(b.num_rows, role, np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "one": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                    "do": pa.array([], pa.int64()),
+                    "eo": pa.array([], pa.int64()),
+                }
+            )
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = t["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((rr, kk))
+        k2, r2 = kk[order], rr[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = k2[1:] != k2[:-1]
+        gid = np.cumsum(new) - 1
+        ng = int(new.sum())
+        has_d = np.zeros(ng, dtype=bool)
+        has_e = np.zeros(ng, dtype=bool)
+        np.logical_or.at(has_d, gid, r2 == 0)
+        np.logical_or.at(has_e, gid, r2 == 1)
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "m": pa.array([int((has_d & has_e).sum())], pa.int64()),
+                "do": pa.array([int((has_d & ~has_e).sum())], pa.int64()),
+                "eo": pa.array([int((~has_d & has_e).sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        m = do = eo = 0
+        if t.num_rows:
+            m = int(pc.sum(t["m"]).as_py() or 0)
+            do = int(pc.sum(t["do"]).as_py() or 0)
+            eo = int(pc.sum(t["eo"]).as_py() or 0)
+        return pa.table(
+            {
+                "n_matched": pa.array([m], pa.int64()),
+                "n_doc_only": pa.array([do], pa.int64()),
+                "n_emb_only": pa.array([eo], pa.int64()),
+            }
+        )
+
+    both = docs.map_batches(tag(0, "doc_id"), batch_format="pyarrow").union(
+        emb.map_batches(tag(1, "vec_id"), batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(both, "k", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(cells, "one", merge, k=1)
