@@ -833,6 +833,53 @@ def _q_f1_resume(sf_dir: str):
     )
 
 
+def _q_f1_repair(sf_dir: str):
+    """Surgical (tier, source) repair: corrupt one committed 1m partition,
+    repair_tier recomputes it from the raw tier, and the merged view must
+    match the pre-damage view bit-exactly (pipelines/repair.py)."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from mq_to_db_ray.pipelines.cascade import run_cascade
+    from mq_to_db_ray.pipelines.repair import repair_tier
+    from mq_to_db_ray.pipelines.view import tier_view
+
+    out = tempfile.mkdtemp(prefix="mq2db_q_repair_")
+    run_cascade(_f1_dir(sf_dir), out)
+    before = (
+        tier_view(out, "1m")
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    victim = "s03"
+    files = _glob.glob(os.path.join(out, "tier=1m", f"source={victim}", "*"))
+    with open(files[0], "wb") as f:
+        f.write(b"garbage")
+    summary = repair_tier(out, "1m", victim)
+    after = (
+        tier_view(out, "1m")
+        .to_pandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+    return pa.Table.from_pylist(
+        [
+            {
+                "tier": "1m",
+                "source": victim,
+                "invalidated": int(summary["invalidated"]),
+                "removed_files": int(summary["removed_files"]),
+                "recommitted": int(sum(summary["recommitted"].values())),
+                "view_points": int(len(after)),
+            }
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import corpus as cps
     from mq_to_db_ray.pipelines import relational as rel
@@ -1085,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_multi_epoch_view": _q_f1_multi_epoch_view,
         "f1_retention": _q_f1_retention,
         "f1_compact": _q_f1_compact,
+        "f1_repair_roundtrip": _q_f1_repair,
         "doc_fingerprint": td.fingerprint,
         "doc_simhash": td.simhash,
         "doc_simhash_near_dup": td.simhash_near_dup,

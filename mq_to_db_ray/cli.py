@@ -129,6 +129,16 @@ def cmd_view(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_repair(args: argparse.Namespace) -> int:
+    """Recompute + recommit one (tier, source) slice from the raw tier."""
+    from .pipelines.repair import repair_tier
+
+    _init_ray(args.num_cpus)
+    summary = repair_tier(args.out, args.tier, args.source)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_show_config(args: argparse.Namespace) -> int:
     import dataclasses
 
@@ -190,6 +200,15 @@ def main(argv: list[str] | None = None) -> int:
     viewp.add_argument("--limit", type=int, default=20)
     viewp.add_argument("--num-cpus", type=int, default=None)
     viewp.set_defaults(fn=cmd_view)
+
+    repairp = sub.add_parser(
+        "repair", help="recompute one (tier, source) slice from the raw tier"
+    )
+    repairp.add_argument("--out", required=True)
+    repairp.add_argument("--tier", required=True, choices=["1m", "1h", "1d"])
+    repairp.add_argument("--source", required=True)
+    repairp.add_argument("--num-cpus", type=int, default=None)
+    repairp.set_defaults(fn=cmd_repair)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

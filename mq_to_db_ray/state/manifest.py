@@ -241,6 +241,52 @@ class Manifest:
         _fsync_dir(self.mdir)
         return entry
 
+    def invalidate(self, entry_key: str) -> dict | None:
+        """Hard-remove one entry so ``is_committed`` returns FALSE — the
+        REPAIR primitive.  ``retire`` keeps the ack (a retention-expired
+        partition must never be recomputed); ``invalidate`` revokes it so
+        a surgical recompute can land fresh bytes under the same
+        partition name.  Manifest first, data file after (the retire
+        orphan rule: readers plan from the manifest, so a crash in
+        between leaves an invisible orphan, never a half-read).
+
+        Runs under the SAME flock as ``fold``: live/retired entry files
+        unlink and the folded log rewrites without the key atomically
+        (tmp+rename), so a concurrent fold can neither resurrect the key
+        from a captured file nor lose a concurrent commit."""
+        import fcntl
+
+        entry: dict | None = None
+        lockp = os.path.join(self.mdir, ".foldlock")
+        fd = os.open(lockp, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            for suffix in (".json", ".json.retired"):
+                p = os.path.join(self.mdir, entry_key + suffix)
+                try:
+                    with open(p) as f:
+                        entry = json.load(f)
+                    os.unlink(p)
+                except OSError:
+                    pass
+            folded = dict(self._folded())
+            if entry_key in folded:
+                row = folded.pop(entry_key)
+                entry = entry or row["entry"]
+                p = os.path.join(self.mdir, FOLDED_LOG)
+                tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    for r in folded.values():
+                        f.write(json.dumps(r) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, p)
+            _fsync_dir(self.mdir)
+            self._folded_cache = None
+            return entry
+        finally:
+            os.close(fd)
+
     def commit_file(
         self,
         tier: str,
