@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_tod_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_tod_quantiles
+
+    return events_tod_quantiles(sf_dir)
+
+
 def _q_events_type_runs(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_type_runs
 
@@ -1074,6 +1080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_runs": _q_events_type_runs,
         "embedding_join_audit": td.embedding_join_audit,
         "rel_value_lines_gram": rel.order_value_lines_gram,
+        "events_tod_quantiles": _q_events_tod_quantiles,
+        "doc_jaccard_spectrum": td.jaccard_spectrum,
+        "rel_discount_revenue": rel.discount_revenue,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1917,6 +1926,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_tod_quantiles": """
+            WITH m AS (SELECT event_type AS source,
+                              (epoch_us(ts) % 86400000000) // 60000000
+                                  AS mod
+                       FROM events)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(quantile_disc(mod, 0.5) AS BIGINT) AS p50_minute,
+                   CAST(quantile_disc(mod, 0.9) AS BIGINT) AS p90_minute
+            FROM m GROUP BY 1
+        """,
+        "doc_jaccard_spectrum": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            jp AS (SELECT CAST(floor(1000.0 * inter
+                                     / (sa.n + sb.n - inter)) AS BIGINT)
+                       AS j
+                   FROM i JOIN sizes sa ON i.da = sa.doc_id
+                          JOIN sizes sb ON i.db = sb.doc_id
+                   WHERE floor(1000.0 * inter / (sa.n + sb.n - inter))
+                         >= 200),
+            bands(band) AS (VALUES (2), (3), (4), (5), (6), (7), (8),
+                                   (9), (10))
+            SELECT CAST(bands.band AS BIGINT) AS band,
+                   CAST(coalesce(sum(CASE WHEN jp.j // 100 = bands.band
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_pairs
+            FROM bands LEFT JOIN jp ON jp.j // 100 = bands.band
+            GROUP BY 1
+        """,
+        "rel_discount_revenue": """
+            SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(CAST(floor(l_extendedprice
+                                                * l_discount) AS BIGINT)),
+                                 0) AS BIGINT) AS discount_rev_floor
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "events_type_runs": """
             WITH o AS (SELECT user_id, event_type,

@@ -329,6 +329,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_type_runs",
         "embedding_join_audit",
         "rel_value_lines_gram",
+        "events_tod_quantiles",
+        "doc_jaccard_spectrum",
+        "rel_discount_revenue",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

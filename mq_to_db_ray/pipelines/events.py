@@ -7194,3 +7194,92 @@ def events_type_runs(sf_dir: str) -> Dataset:
         narrowed, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(per_user, "c", merge, k=1)
+
+
+def events_tod_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """E93: time-of-day quantiles — per source: n_events + discrete
+    p50/p90 of the MINUTE-OF-DAY (0..1439) — "when does this feed
+    actually happen", the single-number phase summary of E30's seasonal
+    profile (the profile shows the shape; E93 gives the median phase a
+    scheduler keys maintenance windows off).  Exact int64 under the
+    quantile_disc rank rule (epoch modulo + quantile_disc oracle).
+
+    Scale shape — the bounded-domain histogram at its purest: the value
+    axis is FIXED at 1440 minutes, so each batch reduces to (source,
+    mod, freq) partials ≤ sources × 1440 regardless of corpus size, and
+    every quantile reads off one cumsum per source in the k=1 merge —
+    no second exchange at any scale."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        mod = (ts_us % DAY_US) // MIN_US
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * 1440 + mod
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array(vals // 1440, pa.int64()),
+                "m": pa.array(vals % 1440, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_minute" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["s", "m"], use_threads=False).aggregate([("f", "sum")])
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, ss))
+        s2, v2, f2 = ss[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {"source": [], "n_events": [], **{c: [] for c in names}}
+        for a, b in zip(starts, ends):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["source"].append(int(s2[a]))
+            out["n_events"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "s", merge, k=1)

@@ -3633,3 +3633,68 @@ def order_value_lines_gram(sf_dir: str) -> Dataset:
     dim = ords.map_batches(order_dim, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "one", merge, k=1)
+
+
+def discount_revenue(
+    sf_dir: str,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: int = 24,
+) -> Dataset:
+    """R23: forgone-discount revenue (the TPC-H Q6 shape) — line count
+    and floored Σ(extprice·discount) over lines shipped in [start, end)
+    with discount in [disc_lo, disc_hi] and quantity < max_qty — "how
+    much revenue would dropping these discounts recover", the purest
+    READ-PREDICATE aggregate in the suite: every predicate column lives
+    on the fact table, so the ENTIRE filter pushes to the parquet
+    scanner (row groups failing any conjunct never leave storage) and
+    what remains is one floor-sum.  One row ALWAYS.  Exact int64
+    (filtered CASE-free SUM oracle).
+
+    Scale shape — zero exchanges: filter at the read, one floored
+    partial per batch, k=1 sum of O(batches) counter rows."""
+    import datetime as _dt
+
+    lo = _dt.datetime.fromisoformat(start)
+    hi = _dt.datetime.fromisoformat(end)
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+            & (pc.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us")))
+            & (pc.field("l_discount") >= disc_lo)
+            & (pc.field("l_discount") <= disc_hi)
+            & (pc.field("l_quantity") < max_qty)
+        ),
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * dis).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([0], pa.int64()),
+                "n": pa.array([len(rev)], pa.int64()),
+                "rev": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(t["n"]).as_py() or 0) if t.num_rows else 0
+        rev = int(pc.sum(t["rev"]).as_py() or 0) if t.num_rows else 0
+        return pa.table(
+            {
+                "n_lines": pa.array([n], pa.int64()),
+                "discount_rev_floor": pa.array([rev], pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "one", merge, k=1)

@@ -6617,3 +6617,67 @@ def embedding_join_audit(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(both, "k", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(cells, "one", merge, k=1)
+
+
+def jaccard_spectrum(
+    sf_dir: str, threshold_permille: int = 200, k_shingle: int = 3
+) -> Dataset:
+    """T83: near-dup severity spectrum — per Jaccard band (permille //
+    100, from the T4 threshold up; band 10 = EXACT shingle-set match):
+    candidate-pair count — the "how near are the near-dups" read that
+    decides T20b's keep/drop threshold (a spectrum massed at 900+ means
+    true duplicates — dedup aggressively; massed just over the threshold
+    means boilerplate overlap — raise it).  One dense row per band
+    ALWAYS (zero-valued below sf0.1, where the corpus has no near-dup
+    pairs — the dup-board convention).  Exact int64 (the T4 pair CTE
+    banded oracle).
+
+    Scale shape — pure composition: T4's bounded-shuffle pair join does
+    ALL the work (df_cap, hybrid size attach); the spectrum is one
+    map_batches band + k=1 densifying merge over ≤9 rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    bands = list(range(threshold_permille // 100, 11))
+    pairs = jaccard_pairs(
+        sf_dir, threshold_permille=threshold_permille, k=k_shingle
+    )
+
+    def band(b: pa.Table) -> pa.Table:
+        jp = (
+            b["jaccard_permille"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, freq = np.unique(jp // 100, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(vals.astype(np.int64)),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        cnt = {b: 0 for b in bands}
+        if t.num_rows:
+            g = t.group_by("band", use_threads=False).aggregate([("f", "sum")])
+            bb = g["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            for b, f in zip(bb, ff):
+                cnt[int(b)] = int(f)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int64()),
+                "n_pairs": pa.array([cnt[b] for b in bands], pa.int64()),
+            }
+        )
+
+    # sentinel row (band −1, ignored by the merge) keeps the pipeline
+    # non-empty below sf0.1 where no pair survives — Ray drops the schema
+    # on all-empty streams and the dense board must still emit
+    seed = rd.from_arrow(
+        pa.table(
+            {"band": pa.array([-1], pa.int64()), "f": pa.array([0], pa.int64())}
+        )
+    )
+    partials = pairs.map_batches(band, batch_format="pyarrow").union(seed)
+    return hash_partition_merge(partials, "band", merge, k=1)
