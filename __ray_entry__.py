@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_session_sensitivity(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_sensitivity
+
+    return events_session_sensitivity(sf_dir)
+
+
 def _q_events_tod_quantiles(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_tod_quantiles
 
@@ -1083,6 +1089,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tod_quantiles": _q_events_tod_quantiles,
         "doc_jaccard_spectrum": td.jaccard_spectrum,
         "rel_discount_revenue": rel.discount_revenue,
+        "events_session_sensitivity": _q_events_session_sensitivity,
+        "f1_token_position_stats": lambda sf_dir: td.token_position_stats(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_monthly_customers": rel.monthly_customers,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1926,6 +1937,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_session_sensitivity": """
+            WITH o AS (SELECT user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS pts
+                       FROM events),
+                 t(gap_s) AS (VALUES (CAST(900 AS BIGINT)),
+                                     (CAST(1800 AS BIGINT)),
+                                     (CAST(3600 AS BIGINT)))
+            SELECT t.gap_s,
+                   CAST(sum(CASE WHEN o.pts IS NULL
+                                 OR epoch_us(o.ts) - epoch_us(o.pts)
+                                    > t.gap_s * 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM t CROSS JOIN o GROUP BY 1
+        """,
+        "f1_token_position_stats": """
+            SELECT CAST(i - 1 AS BIGINT) AS pos,
+                   CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(min(t) AS BIGINT) AS min_tok,
+                   CAST(max(t) AS BIGINT) AS max_tok
+            FROM (SELECT unnest(tokens) AS t,
+                         generate_subscripts(tokens, 1) AS i
+                  FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+            GROUP BY 1
+        """,
+        "rel_monthly_customers": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers
+            FROM orders GROUP BY 1
         """,
         "events_tod_quantiles": """
             WITH m AS (SELECT event_type AS source,

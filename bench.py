@@ -332,6 +332,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_tod_quantiles",
         "doc_jaccard_spectrum",
         "rel_discount_revenue",
+        "events_session_sensitivity",
+        "f1_token_position_stats",
+        "rel_monthly_customers",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

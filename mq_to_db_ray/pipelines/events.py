@@ -7283,3 +7283,82 @@ def events_tod_quantiles(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_session_sensitivity(
+    sf_dir: str, gaps_s: tuple[int, ...] = (900, 1800, 3600)
+) -> Dataset:
+    """E94: session-gap sensitivity curve — for each candidate idle
+    threshold: total sessions the corpus would split into (a session
+    opens at a user's first event or any gap STRICTLY over the
+    threshold) — the parameter-selection curve read BEFORE running E15's
+    sessionize (a stable plateau between thresholds = a natural session
+    scale; no plateau = the notion is arbitrary for this feed).  One
+    dense row per threshold ALWAYS.  Exact int64 (lag + CASE-sum per
+    threshold oracle).
+
+    Scale shape — ALL thresholds in ONE pass over ONE exchange (three
+    sessionize runs would shuffle the stream three times): per-event
+    narrow rows hash by user, each partition lexsorts its complete
+    streams once, computes gaps once, and bincounts gap > thr per
+    threshold — (thr, n) partials, k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"thr": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2 = uu[order], tt[order]
+        firsts = np.empty(len(order), dtype=bool)
+        firsts[0] = True
+        firsts[1:] = u2[1:] != u2[:-1]
+        n_first = int(firsts.sum())
+        gaps = (t2[1:] - t2[:-1])[~firsts[1:]]
+        rows = {"thr": [], "n": []}
+        for thr in gaps_s:
+            rows["thr"].append(thr)
+            rows["n"].append(n_first + int((gaps > thr * 1_000_000).sum()))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        cnt = {g: 0 for g in gaps_s}
+        if t.num_rows:
+            g = t.group_by("thr", use_threads=False).aggregate([("n", "sum")])
+            tt = g["thr"].combine_chunks().to_numpy(zero_copy_only=False)
+            nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            for a, b in zip(tt, nn):
+                cnt[int(a)] = int(b)
+        return pa.table(
+            {
+                "gap_s": pa.array(list(gaps_s), pa.int64()),
+                "n_sessions": pa.array([cnt[g] for g in gaps_s], pa.int64()),
+            }
+        )
+
+    narrowed = ds.map_batches(narrow, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        narrowed, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(cells, "thr", merge, k=1)

@@ -3698,3 +3698,125 @@ def discount_revenue(
 
     partials = lines.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "one", merge, k=1)
+
+
+def monthly_customers(sf_dir: str) -> Dataset:
+    """R24: monthly-active-customer curve — per order month: orders and
+    DISTINCT ordering customers — the relational MAU (E62's stickiness
+    numbers asked of the order book; orders/customers per month is the
+    repeat-intensity a growth review opens with).  Exact int64
+    (count(DISTINCT) oracle).
+
+    Scale shape — E23's distinct-count discipline on the CUSTKEY axis
+    with order counters riding the same exchange: per batch one lexsort
+    dedupes to (month, custkey) pairs + per-(batch, month) counter rows;
+    ONE custkey-hash exchange dedupes pairs exactly (a customer's months
+    co-locate) and re-reduces to per-month (orders, customers) partials;
+    k=1 merge of O(months) rows."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ck = pc.cast(b["o_custkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        mm = _month_id(ts_us)
+        mv, mc = np.unique(mm, return_counts=True)
+        order = np.lexsort((mm, ck))
+        c2, m2 = ck[order], mm[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (c2[1:] != c2[:-1]) | (m2[1:] != m2[:-1])
+        return pa.table(
+            {
+                # counter rows spread by month (ck = -1-month)
+                "ck": pa.array(
+                    np.concatenate([-1 - mv, c2[new]])
+                ),
+                "m": pa.array(np.concatenate([mv, m2[new]])),
+                "n": pa.array(
+                    np.concatenate(
+                        [mc.astype(np.int64), np.zeros(int(new.sum()), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "m": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                }
+            )
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        mm = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_ctr = ck < 0
+        ords_tbl = pa.table(
+            {"m": pa.array(mm[is_ctr]), "no": pa.array(nn[is_ctr])}
+        ).group_by("m", use_threads=False).aggregate([("no", "sum")])
+        c2, m2 = ck[~is_ctr], mm[~is_ctr]
+        order = np.lexsort((m2, c2))
+        c2, m2 = c2[order], m2[order]
+        new = np.empty(len(order), dtype=bool)
+        if len(order):
+            new[0] = True
+            new[1:] = (c2[1:] != c2[:-1]) | (m2[1:] != m2[:-1])
+        uv, uc = np.unique(m2[new], return_counts=True)
+        a = pa.table(
+            {
+                "m": pc.cast(ords_tbl["m"], pa.int64()),
+                "no": pc.cast(ords_tbl["no_sum"], pa.int64()),
+                "nc": pa.array(
+                    np.zeros(ords_tbl.num_rows, np.int64)
+                ),
+            }
+        )
+        b2 = pa.table(
+            {
+                "m": pa.array(uv, pa.int64()),
+                "no": pa.array(np.zeros(len(uv), np.int64)),
+                "nc": pa.array(uc.astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([a, b2])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "month": pa.array([], pa.timestamp("us")),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("m", use_threads=False).aggregate(
+            [("no", "sum"), ("nc", "sum")]
+        )
+        mm = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "month": _month_ts(mm),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "n_customers": pc.cast(g["nc_sum"], pa.int64()),
+            }
+        )
+
+    partials = ords.map_batches(partial, batch_format="pyarrow")
+    per_cust = hash_partition_merge(
+        partials, "ck", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(per_cust, "m", merge, k=1)

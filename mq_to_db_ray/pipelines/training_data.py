@@ -6681,3 +6681,85 @@ def jaccard_spectrum(
     )
     partials = pairs.map_batches(band, batch_format="pyarrow").union(seed)
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def token_position_stats(sf_dir: str) -> Dataset:
+    """T84/F: positional token statistics over the F1 tokenized stream —
+    per sequence position p (0-based): sequences reaching it, min and
+    max token id there — the positional-bias probe of the flagship
+    payload (real corpora pin special ids to fixed positions: a BOS at
+    0, EOS at the tail; a position whose id range collapses is such a
+    convention, and a training-data bug if unintended).  Exact int64
+    (generate_subscripts + min/max oracle).
+
+    Scale shape — ZERO corpus-sized exchange: per batch the flattened
+    child + one arange-minus-offsets position index reduce to ≤ max_len
+    (n, min, max) partial rows via two sort-free np.minimum/maximum.at
+    passes; k=1 merge folds O(batches × max_len) rows."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "pos": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                }
+            )
+        offs = np.zeros(len(nper) + 1, np.int64)
+        np.cumsum(nper, out=offs[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], nper)
+        m = int(pos.max()) + 1
+        n = np.bincount(pos, minlength=m).astype(np.int64)
+        lo = np.full(m, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(m, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(lo, pos, flat)
+        np.maximum.at(hi, pos, flat)
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(m, dtype=np.int64)),
+                "n": pa.array(n),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pos": pa.array([], pa.int64()),
+                    "n_seqs": pa.array([], pa.int64()),
+                    "min_tok": pa.array([], pa.int64()),
+                    "max_tok": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("pos", use_threads=False).aggregate(
+            [("n", "sum"), ("lo", "min"), ("hi", "max")]
+        )
+        return pa.table(
+            {
+                "pos": pc.cast(g["pos"], pa.int64()),
+                "n_seqs": pc.cast(g["n_sum"], pa.int64()),
+                "min_tok": pc.cast(g["lo_min"], pa.int64()),
+                "max_tok": pc.cast(g["hi_max"], pa.int64()),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "pos", merge, k=1)
