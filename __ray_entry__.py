@@ -1094,6 +1094,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_monthly_customers": rel.monthly_customers,
+        "f1_gap_report": lambda sf_dir: td.f1_gap_report(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "f1_ntok_quantiles_1h": lambda sf_dir: td.f1_ntok_quantiles_1h(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_yearly_growth": rel.yearly_growth,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1937,6 +1944,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "f1_gap_report": """
+            WITH s AS (SELECT source,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) AS seq
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 d AS (SELECT DISTINCT source, seq FROM s),
+                 l AS (SELECT source, seq,
+                              lag(seq) OVER (PARTITION BY source
+                                             ORDER BY seq) AS pseq
+                       FROM d),
+                 g AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_distinct,
+                              CAST(max(seq) - min(seq) + 1 - count(*)
+                                   AS BIGINT) AS n_missing,
+                              CAST(coalesce(max(seq - pseq - 1), 0)
+                                   AS BIGINT) AS max_gap
+                       FROM l GROUP BY 1),
+                 r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+                       FROM s GROUP BY 1)
+            SELECT r.source, r.n_rows, g.n_distinct, g.n_missing,
+                   g.max_gap,
+                   CAST(r.n_rows - g.n_distinct AS BIGINT) AS n_dup_rows
+            FROM r JOIN g ON r.source = g.source
+        """,
+        "f1_ntok_quantiles_1h": """
+            WITH s AS (SELECT source,
+                              TIMESTAMP '2026-01-01 00:00:00'
+                                + (CAST(regexp_extract(doc_id,
+                                        '-([0-9]+)$', 1) AS BIGINT)
+                                   // 3600) * INTERVAL 3600 SECOND
+                                  AS bucket_ts,
+                              CAST(n_tok AS BIGINT) AS v
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+            SELECT source, bucket_ts,
+                   CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_ntok,
+                   CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_ntok
+            FROM s GROUP BY 1, 2
+        """,
+        "rel_yearly_growth": """
+            WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              CAST(sum(CAST(floor(o_totalprice)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS revenue_floor
+                       FROM orders GROUP BY 1)
+            SELECT o_year, n_orders, revenue_floor,
+                   CAST(coalesce(revenue_floor
+                                 - lag(revenue_floor)
+                                   OVER (ORDER BY o_year), 0) AS BIGINT)
+                       AS yoy_delta
+            FROM y
         """,
         "events_session_sensitivity": """
             WITH o AS (SELECT user_id, ts,

@@ -335,6 +335,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_session_sensitivity",
         "f1_token_position_stats",
         "rel_monthly_customers",
+        "f1_gap_report",
+        "f1_ntok_quantiles_1h",
+        "rel_yearly_growth",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -3820,3 +3820,81 @@ def monthly_customers(sf_dir: str) -> Dataset:
         partials, "ck", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(per_cust, "m", merge, k=1)
+
+
+def yearly_growth(sf_dir: str) -> Dataset:
+    """R25: year-over-year order-book growth — per order year: orders,
+    floored o_totalprice revenue, and the YoY revenue delta (first year
+    → 0) — E53's dod/wow drift discipline on the relational axis, the
+    one-line answer to "is the book growing".  Exact int64 (year GROUP
+    BY + lag oracle).
+
+    Scale shape — ZERO wide exchange: per batch one floor + one Arrow
+    group_by reduce orders to (year, n, rev) partials over a ≤
+    retention-years domain; the k=1 merge sums O(batches × years) rows
+    and takes the lag over the tiny sorted year axis in place."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts_us.astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "yr": pa.array(yr),
+                "n": pa.array(np.ones(len(yr), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["yr", "n", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                    "yoy_delta": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        yy = g["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = g["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(yy, kind="stable")
+        yy, nn, rr = yy[order], nn[order], rr[order]
+        delta = np.zeros(len(rr), np.int64)
+        delta[1:] = rr[1:] - rr[:-1]
+        return pa.table(
+            {
+                "o_year": pa.array(yy.astype(np.int64)),
+                "n_orders": pa.array(nn.astype(np.int64)),
+                "revenue_floor": pa.array(rr.astype(np.int64)),
+                "yoy_delta": pa.array(delta),
+            }
+        )
+
+    partials = ords.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "yr", merge, k=1)

@@ -6763,3 +6763,280 @@ def token_position_stats(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "pos", merge, k=1)
+
+
+def f1_gap_report(sf_dir: str) -> Dataset:
+    """T85/F: sequence-completeness audit over the F1 tokenized stream —
+    per source: rows, DISTINCT seq numbers, MISSING seqs inside the
+    observed span (span − distinct), the largest single gap between
+    consecutive distinct seqs (in skipped seqs), and duplicate rows
+    (rows − distinct) — the ingest-integrity board behind the
+    reference's per-queue sequence tracking (a missing seq = a message
+    the broker accepted but the sink never stored; a dup = a redelivery
+    E84 counts on the events axis).  The generator PLANTS seq gaps
+    (gen.make_pairs with_gaps), so every column is non-vacuous at every
+    sf.  Exact int64 (regexp seq parse + lag oracle).
+
+    Scale shape — seqs settle exactly under ONE (source, seq)-pair
+    exchange... but gaps are ORDER-dependent across the whole seq axis,
+    so the exchange keys on (source, seq // window): each partition
+    holds a contiguous seq window, computes its INTERNAL gaps + window
+    min/max/count locally, and the k=1 merge stitches windows per
+    source with one lexsort over O(windows) summary rows (the
+    grid_cumsum boundary-stitch shape, prefix carried at the merge)."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    W = 1 << 16  # seqs per window
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "sw": pa.array(code * (1 << 40) + seq // W, pa.int64()),
+                "s": pa.array(code),
+                "seq": pa.array(seq),
+                "n": pa.array(np.ones(len(seq), np.int64)),
+            }
+        )
+        g = t.group_by(["sw", "s", "seq"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["sw", "s", "seq", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                    "igap": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "seq"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        qq = g["seq"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((qq, ss))
+        s2, q2, n2 = ss[order], qq[order], nn[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = s2[1:] != s2[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        rows = {k: [] for k in ("s", "lo", "hi", "nd", "rows", "igap")}
+        for a, b in zip(starts, ends):
+            q = q2[a:b]
+            rows["s"].append(int(s2[a]))
+            rows["lo"].append(int(q[0]))
+            rows["hi"].append(int(q[-1]))
+            rows["nd"].append(int(b - a))
+            rows["rows"].append(int(n2[a:b].sum()))
+            rows["igap"].append(
+                int((q[1:] - q[:-1] - 1).max()) if b - a > 1 else 0
+            )
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_missing": pa.array([], pa.int64()),
+                    "max_gap": pa.array([], pa.int64()),
+                    "n_dup_rows": pa.array([], pa.int64()),
+                }
+            )
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = t["nd"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = t["rows"].combine_chunks().to_numpy(zero_copy_only=False)
+        ig = t["igap"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((lo, ss))
+        s2 = ss[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = s2[1:] != s2[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        out = {
+            k: []
+            for k in (
+                "source", "n_rows", "n_distinct", "n_missing", "max_gap",
+                "n_dup_rows",
+            )
+        }
+        for a, b in zip(starts, ends):
+            w = order[a:b]  # this source's windows in ascending-lo order
+            span = int(hi[w[-1]] - lo[w[0]] + 1)
+            distinct = int(nd[w].sum())
+            # boundary gaps between consecutive windows
+            bgap = lo[w[1:]] - hi[w[:-1]] - 1 if len(w) > 1 else np.array([0])
+            out["source"].append(int(s2[a]))
+            out["n_rows"].append(int(nr[w].sum()))
+            out["n_distinct"].append(distinct)
+            out["n_missing"].append(span - distinct)
+            out["max_gap"].append(int(max(ig[w].max(), bgap.max())))
+            out["n_dup_rows"].append(int(nr[w].sum()) - distinct)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                **{
+                    k: pa.array(out[k], pa.int64())
+                    for k in (
+                        "n_rows", "n_distinct", "n_missing", "max_gap",
+                        "n_dup_rows",
+                    )
+                },
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["doc_id", "source"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sw", fold, k=_doc_k_files(files))
+    return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def f1_ntok_quantiles_1h(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """T86/F: hourly sequence-length quantiles over the F1 stream — per
+    (source, 1h bucket): sequences + discrete p50/p90 of n_tok — the
+    flagship's own latency-percentile analog (E22 rolls event VALUES;
+    T86 rolls the tokenized payload's length, the number batch-packing
+    and KV-cache sizing key off per time slice).  Exact int64 under the
+    quantile_disc rank rule (seq-derived bucket + quantile_disc oracle).
+
+    Scale shape — E22's per-bucket mergeable histogram verbatim on the
+    F axis: n_tok is bounded by max_tok, so each batch reduces to
+    (source, bucket, n_tok, freq) partials; ONLY histograms shuffle
+    (bucket-hash), every group's quantiles read off one lexsort +
+    cumsum per partition."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bucket = seq // 3600
+        ntok = pc.cast(b["n_tok"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = (code * (1 << 32) + bucket) * 1024 + ntok
+        vals, freq = np.unique(packed, return_counts=True)
+        sb = vals // 1024
+        return pa.table(
+            {
+                "sb": pa.array(sb, pa.int64()),
+                "v": pa.array(vals % 1024, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_ntok" for q in qs)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n_seqs": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["sb", "v"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        sb = g["sb"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, sb))
+        k2, v2, f2 = sb[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {"s": [], "b": [], "n": [], **{c: [] for c in names}}
+        for a, b in zip(starts, ends):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["s"].append(int(k2[a] >> 32))
+            out["b"].append(int(k2[a] & 0xFFFFFFFF))
+            out["n"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        from ..timegrid import T0_US
+
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["s"], pa.int64())),
+                "bucket_ts": pa.array(
+                    np.array(out["b"], np.int64) * 3_600_000_000 + T0_US,
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
+                "n_seqs": pa.array(out["n"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = rd.read_parquet(
+        files, columns=["doc_id", "source", "n_tok"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_partition_merge(partials, "sb", fold, k=_doc_k_files(files))
