@@ -6090,11 +6090,10 @@ def split_board(sf_dir: str) -> Dataset:
             "ntok": [],
         }
         packed = h * 4 + sp  # 3 splits fit 2 bits
-        vals, idx, freq = np.unique(
-            packed, return_index=True, return_counts=True
+        vals, inv, freq = np.unique(
+            packed, return_inverse=True, return_counts=True
         )
         tok_sum = np.zeros(len(vals), np.int64)
-        inv = np.searchsorted(vals, packed)
         np.add.at(tok_sum, inv, ntok)
         counts["h"].append(vals >> 2)
         counts["sp"].append(vals & 3)
