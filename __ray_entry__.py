@@ -1101,6 +1101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_yearly_growth": rel.yearly_growth,
+        "doc_token_budget_trim": cps.token_budget_trim,
+        "rel_nation_top_customers": rel.nation_top_customers,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1944,6 +1946,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "doc_token_budget_trim": """
+            WITH q AS (SELECT doc_id, source, n_chars,
+                              CAST(len(str_split(text, ' ')) AS BIGINT)
+                                  AS ntok
+                       FROM documents),
+                 o AS (SELECT *, sum(ntok) OVER (ORDER BY n_chars DESC,
+                                                 doc_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                                  AS cum
+                       FROM q),
+                 k AS (SELECT * FROM o WHERE cum <= 6000),
+                 s AS (SELECT DISTINCT source FROM documents)
+            SELECT s.source,
+                   CAST(coalesce(count(k.doc_id), 0) AS BIGINT)
+                       AS n_docs_kept,
+                   CAST(coalesce(sum(k.ntok), 0) AS BIGINT)
+                       AS n_tokens_kept
+            FROM s LEFT JOIN k ON s.source = k.source GROUP BY 1
+        """,
+        "rel_nation_top_customers": """
+            WITH orev AS (SELECT l_orderkey,
+                                 CAST(sum(CAST(floor(l_extendedprice
+                                               * (1 - l_discount))
+                                               AS BIGINT)) AS BIGINT)
+                                     AS rev
+                          FROM lineitem GROUP BY 1),
+                 crev AS (SELECT o_custkey,
+                                 CAST(sum(rev) AS BIGINT) AS rev
+                          FROM orev JOIN orders
+                               ON l_orderkey = o_orderkey
+                          GROUP BY 1),
+                 t AS (SELECT n_name, c_custkey, c_name, rev,
+                              row_number() OVER (PARTITION BY n_name
+                                                 ORDER BY rev DESC,
+                                                          c_custkey)
+                                  AS rnk
+                       FROM crev
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_name, CAST(rnk AS BIGINT) AS rank, c_custkey,
+                   c_name, rev AS revenue_floor
+            FROM t WHERE rnk <= 3
         """,
         "f1_gap_report": """
             WITH s AS (SELECT source,

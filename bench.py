@@ -338,6 +338,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "f1_gap_report",
         "f1_ntok_quantiles_1h",
         "rel_yearly_growth",
+        "doc_token_budget_trim",
+        "rel_nation_top_customers",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -491,3 +491,165 @@ def vocab_ids(sf_dir: str, v: int = 16) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         apply, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def token_budget_trim(sf_dir: str, budget_tokens: int = 6_000) -> Dataset:
+    """T87: budget-constrained curriculum selection — keep documents in
+    (n_chars DESC, doc_id ASC) curriculum order while the INCLUSIVE
+    running token total stays within ``budget_tokens``; report per
+    source: docs kept, tokens kept — "we can afford B tokens; take the
+    longest-first prefix" — the budgeting step between T55's ordering
+    and T22's packing (a straddling doc is DROPPED, so the answer is
+    unique and the budget is a hard ceiling).  One dense row per source
+    ALWAYS.  Exact int64 (window running-sum ≤ B oracle).
+
+    Scale shape — T55's count-based ranking generalized to a WEIGHTED
+    prefix, still with no global sort:
+      1. one mergeable (n_chars → docs, tokens) histogram pass collapses
+         at the driver into the boundary length L* (first length, desc,
+         whose group crosses the budget) + the residual budget entering
+         it — O(distinct lengths) rows, shipped via ray.put;
+      2. hash-partition by N_CHARS: groups longer than L* keep
+         everything; the L* group co-locates in ONE task where the
+         doc_id-ordered residual prefix settles locally; shorter groups
+         drop — each partition reduces straight to per-source (docs,
+         tokens) partials and a k=1 merge densifies.
+    Same hot-length caveat as T55: one length value's docs land in one
+    task (the (key, window) sub-split applies if a real corpus pins
+    n_chars)."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars", "text"])
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.list_value_length(pc.split_pattern(b["text"], " ")),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "len": pc.cast(b["n_chars"], pa.int64()),
+                "ntok": ntok,
+                "s": pc.cast(
+                    pc.index_in(b["source"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    narrowed = docs.map_batches(
+        narrow, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # narrow int64 rows; consumed by both passes
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("len", use_threads=False).aggregate(
+            [("ntok", "sum"), ("ntok", "count")]
+        )
+        return g.rename_columns(["len", "tok", "f"])
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "len": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("len", use_threads=False).aggregate(
+            [("tok", "sum"), ("f", "sum")]
+        )
+        return g.rename_columns(["len", "tok", "f"])
+
+    hist = pa.concat_tables(
+        list(
+            hash_partition_merge(
+                narrowed.map_batches(hist_partial, batch_format="pyarrow"),
+                "len",
+                hist_merge,
+                k=1,
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    lens = hist["len"].combine_chunks().to_numpy(zero_copy_only=False)
+    toks = hist["tok"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(lens, kind="stable")[::-1]  # longest first
+    lens_d, toks_d = lens[order], toks[order]
+    cum = np.cumsum(toks_d)
+    over = np.flatnonzero(cum > budget_tokens)
+    if len(over) == 0:  # whole corpus affordable
+        l_star, residual = -1, 0
+    else:
+        i = int(over[0])
+        l_star = int(lens_d[i])
+        residual = int(budget_tokens - (cum[i - 1] if i else 0))
+    plan_ref = ray.put((l_star, residual))
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "ntok": pa.array([], pa.int64()),
+                }
+            )
+        l_star_, residual_ = ray.get(plan_ref)
+        L = t["len"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["ntok"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = L > l_star_ if l_star_ >= 0 else np.ones(len(L), bool)
+        if l_star_ >= 0:
+            at = np.flatnonzero(L == l_star_)
+            if len(at):  # the whole boundary group co-locates here
+                order = np.argsort(d[at], kind="stable")
+                csum = np.cumsum(k[at][order])
+                kept_local = at[order][csum <= residual_]
+                keep[kept_local] = True
+        nd = np.bincount(s[keep], minlength=ns).astype(np.int64)
+        tk = np.bincount(
+            s[keep], weights=k[keep], minlength=ns
+        ).astype(np.int64)
+        live = np.flatnonzero((nd > 0) | (tk > 0))
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live]),
+                "ntok": pa.array(tk[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        tk = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [("nd", "sum"), ("ntok", "sum")]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd[ss] = g["nd_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            tk[ss] = g["ntok_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs_kept": pa.array(nd),
+                "n_tokens_kept": pa.array(tk),
+            }
+        )
+
+    from ..stages.shuffle import adaptive_width
+
+    kk = adaptive_width(f"{sf_dir}/documents.parquet", 25_000)
+    cells = hash_partition_merge(narrowed, "len", fold, k=kk)
+    return hash_partition_merge(cells, "s", merge, k=1)

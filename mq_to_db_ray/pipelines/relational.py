@@ -3898,3 +3898,233 @@ def yearly_growth(sf_dir: str) -> Dataset:
 
     partials = ords.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "yr", merge, k=1)
+
+
+def nation_top_customers(sf_dir: str, top_k: int = 3) -> Dataset:
+    """R26: per-nation top customers by lifetime floored revenue
+    Σfloor(extprice·(1−disc)) — the GROUPED top-k of R9's global board
+    (every nation's podium, rank 1..k, ties → custkey ASC) with c_name
+    attached.  Exact int64 (two-hop revenue chain + PARTITION BY
+    row_number oracle).
+
+    Scale shape — R19's two co-partitioned pre-reduce hops with R9's
+    local-top-k combiner applied PER NATION: the CUSTKEY hop settles
+    each customer's exact lifetime total AND its nation/name (dim rows
+    co-partition — customers grow with the corpus, never broadcast), so
+    each partition keeps only its local per-nation top-k and
+    O(partitions × nations × k) candidates reach the k=1 rank merge;
+    nation names attach from the 25-row broadcast."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nk_pos = {int(k): i for i, k in enumerate(nat["n_nationkey"])}
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    # ---- hop 1 (ORDERKEY): per-customer revenue partials ----
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        g = g.rename_columns(["k", "rev"])
+        return g.append_column(
+            "ck", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "ck", "rev"])
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "rev": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "nat": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dck = d["ck"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        out = pa.table(
+            {
+                "k": pa.array(dck[pos][hit], pa.int64()),  # custkey
+                "rev": pc.cast(fg["rev_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
+        )
+        g = out.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        g = g.rename_columns(["k", "rev"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "k": g["k"],
+                "name": pa.array([""] * n, pa.string()),
+                "nat": pa.array(np.full(n, -1, np.int64)),  # fact role
+                "rev": g["rev"],
+            }
+        )
+
+    cust_rev = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            ords.map_batches(order_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2 (CUSTKEY): totals + name/nation; local per-nation top-k ----
+    def cust_dim(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "name": b["c_name"],
+                "nat": pc.cast(b["c_nationkey"], pa.int64()),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ck": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "nat": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("rev", "sum")])
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = pc.cast(fg["rev_sum"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        fk_h, rev_h, pos_h = fk[hit], rev[hit], pos[hit]
+        dnat = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        nat_h = dnat[pos_h]
+        # local per-nation top-k (totals are final by co-location)
+        sel = np.lexsort((fk_h, -rev_h, nat_h))
+        n2 = nat_h[sel]
+        new = np.empty(len(sel), dtype=bool)
+        if len(sel):
+            new[0] = True
+            new[1:] = n2[1:] != n2[:-1]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        within = np.arange(len(sel)) - starts[gid]
+        keep = sel[within < top_k]
+        dnames = d["name"].combine_chunks().take(
+            pa.array(order[pos_h[keep]], pa.int64())
+        )
+        return pa.table(
+            {
+                "ck": pa.array(fk_h[keep], pa.int64()),
+                "name": dnames,
+                "nat": pa.array(nat_h[keep], pa.int64()),
+                "rev": pa.array(rev_h[keep], pa.int64()),
+            }
+        )
+
+    cand = hash_partition_merge(
+        cust_rev.union(cust.map_batches(cust_dim, batch_format="pyarrow")),
+        "k",
+        fold_cust,
+        k=_rel_k(sf_dir, "customer"),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "c_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ck, -rv, nt))
+        n2 = nt[sel]
+        new = np.empty(len(sel), dtype=bool)
+        new[0] = True
+        new[1:] = n2[1:] != n2[:-1]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        within = np.arange(len(sel)) - starts[gid]
+        keep = sel[within < top_k]
+        rank = (within[within < top_k] + 1).astype(np.int64)
+        take = pa.array(keep, pa.int64())
+        npos = pa.array([nk_pos[int(x)] for x in nt[keep]], pa.int64())
+        return pa.table(
+            {
+                "n_name": names.take(npos),
+                "rank": pa.array(rank),
+                "c_custkey": pa.array(ck[keep], pa.int64()),
+                "c_name": t["name"].combine_chunks().take(take),
+                "revenue_floor": pa.array(rv[keep], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cand, "nat", merge, k=1)
