@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_dominance(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dominance_share
+
+    return events_dominance_share(sf_dir)
+
+
 def _q_events_session_sensitivity(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_sensitivity
 
@@ -1103,6 +1109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_yearly_growth": rel.yearly_growth,
         "doc_token_budget_trim": cps.token_budget_trim,
         "rel_nation_top_customers": rel.nation_top_customers,
+        "events_dominance_share": _q_events_dominance,
+        "embedding_neighbor_gaps": td.embedding_neighbor_gap_hist,
+        "rel_linenumber_profile": rel.linenumber_profile,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1946,6 +1955,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_dominance_share": """
+            WITH c AS (SELECT date_trunc('minute', ts) AS m, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 w AS (SELECT m, event_type,
+                              row_number() OVER (PARTITION BY m
+                                                 ORDER BY n DESC,
+                                                          event_type)
+                                  AS rn
+                       FROM c),
+                 won AS (SELECT event_type AS source,
+                                CAST(count(*) AS BIGINT) AS n_won
+                         FROM w WHERE rn = 1 GROUP BY 1),
+                 pres AS (SELECT event_type AS source,
+                                 CAST(count(*) AS BIGINT) AS n_present
+                          FROM c GROUP BY 1)
+            SELECT pres.source,
+                   CAST(coalesce(won.n_won, 0) AS BIGINT) AS n_won,
+                   pres.n_present,
+                   CAST((1000 * coalesce(won.n_won, 0))
+                        // greatest(pres.n_present, 1) AS BIGINT)
+                       AS win_permille
+            FROM pres LEFT JOIN won ON pres.source = won.source
+        """,
+        "embedding_neighbor_gaps": """
+            WITH p AS (SELECT a.embedding AS ea, b.embedding AS eb
+                       FROM embeddings a
+                       JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+                 q AS (SELECT list_sum(list_transform(
+                                  generate_series(1, len(ea)),
+                                  i -> CAST(floor(1000
+                                       * (CAST(ea[i] AS DOUBLE)
+                                          - CAST(eb[i] AS DOUBLE))
+                                       * (CAST(ea[i] AS DOUBLE)
+                                          - CAST(eb[i] AS DOUBLE)))
+                                       AS BIGINT))) AS s
+                       FROM p)
+            SELECT CAST(s // 200 AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM q GROUP BY 1
+        """,
+        "rel_linenumber_profile": """
+            SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice
+                                       * (1 - l_discount)) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM lineitem GROUP BY 1
         """,
         "doc_token_budget_trim": """
             WITH q AS (SELECT doc_id, source, n_chars,

@@ -340,6 +340,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "rel_yearly_growth",
         "doc_token_budget_trim",
         "rel_nation_top_customers",
+        "events_dominance_share",
+        "embedding_neighbor_gaps",
+        "rel_linenumber_profile",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -7362,3 +7362,106 @@ def events_session_sensitivity(
         narrowed, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(cells, "thr", merge, k=1)
+
+
+def events_dominance_share(sf_dir: str) -> Dataset:
+    """E96: tape-dominance board — per source: minutes it WINS (it is
+    the minute's mode under E85's tie rule), minutes it is PRESENT, and
+    the win share in permille — "who owns the tape" (E85 lists each
+    minute's winner; E96 rolls the contest into one row per contender —
+    a source present everywhere but winning nowhere is pure background).
+    One dense row per source ALWAYS.  Exact int64 (E85's rn=1 CTE
+    re-grouped + presence join oracle).
+
+    Scale shape — E85's minute-hash exchange with a per-source roll
+    folded IN PLACE: each partition decides its minutes' winners and
+    presence locally (one lexsort) and reduces straight to per-source
+    (won, present) partials; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = m * ns + code
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "m": pa.array(vals // ns, pa.int64()),
+                "c": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "won": pa.array([], pa.int64()),
+                    "pres": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["m", "c"], use_threads=False).aggregate([("n", "sum")])
+        mm = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, -nn, mm))
+        m2, c2 = mm[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = m2[1:] != m2[:-1]
+        won = np.bincount(c2[new], minlength=ns).astype(np.int64)
+        pres = np.bincount(cc, minlength=ns).astype(np.int64)
+        live = np.flatnonzero((won > 0) | (pres > 0))
+        return pa.table(
+            {
+                "c": pa.array(live.astype(np.int64)),
+                "won": pa.array(won[live]),
+                "pres": pa.array(pres[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        won = np.zeros(ns, np.int64)
+        pres = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("c", use_threads=False).aggregate(
+                [("won", "sum"), ("pres", "sum")]
+            )
+            cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            won[cc] = g["won_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pres[cc] = g["pres_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_won": pa.array(won),
+                "n_present": pa.array(pres),
+                "win_permille": pa.array(
+                    (1000 * won) // np.maximum(pres, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    cells = hash_partition_merge(partials, "m", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "c", merge, k=1)

@@ -4128,3 +4128,64 @@ def nation_top_customers(sf_dir: str, top_k: int = 3) -> Dataset:
         )
 
     return hash_partition_merge(cand, "nat", merge, k=1)
+
+
+def linenumber_profile(sf_dir: str) -> Dataset:
+    """R27: line-position profile — per l_linenumber (the line's ordinal
+    WITHIN its order): line count, exact Σqty, floored revenue — T84's
+    positional-bias probe on the relational axis (position 1 exists for
+    every order; the tail positions profile basket depth, and a measure
+    drifting with position flags an entry-order artifact).  Exact int64
+    (single-table GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: one floor + one Arrow group_by
+    per batch reduce lines to ≤ max-position partial rows; k=1 merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "ln": pc.cast(b["l_linenumber"], pa.int64()),
+                "n": pa.array(np.ones(len(rev), np.int64)),
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("ln", use_threads=False).aggregate(
+            [("n", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["ln", "n", "qty", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_linenumber": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("ln", use_threads=False).aggregate(
+            [("n", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "l_linenumber": pc.cast(g["ln"], pa.int64()),
+                "n_lines": pc.cast(g["n_sum"], pa.int64()),
+                "sum_qty": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "ln", merge, k=1)

@@ -7039,3 +7039,123 @@ def f1_ntok_quantiles_1h(
         files, columns=["doc_id", "source", "n_tok"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return hash_partition_merge(partials, "sb", fold, k=_doc_k_files(files))
+
+
+def embedding_neighbor_gap_hist(
+    sf_dir: str, band_width: int = 200
+) -> Dataset:
+    """T88: embedding-space spacing histogram — per band of the
+    INTEGER-QUANTIZED squared distance Σ floor(1000·(xᵢ−yᵢ)²) between
+    CONSECUTIVE vec_ids (a deterministic 1-D sample of the pairwise
+    distance distribution — O(N) pairs where the full matrix is O(N²)):
+    pair count — the spacing audit behind T5's threshold choice (a
+    spike near zero = near-dup mass T5b must catch; a point mass
+    elsewhere = a degenerate encoder).  The element-wise floor happens
+    BEFORE the sum (T78's convention), so both sides add exact int64.
+    Exact int64 (self-join on vec_id+1 + list_transform oracle).
+
+    Scale shape — consecutive ids co-locate under ONE (vec_id //
+    2)-free trick: rows ship to BOTH their own and their predecessor's
+    pair partition... simpler: pairs key on the LOWER id, and each
+    vector ships (at most) twice — to pair id and id−1 — as narrow
+    (pair, role, vector) rows; each partition reshapes its two sides
+    and reduces to (band, freq) partials; k=1 merge.  Pair rows are
+    2 rows/vector regardless of corpus size."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        e = b["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        vid = pc.cast(b["vec_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        # role 0: this vector opens pair (vid); role 1: it closes (vid-1)
+        t = pa.table(
+            {
+                "pair": pa.array(np.concatenate([vid, vid - 1])),
+                "role": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(vid), np.int64),
+                            np.ones(len(vid), np.int64),
+                        ]
+                    )
+                ),
+                "embedding": pa.concat_arrays([e, e]),
+            }
+        )
+        return t.filter(pc.field("pair") >= 0)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        pairs = t["pair"].combine_chunks().to_numpy(zero_copy_only=False)
+        roles = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = t["embedding"].combine_chunks()
+        n = len(pairs)
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        order = np.lexsort((roles, pairs))
+        p2, r2 = pairs[order], roles[order]
+        # complete pairs: adjacent rows with same pair id, roles (0, 1)
+        both = (
+            (p2[1:] == p2[:-1]) & (r2[:-1] == 0) & (r2[1:] == 1)
+        )
+        at = np.flatnonzero(both)
+        if len(at) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        a = m[order[at]]
+        bvec = m[order[at + 1]]
+        d = a - bvec
+        q = np.floor(1000.0 * d * d).astype(np.int64).sum(axis=1)
+        vals, freq = np.unique(q // band_width, return_counts=True)
+        return pa.table(
+            {
+                "band": pa.array(vals, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("band", use_threads=False).aggregate([("f", "sum")])
+        return pa.table(
+            {
+                "band": pc.cast(g["band"], pa.int64()),
+                "n_pairs": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    from ..stages.shuffle import adaptive_width
+
+    exploded = emb.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kk = adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000)
+    cells = hash_partition_merge(exploded, "pair", fold, k=kk)
+    return hash_partition_merge(cells, "band", merge, k=1)
