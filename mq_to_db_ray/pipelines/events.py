@@ -7365,7 +7365,7 @@ def events_session_sensitivity(
 
 
 def events_dominance_share(sf_dir: str) -> Dataset:
-    """E96: tape-dominance board — per source: minutes it WINS (it is
+    """E95: tape-dominance board — per source: minutes it WINS (it is
     the minute's mode under E85's tie rule), minutes it is PRESENT, and
     the win share in permille — "who owns the tape" (E85 lists each
     minute's winner; E96 rolls the contest into one row per contender —
