@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_value_bands(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_bands
+
+    return events_value_bands(sf_dir)
+
+
 def _q_events_dominance(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_dominance_share
 
@@ -1112,6 +1118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dominance_share": _q_events_dominance,
         "embedding_neighbor_gaps": td.embedding_neighbor_gap_hist,
         "rel_linenumber_profile": rel.linenumber_profile,
+        "events_value_bands": _q_events_value_bands,
+        "doc_length_integrity": td.length_integrity,
+        "rel_status_matrix": rel.status_year_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1955,6 +1964,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "events_value_bands": """
+            SELECT event_type AS source,
+                   CAST(CAST(floor(value) AS BIGINT) // 50 AS BIGINT)
+                       AS band,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_length_integrity": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n_chars <> len(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched
+            FROM documents GROUP BY 1
+        """,
+        "rel_status_matrix": """
+            SELECT o_orderstatus,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM orders GROUP BY 1, 2
         """,
         "events_dominance_share": """
             WITH c AS (SELECT date_trunc('minute', ts) AS m, event_type,

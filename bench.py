@@ -343,6 +343,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dominance_share",
         "embedding_neighbor_gaps",
         "rel_linenumber_profile",
+        "events_value_bands",
+        "doc_length_integrity",
+        "rel_status_matrix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -7465,3 +7465,66 @@ def events_dominance_share(sf_dir: str) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     cells = hash_partition_merge(partials, "m", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "c", merge, k=1)
+
+
+def events_value_bands(sf_dir: str, band_width: int = 50) -> Dataset:
+    """E96: value-band heatmap — per (source, floor(value) // band_width):
+    event count — the 2-D payload-magnitude profile E22 summarizes per
+    minute and E89 reduces to one argmax row (which sources carry small
+    telemetry readings vs large transactions, at a glance).  Exact int64
+    (floor + integer-divide GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange beyond the k=1 merge: one floor
+    kernel + one bit-packed np.unique per batch reduce events to
+    (source, band, freq) partials over a value-domain-bounded grid."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        val = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        band = np.floor(val).astype(np.int64) // band_width
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 32) + band
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array(vals >> 32, pa.int64()),
+                "band": pa.array(vals & 0xFFFFFFFF, pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "band": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"].combine_chunks()),
+                "band": pc.cast(g["band"], pa.int64()),
+                "n_events": pc.cast(g["f_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "s", merge, k=1)
+

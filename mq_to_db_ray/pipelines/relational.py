@@ -4189,3 +4189,89 @@ def linenumber_profile(sf_dir: str) -> Dataset:
 
     partials = lines.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "ln", merge, k=1)
+
+
+def status_year_matrix(sf_dir: str) -> Dataset:
+    """R28: order-status × year matrix — per (o_orderstatus, order
+    year): orders + floored o_totalprice revenue — the fulfillment-state
+    drift board (a rising F share = the book is aging through; P stuck
+    = a processing stall), completing the orders table's column
+    coverage.  Exact int64 (two-key GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: status is a tiny exact broadcast
+    rank (the R2 priority convention), one floor + one bit-packed
+    np.unique per batch reduce orders to (status, year, n, rev)
+    partials over a ≤ statuses × years domain; k=1 merge."""
+    stats = tuple(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderstatus"]
+            ).unique("o_orderstatus")
+        )
+    )
+    st_arr = pa.array(list(stats), pa.string())
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["o_orderstatus"], value_set=st_arr), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts_us = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts_us.astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "st": pa.array(code),
+                "yr": pa.array(yr),
+                "n": pa.array(np.ones(len(yr), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["st", "yr"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["st", "yr", "n", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "o_year": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["st", "yr"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": st_arr.take(g["st"].combine_chunks()),
+                "o_year": pc.cast(g["yr"], pa.int64()),
+                "n_orders": pc.cast(g["n_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partials = ords.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "st", merge, k=1)

@@ -7159,3 +7159,76 @@ def embedding_neighbor_gap_hist(
     kk = adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000)
     cells = hash_partition_merge(exploded, "pair", fold, k=kk)
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def length_integrity(sf_dir: str) -> Dataset:
+    """T89: metadata-integrity audit — per source: docs, docs whose
+    stored ``n_chars`` DISAGREES with len(text) (codepoint semantics,
+    T71's convention) — the reference's validate-predicate (M2: declared
+    n_tok must equal len(tokens)) asked of the documents table's own
+    metadata; one dense row per source ALWAYS, zero-valued when the
+    pipeline upstream was honest.  Exact int64 (len() compare oracle).
+
+    Scale shape — ZERO wide exchange: one utf8_length kernel + one
+    compare per batch reduce to per-source (docs, bad) counter rows;
+    k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = (
+            pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        nc = pc.cast(batch["n_chars"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        nd = np.bincount(code, minlength=ns).astype(np.int64)
+        bad = np.bincount(
+            code, weights=(ln != nc).astype(np.int64), minlength=ns
+        ).astype(np.int64)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live]),
+                "bad": pa.array(bad[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        bad = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [("nd", "sum"), ("bad", "sum")]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd[ss] = g["nd_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            bad[ss] = g["bad_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(nd),
+                "n_mismatched": pa.array(bad),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
