@@ -487,6 +487,12 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_trend_stats(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_trend_stats
+
+    return events_trend_stats(sf_dir)
+
+
 def _q_events_value_bands(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_value_bands
 
@@ -1121,6 +1127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bands": _q_events_value_bands,
         "doc_length_integrity": td.length_integrity,
         "rel_status_matrix": rel.status_year_matrix,
+        "events_trend_stats": _q_events_trend_stats,
+        "doc_prep_attrition": td.prep_attrition,
+        "rel_shipping_priority": rel.shipping_priority,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1986,6 +1995,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
                         AS BIGINT) AS revenue_floor
             FROM orders GROUP BY 1, 2
+        """,
+        "events_trend_stats": """
+            SELECT event_type AS source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(t) AS BIGINT) AS sum_t,
+                   CAST(sum(t * t) AS BIGINT) AS sum_tt,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(t * v) AS BIGINT) AS sum_tv
+            FROM (SELECT event_type,
+                         (epoch_us(ts) - 1704067200000000) // 60000000 AS t,
+                         CAST(floor(value) AS BIGINT) AS v
+                  FROM events)
+            GROUP BY 1
+        """,
+        "doc_prep_attrition": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.da AS doc_a, i.db AS doc_b
+                  FROM i JOIN sizes sa ON i.da = sa.doc_id
+                         JOIN sizes sb ON i.db = sb.doc_id
+                  WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200),
+            nn AS (SELECT doc_a u FROM p UNION SELECT doc_b FROM p),
+            ee AS (SELECT doc_a u, doc_b v FROM p
+                   UNION SELECT doc_b, doc_a FROM p
+                   UNION SELECT u, u FROM nn),
+            reach(u, v) AS (
+                SELECT u, v FROM ee
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u),
+            cl AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY 1),
+            losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+            qt AS (SELECT doc_id, source, lang, text,
+                          str_split(text, ' ') w FROM documents),
+            qc AS (SELECT doc_id, word, count(*) cnt
+                   FROM (SELECT doc_id, unnest(w) word FROM qt) GROUP BY 1, 2),
+            qrep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                     FROM qc GROUP BY 1),
+            qst AS (SELECT doc_id,
+                           sum(CASE WHEN word IN
+                               ('the','a','of','and','to','in','is')
+                               THEN 1 ELSE 0 END) s
+                    FROM (SELECT doc_id,
+                                 unnest(str_split(lower(text), ' ')) word
+                          FROM qt)
+                    GROUP BY 1),
+            qe AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            qhit AS (SELECT d.doc_id
+                     FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                     JOIN qe ON d.s = qe.s GROUP BY 1),
+            qpass AS (SELECT qt.doc_id
+                      FROM qt JOIN qrep USING (doc_id) JOIN qst USING (doc_id)
+                      WHERE qt.lang = 'en'
+                        AND qrep.n BETWEEN 20 AND 90
+                        AND floor(1000.0*(qrep.n - qrep.d)/qrep.n) <= 600
+                        AND floor(1000.0*qrep.m/qrep.n) <= 130
+                        AND floor(1000.0*qst.s/qrep.n) >= 20
+                        AND qt.doc_id NOT IN (SELECT doc_id FROM qhit)),
+            flags AS (SELECT d.source,
+                             CASE WHEN d.doc_id IN
+                                  (SELECT doc_id FROM losers)
+                                  THEN 1 ELSE 0 END dup,
+                             CASE WHEN d.doc_id IN
+                                  (SELECT doc_id FROM qpass)
+                                  THEN 0 ELSE 1 END qf
+                      FROM documents d)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dup) AS BIGINT) AS n_dup_dropped,
+                   CAST(sum(qf) AS BIGINT) AS n_qual_failed,
+                   CAST(sum(dup * qf) AS BIGINT) AS n_both,
+                   CAST(sum((1 - dup) * (1 - qf)) AS BIGINT) AS n_kept
+            FROM flags GROUP BY 1
+        """,
+        "rel_shipping_priority": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   o.o_orderdate,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount)) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_floor DESC, o_orderkey ASC
+            LIMIT 10
         """,
         "events_dominance_share": """
             WITH c AS (SELECT date_trunc('minute', ts) AS m, event_type,

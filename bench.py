@@ -346,6 +346,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_bands",
         "doc_length_integrity",
         "rel_status_matrix",
+        "events_trend_stats",
+        "doc_prep_attrition",
+        "rel_shipping_priority",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

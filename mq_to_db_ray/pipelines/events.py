@@ -7528,3 +7528,107 @@ def events_value_bands(sf_dir: str, band_width: int = 50) -> Dataset:
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "s", merge, k=1)
 
+
+
+def events_trend_stats(sf_dir: str) -> Dataset:
+    """E97: payload-trend sufficient statistics — per source over raw
+    events: n, Σt, Σt², Σv, Σt·v with t = minutes since the tape epoch
+    and v = floor(value) — the exact-int64 OLS normal equations of the
+    value-vs-time drift line (slope off-line: a rising fit = sensor
+    drift / price inflation E53 would only see in counts), read next to
+    E95's dispersion stats (same sufficient-statistic discipline, value
+    axis instead of count axis).  Int64 bound documented: t ≤ minutes of
+    retention (~5·10⁵ at 1 year), so Σt·v holds ~2·10⁷ events/source at
+    v ≤ 10⁶ — per-source partials at 100 TB ride sharded epochs, the
+    same bound the reference's counter registry accepts (metrics.go).
+    Exact int64 (epoch_us floor-divide + SUM oracle).
+
+    Scale shape — ZERO wide exchange: one floor + one np.add.at pass per
+    batch reduces events to ONE partial row per source; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            - EVENTS_T0_US
+        ) // 60_000_000
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = np.bincount(code, minlength=ns)
+        st = np.zeros(ns, np.int64)
+        stt = np.zeros(ns, np.int64)
+        sv = np.zeros(ns, np.int64)
+        stv = np.zeros(ns, np.int64)
+        np.add.at(st, code, t)
+        np.add.at(stt, code, t * t)
+        np.add.at(sv, code, v)
+        np.add.at(stv, code, t * v)
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "n": pa.array(n[live].astype(np.int64)),
+                "st": pa.array(st[live]),
+                "stt": pa.array(stt[live]),
+                "sv": pa.array(sv[live]),
+                "stv": pa.array(stv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(ns, np.int64)
+        st = np.zeros(ns, np.int64)
+        stt = np.zeros(ns, np.int64)
+        sv = np.zeros(ns, np.int64)
+        stv = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [
+                    ("n", "sum"),
+                    ("st", "sum"),
+                    ("stt", "sum"),
+                    ("sv", "sum"),
+                    ("stv", "sum"),
+                ]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (n, "n_sum"),
+                (st, "st_sum"),
+                (stt, "stt_sum"),
+                (sv, "sv_sum"),
+                (stv, "stv_sum"),
+            ):
+                dst[ss] = g[col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(n),
+                "sum_t": pa.array(st),
+                "sum_tt": pa.array(stt),
+                "sum_v": pa.array(sv),
+                "sum_tv": pa.array(stv),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "s", merge, k=1)

@@ -4275,3 +4275,186 @@ def status_year_matrix(sf_dir: str) -> Dataset:
 
     partials = ords.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "st", merge, k=1)
+
+
+def shipping_priority(
+    sf_dir: str, segment: str = "BUILDING",
+    cutoff: str = "1998-06-01", top_k: int = 10,
+) -> Dataset:
+    """R29: shipping-priority board (the TPC-H Q3 shape) — the top-k
+    orders by floored unshipped revenue Σfloor(extprice·(1−disc)) among
+    orders PLACED before the cutoff by customers of one market segment
+    whose lines SHIP after it — the classic 3-way customer ⋈ orders ⋈
+    lineitem chain where all three legs grow with the corpus and none
+    can broadcast; ties break by o_orderkey ASC so the answer is
+    unique.  Exact int64 (3-way join + ORDER BY LIMIT oracle).
+
+    Scale shape — THREE chained co-partitioned hops, each narrower than
+    its input: the segment and date predicates are PUSHED TO THE READS;
+    the CUSTKEY hop semi-joins order rows against the segment's
+    customers (customer GROWS WITH THE CORPUS — never broadcast); line
+    batches pre-reduce to per-order floored-revenue partials; the
+    ORDERKEY hop meets them with surviving orders, sums per order,
+    attaches o_orderdate, and keeps its LOCAL top-k so only
+    O(partitions × k) candidate rows reach the k=1 rank merge."""
+    cut_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == segment),
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cut_us, pa.timestamp("us"))),
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > pa.scalar(cut_us, pa.timestamp("us"))),
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 1 (CUSTKEY): semi-join orders against segment customers ----
+    def cust_row(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "ck": pc.cast(b["c_custkey"], pa.int64()),
+                "ok": pa.array(np.full(n, -1, np.int64)),
+                "od": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "od": b["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ok": pa.array([], pa.int64()), "od": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        seg = np.unique(ck[ok < 0])
+        rows = ok >= 0
+        if len(seg) == 0 or not rows.any():
+            return empty
+        pos = np.clip(np.searchsorted(seg, ck[rows]), 0, len(seg) - 1)
+        hit = seg[pos] == ck[rows]
+        keep = np.flatnonzero(rows)[hit]
+        o = t.take(pa.array(keep, pa.int64()))
+        return pa.table({"ok": o["ok"], "od": o["od"]})
+
+    kept_orders = hash_partition_merge(
+        cust.map_batches(cust_row, batch_format="pyarrow").union(
+            ords.map_batches(order_row, batch_format="pyarrow")
+        ),
+        "ck",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 2 (ORDERKEY): revenue partials meet surviving orders ----
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {"ok": pc.cast(b["l_orderkey"], pa.int64()), "rev": pa.array(rev)}
+        )
+        g = t.group_by("ok", use_threads=False).aggregate([("rev", "sum")])
+        g = g.rename_columns(["ok", "rev"])
+        return g.append_column(
+            "od", pa.array(np.full(g.num_rows, -1, np.int64))
+        )
+
+    def surv_row(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ok": b["ok"],
+                "rev": pa.array(np.zeros(b.num_rows, np.int64)),
+                "od": b["od"],
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "revenue_floor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        od = t["od"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_order = od >= 0
+        o = t.filter(pa.array(is_order))
+        l = t.filter(pa.array(~is_order))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return empty
+        lg = l.group_by("ok", use_threads=False).aggregate([("rev", "sum")])
+        lk = lg["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        lr = lg["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        okk = o["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(okk, kind="stable")
+        ok_s = okk[order]
+        od_s = o["od"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        keys = lk[hit]
+        revs = lr[hit]
+        dates = od_s[pos][hit]
+        # local top-k: revenue DESC, orderkey ASC
+        sel = np.lexsort((keys, -revs))[:top_k]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[sel], pa.int64()),
+                "o_orderdate": pa.array(dates[sel], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "revenue_floor": pa.array(revs[sel], pa.int64()),
+            }
+        )
+
+    candidates = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            kept_orders.map_batches(surv_row, batch_format="pyarrow")
+        ),
+        "ok",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def rank_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        keys = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        revs = t["revenue_floor"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sel = np.lexsort((keys, -revs))[:top_k]
+        return t.take(pa.array(sel, pa.int64()))
+
+    return hash_partition_merge(
+        candidates, "o_orderkey", rank_merge, k=1
+    )

@@ -7232,3 +7232,159 @@ def length_integrity(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def prep_attrition(
+    sf_dir: str,
+    threshold_permille: int = 200,
+    clusters: Dataset | None = None,
+) -> Dataset:
+    """T90: corpus-prep attrition matrix — per source: docs, docs the
+    near-dedup decision DROPS (non-winner T20 cluster members), docs the
+    fused T29 quality filter REJECTS, docs hit by BOTH, and docs a
+    T33-style prep keeps — the loss-accounting 2x2 a pipeline owner
+    reads before signing off a corpus build ("how much unique good text
+    is dedup deleting, how much duplicate junk is quality already
+    catching").  One dense row per source ALWAYS (zero-valued where the
+    corpus is clean — sf<0.1 has no real dup groups).  Exact int64
+    (dedup recursive-CTE loser set x quality CTE crossed in one GROUP
+    BY oracle).
+
+    Scale shape — near_dedup_keep's hash-partitioned membership join
+    with TWO mark streams riding one exchange: cluster-loser marks
+    (bounded by T20's machinery, shared via the dup_clusters session
+    cache) and quality-pass ids (T29's one streaming text pass) union
+    with the narrow (doc_id, source) corpus under one role-tagged
+    schema; each doc_id partition settles both memberships with two
+    vectorized searchsorted probes and reduces straight to per-source
+    counter partials — neither mark set ever broadcasts."""
+    from ..stages.shuffle import hash_partition_merge
+
+    if clusters is None:
+        clusters = dup_clusters(sf_dir, threshold_permille=threshold_permille)
+    qpass = quality_filter(sf_dir)
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def corpus(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "s": pc.cast(
+                    pc.index_in(b["source"], value_set=srcs), pa.int64()
+                ),
+                "role": pa.array(np.zeros(b.num_rows, np.int8)),
+            }
+        )
+
+    def losers(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["doc_id"], b["cluster_id"]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "s": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "role": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def passed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "s": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "role": pa.array(np.full(b.num_rows, 2, np.int8)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "dup": pa.array([], pa.int64()),
+                    "qf": pa.array([], pa.int64()),
+                    "both": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        sarr = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        lose = np.unique(ids[role == 1])
+        qok = np.unique(ids[role == 2])
+        rows = role == 0
+        rid = ids[rows]
+
+        def member(sorted_set: np.ndarray, keys: np.ndarray) -> np.ndarray:
+            if len(sorted_set) == 0:
+                return np.zeros(len(keys), dtype=bool)
+            pos = np.clip(
+                np.searchsorted(sorted_set, keys), 0, len(sorted_set) - 1
+            )
+            return sorted_set[pos] == keys
+
+        is_dup = member(lose, rid)
+        is_qf = ~member(qok, rid)
+        code = sarr[rows]
+        nd = np.bincount(code, minlength=ns).astype(np.int64)
+        dup = np.bincount(
+            code, weights=is_dup.astype(np.int64), minlength=ns
+        ).astype(np.int64)
+        qf = np.bincount(
+            code, weights=is_qf.astype(np.int64), minlength=ns
+        ).astype(np.int64)
+        both = np.bincount(
+            code, weights=(is_dup & is_qf).astype(np.int64), minlength=ns
+        ).astype(np.int64)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live]),
+                "dup": pa.array(dup[live]),
+                "qf": pa.array(qf[live]),
+                "both": pa.array(both[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        dup = np.zeros(ns, np.int64)
+        qf = np.zeros(ns, np.int64)
+        both = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [("nd", "sum"), ("dup", "sum"), ("qf", "sum"), ("both", "sum")]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nd, "nd_sum"),
+                (dup, "dup_sum"),
+                (qf, "qf_sum"),
+                (both, "both_sum"),
+            ):
+                dst[ss] = g[col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(nd),
+                "n_dup_dropped": pa.array(dup),
+                "n_qual_failed": pa.array(qf),
+                "n_both": pa.array(both),
+                "n_kept": pa.array(nd - dup - qf + both),
+            }
+        )
+
+    union = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(corpus, batch_format="pyarrow")
+        .union(clusters.map_batches(losers, batch_format="pyarrow"))
+        .union(qpass.map_batches(passed, batch_format="pyarrow"))
+    )
+    partials = hash_partition_merge(union, "doc_id", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(partials, "s", merge, k=1)
