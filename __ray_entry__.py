@@ -487,6 +487,18 @@ def _q_events_interarrival_q(sf_dir: str):
     return events_interarrival_quantiles(sf_dir)
 
 
+def _q_events_volatility(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_volatility
+
+    return events_value_volatility(sf_dir)
+
+
+def _q_events_user_streaks(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_streak_hist
+
+    return events_user_streak_hist(sf_dir)
+
+
 def _q_events_trend_stats(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_trend_stats
 
@@ -1130,6 +1142,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_stats": _q_events_trend_stats,
         "doc_prep_attrition": td.prep_attrition,
         "rel_shipping_priority": rel.shipping_priority,
+        "events_user_streaks": _q_events_user_streaks,
+        "doc_dup_token_mass": td.dup_token_mass,
+        "rel_small_qty_revenue": rel.small_qty_revenue,
+        "events_volatility": _q_events_volatility,
+        "doc_eval_exposure": td.eval_exposure,
+        "rel_rich_activity": rel.rich_customer_activity,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2078,6 +2096,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup * qf) AS BIGINT) AS n_both,
                    CAST(sum((1 - dup) * (1 - qf)) AS BIGINT) AS n_kept
             FROM flags GROUP BY 1
+        """,
+        "events_volatility": """
+            WITH v AS (SELECT event_type AS source,
+                              CAST(floor(value) AS BIGINT) AS v,
+                              ts, event_id
+                       FROM events),
+            d AS (SELECT source, v,
+                         lag(v) OVER (PARTITION BY source
+                                      ORDER BY ts, event_id) AS p
+                  FROM v)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_steps,
+                   CAST(sum(abs(v - p)) AS BIGINT) AS sum_abs_dv,
+                   CAST(max(abs(v - p)) AS BIGINT) AS max_abs_dv
+            FROM d WHERE p IS NOT NULL GROUP BY 1
+        """,
+        "doc_eval_exposure": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT doc_id edoc, unnest(sh) s FROM g WHERE doc_id < 10),
+            c AS (SELECT doc_id cdoc, unnest(sh) s FROM g WHERE doc_id >= 10),
+            j AS (SELECT e.edoc, e.s, c.cdoc FROM e JOIN c ON e.s = c.s),
+            cov AS (SELECT edoc, CAST(count(DISTINCT s) AS BIGINT) cs,
+                           CAST(count(DISTINCT cdoc) AS BIGINT) cd
+                    FROM j GROUP BY 1),
+            base AS (SELECT edoc, CAST(count(DISTINCT s) AS BIGINT) ns
+                     FROM e GROUP BY 1)
+            SELECT base.edoc AS eval_doc_id,
+                   CAST(base.ns AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(cov.cs, 0) AS BIGINT) AS n_shingles_covered,
+                   CAST(COALESCE(cov.cd, 0) AS BIGINT) AS n_docs_hit
+            FROM base LEFT JOIN cov USING (edoc)
+        """,
+        "rel_rich_activity": """
+            WITH s AS (SELECT CAST(count(*) AS BIGINT) n,
+                              CAST(sum(CAST(floor(c_acctbal) AS BIGINT))
+                                   AS BIGINT) t
+                       FROM customer),
+            rich AS (SELECT c_custkey, c_nationkey,
+                            CAST(floor(c_acctbal) AS BIGINT) bal
+                     FROM customer, s
+                     WHERE CAST(floor(c_acctbal) AS BIGINT) * s.n > s.t),
+            act AS (SELECT r.c_nationkey, CAST(count(*) AS BIGINT) ocnt,
+                           CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT))
+                                AS BIGINT) rev
+                    FROM rich r JOIN orders o ON o.o_custkey = r.c_custkey
+                    GROUP BY 1),
+            base AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) nc,
+                            CAST(sum(bal) AS BIGINT) sb
+                     FROM rich GROUP BY 1)
+            SELECT n.n_name,
+                   CAST(COALESCE(base.nc, 0) AS BIGINT) AS n_customers,
+                   CAST(COALESCE(base.sb, 0) AS BIGINT) AS acctbal_floor,
+                   CAST(COALESCE(act.ocnt, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(act.rev, 0) AS BIGINT) AS revenue_floor
+            FROM nation n
+            LEFT JOIN base ON base.c_nationkey = n.n_nationkey
+            LEFT JOIN act ON act.c_nationkey = n.n_nationkey
+        """,
+        "events_user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         day - row_number() OVER
+                             (PARTITION BY user_id ORDER BY day) AS grp
+                  FROM d),
+            runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) len
+                     FROM r GROUP BY 1, 2)
+            SELECT CAST(len AS BIGINT) AS streak_days,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1
+        """,
+        "doc_dup_token_mass": """
+            WITH t AS (SELECT doc_id, source, text,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) tok
+                       FROM documents),
+            g AS (SELECT text, min(doc_id) winner, count(*) cnt
+                  FROM t GROUP BY 1)
+            SELECT t.source, CAST(sum(t.tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN g.cnt > 1 AND t.doc_id <> g.winner
+                                 THEN t.tok ELSE 0 END) AS BIGINT)
+                       AS n_echo_tokens
+            FROM t JOIN g ON t.text = g.text
+            GROUP BY 1
+        """,
+        "rel_small_qty_revenue": """
+            WITH s AS (SELECT l_partkey pk,
+                              CAST(sum(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) sq,
+                              CAST(count(*) AS BIGINT) cnt
+                       FROM lineitem GROUP BY 1),
+            q AS (SELECT p.p_brand b, CAST(count(*) AS BIGINT) n,
+                         CAST(sum(CAST(floor(l.l_extendedprice
+                                             * (1 - l.l_discount))
+                                       AS BIGINT)) AS BIGINT) r
+                  FROM lineitem l
+                  JOIN part p ON l.l_partkey = p.p_partkey
+                  JOIN s ON s.pk = l.l_partkey
+                  WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sq
+                  GROUP BY 1)
+            SELECT b.p_brand, CAST(COALESCE(q.n, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(q.r, 0) AS BIGINT) AS revenue_floor
+            FROM (SELECT DISTINCT p_brand FROM part) b
+            LEFT JOIN q ON q.b = b.p_brand
         """,
         "rel_shipping_priority": """
             SELECT l.l_orderkey AS o_orderkey,

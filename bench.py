@@ -349,6 +349,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_trend_stats",
         "doc_prep_attrition",
         "rel_shipping_priority",
+        "events_user_streaks",
+        "doc_dup_token_mass",
+        "rel_small_qty_revenue",
+        "events_volatility",
+        "doc_eval_exposure",
+        "rel_rich_activity",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

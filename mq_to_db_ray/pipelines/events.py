@@ -7632,3 +7632,226 @@ def events_trend_stats(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_user_streak_hist(sf_dir: str) -> Dataset:
+    """E98: active-day streak histogram — for each streak length s (in
+    consecutive UTC days): the number of maximal per-user runs of
+    exactly s consecutive active days across all users — the engagement
+    REGULARITY distribution behind E50's DAU/WAU/MAU levels and E62's
+    week-over-week retention (a heavy 1-day bar = drive-by usage; long
+    runs = habit), the gaps-and-islands discipline of E43/E75 moved to
+    the user-day axis.  Exact int64 (distinct user-day + row_number
+    islands oracle).
+
+    Scale shape — E78's aggregate-of-aggregates with a run-length
+    kernel: per batch one Arrow group_by reduces events to distinct
+    (user, day) pairs (day = epoch_us // 86400e6, bounded by retention);
+    the user-hash partition holds each user's full day set (≤ retention
+    days — bounded, unlike raw history), dedupes exactly, extracts
+    maximal runs with one lexsort + diff, and re-reduces to (len, n)
+    partials; k=1 merge sums O(distinct lengths) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+        return t.group_by(["user_id", "day"], use_threads=False).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "streak_days": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, uu))
+        u2, d2 = uu[order], dd[order]
+        keep = np.empty(len(order), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u2[1:] != u2[:-1]) | (d2[1:] != d2[:-1])
+        u3, d3 = u2[keep], d2[keep]
+        # a new run starts at a user change or a non-consecutive day
+        brk = np.empty(len(u3), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u3[1:] != u3[:-1]) | (d3[1:] != d3[:-1] + 1)
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(u3)))
+        vals, cnt = np.unique(lens, return_counts=True)
+        return pa.table(
+            {
+                "streak_days": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "streak_days": pa.array([], pa.int64()),
+                    "n_runs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("streak_days", use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "streak_days": pc.cast(g["streak_days"], pa.int64()),
+                "n_runs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        pairs, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "streak_days", merge, k=1)
+
+
+def events_value_volatility(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E99: payload roughness — per source: first-difference steps,
+    Σ|Δfloor(value)| and max|Δfloor(value)| over consecutive events in
+    (ts, event_id) order — the realized-volatility companion to E97's
+    drift line (E97 says where the value is HEADING, E99 how violently
+    it moves getting there; a calm drift and a spiky tape fit the same
+    slope).  Sources with fewer than two events emit no row (the lag
+    oracle's WHERE p IS NOT NULL, E32's convention).  Exact int64
+    (floor + lag |difference| oracle).
+
+    Scale shape — E32's carried-prefix scan with the value riding the
+    carry: rows partition by (source, ts-window) and
+    :func:`_last_event_carries` supplies each window's predecessor
+    VALUE, so the kernel (one lexsort + shifted diff) never holds a
+    source's full history; per-partition (n, Σ, max) partials fold in
+    one tiny k=1 source merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(v),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sm": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        sel = has_prev & ~crs
+        if not sel.any():
+            return empty
+        dv = np.abs(vs[sel] - pv[sel])
+        gk = ks[sel]
+        u, inv = np.unique(gk, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        sm = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sm, inv, dv)
+        mx = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(mx, inv, dv)
+        return pa.table(
+            {
+                "src": pa.array(u, pa.int64()),
+                "n": pa.array(cnt),
+                "sm": pa.array(sm),
+                "mx": pa.array(mx),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_steps": pa.array([], pa.int64()),
+                    "sum_abs_dv": pa.array([], pa.int64()),
+                    "max_abs_dv": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("n", "sum"), ("sm", "sum"), ("mx", "max")]
+        )
+        return pa.table(
+            {
+                "source": pc.take(srcs, g["src"]),
+                "n_steps": g["n_sum"],
+                "sum_abs_dv": g["sm_sum"],
+                "max_abs_dv": g["mx_max"],
+            }
+        )
+
+    return hash_partition_merge(partials, "src", merge, k=1)

@@ -4458,3 +4458,331 @@ def shipping_priority(
     return hash_partition_merge(
         candidates, "o_orderkey", rank_merge, k=1
     )
+
+
+def small_qty_revenue(sf_dir: str) -> Dataset:
+    """R30: small-quantity revenue board (the TPC-H Q17 question) — per
+    p_brand: lines whose quantity is STRICTLY below one fifth of that
+    part's average ordered quantity, and their floored revenue — the
+    fragmented-order exposure a fulfillment planner prices against bulk
+    discounts.  The per-part average is compared exactly in integers:
+    qty < avg/5  ⇔  5·qty·cnt < Σqty (quantities are integral doubles),
+    so no float division enters the predicate.  One dense row per brand
+    ALWAYS.  Exact int64 (per-part aggregate join + integer-compare
+    oracle).
+
+    Scale shape — ONE wide exchange where Q17's correlated subquery
+    would rescan: the brand axis is a tiny exact broadcast rank (25
+    values — the R2 priority convention) but part itself GROWS WITH THE
+    CORPUS, so (partkey, brand-code) rows ride the same PARTKEY
+    hash-exchange as the narrow (partkey, qty, rev) line rows; each
+    partition holds every line of its parts, decides each part's
+    Σqty/cnt locally, filters its own lines with one vectorized
+    compare, and folds straight to per-brand (n, rev) partials; k=1
+    densifying merge."""
+    brands = tuple(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        )
+    )
+    br_arr = pa.array(list(brands), pa.string())
+    nb = len(brands)
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def part_row(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "pk": pc.cast(b["p_partkey"], pa.int64()),
+                "q": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "br": pc.cast(
+                    pc.index_in(b["p_brand"], value_set=br_arr), pa.int64()
+                ),
+            }
+        )
+
+    def line_row(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pc.cast(b["l_partkey"], pa.int64()),
+                "q": pa.array(qty),
+                "rev": pa.array(rev),
+                "br": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "br": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        qq = t["q"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_part = br >= 0
+        ppk = pk[is_part]
+        pbr = br[is_part]
+        lrows = ~is_part
+        if not is_part.any() or not lrows.any():
+            return empty
+        porder = np.argsort(ppk, kind="stable")
+        ppk_s, pbr_s = ppk[porder], pbr[porder]
+        lpk, lq, lrev = pk[lrows], qq[lrows], rv[lrows]
+        # per-part Σqty and line count, local to this partition
+        u, inv = np.unique(lpk, return_inverse=True)
+        sq = np.zeros(len(u), np.int64)
+        np.add.at(sq, inv, lq)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        keep = 5 * lq * cnt[inv] < sq[inv]
+        if not keep.any():
+            return empty
+        kpk, krev = lpk[keep], lrev[keep]
+        pos = np.clip(np.searchsorted(ppk_s, kpk), 0, len(ppk_s) - 1)
+        hit = ppk_s[pos] == kpk
+        kbr = pbr_s[pos][hit]
+        krev = krev[hit]
+        n = np.bincount(kbr, minlength=nb).astype(np.int64)
+        rev = np.zeros(nb, np.int64)
+        np.add.at(rev, kbr, krev)
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "br": pa.array(live.astype(np.int64)),
+                "n": pa.array(n[live]),
+                "rev": pa.array(rev[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(nb, np.int64)
+        rev = np.zeros(nb, np.int64)
+        if t.num_rows:
+            g = t.group_by("br", use_threads=False).aggregate(
+                [("n", "sum"), ("rev", "sum")]
+            )
+            bb = g["br"].combine_chunks().to_numpy(zero_copy_only=False)
+            n[bb] = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            rev[bb] = g["rev_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "p_brand": br_arr,
+                "n_lines": pa.array(n),
+                "revenue_floor": pa.array(rev),
+            }
+        )
+
+    both = parts.map_batches(part_row, batch_format="pyarrow").union(
+        lines.map_batches(line_row, batch_format="pyarrow")
+    )
+    partials = hash_partition_merge(
+        both, "pk", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(partials, "br", merge, k=1)
+
+
+def rich_customer_activity(sf_dir: str) -> Dataset:
+    """R31: top-balance cohort activity (the TPC-H Q22 decision inputs
+    without its anti-join, which is vacuous on this generator — every
+    customer orders) — per nation: customers whose floored account
+    balance is STRICTLY above the global average, their floored balance
+    mass, and their order count + floored order revenue — the
+    wallet-share board ("does the money actually transact, and where").
+    The global average is compared exactly in integers:
+    bal > S/N ⇔ bal·N > S with bal = floor(c_acctbal), so no float
+    division enters the predicate (R30's rule on the global axis).
+    One dense row per nation ALWAYS.  Exact int64 (global-aggregate
+    threshold + join oracle).
+
+    Scale shape — a GLOBAL threshold that costs one tiny pre-pass, then
+    ONE co-partitioned exchange: the (N, ΣBal) pair folds from
+    per-batch partials to two driver ints (never the balances);
+    customer rows filter to the rich cohort in the first narrow map
+    (before anything shuffles) and ride the
+    CUSTKEY hash-exchange with narrow (custkey, price) order rows;
+    each partition joins locally and reduces to per-nation partials;
+    nation names come from the 25-row broadcast; k=1 densifying
+    merge."""
+    cust_bal = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        bal = np.floor(
+            b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(bal)], pa.int64()),
+                "s": pa.array([int(bal.sum())], pa.int64()),
+            }
+        )
+
+    tiny = cust_bal.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    n_tot = sum(r["n"] for r in tiny)
+    s_tot = sum(r["s"] for r in tiny)
+
+    nations = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nations.sort(key=lambda r: r["n_nationkey"])
+    nat_keys = np.array([r["n_nationkey"] for r in nations], np.int64)
+    nat_names = pa.array([r["n_name"] for r in nations], pa.string())
+    nn = len(nat_keys)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def rich_row(b: pa.Table) -> pa.Table:
+        bal = np.floor(
+            b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keep = bal * n_tot > s_tot
+        t = b.filter(pa.array(keep))
+        nk = np.searchsorted(
+            nat_keys,
+            t["c_nationkey"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(t["c_custkey"], pa.int64()),
+                "nk": pa.array(nk.astype(np.int64)),
+                "bal": pa.array(bal[keep]),
+                "price": pa.array(np.full(t.num_rows, -1, np.int64)),
+            }
+        )
+
+    def order_row(b: pa.Table) -> pa.Table:
+        price = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        n = b.num_rows
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "nk": pa.array(np.full(n, -1, np.int64)),
+                "bal": pa.array(np.zeros(n, np.int64)),
+                "price": pa.array(price),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nk": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "sb": pa.array([], pa.int64()),
+                "no": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        bal = t["bal"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["price"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = nk >= 0
+        if not is_cust.any():
+            return empty
+        cck, cnk, cbal = ck[is_cust], nk[is_cust], bal[is_cust]
+        corder = np.argsort(cck, kind="stable")
+        cck_s, cnk_s = cck[corder], cnk[corder]
+        nc = np.bincount(cnk, minlength=nn).astype(np.int64)
+        sb = np.zeros(nn, np.int64)
+        np.add.at(sb, cnk, cbal)
+        no = np.zeros(nn, np.int64)
+        rev = np.zeros(nn, np.int64)
+        orows = ~is_cust
+        if orows.any() and len(cck_s):
+            ock, opr = ck[orows], pr[orows]
+            pos = np.clip(np.searchsorted(cck_s, ock), 0, len(cck_s) - 1)
+            hit = cck_s[pos] == ock
+            onk = cnk_s[pos][hit]
+            no += np.bincount(onk, minlength=nn).astype(np.int64)
+            np.add.at(rev, onk, opr[hit])
+        live = np.flatnonzero(nc + no)
+        return pa.table(
+            {
+                "nk": pa.array(live.astype(np.int64)),
+                "nc": pa.array(nc[live]),
+                "sb": pa.array(sb[live]),
+                "no": pa.array(no[live]),
+                "rev": pa.array(rev[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nc = np.zeros(nn, np.int64)
+        sb = np.zeros(nn, np.int64)
+        no = np.zeros(nn, np.int64)
+        rev = np.zeros(nn, np.int64)
+        if t.num_rows:
+            g = t.group_by("nk", use_threads=False).aggregate(
+                [("nc", "sum"), ("sb", "sum"), ("no", "sum"), ("rev", "sum")]
+            )
+            kk = g["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nc, "nc_sum"),
+                (sb, "sb_sum"),
+                (no, "no_sum"),
+                (rev, "rev_sum"),
+            ):
+                dst[kk] = g[col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+        return pa.table(
+            {
+                "n_name": nat_names,
+                "n_customers": pa.array(nc),
+                "acctbal_floor": pa.array(sb),
+                "n_orders": pa.array(no),
+                "revenue_floor": pa.array(rev),
+            }
+        )
+
+    both = cust.map_batches(rich_row, batch_format="pyarrow").union(
+        ords.map_batches(order_row, batch_format="pyarrow")
+    )
+    partials = hash_partition_merge(
+        both, "ck", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(partials, "nk", merge, k=1)

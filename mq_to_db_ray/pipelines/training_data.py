@@ -7388,3 +7388,268 @@ def prep_attrition(
     )
     partials = hash_partition_merge(union, "doc_id", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def dup_token_mass(sf_dir: str) -> Dataset:
+    """T91: token-weighted duplication mass — per source: total tokens
+    and tokens locked in ECHO docs (non-winner members of exact-dup
+    groups, winner = min doc_id corpus-wide, T61/T69's first-publisher
+    rule) — T47's doc-count balance sheet re-weighted by what dedup
+    actually saves a TRAINING run: tokens, not documents (one 100k-token
+    boilerplate dup outweighs a thousand tweet dups).  One dense row per
+    source ALWAYS (zero echo mass when the corpus is dup-free, so the
+    oracle is non-vacuous at every sf).  Engine groups by a 64-bit
+    content hash, the oracle by the text itself (T1/T4 collision
+    convention); identical text ⇒ identical token count, so each
+    (hash, source) cell carries ONE per-doc token count.
+
+    Scale shape — T47's content-hash exchange with token weights
+    riding: per batch one polars hash pass + one Arrow group_by reduce
+    docs to (hash, source, n, tok_per_doc, min_doc) cells — text never
+    shuffles; the content-hash partition holds each group whole, so the
+    corpus count, global winner and its source are decided locally and
+    fold IN PLACE to per-source (n_tokens, n_echo_tokens) partials;
+    k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hs = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        tok = (
+            pc.list_value_length(pc.split_pattern(batch["text"], " "))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "text_hash": pa.array(hs, pa.int64()),
+                "s": pa.array(code),
+                "n": pa.array(np.ones(len(hs), np.int64)),
+                "tok": pa.array(tok),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["text_hash", "s"], use_threads=False).aggregate(
+            [("n", "sum"), ("tok", "min"), ("doc_id", "min")]
+        )
+        return g.rename_columns(["text_hash", "s", "n", "tok", "min_doc"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["text_hash", "s"], use_threads=False).aggregate(
+            [("n", "sum"), ("tok", "min"), ("min_doc", "min")]
+        )
+        h = g["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = g["tok_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        md = g["min_doc_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((md, h))
+        h2, s2, n2, tok2 = h[order], s[order], n[order], tok[order]
+        newg = np.empty(len(order), dtype=bool)
+        newg[0] = True
+        newg[1:] = h2[1:] != h2[:-1]
+        gs = np.flatnonzero(newg)
+        gid = np.cumsum(newg) - 1
+        gtot = np.add.reduceat(n2, gs)  # corpus docs per content group
+        # the winner cell is each group's first row in (hash, min_doc) order
+        is_winner_cell = newg
+        echo_docs = np.where(
+            gtot[gid] > 1, n2 - is_winner_cell.astype(np.int64), 0
+        )
+        nt = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        np.add.at(nt, s2, n2 * tok2)
+        np.add.at(ne, s2, echo_docs * tok2)
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nt = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [("nt", "sum"), ("ne", "sum")]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            nt[ss] = g["nt_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ne[ss] = g["ne_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_tokens": pa.array(nt),
+                "n_echo_tokens": pa.array(ne),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "text_hash", fold, k=_doc_k(sf_dir)
+    )
+    return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def eval_exposure(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
+    """T92: benchmark-exposure board — T19's contamination question
+    pointed the OTHER way: per EVAL doc (doc_id < eval_max_doc_id): its
+    distinct 3-word shingles, how many of them appear in at least one
+    corpus doc (doc_id ≥ eval_max_doc_id), and how many distinct corpus
+    docs share at least one — the per-benchmark-item leak report a
+    decontamination sign-off actually reads (T19/T57 say which CORPUS
+    docs are dirty; T92 says which EVAL items are compromised and how
+    widely).  One dense row per eval doc ALWAYS.  Engine compares
+    64-bit shingle hashes, the oracle shingle STRINGS (T4/T19
+    convention).  Exact int64 (shingle join + count(DISTINCT) oracle).
+
+    Scale shape — T19's broadcast probe with the pair expansion kept
+    batch-local: the eval side is benchmark-sized by definition, so its
+    (hash, eval_doc) table ships once via ``ray.put``; each corpus
+    batch runs one vectorized shingles_flat + two searchsorteds,
+    expands only MATCHED (corpus_row, eval_pos) pairs, and reduces to
+    ≤ |eval shingles| + |eval docs| partial rows (distinct covered
+    slots + per-doc hit counters — corpus docs live in exactly one
+    batch, so summing per-batch distinct-doc counts is exact); the k=1
+    merge dedupes covered slots, bounded by the eval set."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    eval_tbl = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id < {eval_max_doc_id}")
+        .take_all()
+    )
+    eval_tbl.sort(key=lambda r: r["doc_id"])
+    hasher = ts.WordHasher()
+    ev_docs = np.array([r["doc_id"] for r in eval_tbl], np.int64)
+    sh_per_doc = [
+        np.unique(ts.shingles(r["text"], hasher=hasher)) for r in eval_tbl
+    ]
+    n_sh = np.array([len(s) for s in sh_per_doc], np.int64)
+    if len(sh_per_doc):
+        ev_hash = np.concatenate(sh_per_doc)
+        ev_doc_of = np.repeat(np.arange(len(ev_docs), dtype=np.int64), n_sh)
+        order = np.argsort(ev_hash, kind="stable")
+        ev_hash, ev_doc_of = ev_hash[order], ev_doc_of[order]
+    else:
+        ev_hash = np.empty(0, np.uint64)
+        ev_doc_of = np.empty(0, np.int64)
+    ev_ref = ray.put((ev_hash, ev_doc_of))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        eh, ed = ray.get(ev_ref)
+        empty = pa.table(
+            {
+                "e": pa.array([], pa.int64()),
+                "sidx": pa.array([], pa.int64()),
+                "dh": pa.array([], pa.int64()),
+            }
+        )
+        if len(eh) == 0 or batch.num_rows == 0:
+            return empty
+        texts = batch["text"]
+        rows, sh = ts.shingles_flat(texts)
+        lo = np.searchsorted(eh, sh, side="left")
+        hi = np.searchsorted(eh, sh, side="right")
+        cnt = hi - lo
+        sel = cnt > 0
+        if not sel.any():
+            return empty
+        reps = cnt[sel]
+        row_rep = np.repeat(rows[sel], reps)
+        total = int(reps.sum())
+        start = np.repeat(lo[sel], reps)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        ev_pos = (start + offs).astype(np.int64)
+        edoc = ed[ev_pos]
+        # distinct covered eval-shingle slots this batch
+        slots = np.unique(ev_pos)
+        # distinct (eval_doc, corpus_row) pairs -> per-eval-doc hit counts
+        packed = edoc * (1 << 32) + row_rep.astype(np.int64)
+        pd = np.unique(packed) >> 32
+        hd = np.bincount(pd, minlength=len(ev_docs)).astype(np.int64)
+        live = np.flatnonzero(hd)
+        return pa.table(
+            {
+                "e": pa.array(
+                    np.concatenate([ed[slots], live.astype(np.int64)])
+                ),
+                "sidx": pa.array(
+                    np.concatenate(
+                        [slots, np.full(len(live), -1, np.int64)]
+                    )
+                ),
+                "dh": pa.array(
+                    np.concatenate([np.zeros(len(slots), np.int64), hd[live]])
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = len(ev_docs)
+        covered = np.zeros(nd, np.int64)
+        hits = np.zeros(nd, np.int64)
+        if t.num_rows:
+            ee = t["e"].combine_chunks().to_numpy(zero_copy_only=False)
+            si = t["sidx"].combine_chunks().to_numpy(zero_copy_only=False)
+            dh = t["dh"].combine_chunks().to_numpy(zero_copy_only=False)
+            cov_rows = si >= 0
+            if cov_rows.any():
+                slots = np.unique(si[cov_rows])
+                cov_doc = ev_doc_of[slots]
+                covered += np.bincount(cov_doc, minlength=nd).astype(np.int64)
+            np.add.at(hits, ee[~cov_rows], dh[~cov_rows])
+        return pa.table(
+            {
+                "eval_doc_id": pa.array(ev_docs),
+                "n_shingles": pa.array(n_sh),
+                "n_shingles_covered": pa.array(covered),
+                "n_docs_hit": pa.array(hits),
+            }
+        )
+
+    corpus = _docs(sf_dir, ["doc_id", "text"]).filter(
+        expr=f"doc_id >= {eval_max_doc_id}"
+    )
+    partials = corpus.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "e", merge, k=1)
