@@ -1148,6 +1148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_volatility": _q_events_volatility,
         "doc_eval_exposure": td.eval_exposure,
         "rel_rich_activity": rel.rich_customer_activity,
+        "doc_case_stats": td.case_stats,
+        "embedding_label_energy": td.embedding_label_energy,
+        "rel_supplier_concentration": rel.supplier_concentration,
+        "doc_shingle_df_spectrum": td.shingle_df_spectrum,
+        "embedding_grid_occupancy": td.embedding_grid_occupancy,
+        "rel_nation_year_profit": rel.nation_year_profit,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2096,6 +2102,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dup * qf) AS BIGINT) AS n_both,
                    CAST(sum((1 - dup) * (1 - qf)) AS BIGINT) AS n_kept
             FROM flags GROUP BY 1
+        """,
+        "doc_shingle_df_spectrum": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            df AS (SELECT s, CAST(count(*) AS BIGINT) df FROM e GROUP BY 1)
+            SELECT df AS doc_freq, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM df GROUP BY 1
+        """,
+        "embedding_grid_occupancy": """
+            WITH c AS (SELECT [CAST(floor(4.0 * embedding[1]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[2]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[3]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[4]) AS BIGINT)]
+                           AS cell
+                       FROM embeddings),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) n FROM c GROUP BY 1)
+            SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(max(n) AS BIGINT) AS max_cell_load
+            FROM g
+        """,
+        "rel_nation_year_profit": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount)) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        """,
+        "doc_case_stats": """
+            WITH w AS (SELECT source, unnest(str_split(text, ' ')) tok
+                       FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN substr(tok, 1, 1) BETWEEN 'A' AND 'Z'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cap_tokens,
+                   CAST(sum(CASE WHEN regexp_matches(tok, '[A-Z]')
+                                  AND NOT regexp_matches(tok, '[a-z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_upper_tokens
+            FROM w GROUP BY 1
+        """,
+        "embedding_label_energy": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(list_sum(list_transform(embedding,
+                        x -> CAST(floor(1000.0 * x) AS BIGINT))))
+                        AS BIGINT) AS sum_q,
+                   CAST(sum(list_sum(list_transform(embedding,
+                        x -> CAST(floor(1000.0 * x) AS BIGINT)
+                             * CAST(floor(1000.0 * x) AS BIGINT))))
+                        AS BIGINT) AS sum_qq
+            FROM embeddings GROUP BY 1
+        """,
+        "rel_supplier_concentration": """
+            WITH per_s AS (SELECT s.s_suppkey, s.s_nationkey,
+                                  CAST(count(l.l_suppkey) AS BIGINT) nl,
+                                  CAST(COALESCE(sum(CAST(floor(
+                                      l.l_extendedprice * (1 - l.l_discount))
+                                      AS BIGINT)), 0) AS BIGINT) rev
+                           FROM supplier s
+                           LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+                           GROUP BY 1, 2),
+            agg AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) nsupp,
+                           CAST(sum(nl) AS BIGINT) nl,
+                           CAST(sum(rev) AS BIGINT) rev,
+                           CAST(max(nl) AS BIGINT) mx
+                    FROM per_s GROUP BY 1)
+            SELECT n.n_name,
+                   CAST(COALESCE(agg.nsupp, 0) AS BIGINT) AS n_suppliers,
+                   CAST(COALESCE(agg.nl, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(agg.rev, 0) AS BIGINT) AS revenue_floor,
+                   CAST(COALESCE(agg.mx, 0) AS BIGINT)
+                       AS top_supplier_lines
+            FROM nation n LEFT JOIN agg ON agg.s_nationkey = n.n_nationkey
         """,
         "events_volatility": """
             WITH v AS (SELECT event_type AS source,

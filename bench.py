@@ -355,6 +355,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_volatility",
         "doc_eval_exposure",
         "rel_rich_activity",
+        "doc_case_stats",
+        "embedding_label_energy",
+        "rel_supplier_concentration",
+        "doc_shingle_df_spectrum",
+        "embedding_grid_occupancy",
+        "rel_nation_year_profit",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

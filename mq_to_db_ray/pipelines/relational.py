@@ -4786,3 +4786,403 @@ def rich_customer_activity(sf_dir: str) -> Dataset:
         both, "ck", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(partials, "nk", merge, k=1)
+
+
+def supplier_concentration(sf_dir: str) -> Dataset:
+    """R32: supplier-fulfillment concentration — per nation: suppliers
+    registered, lines shipped, floored line revenue, and the BUSIEST
+    single supplier's line count — the supply-base redundancy board
+    (one supplier carrying most of a nation's volume = a single point
+    of failure R15's bilateral trade matrix can't see).  Suppliers with
+    zero lines still count (LEFT-JOIN semantics); one dense row per
+    nation ALWAYS.  Exact int64 (LEFT JOIN + two-level GROUP BY + max
+    oracle).
+
+    Scale shape — ONE co-partitioned exchange: line batches pre-reduce
+    ~4:1 to per-supplier (n, rev) partials, supplier dim rows (suppkey,
+    nation-code) ride the same SUPPKEY hash-exchange (supplier GROWS
+    WITH THE CORPUS — never broadcast); each partition holds every
+    partial of its suppliers, so per-supplier totals — and therefore
+    the local max — settle exactly and fold IN PLACE to per-nation
+    (n_supp, lines, rev, max) partials; nation names from the 25-row
+    broadcast; k=1 densifying merge (max-of-maxes is associative
+    because supplier totals are whole within one partition)."""
+    nations = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nations.sort(key=lambda r: r["n_nationkey"])
+    nat_keys = np.array([r["n_nationkey"] for r in nations], np.int64)
+    nat_names = pa.array([r["n_name"] for r in nations], pa.string())
+    nn = len(nat_keys)
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def supp_row(b: pa.Table) -> pa.Table:
+        nk = np.searchsorted(
+            nat_keys,
+            b["s_nationkey"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "sk": pc.cast(b["s_suppkey"], pa.int64()),
+                "nk": pa.array(nk.astype(np.int64)),
+                "n": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "rev": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "sk": pc.cast(b["l_suppkey"], pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("sk", use_threads=False).aggregate(
+            [("one", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["sk", "n", "rev"])
+        return g.append_column(
+            "nk", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["sk", "nk", "n", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nk": pa.array([], pa.int64()),
+                "nsupp": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_ = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = n_ < 0
+        if not is_dim.any():
+            return empty
+        dsk, dnk = sk[is_dim], nk[is_dim]
+        order = np.argsort(dsk, kind="stable")
+        dsk_s, dnk_s = dsk[order], dnk[order]
+        # per-supplier line totals from the fact partials
+        fsk, fn, frv = sk[~is_dim], n_[~is_dim], rv[~is_dim]
+        u, inv = np.unique(fsk, return_inverse=True)
+        tot_n = np.zeros(len(u), np.int64)
+        tot_r = np.zeros(len(u), np.int64)
+        np.add.at(tot_n, inv, fn)
+        np.add.at(tot_r, inv, frv)
+        pos = (
+            np.clip(np.searchsorted(dsk_s, u), 0, max(len(dsk_s) - 1, 0))
+            if len(dsk_s)
+            else np.zeros(len(u), np.int64)
+        )
+        hit = dsk_s[pos] == u if len(dsk_s) else np.zeros(len(u), bool)
+        unk = dnk_s[pos][hit]
+        nsupp = np.bincount(dnk, minlength=nn).astype(np.int64)
+        nl = np.zeros(nn, np.int64)
+        rev = np.zeros(nn, np.int64)
+        mx = np.zeros(nn, np.int64)
+        np.add.at(nl, unk, tot_n[hit])
+        np.add.at(rev, unk, tot_r[hit])
+        np.maximum.at(mx, unk, tot_n[hit])
+        live = np.flatnonzero(nsupp + nl)
+        return pa.table(
+            {
+                "nk": pa.array(live.astype(np.int64)),
+                "nsupp": pa.array(nsupp[live]),
+                "nl": pa.array(nl[live]),
+                "rev": pa.array(rev[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nsupp = np.zeros(nn, np.int64)
+        nl = np.zeros(nn, np.int64)
+        rev = np.zeros(nn, np.int64)
+        mx = np.zeros(nn, np.int64)
+        if t.num_rows:
+            g = t.group_by("nk", use_threads=False).aggregate(
+                [("nsupp", "sum"), ("nl", "sum"), ("rev", "sum"), ("mx", "max")]
+            )
+            kk = g["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+            nsupp[kk] = g["nsupp_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            nl[kk] = g["nl_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            rev[kk] = g["rev_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            mx[kk] = g["mx_max"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "n_name": nat_names,
+                "n_suppliers": pa.array(nsupp),
+                "n_lines": pa.array(nl),
+                "revenue_floor": pa.array(rev),
+                "top_supplier_lines": pa.array(mx),
+            }
+        )
+
+    both = supp.map_batches(supp_row, batch_format="pyarrow").union(
+        lines.map_batches(line_partial, batch_format="pyarrow")
+    )
+    partials = hash_partition_merge(
+        both, "sk", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(partials, "nk", merge, k=1)
+
+
+def nation_year_profit(sf_dir: str) -> Dataset:
+    """R33: supplier-nation profit matrix (the TPC-H Q9 question minus
+    partsupp's supply cost, which this schema does not carry) — per
+    (supplier nation, order year): lines and floored revenue — where
+    the supply side EARNS over time, the seller-side dual of R3's
+    customer-segment sales.  Exact int64 (3-way join + two-key GROUP BY
+    oracle).
+
+    Scale shape — two chained co-partitioned hops, each output narrower
+    than its input: the ORDERKEY hop meets per-batch line partials
+    (orderkey, suppkey, rev — pre-grouped ~2:1) with (orderkey, year)
+    order rows and re-keys to (suppkey, year) partials; the SUPPKEY hop
+    meets those with supplier dim rows (supplier GROWS WITH THE CORPUS
+    — never broadcast) and folds to (nation, year) partials over a
+    ≤ nations × years domain; nation names from the 25-row broadcast;
+    k=1 merge."""
+    nations = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nations.sort(key=lambda r: r["n_nationkey"])
+    nat_keys = np.array([r["n_nationkey"] for r in nations], np.int64)
+    nat_names = pa.array([r["n_name"] for r in nations], pa.string())
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+
+    # ---- hop 1 (ORDERKEY): attach the order year to line partials ----
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "ok": pc.cast(b["l_orderkey"], pa.int64()),
+                "sk": pc.cast(b["l_suppkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["ok", "sk"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["ok", "sk", "n", "rev"])
+
+    def order_row(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts_us.astype("datetime64[us]").astype("datetime64[Y]").astype(
+                np.int64
+            )
+            + 1970
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "sk": pa.array(np.full(n, -1, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(yr),  # year rides the rev slot on dim rows
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sk": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn_ = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = sk < 0
+        if not is_dim.any():
+            return empty
+        dok, dyr = ok[is_dim], rv[is_dim]
+        order = np.argsort(dok, kind="stable")
+        dok_s, dyr_s = dok[order], dyr[order]
+        fok, fsk, fn, frv = ok[~is_dim], sk[~is_dim], nn_[~is_dim], rv[~is_dim]
+        if not len(fok):
+            return empty
+        pos = np.clip(np.searchsorted(dok_s, fok), 0, len(dok_s) - 1)
+        hit = dok_s[pos] == fok
+        cells = pa.table(
+            {
+                "sk": pa.array(fsk[hit], pa.int64()),
+                "yr": pa.array(dyr_s[pos][hit], pa.int64()),
+                "n": pa.array(fn[hit], pa.int64()),
+                "rev": pa.array(frv[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by(["sk", "yr"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["sk", "yr", "n", "rev"])
+
+    per_supp_year = hash_partition_merge(
+        lines.map_batches(line_partial, batch_format="pyarrow").union(
+            ords.map_batches(order_row, batch_format="pyarrow")
+        ),
+        "ok",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2 (SUPPKEY): attach the supplier nation ----
+    def fact_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sk": b["sk"],
+                "yr": b["yr"],
+                "n": b["n"],
+                "rev": b["rev"],
+                "nk": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def dim_tag(b: pa.Table) -> pa.Table:
+        nk = np.searchsorted(
+            nat_keys,
+            b["s_nationkey"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "sk": pc.cast(b["s_suppkey"], pa.int64()),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "nk": pa.array(nk.astype(np.int64)),
+            }
+        )
+
+    def fold_supp(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nk": pa.array([], pa.int64()),
+                "yr": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        sk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn_ = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = nk >= 0
+        if not is_dim.any():
+            return empty
+        dsk, dnk = sk[is_dim], nk[is_dim]
+        order = np.argsort(dsk, kind="stable")
+        dsk_s, dnk_s = dsk[order], dnk[order]
+        fsk, fyr, fn, frv = sk[~is_dim], yr[~is_dim], nn_[~is_dim], rv[~is_dim]
+        if not len(fsk):
+            return empty
+        pos = np.clip(np.searchsorted(dsk_s, fsk), 0, len(dsk_s) - 1)
+        hit = dsk_s[pos] == fsk
+        cells = pa.table(
+            {
+                "nk": pa.array(dnk_s[pos][hit], pa.int64()),
+                "yr": pa.array(fyr[hit], pa.int64()),
+                "n": pa.array(fn[hit], pa.int64()),
+                "rev": pa.array(frv[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by(["nk", "yr"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["nk", "yr", "n", "rev"])
+
+    per_nation_year = hash_partition_merge(
+        per_supp_year.map_batches(fact_tag, batch_format="pyarrow").union(
+            supp.map_batches(dim_tag, batch_format="pyarrow")
+        ),
+        "sk",
+        fold_supp,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "o_year": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["nk", "yr"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "n_name": nat_names.take(g["nk"].combine_chunks()),
+                "o_year": pc.cast(g["yr"], pa.int64()),
+                "n_lines": pc.cast(g["n_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_nation_year, "nk", merge, k=1)

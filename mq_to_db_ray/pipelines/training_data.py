@@ -7653,3 +7653,356 @@ def eval_exposure(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
         probe, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "e", merge, k=1)
+
+
+def case_stats(sf_dir: str) -> Dataset:
+    """T93: per-source token-casing composition — total whitespace
+    tokens, capitalized tokens (first char in A–Z), and ALL-CAPS tokens
+    (≥1 char in A–Z and none in a–z) — the prose-vs-code/markup/shouting
+    fingerprint next to T49's character classes (T49 counts letters,
+    T93 how they're cased: headline-heavy sources inflate capitalized
+    share, log/constant dumps inflate ALL-CAPS).  Both predicates are
+    pure ASCII range/RE2-class checks, so the engine's Arrow kernels
+    and DuckDB's regexps agree by construction (no Unicode case tables
+    on either side).  Exact int64 (unnest + CASE-sum oracle).
+
+    Scale shape — ZERO wide exchange (T49's profile): one split + three
+    vectorized kernels per batch (slice + two RE2 class matches) reduce
+    to one partial row per source; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch["text"], " ")
+        per_row = pc.list_value_length(toks_list).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        flat_code = np.repeat(code, per_row)
+        toks = toks_list.combine_chunks().flatten()
+        first = pc.utf8_slice_codeunits(toks, 0, 1)
+        cap = pc.and_(
+            pc.greater_equal(first, "A"), pc.less_equal(first, "Z")
+        ).to_numpy(zero_copy_only=False)
+        has_up = pc.match_substring_regex(toks, "[A-Z]")
+        has_lo = pc.match_substring_regex(toks, "[a-z]")
+        allcaps = pc.and_(has_up, pc.invert(has_lo)).to_numpy(
+            zero_copy_only=False
+        )
+        nt = np.bincount(flat_code, minlength=ns).astype(np.int64)
+        nc = np.bincount(
+            flat_code, weights=cap.astype(np.int64), minlength=ns
+        ).astype(np.int64)
+        nu = np.bincount(
+            flat_code, weights=allcaps.astype(np.int64), minlength=ns
+        ).astype(np.int64)
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "nc": pa.array(nc[live]),
+                "nu": pa.array(nu[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nt = np.zeros(ns, np.int64)
+        nc = np.zeros(ns, np.int64)
+        nu = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("s", use_threads=False).aggregate(
+                [("nt", "sum"), ("nc", "sum"), ("nu", "sum")]
+            )
+            ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in ((nt, "nt_sum"), (nc, "nc_sum"), (nu, "nu_sum")):
+                dst[ss] = g[col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_tokens": pa.array(nt),
+                "n_cap_tokens": pa.array(nc),
+                "n_upper_tokens": pa.array(nu),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def embedding_label_energy(sf_dir: str) -> Dataset:
+    """T94: per-label embedding energy stats — for every label: vectors,
+    Σ floor(1000·x) over all elements (net drift from the origin) and
+    Σ floor(1000·x)² (energy) — the exact-int64 sufficient statistics of
+    per-cluster spread read next to T82's join audit and the T8b
+    cluster-balance board (a label whose energy per vector dwarfs the
+    rest is a garbage bucket, not a cluster).  Element-wise floor BEFORE
+    every sum (T78's convention), so numpy and DuckDB agree bit-exactly.
+    Exact int64 (list_transform BIGINT + list_sum oracle — integer
+    addition is order-free, unlike the float sums T78's docstring
+    warns about).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per batch,
+    one float64 scale + floor pass reduces to one partial row per label
+    (≤ labels × batches rows total); k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sq": pa.array([], pa.int64()),
+                    "sqq": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        q = np.floor(1000.0 * m).astype(np.int64)
+        row_sq = q.sum(axis=1)
+        row_sqq = (q * q).sum(axis=1)
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        u, inv = np.unique(lab, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        sq = np.zeros(len(u), np.int64)
+        sqq = np.zeros(len(u), np.int64)
+        np.add.at(sq, inv, row_sq)
+        np.add.at(sqq, inv, row_sqq)
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "n": pa.array(cnt),
+                "sq": pa.array(sq),
+                "sqq": pa.array(sqq),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "sum_qq": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("label", use_threads=False).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sqq", "sum")]
+        )
+        return pa.table(
+            {
+                "label": pc.cast(g["label"], pa.int64()),
+                "n_vecs": pc.cast(g["n_sum"], pa.int64()),
+                "sum_q": pc.cast(g["sq_sum"], pa.int64()),
+                "sum_qq": pc.cast(g["sqq_sum"], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "label", merge, k=1)
+
+
+def shingle_df_spectrum(sf_dir: str, k_shingle: int = 3) -> Dataset:
+    """T95: shingle document-frequency spectrum — for every document
+    frequency df: how many DISTINCT 3-word shingles appear in exactly df
+    documents — T45's word-frequency spectrum moved to the dedup unit
+    (T4/T20 key on shingles, so this curve IS the pair-generation
+    capacity forecast: mass at df ≥ 2 drives candidate-pair counts, the
+    tail at high df is the boilerplate T4's df_cap clips).  Engine
+    counts 64-bit shingle hashes, the oracle shingle STRINGS (T1/T4
+    collision convention).  Exact int64 (two-level GROUP BY oracle).
+
+    Scale shape — T27's narrow-exchange discipline: one vectorized
+    shingles_flat per batch emits distinct (doc, shingle-hash) int64
+    rows (text never shuffles); the shingle-hash partition holds every
+    occurrence of a shingle, so its exact df settles locally and
+    reduces straight to (df, count) partials; k=1 merge sums
+    O(distinct df values) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"], k_shingle)
+        return pa.table(
+            {
+                "shingle": pa.array(sh.view(np.int64), pa.int64()),
+                "one": pa.array(np.ones(len(sh), np.int8)),
+            }
+        )
+
+    exploded = _docs(sf_dir, ["text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "df": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, cnt = np.unique(h, return_counts=True)
+        vals, freq = np.unique(cnt, return_counts=True)
+        return pa.table(
+            {
+                "df": pa.array(vals.astype(np.int64)),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    partials = hash_partition_merge(exploded, "shingle", fold, k=_doc_k(sf_dir))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_freq": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("df", use_threads=False).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "doc_freq": pc.cast(g["df"], pa.int64()),
+                "n_shingles": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(partials, "df", merge, k=1)
+
+
+def embedding_grid_occupancy(sf_dir: str, q_dims: int = 4) -> Dataset:
+    """T96: quantized-grid occupancy — ONE row: vectors, occupied cells
+    of the floor(4·x) grid over the first ``q_dims`` dimensions, and
+    the heaviest cell's load — the bucketing-capacity audit run before
+    committing to an LSH/IVF layout (T7/T8's buckets only bound work if
+    no cell is corpus-sized; a huge max load here predicts a hot
+    bucket).  Exact int64 (list-index quantize + two-level GROUP BY
+    oracle).
+
+    Scale shape — the E23 exact-distinct discipline on the cell axis:
+    per batch one slice + floor + bit-pack reduces vectors to (cell,
+    count) partials; the cell-hash partition decides each cell's exact
+    total and reduces to (vecs, cells, max) triples; k=1 merge sums and
+    maxes O(partitions) rows."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)[:, :q_dims]
+        )
+        q = np.floor(4.0 * m).astype(np.int64)
+        packed = np.zeros(n, np.uint64)
+        for d in range(q_dims):
+            packed = (packed << np.uint64(16)) | (
+                (q[:, d] + (1 << 15)).astype(np.uint64) & np.uint64(0xFFFF)
+            )
+        vals, cnt = np.unique(packed.view(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(vals, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate([("n", "sum")])
+        tot = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "nv": pa.array([int(tot.sum())], pa.int64()),
+                "nc": pa.array([len(tot)], pa.int64()),
+                "mx": pa.array([int(tot.max())], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials,
+        "cell",
+        fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_vecs": pa.array([0], pa.int64()),
+                    "n_cells": pa.array([0], pa.int64()),
+                    "max_cell_load": pa.array([0], pa.int64()),
+                }
+            )
+        nv = t["nv"].combine_chunks().to_numpy(zero_copy_only=False)
+        nc = t["nc"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = t["mx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_vecs": pa.array([int(nv.sum())], pa.int64()),
+                "n_cells": pa.array([int(nc.sum())], pa.int64()),
+                "max_cell_load": pa.array([int(mx.max())], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "g", merge, k=1)
