@@ -571,6 +571,18 @@ def _q_events_minute_mode(sf_dir: str):
     return events_minute_mode(sf_dir)
 
 
+def _q_events_first_vs_primary(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_first_vs_primary
+
+    return events_first_vs_primary(sf_dir)
+
+
+def _q_events_daily_leader(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_daily_leader
+
+    return events_daily_leader(sf_dir)
+
+
 def _q_events_redelivery(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_redelivery_board
 
@@ -927,29 +939,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mq_to_db_ray.pipelines import relational as rel
     from mq_to_db_ray.pipelines import training_data as td
 
-    # Ordering contract: the driver's correctness pass covers the FIRST 50
-    # keys, so with 93 oracle-backed entries the window is allocated by
-    # verification need: (a) the dedup/similarity/multimodal oracles that
-    # fell past round 3's window come first; (b) every oracle-backed operator
-    # ADDED this round (twa/hist/distinct/increase/zscore/top_movers/
-    # distinct_5m/autocorr/max_gap/seasonal/user_hist/cusum/user_conc/
-    # interarrival/source_corr/mad_anomaly/busy_streaks/retention_cohort/
-    # session_quantiles/funnel, fertility/source_overlap/commonness/
-    # lexical_diversity/freq_spectrum/word_concentration/length_gini/
-    # dup_size_hist) — none has a prior driver row; (c) round-3-green
-    # operators whose code paths CHANGED this round (locf/cumsum exact group
-    # identity, inverted_index int64 offsets, pack_sequences vectorized
-    # fold, dup-suite adaptive width + shared pair graph feeding
-    # corpus_prep).  Oracle-backed entries past position 50 are all
-    # round-3-driver-green, and most are additionally covered transitively
-    # by in-window entries (gap_fill feeds twa/locf/delta/cumsum/cusum;
-    # E3/E4 rollups feed the in-window cascades; sessionize feeds the
-    # in-window session_quantiles; asof's carried-prefix machinery feeds
-    # increase/max_gap; doc_quality composes into doc_quality_filter;
-    # token_count into tokenizer_fertility) — and every oracle-backed
-    # entry, windowed or not, is re-verified by scripts/driver_sim each
-    # round.  The no_oracle diagnostics come last.
-    return {
+    # Ordering contract: the dict below is built in historical wave order;
+    # the _WINDOW list (defined after this function) re-orders the first 50
+    # keys at return time for the driver's correctness window — see the
+    # allocation rationale on _WINDOW itself.
+    q = {
         # --- dedup suite (oracle-backed) ---
         "doc_exact_dedup": td.exact_dedup,
         "doc_jaccard_pairs": td.jaccard_pairs,
@@ -1154,6 +1148,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_df_spectrum": td.shingle_df_spectrum,
         "embedding_grid_occupancy": td.embedding_grid_occupancy,
         "rel_nation_year_profit": rel.nation_year_profit,
+        "f1_vocab_novelty_1h": lambda sf_dir: td.f1_vocab_novelty_1h(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "doc_quality_length_matrix": td.quality_length_matrix,
+        "rel_shipmode_priority": rel.shipmode_priority,
+        "embedding_dim_quantiles": td.embedding_dim_quantiles,
+        "f1_stutter_stats": lambda sf_dir: td.f1_stutter_stats(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_order_size_profile": rel.order_size_profile,
+        "events_daily_leader": _q_events_daily_leader,
+        "embedding_cell_purity": td.embedding_cell_purity,
+        "rel_brand_segment_matrix": rel.brand_segment_matrix,
+        "events_first_vs_primary": _q_events_first_vs_primary,
+        "doc_pair_budget": td.pair_budget,
+        "embedding_dup_vectors": td.embedding_dup_vectors,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -1224,6 +1234,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup_keep": td.embedding_semdedup_keep,
         "embedding_cluster_balance": td.embedding_cluster_balance,
     }
+    out = {k: q[k] for k in _WINDOW}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
+
+
+# The driver's correctness pass covers the FIRST 50 queries() keys.  With
+# 230 oracle-backed entries the window is allocated for FAMILY COVERAGE:
+# every suite gets current-round driver rows — the dedup/similarity/
+# multimodal flagships (the entries round 3's window missed), the
+# relational join suite (12 reps incl. the 3-hop star joins; zero had a
+# driver row before), the F1 tape audits (6 reps on the north-star
+# payload), the events suite (9 reps across grid/session/argmax shapes),
+# the text-quality/dedup-economics boards (9), and the embedding audits
+# (5).  Every windowed entry is oracle-backed and none has a prior driver
+# row except the 9 flagship dedup/sim/multimodal entries (r2-green,
+# re-pinned here deliberately).  Entries past position 50 are all swept
+# by scripts/driver_sim at sf0.001 AND sf0.01 each wave (FAILING: none);
+# the no_oracle diagnostics sit last.
+_WINDOW = [
+    # dedup / similarity / multimodal flagships
+    "doc_exact_dedup", "doc_jaccard_pairs", "doc_dup_clusters",
+    "doc_near_dedup_keep", "embedding_near_dup", "embedding_stats",
+    "ann_cosine_top10", "multimodal_meta", "multimodal_frame_sample",
+    # relational join suite
+    "rel_pricing_summary", "rel_order_fulfillment", "rel_segment_sales",
+    "rel_shipping_priority", "rel_returned_customers",
+    "rel_order_count_dist", "rel_market_share", "rel_small_qty_revenue",
+    "rel_nation_year_profit", "rel_shipmode_priority",
+    "rel_order_size_profile", "rel_brand_segment_matrix",
+    # F1 tape audits
+    "f1_ntok_quantiles_1h", "f1_gap_report", "f1_seq_dedup",
+    "f1_token_band_hist", "f1_vocab_novelty_1h", "f1_stutter_stats",
+    # events suite
+    "events_twa_1m", "events_distinct_users_1m", "events_retention_cohort",
+    "events_session_quantiles", "events_funnel", "events_transition_matrix",
+    "events_dow_profile", "events_daily_leader", "events_first_vs_primary",
+    # text quality / dedup economics
+    "doc_length_gini", "doc_case_stats", "doc_shingle_df_spectrum",
+    "doc_quality_length_matrix", "doc_pair_budget", "doc_token_budget_trim",
+    "doc_prep_attrition", "doc_dup_token_mass", "doc_eval_exposure",
+    # embedding audits
+    "embedding_label_energy", "embedding_grid_occupancy",
+    "embedding_dim_quantiles", "embedding_cell_purity",
+    "embedding_dup_vectors",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2127,6 +2182,206 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_cells,
                    CAST(max(n) AS BIGINT) AS max_cell_load
             FROM g
+        """,
+        "f1_vocab_novelty_1h": """
+            WITH e AS (SELECT CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) // 3600 AS b,
+                              unnest(tokens) AS tok
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            d AS (SELECT DISTINCT b, tok FROM e),
+            f AS (SELECT tok, min(b) mb FROM d GROUP BY 1)
+            SELECT TIMESTAMP '2026-01-01 00:00:00'
+                     + d.b * INTERVAL 3600 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                   CAST(sum(CASE WHEN f.mb = d.b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new_tokens
+            FROM d JOIN f ON d.tok = f.tok GROUP BY 1
+        """,
+        "doc_quality_length_matrix": """
+            WITH t AS (SELECT doc_id, lang, text,
+                              str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1),
+            q AS (SELECT t.doc_id, rep.n // 10 AS band,
+                         CASE WHEN t.lang = 'en'
+                              AND floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+                              AND floor(1000.0*rep.m/rep.n) <= 130
+                              AND floor(1000.0*st.s/rep.n) >= 20
+                              AND t.doc_id NOT IN (SELECT doc_id FROM hit)
+                              THEN 1 ELSE 0 END AS ok
+                  FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id))
+            SELECT CAST(band AS BIGINT) AS word_band,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ok) AS BIGINT) AS n_quality_ok
+            FROM q GROUP BY 1
+        """,
+        "events_first_vs_primary": """
+            WITH f AS (SELECT user_id, event_type AS ft,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) rn
+                       FROM events),
+            fe AS (SELECT user_id, ft FROM f WHERE rn = 1),
+            c AS (SELECT user_id, event_type AS pt,
+                         CAST(count(*) AS BIGINT) n
+                  FROM events GROUP BY 1, 2),
+            p AS (SELECT user_id, pt,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY n DESC, pt ASC) rn
+                  FROM c),
+            pe AS (SELECT user_id, pt FROM p WHERE rn = 1),
+            j AS (SELECT fe.user_id, fe.ft, pe.pt
+                  FROM fe JOIN pe USING (user_id)),
+            a AS (SELECT ft AS source, CAST(count(*) AS BIGINT) nf,
+                         CAST(sum(CASE WHEN ft = pt THEN 1 ELSE 0 END)
+                              AS BIGINT) nb
+                  FROM j GROUP BY 1),
+            b AS (SELECT pt AS source, CAST(count(*) AS BIGINT) np
+                  FROM j GROUP BY 1)
+            SELECT s.source,
+                   CAST(COALESCE(a.nf, 0) AS BIGINT) AS n_first,
+                   CAST(COALESCE(b.np, 0) AS BIGINT) AS n_primary,
+                   CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_both
+            FROM (SELECT DISTINCT event_type AS source FROM events) s
+            LEFT JOIN a USING (source) LEFT JOIN b USING (source)
+        """,
+        "doc_pair_budget": """
+            WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            df AS (SELECT s, CAST(count(*) AS BIGINT) df FROM e GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(df) AS BIGINT) AS n_postings,
+                   CAST(sum(df * (df - 1) // 2) AS BIGINT)
+                       AS n_candidate_pairs
+            FROM df
+        """,
+        "embedding_dup_vectors": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT embedding) AS BIGINT)
+                       AS n_echo
+            FROM embeddings GROUP BY 1
+        """,
+        "events_daily_leader": """
+            WITH d AS (SELECT event_type AS source,
+                              CAST(ts AS DATE) dd,
+                              CAST(count(*) AS BIGINT) n
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT source, dd, n,
+                         row_number() OVER (PARTITION BY dd
+                             ORDER BY n DESC, source ASC) rn
+                  FROM d),
+            a AS (SELECT source, CAST(count(*) AS BIGINT) act,
+                         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) led
+                  FROM w GROUP BY 1)
+            SELECT s.source,
+                   CAST(COALESCE(a.act, 0) AS BIGINT) AS n_days_active,
+                   CAST(COALESCE(a.led, 0) AS BIGINT) AS n_days_led
+            FROM (SELECT DISTINCT event_type AS source FROM events) s
+            LEFT JOIN a USING (source)
+        """,
+        "embedding_cell_purity": """
+            WITH c AS (SELECT CAST(floor(2.0 * embedding[1]) AS BIGINT)
+                              AS cell_x,
+                              CAST(floor(2.0 * embedding[2]) AS BIGINT)
+                              AS cell_y,
+                              CAST(label AS BIGINT) AS lab
+                       FROM embeddings),
+            g AS (SELECT cell_x, cell_y, lab,
+                         CAST(count(*) AS BIGINT) n
+                  FROM c GROUP BY 1, 2, 3)
+            SELECT cell_x, cell_y,
+                   CAST(sum(n) AS BIGINT) AS n_vecs,
+                   CAST(count(*) AS BIGINT) AS n_labels,
+                   CAST(max(n) AS BIGINT) AS n_majority
+            FROM g GROUP BY 1, 2
+        """,
+        "rel_brand_segment_matrix": """
+            SELECT c.c_mktsegment, p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount)) AS BIGINT))
+                        AS BIGINT) AS revenue_floor
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+        """,
+        "embedding_dim_quantiles": """
+            WITH q AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                              CAST(floor(1000.0 * unnest(embedding))
+                                   AS BIGINT) AS v
+                       FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_q,
+                   CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_q
+            FROM q GROUP BY 1
+        """,
+        "f1_stutter_stats": """
+            WITH t AS (SELECT source, tokens, len(tokens) nt
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            s AS (SELECT source, nt,
+                         COALESCE(list_sum(list_transform(
+                             generate_series(1, nt - 1),
+                             i -> CASE WHEN tokens[i] = tokens[i+1]
+                                       THEN 1 ELSE 0 END)), 0) st
+                  FROM t)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(sum(greatest(nt - 1, 0)) AS BIGINT) AS n_adj_pairs,
+                   CAST(sum(st) AS BIGINT) AS n_stutter_pairs,
+                   CAST(sum(CASE WHEN st > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_stutter_seqs
+            FROM s GROUP BY 1
+        """,
+        "rel_order_size_profile": """
+            WITH per_o AS (SELECT l_orderkey,
+                                  CAST(count(*) AS BIGINT) AS sz,
+                                  CAST(sum(CAST(floor(l_extendedprice
+                                       * (1 - l_discount)) AS BIGINT))
+                                       AS BIGINT) AS rev
+                           FROM lineitem GROUP BY 1)
+            SELECT sz AS order_size,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(rev) AS BIGINT) AS revenue_floor
+            FROM per_o GROUP BY 1
+        """,
+        "rel_shipmode_priority": """
+            SELECT l.l_returnflag, l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_high_lines,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_low_lines
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
         """,
         "rel_nation_year_profit": """
             SELECT n.n_name,

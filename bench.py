@@ -361,6 +361,18 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_shingle_df_spectrum",
         "embedding_grid_occupancy",
         "rel_nation_year_profit",
+        "f1_vocab_novelty_1h",
+        "doc_quality_length_matrix",
+        "rel_shipmode_priority",
+        "embedding_dim_quantiles",
+        "f1_stutter_stats",
+        "rel_order_size_profile",
+        "events_daily_leader",
+        "embedding_cell_purity",
+        "rel_brand_segment_matrix",
+        "events_first_vs_primary",
+        "doc_pair_budget",
+        "embedding_dup_vectors",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -7855,3 +7855,307 @@ def events_value_volatility(
         )
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_daily_leader(sf_dir: str) -> Dataset:
+    """E101: daily-leader persistence board — per event type: days it was
+    ACTIVE (≥1 event) and days it was the daily volume LEADER (most
+    events that calendar day; ties → type string ascending via the exact
+    broadcast rank) — E85's per-minute mode flipped to ask how STABLE
+    dominance is over the long axis (a type leading 90% of days is a
+    stationary mix; leadership churn says the E87 migration matrix is
+    worth reading).  One dense row per type ALWAYS.  Exact int64
+    (per-day counts + row_number rn=1 oracle).
+
+    Scale shape — E85's argmax fold with a SECOND reduction stage: per
+    batch one packed np.unique to (day, type, n) partials; the day-hash
+    exchange settles each day's exact counts and winner locally and
+    re-reduces IN PLACE to per-type (active, led) partials — O(types)
+    rows per partition however long the tape; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = day * ns + code
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(vals // ns, pa.int64()),
+                "c": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "act": pa.array([], pa.int64()),
+                    "led": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["d", "c"], use_threads=False).aggregate([("n", "sum")])
+        dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, -nn, dd))
+        d2, c2 = dd[order], cc[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = d2[1:] != d2[:-1]
+        act = np.bincount(cc, minlength=ns)
+        led = np.bincount(c2[new], minlength=ns)
+        return pa.table(
+            {
+                "c": pa.array(np.arange(ns, dtype=np.int64)),
+                "act": pa.array(act.astype(np.int64)),
+                "led": pa.array(led.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_day = hash_partition_merge(partials, "d", fold, k=_adaptive_k(sf_dir))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": srcs,
+                    "n_days_active": pa.array(np.zeros(ns, np.int64)),
+                    "n_days_led": pa.array(np.zeros(ns, np.int64)),
+                }
+            )
+        g = t.group_by("c", use_threads=False).aggregate(
+            [("act", "sum"), ("led", "sum")]
+        )
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        act = np.zeros(ns, np.int64)
+        led = np.zeros(ns, np.int64)
+        act[cc] = g["act_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        led[cc] = g["led_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days_active": pa.array(act),
+                "n_days_led": pa.array(led),
+            }
+        )
+
+    return hash_partition_merge(per_day, "c", merge, k=1)
+
+
+def events_first_vs_primary(sf_dir: str) -> Dataset:
+    """E102: entry-vs-habit agreement board — per event type: users who
+    ENTER through it (their first event by (ts, event_id) order is this
+    type), users for whom it is PRIMARY (most events, ties → type rank —
+    E80's rule), and users where BOTH hold — the attribution question
+    E73's entry/exit matrix and E80's primary board each answer half of
+    (does the acquisition channel predict the habit?  n_both/n_first is
+    the conversion-to-habit rate per entry type).  One dense row per
+    type ALWAYS.  Exact int64 (row_number argmin × count-rank argmax
+    join oracle).
+
+    Scale shape — ONE user-hash exchange, both questions pre-reduced
+    per batch before it: count partials collapse to (user, type, n) and
+    first-candidates to one argmin row per (user, batch) — the exchange
+    carries O(users × types) rows however long the tape; each user's
+    partition settles its exact first event AND its primary type
+    locally, re-reducing in place to per-type (first, primary, both)
+    partials; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    BIG = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        # count partials: (user, code) -> n (two-column group_by — a
+        # uid*ns+code pack would overflow for arbitrary 64-bit user ids)
+        gc_ = (
+            pa.table(
+                {
+                    "u": pa.array(uid),
+                    "c": pa.array(code),
+                    "n": pa.array(np.ones(len(uid), np.int64)),
+                }
+            )
+            .group_by(["u", "c"], use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        nv = gc_.num_rows
+        counts = pa.table(
+            {
+                "u": gc_["u"],
+                "c": gc_["c"],
+                "n": gc_["n_sum"],
+                "ts": pa.array(np.full(nv, BIG, np.int64)),
+                "eid": pa.array(np.full(nv, BIG, np.int64)),
+            }
+        )
+        # first-candidate per user in this batch: argmin by (ts, eid)
+        order = np.lexsort((eid, ts_us, uid))
+        u2 = uid[order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = u2[1:] != u2[:-1]
+        firsts = order[head] if len(order) else order
+        cand = pa.table(
+            {
+                "u": pa.array(uid[firsts], pa.int64()),
+                "c": pa.array(code[firsts], pa.int64()),
+                "n": pa.array(np.zeros(len(firsts), np.int64)),
+                "ts": pa.array(ts_us[firsts], pa.int64()),
+                "eid": pa.array(eid[firsts], pa.int64()),
+            }
+        )
+        return pa.concat_tables([counts, cand])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "nf": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        tts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cnt = nn > 0
+        # primary: exact (user, code) totals -> argmax (ties: code asc);
+        # two-column group_by — a uid*ns+code pack would overflow int64
+        # for arbitrary 64-bit user ids at corpus scale
+        g = (
+            pa.table(
+                {
+                    "gu": pa.array(uu[is_cnt]),
+                    "gc": pa.array(cc[is_cnt]),
+                    "n": pa.array(nn[is_cnt]),
+                }
+            )
+            .group_by(["gu", "gc"], use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        gu = g["gu"].combine_chunks().to_numpy(zero_copy_only=False)
+        gc = g["gc"].combine_chunks().to_numpy(zero_copy_only=False)
+        gn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((gc, -gn, gu))
+        u2 = gu[order]
+        head = np.empty(len(order), dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        prim_u, prim_c = u2[head], gc[order][head]
+        # first: argmin over candidates by (ts, eid)
+        fu, fc, fts, feid = uu[~is_cnt], cc[~is_cnt], tts[~is_cnt], eid[~is_cnt]
+        forder = np.lexsort((feid, fts, fu))
+        f2 = fu[forder]
+        fhead = np.empty(len(forder), dtype=bool)
+        if len(forder):
+            fhead[0] = True
+            fhead[1:] = f2[1:] != f2[:-1]
+        first_u, first_c = f2[fhead], fc[forder][fhead]
+        # per-user join: prim_u and first_u are identical sorted user sets
+        # (every user with a count partial has a first candidate and vice
+        # versa — both derive from the same co-located event rows)
+        nf = np.bincount(first_c, minlength=ns)
+        np2 = np.bincount(prim_c, minlength=ns)
+        both = first_c == prim_c
+        nb = np.bincount(first_c[both], minlength=ns)
+        return pa.table(
+            {
+                "c": pa.array(np.arange(ns, dtype=np.int64)),
+                "nf": pa.array(nf.astype(np.int64)),
+                "np_": pa.array(np2.astype(np.int64)),
+                "nb": pa.array(nb.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_user = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": srcs,
+                    "n_first": pa.array(np.zeros(ns, np.int64)),
+                    "n_primary": pa.array(np.zeros(ns, np.int64)),
+                    "n_both": pa.array(np.zeros(ns, np.int64)),
+                }
+            )
+        g = t.group_by("c", use_threads=False).aggregate(
+            [("nf", "sum"), ("np_", "sum"), ("nb", "sum")]
+        )
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nf = np.zeros(ns, np.int64)
+        np2 = np.zeros(ns, np.int64)
+        nb = np.zeros(ns, np.int64)
+        nf[cc] = g["nf_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        np2[cc] = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb[cc] = g["nb_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_first": pa.array(nf),
+                "n_primary": pa.array(np2),
+                "n_both": pa.array(nb),
+            }
+        )
+
+    return hash_partition_merge(per_user, "c", merge, k=1)

@@ -5186,3 +5186,555 @@ def nation_year_profit(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_nation_year, "nk", merge, k=1)
+
+
+def shipmode_priority(sf_dir: str) -> Dataset:
+    """R34: line-status priority split (the TPC-H Q12 question keyed on
+    the status columns this schema carries instead of shipmode) — per
+    (l_returnflag, l_linestatus) over lines shipped in [1996, 1998):
+    lines on URGENT/HIGH-priority orders vs lines on lower-priority
+    orders — the critical-path exposure board (a status cell dominated
+    by high-priority lines is where late shipping costs the most;
+    reference parity: this is the one TPC-H question shape the suite
+    had not yet expressed).  Exact int64 (join + CASE-sum oracle).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange (R2's rule):
+    the ship-date window is pushed to the read; line batches pre-reduce
+    to (orderkey, status-cell, n) cells via one Arrow group_by; order
+    rows ride the same exchange carrying only a 0/1 high-priority flag
+    (orders grow with the corpus — never broadcast); each partition
+    joins with one searchsorted and folds to (cell, n_high, n_low)
+    partials over a ≤ |returnflag| × |linestatus| domain; status names
+    from two tiny broadcast rank lists; k=1 densifying merge."""
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    rf_list = pa.array(sorted(li.unique("l_returnflag")), pa.string())
+    ls_list = pa.array(sorted(li.unique("l_linestatus")), pa.string())
+    n_ls = len(ls_list)
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = (sd >= lo) & (sd < hi)
+        b = b.filter(pa.array(keep))
+        rf = (
+            pc.cast(pc.index_in(b["l_returnflag"], value_set=rf_list), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ls = (
+            pc.cast(pc.index_in(b["l_linestatus"], value_set=ls_list), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "ok": pc.cast(b["l_orderkey"], pa.int64()),
+                "cell": pa.array(rf * n_ls + ls),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["ok", "cell"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["ok", "cell", "n"])
+
+    def order_flag(b: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            b["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "cell": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": pc.cast(high, pa.int64()),
+            }
+        )
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "nh": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = cell < 0
+        if not is_dim.any():
+            return empty
+        dok, dhi = ok[is_dim], nn[is_dim]
+        order = np.argsort(dok, kind="stable")
+        dok_s, dhi_s = dok[order], dhi[order]
+        fok, fcell, fn = ok[~is_dim], cell[~is_dim], nn[~is_dim]
+        if not len(fok):
+            return empty
+        pos = np.clip(np.searchsorted(dok_s, fok), 0, len(dok_s) - 1)
+        hit = dok_s[pos] == fok
+        high = dhi_s[pos][hit].astype(bool)
+        fcell, fn = fcell[hit], fn[hit]
+        nc = len(rf_list) * n_ls
+        nh = np.bincount(fcell[high], weights=fn[high], minlength=nc)
+        nl = np.bincount(fcell[~high], weights=fn[~high], minlength=nc)
+        live = np.flatnonzero(nh + nl)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nh": pa.array(nh[live].astype(np.int64)),
+                "nl": pa.array(nl[live].astype(np.int64)),
+            }
+        )
+
+    per_cell = hash_partition_merge(
+        li.map_batches(line_cells, batch_format="pyarrow").union(
+            ords.map_batches(order_flag, batch_format="pyarrow")
+        ),
+        "ok",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "n_high_lines": pa.array([], pa.int64()),
+                    "n_low_lines": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("nh", "sum"), ("nl", "sum")]
+        )
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": rf_list.take(
+                    pa.array(cell // n_ls, pa.int64())
+                ),
+                "l_linestatus": ls_list.take(
+                    pa.array(cell % n_ls, pa.int64())
+                ),
+                "n_high_lines": pc.cast(g["nh_sum"], pa.int64()),
+                "n_low_lines": pc.cast(g["nl_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_cell, "cell", merge, k=1)
+
+
+def order_size_profile(sf_dir: str) -> Dataset:
+    """R35: order fan-out profile — per order SIZE (exact number of
+    lineitem rows in the order): orders of that size and their floored
+    total revenue — the basket-depth histogram (R6 counts orders per
+    customer, R27 profiles line POSITION; R35 says how deep baskets go
+    and where the revenue mass sits — the skew read that sizes the
+    per-order work unit every ORDERKEY co-partitioned join assumes is
+    bounded).  Exact int64 (two-level GROUP BY oracle).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange and NO dim side
+    at all: line batches pre-reduce to (orderkey, n, rev) partials via
+    one Arrow group_by; the orderkey partition holds every line of an
+    order, so its exact size and revenue settle locally and fold
+    straight to (size, n_orders, rev) partials over a ≤ max-basket
+    domain; k=1 merge."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "ok": pc.cast(b["l_orderkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("ok", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["ok", "n", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "size": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("ok", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        # int64 all the way: a float bincount would round above 2^53
+        sized = pa.table(
+            {
+                "size": g["n_sum"],
+                "no": pa.array(np.ones(g.num_rows, np.int64)),
+                "rev": g["rev_sum"],
+            }
+        )
+        h = sized.group_by("size", use_threads=False).aggregate(
+            [("no", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "size": pc.cast(h["size"], pa.int64()),
+                "no": pc.cast(h["no_sum"], pa.int64()),
+                "rev": pc.cast(h["rev_sum"], pa.int64()),
+            }
+        )
+
+    per_size = hash_partition_merge(
+        li.map_batches(line_partial, batch_format="pyarrow"),
+        "ok",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_size": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("size", use_threads=False).aggregate(
+            [("no", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "order_size": pc.cast(g["size"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_size, "size", merge, k=1)
+
+
+def brand_segment_matrix(sf_dir: str) -> Dataset:
+    """R36: market-segment × brand revenue matrix — per (c_mktsegment,
+    p_brand): lines + floored revenue — the full-star cross-section
+    (WHO buys WHAT): the only suite question that threads BOTH
+    corpus-sized dimension chains at once (customer→orders→lineitem
+    and part→lineitem), R5's segment axis crossed with R13's brand
+    axis.  Exact int64 (4-way join + two-key GROUP BY oracle).
+
+    Scale shape — THREE chained co-partitioned hops, every exchanged
+    stream narrower than its input and no corpus-sized broadcast:
+    the CUSTKEY hop tags order rows with a tiny segment code (customer
+    grows with the corpus — rides the exchange as dim rows); the
+    ORDERKEY hop meets per-batch line cells (orderkey, partkey, n, rev
+    — pre-grouped) with the tagged orders and re-keys to (partkey, seg)
+    partials; the PARTKEY hop meets those with part dim rows carrying a
+    brand code and folds to a ≤ segments × brands domain; only the two
+    tiny value rank lists broadcast; k=1 densifying merge."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    n_seg, n_brand = len(segs), len(brands)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    # ---- hop 1 (CUSTKEY): tag orders with the segment code ----
+    def cust_dim(b: pa.Table) -> pa.Table:
+        seg = pc.cast(
+            pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64()
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(b["c_custkey"], pa.int64()),
+                "ok": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "seg": seg,
+            }
+        )
+
+    def order_fact(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "seg": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def fold_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ok": pa.array([], pa.int64()), "seg": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        sg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ok < 0
+        if not is_dim.any():
+            return empty
+        dck, dsg = ck[is_dim], sg[is_dim]
+        order = np.argsort(dck, kind="stable")
+        dck_s, dsg_s = dck[order], dsg[order]
+        fck, fok = ck[~is_dim], ok[~is_dim]
+        if not len(fck):
+            return empty
+        pos = np.clip(np.searchsorted(dck_s, fck), 0, len(dck_s) - 1)
+        hit = dck_s[pos] == fck
+        return pa.table(
+            {
+                "ok": pa.array(fok[hit], pa.int64()),
+                "seg": pa.array(dsg_s[pos][hit], pa.int64()),
+            }
+        )
+
+    tagged_orders = hash_partition_merge(
+        ords.map_batches(order_fact, batch_format="pyarrow").union(
+            cust.map_batches(cust_dim, batch_format="pyarrow")
+        ),
+        "ck",
+        fold_cust,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 2 (ORDERKEY): meet line cells with tagged orders ----
+    def line_cells(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "ok": pc.cast(b["l_orderkey"], pa.int64()),
+                "pk": pc.cast(b["l_partkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["ok", "pk"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["ok", "pk", "n", "rev"])
+
+    def order_dim2(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "ok": b["ok"],
+                "pk": pa.array(np.full(n, -1, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "rev": pc.cast(b["seg"], pa.int64()),  # seg rides rev
+            }
+        )
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pk": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn_ = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = pk < 0
+        if not is_dim.any():
+            return empty
+        dok, dsg = ok[is_dim], rv[is_dim]
+        order = np.argsort(dok, kind="stable")
+        dok_s, dsg_s = dok[order], dsg[order]
+        fok, fpk, fn, frv = ok[~is_dim], pk[~is_dim], nn_[~is_dim], rv[~is_dim]
+        if not len(fok):
+            return empty
+        pos = np.clip(np.searchsorted(dok_s, fok), 0, len(dok_s) - 1)
+        hit = dok_s[pos] == fok
+        cells = pa.table(
+            {
+                "pk": pa.array(fpk[hit], pa.int64()),
+                "seg": pa.array(dsg_s[pos][hit], pa.int64()),
+                "n": pa.array(fn[hit], pa.int64()),
+                "rev": pa.array(frv[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by(["pk", "seg"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["pk", "seg", "n", "rev"])
+
+    per_part_seg = hash_partition_merge(
+        li.map_batches(line_cells, batch_format="pyarrow").union(
+            tagged_orders.map_batches(order_dim2, batch_format="pyarrow")
+        ),
+        "ok",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 3 (PARTKEY): attach the brand code ----
+    def fact_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": b["pk"],
+                "seg": b["seg"],
+                "n": b["n"],
+                "rev": b["rev"],
+                "br": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def part_dim(b: pa.Table) -> pa.Table:
+        br = pc.cast(pc.index_in(b["p_brand"], value_set=brands), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "pk": pc.cast(b["p_partkey"], pa.int64()),
+                "seg": pa.array(np.zeros(n, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "br": br,
+            }
+        )
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        sg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn_ = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = br >= 0
+        if not is_dim.any():
+            return empty
+        dpk, dbr = pk[is_dim], br[is_dim]
+        order = np.argsort(dpk, kind="stable")
+        dpk_s, dbr_s = dpk[order], dbr[order]
+        fpk, fsg, fn, frv = pk[~is_dim], sg[~is_dim], nn_[~is_dim], rv[~is_dim]
+        if not len(fpk):
+            return empty
+        pos = np.clip(np.searchsorted(dpk_s, fpk), 0, len(dpk_s) - 1)
+        hit = dpk_s[pos] == fpk
+        cells = pa.table(
+            {
+                "cell": pa.array(
+                    fsg[hit] * n_brand + dbr_s[pos][hit], pa.int64()
+                ),
+                "n": pa.array(fn[hit], pa.int64()),
+                "rev": pa.array(frv[hit], pa.int64()),
+            }
+        )
+        g = cells.group_by("cell", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["cell", "n", "rev"])
+
+    per_cell = hash_partition_merge(
+        per_part_seg.map_batches(fact_tag, batch_format="pyarrow").union(
+            part.map_batches(part_dim, batch_format="pyarrow")
+        ),
+        "pk",
+        fold_part,
+        k=_rel_k(sf_dir, "part"),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "p_brand": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_mktsegment": segs.take(
+                    pa.array(cell // n_brand, pa.int64())
+                ),
+                "p_brand": brands.take(pa.array(cell % n_brand, pa.int64())),
+                "n_lines": pc.cast(g["n_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_cell, "cell", merge, k=1)

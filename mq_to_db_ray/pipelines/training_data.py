@@ -8006,3 +8006,729 @@ def embedding_grid_occupancy(sf_dir: str, q_dims: int = 4) -> Dataset:
         )
 
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def f1_vocab_novelty_1h(sf_dir: str) -> Dataset:
+    """T97/F: hourly vocabulary-novelty curve over the F1 tokenized
+    stream — per 1h bucket: DISTINCT token ids seen + token ids whose
+    FIRST tape appearance is that bucket — T61's shingle-novelty
+    question asked of the flagship payload's id space (a flattening
+    new-token curve says the tokenizer's working vocabulary has
+    saturated; a late spike says a new domain entered the tape —
+    the signal that decides when T24's vocab map must be recut).
+    Exact int64 (DISTINCT pair + min-bucket join oracle).
+
+    Scale shape — ONE token-keyed exchange of distinct int64 pairs
+    (token lists never reship whole: each batch flattens once and
+    np.unique-compacts to its distinct (token, bucket) pairs); the
+    token-hash partition holds every bucket a token touches, so its
+    exact first bucket settles locally and both counts reduce to
+    (bucket, distinct, new) partials; k=1 merge sums O(buckets) rows."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+    from ..timegrid import T0_US
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bucket = seq // 3600
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = flat * (1 << 32) + np.repeat(bucket, nper)
+        pairs = np.unique(packed)
+        return pa.table(
+            {
+                "tok": pa.array(pairs >> 32, pa.int64()),
+                "b": pa.array(pairs & 0xFFFFFFFF, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "nn": pa.array([], pa.int64()),
+                }
+            )
+        tok = t["tok"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(tok * (1 << 32) + bb)
+        tk, bk = pairs >> 32, pairs & 0xFFFFFFFF
+        head = np.empty(len(pairs), bool)
+        head[0] = True
+        head[1:] = tk[1:] != tk[:-1]
+        nb = int(bk.max()) + 1
+        nd = np.bincount(bk, minlength=nb)
+        nn = np.bincount(bk[head], minlength=nb)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "b": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live].astype(np.int64)),
+                "nn": pa.array(nn[live].astype(np.int64)),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["doc_id", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_token = hash_partition_merge(partials, "tok", fold, k=_doc_k_files(files))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n_distinct_tokens": pa.array([], pa.int64()),
+                    "n_new_tokens": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("b", use_threads=False).aggregate(
+            [("nd", "sum"), ("nn", "sum")]
+        )
+        bb = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket_ts": pa.array(
+                    bb * 3_600_000_000 + T0_US, pa.timestamp("us")
+                ),
+                "n_distinct_tokens": pc.cast(g["nd_sum"], pa.int64()),
+                "n_new_tokens": pc.cast(g["nn_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_token, "b", merge, k=1)
+
+
+def quality_length_matrix(sf_dir: str, band_words: int = 10) -> Dataset:
+    """T98: quality x length-band bias matrix — per word-count band
+    (n_words // band_words): documents + documents passing EVERY fused
+    T29 predicate EXCEPT the word-count band itself (tagged English,
+    Gopher dup/top caps, stopword floor, not contaminated) — the read
+    that separates the length filter's own cut from the length BIAS of
+    the other filters (if short docs fail quality disproportionately,
+    T29's min_words is partly redundant; if long docs fail, the band cap
+    is doing quality's job).  Exact int64 (quality CTE + integer-divide
+    band oracle; all permilles floor the same 1000.0 double division).
+
+    Scale shape — T29's ONE streaming text pass verbatim (text read
+    once, split once, never shuffled; eval shingles broadcast via
+    ray.put): each batch reduces to (band, n_docs, n_ok) partials over a
+    ≤ max_words/band_words domain; k=1 merge."""
+    import ray
+
+    eval_ref = _eval_shingle_ref(sf_dir, 10)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        ok = (
+            lang_en
+            & (dup <= 600)
+            & (topf <= 130)
+            & (stopf >= 20)
+            & (hits == 0)
+        )
+        band = n_words // band_words
+        nb = int(band.max()) + 1 if len(band) else 1
+        n_docs = np.bincount(band, minlength=nb)
+        n_ok = np.bincount(band[ok], minlength=nb)
+        live = np.flatnonzero(n_docs)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nd": pa.array(n_docs[live].astype(np.int64)),
+                "nk": pa.array(n_ok[live].astype(np.int64)),
+            }
+        )
+
+    from ..stages.shuffle import hash_partition_merge
+
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "word_band": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_quality_ok": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nd", "sum"), ("nk", "sum")]
+        )
+        return pa.table(
+            {
+                "word_band": pc.cast(g["band"], pa.int64()),
+                "n_docs": pc.cast(g["nd_sum"], pa.int64()),
+                "n_quality_ok": pc.cast(g["nk_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def embedding_dim_quantiles(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """T99: per-dimension quantized quantiles — per vector dimension
+    (1-based, matching generate_subscripts): vector count + discrete
+    p50/p90 of floor(1000·x) — the distributional companion to T75's
+    min/max profile (min/max says a dimension's RANGE, the quantiles
+    say where its mass sits: a dimension whose p50 hugs an extreme is
+    saturated/clipped and degrades T5b's hyperplane splits even when
+    its range looks healthy).  Exact int64 under the quantile_disc rank
+    rule (unnest + generate_subscripts + quantile_disc oracle; the
+    element-wise floor keeps both sides in exact int64).
+
+    Scale shape — E22's per-bucket mergeable histogram on the dimension
+    axis: the quantized domain is bounded (unit-normalized components ⇒
+    ~2001 values), so each batch reduces to (dim, qval, freq) partials
+    over a ≤ d × 2001 domain; ONLY histograms shuffle (dim-hash); every
+    dimension's quantiles read off one lexsort + cumsum."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        q = np.floor(1000.0 * m).astype(np.int64)
+        d = m.shape[1]
+        dims = np.broadcast_to(np.arange(1, d + 1, dtype=np.int64), (n, d))
+        # offset keeps the pack non-negative for np.unique on int64
+        packed = dims.ravel() * (1 << 32) + (q.ravel() + (1 << 20))
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "dim": pa.array(vals >> 32, pa.int64()),
+                "v": pa.array((vals & 0xFFFFFFFF) - (1 << 20), pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_q" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["dim", "v"], use_threads=False).aggregate(
+            [("f", "sum")]
+        )
+        dd = g["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, dd))
+        d2, v2, f2 = dd[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = d2[1:] != d2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {"dim": [], "n": [], **{c: [] for c in names}}
+        for a, b in zip(starts, ends):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["dim"].append(int(d2[a]))
+            out["n"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "dim": pa.array(out["dim"], pa.int64()),
+                "n_vecs": pa.array(out["n"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def f1_stutter_stats(sf_dir: str) -> Dataset:
+    """T100/F: tape stutter board — per source: sequences, adjacent
+    token pairs (Σ(n_tok − 1)), STUTTERED pairs (adjacent equal ids),
+    and sequences containing at least one stutter — T12's word-stutter
+    question asked of the flagship's tokenized payload (an id repeated
+    back-to-back is the classic degenerate-generation / encoder-bug
+    artifact, invisible to T80's whole-sequence dedup and to n_tok
+    rollups).  Exact int64 (list_transform adjacent-compare oracle).
+
+    Scale shape — ZERO wide exchange (T67's profile): one flatten +
+    one shifted same-parent compare per batch reduces the token stream
+    to one (source, seqs, pairs, stutters, hit-seqs) partial row per
+    source; token lists never shuffle; k=1 merge."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        same = (
+            (flat[1:] == flat[:-1]) & (parent[1:] == parent[:-1])
+            if len(flat)
+            else np.zeros(0, bool)
+        )
+        st_per_seq = np.bincount(
+            parent[1:][same], minlength=n
+        ).astype(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ns = len(srcs)
+        return pa.table(
+            {
+                "src": pa.array(np.arange(ns, dtype=np.int64)),
+                "seqs": pa.array(np.bincount(code, minlength=ns).astype(np.int64)),
+                "pairs": pa.array(
+                    np.bincount(
+                        code, weights=np.maximum(nper - 1, 0), minlength=ns
+                    ).astype(np.int64)
+                ),
+                "st": pa.array(
+                    np.bincount(code, weights=st_per_seq, minlength=ns).astype(
+                        np.int64
+                    )
+                ),
+                "hit": pa.array(
+                    np.bincount(
+                        code[st_per_seq > 0], minlength=ns
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_seqs": pa.array([], pa.int64()),
+                    "n_adj_pairs": pa.array([], pa.int64()),
+                    "n_stutter_pairs": pa.array([], pa.int64()),
+                    "n_stutter_seqs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("seqs", "sum"), ("pairs", "sum"), ("st", "sum"), ("hit", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["src"].combine_chunks()),
+                "n_seqs": pc.cast(g["seqs_sum"], pa.int64()),
+                "n_adj_pairs": pc.cast(g["pairs_sum"], pa.int64()),
+                "n_stutter_pairs": pc.cast(g["st_sum"], pa.int64()),
+                "n_stutter_seqs": pc.cast(g["hit_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def embedding_cell_purity(sf_dir: str, scale: int = 2) -> Dataset:
+    """T101: grid-cell label purity — per occupied cell of the
+    floor(2·x) grid over the first two dimensions: vectors, DISTINCT
+    labels, and the majority label's count — the partition-purity audit
+    behind T8's IVF routing (T96 says whether any cell is overloaded;
+    T101 says whether cells mean anything: a cell whose majority share
+    is low mixes labels, so routing by it buys recall nothing).  Exact
+    int64 (list-index quantize + two-level GROUP BY + max oracle).
+
+    Scale shape — E85's settle-in-partition discipline: per batch one
+    slice + floor + bit-pack reduces vectors to (cell, label, n)
+    partials; the cell-hash partition holds every label count of a cell,
+    so vectors, distinct labels and the majority all settle locally and
+    final rows LEAVE the partition directly (cells partition the
+    output; no k=1 funnel)."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    OFF = 1 << 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "lab": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)[:, :2]
+        )
+        q = np.floor(scale * m).astype(np.int64) + OFF
+        cell = q[:, 0] * (2 * OFF) + q[:, 1]
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = cell * (1 << 24) + lab
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(vals >> 24, pa.int64()),
+                "lab": pa.array(vals & 0xFFFFFF, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell_x": pa.array([], pa.int64()),
+                    "cell_y": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "n_labels": pa.array([], pa.int64()),
+                    "n_majority": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["cell", "lab"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        cc = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(cc, kind="stable")
+        c2, n2 = cc[order], nn[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = c2[1:] != c2[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(order))
+        vecs = np.add.reduceat(n2, starts)
+        labels = ends - starts
+        maj = np.maximum.reduceat(n2, starts)
+        cells = c2[starts]
+        return pa.table(
+            {
+                "cell_x": pa.array(cells // (2 * OFF) - OFF, pa.int64()),
+                "cell_y": pa.array(cells % (2 * OFF) - OFF, pa.int64()),
+                "n_vecs": pa.array(vecs.astype(np.int64)),
+                "n_labels": pa.array(labels.astype(np.int64)),
+                "n_majority": pa.array(maj.astype(np.int64)),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(
+        partials,
+        "cell",
+        fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+
+
+def pair_budget(sf_dir: str, k_shingle: int = 3) -> Dataset:
+    """T102: candidate-pair budget — ONE row: distinct shingles, total
+    (doc, shingle) postings, and Σ df·(df−1)/2 — the EXACT number of
+    candidate pairs a shingle-keyed join (T4) would generate with no
+    df_cap — T95's spectrum collapsed to its second moment: the one
+    number that says whether the pair stage fits the cluster budget
+    before anyone launches it (and how much mass a given df_cap clips).
+    Engine counts 64-bit shingle hashes, oracle shingle strings (T1/T4
+    collision convention).  Exact int64 (two-level GROUP BY + arithmetic
+    oracle); the pair sum's int64 bound (df ≲ 4·10⁹ per shingle)
+    documents itself — a corpus past it has no runnable pair stage.
+
+    Scale shape — T95's token-keyed exchange verbatim with a scalar
+    fold: distinct (doc, shingle-hash) pairs per batch, each shingle's
+    exact df settles in its hash partition and reduces IN PLACE to one
+    (shingles, postings, pairs) triple per partition; k=1 merge sums
+    O(partitions) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, sh = ts.shingles_flat(batch["text"], k_shingle)
+        return pa.table(
+            {"shingle": pa.array(sh.view(np.int64), pa.int64())}
+        )
+
+    exploded = _docs(sf_dir, ["text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                }
+            )
+        h = t["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, df = np.unique(h, return_counts=True)
+        df = df.astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ns": pa.array([len(df)], pa.int64()),
+                "no": pa.array([int(df.sum())], pa.int64()),
+                "np_": pa.array([int((df * (df - 1) // 2).sum())], pa.int64()),
+            }
+        )
+
+    per_shingle = hash_partition_merge(
+        exploded, "shingle", fold, k=_doc_k(sf_dir)
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_shingles": pa.array([0], pa.int64()),
+                    "n_postings": pa.array([0], pa.int64()),
+                    "n_candidate_pairs": pa.array([0], pa.int64()),
+                }
+            )
+        ns_ = t["ns"].combine_chunks().to_numpy(zero_copy_only=False)
+        no = t["no"].combine_chunks().to_numpy(zero_copy_only=False)
+        np2 = t["np_"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_shingles": pa.array([int(ns_.sum())], pa.int64()),
+                "n_postings": pa.array([int(no.sum())], pa.int64()),
+                "n_candidate_pairs": pa.array([int(np2.sum())], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_shingle, "g", merge, k=1)
+
+
+def embedding_dup_vectors(sf_dir: str) -> Dataset:
+    """T103: exact-duplicate vector board — per label: vectors, DISTINCT
+    embeddings (bitwise), echo copies (vecs − distinct) — T80's
+    sequence-level dedup asked of the embedding table (bit-identical
+    vectors are copy-paste augmentation or a re-embedded shard, and they
+    silently bias every centroid and every T6 neighbor list).  One dense
+    row per label ALWAYS (zero echoes on a clean table — the dup-board
+    convention).  Engine hashes vector bytes (vectorized column-mix
+    hash, the T69 collision convention); oracle counts DISTINCT on the
+    list column directly.  Exact int64 (count(DISTINCT embedding)
+    oracle).
+
+    Scale shape — T80's dedupe + counter-stream exchange with the key
+    built from the PAYLOAD BYTES: per batch one (n, d) reshape + one
+    odd-constant column mix → distinct (hash, label) pairs + per-label
+    raw counters ride ONE hash exchange (vectors never shuffle — only
+    8-byte hashes); partitions re-dedupe exactly and reduce to
+    per-label (raw, uniq) partials; k=1 densifying merge."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "lab": pa.array([], pa.int64()),
+                    "raw": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint32)
+            .astype(np.uint64)
+            .reshape(n, -1)
+        )
+        # multiply-rotate column mix: deterministic, vectorized over rows
+        h = np.full(n, 0x9E3779B97F4A7C15, np.uint64)
+        MUL = np.uint64(0xBF58476D1CE4E5B9)
+        for j in range(m.shape[1]):
+            h = (h ^ (m[:, j] * MUL)) * MUL
+            h ^= h >> np.uint64(31)
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        # fold the label into the hash so the full 64 bits carry the
+        # (vector, label) identity; the label column rides alongside
+        h = (h ^ (lab.astype(np.uint64) * MUL)) * MUL
+        h ^= h >> np.uint64(31)
+        hi = h.view(np.int64)
+        uh, uidx = np.unique(hi, return_index=True)
+        raw = np.bincount(lab, minlength=int(lab.max()) + 1)
+        live = np.flatnonzero(raw)
+        dedup = pa.table(
+            {
+                "h": pa.array(uh, pa.int64()),
+                "lab": pa.array(lab[uidx], pa.int64()),
+                "raw": pa.array(np.zeros(len(uh), np.int64)),
+            }
+        )
+        counters = pa.table(
+            {
+                "h": pa.array(-1 - live.astype(np.int64)),  # negative keys
+                "lab": pa.array(live.astype(np.int64)),
+                "raw": pa.array(raw[live].astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([dedup, counters])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lab": pa.array([], pa.int64()),
+                    "raw": pa.array([], pa.int64()),
+                    "uniq": pa.array([], pa.int64()),
+                }
+            )
+        hh = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        raw = t["raw"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_pair = raw == 0
+        _, uidx = np.unique(hh[is_pair], return_index=True)
+        ulab = lab[is_pair][uidx]
+        out = pa.table(
+            {
+                "lab2": pa.array(
+                    np.concatenate([ulab, lab[~is_pair]]), pa.int64()
+                ),
+                "raw2": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ulab), np.int64), raw[~is_pair]]
+                    )
+                ),
+                "uniq2": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(ulab), np.int64),
+                            np.zeros(int((~is_pair).sum()), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+        g = out.group_by("lab2", use_threads=False).aggregate(
+            [("raw2", "sum"), ("uniq2", "sum")]
+        )
+        return g.rename_columns(["lab", "raw", "uniq"])
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_hash = hash_partition_merge(
+        partials,
+        "h",
+        fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_echo": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("lab", use_threads=False).aggregate(
+            [("raw", "sum"), ("uniq", "sum")]
+        )
+        raw = g["raw_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        uq = g["uniq_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": pc.cast(g["lab"], pa.int64()),
+                "n_vecs": pa.array(raw.astype(np.int64)),
+                "n_distinct": pa.array(uq.astype(np.int64)),
+                "n_echo": pa.array((raw - uq).astype(np.int64)),
+            }
+        )
+
+    return hash_partition_merge(per_hash, "lab", merge, k=1)
