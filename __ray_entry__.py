@@ -1164,6 +1164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_vs_primary": _q_events_first_vs_primary,
         "doc_pair_budget": td.pair_budget,
         "embedding_dup_vectors": td.embedding_dup_vectors,
+        "f1_cross_source_dups": lambda sf_dir: td.f1_cross_source_dups(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_repeat_purchase": rel.repeat_purchase,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2230,6 +2234,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(ok) AS BIGINT) AS n_quality_ok
             FROM q GROUP BY 1
+        """,
+        "f1_cross_source_dups": """
+            WITH d AS (SELECT DISTINCT source, tokens
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) n
+                    FROM d GROUP BY 1),
+            pr AS (SELECT a.source sa, b.source sb,
+                          CAST(count(*) AS BIGINT) c
+                   FROM d a JOIN d b
+                     ON a.tokens = b.tokens AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT pr.sa AS source_a, pr.sb AS source_b,
+                   ta.n AS n_a, tb.n AS n_b,
+                   pr.c AS n_common,
+                   CAST(1000 * pr.c // (ta.n + tb.n - pr.c) AS BIGINT)
+                       AS jaccard_permille
+            FROM pr JOIN tot ta ON ta.source = pr.sa
+                    JOIN tot tb ON tb.source = pr.sb
+        """,
+        "rel_repeat_purchase": """
+            WITH pr AS (SELECT o.o_custkey ck, l.l_partkey pk,
+                               CAST(count(*) AS BIGINT) n
+                        FROM lineitem l
+                        JOIN orders o ON o.o_orderkey = l.l_orderkey
+                        GROUP BY 1, 2)
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN pr.n >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeat_pairs,
+                   CAST(sum(pr.n) AS BIGINT) AS n_lines
+            FROM pr JOIN part p ON p.p_partkey = pr.pk
+            GROUP BY 1
         """,
         "events_first_vs_primary": """
             WITH f AS (SELECT user_id, event_type AS ft,

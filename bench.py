@@ -373,6 +373,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_first_vs_primary",
         "doc_pair_budget",
         "embedding_dup_vectors",
+        "f1_cross_source_dups",
+        "rel_repeat_purchase",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -5738,3 +5738,255 @@ def brand_segment_matrix(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_cell, "cell", merge, k=1)
+
+
+def repeat_purchase(sf_dir: str) -> Dataset:
+    """R37: repeat-purchase board — per p_brand: distinct (customer,
+    part) pairs with ≥1 line, pairs with ≥2 lines (REPEAT buys), total
+    lines — the loyalty/consumables read (a brand whose line volume
+    comes from repeat pairs sells staples; one-shot pairs sell
+    durables), and the only suite question whose GROUP key is itself a
+    corpus-sized PAIR (customer × part both grow with scale).  Exact
+    int64 (per-pair count + HAVING-free CASE oracle).
+
+    Scale shape — THREE exchanges, the middle one keyed by a PAIR HASH
+    (the T4 convention: the 8-byte hash only routes — identity is the
+    exact (custkey, partkey) columns riding alongside, so a collision
+    co-locates two pairs but can never merge them): the ORDERKEY hop
+    rewrites line cells to (custkey, partkey, n) with orders riding as
+    dim rows; the PAIR hop settles each pair's exact line count and
+    re-reduces IN PLACE to per-part (pairs, repeats, lines) partials;
+    the PARTKEY hop attaches the brand code (part dim rides the
+    exchange — never broadcast) and folds to a ≤ brands domain; k=1
+    merge."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    n_brand = len(brands)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    # ---- hop 1 (ORDERKEY): attach custkey to line cells ----
+    def line_cells(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ok": pc.cast(b["l_orderkey"], pa.int64()),
+                "pk": pc.cast(b["l_partkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["ok", "pk"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["ok", "pk", "n"])
+
+    def order_dim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "pk": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": pc.cast(b["o_custkey"], pa.int64()),  # ck rides n
+            }
+        )
+
+    MUL = np.uint64(0xBF58476D1CE4E5B9)
+
+    def fold_order(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "ck": pa.array([], pa.int64()),
+                "pk": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn_ = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = pk < 0
+        if not is_dim.any():
+            return empty
+        dok, dck = ok[is_dim], nn_[is_dim]
+        order = np.argsort(dok, kind="stable")
+        dok_s, dck_s = dok[order], dck[order]
+        fok, fpk, fn = ok[~is_dim], pk[~is_dim], nn_[~is_dim]
+        if not len(fok):
+            return empty
+        pos = np.clip(np.searchsorted(dok_s, fok), 0, len(dok_s) - 1)
+        hit = dok_s[pos] == fok
+        ck, pk2, n2 = dck_s[pos][hit], fpk[hit], fn[hit]
+        h = (
+            (ck.astype(np.uint64) * MUL) ^ (pk2.astype(np.uint64) + MUL)
+        ) * MUL
+        h ^= h >> np.uint64(31)
+        g = pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "ck": pa.array(ck, pa.int64()),
+                "pk": pa.array(pk2, pa.int64()),
+                "n": pa.array(n2, pa.int64()),
+            }
+        ).group_by(["h", "ck", "pk"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["h", "ck", "pk", "n"])
+
+    pair_cells = hash_partition_merge(
+        li.map_batches(line_cells, batch_format="pyarrow").union(
+            ords.map_batches(order_dim, batch_format="pyarrow")
+        ),
+        "ok",
+        fold_order,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2 (PAIR HASH): settle each pair's exact line count ----
+    def fold_pair(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "pairs": pa.array([], pa.int64()),
+                    "rep": pa.array([], pa.int64()),
+                    "lines": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["ck", "pk"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        pk = g["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "pk2": pa.array(pk, pa.int64()),
+                "pairs": pa.array(np.ones(len(pk), np.int64)),
+                "rep": pa.array((n >= 2).astype(np.int64)),
+                "lines": pa.array(n.astype(np.int64)),
+            }
+        )
+        g2 = out.group_by("pk2", use_threads=False).aggregate(
+            [("pairs", "sum"), ("rep", "sum"), ("lines", "sum")]
+        )
+        return g2.rename_columns(["pk", "pairs", "rep", "lines"])
+
+    per_part = hash_partition_merge(
+        pair_cells, "h", fold_pair, k=_rel_k(sf_dir, "lineitem")
+    )
+
+    # ---- hop 3 (PARTKEY): attach the brand code ----
+    def fact_tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": b["pk"],
+                "pairs": b["pairs"],
+                "rep": b["rep"],
+                "lines": b["lines"],
+                "br": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def part_dim(b: pa.Table) -> pa.Table:
+        br = pc.cast(pc.index_in(b["p_brand"], value_set=brands), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "pk": pc.cast(b["p_partkey"], pa.int64()),
+                "pairs": pa.array(np.zeros(n, np.int64)),
+                "rep": pa.array(np.zeros(n, np.int64)),
+                "lines": pa.array(np.zeros(n, np.int64)),
+                "br": br,
+            }
+        )
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "br": pa.array([], pa.int64()),
+                "pairs": pa.array([], pa.int64()),
+                "rep": pa.array([], pa.int64()),
+                "lines": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["pairs"].combine_chunks().to_numpy(zero_copy_only=False)
+        rp = t["rep"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = t["lines"].combine_chunks().to_numpy(zero_copy_only=False)
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = br >= 0
+        if not is_dim.any():
+            return empty
+        dpk, dbr = pk[is_dim], br[is_dim]
+        order = np.argsort(dpk, kind="stable")
+        dpk_s, dbr_s = dpk[order], dbr[order]
+        fpk = pk[~is_dim]
+        if not len(fpk):
+            return empty
+        pos = np.clip(np.searchsorted(dpk_s, fpk), 0, len(dpk_s) - 1)
+        hit = dpk_s[pos] == fpk
+        g = pa.table(
+            {
+                "br2": pa.array(dbr_s[pos][hit], pa.int64()),
+                "pairs": pa.array(pr[~is_dim][hit], pa.int64()),
+                "rep": pa.array(rp[~is_dim][hit], pa.int64()),
+                "lines": pa.array(ln[~is_dim][hit], pa.int64()),
+            }
+        ).group_by("br2", use_threads=False).aggregate(
+            [("pairs", "sum"), ("rep", "sum"), ("lines", "sum")]
+        )
+        return g.rename_columns(["br", "pairs", "rep", "lines"])
+
+    per_brand = hash_partition_merge(
+        per_part.map_batches(fact_tag, batch_format="pyarrow").union(
+            part.map_batches(part_dim, batch_format="pyarrow")
+        ),
+        "pk",
+        fold_part,
+        k=_rel_k(sf_dir, "part"),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "n_repeat_pairs": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("br", use_threads=False).aggregate(
+            [("pairs", "sum"), ("rep", "sum"), ("lines", "sum")]
+        )
+        return pa.table(
+            {
+                "p_brand": brands.take(g["br"].combine_chunks()),
+                "n_pairs": pc.cast(g["pairs_sum"], pa.int64()),
+                "n_repeat_pairs": pc.cast(g["rep_sum"], pa.int64()),
+                "n_lines": pc.cast(g["lines_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_brand, "br", merge, k=1)

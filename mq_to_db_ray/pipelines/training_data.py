@@ -8732,3 +8732,140 @@ def embedding_dup_vectors(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_hash, "lab", merge, k=1)
+
+
+def f1_cross_source_dups(sf_dir: str) -> Dataset:
+    """T104/F: cross-source duplicate-sequence matrix — for every source
+    pair, DISTINCT token arrays BOTH emit, plus exact Jaccard permille —
+    T60's syndication matrix asked of the flagship's tokenized payload
+    (T80 counts echoes within a source; T104 says which PAIRS of tapes
+    carry the same sequences — the dedup-routing read before merging two
+    ingest feeds).  Pairs ordered source_a < source_b (string order),
+    zero-overlap pairs absent — the SQL self-join's shape.  Engine
+    hashes token arrays (polars 64-bit list hash, the T69/T80 collision
+    convention); oracle intersects DISTINCT list values directly.
+    Exact int64 (DISTINCT-list self-join oracle).
+
+    Scale shape — T60's pair machinery verbatim with the key built from
+    the PAYLOAD: one polars list-hash per batch (token arrays never
+    shuffle — only 8-byte hashes), distinct (hash, source-rank) rows
+    ride ONE hash exchange; each hash partition holds every source that
+    emits a sequence, so pair counts fan out bounded by C(sources, 2),
+    never corpus size; tiny partials fold in one k=1 task."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    n_src = len(srcs)
+
+    def explode(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = (
+            pl.from_arrow(b.select(["tokens"]))["tokens"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((code, h))
+        hs, ss = h[order], code[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        return pa.table(
+            {
+                "h": pa.array(hs[keep], pa.int64()),
+                "src": pa.array(ss[keep], pa.int64()),
+            }
+        )
+
+    def fold_by_hash(t: pa.Table) -> pa.Table:
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, h))
+        hs, ss = h[order], s[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        hs, ss = hs[keep], ss[keep]
+        tot = np.bincount(ss, minlength=n_src).astype(np.int64)
+        out_a = [np.arange(n_src, dtype=np.int64)]
+        out_b = [np.full(n_src, -1, dtype=np.int64)]
+        out_n = [tot]
+        newg = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            newg[0] = True
+            newg[1:] = hs[1:] != hs[:-1]
+            starts = np.flatnonzero(newg)
+            sizes = np.diff(np.append(starts, len(hs)))
+            pair_counts = np.zeros((n_src, n_src), dtype=np.int64)
+            for m in np.unique(sizes):
+                if m < 2:
+                    continue
+                mat = ss[
+                    (starts[sizes == m][:, None] + np.arange(m)[None, :])
+                ]
+                for i in range(int(m) - 1):
+                    for j in range(i + 1, int(m)):
+                        np.add.at(pair_counts, (mat[:, i], mat[:, j]), 1)
+            pa_, pb_ = np.nonzero(pair_counts)
+            out_a.append(pa_.astype(np.int64))
+            out_b.append(pb_.astype(np.int64))
+            out_n.append(pair_counts[pa_, pb_])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    exploded = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = hash_partition_merge(
+        exploded, "h", fold_by_hash, k=_doc_k_files(files)
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.zeros(n_src, dtype=np.int64)
+        is_tot = b < 0
+        np.add.at(tot, a[is_tot], n[is_tot])
+        pair_counts = np.zeros((n_src, n_src), dtype=np.int64)
+        np.add.at(pair_counts, (a[~is_tot], b[~is_tot]), n[~is_tot])
+        pa_, pb_ = np.nonzero(pair_counts)
+        c = pair_counts[pa_, pb_]
+        na, nb = tot[pa_], tot[pb_]
+        return pa.table(
+            {
+                "source_a": pc.take(srcs, pa.array(pa_, pa.int64())),
+                "source_b": pc.take(srcs, pa.array(pb_, pa.int64())),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "n_common": pa.array(c, pa.int64()),
+                "jaccard_permille": pa.array(
+                    1000 * c // (na + nb - c), pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(partials, "a", final, k=1)
