@@ -571,6 +571,12 @@ def _q_events_minute_mode(sf_dir: str):
     return events_minute_mode(sf_dir)
 
 
+def _q_events_type_cooccur(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_type_cooccurrence
+
+    return events_type_cooccurrence(sf_dir)
+
+
 def _q_events_first_vs_primary(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_first_vs_primary
 
@@ -1168,6 +1174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_repeat_purchase": rel.repeat_purchase,
+        "doc_cluster_size_hist": td.cluster_size_hist,
+        "doc_tokenizer_agreement": td.tokenizer_agreement,
+        "events_type_cooccurrence": _q_events_type_cooccur,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2234,6 +2243,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(ok) AS BIGINT) AS n_quality_ok
             FROM q GROUP BY 1
+        """,
+        "events_type_cooccurrence": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                  FROM o),
+            d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+            tot AS (SELECT event_type t, CAST(count(*) AS BIGINT) n
+                    FROM d GROUP BY 1),
+            pr AS (SELECT a.event_type ta, b.event_type tb,
+                          CAST(count(*) AS BIGINT) c
+                   FROM d a JOIN d b
+                     ON a.user_id = b.user_id AND a.sid = b.sid
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT pr.ta AS type_a, pr.tb AS type_b,
+                   ta_.n AS n_a, tb_.n AS n_b, pr.c AS n_both
+            FROM pr JOIN tot ta_ ON ta_.t = pr.ta
+                    JOIN tot tb_ ON tb_.t = pr.tb
+        """,
+        "doc_tokenizer_agreement": """
+            WITH c AS (SELECT source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT) ws,
+                              CAST(len(regexp_extract_all(text,
+                                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                                AS BIGINT) bpe
+                       FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+                   CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(abs(ws - bpe)) AS BIGINT) AS abs_dev
+            FROM c GROUP BY 1
+        """,
+        "doc_cluster_size_hist": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(w) - 2, 1)),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh
+                  FROM t),
+            sizes AS (SELECT doc_id, len(sh) n FROM g),
+            e AS (SELECT doc_id, unnest(sh) s FROM g),
+            i AS (SELECT a.doc_id da, b.doc_id db,
+                         CAST(count(*) AS BIGINT) inter
+                  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.da AS doc_a, i.db AS doc_b
+                  FROM i JOIN sizes sa ON i.da = sa.doc_id
+                         JOIN sizes sb ON i.db = sb.doc_id
+                  WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 200),
+            nn AS (SELECT doc_a u FROM p UNION SELECT doc_b FROM p),
+            ee AS (SELECT doc_a u, doc_b v FROM p
+                   UNION SELECT doc_b, doc_a FROM p
+                   UNION SELECT u, u FROM nn),
+            reach(u, v) AS (
+                SELECT u, v FROM ee
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN ee e2 ON r.v = e2.u),
+            lab AS (SELECT u AS doc_id, min(v) AS cluster_id
+                    FROM reach GROUP BY 1),
+            cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) sz
+                   FROM lab GROUP BY 1),
+            h AS (SELECT sz, CAST(count(*) AS BIGINT) nc FROM cs GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+            cl AS (SELECT CAST(COALESCE(sum(sz * nc), 0) AS BIGINT) n FROM h)
+            SELECT CAST(1 AS BIGINT) AS cluster_size,
+                   tot.n - cl.n AS n_clusters,
+                   tot.n - cl.n AS n_docs
+            FROM tot, cl
+            UNION ALL
+            SELECT CAST(sz AS BIGINT), nc, CAST(sz * nc AS BIGINT) FROM h
         """,
         "f1_cross_source_dups": """
             WITH d AS (SELECT DISTINCT source, tokens

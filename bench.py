@@ -375,6 +375,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "embedding_dup_vectors",
         "f1_cross_source_dups",
         "rel_repeat_purchase",
+        "doc_cluster_size_hist",
+        "doc_tokenizer_agreement",
+        "events_type_cooccurrence",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -8159,3 +8159,178 @@ def events_first_vs_primary(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_user, "c", merge, k=1)
+
+
+def events_type_cooccurrence(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E103: session-basket type affinity matrix — for every event-type
+    pair (a < b, string order): sessions containing type a, sessions
+    containing type b, sessions containing BOTH — the co-visit read
+    E56's transition matrix cannot answer (transitions count ordered
+    ADJACENCY; E103 counts unordered co-presence anywhere in the visit —
+    the basket-analysis number behind "users who do a also do b").
+    Zero-overlap pairs absent (the SQL self-join's shape).  Exact int64
+    (sessions CTE + DISTINCT (session, type) self-join oracle).
+
+    Scale shape — pure composition feeding T60's pair machinery: E15's
+    bounded sessionize + E16's windowed range join tag every event with
+    its session; each batch dedupes to (user, session, type-code) rows
+    and ships them on ONE session-mix-hash exchange (the hash only
+    routes — identity is the exact (user, session) columns riding
+    alongside); each partition holds every type of a session, so pair
+    fan-out is bounded by sessions × C(types, 2) with types
+    tiny-cardinality; per-type session totals ride the same partials;
+    k=1 fold."""
+    from ..stages.shuffle import hash_partition_merge
+    from ..stages.temporal import range_join
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    points = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    intervals = events_sessions(sf_dir, gap_s).map_batches(
+        lambda b: b.select(["user_id", "session_id", "start_ts", "end_ts"]),
+        batch_format="pyarrow",
+    ).materialize()
+    joined = range_join(
+        points,
+        intervals,
+        key="user_id",
+        ts="ts",
+        lo="start_ts",
+        hi="end_ts",
+        attrs=["session_id"],
+        k=_adaptive_k(sf_dir),
+        window_us=TEMPORAL_WINDOW_US,
+    )
+
+    MUL = np.uint64(0xBF58476D1CE4E5B9)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        sid = (
+            pc.cast(b["session_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((code, sid, uid))
+        u2, s2, c2 = uid[order], sid[order], code[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (
+                (u2[1:] != u2[:-1]) | (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
+            )
+        u2, s2, c2 = u2[keep], s2[keep], c2[keep]
+        h = ((u2.astype(np.uint64) * MUL) ^ (s2.astype(np.uint64) + MUL)) * MUL
+        h ^= h >> np.uint64(31)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "u": pa.array(u2, pa.int64()),
+                "s": pa.array(s2, pa.int64()),
+                "c": pa.array(c2, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, s, u))
+        u2, s2, c2 = u[order], s[order], c[order]
+        keep = np.empty(len(order), dtype=bool)
+        keep[0] = True
+        keep[1:] = (
+            (u2[1:] != u2[:-1]) | (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
+        )
+        u2, s2, c2 = u2[keep], s2[keep], c2[keep]
+        tot = np.bincount(c2, minlength=ns).astype(np.int64)
+        out_a = [np.arange(ns, dtype=np.int64)]
+        out_b = [np.full(ns, -1, dtype=np.int64)]
+        out_n = [tot]
+        news = np.empty(len(u2), dtype=bool)
+        if len(u2):
+            news[0] = True
+            news[1:] = (u2[1:] != u2[:-1]) | (s2[1:] != s2[:-1])
+            starts = np.flatnonzero(news)
+            sizes = np.diff(np.append(starts, len(u2)))
+            pair_counts = np.zeros((ns, ns), dtype=np.int64)
+            for m in np.unique(sizes):
+                if m < 2:
+                    continue
+                mat = c2[
+                    (starts[sizes == m][:, None] + np.arange(m)[None, :])
+                ]
+                for i in range(int(m) - 1):
+                    for j in range(i + 1, int(m)):
+                        np.add.at(pair_counts, (mat[:, i], mat[:, j]), 1)
+            pa_, pb_ = np.nonzero(pair_counts)
+            out_a.append(pa_.astype(np.int64))
+            out_b.append(pb_.astype(np.int64))
+            out_n.append(pair_counts[pa_, pb_])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    per_session = hash_partition_merge(
+        partials, "h", fold, k=_adaptive_k(sf_dir)
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "n_both": pa.array([], pa.int64()),
+                }
+            )
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.zeros(ns, dtype=np.int64)
+        is_tot = b < 0
+        np.add.at(tot, a[is_tot], n[is_tot])
+        pair_counts = np.zeros((ns, ns), dtype=np.int64)
+        np.add.at(pair_counts, (a[~is_tot], b[~is_tot]), n[~is_tot])
+        pa_, pb_ = np.nonzero(pair_counts)
+        c = pair_counts[pa_, pb_]
+        return pa.table(
+            {
+                "type_a": pc.take(srcs, pa.array(pa_, pa.int64())),
+                "type_b": pc.take(srcs, pa.array(pb_, pa.int64())),
+                "n_a": pa.array(tot[pa_], pa.int64()),
+                "n_b": pa.array(tot[pb_], pa.int64()),
+                "n_both": pa.array(c, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_session, "a", final, k=1)

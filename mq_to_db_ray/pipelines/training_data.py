@@ -8869,3 +8869,194 @@ def f1_cross_source_dups(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(partials, "a", final, k=1)
+
+
+def cluster_size_hist(
+    sf_dir: str, threshold_permille: int = 200
+) -> Dataset:
+    """T105: near-dup cluster-size histogram — for every cluster size s:
+    clusters of exactly s documents and the docs they hold, INCLUDING
+    the size-1 row (documents in no near-dup pair), so the board always
+    partitions the whole corpus — T42's exact-dup size histogram asked
+    of T20's TRANSITIVE clusters (pair-level T83 says how near the dups
+    are; T105 says how big the connected groups grow — the number that
+    predicts what fraction of the corpus one `keep min(doc_id)` sweep
+    deletes, and the skew read for the propagation loop itself).  Dense
+    by construction (the size-1 row exists at every sf — the dup-board
+    convention).  Exact int64 (the T20 recursive-CTE oracle re-grouped
+    by cluster size).
+
+    Scale shape — pure composition: T20's session-cached labels do ALL
+    the work; ONE cluster-id hash exchange settles each cluster's exact
+    size (labels for a cluster may span label partitions), reduces to
+    (size, n_clusters) partials, and the k=1 merge injects the
+    singleton row from the corpus row count (parquet footer metadata —
+    no data scan)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    total_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    labels = dup_clusters(sf_dir, threshold_permille=threshold_permille)
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cid": pc.cast(b["cluster_id"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by("cid", use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["cid", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sz": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cid", use_threads=False).aggregate([("n", "sum")])
+        sz = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, freq = np.unique(sz, return_counts=True)
+        return pa.table(
+            {
+                "sz": pa.array(vals.astype(np.int64)),
+                "nc": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    # zero-count seed row keeps the exchange + k=1 merge firing when the
+    # corpus has no near-dup pairs at all (E74's empty-corpus convention)
+    seed = rd.from_arrow(
+        pa.table(
+            {"cid": pa.array([-1], pa.int64()), "n": pa.array([0], pa.int64())}
+        )
+    )
+    partials = labels.map_batches(key_partial, batch_format="pyarrow").union(
+        seed
+    )
+    per_size = hash_partition_merge(partials, "cid", fold, k=_doc_k(sf_dir))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            sz = np.array([], np.int64)
+            nc = np.array([], np.int64)
+        else:
+            g = t.group_by("sz", use_threads=False).aggregate([("nc", "sum")])
+            sz = g["sz"].combine_chunks().to_numpy(zero_copy_only=False)
+            nc = g["nc_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            live = sz > 0  # drop the seed row's size-0 cluster
+            sz, nc = sz[live], nc[live]
+        clustered = int((sz * nc).sum()) if len(sz) else 0
+        singles = total_docs - clustered
+        return pa.table(
+            {
+                "cluster_size": pa.array(
+                    np.concatenate([[1], sz]).astype(np.int64)
+                ),
+                "n_clusters": pa.array(
+                    np.concatenate([[singles], nc]).astype(np.int64)
+                ),
+                "n_docs": pa.array(
+                    np.concatenate([[singles], sz * nc]).astype(np.int64)
+                ),
+            }
+        )
+
+    return hash_partition_merge(per_size, "sz", merge, k=1)
+
+
+def tokenizer_agreement(sf_dir: str) -> Dataset:
+    """T106: tokenizer-agreement board — per source: docs, whitespace
+    tokens (T11), BPE-ish tokens (T11b), and Σ|ws − bpe| per doc — the
+    tokenizer-choice sensitivity read (T36's fertility says how many
+    tokens a tokenizer spends; T106 says how much the BUDGET MOVES if
+    the pipeline switches pre-tokenizers — a source with high per-doc
+    disagreement is punctuation/number-dense and will re-cost first).
+    Both counts are the oracle-checked T11/T11b kernels, so the delta is
+    exact by construction; exact int64 (len(str_split) vs
+    regexp_extract_all + abs oracle).
+
+    Scale shape — ZERO wide exchange (T67's profile): one split-length
+    kernel + one count_substring_regex per batch reduce each batch to
+    one partial row per source; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = (
+            pc.cast(
+                pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bpe = (
+            pc.cast(
+                pc.count_substring_regex(batch["text"], BPE_ISH_PATTERN),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        # np.add.at into int64 accumulators (T67's convention) — a
+        # weighted bincount runs in float64 and rounds past 2^53
+        acc = np.zeros((3, ns), np.int64)
+        np.add.at(acc[0], code, ws)
+        np.add.at(acc[1], code, bpe)
+        np.add.at(acc[2], code, np.abs(ws - bpe))
+        return pa.table(
+            {
+                "src": pa.array(np.arange(ns, dtype=np.int64)),
+                "nd": pa.array(np.bincount(code, minlength=ns).astype(np.int64)),
+                "ws": pa.array(acc[0]),
+                "bpe": pa.array(acc[1]),
+                "dev": pa.array(acc[2]),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": srcs,
+                    "n_docs": pa.array(np.zeros(ns, np.int64)),
+                    "n_ws_tokens": pa.array(np.zeros(ns, np.int64)),
+                    "n_bpe_tokens": pa.array(np.zeros(ns, np.int64)),
+                    "abs_dev": pa.array(np.zeros(ns, np.int64)),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("nd", "sum"), ("ws", "sum"), ("bpe", "sum"), ("dev", "sum")]
+        )
+        cc = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = {
+            "n_docs": "nd_sum",
+            "n_ws_tokens": "ws_sum",
+            "n_bpe_tokens": "bpe_sum",
+            "abs_dev": "dev_sum",
+        }
+        cols = {"source": srcs}
+        for name, col in out.items():
+            v = np.zeros(ns, np.int64)
+            v[cc] = g[col].combine_chunks().to_numpy(zero_copy_only=False)
+            cols[name] = pa.array(v)
+        return pa.table(cols)
+
+    return hash_partition_merge(partials, "src", merge, k=1)
