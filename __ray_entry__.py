@@ -1177,6 +1177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_size_hist": td.cluster_size_hist,
         "doc_tokenizer_agreement": td.tokenizer_agreement,
         "events_type_cooccurrence": _q_events_type_cooccur,
+        "f1_token_attribution": lambda sf_dir: td.f1_token_attribution(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "embedding_norm_topk": td.embedding_norm_topk,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2243,6 +2247,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(ok) AS BIGINT) AS n_quality_ok
             FROM q GROUP BY 1
+        """,
+        "f1_token_attribution": """
+            WITH e AS (SELECT source,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) // 3600 AS b,
+                              unnest(tokens) AS tok
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            d AS (SELECT DISTINCT tok, b, source FROM e),
+            f AS (SELECT tok, source,
+                         row_number() OVER (PARTITION BY tok
+                             ORDER BY b ASC, source ASC) rn
+                  FROM d),
+            intro AS (SELECT source, CAST(count(*) AS BIGINT) n
+                      FROM f WHERE rn = 1 GROUP BY 1),
+            seen AS (SELECT source,
+                            CAST(count(DISTINCT tok) AS BIGINT) n
+                     FROM e GROUP BY 1)
+            SELECT s.source,
+                   CAST(COALESCE(seen.n, 0) AS BIGINT) AS n_tokens_seen,
+                   CAST(COALESCE(intro.n, 0) AS BIGINT)
+                       AS n_tokens_introduced
+            FROM (SELECT DISTINCT source
+                  FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet') s
+            LEFT JOIN seen USING (source) LEFT JOIN intro USING (source)
+        """,
+        "embedding_norm_topk": """
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> CAST(floor(1000.0 * x * x) AS BIGINT)))
+                        AS BIGINT) AS norm_q
+            FROM embeddings
+            ORDER BY norm_q DESC, vec_id ASC LIMIT 10
         """,
         "events_type_cooccurrence": """
             WITH o AS (

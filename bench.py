@@ -378,6 +378,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_cluster_size_hist",
         "doc_tokenizer_agreement",
         "events_type_cooccurrence",
+        "f1_token_attribution",
+        "embedding_norm_topk",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -9060,3 +9060,223 @@ def tokenizer_agreement(sf_dir: str) -> Dataset:
         return pa.table(cols)
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def f1_token_attribution(sf_dir: str) -> Dataset:
+    """T107/F: token first-introduction attribution — per source: DISTINCT
+    token ids whose FIRST tape appearance (earliest 1h bucket; bucket
+    ties → source string ascending) is in that source, plus its total
+    distinct tokens — T69's first-publisher question asked of the token
+    id space (T97 says WHEN novelty arrives, T107 says WHO brings it —
+    the feed that keeps introducing new ids is the one that forces
+    T24's vocab recuts).  One dense row per source ALWAYS.  Exact int64
+    (row_number over (bucket, source) oracle).
+
+    Scale shape — T97's token-keyed exchange with the source rank
+    riding: per batch one flatten + np.unique compaction to distinct
+    (token, bucket, source-rank) triples; the token-hash partition holds
+    every appearance of a token, so its first (bucket, source) settles
+    with one lexsort and both counts reduce to per-source partials;
+    k=1 densifying merge."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bucket = seq // 3600
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        # pack (token, bucket, source): bucket < 2^24, source < 2^8
+        packed = (
+            flat * (1 << 32)
+            + np.repeat(bucket, nper) * (1 << 8)
+            + np.repeat(code, nper)
+        )
+        trip = np.unique(packed)
+        return pa.table(
+            {
+                "tok": pa.array(trip >> 32, pa.int64()),
+                "bs": pa.array(trip & 0xFFFFFFFF, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "intro": pa.array([], pa.int64()),
+                    "seen": pa.array([], pa.int64()),
+                }
+            )
+        tok = t["tok"].combine_chunks().to_numpy(zero_copy_only=False)
+        bs = t["bs"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(tok * (1 << 32) + bs)
+        tk, bs2 = pairs >> 32, pairs & 0xFFFFFFFF
+        src = bs2 & 0xFF
+        head = np.empty(len(pairs), bool)
+        head[0] = True
+        head[1:] = tk[1:] != tk[:-1]
+        # sorted (tok, bucket, source) -> run head IS the first
+        # appearance under the (bucket, source-rank) tie rule
+        intro = np.bincount(src[head], minlength=ns)
+        # distinct tokens per source: dedupe (tok, src)
+        ts_pairs = np.unique(tk * (1 << 8) + src)
+        seen = np.bincount(ts_pairs & 0xFF, minlength=ns)
+        return pa.table(
+            {
+                "src": pa.array(np.arange(ns, dtype=np.int64)),
+                "intro": pa.array(intro.astype(np.int64)),
+                "seen": pa.array(seen.astype(np.int64)),
+            }
+        )
+
+    partials = rd.read_parquet(
+        files, columns=["doc_id", "source", "tokens"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_token = hash_partition_merge(
+        partials, "tok", fold, k=_doc_k_files(files)
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": srcs,
+                    "n_tokens_seen": pa.array(np.zeros(ns, np.int64)),
+                    "n_tokens_introduced": pa.array(np.zeros(ns, np.int64)),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("intro", "sum"), ("seen", "sum")]
+        )
+        cc = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        intro = np.zeros(ns, np.int64)
+        seen = np.zeros(ns, np.int64)
+        intro[cc] = g["intro_sum"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        seen[cc] = g["seen_sum"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_tokens_seen": pa.array(seen),
+                "n_tokens_introduced": pa.array(intro),
+            }
+        )
+
+    return hash_partition_merge(per_token, "src", merge, k=1)
+
+
+def embedding_norm_topk(sf_dir: str, k: int = 10) -> Dataset:
+    """T108: norm-extreme vector drill-down — the k vectors with the
+    LARGEST integer-quantized squared L2 norm (Σ floor(1000·x²), ties →
+    vec_id ascending), with label attached — E59's max-event drill-down
+    on the embedding axis (T78's histogram says extreme norms exist;
+    T108 names the offending vec_ids so the ingest bug — an
+    un-normalized shard, a fp16 overflow — can be traced).  The
+    element-wise floor before the sum keeps both sides exact int64
+    (T78's convention).  Exact (ORDER BY LIMIT oracle).
+
+    Scale shape — E18's local-top-k discipline: per batch one float64
+    square + floor + row-sum, then ONLY the batch's top k rows survive;
+    O(batches × k) candidates reach the k=1 rank merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "norm_q": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        q = np.floor(1000.0 * m * m).astype(np.int64).sum(axis=1)
+        vid = (
+            pc.cast(batch["vec_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((vid, -q))[:k]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64)),
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "label": pc.cast(batch["label"], pa.int64())
+                .combine_chunks()
+                .take(pa.array(order, pa.int64())),
+                "norm_q": pa.array(q[order], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "norm_q": pa.array([], pa.int64()),
+                }
+            )
+        vid = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = t["norm_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -q))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "label": pa.array(lab[order], pa.int64()),
+                "norm_q": pa.array(q[order], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(partials, "g", merge, k=1)
