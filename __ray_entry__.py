@@ -571,6 +571,12 @@ def _q_events_minute_mode(sf_dir: str):
     return events_minute_mode(sf_dir)
 
 
+def _q_events_profile_conc(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_profile_concentration
+
+    return events_profile_concentration(sf_dir)
+
+
 def _q_events_type_cooccur(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_type_cooccurrence
 
@@ -1181,6 +1187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "embedding_norm_topk": td.embedding_norm_topk,
+        "embedding_label_overlap": td.embedding_label_overlap,
+        "events_profile_concentration": _q_events_profile_conc,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -2247,6 +2255,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(ok) AS BIGINT) AS n_quality_ok
             FROM q GROUP BY 1
+        """,
+        "embedding_label_overlap": """
+            WITH c AS (SELECT CAST(floor(2.0 * embedding[1]) AS BIGINT) cx,
+                              CAST(floor(2.0 * embedding[2]) AS BIGINT) cy,
+                              CAST(label AS BIGINT) lab
+                       FROM embeddings),
+            d AS (SELECT DISTINCT cx, cy, lab FROM c),
+            tot AS (SELECT lab, CAST(count(*) AS BIGINT) n FROM d GROUP BY 1),
+            pr AS (SELECT a.lab la, b.lab lb, CAST(count(*) AS BIGINT) c
+                   FROM d a JOIN d b
+                     ON a.cx = b.cx AND a.cy = b.cy AND a.lab < b.lab
+                   GROUP BY 1, 2)
+            SELECT pr.la AS label_a, pr.lb AS label_b,
+                   ta.n AS cells_a, tb.n AS cells_b, pr.c AS cells_both
+            FROM pr JOIN tot ta ON ta.lab = pr.la
+                    JOIN tot tb ON tb.lab = pr.lb
+        """,
+        "events_profile_concentration": """
+            WITH c AS (SELECT event_type AS source,
+                              dayofweek(ts) * 24 + hour(ts) AS cell,
+                              CAST(count(*) AS BIGINT) n
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(n * n) AS BIGINT) AS sum_sq
+            FROM c GROUP BY 1
         """,
         "f1_token_attribution": """
             WITH e AS (SELECT source,

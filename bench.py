@@ -380,6 +380,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_type_cooccurrence",
         "f1_token_attribution",
         "embedding_norm_topk",
+        "embedding_label_overlap",
+        "events_profile_concentration",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -8334,3 +8334,125 @@ def events_type_cooccurrence(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         )
 
     return hash_partition_merge(per_session, "a", final, k=1)
+
+
+def events_profile_concentration(sf_dir: str) -> Dataset:
+    """E104: weekly-profile concentration stats — per source: events,
+    ACTIVE (day-of-week × hour) cells of the 168-cell weekly grid, and
+    Σ count² over those cells — the exact sufficient statistics of the
+    profile's Herfindahl concentration (sum_sq/n² against 1/n_cells):
+    E52 lists the whole profile; E104 is the one-row-per-source answer
+    to "is this source's traffic clock-shaped or flat" that capacity
+    planning actually thresholds on.  dow matches DuckDB's dayofweek
+    (Sunday = 0; epoch day 0 was a Thursday → (days + 4) mod 7).  One
+    dense row per source ALWAYS.  Exact int64 (two-level GROUP BY +
+    SUM(n²) oracle).
+
+    Scale shape — the per-cell totals MUST settle before squaring (a
+    partial² is not a total²): per batch one packed np.unique to
+    (source, cell, n) partials; ONE (source, cell)-hash exchange decides
+    each cell's exact total and re-reduces IN PLACE to per-source
+    (events, cells, sum_sq) partials over a ≤ sources × 168 domain;
+    k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        days = ts_us // DAY_US
+        dow = (days + 4) % 7
+        hour = (ts_us % DAY_US) // HOUR_US
+        cell = dow * 24 + hour
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * 168 + cell
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sc": pa.array(vals, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "ev": pa.array([], pa.int64()),
+                    "cells": pa.array([], pa.int64()),
+                    "ssq": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sc", use_threads=False).aggregate([("n", "sum")])
+        sc = g["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = sc // 168
+        ev = np.zeros(ns, np.int64)
+        cells = np.zeros(ns, np.int64)
+        ssq = np.zeros(ns, np.int64)
+        np.add.at(ev, src, nn)
+        np.add.at(cells, src, 1)
+        np.add.at(ssq, src, nn * nn)
+        live = np.flatnonzero(cells)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "ev": pa.array(ev[live]),
+                "cells": pa.array(cells[live]),
+                "ssq": pa.array(ssq[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cell = hash_partition_merge(partials, "sc", fold, k=_adaptive_k(sf_dir))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": srcs,
+                    "n_events": pa.array(np.zeros(ns, np.int64)),
+                    "n_cells": pa.array(np.zeros(ns, np.int64)),
+                    "sum_sq": pa.array(np.zeros(ns, np.int64)),
+                }
+            )
+        g = t.group_by("src", use_threads=False).aggregate(
+            [("ev", "sum"), ("cells", "sum"), ("ssq", "sum")]
+        )
+        cc = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev = np.zeros(ns, np.int64)
+        cells = np.zeros(ns, np.int64)
+        ssq = np.zeros(ns, np.int64)
+        ev[cc] = g["ev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        cells[cc] = g["cells_sum"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ssq[cc] = g["ssq_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(ev),
+                "n_cells": pa.array(cells),
+                "sum_sq": pa.array(ssq),
+            }
+        )
+
+    return hash_partition_merge(per_cell, "src", merge, k=1)

@@ -9280,3 +9280,149 @@ def embedding_norm_topk(sf_dir: str, k: int = 10) -> Dataset:
         )
 
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def embedding_label_overlap(sf_dir: str, scale: int = 2) -> Dataset:
+    """T109: label-pair grid overlap — per label pair (a < b): cells of
+    the floor(2·x) grid (first two dims) where a appears, where b
+    appears, and where BOTH do — the separability read T101's per-cell
+    purity aggregates away (two labels can each dominate their own cells
+    AND still share most of the grid; high cells_both/min(cells) means
+    the pair is inseparable in these dims and any cell-routed ANN will
+    confuse them).  Zero-overlap pairs absent (SQL self-join shape).
+    Exact int64 (DISTINCT cell-label + self-join oracle).
+
+    Scale shape — T60's pair machinery on the CELL axis: per batch one
+    quantize + bit-pack to distinct (cell, label) pairs; the cell-hash
+    partition holds every label of a cell so pair fan-out is bounded by
+    cells × C(labels, 2) with labels tiny-cardinality; per-label cell
+    totals ride the same partials; k=1 fold."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    OFF = 1 << 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "lab": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)[:, :2]
+        )
+        q = np.floor(scale * m).astype(np.int64) + OFF
+        cell = q[:, 0] * (2 * OFF) + q[:, 1]
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pairs = np.unique(cell * (1 << 24) + lab)
+        return pa.table(
+            {
+                "cell": pa.array(pairs >> 24, pa.int64()),
+                "lab": pa.array(pairs & 0xFFFFFF, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(cell * (1 << 24) + lab)
+        cl, lb = pairs >> 24, pairs & 0xFFFFFF
+        nl = int(lb.max()) + 1 if len(lb) else 1
+        tot_lab, tot_n = np.unique(lb, return_counts=True)
+        out_a = [tot_lab.astype(np.int64)]
+        out_b = [np.full(len(tot_lab), -1, np.int64)]
+        out_n = [tot_n.astype(np.int64)]
+        news = np.empty(len(cl), dtype=bool)
+        if len(cl):
+            news[0] = True
+            news[1:] = cl[1:] != cl[:-1]
+            starts = np.flatnonzero(news)
+            sizes = np.diff(np.append(starts, len(cl)))
+            pair_counts = np.zeros((nl, nl), dtype=np.int64)
+            for m in np.unique(sizes):
+                if m < 2:
+                    continue
+                mat = lb[
+                    (starts[sizes == m][:, None] + np.arange(m)[None, :])
+                ]
+                for i in range(int(m) - 1):
+                    for j in range(i + 1, int(m)):
+                        np.add.at(pair_counts, (mat[:, i], mat[:, j]), 1)
+            pa_, pb_ = np.nonzero(pair_counts)
+            out_a.append(pa_.astype(np.int64))
+            out_b.append(pb_.astype(np.int64))
+            out_n.append(pair_counts[pa_, pb_])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cell = hash_partition_merge(
+        partials,
+        "cell",
+        fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label_a": pa.array([], pa.int64()),
+                    "label_b": pa.array([], pa.int64()),
+                    "cells_a": pa.array([], pa.int64()),
+                    "cells_b": pa.array([], pa.int64()),
+                    "cells_both": pa.array([], pa.int64()),
+                }
+            )
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = int(a.max()) + 1 if len(a) else 1
+        tot = np.zeros(nl, dtype=np.int64)
+        is_tot = b < 0
+        np.add.at(tot, a[is_tot], n[is_tot])
+        pair_counts = np.zeros((nl, nl), dtype=np.int64)
+        np.add.at(pair_counts, (a[~is_tot], b[~is_tot]), n[~is_tot])
+        pa_, pb_ = np.nonzero(pair_counts)
+        c = pair_counts[pa_, pb_]
+        return pa.table(
+            {
+                "label_a": pa.array(pa_.astype(np.int64)),
+                "label_b": pa.array(pb_.astype(np.int64)),
+                "cells_a": pa.array(tot[pa_], pa.int64()),
+                "cells_b": pa.array(tot[pb_], pa.int64()),
+                "cells_both": pa.array(c, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_cell, "a", final, k=1)
