@@ -577,6 +577,18 @@ def _q_events_profile_conc(sf_dir: str):
     return events_profile_concentration(sf_dir)
 
 
+def _q_events_adoption_latency(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_adoption_latency
+
+    return events_adoption_latency(sf_dir)
+
+
+def _q_events_session_maturity(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_maturity
+
+    return events_session_maturity(sf_dir)
+
+
 def _q_events_type_cooccur(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_type_cooccurrence
 
@@ -1189,6 +1201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_topk": td.embedding_norm_topk,
         "embedding_label_overlap": td.embedding_label_overlap,
         "events_profile_concentration": _q_events_profile_conc,
+        "embedding_label_centroid": td.embedding_label_centroid,
+        "events_adoption_latency": _q_events_adoption_latency,
+        "rel_sales_opportunity": rel.sales_opportunity,
+        "embedding_argmax_router": td.embedding_argmax_router,
+        "events_session_maturity": _q_events_session_maturity,
+        "rel_pricing_margin": rel.pricing_margin,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5067,5 +5085,134 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(coalesce(n.nrm, 0) * 1000) AS BIGINT)
                        AS feat_norm_permille
             FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+        """,
+        "embedding_label_centroid": """
+            WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+                              generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding) AS x
+                       FROM embeddings)
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CAST(floor(1000.0 * x) AS BIGINT)) AS BIGINT)
+                       AS sum_milli
+            FROM u GROUP BY 1, 2
+        """,
+        "events_adoption_latency": """
+            WITH f AS (SELECT user_id, event_type, min(ts) AS ft
+                       FROM events GROUP BY 1, 2),
+            o AS (SELECT user_id, min(ft) AS t0 FROM f GROUP BY 1),
+            d AS (SELECT f.event_type AS source,
+                         CAST(date_diff('minute', o.t0, f.ft) AS BIGINT)
+                             AS dm
+                  FROM f JOIN o USING (user_id))
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN dm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_entry_users,
+                   CAST(quantile_disc(dm, 0.5) AS BIGINT) AS p50_minutes,
+                   CAST(quantile_disc(dm, 0.9) AS BIGINT) AS p90_minutes
+            FROM d GROUP BY 1
+        """,
+        "rel_sales_opportunity": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(floor(100.0 * c_acctbal) AS BIGINT)
+                                  AS cents
+                       FROM customer),
+            g AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c WHERE cents > 0),
+            ok AS (SELECT DISTINCT o_custkey FROM orders),
+            a AS (SELECT c.c_nationkey, c.cents,
+                         CASE WHEN c.cents > 0
+                              AND c.cents * g.n > g.tot
+                              THEN 1 ELSE 0 END AS ab,
+                         CASE WHEN ok.o_custkey IS NULL
+                              THEN 1 ELSE 0 END AS noord
+                  FROM c CROSS JOIN g
+                  LEFT JOIN ok ON ok.o_custkey = c.c_custkey),
+            op AS (SELECT c_nationkey,
+                          CAST(sum(ab) AS BIGINT) AS n_above_avg,
+                          CAST(sum(ab * noord) AS BIGINT) AS n_opportunity,
+                          CAST(sum(ab * noord * cents) AS BIGINT)
+                              AS opp_cents
+                   FROM a GROUP BY 1)
+            SELECT n.n_name,
+                   CAST(COALESCE(op.n_above_avg, 0) AS BIGINT)
+                       AS n_above_avg,
+                   CAST(COALESCE(op.n_opportunity, 0) AS BIGINT)
+                       AS n_opportunity,
+                   CAST(COALESCE(op.opp_cents, 0) AS BIGINT) AS opp_cents
+            FROM nation n
+            LEFT JOIN op ON op.c_nationkey = n.n_nationkey
+        """,
+        "embedding_argmax_router": """
+            WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                              CAST(generate_subscripts(embedding, 1)
+                                   AS BIGINT) AS dim,
+                              unnest(embedding) AS x
+                       FROM embeddings),
+            mx AS (SELECT vec_id, max(x) AS mx FROM u GROUP BY 1),
+            am AS (SELECT u.vec_id, u.label, min(u.dim) AS dim,
+                          CAST(floor(1000.0 * mx.mx) AS BIGINT) AS milli
+                   FROM u JOIN mx
+                     ON u.vec_id = mx.vec_id AND u.x = mx.mx
+                   GROUP BY 1, 2, 4)
+            SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(milli) AS BIGINT) AS peak_milli
+            FROM am GROUP BY 1, 2
+        """,
+        "events_session_maturity": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            ses AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+                           min(ts) AS st, max(ts) AS en
+                    FROM s GROUP BY 1, 2),
+            r AS (SELECT LEAST(CAST(sid AS BIGINT), 8) AS session_ordinal,
+                         n_ev,
+                         CAST(date_diff('minute', st, en) AS BIGINT) AS mins
+                  FROM ses)
+            SELECT session_ordinal, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_ev) AS BIGINT) AS sum_events,
+                   CAST(sum(mins) AS BIGINT) AS sum_minutes
+            FROM r GROUP BY 1
+        """,
+        "rel_pricing_margin": """
+            WITH l AS (SELECT l_partkey,
+                              CAST(l_quantity AS BIGINT) AS qty,
+                              CAST(floor(100.0 * l_extendedprice) AS BIGINT)
+                                  AS ext_c,
+                              CASE WHEN CAST(floor(1000.0 * l_discount)
+                                            AS BIGINT) > 0
+                                   THEN 1 ELSE 0 END AS disc
+                       FROM lineitem),
+            p AS (SELECT p_partkey, p_brand,
+                         CAST(floor(100.0 * p_retailprice) AS BIGINT)
+                             AS list_c
+                  FROM part),
+            a AS (SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+                         CAST(sum(l.disc) AS BIGINT) AS n_disc_lines,
+                         CAST(sum(p.list_c * l.qty) AS BIGINT) AS list_cents,
+                         CAST(sum(l.ext_c) AS BIGINT) AS realized_cents
+                  FROM l JOIN p ON l.l_partkey = p.p_partkey
+                  GROUP BY 1)
+            SELECT b.p_brand,
+                   CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(a.n_disc_lines, 0) AS BIGINT)
+                       AS n_disc_lines,
+                   CAST(COALESCE(a.list_cents, 0) AS BIGINT) AS list_cents,
+                   CAST(COALESCE(a.realized_cents, 0) AS BIGINT)
+                       AS realized_cents
+            FROM (SELECT DISTINCT p_brand FROM part) b
+            LEFT JOIN a ON a.p_brand = b.p_brand
         """,
     }

@@ -382,6 +382,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "embedding_norm_topk",
         "embedding_label_overlap",
         "events_profile_concentration",
+        "embedding_label_centroid",
+        "events_adoption_latency",
+        "rel_sales_opportunity",
+        "embedding_argmax_router",
+        "events_session_maturity",
+        "rel_pricing_margin",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -8456,3 +8456,236 @@ def events_profile_concentration(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_cell, "src", merge, k=1)
+
+
+def events_adoption_latency(
+    sf_dir: str, qs: tuple[int, ...] = (500, 900)
+) -> Dataset:
+    """E105: feature-adoption latency board — per event type: users who
+    ever reached it, users who reach it within their first MINUTE of
+    activity (latency zero — the entry lane at the grid's resolution),
+    and discrete p50/p90 of the latency in MINUTES from a
+    user's first event overall to their first event of that type — the
+    onboarding-funnel read E73 (entry/exit) and E88 (transition latency)
+    each answer a slice of: E73 says which door users enter through, E88
+    times adjacent hops, E105 times the full first-touch→feature path a
+    PM actually tracks ("how long until a new user reaches checkout").
+    Minutes count timestamp-truncation boundaries, matching DuckDB
+    date_diff('minute', ...).  One dense row per type ALWAYS (every
+    listed type has ≥1 event, hence ≥1 adopter — never vacuous).  Exact
+    int64 under the quantile_disc rank rule (two-level min + date_diff +
+    quantile_disc oracle).
+
+    Scale shape — ONE user-hash exchange, then the bounded-domain
+    histogram: min is the combiner, so each batch pre-reduces to one
+    (user, type, min_ts) row per pair seen; the user partition holds all
+    of a user's pairs, settles first-overall = min over its pairs, and
+    bincounts (type, delta_minutes) with freq = users — partial rows
+    bounded by types × tape-span-in-minutes however many users exist;
+    every quantile reads off one cumsum per type in the k=1 densifying
+    merge (no second wide exchange at any scale).
+
+    Reference parity: per-consumer first-delivery latency accounting in
+    the metrics plane (internal/metrics/metrics.go:95-183), lifted to an
+    exact corpus-wide distribution."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "c": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "m": b["ts"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["u", "c"], use_threads=False).aggregate([("m", "min")])
+        return g.rename_columns(["u", "c", "m"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["u", "c"], use_threads=False).aggregate([("m", "min")])
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = g["m_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, c, m = u[order], c[order], m[order]
+        news = np.empty(len(u), dtype=bool)
+        news[0] = True
+        news[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(news) - 1
+        first = np.zeros(seg[-1] + 1, np.int64) + (1 << 62)
+        np.minimum.at(first, seg, m)
+        delta = (m // MIN_US) - (first[seg] // MIN_US)
+        packed = c * (1 << 40) + delta  # span < 2^40 minutes ≈ 2M years
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(vals >> 40, pa.int64()),
+                "d": pa.array(vals & ((1 << 40) - 1), pa.int64()),
+                "f": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    names = tuple(f"p{q // 10}_minutes" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_users = np.zeros(ns, np.int64)
+        n_entry = np.zeros(ns, np.int64)
+        quant = {c: np.zeros(ns, np.int64) for c in names}
+        if t.num_rows:
+            g = t.group_by(["c", "d"], use_threads=False).aggregate(
+                [("f", "sum")]
+            )
+            cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+            ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((dd, cc))
+            cc, dd, ff = cc[order], dd[order], ff[order]
+            news = np.empty(len(cc), dtype=bool)
+            news[0] = True
+            news[1:] = cc[1:] != cc[:-1]
+            starts = np.flatnonzero(news)
+            ends = np.append(starts[1:], len(cc))
+            for a, b in zip(starts, ends):
+                s = int(cc[a])
+                vals, freq = dd[a:b], ff[a:b]
+                nt = int(freq.sum())
+                n_users[s] = nt
+                if vals[0] == 0:
+                    n_entry[s] = int(freq[0])
+                cum = np.cumsum(freq)
+                for q, cn in zip(qs, names):
+                    thr = (nt * q + 999) // 1000
+                    quant[cn][s] = int(vals[np.searchsorted(cum, thr)])
+        return pa.table(
+            {
+                "source": srcs,
+                "n_users": pa.array(n_users),
+                "n_entry_users": pa.array(n_entry),
+                **{cn: pa.array(quant[cn]) for cn in names},
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_user = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(per_user, "c", merge, k=1)
+
+
+def events_session_maturity(sf_dir: str, cap: int = 8) -> Dataset:
+    """E106: session-ordinal maturity board — per session ORDINAL (a
+    user's 1st, 2nd, ... session in start order, capped at ``cap`` so
+    the last bucket aggregates the 8th-and-later tail): how many
+    sessions sit at that ordinal, their total events, and their total
+    duration in MINUTES (truncation-boundary count, matching DuckDB
+    date_diff) — the maturity read none of the session boards answer
+    (E50 profiles duration globally, E76 counts sessions per user, E90
+    tracks churn by calendar day; E106 asks whether visits DEEPEN or
+    SHRINK as a user returns — n-th-visit engagement, the curve
+    retention teams plot before investing in re-engagement).  Ordinal o
+    rows exist iff some user reached o sessions (SQL GROUP BY shape;
+    ordinal 1 always exists — never vacuous).  Exact int64 (the E15
+    sessions CTE + LEAST(sid, cap) + SUM oracle).
+
+    Scale shape — pure composition over E15's hot-key-safe sessionizer:
+    sessionize already assigns each session its per-user start-order
+    ordinal (session_id) during its boundary-merge exchange, so E106
+    adds ZERO wide work — each batch of session summaries reduces with
+    one np.unique over capped ordinals to ≤ cap partial rows, and the
+    k=1 merge folds O(batches × cap) rows.  The 6h gap rule and
+    (ts, event_id) tie-break are E15's."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sessions = events_sessions(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ev": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                }
+            )
+        sid = (
+            pc.cast(b["session_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ordi = np.minimum(sid + 1, cap)
+        nev = (
+            pc.cast(b["n_events"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        st = b["start_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        en = b["end_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        mins = en // MIN_US - st // MIN_US
+        keys, inv, cnt = np.unique(
+            ordi, return_inverse=True, return_counts=True
+        )
+        ev = np.zeros(len(keys), np.int64)
+        mn = np.zeros(len(keys), np.int64)
+        np.add.at(ev, inv, nev)
+        np.add.at(mn, inv, mins)
+        return pa.table(
+            {
+                "o": pa.array(keys),
+                "n": pa.array(cnt.astype(np.int64)),
+                "ev": pa.array(ev),
+                "mn": pa.array(mn),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "session_ordinal": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "sum_events": pa.array([], pa.int64()),
+                    "sum_minutes": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("o", use_threads=False).aggregate(
+            [("n", "sum"), ("ev", "sum"), ("mn", "sum")]
+        )
+        oo = g["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = pa.array(np.argsort(oo, kind="stable"))
+        return pa.table(
+            {
+                "session_ordinal": pa.array(oo[np.argsort(oo)], pa.int64()),
+                "n_sessions": pc.take(pc.cast(g["n_sum"], pa.int64()), order),
+                "sum_events": pc.take(pc.cast(g["ev_sum"], pa.int64()), order),
+                "sum_minutes": pc.take(pc.cast(g["mn_sum"], pa.int64()), order),
+            }
+        )
+
+    partials = sessions.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "o", merge, k=1)

@@ -5990,3 +5990,397 @@ def repeat_purchase(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_brand, "br", merge, k=1)
+
+
+def sales_opportunity(sf_dir: str) -> Dataset:
+    """R38: global sales-opportunity board (the TPC-H Q22 shape — Q22 is
+    the last canonical query shape the suite lacked that this schema can
+    express; Q2/Q11/Q16/Q20 need partsupp, Q4/Q21 need commit/receipt
+    dates) — per nation: positive-balance customers whose balance sits
+    ABOVE the global positive-balance mean, those among them who NEVER
+    ordered (the opportunity set), and the opportunity set's balance
+    total in cents.  Above-mean is decided by exact int64
+    cross-multiplication (cents · n_pos > Σ_pos cents) so NO division
+    happens on either side; bound documented: 10^6-cent balances ×
+    10^10 customers ≈ 10^16 ≪ 2^63.  One dense row per nation ALWAYS.
+    Exact int64 (scalar-subquery + NOT EXISTS + nation LEFT JOIN
+    oracle).
+
+    Scale shape — a broadcast scalar plus R18's co-partitioned anti
+    join: pass 1 is a two-int global aggregate (Σcents, n over positive
+    balances) folded from one partial row per batch and broadcast as a
+    plain Python constant (never re-shipped per batch — it rides the
+    closure); pass 2 re-uses the custkey exchange — orders pre-reduce
+    per batch to DISTINCT-custkey partials (EXISTS needs presence, not
+    counts, so the exchange carries one row per (batch, custkey)),
+    customer dim rows carry (nation, cents), and each custkey's
+    partition decides above-mean AND never-ordered locally — absence is
+    decidable only under co-location — reducing straight to per-nation
+    triples; the k=1 merge densifies over the 25-row nation broadcast.
+
+    Reference parity: the validate→store decision lane
+    (internal/storage/storage.go:21 Store interface) as a set-membership
+    predicate over a co-partitioned key exchange."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nk_pos = {int(k): i for i, k in enumerate(nkeys)}
+
+    # pass 1: global positive-balance mean as exact (Σcents, n) ints
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            100.0
+            * b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "tot": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    tot_pos = sum(int(r["tot"]) for r in parts)
+    n_pos = sum(int(r["n"]) for r in parts)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def cust_dim(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            100.0
+            * b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "nat": pc.cast(b["c_nationkey"], pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        k = np.unique(
+            pc.cast(b["o_custkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "nat": pa.array(np.full(len(k), -1, np.int64)),  # fact role
+                "cents": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], pa.int64()),
+                "above": pa.array([], pa.int64()),
+                "opp": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        if d.num_rows == 0:
+            return empty
+        fk = np.unique(
+            t.filter(pa.array(~is_dim))["k"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dn = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        dc = d["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(fk):
+            pos = np.clip(np.searchsorted(fk, dk), 0, len(fk) - 1)
+            has = fk[pos] == dk
+        else:
+            has = np.zeros(len(dk), dtype=bool)
+        above = ((dc > 0) & (dc * n_pos > tot_pos)).astype(np.int64)
+        opp = above * (~has).astype(np.int64)
+        cells = pa.table(
+            {
+                "nat": pa.array(dn, pa.int64()),
+                "above": pa.array(above),
+                "opp": pa.array(opp),
+                "occ": pa.array(opp * dc),
+            }
+        )
+        g = cells.group_by("nat", use_threads=False).aggregate(
+            [("above", "sum"), ("opp", "sum"), ("occ", "sum")]
+        )
+        return g.rename_columns(["nat", "above", "opp", "occ"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        above = np.zeros(len(nkeys), np.int64)
+        opp = np.zeros(len(nkeys), np.int64)
+        occ = np.zeros(len(nkeys), np.int64)
+        if t.num_rows:
+            g = t.group_by("nat", use_threads=False).aggregate(
+                [("above", "sum"), ("opp", "sum"), ("occ", "sum")]
+            )
+            kk = g["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.array([nk_pos[int(x)] for x in kk], np.int64)
+            above[idx] = g["above_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            opp[idx] = g["opp_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            occ[idx] = g["occ_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "n_name": names,
+                "n_above_avg": pa.array(above),
+                "n_opportunity": pa.array(opp),
+                "opp_cents": pa.array(occ),
+            }
+        )
+
+    both = cust.map_batches(
+        cust_dim, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    per_cust = hash_partition_merge(
+        both, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(per_cust, "nat", merge, k=1)
+
+
+def pricing_margin(sf_dir: str) -> Dataset:
+    """R39: list-vs-realized pricing board — per p_brand: shipped lines,
+    lines carrying a discount (floor(1000·l_discount) > 0), the LIST
+    value of everything shipped (Σ list_cents × qty) and the REALIZED
+    value (Σ floor(100·l_extendedprice)) — the pricing-power read the
+    revenue boards skip (R5 counts volume, R19 bands by value, R36
+    crosses brand with segment; R39 asks what each brand's shipped units
+    were WORTH at list vs what the lines actually booked — the
+    realization-rate table pricing teams trend).  One dense row per
+    brand ALWAYS (brands come from the part dim, zero-line brands show
+    zeros).  Exact int64: quantities are integral by schema, cents floor
+    before any arithmetic, and list value multiplies cents × qty per
+    part so Σ(list·qty) = list·Σqty within a part — no division anywhere
+    (bound: 10⁷ list cents × 50 qty × 10¹² lines ≈ 10²⁰ would overflow,
+    but per-BRAND totals at 100 TB sit near 10¹⁶ ≪ 2⁶³, same budget as
+    R36; join + CASE + SUM oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (the R5 role-union
+    shape; parts grow with the corpus so the dim is never broadcast):
+    line batches pre-reduce to (partkey, n, n_disc, Σqty, Σext) partials
+    — the discount flag is batch-local so everything is a plain sum —
+    and part dim rows ride the same exchange carrying (brand code, list
+    cents); the partition attaches with one searchsorted, multiplies
+    list·Σqty per part, and re-reduces to per-brand partials over a
+    ≤ brands domain; only the brand value list broadcasts; k=1
+    densifying merge."""
+    brands: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"]).unique(
+            "p_brand"
+        )
+    )
+    b_arr = pa.array(brands, pa.string())
+    nb = len(brands)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(b["p_brand"], value_set=b_arr), pa.int64())
+        lc = np.floor(
+            100.0
+            * b["p_retailprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "br": code,
+                "lc": pa.array(lc),
+                "n": pa.array(z),
+                "nd": pa.array(z),
+                "qty": pa.array(z),
+                "ext": pa.array(z),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = np.floor(
+            100.0
+            * b["l_extendedprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        disc = (
+            np.floor(
+                1000.0
+                * b["l_discount"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            > 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "nd": pa.array(disc),
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+                "ext": pa.array(ext),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("nd", "count"), ("nd", "sum"), ("qty", "sum"), ("ext", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "nd", "qty", "ext"])
+        m1 = pa.array(np.full(g.num_rows, -1, np.int64))
+        z = pa.array(np.zeros(g.num_rows, np.int64))
+        return pa.table(
+            {
+                "k": g["k"],
+                "br": m1,
+                "lc": z,
+                "n": pc.cast(g["n"], pa.int64()),
+                "nd": pc.cast(g["nd"], pa.int64()),
+                "qty": pc.cast(g["qty"], pa.int64()),
+                "ext": pc.cast(g["ext"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "br": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "n_disc_lines": pa.array([], pa.int64()),
+                "list_cents": pa.array([], pa.int64()),
+                "realized_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("nd", "sum"), ("qty", "sum"), ("ext", "sum")]
+        )
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dbr = d["br"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        dlc = d["lc"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        qty = fg["qty_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        cells = pa.table(
+            {
+                "br": pa.array(dbr[pos][hit], pa.int64()),
+                "n_lines": pc.cast(fg["n_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+                "n_disc_lines": pc.cast(fg["nd_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+                "list_cents": pa.array(
+                    (dlc[pos] * qty)[hit].astype(np.int64)
+                ),
+                "realized_cents": pc.cast(fg["ext_sum"], pa.int64()).filter(
+                    pa.array(hit)
+                ),
+            }
+        )
+        g = cells.group_by("br", use_threads=False).aggregate(
+            [
+                ("n_lines", "sum"),
+                ("n_disc_lines", "sum"),
+                ("list_cents", "sum"),
+                ("realized_cents", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["br", "n_lines", "n_disc_lines", "list_cents", "realized_cents"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_lines = np.zeros(nb, np.int64)
+        n_disc = np.zeros(nb, np.int64)
+        listc = np.zeros(nb, np.int64)
+        realc = np.zeros(nb, np.int64)
+        if t.num_rows:
+            g = t.group_by("br", use_threads=False).aggregate(
+                [
+                    ("n_lines", "sum"),
+                    ("n_disc_lines", "sum"),
+                    ("list_cents", "sum"),
+                    ("realized_cents", "sum"),
+                ]
+            )
+            br = g["br"].combine_chunks().to_numpy(zero_copy_only=False)
+            n_lines[br] = g["n_lines_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            n_disc[br] = g["n_disc_lines_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            listc[br] = g["list_cents_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            realc[br] = g["realized_cents_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "p_brand": b_arr,
+                "n_lines": pa.array(n_lines),
+                "n_disc_lines": pa.array(n_disc),
+                "list_cents": pa.array(listc),
+                "realized_cents": pa.array(realc),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "br", merge, k=1)

@@ -9426,3 +9426,212 @@ def embedding_label_overlap(sf_dir: str, scale: int = 2) -> Dataset:
         )
 
     return hash_partition_merge(per_cell, "a", final, k=1)
+
+
+def embedding_label_centroid(sf_dir: str) -> Dataset:
+    """T110: per-label centroid sufficient statistics — for every
+    (label, dimension) pair (dims 1-based, matching generate_subscripts):
+    the label's vector count and Σ floor(1000·x) over that component —
+    the exact-int64 sufficient statistics of the per-label centroid
+    (divide off-line), the table every centroid-routed ANN / k-means
+    seeding / class-drift monitor starts from (T75 profiles dimensions
+    GLOBALLY; T101 scores cells; T110 is the per-CLASS mean vector that
+    tells you which labels sit on top of each other before T109's
+    overlap even runs).  Element-wise floor BEFORE the sum (T78's
+    convention) keeps both sides in exact int64: floor is order-free,
+    unlike a float Σ whose value depends on reduction order.  One dense
+    row per (label, dim) ALWAYS over the observed label domain.  Exact
+    int64 (unnest + generate_subscripts + SUM(floor) oracle).
+
+    Scale shape — ZERO wide exchange (T67's profile): vectors reshape
+    (n, d) per batch with one flatten (the list child is contiguous),
+    floor(1000·x) lands in int64, and ONE np.add.at scatter per batch
+    folds rows into a (labels, d) accumulator — labels × d partial rows
+    per batch regardless of corpus size; the k=1 merge sums
+    O(batches × labels × d) rows with one group_by and densifies.
+
+    Reference parity: per-queue running aggregates in the metrics plane
+    (internal/metrics/metrics.go:95-183), lifted to a per-class vector
+    mean."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "lab": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        milli = np.floor(1000.0 * m).astype(np.int64)
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        nl = int(lab.max()) + 1
+        acc = np.zeros((nl, d), np.int64)
+        np.add.at(acc, lab, milli)
+        cnt = np.bincount(lab, minlength=nl).astype(np.int64)
+        live = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "lab": pa.array(np.repeat(live, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), len(live))),
+                "s": pa.array(acc[live].ravel()),
+                "nv": pa.array(np.repeat(cnt[live], d)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "sum_milli": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["lab", "dim"], use_threads=False).aggregate(
+            [("s", "sum"), ("nv", "sum")]
+        )
+        lab = g["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        dim = g["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dim, lab))
+        return pa.table(
+            {
+                "label": pa.array(lab[order], pa.int64()),
+                "dim": pa.array(dim[order], pa.int64()),
+                "n_vecs": pc.take(
+                    pc.cast(g["nv_sum"], pa.int64()), pa.array(order)
+                ),
+                "sum_milli": pc.take(
+                    pc.cast(g["s_sum"], pa.int64()), pa.array(order)
+                ),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "lab", merge, k=1)
+
+
+def embedding_argmax_router(sf_dir: str) -> Dataset:
+    """T111: argmax-dimension routing board — for every (label, dim)
+    pair where dim is some vector's ARGMAX component (first max on
+    ties, matching min(dim) in SQL; dims 1-based): how many of the
+    label's vectors peak there, and Σ floor(1000·peak) over them — the
+    dominant-feature read T110's centroid averages away (a label whose
+    mass routes through ONE dimension is separable by a single-axis
+    router; a label spread across many peak dims is not — the table a
+    max-heap router / feature-gating layer is sized from).  Zero-count
+    cells absent (SQL GROUP BY shape — the argmax map is a partition,
+    so every label still contributes ≥1 row; never vacuous).  Exact
+    int64: the peak VALUE floors element-wise before summing (T78's
+    convention), and the argmax itself is an exact float comparison —
+    both sides see the identical float32 values (unnest +
+    generate_subscripts + min(dim)-at-max + SUM(floor) oracle).
+
+    Scale shape — ZERO wide exchange (T110's profile): vectors reshape
+    (n, d) per batch with one contiguous flatten, one np.argmax row
+    reduction picks each vector's peak, and one np.unique over packed
+    (label, dim) keys + np.add.at folds the batch to ≤ labels × d
+    partial rows regardless of corpus size; the k=1 merge sums
+    O(batches × labels × d) rows with one group_by.
+
+    Reference parity: per-queue max-latency gauge selection in the
+    metrics plane (internal/metrics/metrics.go:95-183), lifted to a
+    per-class peak-component distribution."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "lab": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        m = e.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        am = np.argmax(m, axis=1)  # first max == SQL min(dim) tie rule
+        peak = m[np.arange(n), am].astype(np.float64)
+        milli = np.floor(1000.0 * peak).astype(np.int64)
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = lab * (1 << 32) + (am.astype(np.int64) + 1)
+        keys, inv, cnt = np.unique(
+            packed, return_inverse=True, return_counts=True
+        )
+        s = np.zeros(len(keys), np.int64)
+        np.add.at(s, inv, milli)
+        return pa.table(
+            {
+                "lab": pa.array((keys >> 32).astype(np.int64)),
+                "dim": pa.array((keys & ((1 << 32) - 1)).astype(np.int64)),
+                "nv": pa.array(cnt.astype(np.int64)),
+                "s": pa.array(s),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n_vecs": pa.array([], pa.int64()),
+                    "peak_milli": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["lab", "dim"], use_threads=False).aggregate(
+            [("nv", "sum"), ("s", "sum")]
+        )
+        lab = g["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        dim = g["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dim, lab))
+        tk = pa.array(order)
+        return pa.table(
+            {
+                "label": pa.array(lab[order], pa.int64()),
+                "dim": pa.array(dim[order], pa.int64()),
+                "n_vecs": pc.take(pc.cast(g["nv_sum"], pa.int64()), tk),
+                "peak_milli": pc.take(pc.cast(g["s_sum"], pa.int64()), tk),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "lab", merge, k=1)
