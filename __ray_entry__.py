@@ -589,6 +589,12 @@ def _q_events_session_maturity(sf_dir: str):
     return events_session_maturity(sf_dir)
 
 
+def _q_events_peak_cell(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_peak_cell
+
+    return events_peak_cell(sf_dir)
+
+
 def _q_events_type_cooccur(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_type_cooccurrence
 
@@ -1207,6 +1213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_argmax_router": td.embedding_argmax_router,
         "events_session_maturity": _q_events_session_maturity,
         "rel_pricing_margin": rel.pricing_margin,
+        "events_peak_cell": _q_events_peak_cell,
+        "doc_opener_board": td.opener_board,
+        "rel_supplier_risk": rel.supplier_risk,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5214,5 +5223,67 @@ def oracle_sql() -> dict[str, str]:
                        AS realized_cents
             FROM (SELECT DISTINCT p_brand FROM part) b
             LEFT JOIN a ON a.p_brand = b.p_brand
+        """,
+        "events_peak_cell": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT)
+                                  AS cell,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_events,
+                         max(n) AS mx
+                  FROM c GROUP BY 1),
+            sel AS (SELECT c.source, min(c.cell) AS cell
+                    FROM c JOIN m ON c.source = m.source AND c.n = m.mx
+                    GROUP BY 1)
+            SELECT m.source, m.n_events,
+                   CAST(sel.cell // 24 AS BIGINT) AS peak_dow,
+                   CAST(sel.cell % 24 AS BIGINT) AS peak_hour,
+                   CAST(m.mx AS BIGINT) AS peak_count
+            FROM m JOIN sel ON m.source = sel.source
+        """,
+        "doc_opener_board": """
+            WITH f AS (SELECT source, split_part(text, ' ', 1) AS w
+                       FROM documents),
+            c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+                  FROM f GROUP BY 1, 2),
+            m AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                         CAST(count(*) AS BIGINT) AS n_openers, max(n) AS mx
+                  FROM c GROUP BY 1),
+            sel AS (SELECT c.source, min(c.w) AS top_opener
+                    FROM c JOIN m ON c.source = m.source AND c.n = m.mx
+                    GROUP BY 1)
+            SELECT m.source, m.n_docs, m.n_openers, sel.top_opener,
+                   CAST(m.mx AS BIGINT) AS top_count
+            FROM m JOIN sel ON m.source = sel.source
+        """,
+        "rel_supplier_risk": """
+            WITH s AS (SELECT s_suppkey, s_nationkey,
+                              CASE WHEN CAST(floor(100.0 * s_acctbal)
+                                            AS BIGINT) < 0
+                                   THEN 1 ELSE 0 END AS neg
+                       FROM supplier),
+            l AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(floor(100.0 * l_extendedprice)
+                                       AS BIGINT)) AS BIGINT) AS rev
+                  FROM lineitem GROUP BY 1),
+            a AS (SELECT s.s_nationkey,
+                         CAST(count(*) AS BIGINT) AS n_suppliers,
+                         CAST(sum(s.neg) AS BIGINT) AS n_negbal,
+                         CAST(sum(s.neg * COALESCE(l.n, 0)) AS BIGINT)
+                             AS neg_lines,
+                         CAST(sum(s.neg * COALESCE(l.rev, 0)) AS BIGINT)
+                             AS neg_rev_cents
+                  FROM s LEFT JOIN l ON l.l_suppkey = s.s_suppkey
+                  GROUP BY 1)
+            SELECT n.n_name,
+                   CAST(COALESCE(a.n_suppliers, 0) AS BIGINT)
+                       AS n_suppliers,
+                   CAST(COALESCE(a.n_negbal, 0) AS BIGINT) AS n_negbal,
+                   CAST(COALESCE(a.neg_lines, 0) AS BIGINT) AS neg_lines,
+                   CAST(COALESCE(a.neg_rev_cents, 0) AS BIGINT)
+                       AS neg_rev_cents
+            FROM nation n
+            LEFT JOIN a ON a.s_nationkey = n.n_nationkey
         """,
     }

@@ -388,6 +388,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "embedding_argmax_router",
         "events_session_maturity",
         "rel_pricing_margin",
+        "events_peak_cell",
+        "doc_opener_board",
+        "rel_supplier_risk",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -8689,3 +8689,124 @@ def events_session_maturity(sf_dir: str, cap: int = 8) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "o", merge, k=1)
+
+
+def events_peak_cell(sf_dir: str) -> Dataset:
+    """E107: hour-of-week peak-cell board — per source: total events and
+    the single (day-of-week, hour) cell of the 168-cell weekly grid
+    holding the MOST events (ties -> smallest packed dow*24+hour cell),
+    with its count — the argmax drill-down E104's concentration stats
+    deliberately aggregate away (E104 says HOW clock-shaped a source is;
+    E107 names WHICH hour the clock strikes — the cell a capacity
+    planner schedules around and an anomaly monitor baselines).  dow
+    matches DuckDB dayofweek (Sunday = 0).  One dense row per source
+    ALWAYS (every source has >= 1 event).  Exact int64 (two-level GROUP
+    BY + max-count/min-cell join oracle).
+
+    Scale shape — E104's exchange with an associative argmax riding:
+    per-cell totals MUST settle before comparing (a partial max is
+    meaningless), so batches pre-reduce with one packed np.unique to
+    (source, cell, n) partials and ONE (source, cell)-hash exchange
+    decides each cell's exact total; each partition then emits its LOCAL
+    best candidate per source plus an event-sum partial — (best, sum) is
+    associative, so the k=1 merge folds O(partitions × sources) rows and
+    never sees the grid."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        days = ts_us // DAY_US
+        cell = ((days + 4) % 7) * 24 + (ts_us % DAY_US) // HOUR_US
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * 168 + cell
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sc": pa.array(vals, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "pk": pa.array([], pa.int64()),
+                    "ev": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sc", use_threads=False).aggregate([("n", "sum")])
+        sc = g["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = sc // 168
+        cell = sc % 168
+        # local best per source: max count, then smallest cell
+        order = np.lexsort((cell, -nn, src))
+        head = np.empty(len(src), dtype=bool)
+        s_o = src[order]
+        head[0] = True
+        head[1:] = s_o[1:] != s_o[:-1]
+        best = order[head]
+        ev = np.zeros(ns, np.int64)
+        np.add.at(ev, src, nn)
+        return pa.table(
+            {
+                "src": pa.array(src[best].astype(np.int64)),
+                "cell": pa.array(cell[best].astype(np.int64)),
+                "pk": pa.array(nn[best].astype(np.int64)),
+                "ev": pa.array(ev[src[best]].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_events = np.zeros(ns, np.int64)
+        pk = np.zeros(ns, np.int64)
+        pcell = np.zeros(ns, np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            cnt = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+            ev = t["ev"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(n_events, src, ev)
+            order = np.lexsort((cell, -cnt, src))
+            head = np.empty(len(src), dtype=bool)
+            s_o = src[order]
+            head[0] = True
+            head[1:] = s_o[1:] != s_o[:-1]
+            best = order[head]
+            pk[src[best]] = cnt[best]
+            pcell[src[best]] = cell[best]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(n_events),
+                "peak_dow": pa.array(pcell // 24),
+                "peak_hour": pa.array(pcell % 24),
+                "peak_count": pa.array(pk),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sc", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "src", merge, k=1)

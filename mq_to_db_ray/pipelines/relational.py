@@ -6384,3 +6384,202 @@ def pricing_margin(sf_dir: str) -> Dataset:
     dim = part.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "br", merge, k=1)
+
+
+def supplier_risk(sf_dir: str) -> Dataset:
+    """R40: supplier-risk exposure board — per nation: suppliers,
+    NEGATIVE-balance suppliers (floor(100·s_acctbal) < 0), and the lines
+    + revenue cents flowing through those negative-balance suppliers —
+    the supply-side counterpart of R31's rich-customer activity board
+    (R10 counts supplier diversity per brand, R15 trades nation against
+    nation; R40 asks how much shipped revenue depends on financially
+    distressed suppliers — the continuity-risk table procurement
+    reviews).  One dense row per nation ALWAYS (zeros where a nation has
+    no distressed suppliers).  Exact int64 (cents floored before the
+    sign test, join + CASE + SUM oracle).
+
+    Scale shape — ONE co-partitioned SUPPKEY exchange (suppliers grow
+    with the corpus — SF × 10k — so the dim is never broadcast; only the
+    fixed 25-row nation satellite composes at the driver): line batches
+    pre-reduce to (suppkey, n, Σext_cents) partials, supplier dim rows
+    ride the same exchange carrying (nationkey, neg flag); each
+    partition attaches with one searchsorted — a supplier's lines meet
+    its one dim row under co-location — and re-reduces IN PLACE to
+    per-nation quadruples; k=1 densifying merge over the nation
+    broadcast."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    npos = {int(k): i for i, k in enumerate(nkeys)}
+    nn = len(nkeys)
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            100.0
+            * b["s_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        nk = (
+            pc.cast(b["s_nationkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = np.vectorize(npos.__getitem__, otypes=[np.int64])(nk) if len(
+            nk
+        ) else nk
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "nat": pa.array(pos),
+                "neg": pa.array((cents < 0).astype(np.int64)),
+                "n": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = np.floor(
+            100.0
+            * b["l_extendedprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "rev": pa.array(ext),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("rev", "count"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "rev"])
+        m1 = pa.array(np.full(g.num_rows, -1, np.int64))
+        return pa.table(
+            {
+                "k": g["k"],
+                "nat": m1,
+                "neg": pa.array(np.zeros(g.num_rows, np.int64)),
+                "n": pc.cast(g["n"], pa.int64()),
+                "rev": pc.cast(g["rev"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], pa.int64()),
+                "n_suppliers": pa.array([], pa.int64()),
+                "n_negbal": pa.array([], pa.int64()),
+                "neg_lines": pa.array([], pa.int64()),
+                "neg_rev_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        if d.num_rows == 0:
+            return empty
+        f = t.filter(pa.array(~is_dim))
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dnat = d["nat"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        dneg = d["neg"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        n_sup = np.zeros(nn, np.int64)
+        n_neg = np.zeros(nn, np.int64)
+        neg_ln = np.zeros(nn, np.int64)
+        neg_rv = np.zeros(nn, np.int64)
+        np.add.at(n_sup, dnat, 1)
+        np.add.at(n_neg, dnat, dneg)
+        if f.num_rows:
+            fg = f.group_by("k", use_threads=False).aggregate(
+                [("n", "sum"), ("rev", "sum")]
+            )
+            fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            fn = fg["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            fr = fg["rev_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+            hit = (dk_s[pos] == fk) & (dneg[pos] > 0)
+            np.add.at(neg_ln, dnat[pos][hit], fn[hit])
+            np.add.at(neg_rv, dnat[pos][hit], fr[hit])
+        live = np.flatnonzero(n_sup)
+        return pa.table(
+            {
+                "nat": pa.array(live.astype(np.int64)),
+                "n_suppliers": pa.array(n_sup[live]),
+                "n_negbal": pa.array(n_neg[live]),
+                "neg_lines": pa.array(neg_ln[live]),
+                "neg_rev_cents": pa.array(neg_rv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_sup = np.zeros(nn, np.int64)
+        n_neg = np.zeros(nn, np.int64)
+        neg_ln = np.zeros(nn, np.int64)
+        neg_rv = np.zeros(nn, np.int64)
+        if t.num_rows:
+            nt = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                n_sup,
+                nt,
+                t["n_suppliers"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+            np.add.at(
+                n_neg,
+                nt,
+                t["n_negbal"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+            np.add.at(
+                neg_ln,
+                nt,
+                t["neg_lines"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+            np.add.at(
+                neg_rv,
+                nt,
+                t["neg_rev_cents"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+        return pa.table(
+            {
+                "n_name": names,
+                "n_suppliers": pa.array(n_sup),
+                "n_negbal": pa.array(n_neg),
+                "neg_lines": pa.array(neg_ln),
+                "neg_rev_cents": pa.array(neg_rv),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = supp.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "nat", merge, k=1)

@@ -9635,3 +9635,174 @@ def embedding_argmax_router(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "lab", merge, k=1)
+
+
+def opener_board(sf_dir: str) -> Dataset:
+    """T112: boilerplate-opener board — per source: docs, DISTINCT
+    opening words (a doc's first whitespace-delimited token), and the
+    MODAL opener with its doc count (ties -> lexicographically smallest
+    word) — the template detector the dup suite can't see (T1 needs
+    byte-identical TEXTS, T27 repeated n-grams WITHIN a doc; a crawler
+    that prefixes every page with the same banner word shows up only in
+    the opener distribution — top_count/n_docs near 1 means a templated
+    corpus whose mass survives every dedup pass yet is worthless to
+    train on).  One dense row per source ALWAYS.  Exact int64 + exact
+    string identity (split_part + two-level GROUP BY + max-count/min-word
+    join oracle; the 64-bit word hash only ROUTES — T4's convention —
+    the exact word string rides the exchange and decides ties).
+
+    Scale shape — ONE opener-hash exchange over (source, word) cells:
+    each batch extracts first words with one Arrow split kernel
+    (max_splits=1 — the text never re-scans) and pre-reduces to
+    (hash, source, word, n) cells; the hash partition holds every copy
+    of a (source, word) cell, so distinct-opener counts are additive and
+    the per-source MODAL candidate is a local sort head — (best, sum) is
+    associative, so the k=1 merge folds O(partitions × sources) rows;
+    vocabulary never lands on one node."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        first = pc.list_element(
+            pc.split_pattern(batch["text"], " ", max_splits=1), 0
+        )
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        )
+        ones = pa.array(np.ones(batch.num_rows, np.int64))
+        t = pa.table({"w": first, "src": code, "n": ones})
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def _best(t: pa.Table) -> pa.Table:
+        """Per-source best (max n, min w) + additive (nd, nop) rows."""
+        order = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("src", "ascending"),
+                ("n", "descending"),
+                ("w", "ascending"),
+            ],
+        )
+        s = t["src"].take(order).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        head = np.empty(len(s), dtype=bool)
+        head[0] = True
+        head[1:] = s[1:] != s[:-1]
+        hi = pa.array(np.asarray(order)[head])
+        nd = np.zeros(ns, np.int64)
+        nop = np.zeros(ns, np.int64)
+        allsrc = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        alln = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        np.add.at(nd, allsrc, alln)
+        np.add.at(nop, allsrc, 1)
+        live = allsrc[np.asarray(hi)]
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live]),
+                "nop": pa.array(nop[live]),
+                "w": t["w"].take(hi),
+                "tn": t["n"].take(hi),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "nop": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.string()),
+                    "tn": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return _best(g.rename_columns(["w", "src", "n"]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_openers": pa.array([], pa.int64()),
+                    "top_opener": pa.array([], pa.string()),
+                    "top_count": pa.array([], pa.int64()),
+                }
+            )
+        order = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("src", "ascending"),
+                ("tn", "descending"),
+                ("w", "ascending"),
+            ],
+        )
+        s = t["src"].take(order).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        head = np.empty(len(s), dtype=bool)
+        head[0] = True
+        head[1:] = s[1:] != s[:-1]
+        hi = pa.array(np.asarray(order)[head])
+        nd = np.zeros(ns, np.int64)
+        nop = np.zeros(ns, np.int64)
+        allsrc = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        np.add.at(
+            nd,
+            allsrc,
+            t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        np.add.at(
+            nop,
+            allsrc,
+            t["nop"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        live = allsrc[np.asarray(hi)]
+        # every source has >= 1 doc, so `live` covers 0..ns-1; order by src
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(live.astype(np.int64))),
+                "n_docs": pa.array(nd[live]),
+                "n_openers": pa.array(nop[live]),
+                "top_opener": t["w"].take(hi),
+                "top_count": pc.cast(t["tn"].take(hi), pa.int64()),
+            }
+        )
+
+    from ..stages.shuffle import shuffle_parts
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "src", merge, k=1)
