@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_user_value_bands(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_value_bands
+
+    return events_user_value_bands(sf_dir)
+
+
 def _q_events_type_cooccur(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_type_cooccurrence
 
@@ -1216,6 +1222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_cell": _q_events_peak_cell,
         "doc_opener_board": td.opener_board,
         "rel_supplier_risk": rel.supplier_risk,
+        "events_user_value_bands": _q_events_user_value_bands,
+        "doc_hygiene_board": td.hygiene_board,
+        "rel_tax_board": rel.tax_board,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5285,5 +5294,46 @@ def oracle_sql() -> dict[str, str]:
                        AS neg_rev_cents
             FROM nation n
             LEFT JOIN a ON a.s_nationkey = n.n_nationkey
+        """,
+        "events_user_value_bands": """
+            WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(floor(value)) AS BIGINT) AS v
+                       FROM events GROUP BY 1)
+            SELECT v // 500 AS band, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS value_units
+            FROM u GROUP BY 1
+        """,
+        "doc_hygiene_board": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty,
+                   CAST(sum(CASE WHEN starts_with(text, ' ')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lead_ws,
+                   CAST(sum(CASE WHEN ends_with(text, ' ')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_trail_ws,
+                   CAST(sum(CASE WHEN contains(text, '  ')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_double_space,
+                   CAST(sum(CASE WHEN contains(text, chr(9))
+                                   OR contains(text, chr(10))
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctl
+            FROM documents GROUP BY 1
+        """,
+        "rel_tax_board": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN CAST(floor(1000 * l_tax) AS BIGINT)
+                                      > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS taxed_lines,
+                   CAST(sum(CAST(floor(100 * l_extendedprice) AS BIGINT))
+                        AS BIGINT) AS rev_cents,
+                   CAST(sum((CAST(floor(100 * l_extendedprice) AS BIGINT)
+                             * CAST(floor(1000 * l_tax) AS BIGINT))
+                            // 1000) AS BIGINT) AS tax_cents
+            FROM lineitem GROUP BY 1, 2
         """,
     }

@@ -391,6 +391,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_peak_cell",
         "doc_opener_board",
         "rel_supplier_risk",
+        "events_user_value_bands",
+        "doc_hygiene_board",
+        "rel_tax_board",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

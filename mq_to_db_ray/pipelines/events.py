@@ -8810,3 +8810,100 @@ def events_peak_cell(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sc", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def events_user_value_bands(sf_dir: str, band_units: int = 500) -> Dataset:
+    """E108: user lifetime-value band histogram — for each band
+    b = (Σ floor(value) over a user's whole stream) // band_units: users
+    in the band, their total events, their total floored value units —
+    the monetization mass distribution on the USER axis (E36 banded
+    users by event COUNT, E96 banded EVENTS by single-event value; E108
+    asks where the cumulative per-user value mass sits — the whale curve
+    a pricing/abuse review reads).  Bands exist iff occupied (GROUP BY
+    shape, never vacuous — every corpus has ≥ 1 user).  Exact int64
+    (two-level GROUP BY + integer-divide oracle; floor(value) ≥ 0 here
+    so // is sign-safe on both sides).
+
+    Scale shape — E36's aggregate-of-aggregates with a value column
+    riding: per batch one Arrow group_by reduces events to (user, n,
+    Σfloor(value)) partials; ONE user-hash exchange settles each user's
+    exact totals locally and re-reduces IN PLACE to (band, n_users,
+    n_events, units) partials — per-user rows never leave their
+    partition; k=1 merge sums O(partitions × bands) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "n": pa.array(np.ones(len(v), np.int64)),
+                "v": pa.array(v),
+            }
+        )
+        g = t.group_by("u", use_threads=False).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        return g.rename_columns(["u", "n", "v"])
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "vu": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("u", use_threads=False).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        band = v // band_units
+        t2 = pa.table(
+            {
+                "band": pa.array(band.astype(np.int64)),
+                "nu": pa.array(np.ones(len(band), np.int64)),
+                "ne": pa.array(n.astype(np.int64)),
+                "vu": pa.array(v.astype(np.int64)),
+            }
+        )
+        g2 = t2.group_by("band", use_threads=False).aggregate(
+            [("nu", "sum"), ("ne", "sum"), ("vu", "sum")]
+        )
+        return g2.rename_columns(["band", "nu", "ne", "vu"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "value_units": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nu", "sum"), ("ne", "sum"), ("vu", "sum")]
+        )
+        return g.rename_columns(
+            ["band", "n_users", "n_events", "value_units"]
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_user = hash_partition_merge(
+        partials, "u", user_fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "band", merge, k=1)

@@ -6583,3 +6583,79 @@ def supplier_risk(sf_dir: str) -> Dataset:
     dim = supp.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "nat", merge, k=1)
+
+
+def tax_board(sf_dir: str) -> Dataset:
+    """R41: tax-exposure board (the TPC-H Q1 charge leg this schema can
+    price exactly) — per (l_returnflag, l_linestatus): lines, TAXED
+    lines (floor(1000·l_tax) > 0), floored revenue cents, and tax cents
+    = Σ (rev_cents · tax_permille) // 1000 with the floor taken PER LINE
+    — the liability board R1's pricing summary omits (l_tax was the one
+    lineitem measure no suite question touched).  Per-line flooring
+    keeps every term int64-exact on both sides (a float Σ ext·tax is
+    not); bound: 10⁶ cents × 10³ permille = 10⁹ per line, Σ over 10¹⁰
+    lines ≈ 10¹⁶ ≪ 2⁶³ AFTER the //1000 (R36's budget).  GROUP BY shape
+    (≤ 3 flags × 2 statuses cells, never vacuous).  Exact int64
+    (CASE + SUM of per-line floored products oracle).
+
+    Scale shape — ZERO wide exchange (R1's profile): one floor kernel +
+    one int64 product per batch, one Arrow group_by reduces lines to
+    ≤ 6 partial rows each; the string-keyed final merge is R1's
+    groupby.map_groups convention over those tiny partials."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_tax"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            100.0
+            * b["l_extendedprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        taxpm = np.floor(
+            1000.0
+            * b["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "n": pa.array(np.ones(len(cents), np.int64)),
+                "taxed": pa.array((taxpm > 0).astype(np.int64)),
+                "rev": pa.array(cents),
+                "tax": pa.array((cents * taxpm) // 1000),
+            }
+        )
+        g = t.group_by(
+            ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate(
+            [("n", "sum"), ("taxed", "sum"), ("rev", "sum"), ("tax", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "taxed", "rev", "tax"]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(
+            ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate(
+            [("n", "sum"), ("taxed", "sum"), ("rev", "sum"), ("tax", "sum")]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "n_lines",
+                "taxed_lines",
+                "rev_cents",
+                "tax_cents",
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("l_returnflag").map_groups(
+        merge, batch_format="pyarrow"
+    )

@@ -9806,3 +9806,100 @@ def opener_board(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def hygiene_board(sf_dir: str) -> Dataset:
+    """T113: whitespace-hygiene lint board — per source: docs, EMPTY
+    docs, docs with leading whitespace, trailing whitespace, an internal
+    double-space run, and a control character (tab or newline) — the
+    pre-tokenization lint pass every corpus-prep pipeline runs before
+    T11 (a tokenizer sees ' the' and 'the' as different tokens; a
+    double-space doubles T112's opener split; control bytes break
+    line-oriented shard formats) that none of the quality boards lint
+    (T10 scores words/punct, T29 filters on content — T113 audits the
+    BYTES AROUND the content).  One dense row per source ALWAYS (a
+    clean corpus shows zeros — the healthy reading, never vacuous
+    because n_docs ≥ 1).  Exact int64 (LIKE / contains / chr() oracle).
+
+    Scale shape — ZERO wide exchange (T49's profile): five Arrow
+    predicate kernels per batch (starts_with / ends_with /
+    match_substring — the text scans in-place, never re-materializes),
+    one np.add.at scatter folds flags into a per-source accumulator —
+    one partial row per source per batch; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def _np(a) -> np.ndarray:
+        return (
+            pc.fill_null(pc.cast(a, pa.int64()), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        empty = _np(pc.equal(txt, ""))
+        lead = _np(pc.starts_with(txt, " "))
+        trail = _np(pc.ends_with(txt, " "))
+        dbl = _np(pc.match_substring(txt, "  "))
+        ctl = _np(
+            pc.or_(
+                pc.match_substring(txt, "\t"), pc.match_substring(txt, "\n")
+            )
+        )
+        acc = np.zeros((6, ns), np.int64)
+        np.add.at(acc[0], code, 1)
+        np.add.at(acc[1], code, empty)
+        np.add.at(acc[2], code, lead)
+        np.add.at(acc[3], code, trail)
+        np.add.at(acc[4], code, dbl)
+        np.add.at(acc[5], code, ctl)
+        return pa.table(
+            {
+                "src": pa.array(np.arange(ns, dtype=np.int64)),
+                "nd": pa.array(acc[0]),
+                "ne": pa.array(acc[1]),
+                "nl": pa.array(acc[2]),
+                "nt": pa.array(acc[3]),
+                "n2": pa.array(acc[4]),
+                "nc": pa.array(acc[5]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((6, ns), np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(["nd", "ne", "nl", "nt", "n2", "nc"]):
+                np.add.at(
+                    acc[i],
+                    src,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(acc[0]),
+                "n_empty": pa.array(acc[1]),
+                "n_lead_ws": pa.array(acc[2]),
+                "n_trail_ws": pa.array(acc[3]),
+                "n_double_space": pa.array(acc[4]),
+                "n_ctl": pa.array(acc[5]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
