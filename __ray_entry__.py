@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_ohlc_1d_cascaded(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_ohlc_1d_cascaded
+
+    return events_ohlc_1d_cascaded(sf_dir)
+
+
 def _q_events_user_value_bands(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_user_value_bands
 
@@ -1225,6 +1231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_value_bands": _q_events_user_value_bands,
         "doc_hygiene_board": td.hygiene_board,
         "rel_tax_board": rel.tax_board,
+        "events_ohlc_1d_cascaded": _q_events_ohlc_1d_cascaded,
+        "doc_collocation_board": td.collocation_board,
+        "rel_size_bands": rel.size_bands,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5335,5 +5344,70 @@ def oracle_sql() -> dict[str, str]:
                              * CAST(floor(1000 * l_tax) AS BIGINT))
                             // 1000) AS BIGINT) AS tax_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        "events_ohlc_1d_cascaded": """
+            WITH e AS (SELECT event_type AS source,
+                              date_trunc('day', ts) b,
+                              CAST(floor(value) AS BIGINT) v, ts, event_id
+                       FROM events),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY ts, event_id) ra,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY ts DESC, event_id DESC) rd
+                  FROM e)
+            SELECT source, b AS bucket_ts,
+                   CAST(max(CASE WHEN ra=1 THEN v END) AS BIGINT) AS open,
+                   CAST(max(v) AS BIGINT) AS high,
+                   CAST(min(v) AS BIGINT) AS low,
+                   CAST(max(CASE WHEN rd=1 THEN v END) AS BIGINT) AS close
+            FROM r GROUP BY 1, 2
+        """,
+        "doc_collocation_board": """
+            WITH w AS (SELECT source, string_split(text, ' ') AS a
+                       FROM documents),
+            p AS (SELECT source, a[i] || ' ' || a[i+1] AS pr
+                  FROM w, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+            c AS (SELECT source, pr, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2),
+            m AS (SELECT source, CAST(sum(n) AS BIGINT) AS np,
+                         CAST(count(*) AS BIGINT) AS nd, max(n) AS mx
+                  FROM c GROUP BY 1),
+            sel AS (SELECT c.source, min(c.pr) AS top_pair
+                    FROM c JOIN m ON c.source = m.source AND c.n = m.mx
+                    GROUP BY 1)
+            SELECT s.source,
+                   CAST(COALESCE(m.np, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(m.nd, 0) AS BIGINT) AS n_distinct,
+                   COALESCE(sel.top_pair, '') AS top_pair,
+                   CAST(COALESCE(m.mx, 0) AS BIGINT) AS top_count
+            FROM (SELECT DISTINCT source FROM documents) s
+            LEFT JOIN m ON m.source = s.source
+            LEFT JOIN sel ON sel.source = s.source
+        """,
+        "rel_size_bands": """
+            WITH d AS (SELECT p_partkey,
+                              CAST((p_size - 1) // 10 AS BIGINT) AS band,
+                              CAST(floor(100.0 * p_retailprice) AS BIGINT)
+                                  AS retail
+                       FROM part),
+            l AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                             AS qty
+                  FROM lineitem GROUP BY 1),
+            a AS (SELECT d.band, CAST(count(*) AS BIGINT) AS n_parts,
+                         CAST(sum(d.retail) AS BIGINT) AS retail_cents,
+                         CAST(sum(COALESCE(l.n, 0)) AS BIGINT) AS n_lines,
+                         CAST(sum(COALESCE(l.qty, 0)) AS BIGINT) AS sum_qty
+                  FROM d LEFT JOIN l ON l.l_partkey = d.p_partkey
+                  GROUP BY 1)
+            SELECT b.band, CAST(COALESCE(a.n_parts, 0) AS BIGINT)
+                       AS n_parts,
+                   CAST(COALESCE(a.retail_cents, 0) AS BIGINT)
+                       AS retail_cents,
+                   CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(a.sum_qty, 0) AS BIGINT) AS sum_qty
+            FROM (SELECT unnest(generate_series(0, 4)) AS band) b
+            LEFT JOIN a ON a.band = b.band
         """,
     }

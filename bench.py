@@ -394,6 +394,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_user_value_bands",
         "doc_hygiene_board",
         "rel_tax_board",
+        "events_ohlc_1d_cascaded",
+        "doc_collocation_board",
+        "rel_size_bands",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -8907,3 +8907,29 @@ def events_user_value_bands(sf_dir: str, band_units: int = 500) -> Dataset:
         partials, "u", user_fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(per_user, "band", merge, k=1)
+
+
+def events_ohlc_1d_cascaded(sf_dir: str) -> Dataset:
+    """E109: daily candlesticks CASCADED from the 1m tier — per
+    (event_type, UTC day): open/high/low/close of floor(value), where
+    the day's open is the open of its earliest 1m bucket and the close
+    the close of its latest — E4's raw→1m→1h→1d downsampling discipline
+    applied to E17's OHLC aggregate (the count/sum cascade proved the
+    tiers compose; E109 proves the ORDERED aggregate composes too:
+    associativity is by construction, so the 1d tier reads ONLY the 1m
+    tier's one-row-per-bucket output — at 100 TB a raw re-roll reads
+    1440× more).  Exact int64, bit-equal to rolling the RAW stream to
+    1d directly (the oracle does exactly that — row_number over
+    (ts, event_id) within the day), which is the cascade-correctness
+    statement itself.
+
+    Scale shape — stages/rollup.ohlc_cascade: per batch the associative
+    _ohlc_merge combiner collapses fine rows to one partial per
+    (source, day); ONE day-hash exchange (salt axis = time, a hot
+    source spreads) re-merges; no raw re-read, no driver fold."""
+    from ..stages.rollup import ohlc_cascade
+
+    fine = events_ohlc_1m(sf_dir)
+    return ohlc_cascade(
+        fine, "1d", t0_us=EVENTS_T0_US, k=_adaptive_k(sf_dir)
+    )

@@ -6659,3 +6659,166 @@ def tax_board(sf_dir: str) -> Dataset:
     return partials.groupby("l_returnflag").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def size_bands(sf_dir: str) -> Dataset:
+    """R42: part size-band logistics board — per size band
+    b = (p_size − 1) // 10 over the TPC-H p_size domain [1, 50] (five
+    dense bands ALWAYS): catalog parts, their floored retail cents, and
+    the shipped lines + exact quantity flowing through the band — the
+    physical-logistics cut (small parts ship in volume, large parts in
+    bulk) none of the brand/type boards slice (p_size was the one part
+    attribute no suite question touched).  Exact int64 (integer-divide
+    band + dim scan + join + SUM oracle; densified via generate_series
+    LEFT JOIN on both sides).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (R39's role-union
+    profile; parts grow with the corpus — SF × 200k — so the dim never
+    broadcasts): line batches pre-reduce to (partkey, n, Σqty) partials,
+    part dim rows ride the same exchange carrying (band, retail cents);
+    each partition attaches with one searchsorted and re-reduces
+    straight to the ≤ 5-band domain; k=1 densifying merge."""
+    nb = 5
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        size = (
+            pc.cast(b["p_size"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.floor(
+            100.0
+            * b["p_retailprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "band": pa.array((size - 1) // 10),
+                "retail": pa.array(cents),
+                "n": pa.array(np.full(len(size), -1, np.int64)),
+                "qty": pa.array(np.zeros(len(size), np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        qty = (
+            pc.cast(b["l_quantity"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "one": pa.array(np.ones(len(qty), np.int64)),
+                "qty": pa.array(qty),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("one", "sum"), ("qty", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "qty"])
+        m1 = pa.array(np.full(g.num_rows, -1, np.int64))
+        return pa.table(
+            {
+                "k": g["k"],
+                "band": m1,
+                "retail": pa.array(np.zeros(g.num_rows, np.int64)),
+                "n": pc.cast(g["n"], pa.int64()),
+                "qty": pc.cast(g["qty"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "band": pa.array([], pa.int64()),
+                "n_parts": pa.array([], pa.int64()),
+                "retail_cents": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        band = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = band >= 0
+        d = t.filter(pa.array(is_dim))
+        if d.num_rows == 0:
+            return empty
+        f = t.filter(pa.array(~is_dim))
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dband = band[is_dim][order]
+        dret = d["retail"].combine_chunks().to_numpy(zero_copy_only=False)[
+            order
+        ]
+        n_parts = np.zeros(nb, np.int64)
+        retail = np.zeros(nb, np.int64)
+        n_lines = np.zeros(nb, np.int64)
+        sum_qty = np.zeros(nb, np.int64)
+        np.add.at(n_parts, dband, 1)
+        np.add.at(retail, dband, dret)
+        if f.num_rows:
+            fg = f.group_by("k", use_threads=False).aggregate(
+                [("n", "sum"), ("qty", "sum")]
+            )
+            fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            fn = fg["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            fq = fg["qty_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+            hit = dk_s[pos] == fk
+            np.add.at(n_lines, dband[pos][hit], fn[hit])
+            np.add.at(sum_qty, dband[pos][hit], fq[hit])
+        live = np.flatnonzero(n_parts)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_parts": pa.array(n_parts[live]),
+                "retail_cents": pa.array(retail[live]),
+                "n_lines": pa.array(n_lines[live]),
+                "sum_qty": pa.array(sum_qty[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((4, nb), np.int64)
+        if t.num_rows:
+            band = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(
+                ["n_parts", "retail_cents", "n_lines", "sum_qty"]
+            ):
+                np.add.at(
+                    acc[i],
+                    band,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "band": pa.array(np.arange(nb, dtype=np.int64)),
+                "n_parts": pa.array(acc[0]),
+                "retail_cents": pa.array(acc[1]),
+                "n_lines": pa.array(acc[2]),
+                "sum_qty": pa.array(acc[3]),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "band", merge, k=1)

@@ -9903,3 +9903,197 @@ def hygiene_board(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def collocation_board(sf_dir: str) -> Dataset:
+    """T114: collocation board — per source: total adjacent word pairs,
+    DISTINCT pairs, and the MODAL pair with its occurrence count (ties
+    -> lexicographically smallest "w1 w2" string) — T112's opener probe
+    generalized to the whole text: a dominant collocation whose count
+    approaches n_pairs/docs is phrase-level boilerplate (navigation
+    chrome, legal footers) that survives exact dedup and word-level
+    stats alike; T31 answers this for the token tape, T114 for the
+    document corpus where the pair is a STRING the reviewer can read.
+    One dense row per source ALWAYS (an all-single-word source shows
+    zeros and an empty top_pair — the SQL COALESCE reading).  Exact
+    int64 + exact string identity (lateral-unnest pair explode +
+    two-level GROUP BY + max-count/min-pair join oracle; the 64-bit
+    hash only ROUTES — T4's convention).
+
+    Scale shape — ONE pair-hash exchange over (source, pair) cells:
+    each batch splits once (one Arrow kernel), forms adjacent pairs
+    with one take + one binary_join over the flattened word buffer
+    (list boundaries masked vectorially — no per-doc loop), and
+    pre-reduces to (hash, source, pair, n) cells; the hash partition
+    holds every copy of a cell, so distinct counts are additive and the
+    per-source modal candidate is a local sort head; (best, sum) is
+    associative -> the k=1 merge folds O(partitions × sources) rows;
+    the pair vocabulary never lands on one node."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        la = pc.split_pattern(batch["text"], " ").combine_chunks()
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = la.values
+        nw = len(flat)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "src": pa.array([], pa.int64()),
+                "w": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if nw == 0:
+            return empty
+        # pair start positions: every flat index except each list's last
+        keep = np.ones(nw, bool)
+        ends = offs[1:] - 1
+        keep[ends[ends >= offs[:-1]]] = False  # skip empty lists
+        keep[nw - 1] = False
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        left = flat.take(pa.array(idx, pa.int64()))
+        right = flat.take(pa.array(idx + 1, pa.int64()))
+        pair = pc.binary_join_element_wise(left, right, " ")
+        wsrc = np.repeat(code, np.diff(offs))[idx]
+        t = pa.table(
+            {
+                "w": pair,
+                "src": pa.array(wsrc.astype(np.int64)),
+                "n": pa.array(np.ones(len(idx), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def _best(t: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("src", "ascending"),
+                ("n", "descending"),
+                ("w", "ascending"),
+            ],
+        )
+        s = t["src"].take(order).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        head = np.empty(len(s), dtype=bool)
+        head[0] = True
+        head[1:] = s[1:] != s[:-1]
+        hi = pa.array(np.asarray(order)[head])
+        npair = np.zeros(ns, np.int64)
+        ndis = np.zeros(ns, np.int64)
+        allsrc = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        alln = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        np.add.at(npair, allsrc, alln)
+        np.add.at(ndis, allsrc, 1)
+        live = allsrc[np.asarray(hi)]
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "np": pa.array(npair[live]),
+                "nd": pa.array(ndis[live]),
+                "w": t["w"].take(hi),
+                "tn": pc.cast(t["n"].take(hi), pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "np": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.string()),
+                    "tn": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return _best(g.rename_columns(["w", "src", "n"]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        npair = np.zeros(ns, np.int64)
+        ndis = np.zeros(ns, np.int64)
+        top = np.full(ns, "", object)
+        tcnt = np.zeros(ns, np.int64)
+        if t.num_rows:
+            order = pa.compute.sort_indices(
+                t,
+                sort_keys=[
+                    ("src", "ascending"),
+                    ("tn", "descending"),
+                    ("w", "ascending"),
+                ],
+            )
+            s = t["src"].take(order).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            head = np.empty(len(s), dtype=bool)
+            head[0] = True
+            head[1:] = s[1:] != s[:-1]
+            hi = pa.array(np.asarray(order)[head])
+            allsrc = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                npair,
+                allsrc,
+                t["np"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ndis,
+                allsrc,
+                t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            live = allsrc[np.asarray(hi)]
+            top[live] = np.asarray(t["w"].take(hi))
+            tcnt[live] = t["tn"].take(hi).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_pairs": pa.array(npair),
+                "n_distinct": pa.array(ndis),
+                "top_pair": pa.array([str(x) for x in top], pa.string()),
+                "top_count": pa.array(tcnt),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "src", merge, k=1)

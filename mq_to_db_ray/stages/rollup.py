@@ -331,3 +331,68 @@ def ohlc_rollup(
     partials = points.map_batches(prepare, batch_format="pyarrow")
     merged = hash_partition_merge(partials, "bucket_id", _ohlc_merge, k=k)
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def ohlc_cascade(
+    fine: Dataset, to_tier: str, *, t0_us: int, k: int | None = None
+) -> Dataset:
+    """Cascade a finalized OHLC tier into a coarser one — the E4
+    raw→1m→1h→1d downsampling discipline applied to the candlestick
+    aggregate (reference parity: the cascade rule `SURVEY.md §2.2 E4`;
+    OHLC semantics `E17`).  A coarse bucket's open is the open of its
+    EARLIEST fine bucket, close the close of its LATEST, high/low the
+    extremes — associative by construction, so the cascade reads ONLY
+    the fine tier (one row per (source, fine bucket)), never the raw
+    stream: at 100 TB the 1d tier re-reads 1/1440th of what a raw
+    re-roll would.
+
+    ``fine`` must be :func:`ohlc_rollup` output ((source, bucket_ts,
+    open, high, low, close), one row per key by construction — the
+    exactly-once commit invariant).  Re-preparing the partial shape with
+    (o_t, o_o) = (fine bucket_us, 0) lets :func:`_ohlc_merge` serve
+    unchanged as combiner AND final merge; the exchange hash-partitions
+    on the COARSE bucket id so a hot source spreads on the time axis,
+    exactly like :func:`ohlc_rollup`."""
+    from .shuffle import hash_partition_merge
+
+    tier_us = TIERS[to_tier] * 1_000_000
+
+    def prepare(b: pa.Table) -> pa.Table:
+        bucket_us = _i64np(b["bucket_ts"].cast(pa.int64()))
+        coarse = np.floor_divide(bucket_us - t0_us, tier_us)
+        zero = np.zeros(len(bucket_us), np.int64)
+        return _ohlc_merge(
+            pa.table(
+                {
+                    "source": b["source"],
+                    "bucket_id": pa.array(coarse, pa.int64()),
+                    "o_t": pa.array(bucket_us, pa.int64()),
+                    "o_o": pa.array(zero),
+                    "o_v": pc.cast(b["open"], pa.int64()),
+                    "hi": pc.cast(b["high"], pa.int64()),
+                    "lo": pc.cast(b["low"], pa.int64()),
+                    "c_t": pa.array(bucket_us, pa.int64()),
+                    "c_o": pa.array(zero),
+                    "c_v": pc.cast(b["close"], pa.int64()),
+                }
+            )
+        )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        bucket_us = _i64np(b["bucket_id"]) * tier_us + t0_us
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_ts": pa.array(bucket_us, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "open": b["o_v"],
+                "high": b["hi"],
+                "low": b["lo"],
+                "close": b["c_v"],
+            }
+        )
+
+    partials = fine.map_batches(prepare, batch_format="pyarrow")
+    merged = hash_partition_merge(partials, "bucket_id", _ohlc_merge, k=k)
+    return merged.map_batches(finalize, batch_format="pyarrow")
