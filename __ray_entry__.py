@@ -1234,6 +1234,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_1d_cascaded": _q_events_ohlc_1d_cascaded,
         "doc_collocation_board": td.collocation_board,
         "rel_size_bands": rel.size_bands,
+        "f1_ohlc_1h": lambda sf_dir: td.f1_ohlc_1h(_f1_oracle_dir(sf_dir)),
+        "f1_ohlc_1d_cascaded": lambda sf_dir: td.f1_ohlc_1d_cascaded(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_segment_priority": rel.segment_priority_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5409,5 +5414,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.sum_qty, 0) AS BIGINT) AS sum_qty
             FROM (SELECT unnest(generate_series(0, 4)) AS band) b
             LEFT JOIN a ON a.band = b.band
+        """,
+        "f1_ohlc_1h": """
+            WITH s AS (SELECT source,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) AS seq,
+                              CAST(n_tok AS BIGINT) AS v
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            e AS (SELECT source, seq // 3600 AS b, seq, v FROM s),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY seq) ra,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY seq DESC) rd
+                  FROM e)
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + b * INTERVAL 3600 SECOND AS bucket_ts,
+                   CAST(max(CASE WHEN ra=1 THEN v END) AS BIGINT) AS open,
+                   CAST(max(v) AS BIGINT) AS high,
+                   CAST(min(v) AS BIGINT) AS low,
+                   CAST(max(CASE WHEN rd=1 THEN v END) AS BIGINT) AS close
+            FROM r GROUP BY 1, 2
+        """,
+        "f1_ohlc_1d_cascaded": """
+            WITH s AS (SELECT source,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) AS seq,
+                              CAST(n_tok AS BIGINT) AS v
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            e AS (SELECT source, seq // 86400 AS b, seq, v FROM s),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY seq) ra,
+                         row_number() OVER (PARTITION BY source, b
+                                            ORDER BY seq DESC) rd
+                  FROM e)
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + b * INTERVAL 86400 SECOND AS bucket_ts,
+                   CAST(max(CASE WHEN ra=1 THEN v END) AS BIGINT) AS open,
+                   CAST(max(v) AS BIGINT) AS high,
+                   CAST(min(v) AS BIGINT) AS low,
+                   CAST(max(CASE WHEN rd=1 THEN v END) AS BIGINT) AS close
+            FROM r GROUP BY 1, 2
+        """,
+        "rel_segment_priority": """
+            WITH a AS (SELECT c.c_mktsegment AS seg,
+                              o.o_orderpriority AS prio,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS rev
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       GROUP BY 1, 2)
+            SELECT s.c_mktsegment, p.o_orderpriority,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(a.rev, 0) AS BIGINT) AS revenue_floor
+            FROM (SELECT DISTINCT c_mktsegment FROM customer) s
+            CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+            LEFT JOIN a ON a.seg = s.c_mktsegment
+                       AND a.prio = p.o_orderpriority
         """,
     }

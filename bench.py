@@ -397,6 +397,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_ohlc_1d_cascaded",
         "doc_collocation_board",
         "rel_size_bands",
+        "f1_ohlc_1h",
+        "f1_ohlc_1d_cascaded",
+        "rel_segment_priority",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

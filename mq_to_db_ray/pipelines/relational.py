@@ -6822,3 +6822,154 @@ def size_bands(sf_dir: str) -> Dataset:
     dim = parts.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def segment_priority_matrix(sf_dir: str) -> Dataset:
+    """R43: market-segment × order-priority matrix — per (c_mktsegment,
+    o_orderpriority): orders and floored o_totalprice revenue — the
+    demand-mix cross R3 (segment × year) and R4 (priority × discount)
+    each see one axis of: a segment whose priority mix skews URGENT
+    buys expedited capacity; one skewing LOW is batchable — the
+    fulfillment-planning cross only the customer ⋈ orders join can
+    draw.  One dense row per (segment, priority) cell ALWAYS.  Exact
+    int64 (join + two-key GROUP BY + CROSS JOIN densify oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (R3's role-union;
+    customers grow with the corpus — never broadcast): order batches
+    pre-reduce to (custkey, priority-rank, n, rev) partials, customer
+    dim rows ride carrying the segment rank; per-partition searchsorted
+    attach re-reduces straight to the ≤ segments × priorities grid
+    (two tiny exact value lists broadcast); k=1 densifying merge."""
+    segs: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+        .unique("c_mktsegment")
+    )
+    seg_arr = pa.array(segs, pa.string())
+    prios = list(_priority_rank(sf_dir))
+    prio_arr = pa.array(prios, pa.string())
+    nseg, npr = len(segs), len(prios)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        seg = pc.cast(
+            pc.index_in(b["c_mktsegment"], value_set=seg_arr), pa.int64()
+        )
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "seg": seg,
+                "pr": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": z,
+                "rev": z,
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        pr = pc.cast(
+            pc.index_in(b["o_orderpriority"], value_set=prio_arr), pa.int64()
+        )
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "pr": pr,
+                "n": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "pr"], use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "pr", "n", "rev"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "seg": pa.array(np.full(g.num_rows, -1, np.int64)),
+                "pr": g["pr"],
+                "n": pc.cast(g["n"], pa.int64()),
+                "rev": pc.cast(g["rev"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        seg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = seg >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dseg = seg[is_dim][order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fpr = f["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = f["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        cell = dseg[pos][hit] * npr + fpr[hit]
+        nacc = np.zeros(nseg * npr, np.int64)
+        racc = np.zeros(nseg * npr, np.int64)
+        np.add.at(nacc, cell, fn[hit])
+        np.add.at(racc, cell, fr[hit])
+        live = np.flatnonzero(nacc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "n": pa.array(nacc[live]),
+                "rev": pa.array(racc[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nacc = np.zeros(nseg * npr, np.int64)
+        racc = np.zeros(nseg * npr, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nacc,
+                cell,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                racc,
+                cell,
+                t["rev"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        idx = np.arange(nseg * npr, dtype=np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": seg_arr.take(pa.array(idx // npr)),
+                "o_orderpriority": prio_arr.take(pa.array(idx % npr)),
+                "n_orders": pa.array(nacc),
+                "revenue_floor": pa.array(racc),
+            }
+        )
+
+    fact = ords.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "orders"))
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -10097,3 +10097,79 @@ def collocation_board(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def _f1_ntok_points(sf_dir: str):
+    """Tape rows as OHLC points: (source, ts_us, order_id, v) with
+    ts = T0 + seq seconds (seq from the doc_id suffix, unique per
+    source stream) and v = n_tok — shared by the f1 OHLC tiers."""
+    import glob as _glob
+
+    from ..timegrid import T0_US
+
+    files = sorted(_glob.glob(sf_dir + "/*.parquet"))
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "source": b["source"],
+                "ts_us": pa.array(T0_US + seq * 1_000_000, pa.int64()),
+                "order_id": pa.array(seq, pa.int64()),
+                "v": pc.cast(b["n_tok"], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(files, columns=["doc_id", "source", "n_tok"])
+    return ds.map_batches(
+        narrow, batch_format="pyarrow", zero_copy_batch=True
+    ), files
+
+
+def f1_ohlc_1h(sf_dir: str) -> Dataset:
+    """T115/F: hourly sequence-length candlesticks over the F1 tape —
+    per (source, 1h bucket): open/high/low/close of n_tok in seq order
+    — E17's OHLC discipline on the flagship's own payload axis (T86
+    gives the hour's length QUANTILES; the candle gives its ORDERED
+    envelope — where the hour started, peaked, bottomed and ended,
+    the shape a batch-packing autoscaler reads for trend, not just
+    level).  Exact int64 (row_number over seq within the hour oracle;
+    seq is unique per source so ties cannot occur).
+
+    Scale shape — stages/rollup.ohlc_rollup verbatim: the associative
+    _ohlc_merge combiner collapses each batch to one partial per
+    (source, hour); ONE hour-hash exchange (salt axis = time)."""
+    from ..stages.rollup import ohlc_rollup
+    from ..timegrid import T0_US
+
+    points, files = _f1_ntok_points(sf_dir)
+    return ohlc_rollup(
+        points, "1h", t0_us=T0_US, k=_doc_k_files(files)
+    )
+
+
+def f1_ohlc_1d_cascaded(sf_dir: str) -> Dataset:
+    """T116/F: daily n_tok candlesticks CASCADED from the hourly tier —
+    the E109 ordered-aggregate cascade on the flagship tape: the day's
+    open is the open of its earliest hour, close the close of its
+    latest, extremes the extremes — reading ONLY the 1h tier's
+    one-row-per-bucket output (the retention story: once the 1h candles
+    are committed, the raw tape can expire and every coarser candle is
+    still derivable).  Exact int64, bit-equal to rolling the RAW tape
+    to 1d directly — the oracle does exactly that, which IS the
+    cascade-correctness statement.
+
+    Scale shape — stages/rollup.ohlc_cascade (one day-hash exchange
+    over 1h partials; no raw re-read)."""
+    from ..stages.rollup import ohlc_cascade
+    from ..timegrid import T0_US
+
+    fine = f1_ohlc_1h(sf_dir)
+    return ohlc_cascade(fine, "1d", t0_us=T0_US, k=8)
