@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_home_hour(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_home_hour
+
+    return events_home_hour(sf_dir)
+
+
 def _q_events_ohlc_1d_cascaded(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_ohlc_1d_cascaded
 
@@ -1239,6 +1245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_segment_priority": rel.segment_priority_matrix,
+        "events_home_hour": _q_events_home_hour,
+        "doc_ingestion_drift": td.ingestion_drift,
+        "rel_balance_activity": rel.balance_activity_stats,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5475,5 +5484,60 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
             LEFT JOIN a ON a.seg = s.c_mktsegment
                        AND a.prio = p.o_orderpriority
+        """,
+        "events_home_hour": """
+            WITH c AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+                         max(n) AS mx
+                  FROM c GROUP BY 1),
+            sel AS (SELECT c.user_id, min(c.h) AS hh
+                    FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mx
+                    GROUP BY 1)
+            SELECT g.h AS home_hour,
+                   CAST(count(sel.user_id) AS BIGINT) AS n_users,
+                   CAST(COALESCE(sum(m.tot), 0) AS BIGINT) AS n_events
+            FROM (SELECT unnest(generate_series(0, 23)) AS h) g
+            LEFT JOIN sel ON sel.hh = g.h
+            LEFT JOIN m ON m.user_id = sel.user_id
+            GROUP BY 1
+        """,
+        "doc_ingestion_drift": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            f AS (SELECT doc_id * 10 // nn.n AS dec, n_chars,
+                         CAST(len(str_split(text, ' ')) AS BIGINT) AS w,
+                         CAST(len(list_filter(str_split(lower(text), ' '),
+                                              w -> w IN ({stop_list})))
+                              AS BIGINT) AS st
+                  FROM documents, nn),
+            a AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                         CAST(sum(w) AS BIGINT) AS sum_words,
+                         CAST(sum(st) AS BIGINT) AS sum_stop
+                  FROM f GROUP BY 1)
+            SELECT d.dec AS decile,
+                   CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(a.sum_chars, 0) AS BIGINT) AS sum_chars,
+                   CAST(COALESCE(a.sum_words, 0) AS BIGINT) AS sum_words,
+                   CAST(COALESCE(a.sum_stop, 0) AS BIGINT) AS sum_stop
+            FROM (SELECT unnest(generate_series(0, 9)) AS dec) d
+            LEFT JOIN a ON a.dec = d.dec
+        """,
+        "rel_balance_activity": """
+            WITH o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1),
+            c AS (SELECT c_mktsegment AS seg,
+                         CAST(floor(c_acctbal) AS BIGINT) AS b,
+                         CAST(COALESCE(o.n, 0) AS BIGINT) AS n
+                  FROM customer LEFT JOIN o ON o.o_custkey = c_custkey)
+            SELECT seg AS c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(b) AS BIGINT) AS sum_bal,
+                   CAST(sum(b * b) AS BIGINT) AS sum_bal2,
+                   CAST(sum(n) AS BIGINT) AS sum_orders,
+                   CAST(sum(n * n) AS BIGINT) AS sum_orders2,
+                   CAST(sum(b * n) AS BIGINT) AS sum_bal_orders
+            FROM c GROUP BY 1
         """,
     }

@@ -400,6 +400,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "f1_ohlc_1h",
         "f1_ohlc_1d_cascaded",
         "rel_segment_priority",
+        "events_home_hour",
+        "doc_ingestion_drift",
+        "rel_balance_activity",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -8933,3 +8933,119 @@ def events_ohlc_1d_cascaded(sf_dir: str) -> Dataset:
     return ohlc_cascade(
         fine, "1d", t0_us=EVENTS_T0_US, k=_adaptive_k(sf_dir)
     )
+
+
+def events_home_hour(sf_dir: str) -> Dataset:
+    """E110: circadian home-hour board — for each hour-of-day 0-23: the
+    users whose MODAL activity hour it is (ties -> smallest hour) and
+    those users' total events — the user-axis circadian read E93's
+    per-source phase quantiles and E52's seasonal profile aggregate away
+    (E93 says when a SOURCE fires; E110 says when its USERS live — the
+    table a notification scheduler or region-inference heuristic keys
+    off).  One dense row per hour ALWAYS (24 rows, zeros where no user
+    homes).  Exact int64 (two-level GROUP BY + max-count/min-hour join +
+    generate_series densify oracle).
+
+    Scale shape — E36's aggregate-of-aggregates with an argmax fold:
+    per batch one packed np.unique reduces events to (user, hour, n)
+    partials (≤ users × 24 rows); ONE user-hash exchange settles each
+    user's exact 24-cell histogram locally — argmax + event total decided
+    in place, re-reducing to ≤ 24 partial rows per partition; k=1
+    densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        hour = (ts_us % DAY_US) // HOUR_US
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = uid * 24 + hour
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(vals // 24, pa.int64()),
+                "h": pa.array(vals % 24, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "hh": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["u", "h"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, -n, u))
+        uo = u[order]
+        head = np.empty(len(uo), dtype=bool)
+        head[0] = True
+        head[1:] = uo[1:] != uo[:-1]
+        best = order[head]
+        # per-user event totals land on the user's home hour
+        tot = np.zeros(len(best), np.int64)
+        gid = np.cumsum(head) - 1  # group id per sorted row
+        np.add.at(tot, gid, n[order])
+        nu = np.zeros(24, np.int64)
+        ne = np.zeros(24, np.int64)
+        np.add.at(nu, h[best], 1)
+        np.add.at(ne, h[best], tot)
+        return pa.table(
+            {
+                "hh": pa.array(np.arange(24, dtype=np.int64)),
+                "nu": pa.array(nu),
+                "ne": pa.array(ne),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(24, np.int64)
+        ne = np.zeros(24, np.int64)
+        if t.num_rows:
+            hh = t["hh"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu,
+                hh,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne,
+                hh,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "home_hour": pa.array(np.arange(24, dtype=np.int64)),
+                "n_users": pa.array(nu),
+                "n_events": pa.array(ne),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_user = hash_partition_merge(
+        partials, "u", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(per_user, "hh", merge, k=1)

@@ -6973,3 +6973,168 @@ def segment_priority_matrix(sf_dir: str) -> Dataset:
     dim = cust.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "orders"))
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def balance_activity_stats(sf_dir: str) -> Dataset:
+    """R44: balance↔activity sufficient statistics — per c_mktsegment:
+    customers, Σbal, Σbal², Σorders, Σorders², Σbal·orders with bal =
+    floor(c_acctbal) in WHOLE dollars — the exact-int64 normal
+    equations of the "do rich customers order more" regression (Pearson
+    /OLS off-line), E97's sufficient-statistic discipline on the
+    relational axis (R31 thresholds rich customers; R44 keeps the whole
+    joint second moment).  Dollars, not cents, for the SQUARED terms'
+    int64 budget: (10⁴ dollars)² × 10¹⁰ customers ≈ 10¹⁸ < 2⁶³, where
+    cents² would overflow 1000× over.  One dense row per segment ALWAYS
+    (GROUP BY over the customer-defined segment set, never vacuous).
+    Exact int64 (LEFT JOIN + SUM of products oracle; floor(negative)
+    rounds toward −∞ identically in numpy and DuckDB).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (R3's role-union;
+    customers grow with the corpus): order batches pre-reduce to
+    (custkey, n) count partials, customer dim rows ride carrying
+    (segment rank, bal); each partition settles every customer's exact
+    order count (a customer's partials all co-locate), forms the six
+    products locally, and re-reduces to one row per segment; k=1
+    densifying merge (only the tiny segment value list broadcasts)."""
+    segs: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+        .unique("c_mktsegment")
+    )
+    seg_arr = pa.array(segs, pa.string())
+    nseg = len(segs)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        seg = pc.cast(
+            pc.index_in(b["c_mktsegment"], value_set=seg_arr), pa.int64()
+        )
+        bal = np.floor(
+            b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "seg": seg,
+                "bal": pa.array(bal),
+                "n": pa.array(np.zeros(len(bal), np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("one", "sum")])
+        g = g.rename_columns(["k", "n"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "seg": pa.array(np.full(g.num_rows, -1, np.int64)),
+                "bal": pa.array(np.zeros(g.num_rows, np.int64)),
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "seg": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "sum_bal": pa.array([], pa.int64()),
+                "sum_bal2": pa.array([], pa.int64()),
+                "sum_orders": pa.array([], pa.int64()),
+                "sum_orders2": pa.array([], pa.int64()),
+                "sum_bal_orders": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        seg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = seg >= 0
+        d = t.filter(pa.array(is_dim))
+        if d.num_rows == 0:
+            return empty
+        f = t.filter(pa.array(~is_dim))
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dseg = seg[is_dim][order]
+        dbal = d["bal"].combine_chunks().to_numpy(zero_copy_only=False)[
+            order
+        ]
+        cnt = np.zeros(len(dk_s), np.int64)
+        if f.num_rows:
+            fg = f.group_by("k", use_threads=False).aggregate([("n", "sum")])
+            fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            fn = fg["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+            hit = dk_s[pos] == fk
+            np.add.at(cnt, pos[hit], fn[hit])
+        acc = np.zeros((6, nseg), np.int64)
+        np.add.at(acc[0], dseg, 1)
+        np.add.at(acc[1], dseg, dbal)
+        np.add.at(acc[2], dseg, dbal * dbal)
+        np.add.at(acc[3], dseg, cnt)
+        np.add.at(acc[4], dseg, cnt * cnt)
+        np.add.at(acc[5], dseg, dbal * cnt)
+        live = np.flatnonzero(acc[0])
+        return pa.table(
+            {
+                "seg": pa.array(live.astype(np.int64)),
+                "n_customers": pa.array(acc[0][live]),
+                "sum_bal": pa.array(acc[1][live]),
+                "sum_bal2": pa.array(acc[2][live]),
+                "sum_orders": pa.array(acc[3][live]),
+                "sum_orders2": pa.array(acc[4][live]),
+                "sum_bal_orders": pa.array(acc[5][live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((6, nseg), np.int64)
+        if t.num_rows:
+            seg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(
+                [
+                    "n_customers",
+                    "sum_bal",
+                    "sum_bal2",
+                    "sum_orders",
+                    "sum_orders2",
+                    "sum_bal_orders",
+                ]
+            ):
+                np.add.at(
+                    acc[i],
+                    seg,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "c_mktsegment": seg_arr,
+                "n_customers": pa.array(acc[0]),
+                "sum_bal": pa.array(acc[1]),
+                "sum_bal2": pa.array(acc[2]),
+                "sum_orders": pa.array(acc[3]),
+                "sum_orders2": pa.array(acc[4]),
+                "sum_bal_orders": pa.array(acc[5]),
+            }
+        )
+
+    fact = ords.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "orders"))
+    return hash_partition_merge(cells, "seg", merge, k=1)

@@ -10173,3 +10173,99 @@ def f1_ohlc_1d_cascaded(sf_dir: str) -> Dataset:
 
     fine = f1_ohlc_1h(sf_dir)
     return ohlc_cascade(fine, "1d", t0_us=T0_US, k=8)
+
+
+def ingestion_drift(sf_dir: str) -> Dataset:
+    """T117: ingestion-order drift board — per doc_id DECILE (doc_ids
+    are dense 0..N-1 in ingestion order — the invariant T52's
+    length-integrity audit pins): docs, Σn_chars, Σwords, Σstopwords —
+    the quality-drift monitor over crawl time (a corpus whose late
+    deciles shrink or lose stopword mass changed its crawler mix
+    mid-ingest; every per-source board averages this away because the
+    drift axis is ORDER, not source).  N comes from parquet FOOTERS
+    (exact, no data read).  One dense row per decile ALWAYS (10 rows).
+    Exact int64 (count-scalar cross join + integer-divide decile +
+    T10's stopword split semantics oracle).
+
+    Scale shape — ZERO wide exchange (T49's profile): the decile is a
+    stateless function of doc_id and the broadcast footer count; per
+    batch the T10 split/stopword kernels + one np.add.at reduce docs to
+    ≤ 10 partial rows; k=1 densifying merge."""
+    import pyarrow.parquet as pq
+
+    from ..functions import textstats as ts
+    from ..stages.shuffle import hash_partition_merge
+
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(list(ts.STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            parent, weights=is_stop, minlength=batch.num_rows
+        ).astype(np.int64)
+        did = (
+            pc.cast(batch["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        chars = (
+            pc.cast(batch["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dec = did * 10 // n_total
+        acc = np.zeros((4, 10), np.int64)
+        np.add.at(acc[0], dec, 1)
+        np.add.at(acc[1], dec, chars)
+        np.add.at(acc[2], dec, n_words)
+        np.add.at(acc[3], dec, n_stop)
+        return pa.table(
+            {
+                "dec": pa.array(np.arange(10, dtype=np.int64)),
+                "nd": pa.array(acc[0]),
+                "ch": pa.array(acc[1]),
+                "w": pa.array(acc[2]),
+                "st": pa.array(acc[3]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((4, 10), np.int64)
+        if t.num_rows:
+            dec = t["dec"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(["nd", "ch", "w", "st"]):
+                np.add.at(
+                    acc[i],
+                    dec,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(10, dtype=np.int64)),
+                "n_docs": pa.array(acc[0]),
+                "sum_chars": pa.array(acc[1]),
+                "sum_words": pa.array(acc[2]),
+                "sum_stop": pa.array(acc[3]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dec", merge, k=1)
