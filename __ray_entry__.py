@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_gap_by_hour(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_gap_by_hour
+
+    return events_gap_by_hour(sf_dir)
+
+
 def _q_events_home_hour(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_home_hour
 
@@ -1248,6 +1254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_home_hour": _q_events_home_hour,
         "doc_ingestion_drift": td.ingestion_drift,
         "rel_balance_activity": rel.balance_activity_stats,
+        "events_gap_by_hour": _q_events_gap_by_hour,
+        "doc_exclusive_vocab": td.exclusive_vocab,
+        "rel_seasonality": rel.seasonality,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5539,5 +5548,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n * n) AS BIGINT) AS sum_orders2,
                    CAST(sum(b * n) AS BIGINT) AS sum_bal_orders
             FROM c GROUP BY 1
+        """,
+        "events_gap_by_hour": """
+            WITH o AS (SELECT event_type AS source, ts,
+                              lag(ts) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS pts
+                       FROM events),
+                 g AS (SELECT source, CAST(hour(ts) AS BIGINT) AS hour,
+                              (epoch_us(ts) - epoch_us(pts)) // 1000000
+                                  AS gap_s
+                       FROM o WHERE pts IS NOT NULL)
+            SELECT source, hour, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s
+            FROM g GROUP BY 1, 2
+        """,
+        "doc_exclusive_vocab": """
+            WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS wd
+                       FROM documents),
+            c AS (SELECT source, wd, CAST(count(*) AS BIGINT) AS n
+                  FROM w GROUP BY 1, 2),
+            s AS (SELECT wd, CAST(count(*) AS BIGINT) AS ns
+                  FROM c GROUP BY 1)
+            SELECT c.source, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN s.ns = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exclusive,
+                   CAST(sum(CASE WHEN s.ns = 1 THEN c.n ELSE 0 END)
+                        AS BIGINT) AS excl_occurrences
+            FROM c JOIN s ON s.wd = c.wd GROUP BY 1
+        """,
+        "rel_seasonality": """
+            WITH a AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+                              CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS rev
+                       FROM orders GROUP BY 1, 2),
+            b AS (SELECT m, CAST(sum(n) AS BIGINT) AS n_orders,
+                         CAST(sum(rev) AS BIGINT) AS revenue_floor,
+                         CAST(count(*) AS BIGINT) AS n_years
+                  FROM a GROUP BY 1)
+            SELECT g.m AS month,
+                   CAST(COALESCE(b.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(b.revenue_floor, 0) AS BIGINT)
+                       AS revenue_floor,
+                   CAST(COALESCE(b.n_years, 0) AS BIGINT) AS n_years
+            FROM (SELECT unnest(generate_series(1, 12)) AS m) g
+            LEFT JOIN b ON b.m = g.m
         """,
     }

@@ -403,6 +403,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_home_hour",
         "doc_ingestion_drift",
         "rel_balance_activity",
+        "events_gap_by_hour",
+        "doc_exclusive_vocab",
+        "rel_seasonality",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -9049,3 +9049,155 @@ def events_home_hour(sf_dir: str) -> Dataset:
         partials, "u", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(per_user, "hh", merge, k=1)
+
+
+def events_gap_by_hour(
+    sf_dir: str,
+    window_us: int = TEMPORAL_WINDOW_US,
+    qs: tuple[int, ...] = (500, 900),
+) -> Dataset:
+    """E111: inter-arrival quantiles BY HOUR OF DAY — per (source,
+    hour-of-day of the LATER event): n_gaps + discrete p50/p90 of the
+    floor-second gap between consecutive events in (ts, event_id) order
+    — E81's liveness SLO number conditioned on the clock (a source
+    whose p50 gap collapses at peak hours and balloons overnight needs
+    hour-aware alert thresholds; E81's single number can't say which).
+    Rows exist iff the (source, hour) cell saw an arrival with a
+    predecessor (GROUP BY shape, matching the SQL lag + WHERE).  Exact
+    int64 under the quantile_disc rank rule (lag + hour() +
+    quantile_disc oracle).
+
+    Scale shape — E81's order-dependent machinery verbatim ((source,
+    ts-window) sub-partitioning + the shared `_last_event_carries`
+    predecessor round), the bounded histogram just keyed one axis finer:
+    flooring gaps to seconds bounds the value domain, so partitions
+    reduce to (source, hour, gap_s, n) partials (≤ 24× E81's, still
+    value-domain-bounded whatever the corpus size) and every cell's
+    quantiles read off one cumulative sum in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts_, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts_[:-1]
+        sel = has_prev & ~crs
+        if not sel.any():
+            return empty
+        gaps = (ts_[sel] - pt[sel]) // 1_000_000
+        hour = (ts_[sel] % DAY_US) // HOUR_US
+        cell = ks[sel] * 24 + hour
+        order2 = np.lexsort((gaps, cell))
+        c2, g2 = cell[order2], gaps[order2]
+        new = np.empty(len(order2), dtype=bool)
+        new[0] = True
+        new[1:] = (c2[1:] != c2[:-1]) | (g2[1:] != g2[:-1])
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "cell": pa.array(c2[st], pa.int64()),
+                "gap_s": pa.array(g2[st], pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(st, len(order2))).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+    names = tuple(f"p{q // 10}_s" for q in qs)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "hour": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by(["cell", "gap_s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        cc = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["gap_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, cc))
+        c2, v2, f2 = cc[order], vv[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = c2[1:] != c2[:-1]
+        sstart = np.flatnonzero(news)
+        send = np.append(sstart[1:], len(order))
+        out = {"s": [], "h": [], "n_gaps": [], **{c: [] for c in names}}
+        for a, b in zip(sstart, send):
+            vals, freq = v2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            out["s"].append(int(c2[a]) // 24)
+            out["h"].append(int(c2[a]) % 24)
+            out["n_gaps"].append(nt)
+            for q, c in zip(qs, names):
+                thr = (nt * q + 999) // 1000
+                out[c].append(int(vals[np.searchsorted(cum, thr)]))
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["s"], pa.int64())),
+                "hour": pa.array(out["h"], pa.int64()),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                **{c: pa.array(out[c], pa.int64()) for c in names},
+            }
+        )
+
+    return hash_partition_merge(partials, "cell", merge, k=1)

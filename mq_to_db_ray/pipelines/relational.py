@@ -7138,3 +7138,87 @@ def balance_activity_stats(sf_dir: str) -> Dataset:
     dim = cust.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "orders"))
     return hash_partition_merge(cells, "seg", merge, k=1)
+
+
+def seasonality(sf_dir: str) -> Dataset:
+    """R45: order-seasonality profile — per calendar month 1-12 across
+    ALL years: orders, floored o_totalprice revenue, and the DISTINCT
+    years contributing (so a month's totals are readable as
+    per-year-normalizable) — the month-of-year demand curve R3/R28 cut
+    by year and R24 by month-SEQUENCE but nothing folds across years
+    (inventory pre-positioning reads the fold, not the sequence).  One
+    dense row per month ALWAYS.  Exact int64 (month()/year() GROUP BY +
+    generate_series densify oracle).
+
+    Scale shape — ZERO wide exchange: month and year are batch-local
+    kernels; per batch one packed np.unique reduces orders to
+    (month, year, n, rev) partials over a ≤ 12 × years domain; the k=1
+    merge settles distinct-year counts exactly (every (month, year)
+    cell co-locates) and densifies."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        months = ts.astype("datetime64[us]").astype("datetime64[M]")
+        yr = months.astype("datetime64[Y]").astype(np.int64) + 1970
+        mo = months.astype(np.int64) % 12 + 1
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key = yr * 16 + mo
+        t = pa.table(
+            {
+                "k": pa.array(key),
+                "n": pa.array(np.ones(len(key), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["k", "n", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_ord = np.zeros(13, np.int64)
+        rev = np.zeros(13, np.int64)
+        n_yr = np.zeros(13, np.int64)
+        if t.num_rows:
+            g = t.group_by("k", use_threads=False).aggregate(
+                [("n", "sum"), ("rev", "sum")]
+            )
+            k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            mo = k % 16
+            np.add.at(
+                n_ord,
+                mo,
+                g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                rev,
+                mo,
+                g["rev_sum"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+            np.add.at(n_yr, mo, 1)
+        m = np.arange(1, 13, dtype=np.int64)
+        return pa.table(
+            {
+                "month": pa.array(m),
+                "n_orders": pa.array(n_ord[1:]),
+                "revenue_floor": pa.array(rev[1:]),
+                "n_years": pa.array(n_yr[1:]),
+            }
+        )
+
+    partials = ords.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "k", merge, k=1)

@@ -10269,3 +10269,139 @@ def ingestion_drift(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dec", merge, k=1)
+
+
+def exclusive_vocab(sf_dir: str) -> Dataset:
+    """T118: vocabulary-exclusivity board — per source: distinct word
+    types, types appearing in NO other source (exclusive), and this
+    source's occurrences of those exclusive types — the
+    domain-specificity read next to T30's per-doc distinctive terms and
+    T57's pairwise vocab overlap (T57 says how much two sources share;
+    T118 says how much of each source's vocabulary is its ALONE — high
+    exclusive mass = jargon/template vocabulary a general tokenizer
+    will shatter into bytes, the T36 fertility risk localized to its
+    cause).  One dense row per source ALWAYS.  Exact int64 (unnest +
+    per-(source, word) counts + per-word source-count join oracle; the
+    64-bit hash only ROUTES — the exact word string rides the exchange
+    and decides identity, T4's convention).
+
+    Scale shape — ONE word-hash exchange over (source, word) cells:
+    batches pre-reduce with one split + one Arrow group_by to (hash,
+    source, word, n) cells; the word's partition holds EVERY source's
+    cell for it, so the per-word source count (the exclusivity test) is
+    decided locally and re-reduces IN PLACE to per-source triples —
+    O(partitions × sources) rows reach the k=1 densifying merge; the
+    vocabulary never lands on one node."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "w": flat,
+                "src": pa.array(code[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        # per-word source count via dictionary codes (exact strings)
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nsrc_per_word = np.bincount(wid)
+        excl = nsrc_per_word[wid] == 1
+        nt = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        no = np.zeros(ns, np.int64)
+        np.add.at(nt, src, 1)
+        np.add.at(ne, src, excl)
+        np.add.at(no, src, np.where(excl, n, 0))
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "ne": pa.array(ne[live]),
+                "no": pa.array(no[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((3, ns), np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(["nt", "ne", "no"]):
+                np.add.at(
+                    acc[i],
+                    src,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_types": pa.array(acc[0]),
+                "n_exclusive": pa.array(acc[1]),
+                "excl_occurrences": pa.array(acc[2]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "src", merge, k=1)
