@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_weekpart(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_weekpart_board
+
+    return events_weekpart_board(sf_dir)
+
+
 def _q_events_gap_by_hour(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_gap_by_hour
 
@@ -1257,6 +1263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_by_hour": _q_events_gap_by_hour,
         "doc_exclusive_vocab": td.exclusive_vocab,
         "rel_seasonality": rel.seasonality,
+        "events_weekpart_board": _q_events_weekpart,
+        "doc_vocab_intro_deciles": td.vocab_intro_deciles,
+        "rel_returns_trend": rel.returns_trend,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5595,5 +5604,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.n_years, 0) AS BIGINT) AS n_years
             FROM (SELECT unnest(generate_series(1, 12)) AS m) g
             LEFT JOIN b ON b.m = g.m
+        """,
+        "events_weekpart_board": """
+            WITH d AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS day,
+                              CASE WHEN dayofweek(ts) IN (0, 6)
+                                   THEN 1 ELSE 0 END AS wk,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(floor(value)) AS BIGINT) AS v
+                       FROM events GROUP BY 1, 2, 3),
+            a AS (SELECT source, wk, CAST(sum(n) AS BIGINT) AS n_events,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(v) AS BIGINT) AS value_units
+                  FROM d GROUP BY 1, 2)
+            SELECT s.source, CAST(g.wk AS BIGINT) AS is_weekend,
+                   CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(a.n_days, 0) AS BIGINT) AS n_days,
+                   CAST(COALESCE(a.value_units, 0) AS BIGINT)
+                       AS value_units
+            FROM (SELECT DISTINCT event_type AS source FROM events) s
+            CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wk) g
+            LEFT JOIN a ON a.source = s.source AND a.wk = g.wk
+        """,
+        "doc_vocab_intro_deciles": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+                  FROM documents),
+            f AS (SELECT wd, min(doc_id) AS fd,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM w GROUP BY 1),
+            a AS (SELECT fd * 10 // nn.c AS dec,
+                         CAST(count(*) AS BIGINT) AS new_types,
+                         CAST(sum(n) AS BIGINT) AS occurrences
+                  FROM f, nn GROUP BY 1)
+            SELECT d.dec AS decile,
+                   CAST(COALESCE(a.new_types, 0) AS BIGINT) AS new_types,
+                   CAST(COALESCE(a.occurrences, 0) AS BIGINT)
+                       AS occurrences
+            FROM (SELECT unnest(generate_series(0, 9)) AS dec) d
+            LEFT JOIN a ON a.dec = d.dec
+        """,
+        "rel_returns_trend": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS returned_lines,
+                   CAST(sum(CAST(floor(100 * l_extendedprice) AS BIGINT))
+                        AS BIGINT) AS rev_cents,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                                 THEN CAST(floor(100 * l_extendedprice)
+                                           AS BIGINT)
+                                 ELSE 0 END) AS BIGINT)
+                       AS returned_rev_cents
+            FROM lineitem GROUP BY 1
         """,
     }

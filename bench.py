@@ -406,6 +406,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_gap_by_hour",
         "doc_exclusive_vocab",
         "rel_seasonality",
+        "events_weekpart_board",
+        "doc_vocab_intro_deciles",
+        "rel_returns_trend",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

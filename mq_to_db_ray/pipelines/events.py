@@ -9201,3 +9201,123 @@ def events_gap_by_hour(
         )
 
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def events_weekpart_board(sf_dir: str) -> Dataset:
+    """E112: weekday/weekend split board — per (source, is_weekend):
+    events, DISTINCT active UTC days, Σfloor(value) — the two-regime
+    capacity read E104/E107 resolve into 168 cells but planners consume
+    as one ratio ("do we staff weekends"); distinct active days make
+    the two regimes rate-comparable (events/day, not raw counts —
+    weekends are 2/7 of the calendar).  is_weekend uses DuckDB's
+    Sunday-0 dayofweek (dow 0 or 6).  One dense row per (source,
+    weekpart) ALWAYS (both regimes shown, zeros where silent).  Exact
+    int64 (dayofweek CASE + two-level GROUP BY + densify oracle).
+
+    Scale shape — bounded-domain distinct-day settle: per batch one
+    packed np.unique reduces events to (source, weekpart, day, n, Σv)
+    partials (day domain bounded by retention); ONE (source, day)-hash
+    exchange dedupes days exactly and re-reduces IN PLACE to per-(source,
+    weekpart) triples; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        day = ts_us // DAY_US
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 32) + day
+        vals, inv = np.unique(packed, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sv = np.zeros(len(vals), np.int64)
+        np.add.at(sv, inv, v)
+        return pa.table(
+            {
+                "sd": pa.array(vals, pa.int64()),
+                "n": pa.array(n),
+                "v": pa.array(sv),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "sv": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sd", use_threads=False).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = sd >> 32
+        day = sd & 0xFFFFFFFF
+        dow = (day + 4) % 7
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        cell = src * 2 + wk
+        ne = np.zeros(2 * ns, np.int64)
+        nd = np.zeros(2 * ns, np.int64)
+        sv = np.zeros(2 * ns, np.int64)
+        np.add.at(ne, cell, n)
+        np.add.at(nd, cell, 1)  # each (source, day) settles exactly once
+        np.add.at(sv, cell, v)
+        live = np.flatnonzero(ne)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "ne": pa.array(ne[live]),
+                "nd": pa.array(nd[live]),
+                "sv": pa.array(sv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((3, 2 * ns), np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(["ne", "nd", "sv"]):
+                np.add.at(
+                    acc[i],
+                    cell,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        idx = np.arange(2 * ns, dtype=np.int64)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(idx // 2)),
+                "is_weekend": pa.array(idx % 2),
+                "n_events": pa.array(acc[0]),
+                "n_days": pa.array(acc[1]),
+                "value_units": pa.array(acc[2]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -7222,3 +7222,89 @@ def seasonality(sf_dir: str) -> Dataset:
 
     partials = ords.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "k", merge, k=1)
+
+
+def returns_trend(sf_dir: str) -> Dataset:
+    """R46: returns trend board — per ship YEAR: lines, RETURNED lines
+    (l_returnflag = 'R'), floored revenue cents, returned revenue cents
+    — the quality-regression trend R1 freezes into one flag cut (a
+    rising returned-revenue share year over year is a supplier-quality
+    or product-mix drift; the year axis is what the review meeting
+    plots).  GROUP BY shape over observed ship years (never vacuous —
+    every year present has lines).  Exact int64 (year() + CASE + SUM
+    oracle).
+
+    Scale shape — ZERO wide exchange (R1's profile): year and flag are
+    batch-local kernels; one floor + one np.add.at over the ≤ years
+    domain reduces each batch to a handful of partials; k=1 merge."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_returnflag", "l_extendedprice"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
+                np.int64
+            )
+            + 1970
+        )
+        cents = np.floor(
+            100.0
+            * b["l_extendedprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ret = (
+            pc.equal(b["l_returnflag"], "R")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "yr": pa.array(yr),
+                "n": pa.array(np.ones(len(yr), np.int64)),
+                "nr": pa.array(ret),
+                "rev": pa.array(cents),
+                "rrev": pa.array(cents * ret),
+            }
+        )
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("n", "sum"), ("nr", "sum"), ("rev", "sum"), ("rrev", "sum")]
+        )
+        return g.rename_columns(["yr", "n", "nr", "rev", "rrev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ship_year": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "returned_lines": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                    "returned_rev_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("n", "sum"), ("nr", "sum"), ("rev", "sum"), ("rrev", "sum")]
+        )
+        return g.rename_columns(
+            [
+                "ship_year",
+                "n_lines",
+                "returned_lines",
+                "rev_cents",
+                "returned_rev_cents",
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "yr", merge, k=1)

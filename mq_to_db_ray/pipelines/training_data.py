@@ -10405,3 +10405,129 @@ def exclusive_vocab(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def vocab_intro_deciles(sf_dir: str) -> Dataset:
+    """T119: vocabulary-introduction deciles — per doc_id DECILE (T117's
+    dense-ingestion-order invariant): word types FIRST seen there
+    (global min doc_id attribution — T61's first-introduction rule on
+    the vocabulary axis) and those types' TOTAL corpus occurrences —
+    the vocabulary-growth curve read with T117's drift board (a healthy
+    crawl introduces most mass early and flattens; late deciles still
+    minting heavy types = the source mix shifted, T24's vocab needs
+    rebuilding).  One dense row per decile ALWAYS.  Exact int64
+    (min(doc_id) + count-scalar decile + densify oracle).
+
+    Scale shape — ONE word-hash exchange: batches pre-reduce with one
+    split + one Arrow group_by to (hash, word, min_doc, n) cells; the
+    word's partition holds every cell for it, so the GLOBAL first
+    introduction (min over mins) and total count settle locally,
+    re-reducing IN PLACE to ≤ 10 partial rows per partition; k=1
+    densifying merge.  The vocabulary never lands on one node."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        did = (
+            pc.cast(batch["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "w": flat,
+                "d": pa.array(did[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by("w", use_threads=False).aggregate(
+            [("d", "min"), ("n", "sum")]
+        )
+        g = g.rename_columns(["w", "md", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "md": pc.cast(g["md"], pa.int64()),
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dec": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("w", use_threads=False).aggregate(
+            [("md", "min"), ("n", "sum")]
+        )
+        md = g["md_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dec = md * 10 // n_total
+        nt = np.zeros(10, np.int64)
+        occ = np.zeros(10, np.int64)
+        np.add.at(nt, dec, 1)
+        np.add.at(occ, dec, n)
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "dec": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "occ": pa.array(occ[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nt = np.zeros(10, np.int64)
+        occ = np.zeros(10, np.int64)
+        if t.num_rows:
+            dec = t["dec"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nt,
+                dec,
+                t["nt"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                occ,
+                dec,
+                t["occ"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(10, dtype=np.int64)),
+                "new_types": pa.array(nt),
+                "occurrences": pa.array(occ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "dec", merge, k=1)
