@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_src_concurrency(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_source_concurrency
+
+    return events_source_concurrency(sf_dir)
+
+
 def _q_events_weekpart(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_weekpart_board
 
@@ -1266,6 +1272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekpart_board": _q_events_weekpart,
         "doc_vocab_intro_deciles": td.vocab_intro_deciles,
         "rel_returns_trend": rel.returns_trend,
+        "events_source_concurrency": _q_events_src_concurrency,
+        "doc_quality_by_decile": td.quality_by_decile,
+        "rel_top_parts": rel.top_parts,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5658,5 +5667,74 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0 END) AS BIGINT)
                        AS returned_rev_cents
             FROM lineitem GROUP BY 1
+        """,
+        "events_source_concurrency": """
+            WITH m AS (SELECT DISTINCT date_trunc('minute', ts) AS b,
+                                       event_type
+                       FROM events),
+            c AS (SELECT b, CAST(count(*) AS BIGINT) AS k
+                  FROM m GROUP BY 1)
+            SELECT k AS n_sources, CAST(count(*) AS BIGINT) AS n_minutes
+            FROM c GROUP BY 1
+        """,
+        "doc_quality_by_decile": f"""
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            t AS (SELECT doc_id, lang, text,
+                         str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN ({stop_list})
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word
+                         FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1),
+            kept AS (SELECT t.doc_id
+                     FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id)
+                     WHERE t.lang = 'en'
+                       AND rep.n BETWEEN 20 AND 90
+                       AND floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+                       AND floor(1000.0*rep.m/rep.n) <= 130
+                       AND floor(1000.0*st.s/rep.n) >= 20
+                       AND t.doc_id NOT IN (SELECT doc_id FROM hit)),
+            tot AS (SELECT doc_id * 10 // nn.c AS dec,
+                           CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents, nn GROUP BY 1),
+            pas AS (SELECT doc_id * 10 // nn.c AS dec,
+                           CAST(count(*) AS BIGINT) AS n_pass
+                    FROM kept, nn GROUP BY 1)
+            SELECT d.dec AS decile,
+                   CAST(COALESCE(tot.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(pas.n_pass, 0) AS BIGINT) AS n_pass
+            FROM (SELECT unnest(generate_series(0, 9)) AS dec) d
+            LEFT JOIN tot ON tot.dec = d.dec
+            LEFT JOIN pas ON pas.dec = d.dec
+        """,
+        "rel_top_parts": """
+            WITH r AS (SELECT l_partkey,
+                              CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT)
+                                  AS revenue_floor
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT p.p_partkey, p.p_brand, r.n_lines,
+                         r.revenue_floor,
+                         CAST(row_number() OVER (
+                             ORDER BY r.revenue_floor DESC, p.p_partkey)
+                             AS BIGINT) AS rank
+                  FROM r JOIN part p ON p.p_partkey = r.l_partkey)
+            SELECT p_partkey, p_brand, n_lines, revenue_floor, rank
+            FROM j WHERE rank <= 10
         """,
     }

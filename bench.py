@@ -409,6 +409,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_weekpart_board",
         "doc_vocab_intro_deciles",
         "rel_returns_trend",
+        "events_source_concurrency",
+        "doc_quality_by_decile",
+        "rel_top_parts",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

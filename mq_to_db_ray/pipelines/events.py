@@ -9321,3 +9321,93 @@ def events_weekpart_board(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def events_source_concurrency(sf_dir: str) -> Dataset:
+    """E113: source-concurrency histogram — for each k: minutes in which
+    EXACTLY k distinct sources were active — the co-activity profile of
+    the whole tape in one curve (all mass at k = sources: lockstep
+    telemetry; mass at k = 1: disjoint duty cycles — what a bin-packing
+    scheduler or a shared-sink capacity model reads first); E38 counts
+    users within a source-minute, E113 counts SOURCES across the
+    minute axis.  GROUP BY shape (a k row exists iff some minute hit
+    it).  Exact int64 (DISTINCT two-level GROUP BY oracle).
+
+    Scale shape — E36's aggregate-of-aggregates on the minute axis: per
+    batch one packed np.unique reduces events to distinct (minute,
+    source) cells; ONE minute-hash exchange dedupes each minute's cells
+    exactly and re-reduces IN PLACE to (k, n_minutes) partials — at
+    most `sources` distinct k values per partition; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        minute = ts_us // 60_000_000
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = np.unique(minute * len(srcs) + code)
+        return pa.table({"mc": pa.array(packed, pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        mc = np.unique(
+            t["mc"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        minutes = mc // len(srcs)
+        _, per_minute = np.unique(minutes, return_counts=True)
+        kv, freq = np.unique(per_minute, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(kv.astype(np.int64)),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_sources": pa.array([], pa.int64()),
+                    "n_minutes": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("k", use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["n_sources", "n_minutes"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # route whole minutes to one partition: key = minute (mc // len)
+    def rekey(b: pa.Table) -> pa.Table:
+        mc = b["mc"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "mc": b["mc"],
+                "m": pa.array(mc // len(srcs), pa.int64()),
+            }
+        )
+
+    keyed = partials.map_batches(rekey, batch_format="pyarrow")
+    cells = hash_partition_merge(keyed, "m", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "k", merge, k=1)

@@ -7308,3 +7308,154 @@ def returns_trend(sf_dir: str) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "yr", merge, k=1)
+
+
+def top_parts(sf_dir: str, top_k: int = 10) -> Dataset:
+    """R47: top-k parts by discounted revenue (R9's Q10 shape pointed at
+    the part axis) — the top_k parts by Σ floor(extprice·(1−disc)) with
+    p_brand attached and line counts, ties p_partkey ASC, 1-based rank —
+    the SKU drill-down behind R5's brand volume totals (the brand board
+    says WHICH BRAND earns; the buyer negotiating a part contract needs
+    WHICH PART).  Exact int64 (join + ORDER BY LIMIT oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange + local top-k
+    (R9's discipline): line batches pre-reduce to (partkey, n, rev)
+    partials; part dim rows ride the exchange carrying the brand rank;
+    each partition settles exact per-part totals, attaches the brand,
+    and emits only its LOCAL top-k candidates — O(partitions × k) rows
+    reach the k=1 merge's final sort; parts never broadcast, the full
+    per-part total list never lands on one node."""
+    brands: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+        .unique("p_brand")
+    )
+    brand_arr = pa.array(brands, pa.string())
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        br = pc.cast(
+            pc.index_in(b["p_brand"], value_set=brand_arr), pa.int64()
+        )
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "br": br,
+                "n": z,
+                "rev": z,
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        disc = b["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        rev = np.floor(ext * (1.0 - disc)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "one": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("one", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "rev"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "br": pa.array(np.full(g.num_rows, -1, np.int64)),
+                "n": pc.cast(g["n"], pa.int64()),
+                "rev": pc.cast(g["rev"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "br": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = br >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dbr = br[is_dim][order]
+        fg = f.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = fg["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = fg["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        fk, fn, fr, fb = fk[hit], fn[hit], fr[hit], dbr[pos[hit]]
+        # local top-k candidates: rev DESC, partkey ASC
+        sel = np.lexsort((fk, -fr))[:top_k]
+        return pa.table(
+            {
+                "k": pa.array(fk[sel].astype(np.int64)),
+                "br": pa.array(fb[sel].astype(np.int64)),
+                "n": pa.array(fn[sel].astype(np.int64)),
+                "rev": pa.array(fr[sel].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "p_brand": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        sel = np.lexsort((k, -rev))[:top_k]
+        return pa.table(
+            {
+                "p_partkey": pa.array(k[sel].astype(np.int64)),
+                "p_brand": brand_arr.take(
+                    pa.array(br[sel].astype(np.int64))
+                ),
+                "n_lines": pa.array(n[sel].astype(np.int64)),
+                "revenue_floor": pa.array(rev[sel].astype(np.int64)),
+                "rank": pa.array(
+                    np.arange(1, len(sel) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "k", merge, k=1)

@@ -10531,3 +10531,72 @@ def vocab_intro_deciles(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
     return hash_partition_merge(cells, "dec", merge, k=1)
+
+
+def quality_by_decile(sf_dir: str) -> Dataset:
+    """T120: quality pass-rate by ingestion decile — per doc_id decile
+    (T117's dense-order invariant): total docs (exact arithmetic from
+    the footer count — {i : i·10//N = d} needs no scan) and docs
+    SURVIVING T29's fused quality filter — T117 shows the raw drift
+    (sizes, stopword mass); T120 shows whether the drift CROSSES the
+    production keep-thresholds (a late decile whose pass-rate falls off
+    a cliff is the actionable alarm; drifting sums that still pass are
+    noise).  Pure composition: the filter is T29 verbatim (same
+    kernels, same broadcast eval shingles), one extra scatter.  One
+    dense row per decile ALWAYS.  Exact int64 (T29's oracle CTE +
+    count-scalar decile + densify).
+
+    Scale shape — T29's single streaming text pass (zero shuffles)
+    feeding a 10-cell scatter; ≤ 10 partial rows per batch; k=1
+    densifying merge."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import hash_partition_merge
+
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    kept = quality_filter(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dec = did * 10 // n_total
+        npass = np.zeros(10, np.int64)
+        np.add.at(npass, dec, 1)
+        return pa.table(
+            {
+                "dec": pa.array(np.arange(10, dtype=np.int64)),
+                "np": pa.array(npass),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        npass = np.zeros(10, np.int64)
+        if t.num_rows:
+            dec = t["dec"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                npass,
+                dec,
+                t["np"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        d = np.arange(10, dtype=np.int64)
+        # |{i in [0, N): i*10//N == d}| = ceil((d+1)N/10) - ceil(dN/10)
+        hi = ((d + 1) * n_total + 9) // 10
+        lo = (d * n_total + 9) // 10
+        return pa.table(
+            {
+                "decile": pa.array(d),
+                "n_docs": pa.array(hi - lo),
+                "n_pass": pa.array(npass),
+            }
+        )
+
+    partials = kept.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dec", merge, k=1)
