@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_id_audit(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_id_audit
+
+    return events_id_audit(sf_dir)
+
+
 def _q_events_src_concurrency(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_source_concurrency
 
@@ -1275,6 +1281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_concurrency": _q_events_src_concurrency,
         "doc_quality_by_decile": td.quality_by_decile,
         "rel_top_parts": rel.top_parts,
+        "events_id_audit": _q_events_id_audit,
+        "doc_vocab_churn": td.vocab_churn,
+        "rel_integrity_audit": rel.integrity_audit,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5736,5 +5745,50 @@ def oracle_sql() -> dict[str, str]:
                   FROM r JOIN part p ON p.p_partkey = r.l_partkey)
             SELECT p_partkey, p_brand, n_lines, revenue_floor, rank
             FROM j WHERE rank <= 10
+        """,
+        "events_id_audit": """
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(max(event_id) - min(event_id) + 1
+                        - count(DISTINCT event_id) AS BIGINT)
+                       AS n_missing,
+                   CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                       AS n_dup_rows
+            FROM events
+        """,
+        "doc_vocab_churn": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            w AS (SELECT DISTINCT doc_id * 10 // nn.c AS dec, wd
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+                        FROM documents), nn),
+            cnt AS (SELECT dec, CAST(count(*) AS BIGINT) AS n
+                    FROM w GROUP BY 1),
+            sh AS (SELECT a.dec AS d, CAST(count(*) AS BIGINT) AS n
+                   FROM w a JOIN w b ON b.wd = a.wd AND b.dec = a.dec + 1
+                   GROUP BY 1)
+            SELECT g.d AS decile,
+                   CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_prev,
+                   CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_next,
+                   CAST(COALESCE(sh.n, 0) AS BIGINT) AS n_shared
+            FROM (SELECT unnest(generate_series(0, 8)) AS d) g
+            LEFT JOIN cnt c1 ON c1.dec = g.d
+            LEFT JOIN cnt c2 ON c2.dec = g.d + 1
+            LEFT JOIN sh ON sh.d = g.d
+        """,
+        "rel_integrity_audit": """
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                       AS n_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                       AS n_lineitems,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                       AS n_orphan_lines,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                      WHERE l.l_orderkey = o.o_orderkey))
+                       AS n_childless_orders
         """,
     }

@@ -412,6 +412,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_source_concurrency",
         "doc_quality_by_decile",
         "rel_top_parts",
+        "events_id_audit",
+        "doc_vocab_churn",
+        "rel_integrity_audit",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -9411,3 +9411,107 @@ def events_source_concurrency(sf_dir: str) -> Dataset:
     keyed = partials.map_batches(rekey, batch_format="pyarrow")
     cells = hash_partition_merge(keyed, "m", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "k", merge, k=1)
+
+
+def events_id_audit(sf_dir: str) -> Dataset:
+    """E114: event-id integrity audit — ONE row: events, min/max
+    event_id, DISTINCT ids, missing ids (span − distinct), duplicate
+    rows (count − distinct) — the reference's missing-delivery-tag
+    check (`consumer.go` tracks per-queue tags; `SURVEY.md §2.1 M6`)
+    applied to the events stream itself, and the events-table sibling
+    of the tape's f1_gap_report: a non-zero missing count means the
+    producer dropped writes, duplicates mean at-least-once delivery
+    leaked through — the first board an ingest incident review opens.
+    Exact int64 (count/min/max/count(DISTINCT) oracle).
+
+    Scale shape — exact distinct over a corpus-sized id space WITHOUT
+    collecting ids: per batch one np.unique dedupes locally; ONE
+    id-hash exchange makes cross-batch copies co-locate, so each
+    partition's post-dedupe count is additive; only (distinct, min,
+    max, rows) 4-tuples — one per partition — reach the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, freq = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(vals, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "z": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("id", use_threads=False).aggregate([("n", "sum")])
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "z": pa.array([0], pa.int64()),
+                "rows": pa.array([int(n.sum())], pa.int64()),
+                "dist": pa.array([len(ids)], pa.int64()),
+                "mn": pa.array([int(ids.min())], pa.int64()),
+                "mx": pa.array([int(ids.max())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_events": pa.array([0], pa.int64()),
+                    "min_id": pa.array([0], pa.int64()),
+                    "max_id": pa.array([0], pa.int64()),
+                    "n_distinct": pa.array([0], pa.int64()),
+                    "n_missing": pa.array([0], pa.int64()),
+                    "n_dup_rows": pa.array([0], pa.int64()),
+                }
+            )
+        rows = int(
+            t["rows"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        )
+        dist = int(
+            t["dist"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        )
+        mn = int(
+            t["mn"].combine_chunks().to_numpy(zero_copy_only=False).min()
+        )
+        mx = int(
+            t["mx"].combine_chunks().to_numpy(zero_copy_only=False).max()
+        )
+        return pa.table(
+            {
+                "n_events": pa.array([rows], pa.int64()),
+                "min_id": pa.array([mn], pa.int64()),
+                "max_id": pa.array([mx], pa.int64()),
+                "n_distinct": pa.array([dist], pa.int64()),
+                "n_missing": pa.array([mx - mn + 1 - dist], pa.int64()),
+                "n_dup_rows": pa.array([rows - dist], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "z", merge, k=1)

@@ -7459,3 +7459,125 @@ def top_parts(sf_dir: str, top_k: int = 10) -> Dataset:
     dim = parts.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "k", merge, k=1)
+
+
+def integrity_audit(sf_dir: str) -> Dataset:
+    """R48: orderkey referential-integrity audit — ONE row: orders,
+    lineitems, ORPHAN lines (orderkey not in orders) and CHILDLESS
+    orders (no lines) — the relational sibling of the engine's reject
+    lane and E114's id audit (the reference acks a message only after
+    its row lands — `SURVEY.md §2.1 M6`; a star schema's equivalent
+    invariant is referential closure, and this board is the check a
+    loader runs before committing an epoch).  Exact int64 (two-sided
+    anti-join count oracle).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange (both sides grow
+    with the corpus): line batches pre-reduce to (orderkey, n) partials,
+    order keys ride as dim rows; each partition decides presence BOTH
+    ways with one searchsorted (absence is decidable only under
+    co-location — R18's anti-join rule) and reduces to a single
+    4-tuple; k=1 merge sums O(partitions) rows."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("one", "sum")])
+        g = g.rename_columns(["k", "n"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "z": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "nl": pa.array([], pa.int64()),
+                    "orphan": pa.array([], pa.int64()),
+                    "childless": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk = np.sort(k[is_dim])
+        fk = k[~is_dim]
+        fn = n[~is_dim]
+        # settle per-order line counts across batch partials
+        fu, inv = np.unique(fk, return_inverse=True)
+        fc = np.zeros(len(fu), np.int64)
+        np.add.at(fc, inv, fn)
+        if len(dk):
+            pos = np.clip(np.searchsorted(dk, fu), 0, len(dk) - 1)
+            in_orders = dk[pos] == fu
+        else:
+            in_orders = np.zeros(len(fu), bool)
+        orphan = int(fc[~in_orders].sum())
+        if len(fu):
+            pos2 = np.clip(np.searchsorted(fu, dk), 0, len(fu) - 1)
+            has_lines = fu[pos2] == dk
+        else:
+            has_lines = np.zeros(len(dk), bool)
+        childless = int((~has_lines).sum())
+        return pa.table(
+            {
+                "z": pa.array([0], pa.int64()),
+                "no": pa.array([int(is_dim.sum())], pa.int64()),
+                "nl": pa.array([int(fn.sum())], pa.int64()),
+                "orphan": pa.array([orphan], pa.int64()),
+                "childless": pa.array([childless], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        def s(c):
+            if t.num_rows == 0:
+                return 0
+            return int(
+                t[c].combine_chunks().to_numpy(zero_copy_only=False).sum()
+            )
+
+        return pa.table(
+            {
+                "n_orders": pa.array([s("no")], pa.int64()),
+                "n_lineitems": pa.array([s("nl")], pa.int64()),
+                "n_orphan_lines": pa.array([s("orphan")], pa.int64()),
+                "n_childless_orders": pa.array([s("childless")], pa.int64()),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = ords.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "z", merge, k=1)

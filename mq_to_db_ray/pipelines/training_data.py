@@ -10600,3 +10600,133 @@ def quality_by_decile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dec", merge, k=1)
+
+
+def vocab_churn(sf_dir: str) -> Dataset:
+    """T121: adjacent-decile vocabulary churn — for each decile
+    boundary d → d+1 (T117's dense-ingestion-order invariant): distinct
+    types in d, in d+1, and SHARED — the stability curve T119's
+    first-introduction view can't draw (T119 counts what's NEW; T121
+    whether the OLD persists — low overlap across a boundary = topic or
+    crawler change, the retention dual of introduction).  One dense row
+    per boundary ALWAYS (9 rows).  Exact int64 (DISTINCT (decile, word)
+    + self-join on dec+1 + densify oracle).
+
+    Scale shape — ONE word-hash exchange with a presence BITMASK
+    riding: batches pre-reduce to (hash, word, OR of 1<<decile) cells
+    (one np.bitwise_or scatter); the word's partition ORs its masks to
+    the exact global presence set, then one vectorized bit-test per
+    boundary re-reduces IN PLACE to ≤ 9 partial rows; k=1 merge.  The
+    vocabulary never lands on one node."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        did = (
+            pc.cast(batch["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dec = (did * 10 // n_total)[parent]
+        t = pa.table(
+            {
+                "w": flat,
+                "m": pa.array((1 << dec).astype(np.int64)),
+            }
+        )
+        # OR-reduce masks per word: sum of distinct powers == OR only
+        # after dedupe, so reduce via max per (word, mask) then group
+        g = (
+            pl.from_arrow(t)
+            .group_by("w")
+            .agg(pl.col("m").unique().sum().alias("m"))
+        )
+        # unique().sum() over powers of two == bitwise OR
+        ga = g.to_arrow()
+        hs = pl.from_arrow(ga.select(["w"]))["w"].hash(seed=42).to_numpy()
+        return pa.table(
+            {
+                "h": pa.array(hs.view(np.int64), pa.int64()),
+                "w": ga["w"],
+                "m": pc.cast(ga["m"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                    "nx": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        mask = np.zeros(nw, np.int64)
+        np.bitwise_or.at(mask, wid, m)
+        np_ = np.zeros(9, np.int64)
+        nx = np.zeros(9, np.int64)
+        sh = np.zeros(9, np.int64)
+        for d in range(9):
+            a = (mask >> d) & 1
+            b = (mask >> (d + 1)) & 1
+            np_[d] = int(a.sum())
+            nx[d] = int(b.sum())
+            sh[d] = int((a & b).sum())
+        return pa.table(
+            {
+                "b": pa.array(np.arange(9, dtype=np.int64)),
+                "np_": pa.array(np_),
+                "nx": pa.array(nx),
+                "sh": pa.array(sh),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((3, 9), np.int64)
+        if t.num_rows:
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(["np_", "nx", "sh"]):
+                np.add.at(
+                    acc[i],
+                    b,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(9, dtype=np.int64)),
+                "n_prev": pa.array(acc[0]),
+                "n_next": pa.array(acc[1]),
+                "n_shared": pa.array(acc[2]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "b", merge, k=1)
