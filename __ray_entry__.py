@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_halfload(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_halfload
+
+    return events_halfload(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1284,6 +1290,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_id_audit": _q_events_id_audit,
         "doc_vocab_churn": td.vocab_churn,
         "rel_integrity_audit": rel.integrity_audit,
+        "events_halfload": _q_events_halfload,
+        "f1_mix_by_hour": lambda sf_dir: td.f1_mix_by_hour(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_brand_momentum": rel.brand_momentum,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5790,5 +5801,66 @@ def oracle_sql() -> dict[str, str]:
                     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                                       WHERE l.l_orderkey = o.o_orderkey))
                        AS n_childless_orders
+        """,
+        "events_halfload": """
+            WITH c AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS d,
+                              (epoch_us(ts) % 86400000000) // 60000000
+                                  AS m,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2, 3),
+            t AS (SELECT source, d, m,
+                         sum(n) OVER (PARTITION BY source, d
+                                      ORDER BY m) AS cum,
+                         sum(n) OVER (PARTITION BY source, d) AS tot
+                  FROM c),
+            x AS (SELECT source, d, CAST(min(m) AS BIGINT) AS mm
+                  FROM t WHERE 2 * cum >= tot GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(quantile_disc(mm, 0.5) AS BIGINT)
+                       AS p50_halfload_minute
+            FROM x GROUP BY 1
+        """,
+        "f1_mix_by_hour": """
+            WITH s AS (SELECT source,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) // 3600 AS h
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            c AS (SELECT h, source, CAST(count(*) AS BIGINT) AS n
+                  FROM s GROUP BY 1, 2),
+            t AS (SELECT h, CAST(sum(n) AS BIGINT) AS tot
+                  FROM c GROUP BY 1)
+            SELECT TIMESTAMP '2026-01-01 00:00:00'
+                     + g.h * INTERVAL 3600 SECOND AS bucket_ts,
+                   src.source,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_seqs,
+                   CAST(1000 * COALESCE(c.n, 0) // t.tot AS BIGINT)
+                       AS share_permille
+            FROM (SELECT DISTINCT h FROM s) g
+            CROSS JOIN (SELECT DISTINCT source
+                        FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+                       src
+            JOIN t ON t.h = g.h
+            LEFT JOIN c ON c.h = g.h AND c.source = src.source
+        """,
+        "rel_brand_momentum": """
+            WITH a AS (SELECT p.p_brand,
+                              CAST(year(l_shipdate) AS BIGINT)
+                                  AS ship_year,
+                              CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT)
+                                  AS revenue_floor
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey
+                       GROUP BY 1, 2)
+            SELECT p_brand, ship_year, n_lines, revenue_floor,
+                   CAST(COALESCE(revenue_floor
+                                 - lag(revenue_floor)
+                                   OVER (PARTITION BY p_brand
+                                         ORDER BY ship_year), 0)
+                        AS BIGINT) AS yoy_delta
+            FROM a
         """,
     }

@@ -415,6 +415,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_id_audit",
         "doc_vocab_churn",
         "rel_integrity_audit",
+        "events_halfload",
+        "f1_mix_by_hour",
+        "rel_brand_momentum",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

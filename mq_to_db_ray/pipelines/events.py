@@ -9515,3 +9515,149 @@ def events_id_audit(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "id", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "z", merge, k=1)
+
+
+def events_halfload(sf_dir: str) -> Dataset:
+    """E115: half-load minute board — per source: active days and the
+    discrete p50 over days of the HALF-LOAD minute-of-day (the earliest
+    minute m where twice the day's cumulative event count reaches the
+    day's total — the load centroid a batch-window planner schedules
+    after: half the day's traffic is already in).  E93 gives the median
+    EVENT's clock time; E115 gives the median DAY's crossing point —
+    robust to one heavy day in a way E93 is not.  One dense row per
+    source ALWAYS.  Exact int64 (window-cumsum crossing + quantile_disc
+    oracle).
+
+    Scale shape — the per-day crossing needs the day's full minute
+    histogram: per batch one packed np.unique reduces events to
+    (source, day, minute, n) partials (≤ 1440/day cells); ONE
+    (source, day)-hash exchange settles each day's histogram locally —
+    one lexsort + cumsum finds the crossing, re-reducing IN PLACE to
+    (source, crossing-minute, n_days) partials over a ≤ sources × 1440
+    domain; the k=1 merge reads the p50 off one cumsum per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        day = ts_us // DAY_US
+        minute = (ts_us % DAY_US) // 60_000_000
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = (code * (1 << 32) + day) * 1440 + minute
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals // 1440, pa.int64()),
+                "m": pa.array(vals % 1440, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "cm": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["sd", "m"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, sd))
+        sdo, mo, no = sd[order], m[order], n[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = sdo[1:] != sdo[:-1]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        tot = np.zeros(gid[-1] + 1, np.int64)
+        np.add.at(tot, gid, no)
+        cum = np.cumsum(no)
+        base = np.zeros(len(no), np.int64)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        run_base = np.maximum.accumulate(base)
+        within = cum - run_base
+        crossed = 2 * within >= tot[gid]
+        # earliest crossing minute per (source, day) group
+        first_idx = np.zeros(gid[-1] + 1, np.int64)
+        seen = np.zeros(gid[-1] + 1, bool)
+        idxs = np.flatnonzero(crossed)
+        # reverse scatter keeps the FIRST crossing per group
+        for_gid = gid[idxs]
+        first_idx[for_gid[::-1]] = idxs[::-1]
+        seen[for_gid] = True
+        cm = mo[first_idx[seen]]
+        src = sdo[starts][seen] >> 32
+        t2 = pa.table(
+            {
+                "sc": pa.array(src * 1440 + cm, pa.int64()),
+                "one": pa.array(np.ones(len(cm), np.int64)),
+            }
+        )
+        g2 = t2.group_by("sc", use_threads=False).aggregate([("one", "sum")])
+        sc = g2["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(sc // 1440, pa.int64()),
+                "cm": pa.array(sc % 1440, pa.int64()),
+                "nd": pc.cast(g2["one_sum"], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_days = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by(["src", "cm"], use_threads=False).aggregate(
+                [("nd", "sum")]
+            )
+            src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            cm = g["cm"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((cm, src))
+            so, co, no = src[order], cm[order], nd[order]
+            new = np.empty(len(order), dtype=bool)
+            new[0] = True
+            new[1:] = so[1:] != so[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(order))
+            for a, b in zip(starts, ends):
+                tot = int(no[a:b].sum())
+                n_days[so[a]] = tot
+                thr = (tot * 500 + 999) // 1000
+                cumv = np.cumsum(no[a:b])
+                p50[so[a]] = co[a:b][np.searchsorted(cumv, thr)]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(n_days),
+                "p50_halfload_minute": pa.array(p50),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "src", merge, k=1)

@@ -7581,3 +7581,176 @@ def integrity_audit(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "z", merge, k=1)
+
+
+def brand_momentum(sf_dir: str) -> Dataset:
+    """R49: brand revenue momentum — per (p_brand, ship year): lines,
+    floored discounted revenue, and the YoY DELTA vs the brand's
+    previous observed year (0 for its first year — R25's lag
+    convention) — R25's yearly-growth window cut per brand (the
+    category manager's question is which BRAND is gaining, not whether
+    the book grew).  GROUP BY shape over observed (brand, year) cells.
+    Exact int64 (join + two-key GROUP BY + lag window oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (R39's
+    role-union; parts grow with the corpus): line batches pre-reduce to
+    (partkey, year, n, rev) partials, part dim rows ride carrying the
+    brand rank; per-partition searchsorted attach re-reduces to the
+    ≤ brands × years domain; the k=1 merge settles cell totals and
+    applies the lag along each brand's year axis (a driver-side
+    O(brands × years) window, never corpus-sized)."""
+    brands: list[str] = sorted(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+        .unique("p_brand")
+    )
+    brand_arr = pa.array(brands, pa.string())
+    nb = len(brands)
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        br = pc.cast(
+            pc.index_in(b["p_brand"], value_set=brand_arr), pa.int64()
+        )
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "br": br,
+                "yr": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": z,
+                "rev": z,
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
+                np.int64
+            )
+            + 1970
+        )
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        disc = b["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        rev = np.floor(ext * (1.0 - disc)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "yr": pa.array(yr),
+                "one": pa.array(np.ones(len(yr), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "yr"], use_threads=False).aggregate(
+            [("one", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "yr", "n", "rev"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "br": pa.array(np.full(g.num_rows, -1, np.int64)),
+                "yr": g["yr"],
+                "n": pc.cast(g["n"], pa.int64()),
+                "rev": pc.cast(g["rev"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = br >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dbr = br[is_dim][order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fyr = f["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = f["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        cell = dbr[pos][hit] * 4096 + fyr[hit]
+        t2 = pa.table(
+            {
+                "cell": pa.array(cell.astype(np.int64)),
+                "n": pa.array(fn[hit]),
+                "rev": pa.array(fr[hit]),
+            }
+        )
+        g = t2.group_by("cell", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["cell", "n", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "ship_year": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                    "yoy_delta": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = g["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        br = cell // 4096
+        yr = cell % 4096
+        order = np.lexsort((yr, br))
+        bro, yro, no, revo = br[order], yr[order], n[order], rev[order]
+        delta = np.zeros(len(order), np.int64)
+        same = np.zeros(len(order), bool)
+        same[1:] = bro[1:] == bro[:-1]
+        delta[same] = revo[same] - revo[np.flatnonzero(same) - 1]
+        return pa.table(
+            {
+                "p_brand": brand_arr.take(
+                    pa.array(bro.astype(np.int64))
+                ),
+                "ship_year": pa.array(yro.astype(np.int64)),
+                "n_lines": pa.array(no.astype(np.int64)),
+                "revenue_floor": pa.array(revo.astype(np.int64)),
+                "yoy_delta": pa.array(delta),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -10730,3 +10730,99 @@ def vocab_churn(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
     return hash_partition_merge(cells, "b", merge, k=1)
+
+
+def f1_mix_by_hour(sf_dir: str) -> Dataset:
+    """T122/F: tape source-mix drift — per (1h bucket, source):
+    sequences and their exact permille share of the hour (1000·n //
+    hour total) — the ingestion-mix monitor for the flagship tape (the
+    north rule's streams are per-source; a source whose share of the
+    hour collapses means its producer stalled — the number the lag
+    alert pages on, next to f1_gap_report's hard gaps).  One dense row
+    per (hour, source) ALWAYS over hours that exist.  Exact int64
+    (two-key GROUP BY + window-total integer divide oracle).
+
+    Scale shape — ZERO wide exchange: per batch one packed np.unique
+    reduces tape rows to (hour, source, n) partials over a ≤ hours ×
+    sources domain; the k=1 merge settles hour totals exactly (every
+    cell of an hour co-locates at the fold) and densifies."""
+    import glob as _glob
+
+    from ..stages.shuffle import hash_partition_merge
+    from ..timegrid import T0_US
+
+    files = sorted(_glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        hour = seq // 3600
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = hour * ns + code
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "hc": pa.array(vals, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "source": pa.array([], pa.string()),
+                    "n_seqs": pa.array([], pa.int64()),
+                    "share_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("hc", use_threads=False).aggregate([("n", "sum")])
+        hc = g["hc"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        hours = np.unique(hc // ns)
+        hidx = {int(h): i for i, h in enumerate(hours)}
+        grid = np.zeros((len(hours), ns), np.int64)
+        grid[
+            np.fromiter((hidx[int(x)] for x in hc // ns), np.int64),
+            hc % ns,
+        ] = n
+        tot = grid.sum(axis=1)
+        share = 1000 * grid // np.maximum(tot, 1)[:, None]
+        nh = len(hours)
+        return pa.table(
+            {
+                "bucket_ts": pa.array(
+                    np.repeat(hours, ns) * 3_600_000_000 + T0_US, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "source": pa.array(
+                    [str(srcs[i].as_py()) for _ in range(nh) for i in range(ns)],
+                    pa.string(),
+                ),
+                "n_seqs": pa.array(grid.reshape(-1)),
+                "share_permille": pa.array(share.reshape(-1)),
+            }
+        )
+
+    ds = rd.read_parquet(files, columns=["doc_id", "source"])
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "hc", merge, k=1)
