@@ -595,6 +595,12 @@ def _q_events_peak_cell(sf_dir: str):
     return events_peak_cell(sf_dir)
 
 
+def _q_events_grid_rle(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_grid_rle
+
+    return events_grid_rle(sf_dir)
+
+
 def _q_events_halfload(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_halfload
 
@@ -1295,6 +1301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_brand_momentum": rel.brand_momentum,
+        "events_grid_rle": _q_events_grid_rle,
+        "doc_chunking_curve": td.chunking_curve,
+        "rel_revenue_pareto": rel.revenue_pareto,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5862,5 +5871,79 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY ship_year), 0)
                         AS BIGINT) AS yoy_delta
             FROM a
+        """,
+        "events_grid_rle": """
+            WITH r AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi
+                  FROM r GROUP BY 1),
+            g AS (SELECT s.source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute))
+                             AS b
+                  FROM s),
+            d AS (SELECT g.source, g.b, COALESCE(r.c, 0) AS c
+                  FROM g LEFT JOIN r ON r.source = g.source AND r.b = g.b),
+            l AS (SELECT source, b, c,
+                         lag(c) OVER (PARTITION BY source ORDER BY b)
+                             AS pc
+                  FROM d),
+            isl AS (SELECT source,
+                           sum(CASE WHEN pc IS NULL OR c <> pc
+                                    THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY source ORDER BY b)
+                               AS rid
+                    FROM l),
+            runs AS (SELECT source, rid, CAST(count(*) AS BIGINT) AS len
+                     FROM isl GROUP BY 1, 2)
+            SELECT source, CAST(sum(len) AS BIGINT) AS n_minutes,
+                   CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(max(len) AS BIGINT) AS longest_run
+            FROM runs GROUP BY 1
+        """,
+        "doc_chunking_curve": """
+            WITH tok AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT)
+                                    AS t
+                         FROM documents),
+            a AS (SELECT L, CAST(sum((t + L - 1) // L) AS BIGINT)
+                           AS n_chunks,
+                         CAST(sum(((t + L - 1) // L) * L - t) AS BIGINT)
+                           AS pad_waste,
+                         CAST(sum(t) AS BIGINT) AS n_tokens
+                  FROM tok,
+                       (SELECT unnest([128, 512, 2048]) AS L)
+                  GROUP BY 1)
+            SELECT L AS seq_len, n_chunks, pad_waste, n_tokens
+            FROM a
+        """,
+        "rel_revenue_pareto": """
+            WITH c AS (SELECT o_custkey,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM orders GROUP BY 1),
+                 r AS (SELECT v,
+                              sum(v) OVER (ORDER BY v DESC, o_custkey)
+                                  AS cum,
+                              row_number() OVER (ORDER BY v DESC,
+                                                 o_custkey) AS rn
+                       FROM c),
+                 t AS (SELECT CAST(count(*) AS BIGINT) AS tc,
+                              CAST(sum(v) AS BIGINT) AS tv
+                       FROM c)
+            SELECT t.tc AS total_customers, t.tv AS total_revenue,
+                   CAST(min(CASE WHEN r.cum >= (t.tv * 500 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT)
+                       AS customers_p50,
+                   CAST(min(CASE WHEN r.cum >= (t.tv * 800 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT)
+                       AS customers_p80,
+                   CAST(min(CASE WHEN r.cum >= (t.tv * 900 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT)
+                       AS customers_p90,
+                   CAST(min(CASE WHEN r.cum >= (t.tv * 990 + 999) // 1000
+                                 THEN r.rn END) AS BIGINT)
+                       AS customers_p99
+            FROM r CROSS JOIN t GROUP BY 1, 2
         """,
     }

@@ -418,6 +418,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_halfload",
         "f1_mix_by_hour",
         "rel_brand_momentum",
+        "events_grid_rle",
+        "doc_chunking_curve",
+        "rel_revenue_pareto",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

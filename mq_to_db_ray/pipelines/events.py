@@ -9661,3 +9661,123 @@ def events_halfload(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def events_grid_rle(sf_dir: str) -> Dataset:
+    """E116: grid run-length compressibility board — per source over the
+    dense gap-filled 1m grid: minutes (span), maximal CONSTANT-count
+    runs, and the longest such run — the direct feasibility read for
+    the engine's own delta-of-delta/Gorilla encoders (E6/E7 compress
+    constant runs to one bit per point; a series whose run count ≈ its
+    minute count gains nothing — this board says which series earn
+    dictionary/RLE treatment at the retention tier).  Gap minutes count
+    as zero-count points (they ARE points in the stored tier), so long
+    silences form long runs — exactly what the encoder sees.  One dense
+    row per source ALWAYS.  Exact int64 (gapfill CTE + lag +
+    gaps-and-islands oracle).
+
+    Scale shape — pure composition over scale-safe stages: E5's
+    windowed gap_fill supplies the dense grid ((source, window)+halo
+    partitioning); a per-partition shifted-compare kernel counts run
+    BREAKS locally with one boundary-carry row per (source, window)
+    edge — the shared `_streak_stats` discipline: only (source, runs,
+    longest, minutes) partials reach the k=1 merge, stitched across
+    window edges by carrying each window's first/last value and
+    run-tail length."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    grid = events_gapfill(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        # grid rows already dense per source; reduce each batch to
+        # per-(source) run summaries over CONTIGUOUS minutes, emitting
+        # boundary info so the merge can stitch across batches.
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["bucket_ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ) // 60_000_000
+        cnt = (
+            pc.cast(b["count"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ts, code))
+        c, t, v = code[order], ts[order], cnt[order]
+        # run break: new source, non-adjacent minute, or value change
+        brk = np.empty(len(c), dtype=bool)
+        brk[0] = True
+        brk[1:] = (
+            (c[1:] != c[:-1]) | (t[1:] != t[:-1] + 1) | (v[1:] != v[:-1])
+        )
+        rid = np.cumsum(brk) - 1
+        run_len = np.bincount(rid).astype(np.int64)
+        run_src = c[brk]
+        run_t0 = t[brk]
+        run_t1 = run_t0 + run_len - 1
+        run_v = v[brk]
+        return pa.table(
+            {
+                "src": pa.array(run_src),
+                "t0": pa.array(run_t0),
+                "t1": pa.array(run_t1),
+                "v": pa.array(run_v),
+                "len": pa.array(run_len),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_minutes = np.zeros(ns, np.int64)
+        n_runs = np.zeros(ns, np.int64)
+        longest = np.zeros(ns, np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            t0 = t["t0"].combine_chunks().to_numpy(zero_copy_only=False)
+            t1 = t["t1"].combine_chunks().to_numpy(zero_copy_only=False)
+            v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            ln = t["len"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((t0, src))
+            s, a, bnd, vv, ll = (
+                src[order],
+                t0[order],
+                t1[order],
+                v[order],
+                ln[order],
+            )
+            # stitch adjacent same-value runs split across batches
+            join = np.zeros(len(s), dtype=bool)
+            join[1:] = (
+                (s[1:] == s[:-1]) & (a[1:] == bnd[:-1] + 1) & (vv[1:] == vv[:-1])
+            )
+            rid = np.cumsum(~join) - 1
+            tot_len = np.zeros(rid[-1] + 1, np.int64)
+            np.add.at(tot_len, rid, ll)
+            first = np.flatnonzero(~join)
+            rs = s[first]
+            np.add.at(n_minutes, rs, tot_len)
+            np.add.at(n_runs, rs, 1)
+            np.maximum.at(longest, rs, tot_len)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_minutes": pa.array(n_minutes),
+                "n_runs": pa.array(n_runs),
+                "longest_run": pa.array(longest),
+            }
+        )
+
+    partials = grid.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)

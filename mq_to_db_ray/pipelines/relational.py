@@ -7754,3 +7754,87 @@ def brand_momentum(sf_dir: str) -> Dataset:
     dim = parts.map_batches(dim_partial, batch_format="pyarrow")
     cells = _copartition_attach(fact, dim, fold, k=_rel_k(sf_dir, "lineitem"))
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def revenue_pareto(
+    sf_dir: str, targets: tuple[int, ...] = (500, 800, 900, 990)
+) -> Dataset:
+    """R50: customer revenue-concentration Pareto — for each target p
+    (permille of ALL floored order revenue): the MINIMAL number of
+    customers whose lifetime order value covers that share, plus total
+    customers-with-orders and total revenue — E61's whale curve on the
+    revenue axis (the account-management headcount question: how many
+    relationships cover 99% of the book).  Unique under ties (equal
+    revenues add equal mass — order-free), exact int64
+    (row_number-over-revenue-DESC + running-sum oracle, E61's shape).
+
+    Scale shape — E61's machinery verbatim with revenue as the mass:
+    order batches pre-reduce to (custkey, Σfloor(totalprice)) partials;
+    ONE custkey-hash exchange settles exact per-customer revenue and
+    re-reduces to (revenue, n_customers) histogram partials (distinct
+    revenue values, NOT customers, bound the exchange); the k=1 merge
+    sorts the histogram once and reads every target off two cumulative
+    sums (`events._pareto_from_hist`)."""
+    from .events import _pareto_from_hist
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "v": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("v", "sum")])
+        return g.rename_columns(["k", "v"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("k", use_threads=False).aggregate([("v", "sum")])
+        h = g.group_by("v_sum", use_threads=False).aggregate(
+            [("v_sum", "count")]
+        )
+        return h.rename_columns(["v", "f"])
+
+    names = tuple(f"customers_p{p // 10}" for p in targets)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "total_customers": pa.array([0], pa.int64()),
+                    "total_revenue": pa.array([0], pa.int64()),
+                    **{c: pa.array([0], pa.int64()) for c in names},
+                }
+            )
+        g = t.group_by("v", use_threads=False).aggregate([("f", "sum")])
+        vals = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        freq = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts, n_units, total = _pareto_from_hist(vals, freq, targets)
+        out = {
+            "total_customers": pa.array([n_units], pa.int64()),
+            "total_revenue": pa.array([total], pa.int64()),
+        }
+        for c, v in zip(names, counts):
+            out[c] = pa.array([int(v)], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    hist = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(hist, "v", merge, k=1)

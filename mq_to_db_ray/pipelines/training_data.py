@@ -10826,3 +10826,79 @@ def f1_mix_by_hour(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "hc", merge, k=1)
+
+
+def chunking_curve(
+    sf_dir: str, lengths: tuple[int, ...] = (128, 512, 2048)
+) -> Dataset:
+    """T123: context-length chunking-overhead curve — for each candidate
+    sequence length L: chunks the corpus splits into (Σ ceil(tok/L) over
+    docs, whitespace tokens = T11's count) and PAD-WASTE tokens
+    (Σ (ceil(tok/L)·L − tok)) — the context-length selection table read
+    BEFORE T22's packer runs (small L wastes nothing but fragments
+    long-range structure; large L pads short docs to death; the curve's
+    knee is the budget decision, and T22's bin-packing can then be
+    compared against this no-packing baseline).  Empty docs contribute
+    one zero-token chunk (ceil(0/L) floors to 0 — they contribute
+    NOTHING, matching the SQL).  One dense row per L ALWAYS.  Exact
+    int64 (ceil-divide + SUM oracle).
+
+    Scale shape — ZERO wide exchange (T49's profile): one Arrow
+    split-length kernel per batch, one ceil-divide per L, ≤ len(lengths)
+    partial rows per batch; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ls = np.array(lengths, np.int64)
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        chunks = np.zeros(len(ls), np.int64)
+        waste = np.zeros(len(ls), np.int64)
+        for i, L in enumerate(ls):
+            c = -(-tok // L)
+            chunks[i] = int(c.sum())
+            waste[i] = int((c * L - tok).sum())
+        return pa.table(
+            {
+                "L": pa.array(ls),
+                "ch": pa.array(chunks),
+                "wa": pa.array(waste),
+                "nt": pa.array(np.full(len(ls), int(tok.sum()), np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seq_len": pa.array(ls),
+                    "n_chunks": pa.array(np.zeros(len(ls), np.int64)),
+                    "pad_waste": pa.array(np.zeros(len(ls), np.int64)),
+                    "n_tokens": pa.array(np.zeros(len(ls), np.int64)),
+                }
+            )
+        g = t.group_by("L", use_threads=False).aggregate(
+            [("ch", "sum"), ("wa", "sum"), ("nt", "sum")]
+        )
+        g = g.rename_columns(["L", "ch", "wa", "nt"])
+        order = pc.sort_indices(g["L"])
+        return pa.table(
+            {
+                "seq_len": g["L"].take(order),
+                "n_chunks": pc.cast(g["ch"].take(order), pa.int64()),
+                "pad_waste": pc.cast(g["wa"].take(order), pa.int64()),
+                "n_tokens": pc.cast(g["nt"].take(order), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "L", merge, k=1)
