@@ -607,6 +607,12 @@ def _q_events_halfload(sf_dir: str):
     return events_halfload(sf_dir)
 
 
+def _q_events_burstiness(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_burstiness
+
+    return events_burstiness(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1304,6 +1310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grid_rle": _q_events_grid_rle,
         "doc_chunking_curve": td.chunking_curve,
         "rel_revenue_pareto": rel.revenue_pareto,
+        "events_burstiness": _q_events_burstiness,
+        "doc_hapax_board": td.hapax_board,
+        "rel_dead_stock": rel.dead_stock,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -5945,5 +5954,53 @@ def oracle_sql() -> dict[str, str]:
                                  THEN r.rn END) AS BIGINT)
                        AS customers_p99
             FROM r CROSS JOIN t GROUP BY 1, 2
+        """,
+        "events_burstiness": """
+            WITH r AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(date_diff('minute', min(b), max(b)) + 1 AS BIGINT)
+                       AS n_minutes,
+                   CAST(count(*) AS BIGINT) AS active_minutes,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(sum(c * c) AS BIGINT) AS sum_sq,
+                   CAST(max(c) AS BIGINT) AS max_minute
+            FROM r GROUP BY 1
+        """,
+        "doc_hapax_board": """
+            WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            g AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1),
+            ts AS (SELECT source, w FROM tok GROUP BY 1, 2),
+            b AS (SELECT ts.source,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(CASE WHEN g.n = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_hapax,
+                         CAST(sum(CASE WHEN g.n = 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_dis
+                  FROM ts JOIN g USING (w) GROUP BY 1)
+            SELECT source, n_types, n_hapax, n_dis,
+                   CAST(1000 * n_hapax // n_types AS BIGINT)
+                       AS hapax_permille
+            FROM b
+        """,
+        "rel_dead_stock": """
+            WITH d AS (SELECT p.p_brand,
+                              CAST(floor(p.p_retailprice) AS BIGINT) AS rv,
+                              CASE WHEN NOT EXISTS
+                                   (SELECT 1 FROM lineitem l
+                                    WHERE l.l_partkey = p.p_partkey)
+                                   THEN 1 ELSE 0 END AS dead
+                       FROM part p)
+            SELECT p_brand AS brand,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(dead) AS BIGINT) AS n_dead,
+                   CAST(sum(dead * rv) AS BIGINT) AS dead_value,
+                   CAST(1000 * sum(dead) // count(*) AS BIGINT)
+                       AS dead_permille
+            FROM d GROUP BY 1
         """,
     }

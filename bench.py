@@ -421,6 +421,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_grid_rle",
         "doc_chunking_curve",
         "rel_revenue_pareto",
+        "events_burstiness",
+        "doc_hapax_board",
+        "rel_dead_stock",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -9781,3 +9781,138 @@ def events_grid_rle(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_burstiness(sf_dir: str) -> Dataset:
+    """E117: per-source burstiness sufficient stats over the dense 1m
+    grid — n_minutes (span first..last active minute), active_minutes,
+    n_events, sum_sq (Σ per-minute count² with silent minutes counting
+    as zero) and max_minute — the index-of-dispersion board (Fano =
+    (Σc²/m − (Σc/m)²)/(Σc/m) reads off these five integers offline):
+    E116 says HOW the series compresses, E117 whether its load is
+    Poisson-flat or bursty — the number an autoscaler's headroom factor
+    and the E5 gap-fill tier's block-size choice both key off.  Zero
+    minutes contribute zero to every sum, so only the span is needed to
+    account for them.  One dense row per source ALWAYS; exact int64
+    (minute GROUP BY + date_diff span oracle).
+
+    Scale shape — E112's bounded-domain settle on the minute axis: per
+    batch one packed np.unique reduces events to (source, minute, n)
+    partials; ONE (source, minute)-hash exchange makes per-minute
+    counts exact (each cell settles in exactly one partition), which
+    re-reduces IN PLACE to one 6-tuple per (source, partition); the
+    k=1 merge adds sums, maxes maxes and min/maxes the span ends.
+    Reference parity: the dispersion read over the reference's stored
+    counter tier (`internal/storage/memory/memory.go` counters)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        minute = ts_us // MIN_US
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 32) + minute
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sm": pa.array(vals, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "act": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sm", use_threads=False).aggregate([("n", "sum")])
+        sm = g["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = sm >> 32
+        minute = sm & 0xFFFFFFFF
+        act = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        ss = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        lo = np.full(ns, np.iinfo(np.int64).max)
+        hi = np.full(ns, -1, np.int64)
+        np.add.at(act, src, 1)
+        np.add.at(ne, src, c)
+        np.add.at(ss, src, c * c)
+        np.maximum.at(mx, src, c)
+        np.minimum.at(lo, src, minute)
+        np.maximum.at(hi, src, minute)
+        live = np.flatnonzero(act)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "act": pa.array(act[live]),
+                "ne": pa.array(ne[live]),
+                "ss": pa.array(ss[live]),
+                "mx": pa.array(mx[live]),
+                "lo": pa.array(lo[live]),
+                "hi": pa.array(hi[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        act = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        ss = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        lo = np.full(ns, np.iinfo(np.int64).max)
+        hi = np.full(ns, -1, np.int64)
+        acc = {"act": act, "ne": ne, "ss": ss, "mx": mx, "lo": lo, "hi": hi}
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for col, red in (
+                ("act", np.add),
+                ("ne", np.add),
+                ("ss", np.add),
+                ("mx", np.maximum),
+                ("lo", np.minimum),
+                ("hi", np.maximum),
+            ):
+                arr = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+                red.at(acc[col], src, arr)
+        span = np.where(hi >= 0, hi - lo + 1, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_minutes": pa.array(span.astype(np.int64)),
+                "active_minutes": pa.array(act),
+                "n_events": pa.array(ne),
+                "sum_sq": pa.array(ss),
+                "max_minute": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "src", merge, k=1)

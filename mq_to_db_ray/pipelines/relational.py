@@ -7838,3 +7838,131 @@ def revenue_pareto(
         partials, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(hist, "v", merge, k=1)
+
+
+def dead_stock(sf_dir: str) -> Dataset:
+    """R51: dead-stock board (TPC-H Q20's "excess inventory" question
+    asked of this schema) — per brand: catalog parts, parts NEVER
+    referenced by any lineitem, the floored retail value of that dead
+    stock, and its permille share of the catalog — the
+    assortment-pruning read next to R47's top-parts concentration (R47
+    ranks what sells; R51 prices what never did — the capital the
+    catalog holds in SKUs the order book has never touched).  One
+    dense row per brand ALWAYS (all brands exist in part).  Exact
+    int64 (two-sided NOT EXISTS + floor + permille divide oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (both sides grow
+    with the corpus; parts in TPC-H scale 1:5 with lines): line
+    batches pre-reduce to distinct partkeys per batch, part rows ride
+    as dim rows carrying (brand, floor(retail)); absence is decidable
+    only under co-location (R18's anti-join rule), so each partition
+    decides dead-ness with one searchsorted and reduces to ≤ brands
+    partial rows; the string-keyed final merge is R1's
+    groupby.map_groups convention over O(partitions × brands) rows."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        rv = np.floor(
+            b["p_retailprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "brand": b["p_brand"],
+                "rv": pa.array(rv),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ks = np.unique(
+            pc.cast(b["l_partkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        m = len(ks)
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "role": pa.array(np.ones(m, np.int64)),
+                "brand": pa.array([""] * m, pa.string()),
+                "rv": pa.array(np.zeros(m, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    "np_": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "dv": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        fk = np.unique(k[~is_dim])
+        dk = k[is_dim]
+        rv = t["rv"].combine_chunks().to_numpy(zero_copy_only=False)[
+            is_dim
+        ]
+        brand = t["brand"].combine_chunks().filter(
+            pa.array(is_dim)
+        )
+        if len(fk):
+            pos = np.clip(np.searchsorted(fk, dk), 0, len(fk) - 1)
+            dead = fk[pos] != dk
+        else:
+            dead = np.ones(len(dk), bool)
+        g = pa.table(
+            {
+                "brand": brand,
+                "np_": pa.array(np.ones(len(dk), np.int64)),
+                "nd": pa.array(dead.astype(np.int64)),
+                "dv": pa.array(np.where(dead, rv, 0)),
+            }
+        ).group_by("brand", use_threads=False).aggregate(
+            [("np_", "sum"), ("nd", "sum"), ("dv", "sum")]
+        )
+        return g.rename_columns(["brand", "np_", "nd", "dv"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("brand", use_threads=False).aggregate(
+            [("np_", "sum"), ("nd", "sum"), ("dv", "sum")]
+        )
+        np_ = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dv = g["dv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "brand": g["brand"],
+                "n_parts": pa.array(np_.astype(np.int64)),
+                "n_dead": pa.array(nd.astype(np.int64)),
+                "dead_value": pa.array(dv.astype(np.int64)),
+                "dead_permille": pa.array(
+                    (1000 * nd // np.maximum(np_, 1)).astype(np.int64)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return cells.groupby("brand").map_groups(
+        merge, batch_format="pyarrow"
+    )

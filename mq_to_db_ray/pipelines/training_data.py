@@ -10902,3 +10902,146 @@ def chunking_curve(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "L", merge, k=1)
+
+
+def hapax_board(sf_dir: str) -> Dataset:
+    """T124: hapax-legomena board — per source: distinct word types,
+    HAPAX types (corpus-GLOBAL occurrence count exactly 1) appearing in
+    this source, DIS-legomena types (global count exactly 2), and the
+    hapax permille share of the source's types — the classic corpus
+    noise read (OCR damage, typos, boilerplate IDs inflate the
+    singleton tail; a healthy natural-language source sits near Zipf's
+    ~400-500‰).  T118 measures presence-based exclusivity (a type seen
+    ONLY here, however often); T124 measures count-based rarity (a
+    type seen ONCE anywhere) — the two disagree exactly on repeated
+    jargon, which is what separates domain vocabulary from noise.  One
+    dense row per source ALWAYS; exact int64 (unnest + per-word global
+    count join + permille divide oracle; the 64-bit hash only ROUTES —
+    the exact word string rides the exchange and decides identity,
+    T4's convention).
+
+    Scale shape — T118's machinery with a count test instead of a
+    source-count test: batches pre-reduce with one split + one Arrow
+    group_by to (hash, source, word, n) cells; ONE word-hash exchange
+    co-locates every cell of a word, so its exact global count (and
+    therefore the hapax/dis test) is decided locally and re-reduces IN
+    PLACE to per-source triples — O(partitions × sources) rows reach
+    the k=1 densifying merge; the vocabulary never lands on one node.
+    Reference parity: validation-lane counting
+    (`internal/messages/messages.go` field checks) lifted to corpus QA."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "w": flat,
+                "src": pa.array(code[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "nh": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        tot = np.zeros(nw, np.int64)
+        np.add.at(tot, wid, n)
+        cell_tot = tot[wid]
+        nt = np.zeros(ns, np.int64)
+        nh = np.zeros(ns, np.int64)
+        nd = np.zeros(ns, np.int64)
+        np.add.at(nt, src, 1)
+        np.add.at(nh, src, cell_tot == 1)
+        np.add.at(nd, src, cell_tot == 2)
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "nh": pa.array(nh[live]),
+                "nd": pa.array(nd[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros((3, ns), np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for i, c in enumerate(["nt", "nh", "nd"]):
+                np.add.at(
+                    acc[i],
+                    src,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        pm = 1000 * acc[1] // np.maximum(acc[0], 1)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_types": pa.array(acc[0]),
+                "n_hapax": pa.array(acc[1]),
+                "n_dis": pa.array(acc[2]),
+                "hapax_permille": pa.array(pm.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "src", merge, k=1)
