@@ -613,6 +613,12 @@ def _q_events_burstiness(sf_dir: str):
     return events_burstiness(sf_dir)
 
 
+def _q_events_audience_conc(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_audience_conc
+
+    return events_audience_conc(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1313,6 +1319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burstiness": _q_events_burstiness,
         "doc_hapax_board": td.hapax_board,
         "rel_dead_stock": rel.dead_stock,
+        "events_audience_conc": _q_events_audience_conc,
+        "doc_repeat_gaps": td.repeat_gaps,
+        "rel_part_competition": rel.part_competition,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6002,5 +6011,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * sum(dead) // count(*) AS BIGINT)
                        AS dead_permille
             FROM d GROUP BY 1
+        """,
+        "events_audience_conc": """
+            WITH g AS (SELECT event_type AS source, user_id,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc,
+                   CAST(max(c) AS BIGINT) AS max_user,
+                   CAST(1000 * max(c) // sum(c) AS BIGINT)
+                       AS top_permille
+            FROM g GROUP BY 1
+        """,
+        "doc_repeat_gaps": """
+            WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w
+                       FROM documents),
+                 u AS (SELECT doc_id, source, unnest(w) AS word,
+                              generate_subscripts(w, 1) AS i
+                       FROM t),
+                 p AS (SELECT source,
+                              i - lag(i) OVER (PARTITION BY doc_id, word
+                                               ORDER BY i) AS gap
+                       FROM u),
+                 f AS (SELECT source, CAST(gap AS BIGINT) AS gap
+                       FROM p WHERE gap IS NOT NULL),
+                 s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gaps,
+                              CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                                  AS p50,
+                              CAST(quantile_disc(gap, 0.9) AS BIGINT)
+                                  AS p90,
+                              CAST(max(gap) AS BIGINT) AS max_gap
+                       FROM f GROUP BY 1),
+                 d AS (SELECT DISTINCT source FROM documents)
+            SELECT d.source,
+                   CAST(coalesce(n_gaps, 0) AS BIGINT) AS n_gaps,
+                   CAST(coalesce(p50, 0) AS BIGINT) AS p50,
+                   CAST(coalesce(p90, 0) AS BIGINT) AS p90,
+                   CAST(coalesce(max_gap, 0) AS BIGINT) AS max_gap
+            FROM d LEFT JOIN s USING (source)
+        """,
+        "rel_part_competition": """
+            WITH ps AS (SELECT l_partkey,
+                               CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                                   AS ns
+                        FROM lineitem GROUP BY 1),
+                 j AS (SELECT coalesce(ps.ns, 0) AS ns,
+                              CAST(floor(p.p_retailprice) AS BIGINT) AS rv
+                       FROM part p LEFT JOIN ps
+                            ON ps.l_partkey = p.p_partkey)
+            SELECT CAST(ns AS BIGINT) AS n_suppliers,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(rv) AS BIGINT) AS catalog_value
+            FROM j GROUP BY 1
         """,
     }

@@ -424,6 +424,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_burstiness",
         "doc_hapax_board",
         "rel_dead_stock",
+        "events_audience_conc",
+        "doc_repeat_gaps",
+        "rel_part_competition",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -9916,3 +9916,120 @@ def events_burstiness(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def events_audience_conc(sf_dir: str) -> Dataset:
+    """E118: lifetime audience-concentration board — per source:
+    n_events, distinct users, ``sum_cc`` = Σᵤ cᵤ(cᵤ−1) over each
+    user's lifetime event count (Simpson concentration λ =
+    sum_cc/(n(n−1)) reads off offline — E38's convention), the top
+    user's count and its permille share of the source's traffic — the
+    "is this source one bot or broad organic reach" read at the
+    SOURCE'S WHOLE LIFETIME: E36 histograms users globally, E38
+    watches concentration minute by minute, E61 asks the 80/20
+    question of the whole tape — none answers which SOURCE's volume
+    is audience-thin, which is the first split an abuse triage makes
+    (a concentrated source is one account's loop; a broad one is a
+    product surface).  One dense row per source ALWAYS; exact int64
+    (two-level GROUP BY + permille divide oracle).
+
+    Scale shape — E117's bounded-settle machinery on the USER axis
+    (corpus-scaled, so cells exchange by user hash instead of packing
+    into the key): per batch one Arrow group_by reduces events to
+    (user, source, n) partials; ONE user-hash exchange co-locates
+    every cell of a user so per-(source, user) lifetime counts are
+    exact, re-reducing IN PLACE to one 5-tuple per (source,
+    partition); the k=1 merge adds sums and maxes maxes — no user id
+    list ever lands on one node.  Reference parity: the per-consumer
+    delivery counters (`internal/metrics/metrics.go:95-183`) cut per
+    source over the whole retention window."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {"u": pc.cast(b["user_id"], pa.int64()), "s": code}
+        )
+        g = t.group_by(["u", "s"], use_threads=False).aggregate(
+            [("s", "count")]
+        )
+        return g.rename_columns(["u", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "scc": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["u", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nu = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        scc = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        np.add.at(nu, s, 1)
+        np.add.at(ne, s, c)
+        np.add.at(scc, s, c * (c - 1))
+        np.maximum.at(mx, s, c)
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live]),
+                "ne": pa.array(ne[live]),
+                "scc": pa.array(scc[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        scc = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        acc = {"nu": (nu, np.add), "ne": (ne, np.add),
+               "scc": (scc, np.add), "mx": (mx, np.maximum)}
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for col, (a, red) in acc.items():
+                arr = t[col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                red.at(a, s, arr)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(ne),
+                "n_users": pa.array(nu),
+                "sum_cc": pa.array(scc),
+                "max_user": pa.array(mx),
+                "top_permille": pa.array(
+                    1000 * mx // np.maximum(ne, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

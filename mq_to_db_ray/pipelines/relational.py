@@ -7966,3 +7966,145 @@ def dead_stock(sf_dir: str) -> Dataset:
     return cells.groupby("brand").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def part_competition(sf_dir: str) -> Dataset:
+    """R52: part supplier-competition histogram — for each supplier
+    count s (including 0): catalog parts served by exactly s distinct
+    suppliers and their floored retail value — the supply-chain
+    RESILIENCE distribution (R10 asks how many suppliers a BRAND has;
+    R51 prices the never-ordered tail; R52 asks how much of the
+    catalog sits one supplier failure away from stock-out — the
+    single-source-risk mass a procurement review hedges first).
+    Aggregate-of-aggregates (E36's rule) over a per-part distinct
+    count; s = 0 rows come from R51's anti-join side, so the board is
+    the whole catalog partitioned by contestedness.  Exact int64
+    (count(DISTINCT) + LEFT JOIN + two-level GROUP BY oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (both sides
+    corpus-scaled): line batches pre-reduce to distinct (partkey,
+    suppkey) pairs (one Arrow group_by — the combiner), part rows ride
+    as dim rows carrying floor(retail); each partition re-dedupes its
+    pairs exactly (the cell settles under co-location), reads each
+    part's supplier count off one np.unique, decides absence with one
+    searchsorted (R18's anti-join rule) and re-reduces IN PLACE to
+    (s, n_parts, value) partials over the tiny observed-s domain; k=1
+    merge sums.  Reference parity: the consumer-pool sizing question
+    (`internal/consumer/consumer.go` worker fan-out) asked of the
+    supply graph."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        rv = np.floor(
+            b["p_retailprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sup": pa.array(np.zeros(b.num_rows, np.int64)),
+                "rv": pa.array(rv),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "sup": pc.cast(b["l_suppkey"], pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "sup"], use_threads=False).aggregate(
+            [("sup", "count")]
+        )
+        m = g.num_rows
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(m, np.int64)),
+                "sup": g["sup"],
+                "rv": pa.array(np.zeros(m, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ns": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sup = t["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = t["rv"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, drv = k[is_dim], rv[is_dim]
+        fk, fs = k[~is_dim], sup[~is_dim]
+        # cross-batch dedupe of (partkey, suppkey) pairs, then the
+        # per-part distinct-supplier count off one unique pass
+        if len(fk):
+            order = np.lexsort((fs, fk))
+            fk, fs = fk[order], fs[order]
+            keep = np.ones(len(fk), bool)
+            keep[1:] = (fk[1:] != fk[:-1]) | (fs[1:] != fs[:-1])
+            fk = fk[keep]
+            uk, ucnt = np.unique(fk, return_counts=True)
+        else:
+            uk = np.zeros(0, np.int64)
+            ucnt = np.zeros(0, np.int64)
+        if len(uk):
+            pos = np.clip(np.searchsorted(uk, dk), 0, len(uk) - 1)
+            ns = np.where(uk[pos] == dk, ucnt[pos], 0).astype(np.int64)
+        else:
+            ns = np.zeros(len(dk), np.int64)
+        vals, inv = np.unique(ns, return_inverse=True)
+        val = np.zeros(len(vals), np.int64)
+        np.add.at(val, inv, drv)
+        return pa.table(
+            {
+                "ns": pa.array(vals.astype(np.int64)),
+                "np_": pa.array(np.bincount(inv).astype(np.int64)),
+                "val": pa.array(val),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_suppliers": pa.array([0], pa.int64()),
+                    "n_parts": pa.array([0], pa.int64()),
+                    "catalog_value": pa.array([0], pa.int64()),
+                }
+            )
+        g = t.group_by("ns", use_threads=False).aggregate(
+            [("np_", "sum"), ("val", "sum")]
+        )
+        return pa.table(
+            {
+                "n_suppliers": pc.cast(g["ns"], pa.int64()),
+                "n_parts": pc.cast(g["np__sum"], pa.int64()),
+                "catalog_value": pc.cast(g["val_sum"], pa.int64()),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "ns", merge, k=1)

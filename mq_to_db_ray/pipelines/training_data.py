@@ -11045,3 +11045,108 @@ def hapax_board(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def repeat_gaps(sf_dir: str) -> Dataset:
+    """T125: repeat-distance quantiles board — per source: total repeat
+    pairs (a word's consecutive occurrences within one doc), discrete
+    p50/p90 of the gap between them (in token positions) and the max
+    gap — the self-repetition WAVELENGTH read: T72 counts gap=1
+    stutters, T18 the doc's duplicate-word share, T27 duplicated
+    n-gram mass, but none says HOW FAR APART the echoes sit —
+    boilerplate chrome repeats at long fixed distances (headers and
+    footers), decoder loops at short ones, healthy prose in between —
+    the number that picks T18's run-length threshold and the context
+    window a repetition penalty needs to see.  One dense row per
+    source ALWAYS (zero rows for a repeat-free source); exact int64
+    under the quantile_disc rank rule (generate_subscripts + lag +
+    quantile_disc oracle; the 64-bit word hash decides identity at the
+    documented collision rate — T72's convention).
+
+    Scale shape — ZERO wide exchange (T49's profile): repeats are
+    doc-local and a doc is one row, so one batch_word_hashes pass +
+    one lexsort per batch reduce to (source, gap, n) histogram
+    partials over a ≤ sources × max-doc-length domain however large
+    the corpus (T21's bounded-histogram rule); every quantile reads
+    off one cumsum per source in the k=1 merge.  Reference parity:
+    the validation lane's field-repetition checks
+    (`internal/messages/messages.go`) lifted to corpus QA."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    nsrc = len(srcs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uh, n = ts.batch_word_hashes(batch["text"])
+        total = int(n.sum())
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        out_sg = np.zeros(0, np.int64)
+        out_n = np.zeros(0, np.int64)
+        if total > 1:
+            parent = np.repeat(np.arange(len(n), dtype=np.int64), n)
+            starts = np.repeat(np.cumsum(n) - n, n)
+            pos = np.arange(total, dtype=np.int64) - starts
+            order = np.lexsort((pos, uh, parent))
+            p2 = parent[order]
+            h2 = uh[order]
+            po2 = pos[order]
+            same = (p2[1:] == p2[:-1]) & (h2[1:] == h2[:-1])
+            if same.any():
+                gaps = (po2[1:] - po2[:-1])[same]
+                gsrc = code[p2[1:][same]]
+                packed = gsrc * (1 << 32) + gaps
+                out_sg, out_n = np.unique(packed, return_counts=True)
+                out_n = out_n.astype(np.int64)
+        return pa.table(
+            {"sg": pa.array(out_sg), "n": pa.array(out_n)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_gaps = np.zeros(nsrc, np.int64)
+        p50 = np.zeros(nsrc, np.int64)
+        p90 = np.zeros(nsrc, np.int64)
+        mx = np.zeros(nsrc, np.int64)
+        if t.num_rows:
+            g = t.group_by("sg", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sg = g["sg"].combine_chunks().to_numpy(zero_copy_only=False)
+            cnt = g["n_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            order = np.argsort(sg, kind="stable")
+            sg, cnt = sg[order], cnt[order]
+            s = sg >> 32
+            gap = sg & 0xFFFFFFFF
+            for si in np.unique(s):
+                m = s == si
+                gv, cv = gap[m], cnt[m]
+                cum = np.cumsum(cv)
+                total = int(cum[-1])
+                n_gaps[si] = total
+                for arr, q in ((p50, 500), (p90, 900)):
+                    thr = (total * q + 999) // 1000
+                    arr[si] = int(
+                        gv[np.searchsorted(cum, thr, side="left")]
+                    )
+                mx[si] = int(gv[-1])
+        return pa.table(
+            {
+                "source": srcs,
+                "n_gaps": pa.array(n_gaps),
+                "p50": pa.array(p50),
+                "p90": pa.array(p90),
+                "max_gap": pa.array(mx),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "sg", merge, k=1)
