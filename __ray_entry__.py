@@ -619,6 +619,30 @@ def _q_events_audience_conc(sf_dir: str):
     return events_audience_conc(sf_dir)
 
 
+def _q_events_user_burst(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_burst
+
+    return events_user_burst(sf_dir)
+
+
+def _q_events_benford(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_benford
+
+    return events_benford(sf_dir)
+
+
+def _q_events_duty_cycle(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_duty_cycle
+
+    return events_duty_cycle(sf_dir)
+
+
+def _q_events_audience_clock(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_audience_clock
+
+    return events_audience_clock(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1322,6 +1346,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_audience_conc": _q_events_audience_conc,
         "doc_repeat_gaps": td.repeat_gaps,
         "rel_part_competition": rel.part_competition,
+        "events_user_burst": _q_events_user_burst,
+        "doc_length_autocorr": td.length_autocorr,
+        "rel_value_recon": rel.value_recon,
+        "events_benford": _q_events_benford,
+        "doc_vocab_retire_deciles": td.vocab_retire_deciles,
+        "rel_first_order_value": rel.first_order_value,
+        "events_duty_cycle": _q_events_duty_cycle,
+        "doc_lang_drift_deciles": td.lang_drift_deciles,
+        "rel_supplier_balance_corr": rel.supplier_balance_corr,
+        "events_audience_clock": _q_events_audience_clock,
+        "f1_vocab_occupancy": lambda sf_dir: td.vocab_occupancy(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_brand_lifecycle": rel.brand_lifecycle,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6063,6 +6101,233 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ns AS BIGINT) AS n_suppliers,
                    CAST(count(*) AS BIGINT) AS n_parts,
                    CAST(sum(rv) AS BIGINT) AS catalog_value
+            FROM j GROUP BY 1
+        """,
+        "events_user_burst": """
+            WITH g AS (SELECT event_type AS source, user_id,
+                              date_trunc('minute', ts) AS m,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2, 3)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99,
+                   CAST(max(c) AS BIGINT) AS max_burst
+            FROM g GROUP BY 1
+        """,
+        "doc_length_autocorr": """
+            WITH t AS (SELECT source, doc_id,
+                              CAST(len(str_split(text, ' ')) AS BIGINT)
+                                  AS n
+                       FROM documents),
+                 p AS (SELECT source, n AS y,
+                              lag(n) OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS x
+                       FROM t),
+                 f AS (SELECT source, x, y FROM p WHERE x IS NOT NULL),
+                 s AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_pairs,
+                              CAST(sum(x) AS BIGINT) AS sum_x,
+                              CAST(sum(y) AS BIGINT) AS sum_y,
+                              CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                              CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                              CAST(sum(y * y) AS BIGINT) AS sum_yy
+                       FROM f GROUP BY 1),
+                 d AS (SELECT DISTINCT source FROM documents)
+            SELECT d.source,
+                   CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum_x, 0) AS BIGINT) AS sum_x,
+                   CAST(coalesce(sum_y, 0) AS BIGINT) AS sum_y,
+                   CAST(coalesce(sum_xy, 0) AS BIGINT) AS sum_xy,
+                   CAST(coalesce(sum_xx, 0) AS BIGINT) AS sum_xx,
+                   CAST(coalesce(sum_yy, 0) AS BIGINT) AS sum_yy
+            FROM d LEFT JOIN s USING (source)
+        """,
+        "rel_value_recon": """
+            WITH lc AS (SELECT l_orderkey AS k,
+                               CAST(sum(CAST(floor(l_extendedprice
+                                                   * (1 - l_discount)
+                                                   * (1 + l_tax))
+                                             AS BIGINT)) AS BIGINT) AS s
+                        FROM lineitem GROUP BY 1),
+                 j AS (SELECT o.o_orderstatus AS status,
+                              CAST(floor(o.o_totalprice) AS BIGINT) AS tp,
+                              coalesce(lc.s, 0) AS s,
+                              CASE WHEN lc.s IS NULL THEN 1 ELSE 0 END
+                                  AS childless
+                       FROM orders o LEFT JOIN lc
+                            ON lc.k = o.o_orderkey),
+                 d AS (SELECT status, childless, abs(tp - s) AS ad,
+                              1000 * abs(tp - s) // greatest(tp, 1) AS pm
+                       FROM j)
+            SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(childless) AS BIGINT) AS n_childless,
+                   CAST(sum(ad) AS BIGINT) AS sum_abs_delta,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT)
+                       AS p50_permille,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT)
+                       AS p90_permille
+            FROM d GROUP BY 1
+        """,
+        "events_benford": """
+            WITH v AS (SELECT event_type AS source,
+                              CAST(substr(CAST(CAST(floor(value * 1000)
+                                                    AS BIGINT) AS VARCHAR),
+                                          1, 1) AS BIGINT) AS digit
+                       FROM events),
+                 g AS (SELECT source, digit, CAST(count(*) AS BIGINT) AS n
+                       FROM v GROUP BY 1, 2),
+                 t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+                       FROM g GROUP BY 1),
+                 d AS (SELECT s.source, r.digit
+                       FROM (SELECT DISTINCT event_type AS source
+                             FROM events) s
+                       CROSS JOIN (SELECT unnest(range(1, 10)) AS digit)
+                           r)
+            SELECT d.source, CAST(d.digit AS BIGINT) AS digit,
+                   CAST(coalesce(g.n, 0) AS BIGINT) AS n_events,
+                   CAST(1000 * coalesce(g.n, 0) // t.tot AS BIGINT)
+                       AS permille
+            FROM d JOIN t USING (source)
+                 LEFT JOIN g ON g.source = d.source
+                            AND g.digit = d.digit
+        """,
+        "doc_vocab_retire_deciles": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total
+                       FROM documents),
+                 tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+                 g AS (SELECT w, CAST(min(doc_id) AS BIGINT) AS mind,
+                              CAST(max(doc_id) AS BIGINT) AS maxd,
+                              CAST(count(*) AS BIGINT) AS occ
+                       FROM tok GROUP BY 1),
+                 r AS (SELECT maxd * 10 // n.total AS dec,
+                              CAST(count(*) AS BIGINT) AS nt,
+                              CAST(sum(occ) AS BIGINT) AS occ,
+                              CAST(sum(maxd - mind) AS BIGINT) AS life
+                       FROM g CROSS JOIN n GROUP BY 1),
+                 d AS (SELECT unnest(range(0, 10)) AS dec)
+            SELECT CAST(d.dec AS BIGINT) AS decile,
+                   CAST(coalesce(r.nt, 0) AS BIGINT) AS retired_types,
+                   CAST(coalesce(r.occ, 0) AS BIGINT) AS occurrences,
+                   CAST(coalesce(r.life, 0) AS BIGINT) AS sum_lifespan
+            FROM d LEFT JOIN r USING (dec)
+        """,
+        "rel_first_order_value": """
+            WITH r AS (SELECT o_custkey,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v,
+                              row_number() OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate,
+                                                          o_orderkey)
+                                  AS rn
+                       FROM orders),
+                 pc_ AS (SELECT o_custkey AS k,
+                                CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(v) AS BIGINT) AS life,
+                                CAST(sum(CASE WHEN rn = 1 THEN v
+                                              ELSE 0 END) AS BIGINT)
+                                    AS first_v
+                         FROM r GROUP BY 1),
+                 j AS (SELECT c.c_mktsegment AS segment, pc_.n,
+                              pc_.life, pc_.first_v
+                       FROM customer c JOIN pc_ ON pc_.k = c.c_custkey)
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeat,
+                   CAST(sum(first_v) AS BIGINT) AS sum_first,
+                   CAST(sum(life) AS BIGINT) AS sum_lifetime,
+                   CAST(1000 * sum(first_v) // greatest(sum(life), 1)
+                        AS BIGINT) AS first_permille
+            FROM j GROUP BY 1
+        """,
+        "events_duty_cycle": """
+            WITH c AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS d,
+                              CAST(count(DISTINCT date_trunc('minute',
+                                                             ts))
+                                   AS BIGINT) AS am
+                       FROM events GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(quantile_disc(am, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(am, 0.9) AS BIGINT) AS p90,
+                   CAST(max(am) AS BIGINT) AS max_minutes
+            FROM c GROUP BY 1
+        """,
+        "doc_lang_drift_deciles": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total
+                       FROM documents),
+                 g AS (SELECT lang, doc_id * 10 // n.total AS dec,
+                              CAST(count(*) AS BIGINT) AS nd,
+                              CAST(sum(n_chars) AS BIGINT) AS chars
+                       FROM documents CROSS JOIN n GROUP BY 1, 2),
+                 d AS (SELECT l.lang, r.dec
+                       FROM (SELECT DISTINCT lang FROM documents) l
+                       CROSS JOIN (SELECT unnest(range(0, 10)) AS dec) r)
+            SELECT d.lang, CAST(d.dec AS BIGINT) AS decile,
+                   CAST(coalesce(g.nd, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(g.chars, 0) AS BIGINT) AS sum_chars
+            FROM d LEFT JOIN g ON g.lang = d.lang AND g.dec = d.dec
+        """,
+        "rel_supplier_balance_corr": """
+            WITH ln AS (SELECT l_suppkey AS k,
+                               CAST(count(*) AS BIGINT) AS nl
+                        FROM lineitem GROUP BY 1),
+                 s AS (SELECT sup.s_nationkey,
+                              CAST(floor(100 * sup.s_acctbal) AS BIGINT)
+                                  AS bal,
+                              coalesce(ln.nl, 0) AS nl
+                       FROM supplier sup LEFT JOIN ln
+                            ON ln.k = sup.s_suppkey)
+            SELECT n.n_name AS nation,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(s.nl) AS BIGINT) AS sum_lines,
+                   CAST(sum(s.bal) AS BIGINT) AS sum_bal,
+                   CAST(sum(s.bal * s.nl) AS BIGINT) AS sum_xy,
+                   CAST(sum(s.nl * s.nl) AS BIGINT) AS sum_xx,
+                   CAST(sum(s.bal * s.bal) AS BIGINT) AS sum_yy
+            FROM s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1
+        """,
+        "events_audience_clock": """
+            WITH g AS (SELECT event_type AS source,
+                              CAST(hour(ts) AS BIGINT) AS h, user_id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2, 3),
+                 a AS (SELECT source, h,
+                              CAST(sum(n) AS BIGINT) AS ne,
+                              CAST(count(*) AS BIGINT) AS nu
+                       FROM g GROUP BY 1, 2),
+                 d AS (SELECT s.source, r.h
+                       FROM (SELECT DISTINCT event_type AS source
+                             FROM events) s
+                       CROSS JOIN (SELECT unnest(range(0, 24)) AS h) r)
+            SELECT d.source, CAST(d.h AS BIGINT) AS hour,
+                   CAST(coalesce(a.ne, 0) AS BIGINT) AS n_events,
+                   CAST(coalesce(a.nu, 0) AS BIGINT) AS n_users
+            FROM d LEFT JOIN a ON a.source = d.source AND a.h = d.h
+        """,
+        "f1_vocab_occupancy": """
+            WITH tok AS (SELECT source, unnest(tokens) AS t
+                         FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+                   CAST(min(t) AS BIGINT) AS min_id,
+                   CAST(max(t) AS BIGINT) AS max_id,
+                   CAST(1000 * count(DISTINCT t)
+                        // greatest(max(t) - min(t) + 1, 1) AS BIGINT)
+                       AS occupancy_permille
+            FROM tok GROUP BY 1
+        """,
+        "rel_brand_lifecycle": """
+            WITH j AS (SELECT p.p_brand,
+                              CAST(year(l.l_shipdate) AS BIGINT) AS y
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey)
+            SELECT p_brand AS brand,
+                   CAST(min(y) AS BIGINT) AS first_year,
+                   CAST(max(y) AS BIGINT) AS last_year,
+                   CAST(count(DISTINCT y) AS BIGINT) AS n_years,
+                   CAST(count(*) AS BIGINT) AS n_lines
             FROM j GROUP BY 1
         """,
     }

@@ -427,6 +427,18 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_audience_conc",
         "doc_repeat_gaps",
         "rel_part_competition",
+        "events_user_burst",
+        "doc_length_autocorr",
+        "rel_value_recon",
+        "events_benford",
+        "doc_vocab_retire_deciles",
+        "rel_first_order_value",
+        "events_duty_cycle",
+        "doc_lang_drift_deciles",
+        "rel_supplier_balance_corr",
+        "events_audience_clock",
+        "f1_vocab_occupancy",
+        "rel_brand_lifecycle",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

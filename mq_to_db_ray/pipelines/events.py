@@ -10033,3 +10033,433 @@ def events_audience_conc(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_user_burst(sf_dir: str) -> Dataset:
+    """E119: per-user minute-burst quantiles — per source: distinct
+    (user, minute) cells, discrete p50/p99 and max of the cell's event
+    count — the single-account RATE profile (E38 asks whether a
+    MINUTE's traffic is one user; E118 whether the SOURCE's lifetime
+    is; E119 how hard one user hammers one minute — the number a
+    rate-limiter's threshold and a replay-attack detector are tuned
+    against: p99 is organic burst, max is the abuser).  One dense row
+    per source ALWAYS; exact int64 under the quantile_disc rank rule
+    (three-level GROUP BY + quantile_disc oracle).
+
+    Scale shape — E118's user-hash settle with the minute riding: per
+    batch one Arrow group_by reduces events to (user, minute, source,
+    n) partials; ONE user-hash exchange makes every cell's count exact
+    (all of a user's cells co-locate), re-reducing IN PLACE to
+    (source, count) histogram partials — the count domain is tiny
+    (T21's bounded-histogram rule: a cell holds at most one minute of
+    one user), so quantiles read off one cumsum per source in the k=1
+    merge; no (user, minute) list ever lands on one node.  Reference
+    parity: the per-consumer prefetch/QoS knob
+    (`internal/consumer/rmq.go` prefetch) sized from data."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        minute = pa.array(
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+        )
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "m": minute,
+                "s": code,
+            }
+        )
+        g = t.group_by(["u", "m", "s"], use_threads=False).aggregate(
+            [("s", "count")]
+        )
+        return g.rename_columns(["u", "m", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sc": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["u", "m", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed = s * (1 << 32) + c
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sc": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_cells = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p99 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sc", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sc = g["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+            cnt = g["n_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            order = np.argsort(sc, kind="stable")
+            sc, cnt = sc[order], cnt[order]
+            s = sc >> 32
+            c = sc & 0xFFFFFFFF
+            for si in np.unique(s):
+                m = s == si
+                cv, nv = c[m], cnt[m]
+                cum = np.cumsum(nv)
+                total = int(cum[-1])
+                n_cells[si] = total
+                for arr, q in ((p50, 500), (p99, 990)):
+                    thr = (total * q + 999) // 1000
+                    arr[si] = int(
+                        cv[np.searchsorted(cum, thr, side="left")]
+                    )
+                mx[si] = int(cv[-1])
+        return pa.table(
+            {
+                "source": srcs,
+                "n_cells": pa.array(n_cells),
+                "p50": pa.array(p50),
+                "p99": pa.array(p99),
+                "max_burst": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sc", merge, k=1)
+
+
+def events_benford(sf_dir: str) -> Dataset:
+    """E120: leading-digit (Benford) audit board — per (source, digit
+    1..9): events whose ``value`` has that leading significant decimal
+    digit, plus its permille of the source's events — the classic
+    synthetic-/injected-data forensic (organically multiplicative
+    quantities follow log-uniform first digits; a flat or spiked
+    profile marks generated or clamped values — the cheapest "is this
+    feed real traffic" screen, read next to E94's value bands which
+    profile MAGNITUDE, not digit law).  Digit extraction is exact:
+    floor(value·1000) (scaling by a power of ten preserves the leading
+    digit; values < 0.001 would land in digit 0 and are excluded from
+    the dense 1..9 spine but still count in the permille denominator).
+    One dense row per (source, digit) ALWAYS (9 × sources); exact
+    int64 (substr-of-CAST oracle — identical IEEE double ops on both
+    sides).
+
+    Scale shape — ZERO wide exchange (E64's profile shape): the digit
+    is a stateless per-row function (a ~7-step vectorized divide-by-10
+    loop, no strings, no log10 rounding risk); per batch one packed
+    np.unique reduces to ≤ sources × 10 partial rows; k=1 densifying
+    merge.  Reference parity: the validation lane's numeric-range
+    check (`internal/messages/messages.go`) as a distributional law."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.floor(v * 1000).astype(np.int64)
+        n = np.maximum(n, 0)
+        while (n >= 10).any():
+            n = np.where(n >= 10, n // 10, n)
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * 16 + n
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        counts = np.zeros((ns, 16), np.int64)
+        if t.num_rows:
+            g = t.group_by("sd", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            counts[sd // 16, sd % 16] = n
+        tot = counts.sum(axis=1)
+        digits = np.arange(1, 10, dtype=np.int64)
+        out_src = srcs.take(
+            pa.array(np.repeat(np.arange(ns), 9).astype(np.int64))
+        )
+        dig = np.tile(digits, ns)
+        cnt = counts[:, 1:10].reshape(-1)
+        den = np.repeat(np.maximum(tot, 1), 9)
+        return pa.table(
+            {
+                "source": out_src,
+                "digit": pa.array(dig),
+                "n_events": pa.array(cnt),
+                "permille": pa.array(1000 * cnt // den),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "sd", merge, k=1)
+
+
+def events_duty_cycle(sf_dir: str) -> Dataset:
+    """E121: duty-cycle quantiles — per source: days with ≥1 event and
+    the discrete p50/p90/max of ACTIVE MINUTES PER DAY (distinct 1m
+    buckets touched) — the operational duty cycle (E58 gives lifetime
+    coverage of the whole span, E115 the day's load centroid; E121 how
+    much of a typical DAY the feed is actually on — the number that
+    separates a business-hours batch producer from an always-on stream
+    and sizes the idle-scale-down window).  One dense row per source
+    ALWAYS; exact int64 under the quantile_disc rank rule
+    (count(DISTINCT minute) per day + quantile_disc oracle).
+
+    Scale shape — E117's bounded-domain settle then a day-bounded
+    merge: per batch one packed np.unique to distinct (source, minute)
+    cells; ONE (source, minute)-hash exchange dedupes each cell
+    exactly (a minute lands in one partition), re-reducing IN PLACE to
+    per-(source, day) minute-count partials — additive across
+    partitions because cells are globally distinct; the k=1 merge
+    settles the ≤ sources × days domain (calendar-bounded, never
+    corpus-bounded) and reads the quantiles off one cumsum per source.
+    Reference parity: the consumer's idle/backoff loop
+    (`internal/consumer/rmq.go` reconnect cadence) sized from data."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        minute = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = np.unique(code * (1 << 40) + minute)
+        return pa.table({"sm": pa.array(packed.astype(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sd": pa.array([], pa.int64()), "am": pa.array([], pa.int64())}
+            )
+        sm = np.unique(
+            t["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        src = sm >> 40
+        day = (sm & ((1 << 40) - 1)) // 1440
+        sd = src * (1 << 32) + day
+        vals, cnt = np.unique(sd, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "am": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_days = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p90 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sd", use_threads=False).aggregate(
+                [("am", "sum")]
+            )
+            sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+            am = g["am_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            src = sd >> 32
+            order = np.lexsort((am, src))
+            src, am = src[order], am[order]
+            for si in np.unique(src):
+                m = src == si
+                av = am[m]
+                n_days[si] = len(av)
+                for arr, q in ((p50, 500), (p90, 900)):
+                    thr = (len(av) * q + 999) // 1000
+                    arr[si] = int(av[thr - 1])
+                mx[si] = int(av[-1])
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(n_days),
+                "p50": pa.array(p50),
+                "p90": pa.array(p90),
+                "max_minutes": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sd", merge, k=1)
+
+
+def events_audience_clock(sf_dir: str) -> Dataset:
+    """E122: audience clock board — per (source, hour-of-day 0..23):
+    events and DISTINCT users — when the audience is broad vs when the
+    same few accounts keep the lights on (E35 profiles event VOLUME by
+    clock position, E110 each user's single modal hour; E122 is the
+    audience-breadth clock — a source whose overnight hours keep full
+    volume but collapse to a handful of users is automation, and the
+    events/users ratio per cell is the load-vs-reach read a capacity
+    planner keys regional rollouts off).  One dense row per (source,
+    hour) ALWAYS (24 × sources); exact int64 (distinct (source, hour,
+    user) + two-level GROUP BY + densify oracle).
+
+    Scale shape — E38's aggregate-of-aggregates on the clock axis: per
+    batch one packed np.unique reduces events to distinct (user,
+    source, hour) presence cells WITH an event count riding; ONE
+    user-hash exchange dedupes presence exactly (all of a user's cells
+    co-locate), re-reducing IN PLACE to ≤ sources × 24 partials per
+    partition; k=1 densifying merge.  No user id list lands on one
+    node.  Reference parity: per-consumer delivery counters
+    (`internal/metrics/metrics.go`) cut by clock hour."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hod = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // HOUR_US
+            % 24
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        u = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        # (user, source, hour) cell with its in-batch event count
+        packed = u * (ns * 24) + code * 24 + hod
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array((vals // (ns * 24)).astype(np.int64)),
+                "sh": pa.array((vals % (ns * 24)).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["u", "sh"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sh = g["sh"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = np.zeros(ns * 24, np.int64)
+        nu = np.zeros(ns * 24, np.int64)
+        np.add.at(ne, sh, n)
+        np.add.at(nu, sh, 1)
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "sh": pa.array(live.astype(np.int64)),
+                "ne": pa.array(ne[live]),
+                "nu": pa.array(nu[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ne = np.zeros(ns * 24, np.int64)
+        nu = np.zeros(ns * 24, np.int64)
+        if t.num_rows:
+            sh = t["sh"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ne, sh,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nu, sh,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs.take(
+                    pa.array(np.repeat(np.arange(ns), 24).astype(np.int64))
+                ),
+                "hour": pa.array(np.tile(np.arange(24, dtype=np.int64), ns)),
+                "n_events": pa.array(ne),
+                "n_users": pa.array(nu),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sh", merge, k=1)

@@ -8108,3 +8108,618 @@ def part_competition(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "ns", merge, k=1)
+
+
+def value_recon(sf_dir: str) -> Dataset:
+    """R53: order-value reconciliation audit — per o_orderstatus:
+    orders, CHILDLESS orders (no lines — R48's finding priced), the
+    total absolute delta between the order header's floored
+    o_totalprice and the sum of its lines' floored charges
+    floor(extprice·(1−disc)·(1+tax)), and the discrete p50/p90 of the
+    per-order RELATIVE delta in permille of the header price — the
+    monetary closure check a loader runs after R48's referential one
+    (the reference acks a message only after the row lands, M6; a
+    star-schema epoch commits only when header and detail money
+    reconcile — this board says by how much they don't, and whether
+    the gap is a few bad orders or systemic).  Per-line flooring makes
+    both sides exact int64 (floor-per-line + LEFT JOIN + permille +
+    quantile_disc oracle); the permille domain is bounded by the
+    line-to-header price ratio (≲ a few thousand distinct values), so
+    the T21 histogram rule applies.
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange (R48's shape
+    with money riding): line batches pre-reduce to per-order
+    Σfloor(charge) int64 partials; order headers ride as dim rows
+    carrying (status, floor(totalprice)); each partition settles its
+    orders' line sums exactly, computes per-order |delta| and permille
+    and re-reduces IN PLACE to (status, permille) histogram partials
+    with n/childless/Σ|delta| riding; the string-keyed final merge
+    (R1's groupby.map_groups convention) reads the quantiles off one
+    cumsum per status."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        tp = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "status": b["o_orderstatus"],
+                "v": pa.array(tp),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        di = b["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        tx = b["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        charge = np.floor(ep * (1 - di) * (1 + tx)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "v": pa.array(charge),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("v", "sum")])
+        m = g.num_rows
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(m, np.int64)),
+                "status": pa.array([""] * m, pa.string()),
+                "v": pc.cast(g["v_sum"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "status": pa.array([], pa.string()),
+                    "pm": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "ad": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, tp = k[is_dim], v[is_dim]
+        status = t["status"].combine_chunks().filter(pa.array(is_dim))
+        fk, fv = k[~is_dim], v[~is_dim]
+        if len(fk):
+            uk, inv = np.unique(fk, return_inverse=True)
+            us = np.zeros(len(uk), np.int64)
+            np.add.at(us, inv, fv)
+            pos = np.clip(np.searchsorted(uk, dk), 0, len(uk) - 1)
+            hit = uk[pos] == dk
+            s = np.where(hit, us[pos], 0)
+        else:
+            hit = np.zeros(len(dk), bool)
+            s = np.zeros(len(dk), np.int64)
+        ad = np.abs(tp - s)
+        pm = 1000 * ad // np.maximum(tp, 1)
+        g = pa.table(
+            {
+                "status": status,
+                "pm": pa.array(pm),
+                "n": pa.array(np.ones(len(dk), np.int64)),
+                "nc": pa.array((~hit).astype(np.int64)),
+                "ad": pa.array(ad),
+            }
+        ).group_by(["status", "pm"], use_threads=False).aggregate(
+            [("n", "sum"), ("nc", "sum"), ("ad", "sum")]
+        )
+        return g.rename_columns(["status", "pm", "n", "nc", "ad"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["status", "pm"], use_threads=False).aggregate(
+            [("n", "sum"), ("nc", "sum"), ("ad", "sum")]
+        )
+        pm = g["pm"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(pm, kind="stable")
+        pm, n = pm[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out = {
+            "status": g["status"][:1],
+            "n_orders": pa.array([total], pa.int64()),
+            "n_childless": pa.array(
+                [int(pc.sum(g["nc_sum"]).as_py() or 0)], pa.int64()
+            ),
+            "sum_abs_delta": pa.array(
+                [int(pc.sum(g["ad_sum"]).as_py() or 0)], pa.int64()
+            ),
+        }
+        for name, q in (("p50_permille", 500), ("p90_permille", 900)):
+            thr = (total * q + 999) // 1000
+            pos = int(np.searchsorted(cum, thr, side="left"))
+            out[name] = pa.array([int(pm[pos])], pa.int64())
+        return pa.table(out)
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = orders.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return cells.groupby("status").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def first_order_value(sf_dir: str) -> Dataset:
+    """R54: first-order predictiveness board — per c_mktsegment:
+    customers with ≥1 order, REPEAT customers (≥2), the floored
+    o_totalprice of each customer's FIRST order (earliest o_orderdate,
+    ties broken by o_orderkey ASC — deterministic under the 32
+    same-day tie groups in the data) summed per segment, lifetime
+    floored order value, and the first-order permille of lifetime —
+    the acquisition-quality read (a segment whose first orders carry
+    most of its lifetime value buys once and churns; a low permille
+    funds retention spend) next to R37's brand-loyalty pairs and R19's
+    LTV digit bands, neither of which attributes value to ORDER RANK.
+    Exact int64 (row_number window + JOIN + permille oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (orders and
+    customers both corpus-scaled): order batches pre-reduce per
+    customer to (n, Σfloor, argmin-(date, orderkey) carry with its
+    value) partials — the first-order value is a lexicographic-min
+    REDUCTION, so it rides the same exchange as the sums; customer
+    rows ride as dim rows carrying the segment; each partition settles
+    every customer exactly (one lexsort, first-row-per-key wins) and
+    re-reduces IN PLACE to per-segment partials; string-keyed final
+    merge (R1's convention)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate", "o_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["o_custkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        d = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ok = pc.cast(b["o_orderkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ok, d, k))
+        k, v, d, ok = k[order], v[order], d[order], ok[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        uk = k[starts]
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        sums = np.add.reduceat(v, starts) if len(k) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "k": pa.array(uk),
+                "role": pa.array(np.ones(len(uk), np.int64)),
+                "seg": pa.array([""] * len(uk), pa.string()),
+                "n": pa.array(n),
+                "sv": pa.array(sums.astype(np.int64)),
+                "fd": pa.array(d[starts]),
+                "fo": pa.array(ok[starts]),
+                "fv": pa.array(v[starts]),
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        z = pa.array(np.zeros(m, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "role": z,
+                "seg": b["c_mktsegment"],
+                "n": z,
+                "sv": z,
+                "fd": z,
+                "fo": z,
+                "fv": z,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "seg": pa.array([], pa.string()),
+                    "nc": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                    "sf": pa.array([], pa.int64()),
+                    "sl": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        ft = t.filter(pa.array(~is_dim))
+        dt = t.filter(pa.array(is_dim))
+        k = ft["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = ft["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        sv = ft["sv"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = ft["fd"].combine_chunks().to_numpy(zero_copy_only=False)
+        fo = ft["fo"].combine_chunks().to_numpy(zero_copy_only=False)
+        fv = ft["fv"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((fo, fd, k))
+        k, n, sv, fd, fo, fv = (
+            a[order] for a in (k, n, sv, fd, fo, fv)
+        )
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        uk = k[starts]
+        nn = np.zeros(len(uk), np.int64)
+        ss = np.zeros(len(uk), np.int64)
+        gid = np.cumsum(first) - 1
+        np.add.at(nn, gid, n)
+        np.add.at(ss, gid, sv)
+        firstv = fv[starts]
+        dk = dt["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        seg = dt["seg"].combine_chunks()
+        if len(uk):
+            pos = np.clip(np.searchsorted(uk, dk), 0, len(uk) - 1)
+            hit = uk[pos] == dk
+        else:
+            pos = np.zeros(len(dk), np.int64)
+            hit = np.zeros(len(dk), bool)
+        live = np.flatnonzero(hit)
+        if not len(live):
+            return pa.table(
+                {
+                    "seg": pa.array([], pa.string()),
+                    "nc": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                    "sf": pa.array([], pa.int64()),
+                    "sl": pa.array([], pa.int64()),
+                }
+            )
+        p = pos[live]
+        g = pa.table(
+            {
+                "seg": seg.take(pa.array(live.astype(np.int64))),
+                "nc": pa.array(np.ones(len(live), np.int64)),
+                "nr": pa.array((nn[p] >= 2).astype(np.int64)),
+                "sf": pa.array(firstv[p]),
+                "sl": pa.array(ss[p]),
+            }
+        ).group_by("seg", use_threads=False).aggregate(
+            [("nc", "sum"), ("nr", "sum"), ("sf", "sum"), ("sl", "sum")]
+        )
+        return g.rename_columns(["seg", "nc", "nr", "sf", "sl"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("seg", use_threads=False).aggregate(
+            [("nc", "sum"), ("nr", "sum"), ("sf", "sum"), ("sl", "sum")]
+        )
+        sf = int(pc.sum(g["sf_sum"]).as_py() or 0)
+        sl = int(pc.sum(g["sl_sum"]).as_py() or 0)
+        return pa.table(
+            {
+                "segment": g["seg"][:1],
+                "n_customers": pc.cast(g["nc_sum"], pa.int64())[:1],
+                "n_repeat": pc.cast(g["nr_sum"], pa.int64())[:1],
+                "sum_first": pa.array([sf], pa.int64()),
+                "sum_lifetime": pa.array([sl], pa.int64()),
+                "first_permille": pa.array(
+                    [1000 * sf // max(sl, 1)], pa.int64()
+                ),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return cells.groupby("seg").map_groups(merge, batch_format="pyarrow")
+
+
+def supplier_balance_corr(sf_dir: str) -> Dataset:
+    """R55: supplier credit-volume correlation board — per nation:
+    suppliers, Σ shipped lines, Σ floor(100·s_acctbal) cents, and the
+    exact int64 cross moments Σ bal·lines, Σ lines², Σ bal² — Pearson
+    "does credit-worthiness track shipped volume" offline, the
+    CONTINUOUS read next to R40's negative-balance exposure split
+    (R40 prices the already-distressed tail; R55 asks whether balance
+    predicts volume across the whole book — a strong negative
+    correlation means the busiest suppliers are draining credit, the
+    early-warning version of R40).  Suppliers with zero lines count
+    with lines = 0 (absence decided under co-location — R18's rule).
+    One row per nation with ≥1 supplier; exact int64 (floor-cents +
+    LEFT JOIN + SUM oracle; bal² ≲ 4·10¹² per supplier — ~10⁶
+    suppliers/nation within int64).
+
+    Scale shape — ONE co-partitioned SUPPKEY exchange (lines and
+    suppliers both corpus-scaled): line batches pre-reduce to
+    (suppkey, n) partials; supplier rows ride carrying (nationkey,
+    bal cents); each partition settles per-supplier line counts
+    exactly, computes the products, and re-reduces IN PLACE to
+    per-nation partials; the k=1 merge sums and attaches the 25
+    broadcast nation names (the only driver-composed dim)."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    keys = np.array(nat["n_nationkey"], np.int64)
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        k, cnt = np.unique(
+            pc.cast(b["l_suppkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        m = len(k)
+        return pa.table(
+            {
+                "k": pa.array(k.astype(np.int64)),
+                "role": pa.array(np.ones(m, np.int64)),
+                "nk": pa.array(np.zeros(m, np.int64)),
+                "v": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        bal = np.floor(
+            100
+            * b["s_acctbal"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "nk": pc.cast(b["s_nationkey"], pa.int64()),
+                "v": pa.array(bal),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["nk", "nsupp", "sl", "sb", "sxy", "sxx", "syy"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dnk, bal = k[is_dim], nk[is_dim], v[is_dim]
+        fk, fn = k[~is_dim], v[~is_dim]
+        if len(fk):
+            uk, inv = np.unique(fk, return_inverse=True)
+            un = np.zeros(len(uk), np.int64)
+            np.add.at(un, inv, fn)
+            pos = np.clip(np.searchsorted(uk, dk), 0, len(uk) - 1)
+            nl = np.where(uk[pos] == dk, un[pos], 0)
+        else:
+            nl = np.zeros(len(dk), np.int64)
+        uvals, ginv = np.unique(dnk, return_inverse=True)
+        acc = {c: np.zeros(len(uvals), np.int64) for c in cols[1:]}
+        np.add.at(acc["nsupp"], ginv, 1)
+        np.add.at(acc["sl"], ginv, nl)
+        np.add.at(acc["sb"], ginv, bal)
+        np.add.at(acc["sxy"], ginv, bal * nl)
+        np.add.at(acc["sxx"], ginv, nl * nl)
+        np.add.at(acc["syy"], ginv, bal * bal)
+        out = {"nk": pa.array(uvals.astype(np.int64))}
+        out.update({c: pa.array(acc[c]) for c in cols[1:]})
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("nk", use_threads=False).aggregate(
+            [
+                ("nsupp", "sum"),
+                ("sl", "sum"),
+                ("sb", "sum"),
+                ("sxy", "sum"),
+                ("sxx", "sum"),
+                ("syy", "sum"),
+            ]
+        )
+        nk = g["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, nk)
+        return pa.table(
+            {
+                "nation": names.take(pa.array(pos.astype(np.int64))),
+                "n_suppliers": pc.cast(g["nsupp_sum"], pa.int64()),
+                "sum_lines": pc.cast(g["sl_sum"], pa.int64()),
+                "sum_bal": pc.cast(g["sb_sum"], pa.int64()),
+                "sum_xy": pc.cast(g["sxy_sum"], pa.int64()),
+                "sum_xx": pc.cast(g["sxx_sum"], pa.int64()),
+                "sum_yy": pc.cast(g["syy_sum"], pa.int64()),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = supp.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "nk", merge, k=1)
+
+
+def brand_lifecycle(sf_dir: str) -> Dataset:
+    """R56: brand lifecycle board — per p_brand: first and last ship
+    YEAR, distinct active years, and total shipped lines — the catalog
+    introduction/retirement read (R49 asks which brand is GROWING year
+    over year; R56 when each brand entered and left the book at all —
+    a brand with a long span but few active years ships in bursts, the
+    assortment-planning dual of R51's never-sold tail).  One row per
+    brand with ≥1 line; exact int64 (join + year() + min/max/
+    count(DISTINCT) oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (R49's shape):
+    line batches pre-reduce to (partkey, ship-year, n) partials via
+    one packed np.unique (the year axis is calendar-bounded); part
+    rows ride carrying the brand rank; each partition attaches brands
+    with one searchsorted and re-reduces IN PLACE to the ≤ brands ×
+    years domain; the string-keyed final merge (R1's convention)
+    settles cell totals and folds min/max/distinct along each brand's
+    year axis — O(brands × years × partitions) rows, never
+    corpus-sized."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        k = (
+            pc.cast(b["l_partkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(pc.year(b["l_shipdate"]), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = k * 8192 + y
+        vals, cnt = np.unique(packed, return_counts=True)
+        m = len(vals)
+        return pa.table(
+            {
+                "k": pa.array((vals // 8192).astype(np.int64)),
+                "role": pa.array(np.ones(m, np.int64)),
+                "brand": pa.array([""] * m, pa.string()),
+                "y": pa.array((vals % 8192).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        z = pa.array(np.zeros(m, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": z,
+                "brand": b["p_brand"],
+                "y": z,
+                "n": z,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    "y": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk = k[is_dim]
+        brand = t["brand"].combine_chunks().filter(pa.array(is_dim))
+        fk = k[~is_dim]
+        fy = t["y"].combine_chunks().to_numpy(zero_copy_only=False)[
+            ~is_dim
+        ]
+        fn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)[
+            ~is_dim
+        ]
+        if not len(fk):
+            return pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    "y": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        # lines reference existing parts (R48 audits violations)
+        bidx = order[pos]
+        g = pa.table(
+            {
+                "brand": brand.take(pa.array(bidx.astype(np.int64))),
+                "y": pa.array(fy),
+                "n": pa.array(fn),
+            }
+        ).group_by(["brand", "y"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["brand", "y", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["brand", "y"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        y = g["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "brand": g["brand"][:1],
+                "first_year": pa.array([int(y.min())], pa.int64()),
+                "last_year": pa.array([int(y.max())], pa.int64()),
+                "n_years": pa.array([len(np.unique(y))], pa.int64()),
+                "n_lines": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return cells.groupby("brand").map_groups(
+        merge, batch_format="pyarrow"
+    )

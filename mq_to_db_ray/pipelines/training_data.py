@@ -11150,3 +11150,523 @@ def repeat_gaps(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "sg", merge, k=1)
+
+
+def length_autocorr(sf_dir: str) -> Dataset:
+    """T126: ingestion-order length-autocorrelation board — per source:
+    consecutive doc pairs (by doc_id within the source), and the exact
+    int64 sufficient statistics Σx, Σy, Σxy, Σx², Σy² of (previous doc's
+    token count, this doc's token count) — lag-1 Pearson reads off
+    offline: T117 shows the corpus-wide drift DECILE by decile, T126
+    whether a SOURCE's crawler batches similar-length pages back to
+    back (high autocorrelation = frontier locality / template runs —
+    exactly the ordering T25's global shuffle exists to destroy; a
+    source already near zero doesn't need the shuffle pass).  One
+    dense row per source ALWAYS (zeros for single-doc sources); exact
+    int64 (lag window over doc_id order + SUM oracle; int64 bound
+    ~3·10⁹ pairs/source at 10⁴-token docs).
+
+    Scale shape — adjacency needs ORDER, so this is the grid-stitch
+    shape (E116's run stitching on the doc_id axis), not a histogram:
+    per batch docs reduce to (source, doc_id-range chunk, doc_id,
+    n_tok) — three int64s per doc, text never moves; ONE (source,
+    chunk)-hash exchange settles each chunk whole, where one lexsort
+    computes all intra-chunk pair sums and leaves one summary row per
+    (source, chunk) carrying its first/last token counts; the k=1
+    merge sorts O(sources × chunks) summaries once and stitches
+    boundary pairs (the last doc of a source's chunk immediately
+    precedes the first doc of its next non-empty chunk in that
+    source's order, by construction of the doc_id-range chunking)."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    nsrc = len(srcs)
+    n_total = pq_.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+    kch = shuffle_parts()
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["text"], " ")),
+            pa.int64(),
+        )
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        )
+        did = (
+            pc.cast(batch["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        chunk = did * kch // max(n_total, 1)
+        sc = (
+            code.combine_chunks().to_numpy(zero_copy_only=False) * kch
+            + chunk
+        )
+        return pa.table(
+            {
+                "sc": pa.array(sc.astype(np.int64)),
+                "did": pa.array(did),
+                "n": n,
+            }
+        )
+
+    def _summaries(sc, did, n):
+        """One summary row per (source, chunk): intra-chunk pair sums +
+        first/last token counts, off one lexsort."""
+        order = np.lexsort((did, sc))
+        sc, did, n = sc[order], did[order], n[order]
+        grp_start = np.ones(len(sc), bool)
+        grp_start[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(grp_start)
+        ends = np.r_[starts[1:], len(sc)] - 1
+        gid = np.cumsum(grp_start) - 1
+        pair = np.zeros(len(sc) - 1, bool) if len(sc) > 1 else np.zeros(0, bool)
+        if len(sc) > 1:
+            pair = sc[1:] == sc[:-1]
+        x, y = n[:-1][pair], n[1:][pair]
+        pg = gid[1:][pair]
+        ng = len(starts)
+        out = {
+            "sc": sc[starts],
+            "np": np.zeros(ng, np.int64),
+            "sx": np.zeros(ng, np.int64),
+            "sy": np.zeros(ng, np.int64),
+            "sxy": np.zeros(ng, np.int64),
+            "sxx": np.zeros(ng, np.int64),
+            "syy": np.zeros(ng, np.int64),
+            "first_n": n[starts],
+            "last_n": n[ends],
+        }
+        np.add.at(out["np"], pg, 1)
+        np.add.at(out["sx"], pg, x)
+        np.add.at(out["sy"], pg, y)
+        np.add.at(out["sxy"], pg, x * y)
+        np.add.at(out["sxx"], pg, x * x)
+        np.add.at(out["syy"], pg, y * y)
+        return out
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["sc", "np", "sx", "sy", "sxy", "sxx", "syy",
+                "first_n", "last_n"]
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in cols}
+            )
+        sc = t["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = t["did"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = _summaries(sc, did, n)
+        return pa.table({c: pa.array(out[c]) for c in cols})
+
+    def merge(t: pa.Table) -> pa.Table:
+        np_a = np.zeros(nsrc, np.int64)
+        sx = np.zeros(nsrc, np.int64)
+        sy = np.zeros(nsrc, np.int64)
+        sxy = np.zeros(nsrc, np.int64)
+        sxx = np.zeros(nsrc, np.int64)
+        syy = np.zeros(nsrc, np.int64)
+        if t.num_rows:
+            sc = t["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(sc, kind="stable")
+            cols = {
+                c: t[c].combine_chunks().to_numpy(zero_copy_only=False)[
+                    order
+                ]
+                for c in t.column_names
+            }
+            sc = cols["sc"]
+            s = sc // kch
+            for acc, c in (
+                (np_a, "np"), (sx, "sx"), (sy, "sy"),
+                (sxy, "sxy"), (sxx, "sxx"), (syy, "syy"),
+            ):
+                np.add.at(acc, s, cols[c])
+            if len(sc) > 1:
+                stitch = s[1:] == s[:-1]
+                x = cols["last_n"][:-1][stitch]
+                y = cols["first_n"][1:][stitch]
+                sg = s[1:][stitch]
+                np.add.at(np_a, sg, 1)
+                np.add.at(sx, sg, x)
+                np.add.at(sy, sg, y)
+                np.add.at(sxy, sg, x * y)
+                np.add.at(sxx, sg, x * x)
+                np.add.at(syy, sg, y * y)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_pairs": pa.array(np_a),
+                "sum_x": pa.array(sx),
+                "sum_y": pa.array(sy),
+                "sum_xy": pa.array(sxy),
+                "sum_xx": pa.array(sxx),
+                "sum_yy": pa.array(syy),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sc", fold, k=kch)
+    return hash_partition_merge(cells, "sc", merge, k=1)
+
+
+def vocab_retire_deciles(sf_dir: str) -> Dataset:
+    """T127: vocabulary-retirement deciles — per doc_id DECILE (T117's
+    dense-ingestion-order invariant): word types LAST seen there
+    (global max doc_id attribution — the dual of T119's
+    first-introduction rule), those types' total corpus occurrences,
+    and their summed LIFESPAN (max doc_id − min doc_id) — the
+    vocabulary-death curve: T119 says when words are born, T127 when
+    they die — early retirement deciles holding heavy short-lived
+    types mark a topic/crawler mix that ENDED mid-ingest (the dual
+    signal to late-minting), and the lifespan column separates
+    one-burst jargon (span ≈ 0) from vocabulary that genuinely aged
+    out.  One dense row per decile ALWAYS.  Exact int64 (min/max
+    (doc_id) + count-scalar decile + densify oracle).
+
+    Scale shape — T119's machinery with a max and a span riding: ONE
+    word-hash exchange; batches pre-reduce with one split + one Arrow
+    group_by to (hash, word, min_doc, max_doc, n) cells; the word's
+    partition settles the GLOBAL first/last sighting and count
+    locally, re-reducing IN PLACE to ≤ 10 partial rows per partition;
+    k=1 densifying merge.  The vocabulary never lands on one node."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        did = (
+            pc.cast(batch["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "w": flat,
+                "d": pa.array(did[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by("w", use_threads=False).aggregate(
+            [("d", "min"), ("d", "max"), ("n", "sum")]
+        )
+        g = g.rename_columns(["w", "mind", "maxd", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "mind": pc.cast(g["mind"], pa.int64()),
+                "maxd": pc.cast(g["maxd"], pa.int64()),
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dec": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "life": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("w", use_threads=False).aggregate(
+            [("mind", "min"), ("maxd", "max"), ("n", "sum")]
+        )
+        mind = g["mind_min"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        maxd = g["maxd_max"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dec = maxd * 10 // n_total
+        nt = np.zeros(10, np.int64)
+        occ = np.zeros(10, np.int64)
+        life = np.zeros(10, np.int64)
+        np.add.at(nt, dec, 1)
+        np.add.at(occ, dec, n)
+        np.add.at(life, dec, maxd - mind)
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "dec": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "occ": pa.array(occ[live]),
+                "life": pa.array(life[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nt = np.zeros(10, np.int64)
+        occ = np.zeros(10, np.int64)
+        life = np.zeros(10, np.int64)
+        if t.num_rows:
+            dec = t["dec"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, c in ((nt, "nt"), (occ, "occ"), (life, "life")):
+                np.add.at(
+                    acc,
+                    dec,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(10, dtype=np.int64)),
+                "retired_types": pa.array(nt),
+                "occurrences": pa.array(occ),
+                "sum_lifespan": pa.array(life),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "dec", merge, k=1)
+
+
+def lang_drift_deciles(sf_dir: str) -> Dataset:
+    """T128: language-mix drift deciles — per (labeled lang, doc_id
+    DECILE of T117's dense-ingestion-order invariant): docs and total
+    chars — the language balance sheet OVER CRAWL TIME (T44 gives the
+    corpus-wide mix a sampler weights from, T117 the length/stopword
+    drift; T128 catches a source pivot that swaps languages mid-ingest
+    — a lang whose late deciles collapse means the mixture weights T44
+    informed are stale for the tail).  One dense row per (lang,
+    decile) ALWAYS (langs × 10); exact int64 (count-scalar decile +
+    two-key GROUP BY + densify oracle).
+
+    Scale shape — ZERO wide exchange (T49's profile): the decile is a
+    stateless function of doc_id and the broadcast footer count, the
+    lang a tiny broadcast rank; per batch one packed np.unique + one
+    np.add.at reduce docs to ≤ langs × 10 partial rows; k=1
+    densifying merge."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import hash_partition_merge
+
+    langs = pa.array(
+        sorted(_docs(sf_dir, ["lang"]).unique("lang")), pa.string()
+    )
+    nl = len(langs)
+    n_total = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = (
+            pc.cast(batch["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dec = did * 10 // max(n_total, 1)
+        code = (
+            pc.cast(pc.index_in(batch["lang"], value_set=langs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        chars = (
+            pc.cast(batch["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ld = code * 10 + dec
+        vals, inv = np.unique(ld, return_inverse=True)
+        nd = np.bincount(inv).astype(np.int64)
+        ch = np.zeros(len(vals), np.int64)
+        np.add.at(ch, inv, chars)
+        return pa.table(
+            {
+                "ld": pa.array(vals.astype(np.int64)),
+                "nd": pa.array(nd),
+                "ch": pa.array(ch),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(nl * 10, np.int64)
+        ch = np.zeros(nl * 10, np.int64)
+        if t.num_rows:
+            g = t.group_by("ld", use_threads=False).aggregate(
+                [("nd", "sum"), ("ch", "sum")]
+            )
+            ld = g["ld"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd[ld] = g["nd_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ch[ld] = g["ch_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "lang": langs.take(
+                    pa.array(np.repeat(np.arange(nl), 10).astype(np.int64))
+                ),
+                "decile": pa.array(np.tile(np.arange(10, dtype=np.int64), nl)),
+                "n_docs": pa.array(nd),
+                "sum_chars": pa.array(ch),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "ld", merge, k=1)
+
+
+def vocab_occupancy(sf_dir: str) -> Dataset:
+    """T129/F: tape vocab-occupancy board — per source of the F1
+    tokenized stream: total tokens, DISTINCT token ids, min/max id,
+    and the occupancy permille of the source's own id range
+    (1000·distinct // (max−min+1)) — the id-space utilization read
+    T79's band heatmap draws per band, collapsed to the one number a
+    tokenizer-shrink decision needs (a source using 3% of its id span
+    wastes embedding rows; min/max localize WHERE the span sits, next
+    to f1_vocab_novelty's WHEN).  One dense row per source ALWAYS;
+    exact int64 (unnest + count(DISTINCT) + min/max + permille
+    oracle).
+
+    Scale shape — distinct over a corpus-sized id stream WITHOUT
+    collecting ids (E114's rule on the token axis): per batch one
+    flatten + one bit-packed np.unique reduces the stream to distinct
+    (source, id) cells with counts riding; ONE id-hash exchange makes
+    cross-batch dedupe exact (each cell settles in one partition),
+    re-reducing IN PLACE to one (distinct, tokens, min, max) 4-tuple
+    per (source, partition); k=1 merge.  Token lists never shuffle."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = np.repeat(code, nper) * (1 << 32) + flat
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "si": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "nd", "nt", "mn", "mx"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("si", use_threads=False).aggregate([("n", "sum")])
+        si = g["si"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = si >> 32
+        tok = si & 0xFFFFFFFF
+        nd = np.zeros(ns, np.int64)
+        nt = np.zeros(ns, np.int64)
+        mn = np.full(ns, np.iinfo(np.int64).max)
+        mx = np.full(ns, -1, np.int64)
+        np.add.at(nd, s, 1)
+        np.add.at(nt, s, n)
+        np.minimum.at(mn, s, tok)
+        np.maximum.at(mx, s, tok)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live]),
+                "nt": pa.array(nt[live]),
+                "mn": pa.array(mn[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        nt = np.zeros(ns, np.int64)
+        mn = np.full(ns, np.iinfo(np.int64).max)
+        mx = np.full(ns, -1, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, c, red in (
+                (nd, "nd", np.add),
+                (nt, "nt", np.add),
+                (mn, "mn", np.minimum),
+                (mx, "mx", np.maximum),
+            ):
+                red.at(
+                    acc, s,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        span = np.where(mx >= 0, mx - np.where(mx >= 0, mn, 0) + 1, 1)
+        mn = np.where(mx >= 0, mn, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_tokens": pa.array(nt),
+                "n_distinct": pa.array(nd),
+                "min_id": pa.array(mn),
+                "max_id": pa.array(np.maximum(mx, 0)),
+                "occupancy_permille": pa.array(
+                    1000 * nd // np.maximum(span, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "si", fold, k=_doc_k_files(files))
+    return hash_partition_merge(cells, "s", merge, k=1)
