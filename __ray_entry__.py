@@ -643,6 +643,24 @@ def _q_events_audience_clock(sf_dir: str):
     return events_audience_clock(sf_dir)
 
 
+def _q_events_band_interarrival(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_band_interarrival
+
+    return events_band_interarrival(sf_dir)
+
+
+def _q_events_exclusive_audience(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_exclusive_audience
+
+    return events_exclusive_audience(sf_dir)
+
+
+def _q_events_peak_hour_stability(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_peak_hour_stability
+
+    return events_peak_hour_stability(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1360,6 +1378,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_brand_lifecycle": rel.brand_lifecycle,
+        "events_band_interarrival": _q_events_band_interarrival,
+        "doc_stopword_thirds": td.stopword_thirds,
+        "rel_shipment_spread": rel.shipment_spread,
+        "events_exclusive_audience": _q_events_exclusive_audience,
+        "doc_modal_word": td.modal_word,
+        "rel_brand_dependency": rel.brand_dependency,
+        "events_peak_hour_stability": _q_events_peak_hour_stability,
+        "f1_tape_opener": lambda sf_dir: td.tape_opener(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_cohort_repurchase": rel.cohort_repurchase,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6328,6 +6357,203 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(y) AS BIGINT) AS last_year,
                    CAST(count(DISTINCT y) AS BIGINT) AS n_years,
                    CAST(count(*) AS BIGINT) AS n_lines
+            FROM j GROUP BY 1
+        """,
+        "events_band_interarrival": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+                 b AS (SELECT user_id,
+                              CAST(length(bin(n)) - 1 AS BIGINT) AS band
+                       FROM c),
+                 g AS (SELECT user_id,
+                              (epoch_us(ts)
+                               - lag(epoch_us(ts))
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                              // 1000000 AS gap
+                       FROM events),
+                 f AS (SELECT b.band, g.gap
+                       FROM g JOIN b USING (user_id)
+                       WHERE g.gap IS NOT NULL),
+                 ub AS (SELECT band, CAST(count(*) AS BIGINT) AS n_users
+                        FROM b GROUP BY 1),
+                 gb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_gaps,
+                               CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                                   AS p50_s,
+                               CAST(quantile_disc(gap, 0.9) AS BIGINT)
+                                   AS p90_s
+                        FROM f GROUP BY 1)
+            SELECT ub.band, ub.n_users,
+                   CAST(coalesce(gb.n_gaps, 0) AS BIGINT) AS n_gaps,
+                   CAST(coalesce(gb.p50_s, 0) AS BIGINT) AS p50_s,
+                   CAST(coalesce(gb.p90_s, 0) AS BIGINT) AS p90_s
+            FROM ub LEFT JOIN gb ON gb.band = ub.band
+        """,
+        "doc_stopword_thirds": """
+            WITH t AS (SELECT source, str_split(text, ' ') AS w
+                       FROM documents),
+                 u AS (SELECT source, unnest(w) AS word,
+                              generate_subscripts(w, 1) AS i,
+                              len(w) AS n
+                       FROM t),
+                 b AS (SELECT source, 3 * (i - 1) // n AS third,
+                              CASE WHEN lower(word) IN
+                                   ('the', 'a', 'of', 'and', 'to',
+                                    'in', 'is')
+                                   THEN 1 ELSE 0 END AS st
+                       FROM u),
+                 s AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_tokens,
+                              CAST(sum(CASE WHEN third = 0 THEN st
+                                            ELSE 0 END) AS BIGINT)
+                                  AS stop_first,
+                              CAST(sum(CASE WHEN third = 1 THEN st
+                                            ELSE 0 END) AS BIGINT)
+                                  AS stop_mid,
+                              CAST(sum(CASE WHEN third = 2 THEN st
+                                            ELSE 0 END) AS BIGINT)
+                                  AS stop_last
+                       FROM b GROUP BY 1)
+            SELECT * FROM s
+        """,
+        "rel_shipment_spread": """
+            WITH l AS (SELECT l_orderkey AS k,
+                              CAST(count(*) AS BIGINT) AS n,
+                              min(l_shipdate) AS mn,
+                              max(l_shipdate) AS mx
+                       FROM lineitem GROUP BY 1),
+                 j AS (SELECT o.o_orderpriority AS priority,
+                              CAST(date_diff('day', l.mn, l.mx)
+                                   AS BIGINT) AS spread
+                       FROM orders o JOIN l ON l.k = o.o_orderkey
+                       WHERE l.n >= 2)
+            SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(spread, 0.5) AS BIGINT)
+                       AS p50_days,
+                   CAST(quantile_disc(spread, 0.9) AS BIGINT)
+                       AS p90_days,
+                   CAST(max(spread) AS BIGINT) AS max_days
+            FROM j GROUP BY 1
+        """,
+        "events_exclusive_audience": """
+            WITH b AS (SELECT user_id,
+                              CAST(count(DISTINCT event_type) AS BIGINT)
+                                  AS breadth
+                       FROM events GROUP BY 1),
+                 p AS (SELECT DISTINCT event_type AS source, user_id
+                       FROM events),
+                 s AS (SELECT p.source,
+                              CAST(count(*) AS BIGINT) AS n_users,
+                              CAST(sum(CASE WHEN b.breadth = 1 THEN 1
+                                            ELSE 0 END) AS BIGINT)
+                                  AS n_exclusive
+                       FROM p JOIN b USING (user_id) GROUP BY 1)
+            SELECT source, n_users, n_exclusive,
+                   CAST(1000 * n_exclusive // greatest(n_users, 1)
+                        AS BIGINT) AS exclusive_permille
+            FROM s
+        """,
+        "doc_modal_word": """
+            WITH tok AS (SELECT source,
+                                unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+                 g AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+                       FROM tok GROUP BY 1, 2),
+                 r AS (SELECT source, w, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC, w ASC)
+                                  AS rn,
+                              CAST(sum(n) OVER (PARTITION BY source)
+                                   AS BIGINT) AS tot
+                       FROM g)
+            SELECT source, tot AS n_tokens, w AS top_word,
+                   n AS top_count,
+                   CAST(1000 * n // greatest(tot, 1) AS BIGINT)
+                       AS top_permille
+            FROM r WHERE rn = 1
+        """,
+        "rel_brand_dependency": """
+            WITH j AS (SELECT p.p_brand, l.l_suppkey,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey
+                       GROUP BY 1, 2),
+                 r AS (SELECT p_brand, l_suppkey, n,
+                              row_number() OVER (PARTITION BY p_brand
+                                                 ORDER BY n DESC,
+                                                          l_suppkey ASC)
+                                  AS rn,
+                              CAST(sum(n) OVER (PARTITION BY p_brand)
+                                   AS BIGINT) AS nl,
+                              CAST(count(*) OVER (PARTITION BY p_brand)
+                                   AS BIGINT) AS nsup
+                       FROM j)
+            SELECT p_brand AS brand, nl AS n_lines,
+                   nsup AS n_suppliers, n AS top_lines,
+                   CAST(1000 * n // greatest(nl, 1) AS BIGINT)
+                       AS top_permille
+            FROM r WHERE rn = 1
+        """,
+        "events_peak_hour_stability": """
+            WITH c AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS d,
+                              CAST(hour(ts) AS BIGINT) AS h,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2, 3),
+                 r AS (SELECT source, d, h,
+                              row_number() OVER (PARTITION BY source, d
+                                                 ORDER BY n DESC, h ASC)
+                                  AS rn
+                       FROM c),
+                 p AS (SELECT source, h FROM r WHERE rn = 1)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_peaks,
+                   CAST(quantile_disc(h, 0.5) AS BIGINT)
+                       AS p50_peak_hour
+            FROM p GROUP BY 1
+        """,
+        "f1_tape_opener": """
+            WITH f AS (SELECT source, tokens[1] AS t
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 g AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+                       FROM f GROUP BY 1, 2),
+                 r AS (SELECT source, t, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC, t ASC)
+                                  AS rn,
+                              CAST(sum(n) OVER (PARTITION BY source)
+                                   AS BIGINT) AS tot,
+                              CAST(count(*) OVER (PARTITION BY source)
+                                   AS BIGINT) AS nd
+                       FROM g)
+            SELECT source, tot AS n_seqs, nd AS n_openers,
+                   CAST(t AS BIGINT) AS top_id, n AS top_count,
+                   CAST(1000 * n // greatest(tot, 1) AS BIGINT)
+                       AS top_permille
+            FROM r WHERE rn = 1
+        """,
+        "rel_cohort_repurchase": """
+            WITH r AS (SELECT o_custkey,
+                              row_number() OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate,
+                                                          o_orderkey)
+                                  AS rn,
+                              o_orderdate
+                       FROM orders),
+                 f AS (SELECT o_custkey, o_orderdate AS d1
+                       FROM r WHERE rn = 1),
+                 s AS (SELECT o_custkey, o_orderdate AS d2
+                       FROM r WHERE rn = 2),
+                 j AS (SELECT CAST(year(f.d1) AS BIGINT) AS cohort,
+                              CASE WHEN s.d2 IS NOT NULL
+                                   AND date_diff('day', f.d1, s.d2)
+                                       <= 365
+                                   THEN 1 ELSE 0 END AS ret
+                       FROM f LEFT JOIN s USING (o_custkey))
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(ret) AS BIGINT) AS n_retained,
+                   CAST(1000 * sum(ret) // greatest(count(*), 1)
+                        AS BIGINT) AS retained_permille
             FROM j GROUP BY 1
         """,
     }

@@ -439,6 +439,15 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_audience_clock",
         "f1_vocab_occupancy",
         "rel_brand_lifecycle",
+        "events_band_interarrival",
+        "doc_stopword_thirds",
+        "rel_shipment_spread",
+        "events_exclusive_audience",
+        "doc_modal_word",
+        "rel_brand_dependency",
+        "events_peak_hour_stability",
+        "f1_tape_opener",
+        "rel_cohort_repurchase",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -10463,3 +10463,378 @@ def events_audience_clock(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "sh", merge, k=1)
+
+
+def events_band_interarrival(sf_dir: str) -> Dataset:
+    """E123: inter-arrival quantiles BY USER-ACTIVITY BAND — for each
+    band b = floor(log2(user's lifetime event count)): users in the
+    band, consecutive-event gaps inside those users' own streams (ts,
+    event_id order, all types mixed), and discrete p50/p90 of the
+    floor-second gap — the "are the heavy users human" read (E81 gives
+    the per-source pulse, E36 the activity histogram; E123 crosses
+    them: organic heavy users keep human-scale gaps, a band whose p50
+    collapses to near-zero regular intervals is automation — the
+    same split a rate-limit whitelist review makes).  Band extraction
+    is exact (numpy frexp exponent == length(bin(n))−1 — no
+    floating log2 on either side).  One row per observed band; exact
+    int64 under the quantile_disc rank rule (window lag + bin-length
+    band + quantile_disc oracle).
+
+    Scale shape — the sessionize partitioning reused for a gap
+    histogram: ONE user-hash exchange co-locates each user's whole
+    stream (narrow (user, ts, id) int64 rows — the E114 convention:
+    ship ids, never payloads), so the user's count, band and every gap
+    are decided locally with one lexsort; rows re-reduce IN PLACE to
+    (band, floor-sec gap) histogram partials plus per-band user
+    counts; the k=1 merge reads quantiles off one cumsum per band.
+    Reference parity: per-consumer delivery pacing
+    (`internal/consumer/rmq.go` prefetch/QoS) audited per client
+    weight class."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "i": pc.cast(b["event_id"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bg": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                }
+            )
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts_ = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        ei = t["i"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, ts_, u))
+        u, ts_ = u[order], ts_[order]
+        first = np.ones(len(u), bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(u)]).astype(np.int64)
+        band = (np.frexp(cnt.astype(np.float64))[1] - 1).astype(np.int64)
+        ub, un = np.unique(band, return_counts=True)
+        same = ~first[1:]
+        gaps = (ts_[1:] - ts_[:-1])[same] // 1_000_000
+        gid = (np.cumsum(first) - 1)[1:][same]
+        bg = band[gid] * (1 << 40) + gaps
+        gv, gn = np.unique(bg, return_counts=True)
+        return pa.table(
+            {
+                "bg": pa.array(
+                    np.r_[gv, ub].astype(np.int64)
+                ),
+                "n": pa.array(
+                    np.r_[gn, un].astype(np.int64)
+                ),
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(len(gv), np.int64),
+                        np.ones(len(ub), np.int64),
+                    ]
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([0], pa.int64()),
+                    "n_users": pa.array([0], pa.int64()),
+                    "n_gaps": pa.array([0], pa.int64()),
+                    "p50_s": pa.array([0], pa.int64()),
+                    "p90_s": pa.array([0], pa.int64()),
+                }
+            )
+        g = t.group_by(["bg", "kind"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        bg = g["bg"].combine_chunks().to_numpy(zero_copy_only=False)
+        kind = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        users = {}
+        for b, c in zip(bg[kind == 1], n[kind == 1]):
+            users[int(b)] = users.get(int(b), 0) + int(c)
+        gb = bg[kind == 0]
+        gn = n[kind == 0]
+        order = np.argsort(gb, kind="stable")
+        gb, gn = gb[order], gn[order]
+        band = gb >> 40
+        gap = gb & ((1 << 40) - 1)
+        bands = sorted(users)
+        out = {
+            "band": [], "n_users": [], "n_gaps": [],
+            "p50_s": [], "p90_s": [],
+        }
+        for bnd in bands:
+            m = band == bnd
+            gv, nv = gap[m], gn[m]
+            out["band"].append(bnd)
+            out["n_users"].append(users[bnd])
+            if len(gv):
+                cum = np.cumsum(nv)
+                total = int(cum[-1])
+                out["n_gaps"].append(total)
+                for key, q in (("p50_s", 500), ("p90_s", 900)):
+                    thr = (total * q + 999) // 1000
+                    out[key].append(
+                        int(gv[np.searchsorted(cum, thr, side="left")])
+                    )
+            else:
+                out["n_gaps"].append(0)
+                out["p50_s"].append(0)
+                out["p90_s"].append(0)
+        return pa.table(
+            {k: pa.array(np.array(v, np.int64)) for k, v in out.items()}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "bg", merge, k=1)
+
+
+def events_exclusive_audience(sf_dir: str) -> Dataset:
+    """E124: exclusive-audience board — per source: active users,
+    users active in ONLY this source, and the exclusive permille — the
+    audience-ownership read (E64's overlap board counts every PAIR's
+    shared users; E124 answers the portfolio question that pairwise
+    overlap can't: how much of a source's audience exists nowhere
+    else — the churn exposure if this one surface is retired, T118's
+    presence-based exclusivity rule on the user axis).  One dense row
+    per source ALWAYS; exact int64 (per-user distinct-type count +
+    conditional re-aggregation oracle).
+
+    Scale shape — E38's aggregate-of-aggregates with a breadth test:
+    per batch one packed np.unique reduces events to distinct (user,
+    source) presence cells; ONE user-hash exchange makes each user's
+    source set exact (all cells co-locate), so breadth==1 decides
+    exclusivity locally and rows re-reduce IN PLACE to per-source
+    (users, exclusive) partials; k=1 densifying merge.  No user list
+    lands on one node."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        u = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = np.unique(u * ns + code)
+        return pa.table(
+            {
+                "u": pa.array((packed // ns).astype(np.int64)),
+                "s0": pa.array((packed % ns).astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "nx": pa.array([], pa.int64()),
+                }
+            )
+        uu_ = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss_ = t["s0"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = np.unique(uu_ * ns + ss_)
+        u = us // ns
+        s = us % ns
+        # each user's full source set is local (user-hash routing)
+        uu, inv, breadth = np.unique(
+            u, return_inverse=True, return_counts=True
+        )
+        nu = np.zeros(ns, np.int64)
+        nx = np.zeros(ns, np.int64)
+        np.add.at(nu, s, 1)
+        np.add.at(nx, s, (breadth[inv] == 1).astype(np.int64))
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live]),
+                "nx": pa.array(nx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(ns, np.int64)
+        nx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, s,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nx, s,
+                t["nx"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_users": pa.array(nu),
+                "n_exclusive": pa.array(nx),
+                "exclusive_permille": pa.array(
+                    1000 * nx // np.maximum(nu, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_peak_hour_stability(sf_dir: str) -> Dataset:
+    """E125: peak-hour stability board — per source: active days,
+    DISTINCT daily peak hours (each day's modal hour-of-day, ties →
+    smallest hour), and the discrete p50 of the daily peak hour — is
+    the rush hour a fixed appointment or a moving target (E47 names
+    each hour's hottest minute, E101 who leads each day; E125 whether
+    a SOURCE's daily load peak is schedulable — 1-2 distinct peaks =
+    put the batch window after it, many = autoscale instead).  One
+    dense row per source ALWAYS; exact int64 under the quantile_disc
+    rank rule (per-(source, day, hour) GROUP BY + row_number argmax +
+    count(DISTINCT)/quantile_disc oracle).
+
+    Scale shape — argmax-per-day is a reduction over a bounded cell
+    domain: per batch one packed np.unique to (source, day, hour, n)
+    partials; ONE (source, day)-hash exchange settles each day's
+    24-hour histogram whole, where one lexsort picks the day's peak
+    hour and rows re-reduce IN PLACE to (source, peak-hour) histogram
+    partials (≤ sources × 24); the k=1 merge ORs distinct peaks and
+    reads the p50 off one cumsum per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // HOUR_US
+        )
+        day = h // 24
+        hod = h % 24
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = (code * (1 << 32) + day) * 32 + hod
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array((vals // 32).astype(np.int64)),
+                "h": pa.array((vals % 32).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sp": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["sd", "h"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, -n, sd))
+        sd_o = sd[order]
+        first = np.ones(len(sd_o), bool)
+        first[1:] = sd_o[1:] != sd_o[:-1]
+        sel = order[first]
+        src = sd[sel] >> 32
+        peak = h[sel]
+        sp = src * 32 + peak
+        vals, cnt = np.unique(sp, return_counts=True)
+        return pa.table(
+            {
+                "sp": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_days = np.zeros(ns, np.int64)
+        n_peaks = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sp", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sp = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(sp, kind="stable")
+            sp, n = sp[order], n[order]
+            src = sp // 32
+            hr = sp % 32
+            for si in np.unique(src):
+                m = src == si
+                hv, nv = hr[m], n[m]
+                cum = np.cumsum(nv)
+                total = int(cum[-1])
+                n_days[si] = total
+                n_peaks[si] = len(hv)
+                thr = (total * 500 + 999) // 1000
+                p50[si] = int(hv[np.searchsorted(cum, thr, side="left")])
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(n_days),
+                "n_distinct_peaks": pa.array(n_peaks),
+                "p50_peak_hour": pa.array(p50),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sp", merge, k=1)

@@ -8723,3 +8723,537 @@ def brand_lifecycle(sf_dir: str) -> Dataset:
     return cells.groupby("brand").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def shipment_spread(sf_dir: str) -> Dataset:
+    """R57: intra-order shipment-spread quantiles — per
+    o_orderpriority: multi-line orders (≥2 lines) and discrete
+    p50/p90/max of the calendar-day spread between the order's FIRST
+    and LAST line shipment — fulfillment COHERENCE (R20 measures how
+    late lines ship after the order date; R57 how far apart one
+    order's lines straggle — a priority class whose spread grows is
+    split-shipping its orders, the picking-consolidation knob).
+    Exact int64 under the quantile_disc rank rule (per-order min/max
+    + date_diff('day') + quantile_disc oracle; priority identity is
+    the exact broadcast rank — R20's convention).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange (R2's shape
+    with a min/max carry): line batches pre-reduce per order to
+    (n, min ship-day, max ship-day) partials — spread is a
+    min/max REDUCTION so it rides the same exchange as the count;
+    order headers ride carrying the priority rank; each partition
+    settles every order exactly and re-reduces IN PLACE to
+    (priority, spread-days) histogram partials (day domain
+    calendar-bounded — T21's histogram rule); quantiles read off one
+    cumsum per priority in the k=1 merge."""
+    pris = _priority_rank(sf_dir)
+    pri_arr = pa.array(list(pris), pa.string())
+    npri = len(pris)
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        k = (
+            pc.cast(b["l_orderkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        order = np.argsort(k, kind="stable")
+        k, d = k[order], d[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        m = len(starts)
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        mn = np.full(m, np.iinfo(np.int64).max)
+        mx = np.full(m, -1, np.int64)
+        np.minimum.at(mn, gid, d)
+        np.maximum.at(mx, gid, d)
+        return pa.table(
+            {
+                "k": pa.array(k[starts]),
+                "role": pa.array(np.ones(m, np.int64)),
+                "p": pa.array(np.zeros(m, np.int64)),
+                "n": pa.array(n),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        z = pa.array(np.zeros(m, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "role": z,
+                "p": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=pri_arr),
+                    pa.int64(),
+                ),
+                "n": z,
+                "mn": z,
+                "mx": z,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"ps": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk = k[is_dim]
+        dp = t["p"].combine_chunks().to_numpy(zero_copy_only=False)[
+            is_dim
+        ]
+        fk = k[~is_dim]
+        fn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)[
+            ~is_dim
+        ]
+        fmn = t["mn"].combine_chunks().to_numpy(zero_copy_only=False)[
+            ~is_dim
+        ]
+        fmx = t["mx"].combine_chunks().to_numpy(zero_copy_only=False)[
+            ~is_dim
+        ]
+        if not len(fk):
+            return pa.table(
+                {"ps": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uk, inv = np.unique(fk, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        mn = np.full(len(uk), np.iinfo(np.int64).max)
+        mx = np.full(len(uk), -1, np.int64)
+        np.add.at(n, inv, fn)
+        np.minimum.at(mn, inv, fmn)
+        np.maximum.at(mx, inv, fmx)
+        pos = np.clip(np.searchsorted(uk, dk), 0, len(uk) - 1)
+        hit = (uk[pos] == dk) & (n[pos] >= 2)
+        live = np.flatnonzero(hit)
+        if not len(live):
+            return pa.table(
+                {"ps": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        p = live
+        spread = mx[pos[p]] - mn[pos[p]]
+        ps = dp[p] * (1 << 40) + spread
+        vals, cnt = np.unique(ps, return_counts=True)
+        return pa.table(
+            {
+                "ps": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = {
+            "priority": [], "n_orders": [], "p50_days": [],
+            "p90_days": [], "max_days": [],
+        }
+        if t.num_rows:
+            g = t.group_by("ps", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            ps = g["ps"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(ps, kind="stable")
+            ps, n = ps[order], n[order]
+            pr = ps >> 40
+            sp = ps & ((1 << 40) - 1)
+            for pi in np.unique(pr):
+                m = pr == pi
+                sv, nv = sp[m], n[m]
+                cum = np.cumsum(nv)
+                total = int(cum[-1])
+                out["priority"].append(pris[int(pi)])
+                out["n_orders"].append(total)
+                for key, q in (("p50_days", 500), ("p90_days", 900)):
+                    thr = (total * q + 999) // 1000
+                    out[key].append(
+                        int(sv[np.searchsorted(cum, thr, side="left")])
+                    )
+                out["max_days"].append(int(sv[-1]))
+        return pa.table(
+            {
+                "priority": pa.array(out["priority"], pa.string()),
+                "n_orders": pa.array(
+                    np.array(out["n_orders"], np.int64)
+                ),
+                "p50_days": pa.array(
+                    np.array(out["p50_days"], np.int64)
+                ),
+                "p90_days": pa.array(
+                    np.array(out["p90_days"], np.int64)
+                ),
+                "max_days": pa.array(
+                    np.array(out["max_days"], np.int64)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = orders.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "ps", merge, k=1)
+
+
+def brand_dependency(sf_dir: str) -> Dataset:
+    """R58: brand supplier-dependency board — per p_brand: shipped
+    lines, distinct suppliers, the TOP supplier's line count (ties →
+    smallest s_suppkey) and its permille share of the brand's volume —
+    the single-point-of-failure read R10's diversity count hides (a
+    brand with 40 suppliers where one carries 800‰ is still
+    one-supplier-fragile; R52 histograms contestedness per PART, R58
+    names each brand's concentration) — the grouped-argmax shape on a
+    two-hop join.  One dense row per brand with ≥1 line; exact int64
+    (two-hop join + row_number over (count DESC, suppkey ASC) +
+    permille oracle).
+
+    Scale shape — TWO chained co-partitioned exchanges, each narrower
+    than its input (R10's shape with an argmax finish): the PARTKEY
+    hop attaches brand ranks to per-batch (partkey, suppkey, n)
+    partials; the SUPPKEY hop settles each (brand, supplier) total
+    exactly (all of a supplier's cells co-locate), keeps one LOCAL
+    best candidate per brand plus (lines, distinct-supplier) partials;
+    the k=1 merge picks the best of O(partitions × brands)
+    candidates.  No supplier list lands on one node."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    brands = pa.array(
+        sorted(parts.unique("p_brand")), pa.string()
+    )
+    nb = len(brands)
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "sup": pc.cast(b["l_suppkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "sup"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["k", "sup", "n"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "sup": g["sup"],
+                "n": g["n"],
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sup": code,
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def hop1(t: pa.Table) -> pa.Table:
+        """PARTKEY partition: attach brand code to (suppkey, n) cells."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sup": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sup = t["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, db = k[is_dim], sup[is_dim]
+        fk, fs, fn = k[~is_dim], sup[~is_dim], n[~is_dim]
+        if not len(fk) or not len(dk):
+            return pa.table(
+                {
+                    "sup": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(dk, kind="stable")
+        dk_s, db_s = dk[order], db[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        return pa.table(
+            {
+                "sup": pa.array(fs),
+                "b": pa.array(db_s[pos]),
+                "n": pa.array(fn),
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        """SUPPKEY partition: settle (brand, supplier) totals; local
+        argmax per brand + lines/distinct partials."""
+        cols = ["b", "nl", "nsup", "top_n", "top_sup"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sup", "b"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sup = g["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = np.zeros(nb, np.int64)
+        nsup = np.zeros(nb, np.int64)
+        np.add.at(nl, b, n)
+        np.add.at(nsup, b, 1)
+        order = np.lexsort((sup, -n, b))
+        b_o = b[order]
+        first = np.ones(len(b_o), bool)
+        first[1:] = b_o[1:] != b_o[:-1]
+        sel = order[first]
+        live = b[sel]
+        return pa.table(
+            {
+                "b": pa.array(live.astype(np.int64)),
+                "nl": pa.array(nl[live]),
+                "nsup": pa.array(nsup[live]),
+                "top_n": pa.array(n[sel]),
+                "top_sup": pa.array(sup[sel]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nl = np.zeros(nb, np.int64)
+        nsup = np.zeros(nb, np.int64)
+        top_n = np.zeros(nb, np.int64)
+        top_sup = np.full(nb, np.iinfo(np.int64).max)
+        if t.num_rows:
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nl, b,
+                t["nl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nsup, b,
+                t["nsup"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            tn = t["top_n"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            tsu = t["top_sup"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            for bi, ni, si in zip(b, tn, tsu):
+                if ni > top_n[bi] or (
+                    ni == top_n[bi] and si < top_sup[bi]
+                ):
+                    top_n[bi] = ni
+                    top_sup[bi] = si
+        live = np.flatnonzero(nl)
+        return pa.table(
+            {
+                "brand": brands.take(pa.array(live.astype(np.int64))),
+                "n_lines": pa.array(nl[live]),
+                "n_suppliers": pa.array(nsup[live]),
+                "top_lines": pa.array(top_n[live]),
+                "top_permille": pa.array(
+                    1000 * top_n[live] // np.maximum(nl[live], 1)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", hop1, k=_rel_k(sf_dir, "lineitem")
+    )
+    bs = hash_partition_merge(
+        cells, "sup", hop2, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(bs, "b", merge, k=1)
+
+
+def cohort_repurchase(sf_dir: str) -> Dataset:
+    """R59: cohort repurchase-retention board — per FIRST-ORDER YEAR
+    cohort: customers acquired that year, those who placed a second
+    order within 365 calendar days of the first, and the retention
+    permille — acquisition-cohort quality over time (R24 counts
+    monthly actives, R21 gaps between any repeat pair, R54 prices the
+    first order; R59 asks whether the customers a given YEAR brought
+    in ever came back — the cohort curve every growth review opens
+    with).  First/second order = (o_orderdate, o_orderkey) lexical
+    rank (deterministic under same-day ties).  One row per cohort
+    year; exact int64 (double row_number window + day-diff + permille
+    oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (R54's
+    argmin carry extended to the first TWO): order batches pre-reduce
+    per customer to (n, best (date, key), second-best (date, key))
+    partials — a top-2 lexicographic-min is still a reduction, so it
+    rides the same exchange; each partition settles every customer
+    exactly (one lexsort over partial candidates), decides cohort
+    year and the 365-day test locally, and re-reduces IN PLACE to
+    (cohort, n, retained) partials; k=1 merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = (
+            pc.cast(b["o_custkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ok = (
+            pc.cast(b["o_orderkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ok, d, k))
+        k, d, ok = k[order], d[order], ok[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        second = np.minimum(starts + 1, len(k) - 1)
+        has2 = n >= 2
+        return pa.table(
+            {
+                "k": pa.array(k[starts]),
+                "n": pa.array(n),
+                "d1": pa.array(d[starts]),
+                "o1": pa.array(ok[starts]),
+                "d2": pa.array(
+                    np.where(has2, d[second], np.iinfo(np.int64).max)
+                ),
+                "o2": pa.array(
+                    np.where(has2, ok[second], np.iinfo(np.int64).max)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                }
+            )
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        d1 = t["d1"].combine_chunks().to_numpy(zero_copy_only=False)
+        o1 = t["o1"].combine_chunks().to_numpy(zero_copy_only=False)
+        d2 = t["d2"].combine_chunks().to_numpy(zero_copy_only=False)
+        o2 = t["o2"].combine_chunks().to_numpy(zero_copy_only=False)
+        # merge partial candidates: per customer the global top-2 of
+        # the union of (first, second) candidates — one lexsort over
+        # the stacked candidate rows
+        ck = np.r_[k, k]
+        cd = np.r_[d1, d2]
+        co = np.r_[o1, o2]
+        cn = np.r_[n, np.zeros(len(k), np.int64)]
+        order = np.lexsort((co, cd, ck))
+        ck, cd, co, cn = ck[order], cd[order], co[order], cn[order]
+        first = np.ones(len(ck), bool)
+        first[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        total = np.zeros(len(starts), np.int64)
+        np.add.at(total, gid, cn)
+        f_d = cd[starts]
+        second = np.minimum(starts + 1, len(ck) - 1)
+        s_d = np.where(
+            (total >= 2), cd[second], np.iinfo(np.int64).max
+        )
+        year = (
+            f_d.astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        retained = (
+            (s_d != np.iinfo(np.int64).max)
+            & ((s_d // DAY_US - f_d // DAY_US) <= 365)
+        ).astype(np.int64)
+        uvals, inv = np.unique(year, return_inverse=True)
+        nc = np.bincount(inv).astype(np.int64)
+        nr = np.zeros(len(uvals), np.int64)
+        np.add.at(nr, inv, retained)
+        return pa.table(
+            {
+                "cohort": pa.array(uvals.astype(np.int64)),
+                "nc": pa.array(nc),
+                "nr": pa.array(nr),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cohort", use_threads=False).aggregate(
+            [("nc", "sum"), ("nr", "sum")]
+        )
+        nc = g["nc_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort": pc.cast(g["cohort"], pa.int64()),
+                "n_customers": pa.array(nc.astype(np.int64)),
+                "n_retained": pa.array(nr.astype(np.int64)),
+                "retained_permille": pa.array(
+                    1000 * nr.astype(np.int64)
+                    // np.maximum(nc.astype(np.int64), 1)
+                ),
+            }
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cohort", merge, k=1)

@@ -11670,3 +11670,372 @@ def vocab_occupancy(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "si", fold, k=_doc_k_files(files))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def stopword_thirds(sf_dir: str) -> Dataset:
+    """T130: stopword position-thirds board — per source: total tokens
+    and stopword counts in the FIRST, MIDDLE and LAST third of each
+    doc's token stream (third = 3·(pos−1)//n_tok) — WHERE the function
+    words sit, not just how many (T10's ratio):  prose keeps a flat
+    profile; header/navigation boilerplate depresses the first third,
+    legal footers the last — the positional fingerprint that says
+    WHICH END of every doc a trimming pass should inspect (T112 names
+    the modal opener; T130 weighs the whole profile).  One dense row
+    per source ALWAYS; exact int64 (generate_subscripts + integer
+    third bucket + CASE SUM oracle, T10's lowered stopword list).
+
+    Scale shape — ZERO wide exchange (T49's profile): position,
+    third and stopword membership are all batch-local Arrow/numpy
+    kernels (one split + one is_in + two np.add.at passes); each batch
+    reduces to one partial row per source; k=1 densifying merge."""
+    from ..functions.textstats import STOPWORDS
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    nsrc = len(srcs)
+    stop_arr = pa.array(list(STOPWORDS), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = words.flatten()
+        is_stop = (
+            pc.is_in(pc.utf8_lower(flat), value_set=stop_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        total = int(n.sum())
+        parent = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        starts = np.repeat(np.cumsum(n) - n, n)
+        pos = np.arange(total, dtype=np.int64) - starts
+        third = 3 * pos // np.maximum(n[parent], 1)
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        sc = code[parent]
+        nt = np.bincount(code, weights=n, minlength=nsrc).astype(np.int64)
+        st = np.zeros(nsrc * 3, np.int64)
+        np.add.at(st, sc * 3 + third, is_stop)
+        live = np.arange(nsrc)
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt),
+                "s0": pa.array(st[live * 3]),
+                "s1": pa.array(st[live * 3 + 1]),
+                "s2": pa.array(st[live * 3 + 2]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nt = np.zeros(nsrc, np.int64)
+        s0 = np.zeros(nsrc, np.int64)
+        s1 = np.zeros(nsrc, np.int64)
+        s2 = np.zeros(nsrc, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, c in ((nt, "nt"), (s0, "s0"), (s1, "s1"), (s2, "s2")):
+                np.add.at(
+                    acc, s,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_tokens": pa.array(nt),
+                "stop_first": pa.array(s0),
+                "stop_mid": pa.array(s1),
+                "stop_last": pa.array(s2),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def modal_word(sf_dir: str) -> Dataset:
+    """T131: modal-word board — per source: total tokens, the single
+    MOST FREQUENT word (ties → lexicographically smallest), its count
+    and permille of the source's tokens — the one-number boilerplate
+    flag next to T114's modal PAIR (a top word whose share dwarfs any
+    natural-language Zipf head is chrome or a decoder loop; T16 ranks
+    the corpus-wide heavy hitters, T131 names each source's own) —
+    and the argmax shape every "top item per group" dashboard needs.
+    One dense row per source ALWAYS; exact (row_number over (count
+    DESC, word ASC) oracle; the exact word STRING rides the exchange
+    and decides identity — T4's convention).
+
+    Scale shape — an ARGMAX is a reduction, so it needs no global
+    sort: batches pre-reduce via one split + one Arrow group_by to
+    (hash, source, word, n) cells; ONE word-hash exchange settles each
+    word's exact per-source count (all cells of a word co-locate);
+    each partition then keeps only its LOCAL best candidate per source
+    (count DESC, word ASC — one lexsort), and the k=1 merge picks the
+    best of O(partitions × sources) candidates.  The vocabulary never
+    lands on one node."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    nsrc = len(srcs)
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        parent = np.repeat(code, n)
+        t = pa.table(
+            {
+                "w": flat,
+                "s": pa.array(parent),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "s", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "s": g["s"],
+                "n": g["n"],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = g["w"].combine_chunks()
+        tot = np.zeros(nsrc, np.int64)
+        np.add.at(tot, s, n)
+        # local best per source: count DESC then word ASC
+        import pyarrow.compute as _pc
+
+        widx = _pc.rank(w, sort_keys="ascending", tiebreaker="dense")
+        wr = widx.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((wr, -n, s))
+        s_o = s[order]
+        first = np.ones(len(s_o), bool)
+        first[1:] = s_o[1:] != s_o[:-1]
+        sel = order[first]
+        live = s[sel]
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "w": w.take(pa.array(sel.astype(np.int64))),
+                "n": pa.array(n[sel]),
+                "tot": pa.array(tot[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = np.zeros(nsrc, np.int64)
+        best_n = np.zeros(nsrc, np.int64)
+        best_w = [""] * nsrc
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            tt = t["tot"].combine_chunks().to_numpy(zero_copy_only=False)
+            ws = t["w"].combine_chunks().to_pylist()
+            np.add.at(tot, s, tt)
+            for si, ni, wi in zip(s, n, ws):
+                if ni > best_n[si] or (
+                    ni == best_n[si] and (best_w[si] == "" or wi < best_w[si])
+                ):
+                    best_n[si] = ni
+                    best_w[si] = wi
+        return pa.table(
+            {
+                "source": srcs,
+                "n_tokens": pa.array(tot),
+                "top_word": pa.array(best_w, pa.string()),
+                "top_count": pa.array(best_n),
+                "top_permille": pa.array(
+                    1000 * best_n // np.maximum(tot, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=shuffle_parts())
+    return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def tape_opener(sf_dir: str) -> Dataset:
+    """T132/F: tape opener board — per source of the F1 tokenized
+    stream: sequences, DISTINCT opening token ids (a sequence's
+    tokens[0]) and the MODAL opener with its count and permille —
+    T112's boilerplate-opener detector applied to the flagship payload
+    (a tokenizer that emits a BOS-like id every time pins the modal
+    opener at 1000‰ — expected; a NON-BOS id dominating marks template
+    spam upstream of the model; few distinct openers = low prompt
+    diversity, the curriculum-mix smell test).  One dense row per
+    source ALWAYS; exact int64 (tokens[1] list-index + row_number over
+    (count DESC, id ASC) oracle).
+
+    Scale shape — T131's argmax-reduction on the id axis: the opener
+    is one Arrow list-slice per batch (no flatten of the whole tape),
+    pre-reducing to (source, first-id, n) cells; ONE id-hash exchange
+    settles each opener's per-source count, each partition keeps its
+    LOCAL best candidate per source plus (sequences, distinct)
+    partials; the k=1 merge picks the best of O(partitions × sources)
+    candidates."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        first = pc.list_element(toks, 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 32) + first
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "si": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "nseq", "nd", "top_n", "top_id"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("si", use_threads=False).aggregate([("n", "sum")])
+        si = g["si"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = si >> 32
+        tid = si & 0xFFFFFFFF
+        nseq = np.zeros(ns, np.int64)
+        nd = np.zeros(ns, np.int64)
+        np.add.at(nseq, s, n)
+        np.add.at(nd, s, 1)
+        order = np.lexsort((tid, -n, s))
+        s_o = s[order]
+        first = np.ones(len(s_o), bool)
+        first[1:] = s_o[1:] != s_o[:-1]
+        sel = order[first]
+        live = s[sel]
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nseq": pa.array(nseq[live]),
+                "nd": pa.array(nd[live]),
+                "top_n": pa.array(n[sel]),
+                "top_id": pa.array(tid[sel].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nseq = np.zeros(ns, np.int64)
+        nd = np.zeros(ns, np.int64)
+        top_n = np.zeros(ns, np.int64)
+        top_id = np.full(ns, np.iinfo(np.int64).max)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nseq, s,
+                t["nseq"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nd, s,
+                t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            tn = t["top_n"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ti = t["top_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            for si, ni, ii in zip(s, tn, ti):
+                if ni > top_n[si] or (
+                    ni == top_n[si] and ii < top_id[si]
+                ):
+                    top_n[si] = ni
+                    top_id[si] = ii
+        top_id = np.where(nseq > 0, top_id, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(nseq),
+                "n_openers": pa.array(nd),
+                "top_id": pa.array(top_id),
+                "top_count": pa.array(top_n),
+                "top_permille": pa.array(
+                    1000 * top_n // np.maximum(nseq, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "si", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "s", merge, k=1)
