@@ -661,6 +661,24 @@ def _q_events_peak_hour_stability(sf_dir: str):
     return events_peak_hour_stability(sf_dir)
 
 
+def _q_events_daily_median_stability(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_daily_median_stability
+
+    return events_daily_median_stability(sf_dir)
+
+
+def _q_events_peak_share_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_peak_share_quantiles
+
+    return events_peak_share_quantiles(sf_dir)
+
+
+def _q_events_load_gini(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_load_gini
+
+    return events_load_gini(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1389,6 +1407,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_cohort_repurchase": rel.cohort_repurchase,
+        "events_daily_median_stability": _q_events_daily_median_stability,
+        "f1_tape_integrity": lambda sf_dir: td.tape_integrity(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_discount_ladder": rel.discount_ladder,
+        "events_peak_share_quantiles": _q_events_peak_share_quantiles,
+        "f1_window_dups": lambda sf_dir: td.tape_window_dups(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_waiting_suppliers": rel.waiting_suppliers,
+        "events_load_gini": _q_events_load_gini,
+        "f1_window_vocab": lambda sf_dir: td.tape_window_vocab(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_brand_cross_sell": rel.brand_cross_sell,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6555,5 +6588,181 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * sum(ret) // greatest(count(*), 1)
                         AS BIGINT) AS retained_permille
             FROM j GROUP BY 1
+        """,
+        "events_daily_median_stability": """
+            WITH v AS (SELECT event_type AS source,
+                              date_trunc('day', ts) AS d,
+                              CAST(floor(value) AS BIGINT) AS fv
+                       FROM events),
+                 m AS (SELECT source, d,
+                              CAST(quantile_disc(fv, 0.5) AS BIGINT) AS med
+                       FROM v GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(quantile_disc(med, 0.5) AS BIGINT)
+                       AS p50_daily_median,
+                   CAST(min(med) AS BIGINT) AS min_daily_median,
+                   CAST(max(med) AS BIGINT) AS max_daily_median
+            FROM m GROUP BY 1
+        """,
+        "f1_tape_integrity": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(sum(len(tokens)) AS BIGINT) AS sum_len,
+                   CAST(sum(CASE WHEN n_tok <> len(tokens)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch,
+                   CAST(max(abs(n_tok - len(tokens))) AS BIGINT)
+                       AS max_abs_delta
+            FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+            GROUP BY 1
+        """,
+        "rel_discount_ladder": """
+            SELECT CAST(floor(l_discount * 100) AS BIGINT) AS disc_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue,
+                   CAST(sum(CAST(floor(l_extendedprice * l_discount)
+                                 AS BIGINT)) AS BIGINT) AS forgone
+            FROM lineitem GROUP BY 1
+        """,
+        "events_peak_share_quantiles": """
+            WITH m AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS mi,
+                              date_trunc('hour', ts) AS h,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2, 3),
+                 hh AS (SELECT source, h, CAST(max(n) AS BIGINT) AS mx,
+                               CAST(sum(n) AS BIGINT) AS tot
+                        FROM m GROUP BY 1, 2),
+                 p AS (SELECT source, CAST(1000 * mx // tot AS BIGINT)
+                                  AS pm
+                       FROM hh)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_hours,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT)
+                       AS p50_peak_share,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT)
+                       AS p90_peak_share,
+                   CAST(max(pm) AS BIGINT) AS max_peak_share
+            FROM p GROUP BY 1
+        """,
+        "f1_window_dups": """
+            WITH x AS (SELECT source,
+                              list_transform(
+                                  range(1, greatest(len(tokens) - 2, 1)),
+                                  i -> ((CAST(tokens[i] AS UBIGINT) * 65536
+                                         + tokens[i + 1]) * 65536
+                                        + tokens[i + 2]) * 65536
+                                       + tokens[i + 3]) AS w
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 p AS (SELECT source, CAST(len(w) AS BIGINT) AS nw,
+                              CAST(len(w) - len(list_distinct(w))
+                                   AS BIGINT) AS nd
+                       FROM x)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(sum(nw) AS BIGINT) AS n_windows,
+                   CAST(sum(nd) AS BIGINT) AS n_dup_windows,
+                   CAST(1000 * sum(nd) // greatest(sum(nw), 1) AS BIGINT)
+                       AS dup_permille,
+                   CAST(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seqs_with_dup
+            FROM p GROUP BY 1
+        """,
+        "rel_waiting_suppliers": """
+            WITH ls AS (SELECT l_orderkey, l_suppkey,
+                               max(l_shipdate) AS mx
+                        FROM lineitem GROUP BY 1, 2),
+                 j AS (SELECT ls.l_orderkey AS ok, ls.l_suppkey AS sk,
+                              CASE WHEN date_diff('day', o.o_orderdate,
+                                                  ls.mx) > 90
+                                   THEN 1 ELSE 0 END AS late
+                       FROM ls JOIN orders o
+                            ON ls.l_orderkey = o.o_orderkey),
+                 q AS (SELECT ok,
+                              CAST(count(*) AS BIGINT) AS nsup,
+                              CAST(sum(late) AS BIGINT) AS nlate,
+                              max(CASE WHEN late = 1 THEN sk END)
+                                  AS blamed
+                       FROM j GROUP BY 1),
+                 b AS (SELECT blamed AS sk,
+                              CAST(count(*) AS BIGINT) AS bl
+                       FROM q WHERE nsup >= 2 AND nlate = 1
+                       GROUP BY 1),
+                 sn AS (SELECT s.s_suppkey AS sk,
+                               s.s_nationkey AS nk, b.bl
+                        FROM b JOIN supplier s
+                             ON b.sk = s.s_suppkey),
+                 agg AS (SELECT nk, CAST(sum(bl) AS BIGINT) AS nbl,
+                                CAST(count(*) AS BIGINT) AS nsup
+                         FROM sn GROUP BY 1),
+                 top AS (SELECT nk, sk, bl,
+                                row_number() OVER (PARTITION BY nk
+                                                   ORDER BY bl DESC,
+                                                            sk ASC)
+                                    AS rn
+                         FROM sn)
+            SELECT n.n_name AS nation,
+                   CAST(coalesce(a.nbl, 0) AS BIGINT) AS n_blame_orders,
+                   CAST(coalesce(a.nsup, 0) AS BIGINT) AS n_suppliers,
+                   CAST(coalesce(t.sk, 0) AS BIGINT) AS top_suppkey,
+                   CAST(coalesce(t.bl, 0) AS BIGINT) AS top_blames,
+                   CAST(1000 * coalesce(t.bl, 0)
+                        // greatest(coalesce(a.nbl, 0), 1) AS BIGINT)
+                       AS top_permille
+            FROM nation n
+                 LEFT JOIN agg a ON a.nk = n.n_nationkey
+                 LEFT JOIN top t ON t.nk = n.n_nationkey AND t.rn = 1
+        """,
+        "events_load_gini": """
+            WITH m AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT source, c,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY c) AS rk
+                       FROM m),
+                 s AS (SELECT source, count(*) AS n, sum(c) AS sx,
+                              sum(rk * c) AS srx
+                       FROM r GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS active_minutes,
+                   CAST(sx AS BIGINT) AS n_events,
+                   CAST((1000 * (2 * srx - (n + 1) * sx)) // (n * sx)
+                        AS BIGINT) AS gini_permille
+            FROM s
+        """,
+        "f1_window_vocab": """
+            WITH x AS (SELECT source,
+                              list_transform(
+                                  range(1, greatest(len(tokens) - 2, 1)),
+                                  i -> ((CAST(tokens[i] AS UBIGINT) * 65536
+                                         + tokens[i + 1]) * 65536
+                                        + tokens[i + 2]) * 65536
+                                       + tokens[i + 3]) AS w
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 u AS (SELECT source, unnest(w) AS wi FROM x),
+                 c AS (SELECT source, wi, CAST(count(*) AS BIGINT) AS n
+                       FROM u GROUP BY 1, 2),
+                 k AS (SELECT wi, count(DISTINCT source) AS nsrc
+                       FROM c GROUP BY 1)
+            SELECT c.source, CAST(sum(c.n) AS BIGINT) AS n_windows,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN k.nsrc >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   CAST(1000 * sum(CASE WHEN k.nsrc >= 2
+                                        THEN 1 ELSE 0 END)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS shared_permille
+            FROM c JOIN k USING (wi) GROUP BY 1
+        """,
+        "rel_brand_cross_sell": """
+            WITH lb AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                        FROM lineitem JOIN part
+                             ON l_partkey = p_partkey)
+            SELECT a.b AS brand_a, c.b AS brand_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM lb a JOIN lb c ON a.ok = c.ok AND a.b < c.b
+            GROUP BY 1, 2
         """,
     }

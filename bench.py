@@ -448,6 +448,15 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_peak_hour_stability",
         "f1_tape_opener",
         "rel_cohort_repurchase",
+        "events_daily_median_stability",
+        "f1_tape_integrity",
+        "rel_discount_ladder",
+        "events_peak_share_quantiles",
+        "f1_window_dups",
+        "rel_waiting_suppliers",
+        "events_load_gini",
+        "f1_window_vocab",
+        "rel_brand_cross_sell",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

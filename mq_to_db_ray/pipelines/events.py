@@ -10838,3 +10838,403 @@ def events_peak_hour_stability(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "sp", merge, k=1)
+
+
+def events_daily_median_stability(sf_dir: str) -> Dataset:
+    """E126: daily-median stability board — per source: active days and
+    the discrete p50/min/max of the DAILY MEDIAN of floor(value) — is
+    the stream's central tendency stationary day over day (E107 finds
+    the hottest hour-of-week cell, E119 quantile bands of burst sizes;
+    E126 whether the VALUE distribution's center drifts — min == max
+    means a flat process safe to threshold statically, a wide
+    min..max band marks regime shifts that need adaptive baselines).
+    One dense row per source ALWAYS; exact int64 under the
+    quantile_disc rank rule applied twice (per-(source, day)
+    quantile_disc(floor(value), 0.5), then quantile_disc/min/max over
+    the daily medians).
+
+    Scale shape — a two-level quantile is NOT a holistic aggregate
+    here because floor(value) makes each day's distribution a bounded
+    integer histogram: per batch one Arrow group_by pre-reduces to
+    (source·day, floor-value, n) cells; ONE (source, day)-hash
+    exchange settles each day whole, where one lexsort + cumsum +
+    vectorized searchsorted reads every day's median and re-reduces
+    IN PLACE to (source, median-value, n-days) partials; the k=1
+    merge repeats the same cumsum read over the ≤ sources × distinct
+    medians domain (calendar-bounded, never corpus-bounded)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        fv = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "sd": pa.array(code * (1 << 32) + day),
+                "v": pa.array(fv),
+                "n": pa.array(np.ones(len(fv), np.int64)),
+            }
+        )
+        g = t.group_by(["sd", "v"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["sd", "v", "n"])
+
+    def _group_quantile_reduce(
+        key: np.ndarray, v: np.ndarray, n: np.ndarray
+    ):
+        """Sorted-run reduction: per distinct key over (value, count)
+        histogram rows, return (keys, p50, min, max, total) — one
+        lexsort, one cumsum, one vectorized searchsorted."""
+        order = np.lexsort((v, key))
+        key, v, n = key[order], v[order], n[order]
+        first = np.ones(len(key), bool)
+        first[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(key)]
+        cum = np.cumsum(n)
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        tot = cum[ends - 1] - base
+        thr = (tot * 500 + 999) // 1000
+        sel = np.searchsorted(cum, base + thr, side="left")
+        return key[starts], v[sel], v[starts], v[ends - 1], tot
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "med": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["sd", "v"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys, med, _, _, _ = _group_quantile_reduce(sd, v, n)
+        t2 = pa.table(
+            {
+                "s": pa.array((keys >> 32).astype(np.int64)),
+                "med": pa.array(med.astype(np.int64)),
+                "n": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
+        g2 = t2.group_by(["s", "med"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g2.rename_columns(["s", "med", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_days = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        mn = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by(["s", "med"], use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            med = g["med"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            keys, p, lo, hi, tot = _group_quantile_reduce(s, med, n)
+            n_days[keys] = tot
+            p50[keys] = p
+            mn[keys] = lo
+            mx[keys] = hi
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(n_days),
+                "p50_daily_median": pa.array(p50),
+                "min_daily_median": pa.array(mn),
+                "max_daily_median": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_peak_share_quantiles(sf_dir: str) -> Dataset:
+    """E127: within-hour peak-share quantiles — per source: hours with
+    ≥1 event and the discrete p50/p90/max of each hour's PEAK-MINUTE
+    SHARE (1000·busiest-minute count // hour total) — how spiky the
+    load is INSIDE the provisioning window (E125 asks WHEN the daily
+    peak lands, E119 bands burst sizes per user; E127 whether an
+    hour's traffic is a drizzle or one cliff — p50 near 1000/60 ≈ 16
+    is uniform drip, near 1000 means the whole hour arrives in one
+    minute and per-minute admission control is mandatory).  One dense
+    row per source ALWAYS; exact int64 under the quantile_disc rank
+    rule (two-level GROUP BY + max/sum + integer permille +
+    quantile_disc oracle).
+
+    Scale shape — E121's bounded-domain settle with a ratio finish:
+    per batch one packed np.unique to (source, minute, n) cells; ONE
+    (source, hour)-hash exchange lands each hour's ≤60 minute cells
+    whole, where one sort + reduceat reads every hour's max/total and
+    re-reduces IN PLACE to (source, permille) histogram partials —
+    the permille domain is [0, 1000] so the merge input is ≤ sources
+    × 1001 rows regardless of corpus size; the k=1 merge reads
+    p50/p90/max off one cumsum per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        mi = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 32) + mi
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sm": pa.array(vals.astype(np.int64)),
+                "sh": pa.array(
+                    ((vals >> 32) * (1 << 32) + (vals & 0xFFFFFFFF) // 60)
+                    .astype(np.int64)
+                ),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sp": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sm", use_threads=False).aggregate([("n", "sum")])
+        sm = g["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        sh = (sm >> 32) * (1 << 32) + (sm & 0xFFFFFFFF) // 60
+        order = np.argsort(sh, kind="stable")
+        sh, n = sh[order], n[order]
+        first = np.ones(len(sh), bool)
+        first[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(n, starts)
+        mx = np.maximum.reduceat(n, starts)
+        pm = 1000 * mx // tot
+        sp = (sh[starts] >> 32) * 1024 + pm
+        vals, cnt = np.unique(sp, return_counts=True)
+        return pa.table(
+            {
+                "sp": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_hours = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p90 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sp", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sp = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(sp, kind="stable")
+            sp, n = sp[order], n[order]
+            src = sp // 1024
+            pm = sp % 1024
+            first = np.ones(len(sp), bool)
+            first[1:] = src[1:] != src[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(sp)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = src[starts]
+            n_hours[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = pm[np.searchsorted(cum, base + thr, side="left")]
+            mx[keys] = pm[ends - 1]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_hours": pa.array(n_hours),
+                "p50_peak_share": pa.array(p50),
+                "p90_peak_share": pa.array(p90),
+                "max_peak_share": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sh", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sp", merge, k=1)
+
+
+def events_load_gini(sf_dir: str) -> Dataset:
+    """E128: minute-load Gini board — per source: active minutes, total
+    events, and the exact integer-permille Gini coefficient of the
+    per-minute event counts — load inequality on the TIME axis (T45
+    measures document-length inequality per source; E127 the
+    peak-minute share within each hour; E128 condenses the whole
+    stream's temporal concentration into one number: 0 = perfectly
+    even drip, →1000 = everything in a few hot minutes, the signal
+    that decides flat vs burst-tier provisioning).  One row per
+    source ALWAYS; exact int64: with counts sorted ascending and
+    1-based ranks, G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) — numerator and
+    denominator are exact integers and rank permutations within tied
+    counts leave Σ i·xᵢ unchanged, so 1000·num // den matches a
+    DuckDB row_number oracle bit-for-bit.
+
+    Scale shape — T45's mergeable-histogram rank fold applied to the
+    minute grid: per batch one packed np.unique to (source, minute,
+    n) cells; ONE (source, minute)-hash exchange settles each cell
+    exactly and re-reduces IN PLACE to (source, count-value)
+    histograms — bounded by distinct load levels, never by corpus;
+    the k=1 merge folds histogram RUNS (a run of f minutes at load v
+    after c earlier minutes contributes v·(f·c + f(f+1)/2)) in object
+    dtype (Σ i·xᵢ grows as n²·x — int64 would overflow near 10⁹
+    active minutes/source)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        mi = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = code * (1 << 32) + mi
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "sm": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sm", use_threads=False).aggregate([("n", "sum")])
+        sm = g["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        sc = (sm >> 32) * (1 << 32) + n  # (source, load) histogram key
+        vals, cnt = np.unique(sc, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array((vals >> 32).astype(np.int64)),
+                "c": pa.array((vals & 0xFFFFFFFF).astype(np.int64)),
+                "f": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        act = np.zeros(ns, np.int64)
+        tot = np.zeros(ns, np.int64)
+        gini = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by(["s", "c"], use_threads=False).aggregate(
+                [("f", "sum")]
+            )
+            s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((c, s))
+            s, c, f = s[order], c[order], f[order]
+            first = np.ones(len(s), bool)
+            first[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(s)]
+            for st, en in zip(starts, ends):
+                si = int(s[st])
+                nloc = 0
+                sx = 0
+                srx = 0
+                for v, fr in zip(c[st:en].tolist(), f[st:en].tolist()):
+                    srx += v * (fr * nloc + fr * (fr + 1) // 2)
+                    nloc += fr
+                    sx += v * fr
+                act[si] = nloc
+                tot[si] = sx
+                gini[si] = (1000 * (2 * srx - (nloc + 1) * sx)) // (
+                    nloc * sx
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "active_minutes": pa.array(act),
+                "n_events": pa.array(tot),
+                "gini_permille": pa.array(gini),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

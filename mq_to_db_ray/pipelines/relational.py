@@ -9257,3 +9257,503 @@ def cohort_repurchase(sf_dir: str) -> Dataset:
         partials, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cohort", merge, k=1)
+
+
+def discount_ladder(sf_dir: str) -> Dataset:
+    """R60: discount ladder — per discount band (floor(l_discount·100)
+    cents): lines, exact quantity, realized revenue
+    Σfloor(extendedprice·(1−discount)) and FORGONE revenue
+    Σfloor(extendedprice·discount) — the pricing-power board (TPC-H
+    Q19's discount predicate turned into the full ladder: a band
+    whose forgone revenue rivals its realized revenue is margin
+    leaking through promotions; R49's Pareto ranks parts, R60 prices
+    the DISCOUNT POLICY itself).  Exact int64 (floor-before-sum money
+    convention; band edges computed in IEEE double on both sides so
+    floor(d·100) agrees bit-for-bit with the oracle).
+
+    Scale shape — R1's scan-aggregate over a ~11-band bounded domain:
+    one Arrow group_by per batch pre-reduces to (band, n, Σqty, Σrev,
+    Σforgone) partials; the k=1 merge folds O(partitions × bands)
+    rows and emits the ladder in band order.  Zero data shuffles;
+    only three money columns leave the read."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        q = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "b": pa.array(np.floor(d * 100).astype(np.int64)),
+                "n": pa.array(np.ones(len(d), np.int64)),
+                "q": pa.array(np.floor(q).astype(np.int64)),
+                "rev": pa.array(np.floor(ep * (1.0 - d)).astype(np.int64)),
+                "fg": pa.array(np.floor(ep * d).astype(np.int64)),
+            }
+        )
+        g = t.group_by("b", use_threads=False).aggregate(
+            [("n", "sum"), ("q", "sum"), ("rev", "sum"), ("fg", "sum")]
+        )
+        return g.rename_columns(["b", "n", "q", "rev", "fg"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in (
+                        "disc_cents", "n_lines", "sum_qty",
+                        "revenue", "forgone",
+                    )
+                }
+            )
+        g = t.group_by("b", use_threads=False).aggregate(
+            [("n", "sum"), ("q", "sum"), ("rev", "sum"), ("fg", "sum")]
+        )
+        g = g.rename_columns(["b", "n", "q", "rev", "fg"])
+        g = g.sort_by("b")
+        return pa.table(
+            {
+                "disc_cents": g["b"],
+                "n_lines": g["n"],
+                "sum_qty": g["q"],
+                "revenue": g["rev"],
+                "forgone": g["fg"],
+            }
+        )
+
+    partials = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "b", merge, k=1)
+
+
+def waiting_suppliers(sf_dir: str, sla_days: int = 90) -> Dataset:
+    """R61: waiting-suppliers blame board (the TPC-H Q21 shape on this
+    schema's columns) — per supplier nation: multi-supplier orders
+    where EXACTLY ONE supplier breached the ship SLA (any line shipped
+    > ``sla_days`` after o_orderdate — the unambiguous-blame case Q21
+    isolates), distinct suppliers implicated, and the worst offender
+    (most blamed orders, ties → smallest s_suppkey) with its permille
+    of the nation's blame — R20 prices the latency distribution, R58
+    names concentration; R61 ATTRIBUTES lateness to the one supplier
+    who held an otherwise-on-time order hostage, the procurement
+    scorecard Q21 exists for.  One dense row per nation ALWAYS; exact
+    int64 (floor-day delay + HAVING count-distinct + row_number
+    oracle).
+
+    Scale shape — TWO chained co-partitioned exchanges, each narrower
+    than its input (R58's chain with a per-order ADJUDICATION in the
+    middle): line batches pre-reduce to (orderkey, suppkey,
+    max-shipdate) partials — breach is a MAX reduction since
+    o_orderdate is constant per order — and headers ride carrying the
+    date; the ORDERKEY hop settles each order whole (one lexsort:
+    distinct suppliers, late suppliers, the blame verdict) and emits
+    only (suppkey, blames) cells; the SUPPKEY hop attaches
+    s_nationkey to settled blame totals and keeps one LOCAL best per
+    nation; the k=1 merge folds O(partitions × 25) rows.  Only nation
+    (25 rows, fixed) composes at the driver."""
+    DAY_US = 86_400_000_000
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nkeys = np.asarray(nat["n_nationkey"], np.int64)
+    nn = len(nkeys)
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "sup": pc.cast(b["l_suppkey"], pa.int64()),
+                "d": b["l_shipdate"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "sup"], use_threads=False).aggregate(
+            [("d", "max")]
+        )
+        g = g.rename_columns(["k", "sup", "d"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "sup": g["sup"],
+                "d": g["d"],
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sup": pa.array(np.zeros(b.num_rows, np.int64)),
+                "d": b["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def hop1(t: pa.Table) -> pa.Table:
+        """ORDERKEY partition: settle each order's supplier set, decide
+        blame, reduce to (suppkey, blames) cells."""
+        empty = pa.table(
+            {
+                "sup": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int64()),
+                "nk": pa.array([], pa.int64()),
+                "bl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sup = t["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dd = k[is_dim], d[is_dim]
+        fk, fs, fd = k[~is_dim], sup[~is_dim], d[~is_dim]
+        if not len(fk) or not len(dk):
+            return empty
+        # settle (order, supplier) max shipdate across batch partials
+        g = (
+            pa.table(
+                {"k": pa.array(fk), "sup": pa.array(fs), "d": pa.array(fd)}
+            )
+            .group_by(["k", "sup"], use_threads=False)
+            .aggregate([("d", "max")])
+        )
+        fk = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fs = g["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = g["d_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s, dd_s = dk[order], dd[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        late = ((fd - dd_s[pos]) // DAY_US) > sla_days
+        # per order: distinct suppliers, late suppliers, the late one
+        o2 = np.argsort(fk, kind="stable")
+        fk, fs, late = fk[o2], fs[o2], late[o2]
+        first = np.ones(len(fk), bool)
+        first[1:] = fk[1:] != fk[:-1]
+        starts = np.flatnonzero(first)
+        nsup = np.diff(np.r_[starts, len(fk)])
+        nlate = np.add.reduceat(late.astype(np.int64), starts)
+        blamed = (nsup >= 2) & (nlate == 1)
+        if not blamed.any():
+            return empty
+        # the unique late supplier per blamed order: max of sup*late
+        # within the group is that supplier (late rows only)
+        pick = np.maximum.reduceat(
+            np.where(late, fs, np.int64(-1)), starts
+        )[blamed]
+        vals, cnt = np.unique(pick, return_counts=True)
+        return pa.table(
+            {
+                "sup": pa.array(vals.astype(np.int64)),
+                "role": pa.array(np.ones(len(vals), np.int64)),
+                "nk": pa.array(np.zeros(len(vals), np.int64)),
+                "bl": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def supp_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sup": pc.cast(b["s_suppkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "nk": pc.cast(b["s_nationkey"], pa.int64()),
+                "bl": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        """SUPPKEY partition: settle per-supplier blame totals, attach
+        nation, keep a local argmax per nation."""
+        cols = ["nk", "nbl", "nsup", "top_bl", "top_sup"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        sup = t["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        bl = t["bl"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dn = sup[is_dim], nk[is_dim]
+        fs, fb = sup[~is_dim], bl[~is_dim]
+        if not len(fs) or not len(dk):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = (
+            pa.table({"sup": pa.array(fs), "bl": pa.array(fb)})
+            .group_by("sup", use_threads=False)
+            .aggregate([("bl", "sum")])
+        )
+        fs = g["sup"].combine_chunks().to_numpy(zero_copy_only=False)
+        fb = g["bl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s, dn_s = dk[order], dn[order]
+        pos = np.clip(np.searchsorted(dk_s, fs), 0, len(dk_s) - 1)
+        fn = np.searchsorted(nkeys, dn_s[pos])
+        nbl = np.zeros(nn, np.int64)
+        nsup = np.zeros(nn, np.int64)
+        np.add.at(nbl, fn, fb)
+        np.add.at(nsup, fn, 1)
+        order2 = np.lexsort((fs, -fb, fn))
+        fn_o = fn[order2]
+        first = np.ones(len(fn_o), bool)
+        first[1:] = fn_o[1:] != fn_o[:-1]
+        sel = order2[first]
+        live = fn[sel]
+        return pa.table(
+            {
+                "nk": pa.array(live.astype(np.int64)),
+                "nbl": pa.array(nbl[live]),
+                "nsup": pa.array(nsup[live]),
+                "top_bl": pa.array(fb[sel]),
+                "top_sup": pa.array(fs[sel]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nbl = np.zeros(nn, np.int64)
+        nsup = np.zeros(nn, np.int64)
+        top_bl = np.zeros(nn, np.int64)
+        top_sup = np.full(nn, np.iinfo(np.int64).max)
+        if t.num_rows:
+            nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nbl, nk,
+                t["nbl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nsup, nk,
+                t["nsup"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            tb = t["top_bl"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            tsu = t["top_sup"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            for ni, bi, si in zip(nk, tb, tsu):
+                if bi > top_bl[ni] or (
+                    bi == top_bl[ni] and si < top_sup[ni]
+                ):
+                    top_bl[ni] = bi
+                    top_sup[ni] = si
+        top_sup = np.where(nbl > 0, top_sup, 0)
+        return pa.table(
+            {
+                "nation": names,
+                "n_blame_orders": pa.array(nbl),
+                "n_suppliers": pa.array(nsup),
+                "top_suppkey": pa.array(top_sup),
+                "top_blames": pa.array(top_bl),
+                "top_permille": pa.array(
+                    1000 * top_bl // np.maximum(nbl, 1)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(line_partial, batch_format="pyarrow")
+    dim = orders.map_batches(order_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", hop1, k=_rel_k(sf_dir, "lineitem")
+    )
+    dim2 = supp.map_batches(supp_partial, batch_format="pyarrow")
+    per_sup = hash_partition_merge(
+        cells.union(dim2), "sup", hop2, k=_rel_k(sf_dir, "supplier")
+    )
+    return hash_partition_merge(per_sup, "nk", merge, k=1)
+
+
+def brand_cross_sell(sf_dir: str) -> Dataset:
+    """R62: brand cross-sell basket matrix — for each unordered brand
+    pair (brand_a < brand_b): orders whose lines span BOTH brands —
+    the market-basket board (R58 asks who supplies a brand, R52 how
+    contested a part is; R62 which brands actually sell TOGETHER —
+    the co-merchandising/bundling signal, and the relational twin of
+    E66's event-type co-occurrence).  Exact int64 (DISTINCT
+    (order, brand) + self-join + count oracle).
+
+    Scale shape — TWO chained co-partitioned exchanges that finish in
+    a BITSET domain: the PARTKEY hop attaches brand codes to
+    deduplicated (partkey, order) cells (R12's co-partition — parts
+    grow with the corpus, never broadcast); the ORDERKEY hop lands
+    each order's brand cells whole, collapses them to ONE uint64
+    bitmask per order (≤64 brands, asserted), dedupes masks with
+    np.unique, and expands pairs per DISTINCT mask — the loop is
+    bounded by distinct baskets, the accumulator by brands², so the
+    k=1 merge folds O(k × brands²) rows however many orders exist."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    nb = len(brands)
+    if nb > 64:
+        raise ValueError(
+            "brand_cross_sell: >64 brands — bitset basket packing needs "
+            "a wider mask"
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "x": pc.cast(b["l_orderkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "x"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "x": g["x"],
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "x": code,
+            }
+        )
+
+    def hop1(t: pa.Table) -> pa.Table:
+        """PARTKEY partition: attach brand code, dedupe (order, brand)."""
+        empty = pa.table(
+            {"ok": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, db = k[is_dim], x[is_dim]
+        fk, fo = k[~is_dim], x[~is_dim]
+        if not len(fk) or not len(dk):
+            return empty
+        order = np.argsort(dk, kind="stable")
+        dk_s, db_s = dk[order], db[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        ob = np.unique(fo * 64 + db_s[pos])
+        return pa.table(
+            {
+                "ok": pa.array((ob // 64).astype(np.int64)),
+                "b": pa.array((ob % 64).astype(np.int64)),
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        """ORDERKEY partition: basket bitmasks -> pair counts."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pr": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ob = np.unique(ok * 64 + bb)
+        okk = ob // 64
+        bit = np.uint64(1) << (ob % 64).astype(np.uint64)
+        first = np.ones(len(ob), bool)
+        first[1:] = okk[1:] != okk[:-1]
+        starts = np.flatnonzero(first)
+        masks = np.bitwise_or.reduceat(bit, starts)
+        mv, mc = np.unique(masks, return_counts=True)
+        acc = np.zeros((nb, nb), np.int64)
+        for m, c in zip(mv, mc):
+            bits = np.flatnonzero(
+                (m >> np.arange(nb, dtype=np.uint64)) & np.uint64(1)
+            )
+            if len(bits) >= 2:
+                a, bq = np.triu_indices(len(bits), k=1)
+                acc[bits[a], bits[bq]] += c
+        pr = np.flatnonzero(acc.ravel())
+        return pa.table(
+            {
+                "pr": pa.array(pr.astype(np.int64)),
+                "n": pa.array(acc.ravel()[pr]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "brand_a": pa.array([], pa.string()),
+                    "brand_b": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("pr", use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["pr", "n"]).sort_by("pr")
+        pr = g["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "brand_a": brands.take(
+                    pa.array((pr // nb).astype(np.int64))
+                ),
+                "brand_b": brands.take(
+                    pa.array((pr % nb).astype(np.int64))
+                ),
+                "n_orders": g["n"],
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", hop1, k=_rel_k(sf_dir, "lineitem")
+    )
+    pairs = hash_partition_merge(
+        cells, "ok", hop2, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(pairs, "pr", merge, k=1)

@@ -12039,3 +12039,402 @@ def tape_opener(sf_dir: str) -> Dataset:
         partials, "si", fold, k=_doc_k_files(files)
     )
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def tape_integrity(sf_dir: str) -> Dataset:
+    """T133/F: tape length-integrity audit — per source of the F1
+    tokenized stream: sequences, Σn_tok as STORED, Σlen(tokens) as
+    MEASURED from the list offsets, rows where the two disagree, and
+    the worst absolute disagreement — the ingest-contract audit for
+    the engine's own invariant (the n_tok column is the rollup
+    cascade's weight everywhere; a writer that stamps it wrong skews
+    every tier silently, so this board is the first thing to read
+    after onboarding a new producer).  Reference parity: the
+    validator's length checks on inbound payloads
+    (`internal/messages/messages.go` SQL-message field validation)
+    recast as a corpus-wide reconciliation.  One dense row per source
+    ALWAYS; exact int64 (len(tokens) vs n_tok oracle).
+
+    Scale shape — a pure per-row audit with a sources-bounded result:
+    the measured length is one Arrow offsets diff per batch (the
+    token VALUES never materialize — `list_value_length` reads the
+    offset buffer only), pre-reduced via np.add.at/np.maximum.at to
+    dense per-source partials (ns rows per batch); the k=1 merge
+    sums/maxes O(partitions × sources) rows.  Zero data shuffles."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens", "n_tok"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        nt = (
+            pc.cast(b["n_tok"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        d = np.abs(nt - ln)
+        nseq = np.zeros(ns, np.int64)
+        snt = np.zeros(ns, np.int64)
+        sln = np.zeros(ns, np.int64)
+        nmm = np.zeros(ns, np.int64)
+        mad = np.zeros(ns, np.int64)
+        np.add.at(nseq, code, 1)
+        np.add.at(snt, code, nt)
+        np.add.at(sln, code, ln)
+        np.add.at(nmm, code, (d != 0).astype(np.int64))
+        np.maximum.at(mad, code, d)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nseq": pa.array(nseq),
+                "snt": pa.array(snt),
+                "sln": pa.array(sln),
+                "nmm": pa.array(nmm),
+                "mad": pa.array(mad),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nseq = np.zeros(ns, np.int64)
+        snt = np.zeros(ns, np.int64)
+        sln = np.zeros(ns, np.int64)
+        nmm = np.zeros(ns, np.int64)
+        mad = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nseq, "nseq"),
+                (snt, "snt"),
+                (sln, "sln"),
+                (nmm, "nmm"),
+            ):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+            np.maximum.at(
+                mad, s,
+                t["mad"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(nseq),
+                "sum_n_tok": pa.array(snt),
+                "sum_len": pa.array(sln),
+                "n_mismatch": pa.array(nmm),
+                "max_abs_delta": pa.array(mad),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def tape_window_dups(sf_dir: str) -> Dataset:
+    """T134/F: tape repetition-loop board — per source of the F1
+    tokenized stream: sequences, sliding 4-token windows, DUPLICATE
+    windows (occurrences minus within-sequence distinct — the classic
+    decoder repetition-loop signature: a motif stuck on repeat), the
+    duplicate permille and sequences with ≥1 dup window — doc-side
+    T27 measures duplicated word n-grams ACROSS documents; T134 is
+    the within-sequence loop detector on the flagship payload, the
+    filter that catches degenerate generations before they poison a
+    training mix.  One dense row per source ALWAYS; exact int64 — NO
+    hash convention: four ids pack exactly into one int64 (the tape's
+    vocab is < 2¹⁶; asserted per batch, fails loudly on a wider
+    vocab), so window identity is collision-free on both sides
+    (list_transform packing oracle).
+
+    Scale shape — a pure per-row audit (T133's class) with an O(len)
+    vectorized kernel: windows are ONE strided expression over each
+    batch's flat value buffer (no per-row Python), within-sequence
+    distinct via one lexsort over (row, window) + adjacent-equal
+    count, np.add.at to dense per-source partials; the k=1 merge
+    folds O(partitions × sources) rows.  ZERO data shuffles."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(v) and int(v.max()) >= (1 << 16):
+            raise ValueError(
+                "tape_window_dups: token id >= 2^16 — exact 4-token "
+                "packing needs a sub-65536 vocab"
+            )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        nw_row = np.maximum(ln - 3, 0)
+        nd_row = np.zeros(len(ln), np.int64)
+        if len(v) >= 4:
+            # unsigned packing: 4 x 16-bit ids fill all 64 bits, which
+            # overflows SIGNED int64 (ids >= 2^15 set the sign region)
+            u = v.astype(np.uint64)
+            w = ((u[:-3] * 65536 + u[1:-2]) * 65536 + u[2:-1]) * 65536 + u[3:]
+            wrow = row[:-3]
+            keep = wrow == row[3:]
+            w, wrow = w[keep], wrow[keep]
+            order = np.lexsort((w, wrow))
+            w, wrow = w[order], wrow[order]
+            dup = np.zeros(len(w), bool)
+            dup[1:] = (wrow[1:] == wrow[:-1]) & (w[1:] == w[:-1])
+            np.add.at(nd_row, wrow, dup.astype(np.int64))
+        nseq = np.zeros(ns, np.int64)
+        nwin = np.zeros(ns, np.int64)
+        ndup = np.zeros(ns, np.int64)
+        nwith = np.zeros(ns, np.int64)
+        np.add.at(nseq, code, 1)
+        np.add.at(nwin, code, nw_row)
+        np.add.at(ndup, code, nd_row)
+        np.add.at(nwith, code, (nd_row > 0).astype(np.int64))
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nseq": pa.array(nseq),
+                "nwin": pa.array(nwin),
+                "ndup": pa.array(ndup),
+                "nwith": pa.array(nwith),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nseq = np.zeros(ns, np.int64)
+        nwin = np.zeros(ns, np.int64)
+        ndup = np.zeros(ns, np.int64)
+        nwith = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nseq, "nseq"),
+                (nwin, "nwin"),
+                (ndup, "ndup"),
+                (nwith, "nwith"),
+            ):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(nseq),
+                "n_windows": pa.array(nwin),
+                "n_dup_windows": pa.array(ndup),
+                "dup_permille": pa.array(
+                    1000 * ndup // np.maximum(nwin, 1)
+                ),
+                "n_seqs_with_dup": pa.array(nwith),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def tape_window_vocab(sf_dir: str) -> Dataset:
+    """T135/F: tape motif-vocabulary board — per source of the F1
+    tokenized stream: total sliding 4-token windows, DISTINCT windows
+    (the source's motif vocabulary), motifs SHARED with at least one
+    other source, and the shared permille — the cross-source
+    complement of T134 (which loops WITHIN a sequence): a source
+    whose motif vocabulary is mostly shared is re-serving the same
+    phrasing the rest of the corpus already has (template/mirror
+    smell — T104 counts whole duplicated SEQUENCES across sources,
+    T135 finds the overlap at sub-sequence granularity where
+    mirror-with-edits hides).  One dense row per source ALWAYS; exact
+    int64, collision-free: windows pack into one UNSIGNED 64-bit word
+    (vocab < 2¹⁶, asserted; bit-cast to int64 for the shuffle key —
+    the hash is sign-agnostic).
+
+    Scale shape — T16's exact-count exchange on the motif axis: per
+    batch windows are ONE strided expression over the flat value
+    buffer, pre-reduced by Arrow group_by to (window, source, n)
+    cells; ONE window-hash exchange lands each motif whole across
+    ALL sources, where one lexsort settles per-(window, source)
+    totals AND each window's source span, re-reducing IN PLACE to
+    per-source (occurrences, distinct, shared) partials — the motif
+    vocabulary never leaves the partitions; the k=1 merge folds
+    O(k × sources) rows."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(v) and int(v.max()) >= (1 << 16):
+            raise ValueError(
+                "tape_window_vocab: token id >= 2^16 — exact 4-token "
+                "packing needs a sub-65536 vocab"
+            )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        if len(v) < 4:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        u = v.astype(np.uint64)
+        w = ((u[:-3] * 65536 + u[1:-2]) * 65536 + u[2:-1]) * 65536 + u[3:]
+        keep = row[:-3] == row[3:]
+        w = w[keep].view(np.int64)
+        sc = code[row[:-3][keep]]
+        t = pa.table(
+            {
+                "w": pa.array(w),
+                "s": pa.array(sc),
+                "n": pa.array(np.ones(len(w), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["w", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "nwin", "ndist", "nshared"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["w", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        w = g["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        w, s, n = w[order], s[order], n[order]
+        first = np.ones(len(w), bool)
+        first[1:] = w[1:] != w[:-1]
+        starts = np.flatnonzero(first)
+        span = np.diff(np.r_[starts, len(w)])  # sources per window
+        shared = np.repeat(span >= 2, span)
+        nwin = np.zeros(ns, np.int64)
+        ndist = np.zeros(ns, np.int64)
+        nshared = np.zeros(ns, np.int64)
+        np.add.at(nwin, s, n)
+        np.add.at(ndist, s, 1)
+        np.add.at(nshared, s, shared.astype(np.int64))
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nwin": pa.array(nwin),
+                "ndist": pa.array(ndist),
+                "nshared": pa.array(nshared),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nwin = np.zeros(ns, np.int64)
+        ndist = np.zeros(ns, np.int64)
+        nshared = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nwin, "nwin"),
+                (ndist, "ndist"),
+                (nshared, "nshared"),
+            ):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_windows": pa.array(nwin),
+                "n_distinct": pa.array(ndist),
+                "n_shared": pa.array(nshared),
+                "shared_permille": pa.array(
+                    1000 * nshared // np.maximum(ndist, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "w", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "s", merge, k=1)
