@@ -679,6 +679,12 @@ def _q_events_load_gini(sf_dir: str):
     return events_load_gini(sf_dir)
 
 
+def _q_events_dormancy_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dormancy_quantiles
+
+    return events_dormancy_quantiles(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1422,6 +1428,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_brand_cross_sell": rel.brand_cross_sell,
+        "events_dormancy_quantiles": _q_events_dormancy_quantiles,
+        "f1_novelty_saturation": lambda sf_dir: td.tape_novelty_saturation(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_segment_value_quantiles": rel.segment_value_quantiles,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6764,5 +6775,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM lb a JOIN lb c ON a.ok = c.ok AND a.b < c.b
             GROUP BY 1, 2
+        """,
+        "events_dormancy_quantiles": """
+            WITH d AS (SELECT event_type AS source, user_id,
+                              max(epoch_us(ts) // 86400000000) AS ld
+                       FROM events GROUP BY 1, 2),
+                 g AS (SELECT max(ld) AS gd FROM d)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(quantile_disc(gd - ld, 0.5) AS BIGINT)
+                       AS p50_dormancy,
+                   CAST(quantile_disc(gd - ld, 0.9) AS BIGINT)
+                       AS p90_dormancy,
+                   CAST(max(gd - ld) AS BIGINT) AS max_dormancy
+            FROM d, g GROUP BY source
+        """,
+        "f1_novelty_saturation": """
+            WITH x AS (SELECT doc_id, source,
+                              CAST(len(tokens) AS BIGINT) AS lt,
+                              unnest(tokens) AS tok,
+                              unnest(range(1, len(tokens) + 1)) AS pos
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+                       WHERE len(tokens) >= 1),
+                 fo AS (SELECT doc_id, source, lt, tok,
+                               min(pos) AS fp
+                        FROM x GROUP BY 1, 2, 3, 4),
+                 sd AS (SELECT doc_id, source,
+                               CAST(1000 * max(fp) // max(lt) AS BIGINT)
+                                   AS pm
+                        FROM fo GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT)
+                       AS p50_saturation,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT)
+                       AS p90_saturation
+            FROM sd GROUP BY 1
+        """,
+        "rel_segment_value_quantiles": """
+            WITH j AS (SELECT c_mktsegment AS segment,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v
+                       FROM orders JOIN customer
+                            ON o_custkey = c_custkey)
+            SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_value,
+                   CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_value,
+                   CAST(quantile_disc(v, 0.99) AS BIGINT) AS p99_value,
+                   CAST(max(v) AS BIGINT) AS max_value
+            FROM j GROUP BY 1
         """,
     }

@@ -457,6 +457,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_load_gini",
         "f1_window_vocab",
         "rel_brand_cross_sell",
+        "events_dormancy_quantiles",
+        "f1_novelty_saturation",
+        "rel_segment_value_quantiles",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -11238,3 +11238,124 @@ def events_load_gini(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_dormancy_quantiles(sf_dir: str) -> Dataset:
+    """E129: user-dormancy quantiles — per source: users who ever
+    touched it and the discrete p50/p90/max of each user's CURRENT
+    dormancy (days since that user's LAST event on the source,
+    measured against the corpus's global last day) — the churn-risk
+    recency board (E34's tenure histogram measures lifetime SPAN,
+    E102's return gaps the rhythm between visits; E129 how stale the
+    audience is RIGHT NOW — a p50 dormancy near the retention window
+    means the source's audience has already left, the number a
+    re-engagement campaign is sized from).  One dense row per source
+    ALWAYS; exact int64 under the quantile_disc rank rule (per-user
+    max-day + global-max cross join + quantile_disc oracle).
+
+    Scale shape — a MAX reduction then a calendar-bounded histogram:
+    per batch one Arrow group_by to (source, user, max-day) partials;
+    ONE user-hash exchange settles each (source, user) last-touch
+    exactly, re-reducing IN PLACE to (source, last-day) histograms —
+    bounded by sources × calendar days; the k=1 merge reads the
+    global max day off the histogram itself (max of last-touches IS
+    the corpus max) and the quantiles off one cumsum per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {
+                "s": code,
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "d": pa.array(day),
+            }
+        )
+        g = t.group_by(["s", "u"], use_threads=False).aggregate(
+            [("d", "max")]
+        )
+        return g.rename_columns(["s", "u", "d"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sd": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["s", "u"], use_threads=False).aggregate(
+            [("d", "max")]
+        )
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["d_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(s * (1 << 32) + d, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_users = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p90 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sd", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            s = sd >> 32
+            d = sd & 0xFFFFFFFF
+            gmax = int(d.max())
+            dorm = gmax - d
+            order = np.lexsort((dorm, s))
+            s, dorm, n = s[order], dorm[order], n[order]
+            first = np.ones(len(s), bool)
+            first[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(s)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = s[starts]
+            n_users[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = dorm[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+            mx[keys] = dorm[ends - 1]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_users": pa.array(n_users),
+                "p50_dormancy": pa.array(p50),
+                "p90_dormancy": pa.array(p90),
+                "max_dormancy": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sd", merge, k=1)

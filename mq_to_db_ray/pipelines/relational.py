@@ -9757,3 +9757,157 @@ def brand_cross_sell(sf_dir: str) -> Dataset:
         cells, "ok", hop2, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(pairs, "pr", merge, k=1)
+
+
+def segment_value_quantiles(sf_dir: str) -> Dataset:
+    """R63: segment order-value quantiles — per c_mktsegment: orders
+    and the discrete p50/p90/p99/max of floor(o_totalprice) — the
+    ticket-size distribution behind R19's LTV digit bands (R19 bands
+    CUSTOMER lifetime value; R63 the per-ORDER ticket the pricing
+    page is designed around, tail included — a segment whose p99 is
+    30× its p50 needs a quote flow, not a cart).  Exact int64 under
+    the quantile_disc rank rule (floor-before-quantile money
+    convention + quantile_disc oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (R17's shape
+    with a histogram finish): order batches pre-reduce to (custkey,
+    floor-value, n) partials, customers ride carrying the segment;
+    each partition attaches segments with one searchsorted and
+    re-reduces IN PLACE to (segment, value) histogram cells — bounded
+    by segments × distinct whole-dollar prices (a price-list domain,
+    never corpus-bounded); the k=1 merge reads the quantiles off one
+    cumsum per segment."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nseg = len(segs)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "v": pa.array(v),
+                "n": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        g = t.group_by(["k", "v"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["k", "v", "n"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "v": g["v"],
+                "n": g["n"],
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "v": code,
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sv": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dseg = k[is_dim], v[is_dim]
+        fk, fv, fn = k[~is_dim], v[~is_dim], n[~is_dim]
+        if not len(fk) or not len(dk):
+            return empty
+        order = np.argsort(dk, kind="stable")
+        dk_s, dseg_s = dk[order], dseg[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        sv = dseg_s[pos] * (1 << 32) + fv
+        g = (
+            pa.table({"sv": pa.array(sv), "n": pa.array(fn)})
+            .group_by("sv", use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["sv", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_orders = np.zeros(nseg, np.int64)
+        p50 = np.zeros(nseg, np.int64)
+        p90 = np.zeros(nseg, np.int64)
+        p99 = np.zeros(nseg, np.int64)
+        mx = np.zeros(nseg, np.int64)
+        if t.num_rows:
+            g = t.group_by("sv", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sv = g["sv"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(sv, kind="stable")
+            sv, n = sv[order], n[order]
+            s = sv >> 32
+            v = sv & 0xFFFFFFFF
+            first = np.ones(len(sv), bool)
+            first[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(sv)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = s[starts]
+            n_orders[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900), (p99, 990)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = v[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+            mx[keys] = v[ends - 1]
+        return pa.table(
+            {
+                "segment": segs,
+                "n_orders": pa.array(n_orders),
+                "p50_value": pa.array(p50),
+                "p90_value": pa.array(p90),
+                "p99_value": pa.array(p99),
+                "max_value": pa.array(mx),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "sv", merge, k=1)

@@ -12438,3 +12438,122 @@ def tape_window_vocab(sf_dir: str) -> Dataset:
         partials, "w", fold, k=_doc_k_files(files)
     )
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def tape_novelty_saturation(sf_dir: str) -> Dataset:
+    """T136/F: within-sequence novelty-saturation quantiles — per
+    source of the F1 tokenized stream: sequences and the discrete
+    p50/p90 of each sequence's SATURATION POINT (the 1-based position
+    of its LAST first-occurrence token, as a permille of length) —
+    where inside a sequence the id stream stops introducing new
+    vocabulary (T134 detects literal loops, T135 cross-source motif
+    reuse; T136 the novelty PROFILE: saturation near 200‰ means the
+    tail is pure recombination of an opening header — template or
+    boilerplate-generated text; near 1000‰ means novelty to the last
+    token, the profile of natural prose).  One dense row per source
+    ALWAYS over non-empty sequences; exact int64 under the
+    quantile_disc rank rule (min(pos)-per-(doc, token) + max + integer
+    permille oracle; lengths measured from the list offsets).
+
+    Scale shape — a per-row audit whose kernel is one lexsort: per
+    batch flatten once, sort (row, token, position), first-of-group
+    marks every within-sequence first occurrence, np.maximum.at folds
+    them to per-row saturation positions; the permille domain is
+    [0, 1000] so partials are (source, permille) histogram cells and
+    the k=1 merge input is ≤ sources × 1001 rows.  ZERO data
+    shuffles; the token VALUES never leave the batch."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        starts = np.r_[0, np.cumsum(ln)[:-1]]
+        pos = np.arange(len(v)) - starts[row] + 1
+        sat = np.zeros(len(ln), np.int64)
+        if len(v):
+            order = np.lexsort((pos, v, row))
+            r_o, v_o, p_o = row[order], v[order], pos[order]
+            first = np.ones(len(v), bool)
+            first[1:] = (r_o[1:] != r_o[:-1]) | (v_o[1:] != v_o[:-1])
+            np.maximum.at(sat, r_o[first], p_o[first])
+        keep = ln >= 1
+        pm = 1000 * sat[keep] // ln[keep]
+        sp = code[keep] * 1024 + pm
+        vals, cnt = np.unique(sp, return_counts=True)
+        return pa.table(
+            {
+                "sp": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_seqs = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p90 = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sp", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sp = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(sp, kind="stable")
+            sp, n = sp[order], n[order]
+            src = sp // 1024
+            pm = sp % 1024
+            first = np.ones(len(sp), bool)
+            first[1:] = src[1:] != src[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(sp)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = src[starts]
+            n_seqs[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = pm[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(n_seqs),
+                "p50_saturation": pa.array(p50),
+                "p90_saturation": pa.array(p90),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "sp", merge, k=1)
