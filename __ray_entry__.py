@@ -685,6 +685,12 @@ def _q_events_dormancy_quantiles(sf_dir: str):
     return events_dormancy_quantiles(sf_dir)
 
 
+def _q_events_dau_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dau_quantiles
+
+    return events_dau_quantiles(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1433,6 +1439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_segment_value_quantiles": rel.segment_value_quantiles,
+        "events_dau_quantiles": _q_events_dau_quantiles,
+        "doc_bag_dedup": td.bag_dedup_board,
+        "rel_unit_price_spread": rel.unit_price_spread,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6820,6 +6829,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_value,
                    CAST(quantile_disc(v, 0.99) AS BIGINT) AS p99_value,
                    CAST(max(v) AS BIGINT) AS max_value
+            FROM j GROUP BY 1
+        """,
+        "events_dau_quantiles": """
+            WITH c AS (SELECT DISTINCT event_type AS source, user_id,
+                              epoch_us(ts) // 86400000000 AS d
+                       FROM events),
+                 k AS (SELECT source, d, CAST(count(*) AS BIGINT) AS dau
+                       FROM c GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(quantile_disc(dau, 0.5) AS BIGINT) AS p50_dau,
+                   CAST(quantile_disc(dau, 0.9) AS BIGINT) AS p90_dau,
+                   CAST(max(dau) AS BIGINT) AS max_dau
+            FROM k GROUP BY 1
+        """,
+        "doc_bag_dedup": """
+            WITH b AS (SELECT source,
+                              list_sort(string_split(text, ' ')) AS bag,
+                              text
+                       FROM documents),
+                 g AS (SELECT source, bag, text,
+                              count(*) OVER (PARTITION BY bag) AS bn,
+                              count(*) OVER (PARTITION BY bag, text)
+                                  AS tn
+                       FROM b)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT bag) AS BIGINT) AS n_bags,
+                   CAST(sum(CASE WHEN bn >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bagdup_docs,
+                   CAST(sum(CASE WHEN tn >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_textdup_docs,
+                   CAST(sum(CASE WHEN bn >= 2 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN tn >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reordered
+            FROM g GROUP BY 1
+        """,
+        "rel_unit_price_spread": """
+            WITH u AS (SELECT l_partkey,
+                              CAST(floor(100 * l_extendedprice
+                                         / l_quantity) AS BIGINT) AS up
+                       FROM lineitem),
+                 p AS (SELECT l_partkey, min(up) AS umin,
+                              max(up) AS umax
+                       FROM u GROUP BY 1),
+                 j AS (SELECT p_brand,
+                              CAST(1000 * (umax - umin)
+                                   // greatest(umax, 1) AS BIGINT)
+                                  AS spm
+                       FROM p JOIN part ON l_partkey = p_partkey)
+            SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(CASE WHEN spm > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_varying,
+                   CAST(quantile_disc(spm, 0.5) AS BIGINT) AS p50_spread,
+                   CAST(quantile_disc(spm, 0.9) AS BIGINT) AS p90_spread
             FROM j GROUP BY 1
         """,
     }

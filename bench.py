@@ -460,6 +460,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dormancy_quantiles",
         "f1_novelty_saturation",
         "rel_segment_value_quantiles",
+        "events_dau_quantiles",
+        "doc_bag_dedup",
+        "rel_unit_price_spread",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

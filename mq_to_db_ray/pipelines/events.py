@@ -11359,3 +11359,117 @@ def events_dormancy_quantiles(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "sd", merge, k=1)
+
+
+def events_dau_quantiles(sf_dir: str) -> Dataset:
+    """E130: daily-active-user quantiles — per source: days with ≥1
+    event and the discrete p50/p90/max of DAILY DISTINCT USERS — the
+    audience-size distribution (E55's dau_wau_mau draws the global
+    curve day by day; E121 counts active MINUTES per day; E130
+    condenses each source's audience into its typical-vs-peak band —
+    a max_dau at 40× p50 is launch-day traffic the capacity plan must
+    carry, a flat band is a subscription service).  One dense row per
+    source ALWAYS; exact int64 under the quantile_disc rank rule
+    (DISTINCT (source, user, day) + per-day count + quantile_disc
+    oracle).
+
+    Scale shape — E121's dedupe-then-bounded-histogram with users as
+    the dedup axis: per batch one Arrow group_by to distinct (source,
+    user, day) cells; ONE user-hash exchange dedupes each cell
+    exactly (a user's rows co-locate), re-reducing IN PLACE to
+    (source, day) count partials — additive across partitions because
+    cells are globally distinct; the k=1 merge settles the ≤ sources
+    × days domain and reads the quantiles off one cumsum per
+    source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {
+                "s": code,
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "d": pa.array(day),
+            }
+        )
+        return t.group_by(["s", "u", "d"], use_threads=False).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sd": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["s", "u", "d"], use_threads=False).aggregate([])
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(s * (1 << 32) + d, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_days = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p90 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sd", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+            dau = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            s = sd >> 32
+            vals, cnt = np.unique(s * (1 << 32) + dau, return_counts=True)
+            s = vals >> 32
+            dau = vals & 0xFFFFFFFF
+            first = np.ones(len(s), bool)
+            first[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(s)]
+            cum = np.cumsum(cnt)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = s[starts]
+            n_days[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = dau[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+            mx[keys] = dau[ends - 1]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(n_days),
+                "p50_dau": pa.array(p50),
+                "p90_dau": pa.array(p90),
+                "max_dau": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sd", merge, k=1)

@@ -9911,3 +9911,172 @@ def segment_value_quantiles(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "sv", merge, k=1)
+
+
+def unit_price_spread(sf_dir: str) -> Dataset:
+    """R64: unit-price dispersion board — per p_brand: parts with ≥1
+    line sold, parts whose realized UNIT price varies across lines,
+    and the discrete p50/p90 of each part's spread permille
+    (1000·(max−min)//max of floor(100·extendedprice/quantity) cents)
+    — the pricing-consistency audit (R31's margin board compares
+    realized to LIST price; R64 asks whether the SAME part sells at
+    the same unit price at all — wide spread is regional pricing,
+    stale catalogs or fat-finger entries, and is invisible to every
+    aggregate that sums revenue first).  Exact int64: unit cents are
+    floored IEEE doubles computed with the same expression order on
+    both sides; spread is an integer permille under the
+    quantile_disc rank rule.
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (R12's shape
+    with MIN/MAX riding): line batches pre-reduce to (partkey,
+    min-unit, max-unit) partials — the spread is a min/max REDUCTION
+    so nothing else travels; part rows ride carrying the brand; each
+    partition settles every part exactly, computes the spread
+    permille, and re-reduces IN PLACE to (brand, permille) histogram
+    cells — the permille domain is [0, 1000] so the k=1 merge folds
+    ≤ k × brands × 1001 rows however many parts exist."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    nb = len(brands)
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        q = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        up = np.floor(100 * ep / q).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "lo": pa.array(up),
+                "hi": pa.array(up),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        )
+        g = g.rename_columns(["k", "lo", "hi"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "lo": g["lo"],
+                "hi": g["hi"],
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "lo": code,
+                "hi": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bs": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, db = k[is_dim], lo[is_dim]
+        fk, flo, fhi = k[~is_dim], lo[~is_dim], hi[~is_dim]
+        if not len(fk) or not len(dk):
+            return empty
+        g = (
+            pa.table(
+                {"k": pa.array(fk), "lo": pa.array(flo), "hi": pa.array(fhi)}
+            )
+            .group_by("k", use_threads=False)
+            .aggregate([("lo", "min"), ("hi", "max")])
+        )
+        fk = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        flo = g["lo_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        fhi = g["hi_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s, db_s = dk[order], db[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        spm = 1000 * (fhi - flo) // np.maximum(fhi, 1)
+        bs = db_s[pos] * 1024 + spm
+        vals, cnt = np.unique(bs, return_counts=True)
+        return pa.table(
+            {
+                "bs": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_parts = np.zeros(nb, np.int64)
+        n_var = np.zeros(nb, np.int64)
+        p50 = np.zeros(nb, np.int64)
+        p90 = np.zeros(nb, np.int64)
+        if t.num_rows:
+            g = t.group_by("bs", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            bs = g["bs"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(bs, kind="stable")
+            bs, n = bs[order], n[order]
+            b = bs // 1024
+            spm = bs % 1024
+            first = np.ones(len(bs), bool)
+            first[1:] = b[1:] != b[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(bs)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = b[starts]
+            n_parts[keys] = tot
+            np.add.at(n_var, b, np.where(spm > 0, n, 0))
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = spm[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+        live = np.flatnonzero(n_parts)
+        return pa.table(
+            {
+                "brand": brands.take(pa.array(live.astype(np.int64))),
+                "n_parts": pa.array(n_parts[live]),
+                "n_varying": pa.array(n_var[live]),
+                "p50_spread": pa.array(p50[live]),
+                "p90_spread": pa.array(p90[live]),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "bs", merge, k=1)

@@ -12557,3 +12557,157 @@ def tape_novelty_saturation(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "sp", merge, k=1)
+
+
+def bag_dedup_board(sf_dir: str) -> Dataset:
+    """T137: bag-of-words dedup board — per source: docs, distinct
+    word MULTISETS (bags) among its docs, docs in corpus-wide bag
+    groups ≥2, docs in exact-TEXT groups ≥2, and the difference:
+    REORDERED duplicates — same words, same multiplicities, shuffled
+    order — the paraphrase/shuffle-spam layer that T1's exact dedup
+    is blind to and T2/T3's shingle sketches see only dimly (a
+    shuffle destroys every n-gram but preserves the bag exactly).
+    One dense row per source ALWAYS; bag identity on the engine side
+    is the documented collision-hash convention (an order-invariant
+    sum/sum-of-squares/length combine of the blake2b word hashes,
+    wrapping uint64), while the oracle groups by the TRUE sorted word
+    list — collision-free — so a signature collision would surface
+    as a driver mismatch rather than hide.  Exact int64 counts.
+
+    Scale shape — T135's exact-count exchange with a two-level group
+    finish: per batch ONE split + dictionary-encode hashes every
+    unique word once (batch_word_hashes), bags reduce to one
+    order-invariant signature per doc via two np.add.reduceat passes
+    — the words never leave the batch; ONE bag-signature exchange
+    lands each bag group whole (text-hash rides along: a text group
+    is always inside a bag group, so text dups settle in the same
+    partition), re-reducing IN PLACE to dense per-source partials;
+    k=1 merge.  The doc texts never shuffle."""
+    from ..functions.textstats import batch_word_hashes, word_hash64
+    from ..stages.shuffle import hash_partition_merge
+
+    path = f"{sf_dir}/documents.parquet"
+    srcs = pa.array(
+        sorted(rd.read_parquet(path, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+    C = np.uint64(2654435761)
+
+    ds = rd.read_parquet(
+        path, columns=["source", "text"], override_num_blocks=_doc_k(sf_dir)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hv, nw = batch_word_hashes(b["text"])
+        starts = np.r_[0, np.cumsum(nw)[:-1]].astype(np.int64)
+        if len(hv):
+            s1 = np.add.reduceat(hv, starts)
+            s2 = np.add.reduceat(hv * hv, starts)
+        else:
+            s1 = np.zeros(len(nw), np.uint64)
+            s2 = np.zeros(len(nw), np.uint64)
+        sig = ((s1 * C + s2) * C + nw.astype(np.uint64)).view(np.int64)
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        th = np.fromiter(
+            (word_hash64(t) for t in texts.to_pylist()),
+            dtype=np.uint64,
+            count=len(texts),
+        ).view(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "sig": pa.array(sig),
+                "th": pa.array(th),
+                "s": pa.array(code),
+                "n": pa.array(np.ones(len(sig), np.int64)),
+            }
+        )
+        g = t.group_by(["sig", "th", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["sig", "th", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "nd", "nb", "nbd", "ntd"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sig", "th", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sig = g["sig"].combine_chunks().to_numpy(zero_copy_only=False)
+        th = g["th"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, th, sig))
+        sig, th, s, n = sig[order], th[order], s[order], n[order]
+        # per-sig totals (bag-group size), broadcast to rows
+        bfirst = np.ones(len(sig), bool)
+        bfirst[1:] = sig[1:] != sig[:-1]
+        bstarts = np.flatnonzero(bfirst)
+        bspan = np.diff(np.r_[bstarts, len(sig)])
+        bn = np.repeat(np.add.reduceat(n, bstarts), bspan)
+        # per-(sig, text) totals (text-group size)
+        tfirst = bfirst | np.r_[True, th[1:] != th[:-1]]
+        tstarts = np.flatnonzero(tfirst)
+        tspan = np.diff(np.r_[tstarts, len(sig)])
+        tn = np.repeat(np.add.reduceat(n, tstarts), tspan)
+        nd = np.zeros(ns, np.int64)
+        nbd = np.zeros(ns, np.int64)
+        ntd = np.zeros(ns, np.int64)
+        nb = np.zeros(ns, np.int64)
+        np.add.at(nd, s, n)
+        np.add.at(nbd, s, np.where(bn >= 2, n, 0))
+        np.add.at(ntd, s, np.where(tn >= 2, n, 0))
+        # distinct bags OWNED per source: first (sig, s) occurrence
+        o2 = np.lexsort((sig, s))
+        s2, sig2 = s[o2], sig[o2]
+        ofirst = np.ones(len(s2), bool)
+        ofirst[1:] = (s2[1:] != s2[:-1]) | (sig2[1:] != sig2[:-1])
+        np.add.at(nb, s2[ofirst], 1)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nd": pa.array(nd),
+                "nb": pa.array(nb),
+                "nbd": pa.array(nbd),
+                "ntd": pa.array(ntd),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        nb = np.zeros(ns, np.int64)
+        nbd = np.zeros(ns, np.int64)
+        ntd = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nd, "nd"), (nb, "nb"), (nbd, "nbd"), (ntd, "ntd")
+            ):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(nd),
+                "n_bags": pa.array(nb),
+                "n_bagdup_docs": pa.array(nbd),
+                "n_textdup_docs": pa.array(ntd),
+                "n_reordered": pa.array(nbd - ntd),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sig", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)
