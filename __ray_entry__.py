@@ -691,6 +691,12 @@ def _q_events_dau_quantiles(sf_dir: str):
     return events_dau_quantiles(sf_dir)
 
 
+def _q_events_midnight_sessions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_midnight_sessions
+
+    return events_midnight_sessions(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1442,6 +1448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_quantiles": _q_events_dau_quantiles,
         "doc_bag_dedup": td.bag_dedup_board,
         "rel_unit_price_spread": rel.unit_price_spread,
+        "events_midnight_sessions": _q_events_midnight_sessions,
+        "doc_template_slots": td.template_slots,
+        "rel_fill_rate": rel.fill_rate,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6883,5 +6892,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(spm, 0.5) AS BIGINT) AS p50_spread,
                    CAST(quantile_disc(spm, 0.9) AS BIGINT) AS p90_spread
             FROM j GROUP BY 1
+        """,
+        "events_midnight_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            g AS (SELECT user_id, sid,
+                         epoch_us(min(ts)) // 86400000000 AS sd,
+                         epoch_us(max(ts)) // 86400000000 AS ed
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST((sd + 3) % 7 + 1 AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN ed <> sd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_crossing,
+                   CAST(1000 * sum(CASE WHEN ed <> sd THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS crossing_permille
+            FROM g GROUP BY 1
+        """,
+        "doc_template_slots": """
+            WITH w AS (SELECT doc_id, source,
+                              string_split(text, ' ') AS ws
+                       FROM documents),
+                 x AS (SELECT source,
+                              unnest(range(1, least(len(ws), 16) + 1))
+                                  AS p,
+                              unnest(ws[1:least(len(ws), 16)]) AS word
+                       FROM w),
+                 c AS (SELECT source, p, word,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM x GROUP BY 1, 2, 3),
+                 sl AS (SELECT source, p,
+                               CAST(sum(n) AS BIGINT) AS tot,
+                               CAST(max(n) AS BIGINT) AS mx
+                        FROM c GROUP BY 1, 2),
+                 sh AS (SELECT source, p,
+                               CAST(1000 * mx // tot AS BIGINT) AS share
+                        FROM sl),
+                 nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                        FROM documents GROUP BY 1)
+            SELECT nd.source, nd.n_docs,
+                   CAST(coalesce(sum(CASE WHEN sh.share >= 900
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_locked,
+                   CAST(coalesce(sum(sh.share), 0) AS BIGINT)
+                       AS sum_share
+            FROM nd LEFT JOIN sh ON sh.source = nd.source
+            GROUP BY 1, 2
+        """,
+        "rel_fill_rate": """
+            WITH lm AS (SELECT l_orderkey, max(l_shipdate) AS mx
+                        FROM lineitem GROUP BY 1),
+                 j AS (SELECT date_trunc('month', o_orderdate) AS o_month,
+                              o_orderpriority AS priority,
+                              CASE WHEN date_diff('day', o_orderdate, mx)
+                                        <= 30
+                                   THEN 1 ELSE 0 END AS f
+                       FROM orders JOIN lm
+                            ON o_orderkey = l_orderkey)
+            SELECT o_month, priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(f) AS BIGINT) AS n_filled,
+                   CAST(1000 * sum(f) // count(*) AS BIGINT)
+                       AS filled_permille
+            FROM j GROUP BY 1, 2
         """,
     }

@@ -463,6 +463,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dau_quantiles",
         "doc_bag_dedup",
         "rel_unit_price_spread",
+        "events_midnight_sessions",
+        "doc_template_slots",
+        "rel_fill_rate",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -11473,3 +11473,82 @@ def events_dau_quantiles(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "sd", merge, k=1)
+
+
+def events_midnight_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E131: midnight-crossing sessions by weekday — per ISO weekday of
+    the session START: sessions, sessions whose span crosses a day
+    boundary, and the crossing permille — the "runs past midnight"
+    board (E15 builds the sessions, E88 their size histogram, E112
+    splits load by weekpart; E131 asks WHICH weekday's usage bleeds
+    into the next day — the signal that moves the daily maintenance
+    window and decides what 'daily active' even means for this
+    audience).  Dense over weekdays present; exact int64 (the E15
+    session CTE + isodow + day-boundary compare oracle).
+
+    Scale shape — a COMPOSITION over the sessionize stage (sessions
+    are already (key, window)-partitioned, halo-corrected and
+    corpus-narrow: one row per session): one stateless map_batches
+    reduces each batch to ≤7 (weekday, n, crossing) cells, the k=1
+    merge folds O(batches × 7) rows.  Nothing re-shuffles."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sessions = events_sessions(sf_dir, gap_s=gap_s)
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = (
+            b["start_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        e = (
+            b["end_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        dow = (s + 3) % 7 + 1
+        cross = (e != s).astype(np.int64)
+        n = np.zeros(8, np.int64)
+        nc = np.zeros(8, np.int64)
+        np.add.at(n, dow, 1)
+        np.add.at(nc, dow, cross)
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "dow": pa.array(live.astype(np.int64)),
+                "n": pa.array(n[live]),
+                "nc": pa.array(nc[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(8, np.int64)
+        nc = np.zeros(8, np.int64)
+        if t.num_rows:
+            d = t["dow"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                n, d, t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            np.add.at(
+                nc, d,
+                t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "dow": pa.array(live.astype(np.int64)),
+                "n_sessions": pa.array(n[live]),
+                "n_crossing": pa.array(nc[live]),
+                "crossing_permille": pa.array(
+                    1000 * nc[live] // np.maximum(n[live], 1)
+                ),
+            }
+        )
+
+    partials = sessions.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dow", merge, k=1)

@@ -10080,3 +10080,155 @@ def unit_price_spread(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "bs", merge, k=1)
+
+
+def fill_rate(sf_dir: str, sla_days: int = 30) -> Dataset:
+    """R65: order fill-rate board — per (order month, o_orderpriority):
+    orders with ≥1 line, orders FILLED (every line shipped within
+    ``sla_days`` of o_orderdate — an all-lines predicate, i.e. the
+    max-delay reduction), and the filled permille — the completion
+    SLA next to R2's volume grid and R20's latency quantiles (R20
+    prices how late LINES ship; R65 how often whole ORDERS land
+    inside the promise — the number on the ops dashboard, month by
+    month, priority by priority).  Exact int64 (per-order
+    max(l_shipdate) + floor-day diff + permille oracle).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange (R61's
+    max-shipdate reduction without the blame adjudication): line
+    batches pre-reduce to (orderkey, max-shipdate) partials, headers
+    ride carrying (orderdate, priority rank); each partition settles
+    every order's worst line exactly and re-reduces IN PLACE to
+    (month, priority) cells — a calendar × 5 domain; k=1 merge."""
+    prios = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+            ).unique("o_orderpriority")
+        ),
+        pa.string(),
+    )
+    npr = len(prios)
+    DAY_US = 86_400_000_000
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "d": b["l_shipdate"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("d", "max")])
+        g = g.rename_columns(["k", "d"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "d": g["d"],
+                "pr": pa.array(np.zeros(g.num_rows, np.int64)),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "d": b["o_orderdate"].cast(pa.int64()),
+                "pr": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=prios),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "mp": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "nf": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dd, dpr = k[is_dim], d[is_dim], pr[is_dim]
+        fk, fd = k[~is_dim], d[~is_dim]
+        if not len(fk) or not len(dk):
+            return empty
+        g = (
+            pa.table({"k": pa.array(fk), "d": pa.array(fd)})
+            .group_by("k", use_threads=False)
+            .aggregate([("d", "max")])
+        )
+        fk = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = g["d_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s, dd_s, dpr_s = dk[order], dd[order], dpr[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        filled = ((fd - dd_s[pos]) // DAY_US) <= sla_days
+        month = _month_id(dd_s[pos])
+        mp = (month * npr + dpr_s[pos]).astype(np.int64)
+        t2 = pa.table(
+            {
+                "mp": pa.array(mp),
+                "n": pa.array(np.ones(len(mp), np.int64)),
+                "nf": pa.array(filled.astype(np.int64)),
+            }
+        )
+        g2 = t2.group_by("mp", use_threads=False).aggregate(
+            [("n", "sum"), ("nf", "sum")]
+        )
+        return g2.rename_columns(["mp", "n", "nf"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_month": pa.array([], pa.timestamp("us")),
+                    "priority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_filled": pa.array([], pa.int64()),
+                    "filled_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("mp", use_threads=False).aggregate(
+            [("n", "sum"), ("nf", "sum")]
+        )
+        g = g.rename_columns(["mp", "n", "nf"]).sort_by("mp")
+        mp = g["mp"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nf = g["nf"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_month": _month_ts(mp // npr),
+                "priority": prios.take(
+                    pa.array((mp % npr).astype(np.int64))
+                ),
+                "n_orders": pa.array(n),
+                "n_filled": pa.array(nf),
+                "filled_permille": pa.array(1000 * nf // n),
+            }
+        )
+
+    fact = lines.map_batches(line_partial, batch_format="pyarrow")
+    dim = orders.map_batches(order_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "mp", merge, k=1)

@@ -12711,3 +12711,125 @@ def bag_dedup_board(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sig", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def template_slots(sf_dir: str, k_pos: int = 16) -> Dataset:
+    """T138: template-slot lock board — per source, over the first
+    ``k_pos`` word POSITIONS: docs, LOCKED positions (the modal word at
+    that position covers ≥900‰ of the docs that reach it), and the
+    summed per-position modal share — the structural-template detector
+    (T112/T132 ask about position 1 only; T137 catches whole-doc
+    reorders; T138 measures how deep the boilerplate header runs — 3+
+    locked slots is a letterhead, 16 is a form with blanks, and the
+    locked prefix length is exactly what a dedup-by-suffix or
+    strip-header transform needs as input).  One dense row per source
+    ALWAYS; exact int64 (parallel-unnest list-slice + per-position
+    row_number-free modal share via max(count) oracle; word identity
+    via the collision-hash convention engine-side, true strings in
+    the oracle).
+
+    Scale shape — a bounded-cell exchange on (source, position): per
+    batch ONE split + dictionary-encode (batch_word_hashes), a mask
+    keeps flat indices with position < k_pos (the tails never leave
+    the batch), one packed np.unique to (source·position, word-hash,
+    n) cells; ONE (source, position)-hash exchange settles each
+    slot's word histogram whole — ≤ sources × k_pos cells exist, each
+    bounded by the slot's vocabulary; the k=1 merge folds ≤ sources ×
+    k_pos rows."""
+    from ..functions.textstats import batch_word_hashes
+    from ..stages.shuffle import hash_partition_merge
+
+    path = f"{sf_dir}/documents.parquet"
+    srcs = pa.array(
+        sorted(rd.read_parquet(path, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        path, columns=["source", "text"], override_num_blocks=_doc_k(sf_dir)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hv, nw = batch_word_hashes(b["text"])
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(nw)), nw)
+        starts = np.r_[0, np.cumsum(nw)[:-1]].astype(np.int64)
+        pos = np.arange(len(hv)) - starts[row]
+        keep = pos < k_pos
+        sp = code[row[keep]] * k_pos + pos[keep]
+        h = hv[keep].view(np.int64)
+        t = pa.table(
+            {
+                "sp": pa.array(sp.astype(np.int64)),
+                "h": pa.array(h),
+                "n": pa.array(np.ones(len(sp), np.int64)),
+            }
+        )
+        g = t.group_by(["sp", "h"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["sp", "h", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "p", "tot", "share", "locked"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sp", "h"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sp = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(sp, kind="stable")
+        sp, n = sp[order], n[order]
+        first = np.ones(len(sp), bool)
+        first[1:] = sp[1:] != sp[:-1]
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(n, starts)
+        mx = np.maximum.reduceat(n, starts)
+        share = 1000 * mx // tot
+        return pa.table(
+            {
+                "s": pa.array((sp[starts] // k_pos).astype(np.int64)),
+                "p": pa.array((sp[starts] % k_pos).astype(np.int64)),
+                "tot": pa.array(tot.astype(np.int64)),
+                "share": pa.array(share.astype(np.int64)),
+                "locked": pa.array((share >= 900).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        nl = np.zeros(ns, np.int64)
+        ss = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            p = t["p"].combine_chunks().to_numpy(zero_copy_only=False)
+            tot = t["tot"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(nd, s[p == 0], tot[p == 0])
+            np.add.at(
+                nl, s,
+                t["locked"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ss, s,
+                t["share"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(nd),
+                "n_locked": pa.array(nl),
+                "sum_share": pa.array(ss),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sp", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)
