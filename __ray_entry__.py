@@ -697,6 +697,12 @@ def _q_events_midnight_sessions(sf_dir: str):
     return events_midnight_sessions(sf_dir)
 
 
+def _q_events_last_digit(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_last_digit
+
+    return events_last_digit(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1451,6 +1457,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_midnight_sessions": _q_events_midnight_sessions,
         "doc_template_slots": td.template_slots,
         "rel_fill_rate": rel.fill_rate,
+        "events_last_digit": _q_events_last_digit,
+        "f1_prefix_dedup": lambda sf_dir: td.tape_prefix_dedup(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_brand_return_rate": rel.brand_return_rate,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -6964,5 +6975,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * sum(f) // count(*) AS BIGINT)
                        AS filled_permille
             FROM j GROUP BY 1, 2
+        """,
+        "events_last_digit": """
+            WITH v AS (SELECT event_type AS source,
+                              ((CAST(floor(value) AS BIGINT) % 10) + 10)
+                                  % 10 AS digit
+                       FROM events),
+                 g AS (SELECT source, digit,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM v GROUP BY 1, 2),
+                 t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+                       FROM g GROUP BY 1),
+                 d AS (SELECT s.source, r.digit
+                       FROM (SELECT DISTINCT event_type AS source
+                             FROM events) s
+                       CROSS JOIN (SELECT unnest(range(0, 10)) AS digit)
+                           r)
+            SELECT d.source, CAST(d.digit AS BIGINT) AS digit,
+                   CAST(coalesce(g.n, 0) AS BIGINT) AS n_events,
+                   CAST(1000 * coalesce(g.n, 0) // t.tot AS BIGINT)
+                       AS permille
+            FROM d JOIN t USING (source)
+                 LEFT JOIN g ON g.source = d.source
+                            AND g.digit = d.digit
+        """,
+        "f1_prefix_dedup": """
+            WITH x AS (SELECT source,
+                              tokens[1:least(len(tokens), 32)] AS pre
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 c AS (SELECT source, pre,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM x GROUP BY 1, 2),
+                 k AS (SELECT pre, CAST(sum(n) AS BIGINT) AS tot,
+                              count(DISTINCT source) AS nsrc
+                       FROM c GROUP BY 1)
+            SELECT c.source, CAST(sum(c.n) AS BIGINT) AS n_seqs,
+                   CAST(count(*) AS BIGINT) AS n_prefixes,
+                   CAST(sum(CASE WHEN k.tot >= 2 THEN c.n ELSE 0 END)
+                        AS BIGINT) AS n_dup_prefix,
+                   CAST(sum(CASE WHEN k.nsrc >= 2 THEN c.n ELSE 0 END)
+                        AS BIGINT) AS n_cross_source
+            FROM c JOIN k USING (pre) GROUP BY 1
+        """,
+        "rel_brand_return_rate": """
+            WITH j AS (SELECT p_brand,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS r,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN CAST(floor(l_extendedprice
+                                                   * (1 - l_discount))
+                                             AS BIGINT)
+                                   ELSE 0 END AS rrev
+                       FROM lineitem JOIN part
+                            ON l_partkey = p_partkey)
+            SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(r) AS BIGINT) AS n_returned,
+                   CAST(1000 * sum(r) // count(*) AS BIGINT)
+                       AS returned_permille,
+                   CAST(sum(rrev) AS BIGINT) AS returned_revenue
+            FROM j GROUP BY 1
         """,
     }

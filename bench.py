@@ -466,6 +466,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_midnight_sessions",
         "doc_template_slots",
         "rel_fill_rate",
+        "events_last_digit",
+        "f1_prefix_dedup",
+        "rel_brand_return_rate",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -11552,3 +11552,77 @@ def events_midnight_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dow", merge, k=1)
+
+
+def events_last_digit(sf_dir: str) -> Dataset:
+    """E132: value last-digit audit — per (source, final digit of
+    floor(value)): events and the integer permille of the source's
+    volume — E120's Benford board reads the LEADING digit (magnitude
+    fabrication); E132 reads the TRAILING digit, where ROUNDING and
+    synthetic generators leave their print (a human-priced stream
+    piles on 0/5/9, a sensor is uniform, a generator that rounds to
+    dimes shows a 1000‰ spike at one digit — the audit that separates
+    measured values from quantized ones).  One dense row per (source,
+    digit 0-9) ALWAYS; exact int64 (modulo + window-total integer
+    divide oracle).
+
+    Scale shape — E120's bounded-cell settle verbatim: per batch one
+    packed np.unique to (source, digit, n) cells over a ≤ sources ×
+    10 domain; the k=1 merge settles source totals exactly and
+    densifies.  ZERO wide exchange."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            np.floor(
+                b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            % 10
+        )
+        vals, cnt = np.unique(code * 10 + d, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 10, np.int64)
+        if t.num_rows:
+            sd = t["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, sd, n)
+        tot = grid.reshape(ns, 10).sum(axis=1)
+        src_idx = np.repeat(np.arange(ns), 10)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(src_idx.astype(np.int64))),
+                "digit": pa.array(
+                    np.tile(np.arange(10, dtype=np.int64), ns)
+                ),
+                "n_events": pa.array(grid),
+                "permille": pa.array(
+                    1000 * grid // np.maximum(tot[src_idx], 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "sd", merge, k=1)

@@ -10232,3 +10232,157 @@ def fill_rate(sf_dir: str, sla_days: int = 30) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "mp", merge, k=1)
+
+
+def brand_return_rate(sf_dir: str) -> Dataset:
+    """R66: brand return-rate board — per p_brand: lines, RETURNED
+    lines (l_returnflag = 'R'), the returned permille, and the floored
+    discounted revenue walking back out the door — the product-quality
+    read (R9's Q10 names the customers who return things, R28's
+    status-year matrix the trend; R66 blames the PRODUCT LINE — a
+    brand returning at 3× the catalog average is a defect or a
+    listing-accuracy problem, and the returned-revenue column sizes
+    the write-off).  Exact int64 (CASE-sum + floor-before-sum money
+    convention + permille oracle).
+
+    Scale shape — ONE co-partitioned PARTKEY exchange (R12's shape):
+    line batches pre-reduce to (partkey, n, returned, returned-rev)
+    partials — the flag collapses per part BEFORE the exchange; part
+    rows ride carrying the brand; each partition re-reduces IN PLACE
+    to per-brand partials; k=1 merge of O(k × brands) rows."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    nb = len(brands)
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ret = pc.equal(b["l_returnflag"], "R")
+        r = (
+            ret.combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        d = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - d)).astype(np.int64) * r
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "n": pa.array(np.ones(len(r), np.int64)),
+                "nr": pa.array(r),
+                "rrev": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("nr", "sum"), ("rrev", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "nr", "rrev"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "n": g["n"],
+                "nr": g["nr"],
+                "rrev": g["rrev"],
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+        )
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": z,
+                "n": code,
+                "nr": z,
+                "rrev": z,
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["b", "n", "nr", "rrev"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = t["nr"].combine_chunks().to_numpy(zero_copy_only=False)
+        rrev = t["rrev"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, db = k[is_dim], n[is_dim]
+        fk, fn, fnr, frv = k[~is_dim], n[~is_dim], nr[~is_dim], rrev[~is_dim]
+        if not len(fk) or not len(dk):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        order = np.argsort(dk, kind="stable")
+        dk_s, db_s = dk[order], db[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        bcode = db_s[pos]
+        bn = np.zeros(nb, np.int64)
+        bnr = np.zeros(nb, np.int64)
+        brv = np.zeros(nb, np.int64)
+        np.add.at(bn, bcode, fn)
+        np.add.at(bnr, bcode, fnr)
+        np.add.at(brv, bcode, frv)
+        live = np.flatnonzero(bn)
+        return pa.table(
+            {
+                "b": pa.array(live.astype(np.int64)),
+                "n": pa.array(bn[live]),
+                "nr": pa.array(bnr[live]),
+                "rrev": pa.array(brv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        bn = np.zeros(nb, np.int64)
+        bnr = np.zeros(nb, np.int64)
+        brv = np.zeros(nb, np.int64)
+        if t.num_rows:
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in ((bn, "n"), (bnr, "nr"), (brv, "rrev")):
+                np.add.at(
+                    dst, b,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(bn)
+        return pa.table(
+            {
+                "brand": brands.take(pa.array(live.astype(np.int64))),
+                "n_lines": pa.array(bn[live]),
+                "n_returned": pa.array(bnr[live]),
+                "returned_permille": pa.array(
+                    1000 * bnr[live] // np.maximum(bn[live], 1)
+                ),
+                "returned_revenue": pa.array(brv[live]),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = parts.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "b", merge, k=1)

@@ -12833,3 +12833,159 @@ def template_slots(sf_dir: str, k_pos: int = 16) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sp", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def tape_prefix_dedup(sf_dir: str, k_pre: int = 32) -> Dataset:
+    """T139/F: tape anchored-prefix dedup board — per source of the F1
+    tokenized stream: sequences, DISTINCT ``k_pre``-token prefixes
+    (a sequence shorter than ``k_pre`` contributes its whole token
+    list), sequences in corpus-wide prefix groups ≥2, and sequences
+    whose prefix group spans ≥2 sources — the shared-system-prompt /
+    common-header detector (T135's sliding motifs find reuse ANYWHERE
+    in a sequence; T139 anchors at position 0, where instruction
+    templates and injected prompts live — the mass a
+    strip-common-prefix transform would reclaim before training).
+    One dense row per source ALWAYS; engine-side prefix identity is
+    the documented collision-hash convention (a position-weighted
+    polynomial over uint64, wrapping), the oracle groups by the TRUE
+    token-list slice — collision-free — so a hash collision surfaces
+    as a driver mismatch rather than hiding.  Exact int64 counts.
+
+    Scale shape — T137's signature exchange with an anchored kernel:
+    per batch the prefix hash is ONE masked position-weighted
+    multiply-add over the flat value buffer (tails beyond ``k_pre``
+    never contribute), reduced by Arrow group_by to (signature,
+    source, n) cells; ONE signature exchange lands each prefix group
+    whole across ALL sources (one lexsort settles group size + source
+    span), re-reducing IN PLACE to dense per-source partials; k=1
+    merge.  The token arrays never shuffle."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+    M = np.uint64(0x9E3779B97F4A7C15)
+    POW = np.empty(k_pre, np.uint64)
+    POW[0] = 1
+    for i in range(1, k_pre):
+        POW[i] = POW[i - 1] * M
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        starts = np.r_[0, np.cumsum(ln)[:-1]].astype(np.int64)
+        pos = np.arange(len(v)) - starts[row]
+        keep = pos < k_pre
+        sig = np.full(len(ln), np.uint64(0x8000000000000001))
+        contrib = (v[keep] + np.uint64(1)) * POW[pos[keep]]
+        np.add.at(sig, row[keep], contrib)
+        sig = (sig * M + np.minimum(ln, k_pre).astype(np.uint64)).view(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "sig": pa.array(sig),
+                "s": pa.array(code),
+                "n": pa.array(np.ones(len(sig), np.int64)),
+            }
+        )
+        g = t.group_by(["sig", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["sig", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "nd", "npre", "ndup", "ncross"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sig", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sig = g["sig"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, sig))
+        sig, s, n = sig[order], s[order], n[order]
+        first = np.ones(len(sig), bool)
+        first[1:] = sig[1:] != sig[:-1]
+        starts = np.flatnonzero(first)
+        span = np.diff(np.r_[starts, len(sig)])
+        tot = np.repeat(np.add.reduceat(n, starts), span)
+        nsrc = np.repeat(span, span)  # rows per sig == distinct sources
+        nd = np.zeros(ns, np.int64)
+        npre = np.zeros(ns, np.int64)
+        ndup = np.zeros(ns, np.int64)
+        ncross = np.zeros(ns, np.int64)
+        np.add.at(nd, s, n)
+        np.add.at(npre, s, 1)
+        np.add.at(ndup, s, np.where(tot >= 2, n, 0))
+        np.add.at(ncross, s, np.where(nsrc >= 2, n, 0))
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nd": pa.array(nd),
+                "npre": pa.array(npre),
+                "ndup": pa.array(ndup),
+                "ncross": pa.array(ncross),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        npre = np.zeros(ns, np.int64)
+        ndup = np.zeros(ns, np.int64)
+        ncross = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nd, "nd"),
+                (npre, "npre"),
+                (ndup, "ndup"),
+                (ncross, "ncross"),
+            ):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(nd),
+                "n_prefixes": pa.array(npre),
+                "n_dup_prefix": pa.array(ndup),
+                "n_cross_source": pa.array(ncross),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "sig", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "s", merge, k=1)
