@@ -703,6 +703,12 @@ def _q_events_last_digit(sf_dir: str):
     return events_last_digit(sf_dir)
 
 
+def _q_events_peak_day(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_peak_day
+
+    return events_peak_day(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1462,6 +1468,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_brand_return_rate": rel.brand_return_rate,
+        "events_peak_day": _q_events_peak_day,
+        "f1_thirds_vocab": lambda sf_dir: td.tape_thirds_vocab(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_nation_balance_quantiles": rel.nation_balance_quantiles,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7033,6 +7044,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * sum(r) // count(*) AS BIGINT)
                        AS returned_permille,
                    CAST(sum(rrev) AS BIGINT) AS returned_revenue
+            FROM j GROUP BY 1
+        """,
+        "events_peak_day": """
+            WITH c AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 AS d,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT source, d, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC, d ASC)
+                                  AS rn,
+                              CAST(sum(n) OVER (PARTITION BY source)
+                                   AS BIGINT) AS tot,
+                              CAST(count(*) OVER (PARTITION BY source)
+                                   AS BIGINT) AS nd
+                       FROM c)
+            SELECT source, nd AS n_days, tot AS n_events,
+                   CAST(1000 * n // tot AS BIGINT) AS top_share,
+                   CAST((d + 3) % 7 + 1 AS BIGINT) AS top_dow
+            FROM r WHERE rn = 1
+        """,
+        "f1_thirds_vocab": """
+            WITH x AS (SELECT source,
+                              CAST(len(tokens) AS BIGINT) AS lt,
+                              unnest(tokens) AS tok,
+                              unnest(range(0, len(tokens))) AS pos
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+                       WHERE len(tokens) >= 1),
+                 c AS (SELECT source, 3 * pos // lt AS third, tok
+                       FROM x)
+            SELECT source, CAST(third AS BIGINT) AS third,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+                   CAST(1000 * count(DISTINCT tok) // count(*)
+                        AS BIGINT) AS distinct_permille
+            FROM c GROUP BY 1, 2
+        """,
+        "rel_nation_balance_quantiles": """
+            WITH j AS (SELECT n_name AS nation,
+                              CAST(floor(c_acctbal) AS BIGINT) AS b
+                       FROM customer JOIN nation
+                            ON c_nationkey = n_nationkey)
+            SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(quantile_disc(b, 0.5) AS BIGINT) AS p50_balance,
+                   CAST(quantile_disc(b, 0.9) AS BIGINT) AS p90_balance,
+                   CAST(sum(CASE WHEN b < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_negative
             FROM j GROUP BY 1
         """,
     }

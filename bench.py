@@ -469,6 +469,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_last_digit",
         "f1_prefix_dedup",
         "rel_brand_return_rate",
+        "events_peak_day",
+        "f1_thirds_vocab",
+        "rel_nation_balance_quantiles",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

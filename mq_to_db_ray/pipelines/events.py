@@ -11626,3 +11626,124 @@ def events_last_digit(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "sd", merge, k=1)
+
+
+def events_peak_day(sf_dir: str) -> Dataset:
+    """E133: peak-day concentration — per source: active days, total
+    events, the permille of lifetime volume on its single BUSIEST day
+    (ties → earliest day) and that day's ISO weekday — the
+    launch-vs-steady-state classifier (E125 asks which HOUR of a day
+    peaks, E128 scores minute-level inequality; E133 whether the
+    source's whole HISTORY is one spike — top_share near 1000 is a
+    backfill or launch dump whose day should be window-weighted or
+    excluded from rate baselines).  One dense row per source ALWAYS;
+    exact int64 (GROUP BY day + row_number over (count DESC, day ASC)
+    + permille oracle).
+
+    Scale shape — T131's argmax-reduction on the day axis: per batch
+    one packed np.unique to (source, day, n) cells; ONE (source,
+    day)-hash exchange settles each day exactly, each partition keeps
+    its LOCAL best day per source plus (days, events) partials; the
+    k=1 merge picks the best of O(partitions × sources) candidates."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, cnt = np.unique(code * (1 << 32) + day, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["s", "nd", "ne", "top_n", "top_d"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sd", use_threads=False).aggregate([("n", "sum")])
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sd >> 32
+        d = sd & 0xFFFFFFFF
+        nd = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        np.add.at(nd, s, 1)
+        np.add.at(ne, s, n)
+        order = np.lexsort((d, -n, s))
+        s_o = s[order]
+        first = np.ones(len(s_o), bool)
+        first[1:] = s_o[1:] != s_o[:-1]
+        sel = order[first]
+        live = s[sel]
+        return pa.table(
+            {
+                "s": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live]),
+                "ne": pa.array(ne[live]),
+                "top_n": pa.array(n[sel]),
+                "top_d": pa.array(d[sel].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        ne = np.zeros(ns, np.int64)
+        top_n = np.zeros(ns, np.int64)
+        top_d = np.full(ns, np.iinfo(np.int64).max)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nd, s,
+                t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, s,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            tn = t["top_n"].combine_chunks().to_numpy(zero_copy_only=False)
+            td = t["top_d"].combine_chunks().to_numpy(zero_copy_only=False)
+            for si, ni, di in zip(s, tn, td):
+                if ni > top_n[si] or (
+                    ni == top_n[si] and di < top_d[si]
+                ):
+                    top_n[si] = ni
+                    top_d[si] = di
+        top_dow = np.where(ne > 0, (top_d + 3) % 7 + 1, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(nd),
+                "n_events": pa.array(ne),
+                "top_share": pa.array(
+                    1000 * top_n // np.maximum(ne, 1)
+                ),
+                "top_dow": pa.array(top_dow.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -10386,3 +10386,103 @@ def brand_return_rate(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "b", merge, k=1)
+
+
+def nation_balance_quantiles(sf_dir: str) -> Dataset:
+    """R67: nation balance quantiles — per customer nation: customers,
+    discrete p50/p90 of floor(c_acctbal), and customers in the red —
+    the receivables-health board (R44 correlates balance with
+    activity, R56 bands supplier credit; R67 maps WHERE the negative
+    balances live — a nation whose p50 sits near zero with a fat
+    negative tail is a collections problem localized enough to route
+    to one regional team).  Exact int64 under the quantile_disc rank
+    rule (floor on the signed double — exact on both sides).
+
+    Scale shape — R1's scan-aggregate with a histogram finish and the
+    ONE sanctioned broadcast (nation, 25 fixed rows, composed at the
+    driver): customer batches attach the nation position with one
+    searchsorted and pre-reduce to (nation, floor-balance) histogram
+    cells — the balance domain is a bounded ledger range, never
+    corpus-sized; the k=1 merge reads quantiles and the negative
+    count off one cumsum per nation.  ZERO wide exchange; two columns
+    leave the read."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nkeys = np.asarray(nat["n_nationkey"], np.int64)
+    nn = len(nkeys)
+    OFF = 1 << 20  # balances are a bounded ledger range; keep packing +ve
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = (
+            pc.cast(b["c_nationkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        fb = np.floor(
+            b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        pos = np.searchsorted(nkeys, nk)
+        vals, cnt = np.unique(
+            pos * (1 << 32) + (fb + OFF), return_counts=True
+        )
+        return pa.table(
+            {
+                "nb": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_cust = np.zeros(nn, np.int64)
+        p50 = np.zeros(nn, np.int64)
+        p90 = np.zeros(nn, np.int64)
+        nneg = np.zeros(nn, np.int64)
+        if t.num_rows:
+            g = t.group_by("nb", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            nb = g["nb"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(nb, kind="stable")
+            nb, n = nb[order], n[order]
+            k = nb >> 32
+            v = (nb & 0xFFFFFFFF) - OFF
+            first = np.ones(len(nb), bool)
+            first[1:] = k[1:] != k[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(nb)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = k[starts]
+            n_cust[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = v[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+            np.add.at(nneg, k, np.where(v < 0, n, 0))
+        live = np.flatnonzero(n_cust)
+        return pa.table(
+            {
+                "nation": names.take(pa.array(live.astype(np.int64))),
+                "n_customers": pa.array(n_cust[live]),
+                "p50_balance": pa.array(p50[live]),
+                "p90_balance": pa.array(p90[live]),
+                "n_negative": pa.array(nneg[live]),
+            }
+        )
+
+    partials = cust.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "nb", merge, k=1)

@@ -12989,3 +12989,139 @@ def tape_prefix_dedup(sf_dir: str, k_pre: int = 32) -> Dataset:
         partials, "sig", fold, k=_doc_k_files(files)
     )
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def tape_thirds_vocab(sf_dir: str) -> Dataset:
+    """T140/F: tape thirds vocabulary profile — per (source, relative
+    third of each sequence: opening 0 / middle 1 / closing 2, third =
+    3·pos // len): token occurrences, DISTINCT ids, and the distinct
+    permille — the positional id-diversity profile on the flagship
+    payload (T130 splits DOCUMENT stopword mass by thirds; T132/T139
+    look only at the opening; T140 asks where in a sequence the
+    tokenizer's working vocabulary lives — an opening third at 1/10th
+    the closing third's diversity is a fixed instruction header, a
+    closing third that collapses is a templated sign-off).  One dense
+    row per (source, third) ALWAYS; exact int64 (parallel-unnest
+    position + count DISTINCT oracle — true ids, no hashing).
+
+    Scale shape — E121's dedupe exchange on the id axis: positions
+    are one arange-minus-offsets per batch, pre-reduced by packed
+    np.unique to (source·third, id, n) cells; ONE id-hash exchange
+    settles each (source, third, id) cell exactly (an id lands in one
+    partition), re-reducing IN PLACE to (source, third) occurrence +
+    distinct partials — additive because cells are globally distinct;
+    the k=1 merge folds ≤ k × sources × 3 rows."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        starts = np.r_[0, np.cumsum(ln)[:-1]].astype(np.int64)
+        pos = np.arange(len(v)) - starts[row]
+        third = 3 * pos // ln[row]
+        st = code[row] * 4 + third
+        packed = st * (1 << 32) + v
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array((vals & 0xFFFFFFFF).astype(np.int64)),
+                "st": pa.array((vals >> 32).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["st", "ntok", "ndist"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        packed = (
+            t["st"].combine_chunks().to_numpy(zero_copy_only=False)
+            * (1 << 32)
+            + t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"p": pa.array(packed), "n": pa.array(n)})
+            .group_by("p", use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        p = g["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = p >> 32
+        ntok = np.zeros(ns * 4, np.int64)
+        ndist = np.zeros(ns * 4, np.int64)
+        np.add.at(ntok, st, n)
+        np.add.at(ndist, st, 1)
+        live = np.flatnonzero(ntok)
+        return pa.table(
+            {
+                "st": pa.array(live.astype(np.int64)),
+                "ntok": pa.array(ntok[live]),
+                "ndist": pa.array(ndist[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ntok = np.zeros(ns * 4, np.int64)
+        ndist = np.zeros(ns * 4, np.int64)
+        if t.num_rows:
+            st = t["st"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ntok, st,
+                t["ntok"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ndist, st,
+                t["ndist"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(ntok)
+        return pa.table(
+            {
+                "source": srcs.take(
+                    pa.array((live // 4).astype(np.int64))
+                ),
+                "third": pa.array((live % 4).astype(np.int64)),
+                "n_tokens": pa.array(ntok[live]),
+                "n_distinct": pa.array(ndist[live]),
+                "distinct_permille": pa.array(
+                    1000 * ndist[live] // ntok[live]
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "id", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "st", merge, k=1)
