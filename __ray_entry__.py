@@ -709,6 +709,12 @@ def _q_events_peak_day(sf_dir: str):
     return events_peak_day(sf_dir)
 
 
+def _q_events_tenure_quantiles(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_tenure_quantiles
+
+    return events_tenure_quantiles(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1473,6 +1479,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_nation_balance_quantiles": rel.nation_balance_quantiles,
+        "events_tenure_quantiles": _q_events_tenure_quantiles,
+        "f1_boundary_audit": lambda sf_dir: td.tape_boundary_audit(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_new_vs_repeat": rel.new_vs_repeat,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7092,5 +7103,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN b < 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_negative
             FROM j GROUP BY 1
+        """,
+        "events_tenure_quantiles": """
+            WITH u AS (SELECT event_type AS source, user_id,
+                              max(epoch_us(ts) // 86400000000)
+                              - min(epoch_us(ts) // 86400000000) + 1
+                                  AS span
+                       FROM events GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(quantile_disc(span, 0.5) AS BIGINT) AS p50_span,
+                   CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span,
+                   CAST(max(span) AS BIGINT) AS max_span
+            FROM u GROUP BY 1
+        """,
+        "f1_boundary_audit": """
+            WITH f AS (SELECT source, tokens
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 op AS (SELECT source, t AS open_id
+                        FROM (SELECT source, tokens[1] AS t,
+                                     row_number() OVER (
+                                         PARTITION BY source
+                                         ORDER BY count(*) DESC,
+                                                  tokens[1] ASC) AS rn
+                              FROM f WHERE len(tokens) >= 1
+                              GROUP BY source, tokens[1])
+                        WHERE rn = 1),
+                 sc AS (SELECT f.source, op.open_id,
+                               CASE WHEN len(tokens) >= 1
+                                    AND tokens[1] = op.open_id
+                                    THEN 1 ELSE 0 END AS ok,
+                               CASE WHEN len(list_filter(
+                                        tokens[2:len(tokens)],
+                                        x -> x = op.open_id)) > 0
+                                    THEN 1 ELSE 0 END AS inter
+                        FROM f JOIN op USING (source))
+            SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(max(open_id) AS BIGINT) AS open_id,
+                   CAST(sum(ok) AS BIGINT) AS n_open,
+                   CAST(1000 * sum(ok) // count(*) AS BIGINT)
+                       AS open_permille,
+                   CAST(sum(inter) AS BIGINT) AS n_interior
+            FROM sc GROUP BY 1
+        """,
+        "rel_new_vs_repeat": """
+            WITH r AS (SELECT o_custkey, o_orderdate,
+                              row_number() OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate,
+                                                          o_orderkey)
+                                  AS rn
+                       FROM orders)
+            SELECT date_trunc('month', o_orderdate) AS o_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(1000 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS new_permille
+            FROM r GROUP BY 1
         """,
     }

@@ -472,6 +472,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_peak_day",
         "f1_thirds_vocab",
         "rel_nation_balance_quantiles",
+        "events_tenure_quantiles",
+        "f1_boundary_audit",
+        "rel_new_vs_repeat",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

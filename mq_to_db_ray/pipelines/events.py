@@ -11747,3 +11747,122 @@ def events_peak_day(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_tenure_quantiles(sf_dir: str) -> Dataset:
+    """E134: per-source tenure quantiles — per source: users who ever
+    touched it and the discrete p50/p90/max of each user's ACTIVE SPAN
+    on the source (last day − first day + 1) — the stickiness band
+    (E34's tenure histogram is corpus-global; E129 measures recency,
+    E134 longevity PER SOURCE — a p50 span of 1 day is a drive-by
+    audience whatever the DAU says, and the gap between p50 and max
+    separates a core-plus-tourists mix from uniform churn).  One dense
+    row per source ALWAYS; exact int64 under the quantile_disc rank
+    rule (per-(source, user) min/max day + quantile_disc oracle).
+
+    Scale shape — E129's settle with TWO riding reductions: per batch
+    one Arrow group_by to (source, user, min-day, max-day) partials;
+    ONE user-hash exchange settles both ends of each (source, user)
+    span exactly, re-reducing IN PLACE to (source, span-days)
+    histograms — bounded by the calendar, never the corpus; k=1 merge
+    reads the quantiles off one cumsum per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {
+                "s": code,
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "lo": pa.array(day),
+                "hi": pa.array(day),
+            }
+        )
+        g = t.group_by(["s", "u"], use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        )
+        return g.rename_columns(["s", "u", "lo", "hi"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sp": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["s", "u"], use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        )
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = g["lo_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = g["hi_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        span = hi - lo + 1
+        vals, cnt = np.unique(s * (1 << 32) + span, return_counts=True)
+        return pa.table(
+            {
+                "sp": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_users = np.zeros(ns, np.int64)
+        p50 = np.zeros(ns, np.int64)
+        p90 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("sp", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sp = g["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(sp, kind="stable")
+            sp, n = sp[order], n[order]
+            s = sp >> 32
+            span = sp & 0xFFFFFFFF
+            first = np.ones(len(sp), bool)
+            first[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(sp)]
+            cum = np.cumsum(n)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            tot = cum[ends - 1] - base
+            keys = s[starts]
+            n_users[keys] = tot
+            for dst, q in ((p50, 500), (p90, 900)):
+                thr = (tot * q + 999) // 1000
+                dst[keys] = span[
+                    np.searchsorted(cum, base + thr, side="left")
+                ]
+            mx[keys] = span[ends - 1]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_users": pa.array(n_users),
+                "p50_span": pa.array(p50),
+                "p90_span": pa.array(p90),
+                "max_span": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sp", merge, k=1)

@@ -10486,3 +10486,93 @@ def nation_balance_quantiles(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "nb", merge, k=1)
+
+
+def new_vs_repeat(sf_dir: str) -> Dataset:
+    """R68: new-vs-repeat monthly mix — per order month: orders, orders
+    that are a customer's FIRST ever (rank 1 by (o_orderdate,
+    o_orderkey) — deterministic under same-day ties), and the
+    new-customer permille — the acquisition-mix trendline (R59 asks
+    whether a cohort ever RETURNS, R24 counts monthly actives; R68
+    reads the health of the top of the funnel month by month — a
+    new_permille sliding toward zero is a business coasting on its
+    base).  Exact int64 (row_number window + month GROUP BY +
+    permille oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (R54's
+    argmin-carry): order batches pre-reduce per customer to (n-orders
+    per month carried as cells, local best (date, orderkey)) — here
+    the month cells ride raw since a customer's orders are few; each
+    partition holds every order of its customers, finds the global
+    first with one lexsort, and re-reduces IN PLACE to (month, n,
+    n_new) cells — a calendar-bounded domain; k=1 merge."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "d": b["o_orderdate"].cast(pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["m", "n", "nnew"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, k))
+        k, d, ok = k[order], d[order], ok[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        month = _month_id(d)
+        t2 = pa.table(
+            {
+                "m": pa.array(month.astype(np.int64)),
+                "n": pa.array(np.ones(len(k), np.int64)),
+                "nnew": pa.array(first.astype(np.int64)),
+            }
+        )
+        g = t2.group_by("m", use_threads=False).aggregate(
+            [("n", "sum"), ("nnew", "sum")]
+        )
+        return g.rename_columns(["m", "n", "nnew"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_month": pa.array([], pa.timestamp("us")),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_new": pa.array([], pa.int64()),
+                    "new_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("m", use_threads=False).aggregate(
+            [("n", "sum"), ("nnew", "sum")]
+        )
+        g = g.rename_columns(["m", "n", "nnew"]).sort_by("m")
+        m = g["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nnew = g["nnew"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_month": _month_ts(m),
+                "n_orders": pa.array(n),
+                "n_new": pa.array(nnew),
+                "new_permille": pa.array(1000 * nnew // n),
+            }
+        )
+
+    fact = orders.map_batches(partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "m", merge, k=1)

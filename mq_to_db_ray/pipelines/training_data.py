@@ -13125,3 +13125,116 @@ def tape_thirds_vocab(sf_dir: str) -> Dataset:
         partials, "id", fold, k=_doc_k_files(files)
     )
     return hash_partition_merge(cells, "st", merge, k=1)
+
+
+def tape_boundary_audit(sf_dir: str) -> Dataset:
+    """T141/F: tape boundary-token packing audit — per source of the
+    F1 tokenized stream: sequences, the source's MODAL opening id
+    (its de-facto BOS, ties → smallest id), sequences actually
+    starting with it (+ permille), and sequences where that id ALSO
+    appears at an INTERIOR position — the packing-error detector (a
+    BOS-like id mid-sequence means two documents were concatenated
+    without resetting the boundary, exactly the corruption T22's
+    sequence packer must never emit; T132 finds the modal opener,
+    T141 turns it into a contract and audits the tape against it).
+    One dense row per source ALWAYS; exact int64 (row_number modal +
+    list_filter interior-scan oracle — true ids, no hashing).
+
+    Scale shape — TWO streaming passes over the tape, no data
+    shuffle in either: pass 1 is T132's argmax-reduction (one id-hash
+    exchange over (source, first-id, n) cells) whose result — ONE id
+    per source — broadcasts to pass 2; pass 2 is a pure per-row scan
+    (one vectorized equality over the flat value buffer, np.add.at to
+    dense per-source partials) folded by a k=1 merge."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    # pass 1: modal opener per source (tape_opener's reduction, narrowed)
+    op = tape_opener(sf_dir).to_pandas().set_index("source")
+    open_id = np.array(
+        [int(op.loc[s, "top_id"]) for s in srcs.to_pylist()], np.int64
+    )
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        starts = np.r_[0, np.cumsum(ln)[:-1]].astype(np.int64)
+        want = open_id[code[row]]
+        is_first = np.zeros(len(v), bool)
+        is_first[starts[ln >= 1]] = True
+        hit = v == want
+        opens = np.zeros(len(ln), bool)
+        opens[row[hit & is_first]] = True
+        inter = np.zeros(len(ln), bool)
+        inter[row[hit & ~is_first]] = True
+        nseq = np.zeros(ns, np.int64)
+        nop = np.zeros(ns, np.int64)
+        nint = np.zeros(ns, np.int64)
+        np.add.at(nseq, code, 1)
+        np.add.at(nop, code, opens.astype(np.int64))
+        np.add.at(nint, code, inter.astype(np.int64))
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nseq": pa.array(nseq),
+                "nop": pa.array(nop),
+                "nint": pa.array(nint),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nseq = np.zeros(ns, np.int64)
+        nop = np.zeros(ns, np.int64)
+        nint = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in ((nseq, "nseq"), (nop, "nop"), (nint, "nint")):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(nseq),
+                "open_id": pa.array(open_id),
+                "n_open": pa.array(nop),
+                "open_permille": pa.array(
+                    1000 * nop // np.maximum(nseq, 1)
+                ),
+                "n_interior": pa.array(nint),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
