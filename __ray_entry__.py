@@ -715,6 +715,12 @@ def _q_events_tenure_quantiles(sf_dir: str):
     return events_tenure_quantiles(sf_dir)
 
 
+def _q_events_ts_quantization(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_ts_quantization
+
+    return events_ts_quantization(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1484,6 +1490,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_new_vs_repeat": rel.new_vs_repeat,
+        "events_ts_quantization": _q_events_ts_quantization,
+        "f1_monotonicity": lambda sf_dir: td.tape_monotonicity(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_order_fragmentation": rel.order_fragmentation,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7159,5 +7170,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
                         // count(*) AS BIGINT) AS new_permille
             FROM r GROUP BY 1
+        """,
+        "events_ts_quantization": """
+            WITH v AS (SELECT event_type AS source,
+                              epoch_us(ts) AS t
+                       FROM events)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN t % 1000000 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_whole_second,
+                   CAST(sum(CASE WHEN t % 60000000 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_whole_minute,
+                   CAST(1000 * sum(CASE WHEN t % 1000000 = 0
+                                        THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS second_permille,
+                   CAST(1000 * sum(CASE WHEN t % 60000000 = 0
+                                        THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS minute_permille
+            FROM v GROUP BY 1
+        """,
+        "f1_monotonicity": """
+            WITH x AS (SELECT source,
+                              CAST(greatest(len(tokens) - 1, 0)
+                                   AS BIGINT) AS np,
+                              CAST(len(list_filter(
+                                       range(1, greatest(len(tokens), 1)),
+                                       i -> tokens[i + 1] >= tokens[i]))
+                                   AS BIGINT) AS na
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet')
+            SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(sum(np) AS BIGINT) AS n_pairs,
+                   CAST(sum(na) AS BIGINT) AS n_ascending,
+                   CAST(1000 * sum(na) // greatest(sum(np), 1)
+                        AS BIGINT) AS asc_permille,
+                   CAST(sum(CASE WHEN na = np THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sorted
+            FROM x GROUP BY 1
+        """,
+        "rel_order_fragmentation": """
+            WITH s AS (SELECT l_orderkey,
+                              count(DISTINCT l_suppkey) AS ns,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT)
+                                  AS rev
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(ns AS BIGINT) AS n_suppliers,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(nl) AS BIGINT) AS n_lines,
+                   CAST(sum(rev) AS BIGINT) AS revenue
+            FROM s GROUP BY 1
         """,
     }

@@ -475,6 +475,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_tenure_quantiles",
         "f1_boundary_audit",
         "rel_new_vs_repeat",
+        "events_ts_quantization",
+        "f1_monotonicity",
+        "rel_order_fragmentation",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -11866,3 +11866,89 @@ def events_tenure_quantiles(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "sp", merge, k=1)
+
+
+def events_ts_quantization(sf_dir: str) -> Dataset:
+    """E135: timestamp-quantization audit — per source: events,
+    timestamps landing exactly on a whole SECOND, on a whole MINUTE,
+    and both as permilles — the producer-fingerprint audit (E132
+    reads rounding in VALUES; E135 reads it in TIME: a stream whose
+    timestamps are all whole minutes is a batch job wearing a
+    streaming costume — its 'interarrival' statistics, gap alerts and
+    rate baselines (E119, E111, E124) mean something entirely
+    different and E135 is the flag that says so).  One dense row per
+    source ALWAYS; exact int64 (epoch_us modulo oracle).
+
+    Scale shape — a pure per-row audit: two vectorized modulos per
+    batch, np.add.at to dense per-source partials; k=1 merge of
+    O(batches × sources) rows.  ZERO data shuffles; two columns
+    leave the read."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    SEC_US = 1_000_000
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = np.zeros(ns, np.int64)
+        nsec = np.zeros(ns, np.int64)
+        nmin = np.zeros(ns, np.int64)
+        np.add.at(n, code, 1)
+        np.add.at(nsec, code, (t % SEC_US == 0).astype(np.int64))
+        np.add.at(nmin, code, (t % MIN_US == 0).astype(np.int64))
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "n": pa.array(n),
+                "nsec": pa.array(nsec),
+                "nmin": pa.array(nmin),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(ns, np.int64)
+        nsec = np.zeros(ns, np.int64)
+        nmin = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in ((n, "n"), (nsec, "nsec"), (nmin, "nmin")):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(n),
+                "n_whole_second": pa.array(nsec),
+                "n_whole_minute": pa.array(nmin),
+                "second_permille": pa.array(
+                    1000 * nsec // np.maximum(n, 1)
+                ),
+                "minute_permille": pa.array(
+                    1000 * nmin // np.maximum(n, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

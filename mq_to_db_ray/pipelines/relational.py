@@ -10576,3 +10576,108 @@ def new_vs_repeat(sf_dir: str) -> Dataset:
         fact, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "m", merge, k=1)
+
+
+def order_fragmentation(sf_dir: str) -> Dataset:
+    """R69: order supplier-fragmentation histogram — per
+    distinct-supplier count k: orders sourced from exactly k
+    suppliers, their lines, and their floored discounted revenue —
+    the consolidation board (R61 blames the one late supplier in a
+    fragmented order; R69 measures how much of the book is EXPOSED to
+    that failure mode at all — revenue sitting in k≥3 orders is
+    revenue whose delivery date is the max of three independent
+    clocks, the logistics argument for supplier consolidation).
+    Exact int64 (count(DISTINCT l_suppkey) per order + histogram
+    oracle).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange: line batches
+    pre-reduce to (orderkey, suppkey, lines, revenue) partials; each
+    partition settles every order whole (one lexsort: distinct
+    suppliers, line/revenue sums) and re-reduces IN PLACE to a
+    (k, orders, lines, revenue) histogram — k is bounded by suppliers
+    per order, a handful; the k=1 merge folds O(partitions × max-k)
+    rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        d = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - d)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "sup": pc.cast(b["l_suppkey"], pa.int64()),
+                "nl": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "sup"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["k", "sup", "nl", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["ns", "n", "nl", "rev"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["k", "sup"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = g["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, nl, rev = k[order], nl[order], rev[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        nsup = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        onl = np.add.reduceat(nl, starts)
+        orev = np.add.reduceat(rev, starts)
+        t2 = pa.table(
+            {
+                "ns": pa.array(nsup),
+                "n": pa.array(np.ones(len(nsup), np.int64)),
+                "nl": pa.array(onl.astype(np.int64)),
+                "rev": pa.array(orev.astype(np.int64)),
+            }
+        )
+        g2 = t2.group_by("ns", use_threads=False).aggregate(
+            [("n", "sum"), ("nl", "sum"), ("rev", "sum")]
+        )
+        return g2.rename_columns(["ns", "n", "nl", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("n_suppliers", "n_orders", "n_lines", "revenue")
+                }
+            )
+        g = t.group_by("ns", use_threads=False).aggregate(
+            [("n", "sum"), ("nl", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["ns", "n", "nl", "rev"]).sort_by("ns")
+        return pa.table(
+            {
+                "n_suppliers": g["ns"],
+                "n_orders": g["n"],
+                "n_lines": g["nl"],
+                "revenue": g["rev"],
+            }
+        )
+
+    fact = lines.map_batches(partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "ns", merge, k=1)

@@ -13238,3 +13238,116 @@ def tape_boundary_audit(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def tape_monotonicity(sf_dir: str) -> Dataset:
+    """T142/F: tape monotonicity audit — per source of the F1
+    tokenized stream: sequences, adjacent token pairs, NON-DECREASING
+    pairs (+ permille), and fully-sorted sequences (every adjacent
+    pair non-decreasing; length ≤1 is vacuously sorted) — the
+    table-dump detector (natural text tokenizes to ids with no order
+    structure — asc_permille ~500; a sequence of SORTED ids is an
+    index, a numeric table column or an artifact of synthetic
+    generation, exactly the non-linguistic payload a curriculum mix
+    wants flagged; T134 catches loops, T142 catches ORDER).  One
+    dense row per source ALWAYS; exact int64 (list_filter
+    adjacent-compare oracle — true ids).
+
+    Scale shape — a pure per-row audit: ONE shifted comparison over
+    each batch's flat value buffer (pairs crossing row boundaries
+    masked), np.add.at to dense per-source partials; k=1 merge.
+    ZERO data shuffles."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        pairs_row = np.maximum(ln - 1, 0)
+        asc_row = np.zeros(len(ln), np.int64)
+        if len(v) >= 2:
+            same = row[:-1] == row[1:]
+            asc = (v[1:] >= v[:-1]) & same
+            np.add.at(asc_row, row[:-1][asc], 1)
+        nseq = np.zeros(ns, np.int64)
+        npair = np.zeros(ns, np.int64)
+        nasc = np.zeros(ns, np.int64)
+        nsort = np.zeros(ns, np.int64)
+        np.add.at(nseq, code, 1)
+        np.add.at(npair, code, pairs_row)
+        np.add.at(nasc, code, asc_row)
+        np.add.at(
+            nsort, code, (asc_row == pairs_row).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nseq": pa.array(nseq),
+                "npair": pa.array(npair),
+                "nasc": pa.array(nasc),
+                "nsort": pa.array(nsort),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nseq = np.zeros(ns, np.int64)
+        npair = np.zeros(ns, np.int64)
+        nasc = np.zeros(ns, np.int64)
+        nsort = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (nseq, "nseq"),
+                (npair, "npair"),
+                (nasc, "nasc"),
+                (nsort, "nsort"),
+            ):
+                np.add.at(
+                    dst, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_seqs": pa.array(nseq),
+                "n_pairs": pa.array(npair),
+                "n_ascending": pa.array(nasc),
+                "asc_permille": pa.array(
+                    1000 * nasc // np.maximum(npair, 1)
+                ),
+                "n_sorted": pa.array(nsort),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
