@@ -721,6 +721,12 @@ def _q_events_ts_quantization(sf_dir: str):
     return events_ts_quantization(sf_dir)
 
 
+def _q_events_load_pareto(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_load_pareto
+
+    return events_load_pareto(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1495,6 +1501,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_order_fragmentation": rel.order_fragmentation,
+        "events_load_pareto": _q_events_load_pareto,
+        "f1_vocab_jaccard": lambda sf_dir: td.tape_vocab_jaccard(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_value_latency_stats": rel.value_latency_stats,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7222,5 +7233,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nl) AS BIGINT) AS n_lines,
                    CAST(sum(rev) AS BIGINT) AS revenue
             FROM s GROUP BY 1
+        """,
+        "events_load_pareto": """
+            WITH m AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT source, c,
+                              sum(c) OVER (PARTITION BY source
+                                           ORDER BY c DESC, b
+                                           ROWS UNBOUNDED PRECEDING)
+                                  AS cum,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY c DESC, b)
+                                  AS rn,
+                              CAST(sum(c) OVER (PARTITION BY source)
+                                   AS BIGINT) AS tot,
+                              CAST(count(*) OVER (PARTITION BY source)
+                                   AS BIGINT) AS nm
+                       FROM m)
+            SELECT source, CAST(max(nm) AS BIGINT) AS active_minutes,
+                   CAST(max(tot) AS BIGINT) AS n_events,
+                   CAST(min(CASE WHEN cum >= (tot * 500 + 999) // 1000
+                                 THEN rn END) AS BIGINT) AS m50,
+                   CAST(min(CASE WHEN cum >= (tot * 900 + 999) // 1000
+                                 THEN rn END) AS BIGINT) AS m90
+            FROM r GROUP BY 1
+        """,
+        "f1_vocab_jaccard": """
+            WITH u AS (SELECT source, unnest(tokens) AS tok
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 v AS (SELECT DISTINCT source, tok FROM u),
+                 sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+                        FROM v GROUP BY 1),
+                 pr AS (SELECT a.source AS sa, b.source AS sb,
+                               CAST(count(*) AS BIGINT) AS inter
+                        FROM v a JOIN v b
+                             ON a.tok = b.tok AND a.source < b.source
+                        GROUP BY 1, 2),
+                 allp AS (SELECT x.source AS sa, y.source AS sb,
+                                 x.nv AS na, y.nv AS nb
+                          FROM sz x JOIN sz y ON x.source < y.source)
+            SELECT allp.sa AS source_a, allp.sb AS source_b,
+                   CAST(coalesce(pr.inter, 0) AS BIGINT) AS n_shared,
+                   CAST(1000 * coalesce(pr.inter, 0)
+                        // greatest(allp.na + allp.nb
+                                    - coalesce(pr.inter, 0), 1)
+                        AS BIGINT) AS jaccard_permille
+            FROM allp LEFT JOIN pr
+                 ON pr.sa = allp.sa AND pr.sb = allp.sb
+        """,
+        "rel_value_latency_stats": """
+            WITH lm AS (SELECT l_orderkey, max(l_shipdate) AS mx
+                        FROM lineitem GROUP BY 1),
+                 j AS (SELECT o_orderpriority AS priority,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v,
+                              CAST(date_diff('day', o_orderdate, mx)
+                                   AS BIGINT) AS d
+                       FROM orders JOIN lm
+                            ON o_orderkey = l_orderkey)
+            SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(d) AS BIGINT) AS sum_d,
+                   CAST(sum(v * d) AS BIGINT) AS sum_vd,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v2,
+                   CAST(sum(d * d) AS BIGINT) AS sum_d2
+            FROM j GROUP BY 1
         """,
     }

@@ -478,6 +478,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_ts_quantization",
         "f1_monotonicity",
         "rel_order_fragmentation",
+        "events_load_pareto",
+        "f1_vocab_jaccard",
+        "rel_value_latency_stats",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

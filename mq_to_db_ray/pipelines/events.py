@@ -11952,3 +11952,133 @@ def events_ts_quantization(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_load_pareto(sf_dir: str) -> Dataset:
+    """E136: load-Pareto coverage — per source: active minutes, total
+    events, and the NUMBER OF MINUTES (taking the busiest first) that
+    carry 50% and 90% of lifetime volume — the time-axis Pareto (E59's
+    pareto ranks USERS by volume, E128's Gini scores minute inequality
+    abstractly; E136 gives the actionable count: 'm50 = 3' means half
+    the traffic fits in three minutes of capacity planning, the number
+    a pre-scaling schedule is built from).  One dense row per source
+    ALWAYS; exact int64 (desc-ordered window cumsum + ceil-threshold
+    oracle — tie-invariant because tied loads are equal).
+
+    Scale shape — E128's (source, load-level) histogram with a
+    descending fold: per batch one packed np.unique to (source,
+    minute, n) cells; ONE (source, minute)-hash exchange settles each
+    cell and re-reduces IN PLACE to (source, load) histograms —
+    bounded by distinct load levels; the k=1 merge walks each
+    source's histogram ONCE in descending load order (cumsum +
+    searchsorted per threshold) — no per-minute work anywhere."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        mi = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, cnt = np.unique(code * (1 << 32) + mi, return_counts=True)
+        return pa.table(
+            {
+                "sm": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("sm", use_threads=False).aggregate([("n", "sum")])
+        sm = g["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        sc = (sm >> 32) * (1 << 32) + n
+        vals, cnt = np.unique(sc, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array((vals >> 32).astype(np.int64)),
+                "c": pa.array((vals & 0xFFFFFFFF).astype(np.int64)),
+                "f": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        act = np.zeros(ns, np.int64)
+        tot = np.zeros(ns, np.int64)
+        m50 = np.zeros(ns, np.int64)
+        m90 = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by(["s", "c"], use_threads=False).aggregate(
+                [("f", "sum")]
+            )
+            s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((-c, s))  # per source, descending load
+            s, c, f = s[order], c[order], f[order]
+            first = np.ones(len(s), bool)
+            first[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(s)]
+            wcum = np.cumsum(c * f)  # events covered
+            mcum = np.cumsum(f)  # minutes used
+            for st, en in zip(starts, ends):
+                si = int(s[st])
+                basew = wcum[st - 1] if st > 0 else 0
+                basem = mcum[st - 1] if st > 0 else 0
+                total = int(wcum[en - 1] - basew)
+                act[si] = int(mcum[en - 1] - basem)
+                tot[si] = total
+                for dst, q in ((m50, 500), (m90, 900)):
+                    thr = (total * q + 999) // 1000
+                    # first run index where covered events >= thr
+                    j = st + np.searchsorted(
+                        wcum[st:en] - basew, thr, side="left"
+                    )
+                    # minutes from full runs before j, plus the partial
+                    # run j: ceil((thr - covered_before) / load_j)
+                    before_w = int(wcum[j - 1] - basew) if j > st else 0
+                    before_m = int(mcum[j - 1] - basem) if j > st else 0
+                    need = thr - before_w
+                    dst[si] = before_m + (need + int(c[j]) - 1) // int(
+                        c[j]
+                    )
+        return pa.table(
+            {
+                "source": srcs,
+                "active_minutes": pa.array(act),
+                "n_events": pa.array(tot),
+                "m50": pa.array(m50),
+                "m90": pa.array(m90),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -10681,3 +10681,162 @@ def order_fragmentation(sf_dir: str) -> Dataset:
         fact, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "ns", merge, k=1)
+
+
+def value_latency_stats(sf_dir: str) -> Dataset:
+    """R70: value-vs-latency sufficient statistics — per
+    o_orderpriority: orders, and the exact integer sufficient stats
+    (Σv, Σd, Σvd, Σv², Σd²) of v = floor(o_totalprice) against d =
+    the order's WORST line ship delay in floor days — "do expensive
+    orders ship faster?", answered the R44 way: the engine emits
+    exact sums, the analyst derives the correlation to any precision
+    downstream (R20 gives the latency distribution, R65 the SLA hit
+    rate; R70 tests whether MONEY bends the queue — discrimination
+    the ops review has to either defend or fix).  Exact int64 (the
+    cross-moment sums fit int64 up to ~10⁷ orders per priority at
+    TPC-H price scales; beyond that the merge is the one place to
+    widen to object dtype, as T45 does).
+
+    Scale shape — ONE co-partitioned ORDERKEY exchange (R65's
+    max-shipdate reduction with the header carrying the money): line
+    batches pre-reduce to (orderkey, max-shipdate) partials; each
+    partition settles every order's worst line, forms (v, d) pairs
+    locally and re-reduces IN PLACE to per-priority moment partials
+    (6 ints per priority); k=1 merge of O(partitions × 5) rows."""
+    prios = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+            ).unique("o_orderpriority")
+        ),
+        pa.string(),
+    )
+    npr = len(prios)
+    DAY_US = 86_400_000_000
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+        ],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "d": b["l_shipdate"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("d", "max")])
+        g = g.rename_columns(["k", "d"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "d": g["d"],
+                "v": pa.array(np.zeros(g.num_rows, np.int64)),
+                "pr": pa.array(np.zeros(g.num_rows, np.int64)),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "d": b["o_orderdate"].cast(pa.int64()),
+                "v": pa.array(v),
+                "pr": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=prios),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["p", "n", "sv", "sd", "svd", "sv2", "sd2"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dd, dv, dpr = k[is_dim], d[is_dim], v[is_dim], pr[is_dim]
+        fk, fd = k[~is_dim], d[~is_dim]
+        if not len(fk) or not len(dk):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = (
+            pa.table({"k": pa.array(fk), "d": pa.array(fd)})
+            .group_by("k", use_threads=False)
+            .aggregate([("d", "max")])
+        )
+        fk = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = g["d_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        delay = (fd - dd[order][pos]) // DAY_US
+        val = dv[order][pos]
+        p = dpr[order][pos]
+        out = np.zeros((npr, 6), np.int64)
+        np.add.at(out[:, 0], p, 1)
+        np.add.at(out[:, 1], p, val)
+        np.add.at(out[:, 2], p, delay)
+        np.add.at(out[:, 3], p, val * delay)
+        np.add.at(out[:, 4], p, val * val)
+        np.add.at(out[:, 5], p, delay * delay)
+        live = np.flatnonzero(out[:, 0])
+        return pa.table(
+            {
+                "p": pa.array(live.astype(np.int64)),
+                "n": pa.array(out[live, 0]),
+                "sv": pa.array(out[live, 1]),
+                "sd": pa.array(out[live, 2]),
+                "svd": pa.array(out[live, 3]),
+                "sv2": pa.array(out[live, 4]),
+                "sd2": pa.array(out[live, 5]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = np.zeros((npr, 6), np.int64)
+        if t.num_rows:
+            p = t["p"].combine_chunks().to_numpy(zero_copy_only=False)
+            for j, col in enumerate(("n", "sv", "sd", "svd", "sv2", "sd2")):
+                np.add.at(
+                    out[:, j], p,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(out[:, 0])
+        return pa.table(
+            {
+                "priority": prios.take(pa.array(live.astype(np.int64))),
+                "n_orders": pa.array(out[live, 0]),
+                "sum_v": pa.array(out[live, 1]),
+                "sum_d": pa.array(out[live, 2]),
+                "sum_vd": pa.array(out[live, 3]),
+                "sum_v2": pa.array(out[live, 4]),
+                "sum_d2": pa.array(out[live, 5]),
+            }
+        )
+
+    fact = lines.map_batches(line_partial, batch_format="pyarrow")
+    dim = orders.map_batches(order_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "p", merge, k=1)

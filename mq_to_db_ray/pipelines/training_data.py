@@ -13351,3 +13351,139 @@ def tape_monotonicity(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def tape_vocab_jaccard(sf_dir: str) -> Dataset:
+    """T143/F: tape vocabulary-Jaccard matrix — for each unordered
+    source pair (a < b): DISTINCT token ids seen by BOTH and the exact
+    Jaccard permille (1000·|A∩B| // |A∪B|) — the tokenizer-level
+    source-similarity matrix on the flagship payload (T38's
+    doc_vocab_overlap does this for WORD vocabularies; T135 for
+    4-token motifs; T143 asks the coarsest version — do two tape
+    sources even speak the same id space — the first check before
+    pooling them into one training mix, and the one that catches a
+    mis-tokenized source instantly).  One row per pair ALWAYS; exact
+    int64 (DISTINCT (source, id) self-join oracle — true ids).
+
+    Scale shape — ONE id-hash exchange finishing in a BITSET domain
+    (R62's basket pattern on the id axis): per batch one packed
+    np.unique to distinct (source, id) cells; the exchange lands each
+    id whole, where ids collapse to ONE per-source-set bitmask each
+    (≤64 sources, asserted) and partials are (mask, n) counts — the
+    k=1 merge expands pair intersections from O(distinct masks) rows
+    and reads |A|, |B| off the same counts.  The vocabulary never
+    leaves the partitions."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+    if ns > 64:
+        raise ValueError(
+            "tape_vocab_jaccard: >64 sources — bitset packing needs a "
+            "wider mask"
+        )
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        cells = np.unique(v * 64 + code[row])
+        return pa.table(
+            {
+                "id": pa.array((cells // 64).astype(np.int64)),
+                "s": pa.array((cells % 64).astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "mask": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cells = np.unique(
+            t["id"].combine_chunks().to_numpy(zero_copy_only=False) * 64
+            + t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        ids = cells // 64
+        bit = np.uint64(1) << (cells % 64).astype(np.uint64)
+        first = np.ones(len(ids), bool)
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(first)
+        masks = np.bitwise_or.reduceat(bit, starts)
+        mv, mc = np.unique(masks, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(mv.view(np.int64)),
+                "n": pa.array(mc.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        inter = np.zeros((ns, ns), np.int64)
+        size = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by("mask", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            mv = (
+                g["mask"].combine_chunks().to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+            )
+            mc = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            for m, c in zip(mv, mc):
+                bits = np.flatnonzero(
+                    (m >> np.arange(ns, dtype=np.uint64)) & np.uint64(1)
+                )
+                size[bits] += c
+                if len(bits) >= 2:
+                    a, b = np.triu_indices(len(bits), k=1)
+                    inter[bits[a], bits[b]] += c
+        a, b = np.triu_indices(ns, k=1)
+        shared = inter[a, b]
+        union = size[a] + size[b] - shared
+        return pa.table(
+            {
+                "source_a": srcs.take(pa.array(a.astype(np.int64))),
+                "source_b": srcs.take(pa.array(b.astype(np.int64))),
+                "n_shared": pa.array(shared),
+                "jaccard_permille": pa.array(
+                    1000 * shared // np.maximum(union, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "id", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "mask", merge, k=1)
