@@ -727,6 +727,12 @@ def _q_events_load_pareto(sf_dir: str):
     return events_load_pareto(sf_dir)
 
 
+def _q_events_cron_signature(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_cron_signature
+
+    return events_cron_signature(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1506,6 +1512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_value_latency_stats": rel.value_latency_stats,
+        "events_cron_signature": _q_events_cron_signature,
+        "f1_chunk_waste": lambda sf_dir: td.tape_chunk_waste(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_customer_months_hist": rel.customer_months_hist,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7299,5 +7310,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * v) AS BIGINT) AS sum_v2,
                    CAST(sum(d * d) AS BIGINT) AS sum_d2
             FROM j GROUP BY 1
+        """,
+        "events_cron_signature": """
+            WITH c AS (SELECT event_type AS source,
+                              (epoch_us(ts) // 60000000) % 60 AS moh,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT source, moh, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC,
+                                                          moh ASC) AS rn,
+                              CAST(sum(n) OVER (PARTITION BY source)
+                                   AS BIGINT) AS tot
+                       FROM c)
+            SELECT source, tot AS n_events,
+                   CAST(moh AS BIGINT) AS top_minute,
+                   CAST(1000 * n // tot AS BIGINT) AS top_permille
+            FROM r WHERE rn = 1
+        """,
+        "f1_chunk_waste": """
+            WITH x AS (SELECT source, CAST(n_tok AS BIGINT) AS t
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 a AS (SELECT source, L,
+                              CAST(sum(t) AS BIGINT) AS n_tokens,
+                              CAST(sum((t + L - 1) // L) AS BIGINT)
+                                  AS n_chunks,
+                              CAST(sum(((t + L - 1) // L) * L - t)
+                                   AS BIGINT) AS pad_waste
+                       FROM x,
+                            (SELECT unnest([256, 512, 1024, 2048]) AS L)
+                       GROUP BY 1, 2)
+            SELECT source, CAST(L AS BIGINT) AS chunk_len, n_tokens,
+                   n_chunks, pad_waste,
+                   CAST(1000 * pad_waste
+                        // greatest(n_tokens + pad_waste, 1) AS BIGINT)
+                       AS waste_permille
+            FROM a
+        """,
+        "rel_customer_months_hist": """
+            WITH c AS (SELECT o_custkey,
+                              count(DISTINCT date_trunc('month',
+                                                        o_orderdate))
+                                  AS nm,
+                              CAST(count(*) AS BIGINT) AS no,
+                              CAST(sum(CAST(floor(o_totalprice)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS rev
+                       FROM orders GROUP BY 1)
+            SELECT CAST(nm AS BIGINT) AS n_months,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(no) AS BIGINT) AS n_orders,
+                   CAST(sum(rev) AS BIGINT) AS revenue
+            FROM c GROUP BY 1
         """,
     }

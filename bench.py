@@ -481,6 +481,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_load_pareto",
         "f1_vocab_jaccard",
         "rel_value_latency_stats",
+        "events_cron_signature",
+        "f1_chunk_waste",
+        "rel_customer_months_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

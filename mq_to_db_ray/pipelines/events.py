@@ -12082,3 +12082,80 @@ def events_load_pareto(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_cron_signature(sf_dir: str) -> Dataset:
+    """E137: cron-signature audit — per source: events, the MODAL
+    minute-of-hour (0-59, ties → smallest) and its permille share —
+    the scheduled-job detector (E135 reads sub-minute quantization,
+    E47 names each hour's hottest minute in absolute time; E137 folds
+    the clock: a share far above 1000/60 ≈ 16 means the producer
+    fires on a cron line, so its 'organic traffic' baselines, anomaly
+    scores and interarrival stats describe a scheduler, not users).
+    One dense row per source ALWAYS; exact int64 (minute-of-hour
+    GROUP BY + row_number argmax oracle).
+
+    Scale shape — E120's bounded-cell settle with an argmax finish:
+    per batch one packed np.unique to (source, minute-of-hour, n)
+    cells over a ≤ sources × 60 domain; the k=1 merge settles the
+    grid and picks each source's modal minute.  ZERO wide
+    exchange."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        moh = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+            % 60
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, cnt = np.unique(code * 60 + moh, return_counts=True)
+        return pa.table(
+            {
+                "sm": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 60, np.int64)
+        if t.num_rows:
+            sm = t["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, sm, n)
+        grid = grid.reshape(ns, 60)
+        tot = grid.sum(axis=1)
+        top = grid.argmax(axis=1)  # argmax takes the FIRST max: ties →
+        # smallest minute, matching the oracle's (n DESC, minute ASC)
+        top_n = grid[np.arange(ns), top]
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(tot),
+                "top_minute": pa.array(top.astype(np.int64)),
+                "top_permille": pa.array(
+                    1000 * top_n // np.maximum(tot, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "sm", merge, k=1)

@@ -10840,3 +10840,112 @@ def value_latency_stats(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "p", merge, k=1)
+
+
+def customer_months_hist(sf_dir: str) -> Dataset:
+    """R71: customer active-months histogram — per distinct-active-
+    month count k: customers who ordered in exactly k different
+    calendar months, their orders and floored order value — the
+    engagement-depth histogram (R13's order-count distribution counts
+    ORDERS per customer; R71 counts the CADENCE — a base that orders
+    9 times in one month and never again is a promotion artifact, 9
+    months out of 12 is a habit; the k-axis is what a retention
+    budget is allocated against).  Exact int64 (count(DISTINCT
+    month) per customer + histogram oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange: order batches
+    pre-reduce to (custkey, month, n, Σfloor-value) cells (a
+    customer's months collapse per batch first); each partition
+    settles every customer whole (one lexsort: distinct months,
+    order/value sums) and re-reduces IN PLACE to a (k, customers,
+    orders, value) histogram — k is bounded by the calendar; k=1
+    merge."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "m": pa.array(_month_id(d).astype(np.int64)),
+                "n": pa.array(np.ones(len(v), np.int64)),
+                "v": pa.array(v),
+            }
+        )
+        g = t.group_by(["k", "m"], use_threads=False).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        return g.rename_columns(["k", "m", "n", "v"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ["nm", "nc", "no", "rev"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["k", "m"], use_threads=False).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, n, v = k[order], n[order], v[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        nm = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        no = np.add.reduceat(n, starts)
+        rev = np.add.reduceat(v, starts)
+        t2 = pa.table(
+            {
+                "nm": pa.array(nm),
+                "nc": pa.array(np.ones(len(nm), np.int64)),
+                "no": pa.array(no.astype(np.int64)),
+                "rev": pa.array(rev.astype(np.int64)),
+            }
+        )
+        g2 = t2.group_by("nm", use_threads=False).aggregate(
+            [("nc", "sum"), ("no", "sum"), ("rev", "sum")]
+        )
+        return g2.rename_columns(["nm", "nc", "no", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in (
+                        "n_months", "n_customers", "n_orders", "revenue"
+                    )
+                }
+            )
+        g = t.group_by("nm", use_threads=False).aggregate(
+            [("nc", "sum"), ("no", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["nm", "nc", "no", "rev"]).sort_by("nm")
+        return pa.table(
+            {
+                "n_months": g["nm"],
+                "n_customers": g["nc"],
+                "n_orders": g["no"],
+                "revenue": g["rev"],
+            }
+        )
+
+    fact = orders.map_batches(partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "nm", merge, k=1)

@@ -13487,3 +13487,105 @@ def tape_vocab_jaccard(sf_dir: str) -> Dataset:
         partials, "id", fold, k=_doc_k_files(files)
     )
     return hash_partition_merge(cells, "mask", merge, k=1)
+
+
+def tape_chunk_waste(
+    sf_dir: str, sizes: tuple[int, ...] = (256, 512, 1024, 2048)
+) -> Dataset:
+    """T144/F: tape chunk-waste curve — per (source, context length):
+    tokens, fixed-length chunks needed when each sequence is padded
+    into its own chunks (no cross-document packing), padding waste,
+    and the waste permille of the padded volume — the context-length
+    planning board on the flagship payload (T58's doc-side curve
+    prices chunking over WORD counts corpus-wide; T144 prices it per
+    SOURCE over real token lengths — the table that says which
+    context length each source can afford before T22's cross-document
+    packing becomes mandatory).  One dense row per (source, size)
+    ALWAYS; exact int64 (ceil-div unnest oracle).
+
+    Scale shape — a pure per-row audit that never touches the token
+    column at all: the read is pruned to (source, n_tok) — two narrow
+    columns for a table whose mass is the lists (T133 audits that
+    n_tok equals the true lengths, so this board rides the stamped
+    column); four ceil-divs per row, np.add.at to dense (source ×
+    sizes) partials; k=1 merge.  ZERO data shuffles."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+    nsz = len(sizes)
+    size_arr = np.array(sizes, np.int64)
+
+    ds = rd.read_parquet(files, columns=["source", "n_tok"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = (
+            pc.cast(b["n_tok"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ntok = np.zeros(ns * nsz, np.int64)
+        nch = np.zeros(ns * nsz, np.int64)
+        waste = np.zeros(ns * nsz, np.int64)
+        for j, c in enumerate(size_arr):
+            ch = (ln + c - 1) // c
+            idx = code * nsz + j
+            np.add.at(ntok, idx, ln)
+            np.add.at(nch, idx, ch)
+            np.add.at(waste, idx, ch * c - ln)
+        live = np.arange(ns * nsz, dtype=np.int64)
+        return pa.table(
+            {
+                "sc": pa.array(live),
+                "ntok": pa.array(ntok),
+                "nch": pa.array(nch),
+                "waste": pa.array(waste),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ntok = np.zeros(ns * nsz, np.int64)
+        nch = np.zeros(ns * nsz, np.int64)
+        waste = np.zeros(ns * nsz, np.int64)
+        if t.num_rows:
+            sc = t["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+            for dst, col in (
+                (ntok, "ntok"), (nch, "nch"), (waste, "waste")
+            ):
+                np.add.at(
+                    dst, sc,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        idx = np.arange(ns * nsz)
+        return pa.table(
+            {
+                "source": srcs.take(
+                    pa.array((idx // nsz).astype(np.int64))
+                ),
+                "chunk_len": pa.array(size_arr[idx % nsz]),
+                "n_tokens": pa.array(ntok),
+                "n_chunks": pa.array(nch),
+                "pad_waste": pa.array(waste),
+                "waste_permille": pa.array(
+                    1000 * waste // np.maximum(ntok + waste, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "sc", merge, k=1)
