@@ -733,6 +733,12 @@ def _q_events_cron_signature(sf_dir: str):
     return events_cron_signature(sf_dir)
 
 
+def _q_events_audience_trend(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_audience_trend
+
+    return events_audience_trend(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1517,6 +1523,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_customer_months_hist": rel.customer_months_hist,
+        "events_audience_trend": _q_events_audience_trend,
+        "f1_motif_spectrum": lambda sf_dir: td.tape_motif_spectrum(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_nation_priority_mix": rel.nation_priority_mix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7362,5 +7373,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(no) AS BIGINT) AS n_orders,
                    CAST(sum(rev) AS BIGINT) AS revenue
             FROM c GROUP BY 1
+        """,
+        "events_audience_trend": """
+            WITH c AS (SELECT DISTINCT event_type AS source, user_id,
+                              epoch_us(ts) // 86400000000 AS d
+                       FROM events),
+                 k AS (SELECT source, d, CAST(count(*) AS BIGINT) AS y
+                       FROM c GROUP BY 1, 2),
+                 x AS (SELECT source,
+                              d - min(d) OVER (PARTITION BY source)
+                                  AS xi,
+                              y
+                       FROM k)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(xi) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(xi * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(xi * xi) AS BIGINT) AS sum_x2
+            FROM x GROUP BY 1
+        """,
+        "f1_motif_spectrum": """
+            WITH x AS (SELECT list_transform(
+                                  range(1, greatest(len(tokens) - 2, 1)),
+                                  i -> ((CAST(tokens[i] AS UBIGINT) * 65536
+                                         + tokens[i + 1]) * 65536
+                                        + tokens[i + 2]) * 65536
+                                       + tokens[i + 3]) AS w
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 u AS (SELECT unnest(w) AS wi FROM x),
+                 c AS (SELECT wi, CAST(count(*) AS BIGINT) AS n
+                       FROM u GROUP BY 1),
+                 b AS (SELECT CASE WHEN n = 1 THEN 0
+                                   WHEN n <= 3 THEN 1
+                                   WHEN n <= 10 THEN 2
+                                   WHEN n <= 100 THEN 3
+                                   ELSE 4 END AS df_band,
+                              n
+                       FROM c)
+            SELECT CAST(df_band AS BIGINT) AS df_band,
+                   CAST(count(*) AS BIGINT) AS n_motifs,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences
+            FROM b GROUP BY 1
+        """,
+        "rel_nation_priority_mix": """
+            WITH j AS (SELECT n_name AS nation,
+                              o_orderpriority AS priority
+                       FROM orders
+                            JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey),
+                 g AS (SELECT nation, priority,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM j GROUP BY 1, 2)
+            SELECT nation, priority, n AS n_orders,
+                   CAST(1000 * n // sum(n) OVER (PARTITION BY nation)
+                        AS BIGINT) AS permille
+            FROM g
         """,
     }

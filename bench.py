@@ -484,6 +484,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_cron_signature",
         "f1_chunk_waste",
         "rel_customer_months_hist",
+        "events_audience_trend",
+        "f1_motif_spectrum",
+        "rel_nation_priority_mix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -12159,3 +12159,104 @@ def events_cron_signature(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "sm", merge, k=1)
+
+
+def events_audience_trend(sf_dir: str) -> Dataset:
+    """E138: audience-trend sufficient statistics — per source: active
+    days and the exact integer sufficient stats (Σx, Σy, Σxy, Σx²) of
+    y = daily distinct users against x = day index from the source's
+    FIRST active day — "is the audience growing?" answered the R44
+    way: exact sums, slope/R² derived downstream to any precision
+    (E99's trend board regresses VOLUME per minute; E130 bands the
+    DAU distribution; E138 regresses the AUDIENCE itself — the
+    retention-adjusted growth number a weekly review plots).  One
+    dense row per source ALWAYS; exact int64 (DISTINCT (source, user,
+    day) + per-day count + min-day window oracle).
+
+    Scale shape — E130's dedupe exchange with a moment finish: per
+    batch one Arrow group_by to distinct (source, user, day) cells;
+    ONE user-hash exchange dedupes cells exactly, re-reducing IN
+    PLACE to (source, day) DAU partials; the k=1 merge settles the
+    ≤ sources × days domain, anchors x at each source's min day and
+    folds four moments per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        code = pc.cast(
+            pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+        )
+        t = pa.table(
+            {
+                "s": code,
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "d": pa.array(day),
+            }
+        )
+        return t.group_by(["s", "u", "d"], use_threads=False).aggregate([])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sd": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["s", "u", "d"], use_threads=False).aggregate([])
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(s * (1 << 32) + d, return_counts=True)
+        return pa.table(
+            {
+                "sd": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = np.zeros((ns, 5), np.int64)
+        if t.num_rows:
+            g = t.group_by("sd", use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+            y = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            s = sd >> 32
+            d = sd & 0xFFFFFFFF
+            d0 = np.full(ns, np.iinfo(np.int64).max)
+            np.minimum.at(d0, s, d)
+            x = d - d0[s]
+            np.add.at(out[:, 0], s, 1)
+            np.add.at(out[:, 1], s, x)
+            np.add.at(out[:, 2], s, y)
+            np.add.at(out[:, 3], s, x * y)
+            np.add.at(out[:, 4], s, x * x)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(out[:, 0]),
+                "sum_x": pa.array(out[:, 1]),
+                "sum_y": pa.array(out[:, 2]),
+                "sum_xy": pa.array(out[:, 3]),
+                "sum_x2": pa.array(out[:, 4]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "sd", merge, k=1)

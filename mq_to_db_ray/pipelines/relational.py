@@ -10949,3 +10949,143 @@ def customer_months_hist(sf_dir: str) -> Dataset:
         fact, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "nm", merge, k=1)
+
+
+def nation_priority_mix(sf_dir: str) -> Dataset:
+    """R72: nation × priority mix — per (customer nation, order
+    priority): orders and the permille within the nation — the
+    regional urgency profile (R35's segment × priority matrix reads
+    urgency by MARKET SEGMENT; R72 by GEOGRAPHY — a nation skewing
+    1-URGENT is either a market that pays for speed or a regional
+    sales team gaming the queue, and either way the fulfillment
+    network should know).  One row per populated (nation, priority)
+    cell; exact int64 (join + two-key GROUP BY + window-total
+    permille oracle).
+
+    Scale shape — ONE co-partitioned CUSTKEY exchange (R17's shape):
+    order batches pre-reduce to (custkey, priority-rank, n) partials,
+    customers ride carrying the nationkey; each partition attaches
+    nations with one searchsorted and re-reduces IN PLACE to a ≤ 25×5
+    grid; the k=1 merge settles nation totals and emits permilles.
+    Only nation (25 fixed rows) composes at the driver."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    names = pa.array(nat["n_name"].tolist(), pa.string())
+    nkeys = np.asarray(nat["n_nationkey"], np.int64)
+    nn = len(nkeys)
+    prios = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+            ).unique("o_orderpriority")
+        ),
+        pa.string(),
+    )
+    npr = len(prios)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "pr": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=prios),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "pr"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["k", "pr", "n"])
+        return pa.table(
+            {
+                "k": g["k"],
+                "role": pa.array(np.ones(g.num_rows, np.int64)),
+                "pr": g["pr"],
+                "n": g["n"],
+            }
+        )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "role": pa.array(np.zeros(b.num_rows, np.int64)),
+                "pr": pc.cast(b["c_nationkey"], pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"np_": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        dk, dn = k[is_dim], pr[is_dim]
+        fk, fpr, fn = k[~is_dim], pr[~is_dim], n[~is_dim]
+        if not len(fk) or not len(dk):
+            return empty
+        order = np.argsort(dk, kind="stable")
+        dk_s, dn_s = dk[order], dn[order]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        npos = np.searchsorted(nkeys, dn_s[pos])
+        grid = np.zeros(nn * npr, np.int64)
+        np.add.at(grid, npos * npr + fpr, fn)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "np_": pa.array(live.astype(np.int64)),
+                "n": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(nn * npr, np.int64)
+        if t.num_rows:
+            i = t["np_"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid, i,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        tot = grid.reshape(nn, npr).sum(axis=1)
+        live = np.flatnonzero(grid)
+        nk = live // npr
+        return pa.table(
+            {
+                "nation": names.take(pa.array(nk.astype(np.int64))),
+                "priority": prios.take(
+                    pa.array((live % npr).astype(np.int64))
+                ),
+                "n_orders": pa.array(grid[live]),
+                "permille": pa.array(
+                    1000 * grid[live] // np.maximum(tot[nk], 1)
+                ),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "np_", merge, k=1)

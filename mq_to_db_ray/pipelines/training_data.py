@@ -13589,3 +13589,125 @@ def tape_chunk_waste(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "sc", merge, k=1)
+
+
+def tape_motif_spectrum(sf_dir: str) -> Dataset:
+    """T145/F: tape motif frequency spectrum — corpus-wide, per
+    occurrence band (1 / 2-3 / 4-10 / 11-100 / >100): DISTINCT
+    4-token motifs whose total occurrence count falls in the band,
+    and their occurrences — the redundancy fingerprint of the id
+    stream (T94's shingle-df spectrum draws this for word shingles;
+    T135 names which sources SHARE motifs; T145 says how the motif
+    mass distributes — a fat >100 band is templated generation, a
+    spectrum hugging 1 is high-entropy prose, and the shape predicts
+    what T2/T3's sketch-based dedup will find before running it).
+    One dense row per band ALWAYS; exact int64, collision-free
+    UNSIGNED packing (T134's convention; list_transform + unnest
+    oracle).
+
+    Scale shape — T135's motif exchange with a band finish: windows
+    are ONE strided expression per batch, Arrow group_by to (window,
+    n) cells; ONE window-hash exchange settles each motif's total
+    exactly and re-reduces IN PLACE to a ≤5-row band histogram per
+    partition; the k=1 merge folds O(k × 5) rows.  The motif
+    vocabulary never leaves the partitions."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    ds = rd.read_parquet(files, columns=["tokens"])
+
+    EDGES = np.array([1, 3, 10, 100], np.int64)  # band = searchsorted
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(v) and int(v.max()) >= (1 << 16):
+            raise ValueError(
+                "tape_motif_spectrum: token id >= 2^16 — exact 4-token "
+                "packing needs a sub-65536 vocab"
+            )
+        row = np.repeat(np.arange(len(ln)), ln)
+        if len(v) < 4:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        u = v.astype(np.uint64)
+        w = ((u[:-3] * 65536 + u[1:-2]) * 65536 + u[2:-1]) * 65536 + u[3:]
+        keep = row[:-3] == row[3:]
+        vals, cnt = np.unique(w[keep].view(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(vals),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nm": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("w", use_threads=False).aggregate([("n", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        band = np.searchsorted(EDGES, n, side="left").astype(np.int64)
+        nm = np.zeros(5, np.int64)
+        no = np.zeros(5, np.int64)
+        np.add.at(nm, band, 1)
+        np.add.at(no, band, n)
+        live = np.flatnonzero(nm)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nm": pa.array(nm[live]),
+                "no": pa.array(no[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nm = np.zeros(5, np.int64)
+        no = np.zeros(5, np.int64)
+        if t.num_rows:
+            b = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nm, b,
+                t["nm"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                no, b,
+                t["no"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nm)
+        return pa.table(
+            {
+                "df_band": pa.array(live.astype(np.int64)),
+                "n_motifs": pa.array(nm[live]),
+                "n_occurrences": pa.array(no[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "w", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "band", merge, k=1)
