@@ -739,6 +739,18 @@ def _q_events_audience_trend(sf_dir: str):
     return events_audience_trend(sf_dir)
 
 
+def _q_events_sample_audit(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_sample_audit
+
+    return events_sample_audit(sf_dir)
+
+
+def _q_events_stuck_values(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_stuck_values
+
+    return events_stuck_values(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1528,6 +1540,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_nation_priority_mix": rel.nation_priority_mix,
+        "events_sample_audit": _q_events_sample_audit,
+        "f1_vocab_pareto": lambda sf_dir: td.tape_vocab_pareto(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_weekday_profile": rel.weekday_profile,
+        "events_stuck_values": _q_events_stuck_values,
+        "embedding_sign_profile": td.embedding_sign_profile,
+        "rel_type_revenue": rel.type_revenue,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7428,5 +7448,107 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * n // sum(n) OVER (PARTITION BY nation)
                         AS BIGINT) AS permille
             FROM g
+        """,
+        "events_sample_audit": """
+            WITH a AS (SELECT event_type AS source,
+                              CAST(count(*) AS BIGINT) AS n_full,
+                              CAST(count(*) FILTER (WHERE user_id % 64 = 0)
+                                   AS BIGINT) AS n_sample
+                       FROM events GROUP BY 1)
+            SELECT source, n_full, n_sample,
+                   CAST(64 * n_sample AS BIGINT) AS est_64x,
+                   CAST(abs(64 * n_sample - n_full) * 1000
+                        // greatest(n_full, 1) AS BIGINT) AS err_permille
+            FROM a
+        """,
+        "f1_vocab_pareto": """
+            WITH u AS (SELECT source, unnest(tokens) AS id
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 c AS (SELECT source, id, CAST(count(*) AS BIGINT) AS n
+                       FROM u GROUP BY 1, 2),
+                 w AS (SELECT source, n,
+                              sum(n) OVER (PARTITION BY source
+                                           ORDER BY n DESC, id
+                                           ROWS UNBOUNDED PRECEDING) AS cum,
+                              sum(n) OVER (PARTITION BY source) AS tot
+                       FROM c)
+            SELECT source,
+                   CAST(max(tot) AS BIGINT) AS n_occ,
+                   CAST(count(*) AS BIGINT) AS n_ids,
+                   CAST(count(*) FILTER (
+                       WHERE cum - n < (tot * 500 + 999) // 1000)
+                        AS BIGINT) AS v500,
+                   CAST(count(*) FILTER (
+                       WHERE cum - n < (tot * 900 + 999) // 1000)
+                        AS BIGINT) AS v900
+            FROM w GROUP BY 1
+        """,
+        "rel_weekday_profile": """
+            WITH a AS (SELECT CAST(isodow(o_orderdate) AS BIGINT) AS d,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS rev
+                       FROM orders GROUP BY 1),
+                 t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM a)
+            SELECT g.d AS isodow,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(a.rev, 0) AS BIGINT) AS revenue_floor,
+                   CAST(1000 * COALESCE(a.n, 0) // greatest(t.tot, 1)
+                        AS BIGINT) AS permille
+            FROM (SELECT unnest(generate_series(1, 7)) AS d) g
+            LEFT JOIN a ON a.d = g.d CROSS JOIN t
+        """,
+        "events_stuck_values": """
+            WITH x AS (SELECT event_type AS source, value,
+                              lag(value) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id) AS pv
+                       FROM events),
+                 a AS (SELECT source,
+                              CAST(count(pv) AS BIGINT) AS n_pairs,
+                              CAST(count(*) FILTER (WHERE value = pv)
+                                   AS BIGINT) AS n_equal
+                       FROM x GROUP BY 1)
+            SELECT source, n_pairs, n_equal,
+                   CAST(1000 * n_equal // greatest(n_pairs, 1) AS BIGINT)
+                       AS stuck_permille
+            FROM a
+        """,
+        "embedding_sign_profile": """
+            WITH u AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding) AS x
+                       FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) FILTER (WHERE x > 0) AS BIGINT) AS n_pos,
+                   CAST(count(*) FILTER (WHERE x < 0) AS BIGINT) AS n_neg,
+                   CAST(count(*) FILTER (WHERE x = 0) AS BIGINT) AS n_zero,
+                   CAST(1000 * count(*) FILTER (WHERE x > 0)
+                        // count(*) AS BIGINT) AS pos_permille
+            FROM u GROUP BY 1
+        """,
+        "rel_type_revenue": """
+            WITH j AS (SELECT p_type,
+                              CAST(floor(l_quantity) AS BIGINT) AS qty,
+                              CAST(floor(l_extendedprice
+                                         * (1 - l_discount)) AS BIGINT)
+                                  AS rev,
+                              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                                  AS ret
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+                 a AS (SELECT p_type,
+                              CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(qty) AS BIGINT) AS qty_floor,
+                              CAST(sum(rev) AS BIGINT) AS revenue_floor,
+                              CAST(sum(ret) AS BIGINT) AS nret
+                       FROM j GROUP BY 1)
+            SELECT t.p_type,
+                   CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(a.qty_floor, 0) AS BIGINT) AS qty_floor,
+                   CAST(COALESCE(a.revenue_floor, 0) AS BIGINT)
+                       AS revenue_floor,
+                   CAST(1000 * COALESCE(a.nret, 0)
+                        // greatest(COALESCE(a.n_lines, 0), 1) AS BIGINT)
+                       AS returned_permille
+            FROM (SELECT DISTINCT p_type FROM part) t
+            LEFT JOIN a ON a.p_type = t.p_type
         """,
     }

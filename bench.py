@@ -487,6 +487,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_audience_trend",
         "f1_motif_spectrum",
         "rel_nation_priority_mix",
+        "events_sample_audit",
+        "f1_vocab_pareto",
+        "rel_weekday_profile",
+        "events_stuck_values",
+        "embedding_sign_profile",
+        "rel_type_revenue",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

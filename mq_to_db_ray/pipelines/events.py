@@ -12260,3 +12260,218 @@ def events_audience_trend(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "sd", merge, k=1)
+
+
+def events_sample_audit(sf_dir: str) -> Dataset:
+    """E139: sampling-error audit — per source: full event count, the
+    count inside the deterministic 1/64 user slice (user_id % 64 == 0),
+    the 64×-scaled estimate, and its absolute permille error vs truth —
+    the calibration board that says whether dashboards and ad-hoc
+    analytics can run on a fixed user-hash sample instead of the full
+    stream (the T23 mixture-sampling idea turned into a QA measurement:
+    a source whose users are few or skewed shows a fat error here, and
+    THAT is the number that green-lights sampling, not the 1/64 prior).
+    One dense row per source ALWAYS; exact int64 (FILTER + scaled-diff
+    oracle).
+
+    Scale shape — ZERO wide exchange: the slice test is one vectorized
+    modulo per batch, both counters reduce via np.add.at over the
+    broadcast source-rank grid (≤ sources cells); the k=1 merge scales
+    and differences.  At 100 TB this is the cheapest possible full
+    pass: two int64 counters per source per batch."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        u = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        nf = np.zeros(ns, np.int64)
+        nsmp = np.zeros(ns, np.int64)
+        np.add.at(nf, code, 1)
+        np.add.at(nsmp, code[u % 64 == 0], 1)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nf": pa.array(nf),
+                "nsmp": pa.array(nsmp),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nf = np.zeros(ns, np.int64)
+        nsmp = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nf, s,
+                t["nf"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nsmp, s,
+                t["nsmp"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        est = 64 * nsmp
+        err = np.abs(est - nf) * 1000 // np.maximum(nf, 1)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_full": pa.array(nf),
+                "n_sample": pa.array(nsmp),
+                "est_64x": pa.array(est),
+                "err_permille": pa.array(err),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_stuck_values(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E140: stuck-value detector — per source: consecutive-event pairs
+    (in (ts, event_id) order), pairs whose metric value is EXACTLY equal
+    to its predecessor, and the stuck permille — the frozen-sensor /
+    cached-producer audit of a monitoring stack (E32 detects SILENCE,
+    E116 constant COUNTS on the grid; E140 reads the payload itself — a
+    gauge repeating one float verbatim is a stuck sensor or a caching
+    bug upstream, and its anomaly scores are describing the cache).
+    One dense row per source ALWAYS; exact int64 (float equality is
+    exact — both engines compare the same float64s; lag-window oracle).
+
+    Scale shape — E32's carried-prefix scan with the VALUE riding the
+    carry channel as its float64 BIT PATTERN (view, not cast — the
+    int64 carry column round-trips the float exactly): rows partition
+    by (source, ts-window), :func:`_last_event_carries` hands each
+    window its predecessor, so no source's full history lands in one
+    task; per-partition one lexsort + one shifted compare; (pairs,
+    equal) partials fold in one tiny source merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        vbits = (
+            b["value"].cast(pa.float64()).combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(vbits),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "np_": pa.array([], pa.int64()),
+                "ne": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = (
+            t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            .view(np.float64)
+        )
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        sel = has_prev & ~crs
+        if not sel.any():
+            return empty
+        pv = np.empty(n, dtype=np.float64)
+        pv[0] = 0.0
+        pv[1:] = vs[:-1]
+        eq = (vs == pv) & sel
+        gk = ks[sel]
+        u = np.unique(gk)
+        npair = np.zeros(len(u), np.int64)
+        neq = np.zeros(len(u), np.int64)
+        np.add.at(npair, np.searchsorted(u, gk), 1)
+        np.add.at(neq, np.searchsorted(u, ks[eq]), 1)
+        return pa.table(
+            {
+                "src": pa.array(u, pa.int64()),
+                "np_": pa.array(npair),
+                "ne": pa.array(neq),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        npair = np.zeros(ns, np.int64)
+        neq = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                npair, s,
+                t["np_"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                neq, s,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_pairs": pa.array(npair),
+                "n_equal": pa.array(neq),
+                "stuck_permille": pa.array(
+                    1000 * neq // np.maximum(npair, 1)
+                ),
+            }
+        )
+
+    return hash_partition_merge(partials, "src", merge, k=1)

@@ -11089,3 +11089,250 @@ def nation_priority_mix(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "np_", merge, k=1)
+
+
+def weekday_profile(sf_dir: str) -> Dataset:
+    """R73: weekday demand profile — per ISO day-of-week 1=Mon..7=Sun:
+    orders, floored o_totalprice revenue, and the permille of total
+    order volume — the weekly ordering rhythm (R45 folds demand across
+    months-of-year for inventory pre-positioning; R73 folds it across
+    the WEEK for staffing and batch-window placement — a B2B book
+    flatlines on weekends, a consumer book peaks there, and the
+    permille column says which book this is).  One dense row per
+    isodow ALWAYS; exact int64, calendar-free epoch math (1970-01-01
+    is a Thursday: ``isodow = ((days + 3) % 7) + 1``), so the engine
+    and DuckDB's ``isodow()`` agree by construction (E52's rule).
+
+    Scale shape — ZERO wide exchange: isodow is one batch-local
+    modulo, money floors exactly per row (the §2.3b convention), and
+    per batch np.add.at reduces orders to a dense 7-cell grid; the k=1
+    merge sums grids and emits permilles."""
+    DAY_US = 86_400_000_000
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dw = ((ts // DAY_US + 3) % 7).astype(np.int64)
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        n = np.zeros(7, np.int64)
+        r = np.zeros(7, np.int64)
+        np.add.at(n, dw, 1)
+        np.add.at(r, dw, rev)
+        return pa.table(
+            {
+                "d": pa.array(np.arange(7, dtype=np.int64)),
+                "n": pa.array(n),
+                "rev": pa.array(r),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(7, np.int64)
+        r = np.zeros(7, np.int64)
+        if t.num_rows:
+            d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                n, d,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                r, d,
+                t["rev"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        tot = max(int(n.sum()), 1)
+        return pa.table(
+            {
+                "isodow": pa.array(np.arange(1, 8, dtype=np.int64)),
+                "n_orders": pa.array(n),
+                "revenue_floor": pa.array(r),
+                "permille": pa.array(1000 * n // tot),
+            }
+        )
+
+    partials = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "d", merge, k=1)
+
+
+def type_revenue(sf_dir: str) -> Dataset:
+    """R74: part-type commerce board — per p_type: lines, floored
+    quantity, floored discounted revenue, and the permille of lines
+    returned (l_returnflag = 'R') — the product-category P&L row (R12
+    conditions ONE sum on the PROMO bit; R74 gives every type its full
+    row: volume, money, and the return rate that says whether a
+    category's revenue is real or coming back — a type pairing high
+    revenue with a fat return permille is a quality problem wearing a
+    sales costume).  One dense row per p_type ALWAYS; exact int64
+    (join + CASE-sum + permille oracle; money floors per line, the
+    §2.3b convention).
+
+    Scale shape — parts GROW WITH THE CORPUS, so the type travels by
+    CO-PARTITION, never broadcast (R12's role-union shape): part rows
+    reduce to (partkey, type-rank); lineitem batches pre-reduce to
+    (partkey, returnflag-bit, n, qty, rev) partials; the per-partition
+    fold attaches each part's rank with one searchsorted and
+    re-reduces IN PLACE to a ≤ types × 4 grid; the k=1 merge settles
+    the grid and emits permilles.  Only the ~6-value type list
+    broadcasts."""
+    types = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_type"]
+            ).unique("p_type")
+        ),
+        pa.string(),
+    )
+    nt = len(types)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag",
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["p_type"], value_set=types), pa.int64()
+                ),
+                "ret": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        ret = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "ret": ret,
+                "nl": pa.array(np.ones(len(rev), np.int64)),
+                "qty": pa.array(qty),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "ret"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "ret", "nl", "qty", "rev"])
+        return g.append_column(
+            "ty", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "ty", "ret", "nl", "qty", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ty": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "qty": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+                "nret": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dty = d["ty"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        ty = dty[pos]
+        ret = f["ret"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = f["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = f["qty"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = f["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        g_nl = np.zeros(nt, np.int64)
+        g_qty = np.zeros(nt, np.int64)
+        g_rev = np.zeros(nt, np.int64)
+        g_ret = np.zeros(nt, np.int64)
+        tyh = ty[hit]
+        np.add.at(g_nl, tyh, nl[hit])
+        np.add.at(g_qty, tyh, qty[hit])
+        np.add.at(g_rev, tyh, rev[hit])
+        np.add.at(g_ret, tyh, (nl * ret)[hit])
+        live = np.flatnonzero(g_nl)
+        return pa.table(
+            {
+                "ty": pa.array(live.astype(np.int64)),
+                "nl": pa.array(g_nl[live]),
+                "qty": pa.array(g_qty[live]),
+                "rev": pa.array(g_rev[live]),
+                "nret": pa.array(g_ret[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_nl = np.zeros(nt, np.int64)
+        g_qty = np.zeros(nt, np.int64)
+        g_rev = np.zeros(nt, np.int64)
+        g_ret = np.zeros(nt, np.int64)
+        if t.num_rows:
+            ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in (
+                (g_nl, "nl"), (g_qty, "qty"),
+                (g_rev, "rev"), (g_ret, "nret"),
+            ):
+                np.add.at(
+                    grid, ty,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "p_type": types,
+                "n_lines": pa.array(g_nl),
+                "qty_floor": pa.array(g_qty),
+                "revenue_floor": pa.array(g_rev),
+                "returned_permille": pa.array(
+                    1000 * g_ret // np.maximum(g_nl, 1)
+                ),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "ty", merge, k=1)

@@ -13711,3 +13711,243 @@ def tape_motif_spectrum(sf_dir: str) -> Dataset:
         partials, "w", fold, k=_doc_k_files(files)
     )
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+
+
+def tape_vocab_pareto(sf_dir: str) -> Dataset:
+    """T146/F: tape vocabulary-Pareto board — per source: total token
+    occurrences, DISTINCT ids, and the MINIMUM number of distinct ids
+    whose occurrences cover >= 50% / 90% of the source's token mass
+    (v500/v900) — the "how big a vocabulary do you actually need"
+    number an embedding-table budget reads (T129 measures id-SPAN
+    utilization, T79 draws the usage heatmap, T16 names the top ids;
+    T146 collapses the whole frequency curve to its Pareto knees — a
+    v900 in the hundreds is a templated id stream, in the tens of
+    thousands it's prose).  One dense row per source ALWAYS; exact
+    int64 — the count-class formula (ids of equal count are
+    interchangeable) matches ANY deterministic ORDER BY n DESC cumsum,
+    so the window-FILTER oracle is bit-exact.
+
+    Scale shape — the frequency CURVE without sorting the vocabulary
+    globally: per batch one flatten + one packed np.unique reduces the
+    stream to (source, id, n) partials; ONE id-hash exchange settles
+    each id's total exactly and re-reduces IN PLACE to (source,
+    count-class c, m ids) cells — the harmonic-sized spectrum, NOT the
+    vocabulary; the k=1 merge sorts O(classes) rows per source and
+    reads both knees off one cumulative sum.  Token lists and the id
+    vocabulary never reach the driver."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(
+            rd.read_parquet(files, columns=["source"]).unique("source")
+        ),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.list_flatten(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(v) and (int(v.min()) < 0 or int(v.max()) >= (1 << 32)):
+            raise ValueError(
+                "tape_vocab_pareto: token id outside [0, 2^32) — "
+                "(source, id) packing needs a wider key"
+            )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(ln)), ln)
+        key, n = np.unique(code[row] * (1 << 32) + v, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(key.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sc": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("key", use_threads=False).aggregate([("n", "sum")])
+        s = (
+            g["key"].combine_chunks().to_numpy(zero_copy_only=False)
+            >> 32
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(n) and int(n.max()) >= (1 << 48):
+            raise ValueError(
+                "tape_vocab_pareto: count-class >= 2^48 — (source, c) "
+                "packing needs a wider key"
+            )
+        sc, m = np.unique(s * (1 << 48) + n, return_counts=True)
+        return pa.table(
+            {
+                "sc": pa.array(sc.astype(np.int64)),
+                "m": pa.array(m.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_ids = np.zeros(ns, np.int64)
+        n_occ = np.zeros(ns, np.int64)
+        v = np.zeros((ns, 2), np.int64)
+        if t.num_rows:
+            g = t.group_by("sc", use_threads=False).aggregate(
+                [("m", "sum")]
+            )
+            sc = g["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = g["m_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            s = sc >> 48
+            c = sc & ((1 << 48) - 1)
+            for si in range(ns):
+                sel = s == si
+                if not sel.any():
+                    continue
+                cs, ms = c[sel], m[sel]
+                order = np.argsort(-cs, kind="stable")
+                cs, ms = cs[order], ms[order]
+                occ = cs * ms
+                tot = int(occ.sum())
+                n_ids[si] = int(ms.sum())
+                n_occ[si] = tot
+                cum = np.cumsum(occ)
+                ids_before = np.concatenate(
+                    ([0], np.cumsum(ms)[:-1])
+                )
+                occ_before = np.concatenate(([0], cum[:-1]))
+                for qi, q in enumerate((500, 900)):
+                    thr = (tot * q + 999) // 1000
+                    j = int(np.searchsorted(cum, thr, side="left"))
+                    need = thr - int(occ_before[j])
+                    take = (need + int(cs[j]) - 1) // int(cs[j])
+                    v[si, qi] = int(ids_before[j]) + take
+        return pa.table(
+            {
+                "source": srcs,
+                "n_occ": pa.array(n_occ),
+                "n_ids": pa.array(n_ids),
+                "v500": pa.array(v[:, 0]),
+                "v900": pa.array(v[:, 1]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "key", fold, k=_doc_k_files(files)
+    )
+    return hash_partition_merge(cells, "sc", merge, k=1)
+
+
+
+def embedding_sign_profile(sf_dir: str) -> Dataset:
+    """T147: per-dimension sign profile — for each vector dimension
+    (1-based, matching generate_subscripts): strictly-positive,
+    strictly-negative and exactly-zero component counts plus the
+    positive permille — the bias / dead-dimension audit that
+    complements T75's range board (a dimension that is 99% positive
+    carries a constant offset that inflates every T6 cosine; one that
+    is mostly exact zeros is sparse output the ANN index can skip; a
+    50/50 dimension is healthy).  One dense row per dimension ALWAYS;
+    exact int64 — sign tests on floats are order-free, so engine and
+    oracle agree bit-exactly (unnest + generate_subscripts + FILTER
+    oracle).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per batch
+    (one flatten — the list child is contiguous), three vectorized
+    comparisons reduce each batch to d partial rows, and the k=1 merge
+    folds O(batches × d) rows with one group_by."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "neg": pa.array([], pa.int64()),
+                    "zero": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "pos": pa.array((m > 0).sum(axis=0).astype(np.int64)),
+                "neg": pa.array((m < 0).sum(axis=0).astype(np.int64)),
+                "zero": pa.array((m == 0).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                    "n_neg": pa.array([], pa.int64()),
+                    "n_zero": pa.array([], pa.int64()),
+                    "pos_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dim", use_threads=False).aggregate(
+            [("pos", "sum"), ("neg", "sum"), ("zero", "sum")]
+        )
+        g = g.sort_by("dim")
+        pos = g["pos_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        neg = g["neg_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        zero = g["zero_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.maximum(pos + neg + zero, 1)
+        return pa.table(
+            {
+                "dim": g["dim"],
+                "n_pos": pa.array(pos),
+                "n_neg": pa.array(neg),
+                "n_zero": pa.array(zero),
+                "pos_permille": pa.array(1000 * pos // tot),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
