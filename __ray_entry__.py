@@ -751,6 +751,12 @@ def _q_events_stuck_values(sf_dir: str):
     return events_stuck_values(sf_dir)
 
 
+def _q_events_rank_flips(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_rank_flips
+
+    return events_rank_flips(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1548,6 +1554,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stuck_values": _q_events_stuck_values,
         "embedding_sign_profile": td.embedding_sign_profile,
         "rel_type_revenue": rel.type_revenue,
+        "events_rank_flips": _q_events_rank_flips,
+        "f1_bigram_novelty_1h": lambda sf_dir: td.f1_bigram_novelty_1h(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_supplier_type_diversity": rel.supplier_type_diversity,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7550,5 +7561,70 @@ def oracle_sql() -> dict[str, str]:
                        AS returned_permille
             FROM (SELECT DISTINCT p_type FROM part) t
             LEFT JOIN a ON a.p_type = t.p_type
+        """,
+        "events_rank_flips": """
+            WITH c AS (SELECT CAST(ts AS DATE) dd, event_type s,
+                              CAST(count(*) AS BIGINT) n
+                       FROM events GROUP BY 1, 2),
+                 grid AS (SELECT d.dd, x.s, COALESCE(c.n, 0) n
+                          FROM (SELECT DISTINCT dd FROM c) d
+                          CROSS JOIN (SELECT DISTINCT event_type s
+                                      FROM events) x
+                          LEFT JOIN c ON c.dd = d.dd AND c.s = x.s),
+                 r AS (SELECT dd, s,
+                              row_number() OVER (PARTITION BY dd
+                                  ORDER BY n DESC, s ASC) rk
+                       FROM grid),
+                 f AS (SELECT s, rk,
+                              lag(rk) OVER (PARTITION BY s ORDER BY dd) pk
+                       FROM r)
+            SELECT s AS source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(min(rk) AS BIGINT) AS best_rank,
+                   CAST(max(rk) AS BIGINT) AS worst_rank,
+                   CAST(sum(rk) AS BIGINT) AS rank_sum,
+                   CAST(count(*) FILTER (WHERE pk IS NOT NULL
+                                         AND rk <> pk) AS BIGINT)
+                       AS rank_changes
+            FROM f GROUP BY 1
+        """,
+        "f1_bigram_novelty_1h": """
+            WITH e AS (SELECT CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) // 3600 AS b,
+                              unnest(list_transform(
+                                  generate_series(
+                                      1, greatest(len(tokens) - 1, 0)),
+                                  i -> CAST(tokens[i] AS BIGINT) * 65536
+                                       + tokens[i + 1])) AS pr
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+            d AS (SELECT DISTINCT b, pr FROM e),
+            f AS (SELECT pr, min(b) mb FROM d GROUP BY 1)
+            SELECT TIMESTAMP '2026-01-01 00:00:00'
+                     + d.b * INTERVAL 3600 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                   CAST(sum(CASE WHEN f.mb = d.b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new_bigrams
+            FROM d JOIN f ON d.pr = f.pr GROUP BY 1
+        """,
+        "rel_supplier_type_diversity": """
+            WITH j AS (SELECT l_suppkey sk, p_type,
+                              CAST(floor(l_extendedprice
+                                         * (1 - l_discount)) AS BIGINT) rev
+                       FROM lineitem JOIN part ON l_partkey = p_partkey),
+                 per AS (SELECT sk,
+                                CAST(count(DISTINCT p_type) AS BIGINT) dv,
+                                CAST(count(*) AS BIGINT) nl,
+                                CAST(sum(rev) AS BIGINT) rv
+                         FROM j GROUP BY 1),
+                 g AS (SELECT s.s_suppkey sk, COALESCE(per.dv, 0) dv,
+                              COALESCE(per.nl, 0) nl, COALESCE(per.rv, 0) rv
+                       FROM supplier s
+                       LEFT JOIN per ON per.sk = s.s_suppkey),
+                 u AS (SELECT unnest(generate_series(0,
+                           (SELECT count(DISTINCT p_type) FROM part))) d)
+            SELECT CAST(u.d AS BIGINT) AS n_types,
+                   CAST(count(g.sk) AS BIGINT) AS n_suppliers,
+                   CAST(COALESCE(sum(g.nl), 0) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(sum(g.rv), 0) AS BIGINT) AS revenue_floor
+            FROM u LEFT JOIN g ON g.dv = u.d GROUP BY 1
         """,
     }

@@ -493,6 +493,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_stuck_values",
         "embedding_sign_profile",
         "rel_type_revenue",
+        "events_rank_flips",
+        "f1_bigram_novelty_1h",
+        "rel_supplier_type_diversity",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

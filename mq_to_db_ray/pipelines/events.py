@@ -12475,3 +12475,127 @@ def events_stuck_values(
         )
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_rank_flips(sf_dir: str) -> Dataset:
+    """E141: leaderboard-stability board — rank EVERY source on EVERY
+    calendar day present in the stream (by that day's event count,
+    absent sources counting 0; ties → source string ascending) and
+    report per source: days ranked, best and worst rank, the rank
+    SUM over all days, and the number of day-to-day rank CHANGES —
+    E101 tracks only who is #1; E141 reads the whole leaderboard's
+    churn (a stable mix has near-zero flips at every position; heavy
+    mid-table flipping with a frozen #1 is the long-tail rotation
+    E64's share board shows as noise).  One dense row per source
+    ALWAYS.  Exact int64 (dense day×source grid + row_number + lag
+    oracle).
+
+    Scale shape — E101's two-stage reduction: per batch one packed
+    np.unique to (day, source, n) partials; the day-hash exchange
+    settles each day's exact counts and emits the day's FULL rank
+    column (ns rows — the grid is O(days × sources), corpus-length
+    independent); the k=1 merge lexsorts the tiny grid once for the
+    per-source flip scan."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    day_us = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // day_us
+        )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = day * ns + code
+        vals, freq = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(vals // ns, pa.int64()),
+                "c": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(freq.astype(np.int64)),
+            }
+        )
+
+    def rank_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["d", "c"], use_threads=False).aggregate([("n", "sum")])
+        dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        days = np.unique(dd)
+        nd = len(days)
+        # dense day x source count grid for this partition's days
+        grid = np.zeros((nd, ns), np.int64)
+        grid[np.searchsorted(days, dd), cc] = nn
+        # per-day rank: order by (-n, code); position+1 is the rank
+        order = np.argsort(-grid, axis=1, kind="stable")
+        rk = np.empty((nd, ns), np.int64)
+        rows = np.repeat(np.arange(nd), ns)
+        rk[rows, order.ravel()] = np.tile(np.arange(1, ns + 1), nd)
+        return pa.table(
+            {
+                "d": pa.array(np.repeat(days, ns)),
+                "c": pa.array(np.tile(np.arange(ns, dtype=np.int64), nd)),
+                "rk": pa.array(rk.ravel()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_days = np.zeros(ns, np.int64)
+        best = np.full(ns, np.iinfo(np.int64).max, np.int64)
+        worst = np.zeros(ns, np.int64)
+        rsum = np.zeros(ns, np.int64)
+        flips = np.zeros(ns, np.int64)
+        if t.num_rows:
+            dd = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+            cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            rk = t["rk"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((dd, cc))
+            c2, r2 = cc[order], rk[order]
+            np.add.at(n_days, c2, 1)
+            np.minimum.at(best, c2, r2)
+            np.maximum.at(worst, c2, r2)
+            np.add.at(rsum, c2, r2)
+            same_src = np.zeros(len(order), dtype=bool)
+            same_src[1:] = c2[1:] == c2[:-1]
+            changed = np.zeros(len(order), dtype=bool)
+            changed[1:] = r2[1:] != r2[:-1]
+            np.add.at(flips, c2[same_src & changed], 1)
+        best[n_days == 0] = 0
+        return pa.table(
+            {
+                "source": srcs,
+                "n_days": pa.array(n_days),
+                "best_rank": pa.array(best),
+                "worst_rank": pa.array(worst),
+                "rank_sum": pa.array(rsum),
+                "rank_changes": pa.array(flips),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranks = hash_partition_merge(partials, "d", rank_fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(ranks, "c", merge, k=1)

@@ -11336,3 +11336,216 @@ def type_revenue(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "ty", merge, k=1)
+
+
+def supplier_type_diversity(sf_dir: str) -> Dataset:
+    """R75: supplier generalism histogram — for each distinct-type
+    count d (0..|types|): suppliers whose shipped lines span exactly d
+    distinct part TYPES, with their total lines and floored discounted
+    revenue — R52 flipped across the join (R52 asks how many suppliers
+    compete for a PART; R75 asks how many product categories a
+    SUPPLIER carries — the specialist/generalist split that prices a
+    supplier failure: losing a 1-type specialist stops one category,
+    losing a 6-type generalist dents all of them).  Suppliers with no
+    shipped lines sit in the d = 0 row; one dense row for EVERY d
+    ALWAYS.  Exact int64 (count-DISTINCT join + generate_series
+    densifier oracle; money floors per line, the §2.3b convention).
+
+    Scale shape — R74's co-partition chain with a second key hop:
+    parts reduce to (partkey, type-rank) and lineitem batches
+    pre-reduce to (partkey, suppkey, nl, rev) partials; the
+    partkey-hash fold attaches each part's rank with one searchsorted
+    and re-reduces to distinct (suppkey, type, nl, rev) rows; the
+    suppkey-hash fold (supplier dim unioned in for the zero row)
+    settles each supplier's exact type set and collapses IN PLACE to a
+    ≤ |types|+1 histogram; k=1 densifying merge.  Nothing broadcasts
+    but the ~6-value type list."""
+    types = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_type"]
+            ).unique("p_type")
+        ),
+        pa.string(),
+    )
+    nt = len(types)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["p_type"], value_set=types), pa.int64()
+                ),
+                "sk": pa.array(np.full(n, -1, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "sk": pc.cast(b["l_suppkey"], pa.int64()),
+                "nl": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by(["k", "sk"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "sk", "nl", "rev"])
+        return g.append_column(
+            "ty", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "ty", "sk", "nl", "rev"])
+
+    def attach_fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sk": pa.array([], pa.int64()),
+                "ty": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dty = d["ty"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        g = pa.table(
+            {
+                "sk": f["sk"].combine_chunks().filter(pa.array(hit)),
+                "ty": pa.array(dty[pos][hit]),
+                "nl": f["nl"].combine_chunks().filter(pa.array(hit)),
+                "rev": f["rev"].combine_chunks().filter(pa.array(hit)),
+            }
+        ).group_by(["sk", "ty"], use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["sk", "ty", "nl", "rev"])
+
+    def supp_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "sk": pc.cast(b["s_suppkey"], pa.int64()),
+                "ty": pa.array(np.full(n, -1, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def hist_fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dv": pa.array([], pa.int64()),
+                "nsup": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = t["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = t["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        usk = np.unique(sk)
+        idx = np.searchsorted(usk, sk)
+        # distinct types per supplier: unique (supplier, type) pairs with
+        # ty >= 0 (dim rows carry -1 and count nothing)
+        real = ty >= 0
+        pair = np.unique(idx[real] * (nt + 1) + ty[real])
+        dv = np.bincount((pair // (nt + 1)).astype(np.int64), minlength=len(usk))
+        s_nl = np.zeros(len(usk), np.int64)
+        s_rev = np.zeros(len(usk), np.int64)
+        np.add.at(s_nl, idx, nl)
+        np.add.at(s_rev, idx, rev)
+        g_ns = np.zeros(nt + 1, np.int64)
+        g_nl = np.zeros(nt + 1, np.int64)
+        g_rev = np.zeros(nt + 1, np.int64)
+        np.add.at(g_ns, dv, 1)
+        np.add.at(g_nl, dv, s_nl)
+        np.add.at(g_rev, dv, s_rev)
+        live = np.flatnonzero(g_ns)
+        return pa.table(
+            {
+                "dv": pa.array(live.astype(np.int64)),
+                "nsup": pa.array(g_ns[live]),
+                "nl": pa.array(g_nl[live]),
+                "rev": pa.array(g_rev[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_ns = np.zeros(nt + 1, np.int64)
+        g_nl = np.zeros(nt + 1, np.int64)
+        g_rev = np.zeros(nt + 1, np.int64)
+        if t.num_rows:
+            dv = t["dv"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                g_ns, dv,
+                t["nsup"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                g_nl, dv,
+                t["nl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                g_rev, dv,
+                t["rev"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "n_types": pa.array(np.arange(nt + 1, dtype=np.int64)),
+                "n_suppliers": pa.array(g_ns),
+                "n_lines": pa.array(g_nl),
+                "revenue_floor": pa.array(g_rev),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    per_supp = hash_partition_merge(
+        fact.union(dim), "k", attach_fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    sup_dim = supp.map_batches(supp_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        per_supp.union(sup_dim), "sk", hist_fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "dv", merge, k=1)

@@ -13951,3 +13951,123 @@ def embedding_sign_profile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def f1_bigram_novelty_1h(sf_dir: str) -> Dataset:
+    """T148/F: hourly bigram-novelty curve over the F1 tokenized
+    stream — per 1h bucket: DISTINCT adjacent token PAIRS seen +
+    pairs whose FIRST tape appearance is that bucket — T97's
+    vocabulary-saturation question asked one order up (unigram
+    novelty flattens as soon as the id space is covered; the BIGRAM
+    curve keeps rising while new constructions enter the tape, and
+    its knee is the honest "nothing new is being said" signal T66's
+    global bigram top-k cannot time).  Pairs never cross row
+    boundaries (a sequence is one message — reference consumer
+    framing, rmq.go one-delivery-one-SQL).  Exact int64 (DISTINCT
+    pair + min-bucket join oracle; pair packed t1·65536+t2, exact
+    for the 50257-id vocab).
+
+    Scale shape — T97's ONE pair-keyed exchange verbatim: each batch
+    masks out list-final positions (offsets, not a row loop), packs
+    (t1, t2, bucket) into one int64 and np.unique-compacts to its
+    distinct (pair, bucket) rows; the pair-hash partition holds every
+    bucket a pair touches, so its exact first bucket settles locally
+    and both counts reduce to (bucket, distinct, new) partials; k=1
+    merge sums O(buckets) rows."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+    from ..timegrid import T0_US
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bucket = seq // 3600
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        # mask out each list's final position: flat[i], flat[i+1] are an
+        # adjacent pair of the SAME sequence exactly where mask holds
+        ends = np.cumsum(nper)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[ends[nper > 0] - 1] = False
+        idx = np.flatnonzero(mask)
+        pair = flat[idx] * 65_536 + flat[idx + 1]
+        bkt = np.repeat(bucket, np.maximum(nper - 1, 0))
+        packed = np.unique(pair * (1 << 20) + bkt)
+        return pa.table(
+            {
+                "pr": pa.array(packed >> 20, pa.int64()),
+                "b": pa.array(packed & 0xFFFFF, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "nn": pa.array([], pa.int64()),
+                }
+            )
+        pr = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(pr * (1 << 20) + bb)
+        pk, bk = pairs >> 20, pairs & 0xFFFFF
+        head = np.empty(len(pairs), bool)
+        head[0] = True
+        head[1:] = pk[1:] != pk[:-1]
+        nb = int(bk.max()) + 1
+        nd = np.bincount(bk, minlength=nb)
+        nn = np.bincount(bk[head], minlength=nb)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "b": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live].astype(np.int64)),
+                "nn": pa.array(nn[live].astype(np.int64)),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["doc_id", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_pair = hash_partition_merge(partials, "pr", fold, k=_doc_k_files(files))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "n_distinct_bigrams": pa.array([], pa.int64()),
+                    "n_new_bigrams": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("b", use_threads=False).aggregate(
+            [("nd", "sum"), ("nn", "sum")]
+        )
+        bb = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket_ts": pa.array(
+                    bb * 3_600_000_000 + T0_US, pa.timestamp("us")
+                ),
+                "n_distinct_bigrams": pc.cast(g["nd_sum"], pa.int64()),
+                "n_new_bigrams": pc.cast(g["nn_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_pair, "b", merge, k=1)
