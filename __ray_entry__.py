@@ -757,6 +757,12 @@ def _q_events_rank_flips(sf_dir: str):
     return events_rank_flips(sf_dir)
 
 
+def _q_events_source_retention(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_source_retention
+
+    return events_source_retention(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1559,6 +1565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_supplier_type_diversity": rel.supplier_type_diversity,
+        "events_source_retention": _q_events_source_retention,
+        "doc_quality_margin": td.quality_margin,
+        "rel_priority_loyalty": rel.priority_loyalty,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7626,5 +7635,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(g.nl), 0) AS BIGINT) AS n_lines,
                    CAST(COALESCE(sum(g.rv), 0) AS BIGINT) AS revenue_floor
             FROM u LEFT JOIN g ON g.dv = u.d GROUP BY 1
+        """,
+        "events_source_retention": """
+            WITH d AS (SELECT DISTINCT event_type s, user_id,
+                              date_trunc('week', ts) AS week
+                       FROM events),
+                 c AS (SELECT s,
+                              CASE WHEN lag(week) OVER (
+                                       PARTITION BY s, user_id
+                                       ORDER BY week)
+                                   = week - INTERVAL 7 DAY
+                              THEN 1 ELSE 0 END AS ret
+                       FROM d)
+            SELECT s AS source,
+                   CAST(count(*) AS BIGINT) AS n_user_weeks,
+                   CAST(sum(ret) AS BIGINT) AS n_retained,
+                   CAST((1000 * sum(ret)) // count(*) AS BIGINT)
+                       AS retained_permille
+            FROM c GROUP BY 1
+        """,
+        "doc_quality_margin": """
+            WITH t AS (SELECT doc_id, source, lang, text,
+                              str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1),
+            f AS (SELECT t.source,
+                         CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS p1,
+                         CASE WHEN rep.n BETWEEN 20 AND 90
+                              THEN 1 ELSE 0 END AS p2,
+                         CASE WHEN floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+                               AND floor(1000.0*rep.m/rep.n) <= 130
+                              THEN 1 ELSE 0 END AS p3,
+                         CASE WHEN floor(1000.0*st.s/rep.n) >= 20
+                              THEN 1 ELSE 0 END AS p4,
+                         CASE WHEN t.doc_id IN (SELECT doc_id FROM hit)
+                              THEN 0 ELSE 1 END AS p5
+                  FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id)),
+            m AS (SELECT source, p1, p2, p3, p4, p5,
+                         p1 + p2 + p3 + p4 + p5 AS np FROM f)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN np = 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pass_all,
+                   CAST(sum(CASE WHEN np = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_one,
+                   CAST(sum(CASE WHEN np = 4 AND p1 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_lang,
+                   CAST(sum(CASE WHEN np = 4 AND p2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_band,
+                   CAST(sum(CASE WHEN np = 4 AND p3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_rep,
+                   CAST(sum(CASE WHEN np = 4 AND p4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_stop,
+                   CAST(sum(CASE WHEN np = 4 AND p5 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_contam
+            FROM m GROUP BY 1
+        """,
+        "rel_priority_loyalty": """
+            WITH p AS (SELECT DISTINCT o_custkey c, o_orderpriority pr
+                       FROM orders),
+                 k AS (SELECT c, count(*) np FROM p GROUP BY 1)
+            SELECT pr AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(count(*) FILTER (WHERE k.np = 1) AS BIGINT)
+                       AS n_exclusive,
+                   CAST(1000 * count(*) FILTER (WHERE k.np = 1)
+                        // count(*) AS BIGINT) AS exclusive_permille
+            FROM p JOIN k USING (c) GROUP BY 1
         """,
     }

@@ -496,6 +496,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_rank_flips",
         "f1_bigram_novelty_1h",
         "rel_supplier_type_diversity",
+        "events_source_retention",
+        "doc_quality_margin",
+        "rel_priority_loyalty",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

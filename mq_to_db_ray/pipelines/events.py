@@ -12599,3 +12599,132 @@ def events_rank_flips(sf_dir: str) -> Dataset:
     )
     ranks = hash_partition_merge(partials, "d", rank_fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(ranks, "c", merge, k=1)
+
+
+def events_source_retention(sf_dir: str) -> Dataset:
+    """E142: per-source weekly audience stickiness — per source: distinct
+    (user, Monday-week) pairs, pairs where the SAME user was active in
+    the SAME source the previous week, and the retained permille — E71
+    asks whether the PLATFORM keeps its users week over week; E142 asks
+    which source does the keeping (a source with big reach and a thin
+    retained permille is drive-by traffic; the habit-forming source is
+    where E124's exclusive audience actually lives).  One dense row per
+    source ALWAYS.  Exact int64 (distinct source-user-weeks + lag
+    oracle, E71's week convention verbatim).
+
+    Scale shape — E71's distinct-pair reduction with the source riding
+    along: each batch lexsort-compacts to distinct (source, user, week)
+    triples; the USER-hash partition holds every week of every source a
+    user touched, so consecutive-week adjacency settles locally and
+    re-reduces IN PLACE to (source, user_weeks, retained) partials —
+    O(sources) rows per partition however long the tape; k=1 densifying
+    merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    day_us = 86_400_000_000
+    week_us = 7 * day_us
+    monday0_us = 4 * day_us
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cc = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        wk = (ts_us - monday0_us) // week_us
+        order = np.lexsort((wk, cc, uu))
+        u2, c2, w2 = uu[order], cc[order], wk[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (
+            (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1]) | (w2[1:] != w2[:-1])
+        )
+        st = np.flatnonzero(new)
+        return pa.table(
+            {
+                "user_id": pa.array(u2[st], pa.int64()),
+                "c": pa.array(c2[st], pa.int64()),
+                "week": pa.array(w2[st], pa.int64()),
+            }
+        )
+
+    def user_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "uw": pa.array([], pa.int64()),
+                    "ret": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = t["week"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ww, cc, uu))
+        u2, c2, w2 = uu[order], cc[order], ww[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1]) | (
+            w2[1:] != w2[:-1]
+        )
+        st = new  # distinct triples (exchange may duplicate across batches)
+        u3, c3, w3 = u2[st], c2[st], w2[st]
+        same = np.zeros(len(u3), dtype=bool)
+        same[1:] = (u3[1:] == u3[:-1]) & (c3[1:] == c3[:-1])
+        ret = same & (np.diff(w3, prepend=w3[0] if len(w3) else 0) == 1)
+        uw = np.bincount(c3, minlength=ns)
+        rr = np.bincount(c3[ret], minlength=ns)
+        live = np.flatnonzero(uw)
+        return pa.table(
+            {
+                "c": pa.array(live.astype(np.int64)),
+                "uw": pa.array(uw[live].astype(np.int64)),
+                "ret": pa.array(rr[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        uw = np.zeros(ns, np.int64)
+        ret = np.zeros(ns, np.int64)
+        if t.num_rows:
+            cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                uw, cc,
+                t["uw"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ret, cc,
+                t["ret"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_user_weeks": pa.array(uw),
+                "n_retained": pa.array(ret),
+                "retained_permille": pa.array(
+                    1000 * ret // np.maximum(uw, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(cells, "c", merge, k=1)

@@ -11549,3 +11549,115 @@ def supplier_type_diversity(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "dv", merge, k=1)
+
+
+def priority_loyalty(sf_dir: str) -> Dataset:
+    """R76: priority-loyalty board — per order priority: customers who
+    placed ≥1 order at it, customers for whom it is their ONLY priority
+    (every one of their orders carries it), and the exclusive permille
+    — E124's audience-ownership question asked of the order stream (a
+    priority whose users are mostly exclusive is a real service tier
+    with a distinct clientele; one with near-zero exclusivity is a
+    per-order whim, and R34's Q12 split should not be read as customer
+    segmentation).  One dense row per priority present ALWAYS.  Exact
+    int64 (distinct-pair + per-customer count-DISTINCT oracle).
+
+    Scale shape — ONE customer-hash exchange, pre-reduced per batch:
+    order batches lexsort-compact to distinct (custkey, priority-rank)
+    pairs; each customer's partition holds their full priority set, so
+    exclusivity settles locally and collapses IN PLACE to a ≤ |prios|
+    (n_any, n_exclusive) grid; k=1 densifying merge.  Only the ~5-value
+    priority list broadcasts."""
+    prios = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderpriority"]
+            ).unique("o_orderpriority")
+        ),
+        pa.string(),
+    )
+    np_ = len(prios)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cu = pc.cast(b["o_custkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pr = (
+            pc.cast(
+                pc.index_in(b["o_orderpriority"], value_set=prios), pa.int64()
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pairs = np.unique(cu * np_ + pr)
+        return pa.table(
+            {
+                "cust": pa.array(pairs // np_, pa.int64()),
+                "pr": pa.array(pairs % np_, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "pr": pa.array([], pa.int64()),
+                    "n_any": pa.array([], pa.int64()),
+                    "n_excl": pa.array([], pa.int64()),
+                }
+            )
+        cu = t["cust"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(cu * np_ + pr)
+        c2, p2 = pairs // np_, pairs % np_
+        ucust, idx = np.unique(c2, return_inverse=True)
+        kcount = np.bincount(idx)
+        n_any = np.bincount(p2, minlength=np_)
+        excl = kcount[idx] == 1
+        n_excl = np.bincount(p2[excl], minlength=np_)
+        live = np.flatnonzero(n_any)
+        return pa.table(
+            {
+                "pr": pa.array(live.astype(np.int64)),
+                "n_any": pa.array(n_any[live].astype(np.int64)),
+                "n_excl": pa.array(n_excl[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n_any = np.zeros(np_, np.int64)
+        n_excl = np.zeros(np_, np.int64)
+        if t.num_rows:
+            pr = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                n_any, pr,
+                t["n_any"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                n_excl, pr,
+                t["n_excl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "o_orderpriority": prios,
+                "n_customers": pa.array(n_any),
+                "n_exclusive": pa.array(n_excl),
+                "exclusive_permille": pa.array(
+                    1000 * n_excl // np.maximum(n_any, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "cust", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "pr", merge, k=1)

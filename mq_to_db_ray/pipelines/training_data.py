@@ -14071,3 +14071,93 @@ def f1_bigram_novelty_1h(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_pair, "b", merge, k=1)
+
+
+def quality_margin(
+    sf_dir: str,
+    *,
+    eval_max_doc_id: int = 10,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_dup_permille: int = 600,
+    max_top_permille: int = 130,
+    min_stop_permille: int = 20,
+) -> Dataset:
+    """T149: quality-margin board — per source: docs, docs passing ALL
+    five T29 predicates, docs failing EXACTLY ONE, and that sole-failure
+    count attributed per predicate (language / word band / repetition
+    caps / stopword floor / decontamination) — the knob-elasticity read
+    T54's funnel can't give (the funnel counts losses in CHAIN order, so
+    a doc failing only decontamination still shows under whatever
+    earlier stage order charges it; T149 counts each doc's failure set
+    independently: the predicate with the fattest sole-failure column is
+    the threshold whose relaxation buys the most corpus).  Exact int64
+    (T54's CTE with INDEPENDENT bits oracle; same fused kernel, bits
+    bit-identical to the standalone operators).
+
+    Scale shape — T29's ONE streaming text pass verbatim (text read
+    once, split once, never shuffled; eval shingles broadcast via
+    ray.put): each batch reduces to per-source partial rows; tiny
+    groupby-source merge."""
+    import ray
+
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+    cols = [
+        "n_docs",
+        "n_pass_all",
+        "n_fail_one",
+        "only_lang",
+        "only_band",
+        "only_rep",
+        "only_stop",
+        "only_contam",
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        p1 = lang_en
+        p2 = (n_words >= min_words) & (n_words <= max_words)
+        p3 = (dup <= max_dup_permille) & (topf <= max_top_permille)
+        p4 = stopf >= min_stop_permille
+        p5 = hits == 0
+        npass = (
+            p1.astype(np.int64) + p2 + p3 + p4 + p5
+        )
+        sole = npass == 4
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_pass_all": pa.array((npass == 5).astype(np.int64)),
+                "n_fail_one": pa.array(sole.astype(np.int64)),
+                "only_lang": pa.array((sole & ~p1).astype(np.int64)),
+                "only_band": pa.array((sole & ~p2).astype(np.int64)),
+                "only_rep": pa.array((sole & ~p3).astype(np.int64)),
+                "only_stop": pa.array((sole & ~p4).astype(np.int64)),
+                "only_contam": pa.array((sole & ~p5).astype(np.int64)),
+            }
+        )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [(c, "sum") for c in cols]
+        )
+        return g.rename_columns(["source", *cols])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in cols},
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [(c, "sum") for c in cols]
+        )
+        return g.rename_columns(["source", *cols])
+
+    partials = _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
