@@ -763,6 +763,12 @@ def _q_events_source_retention(sf_dir: str):
     return events_source_retention(sf_dir)
 
 
+def _q_events_weekpart_audience(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_weekpart_audience
+
+    return events_weekpart_audience(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1568,6 +1574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_retention": _q_events_source_retention,
         "doc_quality_margin": td.quality_margin,
         "rel_priority_loyalty": rel.priority_loyalty,
+        "events_weekpart_audience": _q_events_weekpart_audience,
+        "f1_vocab_lifetime": lambda sf_dir: td.f1_vocab_lifetime(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_nation_segment_matrix": rel.nation_segment_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7717,5 +7728,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * count(*) FILTER (WHERE k.np = 1)
                         // count(*) AS BIGINT) AS exclusive_permille
             FROM p JOIN k USING (c) GROUP BY 1
+        """,
+        "events_weekpart_audience": """
+            WITH d AS (SELECT DISTINCT event_type s, user_id u,
+                              CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END we
+                       FROM events),
+                 p AS (SELECT s, u,
+                              max(CASE WHEN we = 0 THEN 1 ELSE 0 END) wd,
+                              max(we) wk
+                       FROM d GROUP BY 1, 2)
+            SELECT s AS source,
+                   CAST(count(*) FILTER (WHERE wd = 1 AND wk = 0)
+                        AS BIGINT) AS n_weekday_only,
+                   CAST(count(*) FILTER (WHERE wd = 0 AND wk = 1)
+                        AS BIGINT) AS n_weekend_only,
+                   CAST(count(*) FILTER (WHERE wd = 1 AND wk = 1)
+                        AS BIGINT) AS n_both,
+                   CAST(1000 * count(*) FILTER (WHERE wd = 1 AND wk = 1)
+                        // count(*) AS BIGINT) AS both_permille
+            FROM p GROUP BY 1
+        """,
+        "f1_vocab_lifetime": """
+            WITH e AS (SELECT CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) // 3600 AS b,
+                              unnest(tokens) AS tok
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 t AS (SELECT tok, min(b) fb, max(b) lb,
+                              CAST(count(*) AS BIGINT) n
+                       FROM e GROUP BY 1)
+            SELECT CAST(lb - fb AS BIGINT) AS span_hours,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences
+            FROM t GROUP BY 1
+        """,
+        "rel_nation_segment_matrix": """
+            WITH c AS (SELECT c_custkey, n_name, c_mktsegment
+                       FROM customer JOIN nation
+                         ON c_nationkey = n_nationkey),
+                 o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) nord,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) rev
+                       FROM orders GROUP BY 1)
+            SELECT n_name, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(COALESCE(sum(o.nord), 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(sum(o.rev), 0) AS BIGINT) AS revenue_floor
+            FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey GROUP BY 1, 2
         """,
     }

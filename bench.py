@@ -499,6 +499,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_source_retention",
         "doc_quality_margin",
         "rel_priority_loyalty",
+        "events_weekpart_audience",
+        "f1_vocab_lifetime",
+        "rel_nation_segment_matrix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -12728,3 +12728,122 @@ def events_source_retention(sf_dir: str) -> Dataset:
         partials, "user_id", user_fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(cells, "c", merge, k=1)
+
+
+def events_weekpart_audience(sf_dir: str) -> Dataset:
+    """E143: weekday/weekend audience split — per source: users active
+    ONLY on weekdays, ONLY on weekends (UTC; Sat/Sun), users active in
+    BOTH regimes, and the both-permille of the source's audience —
+    E112's capacity board counts EVENTS per regime; E143 asks whether
+    they come from the same PEOPLE (a source whose weekend volume is
+    its weekday users staying on is one audience with two schedules;
+    disjoint weekday/weekend crowds are two products sharing a name,
+    and E71-style retention should be read per regime).  One dense row
+    per source ALWAYS.  Exact int64 (distinct-triple + per-user
+    max-bit oracle; isodow ≥ 6 ≡ (epoch_day+3) mod 7 ≥ 5).
+
+    Scale shape — ONE user-hash exchange of distinct (source, user,
+    regime-bit) triples (each batch lexsort-compacts first — at most
+    2 rows per (source, user) survive per batch); each user's
+    partition holds both bits of every pair, so the only/both split
+    settles locally and collapses IN PLACE to O(sources) partial rows;
+    k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    day_us = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cc = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        we = ((ts_us // day_us + 3) % 7 >= 5).astype(np.int64)
+        packed = (uu * ns + cc) * 2 + we
+        vals = np.unique(packed)
+        return pa.table(
+            {
+                "user_id": pa.array(vals // (2 * ns), pa.int64()),
+                "c": pa.array((vals // 2) % ns, pa.int64()),
+                "we": pa.array(vals & 1, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "nwd": pa.array([], pa.int64()),
+                    "nwe": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        we = t["we"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique((uu * ns + cc) * 2 + we)
+        pc_ = pairs // 2
+        bit = pairs & 1
+        upair, idx = np.unique(pc_, return_inverse=True)
+        has_wd = np.zeros(len(upair), bool)
+        has_we = np.zeros(len(upair), bool)
+        has_wd[idx[bit == 0]] = True
+        has_we[idx[bit == 1]] = True
+        code = (upair % ns).astype(np.int64)
+        nwd = np.bincount(code[has_wd & ~has_we], minlength=ns)
+        nwe = np.bincount(code[~has_wd & has_we], minlength=ns)
+        nb = np.bincount(code[has_wd & has_we], minlength=ns)
+        live = np.flatnonzero(nwd + nwe + nb)
+        return pa.table(
+            {
+                "c": pa.array(live.astype(np.int64)),
+                "nwd": pa.array(nwd[live].astype(np.int64)),
+                "nwe": pa.array(nwe[live].astype(np.int64)),
+                "nb": pa.array(nb[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nwd = np.zeros(ns, np.int64)
+        nwe = np.zeros(ns, np.int64)
+        nb = np.zeros(ns, np.int64)
+        if t.num_rows:
+            cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in ((nwd, "nwd"), (nwe, "nwe"), (nb, "nb")):
+                np.add.at(
+                    grid, cc,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        tot = nwd + nwe + nb
+        return pa.table(
+            {
+                "source": srcs,
+                "n_weekday_only": pa.array(nwd),
+                "n_weekend_only": pa.array(nwe),
+                "n_both": pa.array(nb),
+                "both_permille": pa.array(1000 * nb // np.maximum(tot, 1)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(cells, "c", merge, k=1)

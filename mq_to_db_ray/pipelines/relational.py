@@ -11661,3 +11661,168 @@ def priority_loyalty(sf_dir: str) -> Dataset:
         partials, "cust", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "pr", merge, k=1)
+
+
+def nation_segment_matrix(sf_dir: str) -> Dataset:
+    """R77: nation × market-segment customer matrix — per (n_name,
+    c_mktsegment): registered customers, their lifetime order count and
+    floored order-value total — the geographic × behavioral base map
+    (R3 crosses segment with TIME, R26 podiums customers within a
+    nation; R77 is the static base: which segments live where, and
+    whether a nation's order volume comes from the segment its
+    customer registry suggests).  Customers without orders count in
+    n_customers with zero volume; one row per (nation, segment) pair
+    with ≥1 customer.  Exact int64 (two-dim star join + LEFT JOIN
+    oracle; o_totalprice floors per order).
+
+    Scale shape — R3's custkey co-partition with a two-level cell id:
+    the 25-row nation name list and ~5-value segment list broadcast;
+    customer rows reduce to (custkey, nation·|seg|+segment) dim
+    partials, order batches pre-reduce to (custkey, n, rev) partials;
+    the custkey-hash fold attaches each customer's cell with one
+    searchsorted and collapses IN PLACE to a ≤ 25·|seg| grid; k=1
+    merge emits the live cells."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey")
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nnames = pa.array(nat["n_name"].tolist(), pa.string())
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nn, nsg = len(nkeys), len(segs)
+    ncell = nn * nsg
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b["c_nationkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ni = np.searchsorted(nkeys, nk)
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "cell": pa.array(ni * nsg + sg, pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "rev": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        rev = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "n": pa.array(np.ones(len(rev), np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "rev"])
+        return g.append_column(
+            "cell", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "cell", "n", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "ncust": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        if d.num_rows == 0:
+            return empty
+        f = t.filter(pa.array(~is_dim))
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dcell = d["cell"].combine_chunks().to_numpy(zero_copy_only=False)[
+            order
+        ]
+        g_nc = np.zeros(ncell, np.int64)
+        g_n = np.zeros(ncell, np.int64)
+        g_rev = np.zeros(ncell, np.int64)
+        np.add.at(g_nc, dcell, 1)
+        if f.num_rows:
+            fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+            hit = dk_s[pos] == fk
+            cell = dcell[pos][hit]
+            np.add.at(
+                g_n, cell,
+                f["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit],
+            )
+            np.add.at(
+                g_rev, cell,
+                f["rev"].combine_chunks().to_numpy(zero_copy_only=False)[hit],
+            )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "ncust": pa.array(g_nc[live]),
+                "n": pa.array(g_n[live]),
+                "rev": pa.array(g_rev[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_nc = np.zeros(ncell, np.int64)
+        g_n = np.zeros(ncell, np.int64)
+        g_rev = np.zeros(ncell, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in ((g_nc, "ncust"), (g_n, "n"), (g_rev, "rev")):
+                np.add.at(
+                    grid, cell,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "n_name": pc.take(nnames, pa.array(live // nsg)),
+                "c_mktsegment": pc.take(segs, pa.array(live % nsg)),
+                "n_customers": pa.array(g_nc[live]),
+                "n_orders": pa.array(g_n[live]),
+                "revenue_floor": pa.array(g_rev[live]),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

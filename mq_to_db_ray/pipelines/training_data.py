@@ -14161,3 +14161,109 @@ def quality_margin(
         fn, batch_format="pyarrow"
     )
     return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def f1_vocab_lifetime(sf_dir: str) -> Dataset:
+    """T150/F: vocabulary-lifetime spectrum over the F1 tokenized
+    stream — for each lifespan s (hours between a token id's FIRST and
+    LAST tape appearance, 1h buckets): token ids with exactly that
+    span and their total tape occurrences — the JOINT read of T97's
+    birth curve and the retirement dual (a vocabulary dominated by
+    span-0 tokens is churning one-shot ids — T24's vocab map can drop
+    them; heavy mass at full-tape span is the stable core worth a
+    dense id range).  Exact int64 (min/max-bucket + count per token
+    oracle).
+
+    Scale shape — ONE token-keyed exchange of (token, bucket, count)
+    partials (each batch np.unique-compacts its flattened tokens; the
+    pair domain is vocab × buckets, never corpus-sized); the
+    token-hash partition holds every bucket a token touches, so first,
+    last and total settle locally and collapse IN PLACE to O(spans)
+    partial rows; k=1 merge."""
+    import glob
+
+    import ray.data as rd
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bucket = seq // 3600
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nper = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = flat * (1 << 20) + np.repeat(bucket, nper)
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(vals >> 20, pa.int64()),
+                "b": pa.array(vals & 0xFFFFF, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "span": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["tok"], use_threads=False).aggregate(
+            [("b", "min"), ("b", "max"), ("n", "sum")]
+        )
+        span = pc.subtract(g["b_max"], g["b_min"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        occ = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(span, return_inverse=True)
+        nt = np.bincount(idx)
+        so = np.zeros(len(u), np.int64)
+        np.add.at(so, idx, occ)
+        return pa.table(
+            {
+                "span": pa.array(u.astype(np.int64)),
+                "nt": pa.array(nt.astype(np.int64)),
+                "occ": pa.array(so),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["doc_id", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_tok = hash_partition_merge(partials, "tok", fold, k=_doc_k_files(files))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "span_hours": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("span", use_threads=False).aggregate(
+            [("nt", "sum"), ("occ", "sum")]
+        )
+        return pa.table(
+            {
+                "span_hours": pc.cast(g["span"], pa.int64()),
+                "n_tokens": pc.cast(g["nt_sum"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(per_tok, "span", merge, k=1)
