@@ -769,6 +769,12 @@ def _q_events_weekpart_audience(sf_dir: str):
     return events_weekpart_audience(sf_dir)
 
 
+def _q_events_ts_collisions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_ts_collisions
+
+    return events_ts_collisions(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1579,6 +1585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_nation_segment_matrix": rel.nation_segment_matrix,
+        "events_ts_collisions": _q_events_ts_collisions,
+        "embedding_dim_extremes": td.embedding_dim_extremes,
+        "rel_discount_qty_matrix": rel.discount_qty_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7774,5 +7783,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(o.nord), 0) AS BIGINT) AS n_orders,
                    CAST(COALESCE(sum(o.rev), 0) AS BIGINT) AS revenue_floor
             FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey GROUP BY 1, 2
+        """,
+        "events_ts_collisions": """
+            WITH c AS (SELECT event_type s, ts,
+                              CAST(count(*) AS BIGINT) n
+                       FROM events GROUP BY 1, 2)
+            SELECT s AS source,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_distinct_ts,
+                   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_collided,
+                   CAST(max(n) AS BIGINT) AS max_multiplicity
+            FROM c GROUP BY 1
+        """,
+        "embedding_dim_extremes": """
+            WITH u AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding) AS x
+                       FROM embeddings),
+                 r AS (SELECT dim, vec_id, x,
+                              row_number() OVER (PARTITION BY dim
+                                  ORDER BY x DESC, vec_id) rmax,
+                              row_number() OVER (PARTITION BY dim
+                                  ORDER BY x ASC, vec_id) rmin
+                       FROM u)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(floor(CAST(max(CASE WHEN rmax = 1 THEN x END)
+                                   AS DOUBLE) * 1000) AS BIGINT)
+                       AS max_milli,
+                   CAST(max(CASE WHEN rmax = 1 THEN vec_id END) AS BIGINT)
+                       AS argmax_vec,
+                   CAST(floor(CAST(max(CASE WHEN rmin = 1 THEN x END)
+                                   AS DOUBLE) * 1000) AS BIGINT)
+                       AS min_milli,
+                   CAST(max(CASE WHEN rmin = 1 THEN vec_id END) AS BIGINT)
+                       AS argmin_vec
+            FROM r GROUP BY 1
+        """,
+        "rel_discount_qty_matrix": """
+            SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS qty_band,
+                   CAST(floor(100 * l_discount) AS BIGINT)
+                       AS discount_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty_floor,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_floor
+            FROM lineitem GROUP BY 1, 2
         """,
     }

@@ -502,6 +502,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_weekpart_audience",
         "f1_vocab_lifetime",
         "rel_nation_segment_matrix",
+        "events_ts_collisions",
+        "embedding_dim_extremes",
+        "rel_discount_qty_matrix",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

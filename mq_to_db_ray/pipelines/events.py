@@ -12847,3 +12847,118 @@ def events_weekpart_audience(sf_dir: str) -> Dataset:
         partials, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(cells, "c", merge, k=1)
+
+
+def events_ts_collisions(sf_dir: str) -> Dataset:
+    """E144: timestamp-collision audit — per source: events, DISTINCT
+    timestamps, events sharing their exact ts with another event of the
+    SAME source, and the worst single-timestamp multiplicity — the
+    ordering-ambiguity read under every (ts, event_id) tie-break in the
+    temporal suite (E13/E15/E21 are deterministic BECAUSE of the
+    event_id tie rule; E144 measures how often that rule is actually
+    load-bearing — a source with fat collisions is batch-flushing
+    upstream, and its E46 interarrival quantiles are measuring the
+    flusher).  One dense row per source ALWAYS.  Exact int64
+    (group-by-(source, ts) count oracle).
+
+    Scale shape — ONE ts-hash exchange of pre-reduced (ts, source,
+    n) partials (each batch np.unique-compacts first); every event of
+    a timestamp lands in one partition, so exact multiplicities settle
+    locally and collapse IN PLACE to per-source (events, distinct,
+    collided, max) partials — sums and maxes both fold associatively;
+    k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cc = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        packed = ts_us * ns + cc
+        vals, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "t": pa.array(vals // ns, pa.int64()),
+                "c": pa.array(vals % ns, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "ncol": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["t", "c"], use_threads=False).aggregate([("n", "sum")])
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = np.zeros(ns, np.int64)
+        nd = np.zeros(ns, np.int64)
+        ncol = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        np.add.at(ne, cc, nn)
+        np.add.at(nd, cc, 1)
+        col = nn > 1
+        np.add.at(ncol, cc[col], nn[col])
+        np.maximum.at(mx, cc, nn)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "c": pa.array(live.astype(np.int64)),
+                "ne": pa.array(ne[live]),
+                "nd": pa.array(nd[live]),
+                "ncol": pa.array(ncol[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ne = np.zeros(ns, np.int64)
+        nd = np.zeros(ns, np.int64)
+        ncol = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in ((ne, "ne"), (nd, "nd"), (ncol, "ncol")):
+                np.add.at(
+                    grid, cc,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+            np.maximum.at(
+                mx, cc,
+                t["mx"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(ne),
+                "n_distinct_ts": pa.array(nd),
+                "n_collided": pa.array(ncol),
+                "max_multiplicity": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "t", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "c", merge, k=1)

@@ -11826,3 +11826,85 @@ def nation_segment_matrix(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def discount_qty_matrix(sf_dir: str) -> Dataset:
+    """R78: quantity-band × discount-cent interaction matrix — per
+    (floor(l_quantity)//10 band, floor(100·l_discount) cents): lines,
+    exact floored quantity, realized revenue Σfloor(ext·(1−disc)) —
+    the pricing-POLICY audit neither marginal can show (R60's ladder
+    says how much sits at each discount rung, R16 bands quantity per
+    brand; R78 asks whether discounts are volume-driven — a clean
+    policy shows mass marching down-right, discounts concentrated on
+    fat quantity bands; a flat matrix means discounting is clerk whim
+    and R31's margin story is noise).  One row per OCCUPIED cell.
+    Exact int64 (two integer-divide keys + scan-aggregate oracle;
+    money floors per line, the §2.3b convention).
+
+    Scale shape — ZERO-join scan-reduce, the R1 shape: each lineitem
+    batch collapses to ≤ (bands × 11) cell partials with one packed
+    np.unique; the k=1 merge folds O(batches × cells) rows.  Nothing
+    broadcasts, nothing corpus-sized moves."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    NC = 101  # discount cents domain 0..100
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(100.0 * dis).astype(np.int64)
+        band = qty // 10
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        cell = band * NC + cents
+        u, idx = np.unique(cell, return_inverse=True)
+        nl = np.bincount(idx)
+        qsum = np.zeros(len(u), np.int64)
+        rsum = np.zeros(len(u), np.int64)
+        np.add.at(qsum, idx, qty)
+        np.add.at(rsum, idx, rev)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "nl": pa.array(nl.astype(np.int64)),
+                "qty": pa.array(qsum),
+                "rev": pa.array(rsum),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "qty_band": pa.array([], pa.int64()),
+                    "discount_cents": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "qty_floor": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "qty_band": pa.array(cell // NC),
+                "discount_cents": pa.array(cell % NC),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)

@@ -14267,3 +14267,121 @@ def f1_vocab_lifetime(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(per_tok, "span", merge, k=1)
+
+
+def embedding_dim_extremes(sf_dir: str) -> Dataset:
+    """T151: per-dimension extreme-vector board — for each vector
+    dimension (1-based, generate_subscripts convention): the maximum
+    component value (floored to milli-units) with the vec_id attaining
+    it, and the minimum likewise (ties → smallest vec_id) — the
+    outlier DRILL-DOWN next to T99's distributional quantiles (the
+    quantiles say dimension 17 has a fat positive tail; T151 names the
+    vector to go look at — a single vec_id owning many dimensions'
+    extremes is one corrupt row wearing 64 costumes).  One dense row
+    per dimension ALWAYS.  Exact int64 (float32 comparisons are exact
+    and order-free; the milli floor happens in float64 on BOTH sides;
+    row_number tie-break oracle).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per
+    batch, a masked-min picks each dimension's argmax/argmin vec_id
+    vectorized, and the k=1 merge folds O(batches × d) candidate rows
+    with one lexsort."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    BIG = np.iinfo(np.int64).max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mxv": pa.array([], pa.float64()),
+                    "mxi": pa.array([], pa.int64()),
+                    "mnv": pa.array([], pa.float64()),
+                    "mni": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        ids = (
+            pc.cast(batch["vec_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        d = m.shape[1]
+        mxv = m.max(axis=0)
+        mnv = m.min(axis=0)
+        idc = ids[:, None]
+        mxi = np.where(m == mxv, idc, BIG).min(axis=0)
+        mni = np.where(m == mnv, idc, BIG).min(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "mxv": pa.array(mxv),
+                "mxi": pa.array(mxi),
+                "mnv": pa.array(mnv),
+                "mni": pa.array(mni),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "max_milli": pa.array([], pa.int64()),
+                    "argmax_vec": pa.array([], pa.int64()),
+                    "min_milli": pa.array([], pa.int64()),
+                    "argmin_vec": pa.array([], pa.int64()),
+                }
+            )
+        dim = t["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+        mxv = t["mxv"].combine_chunks().to_numpy(zero_copy_only=False)
+        mxi = t["mxi"].combine_chunks().to_numpy(zero_copy_only=False)
+        mnv = t["mnv"].combine_chunks().to_numpy(zero_copy_only=False)
+        mni = t["mni"].combine_chunks().to_numpy(zero_copy_only=False)
+        # best-per-dim under (value desc, vec asc) / (value asc, vec asc)
+        omax = np.lexsort((mxi, -mxv, dim))
+        head = np.empty(len(omax), bool)
+        dmax = dim[omax]
+        head[0] = True
+        head[1:] = dmax[1:] != dmax[:-1]
+        sel_max = omax[head]
+        omin = np.lexsort((mni, mnv, dim))
+        dmin = dim[omin]
+        head2 = np.empty(len(omin), bool)
+        head2[0] = True
+        head2[1:] = dmin[1:] != dmin[:-1]
+        sel_min = omin[head2]
+        order = np.argsort(dim[sel_max])
+        sel_max = sel_max[order]
+        sel_min = sel_min[np.argsort(dim[sel_min])]
+        return pa.table(
+            {
+                "dim": pa.array(dim[sel_max]),
+                "max_milli": pa.array(
+                    np.floor(mxv[sel_max] * 1000.0).astype(np.int64)
+                ),
+                "argmax_vec": pa.array(mxi[sel_max]),
+                "min_milli": pa.array(
+                    np.floor(mnv[sel_min] * 1000.0).astype(np.int64)
+                ),
+                "argmin_vec": pa.array(mni[sel_min]),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
