@@ -775,6 +775,12 @@ def _q_events_ts_collisions(sf_dir: str):
     return events_ts_collisions(sf_dir)
 
 
+def _q_events_value_integrality(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_integrality
+
+    return events_value_integrality(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1588,6 +1594,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ts_collisions": _q_events_ts_collisions,
         "embedding_dim_extremes": td.embedding_dim_extremes,
         "rel_discount_qty_matrix": rel.discount_qty_matrix,
+        "events_value_integrality": _q_events_value_integrality,
+        "f1_replay_adjacent": lambda sf_dir: td.f1_replay_adjacent(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_price_adherence_hist": rel.price_adherence_hist,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7830,5 +7841,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
                                  AS BIGINT)) AS BIGINT) AS revenue_floor
             FROM lineitem GROUP BY 1, 2
+        """,
+        "events_value_integrality": """
+            SELECT event_type AS source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE value = floor(value))
+                        AS BIGINT) AS n_integer,
+                   CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
+                       AS n_negative,
+                   CAST(count(*) FILTER (WHERE value = 0) AS BIGINT)
+                       AS n_zero,
+                   CAST(1000 * count(*) FILTER (WHERE value = floor(value))
+                        // count(*) AS BIGINT) AS integer_permille
+            FROM events GROUP BY 1
+        """,
+        "f1_replay_adjacent": """
+            WITH x AS (SELECT source,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) AS seq,
+                              tokens
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 o AS (SELECT source, tokens,
+                              lag(tokens) OVER (PARTITION BY source
+                                                ORDER BY seq) AS pv
+                       FROM x)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(pv) AS BIGINT) AS n_pairs,
+                   CAST(count(*) FILTER (WHERE tokens = pv) AS BIGINT)
+                       AS n_replays,
+                   CAST(1000 * count(*) FILTER (WHERE tokens = pv)
+                        // greatest(count(pv), 1) AS BIGINT)
+                       AS replay_permille
+            FROM o GROUP BY 1
+        """,
+        "rel_price_adherence_hist": """
+            WITH j AS (SELECT CAST(floor(10 * (l_extendedprice
+                                   / (l_quantity * p_retailprice)))
+                                   AS BIGINT) AS band,
+                              CAST(floor(l_quantity) AS BIGINT) AS qf,
+                              CAST(floor(l_extendedprice
+                                         * (1 - l_discount)) AS BIGINT)
+                                  AS rev
+                       FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT band AS adherence_band,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(qf) AS BIGINT) AS qty_floor,
+                   CAST(sum(rev) AS BIGINT) AS revenue_floor
+            FROM j GROUP BY 1
         """,
     }

@@ -505,6 +505,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_ts_collisions",
         "embedding_dim_extremes",
         "rel_discount_qty_matrix",
+        "events_value_integrality",
+        "f1_replay_adjacent",
+        "rel_price_adherence_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -12962,3 +12962,84 @@ def events_ts_collisions(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "t", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "c", merge, k=1)
+
+
+def events_value_integrality(sf_dir: str) -> Dataset:
+    """E145: payload-type audit — per source: events, values that are
+    EXACT integers (value == floor(value)), strictly negative values,
+    exact zeros, and the integer permille — the "is this gauge secretly
+    a counter" read (E120/E132 profile the DIGITS of floor(value);
+    E145 asks whether flooring loses anything at all — a source at
+    1000‰ integrality should be rolled up with count semantics, one
+    with negative mass can't be a counter, and a fat zero share is a
+    default-value leak).  One dense row per source ALWAYS.  Exact
+    int64 (float predicates are order-free, both engines test the
+    same float64s; FILTER-count oracle).
+
+    Scale shape — ZERO wide exchange: each batch reduces to O(sources)
+    partial rows with three vectorized predicates + one bincount; the
+    k=1 merge folds O(batches × sources) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        vv = b["value"].cast(pa.float64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cc = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ne = np.bincount(cc, minlength=ns)
+        ni = np.bincount(cc[vv == np.floor(vv)], minlength=ns)
+        nn = np.bincount(cc[vv < 0], minlength=ns)
+        nz = np.bincount(cc[vv == 0], minlength=ns)
+        live = np.flatnonzero(ne)
+        return pa.table(
+            {
+                "c": pa.array(live.astype(np.int64)),
+                "ne": pa.array(ne[live].astype(np.int64)),
+                "ni": pa.array(ni[live].astype(np.int64)),
+                "nn": pa.array(nn[live].astype(np.int64)),
+                "nz": pa.array(nz[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ne = np.zeros(ns, np.int64)
+        ni = np.zeros(ns, np.int64)
+        nn = np.zeros(ns, np.int64)
+        nz = np.zeros(ns, np.int64)
+        if t.num_rows:
+            cc = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in ((ne, "ne"), (ni, "ni"), (nn, "nn"), (nz, "nz")):
+                np.add.at(
+                    grid, cc,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(ne),
+                "n_integer": pa.array(ni),
+                "n_negative": pa.array(nn),
+                "n_zero": pa.array(nz),
+                "integer_permille": pa.array(
+                    1000 * ni // np.maximum(ne, 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "c", merge, k=1)

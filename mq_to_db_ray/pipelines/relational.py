@@ -11908,3 +11908,139 @@ def discount_qty_matrix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def price_adherence_hist(sf_dir: str) -> Dataset:
+    """R79: list-price adherence histogram — per adherence band
+    floor(10 · extendedprice/(quantity · p_retailprice)) (tenths of
+    the realized-to-list unit-price ratio): lines, exact floored
+    quantity, realized revenue — the DISTRIBUTION the aggregate boards
+    integrate away (R39 nets list-vs-realized per brand, R64 spreads
+    within a part; R79 shows the whole adherence curve: mass at band
+    10 is list-price discipline, a left shoulder is discounting, and
+    anything ABOVE 10 is selling over list — a repricing-lag flag).
+    One row per occupied band.  Exact int64 (the ratio is ONE double
+    division both engines compute identically — no float sums — and
+    the band floor is the only rounding; money floors per line).
+
+    Scale shape — the order_fulfillment big × big co-partition: parts
+    reduce to (partkey, retail-price) dim rows and lineitem rows ship
+    (partkey, qty, ext, rev) — one narrow exchange, no broadcast
+    (parts grow with the corpus, R74's rule); the partkey-hash fold
+    computes each line's band with one searchsorted + one vectorized
+    division and collapses IN PLACE to O(bands) partials; k=1 merge."""
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "role": pa.array(np.zeros(n, np.int64)),
+                "qty": pc.cast(b["p_retailprice"], pa.float64()),
+                "ext": pa.array(np.zeros(n)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "role": pa.array(np.ones(n, np.int64)),
+                "qty": pa.array(qty),
+                "ext": pa.array(ext),
+                "rev": pa.array(rev),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "band": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "qf": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role == 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        drp = d["qty"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        rp = drp[pos]
+        qty = f["qty"].combine_chunks().to_numpy(zero_copy_only=False)
+        ext = f["ext"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = f["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+        # ONE double division, associated exactly as the oracle writes it
+        band = np.floor(10.0 * (ext / (qty * rp))).astype(np.int64)
+        band = band[hit]
+        u, idx = np.unique(band, return_inverse=True)
+        nl = np.bincount(idx)
+        qf = np.zeros(len(u), np.int64)
+        rs = np.zeros(len(u), np.int64)
+        np.add.at(qf, idx, np.floor(qty[hit]).astype(np.int64))
+        np.add.at(rs, idx, rev[hit])
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "nl": pa.array(nl.astype(np.int64)),
+                "qf": pa.array(qf),
+                "rev": pa.array(rs),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "adherence_band": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "qty_floor": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nl", "sum"), ("qf", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "adherence_band": pc.cast(g["band"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qf_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "band", merge, k=1)

@@ -14385,3 +14385,146 @@ def embedding_dim_extremes(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def f1_replay_adjacent(sf_dir: str, window_s: int = 3600) -> Dataset:
+    """T152/F: adjacent-replay audit over the F1 tokenized stream — per
+    source: sequences, sequences WITH a predecessor (in seq order), and
+    sequences whose token array is BYTE-IDENTICAL to their immediate
+    predecessor, with the replay permille — the redelivery read at the
+    payload level (T80 counts echo copies ANYWHERE in the tape — a
+    syndication signal; T152 counts them back-to-back, which is the
+    at-least-once-delivery / producer-retry signature of the reference
+    queue (rmq.go redelivery), the tape twin of E83's redelivery
+    board).  One dense row per source ALWAYS.  Adjacency identity via
+    the 64-bit polars list hash — the documented corpus-scale
+    convention shared with T80/T104 (the sf-scale oracle compares the
+    raw lists).  Exact int64 (lag(tokens) equality oracle).
+
+    Scale shape — E140's carried-prefix scan on the tape axis: rows
+    tag (source, seq, hash) and partition by (source, seq-window);
+    :func:`mq_to_db_ray.pipelines.events._last_event_carries` hands
+    each window its predecessor row in two narrow exchanges, so no
+    source's full history lands in one task; per-partition one lexsort
+    + one shifted compare; (pairs, replays) partials fold in one tiny
+    source merge."""
+    import glob
+
+    import ray.data as rd
+
+    # the carry machinery is schema-generic (k, t, o, v, carry, w) —
+    # shared with the order-dependent event scans, not re-derived here
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+    from .events import _last_event_carries, _tag_carry
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(rd.read_parquet(files, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        h = (
+            pl.from_arrow(b.select(["tokens"]))["tokens"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["source"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(seq),
+                "o": pa.array(np.zeros(len(seq), np.int64)),
+                "v": pa.array(h),
+                "carry": pa.array(np.zeros(len(seq), dtype=bool)),
+                "w": pa.array(seq // window_s, pa.int64()),
+            }
+        )
+
+    tagged = rd.read_parquet(
+        files, columns=["doc_id", "tokens", "source"]
+    ).map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "nr": pa.array([], pa.int64()),
+                "np_": pa.array([], pa.int64()),
+                "nrep": pa.array([], pa.int64()),
+            }
+        )
+        if t_.num_rows == 0:
+            return empty
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        sel = has_prev & ~crs
+        nrows = np.bincount(ks[~crs], minlength=ns)
+        pv = np.empty(n, np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        eq = (vs == pv) & sel
+        npair = np.bincount(ks[sel], minlength=ns)
+        nrep = np.bincount(ks[eq], minlength=ns)
+        live = np.flatnonzero(nrows + npair)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "nr": pa.array(nrows[live].astype(np.int64)),
+                "np_": pa.array(npair[live].astype(np.int64)),
+                "nrep": pa.array(nrep[live].astype(np.int64)),
+            }
+        )
+
+    partials = _kw_partition(full, kernel, shuffle_parts(_doc_k_files(files)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        nr = np.zeros(ns, np.int64)
+        npair = np.zeros(ns, np.int64)
+        nrep = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in ((nr, "nr"), (npair, "np_"), (nrep, "nrep")):
+                np.add.at(
+                    grid, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_rows": pa.array(nr),
+                "n_pairs": pa.array(npair),
+                "n_replays": pa.array(nrep),
+                "replay_permille": pa.array(
+                    1000 * nrep // np.maximum(npair, 1)
+                ),
+            }
+        )
+
+    return hash_partition_merge(partials, "src", merge, k=1)
