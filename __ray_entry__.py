@@ -781,6 +781,12 @@ def _q_events_value_integrality(sf_dir: str):
     return events_value_integrality(sf_dir)
 
 
+def _q_events_value_iqr_outliers(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_iqr_outliers
+
+    return events_value_iqr_outliers(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1599,6 +1605,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_price_adherence_hist": rel.price_adherence_hist,
+        "events_value_iqr_outliers": _q_events_value_iqr_outliers,
+        "f1_rare_token_docs": lambda sf_dir: td.tape_rare_token_docs(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_dominant_line_hist": rel.dominant_line_hist,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7889,5 +7900,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(qf) AS BIGINT) AS qty_floor,
                    CAST(sum(rev) AS BIGINT) AS revenue_floor
             FROM j GROUP BY 1
+        """,
+        "events_value_iqr_outliers": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 q AS (SELECT source,
+                              CAST(quantile_disc(cents, 0.25) AS BIGINT)
+                                  AS q1,
+                              CAST(quantile_disc(cents, 0.75) AS BIGINT)
+                                  AS q3
+                       FROM c GROUP BY 1)
+            SELECT c.source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(q1) AS BIGINT) AS q1_cents,
+                   CAST(max(q3) AS BIGINT) AS q3_cents,
+                   CAST(count(*) FILTER (WHERE 2 * cents < 5 * q1 - 3 * q3)
+                        AS BIGINT) AS n_low,
+                   CAST(count(*) FILTER (WHERE 2 * cents > 5 * q3 - 3 * q1)
+                        AS BIGINT) AS n_high
+            FROM c JOIN q ON c.source = q.source
+            GROUP BY 1
+        """,
+        "f1_rare_token_docs": """
+            WITH x AS (SELECT row_number() OVER () AS rid, source, tokens
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 e AS (SELECT rid, unnest(tokens) AS id FROM x),
+                 rare AS (SELECT id FROM e GROUP BY 1 HAVING count(*) <= 5),
+                 h AS (SELECT e.rid, CAST(count(*) AS BIGINT) AS occ
+                       FROM e JOIN rare USING (id) GROUP BY 1)
+            SELECT x.source,
+                   CAST(count(*) AS BIGINT) AS n_seqs,
+                   CAST(count(h.rid) AS BIGINT) AS hit_seqs,
+                   CAST(coalesce(sum(h.occ), 0) AS BIGINT)
+                       AS rare_occurrences,
+                   CAST(1000 * count(h.rid) // count(*) AS BIGINT)
+                       AS hit_permille
+            FROM x LEFT JOIN h ON x.rid = h.rid
+            GROUP BY 1
+        """,
+        "rel_dominant_line_hist": """
+            WITH o AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS totq,
+                              CAST(max(CAST(floor(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS maxq
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(10 * maxq // totq AS BIGINT) AS dominance_band,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(nl) AS BIGINT) AS n_lines,
+                   CAST(sum(totq) AS BIGINT) AS qty_floor
+            FROM o GROUP BY 1
         """,
     }

@@ -508,6 +508,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_integrality",
         "f1_replay_adjacent",
         "rel_price_adherence_hist",
+        "events_value_iqr_outliers",
+        "f1_rare_token_docs",
+        "rel_dominant_line_hist",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

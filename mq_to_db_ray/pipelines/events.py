@@ -13043,3 +13043,109 @@ def events_value_integrality(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "c", merge, k=1)
+
+
+def events_value_iqr_outliers(sf_dir: str) -> Dataset:
+    """E146: payload IQR-fence outlier audit — per source: events, the
+    exact discrete q1/q3 of the metric value IN CENTS, and how many
+    events fall below q1-1.5*IQR / above q3+1.5*IQR — the Tukey-fence
+    triage a dashboard draws as box-plot whisker escapees (E42 flags
+    anomalous MINUTES against a median/MAD grid; E146 audits raw
+    PAYLOADS against the source's own spread — a fat n_high on a gauge
+    is a unit mix-up or a sensor spike upstream of every rollup).  One
+    dense row per source ALWAYS; exact int64 throughout: values are
+    cents-quantized doubles, so round(value*100) is lossless, and the
+    fence tests use the integer forms 2v < 5*q1 - 3*q3 and
+    2v > 5*q3 - 3*q1 (= the +-1.5*IQR fences scaled by 2) — no float
+    arithmetic anywhere (quantile_disc + integer-FILTER oracle).
+
+    Scale shape — the bounded-domain histogram trick (E93's): the cents
+    axis is fixed (~50k values at any corpus size), so each batch
+    reduces to (source, cents, freq) cells via one packed np.unique;
+    ONE hash exchange lands each source's complete spectrum in one
+    partition, where quantiles AND both fence counts read off a single
+    sort + cumsum — the raw stream never shuffles, and no second pass
+    is needed because the fences are functions of the same histogram."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    off = 1 << 39  # cents offset: keeps packed keys positive for negatives
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = (
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(v * 100.0).astype(np.int64)
+        if len(cents) and (
+            int(cents.min()) <= -off or int(cents.max()) >= off
+        ):
+            raise ValueError(
+                "events_value_iqr_outliers: |value| >= 2^39 cents — "
+                "packed (source, cents) key needs a wider layout"
+            )
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key, f = np.unique(code * (1 << 40) + (cents + off), return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array(key >> 40, pa.int64()),
+                "c": pa.array((key & ((1 << 40) - 1)) - off, pa.int64()),
+                "f": pa.array(f.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        cols = ("source", "n_events", "q1_cents", "q3_cents", "n_low", "n_high")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in cols[1:]},
+                }
+            )
+        g = t.group_by(["s", "c"], use_threads=False).aggregate([("f", "sum")])
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        ff = g["f_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cc, ss))
+        s2, c2, f2 = ss[order], cc[order], ff[order]
+        news = np.empty(len(order), dtype=bool)
+        news[0] = True
+        news[1:] = s2[1:] != s2[:-1]
+        starts = np.flatnonzero(news)
+        ends = np.append(starts[1:], len(order))
+        out = {c: [] for c in cols}
+        for a, b in zip(starts, ends):
+            vals, freq = c2[a:b], f2[a:b]
+            nt = int(freq.sum())
+            cum = np.cumsum(freq)
+            q1 = int(vals[np.searchsorted(cum, (nt * 250 + 999) // 1000)])
+            q3 = int(vals[np.searchsorted(cum, (nt * 750 + 999) // 1000)])
+            n_low = int(freq[2 * vals < 5 * q1 - 3 * q3].sum())
+            n_high = int(freq[2 * vals > 5 * q3 - 3 * q1].sum())
+            out["source"].append(int(s2[a]))
+            out["n_events"].append(nt)
+            out["q1_cents"].append(q1)
+            out["q3_cents"].append(q3)
+            out["n_low"].append(n_low)
+            out["n_high"].append(n_high)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(out["source"], pa.int64())),
+                **{c: pa.array(out[c], pa.int64()) for c in cols[1:]},
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

@@ -12044,3 +12044,107 @@ def price_adherence_hist(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def dominant_line_hist(sf_dir: str) -> Dataset:
+    """R80: dominant-line concentration histogram — per order compute
+    the quantity share of its single LARGEST line (band =
+    floor(10*maxq/totq), integer-exact as 10*maxq//totq since TPC-H
+    quantities are integral), then per band: orders, lines, and exact
+    total quantity — the basket-concentration board (R35 says how DEEP
+    baskets go, R69 how many suppliers they touch; R80 says whether an
+    order's demand is one dominant line plus garnish (band 9-10) or
+    spread evenly (band ~10/nl) — the skew read for per-order work
+    units in any line-level allocator).  Band 10 = single-line or
+    fully-dominant orders; dense small output (≤10 bands).  Exact
+    int64 throughout (two-level GROUP BY oracle).
+
+    Scale shape — the price_adherence two-exchange shape without the
+    dimension side: per batch one np.unique over orderkey reduces
+    lines to (okey, nl, totq, maxq) cells; ONE orderkey-hash exchange
+    settles each order exactly once (sum nl/totq, max maxq — all
+    associative), computes its band, and collapses to (band, n_orders,
+    n_lines, qty) cells; k=1 band merge.  Lines never shuffle raw —
+    only per-order cells move, and the band axis is ≤10 rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, idx = np.unique(ok, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        tq = np.zeros(len(u), np.int64)
+        np.add.at(tq, idx, q)
+        mq = np.zeros(len(u), np.int64)
+        np.maximum.at(mq, idx, q)
+        return pa.table(
+            {
+                "okey": pa.array(u.astype(np.int64)),
+                "nl": pa.array(nl),
+                "totq": pa.array(tq),
+                "maxq": pa.array(mq),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("band", "no", "nl", "q")}
+            )
+        g = t.group_by("okey", use_threads=False).aggregate(
+            [("nl", "sum"), ("totq", "sum"), ("maxq", "max")]
+        )
+        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        tq = g["totq_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mq = g["maxq_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        band = 10 * mq // tq
+        u, idx = np.unique(band, return_inverse=True)
+        no = np.bincount(idx).astype(np.int64)
+        nls = np.zeros(len(u), np.int64)
+        np.add.at(nls, idx, nl)
+        qs = np.zeros(len(u), np.int64)
+        np.add.at(qs, idx, tq)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "no": pa.array(no),
+                "nl": pa.array(nls),
+                "q": pa.array(qs),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dominance_band": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "qty_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("no", "sum"), ("nl", "sum"), ("q", "sum")]
+        )
+        return pa.table(
+            {
+                "dominance_band": pc.cast(g["band"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["q_sum"], pa.int64()),
+            }
+        )
+
+    cells = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "okey", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)

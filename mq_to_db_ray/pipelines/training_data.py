@@ -14528,3 +14528,166 @@ def f1_replay_adjacent(sf_dir: str, window_s: int = 3600) -> Dataset:
         )
 
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def tape_rare_token_docs(sf_dir: str, max_df: int = 5) -> Dataset:
+    """T153/F: rare-token exposure board — per source of the F1
+    tokenized stream: sequences, sequences containing at least one
+    GLOBALLY rare id (corpus df <= ``max_df``), total rare-id
+    occurrences, and the hit permille — the long-tail exposure audit a
+    tokenizer/curriculum owner reads before trimming the embedding
+    table (T146 sizes the vocabulary the corpus NEEDS; T153 names the
+    sequences that would break if the tail were dropped — a source
+    with a fat hit permille is where byte-fallback or unk-mapping
+    damage lands first).  One dense row per source ALWAYS; exact int64
+    (unnest df + per-row FILTER-count oracle; true ids, no hashing —
+    the id axis is vocabulary-bounded, so nothing here can collide).
+
+    Scale shape — two streaming passes, text never shuffles:
+      1. df pass: per batch one flatten + np.unique -> (id, n)
+         partials; ONE id-hash exchange settles corpus df per id and
+         keeps only ids with df <= max_df — the result is tail-sized
+         (<= vocabulary, typically a few hundred ids), the ONLY thing
+         that ever reaches the driver;
+      2. probe pass: the sorted rare-id vector ships ONCE via
+         ``ray.put`` (the T19 convention); each batch runs one
+         searchsorted membership over its flat value buffer and
+         np.add.at's per-(row -> source) hit/occurrence partials —
+         (source, n_seqs, hit, occ) cells, k=1 densifying merge."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(rd.read_parquet(files, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        v = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, n = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    def df_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64())})
+        g = t.group_by("id", use_threads=False).aggregate([("n", "sum")])
+        keep = pc.less_equal(g["n_sum"], max_df)
+        return g.filter(keep).select(["id"])
+
+    df_cells = rd.read_parquet(files, columns=["tokens"]).map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # map_groups can emit zero-column placeholder blocks for empty
+    # partitions — skip them before the (tail-sized) driver concat
+    rare_tbls = [
+        t
+        for t in (
+            ray.get(ref)
+            for ref in hash_partition_merge(
+                df_cells, "id", df_fold
+            ).to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    rare = np.sort(
+        np.concatenate(
+            [
+                t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+                for t in rare_tbls
+            ]
+        )
+        if rare_tbls
+        else np.empty(0, np.int64)
+    ).astype(np.int64)
+    rare_ref = ray.put(rare)
+
+    def probe(b: pa.Table) -> pa.Table:
+        r = ray.get(rare_ref)
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ln = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        if len(r):
+            pos = np.searchsorted(r, v)
+            pos[pos == len(r)] = 0
+            is_rare = r[pos] == v
+        else:
+            is_rare = np.zeros(len(v), dtype=bool)
+        row = np.repeat(np.arange(len(ln)), ln)
+        occ_per_row = np.bincount(row[is_rare], minlength=len(ln)).astype(
+            np.int64
+        )
+        seqs = np.bincount(code, minlength=ns).astype(np.int64)
+        hits = np.bincount(
+            code[occ_per_row > 0], minlength=ns
+        ).astype(np.int64)
+        occ = np.zeros(ns, np.int64)
+        np.add.at(occ, code, occ_per_row)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "n_seqs": pa.array(seqs),
+                "hit": pa.array(hits),
+                "occ": pa.array(occ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        cols = (
+            "source",
+            "n_seqs",
+            "hit_seqs",
+            "rare_occurrences",
+            "hit_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in cols[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("n_seqs", "sum"), ("hit", "sum"), ("occ", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_seqs_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        hh = g["hit_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = g["occ_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = nn > 0
+        ss, nn, hh, oo = ss[keep], nn[keep], hh[keep], oo[keep]
+        order = np.argsort(ss)
+        ss, nn, hh, oo = ss[order], nn[order], hh[order], oo[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_seqs": pa.array(nn, pa.int64()),
+                "hit_seqs": pa.array(hh, pa.int64()),
+                "rare_occurrences": pa.array(oo, pa.int64()),
+                "hit_permille": pa.array(1000 * hh // nn, pa.int64()),
+            }
+        )
+
+    probed = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(probed, "s", merge, k=1)
