@@ -787,6 +787,12 @@ def _q_events_value_iqr_outliers(sf_dir: str):
     return events_value_iqr_outliers(sf_dir)
 
 
+def _q_events_clock_inversions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_clock_inversions
+
+    return events_clock_inversions(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1610,6 +1616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_dominant_line_hist": rel.dominant_line_hist,
+        "events_clock_inversions": _q_events_clock_inversions,
+        "doc_sentence_stats": td.sentence_stats,
+        "rel_order_bursts": rel.order_bursts,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -7952,5 +7961,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nl) AS BIGINT) AS n_lines,
                    CAST(sum(totq) AS BIGINT) AS qty_floor
             FROM o GROUP BY 1
+        """,
+        "events_clock_inversions": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY event_id, epoch_us(ts)) AS pt
+                       FROM events)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(pt) AS BIGINT) AS n_pairs,
+                   CAST(count(*) FILTER (WHERE t < pt) AS BIGINT)
+                       AS n_inversions,
+                   CAST(coalesce(max(CASE WHEN t < pt THEN pt - t END), 0)
+                        AS BIGINT) AS max_backstep_us,
+                   CAST(1000 * count(*) FILTER (WHERE t < pt)
+                        // greatest(count(pt), 1) AS BIGINT)
+                       AS inversion_permille
+            FROM w GROUP BY 1
+        """,
+        "doc_sentence_stats": """
+            WITH d AS (SELECT source,
+                              CAST(length(regexp_replace(
+                                  text, '[^.!?]', '', 'g')) AS BIGINT) AS nt
+                       FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_terminals,
+                   CAST(count(*) FILTER (WHERE nt = 0) AS BIGINT)
+                       AS n_zero_docs,
+                   CAST(1000 * count(*) FILTER (WHERE nt = 0) // count(*)
+                        AS BIGINT) AS zero_permille,
+                   CAST(1000 * sum(nt) // count(*) AS BIGINT)
+                       AS terminals_per_kdoc
+            FROM d GROUP BY 1
+        """,
+        "rel_order_bursts": """
+            WITH c AS (SELECT o_custkey,
+                              o_orderdate,
+                              CAST(count(*) AS BIGINT) AS sz,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM orders GROUP BY 1, 2)
+            SELECT sz AS burst_size,
+                   CAST(count(*) AS BIGINT) AS n_bursts,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(sum(sz) AS BIGINT) AS n_orders,
+                   CAST(sum(v) AS BIGINT) AS value_floor
+            FROM c GROUP BY 1
         """,
     }

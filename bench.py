@@ -511,6 +511,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_iqr_outliers",
         "f1_rare_token_docs",
         "rel_dominant_line_hist",
+        "events_clock_inversions",
+        "doc_sentence_stats",
+        "rel_order_bursts",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -13149,3 +13149,157 @@ def events_value_iqr_outliers(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_clock_inversions(
+    sf_dir: str, window_ids: int = 1 << 17
+) -> Dataset:
+    """E147: producer clock-skew audit — per source: events, adjacent
+    pairs in EVENT-ID order, pairs whose timestamp moves BACKWARD
+    (clock inversions), the worst single backstep in microseconds, and
+    the inversion permille — the delivery-order-vs-wall-clock read
+    (E114 audits id GAPS, E144 ts COLLISIONS; E147 crosses the two
+    axes: ids are assign-time order, so a ts that retreats between
+    consecutive ids means a skewed producer clock, an NTP step, or a
+    backfill replay — exactly the rows that silently land in the wrong
+    rollup bucket of every E2 assign_time consumer).  One dense row
+    per source ALWAYS; exact int64; ties on event_id break by ts on
+    BOTH sides, so the pair set is deterministic (lag-window oracle).
+
+    Scale shape — the carried-prefix scan on the ID axis (E140's shape
+    rotated 90°): rows tag (source, event_id-window); per-(source,
+    window, batch) summaries carry each window's last (id, ts) forward
+    in :func:`_last_event_carries`' two narrow exchanges, so no
+    source's full history ever lands in one task; the per-partition
+    kernel is one lexsort + one shifted compare; (events, pairs,
+    inversions, max_backstep) partials fold in one tiny k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ids, pa.int64()),
+                "o": pa.array(ts_us, pa.int64()),
+                "v": pa.array(ts_us, pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ids // window_ids, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "ne", "np_", "ni", "mb")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))  # carry first on full ties
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        pair = has_prev & ~crs
+        inv = pair & (vs < pv)
+        back = np.where(inv, pv - vs, 0)
+        ng = len(srcs)
+        ne = np.bincount(ks[~crs], minlength=ng).astype(np.int64)
+        npr = np.bincount(ks[pair], minlength=ng).astype(np.int64)
+        ni = np.bincount(ks[inv], minlength=ng).astype(np.int64)
+        mb = np.zeros(ng, np.int64)
+        np.maximum.at(mb, ks, back)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ng, dtype=np.int64)),
+                "ne": pa.array(ne),
+                "np_": pa.array(npr),
+                "ni": pa.array(ni),
+                "mb": pa.array(mb),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        out_cols = (
+            "source",
+            "n_events",
+            "n_pairs",
+            "n_inversions",
+            "max_backstep_us",
+            "inversion_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out_cols[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("ne", "sum"), ("np_", "sum"), ("ni", "sum"), ("mb", "max")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = g["ne_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        npr = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ni = g["ni_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mb = g["mb_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ne > 0
+        ss, ne, npr, ni, mb = ss[keep], ne[keep], npr[keep], ni[keep], mb[keep]
+        order = np.argsort(ss)
+        ss, ne, npr, ni, mb = (
+            ss[order],
+            ne[order],
+            npr[order],
+            ni[order],
+            mb[order],
+        )
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_events": pa.array(ne, pa.int64()),
+                "n_pairs": pa.array(npr, pa.int64()),
+                "n_inversions": pa.array(ni, pa.int64()),
+                "max_backstep_us": pa.array(mb, pa.int64()),
+                "inversion_permille": pa.array(
+                    1000 * ni // np.maximum(npr, 1), pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

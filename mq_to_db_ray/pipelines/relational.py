@@ -12148,3 +12148,117 @@ def dominant_line_hist(sf_dir: str) -> Dataset:
         cells, "okey", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def order_bursts(sf_dir: str) -> Dataset:
+    """R81: same-day order-burst histogram — per (customer, orderdate)
+    cell count the orders placed (the burst size), then per burst size:
+    bursts (customer-days), distinct customers that ever hit that size,
+    orders inside such bursts, and their exact value floor — the
+    intra-day purchase-intensity read none of the cadence boards cover
+    (R21 measures the DAYS between consecutive orders — its floor-day
+    gap collapses same-day pairs to gap 0 without saying how wide the
+    pile-up is; R52 counts supplier competition per part; R81 asks how
+    often a customer fires N orders into ONE calendar day — the
+    batch-entry / split-order signature that inflates any per-order
+    funnel metric and the burst axis a same-day dedup pass would key
+    on).  Dense small output (burst sizes are tiny integers); exact
+    int64 (two-level GROUP BY + COUNT DISTINCT oracle).
+
+    Scale shape — R80's two-exchange cell profile on the CUSTKEY axis:
+    per batch one Arrow group_by((custkey, date)) reduces orders to
+    (ck, dt, n, v) cells; ONE custkey-hash exchange settles each
+    customer-day exactly once (sums are associative) AND — because a
+    customer's every cell lands in the same partition — counts distinct
+    customers per size locally, so the per-partition (size, bursts,
+    customers, orders, value) partials sum exactly in the k=1 merge;
+    raw orders never shuffle, only per-day cells move."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "dt": b["o_orderdate"].cast(pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "v": pa.array(v),
+            }
+        )
+        return t.group_by(["ck", "dt"], use_threads=False).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("sz", "nb", "nc", "no", "v")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["ck", "dt"], use_threads=False).aggregate(
+            [("n_sum", "sum"), ("v_sum", "sum")]
+        )
+        ck = g["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = g["n_sum_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = g["v_sum_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(sz, return_inverse=True)
+        nb = np.bincount(idx).astype(np.int64)
+        no = np.zeros(len(u), np.int64)
+        np.add.at(no, idx, sz)
+        vs = np.zeros(len(u), np.int64)
+        np.add.at(vs, idx, vv)
+        # distinct customers per size: a customer's cells are ALL in
+        # this partition (custkey-hash exchange), so local distinct
+        # (size, ck) pairs sum exactly across partitions.
+        order = np.lexsort((ck, sz))
+        s_s, c_s = sz[order], ck[order]
+        new_pair = np.empty(len(order), dtype=bool)
+        if len(order):
+            new_pair[0] = True
+            new_pair[1:] = (s_s[1:] != s_s[:-1]) | (c_s[1:] != c_s[:-1])
+        nc = np.zeros(len(u), np.int64)
+        np.add.at(nc, np.searchsorted(u, s_s[new_pair]), 1)
+        return pa.table(
+            {
+                "sz": pa.array(u),
+                "nb": pa.array(nb),
+                "nc": pa.array(nc),
+                "no": pa.array(no),
+                "v": pa.array(vs),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "burst_size",
+            "n_bursts",
+            "n_customers",
+            "n_orders",
+            "value_floor",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("sz", use_threads=False).aggregate(
+            [("nb", "sum"), ("nc", "sum"), ("no", "sum"), ("v", "sum")]
+        )
+        return pa.table(
+            {
+                "burst_size": pc.cast(g["sz"], pa.int64()),
+                "n_bursts": pc.cast(g["nb_sum"], pa.int64()),
+                "n_customers": pc.cast(g["nc_sum"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "value_floor": pc.cast(g["v_sum"], pa.int64()),
+            }
+        )
+
+    cells = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "ck", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(folded, "sz", merge, k=1)

@@ -14691,3 +14691,83 @@ def tape_rare_token_docs(sf_dir: str, max_df: int = 5) -> Dataset:
         probe, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(probed, "s", merge, k=1)
+
+
+def sentence_stats(sf_dir: str) -> Dataset:
+    """T154: sentence-terminator lint board — per source: docs, total
+    sentence terminators (the ASCII chars . ! ?), docs with ZERO
+    terminators, the zero-doc permille, and terminators per kilodoc —
+    the sentence-structure read none of the text boards cover (T49
+    counts character CLASSES, T113 the bytes AROUND content, T10 scores
+    word/punct ratios; T154 asks whether the text segments into
+    sentences AT ALL — a fat zero permille means table dumps, code, or
+    headline fragments, the slices sentence-level dedup, splitting and
+    curriculum passes silently mishandle).  One dense row per source
+    ALWAYS; exact int64 (regexp char-count oracle; pure ASCII class, so
+    Arrow RE2 and DuckDB agree by construction).
+
+    Scale shape — T49's ZERO-wide-exchange profile: one compiled RE2
+    count kernel per batch (pyarrow count_substring_regex) plus a
+    zero-test reduce to one partial row per (source, batch); only
+    O(batches × sources) partials ride the tiny per-source merge."""
+    txt_cols = ["source", "text"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        term = pc.cast(
+            pc.count_substring_regex(txt, "[.!?]"), pa.int64()
+        )
+        zero = pc.cast(pc.equal(term, 0), pa.int64())
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "nd": pa.array(np.ones(batch.num_rows, np.int64)),
+                "nt": term,
+                "nz": zero,
+            }
+        )
+        return t.group_by("source", use_threads=False).aggregate(
+            [("nd", "sum"), ("nt", "sum"), ("nz", "sum")]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        cols = (
+            "source",
+            "n_docs",
+            "n_terminals",
+            "n_zero_docs",
+            "zero_permille",
+            "terminals_per_kdoc",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in cols[1:]},
+                }
+            )
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("nd_sum", "sum"), ("nt_sum", "sum"), ("nz_sum", "sum")]
+        )
+        nd = g["nd_sum_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = g["nt_sum_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nz = g["nz_sum_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_terminals": pa.array(nt, pa.int64()),
+                "n_zero_docs": pa.array(nz, pa.int64()),
+                "zero_permille": pa.array(1000 * nz // nd, pa.int64()),
+                "terminals_per_kdoc": pa.array(
+                    1000 * nt // nd, pa.int64()
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, txt_cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
