@@ -793,6 +793,12 @@ def _q_events_clock_inversions(sf_dir: str):
     return events_clock_inversions(sf_dir)
 
 
+def _q_events_load_markov(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_load_markov
+
+    return events_load_markov(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1619,6 +1625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clock_inversions": _q_events_clock_inversions,
         "doc_sentence_stats": td.sentence_stats,
         "rel_order_bursts": rel.order_bursts,
+        "events_load_markov": _q_events_load_markov,
+        "doc_sentence_spectrum": td.sentence_length_spectrum,
+        "rel_megaorders": rel.megaorder_drilldown,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8010,5 +8019,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sz) AS BIGINT) AS n_orders,
                    CAST(sum(v) AS BIGINT) AS value_floor
             FROM c GROUP BY 1
+        """,
+        "events_load_markov": """
+            WITH r AS (SELECT event_type AS source,
+                              date_trunc('minute', ts) AS b,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT source, min(b) AS lo, max(b) AS hi
+                  FROM r GROUP BY 1),
+            g AS (SELECT s.source,
+                         unnest(generate_series(lo, hi, INTERVAL 1 minute))
+                             AS b
+                  FROM s),
+            d AS (SELECT g.source, g.b,
+                         LEAST(COALESCE(r.c, 0), 8) AS band
+                  FROM g LEFT JOIN r ON r.source = g.source AND r.b = g.b),
+            l AS (SELECT source, band,
+                         lag(band) OVER (PARTITION BY source ORDER BY b)
+                             AS pband
+                  FROM d)
+            SELECT source,
+                   CAST(pband AS BIGINT) AS from_band,
+                   CAST(band AS BIGINT) AS to_band,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM l WHERE pband IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        "doc_sentence_spectrum": """
+            WITH f AS (SELECT source,
+                              unnest(str_split_regex(text, '[.!?]')) AS frag
+                       FROM documents)
+            SELECT source,
+                   CAST(LEAST(len(str_split(frag, ' ')), 64) AS BIGINT)
+                       AS words_band,
+                   CAST(count(*) AS BIGINT) AS n_sentences
+            FROM f GROUP BY 1, 2
+        """,
+        "rel_megaorders": """
+            WITH t AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS n_lines,
+                              CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS total_qty
+                       FROM lineitem GROUP BY 1
+                       ORDER BY total_qty DESC, l_orderkey LIMIT 10)
+            SELECT t.l_orderkey AS o_orderkey,
+                   c.c_name,
+                   t.total_qty,
+                   t.n_lines,
+                   CAST(floor(o.o_totalprice) AS BIGINT) AS price_floor
+            FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
         """,
     }

@@ -514,6 +514,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_clock_inversions",
         "doc_sentence_stats",
         "rel_order_bursts",
+        "events_load_markov",
+        "doc_sentence_spectrum",
+        "rel_megaorders",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

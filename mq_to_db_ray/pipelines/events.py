@@ -13303,3 +13303,137 @@ def events_clock_inversions(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_load_markov(sf_dir: str, band_cap: int = 8) -> Dataset:
+    """E148: minute-load transition matrix — over the dense gap-filled
+    1m grid, band each minute's event count into 0..band_cap (counts at
+    or above the cap collapse into the top band) and count every
+    adjacent-minute band transition per source — the load MOMENTUM read
+    none of the static boards give (E128's Gini and E117's Fano say how
+    unequal/bursty the load distribution IS; E116 how it compresses;
+    E148 says how it MOVES: a heavy 0→high diagonal means cold-start
+    spikes, a sticky high→high cell means sustained plateaus — the
+    Markov row a capacity planner or anomaly scorer conditions on).
+    Gap minutes are band 0 (they are real stored points of the tier).
+    Sparse exact output: (source, from_band, to_band, n_transitions),
+    int64 (gapfill CTE + LEAST + lag oracle).
+
+    Scale shape — E116's composition discipline: E5's windowed gap_fill
+    supplies the dense grid scale-safely; each batch reduces to its
+    in-batch transition cells (one lexsort + one shifted compare; at
+    most sources × (cap+1)² cells) plus TWO boundary rows per contiguous
+    (source, minute-run) segment, so only O(batches × sources) tiny
+    rows reach the k=1 merge, which stitches segment junctions by
+    matching each segment end to the start at minute+1."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nb = band_cap + 1
+
+    grid = events_gapfill(sf_dir, "1m").select_columns(
+        ["source", "bucket_ts", "count"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["bucket_ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        ) // 60_000_000
+        band = np.minimum(
+            pc.cast(b["count"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            band_cap,
+        )
+        order = np.lexsort((ts, code))
+        c, t, v = code[order], ts[order], band[order]
+        n = len(c)
+        adj = np.zeros(max(n - 1, 0), dtype=bool)
+        if n > 1:
+            adj = (c[1:] == c[:-1]) & (t[1:] == t[:-1] + 1)
+        key = (c[:-1][adj] * nb + v[:-1][adj]) * nb + v[1:][adj]
+        u, cnts = np.unique(key, return_counts=True)
+        brk = np.empty(n, dtype=bool)
+        if n:
+            brk[0] = True
+            brk[1:] = ~adj
+        seg_a = np.flatnonzero(brk)
+        seg_b = np.append(seg_a[1:] - 1, n - 1) if n else seg_a
+        return pa.table(
+            {
+                "s": pa.array(
+                    np.concatenate([u // (nb * nb), c[seg_a], c[seg_b]])
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(u), np.int64),
+                            np.ones(len(seg_a), np.int64),
+                            np.full(len(seg_b), 2, np.int64),
+                        ]
+                    )
+                ),
+                "a": pa.array(
+                    np.concatenate([(u // nb) % nb, t[seg_a], t[seg_b]])
+                ),
+                "b": pa.array(
+                    np.concatenate([u % nb, v[seg_a], v[seg_b]])
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [
+                            cnts.astype(np.int64),
+                            np.ones(len(seg_a) + len(seg_b), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "from_band", "to_band", "n_transitions")
+        mat = np.zeros((len(srcs), nb, nb), np.int64)
+        if t.num_rows:
+            ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            kd = t["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+            aa = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            bb = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            cell = kd == 0
+            np.add.at(mat, (ss[cell], aa[cell], bb[cell]), nn[cell])
+            # stitch segment junctions: end at minute m meets the start
+            # at m+1 of the same source (minutes are unique per source)
+            st, en = kd == 1, kd == 2
+            spk = ss[st] * (1 << 36) + aa[st]
+            sorder = np.argsort(spk)
+            spk_s, sband = spk[sorder], bb[st][sorder]
+            target = ss[en] * (1 << 36) + aa[en] + 1
+            pos = np.searchsorted(spk_s, target)
+            ok = (pos < len(spk_s)) & (spk_s[np.minimum(pos, len(spk_s) - 1)] == target)
+            np.add.at(
+                mat,
+                (ss[en][ok], bb[en][ok], sband[pos[ok]]),
+                1,
+            )
+        si, fi, ti = np.nonzero(mat)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(si, pa.int64())),
+                "from_band": pa.array(fi.astype(np.int64)),
+                "to_band": pa.array(ti.astype(np.int64)),
+                "n_transitions": pa.array(mat[si, fi, ti]),
+            }
+        )
+
+    partials = grid.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

@@ -12262,3 +12262,120 @@ def order_bursts(sf_dir: str) -> Dataset:
         cells, "ck", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(folded, "sz", merge, k=1)
+
+
+def megaorder_drilldown(sf_dir: str, topk: int = 10) -> Dataset:
+    """R82: large-order drill-down (the TPC-H Q18 question) — the topk
+    orders by total line quantity, each attached to its customer name,
+    line count, and floored header price — record RETRIEVAL for the
+    demand outliers every allocator and fraud reviewer clicks through
+    to (R35 histograms basket DEPTH, R80 its internal skew; R82 names
+    the actual megaorders — the E89/T108 drill-down discipline on the
+    order axis).  Ties break by lowest orderkey, so the answer set is
+    unique and exact (ORDER BY qty DESC, okey LIMIT oracle).
+
+    Scale shape — the argtop-k combiner: per batch one np.unique
+    reduces lines to (okey, nl, qty) cells; ONE orderkey-hash exchange
+    settles each order exactly once and keeps only its partition's
+    top-k (a partition loser can never enter the global top-k), so
+    O(parts × k) rows reach the k=1 merge; the ≤k winners' header and
+    customer rows are then fetched by two pruned point-lookup scans
+    (is_in filters on orderkey / custkey) — the big tables stream
+    column-pruned and nothing corpus-sized lands on the driver."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, idx = np.unique(ok, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        tq = np.zeros(len(u), np.int64)
+        np.add.at(tq, idx, q)
+        return pa.table(
+            {
+                "okey": pa.array(u.astype(np.int64)),
+                "nl": pa.array(nl),
+                "tq": pa.array(tq),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("okey", "nl", "tq")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("okey", use_threads=False).aggregate(
+            [("nl", "sum"), ("tq", "sum")]
+        )
+        ok = g["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        tq = g["tq_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -tq))[:topk]
+        return pa.table(
+            {
+                "okey": pa.array(ok[order]),
+                "nl": pa.array(nl[order]),
+                "tq": pa.array(tq[order]),
+            }
+        )
+
+    folded = hash_partition_merge(
+        lines.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "okey",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    top = hash_partition_merge(folded, "okey", fold, k=1).to_pandas()
+    okeys = pa.array(top["okey"].to_numpy(), pa.int64())
+
+    def keep_orders(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(pc.cast(b["o_orderkey"], pa.int64()), value_set=okeys)
+        )
+
+    hdr = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            override_num_blocks=_rel_k(sf_dir, "orders"),
+        )
+        .map_batches(keep_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    ckeys = pa.array(np.unique(hdr["o_custkey"].to_numpy()), pa.int64())
+
+    def keep_custs(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(pc.cast(b["c_custkey"], pa.int64()), value_set=ckeys)
+        )
+
+    cust = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            override_num_blocks=_rel_k(sf_dir, "customer"),
+        )
+        .map_batches(keep_custs, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    j = top.merge(hdr, left_on="okey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array(j["okey"].to_numpy(), pa.int64()),
+                "c_name": pa.array(j["c_name"].tolist(), pa.string()),
+                "total_qty": pa.array(j["tq"].to_numpy(), pa.int64()),
+                "n_lines": pa.array(j["nl"].to_numpy(), pa.int64()),
+                "price_floor": pa.array(
+                    np.floor(j["o_totalprice"].to_numpy()).astype(np.int64)
+                ),
+            }
+        )
+    )

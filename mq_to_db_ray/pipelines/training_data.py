@@ -14771,3 +14771,89 @@ def sentence_stats(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return partials.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+def sentence_length_spectrum(sf_dir: str, cap: int = 64) -> Dataset:
+    """T155: sentence-length spectrum — split every doc on the ASCII
+    terminators . ! ? and histogram the fragments' word counts per
+    source, capped into a top band at ``cap`` — the sentence-SHAPE
+    companion to T154 (T154 says whether text segments into sentences
+    at all; T155 says what those sentences look like: a spike at 1-3
+    words means headline/table fragments, a fat tail past 40 means
+    run-ons or unsegmented dumps — the distribution sentence-level
+    dedup, splitting and curriculum passes actually operate over).
+    Word count per fragment = spaces + 1, exactly DuckDB's
+    len(str_split(frag, ' ')) — empty fragments (adjacent terminators,
+    trailing text) count as 1-word sentences on BOTH sides, so the
+    spectrum is deterministic (str_split_regex + unnest oracle).
+
+    Scale shape — T49's ZERO-wide-exchange profile with one extra
+    flatten: per batch one RE2 split (split_pattern_regex) + one space
+    count over the flattened fragments (fragment STRINGS never leave
+    the batch), np.repeat attributes fragments to sources, and one
+    bincount reduces the batch to (source, band) cells; only
+    O(batches × sources × cap) partials ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    nbd = cap + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        frags = pc.split_pattern_regex(txt, "[.!?]")
+        nfr = (
+            pc.cast(pc.list_value_length(frags), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(frags)
+        wps = np.minimum(
+            pc.cast(pc.count_substring(flat, " "), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            + 1,
+            cap,
+        )
+        key = np.repeat(code, nfr) * nbd + wps
+        cnt = np.bincount(key, minlength=len(srcs) * nbd).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // nbd),
+                "band": pa.array(keep % nbd),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "words_band", "n_sentences")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "words_band": pa.array([], pa.int64()),
+                    "n_sentences": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "words_band": pc.cast(g["band"], pa.int64()),
+                "n_sentences": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
