@@ -799,6 +799,12 @@ def _q_events_load_markov(sf_dir: str):
     return events_load_markov(sf_dir)
 
 
+def _q_events_gap_value_coupling(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_gap_value_coupling
+
+    return events_gap_value_coupling(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1628,6 +1634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_load_markov": _q_events_load_markov,
         "doc_sentence_spectrum": td.sentence_length_spectrum,
         "rel_megaorders": rel.megaorder_drilldown,
+        "events_gap_value_coupling": _q_events_gap_value_coupling,
+        "doc_metadata_integrity": td.metadata_integrity,
+        "rel_refund_drilldown": rel.refund_drilldown,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8069,5 +8078,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(o.o_totalprice) AS BIGINT) AS price_floor
             FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
                    JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "events_gap_value_coupling": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              CAST(floor(value) AS BIGINT) AS v,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY epoch_us(ts), event_id,
+                                            floor(value)) AS pt
+                       FROM events)
+            SELECT source,
+                   CAST(count(pt) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum((t - pt) // 1000000), 0) AS BIGINT)
+                       AS sum_gap_s,
+                   CAST(coalesce(sum(((t - pt) // 1000000)
+                                     * ((t - pt) // 1000000)), 0) AS BIGINT)
+                       AS sum_gap_sq,
+                   CAST(coalesce(sum(v) FILTER (WHERE pt IS NOT NULL), 0)
+                        AS BIGINT) AS sum_v,
+                   CAST(coalesce(sum(v * v) FILTER (WHERE pt IS NOT NULL), 0)
+                        AS BIGINT) AS sum_v_sq,
+                   CAST(coalesce(sum(((t - pt) // 1000000) * v), 0)
+                        AS BIGINT) AS sum_gap_v
+            FROM w GROUP BY 1
+        """,
+        "doc_metadata_integrity": """
+            WITH d AS (SELECT source,
+                              CAST(n_chars AS BIGINT)
+                                  - CAST(length(text) AS BIGINT) AS diff
+                       FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE diff <> 0) AS BIGINT)
+                       AS n_mismatch,
+                   CAST(coalesce(max(abs(diff)), 0) AS BIGINT)
+                       AS max_abs_diff,
+                   CAST(coalesce(sum(diff), 0) AS BIGINT) AS net_drift,
+                   CAST(1000 * count(*) FILTER (WHERE diff <> 0)
+                        // count(*) AS BIGINT) AS mismatch_permille
+            FROM d GROUP BY 1
+        """,
+        "rel_refund_drilldown": """
+            WITH r AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT) AS rev
+                       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+                 t AS (SELECT o.o_custkey AS ck,
+                              CAST(sum(r.nl) AS BIGINT) AS nl,
+                              CAST(sum(r.rev) AS BIGINT) AS rev
+                       FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+                       GROUP BY 1
+                       ORDER BY rev DESC, ck LIMIT 10)
+            SELECT cu.c_custkey,
+                   cu.c_name,
+                   n.n_name AS nation,
+                   t.rev AS returned_rev_floor,
+                   t.nl AS n_return_lines
+            FROM t JOIN customer cu ON cu.c_custkey = t.ck
+                   JOIN nation n ON n.n_nationkey = cu.c_nationkey
         """,
     }

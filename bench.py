@@ -517,6 +517,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_load_markov",
         "doc_sentence_spectrum",
         "rel_megaorders",
+        "events_gap_value_coupling",
+        "doc_metadata_integrity",
+        "rel_refund_drilldown",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -13437,3 +13437,145 @@ def events_load_markov(sf_dir: str, band_cap: int = 8) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_gap_value_coupling(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E149: gap-value coupling board — per source, over adjacent event
+    pairs in (ts, event_id, floor(value)) order: pair count, Σgap,
+    Σgap² (gap = floor-seconds since the previous event) and Σv, Σv²,
+    Σgap·v (v = the LATER event's floored payload) — the exact-int64
+    normal equations of the silence-vs-payload regression, the ONE
+    cross-axis moment no other board carries (E111/E123 distribute the
+    gaps, E97 couples value with WALL TIME, E149 asks whether long
+    silences precede big payloads — meter reads, batched sensors, and
+    queue flushes all say yes, and any sampler that thins quiet periods
+    needs this number to know what it would bias).  One dense row per
+    source ALWAYS.  Int64 bound documented (the E97 discipline): gap_s
+    ≤ ~3·10⁷ (a year), v ≤ 10⁶ → Σgap·v holds ~3·10⁵ pairs/source per
+    epoch shard; 100 TB rides sharded epochs.  Exact int64 (lag-window
+    + floor-divide oracle; ties break by (event_id, value) on BOTH
+    sides so the pair set is deterministic).
+
+    Scale shape — E147's carried-prefix machinery rotated onto the TS
+    axis: rows tag (source, ts-window); :func:`_last_event_carries`
+    hands each window its predecessor's (ts, id, v) in two narrow
+    exchanges; the per-(source, window) kernel is one lexsort + one
+    shifted subtract; six-sum partials fold in one tiny k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "np_", "sg", "sgg", "sv", "svv", "sgv")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt, kk))
+        ks, ts, vs, crs = kk[order], tt[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts[:-1]
+        pair = has_prev & ~crs
+        g = np.where(pair, (ts - pt) // 1_000_000, 0)
+        v = np.where(pair, vs, 0)
+        ng = len(srcs)
+        out = {
+            "s": np.arange(ng, dtype=np.int64),
+            "np_": np.bincount(ks[pair], minlength=ng).astype(np.int64),
+        }
+        for name, arr in (
+            ("sg", g),
+            ("sgg", g * g),
+            ("sv", v),
+            ("svv", v * v),
+            ("sgv", g * v),
+        ):
+            acc = np.zeros(ng, np.int64)
+            np.add.at(acc, ks, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_pairs",
+            "sum_gap_s",
+            "sum_gap_sq",
+            "sum_v",
+            "sum_v_sq",
+            "sum_gap_v",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("np_", "sg", "sgg", "sv", "svv", "sgv")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("np_", "sg", "sgg", "sv", "svv", "sgv")
+            )
+        }
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order], pa.int64())),
+                **{c: pa.array(a, pa.int64()) for c, a in cols.items()},
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -12379,3 +12379,171 @@ def megaorder_drilldown(sf_dir: str, topk: int = 10) -> Dataset:
             }
         )
     )
+
+
+def refund_drilldown(sf_dir: str, topk: int = 10) -> Dataset:
+    """R83: returned-revenue customer drill-down (the TPC-H Q10
+    question) — the topk customers by floored revenue on RETURNED
+    lines (l_returnflag = 'R'), each attached to name and nation —
+    record RETRIEVAL for the refund outliers a fraud or service
+    reviewer clicks through to (R46 trends returns over TIME, R66
+    blames the BRAND; R83 names the customers — R82's drill-down
+    discipline on the refund axis).  Ties break by lowest custkey, so
+    the answer set is unique and exact (filtered two-hop join +
+    ORDER BY LIMIT oracle).
+
+    Scale shape — two chained co-partitioned hops, then point lookups:
+    returned lines pre-reduce per batch to (okey, nl, rev) cells and
+    meet the orders' (okey → custkey) rows on ONE orderkey-hash
+    exchange (the union-tag + searchsorted attach the priority-matrix
+    hop uses); the resulting (custkey, nl, rev) cells settle per
+    customer on ONE custkey-hash exchange that keeps only its
+    partition's topk (a partition loser can never enter the global
+    topk), so O(parts × k) rows reach the k=1 merge; the ≤k winners'
+    customer rows come from a pruned is_in scan and nations from the
+    25-row broadcast."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.equal(b["l_returnflag"], "R"))
+        ep = kept["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = kept["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(kept["l_orderkey"], pa.int64()),
+                "nl": pa.array(np.ones(kept.num_rows, np.int64)),
+                "rev": pa.array(
+                    np.floor(ep * (1.0 - dc)).astype(np.int64)
+                ),
+                "ck": pa.array(np.full(kept.num_rows, -1, np.int64)),
+            }
+        )
+        return t.group_by("k", use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum"), ("ck", "max")]
+        ).rename_columns(["k", "nl", "rev", "ck"])
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    def join_fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in ("ck", "nl", "rev")}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_order = role >= 0
+        o = t.filter(pa.array(is_order))
+        l = t.filter(pa.array(~is_order))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return empty
+        lg = l.group_by("k", use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        ck = o["ck"].combine_chunks().to_numpy(zero_copy_only=False)[oorder][pos]
+        cells = pa.table(
+            {
+                "ck": pa.array(ck[hit], pa.int64()),
+                "nl": pc.cast(lg["nl_sum"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(lg["rev_sum"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        return cells.group_by("ck", use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        ).rename_columns(["ck", "nl", "rev"])
+
+    def top_fold(t: pa.Table) -> pa.Table:
+        cols = ("ck", "nl", "rev")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("ck", use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        ck = g["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rv = g["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rv))[:topk]
+        return pa.table(
+            {
+                "ck": pa.array(ck[order]),
+                "nl": pa.array(nl[order]),
+                "rev": pa.array(rv[order]),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", join_fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    folded = hash_partition_merge(
+        cells, "ck", top_fold, k=_rel_k(sf_dir, "orders")
+    )
+    top = hash_partition_merge(folded, "ck", top_fold, k=1).to_pandas()
+    ckeys = pa.array(top["ck"].to_numpy(), pa.int64())
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def keep_custs(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(pc.cast(b["c_custkey"], pa.int64()), value_set=ckeys)
+        )
+
+    cust = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            override_num_blocks=_rel_k(sf_dir, "customer"),
+        )
+        .map_batches(keep_custs, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    j = top.merge(cust, left_on="ck", right_on="c_custkey")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array(j["ck"].to_numpy(), pa.int64()),
+                "c_name": pa.array(j["c_name"].tolist(), pa.string()),
+                "nation": pa.array(
+                    [nat_name[int(k)] for k in j["c_nationkey"]], pa.string()
+                ),
+                "returned_rev_floor": pa.array(j["rev"].to_numpy(), pa.int64()),
+                "n_return_lines": pa.array(j["nl"].to_numpy(), pa.int64()),
+            }
+        )
+    )

@@ -14857,3 +14857,106 @@ def sentence_length_spectrum(sf_dir: str, cap: int = 64) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def metadata_integrity(sf_dir: str) -> Dataset:
+    """T156: documents metadata-integrity audit — per source: docs,
+    docs whose stored ``n_chars`` differs from the text's ACTUAL
+    codepoint length, the largest absolute discrepancy, the net drift
+    (Σ(stored − actual), signed — systematic over/under-count shows
+    here while random corruption cancels), and the mismatch permille —
+    the metadata-trust read for the ONE derived column every
+    length-keyed board consumes unchecked (T43's length bins, T26's
+    outlier fences and the curriculum passes all read n_chars as
+    truth; the E114/E145 audit discipline applied to the documents
+    table, where no audit existed).  One dense row per source ALWAYS;
+    exact int64 (length(text) comparison oracle; utf8_length is
+    DuckDB length()'s codepoint semantics, so multi-byte text agrees).
+
+    Scale shape — ZERO wide exchange: one utf8_length kernel + one
+    subtract per batch reduces to a per-(source, batch) partial row;
+    only O(batches × sources) partials ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        stored = (
+            pc.cast(b["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        actual = (
+            pc.cast(pc.utf8_length(b["text"]), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        diff = stored - actual
+        bad = diff != 0
+        nd = np.bincount(code, minlength=ns).astype(np.int64)
+        nm = np.bincount(code[bad], minlength=ns).astype(np.int64)
+        mx = np.zeros(ns, np.int64)
+        np.maximum.at(mx, code, np.abs(diff))
+        drift = np.zeros(ns, np.int64)
+        np.add.at(drift, code, diff)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nd": pa.array(nd),
+                "nm": pa.array(nm),
+                "mx": pa.array(mx),
+                "dr": pa.array(drift),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_docs",
+            "n_mismatch",
+            "max_abs_diff",
+            "net_drift",
+            "mismatch_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nd", "sum"), ("nm", "sum"), ("mx", "max"), ("dr", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nm = g["nm_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        dr = g["dr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = nd > 0
+        ss, nd, nm, mx, dr = ss[keep], nd[keep], nm[keep], mx[keep], dr[keep]
+        order = np.argsort(ss)
+        ss, nd, nm, mx, dr = ss[order], nd[order], nm[order], mx[order], dr[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_mismatch": pa.array(nm, pa.int64()),
+                "max_abs_diff": pa.array(mx, pa.int64()),
+                "net_drift": pa.array(dr, pa.int64()),
+                "mismatch_permille": pa.array(1000 * nm // nd, pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
