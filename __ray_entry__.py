@@ -1635,7 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_spectrum": td.sentence_length_spectrum,
         "rel_megaorders": rel.megaorder_drilldown,
         "events_gap_value_coupling": _q_events_gap_value_coupling,
-        "doc_metadata_integrity": td.metadata_integrity,
+        "doc_word_breadth": td.word_breadth_spectrum,
         "rel_refund_drilldown": rel.refund_drilldown,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
@@ -8103,21 +8103,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_gap_v
             FROM w GROUP BY 1
         """,
-        "doc_metadata_integrity": """
-            WITH d AS (SELECT source,
-                              CAST(n_chars AS BIGINT)
-                                  - CAST(length(text) AS BIGINT) AS diff
-                       FROM documents)
-            SELECT source,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(count(*) FILTER (WHERE diff <> 0) AS BIGINT)
-                       AS n_mismatch,
-                   CAST(coalesce(max(abs(diff)), 0) AS BIGINT)
-                       AS max_abs_diff,
-                   CAST(coalesce(sum(diff), 0) AS BIGINT) AS net_drift,
-                   CAST(1000 * count(*) FILTER (WHERE diff <> 0)
-                        // count(*) AS BIGINT) AS mismatch_permille
-            FROM d GROUP BY 1
+        "doc_word_breadth": """
+            WITH c AS (SELECT source, unnest(str_split(text, ' ')) AS w
+                       FROM documents),
+                 b AS (SELECT w,
+                              CAST(count(DISTINCT source) AS BIGINT) AS k,
+                              CAST(count(*) AS BIGINT) AS occ
+                       FROM c GROUP BY 1)
+            SELECT k AS n_sources,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(occ) AS BIGINT) AS n_occurrences
+            FROM b GROUP BY 1
         """,
         "rel_refund_drilldown": """
             WITH r AS (SELECT l_orderkey,

@@ -518,7 +518,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "doc_sentence_spectrum",
         "rel_megaorders",
         "events_gap_value_coupling",
-        "doc_metadata_integrity",
+        "doc_word_breadth",
         "rel_refund_drilldown",
         "doc_source_overlap",
         "doc_source_overlap_minhash",

@@ -14859,23 +14859,28 @@ def sentence_length_spectrum(sf_dir: str, cap: int = 64) -> Dataset:
     return hash_partition_merge(partials, "s", merge, k=1)
 
 
-def metadata_integrity(sf_dir: str) -> Dataset:
-    """T156: documents metadata-integrity audit — per source: docs,
-    docs whose stored ``n_chars`` differs from the text's ACTUAL
-    codepoint length, the largest absolute discrepancy, the net drift
-    (Σ(stored − actual), signed — systematic over/under-count shows
-    here while random corruption cancels), and the mismatch permille —
-    the metadata-trust read for the ONE derived column every
-    length-keyed board consumes unchecked (T43's length bins, T26's
-    outlier fences and the curriculum passes all read n_chars as
-    truth; the E114/E145 audit discipline applied to the documents
-    table, where no audit existed).  One dense row per source ALWAYS;
-    exact int64 (length(text) comparison oracle; utf8_length is
-    DuckDB length()'s codepoint semantics, so multi-byte text agrees).
+def word_breadth_spectrum(sf_dir: str) -> Dataset:
+    """T156: word source-breadth spectrum — for every distinct word,
+    count how many of the corpus's sources it appears in, then
+    histogram the vocabulary by that breadth k: distinct words at each
+    k and their total occurrence mass — the UNIVERSALITY curve of the
+    vocabulary (T118 reads off exactly the k=1 band per source —
+    exclusive jargon; T65 gives pairwise overlaps; T156 is the whole
+    spectrum at once: a vocabulary whose mass sits at k=S is shared
+    core language one merged tokenizer serves well, a fat k=1 tail
+    predicts per-domain fertility blowups and tells the vocab-size
+    planner what a source-stratified token budget actually buys).
+    Dense small output (k = 1..#sources); exact int64 (unnest +
+    COUNT DISTINCT + histogram oracle; the 64-bit hash only ROUTES —
+    the exact word string rides the exchange and decides identity,
+    T4/T118's convention).
 
-    Scale shape — ZERO wide exchange: one utf8_length kernel + one
-    subtract per batch reduces to a per-(source, batch) partial row;
-    only O(batches × sources) partials ride the k=1 merge."""
+    Scale shape — T118's ONE word-hash exchange verbatim: batches
+    pre-reduce with one split + one Arrow group_by to (hash, source,
+    word, freq) cells, every cell of a word lands in one partition, so
+    breadth and mass are decided locally and collapse IN PLACE to
+    O(#sources) histogram rows per partition before the k=1 merge;
+    the vocabulary never lands on one node."""
     from ..stages.shuffle import hash_partition_merge
 
     srcs = pa.array(
@@ -14883,80 +14888,101 @@ def metadata_integrity(sf_dir: str) -> Dataset:
     )
     ns = len(srcs)
 
-    def partial(b: pa.Table) -> pa.Table:
-        code = (
-            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
         )
-        stored = (
-            pc.cast(b["n_chars"], pa.int64())
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "w": flat,
+                "src": pa.array(code[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
         )
-        actual = (
-            pc.cast(pc.utf8_length(b["text"]), pa.int64())
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
         )
-        diff = stored - actual
-        bad = diff != 0
-        nd = np.bincount(code, minlength=ns).astype(np.int64)
-        nm = np.bincount(code[bad], minlength=ns).astype(np.int64)
-        mx = np.zeros(ns, np.int64)
-        np.maximum.at(mx, code, np.abs(diff))
-        drift = np.zeros(ns, np.int64)
-        np.add.at(drift, code, diff)
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
         return pa.table(
             {
-                "s": pa.array(np.arange(ns, dtype=np.int64)),
-                "nd": pa.array(nd),
-                "nm": pa.array(nm),
-                "mx": pa.array(mx),
-                "dr": pa.array(drift),
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("k", "nw", "occ")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = (
+            wcol.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        breadth = np.bincount(wid, minlength=nw).astype(np.int64)
+        occ = np.zeros(nw, np.int64)
+        np.add.at(occ, wid, n)
+        # collapse to the (breadth -> words, occurrences) histogram
+        nwords = np.bincount(breadth, minlength=ns + 1).astype(np.int64)
+        mass = np.zeros(ns + 1, np.int64)
+        np.add.at(mass, breadth, occ)
+        keep = np.flatnonzero(nwords)
+        return pa.table(
+            {
+                "k": pa.array(keep),
+                "nw": pa.array(nwords[keep]),
+                "occ": pa.array(mass[keep]),
             }
         )
 
     def merge(t: pa.Table) -> pa.Table:
-        names = (
-            "source",
-            "n_docs",
-            "n_mismatch",
-            "max_abs_diff",
-            "net_drift",
-            "mismatch_permille",
-        )
         if t.num_rows == 0:
             return pa.table(
                 {
-                    "source": pa.array([], pa.string()),
-                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                    "n_sources": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
                 }
             )
-        g = t.group_by("s", use_threads=False).aggregate(
-            [("nd", "sum"), ("nm", "sum"), ("mx", "max"), ("dr", "sum")]
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
         )
-        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
-        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        nm = g["nm_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        mx = g["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
-        dr = g["dr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        keep = nd > 0
-        ss, nd, nm, mx, dr = ss[keep], nd[keep], nm[keep], mx[keep], dr[keep]
-        order = np.argsort(ss)
-        ss, nd, nm, mx, dr = ss[order], nd[order], nm[order], mx[order], dr[order]
         return pa.table(
             {
-                "source": srcs.take(pa.array(ss, pa.int64())),
-                "n_docs": pa.array(nd, pa.int64()),
-                "n_mismatch": pa.array(nm, pa.int64()),
-                "max_abs_diff": pa.array(mx, pa.int64()),
-                "net_drift": pa.array(dr, pa.int64()),
-                "mismatch_permille": pa.array(1000 * nm // nd, pa.int64()),
+                "n_sources": pc.cast(g["k"], pa.int64()),
+                "n_words": pc.cast(g["nw_sum"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
             }
         )
 
-    partials = _docs(sf_dir, ["source", "text", "n_chars"]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    return hash_partition_merge(partials, "s", merge, k=1)
+    cells = ds.map_batches(partial, batch_format="pyarrow")
+    folded = hash_partition_merge(cells, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "k", merge, k=1)

@@ -1,7 +1,7 @@
 """Round-4 wave-102 operators: E149 gap-value coupling sufficient stats
 (planted gap/value pairs — including a window-boundary pair and ts ties —
-pin all six sums), T156 documents metadata-integrity audit (planted
-n_chars discrepancies incl. multi-byte text pin every counter), R83
+pin all six sums), T156 word source-breadth
+spectrum (planted shared/exclusive words pin every band), R83
 returned-revenue customer drill-down (planted refund totals with a tie at
 the cut pin the top set) — each vs a scalar brute-force reference."""
 
@@ -87,16 +87,16 @@ def test_events_gap_value_coupling_bruteforce(ray_session, tmp_path):
     assert got.loc["tied", "sum_v"] == -3 + 1  # tie pair then 2s pair
 
 
-def test_doc_metadata_integrity_bruteforce(ray_session, tmp_path):
-    from mq_to_db_ray.pipelines.training_data import metadata_integrity
+def test_doc_word_breadth_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.training_data import word_breadth_spectrum
 
-    rows = [  # (source, text, stored_n_chars)
-        ("clean", "hello world", 11),          # exact
-        ("clean", "café bar", 8),          # unicode, exact (8 cps)
-        ("over", "short", 50),                  # +45
-        ("over", "tiny", 5),                    # +1
-        ("under", "a longer piece of text", 10),  # -12
-        ("under", "ok", 2),                     # exact
+    rows = [  # (source, text)
+        # "the" in all 3 sources; "fox" in s1+s2; "onlyone" in s1 only
+        ("s1", "the quick fox onlyone the"),
+        ("s1", "the fox again"),
+        ("s2", "the lazy fox"),
+        ("s2", "the dog"),
+        ("s3", "the cat naps"),
     ]
     n = len(rows)
     pq.write_table(
@@ -106,33 +106,34 @@ def test_doc_metadata_integrity_bruteforce(ray_session, tmp_path):
                 "text": pa.array([r[1] for r in rows]),
                 "lang": pa.array(["en"] * n),
                 "source": pa.array([r[0] for r in rows]),
-                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
             }
         ),
         tmp_path / "documents.parquet",
     )
 
     got = (
-        metadata_integrity(str(tmp_path))
+        word_breadth_spectrum(str(tmp_path))
         .to_pandas()
-        .set_index("source")
+        .set_index("n_sources")
         .sort_index()
     )
-    per = collections.defaultdict(list)
-    for s, txt, stored in rows:
-        per[s].append(stored - len(txt))
-    assert list(got.index) == sorted(per)
-    for s, diffs in per.items():
-        nm = sum(1 for d in diffs if d != 0)
-        row = got.loc[s]
-        assert row["n_docs"] == len(diffs)
-        assert row["n_mismatch"] == nm
-        assert row["max_abs_diff"] == max(abs(d) for d in diffs)
-        assert row["net_drift"] == sum(diffs)
-        assert row["mismatch_permille"] == 1000 * nm // len(diffs)
-    assert got.loc["clean", "n_mismatch"] == 0
-    assert got.loc["over", "net_drift"] == 46
-    assert got.loc["under", "net_drift"] == -12
+    per = collections.defaultdict(lambda: [set(), 0])  # w -> [srcs, occ]
+    for s, txt in rows:
+        for w in txt.split(" "):
+            per[w][0].add(s)
+            per[w][1] += 1
+    want = collections.defaultdict(lambda: [0, 0])
+    for w, (ss, occ) in per.items():
+        want[len(ss)][0] += 1
+        want[len(ss)][1] += occ
+    assert list(got.index) == sorted(want)
+    for k, (nw, occ) in want.items():
+        assert got.loc[k, "n_words"] == nw
+        assert got.loc[k, "n_occurrences"] == occ
+    assert got.loc[3, "n_words"] == 1          # "the"
+    assert got.loc[3, "n_occurrences"] == 6
+    assert got.loc[2, "n_words"] == 1          # "fox"
 
 
 def test_rel_refund_drilldown_bruteforce(ray_session, tmp_path):
