@@ -1633,10 +1633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_bursts": rel.order_bursts,
         "events_load_markov": _q_events_load_markov,
         "doc_sentence_spectrum": td.sentence_length_spectrum,
-        "rel_megaorders": rel.megaorder_drilldown,
+        "rel_name_tokens": rel.name_token_demand,
         "events_gap_value_coupling": _q_events_gap_value_coupling,
         "doc_word_breadth": td.word_breadth_spectrum,
-        "rel_refund_drilldown": rel.refund_drilldown,
+        "rel_dim_name_audit": rel.dim_name_audit,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8064,20 +8064,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_sentences
             FROM f GROUP BY 1, 2
         """,
-        "rel_megaorders": """
-            WITH t AS (SELECT l_orderkey,
-                              CAST(count(*) AS BIGINT) AS n_lines,
+        "rel_name_tokens": """
+            WITH w AS (SELECT p_partkey,
+                              unnest(str_split(p_name, ' ')) AS word
+                       FROM part),
+                 l AS (SELECT l_partkey,
+                              CAST(count(*) AS BIGINT) AS nl,
                               CAST(sum(CAST(floor(l_quantity) AS BIGINT))
-                                   AS BIGINT) AS total_qty
-                       FROM lineitem GROUP BY 1
-                       ORDER BY total_qty DESC, l_orderkey LIMIT 10)
-            SELECT t.l_orderkey AS o_orderkey,
-                   c.c_name,
-                   t.total_qty,
-                   t.n_lines,
-                   CAST(floor(o.o_totalprice) AS BIGINT) AS price_floor
-            FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
-                   JOIN customer c ON c.c_custkey = o.o_custkey
+                                   AS BIGINT) AS qty,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT) AS rev
+                       FROM lineitem GROUP BY 1)
+            SELECT w.word,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(coalesce(sum(l.nl), 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(l.qty), 0) AS BIGINT) AS qty_floor,
+                   CAST(coalesce(sum(l.rev), 0) AS BIGINT)
+                       AS revenue_floor
+            FROM w LEFT JOIN l ON l.l_partkey = w.p_partkey
+            GROUP BY 1
         """,
         "events_gap_value_coupling": """
             WITH w AS (SELECT event_type AS source,
@@ -8115,25 +8121,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(occ) AS BIGINT) AS n_occurrences
             FROM b GROUP BY 1
         """,
-        "rel_refund_drilldown": """
-            WITH r AS (SELECT l_orderkey,
-                              CAST(count(*) AS BIGINT) AS nl,
-                              CAST(sum(CAST(floor(l_extendedprice
-                                                  * (1 - l_discount))
-                                            AS BIGINT)) AS BIGINT) AS rev
-                       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
-                 t AS (SELECT o.o_custkey AS ck,
-                              CAST(sum(r.nl) AS BIGINT) AS nl,
-                              CAST(sum(r.rev) AS BIGINT) AS rev
-                       FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
-                       GROUP BY 1
-                       ORDER BY rev DESC, ck LIMIT 10)
-            SELECT cu.c_custkey,
-                   cu.c_name,
-                   n.n_name AS nation,
-                   t.rev AS returned_rev_floor,
-                   t.nl AS n_return_lines
-            FROM t JOIN customer cu ON cu.c_custkey = t.ck
-                   JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        "rel_dim_name_audit": """
+            WITH u AS (SELECT 'customer' AS dim,
+                              CAST(c_custkey AS BIGINT) AS k,
+                              TRY_CAST(regexp_extract(c_name,
+                                       '([0-9]+)$', 1) AS BIGINT) AS p
+                       FROM customer
+                       UNION ALL
+                       SELECT 'supplier',
+                              CAST(s_suppkey AS BIGINT),
+                              TRY_CAST(regexp_extract(s_name,
+                                       '([0-9]+)$', 1) AS BIGINT)
+                       FROM supplier)
+            SELECT dim,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE p IS NULL) AS BIGINT)
+                       AS n_parse_fail,
+                   CAST(count(*) FILTER (WHERE p IS NOT NULL AND p <> k)
+                        AS BIGINT) AS n_mismatch,
+                   CAST(coalesce(max(abs(p - k))
+                                 FILTER (WHERE p IS NOT NULL), 0)
+                        AS BIGINT) AS max_abs_dev
+            FROM u GROUP BY 1
         """,
     }

@@ -516,10 +516,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "rel_order_bursts",
         "events_load_markov",
         "doc_sentence_spectrum",
-        "rel_megaorders",
+        "rel_name_tokens",
         "events_gap_value_coupling",
         "doc_word_breadth",
-        "rel_refund_drilldown",
+        "rel_dim_name_audit",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -12264,286 +12264,281 @@ def order_bursts(sf_dir: str) -> Dataset:
     return hash_partition_merge(folded, "sz", merge, k=1)
 
 
-def megaorder_drilldown(sf_dir: str, topk: int = 10) -> Dataset:
-    """R82: large-order drill-down (the TPC-H Q18 question) — the topk
-    orders by total line quantity, each attached to its customer name,
-    line count, and floored header price — record RETRIEVAL for the
-    demand outliers every allocator and fraud reviewer clicks through
-    to (R35 histograms basket DEPTH, R80 its internal skew; R82 names
-    the actual megaorders — the E89/T108 drill-down discipline on the
-    order axis).  Ties break by lowest orderkey, so the answer set is
-    unique and exact (ORDER BY qty DESC, okey LIMIT oracle).
 
-    Scale shape — the argtop-k combiner: per batch one np.unique
-    reduces lines to (okey, nl, qty) cells; ONE orderkey-hash exchange
-    settles each order exactly once and keeps only its partition's
-    top-k (a partition loser can never enter the global top-k), so
-    O(parts × k) rows reach the k=1 merge; the ≤k winners' header and
-    customer rows are then fetched by two pruned point-lookup scans
-    (is_in filters on orderkey / custkey) — the big tables stream
-    column-pruned and nothing corpus-sized lands on the driver."""
+def name_token_demand(sf_dir: str) -> Dataset:
+    """R82: part name-token demand board — explode every part name into
+    its whitespace words and, per word: parts carrying it, shipped
+    lines, exact quantity, and floored revenue Σfloor(extprice·(1−disc))
+    — the MERCHANDISING-VOCABULARY read no other board touches (R74
+    slices demand by p_type, R49/R56 by brand; R82 reads the free-text
+    name axis itself — the "which adjectives sell" board, and the
+    relational twin of T41's word-frequency spectrum: TPC-H Q9-style
+    analyses filter parts BY NAME WORD, and this board is exactly that
+    filter's selectivity table).  Dense small output (the name
+    vocabulary); exact int64 (unnest + LEFT JOIN + GROUP BY oracle;
+    duplicate words inside one name count once per occurrence on both
+    sides).
+
+    Scale shape — ONE partkey-hash co-partition: part batches explode
+    names to (partkey, word) cells (words ride the exchange as exact
+    strings — the vocabulary is tiny but unknown, T118's convention);
+    line batches pre-reduce per partkey with one Arrow group_by; in
+    partition every part's line totals attach to its word rows by one
+    searchsorted, collapsing IN PLACE to per-word partials — only
+    O(partitions × vocabulary) rows reach the k=1 merge; lines never
+    shuffle raw."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
     lines = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_quantity"],
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
         override_num_blocks=_rel_k(sf_dir, "lineitem"),
     )
 
-    def partial(b: pa.Table) -> pa.Table:
-        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
-        q = np.floor(
-            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        u, idx = np.unique(ok, return_inverse=True)
-        nl = np.bincount(idx).astype(np.int64)
-        tq = np.zeros(len(u), np.int64)
-        np.add.at(tq, idx, q)
+    def part_cells(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["p_name"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        pk = (
+            pc.cast(b["p_partkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(flat)
         return pa.table(
             {
-                "okey": pa.array(u.astype(np.int64)),
-                "nl": pa.array(nl),
-                "tq": pa.array(tq),
+                "k": pa.array(pk[parent], pa.int64()),
+                "w": flat,
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
             }
         )
 
-    def fold(t: pa.Table) -> pa.Table:
-        cols = ("okey", "nl", "tq")
-        if t.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in cols})
-        g = t.group_by("okey", use_threads=False).aggregate(
-            [("nl", "sum"), ("tq", "sum")]
-        )
-        ok = g["okey"].combine_chunks().to_numpy(zero_copy_only=False)
-        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        tq = g["tq_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ok, -tq))[:topk]
-        return pa.table(
-            {
-                "okey": pa.array(ok[order]),
-                "nl": pa.array(nl[order]),
-                "tq": pa.array(tq[order]),
-            }
-        )
-
-    folded = hash_partition_merge(
-        lines.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        "okey",
-        fold,
-        k=_rel_k(sf_dir, "lineitem"),
-    )
-    top = hash_partition_merge(folded, "okey", fold, k=1).to_pandas()
-    okeys = pa.array(top["okey"].to_numpy(), pa.int64())
-
-    def keep_orders(b: pa.Table) -> pa.Table:
-        return b.filter(
-            pc.is_in(pc.cast(b["o_orderkey"], pa.int64()), value_set=okeys)
-        )
-
-    hdr = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_totalprice"],
-            override_num_blocks=_rel_k(sf_dir, "orders"),
-        )
-        .map_batches(keep_orders, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
-    ckeys = pa.array(np.unique(hdr["o_custkey"].to_numpy()), pa.int64())
-
-    def keep_custs(b: pa.Table) -> pa.Table:
-        return b.filter(
-            pc.is_in(pc.cast(b["c_custkey"], pa.int64()), value_set=ckeys)
-        )
-
-    cust = (
-        rd.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey", "c_name"],
-            override_num_blocks=_rel_k(sf_dir, "customer"),
-        )
-        .map_batches(keep_custs, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
-    j = top.merge(hdr, left_on="okey", right_on="o_orderkey").merge(
-        cust, left_on="o_custkey", right_on="c_custkey"
-    )
-    return rd.from_arrow(
-        pa.table(
-            {
-                "o_orderkey": pa.array(j["okey"].to_numpy(), pa.int64()),
-                "c_name": pa.array(j["c_name"].tolist(), pa.string()),
-                "total_qty": pa.array(j["tq"].to_numpy(), pa.int64()),
-                "n_lines": pa.array(j["nl"].to_numpy(), pa.int64()),
-                "price_floor": pa.array(
-                    np.floor(j["o_totalprice"].to_numpy()).astype(np.int64)
-                ),
-            }
-        )
-    )
-
-
-def refund_drilldown(sf_dir: str, topk: int = 10) -> Dataset:
-    """R83: returned-revenue customer drill-down (the TPC-H Q10
-    question) — the topk customers by floored revenue on RETURNED
-    lines (l_returnflag = 'R'), each attached to name and nation —
-    record RETRIEVAL for the refund outliers a fraud or service
-    reviewer clicks through to (R46 trends returns over TIME, R66
-    blames the BRAND; R83 names the customers — R82's drill-down
-    discipline on the refund axis).  Ties break by lowest custkey, so
-    the answer set is unique and exact (filtered two-hop join +
-    ORDER BY LIMIT oracle).
-
-    Scale shape — two chained co-partitioned hops, then point lookups:
-    returned lines pre-reduce per batch to (okey, nl, rev) cells and
-    meet the orders' (okey → custkey) rows on ONE orderkey-hash
-    exchange (the union-tag + searchsorted attach the priority-matrix
-    hop uses); the resulting (custkey, nl, rev) cells settle per
-    customer on ONE custkey-hash exchange that keeps only its
-    partition's topk (a partition loser can never enter the global
-    topk), so O(parts × k) rows reach the k=1 merge; the ≤k winners'
-    customer rows come from a pruned is_in scan and nations from the
-    25-row broadcast."""
-    lines = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
-        override_num_blocks=_rel_k(sf_dir, "lineitem"),
-    )
-    ords = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"],
-        override_num_blocks=_rel_k(sf_dir, "orders"),
-    )
-
-    def line_partial(b: pa.Table) -> pa.Table:
-        kept = b.filter(pc.equal(b["l_returnflag"], "R"))
-        ep = kept["l_extendedprice"].combine_chunks().to_numpy(
+    def line_cells(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        dc = kept["l_discount"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
         t = pa.table(
             {
-                "k": pc.cast(kept["l_orderkey"], pa.int64()),
-                "nl": pa.array(np.ones(kept.num_rows, np.int64)),
-                "rev": pa.array(
-                    np.floor(ep * (1.0 - dc)).astype(np.int64)
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "w": pa.array([""] * b.num_rows, pa.string()),
+                "nl": pa.array(np.ones(b.num_rows, np.int64)),
+                "qty": pa.array(
+                    np.floor(
+                        b["l_quantity"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
                 ),
-                "ck": pa.array(np.full(kept.num_rows, -1, np.int64)),
+                "rev": pa.array(np.floor(ep * (1.0 - dc)).astype(np.int64)),
             }
         )
-        return t.group_by("k", use_threads=False).aggregate(
-            [("nl", "sum"), ("rev", "sum"), ("ck", "max")]
-        ).rename_columns(["k", "nl", "rev", "ck"])
-
-    def order_partial(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "k": pc.cast(b["o_orderkey"], pa.int64()),
-                "nl": pa.array(np.zeros(n, np.int64)),
-                "rev": pa.array(np.zeros(n, np.int64)),
-                "ck": pc.cast(b["o_custkey"], pa.int64()),
-            }
+        g = t.group_by(["k", "w"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
         )
+        return g.rename_columns(["k", "w", "nl", "qty", "rev"])
 
     def join_fold(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {c: pa.array([], pa.int64()) for c in ("ck", "nl", "rev")}
-        )
+        cols = ("w", "np_", "nl", "qty", "rev", "g")
         if t.num_rows == 0:
-            return empty
-        role = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
-        is_order = role >= 0
-        o = t.filter(pa.array(is_order))
-        l = t.filter(pa.array(~is_order))
-        if o.num_rows == 0 or l.num_rows == 0:
-            return empty
+            return pa.table(
+                {
+                    "w": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in cols[1:]},
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        is_part = pc.not_equal(wcol, "").to_numpy(zero_copy_only=False)
+        p = t.filter(pa.array(is_part))
+        l = t.filter(pa.array(~is_part))
         lg = l.group_by("k", use_threads=False).aggregate(
-            [("nl", "sum"), ("rev", "sum")]
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
         )
         lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
-        oorder = np.argsort(ok, kind="stable")
-        ok_s = ok[oorder]
-        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
-        hit = ok_s[pos] == lk
-        ck = o["ck"].combine_chunks().to_numpy(zero_copy_only=False)[oorder][pos]
+        lorder = np.argsort(lk, kind="stable")
+        lk_s = lk[lorder]
+        pk = p["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = (
+            np.clip(np.searchsorted(lk_s, pk), 0, max(len(lk_s) - 1, 0))
+            if len(lk_s)
+            else np.zeros(len(pk), np.int64)
+        )
+        hit = (lk_s[pos] == pk) if len(lk_s) else np.zeros(len(pk), bool)
+        def attach(col: str) -> np.ndarray:
+            vals = (
+                lg[col].combine_chunks().to_numpy(zero_copy_only=False)[lorder]
+                if len(lk_s)
+                else np.zeros(0, np.int64)
+            )
+            out = np.zeros(len(pk), np.int64)
+            out[hit] = vals[pos[hit]]
+            return out
         cells = pa.table(
             {
-                "ck": pa.array(ck[hit], pa.int64()),
-                "nl": pc.cast(lg["nl_sum"], pa.int64()).filter(pa.array(hit)),
-                "rev": pc.cast(lg["rev_sum"], pa.int64()).filter(pa.array(hit)),
+                "w": p["w"],
+                "np_": pa.array(np.ones(len(pk), np.int64)),
+                "nl": pa.array(attach("nl_sum")),
+                "qty": pa.array(attach("qty_sum")),
+                "rev": pa.array(attach("rev_sum")),
             }
         )
-        return cells.group_by("ck", use_threads=False).aggregate(
-            [("nl", "sum"), ("rev", "sum")]
-        ).rename_columns(["ck", "nl", "rev"])
-
-    def top_fold(t: pa.Table) -> pa.Table:
-        cols = ("ck", "nl", "rev")
-        if t.num_rows == 0:
-            return pa.table({c: pa.array([], pa.int64()) for c in cols})
-        g = t.group_by("ck", use_threads=False).aggregate(
-            [("nl", "sum"), ("rev", "sum")]
+        g = cells.group_by("w", use_threads=False).aggregate(
+            [("np_", "sum"), ("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
         )
-        ck = g["ck"].combine_chunks().to_numpy(zero_copy_only=False)
-        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        rv = g["rev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ck, -rv))[:topk]
+        g = g.rename_columns(["w", "np_", "nl", "qty", "rev"])
+        return g.append_column(
+            "g", pa.array(np.zeros(g.num_rows, np.int64))
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("word", "n_parts", "n_lines", "qty_floor", "revenue_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        t = t.drop_columns(["g"]) if "g" in t.column_names else t
+        g = t.group_by("w", use_threads=False).aggregate(
+            [("np_", "sum"), ("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
         return pa.table(
             {
-                "ck": pa.array(ck[order]),
-                "nl": pa.array(nl[order]),
-                "rev": pa.array(rv[order]),
+                "word": g["w"],
+                "n_parts": pc.cast(g["np__sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
             }
         )
 
-    tagged = lines.map_batches(
-        line_partial, batch_format="pyarrow", zero_copy_batch=True
+    tagged = parts.map_batches(
+        part_cells, batch_format="pyarrow", zero_copy_batch=True
     ).union(
-        ords.map_batches(
-            order_partial, batch_format="pyarrow", zero_copy_batch=True
+        lines.map_batches(
+            line_cells, batch_format="pyarrow", zero_copy_batch=True
         )
     )
     cells = hash_partition_merge(
         tagged, "k", join_fold, k=_rel_k(sf_dir, "lineitem")
     )
-    folded = hash_partition_merge(
-        cells, "ck", top_fold, k=_rel_k(sf_dir, "orders")
+    return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def dim_name_audit(sf_dir: str) -> Dataset:
+    """R83: dimension name-key coherence audit — for the customer and
+    supplier dims, parse the trailing digit run out of each row's name
+    and compare it to the row's key: rows, parse failures (no trailing
+    digits), parsed-but-mismatched rows, and the largest absolute
+    key↔name deviation — the R48 referential-integrity discipline
+    pointed at the DIMENSIONS' denormalized name column (every report
+    that prints c_name/s_name assumes the embedded id IS the key; a
+    re-keyed load, a truncated format width or a shifted offset breaks
+    that silently, and no existing audit would notice).  One dense row
+    per dim ALWAYS, zero-valued when the load was honest.  Exact int64
+    (regexp_extract + TRY_CAST compare oracle; leading zeros cast away
+    identically on both sides).
+
+    Scale shape — ZERO wide exchange: two column-pruned dim reads
+    (key + name only); per batch one RE2 extract + one int cast + one
+    compare reduce to a single counter row; O(batches) partials ride
+    the k=1 merge."""
+    def make_partial(dim_code: int, key_col: str, name_col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            k = (
+                pc.cast(b[key_col], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            ext = pc.extract_regex(b[name_col], r"(?P<d>[0-9]+)$")
+            if isinstance(ext, pa.ChunkedArray):
+                ext = ext.combine_chunks()
+            valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+            digits = pc.struct_field(ext, "d")
+            parsed = np.zeros(len(k), np.int64)
+            if valid.any():
+                parsed[valid] = (
+                    pc.cast(digits.drop_null(), pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+            dev = np.abs(parsed - k)
+            mism = valid & (dev != 0)
+            return pa.table(
+                {
+                    "d": pa.array([dim_code], pa.int64()),
+                    "nr": pa.array([len(k)], pa.int64()),
+                    "pf": pa.array([int((~valid).sum())], pa.int64()),
+                    "nm": pa.array([int(mism.sum())], pa.int64()),
+                    "mx": pa.array(
+                        [int(dev[valid].max()) if valid.any() else 0],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return partial
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    ).map_batches(
+        make_partial(0, "c_custkey", "c_name"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    top = hash_partition_merge(folded, "ck", top_fold, k=1).to_pandas()
-    ckeys = pa.array(top["ck"].to_numpy(), pa.int64())
-
-    nat = rd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-
-    def keep_custs(b: pa.Table) -> pa.Table:
-        return b.filter(
-            pc.is_in(pc.cast(b["c_custkey"], pa.int64()), value_set=ckeys)
-        )
-
-    cust = (
-        rd.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey", "c_name", "c_nationkey"],
-            override_num_blocks=_rel_k(sf_dir, "customer"),
-        )
-        .map_batches(keep_custs, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    ).map_batches(
+        make_partial(1, "s_suppkey", "s_name"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    j = top.merge(cust, left_on="ck", right_on="c_custkey")
-    return rd.from_arrow(
-        pa.table(
+
+    names = pa.array(["customer", "supplier"], pa.string())
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("dim", "n_rows", "n_parse_fail", "n_mismatch", "max_abs_dev")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("d", use_threads=False).aggregate(
+            [("nr", "sum"), ("pf", "sum"), ("nm", "sum"), ("mx", "max")]
+        )
+        dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dd)
+        return pa.table(
             {
-                "c_custkey": pa.array(j["ck"].to_numpy(), pa.int64()),
-                "c_name": pa.array(j["c_name"].tolist(), pa.string()),
-                "nation": pa.array(
-                    [nat_name[int(k)] for k in j["c_nationkey"]], pa.string()
+                "dim": names.take(pa.array(dd[order], pa.int64())),
+                "n_rows": pc.cast(g["nr_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
                 ),
-                "returned_rev_floor": pa.array(j["rev"].to_numpy(), pa.int64()),
-                "n_return_lines": pa.array(j["nl"].to_numpy(), pa.int64()),
+                "n_parse_fail": pc.cast(g["pf_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
+                "n_mismatch": pc.cast(g["nm_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
+                "max_abs_dev": pc.cast(g["mx_max"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
             }
         )
-    )
+
+    return hash_partition_merge(cust.union(sup), "d", merge, k=1)

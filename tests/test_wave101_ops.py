@@ -1,8 +1,8 @@
 """Round-4 wave-101 operators: E148 minute-load transition matrix
 (planted per-minute load sequences — including gaps and an above-cap
 spike — pin every Markov cell), T155 sentence-length spectrum (planted
-fragment shapes pin the word-count bands), R82 large-order drill-down
-(planted megaorders with a tie at the cut pin the top-10 set) — each vs
+fragment shapes pin the word-count bands), R82 part name-token demand
+board (planted two-word names incl. a duplicate-word name pin every row) — each vs
 a scalar brute-force reference."""
 
 from __future__ import annotations
@@ -115,39 +115,57 @@ def test_doc_sentence_spectrum_bruteforce(ray_session, tmp_path):
     assert got.loc[("empty", 1), "n_sentences"] == 4  # '' + 3 from '!!'
 
 
-def test_rel_megaorders_bruteforce(ray_session, tmp_path):
-    from mq_to_db_ray.pipelines.relational import megaorder_drilldown
+def test_rel_name_tokens_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.relational import name_token_demand
+
+    import collections as _c
 
     g = np.random.default_rng(835)
-    ok, qty = [], []
-    # 3 planted megaorders: totals 500, 400, 400 (tie -> lower okey wins
-    # nothing here, both are in; the tie at the CUT is below)
-    for okey, total, nl in ((11, 500, 5), (22, 400, 4), (33, 400, 8)):
-        per = total // nl
-        for _ in range(nl):
-            ok.append(okey)
-            qty.append(float(per))
-    # 9 orders at total 100 -> only 7 fit in top-10; lowest okeys win
-    for okey in range(200, 209):
-        ok.append(okey)
-        qty.append(100.0)
-    # noise tail, totals < 100
-    for okey in range(300, 340):
-        nl = int(g.integers(1, 5))
-        for _ in range(nl):
-            ok.append(okey)
-            qty.append(float(g.integers(1, 20)))
-    n = len(ok)
+    # parts: two-word names over a tiny vocabulary; part 5 never ships
+    parts = [
+        (1, "red widget"),
+        (2, "red bolt"),
+        (3, "blue widget"),
+        (4, "blue bolt"),
+        (5, "green gizmo"),       # zero lines -> zero demand, 1 part
+        (6, "red red"),           # duplicate word counts twice
+    ]
     pq.write_table(
         pa.table(
             {
-                "l_orderkey": pa.array(np.array(ok, np.int64)),
-                "l_partkey": pa.array(np.ones(n, np.int64)),
+                "p_partkey": pa.array(
+                    np.array([p[0] for p in parts], np.int64)
+                ),
+                "p_name": pa.array([p[1] for p in parts]),
+                "p_brand": pa.array(["Brand#1"] * len(parts)),
+                "p_type": pa.array(["ECONOMY"] * len(parts)),
+                "p_size": pa.array(np.ones(len(parts), np.int64)),
+                "p_retailprice": pa.array(np.full(len(parts), 100.0)),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    pk, qty, ep, dc = [], [], [], []
+    for _ in range(120):
+        pk.append(int(g.integers(1, 5)))  # parts 1..4 ship
+        qty.append(float(g.integers(1, 20)))
+        ep.append(float(g.uniform(100, 900)))
+        dc.append(float(g.integers(0, 10)) / 100.0)
+    pk.append(6)  # the "red red" part ships once
+    qty.append(3.0)
+    ep.append(500.0)
+    dc.append(0.0)
+    n = len(pk)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "l_partkey": pa.array(np.array(pk, np.int64)),
                 "l_suppkey": pa.array(np.ones(n, np.int64)),
                 "l_linenumber": pa.array(np.ones(n, np.int32)),
                 "l_quantity": pa.array(np.array(qty)),
-                "l_extendedprice": pa.array(np.full(n, 100.0)),
-                "l_discount": pa.array(np.zeros(n)),
+                "l_extendedprice": pa.array(np.array(ep)),
+                "l_discount": pa.array(np.array(dc)),
                 "l_tax": pa.array(np.zeros(n)),
                 "l_returnflag": pa.array(["N"] * n),
                 "l_linestatus": pa.array(["O"] * n),
@@ -158,58 +176,36 @@ def test_rel_megaorders_bruteforce(ray_session, tmp_path):
         ),
         tmp_path / "lineitem.parquet",
     )
-    all_ok = sorted(set(ok))
-    no = len(all_ok)
-    pq.write_table(
-        pa.table(
-            {
-                "o_orderkey": pa.array(np.array(all_ok, np.int64)),
-                "o_custkey": pa.array(
-                    np.array([k % 7 + 1 for k in all_ok], np.int64)
-                ),
-                "o_orderstatus": pa.array(["O"] * no),
-                "o_totalprice": pa.array(
-                    np.array([k * 10 + 0.99 for k in all_ok])
-                ),
-                "o_orderdate": pa.array(
-                    np.full(no, np.datetime64("2026-01-01", "us"))
-                ),
-                "o_orderpriority": pa.array(["1-URGENT"] * no),
-            }
-        ),
-        tmp_path / "orders.parquet",
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "c_custkey": pa.array(np.arange(1, 8, dtype=np.int64)),
-                "c_name": pa.array([f"Customer#{i}" for i in range(1, 8)]),
-                "c_nationkey": pa.array(np.zeros(7, np.int64)),
-                "c_acctbal": pa.array(np.zeros(7)),
-                "c_mktsegment": pa.array(["BUILDING"] * 7),
-            }
-        ),
-        tmp_path / "customer.parquet",
-    )
 
-    per = collections.defaultdict(lambda: [0, 0])
-    for k, q in zip(ok, qty):
-        per[k][0] += 1
-        per[k][1] += int(np.floor(q))
-    ranked = sorted(per.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    per_part = _c.defaultdict(lambda: [0, 0, 0])  # pk -> nl, qty, rev
+    for k, q, e, d in zip(pk, qty, ep, dc):
+        c = per_part[k]
+        c[0] += 1
+        c[1] += int(np.floor(q))
+        c[2] += int(np.floor(e * (1.0 - d)))
+    want = _c.defaultdict(lambda: [0, 0, 0, 0])
+    for k, name in parts:
+        for w in name.split(" "):
+            c = want[w]
+            c[0] += 1
+            nl, q, r = per_part.get(k, (0, 0, 0))
+            c[1] += nl
+            c[2] += q
+            c[3] += r
 
     got = (
-        megaorder_drilldown(str(tmp_path))
+        name_token_demand(str(tmp_path))
         .to_pandas()
-        .set_index("o_orderkey")
+        .set_index("word")
         .sort_index()
     )
-    assert sorted(got.index) == sorted(k for k, _ in ranked)
-    for k, (nl, tq) in ranked:
-        row = got.loc[k]
-        assert row["total_qty"] == tq
+    assert sorted(got.index) == sorted(want)
+    for w, (np_, nl, q, r) in want.items():
+        row = got.loc[w]
+        assert row["n_parts"] == np_
         assert row["n_lines"] == nl
-        assert row["c_name"] == f"Customer#{k % 7 + 1}"
-        assert row["price_floor"] == k * 10
-    # the tie at the cut: okeys 200..206 in, 207/208 out
-    assert 206 in got.index and 207 not in got.index
+        assert row["qty_floor"] == q
+        assert row["revenue_floor"] == r
+    assert got.loc["green", "n_lines"] == 0   # never shipped
+    assert got.loc["green", "n_parts"] == 1
+    assert got.loc["red", "n_parts"] == 4     # incl. "red red" twice

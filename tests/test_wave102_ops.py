@@ -2,8 +2,8 @@
 (planted gap/value pairs — including a window-boundary pair and ts ties —
 pin all six sums), T156 word source-breadth
 spectrum (planted shared/exclusive words pin every band), R83
-returned-revenue customer drill-down (planted refund totals with a tie at
-the cut pin the top set) — each vs a scalar brute-force reference."""
+dimension name-key coherence audit (planted key drifts and a parse
+failure pin every counter) — each vs a scalar brute-force reference."""
 
 from __future__ import annotations
 
@@ -136,122 +136,55 @@ def test_doc_word_breadth_bruteforce(ray_session, tmp_path):
     assert got.loc[2, "n_words"] == 1          # "fox"
 
 
-def test_rel_refund_drilldown_bruteforce(ray_session, tmp_path):
-    from mq_to_db_ray.pipelines.relational import refund_drilldown
+def test_rel_dim_name_audit_bruteforce(ray_session, tmp_path):
+    from mq_to_db_ray.pipelines.relational import dim_name_audit
 
-    g = np.random.default_rng(836)
-    # orders: okey -> custkey; customers 1..20 over 3 nations
-    n_cust = 20
-    okeys = list(range(1000, 1200))
-    o_cust = {k: (k % n_cust) + 1 for k in okeys}
-    ok, rf, ep, dc = [], [], [], []
-    # planted: cust 1 gets huge returned revenue via okey 1000
-    for _ in range(4):
-        ok.append(1000)
-        rf.append("R")
-        ep.append(50_000.0)
-        dc.append(0.0)
-    # planted tie at the cut: custs 2..12 each get exactly one returned
-    # line of 1000.0 -> 11 customers tie for the 9 slots behind cust 1;
-    # lowest custkeys 2..10 make the top-10, 11 and 12 fall out
-    for k in range(1001, 1012):
-        ok.append(k)  # o_cust maps 1001->2, ..., 1011->12
-        rf.append("R")
-        ep.append(1000.0)
-        dc.append(0.0)
-    # noise: non-returned lines everywhere (must not count)
-    for k in okeys:
-        for _ in range(int(g.integers(1, 4))):
-            ok.append(k)
-            rf.append(g.choice(["N", "A"]))
-            ep.append(float(g.uniform(100, 5000)))
-            dc.append(float(g.integers(0, 10)) / 100.0)
-    n = len(ok)
+    # customer: keys 0..9; plant 2 mismatches (+5, -3) and 1 parse fail
+    ck = np.arange(10, dtype=np.int64)
+    cnames = [f"Customer#{k:09d}" for k in ck]
+    cnames[3] = f"Customer#{3 + 5:09d}"   # dev +5
+    cnames[7] = f"Customer#{7 - 3:09d}"   # dev 3
+    cnames[9] = "Customer#broken"          # parse fail
     pq.write_table(
         pa.table(
             {
-                "l_orderkey": pa.array(np.array(ok, np.int64)),
-                "l_partkey": pa.array(np.ones(n, np.int64)),
-                "l_suppkey": pa.array(np.ones(n, np.int64)),
-                "l_linenumber": pa.array(np.ones(n, np.int32)),
-                "l_quantity": pa.array(np.ones(n)),
-                "l_extendedprice": pa.array(np.array(ep)),
-                "l_discount": pa.array(np.array(dc)),
-                "l_tax": pa.array(np.zeros(n)),
-                "l_returnflag": pa.array(rf),
-                "l_linestatus": pa.array(["O"] * n),
-                "l_shipdate": pa.array(
-                    np.full(n, np.datetime64("2026-01-01", "us"))
-                ),
-            }
-        ),
-        tmp_path / "lineitem.parquet",
-    )
-    no = len(okeys)
-    pq.write_table(
-        pa.table(
-            {
-                "o_orderkey": pa.array(np.array(okeys, np.int64)),
-                "o_custkey": pa.array(
-                    np.array([o_cust[k] for k in okeys], np.int64)
-                ),
-                "o_orderstatus": pa.array(["O"] * no),
-                "o_totalprice": pa.array(np.full(no, 100.0)),
-                "o_orderdate": pa.array(
-                    np.full(no, np.datetime64("2026-01-01", "us"))
-                ),
-                "o_orderpriority": pa.array(["1-URGENT"] * no),
-            }
-        ),
-        tmp_path / "orders.parquet",
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
-                "c_name": pa.array(
-                    [f"Customer#{i}" for i in range(1, n_cust + 1)]
-                ),
-                "c_nationkey": pa.array(
-                    np.array([i % 3 for i in range(1, n_cust + 1)], np.int64)
-                ),
-                "c_acctbal": pa.array(np.zeros(n_cust)),
-                "c_mktsegment": pa.array(["BUILDING"] * n_cust),
+                "c_custkey": pa.array(ck),
+                "c_name": pa.array(cnames),
+                "c_nationkey": pa.array(np.zeros(10, np.int64)),
+                "c_acctbal": pa.array(np.zeros(10)),
+                "c_mktsegment": pa.array(["BUILDING"] * 10),
             }
         ),
         tmp_path / "customer.parquet",
     )
+    # supplier: keys 0..4, all clean (leading zeros must cast away)
+    sk = np.arange(5, dtype=np.int64)
     pq.write_table(
         pa.table(
             {
-                "n_nationkey": pa.array(np.arange(3, dtype=np.int64)),
-                "n_name": pa.array(["ALPHA", "BETA", "GAMMA"]),
-                "n_regionkey": pa.array(np.zeros(3, np.int64)),
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array([f"Supplier#{k:09d}" for k in sk]),
+                "s_nationkey": pa.array(np.zeros(5, np.int64)),
+                "s_acctbal": pa.array(np.zeros(5)),
             }
         ),
-        tmp_path / "nation.parquet",
+        tmp_path / "supplier.parquet",
     )
-
-    per = collections.defaultdict(lambda: [0, 0])  # ck -> [nl, rev]
-    for k, f, e, d in zip(ok, rf, ep, dc):
-        if f == "R":
-            c = per[o_cust[k]]
-            c[0] += 1
-            c[1] += int(np.floor(e * (1.0 - d)))
-    ranked = sorted(per.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
 
     got = (
-        refund_drilldown(str(tmp_path))
+        dim_name_audit(str(tmp_path))
         .to_pandas()
-        .set_index("c_custkey")
+        .set_index("dim")
         .sort_index()
     )
-    assert sorted(got.index) == sorted(ck for ck, _ in ranked)
-    for ck, (nl, rev) in ranked:
-        row = got.loc[ck]
-        assert row["returned_rev_floor"] == rev
-        assert row["n_return_lines"] == nl
-        assert row["c_name"] == f"Customer#{ck}"
-        assert row["nation"] == ["ALPHA", "BETA", "GAMMA"][ck % 3]
-    assert 1 in got.index and 10 in got.index
-    assert 11 not in got.index and 12 not in got.index
+    assert list(got.index) == ["customer", "supplier"]
+    c = got.loc["customer"]
+    assert c["n_rows"] == 10
+    assert c["n_parse_fail"] == 1
+    assert c["n_mismatch"] == 2
+    assert c["max_abs_dev"] == 5
+    s = got.loc["supplier"]
+    assert s["n_rows"] == 5
+    assert s["n_parse_fail"] == 0
+    assert s["n_mismatch"] == 0
+    assert s["max_abs_dev"] == 0
