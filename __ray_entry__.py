@@ -805,6 +805,12 @@ def _q_events_gap_value_coupling(sf_dir: str):
     return events_gap_value_coupling(sf_dir)
 
 
+def _q_events_id_interleaving(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_id_interleaving
+
+    return events_id_interleaving(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1637,6 +1643,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_value_coupling": _q_events_gap_value_coupling,
         "doc_word_breadth": td.word_breadth_spectrum,
         "rel_dim_name_audit": rel.dim_name_audit,
+        "events_id_interleaving": _q_events_id_interleaving,
+        "f1_delta_spectrum": lambda sf_dir: td.tape_delta_spectrum(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_line_sequence_audit": rel.line_sequence_audit,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8143,5 +8154,61 @@ def oracle_sql() -> dict[str, str]:
                                  FILTER (WHERE p IS NOT NULL), 0)
                         AS BIGINT) AS max_abs_dev
             FROM u GROUP BY 1
+        """,
+        "events_id_interleaving": """
+            WITH w AS (SELECT event_type AS s,
+                              lag(event_type) OVER
+                                  (ORDER BY event_id, epoch_us(ts),
+                                            event_type) AS ps
+                       FROM events)
+            SELECT s AS source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE ps IS NULL OR ps <> s)
+                        AS BIGINT) AS n_runs,
+                   CAST(1000 * count(*) FILTER (WHERE ps IS NULL OR ps <> s)
+                        // count(*) AS BIGINT) AS runs_permille
+            FROM w GROUP BY 1
+        """,
+        "f1_delta_spectrum": """
+            WITH x AS (SELECT row_number() OVER () AS rid, source, tokens
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 e AS (SELECT rid, source,
+                              unnest(tokens) AS id,
+                              generate_subscripts(tokens, 1) AS pos
+                       FROM x),
+                 p AS (SELECT source,
+                              CAST(id AS BIGINT)
+                                  - lag(CAST(id AS BIGINT)) OVER
+                                      (PARTITION BY rid ORDER BY pos) AS d
+                       FROM e)
+            SELECT source,
+                   CAST(CASE WHEN d = 0 THEN 0
+                             ELSE CAST(sign(d) AS BIGINT)
+                                  * length(CAST(abs(d) AS VARCHAR))
+                        END AS BIGINT) AS delta_band,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p WHERE d IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "rel_line_sequence_audit": """
+            WITH o AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(count(DISTINCT l_linenumber) AS BIGINT)
+                                  AS nd,
+                              CAST(min(l_linenumber) AS BIGINT) AS mn,
+                              CAST(max(l_linenumber) AS BIGINT) AS mx
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(nl) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE nd = nl AND mn = 1
+                                               AND mx = nl) AS BIGINT)
+                       AS ok_orders,
+                   CAST(count(*) FILTER (WHERE nd < nl) AS BIGINT)
+                       AS dup_orders,
+                   CAST(count(*) FILTER (WHERE nd = nl
+                                         AND NOT (mn = 1 AND mx = nl))
+                        AS BIGINT) AS gap_orders,
+                   CAST(max(mx) AS BIGINT) AS max_linenumber
+            FROM o
         """,
     }

@@ -520,6 +520,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_gap_value_coupling",
         "doc_word_breadth",
         "rel_dim_name_audit",
+        "events_id_interleaving",
+        "f1_delta_spectrum",
+        "rel_line_sequence_audit",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

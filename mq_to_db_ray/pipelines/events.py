@@ -13579,3 +13579,128 @@ def events_gap_value_coupling(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_id_interleaving(
+    sf_dir: str, window_ids: int = 1 << 17
+) -> Dataset:
+    """E150: id-space interleaving audit — walk the GLOBAL event-id
+    order (all sources merged, ties broken by (ts, source)) and, per
+    source: events and maximal same-source RUNS, plus the run permille
+    (1000·runs/events; 1000 = fully interleaved singleton assignment,
+    small = the id allocator hands out BLOCKS per producer) — the id
+    ALLOCATION topology read none of the audits give (E114 checks each
+    source's ids for gaps in isolation, E113 counts per-minute source
+    concurrency on the TIME axis; E150 asks how producers share the id
+    SPACE itself: block allocation means a range scan on ids hits one
+    producer — exactly what epoch sharding, replay and id-range
+    partition pruning assume or break on).  One dense row per source
+    ALWAYS; exact int64 (global lag-window oracle).
+
+    Scale shape — E147's carried-prefix machinery with ONE key (the
+    stream itself): rows tag (0, id-window); windows spread across the
+    (k, w)-hash partitions, each kernel is one lexsort + one shifted
+    source-compare, and :func:`_last_event_carries` hands each window
+    its predecessor's source so runs crossing window edges never
+    double-count a start; the single-key carry merge handles only
+    O(windows) summary rows (documented: ids/2^17)."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "t": pa.array(ids, pa.int64()),
+                "o": b["ts"].cast(pa.int64()),
+                "v": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ids // window_ids, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "ne", "nr")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt))
+        vs, crs = vv[order], cr[order]
+        n = len(order)
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = -1
+        pv[1:] = vs[:-1]
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = True
+        run_start = ~crs & (~has_prev | (vs != pv))
+        ng = len(srcs)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ng, dtype=np.int64)),
+                "ne": pa.array(
+                    np.bincount(vs[~crs], minlength=ng).astype(np.int64)
+                ),
+                "nr": pa.array(
+                    np.bincount(vs[run_start], minlength=ng).astype(np.int64)
+                ),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "runs_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("ne", "sum"), ("nr", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = g["ne_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ne > 0
+        ss, ne, nr = ss[keep], ne[keep], nr[keep]
+        order = np.argsort(ss)
+        ss, ne, nr = ss[order], ne[order], nr[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_events": pa.array(ne, pa.int64()),
+                "n_runs": pa.array(nr, pa.int64()),
+                "runs_permille": pa.array(1000 * nr // ne, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

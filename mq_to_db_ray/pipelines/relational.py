@@ -12542,3 +12542,122 @@ def dim_name_audit(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cust.union(sup), "d", merge, k=1)
+
+
+def line_sequence_audit(sf_dir: str) -> Dataset:
+    """R84: line-sequence integrity audit — per order, l_linenumber
+    must be exactly the dense sequence 1..n_lines; classify every
+    order as OK, DUP (a linenumber repeats) or GAP (distinct but not
+    the dense 1..n range) and report corpus totals plus the global max
+    linenumber — the R48 referential-integrity discipline on the
+    WITHIN-order sequence column (R27 profiles line positions
+    statistically; R84 asserts the invariant every per-line ordinal
+    join, "first line" heuristic and line-diff reconciler silently
+    assumes; a partial reload or dropped-line compaction shows up here
+    first).  ONE dense row ALWAYS; exact int64 (two-level GROUP BY +
+    COUNT DISTINCT oracle).
+
+    Scale shape — R80's two-exchange cell profile: per batch one
+    np.unique over (orderkey, linenumber) reduces lines to occurrence
+    cells (duplicates survive as counts); ONE orderkey-hash exchange
+    settles each order exactly once — count, distinct count, min and
+    max are all computable from the settled cells in partition — and
+    collapses to one classification row per partition; k=1 merge sums
+    O(parts) rows.  Raw lines never shuffle, only distinct cells."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = (
+            pc.cast(b["l_linenumber"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pairs = np.stack([ok, ln], axis=1)
+        u, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "okey": pa.array(u[:, 0].astype(np.int64)),
+                "ln": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "no", "nl", "ok_", "dup", "gap", "mx")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["okey", "ln"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ok = g["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = g["ln"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(ok, return_inverse=True)
+        nd = np.bincount(idx).astype(np.int64)       # distinct linenos
+        nl = np.zeros(len(u), np.int64)              # total lines
+        np.add.at(nl, idx, n)
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, idx, ln)
+        mx = np.zeros(len(u), np.int64)
+        np.maximum.at(mx, idx, ln)
+        is_ok = (nd == nl) & (mn == 1) & (mx == nl)
+        is_dup = nd < nl
+        is_gap = (nd == nl) & ~is_ok
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "no": pa.array([len(u)], pa.int64()),
+                "nl": pa.array([int(nl.sum())], pa.int64()),
+                "ok_": pa.array([int(is_ok.sum())], pa.int64()),
+                "dup": pa.array([int(is_dup.sum())], pa.int64()),
+                "gap": pa.array([int(is_gap.sum())], pa.int64()),
+                "mx": pa.array([int(mx.max())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_orders",
+            "n_lines",
+            "ok_orders",
+            "dup_orders",
+            "gap_orders",
+            "max_linenumber",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        return pa.table(
+            {
+                "n_orders": pa.array(
+                    [int(pc.sum(t["no"]).as_py())], pa.int64()
+                ),
+                "n_lines": pa.array(
+                    [int(pc.sum(t["nl"]).as_py())], pa.int64()
+                ),
+                "ok_orders": pa.array(
+                    [int(pc.sum(t["ok_"]).as_py())], pa.int64()
+                ),
+                "dup_orders": pa.array(
+                    [int(pc.sum(t["dup"]).as_py())], pa.int64()
+                ),
+                "gap_orders": pa.array(
+                    [int(pc.sum(t["gap"]).as_py())], pa.int64()
+                ),
+                "max_linenumber": pa.array(
+                    [int(pc.max(t["mx"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    cells = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "okey", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(folded, "g", merge, k=1)
