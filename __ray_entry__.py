@@ -811,6 +811,12 @@ def _q_events_id_interleaving(sf_dir: str):
     return events_id_interleaving(sf_dir)
 
 
+def _q_events_value_clock(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_clock
+
+    return events_value_clock(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1648,6 +1654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_line_sequence_audit": rel.line_sequence_audit,
+        "events_value_clock": _q_events_value_clock,
+        "embedding_cosign_matrix": td.embedding_cosign_matrix,
+        "rel_assortment_depth": rel.assortment_depth,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8210,5 +8219,63 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS gap_orders,
                    CAST(max(mx) AS BIGINT) AS max_linenumber
             FROM o
+        """,
+        "events_value_clock": """
+            SELECT event_type AS source,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS value_floor
+            FROM events GROUP BY 1, 2
+        """,
+        "embedding_cosign_matrix": """
+            WITH d AS (SELECT unnest(generate_series(1, 8)) AS i),
+                 p AS (SELECT d1.i AS i, d2.i AS j
+                       FROM d d1, d d2 WHERE d2.i > d1.i),
+                 x AS (SELECT p.i, p.j,
+                              list_extract(e.embedding, p.i) AS vi,
+                              list_extract(e.embedding, p.j) AS vj
+                       FROM embeddings e, p)
+            SELECT CAST(i - 1 AS BIGINT) AS dim_i,
+                   CAST(j - 1 AS BIGINT) AS dim_j,
+                   CAST(count(*) FILTER (WHERE vi > 0 AND vj > 0)
+                        AS BIGINT) AS n_pp,
+                   CAST(count(*) FILTER (WHERE vi > 0 AND vj <= 0)
+                        AS BIGINT) AS n_pm,
+                   CAST(count(*) FILTER (WHERE vi <= 0 AND vj > 0)
+                        AS BIGINT) AS n_mp,
+                   CAST(count(*) FILTER (WHERE vi <= 0 AND vj <= 0)
+                        AS BIGINT) AS n_mm
+            FROM x GROUP BY 1, 2
+        """,
+        "rel_assortment_depth": """
+            WITH pc_ AS (SELECT p_partkey, p_brand,
+                                CAST((p_size - 1) // 10 AS BIGINT) AS band
+                         FROM part),
+                 l AS (SELECT l_partkey, l_suppkey,
+                              CAST(count(*) AS BIGINT) AS nl
+                       FROM lineitem GROUP BY 1, 2),
+                 j AS (SELECT pc_.p_brand, pc_.band, l.l_suppkey, l.nl
+                       FROM l JOIN pc_ ON pc_.p_partkey = l.l_partkey),
+                 cat AS (SELECT p_brand, band,
+                                CAST(count(*) AS BIGINT) AS n_parts
+                         FROM pc_ GROUP BY 1, 2),
+                 shp AS (SELECT pc_.p_brand, pc_.band,
+                                CAST(count(DISTINCT l.l_partkey) AS BIGINT)
+                                    AS n_shipped,
+                                CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                                    AS n_sup,
+                                CAST(sum(l.nl) AS BIGINT) AS n_lines
+                         FROM l JOIN pc_ ON pc_.p_partkey = l.l_partkey
+                         GROUP BY 1, 2)
+            SELECT cat.p_brand AS brand,
+                   cat.band AS size_band,
+                   cat.n_parts,
+                   CAST(coalesce(shp.n_shipped, 0) AS BIGINT)
+                       AS n_shipped_parts,
+                   CAST(coalesce(shp.n_sup, 0) AS BIGINT) AS n_suppliers,
+                   CAST(coalesce(shp.n_lines, 0) AS BIGINT) AS n_lines
+            FROM cat LEFT JOIN shp
+                 ON shp.p_brand = cat.p_brand AND shp.band = cat.band
         """,
     }

@@ -523,6 +523,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_id_interleaving",
         "f1_delta_spectrum",
         "rel_line_sequence_audit",
+        "events_value_clock",
+        "embedding_cosign_matrix",
+        "rel_assortment_depth",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

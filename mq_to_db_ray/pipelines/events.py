@@ -13704,3 +13704,86 @@ def events_id_interleaving(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_value_clock(sf_dir: str) -> Dataset:
+    """E151: value clock board — per (source, hour-of-day): events and
+    exact floored payload mass — WHEN the value flows, not just when
+    the traffic does (E52 counts events on the dow×hour grid, E122
+    counts distinct USERS by hour, E93 gives the median phase; none
+    weighs the hours by the payload itself — a source whose value mass
+    peaks outside its traffic peak is doing few large settlements amid
+    chatter, exactly the window a billing-cutoff or fraud monitor
+    should watch).  Dense small output (sources × ≤24 hours); exact
+    int64 (extract(hour) + SUM(floor) oracle).
+
+    Scale shape — ZERO wide exchange: hour-of-day is a bounded axis,
+    so each batch reduces with one modulo + one bincount to (source,
+    hour, n, v) cells; only O(batches × sources × 24) partials ride
+    the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        hour = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 3_600_000_000
+        ) % 24
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key = code * 24 + hour
+        ne = np.bincount(key, minlength=ns * 24).astype(np.int64)
+        vm_i = np.zeros(ns * 24, np.int64)
+        np.add.at(vm_i, key, v)
+        keep = np.flatnonzero(ne)
+        return pa.table(
+            {
+                "s": pa.array(keep // 24),
+                "h": pa.array(keep % 24),
+                "ne": pa.array(ne[keep]),
+                "v": pa.array(vm_i[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "hour_of_day": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "value_floor": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "h"], use_threads=False).aggregate(
+            [("ne", "sum"), ("v", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "hour_of_day": pc.cast(g["h"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+                "value_floor": pc.cast(g["v_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

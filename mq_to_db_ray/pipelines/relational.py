@@ -12661,3 +12661,255 @@ def line_sequence_audit(sf_dir: str) -> Dataset:
         cells, "okey", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def assortment_depth(sf_dir: str) -> Dataset:
+    """R85: assortment-depth matrix (the TPC-H Q16 question) — per
+    (brand, size band of 10): catalog parts, parts that actually
+    shipped, DISTINCT suppliers that shipped them, and shipped lines —
+    how many suppliers can actually source each corner of the catalog
+    (R52 histograms competition per PART, R58 measures one brand's
+    volume concentration; R85 answers Q16's procurement question on
+    the brand × size grid: a cell with many parts but few suppliers is
+    a single-source risk, the inverse is commodity depth).  Dense
+    small output (brands × 5 bands); exact int64 (two-hop join +
+    COUNT DISTINCT oracle).
+
+    Scale shape — two chained bounded exchanges, lines never shuffle
+    raw: line batches pre-reduce to distinct (partkey, suppkey, n)
+    cells and meet the part dim's (partkey → brand, band) rows on ONE
+    partkey-hash exchange (union-tag + searchsorted attach); the
+    resulting (brand, band, suppkey) cells — bounded by
+    parts × suppliers-per-part, already corpus-small — settle distinct
+    suppliers per grid cell on ONE (brand, band)-hash exchange; k=1
+    merge sums O(cells) rows."""
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+            .unique("p_brand")
+        ),
+        pa.string(),
+    )
+
+    def part_cells(b: pa.Table) -> pa.Table:
+        size = (
+            pc.cast(b["p_size"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "sk": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "bb": pc.cast(
+                    pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+                ),
+                "band": pa.array((size - 1) // 10),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.stack([pk, sk], axis=1)
+        u, cnt = np.unique(pairs, axis=0, return_counts=True)
+        n = len(u)
+        return pa.table(
+            {
+                "k": pa.array(u[:, 0].astype(np.int64)),
+                "sk": pa.array(u[:, 1].astype(np.int64)),
+                "bb": pa.array(np.full(n, -1, np.int64)),
+                "band": pa.array(np.zeros(n, np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def join_fold(t: pa.Table) -> pa.Table:
+        cols = ("cell", "bb", "band", "sk", "np_", "ns_", "nl")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        bbv = t["bb"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_part = bbv >= 0
+        p = t.filter(pa.array(is_part))
+        l = t.filter(pa.array(~is_part))
+        pk = p["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        pbb = p["bb"].combine_chunks().to_numpy(zero_copy_only=False)[porder]
+        pband = p["band"].combine_chunks().to_numpy(zero_copy_only=False)[
+            porder
+        ]
+        # line side: settle (partkey, suppkey) across batches
+        lg = l.group_by(["k", "sk"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        lsk = lg["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = lg["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = (
+            np.clip(np.searchsorted(pk_s, lk), 0, max(len(pk_s) - 1, 0))
+            if len(pk_s)
+            else np.zeros(len(lk), np.int64)
+        )
+        hit = (pk_s[pos] == lk) if len(pk_s) else np.zeros(len(lk), bool)
+        # per shipped (brand, band, suppkey): lines; plus per part: shipped?
+        cell_b = pbb[pos[hit]]
+        cell_d = pband[pos[hit]]
+        shipped_pk = lk[hit]
+        # catalog rows: every part contributes n_parts (and whether it
+        # shipped: distinct shipped partkeys among lk)
+        sp = np.unique(shipped_pk)
+        part_shipped = (
+            np.zeros(len(pk_s), bool)
+            if len(pk_s)
+            else np.zeros(0, bool)
+        )
+        if len(pk_s):
+            ppos = np.searchsorted(sp, pk_s)
+            ppos = np.clip(ppos, 0, max(len(sp) - 1, 0))
+            part_shipped = (sp[ppos] == pk_s) if len(sp) else part_shipped
+        # emit two row kinds: per-(brand,band,suppkey) line cells and
+        # per-(brand,band) catalog/shipped-part counters (sk = -1)
+        cat_key = pbb * 8 + pband
+        u_cat, cat_idx = np.unique(cat_key, return_inverse=True)
+        np_cat = np.bincount(cat_idx).astype(np.int64)
+        sp_cat = np.zeros(len(u_cat), np.int64)
+        np.add.at(sp_cat, cat_idx, part_shipped.astype(np.int64))
+        return pa.table(
+            {
+                "cell": pa.array(
+                    np.concatenate([cell_b * 8 + cell_d, u_cat])
+                ),
+                "bb": pa.array(
+                    np.concatenate([cell_b, u_cat // 8])
+                ),
+                "band": pa.array(
+                    np.concatenate([cell_d, u_cat % 8])
+                ),
+                "sk": pa.array(
+                    np.concatenate(
+                        [lsk[hit], np.full(len(u_cat), -1, np.int64)]
+                    )
+                ),
+                "np_": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(hit.sum()), np.int64), np_cat]
+                    )
+                ),
+                "ns_": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(hit.sum()), np.int64), sp_cat]
+                    )
+                ),
+                "nl": pa.array(
+                    np.concatenate([ln[hit], np.zeros(len(u_cat), np.int64)])
+                ),
+            }
+        )
+
+    def cell_fold(t: pa.Table) -> pa.Table:
+        cols = ("bb", "band", "np_", "ns_", "nsup", "nl")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        sk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_line = sk >= 0
+        l = t.filter(pa.array(is_line))
+        c = t.filter(pa.array(~is_line))
+        # distinct suppliers per (brand, band) — all of a cell's rows
+        # are co-located on the cell-hash exchange
+        lg = l.group_by(["cell", "sk"], use_threads=False).aggregate(
+            [("nl", "sum")]
+        )
+        lcell = lg["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        lnl = lg["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u_l, l_idx = (
+            np.unique(lcell, return_inverse=True)
+            if len(lcell)
+            else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        )
+        nsup = np.bincount(l_idx, minlength=len(u_l)).astype(np.int64)
+        nl_sum = np.zeros(len(u_l), np.int64)
+        np.add.at(nl_sum, l_idx, lnl)
+        cg = c.group_by("cell", use_threads=False).aggregate(
+            [("np_", "sum"), ("ns_", "sum")]
+        )
+        ccell = cg["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnp = cg["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        cns = cg["ns__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        allc = np.union1d(u_l, ccell)
+        out_np = np.zeros(len(allc), np.int64)
+        out_ns = np.zeros(len(allc), np.int64)
+        out_nsup = np.zeros(len(allc), np.int64)
+        out_nl = np.zeros(len(allc), np.int64)
+        if len(ccell):
+            out_np[np.searchsorted(allc, ccell)] = cnp
+            out_ns[np.searchsorted(allc, ccell)] = cns
+        if len(u_l):
+            out_nsup[np.searchsorted(allc, u_l)] = nsup
+            out_nl[np.searchsorted(allc, u_l)] = nl_sum
+        return pa.table(
+            {
+                "bb": pa.array(allc // 8),
+                "band": pa.array(allc % 8),
+                "np_": pa.array(out_np),
+                "ns_": pa.array(out_ns),
+                "nsup": pa.array(out_nsup),
+                "nl": pa.array(out_nl),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "brand",
+            "size_band",
+            "n_parts",
+            "n_shipped_parts",
+            "n_suppliers",
+            "n_lines",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["bb", "band"], use_threads=False).aggregate(
+            [("np_", "sum"), ("ns_", "sum"), ("nsup", "sum"), ("nl", "sum")]
+        )
+        return pa.table(
+            {
+                "brand": brands.take(g["bb"]),
+                "size_band": pc.cast(g["band"], pa.int64()),
+                "n_parts": pc.cast(g["np__sum"], pa.int64()),
+                "n_shipped_parts": pc.cast(g["ns__sum"], pa.int64()),
+                "n_suppliers": pc.cast(g["nsup_sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+            }
+        )
+
+    tagged = parts.map_batches(
+        part_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lines.map_batches(
+            line_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", join_fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    folded = hash_partition_merge(
+        cells, "cell", cell_fold, k=_rel_k(sf_dir, "part")
+    )
+    return hash_partition_merge(folded, "bb", merge, k=1)

@@ -15079,3 +15079,77 @@ def tape_delta_spectrum(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def embedding_cosign_matrix(sf_dir: str, n_dims: int = 8) -> Dataset:
+    """T158: embedding dimension co-sign matrix — for every ordered
+    pair (i < j) of the first ``n_dims`` vector dimensions, the joint
+    sign counts over all vectors: (+,+), (+,−/0), (−/0,+), (−/0,−/0) —
+    the cheapest pairwise-dependence read of the embedding space (T147
+    gives each dimension's sign MARGIN; T158 gives the JOINT: a pair
+    whose diagonal mass n_pp+n_nn far exceeds the margins' product is
+    correlated — redundant capacity PCA/whitening would fold, and the
+    off-diagonal-heavy pairs are the ones sign-based LSH hyperplanes
+    should prefer).  Signs are exact float comparisons (v > 0), so the
+    board is integer-exact (list_extract + FILTER-count oracle).
+    Dense small output: n_dims·(n_dims−1)/2 rows.
+
+    Scale shape — ZERO wide exchange: each batch slices the first
+    n_dims columns of the vector block once (one flatten + reshape),
+    then THREE boolean matmuls (B'B for ++, B'(¬B) for +−, symmetric
+    for the rest) produce the whole pair grid at once; only
+    O(batches × pairs) cells ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = ("i", "j", "pp", "pm", "mp", "mm")
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        flat = e.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // n
+        b = (flat.reshape(n, dim)[:, :n_dims] > 0.0)
+        bt = b.astype(np.int64)
+        nt = (~b).astype(np.int64)
+        pp = bt.T @ bt
+        pm = bt.T @ nt
+        mm = nt.T @ nt
+        iu, ju = np.triu_indices(n_dims, k=1)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "pp": pa.array(pp[iu, ju]),
+                "pm": pa.array(pm[iu, ju]),
+                "mp": pa.array(pm.T[iu, ju]),
+                "mm": pa.array(mm[iu, ju]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("dim_i", "dim_j", "n_pp", "n_pm", "n_mp", "n_mm")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by(["i", "j"], use_threads=False).aggregate(
+            [("pp", "sum"), ("pm", "sum"), ("mp", "sum"), ("mm", "sum")]
+        )
+        return pa.table(
+            {
+                "dim_i": pc.cast(g["i"], pa.int64()),
+                "dim_j": pc.cast(g["j"], pa.int64()),
+                "n_pp": pc.cast(g["pp_sum"], pa.int64()),
+                "n_pm": pc.cast(g["pm_sum"], pa.int64()),
+                "n_mp": pc.cast(g["mp_sum"], pa.int64()),
+                "n_mm": pc.cast(g["mm_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "i", merge, k=1)
