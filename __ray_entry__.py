@@ -817,6 +817,12 @@ def _q_events_value_clock(sf_dir: str):
     return events_value_clock(sf_dir)
 
 
+def _q_events_user_id_order(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_id_order
+
+    return events_user_id_order(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1657,6 +1663,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_clock": _q_events_value_clock,
         "embedding_cosign_matrix": td.embedding_cosign_matrix,
         "rel_assortment_depth": rel.assortment_depth,
+        "events_user_id_order": _q_events_user_id_order,
+        "doc_id_integrity": td.doc_id_integrity,
+        "rel_sourcing_geography": rel.sourcing_geography,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8277,5 +8286,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(shp.n_lines, 0) AS BIGINT) AS n_lines
             FROM cat LEFT JOIN shp
                  ON shp.p_brand = cat.p_brand AND shp.band = cat.band
+        """,
+        "events_user_id_order": """
+            WITH r AS (SELECT event_type AS s, user_id AS u,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              CAST(event_id AS BIGINT) AS e,
+                              row_number() OVER
+                                  (PARTITION BY event_type, user_id
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+                       FROM events),
+                 f AS (SELECT s, u, t, e FROM r WHERE rn = 1),
+                 w AS (SELECT s, u,
+                              lag(u) OVER
+                                  (PARTITION BY s ORDER BY t, e, u) AS pu
+                       FROM f)
+            SELECT s AS source,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(count(pu) AS BIGINT) AS n_pairs,
+                   CAST(count(*) FILTER (WHERE u > pu) AS BIGINT)
+                       AS n_ascending,
+                   CAST(1000 * count(*) FILTER (WHERE u > pu)
+                        // greatest(count(pu), 1) AS BIGINT)
+                       AS asc_permille
+            FROM w GROUP BY 1
+        """,
+        "doc_id_integrity": """
+            WITH pid AS (SELECT doc_id,
+                                CAST(count(*) AS BIGINT) AS mult,
+                                CAST(count(DISTINCT source) AS BIGINT)
+                                    AS nsrc
+                         FROM documents GROUP BY 1)
+            SELECT CAST(sum(mult) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct_ids,
+                   CAST(count(*) FILTER (WHERE mult > 1) AS BIGINT)
+                       AS n_dup_ids,
+                   CAST(max(mult) AS BIGINT) AS max_multiplicity,
+                   CAST(count(*) FILTER (WHERE nsrc > 1) AS BIGINT)
+                       AS n_cross_source_ids
+            FROM pid
+        """,
+        "rel_sourcing_geography": """
+            WITH l AS (SELECT l_suppkey, l_partkey,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS qty,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount))
+                                            AS BIGINT)) AS BIGINT) AS rev
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT n.n_name AS nation,
+                   p.p_brand AS brand,
+                   CAST(sum(l.nl) AS BIGINT) AS n_lines,
+                   CAST(sum(l.qty) AS BIGINT) AS qty_floor,
+                   CAST(sum(l.rev) AS BIGINT) AS revenue_floor
+            FROM l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   JOIN part p ON p.p_partkey = l.l_partkey
+                   JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
         """,
     }

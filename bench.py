@@ -526,6 +526,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_clock",
         "embedding_cosign_matrix",
         "rel_assortment_depth",
+        "events_user_id_order",
+        "doc_id_integrity",
+        "rel_sourcing_geography",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

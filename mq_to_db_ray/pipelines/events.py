@@ -13787,3 +13787,201 @@ def events_value_clock(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_user_id_order(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E152: user-id assignment-order audit — per source, walk the
+    FIRST-SEEN order of its users (each user ranked by its first event,
+    ties by event id then user id) and count adjacent first-seen pairs
+    whose user ids ASCEND — the registration-order coherence read
+    (sequential id allocators make new arrivals carry ever-larger ids:
+    asc_permille ≈ 1000; random/uuid-style assignment sits near 500;
+    a MIX flags backfilled imports or id recycling — exactly what
+    breaks the "user_id < watermark ⇒ seen before" shortcut every
+    incremental enrichment join is tempted by; E114 audits EVENT ids,
+    E150 the id SPACE across producers, E152 the USER axis against
+    arrival time).  One dense row per source ALWAYS; exact int64
+    (min-per-user + lag-window oracle).
+
+    Scale shape — two bounded rounds, raw events collapse first:
+      1. first-seen reduce: per batch one lexsort keeps each (source,
+         user)'s earliest (ts, event_id) row; ONE user-hash exchange
+         settles the global first-seen cell per user — O(users) rows
+         from here on;
+      2. the settled cells re-tag (source, first-ts window) and run
+         E147's carried-prefix pair kernel with v = user_id (one
+         lexsort + one shifted compare per partition; carries hand
+         each window its predecessor), then fold in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "user_id"],
+        override_num_blocks=kfan,
+    )
+
+    def batch_first(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, uid, code))
+        cs, us = code[order], uid[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (cs[1:] != cs[:-1]) | (us[1:] != us[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                "s": pa.array(code[sel]),
+                "u": pa.array(uid[sel]),
+                "ts": pa.array(ts[sel]),
+                "eid": pa.array(eid[sel]),
+            }
+        )
+
+    def settle_first(t: pa.Table) -> pa.Table:
+        cols = ("s", "u", "ts", "eid")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uu, ss))
+        cs, us = ss[order], uu[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (cs[1:] != cs[:-1]) | (us[1:] != us[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                "s": pa.array(ss[sel]),
+                "u": pa.array(uu[sel]),
+                "ts": pa.array(ts[sel]),
+                "eid": pa.array(eid[sel]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(batch_first, batch_format="pyarrow"),
+        "u",
+        settle_first,
+        k=shuffle_parts(kfan),
+    )
+
+    def retag(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": b["s"],
+                "t": b["ts"],
+                "o": b["eid"],
+                "v": b["u"],
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts // window_us, pa.int64()),
+            }
+        )
+
+    tagged = cells.map_batches(retag, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "nu", "np_", "na")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        pair = has_prev & ~crs
+        asc = pair & (vs > pv)
+        ng = len(srcs)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ng, dtype=np.int64)),
+                "nu": pa.array(
+                    np.bincount(ks[~crs], minlength=ng).astype(np.int64)
+                ),
+                "np_": pa.array(
+                    np.bincount(ks[pair], minlength=ng).astype(np.int64)
+                ),
+                "na": pa.array(
+                    np.bincount(ks[asc], minlength=ng).astype(np.int64)
+                ),
+            }
+        )
+
+    pcells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "n_ascending": pa.array([], pa.int64()),
+                    "asc_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nu", "sum"), ("np_", "sum"), ("na", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nu = g["nu_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        npr = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        na = g["na_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = nu > 0
+        ss, nu, npr, na = ss[keep], nu[keep], npr[keep], na[keep]
+        order = np.argsort(ss)
+        ss, nu, npr, na = ss[order], nu[order], npr[order], na[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_users": pa.array(nu, pa.int64()),
+                "n_pairs": pa.array(npr, pa.int64()),
+                "n_ascending": pa.array(na, pa.int64()),
+                "asc_permille": pa.array(
+                    1000 * na // np.maximum(npr, 1), pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(pcells, "s", merge, k=1)

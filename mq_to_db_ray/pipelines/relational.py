@@ -12913,3 +12913,238 @@ def assortment_depth(sf_dir: str) -> Dataset:
         cells, "cell", cell_fold, k=_rel_k(sf_dir, "part")
     )
     return hash_partition_merge(folded, "bb", merge, k=1)
+
+
+def sourcing_geography(sf_dir: str) -> Dataset:
+    """R86: sourcing-geography matrix — per (supplier nation, part
+    brand): shipped lines, exact quantity, and floored revenue
+    Σfloor(extprice·(1−disc)) — WHERE each brand is actually made (R4
+    rolls supplier revenue to the REGION with no product axis, R58
+    measures one brand's supplier concentration, R15 crosses the two
+    CUSTOMER-side nations; R86 is the supply-side product map: a brand
+    sourced from one nation is a tariff/embargo single point of
+    failure, and the matrix is Q8's market-share numerator before the
+    share divide).  Dense small output (nations × brands); exact int64
+    (two-hop join + GROUP BY oracle).
+
+    Scale shape — R15's chained co-partition discipline, two hops:
+      1. SUPPKEY hop: line batches pre-reduce per (suppkey, partkey)
+         with one Arrow group_by and meet the supplier dim's
+         (suppkey → nationkey) rows (union-tag + searchsorted attach;
+         the supplier dim GROWS WITH THE CORPUS — never broadcast);
+      2. PARTKEY hop: the (partkey, nation, nl, qty, rev) cells meet
+         the part dim's (partkey → brand) rows the same way and
+         collapse IN PLACE to (nation, brand) partials;
+    k=1 merge sums O(nations × brands) rows; names attach from the
+    25-row nation broadcast."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_suppkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    nat_names = pa.array(nat["n_name"].tolist(), pa.string())
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+            .unique("p_brand")
+        ),
+        pa.string(),
+    )
+
+    def line_hop1(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "pk": pc.cast(b["l_partkey"], pa.int64()),
+                "nat": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "nl": pa.array(np.ones(b.num_rows, np.int64)),
+                "qty": pa.array(
+                    np.floor(
+                        b["l_quantity"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "rev": pa.array(np.floor(ep * (1.0 - dc)).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["k", "pk", "nat"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["k", "pk", "nat", "nl", "qty", "rev"])
+
+    def sup_hop1(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "pk": pa.array(np.full(n, -1, np.int64)),
+                "nat": pc.cast(b["s_nationkey"], pa.int64()),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold1(t: pa.Table) -> pa.Table:
+        cols = ("k", "pk", "nat", "nl", "qty", "rev")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        natv = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_sup = natv >= 0
+        s = t.filter(pa.array(is_sup))
+        l = t.filter(pa.array(~is_sup))
+        if s.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lg = l.group_by(["k", "pk"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sk = s["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sorder = np.argsort(sk, kind="stable")
+        sk_s = sk[sorder]
+        pos = np.clip(np.searchsorted(sk_s, lk), 0, len(sk_s) - 1)
+        hit = sk_s[pos] == lk
+        snat = s["nat"].combine_chunks().to_numpy(zero_copy_only=False)[
+            sorder
+        ][pos]
+        hitarr = pa.array(hit)
+        return pa.table(
+            {
+                "k": pa.array(lg["pk"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )[hit], pa.int64()),
+                "pk": pa.array(np.full(int(hit.sum()), -2, np.int64)),
+                "nat": pa.array(snat[hit], pa.int64()),
+                "nl": pc.cast(lg["nl_sum"], pa.int64()).filter(hitarr),
+                "qty": pc.cast(lg["qty_sum"], pa.int64()).filter(hitarr),
+                "rev": pc.cast(lg["rev_sum"], pa.int64()).filter(hitarr),
+            }
+        )
+
+    def part_hop2(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "pk": pc.cast(
+                    pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+                ),
+                "nat": pa.array(np.full(n, -1, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold2(t: pa.Table) -> pa.Table:
+        cols = ("nat", "bb", "nl", "qty", "rev")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        pkv = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_part = pkv >= 0
+        p = t.filter(pa.array(is_part))
+        l = t.filter(pa.array(~is_part))
+        if p.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = p["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        pos = np.clip(np.searchsorted(pk_s, lk), 0, len(pk_s) - 1)
+        hit = pk_s[pos] == lk
+        bb = p["pk"].combine_chunks().to_numpy(zero_copy_only=False)[porder][
+            pos
+        ]
+        cells = pa.table(
+            {
+                "nat": pa.array(
+                    l["nat"].combine_chunks().to_numpy(zero_copy_only=False)[
+                        hit
+                    ],
+                    pa.int64(),
+                ),
+                "bb": pa.array(bb[hit], pa.int64()),
+                "nl": pc.cast(l["nl"], pa.int64()).filter(pa.array(hit)),
+                "qty": pc.cast(l["qty"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(l["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = cells.group_by(["nat", "bb"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["nat", "bb", "nl", "qty", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("nation", "brand", "n_lines", "qty_floor", "revenue_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    "brand": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[2:]},
+                }
+            )
+        g = t.group_by(["nat", "bb"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        natv = g["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        npos = np.searchsorted(nat_keys, natv)
+        return pa.table(
+            {
+                "nation": nat_names.take(pa.array(npos, pa.int64())),
+                "brand": brands.take(g["bb"]),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    hop1 = hash_partition_merge(
+        lines.map_batches(
+            line_hop1, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            sup.map_batches(
+                sup_hop1, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ),
+        "k",
+        fold1,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    hop2 = hash_partition_merge(
+        hop1.union(
+            parts.map_batches(
+                part_hop2, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ),
+        "k",
+        fold2,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(hop2, "nat", merge, k=1)

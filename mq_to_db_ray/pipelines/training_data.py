@@ -15153,3 +15153,107 @@ def embedding_cosign_matrix(sf_dir: str, n_dims: int = 8) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "i", merge, k=1)
+
+
+def doc_id_integrity(sf_dir: str) -> Dataset:
+    """T159: document-id integrity audit — corpus-wide: docs, distinct
+    doc_ids, ids used MORE THAN ONCE, the worst multiplicity, and ids
+    shared ACROSS sources — the primary-key trust read for the one
+    column every join, dedup decision and resume manifest keys on (T89
+    audits n_chars, T85 the TAPE's completeness; nothing audits the
+    documents table's own identity column: a re-ingested shard or a
+    collided id generator silently merges unrelated docs in every
+    doc_id-keyed operator downstream).  ONE dense row ALWAYS,
+    zero-defect when ingestion was honest.  Exact int64 (GROUP BY id +
+    COUNT DISTINCT oracle).
+
+    Scale shape — ONE id-hash exchange over pre-reduced cells: per
+    batch one np.unique collapses rows to (id, n, one-source?) cells
+    [a batch keeps at most one cell per (id, source)]; every cell of
+    an id lands in one partition, so multiplicity and cross-source
+    spread are decided locally and collapse IN PLACE to one counter
+    row per partition; the k=1 merge sums O(parts) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        pairs = np.stack([ids, code], axis=1)
+        u, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(u[:, 0].astype(np.int64)),
+                "src": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "nd", "ndist", "ndup", "mx", "nxs")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["id", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(ids, return_inverse=True)
+        mult = np.zeros(len(u), np.int64)
+        np.add.at(mult, idx, n)
+        nsrc = np.bincount(idx).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "nd": pa.array([int(n.sum())], pa.int64()),
+                "ndist": pa.array([len(u)], pa.int64()),
+                "ndup": pa.array([int((mult > 1).sum())], pa.int64()),
+                "mx": pa.array([int(mult.max())], pa.int64()),
+                "nxs": pa.array([int((nsrc > 1).sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_docs",
+            "n_distinct_ids",
+            "n_dup_ids",
+            "max_multiplicity",
+            "n_cross_source_ids",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        return pa.table(
+            {
+                "n_docs": pa.array([int(pc.sum(t["nd"]).as_py())], pa.int64()),
+                "n_distinct_ids": pa.array(
+                    [int(pc.sum(t["ndist"]).as_py())], pa.int64()
+                ),
+                "n_dup_ids": pa.array(
+                    [int(pc.sum(t["ndup"]).as_py())], pa.int64()
+                ),
+                "max_multiplicity": pa.array(
+                    [int(pc.max(t["mx"]).as_py())], pa.int64()
+                ),
+                "n_cross_source_ids": pa.array(
+                    [int(pc.sum(t["nxs"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "id", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "g", merge, k=1)
