@@ -823,6 +823,12 @@ def _q_events_user_id_order(sf_dir: str):
     return events_user_id_order(sf_dir)
 
 
+def _q_events_arrival_drift(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_arrival_drift
+
+    return events_arrival_drift(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1666,6 +1672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_id_order": _q_events_user_id_order,
         "doc_id_integrity": td.doc_id_integrity,
         "rel_sourcing_geography": rel.sourcing_geography,
+        "events_arrival_drift": _q_events_arrival_drift,
+        "doc_quality_cofailure": td.quality_cofailure_matrix,
+        "rel_latency_drift": rel.latency_drift,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8343,5 +8352,99 @@ def oracle_sql() -> dict[str, str]:
                    JOIN part p ON p.p_partkey = l.l_partkey
                    JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY 1, 2
+        """,
+        "events_arrival_drift": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY epoch_us(ts), event_id) AS pt
+                       FROM events),
+                 p AS (SELECT source,
+                              (t - 1704067200000000) // 60000000 AS m,
+                              (t - pt) // 1000000 AS g
+                       FROM w WHERE pt IS NOT NULL)
+            SELECT w.source,
+                   CAST(count(p.m) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(p.m), 0) AS BIGINT) AS sum_m,
+                   CAST(coalesce(sum(p.m * p.m), 0) AS BIGINT) AS sum_m_sq,
+                   CAST(coalesce(sum(p.g), 0) AS BIGINT) AS sum_gap_s,
+                   CAST(coalesce(sum(p.g * p.g), 0) AS BIGINT)
+                       AS sum_gap_sq,
+                   CAST(coalesce(sum(p.m * p.g), 0) AS BIGINT) AS sum_m_gap
+            FROM (SELECT DISTINCT source FROM w) w
+                 LEFT JOIN p ON p.source = w.source
+            GROUP BY 1
+        """,
+        "doc_quality_cofailure": """
+            WITH t AS (SELECT doc_id, source, lang, text,
+                              str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1),
+            f AS (SELECT CASE WHEN t.lang = 'en' THEN 0 ELSE 1 END AS f0,
+                         CASE WHEN rep.n BETWEEN 20 AND 90
+                              THEN 0 ELSE 1 END AS f1,
+                         CASE WHEN floor(1000.0*(rep.n - rep.d)/rep.n) <= 600
+                               AND floor(1000.0*rep.m/rep.n) <= 130
+                              THEN 0 ELSE 1 END AS f2,
+                         CASE WHEN floor(1000.0*st.s/rep.n) >= 20
+                              THEN 0 ELSE 1 END AS f3,
+                         CASE WHEN t.doc_id IN (SELECT doc_id FROM hit)
+                              THEN 1 ELSE 0 END AS f4
+                  FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id)),
+            names AS (SELECT * FROM (VALUES (0, 'lang'), (1, 'band'),
+                                            (2, 'rep'), (3, 'stop'),
+                                            (4, 'contam')) AS v(i, nm)),
+            prs AS (SELECT a.i AS i, b.i AS j
+                    FROM names a, names b WHERE b.i > a.i),
+            x AS (SELECT prs.i, prs.j,
+                         CASE prs.i WHEN 0 THEN f0 WHEN 1 THEN f1
+                                    WHEN 2 THEN f2 WHEN 3 THEN f3
+                                    ELSE f4 END AS fi,
+                         CASE prs.j WHEN 0 THEN f0 WHEN 1 THEN f1
+                                    WHEN 2 THEN f2 WHEN 3 THEN f3
+                                    ELSE f4 END AS fj
+                  FROM f, prs)
+            SELECT ni.nm AS filter_i,
+                   nj.nm AS filter_j,
+                   CAST(sum(fi) AS BIGINT) AS n_fail_i,
+                   CAST(sum(fj) AS BIGINT) AS n_fail_j,
+                   CAST(sum(fi * fj) AS BIGINT) AS n_both
+            FROM x JOIN names ni ON ni.i = x.i
+                   JOIN names nj ON nj.i = x.j
+            GROUP BY 1, 2
+        """,
+        "rel_latency_drift": """
+            WITH j AS (SELECT
+                           CAST(extract(year FROM l_shipdate) AS BIGINT)
+                               AS yr,
+                           o_orderpriority AS pr,
+                           epoch_us(l_shipdate) // 86400000000
+                               - epoch_us(o_orderdate) // 86400000000
+                               AS gap
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey)
+            SELECT yr AS ship_year,
+                   pr AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(gap) AS BIGINT) AS sum_days,
+                   CAST(sum(gap * gap) AS BIGINT) AS sum_days_sq
+            FROM j GROUP BY 1, 2
         """,
     }

@@ -529,6 +529,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_user_id_order",
         "doc_id_integrity",
         "rel_sourcing_geography",
+        "events_arrival_drift",
+        "doc_quality_cofailure",
+        "rel_latency_drift",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

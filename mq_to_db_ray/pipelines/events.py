@@ -13985,3 +13985,143 @@ def events_user_id_order(
         )
 
     return hash_partition_merge(pcells, "s", merge, k=1)
+
+
+def events_arrival_drift(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E153: arrival-drift sufficient statistics — per source, over
+    adjacent event pairs in (ts, event_id) order: n, Σm, Σm², Σg, Σg²,
+    Σm·g with m = the later event's minute since the tape epoch and
+    g = the pair's gap in floor-seconds — the exact-int64 normal
+    equations of the inter-arrival-vs-time regression ("is this feed
+    speeding up or decaying"), the TREND none of the gap boards carry
+    (E81/E111/E123 distribute the gaps statically, E75 finds rising
+    COUNT ramps on the minute grid, E97 trends the PAYLOAD; E153
+    trends the arrival process itself — the number a capacity
+    forecaster or a dying-producer alarm fits a line through).  One
+    dense row per source ALWAYS.  Int64 bound documented (the E97
+    discipline): m ≤ ~5·10⁵ (a year of minutes), g ≤ ~3·10⁷ s →
+    Σm·g holds ~6·10⁵ pairs/source per epoch shard; 100 TB rides
+    sharded epochs.  Exact int64 (lag-window + floor-divide oracle;
+    ties break by event_id on both sides).
+
+    Scale shape — E149's carried-prefix machinery verbatim (the same
+    two narrow carry exchanges and one lexsort + shifted-subtract
+    kernel), with the pair's regressor taken from the settled ts
+    instead of the payload column; six-sum partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(ts_us, pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "np_", "sm", "smm", "sg", "sgg", "smg")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts[:-1]
+        pair = has_prev & ~crs
+        g = np.where(pair, (ts - pt) // 1_000_000, 0)
+        m = np.where(pair, (ts - EVENTS_T0_US) // 60_000_000, 0)
+        ng = len(srcs)
+        out = {
+            "s": np.arange(ng, dtype=np.int64),
+            "np_": np.bincount(ks[pair], minlength=ng).astype(np.int64),
+        }
+        for name, arr in (
+            ("sm", m),
+            ("smm", m * m),
+            ("sg", g),
+            ("sgg", g * g),
+            ("smg", m * g),
+        ):
+            acc = np.zeros(ng, np.int64)
+            np.add.at(acc, ks, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_pairs",
+            "sum_m",
+            "sum_m_sq",
+            "sum_gap_s",
+            "sum_gap_sq",
+            "sum_m_gap",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("np_", "sm", "smm", "sg", "sgg", "smg")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("np_", "sm", "smm", "sg", "sgg", "smg")
+            )
+        }
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order], pa.int64())),
+                **{c: pa.array(a, pa.int64()) for c, a in cols.items()},
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

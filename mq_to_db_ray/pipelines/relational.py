@@ -13148,3 +13148,165 @@ def sourcing_geography(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(hop2, "nat", merge, k=1)
+
+
+def latency_drift(sf_dir: str) -> Dataset:
+    """R87: fulfillment-latency drift board — per (ship year, order
+    priority): lines, Σdays, Σdays² with days = floor-days between
+    order date and ship date — the exact-int64 sufficient statistics
+    of the SLA TREND (R20 gives the static latency quantiles, R70
+    couples latency with VALUE, R65 grades a fixed SLA; R87 asks
+    whether fulfillment is getting faster or slower year over year,
+    per priority class — mean and variance per cell read straight off
+    the sums, and two cells difference into an exact A/B).  Dense
+    small output (years × 5 priorities); exact int64 (join +
+    epoch-floor-divide + GROUP BY oracle).
+
+    Scale shape — ONE orderkey-hash co-partition, lines pre-reduced:
+    lines collapse per batch to (okey, ship-day, n) cells (lines of an
+    order sharing a ship date merge before the exchange); orders ride
+    as (okey, order-day, priority); the fold attaches via one
+    searchsorted, computes each cell's gap ONCE, weights by n, and
+    collapses IN PLACE to (year, priority) partials; the k=1 merge
+    sums O(years × priorities) rows."""
+    pr = _priority_rank(sf_dir)
+    prs = pa.array(list(pr), pa.string())
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "d": pa.array(sd // 86_400_000_000, pa.int64()),
+                "yr": pa.array(
+                    sd.astype("datetime64[us]")
+                    .astype("datetime64[Y]")
+                    .astype(np.int64)
+                    + 1970
+                ),
+                "pr": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "d", "yr", "pr"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["k", "d", "yr", "pr", "n"])
+
+    def order_cells(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "d": pa.array(od // 86_400_000_000, pa.int64()),
+                "yr": pa.array(np.zeros(b.num_rows, np.int64)),
+                "pr": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=prs),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("yr", "pr", "nl", "sd", "sdd")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        prv = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_order = prv >= 0
+        o = t.filter(pa.array(is_order))
+        l = t.filter(pa.array(~is_order))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        od = o["d"].combine_chunks().to_numpy(zero_copy_only=False)[oorder][
+            pos
+        ]
+        opr = o["pr"].combine_chunks().to_numpy(zero_copy_only=False)[
+            oorder
+        ][pos]
+        gap = (
+            l["d"].combine_chunks().to_numpy(zero_copy_only=False) - od
+        )[hit]
+        yr = l["yr"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        n = l["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        cells = pa.table(
+            {
+                "yr": pa.array(yr, pa.int64()),
+                "pr": pa.array(opr[hit], pa.int64()),
+                "nl": pa.array(n, pa.int64()),
+                "sd": pa.array(n * gap, pa.int64()),
+                "sdd": pa.array(n * gap * gap, pa.int64()),
+            }
+        )
+        g = cells.group_by(["yr", "pr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("sd", "sum"), ("sdd", "sum")]
+        )
+        return g.rename_columns(["yr", "pr", "nl", "sd", "sdd"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "ship_year",
+            "o_orderpriority",
+            "n_lines",
+            "sum_days",
+            "sum_days_sq",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ship_year": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[2:]},
+                }
+            )
+        g = t.group_by(["yr", "pr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("sd", "sum"), ("sdd", "sum")]
+        )
+        return pa.table(
+            {
+                "ship_year": pc.cast(g["yr"], pa.int64()),
+                "o_orderpriority": prs.take(g["pr"]),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "sum_days": pc.cast(g["sd_sum"], pa.int64()),
+                "sum_days_sq": pc.cast(g["sdd_sum"], pa.int64()),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "yr", merge, k=1)

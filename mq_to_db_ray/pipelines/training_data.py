@@ -15257,3 +15257,97 @@ def doc_id_integrity(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(partials, "id", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def quality_cofailure_matrix(
+    sf_dir: str,
+    *,
+    eval_max_doc_id: int = 10,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_dup_permille: int = 600,
+    max_top_permille: int = 130,
+    min_stop_permille: int = 20,
+) -> Dataset:
+    """T160: quality-filter co-failure matrix — for every ordered pair
+    of the five T29/T149 quality predicates (lang, word band,
+    repetition, stopword floor, contamination): docs failing filter i,
+    failing filter j, and failing BOTH — the filter-REDUNDANCY read
+    T149 deliberately excludes (T149 counts docs where exactly ONE
+    filter fires — the marginal value board; T160 measures how the
+    filters overlap on the multi-fail mass: a pair whose co-failure ≈
+    its margins is measuring the same defect twice and one of them can
+    be dropped from the hot path, a near-zero co-failure pair is
+    orthogonal signal).  Same thresholds, same `_quality_features`
+    kernel, same eval-shingle broadcast as T29/T149, so the boards
+    reconcile by construction.  Dense 10-row output; exact int64
+    (the T149 predicate CTEs + pairwise FILTER counts oracle).
+
+    Scale shape — T149's ZERO-wide-exchange profile: one streaming
+    text pass; each batch reduces its five boolean fail columns to a
+    single 10-cell pair row via one boolean matmul; O(batches) partial
+    rows ride the k=1 merge."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = ("i", "j", "fi", "fj", "both")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        fails = np.stack(
+            [
+                ~lang_en,
+                ~((n_words >= min_words) & (n_words <= max_words)),
+                ~((dup <= max_dup_permille) & (topf <= max_top_permille)),
+                ~(stopf >= min_stop_permille),
+                hits != 0,
+            ],
+            axis=1,
+        ).astype(np.int64)
+        co = fails.T @ fails  # 5x5: diagonal = margins, off = co-fails
+        iu, ju = np.triu_indices(5, k=1)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "fi": pa.array(co[iu, iu]),
+                "fj": pa.array(co[ju, ju]),
+                "both": pa.array(co[iu, ju]),
+            }
+        )
+
+    names = pa.array(["lang", "band", "rep", "stop", "contam"], pa.string())
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("filter_i", "filter_j", "n_fail_i", "n_fail_j", "n_both")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "filter_i": pa.array([], pa.string()),
+                    "filter_j": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[2:]},
+                }
+            )
+        g = t.group_by(["i", "j"], use_threads=False).aggregate(
+            [("fi", "sum"), ("fj", "sum"), ("both", "sum")]
+        )
+        return pa.table(
+            {
+                "filter_i": names.take(g["i"]),
+                "filter_j": names.take(g["j"]),
+                "n_fail_i": pc.cast(g["fi_sum"], pa.int64()),
+                "n_fail_j": pc.cast(g["fj_sum"], pa.int64()),
+                "n_both": pc.cast(g["both_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "i", merge, k=1)
