@@ -235,7 +235,8 @@ def test_rel_latency_drift_bruteforce(ray_session, tmp_path):
     want = collections.defaultdict(lambda: [0, 0, 0])
     for okey, sd in lines:
         yr = int(
-            np.datetime64(sd, "us").astype("datetime64[Y]").astype(int)
+            np.int64(sd).astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
         ) + 1970
         gap = sd // day - odate[okey] // day
         c = want[(yr, oprio[okey])]
