@@ -829,6 +829,12 @@ def _q_events_arrival_drift(sf_dir: str):
     return events_arrival_drift(sf_dir)
 
 
+def _q_events_operating_window(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_operating_window
+
+    return events_operating_window(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1675,6 +1681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_arrival_drift": _q_events_arrival_drift,
         "doc_quality_cofailure": td.quality_cofailure_matrix,
         "rel_latency_drift": rel.latency_drift,
+        "events_operating_window": _q_events_operating_window,
+        "embedding_hygiene": td.embedding_hygiene,
+        "rel_segment_value_trend": rel.segment_value_trend,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8446,5 +8455,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap) AS BIGINT) AS sum_days,
                    CAST(sum(gap * gap) AS BIGINT) AS sum_days_sq
             FROM j GROUP BY 1, 2
+        """,
+        "events_operating_window": """
+            WITH d AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CAST(min((epoch_us(ts) // 60000000) % 1440)
+                                   AS BIGINT) AS op,
+                              CAST(max((epoch_us(ts) // 60000000) % 1440)
+                                   AS BIGINT) AS cl
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(quantile_disc(op, 0.5) AS BIGINT)
+                       AS p50_open_minute,
+                   CAST(quantile_disc(cl, 0.5) AS BIGINT)
+                       AS p50_close_minute
+            FROM d GROUP BY 1
+        """,
+        "embedding_hygiene": """
+            WITH v AS (SELECT CAST(len(embedding) AS BIGINT) AS l,
+                              CAST(len(list_filter(embedding,
+                                   x -> isnan(x))) AS BIGINT) AS nn,
+                              CAST(len(list_filter(embedding,
+                                   x -> isinf(x))) AS BIGINT) AS ni,
+                              CAST(len(list_filter(embedding,
+                                   x -> x <> 0.0)) AS BIGINT) AS nz
+                       FROM embeddings),
+                 md AS (SELECT l AS ml FROM (SELECT l, count(*) c FROM v
+                                             GROUP BY 1
+                                             ORDER BY c DESC, l LIMIT 1))
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(max(md.ml) AS BIGINT) AS modal_dim,
+                   CAST(count(*) FILTER (WHERE v.l <> md.ml) AS BIGINT)
+                       AS n_ragged,
+                   CAST(count(*) FILTER (WHERE nn > 0) AS BIGINT)
+                       AS n_with_nan,
+                   CAST(count(*) FILTER (WHERE ni > 0) AS BIGINT)
+                       AS n_with_inf,
+                   CAST(count(*) FILTER (WHERE nz = 0) AS BIGINT)
+                       AS n_zero_vectors
+            FROM v, md
+        """,
+        "rel_segment_value_trend": """
+            WITH j AS (SELECT c.c_mktsegment AS seg,
+                              CAST(extract(year FROM o.o_orderdate) * 12
+                                   + extract(month FROM o.o_orderdate) - 1
+                                   AS BIGINT) AS m,
+                              CAST(floor(o.o_totalprice) AS BIGINT) AS v
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey)
+            SELECT seg AS c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(m) AS BIGINT) AS sum_m,
+                   CAST(sum(m * m) AS BIGINT) AS sum_m_sq,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v_sq,
+                   CAST(sum(m * v) AS BIGINT) AS sum_m_v
+            FROM j GROUP BY 1
         """,
     }

@@ -532,6 +532,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_arrival_drift",
         "doc_quality_cofailure",
         "rel_latency_drift",
+        "events_operating_window",
+        "embedding_hygiene",
+        "rel_segment_value_trend",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

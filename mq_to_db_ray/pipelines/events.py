@@ -14125,3 +14125,139 @@ def events_arrival_drift(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_operating_window(sf_dir: str) -> Dataset:
+    """E154: operating-window board — per source: active days, and the
+    discrete p50 of each day's OPEN (first event's minute-of-day) and
+    CLOSE (last event's) — the business-hours envelope (E110 finds
+    each USER's modal hour, E121 measures the duty-cycle FRACTION,
+    E93 the median event phase; E154 gives the daily span endpoints
+    themselves — the numbers a maintenance scheduler, an SLA clock or
+    a synthetic-load generator copies: a 9-to-17 envelope is office
+    traffic, 0-to-1439 is a machine).  One dense row per source
+    ALWAYS; exact int64 under the quantile_disc rank rule
+    (per-day min/max + quantile_disc oracle).
+
+    Scale shape — two bounded rounds on the E115 (source, day) cell
+    discipline: batches pre-reduce to per-(source, day, batch) min/max
+    partials; ONE (source, day)-hash exchange settles each day's true
+    open/close, which immediately bincount into two 1440-bin
+    histograms per source — only O(parts × sources × 1440) histogram
+    rows reach the k=1 merge, where both quantiles read off one
+    cumsum."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        day = ts // 86_400_000_000
+        mod = (ts // 60_000_000) % 1440
+        sd = code * (1 << 40) + day
+        u, idx = np.unique(sd, return_inverse=True)
+        op = np.full(len(u), 1 << 60, np.int64)
+        np.minimum.at(op, idx, mod)
+        cl = np.zeros(len(u), np.int64)
+        np.maximum.at(cl, idx, mod)
+        return pa.table(
+            {
+                "sd": pa.array(u),
+                "op": pa.array(op),
+                "cl": pa.array(cl),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "kind", "minute", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sd", use_threads=False).aggregate(
+            [("op", "min"), ("cl", "max")]
+        )
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        op = g["op_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        cl = g["cl_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sd >> 40
+        kop = (s * 2 + 0) * 1440 + op
+        kcl = (s * 2 + 1) * 1440 + cl
+        key = np.concatenate([kop, kcl])
+        cnt = np.bincount(key, minlength=ns * 2 * 1440).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // (2 * 1440)),
+                "kind": pa.array((keep // 1440) % 2),
+                "minute": pa.array(keep % 1440),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_days", "p50_open_minute", "p50_close_minute")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "kind", "minute"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        kd = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["minute"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = {"source": [], "n_days": [], "p50_open_minute": [],
+                "p50_close_minute": []}
+        for si in np.unique(ss):
+            vals = {}
+            nd = 0
+            for kind in (0, 1):
+                sel = (ss == si) & (kd == kind)
+                m, c = mn[sel], nn[sel]
+                order = np.argsort(m)
+                m, c = m[order], c[order]
+                tot = int(c.sum())
+                thr = (tot * 500 + 999) // 1000
+                vals[kind] = int(m[np.searchsorted(np.cumsum(c), thr)])
+                nd = tot
+            rows["source"].append(si)
+            rows["n_days"].append(nd)
+            rows["p50_open_minute"].append(vals[0])
+            rows["p50_close_minute"].append(vals[1])
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(rows["source"], pa.int64())),
+                "n_days": pa.array(rows["n_days"], pa.int64()),
+                "p50_open_minute": pa.array(
+                    rows["p50_open_minute"], pa.int64()
+                ),
+                "p50_close_minute": pa.array(
+                    rows["p50_close_minute"], pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

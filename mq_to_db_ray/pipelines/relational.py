@@ -13310,3 +13310,171 @@ def latency_drift(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "yr", merge, k=1)
+
+
+def segment_value_trend(sf_dir: str) -> Dataset:
+    """R88: segment value-trend sufficient statistics — per market
+    segment, over all orders: n, Σm, Σm², Σv, Σv², Σm·v with m = the
+    order's month index (year·12 + month−1) and v = floor(totalprice)
+    — the exact-int64 normal equations of the ticket-size-vs-time
+    regression per segment ("is BUILDING's basket inflating faster
+    than AUTOMOBILE's"), the relational twin of E97's payload trend
+    (R25 counts order-book GROWTH, R63 gives static value quantiles,
+    R68 splits new-vs-repeat; none trends the ticket size itself).
+    One dense row per segment ALWAYS.  Int64 bound documented: m ≤
+    ~25k (two millennia of months), v ≤ 10⁶ → Σm·v holds ~4·10⁸
+    orders/segment.  Exact int64 (join + extract-month + SUM oracle).
+
+    Scale shape — ONE custkey-hash co-partition: order batches
+    pre-reduce to (custkey, m, v) triples... they stay narrow rows;
+    customers ride as (custkey → segment); the fold attaches segment
+    by one searchsorted and collapses IN PLACE to six sums per
+    segment; O(parts × segments) partials reach the k=1 merge."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nseg = len(segs)
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dt = od.astype("datetime64[us]")
+        yr = dt.astype("datetime64[Y]").astype(np.int64) + 1970
+        mo = dt.astype("datetime64[M]").astype(np.int64) % 12
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "m": pa.array(yr * 12 + mo, pa.int64()),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "seg": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "m": pa.array(np.zeros(n, np.int64)),
+                "v": pa.array(np.zeros(n, np.int64)),
+                "seg": pc.cast(
+                    pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("seg", "n", "sm", "smm", "sv", "svv", "smv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        segv = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = segv >= 0
+        c = t.filter(pa.array(is_cust))
+        o = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or o.num_rows == 0:
+            return pa.table({c2: pa.array([], pa.int64()) for c2 in cols})
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = c["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        corder = np.argsort(ck, kind="stable")
+        ck_s = ck[corder]
+        pos = np.clip(np.searchsorted(ck_s, ok), 0, len(ck_s) - 1)
+        hit = ck_s[pos] == ok
+        seg = c["seg"].combine_chunks().to_numpy(zero_copy_only=False)[
+            corder
+        ][pos][hit]
+        m = o["m"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        v = o["v"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        out = {"seg": np.arange(nseg, dtype=np.int64)}
+        out["n"] = np.bincount(seg, minlength=nseg).astype(np.int64)
+        for name, arr in (
+            ("sm", m),
+            ("smm", m * m),
+            ("sv", v),
+            ("svv", v * v),
+            ("smv", m * v),
+        ):
+            acc = np.zeros(nseg, np.int64)
+            np.add.at(acc, seg, arr)
+            out[name] = acc
+        return pa.table({c2: pa.array(a) for c2, a in out.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "c_mktsegment",
+            "n_orders",
+            "sum_m",
+            "sum_m_sq",
+            "sum_v",
+            "sum_v_sq",
+            "sum_m_v",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("seg", use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "sm", "smm", "sv", "svv", "smv")]
+        )
+        ss = g["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("n", "sm", "smm", "sv", "svv", "smv")
+            )
+        }
+        keep = cols["n_orders"] > 0
+        return pa.table(
+            {
+                "c_mktsegment": segs.take(
+                    pa.array(ss[order][keep], pa.int64())
+                ),
+                **{
+                    c: pa.array(a[keep], pa.int64())
+                    for c, a in cols.items()
+                },
+            }
+        )
+
+    tagged = ords.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        cust.map_batches(
+            cust_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "seg", merge, k=1)

@@ -15351,3 +15351,120 @@ def quality_cofailure_matrix(
         fn, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "i", merge, k=1)
+
+
+def embedding_hygiene(sf_dir: str) -> Dataset:
+    """T161: embedding-hygiene audit — corpus-wide: vectors, the modal
+    dimensionality (ties → smallest), RAGGED vectors (length differs
+    from the modal), vectors containing NaN, containing ±Inf, and
+    exact all-zero vectors — the vector-lint every ANN/dedup consumer
+    assumes away (T78 histograms norms, T147 profiles signs — both
+    silently propagate a NaN and crash or skew on a ragged row; a
+    zero vector makes cosine similarity undefined and lands in every
+    IVF cell's tail; T159's identity-audit discipline applied to the
+    embedding payload).  ONE dense row ALWAYS, zero-defect on honest
+    data.  Exact int64 (len() histogram + isnan/isinf list-filter
+    oracle; NaN/Inf/zero tests are exact float predicates).
+
+    Scale shape — ZERO wide exchange: each batch reduces to one
+    counter row plus a tiny length-histogram via one flatten + three
+    vectorized predicates; the k=1 merge sums counters and settles
+    the modal length across batches from the merged histogram."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ("g", "dim", "nv", "nnan", "ninf", "nzero")
+        e = b["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lens = (
+            pc.cast(pc.list_value_length(e), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = e.flatten().to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(e).to_numpy(zero_copy_only=False)
+        isnan = np.isnan(flat)
+        isinf = np.isinf(flat)
+        # NaN != 0 is True both here and under DuckDB's float total
+        # order, so a NaN-bearing vector is NOT an all-zero vector
+        nonzero = flat != 0.0
+        vnan = np.zeros(n, bool)
+        np.logical_or.at(vnan, parent, isnan)
+        vinf = np.zeros(n, bool)
+        np.logical_or.at(vinf, parent, isinf)
+        vnz = np.zeros(n, bool)
+        np.logical_or.at(vnz, parent, nonzero)
+        # per-length vector counts (the dim histogram) ride as rows
+        # with nv>0 and dim>=0; the defect counters ride dim=-1
+        u, cnt = np.unique(lens, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(u) + 1, np.int64)),
+                "dim": pa.array(
+                    np.concatenate([u, np.array([-1], np.int64)])
+                ),
+                "nv": pa.array(
+                    np.concatenate([cnt.astype(np.int64),
+                                    np.array([0], np.int64)])
+                ),
+                "nnan": pa.array(
+                    np.concatenate([np.zeros(len(u), np.int64),
+                                    np.array([int(vnan.sum())], np.int64)])
+                ),
+                "ninf": pa.array(
+                    np.concatenate([np.zeros(len(u), np.int64),
+                                    np.array([int(vinf.sum())], np.int64)])
+                ),
+                "nzero": pa.array(
+                    np.concatenate([np.zeros(len(u), np.int64),
+                                    np.array([int((~vnz).sum())], np.int64)])
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_vectors",
+            "modal_dim",
+            "n_ragged",
+            "n_with_nan",
+            "n_with_inf",
+            "n_zero_vectors",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        dim = t["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+        nv = t["nv"].combine_chunks().to_numpy(zero_copy_only=False)
+        hist = dim >= 0
+        u, idx = np.unique(dim[hist], return_inverse=True)
+        cnt = np.zeros(len(u), np.int64)
+        np.add.at(cnt, idx, nv[hist])
+        best = u[np.lexsort((u, -cnt))[0]] if len(u) else 0
+        total = int(cnt.sum())
+        ragged = total - int(cnt[np.searchsorted(u, best)]) if len(u) else 0
+        return pa.table(
+            {
+                "n_vectors": pa.array([total], pa.int64()),
+                "modal_dim": pa.array([int(best)], pa.int64()),
+                "n_ragged": pa.array([ragged], pa.int64()),
+                "n_with_nan": pa.array(
+                    [int(pc.sum(t["nnan"]).as_py())], pa.int64()
+                ),
+                "n_with_inf": pa.array(
+                    [int(pc.sum(t["ninf"]).as_py())], pa.int64()
+                ),
+                "n_zero_vectors": pa.array(
+                    [int(pc.sum(t["nzero"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
