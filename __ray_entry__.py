@@ -835,6 +835,12 @@ def _q_events_operating_window(sf_dir: str):
     return events_operating_window(sf_dir)
 
 
+def _q_events_weekly_rhythm(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_weekly_rhythm
+
+    return events_weekly_rhythm(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1684,6 +1690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_operating_window": _q_events_operating_window,
         "embedding_hygiene": td.embedding_hygiene,
         "rel_segment_value_trend": rel.segment_value_trend,
+        "events_weekly_rhythm": _q_events_weekly_rhythm,
+        "embedding_doc_linkage": td.embedding_doc_linkage,
+        "rel_weekday_rhythm": rel.weekday_rhythm,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8512,5 +8521,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * v) AS BIGINT) AS sum_v_sq,
                    CAST(sum(m * v) AS BIGINT) AS sum_m_v
             FROM j GROUP BY 1
+        """,
+        "events_weekly_rhythm": """
+            WITH d AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+                 p AS (SELECT a.source, a.x AS x0, b.x AS x1
+                       FROM d a JOIN d b ON b.source = a.source
+                                        AND b.day = a.day + 7)
+            SELECT s.source,
+                   CAST(count(p.x0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(p.x0), 0) AS BIGINT) AS sum_x,
+                   CAST(coalesce(sum(p.x0 * p.x0), 0) AS BIGINT)
+                       AS sum_x_sq,
+                   CAST(coalesce(sum(p.x1), 0) AS BIGINT) AS sum_y,
+                   CAST(coalesce(sum(p.x1 * p.x1), 0) AS BIGINT)
+                       AS sum_y_sq,
+                   CAST(coalesce(sum(p.x0 * p.x1), 0) AS BIGINT) AS sum_xy
+            FROM (SELECT DISTINCT source FROM d) s
+                 LEFT JOIN p ON p.source = s.source
+            GROUP BY 1
+        """,
+        "embedding_doc_linkage": """
+            WITH v AS (SELECT vec_id AS id, CAST(count(*) AS BIGINT) AS nv
+                       FROM embeddings GROUP BY 1),
+                 d AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS nd
+                       FROM documents GROUP BY 1),
+                 f AS (SELECT coalesce(v.nv, 0) AS nv,
+                              coalesce(d.nd, 0) AS nd
+                       FROM v FULL OUTER JOIN d ON d.id = v.id)
+            SELECT CAST(sum(nv) AS BIGINT) AS n_vectors,
+                   CAST(sum(nd) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN nv > 0 AND nd > 0 THEN nv ELSE 0 END)
+                        AS BIGINT) AS n_matched_vectors,
+                   CAST(sum(CASE WHEN nd = 0 THEN nv ELSE 0 END) AS BIGINT)
+                       AS n_orphan_vectors,
+                   CAST(sum(CASE WHEN nv = 0 THEN nd ELSE 0 END) AS BIGINT)
+                       AS n_unembedded_docs,
+                   CAST(count(*) FILTER (WHERE nv > 1 AND nd > 0)
+                        AS BIGINT) AS n_multi_vector_ids
+            FROM f
+        """,
+        "rel_weekday_rhythm": """
+            WITH j AS (SELECT (epoch_us(o.o_orderdate) // 86400000000 + 3)
+                                  % 7 AS odow,
+                              (epoch_us(l.l_shipdate) // 86400000000 + 3)
+                                  % 7 AS sdow,
+                              epoch_us(l.l_shipdate) // 86400000000
+                                  - epoch_us(o.o_orderdate) // 86400000000
+                                  AS gap
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT CAST(odow AS BIGINT) AS order_dow,
+                   CAST(sdow AS BIGINT) AS ship_dow,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_days
+            FROM j GROUP BY 1, 2
         """,
     }

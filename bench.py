@@ -535,6 +535,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_operating_window",
         "embedding_hygiene",
         "rel_segment_value_trend",
+        "events_weekly_rhythm",
+        "embedding_doc_linkage",
+        "rel_weekday_rhythm",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

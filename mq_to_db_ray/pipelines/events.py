@@ -14261,3 +14261,177 @@ def events_operating_window(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "sd", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_weekly_rhythm(sf_dir: str, lag_days: int = 7) -> Dataset:
+    """E155: weekly-rhythm sufficient statistics — per source, over
+    every pair of ACTIVE days exactly ``lag_days`` apart: n, Σx, Σx²,
+    Σy, Σy², Σx·y with x = the earlier day's event count and y = the
+    later's — the exact-int64 lag-7 autocovariance inputs, the
+    SEASONALITY-STRENGTH detector none of the weekly boards give
+    (E52/E104 average the week-shape, E112/E143 split weekpart,
+    E125 tracks the peak hour; E155 measures how strongly this week
+    predicts next week — the Pearson r at lag 7 reads off the sums,
+    and a source with high weekly r but low daily r is calendar-driven
+    traffic, exactly what a forecaster should model multiplicatively).
+    Active-days-only semantics (a pair exists iff BOTH days have
+    events — the self-join oracle's semantics).  One dense row per
+    source ALWAYS.  Exact int64 (daily-count CTE + day+7 self-join
+    oracle).
+
+    Scale shape — two bounded rounds: batches pre-reduce to (source,
+    day, n) partials; ONE (source, day)-hash exchange settles daily
+    counts; the settled cells then ride a (source, day-range) window
+    exchange, each cell emitted to its own window AND (when within
+    lag_days of a boundary) to the window that needs it as a partner,
+    so every pair is decided locally by one searchsorted and counted
+    exactly once (only core rows probe); six-sum partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    WIN = 256  # days per window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        sd = code * (1 << 40) + day
+        u, cnt = np.unique(sd, return_counts=True)
+        return pa.table(
+            {"sd": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def settle(t: pa.Table) -> pa.Table:
+        cols = ("k", "w", "d", "x", "core")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sd", use_threads=False).aggregate([("n", "sum")])
+        sd = g["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sd >> 40
+        d = sd & ((1 << 40) - 1)
+        w_core = d // WIN
+        w_prev = (d - lag_days) // WIN  # the window that probes d
+        halo = w_prev != w_core
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([s, s[halo]])),
+                "w": pa.array(np.concatenate([w_core, w_prev[halo]])),
+                "d": pa.array(np.concatenate([d, d[halo]])),
+                "x": pa.array(np.concatenate([x, x[halo]])),
+                "core": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(s), np.int64),
+                            np.zeros(int(halo.sum()), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    cells = hash_partition_merge(
+        partial_cells := ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "sd",
+        settle,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "np_", "sx", "sxx", "sy", "syy", "sxy")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = t_["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        xx = t_["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        co = t_["core"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = kk * (1 << 40) + dd
+        order = np.argsort(key, kind="stable")
+        key_s, x_s = key[order], xx[order]
+        # core rows probe their day+lag partner (halo rows only serve)
+        probe_sel = co == 1
+        target = kk[probe_sel] * (1 << 40) + dd[probe_sel] + lag_days
+        pos = np.searchsorted(key_s, target)
+        ok = (pos < len(key_s)) & (
+            key_s[np.minimum(pos, max(len(key_s) - 1, 0))] == target
+        )
+        x0 = xx[probe_sel][ok]
+        y0 = x_s[pos[ok]]
+        sc = kk[probe_sel][ok]
+        ng = len(srcs)
+        out = {
+            "s": np.arange(ng, dtype=np.int64),
+            "np_": np.bincount(sc, minlength=ng).astype(np.int64),
+        }
+        for name, arr in (
+            ("sx", x0),
+            ("sxx", x0 * x0),
+            ("sy", y0),
+            ("syy", y0 * y0),
+            ("sxy", x0 * y0),
+        ):
+            acc = np.zeros(ng, np.int64)
+            np.add.at(acc, sc, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    from ..stages.shuffle import shuffle_parts
+
+    pcells = _kw_partition(cells, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_pairs",
+            "sum_x",
+            "sum_x_sq",
+            "sum_y",
+            "sum_y_sq",
+            "sum_xy",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("np_", "sx", "sxx", "sy", "syy", "sxy")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("np_", "sx", "sxx", "sy", "syy", "sxy")
+            )
+        }
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order], pa.int64())),
+                **{c: pa.array(a, pa.int64()) for c, a in cols.items()},
+            }
+        )
+
+    return hash_partition_merge(pcells, "s", merge, k=1)

@@ -13478,3 +13478,136 @@ def segment_value_trend(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "seg", merge, k=1)
+
+
+def weekday_rhythm(sf_dir: str) -> Dataset:
+    """R89: weekday-rhythm matrix — per (order weekday, ship weekday):
+    lines and exact Σfloor-day latency — the operational-cadence grid
+    (R73 profiles demand by ORDER weekday alone, R87 trends latency by
+    YEAR; R89 crosses the two clock faces: a hot Friday→Monday cell is
+    a warehouse that sleeps weekends, a flat matrix is 24/7 robotics —
+    and each cell's mean latency divides straight out of the sums).
+    Weekday convention: 0 = Monday (epoch day 0, 1970-01-01, was a
+    Thursday → (day + 3) % 7).  Dense small output (≤49 cells); exact
+    int64 (epoch-floor arithmetic + GROUP BY oracle — the day-floor
+    subtraction convention R87 documents).
+
+    Scale shape — R87's ONE orderkey-hash co-partition verbatim: line
+    batches pre-reduce to (okey, ship-day, n) cells, orders ride as
+    (okey, order-day), the fold attaches by searchsorted, derives both
+    weekdays and the gap with three modulos, and collapses IN PLACE to
+    49-cell partials; the k=1 merge sums O(parts × 49) rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "d": pa.array(sd, pa.int64()),
+                "is_o": pa.array(np.zeros(b.num_rows, np.int64)),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "d", "is_o"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["k", "d", "is_o", "n"])
+
+    def order_cells(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "d": pa.array(od, pa.int64()),
+                "is_o": pa.array(np.ones(b.num_rows, np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("cell", "nl", "sg")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        iso = t["is_o"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(iso == 1))
+        l = t.filter(pa.array(iso == 0))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        od = o["d"].combine_chunks().to_numpy(zero_copy_only=False)[oorder][
+            pos
+        ][hit]
+        ld = l["d"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        n = l["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        odow = (od + 3) % 7
+        sdow = (ld + 3) % 7
+        gap = ld - od
+        cell = odow * 7 + sdow
+        nl = np.zeros(49, np.int64)
+        np.add.at(nl, cell, n)
+        sg = np.zeros(49, np.int64)
+        np.add.at(sg, cell, n * gap)
+        keep = np.flatnonzero(nl)
+        return pa.table(
+            {
+                "cell": pa.array(keep),
+                "nl": pa.array(nl[keep]),
+                "sg": pa.array(sg[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("order_dow", "ship_dow", "n_lines", "sum_gap_days")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("nl", "sum"), ("sg", "sum")]
+        )
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "order_dow": pa.array(cell // 7, pa.int64()),
+                "ship_dow": pa.array(cell % 7, pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "sum_gap_days": pc.cast(g["sg_sum"], pa.int64()),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -15468,3 +15468,110 @@ def embedding_hygiene(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def embedding_doc_linkage(sf_dir: str) -> Dataset:
+    """T162: embedding↔document linkage audit — corpus-wide: vectors,
+    documents, vec_ids with a matching doc_id, ORPHAN vectors (no such
+    doc), UNEMBEDDED docs (no vector), and doc_ids carrying more than
+    one vector — R48's referential-integrity discipline applied to the
+    training-data pair every retrieval/dedup pipeline silently joins
+    (a SemDeDup or ANN pass keyed on vec_id=doc_id quietly drops every
+    orphan and never scores the unembedded tail; this board prices
+    that loss before it happens).  ONE dense row ALWAYS.  Exact int64
+    (FULL OUTER JOIN counting oracle).
+
+    Scale shape — ONE id-hash co-partition of two pre-reduced id
+    multiset summaries: each side's batches collapse to (id, n) cells
+    via one np.unique; both sides of an id land in one partition, so
+    match/orphan/fan-out classify locally and collapse to one counter
+    row per partition; the k=1 merge sums O(parts) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    def side_cells(col: str, tag: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = (
+                pc.cast(b[col], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            u, cnt = np.unique(ids, return_counts=True)
+            return pa.table(
+                {
+                    "id": pa.array(u),
+                    "side": pa.array(np.full(len(u), tag, np.int64)),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    vec = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
+        side_cells("vec_id", 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    doc = _docs(sf_dir, ["doc_id"]).map_batches(
+        side_cells("doc_id", 1), batch_format="pyarrow"
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "nv", "nd", "nm", "no_", "nu", "nfan")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["id", "side"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = g["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(ids, return_inverse=True)
+        vcnt = np.zeros(len(u), np.int64)
+        np.add.at(vcnt, idx[side == 0], n[side == 0])
+        dcnt = np.zeros(len(u), np.int64)
+        np.add.at(dcnt, idx[side == 1], n[side == 1])
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "nv": pa.array([int(vcnt.sum())], pa.int64()),
+                "nd": pa.array([int(dcnt.sum())], pa.int64()),
+                "nm": pa.array(
+                    [int(vcnt[(vcnt > 0) & (dcnt > 0)].sum())], pa.int64()
+                ),
+                "no_": pa.array(
+                    [int(vcnt[dcnt == 0].sum())], pa.int64()
+                ),
+                "nu": pa.array(
+                    [int(dcnt[vcnt == 0].sum())], pa.int64()
+                ),
+                "nfan": pa.array(
+                    [int(((vcnt > 1) & (dcnt > 0)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_vectors",
+            "n_docs",
+            "n_matched_vectors",
+            "n_orphan_vectors",
+            "n_unembedded_docs",
+            "n_multi_vector_ids",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("nv", "nd", "nm", "no_", "nu", "nfan")
+        return pa.table(
+            {
+                name: pa.array(
+                    [int(pc.sum(t[c]).as_py())], pa.int64()
+                )
+                for name, c in zip(out, src)
+            }
+        )
+
+    folded = hash_partition_merge(
+        vec.union(doc), "id", fold, k=_doc_k(sf_dir)
+    )
+    return hash_partition_merge(folded, "g", merge, k=1)
