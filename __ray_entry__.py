@@ -841,6 +841,12 @@ def _q_events_weekly_rhythm(sf_dir: str):
     return events_weekly_rhythm(sf_dir)
 
 
+def _q_events_coactivity(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_coactivity
+
+    return events_coactivity(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1693,6 +1699,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_rhythm": _q_events_weekly_rhythm,
         "embedding_doc_linkage": td.embedding_doc_linkage,
         "rel_weekday_rhythm": rel.weekday_rhythm,
+        "events_coactivity": _q_events_coactivity,
+        "doc_tail_fingerprint": td.tail_fingerprint,
+        "rel_basket_coupling": rel.basket_coupling,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8578,5 +8587,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(gap) AS BIGINT) AS sum_gap_days
             FROM j GROUP BY 1, 2
+        """,
+        "events_coactivity": """
+            WITH d AS (SELECT DISTINCT event_type AS s,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+                 own AS (SELECT s, CAST(count(*) AS BIGINT) AS nd
+                         FROM d GROUP BY 1),
+                 prs AS (SELECT a.s AS si, b.s AS sj
+                         FROM own a, own b WHERE b.s > a.s),
+                 bt AS (SELECT a.s AS si, b.s AS sj,
+                               CAST(count(*) AS BIGINT) AS nb
+                        FROM d a JOIN d b
+                             ON b.day = a.day AND b.s > a.s
+                        GROUP BY 1, 2)
+            SELECT prs.si AS source_i,
+                   prs.sj AS source_j,
+                   CAST(coalesce(bt.nb, 0) AS BIGINT) AS days_both,
+                   oi.nd AS days_i,
+                   oj.nd AS days_j
+            FROM prs
+                 LEFT JOIN bt ON bt.si = prs.si AND bt.sj = prs.sj
+                 JOIN own oi ON oi.s = prs.si
+                 JOIN own oj ON oj.s = prs.sj
+        """,
+        "doc_tail_fingerprint": """
+            WITH t AS (SELECT source, right(text, 24) AS tail
+                       FROM documents),
+                 c AS (SELECT source, tail,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM t GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct_tails,
+                   CAST(max(n) AS BIGINT) AS modal_tail_docs,
+                   CAST(1000 * max(n) // sum(n) AS BIGINT)
+                       AS modal_permille
+            FROM c GROUP BY 1
+        """,
+        "rel_basket_coupling": """
+            WITH w AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS nl
+                       FROM lineitem GROUP BY 1),
+                 j AS (SELECT o.o_orderpriority AS pr,
+                              w.nl AS wd,
+                              CAST(floor(o.o_totalprice) AS BIGINT) AS v
+                       FROM w JOIN orders o ON o.o_orderkey = w.l_orderkey)
+            SELECT pr AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(wd) AS BIGINT) AS sum_w,
+                   CAST(sum(wd * wd) AS BIGINT) AS sum_w_sq,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v_sq,
+                   CAST(sum(wd * v) AS BIGINT) AS sum_w_v
+            FROM j GROUP BY 1
         """,
     }

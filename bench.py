@@ -538,6 +538,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_weekly_rhythm",
         "embedding_doc_linkage",
         "rel_weekday_rhythm",
+        "events_coactivity",
+        "doc_tail_fingerprint",
+        "rel_basket_coupling",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

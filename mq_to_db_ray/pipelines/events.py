@@ -14435,3 +14435,151 @@ def events_weekly_rhythm(sf_dir: str, lag_days: int = 7) -> Dataset:
         )
 
     return hash_partition_merge(pcells, "s", merge, k=1)
+
+
+def events_coactivity(sf_dir: str) -> Dataset:
+    """E156: source co-activity matrix — for every source pair (i < j):
+    days BOTH were active, plus each side's own active-day count — the
+    calendar-coupling read (E57 overlaps sources by shared USERS, E45
+    correlates minute loads at lag 1; E156 asks the coarser operational
+    question: do these feeds even run on the same days?  both/either
+    ratios read off the row — a pair with high user overlap but low
+    day co-activity is a migration, not a partnership, and a
+    batch-job source shows near-zero co-activity with the 24/7 ones).
+    Dense small output (pairs of sources); exact int64 (per-day
+    distinct-source self-join oracle).
+
+    Scale shape — ONE (day)-hash exchange over pre-reduced (source,
+    day) cells: batches collapse to distinct cells per batch; all
+    sources of a day land in one partition, so the day's pair
+    incidences bincount locally into O(sources²) cells; per-source
+    day totals ride the same exchange; the k=1 merge sums O(parts ×
+    pairs) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        sd = code * (1 << 40) + day
+        u = np.unique(sd)
+        return pa.table(
+            {
+                "day": pa.array(u & ((1 << 40) - 1)),
+                "s": pa.array(u >> 40),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("i", "j", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        sd = s * (1 << 40) + day
+        u = np.unique(sd)
+        ud, us = u & ((1 << 40) - 1), u >> 40
+        order = np.argsort(ud, kind="stable")
+        ud, us = ud[order], us[order]
+        # per-day incidence matrix via bincount over day-local pairs
+        brk = np.empty(len(ud), dtype=bool)
+        if len(ud):
+            brk[0] = True
+            brk[1:] = ud[1:] != ud[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ud))
+        pair_keys = []
+        for a, b_ in zip(starts, ends):
+            act = us[a:b_]
+            if len(act) > 1:
+                ii, jj = np.meshgrid(act, act, indexing="ij")
+                sel = ii < jj
+                pair_keys.append(ii[sel] * ns + jj[sel])
+        # per-source day totals ride as (i, -1) rows
+        own = np.bincount(us, minlength=ns).astype(np.int64)
+        keep = np.flatnonzero(own)
+        if pair_keys:
+            pk = np.concatenate(pair_keys)
+            cnt = np.bincount(pk, minlength=ns * ns).astype(np.int64)
+            pk_keep = np.flatnonzero(cnt)
+        else:
+            cnt = np.zeros(0, np.int64)
+            pk_keep = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([pk_keep // ns, keep]).astype(np.int64)
+                ),
+                "j": pa.array(
+                    np.concatenate(
+                        [pk_keep % ns, np.full(len(keep), -1, np.int64)]
+                    )
+                ),
+                "n": pa.array(
+                    np.concatenate([cnt[pk_keep], own[keep]]).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source_i", "source_j", "days_both", "days_i", "days_j")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source_i": pa.array([], pa.string()),
+                    "source_j": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[2:]},
+                }
+            )
+        g = t.group_by(["i", "j"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ii = g["i"].combine_chunks().to_numpy(zero_copy_only=False)
+        jj = g["j"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        own = np.zeros(ns, np.int64)
+        ownsel = jj < 0
+        own[ii[ownsel]] = nn[ownsel]
+        psel = ~ownsel
+        pi, pj, pn = ii[psel], jj[psel], nn[psel]
+        # densify to ALL pairs (zero co-activity included)
+        iu, ju = np.triu_indices(ns, k=1)
+        both = np.zeros(len(iu), np.int64)
+        if len(pi):
+            flat = pi * ns + pj
+            pos = np.searchsorted(iu * ns + ju, flat)
+            both[pos] = pn
+        return pa.table(
+            {
+                "source_i": srcs.take(pa.array(iu, pa.int64())),
+                "source_j": srcs.take(pa.array(ju, pa.int64())),
+                "days_both": pa.array(both),
+                "days_i": pa.array(own[iu]),
+                "days_j": pa.array(own[ju]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "day", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "i", merge, k=1)

@@ -13611,3 +13611,163 @@ def weekday_rhythm(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def basket_coupling(sf_dir: str) -> Dataset:
+    """R90: basket width-value coupling statistics — per order
+    priority, over all orders with at least one line: n, Σw, Σw², Σv,
+    Σv², Σw·v with w = the order's line count and v =
+    floor(totalprice) — the exact-int64 inputs of the "do wide baskets
+    cost more" regression per priority class (R35 histograms width
+    alone, R63 quantiles value alone, R70 couples value with LATENCY;
+    the width-value covariance is the basket-economics number a
+    per-line pricing model or a picking-cost allocator divides out,
+    and comparing slopes across priorities reads procurement
+    behavior).  One dense row per priority ALWAYS.  Int64 bound
+    documented: w ≤ 10³, v ≤ 10⁶ → Σw·v holds ~10¹⁰ orders/class.
+    Exact int64 (join + GROUP BY oracle).
+
+    Scale shape — ONE orderkey-hash co-partition: line batches
+    pre-reduce to (okey, nl) cells; orders ride as (okey, priority,
+    v); the fold settles each order's width, forms the five products
+    once, and collapses IN PLACE to per-priority sums; the k=1 merge
+    sums O(parts × priorities) rows."""
+    pr = _priority_rank(sf_dir)
+    prs = pa.array(list(pr), pa.string())
+    npr = len(prs)
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(ok, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u.astype(np.int64)),
+                "w": pa.array(cnt.astype(np.int64)),
+                "pr": pa.array(np.full(len(u), -1, np.int64)),
+                "v": pa.array(np.zeros(len(u), np.int64)),
+            }
+        )
+
+    def order_cells(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "w": pa.array(np.zeros(b.num_rows, np.int64)),
+                "pr": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=prs),
+                    pa.int64(),
+                ),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("pr", "n", "sw", "sww", "sv", "svv", "swv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        prv = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_order = prv >= 0
+        o = t.filter(pa.array(is_order))
+        l = t.filter(pa.array(~is_order))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lg = l.group_by("k", use_threads=False).aggregate([("w", "sum")])
+        lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        lw = lg["w_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        opr = o["pr"].combine_chunks().to_numpy(zero_copy_only=False)[
+            oorder
+        ][pos][hit]
+        ov = o["v"].combine_chunks().to_numpy(zero_copy_only=False)[
+            oorder
+        ][pos][hit]
+        w = lw[hit]
+        out = {"pr": np.arange(npr, dtype=np.int64)}
+        out["n"] = np.bincount(opr, minlength=npr).astype(np.int64)
+        for name, arr in (
+            ("sw", w),
+            ("sww", w * w),
+            ("sv", ov),
+            ("svv", ov * ov),
+            ("swv", w * ov),
+        ):
+            acc = np.zeros(npr, np.int64)
+            np.add.at(acc, opr, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "o_orderpriority",
+            "n_orders",
+            "sum_w",
+            "sum_w_sq",
+            "sum_v",
+            "sum_v_sq",
+            "sum_w_v",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("pr", use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "sw", "sww", "sv", "svv", "swv")]
+        )
+        ss = g["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("n", "sw", "sww", "sv", "svv", "swv")
+            )
+        }
+        keep = cols["n_orders"] > 0
+        return pa.table(
+            {
+                "o_orderpriority": prs.take(
+                    pa.array(ss[order][keep], pa.int64())
+                ),
+                **{
+                    c: pa.array(a[keep], pa.int64())
+                    for c, a in cols.items()
+                },
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "pr", merge, k=1)

@@ -15575,3 +15575,134 @@ def embedding_doc_linkage(sf_dir: str) -> Dataset:
         vec.union(doc), "id", fold, k=_doc_k(sf_dir)
     )
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def tail_fingerprint(sf_dir: str, tail_chars: int = 24) -> Dataset:
+    """T163: tail-fingerprint board — per source: docs, DISTINCT
+    ``tail_chars``-character document endings, the docs carrying the
+    single most common ending, and its permille — the FOOTER detector
+    (T66/T112 fingerprint document OPENINGS, T139 anchors dedup on
+    tape PREFIXES; nothing reads the other end, where signatures,
+    copyright lines and template footers live — a fat modal-tail
+    permille is boilerplate chrome that inflates near-dup scores and
+    wastes tokens, and the modal tail count prices what a
+    footer-stripping pass would remove).  Short docs contribute their
+    whole text.  Exact int64 (right(text, k) GROUP BY oracle; the
+    tail STRING decides identity and rides the exchange — hash only
+    routes, T118's convention; reverse∘slice∘reverse is codepoint
+    right() on both sides).
+
+    Scale shape — ONE tail-hash exchange over pre-reduced cells: each
+    batch computes tails with three vectorized kernels and collapses
+    to (tail, source, n) cells; every cell of a tail lands in one
+    partition, so distinct/modal decide locally and collapse IN PLACE
+    to per-source partials; the k=1 merge combines via sum/max
+    (distinct counts sum exactly — a tail lives in ONE partition)."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        tail = pc.utf8_reverse(
+            pc.utf8_slice_codeunits(pc.utf8_reverse(txt), 0, tail_chars)
+        )
+        t = pa.table(
+            {
+                "tail": tail,
+                "src": pc.cast(
+                    pc.index_in(b["source"], value_set=srcs), pa.int64()
+                ),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["tail", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["tail", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["tail"]))["tail"]
+            .hash(seed=47)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "tail": g["tail"],
+                "src": g["src"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "nd", "ntails", "modal")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["tail", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["tail", "src", "n"])
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = np.zeros(ns, np.int64)
+        np.add.at(nd, src, n)
+        ntails = np.bincount(src, minlength=ns).astype(np.int64)
+        modal = np.zeros(ns, np.int64)
+        np.maximum.at(modal, src, n)
+        keep = np.flatnonzero(ntails)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "nd": pa.array(nd[keep]),
+                "ntails": pa.array(ntails[keep]),
+                "modal": pa.array(modal[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_docs",
+            "n_distinct_tails",
+            "modal_tail_docs",
+            "modal_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nd", "sum"), ("ntails", "sum"), ("modal", "max")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = g["ntails_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        md = g["modal_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        ss, nd, nt, md = ss[order], nd[order], nt[order], md[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_distinct_tails": pa.array(nt, pa.int64()),
+                "modal_tail_docs": pa.array(md, pa.int64()),
+                "modal_permille": pa.array(1000 * md // nd, pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "s", merge, k=1)
