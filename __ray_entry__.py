@@ -847,6 +847,12 @@ def _q_events_coactivity(sf_dir: str):
     return events_coactivity(sf_dir)
 
 
+def _q_events_arrival_interleaving(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_arrival_interleaving
+
+    return events_arrival_interleaving(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1702,6 +1708,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_coactivity": _q_events_coactivity,
         "doc_tail_fingerprint": td.tail_fingerprint,
         "rel_basket_coupling": rel.basket_coupling,
+        "events_arrival_interleaving": _q_events_arrival_interleaving,
+        "f1_boundary_jump": lambda sf_dir: td.tape_boundary_jump(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_ship_dom_profile": rel.ship_dom_profile,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8641,5 +8652,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * v) AS BIGINT) AS sum_v_sq,
                    CAST(sum(wd * v) AS BIGINT) AS sum_w_v
             FROM j GROUP BY 1
+        """,
+        "events_arrival_interleaving": """
+            WITH w AS (SELECT event_type AS s,
+                              lag(event_type) OVER
+                                  (ORDER BY epoch_us(ts), event_id,
+                                            event_type) AS ps
+                       FROM events)
+            SELECT s AS source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE ps IS NULL OR ps <> s)
+                        AS BIGINT) AS n_runs,
+                   CAST(1000 * count(*) FILTER (WHERE ps IS NULL OR ps <> s)
+                        // count(*) AS BIGINT) AS runs_permille
+            FROM w GROUP BY 1
+        """,
+        "f1_boundary_jump": """
+            WITH x AS (SELECT source, tokens,
+                              CAST(regexp_extract(doc_id, '-([0-9]+)$', 1)
+                                   AS BIGINT) AS seq
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+                       WHERE len(tokens) > 0),
+                 w AS (SELECT source,
+                              CAST(tokens[1] AS BIGINT) AS first_tok,
+                              lag(CAST(tokens[len(tokens)] AS BIGINT)) OVER
+                                  (PARTITION BY source ORDER BY seq)
+                                  AS prev_last
+                       FROM x),
+                 p AS (SELECT source, first_tok - prev_last AS d
+                       FROM w WHERE prev_last IS NOT NULL)
+            SELECT source,
+                   CAST(CASE WHEN d = 0 THEN 0
+                             ELSE CAST(sign(d) AS BIGINT)
+                                  * length(CAST(abs(d) AS VARCHAR))
+                        END AS BIGINT) AS jump_band,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1, 2
+        """,
+        "rel_ship_dom_profile": """
+            SELECT CAST(extract(day FROM l_shipdate) AS BIGINT)
+                       AS day_of_month,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty_floor,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_floor
+            FROM lineitem GROUP BY 1
         """,
     }

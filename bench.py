@@ -541,6 +541,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_coactivity",
         "doc_tail_fingerprint",
         "rel_basket_coupling",
+        "events_arrival_interleaving",
+        "f1_boundary_jump",
+        "rel_ship_dom_profile",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -14583,3 +14583,125 @@ def events_coactivity(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "day", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "i", merge, k=1)
+
+
+def events_arrival_interleaving(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E157: arrival-interleaving audit — walk the GLOBAL wall-clock
+    order (all sources merged; ties by (event_id, source)) and, per
+    source: events and maximal same-source RUNS plus the run permille
+    — the stream-MIXING read on the time axis (E150 asks how producers
+    share the id SPACE; E157 asks how they share the TAPE: near-1000
+    permille is well-mixed live traffic, long runs are batch loaders
+    or replay floods — exactly the skew that makes a time-ordered
+    consumer's per-source buffers breathe in gulps, and the arrival
+    twin of T122's tape source-mix drift).  One dense row per source
+    ALWAYS; exact int64 (global lag-window oracle).
+
+    Scale shape — E150's single-key carried-prefix machinery rotated
+    onto the ts axis: rows tag (0, ts-window); windows spread across
+    the (k, w)-hash partitions; one lexsort + one shifted
+    source-compare per partition; carries hand each window its
+    predecessor's source so boundary runs never double-count."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "ne", "nr")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt))
+        vs, crs = vv[order], cr[order]
+        n = len(order)
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = -1
+        pv[1:] = vs[:-1]
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = True
+        run_start = ~crs & (~has_prev | (vs != pv))
+        ng = len(srcs)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ng, dtype=np.int64)),
+                "ne": pa.array(
+                    np.bincount(vs[~crs], minlength=ng).astype(np.int64)
+                ),
+                "nr": pa.array(
+                    np.bincount(vs[run_start], minlength=ng).astype(np.int64)
+                ),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "runs_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("ne", "sum"), ("nr", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = g["ne_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ne > 0
+        ss, ne, nr = ss[keep], ne[keep], nr[keep]
+        order = np.argsort(ss)
+        ss, ne, nr = ss[order], ne[order], nr[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_events": pa.array(ne, pa.int64()),
+                "n_runs": pa.array(nr, pa.int64()),
+                "runs_permille": pa.array(1000 * nr // ne, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -13771,3 +13771,83 @@ def basket_coupling(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "pr", merge, k=1)
+
+
+def ship_dom_profile(sf_dir: str) -> Dataset:
+    """R91: ship day-of-month profile — per calendar day-of-month
+    (1..31): shipped lines, exact quantity, and floored revenue — the
+    billing-cycle signature on the fulfillment side (R73 profiles
+    ORDER demand by weekday, R45 order seasonality by month; R91 reads
+    the intra-month loading of SHIPMENTS: a spike at 28-31 is
+    quota-driven month-end loading — the classic hockey-stick every
+    capacity planner de-peaks — and a flat profile is pull-based
+    flow).  Dense small output (≤31 rows); exact int64
+    (extract(day) + GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: day-of-month is a bounded axis;
+    each batch reduces with one calendar decompose + one bincount to
+    31-cell partials; O(batches × 31) rows ride the k=1 merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dt = sd.astype("datetime64[us]")
+        dom = (
+            dt.astype("datetime64[D]").astype(np.int64)
+            - dt.astype("datetime64[M]").astype("datetime64[D]").astype(
+                np.int64
+            )
+            + 1
+        )
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        nl = np.bincount(dom, minlength=32).astype(np.int64)
+        qs = np.zeros(32, np.int64)
+        np.add.at(qs, dom, q)
+        rs = np.zeros(32, np.int64)
+        np.add.at(rs, dom, rev)
+        keep = np.flatnonzero(nl)
+        return pa.table(
+            {
+                "dom": pa.array(keep),
+                "nl": pa.array(nl[keep]),
+                "qty": pa.array(qs[keep]),
+                "rev": pa.array(rs[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("day_of_month", "n_lines", "qty_floor", "revenue_floor")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("dom", use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "day_of_month": pc.cast(g["dom"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dom", merge, k=1)

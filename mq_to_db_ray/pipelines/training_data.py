@@ -15706,3 +15706,152 @@ def tail_fingerprint(sf_dir: str, tail_chars: int = 24) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "s", merge, k=1)
+
+
+def tape_boundary_jump(sf_dir: str) -> Dataset:
+    """T164/F: tape boundary-jump spectrum — per source of the F1
+    tokenized stream, band the id jump ACROSS each adjacent sequence
+    boundary (first token of a sequence minus the LAST token of its
+    predecessor in seq order; empty sequences are skipped) into T157's
+    signed decimal-magnitude bands — the tape-order continuity read
+    T157 deliberately stops short of (T157 measures jumps WITHIN
+    sequences, T152 whether a whole payload replays back-to-back; T164
+    asks whether the stream's cut points are seams or continuations: a
+    zero/±1-band spike means sequences were SPLIT from one document —
+    re-joinable context a packing pass should exploit; a flat spectrum
+    means genuinely independent records).  Dense small output
+    (sources × ≤21 bands); exact int64 (lag(last-token) window +
+    digit-length oracle; true ids, no hashing).
+
+    Scale shape — T152's carried-prefix scan on the tape axis
+    verbatim: rows tag (source, seq) with first/last tokens PACKED
+    into the carried int64 (both < 2³¹); two narrow carry exchanges
+    hand each (source, seq-window) its predecessor; one lexsort + one
+    shifted unpack-subtract per partition; (source, band) partials
+    fold k=1."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+    from .events import _last_event_carries, _tag_carry
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(rd.read_parquet(files, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+    off = 10
+    nbd = 21
+    powers = np.array([10 ** i for i in range(1, 11)], np.int64)
+    PACK = 1 << 31
+
+    def narrow(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = lens > 0
+        ex = pc.extract_regex(
+            b["doc_id"].combine_chunks(), r"-(?P<seq>[0-9]+)$"
+        )
+        seq = (
+            pc.cast(pc.struct_field(ex, "seq"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        first = np.zeros(len(lens), np.int64)
+        last = np.zeros(len(lens), np.int64)
+        first[keep] = flat[offs[:-1][keep]]
+        last[keep] = flat[offs[1:][keep] - 1]
+        kk = code[keep]
+        ss = seq[keep]
+        return pa.table(
+            {
+                "k": pa.array(kk),
+                "t": pa.array(ss),
+                "o": pa.array(np.zeros(len(kk), np.int64)),
+                "v": pa.array(first[keep] * PACK + last[keep]),
+                "carry": pa.array(np.zeros(len(kk), dtype=bool)),
+                "w": pa.array(ss // (1 << 17), pa.int64()),
+            }
+        )
+
+    src_ds = rd.read_parquet(files, columns=["doc_id", "tokens", "source"])
+    tagged = src_ds.map_batches(
+        narrow, batch_format="pyarrow", zero_copy_batch=True
+    )
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "band", "n")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        pair = has_prev & ~crs
+        d = np.where(pair, vs // PACK - pv % PACK, 0)
+        digits = np.searchsorted(powers, np.abs(d), side="right") + 1
+        band = np.where(d == 0, 0, np.sign(d) * digits)
+        key = (ks[pair] * nbd + (band[pair] + off)).astype(np.int64)
+        cnt = np.bincount(key, minlength=ns * nbd).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // nbd),
+                "band": pa.array(keep % nbd - off),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(8))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "jump_band": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "jump_band": pc.cast(g["band"], pa.int64()),
+                "n_pairs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)
