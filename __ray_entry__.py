@@ -853,6 +853,12 @@ def _q_events_arrival_interleaving(sf_dir: str):
     return events_arrival_interleaving(sf_dir)
 
 
+def _q_events_load_value_interaction(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_load_value_interaction
+
+    return events_load_value_interaction(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1713,6 +1719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_ship_dom_profile": rel.ship_dom_profile,
+        "events_load_value_interaction": _q_events_load_value_interaction,
+        "doc_lang_runs": td.lang_run_clustering,
+        "rel_orderbook_aging": rel.orderbook_aging,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8698,5 +8707,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
                                  AS BIGINT)) AS BIGINT) AS revenue_floor
             FROM lineitem GROUP BY 1
+        """,
+        "events_load_value_interaction": """
+            WITH m AS (SELECT event_type AS source,
+                              epoch_us(ts) // 60000000 AS minute,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(value) AS BIGINT))
+                                   AS BIGINT) AS sv
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(LEAST(n, 8) AS BIGINT) AS load_band,
+                   CAST(count(*) AS BIGINT) AS n_minutes,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(sv) AS BIGINT) AS value_floor
+            FROM m GROUP BY 1, 2
+        """,
+        "doc_lang_runs": """
+            WITH w AS (SELECT lang AS l,
+                              lag(lang) OVER (ORDER BY doc_id, lang) AS pl
+                       FROM documents)
+            SELECT l AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE pl IS NULL OR pl <> l)
+                        AS BIGINT) AS n_runs,
+                   CAST(1000 * count(*) FILTER (WHERE pl IS NULL OR pl <> l)
+                        // count(*) AS BIGINT) AS runs_permille
+            FROM w GROUP BY 1
+        """,
+        "rel_orderbook_aging": """
+            WITH h AS (SELECT max(epoch_us(o_orderdate)) // 86400000000
+                              AS horizon FROM orders),
+                 a AS (SELECT o_orderstatus,
+                              h.horizon
+                              - epoch_us(o_orderdate) // 86400000000
+                                  AS age
+                       FROM orders, h)
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(age, 0.5) AS BIGINT) AS p50_age_days,
+                   CAST(quantile_disc(age, 0.9) AS BIGINT) AS p90_age_days
+            FROM a GROUP BY 1
         """,
     }

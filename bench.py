@@ -544,6 +544,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_arrival_interleaving",
         "f1_boundary_jump",
         "rel_ship_dom_profile",
+        "events_load_value_interaction",
+        "doc_lang_runs",
+        "rel_orderbook_aging",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -14705,3 +14705,124 @@ def events_arrival_interleaving(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_load_value_interaction(
+    sf_dir: str, band_cap: int = 8
+) -> Dataset:
+    """E158: load-value interaction board — per (source, minute-load
+    band): minutes at that load, events inside them, and those events'
+    exact floored payload mass — does the money arrive in storms or in
+    drizzle?  (E148 gives the load's own dynamics, E151 the value's
+    clock, E149 couples value with the PRECEDING gap; E158 conditions
+    payload on the CONCURRENT minute load — a value mass concentrated
+    in band 1-2 minutes means big tickets ride quiet periods
+    (settlement batches), mass in the top band means value scales with
+    traffic (retail flow); the per-band mean divides out exactly).
+    Band = min(minute's event count, band_cap).  Dense small output;
+    exact int64 (per-minute CTE + LEAST + GROUP BY oracle).
+
+    Scale shape — ONE (source, minute)-hash exchange over pre-reduced
+    cells: each batch collapses to (source, minute, n, Σv) partials;
+    a minute's partials co-locate, so its true load — and therefore
+    its band — settles locally and the cell folds IN PLACE to
+    (source, band) sums; the k=1 merge sums O(parts × sources ×
+    bands) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    nb = band_cap + 1
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        minute = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 60_000_000
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        sm = code * (1 << 40) + minute
+        u, idx = np.unique(sm, return_inverse=True)
+        n = np.bincount(idx).astype(np.int64)
+        sv = np.zeros(len(u), np.int64)
+        np.add.at(sv, idx, v)
+        return pa.table(
+            {"sm": pa.array(u), "n": pa.array(n), "sv": pa.array(sv)}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "band", "nm", "ne", "sv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sm", use_threads=False).aggregate(
+            [("n", "sum"), ("sv", "sum")]
+        )
+        sm = g["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        sv = g["sv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sm >> 40
+        band = np.minimum(n, band_cap)
+        key = (s * nb + band).astype(np.int64)
+        nm = np.bincount(key, minlength=ns * nb).astype(np.int64)
+        ne = np.zeros(ns * nb, np.int64)
+        np.add.at(ne, key, n)
+        vs = np.zeros(ns * nb, np.int64)
+        np.add.at(vs, key, sv)
+        keep = np.flatnonzero(nm)
+        return pa.table(
+            {
+                "s": pa.array(keep // nb),
+                "band": pa.array(keep % nb),
+                "nm": pa.array(nm[keep]),
+                "ne": pa.array(ne[keep]),
+                "sv": pa.array(vs[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "load_band",
+            "n_minutes",
+            "n_events",
+            "value_floor",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("nm", "sum"), ("ne", "sum"), ("sv", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "load_band": pc.cast(g["band"], pa.int64()),
+                "n_minutes": pc.cast(g["nm_sum"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+                "value_floor": pc.cast(g["sv_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -13851,3 +13851,116 @@ def ship_dom_profile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dom", merge, k=1)
+
+
+def orderbook_aging(sf_dir: str) -> Dataset:
+    """R92: order-book aging board — per order status: orders, and the
+    discrete p50/p90 of the order's AGE in floor-days relative to the
+    corpus's last order date — the backlog read (R28 counts status ×
+    YEAR, R2 grades fulfillment, R20 measures shipped latency; R92
+    asks how stale each status bucket is AS OF the book's own horizon:
+    an 'O' bucket whose p90 age rivals 'F's is a pipeline that stopped
+    closing orders — the aging WIP every operations review opens
+    with).  One dense row per status ALWAYS; exact int64 under the
+    quantile_disc rank rule (max-date CTE + floor-day age +
+    quantile_disc oracle).
+
+    Scale shape — a two-pass bounded-domain histogram: a tiny max
+    reduction pins the horizon (one scalar crosses the driver); each
+    batch then bincounts (status, age-day) cells — the age axis is the
+    book's day span — and ONE k=1 merge reads both quantiles off a
+    cumsum per status; raw orders never shuffle."""
+    stats = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderstatus"]
+            ).unique("o_orderstatus")
+        ),
+        pa.string(),
+    )
+    nst = len(stats)
+
+    mx = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    ).max("o_orderdate")
+    horizon = int(
+        pa.scalar(mx).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+        // 86_400_000_000
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["o_orderstatus"], value_set=stats), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        age = horizon - (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        t = pa.table(
+            {
+                "st": pa.array(code),
+                "age": pa.array(age, pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["st", "age"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["st", "age", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("o_orderstatus", "n_orders", "p50_age_days", "p90_age_days")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["st", "age"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        st = g["st"].combine_chunks().to_numpy(zero_copy_only=False)
+        age = g["age"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = {"o_orderstatus": [], "n_orders": [], "p50_age_days": [],
+                "p90_age_days": []}
+        for si in np.unique(st):
+            sel = st == si
+            a, c = age[sel], n[sel]
+            order = np.argsort(a)
+            a, c = a[order], c[order]
+            tot = int(c.sum())
+            cum = np.cumsum(c)
+            p50 = int(a[np.searchsorted(cum, (tot * 500 + 999) // 1000)])
+            p90 = int(a[np.searchsorted(cum, (tot * 900 + 999) // 1000)])
+            rows["o_orderstatus"].append(si)
+            rows["n_orders"].append(tot)
+            rows["p50_age_days"].append(p50)
+            rows["p90_age_days"].append(p90)
+        return pa.table(
+            {
+                "o_orderstatus": stats.take(
+                    pa.array(rows["o_orderstatus"], pa.int64())
+                ),
+                "n_orders": pa.array(rows["n_orders"], pa.int64()),
+                "p50_age_days": pa.array(rows["p50_age_days"], pa.int64()),
+                "p90_age_days": pa.array(rows["p90_age_days"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "st", merge, k=1)

@@ -15855,3 +15855,125 @@ def tape_boundary_jump(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def lang_run_clustering(sf_dir: str, window_ids: int = 1 << 17) -> Dataset:
+    """T165: language-run clustering audit — walk the documents table
+    in doc_id order (ties by source) and, per language: docs and
+    maximal same-language RUNS plus the run permille — the
+    ingestion-batching read on the language axis (T128 bins the lang
+    MIX per ingestion decile — a 10-point curve; T165 measures the
+    fine-grained clumping itself: near-1000 permille means languages
+    arrive shuffled, long runs mean per-language crawl batches — the
+    exact situation where a sequential train/val split leaks one
+    language into val and where T44's mix looks stable while local
+    windows are monolingual).  One dense row per language ALWAYS;
+    exact int64 (global lag-window oracle).
+
+    Scale shape — E150's single-key carried-prefix machinery on the
+    doc_id axis: rows tag (0, id-window); one lexsort + one shifted
+    lang-compare per partition; carries hand each window its
+    predecessor's language so boundary runs never double-count."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+    from .events import _last_event_carries, _tag_carry
+
+    langs = pa.array(
+        sorted(_docs(sf_dir, ["lang"]).unique("lang")), pa.string()
+    )
+    nl = len(langs)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "t": pa.array(ids, pa.int64()),
+                # tie-break on duplicate doc_ids is the lang code itself
+                # (the kernel sorts (t, o, v); o = 0 leaves v = lang as
+                # the tie key — the oracle's ORDER BY doc_id, lang)
+                "o": pa.array(np.zeros(b.num_rows, np.int64)),
+                "v": pc.cast(
+                    pc.index_in(b["lang"], value_set=langs), pa.int64()
+                ),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ids // window_ids, pa.int64()),
+            }
+        )
+
+    tagged = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        narrow, batch_format="pyarrow"
+    )
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "ne", "nr")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt))
+        vs, crs = vv[order], cr[order]
+        n = len(order)
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = -1
+        pv[1:] = vs[:-1]
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = True
+        run_start = ~crs & (~has_prev | (vs != pv))
+        return pa.table(
+            {
+                "s": pa.array(np.arange(nl, dtype=np.int64)),
+                "ne": pa.array(
+                    np.bincount(vs[~crs], minlength=nl).astype(np.int64)
+                ),
+                "nr": pa.array(
+                    np.bincount(vs[run_start], minlength=nl).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(_doc_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "runs_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("ne", "sum"), ("nr", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = g["ne_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ne > 0
+        ss, ne, nr = ss[keep], ne[keep], nr[keep]
+        order = np.argsort(ss)
+        ss, ne, nr = ss[order], ne[order], nr[order]
+        return pa.table(
+            {
+                "lang": langs.take(pa.array(ss, pa.int64())),
+                "n_docs": pa.array(ne, pa.int64()),
+                "n_runs": pa.array(nr, pa.int64()),
+                "runs_permille": pa.array(1000 * nr // ne, pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)
