@@ -859,6 +859,12 @@ def _q_events_load_value_interaction(sf_dir: str):
     return events_load_value_interaction(sf_dir)
 
 
+def _q_events_adoption_order(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_adoption_order
+
+    return events_adoption_order(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1722,6 +1728,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_load_value_interaction": _q_events_load_value_interaction,
         "doc_lang_runs": td.lang_run_clustering,
         "rel_orderbook_aging": rel.orderbook_aging,
+        "events_adoption_order": _q_events_adoption_order,
+        "doc_hapax_share": td.hapax_share_quantiles,
+        "rel_supplier_recency": rel.supplier_recency,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8747,5 +8756,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(age, 0.5) AS BIGINT) AS p50_age_days,
                    CAST(quantile_disc(age, 0.9) AS BIGINT) AS p90_age_days
             FROM a GROUP BY 1
+        """,
+        "events_adoption_order": """
+            WITH r AS (SELECT event_type AS s, user_id AS u,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              CAST(event_id AS BIGINT) AS e,
+                              row_number() OVER
+                                  (PARTITION BY event_type, user_id
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+                       FROM events),
+                 f AS (SELECT s, u, t, e FROM r WHERE rn = 1),
+                 srcs AS (SELECT DISTINCT s FROM f),
+                 prs AS (SELECT a.s AS si, b.s AS sj
+                         FROM srcs a, srcs b WHERE b.s > a.s),
+                 x AS (SELECT a.s AS si, b.s AS sj,
+                              CASE WHEN (a.t, a.e) < (b.t, b.e) THEN 1
+                                   ELSE 0 END AS ifirst,
+                              CASE WHEN (a.t, a.e) > (b.t, b.e) THEN 1
+                                   ELSE 0 END AS jfirst
+                       FROM f a JOIN f b
+                            ON b.u = a.u AND b.s > a.s)
+            SELECT prs.si AS source_i,
+                   prs.sj AS source_j,
+                   CAST(count(x.ifirst) AS BIGINT) AS users_both,
+                   CAST(coalesce(sum(x.ifirst), 0) AS BIGINT) AS i_first,
+                   CAST(coalesce(sum(x.jfirst), 0) AS BIGINT) AS j_first,
+                   CAST(count(x.ifirst)
+                        - coalesce(sum(x.ifirst), 0)
+                        - coalesce(sum(x.jfirst), 0) AS BIGINT)
+                       AS simultaneous
+            FROM prs LEFT JOIN x ON x.si = prs.si AND x.sj = prs.sj
+            GROUP BY 1, 2
+        """,
+        "doc_hapax_share": """
+            WITH w AS (SELECT doc_id, source,
+                              unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 cf AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+                        FROM w GROUP BY 1),
+                 d AS (SELECT w.doc_id, w.source,
+                              CAST(count(*) AS BIGINT) AS nt,
+                              CAST(count(*) FILTER (WHERE cf.f = 1)
+                                   AS BIGINT) AS nh
+                       FROM w JOIN cf ON cf.word = w.word
+                       GROUP BY 1, 2),
+                 p AS (SELECT source,
+                              1000 * nh // greatest(nt, 1) AS pm
+                       FROM d)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT)
+                       AS p50_hapax_permille,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT)
+                       AS p90_hapax_permille
+            FROM p GROUP BY 1
+        """,
+        "rel_supplier_recency": """
+            WITH h AS (SELECT max(epoch_us(l_shipdate)) // 86400000000
+                              AS horizon FROM lineitem),
+                 ls AS (SELECT l_suppkey,
+                               max(epoch_us(l_shipdate)) // 86400000000
+                                   AS last_day,
+                               CAST(count(*) AS BIGINT) AS nl
+                        FROM lineitem GROUP BY 1),
+                 b AS (SELECT s.s_suppkey,
+                              CASE WHEN ls.l_suppkey IS NULL THEN -1
+                                   WHEN h.horizon - ls.last_day <= 0 THEN 0
+                                   ELSE length(bin(h.horizon - ls.last_day))
+                              END AS band,
+                              coalesce(ls.nl, 0) AS nl
+                       FROM supplier s
+                       LEFT JOIN ls ON ls.l_suppkey = s.s_suppkey, h)
+            SELECT CAST(band AS BIGINT) AS recency_band,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(nl) AS BIGINT) AS n_lines
+            FROM b GROUP BY 1
         """,
     }

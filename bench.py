@@ -547,6 +547,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_load_value_interaction",
         "doc_lang_runs",
         "rel_orderbook_aging",
+        "events_adoption_order",
+        "doc_hapax_share",
+        "rel_supplier_recency",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -14826,3 +14826,177 @@ def events_load_value_interaction(
     )
     cells = hash_partition_merge(partials, "sm", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_adoption_order(sf_dir: str) -> Dataset:
+    """E159: adoption-order matrix — for every source pair (i < j),
+    over users active in BOTH: how many touched i first, j first, or
+    both in the same instant (first-seen compared by (ts, event_id);
+    exact ties are 'simultaneous') — the funnel TOPOLOGY read (E57
+    counts the shared audience, E105 measures adoption LATENCY within
+    a funnel; E159 recovers the direction of the funnel itself from
+    data: if 90% of shared users touched i first, i is the front door
+    and j the upsell — the ordering a growth model should condition
+    on, discovered rather than assumed).  Dense small output (source
+    pairs); exact int64 (min-per-(user, source) + pair self-join
+    oracle).
+
+    Scale shape — two bounded rounds: batches pre-reduce each (source,
+    user)'s earliest (ts, id) locally; ONE user-hash exchange settles
+    global first-seens — and because ALL of a user's cells co-locate,
+    each user's pair comparisons resolve in partition and bincount
+    into O(sources²) counter cells; the k=1 merge sums O(parts ×
+    pairs) rows.  Nothing corpus-sized crosses partitions twice."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def batch_first(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, code, uid))
+        us, cs = uid[order], code[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                "u": pa.array(uid[sel]),
+                "s": pa.array(code[sel]),
+                "ts": pa.array(ts[sel]),
+                "eid": pa.array(eid[sel]),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("i", "j", "nb", "ni", "nj", "nsim")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        # settle first-seen per (user, source) across batch partials
+        order = np.lexsort((eid, ts, ss, uu))
+        us, cs = uu[order], ss[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])
+        sel = order[first]
+        uu, ss, ts, eid = uu[sel], ss[sel], ts[sel], eid[sel]
+        # per user: compare every source pair — vectorized over users
+        # via a dense (users × sources) first-seen pivot (ns is tiny)
+        uniq_u, uidx = np.unique(uu, return_inverse=True)
+        nu = len(uniq_u)
+        BIG = np.iinfo(np.int64).max
+        mat_t = np.full((nu, ns), BIG, np.int64)
+        mat_e = np.full((nu, ns), BIG, np.int64)
+        mat_t[uidx, ss] = ts
+        mat_e[uidx, ss] = eid
+        npair = ns * ns
+        nb = np.zeros(npair, np.int64)
+        ni = np.zeros(npair, np.int64)
+        nj = np.zeros(npair, np.int64)
+        nsim = np.zeros(npair, np.int64)
+        for x in range(ns):
+            for y in range(x + 1, ns):
+                both = (mat_t[:, x] != BIG) & (mat_t[:, y] != BIG)
+                tx, ty = mat_t[both, x], mat_t[both, y]
+                ex, ey = mat_e[both, x], mat_e[both, y]
+                xi = (tx < ty) | ((tx == ty) & (ex < ey))
+                yi = (tx > ty) | ((tx == ty) & (ex > ey))
+                key = x * ns + y
+                nb[key] = int(both.sum())
+                ni[key] = int(xi.sum())
+                nj[key] = int(yi.sum())
+                nsim[key] = nb[key] - ni[key] - nj[key]
+        keep = np.flatnonzero(nb)
+        return pa.table(
+            {
+                "i": pa.array(keep // ns),
+                "j": pa.array(keep % ns),
+                "nb": pa.array(nb[keep]),
+                "ni": pa.array(ni[keep]),
+                "nj": pa.array(nj[keep]),
+                "nsim": pa.array(nsim[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source_i",
+            "source_j",
+            "users_both",
+            "i_first",
+            "j_first",
+            "simultaneous",
+        )
+        iu, ju = np.triu_indices(ns, k=1)
+        nb = np.zeros(len(iu), np.int64)
+        ni = np.zeros(len(iu), np.int64)
+        nj = np.zeros(len(iu), np.int64)
+        nsim = np.zeros(len(iu), np.int64)
+        if t.num_rows:
+            g = t.group_by(["i", "j"], use_threads=False).aggregate(
+                [("nb", "sum"), ("ni", "sum"), ("nj", "sum"), ("nsim", "sum")]
+            )
+            gi = g["i"].combine_chunks().to_numpy(zero_copy_only=False)
+            gj = g["j"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(iu * ns + ju, gi * ns + gj)
+            nb[pos] = g["nb_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ni[pos] = g["ni_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            nj[pos] = g["nj_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            nsim[pos] = g["nsim_sum"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source_i": srcs.take(pa.array(iu, pa.int64())),
+                "source_j": srcs.take(pa.array(ju, pa.int64())),
+                "users_both": pa.array(nb),
+                "i_first": pa.array(ni),
+                "j_first": pa.array(nj),
+                "simultaneous": pa.array(nsim),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(batch_first, batch_format="pyarrow"),
+        "u",
+        fold,
+        k=shuffle_parts(_adaptive_k(sf_dir)),
+    )
+    return hash_partition_merge(cells, "i", merge, k=1)

@@ -13964,3 +13964,143 @@ def orderbook_aging(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "st", merge, k=1)
+
+
+def supplier_recency(sf_dir: str) -> Dataset:
+    """R93: supplier recency histogram — band every supplier by the
+    log2 of days since its LAST shipment (relative to the corpus's
+    last ship date; band -1 = registered but NEVER shipped; band 0 =
+    shipped on the horizon day) and count suppliers and their lifetime
+    lines per band — the supply-base LIVENESS read (R32 concentrates
+    volume per nation, R56 spans brand lifecycles; R93 asks which
+    suppliers have quietly gone dark: the fat high bands are churned
+    capacity procurement still counts on paper, the -1 band is
+    onboarding that never activated).  Dense small output (≤~16
+    bands); exact int64 (max-date CTEs + LEFT JOIN + bit-shift band
+    oracle).
+
+    Scale shape — ONE suppkey-hash co-partition: line batches
+    pre-reduce to (suppkey, last-ship-day, n) cells via one np.unique
+    max; supplier dim rows ride the same exchange (LEFT-JOIN
+    semantics — zero-line suppliers band at -1); each supplier settles
+    locally and bincounts into band partials; the k=1 merge sums
+    O(parts × bands) rows."""
+    mx = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"]
+    ).max("l_shipdate")
+    horizon = int(
+        pa.scalar(mx).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+        // 86_400_000_000
+    )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, idx = np.unique(sk, return_inverse=True)
+        last = np.zeros(len(u), np.int64)
+        np.maximum.at(last, idx, d)
+        nl = np.bincount(idx).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(u.astype(np.int64)),
+                "last": pa.array(last),
+                "nl": pa.array(nl),
+                "dim": pa.array(np.zeros(len(u), np.int64)),
+            }
+        )
+
+    def sup_cells(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "last": pa.array(np.full(n, -1, np.int64)),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "dim": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nsup", "nl")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        dim = t["dim"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t.filter(pa.array(dim == 1))
+        l = t.filter(pa.array(dim == 0))
+        sk = np.unique(
+            s["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        if len(sk) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        llast = l["last"].combine_chunks().to_numpy(zero_copy_only=False)
+        lnl = l["nl"].combine_chunks().to_numpy(zero_copy_only=False)
+        last = np.full(len(sk), -1, np.int64)
+        nl = np.zeros(len(sk), np.int64)
+        if len(lk):
+            pos = np.searchsorted(sk, lk)
+            pos = np.clip(pos, 0, len(sk) - 1)
+            hit = sk[pos] == lk
+            np.maximum.at(last, pos[hit], llast[hit])
+            np.add.at(nl, pos[hit], lnl[hit])
+        age = horizon - last
+        # band = bit length of age (exact: searchsorted against powers
+        # of two — DuckDB's length(bin(age)))
+        powers2 = np.int64(1) << np.arange(1, 41)
+        blen = np.searchsorted(powers2, age, side="right") + 1
+        band = np.where(last < 0, -1, np.where(age <= 0, 0, blen))
+        u, idx = np.unique(band, return_inverse=True)
+        nsup = np.bincount(idx).astype(np.int64)
+        nls = np.zeros(len(u), np.int64)
+        np.add.at(nls, idx, nl)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "nsup": pa.array(nsup),
+                "nl": pa.array(nls),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("recency_band", "n_suppliers", "n_lines")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nsup", "sum"), ("nl", "sum")]
+        )
+        return pa.table(
+            {
+                "recency_band": pc.cast(g["band"], pa.int64()),
+                "n_suppliers": pc.cast(g["nsup_sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        sup.map_batches(
+            sup_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "band", merge, k=1)

@@ -15977,3 +15977,193 @@ def lang_run_clustering(sf_dir: str, window_ids: int = 1 << 17) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def hapax_share_quantiles(sf_dir: str) -> Dataset:
+    """T166: per-doc hapax-share quantiles — per source: docs, and the
+    discrete p50/p90 of each doc's PERMILLE of word occurrences whose
+    word is a corpus hapax (total corpus frequency exactly 1) — how
+    much of a typical document is one-of-a-kind vocabulary (T124
+    counts the hapax inventory globally; T64 scores shingle novelty by
+    corpus ORDER; T166 localizes the long tail per document: a source
+    whose median doc is 100‰ hapax is names/ids/noise that bloats the
+    embedding table, exactly the docs a vocabulary-driven quality
+    gate would price differently).  One dense row per source ALWAYS;
+    exact int64 under the quantile_disc rank rule (df CTE + per-doc
+    share + quantile_disc oracle; the exact word string decides
+    identity — the hash only routes, T118's convention).
+
+    Scale shape — the T32/T4 df-join discipline, nothing broadcast:
+      1. df pass: batches pre-reduce (word, n) cells; ONE word-hash
+         exchange settles corpus frequency;
+      2. probe pass: batches emit (word, doc, source, n_in_doc) cells
+         on the SAME word-hash exchange, where each word's df is
+         already resident — only hapax hits survive, corpus-small;
+      3. one doc-hash exchange folds hits to per-doc permilles and
+         bincounts them per source (the permille axis is ≤1001), so
+         the k=1 merge reads both quantiles off a cumsum."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def cells(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        did = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "w": flat,
+                "doc": pa.array(did[parent], pa.int64()),
+                "src": pa.array(code[parent], pa.int64()),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "doc", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "doc", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=43)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "doc": g["doc"],
+                "src": g["src"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def df_fold(t: pa.Table) -> pa.Table:
+        """All cells of a word co-locate: compute corpus frequency, emit
+        (doc, src, n_total_in_doc, n_hapax_in_doc) partials."""
+        cols = ("doc", "src", "nt", "nh")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["w", "doc", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "doc", "src", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = (
+            wcol.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        cf = np.zeros(int(wid.max()) + 1, np.int64)
+        np.add.at(cf, wid, n)
+        is_hapax = cf[wid] == 1  # corpus frequency exactly 1
+        doc = g["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.stack([doc, src], axis=1)
+        u, idx = np.unique(key, axis=0, return_inverse=True)
+        nt = np.zeros(len(u), np.int64)
+        np.add.at(nt, idx, n)
+        nh = np.zeros(len(u), np.int64)
+        np.add.at(nh, idx, np.where(is_hapax, n, 0))
+        return pa.table(
+            {
+                "doc": pa.array(u[:, 0]),
+                "src": pa.array(u[:, 1]),
+                "nt": pa.array(nt),
+                "nh": pa.array(nh),
+            }
+        )
+
+    def doc_fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "pm", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["doc", "src"], use_threads=False).aggregate(
+            [("nt", "sum"), ("nh", "sum")]
+        )
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = g["nt_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nh = g["nh_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        pm = 1000 * nh // np.maximum(nt, 1)
+        key = src * 1001 + pm
+        cnt = np.bincount(key, minlength=ns * 1001).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // 1001),
+                "pm": pa.array(keep % 1001),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_docs", "p50_hapax_permille", "p90_hapax_permille")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "pm"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        pm = g["pm"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = {"source": [], "n_docs": [], "p50_hapax_permille": [],
+                "p90_hapax_permille": []}
+        for si in np.unique(ss):
+            sel = ss == si
+            p, c = pm[sel], nn[sel]
+            order = np.argsort(p)
+            p, c = p[order], c[order]
+            tot = int(c.sum())
+            cum = np.cumsum(c)
+            rows["source"].append(si)
+            rows["n_docs"].append(tot)
+            rows["p50_hapax_permille"].append(
+                int(p[np.searchsorted(cum, (tot * 500 + 999) // 1000)])
+            )
+            rows["p90_hapax_permille"].append(
+                int(p[np.searchsorted(cum, (tot * 900 + 999) // 1000)])
+            )
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(rows["source"], pa.int64())),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "p50_hapax_permille": pa.array(
+                    rows["p50_hapax_permille"], pa.int64()
+                ),
+                "p90_hapax_permille": pa.array(
+                    rows["p90_hapax_permille"], pa.int64()
+                ),
+            }
+        )
+
+    raw = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        cells, batch_format="pyarrow"
+    )
+    hits = hash_partition_merge(raw, "h", df_fold, k=_doc_k(sf_dir))
+    pmc = hash_partition_merge(hits, "doc", doc_fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(pmc, "s", merge, k=1)
