@@ -865,6 +865,12 @@ def _q_events_adoption_order(sf_dir: str):
     return events_adoption_order(sf_dir)
 
 
+def _q_events_session_clock(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_clock
+
+    return events_session_clock(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1731,6 +1737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_adoption_order": _q_events_adoption_order,
         "doc_hapax_share": td.hapax_share_quantiles,
         "rel_supplier_recency": rel.supplier_recency,
+        "events_session_clock": _q_events_session_clock,
+        "doc_brevity_law": td.brevity_law_matrix,
+        "rel_weekday_loyalty": rel.weekday_loyalty,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8831,5 +8840,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_suppliers,
                    CAST(sum(nl) AS BIGINT) AS n_lines
             FROM b GROUP BY 1
+        """,
+        "events_session_clock": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1
+                             AS sid
+                  FROM o),
+            sess AS (SELECT user_id, sid,
+                            min(ts) AS st, max(ts) AS en
+                     FROM s GROUP BY 1, 2),
+            d AS (SELECT CAST(extract(hour FROM st) AS BIGINT) AS h,
+                         (epoch_us(en) - epoch_us(st)) // 1000000 AS dur
+                  FROM sess)
+            SELECT h AS start_hour,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(dur) AS BIGINT) AS sum_dur_s,
+                   CAST(sum(dur * dur) AS BIGINT) AS sum_dur_sq
+            FROM d GROUP BY 1
+        """,
+        "doc_brevity_law": """
+            WITH w AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 cf AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+                        FROM w GROUP BY 1)
+            SELECT CAST(LEAST(length(word), 40) AS BIGINT) AS word_len,
+                   CAST(length(bin(f)) AS BIGINT) AS freq_band,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(f) AS BIGINT) AS n_occurrences
+            FROM cf GROUP BY 1, 2
+        """,
+        "rel_weekday_loyalty": """
+            WITH d AS (SELECT o_custkey AS ck,
+                              (epoch_us(o_orderdate) // 86400000000 + 3)
+                                  % 7 AS dow,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1, 2),
+                 c AS (SELECT ck,
+                              CAST(sum(n) AS BIGINT) AS tot,
+                              CAST(max(n) AS BIGINT) AS mx
+                       FROM d GROUP BY 1)
+            SELECT CAST(1000 * mx // tot // 100 AS BIGINT)
+                       AS loyalty_band,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(tot) AS BIGINT) AS n_orders
+            FROM c GROUP BY 1
         """,
     }

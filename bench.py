@@ -550,6 +550,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_adoption_order",
         "doc_hapax_share",
         "rel_supplier_recency",
+        "events_session_clock",
+        "doc_brevity_law",
+        "rel_weekday_loyalty",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

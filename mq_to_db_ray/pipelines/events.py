@@ -15000,3 +15000,78 @@ def events_adoption_order(sf_dir: str) -> Dataset:
         k=shuffle_parts(_adaptive_k(sf_dir)),
     )
     return hash_partition_merge(cells, "i", merge, k=1)
+
+
+def events_session_clock(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E160: session clock-duration board — per hour-of-day of session
+    START: sessions, their exact total duration in floor-seconds, and
+    Σduration² — do evening sessions run longer than morning ones?
+    (E50 distributes durations globally, E122 clocks the AUDIENCE,
+    E131 counts midnight CROSSINGS; E160 couples the two axes: mean
+    and variance per start-hour divide out of the sums, and the
+    engagement-quality-by-daypart read prices push-notification
+    timing).  Single-event sessions count with duration 0.  Dense
+    small output (≤24 rows); exact int64 (the E15 sessions CTE +
+    extract(hour) + SUM oracle).
+
+    Scale shape — pure composition over the scale-safe E15 sessionize
+    stage ((key, window)+halo partitioning, associative interval
+    fold); the session rows it emits are already corpus-small, and one
+    bincount per batch reduces them to 24-cell partials for the k=1
+    merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sessions = events_sessions(sf_dir, gap_s=gap_s).select_columns(
+        ["start_ts", "end_ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = (
+            b["start_ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        en = (
+            b["end_ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        hour = (st // 3_600_000_000) % 24
+        d = (en - st) // 1_000_000
+        n = np.bincount(hour, minlength=24).astype(np.int64)
+        sd = np.zeros(24, np.int64)
+        np.add.at(sd, hour, d)
+        sdd = np.zeros(24, np.int64)
+        np.add.at(sdd, hour, d * d)
+        keep = np.flatnonzero(n)
+        return pa.table(
+            {
+                "h": pa.array(keep),
+                "n": pa.array(n[keep]),
+                "sd": pa.array(sd[keep]),
+                "sdd": pa.array(sdd[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("start_hour", "n_sessions", "sum_dur_s", "sum_dur_sq")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("h", use_threads=False).aggregate(
+            [("n", "sum"), ("sd", "sum"), ("sdd", "sum")]
+        )
+        return pa.table(
+            {
+                "start_hour": pc.cast(g["h"], pa.int64()),
+                "n_sessions": pc.cast(g["n_sum"], pa.int64()),
+                "sum_dur_s": pc.cast(g["sd_sum"], pa.int64()),
+                "sum_dur_sq": pc.cast(g["sdd_sum"], pa.int64()),
+            }
+        )
+
+    partials = sessions.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "h", merge, k=1)

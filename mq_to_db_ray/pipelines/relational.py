@@ -14104,3 +14104,104 @@ def supplier_recency(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def weekday_loyalty(sf_dir: str) -> Dataset:
+    """R94: weekday-loyalty histogram — per customer compute the share
+    of their orders placed on their MODAL weekday, band it by
+    100-permille deciles (band = 1000·modal/total // 100 → 1..10), and
+    count customers and orders per band — the habit-strength read (R73
+    aggregates demand by weekday across everyone — it cannot see that
+    two flat-profile populations differ: one of uniform individuals,
+    one of perfectly loyal individuals spread across days; R94
+    separates them, and the high bands are the predictable-reorder
+    audience a replenishment campaign targets; single-order customers
+    band at 10 by construction — read the band jointly with
+    n_orders).  Dense small output (≤10 bands); exact int64
+    (per-customer weekday counts + max/total + GROUP BY oracle;
+    weekday = (epoch-day + 3) % 7, R89's convention).
+
+    Scale shape — ONE custkey-hash exchange over pre-reduced cells:
+    batches bincount (custkey, dow) locally; a customer's 7 cells
+    co-locate, so the modal share settles in partition and bincounts
+    IN PLACE to band partials; the k=1 merge sums O(parts × 10)
+    rows."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = (
+            pc.cast(b["o_custkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dow = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+            + 3
+        ) % 7
+        key = ck * 7 + dow
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "ck": pa.array(u // 7),
+                "dow": pa.array(u % 7),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nc", "no")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["ck", "dow"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ck = g["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(ck, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, idx, n)
+        mx = np.zeros(len(u), np.int64)
+        np.maximum.at(mx, idx, n)
+        band = 1000 * mx // tot // 100
+        ub, bidx = np.unique(band, return_inverse=True)
+        nc = np.bincount(bidx).astype(np.int64)
+        no = np.zeros(len(ub), np.int64)
+        np.add.at(no, bidx, tot)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "nc": pa.array(nc),
+                "no": pa.array(no),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("loyalty_band", "n_customers", "n_orders")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nc", "sum"), ("no", "sum")]
+        )
+        return pa.table(
+            {
+                "loyalty_band": pc.cast(g["band"], pa.int64()),
+                "n_customers": pc.cast(g["nc_sum"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+            }
+        )
+
+    cells = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "ck", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)

@@ -16167,3 +16167,110 @@ def hapax_share_quantiles(sf_dir: str) -> Dataset:
     hits = hash_partition_merge(raw, "h", df_fold, k=_doc_k(sf_dir))
     pmc = hash_partition_merge(hits, "doc", doc_fold, k=_doc_k(sf_dir))
     return hash_partition_merge(pmc, "s", merge, k=1)
+
+
+def brevity_law_matrix(sf_dir: str, len_cap: int = 40) -> Dataset:
+    """T167: brevity-law matrix — for every distinct word, cross its
+    character length (capped at ``len_cap``) with the bit length of
+    its corpus frequency, and count words and occurrence mass per
+    cell — Zipf's law of abbreviation as a table (T71 histograms
+    length alone, T41 frequency alone; the JOINT says whether frequent
+    words are actually shorter in this corpus — natural language bows
+    the matrix toward the short-frequent corner, while id/hash spill
+    puts mass in the long-rare corner, and a tokenizer budget model
+    reads its expected-bytes-per-token straight off the cells).
+    Dense small output (≤len_cap × ~30 bands); exact int64
+    (df CTE + length + bin-length GROUP BY oracle).
+
+    Scale shape — T118's ONE word-hash exchange: batches pre-reduce
+    (word, n) cells with lengths attached; a word's cells co-locate,
+    so its corpus frequency — and its cell — settles locally and
+    bincounts IN PLACE to (len, freq-band) partials; the k=1 merge
+    sums O(parts × cells) rows; the vocabulary never lands anywhere
+    whole."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        t = pa.table(
+            {
+                "w": flat,
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by("w", use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["w", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=44)
+            .to_numpy()
+            .view(np.int64)
+        )
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "len": pc.cast(
+                    pc.min_element_wise(
+                        pc.utf8_length(wcol), pa.scalar(len_cap)
+                    ),
+                    pa.int64(),
+                ),
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("wl", "fb", "nw", "occ")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["w", "len"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ln = g["len"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        fb = np.searchsorted(powers2, n, side="right") + 1
+        key = ln * 64 + fb
+        u, idx = np.unique(key, return_inverse=True)
+        nw = np.bincount(idx).astype(np.int64)
+        occ = np.zeros(len(u), np.int64)
+        np.add.at(occ, idx, n)
+        return pa.table(
+            {
+                "wl": pa.array(u // 64),
+                "fb": pa.array(u % 64),
+                "nw": pa.array(nw),
+                "occ": pa.array(occ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("word_len", "freq_band", "n_words", "n_occurrences")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by(["wl", "fb"], use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
+        )
+        return pa.table(
+            {
+                "word_len": pc.cast(g["wl"], pa.int64()),
+                "freq_band": pc.cast(g["fb"], pa.int64()),
+                "n_words": pc.cast(g["nw_sum"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "wl", merge, k=1)
