@@ -871,6 +871,12 @@ def _q_events_session_clock(sf_dir: str):
     return events_session_clock(sf_dir)
 
 
+def _q_events_payload_persistence(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_payload_persistence
+
+    return events_payload_persistence(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1740,6 +1746,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_clock": _q_events_session_clock,
         "doc_brevity_law": td.brevity_law_matrix,
         "rel_weekday_loyalty": rel.weekday_loyalty,
+        "events_payload_persistence": _q_events_payload_persistence,
+        "embedding_label_contradiction": td.label_contradiction,
+        "rel_reactivation_trend": rel.reactivation_trend,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8893,5 +8902,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(sum(tot) AS BIGINT) AS n_orders
             FROM c GROUP BY 1
+        """,
+        "events_payload_persistence": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(floor(value) AS BIGINT) AS v,
+                              lag(CAST(floor(value) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY epoch_us(ts), event_id,
+                                            floor(value)) AS pv
+                       FROM events)
+            SELECT source,
+                   CAST(count(pv) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(pv), 0) AS BIGINT) AS sum_x,
+                   CAST(coalesce(sum(pv * pv), 0) AS BIGINT) AS sum_x_sq,
+                   CAST(coalesce(sum(v) FILTER (WHERE pv IS NOT NULL), 0)
+                        AS BIGINT) AS sum_y,
+                   CAST(coalesce(sum(v * v) FILTER (WHERE pv IS NOT NULL),
+                                 0) AS BIGINT) AS sum_y_sq,
+                   CAST(coalesce(sum(pv * v), 0) AS BIGINT) AS sum_xy
+            FROM w GROUP BY 1
+        """,
+        "embedding_label_contradiction": """
+            WITH g AS (SELECT embedding,
+                              CAST(count(*) AS BIGINT) AS size,
+                              CAST(count(DISTINCT label) AS BIGINT) AS fan
+                       FROM embeddings GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_distinct_vectors,
+                   CAST(count(*) FILTER (WHERE size > 1) AS BIGINT)
+                       AS n_dup_groups,
+                   CAST(count(*) FILTER (WHERE size > 1 AND fan > 1)
+                        AS BIGINT) AS n_contradicted_groups,
+                   CAST(coalesce(sum(size)
+                                 FILTER (WHERE size > 1 AND fan > 1), 0)
+                        AS BIGINT) AS n_contradicted_vectors,
+                   CAST(coalesce(max(fan)
+                                 FILTER (WHERE size > 1 AND fan > 1), 0)
+                        AS BIGINT) AS max_label_fanout
+            FROM g
+        """,
+        "rel_reactivation_trend": """
+            WITH w AS (SELECT CAST(extract(year FROM o_orderdate)
+                                   AS BIGINT) AS yr,
+                              epoch_us(o_orderdate) // 86400000000 AS d,
+                              lag(epoch_us(o_orderdate) // 86400000000)
+                                  OVER (PARTITION BY o_custkey
+                                        ORDER BY epoch_us(o_orderdate)
+                                                 // 86400000000,
+                                                 o_orderkey) AS pd
+                       FROM orders)
+            SELECT yr AS order_year,
+                   CAST(count(pd) AS BIGINT) AS n_repeat_orders,
+                   CAST(count(*) FILTER (WHERE pd IS NOT NULL
+                                         AND d - pd > 180) AS BIGINT)
+                       AS n_reactivations,
+                   CAST(1000 * count(*) FILTER (WHERE pd IS NOT NULL
+                                                AND d - pd > 180)
+                        // greatest(count(pd), 1) AS BIGINT)
+                       AS reactivation_permille
+            FROM w GROUP BY 1
+            HAVING count(pd) > 0
         """,
     }

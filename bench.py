@@ -553,6 +553,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_session_clock",
         "doc_brevity_law",
         "rel_weekday_loyalty",
+        "events_payload_persistence",
+        "embedding_label_contradiction",
+        "rel_reactivation_trend",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -15075,3 +15075,142 @@ def events_session_clock(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "h", merge, k=1)
+
+
+def events_payload_persistence(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E161: payload-persistence sufficient statistics — per source,
+    over adjacent event pairs in (ts, event_id) order: n, Σx, Σx²,
+    Σy, Σy², Σx·y with x = the EARLIER event's floored value and y =
+    the LATER's — the exact-int64 lag-1 autocovariance of the payload
+    stream ("is the next reading predictable from the last"), the
+    persistence read none of the payload boards carry (E97 trends
+    value against WALL TIME, E149 couples it with the preceding GAP,
+    E140 counts exactly-equal runs; E161 measures smooth drift vs
+    white noise — the number that decides whether E6's
+    delta-of-delta encoding or a last-value-carried-forward imputation
+    will actually work on this source).  One dense row per source
+    ALWAYS.  Int64 bound documented (the E97 discipline): v ≤ 10⁶ →
+    Σx·y holds ~9·10⁶ pairs/source per epoch shard.  Exact int64
+    (lag-window oracle; ties break by (event_id, value) both sides).
+
+    Scale shape — E149's carried-prefix machinery verbatim: two narrow
+    carry exchanges, one lexsort + one shifted-multiply kernel per
+    (source, ts-window) partition, six-sum partials folded k=1."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "np_", "sx", "sxx", "sy", "syy", "sxy")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        pair = has_prev & ~crs
+        x = np.where(pair, pv, 0)
+        y = np.where(pair, vs, 0)
+        ng = len(srcs)
+        out = {
+            "s": np.arange(ng, dtype=np.int64),
+            "np_": np.bincount(ks[pair], minlength=ng).astype(np.int64),
+        }
+        for name, arr in (
+            ("sx", x),
+            ("sxx", x * x),
+            ("sy", y),
+            ("syy", y * y),
+            ("sxy", x * y),
+        ):
+            acc = np.zeros(ng, np.int64)
+            np.add.at(acc, ks, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_pairs",
+            "sum_x",
+            "sum_x_sq",
+            "sum_y",
+            "sum_y_sq",
+            "sum_xy",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("np_", "sx", "sxx", "sy", "syy", "sxy")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("np_", "sx", "sxx", "sy", "syy", "sxy")
+            )
+        }
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order], pa.int64())),
+                **{c: pa.array(a, pa.int64()) for c, a in cols.items()},
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

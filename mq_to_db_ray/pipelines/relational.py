@@ -14205,3 +14205,114 @@ def weekday_loyalty(sf_dir: str) -> Dataset:
         cells, "ck", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def reactivation_trend(sf_dir: str, lapse_days: int = 180) -> Dataset:
+    """R95: reactivation trend board — per calendar year of the RETURN
+    order: orders that ended a customer silence longer than
+    ``lapse_days`` (consecutive-order gap in floor-days, R21's
+    convention), total repeat orders, and the win-back permille — the
+    resurrection read (R21 distributes the gaps, R59 tracks cohort
+    retention, R68 splits new-vs-repeat; R95 counts the moments a
+    lapsed customer actually CAME BACK, by when they did — the
+    time-series a win-back campaign is graded against, and rising
+    reactivations with flat acquisition is a re-engagement-driven
+    business).  Dense small output (years); exact int64 (lag-window +
+    gap filter + year GROUP BY oracle; ties break by orderkey).
+
+    Scale shape — ONE custkey-hash exchange of narrow (custkey, day,
+    okey) rows: each partition lexsorts its complete customers once,
+    adjacent same-customer gaps classify in place, and (year,
+    n_repeat, n_react) partials fold k=1 — R21's machinery with the
+    year attribution kept on the RETURN side."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(od // 86_400_000_000, pa.int64()),
+                "yr": pa.array(
+                    od.astype("datetime64[us]")
+                    .astype("datetime64[Y]")
+                    .astype(np.int64)
+                    + 1970
+                ),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("yr", "nrep", "nreact")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, ck))
+        cks, ds_, yrs = ck[order], d[order], yr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = cks[1:] == cks[:-1]
+        pd_ = np.empty(n, dtype=np.int64)
+        pd_[0] = 0
+        pd_[1:] = ds_[:-1]
+        gap = ds_ - pd_
+        react = has_prev & (gap > lapse_days)
+        u, idx = np.unique(yrs, return_inverse=True)
+        nrep = np.zeros(len(u), np.int64)
+        np.add.at(nrep, idx, has_prev.astype(np.int64))
+        nreact = np.zeros(len(u), np.int64)
+        np.add.at(nreact, idx, react.astype(np.int64))
+        keep = np.flatnonzero(nrep)
+        return pa.table(
+            {
+                "yr": pa.array(u[keep]),
+                "nrep": pa.array(nrep[keep]),
+                "nreact": pa.array(nreact[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("order_year", "n_repeat_orders", "n_reactivations",
+               "reactivation_permille")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("nrep", "sum"), ("nreact", "sum")]
+        )
+        yr = g["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        nrep = g["nrep_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nreact = g["nreact_sum"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "order_year": pa.array(yr, pa.int64()),
+                "n_repeat_orders": pa.array(nrep, pa.int64()),
+                "n_reactivations": pa.array(nreact, pa.int64()),
+                "reactivation_permille": pa.array(
+                    1000 * nreact // np.maximum(nrep, 1), pa.int64()
+                ),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ords.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "ck",
+        fold,
+        k=_rel_k(sf_dir, "orders"),
+    )
+    return hash_partition_merge(cells, "yr", merge, k=1)

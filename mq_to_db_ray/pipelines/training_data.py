@@ -16274,3 +16274,121 @@ def brevity_law_matrix(sf_dir: str, len_cap: int = 40) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "wl", merge, k=1)
+
+
+def label_contradiction(sf_dir: str) -> Dataset:
+    """T168: label-contradiction audit — group vectors by EXACT
+    equality of the embedding payload and report: distinct payloads,
+    duplicate groups (>=2 vectors), groups whose members carry MORE
+    THAN ONE label, vectors trapped in such contradicted groups, and
+    the worst distinct-label fan-out — the label-NOISE detector (T103
+    counts exact-dup vector mass; T168 asks the question that matters
+    for a classifier: when the same input appears twice, do the labels
+    agree?  every contradicted vector is an irreducible-error floor the
+    training loss cannot fix, and the fan-out names how bad the worst
+    collision is).  ONE dense row ALWAYS.  Exact int64 (DuckDB groups
+    lists by value — GROUP BY embedding + COUNT DISTINCT label oracle;
+    on the Ray side the full float payload decides identity via a
+    polars list group-by and the 64-bit list hash only routes, T118's
+    convention).
+
+    Scale shape — ONE vector-hash exchange over pre-reduced cells:
+    batches collapse to (hash, vector, label, n) cells via one polars
+    list group-by; all cells of a payload co-locate, so group size and
+    label fan-out settle locally and collapse to one counter row per
+    partition; the k=1 merge sums O(parts) rows."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ("h", "v", "lab", "n")
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.list_(pa.float32())),
+                    "lab": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "v": b["embedding"],
+                    "lab": pc.cast(b["label"], pa.int64()),
+                }
+            )
+        )
+        g = (
+            df.group_by(["v", "lab"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .with_columns(pl.col("v").hash(seed=45).alias("h"))
+        )
+        out = g.select(["h", "v", "lab", "n"]).to_arrow()
+        return out.set_column(
+            0, "h", pc.cast(out["h"], pa.int64(), safe=False)
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "ng", "nd", "nc", "nv", "mf")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        df = pl.from_arrow(t.select(["v", "lab", "n"]))
+        g = df.group_by(["v", "lab"]).agg(pl.col("n").sum())
+        g2 = g.group_by("v").agg(
+            pl.col("n").sum().alias("size"),
+            pl.col("lab").n_unique().cast(pl.Int64).alias("fan"),
+        )
+        size = g2["size"].to_numpy()
+        fan = g2["fan"].to_numpy()
+        dup = size > 1
+        contra = dup & (fan > 1)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ng": pa.array([len(size)], pa.int64()),
+                "nd": pa.array([int(dup.sum())], pa.int64()),
+                "nc": pa.array([int(contra.sum())], pa.int64()),
+                "nv": pa.array([int(size[contra].sum())], pa.int64()),
+                "mf": pa.array(
+                    [int(fan[contra].max()) if contra.any() else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_distinct_vectors",
+            "n_dup_groups",
+            "n_contradicted_groups",
+            "n_contradicted_vectors",
+            "max_label_fanout",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("ng", "nd", "nc", "nv")
+        vals = {
+            name: pa.array([int(pc.sum(t[c]).as_py())], pa.int64())
+            for name, c in zip(out[:4], src)
+        }
+        vals["max_label_fanout"] = pa.array(
+            [int(pc.max(t["mf"]).as_py())], pa.int64()
+        )
+        return pa.table(vals)
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..stages.shuffle import adaptive_width
+
+    folded = hash_partition_merge(
+        cells, "h", fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+    return hash_partition_merge(folded, "g", merge, k=1)
