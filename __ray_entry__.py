@@ -877,6 +877,12 @@ def _q_events_payload_persistence(sf_dir: str):
     return events_payload_persistence(sf_dir)
 
 
+def _q_events_crowd_density(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_crowd_density
+
+    return events_crowd_density(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1749,6 +1755,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_payload_persistence": _q_events_payload_persistence,
         "embedding_label_contradiction": td.label_contradiction,
         "rel_reactivation_trend": rel.reactivation_trend,
+        "events_crowd_density": _q_events_crowd_density,
+        "doc_opener_spread": td.opener_spread,
+        "rel_nation_demand_trend": rel.nation_demand_trend,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -8961,5 +8970,52 @@ def oracle_sql() -> dict[str, str]:
                        AS reactivation_permille
             FROM w GROUP BY 1
             HAVING count(pd) > 0
+        """,
+        "events_crowd_density": """
+            WITH m AS (SELECT event_type AS source,
+                              epoch_us(ts) // 60000000 AS minute,
+                              CAST(count(*) AS BIGINT) AS e,
+                              CAST(count(DISTINCT user_id) AS BIGINT) AS u
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_minutes,
+                   CAST(sum(e) AS BIGINT) AS sum_e,
+                   CAST(sum(e * e) AS BIGINT) AS sum_e_sq,
+                   CAST(sum(u) AS BIGINT) AS sum_u,
+                   CAST(sum(u * u) AS BIGINT) AS sum_u_sq,
+                   CAST(sum(e * u) AS BIGINT) AS sum_e_u
+            FROM m GROUP BY 1
+        """,
+        "doc_opener_spread": """
+            WITH p AS (SELECT doc_id,
+                              concat_ws(' ', w[1], w[2], w[3]) AS op
+                       FROM (SELECT doc_id, str_split(text, ' ') AS w
+                             FROM documents)),
+                 g AS (SELECT op,
+                              CAST(min(doc_id) AS BIGINT) AS lo,
+                              CAST(max(doc_id) AS BIGINT) AS hi,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM p GROUP BY 1
+                       HAVING count(*) > 1)
+            SELECT CAST(CASE WHEN hi - lo <= 0 THEN 0
+                             ELSE length(bin(hi - lo)) END AS BIGINT)
+                       AS span_band,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n) AS BIGINT) AS n_docs
+            FROM g GROUP BY 1
+        """,
+        "rel_nation_demand_trend": """
+            WITH j AS (SELECT n.n_name AS nation,
+                              CAST(extract(year FROM o.o_orderdate)
+                                   AS BIGINT) AS yr,
+                              CAST(floor(o.o_totalprice) AS BIGINT) AS v
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       JOIN nation n ON n.n_nationkey = c.c_nationkey)
+            SELECT nation,
+                   yr AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(v) AS BIGINT) AS value_floor
+            FROM j GROUP BY 1, 2
         """,
     }

@@ -556,6 +556,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_payload_persistence",
         "embedding_label_contradiction",
         "rel_reactivation_trend",
+        "events_crowd_density",
+        "doc_opener_spread",
+        "rel_nation_demand_trend",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

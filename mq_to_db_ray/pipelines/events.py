@@ -15214,3 +15214,139 @@ def events_payload_persistence(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_crowd_density(sf_dir: str) -> Dataset:
+    """E162: minute crowd-density coupling — per source, over its
+    active minutes: n_minutes, Σe, Σe², Σu, Σu², Σe·u with e = the
+    minute's event count and u = its DISTINCT user count — the
+    exact-int64 inputs of the events-vs-audience regression ("is load
+    crowd or obsession"): e/u ≈ 1 means broad organic traffic, e ≫ u
+    a few users hammering — the bot/flash-mob discriminator (E113
+    counts concurrent SOURCES, E77 ranks minutes by users, E119
+    distributes per-user bursts; none couples the two counts on the
+    same minute).  One dense row per source ALWAYS.  Int64 bound
+    documented: e, u ≤ 10⁶/minute → Σe·u holds ~9·10⁶ minutes/source
+    per epoch shard.  Exact int64 (per-minute COUNT + COUNT DISTINCT
+    + SUM oracle).
+
+    Scale shape — ONE (source, minute)-hash exchange over distinct
+    (source, minute, user, n) cells (batches pre-reduce with one
+    np.unique): a minute's cells co-locate, so its event count AND
+    distinct-user count settle locally and the six products fold IN
+    PLACE to per-source sums; the k=1 merge sums O(parts × sources)
+    rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        minute = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 60_000_000
+        )
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([code * (1 << 40) + minute, uid], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "sm": pa.array(u[:, 0]),
+                "u": pa.array(u[:, 1]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "nm", "se", "see", "su", "suu", "seu")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sm", "u"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sm = g["sm"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        um, idx = np.unique(sm, return_inverse=True)
+        e = np.zeros(len(um), np.int64)
+        np.add.at(e, idx, n)
+        uc = np.bincount(idx).astype(np.int64)
+        s = um >> 40
+        out = {"s": np.arange(ns, dtype=np.int64)}
+        out["nm"] = np.bincount(s, minlength=ns).astype(np.int64)
+        for name, arr in (
+            ("se", e),
+            ("see", e * e),
+            ("su", uc),
+            ("suu", uc * uc),
+            ("seu", e * uc),
+        ):
+            acc = np.zeros(ns, np.int64)
+            np.add.at(acc, s, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "sm",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_minutes",
+            "sum_e",
+            "sum_e_sq",
+            "sum_u",
+            "sum_u_sq",
+            "sum_e_u",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("nm", "se", "see", "su", "suu", "seu")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("nm", "se", "see", "su", "suu", "seu")
+            )
+        }
+        keep = cols["n_minutes"] > 0
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order][keep], pa.int64())),
+                **{
+                    c: pa.array(a[keep], pa.int64()) for c, a in cols.items()
+                },
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

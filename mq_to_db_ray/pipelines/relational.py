@@ -14316,3 +14316,146 @@ def reactivation_trend(sf_dir: str, lapse_days: int = 180) -> Dataset:
         k=_rel_k(sf_dir, "orders"),
     )
     return hash_partition_merge(cells, "yr", merge, k=1)
+
+
+def nation_demand_trend(sf_dir: str) -> Dataset:
+    """R96: nation demand-trend matrix — per (customer nation, order
+    year): orders and exact floored order value — the geographic
+    growth ledger (R25 tracks the GLOBAL book year over year, R77
+    crosses nation with SEGMENT statically, R24 counts monthly actives
+    corpus-wide; R96 is the by-market time series a regional P&L reads
+    line by line — two adjacent cells difference into an exact YoY,
+    and a nation rising while the global line is flat is share
+    shift, not growth).  Dense small output (nations × years); exact
+    int64 (two-hop join + extract(year) + GROUP BY oracle).
+
+    Scale shape — ONE custkey-hash co-partition (the R88 shape with
+    year kept on the order side): order batches ride as (custkey,
+    year, v) rows, customers as (custkey → nationkey); the fold
+    attaches the nation by one searchsorted and collapses IN PLACE to
+    (nation, year) partials; the k=1 merge attaches names from the
+    25-row nation broadcast."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    nat_names = pa.array(nat["n_name"].tolist(), pa.string())
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "yr": pa.array(
+                    od.astype("datetime64[us]")
+                    .astype("datetime64[Y]")
+                    .astype(np.int64)
+                    + 1970
+                ),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "nk": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "v": pa.array(np.zeros(n, np.int64)),
+                "nk": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("nk", "yr", "no", "sv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        nk = t["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = nk >= 0
+        c = t.filter(pa.array(is_cust))
+        o = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or o.num_rows == 0:
+            return pa.table({c2: pa.array([], pa.int64()) for c2 in cols})
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = c["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        corder = np.argsort(ck, kind="stable")
+        ck_s = ck[corder]
+        pos = np.clip(np.searchsorted(ck_s, ok), 0, len(ck_s) - 1)
+        hit = ck_s[pos] == ok
+        nkv = c["nk"].combine_chunks().to_numpy(zero_copy_only=False)[
+            corder
+        ][pos][hit]
+        yr = o["yr"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        v = o["v"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        cells = pa.table(
+            {
+                "nk": pa.array(nkv, pa.int64()),
+                "yr": pa.array(yr, pa.int64()),
+                "no": pa.array(np.ones(len(yr), np.int64)),
+                "sv": pa.array(v, pa.int64()),
+            }
+        )
+        g = cells.group_by(["nk", "yr"], use_threads=False).aggregate(
+            [("no", "sum"), ("sv", "sum")]
+        )
+        return g.rename_columns(["nk", "yr", "no", "sv"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("nation", "order_year", "n_orders", "value_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["nk", "yr"], use_threads=False).aggregate(
+            [("no", "sum"), ("sv", "sum")]
+        )
+        nkv = g["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        npos = np.searchsorted(nat_keys, nkv)
+        return pa.table(
+            {
+                "nation": nat_names.take(pa.array(npos, pa.int64())),
+                "order_year": pc.cast(g["yr"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "value_floor": pc.cast(g["sv_sum"], pa.int64()),
+            }
+        )
+
+    tagged = ords.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        cust.map_batches(
+            cust_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "nk", merge, k=1)

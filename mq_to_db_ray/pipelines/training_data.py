@@ -16392,3 +16392,115 @@ def label_contradiction(sf_dir: str) -> Dataset:
         k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
     )
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def opener_spread(sf_dir: str, opener_words: int = 3) -> Dataset:
+    """T169: opener-spread spectrum — group docs by their first
+    ``opener_words`` whitespace words, keep groups of ≥2, band each
+    group by the bit length of its doc_id SPAN (max id − min id;
+    band 0 = a re-used id, band 1 = adjacent ids) and count groups
+    and member docs per band — WHERE the shared template openers sit
+    in ingestion order (T112/T66 count the boilerplate openers and
+    their per-source exposure; T169 reads their SPREAD: low bands are
+    re-sent batches and crawl-local templates a windowed dedup
+    catches, high bands are site-wide chrome spanning the whole
+    ingestion — only a global pass finds those; the spectrum prices
+    exactly how much a windowed boilerplate scrub would miss).  Dense
+    small output (≤~40 bands); exact int64 (prefix GROUP BY + span
+    bin-length oracle; the exact opener string decides identity, the
+    hash only routes — T118's convention; concat_ws skips missing
+    words on both sides, so short docs group by their whole text).
+
+    Scale shape — ONE opener-hash exchange over pre-reduced cells:
+    batches collapse to (hash, opener, min_id, max_id, n) cells; an
+    opener's cells co-locate, so the group span settles locally and
+    bincounts IN PLACE to band partials; the k=1 merge sums
+    O(parts × bands) rows; only opener prefixes ride the exchange."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        opener = pc.binary_join(
+            pc.list_slice(words, 0, opener_words), " "
+        )
+        t = pa.table(
+            {
+                "op": opener,
+                "lo": pc.cast(b["doc_id"], pa.int64()),
+                "hi": pc.cast(b["doc_id"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by("op", use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max"), ("n", "sum")]
+        )
+        g = g.rename_columns(["op", "lo", "hi", "n"])
+        hs = (
+            pl.from_arrow(g.select(["op"]))["op"]
+            .hash(seed=46)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "op": g["op"],
+                "lo": pc.cast(g["lo"], pa.int64()),
+                "hi": pc.cast(g["hi"], pa.int64()),
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "ng", "nd")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("op", use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max"), ("n", "sum")]
+        )
+        lo = g["lo_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = g["hi_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dup = n > 1
+        span = (hi - lo)[dup]
+        nn = n[dup]
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.where(
+            span <= 0, 0, np.searchsorted(powers2, span, side="right") + 1
+        )
+        u, idx = np.unique(band, return_inverse=True)
+        ng = np.bincount(idx).astype(np.int64)
+        nd = np.zeros(len(u), np.int64)
+        np.add.at(nd, idx, nn)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "ng": pa.array(ng),
+                "nd": pa.array(nd),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("span_band", "n_groups", "n_docs")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("ng", "sum"), ("nd", "sum")]
+        )
+        return pa.table(
+            {
+                "span_band": pc.cast(g["band"], pa.int64()),
+                "n_groups": pc.cast(g["ng_sum"], pa.int64()),
+                "n_docs": pc.cast(g["nd_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "band", merge, k=1)
