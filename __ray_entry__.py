@@ -883,6 +883,12 @@ def _q_events_crowd_density(sf_dir: str):
     return events_crowd_density(sf_dir)
 
 
+def _q_events_microburst(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_microburst
+
+    return events_microburst(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1758,6 +1764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_crowd_density": _q_events_crowd_density,
         "doc_opener_spread": td.opener_spread,
         "rel_nation_demand_trend": rel.nation_demand_trend,
+        "events_microburst": _q_events_microburst,
+        "embedding_grid_population": td.grid_population_spectrum,
+        "rel_brand_price_positioning": rel.brand_price_positioning,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9017,5 +9026,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders,
                    CAST(sum(v) AS BIGINT) AS value_floor
             FROM j GROUP BY 1, 2
+        """,
+        "events_microburst": """
+            WITH s AS (SELECT event_type AS source,
+                              epoch_us(ts) // 1000000 AS sec,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST(LEAST(n, 8) AS BIGINT) AS load_band,
+                   CAST(count(*) AS BIGINT) AS n_seconds,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
+        "embedding_grid_population": """
+            WITH c AS (SELECT [CAST(floor(4.0 * embedding[1]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[2]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[3]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[4]) AS BIGINT)]
+                           AS cell
+                       FROM embeddings),
+            g AS (SELECT cell, CAST(count(*) AS BIGINT) n FROM c GROUP BY 1)
+            SELECT CAST(length(bin(n)) AS BIGINT) AS pop_band,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(n) AS BIGINT) AS n_vectors
+            FROM g GROUP BY 1
+        """,
+        "rel_brand_price_positioning": """
+            WITH pc_ AS (SELECT p_partkey, p_brand,
+                                CASE WHEN floor(p_retailprice) <= 0 THEN 0
+                                     ELSE length(bin(CAST(
+                                          floor(p_retailprice) AS BIGINT)))
+                                END AS band
+                         FROM part),
+                 l AS (SELECT l_partkey,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS qty
+                       FROM lineitem GROUP BY 1)
+            SELECT pc_.p_brand AS brand,
+                   CAST(pc_.band AS BIGINT) AS price_band,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(coalesce(sum(l.nl), 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(l.qty), 0) AS BIGINT) AS qty_floor
+            FROM pc_ LEFT JOIN l ON l.l_partkey = pc_.p_partkey
+            GROUP BY 1, 2
         """,
     }

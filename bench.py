@@ -559,6 +559,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_crowd_density",
         "doc_opener_spread",
         "rel_nation_demand_trend",
+        "events_microburst",
+        "embedding_grid_population",
+        "rel_brand_price_positioning",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

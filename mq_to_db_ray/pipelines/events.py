@@ -15350,3 +15350,101 @@ def events_crowd_density(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_microburst(sf_dir: str, band_cap: int = 8) -> Dataset:
+    """E163: second-level microburst histogram — per (source,
+    per-second load band): seconds at that load and events inside them
+    (band = min(events-in-second, band_cap)) — the flush-cadence read
+    below the minute grid (E135 detects timestamp QUANTIZATION, E119
+    bursts per USER-minute, E158 couples minute load with value; E163
+    asks how the traffic packs into SECONDS: an all-band-1 profile is
+    a smooth stream, mass in the top band is batch flushes landing on
+    one timestamp — exactly the shape that decides whether a
+    per-second rate limiter or consumer batch size will hiccup).
+    Dense small output (sources × ≤band_cap+1); exact int64
+    (per-second CTE + LEAST + GROUP BY oracle).
+
+    Scale shape — E158's ONE (source, second)-hash exchange: batches
+    pre-reduce to (source, second, n) cells; a second's partials
+    co-locate, settle, band, and collapse IN PLACE; the k=1 merge
+    sums O(parts × sources × bands) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    nb = band_cap + 1
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        sec = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 1_000_000
+        )
+        ss = code * (1 << 40) + sec
+        u, cnt = np.unique(ss, return_counts=True)
+        return pa.table(
+            {"ss": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "band", "nsec", "ne")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("ss", use_threads=False).aggregate([("n", "sum")])
+        ss = g["ss"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = ss >> 40
+        band = np.minimum(n, band_cap)
+        key = (s * nb + band).astype(np.int64)
+        nsec = np.bincount(key, minlength=ns * nb).astype(np.int64)
+        ne = np.zeros(ns * nb, np.int64)
+        np.add.at(ne, key, n)
+        keep = np.flatnonzero(nsec)
+        return pa.table(
+            {
+                "s": pa.array(keep // nb),
+                "band": pa.array(keep % nb),
+                "nsec": pa.array(nsec[keep]),
+                "ne": pa.array(ne[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "load_band", "n_seconds", "n_events")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("nsec", "sum"), ("ne", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "load_band": pc.cast(g["band"], pa.int64()),
+                "n_seconds": pc.cast(g["nsec_sum"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "ss", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -14459,3 +14459,171 @@ def nation_demand_trend(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "nk", merge, k=1)
+
+
+def brand_price_positioning(sf_dir: str) -> Dataset:
+    """R97: brand price-positioning matrix — per (brand, log2 band of
+    the floored catalog retail price): catalog parts, shipped lines,
+    and exact quantity — where each brand prices its catalog and
+    whether demand follows (R79 audits realized price against list
+    PER LINE, R74 slices commerce by p_type, R49 trends brand revenue;
+    R97 is the price-ARCHITECTURE map: a brand whose parts sit two
+    bands above its peers but whose lines cluster in its cheapest band
+    is positioned premium and selling discount — the merchandising
+    mismatch read).  Dense small output (brands × ≤~12 bands); exact
+    int64 (LEFT JOIN + bin-length band + GROUP BY oracle).
+
+    Scale shape — R85's ONE partkey-hash co-partition: part dim rows
+    carry (brand, band); line batches pre-reduce per partkey; the
+    fold attaches by searchsorted (LEFT-JOIN semantics — unshipped
+    parts keep their catalog cell) and collapses IN PLACE to (brand,
+    band) partials; the k=1 merge sums O(parts × cells) rows."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+            .unique("p_brand")
+        ),
+        pa.string(),
+    )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def part_cells(b: pa.Table) -> pa.Table:
+        rp = np.floor(
+            b["p_retailprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.where(
+            rp <= 0, 0, np.searchsorted(powers2, rp, side="right") + 1
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "bb": pc.cast(
+                    pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+                ),
+                "band": pa.array(band, pa.int64()),
+                "nl": pa.array(np.zeros(b.num_rows, np.int64)),
+                "qty": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, idx = np.unique(pk, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        qs = np.zeros(len(u), np.int64)
+        np.add.at(qs, idx, q)
+        n = len(u)
+        return pa.table(
+            {
+                "k": pa.array(u.astype(np.int64)),
+                "bb": pa.array(np.full(n, -1, np.int64)),
+                "band": pa.array(np.zeros(n, np.int64)),
+                "nl": pa.array(nl),
+                "qty": pa.array(qs),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("bb", "band", "np_", "nl", "qty")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        bbv = t["bb"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_part = bbv >= 0
+        p = t.filter(pa.array(is_part))
+        l = t.filter(pa.array(~is_part))
+        if p.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        pk = p["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        pbb = p["bb"].combine_chunks().to_numpy(zero_copy_only=False)[porder]
+        pband = p["band"].combine_chunks().to_numpy(zero_copy_only=False)[
+            porder
+        ]
+        nl_acc = np.zeros(len(pk_s), np.int64)
+        qty_acc = np.zeros(len(pk_s), np.int64)
+        if l.num_rows:
+            lg = l.group_by("k", use_threads=False).aggregate(
+                [("nl", "sum"), ("qty", "sum")]
+            )
+            lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(pk_s, lk), 0, len(pk_s) - 1)
+            hit = pk_s[pos] == lk
+            np.add.at(
+                nl_acc,
+                pos[hit],
+                lg["nl_sum"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )[hit],
+            )
+            np.add.at(
+                qty_acc,
+                pos[hit],
+                lg["qty_sum"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )[hit],
+            )
+        key = pbb * 64 + pband
+        u, idx = np.unique(key, return_inverse=True)
+        np_ = np.bincount(idx).astype(np.int64)
+        nl = np.zeros(len(u), np.int64)
+        np.add.at(nl, idx, nl_acc)
+        qty = np.zeros(len(u), np.int64)
+        np.add.at(qty, idx, qty_acc)
+        return pa.table(
+            {
+                "bb": pa.array(u // 64),
+                "band": pa.array(u % 64),
+                "np_": pa.array(np_),
+                "nl": pa.array(nl),
+                "qty": pa.array(qty),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("brand", "price_band", "n_parts", "n_lines", "qty_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["bb", "band"], use_threads=False).aggregate(
+            [("np_", "sum"), ("nl", "sum"), ("qty", "sum")]
+        )
+        return pa.table(
+            {
+                "brand": brands.take(g["bb"]),
+                "price_band": pc.cast(g["band"], pa.int64()),
+                "n_parts": pc.cast(g["np__sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+            }
+        )
+
+    tagged = parts.map_batches(
+        part_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lines.map_batches(
+            line_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "bb", merge, k=1)

@@ -16504,3 +16504,94 @@ def opener_spread(sf_dir: str, opener_words: int = 3) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def grid_population_spectrum(sf_dir: str, q_dims: int = 4) -> Dataset:
+    """T170: grid-cell population spectrum — quantize vectors on T96's
+    floor(4·x) grid over the first ``q_dims`` dimensions and histogram
+    the CELLS by the bit length of their population — the IVF/LSH
+    balance read T96 compresses into one max (T96 says the heaviest
+    cell's load; T170 shows the whole imbalance curve: a spectrum
+    hugging the low bands is a well-spread space where bucketed ANN
+    bounds work, a fat top band means hot buckets that serialize — and
+    the curve directly prices T102's candidate-pair budget per band).
+    Dense small output (≤~30 bands); exact int64 (T96's list-index
+    quantize CTE + two-level GROUP BY + bin-length oracle).
+
+    Scale shape — T96's cell-hash discipline: per batch one slice +
+    floor + bit-pack reduces vectors to (cell, n) partials; each
+    cell's exact population settles in its hash partition and
+    bincounts IN PLACE to (band, n_cells, n_vectors) partials; the
+    k=1 merge sums O(parts × bands) rows."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)[:, :q_dims]
+        )
+        q = np.floor(4.0 * m).astype(np.int64)
+        packed = np.zeros(n, np.uint64)
+        for d in range(q_dims):
+            packed = (packed << np.uint64(16)) | (
+                (q[:, d] + (1 << 15)).astype(np.uint64) & np.uint64(0xFFFF)
+            )
+        vals, cnt = np.unique(packed.view(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(vals, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nc", "nv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("cell", use_threads=False).aggregate([("n", "sum")])
+        tot = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, tot, side="right") + 1
+        u, idx = np.unique(band, return_inverse=True)
+        nc = np.bincount(idx).astype(np.int64)
+        nv = np.zeros(len(u), np.int64)
+        np.add.at(nv, idx, tot)
+        return pa.table(
+            {"band": pa.array(u), "nc": pa.array(nc), "nv": pa.array(nv)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("pop_band", "n_cells", "n_vectors")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nc", "sum"), ("nv", "sum")]
+        )
+        return pa.table(
+            {
+                "pop_band": pc.cast(g["band"], pa.int64()),
+                "n_cells": pc.cast(g["nc_sum"], pa.int64()),
+                "n_vectors": pc.cast(g["nv_sum"], pa.int64()),
+            }
+        )
+
+    cells = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "cell", fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)
