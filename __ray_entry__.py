@@ -889,6 +889,12 @@ def _q_events_microburst(sf_dir: str):
     return events_microburst(sf_dir)
 
 
+def _q_events_coverage_drift(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_coverage_drift
+
+    return events_coverage_drift(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1767,6 +1773,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_microburst": _q_events_microburst,
         "embedding_grid_population": td.grid_population_spectrum,
         "rel_brand_price_positioning": rel.brand_price_positioning,
+        "events_coverage_drift": _q_events_coverage_drift,
+        "embedding_quantization_audit": td.embedding_quantization_audit,
+        "rel_discount_latency": rel.discount_latency,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9070,5 +9079,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(l.qty), 0) AS BIGINT) AS qty_floor
             FROM pc_ LEFT JOIN l ON l.l_partkey = pc_.p_partkey
             GROUP BY 1, 2
+        """,
+        "events_coverage_drift": """
+            WITH mins AS (SELECT DISTINCT event_type AS source,
+                                 epoch_us(ts) // 60000000 AS m
+                          FROM events),
+                 wk AS (SELECT source, m // 10080 AS w,
+                               CAST(count(*) AS BIGINT) AS am
+                        FROM mins GROUP BY 1, 2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_weeks,
+                   CAST(sum(w) AS BIGINT) AS sum_w,
+                   CAST(sum(w * w) AS BIGINT) AS sum_w_sq,
+                   CAST(sum(am) AS BIGINT) AS sum_m,
+                   CAST(sum(am * am) AS BIGINT) AS sum_m_sq,
+                   CAST(sum(w * am) AS BIGINT) AS sum_w_m
+            FROM wk GROUP BY 1
+        """,
+        "embedding_quantization_audit": """
+            WITH v AS (SELECT embedding,
+                              CAST(len(embedding) AS BIGINT) AS l,
+                              CAST(len(list_filter(embedding,
+                                   x -> isfinite(x) AND x = floor(x)))
+                                   AS BIGINT) AS ni,
+                              CAST(len(list_filter(embedding,
+                                   x -> isfinite(x) AND x <> floor(x)
+                                        AND 2 * x = floor(2 * x)))
+                                   AS BIGINT) AS nh
+                       FROM embeddings)
+            SELECT CAST(sum(l) AS BIGINT) AS n_components,
+                   CAST(sum(ni) AS BIGINT) AS n_integer,
+                   CAST(sum(nh) AS BIGINT) AS n_half_step,
+                   CAST(count(*) FILTER (WHERE ni = l) AS BIGINT)
+                       AS n_integer_vectors,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM v
+        """,
+        "rel_discount_latency": """
+            WITH j AS (SELECT CAST(round(l.l_discount * 100) AS BIGINT)
+                                  AS cent,
+                              epoch_us(l.l_shipdate) // 86400000000
+                                  - epoch_us(o.o_orderdate) // 86400000000
+                                  AS gap
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT cent AS discount_cent,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(gap) AS BIGINT) AS sum_days,
+                   CAST(sum(gap * gap) AS BIGINT) AS sum_days_sq
+            FROM j GROUP BY 1
         """,
     }

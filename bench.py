@@ -562,6 +562,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_microburst",
         "embedding_grid_population",
         "rel_brand_price_positioning",
+        "events_coverage_drift",
+        "embedding_quantization_audit",
+        "rel_discount_latency",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

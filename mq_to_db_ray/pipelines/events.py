@@ -15448,3 +15448,133 @@ def events_microburst(sf_dir: str, band_cap: int = 8) -> Dataset:
     )
     cells = hash_partition_merge(partials, "ss", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_coverage_drift(sf_dir: str) -> Dataset:
+    """E164: coverage-drift sufficient statistics — per source, over
+    its active ISO-ish weeks (epoch-day // 7): n_weeks, Σw, Σw², Σm,
+    Σm², Σw·m with w = the week index and m = the week's ACTIVE MINUTE
+    count — the exact-int64 duty-cycle trend ("is this feed thinning
+    out"), the slow-decay detector none of the coverage boards carry
+    (E58 reports coverage once, E121 distributes the duty cycle, E75
+    finds minute-scale ramps; a dying sensor loses active minutes week
+    over week long before it goes silent, and the OLS slope of m on w
+    reads it off these sums).  One dense row per source ALWAYS.  Int64
+    bound documented: w ≤ ~3·10³ (half a century), m ≤ 10⁴/week →
+    Σw·m holds ~3·10¹¹ weeks/source.  Exact int64 (distinct-minute
+    CTE + week GROUP BY + SUM oracle).
+
+    Scale shape — two bounded rounds: batches pre-reduce to distinct
+    (source, minute) cells; ONE (source, week)-hash exchange settles
+    each week's active-minute count (a week's minutes co-locate);
+    six-sum partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        minute = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 60_000_000
+        )
+        sm = code * (1 << 40) + minute
+        u = np.unique(sm)
+        week = (u & ((1 << 40) - 1)) // (1440 * 7)
+        return pa.table(
+            {
+                "sw": pa.array((u >> 40) * (1 << 40) + week),
+                "m": pa.array(u & ((1 << 40) - 1)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "nw", "sw_", "sww", "sm", "smm", "swm")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        sw = t["sw"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        # dedupe on (source-week, minute-within-week): the week index is
+        # already inside sw, so the 14-bit relative minute is collision-free
+        rel = m % (1440 * 7)
+        u = np.unique(sw * (1 << 14) + rel)
+        usw = u >> 14
+        uw, idx = np.unique(usw, return_inverse=True)
+        mcnt = np.bincount(idx).astype(np.int64)
+        s = uw >> 40
+        w = uw & ((1 << 40) - 1)
+        out = {"s": np.arange(ns, dtype=np.int64)}
+        out["nw"] = np.bincount(s, minlength=ns).astype(np.int64)
+        for name, arr in (
+            ("sw_", w),
+            ("sww", w * w),
+            ("sm", mcnt),
+            ("smm", mcnt * mcnt),
+            ("swm", w * mcnt),
+        ):
+            acc = np.zeros(ns, np.int64)
+            np.add.at(acc, s, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "sw",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_weeks",
+            "sum_w",
+            "sum_w_sq",
+            "sum_m",
+            "sum_m_sq",
+            "sum_w_m",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("nw", "sw_", "sww", "sm", "smm", "swm")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("nw", "sw_", "sww", "sm", "smm", "swm")
+            )
+        }
+        keep = cols["n_weeks"] > 0
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order][keep], pa.int64())),
+                **{
+                    c: pa.array(a[keep], pa.int64()) for c, a in cols.items()
+                },
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -14627,3 +14627,140 @@ def brand_price_positioning(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "bb", merge, k=1)
+
+
+def discount_latency(sf_dir: str) -> Dataset:
+    """R98: discount-latency board — per discount cent (0..10): lines,
+    Σdays, Σdays² with days = the line's order→ship floor-day latency
+    (R87's convention) — does discounting buy speed, or pay for
+    delay?  (R60 ladders discount by REVENUE, R87 trends latency by
+    YEAR, R23 prices forgone discounts; R98 couples the two
+    operational levers directly: per-cent mean latency divides out of
+    the sums, and a ladder where deep discounts ship slower is
+    clearance inventory, not service tiering).  Dense small output
+    (≤11 rows); exact int64 (join + floor-day + GROUP BY oracle).
+
+    Scale shape — R87's ONE orderkey-hash co-partition with the
+    discount cent riding the line cells: batches pre-reduce lines per
+    (okey, ship-day, cent); orders ride (okey, order-day); the fold
+    attaches, differences, and collapses IN PLACE to 11-cell partials;
+    the k=1 merge sums O(parts × 11) rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        cent = np.rint(
+            b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "d": pa.array(sd, pa.int64()),
+                "cent": pa.array(cent),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "is_o": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "d", "cent", "is_o"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["k", "d", "cent", "is_o", "n"])
+
+    def order_cells(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "d": pa.array(od, pa.int64()),
+                "cent": pa.array(np.zeros(b.num_rows, np.int64)),
+                "is_o": pa.array(np.ones(b.num_rows, np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("cent", "nl", "sd", "sdd")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        iso = t["is_o"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(iso == 1))
+        l = t.filter(pa.array(iso == 0))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        od = o["d"].combine_chunks().to_numpy(zero_copy_only=False)[oorder][
+            pos
+        ][hit]
+        gap = l["d"].combine_chunks().to_numpy(zero_copy_only=False)[hit] - od
+        cent = l["cent"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        n = l["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        nl = np.zeros(11, np.int64)
+        np.add.at(nl, cent, n)
+        sd = np.zeros(11, np.int64)
+        np.add.at(sd, cent, n * gap)
+        sdd = np.zeros(11, np.int64)
+        np.add.at(sdd, cent, n * gap * gap)
+        keep = np.flatnonzero(nl)
+        return pa.table(
+            {
+                "cent": pa.array(keep),
+                "nl": pa.array(nl[keep]),
+                "sd": pa.array(sd[keep]),
+                "sdd": pa.array(sdd[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("discount_cent", "n_lines", "sum_days", "sum_days_sq")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("cent", use_threads=False).aggregate(
+            [("nl", "sum"), ("sd", "sum"), ("sdd", "sum")]
+        )
+        return pa.table(
+            {
+                "discount_cent": pc.cast(g["cent"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "sum_days": pc.cast(g["sd_sum"], pa.int64()),
+                "sum_days_sq": pc.cast(g["sdd_sum"], pa.int64()),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "cent", merge, k=1)

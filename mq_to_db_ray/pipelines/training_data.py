@@ -16595,3 +16595,75 @@ def grid_population_spectrum(sf_dir: str, q_dims: int = 4) -> Dataset:
         k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def embedding_quantization_audit(sf_dir: str) -> Dataset:
+    """T171: embedding quantization audit — corpus-wide component
+    census: components, exactly-integer components (x = ⌊x⌋),
+    half-step components (2x integer but x not), and vectors whose
+    EVERY component is integer-valued — the dequantization-artifact
+    detector (T161 lints NaN/Inf/ragged payloads, T96/T170 quantize
+    deliberately; T171 asks whether the floats were ALREADY quantized
+    upstream — int8/fixed-point dequantized embeddings land exactly on
+    integer or half-step lattices, which silently caps resolution and
+    makes cosine ties exact — the provenance smell a similarity
+    pipeline should surface before tuning thresholds).  ONE dense row
+    ALWAYS.  Exact float comparisons (float32 integers are exact in
+    float64), so the board is integer-exact (list_filter + floor
+    compare oracle).
+
+    Scale shape — ZERO wide exchange: one flatten + two vectorized
+    lattice tests per batch reduce to a single counter row;
+    O(batches) partials ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ("g", "ncomp", "nint", "nhalf", "nvint", "nvec")
+        e = b["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        flat = e.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        parent = pc.list_parent_indices(e).to_numpy(zero_copy_only=False)
+        finite = np.isfinite(flat)
+        is_int = finite & (flat == np.floor(flat))
+        is_half = finite & ~is_int & (2.0 * flat == np.floor(2.0 * flat))
+        vec_all_int = np.ones(n, bool)
+        np.logical_and.at(vec_all_int, parent, is_int)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ncomp": pa.array([len(flat)], pa.int64()),
+                "nint": pa.array([int(is_int.sum())], pa.int64()),
+                "nhalf": pa.array([int(is_half.sum())], pa.int64()),
+                "nvint": pa.array([int(vec_all_int.sum())], pa.int64()),
+                "nvec": pa.array([n], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_components",
+            "n_integer",
+            "n_half_step",
+            "n_integer_vectors",
+            "n_vectors",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("ncomp", "nint", "nhalf", "nvint", "nvec")
+        return pa.table(
+            {
+                name: pa.array([int(pc.sum(t[c]).as_py())], pa.int64())
+                for name, c in zip(out, src)
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
