@@ -895,6 +895,12 @@ def _q_events_coverage_drift(sf_dir: str):
     return events_coverage_drift(sf_dir)
 
 
+def _q_events_daily_opener(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_daily_opener
+
+    return events_daily_opener(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1776,6 +1782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_coverage_drift": _q_events_coverage_drift,
         "embedding_quantization_audit": td.embedding_quantization_audit,
         "rel_discount_latency": rel.discount_latency,
+        "events_daily_opener": _q_events_daily_opener,
+        "doc_length_tails": td.length_tail_occupancy,
+        "rel_spend_persistence": rel.spend_persistence,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9128,5 +9137,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap) AS BIGINT) AS sum_days,
                    CAST(sum(gap * gap) AS BIGINT) AS sum_days_sq
             FROM j GROUP BY 1
+        """,
+        "events_daily_opener": """
+            WITH e AS (SELECT event_type AS s,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              event_id AS eid,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+                 r AS (SELECT s, day,
+                              row_number() OVER (PARTITION BY day
+                                                 ORDER BY t, eid, s) AS rn
+                       FROM e),
+                 op AS (SELECT s, CAST(count(*) AS BIGINT) AS nopen
+                        FROM r WHERE rn = 1 GROUP BY 1),
+                 act AS (SELECT s, CAST(count(DISTINCT day) AS BIGINT)
+                                AS nact
+                         FROM e GROUP BY 1)
+            SELECT act.s AS source,
+                   CAST(coalesce(op.nopen, 0) AS BIGINT) AS days_opened,
+                   act.nact AS days_active
+            FROM act LEFT JOIN op ON op.s = act.s
+        """,
+        "doc_length_tails": """
+            WITH t AS (SELECT CAST(quantile_disc(n_chars, 0.1) AS BIGINT)
+                                  AS t10,
+                              CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+                                  AS t90
+                       FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE n_chars < t.t10) AS BIGINT)
+                       AS n_below_p10,
+                   CAST(count(*) FILTER (WHERE n_chars > t.t90) AS BIGINT)
+                       AS n_above_p90
+            FROM documents, t GROUP BY 1
+        """,
+        "rel_spend_persistence": """
+            WITH w AS (SELECT o_custkey,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v,
+                              lag(CAST(floor(o_totalprice) AS BIGINT))
+                                  OVER (PARTITION BY o_custkey
+                                        ORDER BY epoch_us(o_orderdate)
+                                                 // 86400000000,
+                                                 o_orderkey) AS pv
+                       FROM orders),
+                 j AS (SELECT c.c_mktsegment AS seg, w.v, w.pv
+                       FROM w JOIN customer c ON c.c_custkey = w.o_custkey
+                       WHERE w.pv IS NOT NULL),
+                 segs AS (SELECT DISTINCT c_mktsegment AS seg
+                          FROM customer)
+            SELECT segs.seg AS c_mktsegment,
+                   CAST(count(j.v) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(j.pv), 0) AS BIGINT) AS sum_x,
+                   CAST(coalesce(sum(j.pv * j.pv), 0) AS BIGINT)
+                       AS sum_x_sq,
+                   CAST(coalesce(sum(j.v), 0) AS BIGINT) AS sum_y,
+                   CAST(coalesce(sum(j.v * j.v), 0) AS BIGINT)
+                       AS sum_y_sq,
+                   CAST(coalesce(sum(j.pv * j.v), 0) AS BIGINT) AS sum_xy
+            FROM segs LEFT JOIN j ON j.seg = segs.seg
+            GROUP BY 1
         """,
     }

@@ -565,6 +565,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_coverage_drift",
         "embedding_quantization_audit",
         "rel_discount_latency",
+        "events_daily_opener",
+        "doc_length_tails",
+        "rel_spend_persistence",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

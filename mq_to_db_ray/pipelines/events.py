@@ -15578,3 +15578,146 @@ def events_coverage_drift(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_daily_opener(sf_dir: str) -> Dataset:
+    """E165: daily-opener census — for every calendar day, find the
+    tape's FIRST event (min (ts, event_id, source) — deterministic
+    under ties) and count per source: days it opened the tape, next to
+    its active-day count — the "who wakes first" read (E73 names each
+    SESSION's entry type, E154 gives each source's own open time; E165
+    ranks the sources against each other at the day boundary: a
+    source that opens most days is the upstream scheduler's first job
+    — its failure delays everyone — and a shift in the opener mix is
+    a cron-reorder fingerprint E137 can't see).  One dense row per
+    source ALWAYS; exact int64 (row_number-per-day oracle).
+
+    Scale shape — ONE day-hash exchange over per-batch argmin cells:
+    each batch keeps one candidate (first event) per (day) AND its
+    per-source active-day marks; a day's candidates co-locate, so the
+    true opener settles locally; the k=1 merge sums O(parts ×
+    sources) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = ts // 86_400_000_000
+        # batch-local opener per day
+        order = np.lexsort((code, eid, ts, day))
+        ds_ = day[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = ds_[1:] != ds_[:-1]
+        sel = order[first]
+        # per-(source, day) active marks (distinct)
+        sd = np.unique(code * (1 << 40) + day)
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([day[sel], sd & ((1 << 40) - 1)])
+                ),
+                "s": pa.array(
+                    np.concatenate([code[sel], sd >> 40])
+                ),
+                "ts": pa.array(
+                    np.concatenate(
+                        [ts[sel], np.full(len(sd), -1, np.int64)]
+                    )
+                ),
+                "eid": pa.array(
+                    np.concatenate(
+                        [eid[sel], np.zeros(len(sd), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "nopen", "nactive")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        cand = ts >= 0
+        # settle the opener per day among candidates
+        cd, cs, ct, ce = day[cand], s[cand], ts[cand], eid[cand]
+        order = np.lexsort((cs, ce, ct, cd))
+        ds_, ss_ = cd[order], cs[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = ds_[1:] != ds_[:-1]
+        nopen = np.bincount(ss_[first], minlength=ns).astype(np.int64)
+        # active days: distinct (s, day) marks (marks are pre-distinct
+        # per batch; dedupe across batches)
+        md, ms = day[~cand], s[~cand]
+        sd = np.unique(ms * (1 << 40) + md)
+        nactive = np.bincount(sd >> 40, minlength=ns).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nopen": pa.array(nopen),
+                "nactive": pa.array(nactive),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "days_opened": pa.array([], pa.int64()),
+                    "days_active": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nopen", "sum"), ("nactive", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        no = g["nopen_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        na = g["nactive_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = na > 0
+        ss, no, na = ss[keep], no[keep], na[keep]
+        order = np.argsort(ss)
+        ss, no, na = ss[order], no[order], na[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "days_opened": pa.array(no, pa.int64()),
+                "days_active": pa.array(na, pa.int64()),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "day",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -14764,3 +14764,183 @@ def discount_latency(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "cent", merge, k=1)
+
+
+def spend_persistence(sf_dir: str) -> Dataset:
+    """R99: spend-persistence sufficient statistics — per market
+    segment, over every customer's CONSECUTIVE order pairs (ordered by
+    (floor-day, orderkey)): n, Σx, Σx², Σy, Σy², Σx·y with x = the
+    earlier order's floored value and y = the later's — the exact
+    lag-1 autocovariance of individual spend ("does last ticket
+    predict the next"), the predictability read none of the value
+    boards carry (R54 compares the FIRST order against the lifetime,
+    R88 trends the segment MEAN over time, R21 spaces the orders; R99
+    measures habit at the pair level — a high-r segment supports
+    per-customer budget forecasts, a zero-r one only cohort ones).
+    One dense row per segment ALWAYS.  Int64 bound documented: v ≤
+    ~10⁶ → Σx·y holds ~9·10⁶ pairs/segment per shard.  Exact int64
+    (lag-window + join + GROUP BY oracle).
+
+    Scale shape — ONE custkey-hash co-partition: orders ride as
+    (custkey, day, okey, v) rows, customers as (custkey → segment);
+    each partition lexsorts its complete customers once, adjacent
+    same-customer pairs form in place, attach the segment by one
+    searchsorted, and collapse to six sums per segment; the k=1 merge
+    sums O(parts × segments) rows."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nseg = len(segs)
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(od // 86_400_000_000, pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "seg": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "d": pa.array(np.zeros(n, np.int64)),
+                "ok": pa.array(np.zeros(n, np.int64)),
+                "v": pa.array(np.zeros(n, np.int64)),
+                "seg": pc.cast(
+                    pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("seg", "n", "sx", "sxx", "sy", "syy", "sxy")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        segv = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = segv >= 0
+        c = t.filter(pa.array(is_cust))
+        o = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or o.num_rows == 0:
+            return pa.table({c2: pa.array([], pa.int64()) for c2 in cols})
+        ck = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = o["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = o["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, ck))
+        cks, vs = ck[order], v[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = cks[1:] == cks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        # attach segment per pair (by the customer key)
+        dk = c["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        corder = np.argsort(dk, kind="stable")
+        dk_s = dk[corder]
+        dseg = c["seg"].combine_chunks().to_numpy(zero_copy_only=False)[
+            corder
+        ]
+        pos = np.clip(np.searchsorted(dk_s, cks), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == cks
+        pair = has_prev & hit
+        seg = dseg[pos]
+        x = np.where(pair, pv, 0)
+        y = np.where(pair, vs, 0)
+        segc = np.where(pair, seg, 0)
+        out = {"seg": np.arange(nseg, dtype=np.int64)}
+        out["n"] = np.bincount(seg[pair], minlength=nseg).astype(np.int64)
+        for name, arr in (
+            ("sx", x),
+            ("sxx", x * x),
+            ("sy", y),
+            ("syy", y * y),
+            ("sxy", x * y),
+        ):
+            acc = np.zeros(nseg, np.int64)
+            np.add.at(acc, segc, arr)
+            out[name] = acc
+        return pa.table({c2: pa.array(a) for c2, a in out.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "c_mktsegment",
+            "n_pairs",
+            "sum_x",
+            "sum_x_sq",
+            "sum_y",
+            "sum_y_sq",
+            "sum_xy",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("seg", use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sxx", "sy", "syy", "sxy")]
+        )
+        ss = g["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("n", "sx", "sxx", "sy", "syy", "sxy")
+            )
+        }
+        return pa.table(
+            {
+                "c_mktsegment": segs.take(pa.array(ss[order], pa.int64())),
+                **{c: pa.array(a, pa.int64()) for c, a in cols.items()},
+            }
+        )
+
+    tagged = ords.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        cust.map_batches(
+            cust_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "seg", merge, k=1)

@@ -16667,3 +16667,126 @@ def embedding_quantization_audit(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def length_tail_occupancy(sf_dir: str) -> Dataset:
+    """T172: length-tail occupancy board — compute the CORPUS-GLOBAL
+    discrete p10/p90 of n_chars, then per source: docs, docs strictly
+    below the global p10, and strictly above the global p90 — which
+    sources live in the corpus's own tails (T43 histograms each
+    source's lengths in isolation, T26 fences outliers per source;
+    T172 places every source against the shared distribution: a
+    source owning the low tail is fragments/titles, one owning the
+    high tail is dumps — exactly the cross-source imbalance a
+    length-stratified sampler or a global truncation threshold acts
+    on).  One dense row per source ALWAYS; exact int64 under the
+    quantile_disc rank rule (global quantile CTE + FILTER counts
+    oracle).
+
+    Scale shape — two bounded passes: pass 1 reduces batches to
+    (length, n) histogram cells — the value domain is the distinct
+    length inventory, corpus-small — and ONE k=1 merge reads both
+    thresholds off a cumsum (two scalars cross the driver); pass 2 is
+    ZERO-exchange: one compare + bincount per batch against the
+    broadcast thresholds, per-source partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        ln = (
+            pc.cast(b["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        u, cnt = np.unique(ln, return_counts=True)
+        return pa.table(
+            {"ln": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def hist_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"ln": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by("ln", use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["ln", "n"])
+
+    hist = (
+        hash_partition_merge(
+            _docs(sf_dir, ["n_chars"]).map_batches(
+                hist_partial, batch_format="pyarrow"
+            ),
+            "ln",
+            hist_fold,
+            k=_doc_k(sf_dir),
+        )
+        .to_pandas()
+        .sort_values("ln")
+    )
+    lens = hist["ln"].to_numpy()
+    cnts = hist["n"].to_numpy()
+    tot = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    t10 = int(lens[np.searchsorted(cum, (tot * 100 + 999) // 1000)])
+    t90 = int(lens[np.searchsorted(cum, (tot * 900 + 999) // 1000)])
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ln = (
+            pc.cast(b["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        nd = np.bincount(code, minlength=ns).astype(np.int64)
+        lo = np.bincount(code[ln < t10], minlength=ns).astype(np.int64)
+        hi = np.bincount(code[ln > t90], minlength=ns).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "nd": pa.array(nd),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_docs", "n_below_p10", "n_above_p90")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nd", "sum"), ("lo", "sum"), ("hi", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = g["lo_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = g["hi_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = nd > 0
+        ss, nd, lo, hi = ss[keep], nd[keep], lo[keep], hi[keep]
+        order = np.argsort(ss)
+        ss, nd, lo, hi = ss[order], nd[order], lo[order], hi[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_below_p10": pa.array(lo, pa.int64()),
+                "n_above_p90": pa.array(hi, pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
