@@ -901,6 +901,12 @@ def _q_events_daily_opener(sf_dir: str):
     return events_daily_opener(sf_dir)
 
 
+def _q_events_user_namespace(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_namespace
+
+    return events_user_namespace(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1785,6 +1791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_opener": _q_events_daily_opener,
         "doc_length_tails": td.length_tail_occupancy,
         "rel_spend_persistence": rel.spend_persistence,
+        "events_user_namespace": _q_events_user_namespace,
+        "doc_docs_to_half": td.docs_to_half,
+        "rel_supplier_coshipment": rel.supplier_coshipment,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9197,5 +9206,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(j.pv * j.v), 0) AS BIGINT) AS sum_xy
             FROM segs LEFT JOIN j ON j.seg = segs.seg
             GROUP BY 1
+        """,
+        "events_user_namespace": """
+            SELECT event_type AS source,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(min(user_id) AS BIGINT) AS min_user_id,
+                   CAST(max(user_id) AS BIGINT) AS max_user_id,
+                   CAST(1000 * count(DISTINCT user_id)
+                        // greatest(max(user_id) - min(user_id) + 1, 1)
+                        AS BIGINT) AS density_permille
+            FROM events GROUP BY 1
+        """,
+        "doc_docs_to_half": """
+            WITH r AS (SELECT source, n_chars,
+                              sum(n_chars) OVER
+                                  (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                              row_number() OVER
+                                  (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+                       FROM documents),
+                 tot AS (SELECT source,
+                                CAST(sum(n_chars) AS BIGINT) AS t,
+                                CAST(count(*) AS BIGINT) AS nd
+                         FROM documents GROUP BY 1),
+                 h AS (SELECT r.source, CAST(min(r.rn) AS BIGINT) AS dh
+                       FROM r JOIN tot ON tot.source = r.source
+                       WHERE 2 * r.cum >= tot.t
+                       GROUP BY 1)
+            SELECT tot.source,
+                   tot.nd AS n_docs,
+                   tot.t AS total_chars,
+                   CAST(coalesce(h.dh, 0) AS BIGINT) AS docs_to_half
+            FROM tot LEFT JOIN h ON h.source = tot.source
+        """,
+        "rel_supplier_coshipment": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM lineitem),
+                 p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM d a JOIN d b
+                            ON b.l_orderkey = a.l_orderkey
+                           AND b.l_suppkey > a.l_suppkey
+                       GROUP BY 1, 2)
+            SELECT CAST(length(bin(n)) AS BIGINT) AS cooccur_band,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(n) AS BIGINT) AS n_coorders
+            FROM p GROUP BY 1
         """,
     }

@@ -568,6 +568,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_daily_opener",
         "doc_length_tails",
         "rel_spend_persistence",
+        "events_user_namespace",
+        "doc_docs_to_half",
+        "rel_supplier_coshipment",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -15721,3 +15721,120 @@ def events_daily_opener(sf_dir: str) -> Dataset:
         k=_adaptive_k(sf_dir),
     )
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_user_namespace(sf_dir: str) -> Dataset:
+    """E166: user-id namespace audit — per source: distinct users, the
+    smallest and largest user id, and the id-range density permille
+    (1000·distinct/(max−min+1)) — the user-SPACE topology read (E57
+    counts SHARED users, E152 checks id assignment against arrival
+    order; E166 asks whether sources draw from one shared user pool or
+    own disjoint id segments: near-disjoint dense ranges are
+    per-source namespaces — joining "the same user" across them is a
+    bug — while interleaved sparse ranges are one global registry).
+    One dense row per source ALWAYS; exact int64 (COUNT DISTINCT +
+    MIN/MAX oracle).
+
+    Scale shape — ONE user-hash exchange over distinct (source, user)
+    cells (batches pre-reduce with one np.unique): distinct counts per
+    source sum exactly across partitions (a user's cells co-locate,
+    deduped there), min/max fold associatively; the k=1 merge sums
+    O(parts × sources) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([uid, code], axis=1)
+        u = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "u": pa.array(u[:, 0].astype(np.int64)),
+                "s": pa.array(u[:, 1].astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "nu", "mn", "mx")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.unique(uu * 64 + ss)  # ns is tiny; pack is safe
+        us, sc = key // 64, key % 64
+        nu = np.bincount(sc, minlength=ns).astype(np.int64)
+        mn = np.full(ns, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, sc, us)
+        mx = np.full(ns, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, sc, us)
+        keep = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "nu": pa.array(nu[keep]),
+                "mn": pa.array(mn[keep]),
+                "mx": pa.array(mx[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_users",
+            "min_user_id",
+            "max_user_id",
+            "density_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nu", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nu = g["nu_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["mn_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        ss, nu, mn, mx = ss[order], nu[order], mn[order], mx[order]
+        span = mx - mn + 1
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_users": pa.array(nu, pa.int64()),
+                "min_user_id": pa.array(mn, pa.int64()),
+                "max_user_id": pa.array(mx, pa.int64()),
+                "density_permille": pa.array(
+                    1000 * nu // np.maximum(span, 1), pa.int64()
+                ),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "u",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+    return hash_partition_merge(cells, "s", merge, k=1)

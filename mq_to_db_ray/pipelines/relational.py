@@ -14944,3 +14944,116 @@ def spend_persistence(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "seg", merge, k=1)
+
+
+def supplier_coshipment(sf_dir: str) -> Dataset:
+    """R100: supplier co-shipment spectrum — form every unordered
+    supplier PAIR that ships inside the same order, count each pair's
+    co-orders across the corpus, and histogram the pairs by the bit
+    length of that count — the supply-network EDGE-weight spectrum
+    (R69 counts how many suppliers an order touches, R52 how many
+    compete per part, R32 concentrates volume per nation; R100 reads
+    the co-fulfillment graph itself: a fat high band means recurring
+    supplier consortia — routing/consolidation opportunities — while
+    an all-band-1 spectrum means pairings are incidental).  Dense
+    small output (≤~20 bands); exact int64 (per-order DISTINCT pair
+    self-join + two-level GROUP BY oracle).
+
+    Scale shape — per-order pair fan-out is bounded by R69's
+    fragmentation (suppliers/order ≤ lines/order, single digits):
+    the okey-hash exchange settles each order's distinct supplier set
+    and emits its pairs; ONE pair-hash exchange settles each pair's
+    co-order count and bincounts IN PLACE to band partials; the k=1
+    merge sums O(parts × bands) rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.stack([ok, sk], axis=1)
+        u = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "okey": pa.array(u[:, 0].astype(np.int64)),
+                "sk": pa.array(u[:, 1].astype(np.int64)),
+            }
+        )
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        cols = ("pair", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ok = t["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        sk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.unique(ok * (1 << 24) + sk)  # suppkey < 2^24 by schema
+        oks, sks = key >> 24, key & ((1 << 24) - 1)
+        brk = np.empty(len(oks), dtype=bool)
+        if len(oks):
+            brk[0] = True
+            brk[1:] = oks[1:] != oks[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(oks))
+        pairs = []
+        for a, b_ in zip(starts, ends):
+            s = sks[a:b_]
+            if len(s) > 1:
+                ii, jj = np.meshgrid(s, s, indexing="ij")
+                sel = ii < jj
+                pairs.append(ii[sel] * (1 << 24) + jj[sel])
+        if not pairs:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        pk = np.concatenate(pairs)
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def band_fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "np_", "nco")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("pair", use_threads=False).aggregate([("n", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, n, side="right") + 1
+        u, idx = np.unique(band, return_inverse=True)
+        np_ = np.bincount(idx).astype(np.int64)
+        nco = np.zeros(len(u), np.int64)
+        np.add.at(nco, idx, n)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "np_": pa.array(np_),
+                "nco": pa.array(nco),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("cooccur_band", "n_pairs", "n_coorders")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("np_", "sum"), ("nco", "sum")]
+        )
+        return pa.table(
+            {
+                "cooccur_band": pc.cast(g["band"], pa.int64()),
+                "n_pairs": pc.cast(g["np__sum"], pa.int64()),
+                "n_coorders": pc.cast(g["nco_sum"], pa.int64()),
+            }
+        )
+
+    cells = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    order_pairs = hash_partition_merge(
+        cells, "okey", pair_fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    pair_counts = hash_partition_merge(
+        order_pairs, "pair", band_fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(pair_counts, "band", merge, k=1)

@@ -16790,3 +16790,107 @@ def length_tail_occupancy(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def docs_to_half(sf_dir: str) -> Dataset:
+    """T173: docs-to-half concentration board — per source: docs,
+    total chars, and the MINIMAL number of documents (taken longest
+    first) whose combined length covers at least half the source's
+    character mass — the few-giants read (T43 histograms the lengths,
+    T63 names the top-k longest, T53 runs the Pareto on token
+    FREQUENCY; T173 collapses each source's mass concentration into
+    one number: docs_to_half ≈ n_docs/2 is a uniform source,
+    docs_to_half = 3 is a source whose character budget is three dumps
+    plus noise — the number a per-source token-budget planner or a
+    truncation policy keys on).  One dense row per source ALWAYS;
+    exact int64 (window running-sum oracle — tie order cannot change
+    the count because tied docs add equal increments).
+
+    Scale shape — the value domain IS the distinct length inventory:
+    batches reduce to (source, length, n) histogram cells; ONE k=1
+    merge sorts each source's bins descending once and finds the
+    half-mass crossing with a cumsum plus one integer division for
+    the partial bin; nothing row-proportional crosses the driver."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ln = (
+            pc.cast(b["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([code, ln], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array(u[:, 0].astype(np.int64)),
+                "ln": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_docs", "total_chars", "docs_to_half")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "ln"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = g["ln"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = {"source": [], "n_docs": [], "total_chars": [],
+                "docs_to_half": []}
+        for si in np.unique(ss):
+            sel = ss == si
+            l, c = ln[sel], nn[sel]
+            order = np.argsort(-l)
+            l, c = l[order], c[order]
+            tot = int((l * c).sum())
+            nd = int(c.sum())
+            half_needed = 0
+            cum = 0
+            for li, ci in zip(l, c):
+                li, ci = int(li), int(ci)
+                if 2 * (cum + li * ci) >= tot:
+                    if li > 0:
+                        m = (tot - 2 * cum + 2 * li - 1) // (2 * li)
+                        m = max(min(m, ci), 1)
+                    else:
+                        m = 1  # zero-mass: the first doc already covers
+                    half_needed += m
+                    break
+                cum += li * ci
+                half_needed += ci
+            rows["source"].append(si)
+            rows["n_docs"].append(nd)
+            rows["total_chars"].append(tot)
+            rows["docs_to_half"].append(half_needed)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(rows["source"], pa.int64())),
+                "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                "total_chars": pa.array(rows["total_chars"], pa.int64()),
+                "docs_to_half": pa.array(rows["docs_to_half"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
