@@ -907,6 +907,12 @@ def _q_events_user_namespace(sf_dir: str):
     return events_user_namespace(sf_dir)
 
 
+def _q_events_id_collision(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_id_collision
+
+    return events_id_collision(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1794,6 +1800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_namespace": _q_events_user_namespace,
         "doc_docs_to_half": td.docs_to_half,
         "rel_supplier_coshipment": rel.supplier_coshipment,
+        "events_id_collision": _q_events_id_collision,
+        "doc_word_burstiness": td.word_burstiness_matrix,
+        "rel_gap_spend_coupling": rel.gap_spend_coupling,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9253,6 +9262,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(length(bin(n)) AS BIGINT) AS cooccur_band,
                    CAST(count(*) AS BIGINT) AS n_pairs,
                    CAST(sum(n) AS BIGINT) AS n_coorders
+            FROM p GROUP BY 1
+        """,
+        "events_id_collision": """
+            WITH g AS (SELECT event_id,
+                              CAST(count(*) AS BIGINT) AS mult,
+                              CAST(count(DISTINCT event_type) AS BIGINT)
+                                  AS nsrc
+                       FROM events GROUP BY 1)
+            SELECT CAST(sum(mult) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_distinct_ids,
+                   CAST(count(*) FILTER (WHERE nsrc > 1) AS BIGINT)
+                       AS n_cross_source_ids,
+                   CAST(max(nsrc) AS BIGINT) AS max_source_fanout,
+                   CAST(count(*) FILTER (WHERE mult > 1) AS BIGINT)
+                       AS n_dup_ids
+            FROM g
+        """,
+        "doc_word_burstiness": """
+            WITH w AS (SELECT doc_id,
+                              unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 f AS (SELECT word,
+                              CAST(count(*) AS BIGINT) AS tf,
+                              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                       FROM w GROUP BY 1)
+            SELECT CAST(length(bin(df)) AS BIGINT) AS df_band,
+                   CAST(length(bin(tf)) AS BIGINT) AS tf_band,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(tf) AS BIGINT) AS n_occurrences
+            FROM f GROUP BY 1, 2
+        """,
+        "rel_gap_spend_coupling": """
+            WITH w AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000 AS d,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v,
+                              lag(epoch_us(o_orderdate) // 86400000000)
+                                  OVER (PARTITION BY o_custkey
+                                        ORDER BY epoch_us(o_orderdate)
+                                                 // 86400000000,
+                                                 o_orderkey) AS pd
+                       FROM orders),
+                 p AS (SELECT CASE WHEN d - pd <= 0 THEN 0
+                                   ELSE length(bin(d - pd)) END AS band,
+                              v
+                       FROM w WHERE pd IS NOT NULL)
+            SELECT CAST(band AS BIGINT) AS gap_band,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v_sq
             FROM p GROUP BY 1
         """,
     }

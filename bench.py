@@ -571,6 +571,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_user_namespace",
         "doc_docs_to_half",
         "rel_supplier_coshipment",
+        "events_id_collision",
+        "doc_word_burstiness",
+        "rel_gap_spend_coupling",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

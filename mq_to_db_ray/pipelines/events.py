@@ -15838,3 +15838,110 @@ def events_user_namespace(sf_dir: str) -> Dataset:
         k=_adaptive_k(sf_dir),
     )
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_id_collision(sf_dir: str) -> Dataset:
+    """E167: event-id cross-source collision audit — corpus-wide:
+    events, distinct event ids, ids used by MORE THAN ONE source, the
+    worst source fan-out, and ids used more than once ANYWHERE — the
+    global uniqueness contract check (E114 audits each source's id
+    sequence in isolation, E150 how sources share the id SPACE, T159
+    the documents table's ids; E167 asks whether event_id is actually
+    a global key: a cross-source collision breaks every id-keyed
+    dedup, ack and idempotency path the reference's consumer relies
+    on).  ONE dense row ALWAYS, zero-defect on honest assignment.
+    Exact int64 (GROUP BY id + COUNT DISTINCT oracle).
+
+    Scale shape — ONE id-hash exchange over pre-reduced (id, source,
+    n) cells: an id's cells co-locate, so multiplicity and fan-out
+    settle locally and collapse to one counter row per partition; the
+    k=1 merge sums O(parts) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([eid, code], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "id": pa.array(u[:, 0].astype(np.int64)),
+                "src": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "ne", "nid", "nxs", "mf", "ndup")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["id", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(ids, return_inverse=True)
+        mult = np.zeros(len(u), np.int64)
+        np.add.at(mult, idx, n)
+        nsrc = np.bincount(idx).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ne": pa.array([int(n.sum())], pa.int64()),
+                "nid": pa.array([len(u)], pa.int64()),
+                "nxs": pa.array([int((nsrc > 1).sum())], pa.int64()),
+                "mf": pa.array(
+                    [int(nsrc.max()) if len(nsrc) else 0], pa.int64()
+                ),
+                "ndup": pa.array([int((mult > 1).sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_events",
+            "n_distinct_ids",
+            "n_cross_source_ids",
+            "max_source_fanout",
+            "n_dup_ids",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        vals = {
+            "n_events": pa.array([int(pc.sum(t["ne"]).as_py())], pa.int64()),
+            "n_distinct_ids": pa.array(
+                [int(pc.sum(t["nid"]).as_py())], pa.int64()
+            ),
+            "n_cross_source_ids": pa.array(
+                [int(pc.sum(t["nxs"]).as_py())], pa.int64()
+            ),
+            "max_source_fanout": pa.array(
+                [int(pc.max(t["mf"]).as_py())], pa.int64()
+            ),
+            "n_dup_ids": pa.array(
+                [int(pc.sum(t["ndup"]).as_py())], pa.int64()
+            ),
+        }
+        return pa.table(vals)
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "id", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(folded, "g", merge, k=1)

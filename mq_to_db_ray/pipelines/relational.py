@@ -15057,3 +15057,112 @@ def supplier_coshipment(sf_dir: str) -> Dataset:
         order_pairs, "pair", band_fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(pair_counts, "band", merge, k=1)
+
+
+def gap_spend_coupling(sf_dir: str) -> Dataset:
+    """R101: gap-spend coupling board — over every customer's
+    consecutive order pairs, band the gap (bit length of the floor-day
+    interval; band 0 = same-day) and report per band: pairs, the
+    RETURN order's Σvalue and Σvalue² — does absence make baskets
+    bigger?  (R21 distributes the gaps, R99 couples consecutive
+    VALUES, R95 counts long-gap returns by year; R101 crosses the gap
+    with the spend it preceded: pent-up-demand businesses show value
+    rising with the band, subscription-like flows stay flat — the
+    elasticity a win-back discount budget is sized against.)  Dense
+    small output (≤~15 bands); exact int64 (lag-window + bin-length
+    band + GROUP BY oracle; ties break by orderkey).
+
+    Scale shape — R95's ONE custkey-hash exchange verbatim: each
+    partition lexsorts its complete customers once, adjacent pairs
+    band in place, and (band, n, Σv, Σv²) partials fold k=1."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(od // 86_400_000_000, pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "n", "sv", "svv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, ck))
+        cks, ds_, vs = ck[order], d[order], v[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = cks[1:] == cks[:-1]
+        pd_ = np.empty(n, dtype=np.int64)
+        pd_[0] = 0
+        pd_[1:] = ds_[:-1]
+        gap = np.where(has_prev, ds_ - pd_, 0)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.where(
+            gap <= 0, 0, np.searchsorted(powers2, gap, side="right") + 1
+        )
+        sel = has_prev
+        bb = band[sel]
+        vv = vs[sel]
+        u, idx = np.unique(bb, return_inverse=True)
+        cnt = np.bincount(idx).astype(np.int64)
+        sv = np.zeros(len(u), np.int64)
+        np.add.at(sv, idx, vv)
+        svv = np.zeros(len(u), np.int64)
+        np.add.at(svv, idx, vv * vv)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "n": pa.array(cnt),
+                "sv": pa.array(sv),
+                "svv": pa.array(svv),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("gap_band", "n_pairs", "sum_v", "sum_v_sq")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("n", "sum"), ("sv", "sum"), ("svv", "sum")]
+        )
+        return pa.table(
+            {
+                "gap_band": pc.cast(g["band"], pa.int64()),
+                "n_pairs": pc.cast(g["n_sum"], pa.int64()),
+                "sum_v": pc.cast(g["sv_sum"], pa.int64()),
+                "sum_v_sq": pc.cast(g["svv_sum"], pa.int64()),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ords.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "ck",
+        fold,
+        k=_rel_k(sf_dir, "orders"),
+    )
+    return hash_partition_merge(cells, "band", merge, k=1)

@@ -16894,3 +16894,125 @@ def docs_to_half(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def word_burstiness_matrix(sf_dir: str) -> Dataset:
+    """T174: word burstiness matrix — for every distinct word, cross
+    the bit length of its DOCUMENT frequency (how many docs carry it)
+    with the bit length of its TOTAL frequency, and count words and
+    occurrence mass per cell — the Church-Gale burstiness table (T41
+    spectra total frequency alone, T95 document frequency of shingles,
+    T167 couples frequency with LENGTH; the tf×df JOINT separates
+    function words — high df, tf ≈ df — from bursty content terms
+    that pile into few documents (tf ≫ df), the distinction an
+    idf-weighted dedup, a keyword extractor, or a stopword list is
+    actually built on).  Cells above the diagonal are impossible
+    (tf ≥ df), so the matrix is triangular by construction.  Dense
+    small output; exact int64 (per-word tf/df CTE + bin-length GROUP
+    BY oracle).
+
+    Scale shape — T118's ONE word-hash exchange: batches pre-reduce
+    (word, doc) pairs to per-doc counts; a word's cells co-locate, so
+    its exact tf and df settle locally and bincount IN PLACE to
+    (df-band, tf-band) partials; the k=1 merge sums O(parts × cells)
+    rows; the vocabulary never lands anywhere whole."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        did = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "w": flat,
+                "doc": pa.array(did[parent], pa.int64()),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "doc"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "doc", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=48)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "doc": g["doc"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("dfb", "tfb", "nw", "occ")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["w", "doc"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "doc", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = (
+            wcol.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        tf = np.zeros(nw, np.int64)
+        np.add.at(tf, wid, n)
+        df = np.bincount(wid, minlength=nw).astype(np.int64)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        dfb = np.searchsorted(powers2, df, side="right") + 1
+        tfb = np.searchsorted(powers2, tf, side="right") + 1
+        key = dfb * 64 + tfb
+        u, idx = np.unique(key, return_inverse=True)
+        nwc = np.bincount(idx).astype(np.int64)
+        occ = np.zeros(len(u), np.int64)
+        np.add.at(occ, idx, tf)
+        return pa.table(
+            {
+                "dfb": pa.array(u // 64),
+                "tfb": pa.array(u % 64),
+                "nw": pa.array(nwc),
+                "occ": pa.array(occ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("df_band", "tf_band", "n_words", "n_occurrences")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by(["dfb", "tfb"], use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
+        )
+        return pa.table(
+            {
+                "df_band": pc.cast(g["dfb"], pa.int64()),
+                "tf_band": pc.cast(g["tfb"], pa.int64()),
+                "n_words": pc.cast(g["nw_sum"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "dfb", merge, k=1)
