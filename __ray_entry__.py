@@ -913,6 +913,12 @@ def _q_events_id_collision(sf_dir: str):
     return events_id_collision(sf_dir)
 
 
+def _q_events_user_clock_coherence(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_clock_coherence
+
+    return events_user_clock_coherence(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1803,6 +1809,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_id_collision": _q_events_id_collision,
         "doc_word_burstiness": td.word_burstiness_matrix,
         "rel_gap_spend_coupling": rel.gap_spend_coupling,
+        "events_user_clock_coherence": _q_events_user_clock_coherence,
+        "doc_threshold_sensitivity": td.threshold_sensitivity,
+        "rel_discount_return": rel.discount_return,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9312,5 +9321,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS sum_v,
                    CAST(sum(v * v) AS BIGINT) AS sum_v_sq
             FROM p GROUP BY 1
+        """,
+        "events_user_clock_coherence": """
+            WITH w AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY user_id
+                                   ORDER BY event_id, epoch_us(ts)) AS pt
+                       FROM events),
+                 u AS (SELECT user_id,
+                              CAST(count(pt) AS BIGINT) AS npr,
+                              CAST(count(*) FILTER (WHERE t < pt)
+                                   AS BIGINT) AS ninv
+                       FROM w GROUP BY 1
+                       HAVING count(pt) > 0)
+            SELECT CAST(1000 * ninv // npr // 100 AS BIGINT)
+                       AS inversion_band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(npr) AS BIGINT) AS n_pairs
+            FROM u GROUP BY 1
+        """,
+        "doc_threshold_sensitivity": """
+            WITH t AS (SELECT doc_id, text, str_split(text,' ') w
+                       FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            f AS (SELECT rep.n AS nw,
+                         floor(1000.0*(rep.n - rep.d)/rep.n) AS dup,
+                         floor(1000.0*rep.m/rep.n) AS topf,
+                         floor(1000.0*st.s/rep.n) AS stopf
+                  FROM rep JOIN st USING (doc_id)),
+            m AS (SELECT 'band' AS filter,
+                         CAST(count(*) FILTER (WHERE nw BETWEEN 20 AND 90)
+                              AS BIGINT) AS n_pass,
+                         CAST(count(*) FILTER (WHERE nw BETWEEN 20 AND 90
+                               AND NOT (nw BETWEEN 22 AND 81)) AS BIGINT)
+                             AS n_at_risk
+                  FROM f
+                  UNION ALL
+                  SELECT 'rep',
+                         CAST(count(*) FILTER (WHERE dup <= 600
+                               AND topf <= 130) AS BIGINT),
+                         CAST(count(*) FILTER (WHERE dup <= 600
+                               AND topf <= 130
+                               AND NOT (dup <= 540 AND topf <= 117))
+                              AS BIGINT)
+                  FROM f
+                  UNION ALL
+                  SELECT 'stop',
+                         CAST(count(*) FILTER (WHERE stopf >= 20)
+                              AS BIGINT),
+                         CAST(count(*) FILTER (WHERE stopf >= 20
+                               AND NOT (stopf >= 22)) AS BIGINT)
+                  FROM f)
+            SELECT filter, n_pass, n_at_risk,
+                   CAST(1000 * n_at_risk // greatest(n_pass, 1) AS BIGINT)
+                       AS at_risk_permille
+            FROM m
+        """,
+        "rel_discount_return": """
+            SELECT CAST(round(l_discount * 100) AS BIGINT)
+                       AS discount_cent,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_returned,
+                   CAST(1000 * count(*) FILTER (WHERE l_returnflag = 'R')
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS return_permille,
+                   CAST(coalesce(sum(CAST(floor(l_extendedprice
+                                                * (1 - l_discount))
+                                          AS BIGINT))
+                                 FILTER (WHERE l_returnflag = 'R'), 0)
+                        AS BIGINT) AS returned_rev_floor
+            FROM lineitem GROUP BY 1
         """,
     }

@@ -574,6 +574,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_id_collision",
         "doc_word_burstiness",
         "rel_gap_spend_coupling",
+        "events_user_clock_coherence",
+        "doc_threshold_sensitivity",
+        "rel_discount_return",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

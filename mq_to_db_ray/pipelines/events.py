@@ -15945,3 +15945,99 @@ def events_id_collision(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "id", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def events_user_clock_coherence(sf_dir: str) -> Dataset:
+    """E168: user clock-coherence histogram — per user, walk their own
+    event stream in EVENT-ID order and compute the inversion permille
+    (pairs whose timestamp retreats, E147's read at user grain), then
+    histogram the user POPULATION by permille decile (band =
+    permille // 100; users with <2 events are excluded) — which slice
+    of the audience has a broken clock (E147 blames the SOURCE
+    pipeline; E168 separates a few bad devices — a small fat-band
+    population — from systemic skew smeared across everyone, which is
+    the triage fork between "recall the firmware" and "fix the
+    ingestion").  Dense small output (≤11 bands); exact int64
+    (per-user lag + permille + GROUP BY oracle).
+
+    Scale shape — ONE user-hash exchange of narrow (user, id, ts)
+    rows: each partition lexsorts its complete users once, adjacent
+    same-user inversions count in place, per-user permilles bincount
+    IN PLACE to band partials; the k=1 merge sums O(parts × 11)
+    rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "t": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"].cast(pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nu", "np_")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, eid, u))
+        us, tss = u[order], ts[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = us[1:] == us[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = tss[:-1]
+        inv = has_prev & (tss < pt)
+        uu, idx = np.unique(us, return_inverse=True)
+        npr = np.zeros(len(uu), np.int64)
+        np.add.at(npr, idx, has_prev.astype(np.int64))
+        ninv = np.zeros(len(uu), np.int64)
+        np.add.at(ninv, idx, inv.astype(np.int64))
+        keep = npr > 0
+        npr, ninv = npr[keep], ninv[keep]
+        band = 1000 * ninv // npr // 100
+        ub, bidx = np.unique(band, return_inverse=True)
+        nu = np.bincount(bidx).astype(np.int64)
+        np_ = np.zeros(len(ub), np.int64)
+        np.add.at(np_, bidx, npr)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "nu": pa.array(nu),
+                "np_": pa.array(np_),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("inversion_band", "n_users", "n_pairs")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nu", "sum"), ("np_", "sum")]
+        )
+        return pa.table(
+            {
+                "inversion_band": pc.cast(g["band"], pa.int64()),
+                "n_users": pc.cast(g["nu_sum"], pa.int64()),
+                "n_pairs": pc.cast(g["np__sum"], pa.int64()),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "u",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+    return hash_partition_merge(cells, "band", merge, k=1)

@@ -15166,3 +15166,89 @@ def gap_spend_coupling(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "orders"),
     )
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def discount_return(sf_dir: str) -> Dataset:
+    """R102: discount-return board — per discount cent (0..10): lines,
+    RETURNED lines (l_returnflag = 'R'), the return permille, and the
+    returned revenue floor — are discounted goods returned more?
+    (R66 blames the BRAND, R46 trends returns over TIME, R98 couples
+    discount with shipping SPEED; R102 couples it with the return
+    outcome — a ladder where return rates climb with the discount is
+    clearance offloading defects, flat is genuine price promotion; the
+    margin model needs to know which.)  Dense small output (≤11
+    rows); exact int64 (FILTER-count + GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: the discount-cent axis is
+    bounded; each batch reduces with one compare + three bincounts to
+    11-cell partials; O(batches × 11) rows ride the k=1 merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_discount",
+            "l_returnflag",
+            "l_extendedprice",
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cent = np.rint(
+            b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        ret = pc.equal(b["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False
+        )
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        nl = np.bincount(cent, minlength=11).astype(np.int64)
+        nr = np.bincount(cent[ret], minlength=11).astype(np.int64)
+        rrev = np.zeros(11, np.int64)
+        np.add.at(rrev, cent[ret], rev[ret])
+        keep = np.flatnonzero(nl)
+        return pa.table(
+            {
+                "cent": pa.array(keep),
+                "nl": pa.array(nl[keep]),
+                "nr": pa.array(nr[keep]),
+                "rrev": pa.array(rrev[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "discount_cent",
+            "n_lines",
+            "n_returned",
+            "return_permille",
+            "returned_rev_floor",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("cent", use_threads=False).aggregate(
+            [("nl", "sum"), ("nr", "sum"), ("rrev", "sum")]
+        )
+        cent = g["cent"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = g["rrev_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "discount_cent": pa.array(cent, pa.int64()),
+                "n_lines": pa.array(nl, pa.int64()),
+                "n_returned": pa.array(nr, pa.int64()),
+                "return_permille": pa.array(
+                    1000 * nr // np.maximum(nl, 1), pa.int64()
+                ),
+                "returned_rev_floor": pa.array(rr, pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "cent", merge, k=1)

@@ -17016,3 +17016,108 @@ def word_burstiness_matrix(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "dfb", merge, k=1)
+
+
+def threshold_sensitivity(
+    sf_dir: str,
+    *,
+    eval_max_doc_id: int = 10,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_dup_permille: int = 600,
+    max_top_permille: int = 130,
+    min_stop_permille: int = 20,
+) -> Dataset:
+    """T175: quality-threshold sensitivity board — for each of the
+    three threshold-parametrized T29 filters (word band, repetition,
+    stopword floor): docs passing at the CURRENT threshold, and of
+    those, docs that would be LOST under a 10%-tightened one (band
+    [20,90] → [22,81]; dup ≤600 → ≤540 and top ≤130 → ≤117;
+    stop ≥20 → ≥22) — the brittleness read T149/T160 stop short of
+    (T149 prices each filter's marginal docs, T160 their overlap; T175
+    asks how much of today's pass set sits ON the line: a filter whose
+    at-risk mass is large makes the whole corpus composition hostage
+    to a threshold nobody remembers choosing).  Dense 3-row output;
+    exact int64 (the T149 predicate CTEs evaluated at both thresholds,
+    FILTER-count oracle; same `_quality_features` kernel, so the
+    boards reconcile by construction).
+
+    Scale shape — T149's ZERO-wide-exchange profile: one streaming
+    text pass, six boolean compares per batch, one 3-row partial;
+    O(batches) rows ride the k=1 merge."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+    t_min_w = min_words + (min_words + 9) // 10       # 22
+    t_max_w = max_words - (max_words + 9) // 10       # 81
+    t_dup = max_dup_permille - max_dup_permille // 10  # 540
+    t_top = max_top_permille - max_top_permille // 10  # 117
+    t_stop = min_stop_permille + (min_stop_permille + 9) // 10  # 22
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = ("f", "np_", "nr")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        p_band = (n_words >= min_words) & (n_words <= max_words)
+        r_band = p_band & ~(
+            (n_words >= t_min_w) & (n_words <= t_max_w)
+        )
+        p_rep = (dup <= max_dup_permille) & (topf <= max_top_permille)
+        r_rep = p_rep & ~((dup <= t_dup) & (topf <= t_top))
+        p_stop = stopf >= min_stop_permille
+        r_stop = p_stop & ~(stopf >= t_stop)
+        return pa.table(
+            {
+                "f": pa.array([0, 1, 2], pa.int64()),
+                "np_": pa.array(
+                    [int(p_band.sum()), int(p_rep.sum()),
+                     int(p_stop.sum())],
+                    pa.int64(),
+                ),
+                "nr": pa.array(
+                    [int(r_band.sum()), int(r_rep.sum()),
+                     int(r_stop.sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    names = pa.array(["band", "rep", "stop"], pa.string())
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("filter", "n_pass", "n_at_risk", "at_risk_permille")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "filter": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("f", use_threads=False).aggregate(
+            [("np_", "sum"), ("nr", "sum")]
+        )
+        ff = g["f"].combine_chunks().to_numpy(zero_copy_only=False)
+        np_ = g["np__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ff)
+        ff, np_, nr = ff[order], np_[order], nr[order]
+        return pa.table(
+            {
+                "filter": names.take(pa.array(ff, pa.int64())),
+                "n_pass": pa.array(np_, pa.int64()),
+                "n_at_risk": pa.array(nr, pa.int64()),
+                "at_risk_permille": pa.array(
+                    1000 * nr // np.maximum(np_, 1), pa.int64()
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "f", merge, k=1)
