@@ -919,6 +919,12 @@ def _q_events_user_clock_coherence(sf_dir: str):
     return events_user_clock_coherence(sf_dir)
 
 
+def _q_events_value_comovement(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_comovement
+
+    return events_value_comovement(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1812,6 +1818,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_clock_coherence": _q_events_user_clock_coherence,
         "doc_threshold_sensitivity": td.threshold_sensitivity,
         "rel_discount_return": rel.discount_return,
+        "events_value_comovement": _q_events_value_comovement,
+        "doc_id_gaps": td.doc_id_gap_spectrum,
+        "rel_value_priority": rel.value_priority_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9403,5 +9412,54 @@ def oracle_sql() -> dict[str, str]:
                                  FILTER (WHERE l_returnflag = 'R'), 0)
                         AS BIGINT) AS returned_rev_floor
             FROM lineitem GROUP BY 1
+        """,
+        "events_value_comovement": """
+            WITH d AS (SELECT event_type AS s,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CAST(sum(CAST(floor(value) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM events GROUP BY 1, 2),
+                 srcs AS (SELECT DISTINCT s FROM d),
+                 prs AS (SELECT a.s AS si, b.s AS sj
+                         FROM srcs a, srcs b WHERE b.s > a.s),
+                 days AS (SELECT prs.si, prs.sj, d.day,
+                                 CAST(coalesce(max(CASE WHEN d.s = prs.si
+                                          THEN d.v END), 0) AS BIGINT)
+                                     AS x,
+                                 CAST(coalesce(max(CASE WHEN d.s = prs.sj
+                                          THEN d.v END), 0) AS BIGINT)
+                                     AS y
+                          FROM prs JOIN d
+                               ON d.s = prs.si OR d.s = prs.sj
+                          GROUP BY 1, 2, 3)
+            SELECT si AS source_i, sj AS source_j,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * x) AS BIGINT) AS sum_x_sq,
+                   CAST(sum(y * y) AS BIGINT) AS sum_y_sq,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM days GROUP BY 1, 2
+        """,
+        "doc_id_gaps": """
+            WITH d AS (SELECT DISTINCT doc_id FROM documents),
+                 w AS (SELECT doc_id,
+                              lag(doc_id) OVER (ORDER BY doc_id) AS pid
+                       FROM d),
+                 p AS (SELECT doc_id - pid AS gap
+                       FROM w WHERE pid IS NOT NULL)
+            SELECT CAST(length(bin(gap)) AS BIGINT) AS gap_band,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap - 1) AS BIGINT) AS missing_ids
+            FROM p GROUP BY 1
+        """,
+        "rel_value_priority": """
+            SELECT CAST(CASE WHEN floor(o_totalprice) <= 0 THEN 0
+                             ELSE length(bin(CAST(floor(o_totalprice)
+                                                  AS BIGINT)))
+                        END AS BIGINT) AS value_band,
+                   o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
         """,
     }

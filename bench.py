@@ -577,6 +577,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_user_clock_coherence",
         "doc_threshold_sensitivity",
         "rel_discount_return",
+        "events_value_comovement",
+        "doc_id_gaps",
+        "rel_value_priority",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -16041,3 +16041,134 @@ def events_user_clock_coherence(sf_dir: str) -> Dataset:
         k=_adaptive_k(sf_dir),
     )
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def events_value_comovement(sf_dir: str) -> Dataset:
+    """E169: value co-movement matrix — for every source pair (i < j),
+    over calendar days where EITHER is active (absent side counts 0):
+    n_days, Σx, Σy, Σx², Σy², Σx·y with x/y = each side's daily
+    floored value mass — the exact-int64 portfolio-correlation inputs
+    of the revenue streams (E45 cross-correlates minute COUNTS at lag
+    1, E156 overlaps active CALENDARS; E169 asks whether the money
+    moves together day to day — co-moving sources share a demand
+    driver and hedge nothing, anti-moving ones smooth the total).
+    Dense small output (pairs); exact int64 (daily-mass CTE + FULL
+    pair join oracle).
+
+    Scale shape — ONE day-hash exchange over settled (source, day,
+    value) cells: a day's cells co-locate, so all pair products for
+    that day compute locally (sources² per day, tiny) and fold IN
+    PLACE to per-pair sums; per-side marginals ride the same exchange;
+    the k=1 merge sums O(parts × pairs) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        sd = code * (1 << 40) + day
+        u, idx = np.unique(sd, return_inverse=True)
+        sv = np.zeros(len(u), np.int64)
+        np.add.at(sv, idx, v)
+        return pa.table(
+            {
+                "day": pa.array(u & ((1 << 40) - 1)),
+                "s": pa.array(u >> 40),
+                "v": pa.array(sv),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("i", "j", "nd", "sx", "sy", "sxx", "syy", "sxy")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["day", "s"], use_threads=False).aggregate(
+            [("v", "sum")]
+        )
+        day = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        ud, didx = np.unique(day, return_inverse=True)
+        mat = np.zeros((len(ud), ns), np.int64)
+        mat[didx, s] = v
+        active = np.zeros((len(ud), ns), bool)
+        active[didx, s] = True
+        iu, ju = np.triu_indices(ns, k=1)
+        rows = {c: [] for c in cols}
+        for x, y in zip(iu, ju):
+            either = active[:, x] | active[:, y]
+            vx = mat[either, x]
+            vy = mat[either, y]
+            rows["i"].append(int(x))
+            rows["j"].append(int(y))
+            rows["nd"].append(int(either.sum()))
+            rows["sx"].append(int(vx.sum()))
+            rows["sy"].append(int(vy.sum()))
+            rows["sxx"].append(int((vx * vx).sum()))
+            rows["syy"].append(int((vy * vy).sum()))
+            rows["sxy"].append(int((vx * vy).sum()))
+        return pa.table({c: pa.array(a, pa.int64()) for c, a in rows.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source_i",
+            "source_j",
+            "n_days",
+            "sum_x",
+            "sum_y",
+            "sum_x_sq",
+            "sum_y_sq",
+            "sum_xy",
+        )
+        iu, ju = np.triu_indices(ns, k=1)
+        acc = {c: np.zeros(len(iu), np.int64) for c in out[2:]}
+        if t.num_rows:
+            g = t.group_by(["i", "j"], use_threads=False).aggregate(
+                [(c, "sum") for c in ("nd", "sx", "sy", "sxx", "syy", "sxy")]
+            )
+            gi = g["i"].combine_chunks().to_numpy(zero_copy_only=False)
+            gj = g["j"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(iu * ns + ju, gi * ns + gj)
+            for name, src in zip(
+                out[2:], ("nd", "sx", "sy", "sxx", "syy", "sxy")
+            ):
+                acc[name][pos] = (
+                    g[f"{src}_sum"]
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                )
+        return pa.table(
+            {
+                "source_i": srcs.take(pa.array(iu, pa.int64())),
+                "source_j": srcs.take(pa.array(ju, pa.int64())),
+                **{c: pa.array(a, pa.int64()) for c, a in acc.items()},
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "day",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+    return hash_partition_merge(cells, "i", merge, k=1)

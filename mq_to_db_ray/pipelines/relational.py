@@ -15252,3 +15252,80 @@ def discount_return(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "cent", merge, k=1)
+
+
+def value_priority_matrix(sf_dir: str) -> Dataset:
+    """R103: value-priority alignment matrix — per (log2 band of the
+    floored order value, order priority): orders — do big orders
+    actually get urgent priorities?  (R43 crosses priority with
+    SEGMENT, R63 quantiles value per segment, R87 trends priority
+    latency; R103 is the service-alignment read itself: mass on the
+    high-value × low-priority corner is money waiting in the slow
+    lane, the first slide of any fulfillment review.)  Dense small
+    output (≤~12 bands × 5 priorities); exact int64 (bin-length band
+    + GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: both axes are bounded; each
+    batch reduces with one band computation + one bincount to cell
+    partials; O(batches × cells) rows ride the k=1 merge."""
+    pr = _priority_rank(sf_dir)
+    prs = pa.array(list(pr), pa.string())
+    npr = len(prs)
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        code = (
+            pc.cast(
+                pc.index_in(b["o_orderpriority"], value_set=prs), pa.int64()
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.where(
+            v <= 0, 0, np.searchsorted(powers2, v, side="right") + 1
+        )
+        key = band * npr + code
+        cnt = np.bincount(key, minlength=64 * npr).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "band": pa.array(keep // npr),
+                "pr": pa.array(keep % npr),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("value_band", "o_orderpriority", "n_orders")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "value_band": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["band", "pr"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "value_band": pc.cast(g["band"], pa.int64()),
+                "o_orderpriority": prs.take(g["pr"]),
+                "n_orders": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -17121,3 +17121,103 @@ def threshold_sensitivity(
         fn, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "f", merge, k=1)
+
+
+def doc_id_gap_spectrum(sf_dir: str, window_ids: int = 1 << 17) -> Dataset:
+    """T176: doc-id gap spectrum — walk the DISTINCT doc_ids in order
+    and histogram the adjacent-id gaps by bit length (band 1 = the
+    dense +1 step; higher bands = holes) plus the total missing-id
+    mass — the dropped-batch detector (T159 audits id REUSE, T117
+    drift in id order, E114 the event table's id gaps; T176 asks what
+    never arrived on the documents table: a spike at band ~10 means
+    thousand-doc batches vanished whole — lost files, not lost rows —
+    and missing mass prices the loss against n_docs).  Dense small
+    output (≤~40 bands); exact int64 (distinct + lag-window oracle).
+
+    Scale shape — E150's single-key carried-prefix machinery on the
+    doc-id axis over DISTINCT ids: batches pre-reduce to distinct-id
+    cells; the (0, id-window) partition sorts each window once, the
+    carries hand it its predecessor, and gap bands bincount in place;
+    the k=1 merge sums O(parts × bands) rows."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+    from .events import _last_event_carries, _tag_carry
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(ids), np.int64)),
+                "t": pa.array(ids, pa.int64()),
+                "o": pa.array(np.zeros(len(ids), np.int64)),
+                "v": pa.array(ids, pa.int64()),
+                "carry": pa.array(np.zeros(len(ids), dtype=bool)),
+                "w": pa.array(ids // window_ids, pa.int64()),
+            }
+        )
+
+    tagged = _docs(sf_dir, ["doc_id"]).map_batches(
+        narrow, batch_format="pyarrow"
+    )
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("band", "ng", "miss")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, tt))
+        ts, crs = tt[order], cr[order]
+        n = len(order)
+        # distinct ids may repeat between a carry and its real twin —
+        # dedupe consecutive equal ids (carry sorts after its twin)
+        keep_row = np.empty(n, dtype=bool)
+        keep_row[0] = True
+        keep_row[1:] = ts[1:] != ts[:-1]
+        ts = ts[keep_row]
+        crs = crs[keep_row]
+        if len(ts) < 2:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        gap = ts[1:] - ts[:-1]
+        real_pair = ~crs[1:]  # pairs ending on a real row
+        gap = gap[real_pair]
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, gap, side="right") + 1
+        u, idx = np.unique(band, return_inverse=True)
+        ng = np.bincount(idx).astype(np.int64)
+        miss = np.zeros(len(u), np.int64)
+        np.add.at(miss, idx, gap - 1)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "ng": pa.array(ng),
+                "miss": pa.array(miss),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(_doc_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("gap_band", "n_gaps", "missing_ids")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("ng", "sum"), ("miss", "sum")]
+        )
+        return pa.table(
+            {
+                "gap_band": pc.cast(g["band"], pa.int64()),
+                "n_gaps": pc.cast(g["ng_sum"], pa.int64()),
+                "missing_ids": pc.cast(g["miss_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "band", merge, k=1)
