@@ -925,6 +925,12 @@ def _q_events_value_comovement(sf_dir: str):
     return events_value_comovement(sf_dir)
 
 
+def _q_events_sign_runs(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_sign_runs
+
+    return events_sign_runs(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1821,6 +1827,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_comovement": _q_events_value_comovement,
         "doc_id_gaps": td.doc_id_gap_spectrum,
         "rel_value_priority": rel.value_priority_matrix,
+        "events_sign_runs": _q_events_sign_runs,
+        "doc_stopword_rhythm": td.stopword_rhythm,
+        "rel_brand_repertoire": rel.brand_repertoire,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9461,5 +9470,69 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1, 2
+        """,
+        "events_sign_runs": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(sign(floor(value)) AS BIGINT) AS sg,
+                              lag(CAST(sign(floor(value)) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY epoch_us(ts), event_id,
+                                            sign(floor(value))) AS psg
+                       FROM events)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE sg < 0) AS BIGINT)
+                       AS n_negative,
+                   CAST(count(*) FILTER (WHERE sg = 0) AS BIGINT)
+                       AS n_zero,
+                   CAST(count(*) FILTER (WHERE psg IS NULL OR psg <> sg)
+                        AS BIGINT) AS n_runs,
+                   CAST(count(*) FILTER (WHERE sg < 0
+                                         AND (psg IS NULL OR psg <> sg))
+                        AS BIGINT) AS n_negative_runs
+            FROM w GROUP BY 1
+        """,
+        "doc_stopword_rhythm": """
+            WITH w AS (SELECT source, doc_id,
+                              unnest(str_split(lower(text), ' ')) AS word,
+                              generate_subscripts(str_split(text, ' '), 1)
+                                  AS pos
+                       FROM documents),
+                 f AS (SELECT source, doc_id, pos,
+                              CASE WHEN word IN ('the','a','of','and',
+                                                 'to','in','is')
+                                   THEN 1 ELSE 0 END AS st
+                       FROM w),
+                 l AS (SELECT source, st,
+                              lag(st) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS pst
+                       FROM f)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(*) FILTER (WHERE st = 1) AS BIGINT)
+                       AS n_stopwords,
+                   CAST(count(*) FILTER (WHERE st = 1
+                                         AND (pst IS NULL OR pst = 0))
+                        AS BIGINT) AS n_stop_runs,
+                   CAST(count(*) FILTER (WHERE st = 0
+                                         AND (pst IS NULL OR pst = 1))
+                        AS BIGINT) AS n_content_runs
+            FROM l GROUP BY 1
+        """,
+        "rel_brand_repertoire": """
+            WITH cb AS (SELECT o.o_custkey AS ck, p.p_brand,
+                               CAST(count(*) AS BIGINT) AS nl
+                        FROM lineitem l
+                        JOIN part p ON p.p_partkey = l.l_partkey
+                        JOIN orders o ON o.o_orderkey = l.l_orderkey
+                        GROUP BY 1, 2),
+                 c AS (SELECT ck,
+                              CAST(count(*) AS BIGINT) AS rep,
+                              CAST(sum(nl) AS BIGINT) AS nl
+                       FROM cb GROUP BY 1)
+            SELECT rep AS n_brands,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(nl) AS BIGINT) AS n_lines
+            FROM c GROUP BY 1
         """,
     }

@@ -580,6 +580,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_comovement",
         "doc_id_gaps",
         "rel_value_priority",
+        "events_sign_runs",
+        "doc_stopword_rhythm",
+        "rel_brand_repertoire",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -16172,3 +16172,159 @@ def events_value_comovement(sf_dir: str) -> Dataset:
         k=_adaptive_k(sf_dir),
     )
     return hash_partition_merge(cells, "i", merge, k=1)
+
+
+def events_sign_runs(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E170: payload sign-run board — per source, classify each event's
+    floored value by sign (negative / zero / positive) and count, in
+    (ts, event_id) order: events per class and maximal SAME-SIGN runs
+    — the refund-storm detector (E140 finds runs of EXACTLY equal
+    values, E146 fences magnitude outliers; E170 reads the sign
+    grammar: healthy ledgers interleave signs at transaction rate, a
+    negative run is a chargeback batch or a meter running backwards —
+    and run counts vs event counts give the mean storm length without
+    shipping any run itself).  One dense row per source ALWAYS; exact
+    int64 (sign + lag-window oracle; ties break by event_id).
+
+    Scale shape — E147's carried-prefix machinery with v = sign:
+    two narrow carry exchanges, one lexsort + one shifted compare per
+    (source, ts-window) partition — a run crossing a window edge is
+    not double-counted because the carry hands the predecessor's
+    sign; per-class partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(np.sign(v), pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "ne", "nneg", "nzero", "nruns", "nnegruns")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 99
+        pv[1:] = vs[:-1]
+        run_start = ~crs & (~has_prev | (vs != pv))
+        ng = len(srcs)
+        real = ~crs
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ng, dtype=np.int64)),
+                "ne": pa.array(
+                    np.bincount(ks[real], minlength=ng).astype(np.int64)
+                ),
+                "nneg": pa.array(
+                    np.bincount(
+                        ks[real & (vv[order] < 0)], minlength=ng
+                    ).astype(np.int64)
+                ),
+                "nzero": pa.array(
+                    np.bincount(
+                        ks[real & (vv[order] == 0)], minlength=ng
+                    ).astype(np.int64)
+                ),
+                "nruns": pa.array(
+                    np.bincount(ks[run_start], minlength=ng).astype(
+                        np.int64
+                    )
+                ),
+                "nnegruns": pa.array(
+                    np.bincount(
+                        ks[run_start & (vs < 0)], minlength=ng
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_events",
+            "n_negative",
+            "n_zero",
+            "n_runs",
+            "n_negative_runs",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("ne", "nneg", "nzero", "nruns", "nnegruns")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            for name, src in zip(
+                names[1:], ("ne", "nneg", "nzero", "nruns", "nnegruns")
+            )
+        }
+        keep = cols["n_events"] > 0
+        order = np.argsort(ss[keep])
+        sel = np.flatnonzero(keep)[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[sel], pa.int64())),
+                **{
+                    c: pa.array(a[sel], pa.int64())
+                    for c, a in cols.items()
+                },
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -15329,3 +15329,216 @@ def value_priority_matrix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def brand_repertoire(sf_dir: str) -> Dataset:
+    """R104: brand-repertoire histogram — per customer, count the
+    DISTINCT brands they have ever bought, and histogram the customer
+    base by that repertoire size (plus their total lines per band) —
+    the variety-seeking read (R62 maps which brand PAIRS share
+    baskets, R6 distributes order counts, R37 repeat purchases; R104
+    asks how wide each customer's brand world is: a base massed at
+    repertoire 1-2 is loyal/captive — cross-sell is the play — while
+    a wide-repertoire base shops the catalog and responds to price).
+    Dense small output (≤#brands bands); exact int64 (three-way join
+    + COUNT DISTINCT + histogram oracle).
+
+    Scale shape — two chained co-partition hops, then a custkey
+    settle: lines pre-reduce per (partkey, orderkey); the PARTKEY hop
+    attaches the brand; the ORDERKEY hop attaches the customer; the
+    resulting distinct (custkey, brand) cells settle per customer on
+    ONE custkey-hash exchange — a customer's cells co-locate, so the
+    repertoire size bincounts IN PLACE; the k=1 merge sums
+    O(parts × bands) rows."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+            .unique("p_brand")
+        ),
+        pa.string(),
+    )
+    nb = len(brands)
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.stack([pk, ok], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        n = len(u)
+        return pa.table(
+            {
+                "k": pa.array(u[:, 0].astype(np.int64)),
+                "aux": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+                "tag": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def part_cells(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "aux": pc.cast(
+                    pc.index_in(b["p_brand"], value_set=brands), pa.int64()
+                ),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "tag": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def hop1(t: pa.Table) -> pa.Table:
+        """Attach brand per partkey; emit (orderkey, brand, n) cells."""
+        cols = ("k", "aux", "n", "tag")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = t.filter(pa.array(tag == 1))
+        l = t.filter(pa.array(tag == 0))
+        if p.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        pk = p["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        pb = p["aux"].combine_chunks().to_numpy(zero_copy_only=False)[porder]
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pk_s, lk), 0, len(pk_s) - 1)
+        hit = pk_s[pos] == lk
+        okey = l["aux"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        nl = l["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        brand = pb[pos[hit]]
+        # pre-reduce (orderkey, brand)
+        key = np.stack([okey, brand], axis=1)
+        u, idx = np.unique(key, axis=0, return_inverse=True)
+        ncell = np.zeros(len(u), np.int64)
+        np.add.at(ncell, idx, nl)
+        return pa.table(
+            {
+                "k": pa.array(u[:, 0].astype(np.int64)),
+                "aux": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(ncell),
+                "tag": pa.array(np.zeros(len(u), np.int64)),
+            }
+        )
+
+    def order_cells(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "aux": pc.cast(b["o_custkey"], pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "tag": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def hop2(t: pa.Table) -> pa.Table:
+        """Attach custkey per orderkey; emit (custkey, brand, n) cells."""
+        cols = ("ck", "brand", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(tag == 1))
+        l = t.filter(pa.array(tag == 0))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        oc = o["aux"].combine_chunks().to_numpy(zero_copy_only=False)[oorder]
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        ck = oc[pos[hit]]
+        brand = l["aux"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        nl = l["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        key = np.stack([ck, brand], axis=1)
+        u, idx = np.unique(key, axis=0, return_inverse=True)
+        ncell = np.zeros(len(u), np.int64)
+        np.add.at(ncell, idx, nl)
+        return pa.table(
+            {
+                "ck": pa.array(u[:, 0].astype(np.int64)),
+                "brand": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(ncell),
+            }
+        )
+
+    def cust_fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nc", "nl")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["ck", "brand"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ck = g["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(ck, return_inverse=True)
+        rep = np.bincount(idx).astype(np.int64)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, idx, n)
+        ub, bidx = np.unique(rep, return_inverse=True)
+        nc = np.bincount(bidx).astype(np.int64)
+        nls = np.zeros(len(ub), np.int64)
+        np.add.at(nls, bidx, tot)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "nc": pa.array(nc),
+                "nl": pa.array(nls),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("n_brands", "n_customers", "n_lines")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nc", "sum"), ("nl", "sum")]
+        )
+        return pa.table(
+            {
+                "n_brands": pc.cast(g["band"], pa.int64()),
+                "n_customers": pc.cast(g["nc_sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+            }
+        )
+
+    tagged1 = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        parts.map_batches(
+            part_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    ob_cells = hash_partition_merge(
+        tagged1, "k", hop1, k=_rel_k(sf_dir, "lineitem")
+    )
+    tagged2 = ob_cells.union(
+        ords.map_batches(
+            order_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cb_cells = hash_partition_merge(
+        tagged2, "k", hop2, k=_rel_k(sf_dir, "orders")
+    )
+    folded = hash_partition_merge(
+        cb_cells, "ck", cust_fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)

@@ -17221,3 +17221,117 @@ def doc_id_gap_spectrum(sf_dir: str, window_ids: int = 1 << 17) -> Dataset:
         )
 
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def stopword_rhythm(sf_dir: str) -> Dataset:
+    """T177: stopword-rhythm board — per source: words, stopwords (the
+    T10/T149 7-word list, lowercased match), and maximal RUNS of
+    consecutive stopwords and of consecutive content words — the
+    syntax-alternation read (T68 quantiles the stopword SHARE, T130
+    places them by thirds; T177 measures the grammar rhythm itself:
+    prose alternates short stop-runs with short content-runs, keyword
+    spam is one giant content-run, and templated legalese shows long
+    stop-chains — mean run lengths divide out of the counts).  Runs
+    are per-document (a run cannot span two docs).  One dense row per
+    source ALWAYS; exact int64 (lockstep unnest + lag-window oracle).
+
+    Scale shape — ZERO wide exchange: one split + one is_in + one
+    shifted compare per batch (document boundaries break runs via the
+    parent index), reduced to per-source counter rows; O(batches ×
+    sources) partials ride the k=1 merge."""
+    from ..functions import textstats as ts
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+    stopset = pa.array(list(ts.STOPWORDS))
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        stop = pc.is_in(
+            pc.utf8_lower(flat), value_set=stopset
+        ).to_numpy(zero_copy_only=False)
+        n = len(stop)
+        if n == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("s", "nw", "nst", "nsr", "ncr")
+                }
+            )
+        new_doc = np.empty(n, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = parent[1:] != parent[:-1]
+        changed = np.empty(n, dtype=bool)
+        changed[0] = True
+        changed[1:] = stop[1:] != stop[:-1]
+        start = new_doc | changed
+        wsrc = code[parent]
+        nw = np.bincount(wsrc, minlength=ns).astype(np.int64)
+        nst = np.bincount(wsrc[stop], minlength=ns).astype(np.int64)
+        nsr = np.bincount(wsrc[start & stop], minlength=ns).astype(np.int64)
+        ncr = np.bincount(wsrc[start & ~stop], minlength=ns).astype(np.int64)
+        keep = np.flatnonzero(nw)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "nw": pa.array(nw[keep]),
+                "nst": pa.array(nst[keep]),
+                "nsr": pa.array(nsr[keep]),
+                "ncr": pa.array(ncr[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_words",
+            "n_stopwords",
+            "n_stop_runs",
+            "n_content_runs",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nw", "sum"), ("nst", "sum"), ("nsr", "sum"), ("ncr", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order], pa.int64())),
+                "n_words": pc.cast(g["nw_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
+                "n_stopwords": pc.cast(g["nst_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
+                "n_stop_runs": pc.cast(g["nsr_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
+                "n_content_runs": pc.cast(g["ncr_sum"], pa.int64()).take(
+                    pa.array(order, pa.int64())
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
