@@ -931,6 +931,12 @@ def _q_events_sign_runs(sf_dir: str):
     return events_sign_runs(sf_dir)
 
 
+def _q_events_watermark_lag(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_watermark_lag
+
+    return events_watermark_lag(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1830,6 +1836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sign_runs": _q_events_sign_runs,
         "doc_stopword_rhythm": td.stopword_rhythm,
         "rel_brand_repertoire": rel.brand_repertoire,
+        "events_watermark_lag": _q_events_watermark_lag,
+        "doc_word_suffixes": td.word_suffix_spectrum,
+        "rel_return_seasonality": rel.return_seasonality,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9534,5 +9543,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(sum(nl) AS BIGINT) AS n_lines
             FROM c GROUP BY 1
+        """,
+        "events_watermark_lag": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              max(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY event_id, epoch_us(ts)
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS wm
+                       FROM events),
+                 b AS (SELECT source,
+                              CASE WHEN wm IS NULL OR wm <= t THEN -1
+                                   ELSE length(bin(greatest(
+                                        (wm - t) // 1000000, 1)))
+                              END AS band
+                       FROM w)
+            SELECT source,
+                   CAST(band AS BIGINT) AS lag_band,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY 1, 2
+        """,
+        "doc_word_suffixes": """
+            WITH w AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 f AS (SELECT word, CAST(count(*) AS BIGINT) AS tf
+                       FROM w GROUP BY 1)
+            SELECT right(word, 2) AS suffix,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(tf) AS BIGINT) AS n_occurrences
+            FROM f GROUP BY 1
+        """,
+        "rel_return_seasonality": """
+            SELECT CAST(extract(month FROM l_shipdate) AS BIGINT)
+                       AS ship_month,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_returned,
+                   CAST(1000 * count(*) FILTER (WHERE l_returnflag = 'R')
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS return_permille,
+                   CAST(coalesce(sum(CAST(floor(l_extendedprice
+                                                * (1 - l_discount))
+                                          AS BIGINT))
+                                 FILTER (WHERE l_returnflag = 'R'), 0)
+                        AS BIGINT) AS returned_rev_floor
+            FROM lineitem GROUP BY 1
         """,
     }

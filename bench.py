@@ -583,6 +583,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_sign_runs",
         "doc_stopword_rhythm",
         "rel_brand_repertoire",
+        "events_watermark_lag",
+        "doc_word_suffixes",
+        "rel_return_seasonality",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

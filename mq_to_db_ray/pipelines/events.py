@@ -16328,3 +16328,210 @@ def events_sign_runs(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_watermark_lag(
+    sf_dir: str, window_ids: int = 1 << 17
+) -> Dataset:
+    """E171: watermark-lag spectrum — walk each source in EVENT-ID
+    (ingestion) order, maintain the running max timestamp (the
+    watermark), and histogram events by how far BEHIND it they arrive:
+    band -1 = on time (ts advances the watermark or equals it), else
+    the bit length of the lag in floor-seconds (lag < 1 s counts as
+    1 s) — THE allowed-lateness design read (E147 counts inversions
+    and the single worst backstep; E171 gives the whole lateness
+    distribution a streaming window's grace period is actually sized
+    against: pick the band covering 999‰ and that is your watermark
+    delay).  Dense small output (sources × ≤~30 bands); exact int64
+    (running-max window frame + bin-length oracle).
+
+    Scale shape — the grid_cumsum two-pass discipline on the id axis:
+      1. per-(source, id-window, batch) summaries reduce to each
+         window's max ts; ONE source-hash exchange turns them into
+         per-window PREFIX maxes (windows per source are tiny —
+         ids/2¹⁷ — and only summaries ride);
+      2. the prefix maxes re-enter as carry rows; each (source,
+         window) kernel runs one lexsort + one cummax against its
+         carried prefix, bands its own events, and bincounts in
+         place; the k=1 merge sums O(parts × bands) rows."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ids, pa.int64()),
+                "o": b["ts"].cast(pa.int64()),
+                "v": b["ts"].cast(pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ids // window_ids, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        kk = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ww = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = kk * (1 << 40) + ww
+        u, idx = np.unique(key, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, idx, vv)
+        return pa.table({"kw": pa.array(u), "mx": pa.array(mx)})
+
+    def prefix_kernel(t: pa.Table) -> pa.Table:
+        """Per source: each window's carry-in = max ts over ALL earlier
+        windows (strict prefix)."""
+        cols = ("k", "t", "o", "v", "carry", "w")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "carry": pa.array([], pa.bool_()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("kw", use_threads=False).aggregate([("mx", "max")])
+        kw = g["kw"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = g["mx_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(kw)
+        kw, mx = kw[order], mx[order]
+        k = kw >> 40
+        w = kw & ((1 << 40) - 1)
+        # exact per-key strict-prefix max; the summary table is tiny
+        # (windows per key = ids / window_ids), so a loop is fine here
+        pmax = np.full(len(kw), np.iinfo(np.int64).min, np.int64)
+        brk = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1,
+                              [len(kw)]])
+        for a, b_ in zip(brk[:-1], brk[1:]):
+            acc = np.iinfo(np.int64).min
+            for i in range(a, b_):
+                pmax[i] = acc
+                acc = max(acc, int(mx[i]))
+        has = pmax > np.iinfo(np.int64).min
+        return pa.table(
+            {
+                "k": pa.array(k[has]),
+                # pseudo-id just before the window's first real id, so
+                # the carry sorts at ITS window, not at the key front;
+                # o = +inf places it after any real event tied on that id
+                "t": pa.array(w[has] * window_ids - 1, pa.int64()),
+                "o": pa.array(
+                    np.full(int(has.sum()), np.iinfo(np.int64).max,
+                            np.int64)
+                ),
+                "v": pa.array(pmax[has]),
+                "carry": pa.array(np.ones(int(has.sum()), dtype=bool)),
+                "w": pa.array(w[has]),
+            }
+        )
+
+    prefix_carries = hash_partition_merge(
+        tagged.map_batches(
+            summarize, batch_format="pyarrow", batch_size=256 * 1024
+        ),
+        "kw",
+        prefix_kernel,
+        k=1,
+    )
+    full = tagged.union(prefix_carries)
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "band", "n")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))  # carries precede their window
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        key_brk = np.empty(n, dtype=bool)
+        key_brk[0] = True
+        key_brk[1:] = ks[1:] != ks[:-1]
+        idx = np.arange(n)
+        start_of_seg = np.maximum.accumulate(np.where(key_brk, idx, 0))
+        # segmented running max (doubling passes; log n of them)
+        m = vs.copy()
+        shift = 1
+        while shift < n:
+            prev = np.empty(n, np.int64)
+            prev[:shift] = np.iinfo(np.int64).min
+            prev[shift:] = m[:-shift]
+            same = idx - shift >= start_of_seg
+            m = np.where(same, np.maximum(m, prev), m)
+            shift *= 2
+        runmax = m
+        # prev-watermark for each row = runmax of the PREVIOUS row in
+        # the same segment
+        prevwm = np.empty(n, np.int64)
+        prevwm[0] = np.iinfo(np.int64).min
+        prevwm[1:] = np.where(
+            ~key_brk[1:], runmax[:-1], np.iinfo(np.int64).min
+        )
+        real = ~crs
+        lag_us = prevwm - vs
+        late = real & (prevwm > np.iinfo(np.int64).min) & (lag_us > 0)
+        ontime = real & ~late
+        lag_s = np.maximum(lag_us // 1_000_000, 1)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, lag_s, side="right") + 1
+        nbd = 45
+        key = np.where(late, ks * nbd + band + 1, ks * nbd)
+        cnt = np.bincount(key[real], minlength=ns * nbd).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // nbd),
+                "band": pa.array(keep % nbd - 1),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "lag_band": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "lag_band": pc.cast(g["band"], pa.int64()),
+                "n_events": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

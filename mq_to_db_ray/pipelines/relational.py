@@ -15542,3 +15542,98 @@ def brand_repertoire(sf_dir: str) -> Dataset:
         cb_cells, "ck", cust_fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def return_seasonality(sf_dir: str) -> Dataset:
+    """R105: return-seasonality profile — per calendar MONTH-OF-YEAR
+    of the ship date (1..12): lines, returned lines, the return
+    permille, and returned revenue floor — the folded seasonal return
+    curve (R46 trends returns along the calendar TIMELINE — it shows
+    whether returns are growing; R105 folds all years onto one
+    January-to-December wheel and shows WHEN they recur: the
+    post-holiday January spike and the summer lull are planning
+    inputs a reverse-logistics capacity model keys on, invisible in
+    the unfolded trend).  Dense small output (≤12 rows); exact int64
+    (extract(month) + FILTER counts oracle).
+
+    Scale shape — ZERO wide exchange: the month axis is bounded; one
+    calendar decompose + three bincounts per batch; O(batches × 12)
+    partials ride the k=1 merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_shipdate",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        mo = (
+            sd.astype("datetime64[us]").astype("datetime64[M]")
+            .astype(np.int64)
+            % 12
+        ) + 1
+        ret = pc.equal(b["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False
+        )
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        nl = np.bincount(mo, minlength=13).astype(np.int64)
+        nr = np.bincount(mo[ret], minlength=13).astype(np.int64)
+        rr = np.zeros(13, np.int64)
+        np.add.at(rr, mo[ret], rev[ret])
+        keep = np.flatnonzero(nl)
+        return pa.table(
+            {
+                "mo": pa.array(keep),
+                "nl": pa.array(nl[keep]),
+                "nr": pa.array(nr[keep]),
+                "rr": pa.array(rr[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "ship_month",
+            "n_lines",
+            "n_returned",
+            "return_permille",
+            "returned_rev_floor",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("mo", use_threads=False).aggregate(
+            [("nl", "sum"), ("nr", "sum"), ("rr", "sum")]
+        )
+        mo = g["mo"].combine_chunks().to_numpy(zero_copy_only=False)
+        nl = g["nl_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nr = g["nr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rr = g["rr_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ship_month": pa.array(mo, pa.int64()),
+                "n_lines": pa.array(nl, pa.int64()),
+                "n_returned": pa.array(nr, pa.int64()),
+                "return_permille": pa.array(
+                    1000 * nr // np.maximum(nl, 1), pa.int64()
+                ),
+                "returned_rev_floor": pa.array(rr, pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "mo", merge, k=1)

@@ -17335,3 +17335,113 @@ def stopword_rhythm(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def word_suffix_spectrum(sf_dir: str, suffix_chars: int = 2) -> Dataset:
+    """T178: word-suffix spectrum — group the DISTINCT vocabulary by
+    its last ``suffix_chars`` characters and count word types and
+    occurrence mass per suffix — the morphology profile (T71 bins word
+    LENGTHS, T167 length×frequency; T178 reads the inflection system
+    itself: heavy -ed/-ing/-s mass is morphologically regular English
+    a suffix-merging BPE exploits, a flat spectrum is id-soup — and
+    per-language suffix signatures are the cheapest langid features
+    there are).  Words shorter than the suffix group by their whole
+    form.  Dense small output (≤ alphabet^k suffixes); exact int64
+    (right(word, k) GROUP BY over the df CTE oracle; the exact word
+    decides identity — hash only routes, T118's convention).
+
+    Scale shape — T118's ONE word-hash exchange: batches pre-reduce
+    (word, n) cells; a word's cells co-locate, so its corpus frequency
+    settles locally and folds IN PLACE into per-suffix partials —
+    suffix cells are alphabet-bounded; the k=1 merge sums them."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        t = pa.table(
+            {"w": flat, "n": pa.array(np.ones(len(flat), np.int64))}
+        )
+        g = t.group_by("w", use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["w", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=49)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("suffix", "nw", "occ", "g")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "suffix": pa.array([], pa.string()),
+                    "nw": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("w", use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["w", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        suf = pc.utf8_reverse(
+            pc.utf8_slice_codeunits(
+                pc.utf8_reverse(wcol), 0, suffix_chars
+            )
+        )
+        t2 = pa.table(
+            {
+                "suffix": suf,
+                "nw": pa.array(np.ones(g.num_rows, np.int64)),
+                "occ": g["n"],
+            }
+        )
+        g2 = t2.group_by("suffix", use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
+        )
+        g2 = g2.rename_columns(["suffix", "nw", "occ"])
+        return g2.append_column(
+            "g", pa.array(np.zeros(g2.num_rows, np.int64))
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("suffix", "n_words", "n_occurrences")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "suffix": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                }
+            )
+        t = t.drop_columns(["g"]) if "g" in t.column_names else t
+        g = t.group_by("suffix", use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
+        )
+        return pa.table(
+            {
+                "suffix": g["suffix"],
+                "n_words": pc.cast(g["nw_sum"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "g", merge, k=1)
