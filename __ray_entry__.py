@@ -937,6 +937,12 @@ def _q_events_watermark_lag(sf_dir: str):
     return events_watermark_lag(sf_dir)
 
 
+def _q_events_median_drift(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_median_drift
+
+    return events_median_drift(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1839,6 +1845,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_lag": _q_events_watermark_lag,
         "doc_word_suffixes": td.word_suffix_spectrum,
         "rel_return_seasonality": rel.return_seasonality,
+        "events_median_drift": _q_events_median_drift,
+        "f1_token_residues": lambda sf_dir: td.token_residue_balance(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_quantity_spectrum": rel.quantity_spectrum,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9588,6 +9599,42 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT))
                                  FILTER (WHERE l_returnflag = 'R'), 0)
                         AS BIGINT) AS returned_rev_floor
+            FROM lineitem GROUP BY 1
+        """,
+        "events_median_drift": """
+            WITH c AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 // 7 AS w,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 wk AS (SELECT source, w,
+                               CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                                   AS p50
+                        FROM c GROUP BY 1, 2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_weeks,
+                   CAST(sum(w) AS BIGINT) AS sum_w,
+                   CAST(sum(w * w) AS BIGINT) AS sum_w_sq,
+                   CAST(sum(p50) AS BIGINT) AS sum_p50,
+                   CAST(sum(p50 * p50) AS BIGINT) AS sum_p50_sq,
+                   CAST(sum(w * p50) AS BIGINT) AS sum_w_p50
+            FROM wk GROUP BY 1
+        """,
+        "f1_token_residues": """
+            WITH e AS (SELECT unnest(tokens) AS id
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 f AS (SELECT CAST(id AS BIGINT) AS id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM e GROUP BY 1)
+            SELECT CAST(id % 64 AS BIGINT) AS residue,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_distinct_ids
+            FROM f GROUP BY 1
+        """,
+        "rel_quantity_spectrum": """
+            SELECT CAST(floor(l_quantity) AS BIGINT) AS quantity,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_floor
             FROM lineitem GROUP BY 1
         """,
     }

@@ -586,6 +586,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_watermark_lag",
         "doc_word_suffixes",
         "rel_return_seasonality",
+        "events_median_drift",
+        "f1_token_residues",
+        "rel_quantity_spectrum",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

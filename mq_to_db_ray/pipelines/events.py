@@ -16535,3 +16535,147 @@ def events_watermark_lag(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_median_drift(sf_dir: str) -> Dataset:
+    """E172: weekly median-drift sufficient statistics — per source,
+    compute each active week's DISCRETE p50 of floor-cents payload
+    (the repo rank rule), then over the weekly medians: n_weeks, Σw,
+    Σw², Σp50, Σp50², Σw·p50 — the robust drift line (E97 fits value
+    against time with MEANS — one fat-finger outlier bends it; E126
+    tracks DAILY median stability pairwise; E172 fits the trend
+    through weekly medians, the estimator a billing-drift monitor
+    actually wants: slope in cents/week reads off the sums and
+    outliers cannot touch it).  One dense row per source ALWAYS.
+    Int64 bound documented: p50 ≤ 10⁸ cents, w ≤ ~3·10³ → Σw·p50
+    holds ~3·10⁷ weeks/source.  Exact int64 (per-week quantile_disc
+    CTE + SUM oracle).
+
+    Scale shape — the per-bucket exact-quantile discipline at week
+    grain: batches pre-reduce to (source, week, cents, n) histogram
+    cells; ONE (source, week)-hash exchange settles each week's
+    histogram — a week's cells co-locate — and reads its p50 off one
+    cumsum; the six sums fold k=1.  Only histogram cells ever
+    shuffle."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        week = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+            // 7
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        key = np.stack([code * (1 << 40) + week, cents], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "sw": pa.array(u[:, 0]),
+                "c": pa.array(u[:, 1]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "nw", "sw_", "sww", "sp", "spp", "swp")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sw", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sw = g["sw"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, sw))
+        sw, c, n = sw[order], c[order], n[order]
+        brk = np.empty(len(sw), dtype=bool)
+        brk[0] = True
+        brk[1:] = sw[1:] != sw[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(sw))
+        out = {"s": np.arange(ns, dtype=np.int64)}
+        acc = {k: np.zeros(ns, np.int64) for k in
+               ("nw", "sw_", "sww", "sp", "spp", "swp")}
+        for a, b_ in zip(starts, ends):
+            tot = int(n[a:b_].sum())
+            thr = (tot * 500 + 999) // 1000
+            cum = np.cumsum(n[a:b_])
+            p50 = int(c[a:b_][np.searchsorted(cum, thr)])
+            s = int(sw[a] >> 40)
+            w = int(sw[a] & ((1 << 40) - 1))
+            acc["nw"][s] += 1
+            acc["sw_"][s] += w
+            acc["sww"][s] += w * w
+            acc["sp"][s] += p50
+            acc["spp"][s] += p50 * p50
+            acc["swp"][s] += w * p50
+        out.update(acc)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "sw",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_weeks",
+            "sum_w",
+            "sum_w_sq",
+            "sum_p50",
+            "sum_p50_sq",
+            "sum_w_p50",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("nw", "sw_", "sww", "sp", "spp", "swp")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("nw", "sw_", "sww", "sp", "spp", "swp")
+            )
+        }
+        keep = cols["n_weeks"] > 0
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order][keep], pa.int64())),
+                **{
+                    c: pa.array(a[keep], pa.int64()) for c, a in cols.items()
+                },
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

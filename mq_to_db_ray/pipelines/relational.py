@@ -15637,3 +15637,65 @@ def return_seasonality(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "mo", merge, k=1)
+
+
+def quantity_spectrum(sf_dir: str) -> Dataset:
+    """R106: quantity spectrum — per exact floored line quantity:
+    lines and floored revenue — the raw demand-quantization read (R78
+    bands quantities by tens, R30 asks Q17's below-average question,
+    R80 measures intra-order dominance; R106 shows the unbinned
+    lattice itself: spikes at 1/6/12/24 are pack sizes and case
+    logic, a flat 1..50 is synthetic uniformity — the shape every
+    inventory-unit decision and every "is this data real" gut check
+    reads first).  Dense small output (distinct quantities); exact
+    int64 (GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: the quantity domain is bounded;
+    one floor + two bincounts per batch; O(batches × domain) partials
+    ride the k=1 merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        u, idx = np.unique(q, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        rv = np.zeros(len(u), np.int64)
+        np.add.at(rv, idx, rev)
+        return pa.table(
+            {
+                "q": pa.array(u),
+                "nl": pa.array(nl),
+                "rev": pa.array(rv),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("quantity", "n_lines", "revenue_floor")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("q", use_threads=False).aggregate(
+            [("nl", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "quantity": pc.cast(g["q"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "q", merge, k=1)

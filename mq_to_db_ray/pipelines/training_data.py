@@ -17445,3 +17445,78 @@ def word_suffix_spectrum(sf_dir: str, suffix_chars: int = 2) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def token_residue_balance(sf_dir: str, modulus: int = 64) -> Dataset:
+    """T179/F: token-residue balance board — per residue class of the
+    token id modulo ``modulus``: total occurrences and distinct ids —
+    the shard-assignment health check for mod-sharded embedding/
+    optimizer tables (T129 measures which ids exist, T146 their Pareto;
+    T179 asks how the LOAD lands when the table is split id % k ways —
+    a skewed residue class is a hot parameter server shard, and
+    distinct-vs-occurrence imbalance separates vocabulary skew from
+    frequency skew).  Dense ≤modulus rows; exact int64 (modulo GROUP
+    BY + COUNT DISTINCT oracle).
+
+    Scale shape — ONE id-hash exchange over (id, n) cells (batches
+    pre-reduce with one np.unique): an id's cells co-locate, so
+    distinct counts per residue sum exactly across partitions; the
+    k=1 merge sums O(parts × modulus) rows."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        u, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"id": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("r", "occ", "nid")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("id", use_threads=False).aggregate([("n", "sum")])
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = ids % modulus
+        occ = np.zeros(modulus, np.int64)
+        np.add.at(occ, r, n)
+        nid = np.bincount(r, minlength=modulus).astype(np.int64)
+        keep = np.flatnonzero(nid)
+        return pa.table(
+            {
+                "r": pa.array(keep),
+                "occ": pa.array(occ[keep]),
+                "nid": pa.array(nid[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("residue", "n_occurrences", "n_distinct_ids")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("r", use_threads=False).aggregate(
+            [("occ", "sum"), ("nid", "sum")]
+        )
+        return pa.table(
+            {
+                "residue": pc.cast(g["r"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
+                "n_distinct_ids": pc.cast(g["nid_sum"], pa.int64()),
+            }
+        )
+
+    cells = rd.read_parquet(files, columns=["tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "id", fold, k=8)
+    return hash_partition_merge(folded, "r", merge, k=1)
