@@ -943,6 +943,12 @@ def _q_events_median_drift(sf_dir: str):
     return events_median_drift(sf_dir)
 
 
+def _q_events_dom_profile(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dom_profile
+
+    return events_dom_profile(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1850,6 +1856,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_quantity_spectrum": rel.quantity_spectrum,
+        "events_dom_profile": _q_events_dom_profile,
+        "doc_herdan_matrix": td.herdan_matrix,
+        "rel_part_dependence": rel.part_dependence,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9636,5 +9645,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
                                  AS BIGINT)) AS BIGINT) AS revenue_floor
             FROM lineitem GROUP BY 1
+        """,
+        "events_dom_profile": """
+            SELECT event_type AS source,
+                   CAST(extract(day FROM ts) AS BIGINT) AS day_of_month,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS value_floor
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_herdan_matrix": """
+            WITH d AS (SELECT doc_id,
+                              CAST(len(str_split(text, ' ')) AS BIGINT)
+                                  AS nw,
+                              CAST(len(list_distinct(str_split(text, ' ')))
+                                   AS BIGINT) AS nd
+                       FROM documents)
+            SELECT CAST(length(bin(greatest(nw, 1))) AS BIGINT)
+                       AS words_band,
+                   CAST(length(bin(greatest(nd, 1))) AS BIGINT)
+                       AS distinct_band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY 1, 2
+        """,
+        "rel_part_dependence": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM lineitem GROUP BY 1, 2),
+                 p AS (SELECT l_partkey,
+                              CAST(sum(n) AS BIGINT) AS tot,
+                              CAST(max(n) AS BIGINT) AS top
+                       FROM ps GROUP BY 1)
+            SELECT CAST(1000 * top // tot // 100 AS BIGINT)
+                       AS dependence_band,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(tot) AS BIGINT) AS n_lines
+            FROM p GROUP BY 1
         """,
     }

@@ -589,6 +589,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_median_drift",
         "f1_token_residues",
         "rel_quantity_spectrum",
+        "events_dom_profile",
+        "doc_herdan_matrix",
+        "rel_part_dependence",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

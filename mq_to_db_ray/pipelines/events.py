@@ -16679,3 +16679,93 @@ def events_median_drift(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_dom_profile(sf_dir: str) -> Dataset:
+    """E173: event day-of-month profile — per (source, calendar
+    day-of-month 1..31): events and exact floored value mass — the
+    billing-cycle signature in the telemetry itself (E52 profiles the
+    WEEK, E151 the day's hours, R91 reads the same wheel on
+    shipments; E173 asks whether the event stream breathes with the
+    month: spikes at 1 and 28-31 are invoice/settlement jobs, a flat
+    wheel is organic traffic — and a source whose value mass loads
+    month-end while its event count doesn't is few big settlements,
+    exactly E151's hour-level read at calendar grain).  Dense small
+    output (sources × ≤31); exact int64 (extract(day) + GROUP BY
+    oracle).
+
+    Scale shape — ZERO wide exchange: the day-of-month axis is
+    bounded; one calendar decompose + two bincounts per batch;
+    O(batches × sources × 31) partials ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        dt = ts.astype("datetime64[us]")
+        dom = (
+            dt.astype("datetime64[D]").astype(np.int64)
+            - dt.astype("datetime64[M]").astype("datetime64[D]").astype(
+                np.int64
+            )
+            + 1
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key = code * 32 + dom
+        ne = np.bincount(key, minlength=ns * 32).astype(np.int64)
+        sv = np.zeros(ns * 32, np.int64)
+        np.add.at(sv, key, v)
+        keep = np.flatnonzero(ne)
+        return pa.table(
+            {
+                "s": pa.array(keep // 32),
+                "dom": pa.array(keep % 32),
+                "ne": pa.array(ne[keep]),
+                "sv": pa.array(sv[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "day_of_month", "n_events", "value_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "dom"], use_threads=False).aggregate(
+            [("ne", "sum"), ("sv", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "day_of_month": pc.cast(g["dom"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+                "value_floor": pc.cast(g["sv_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

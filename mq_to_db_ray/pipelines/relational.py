@@ -15699,3 +15699,90 @@ def quantity_spectrum(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "q", merge, k=1)
+
+
+def part_dependence(sf_dir: str) -> Dataset:
+    """R107: part-dependence histogram — per SHIPPED part compute the
+    line share of its single busiest supplier (decile band =
+    1000·top/total // 100), and count parts and lines per band — the
+    dependence DEPTH read (R52 histograms how many suppliers compete
+    per part — a count; R85 counts suppliers per catalog corner; R107
+    measures how concentrated the volume actually is: a part with 5
+    suppliers but a 95% top share is still single-sourced in
+    practice, and the band-10 mass is the true no-alternative
+    exposure procurement carries).  Single-supplier parts band at 10
+    by construction.  Dense small output (≤10 bands); exact int64
+    (two-level GROUP BY + max/total oracle).
+
+    Scale shape — ONE partkey-hash exchange over pre-reduced
+    (partkey, suppkey, n) cells: a part's cells co-locate, so its
+    total and top-supplier share settle locally and bincount IN
+    PLACE; the k=1 merge sums O(parts × 10) rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.stack([pk, sk], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(u[:, 0].astype(np.int64)),
+                "sk": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "np_", "nl")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["pk", "sk"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        pk = g["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(pk, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, idx, n)
+        top = np.zeros(len(u), np.int64)
+        np.maximum.at(top, idx, n)
+        band = 1000 * top // tot // 100
+        ub, bidx = np.unique(band, return_inverse=True)
+        np_ = np.bincount(bidx).astype(np.int64)
+        nl = np.zeros(len(ub), np.int64)
+        np.add.at(nl, bidx, tot)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "np_": pa.array(np_),
+                "nl": pa.array(nl),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("dependence_band", "n_parts", "n_lines")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("np_", "sum"), ("nl", "sum")]
+        )
+        return pa.table(
+            {
+                "dependence_band": pc.cast(g["band"], pa.int64()),
+                "n_parts": pc.cast(g["np__sum"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+            }
+        )
+
+    cells = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "pk", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)

@@ -17520,3 +17520,82 @@ def token_residue_balance(sf_dir: str, modulus: int = 64) -> Dataset:
     )
     folded = hash_partition_merge(cells, "id", fold, k=8)
     return hash_partition_merge(folded, "r", merge, k=1)
+
+
+def herdan_matrix(sf_dir: str) -> Dataset:
+    """T180: Herdan vocabulary-growth matrix — per document cross the
+    bit length of its word COUNT with the bit length of its DISTINCT
+    word count, and count docs per cell — Herdan's law (type-token
+    scaling) as a table (T70 quantiles the TTR per source, T74 fits
+    Heaps' curve for the CORPUS; T180 scatters every doc on the
+    length × vocabulary plane: natural prose rides the diagonal's
+    lower edge — vocabulary grows sublinearly — while cells ON the
+    diagonal at large bands are no-repeat word soup (generated id
+    lists) and cells far below it are loop spam; both are exactly the
+    non-linguistic payloads a curriculum wants flagged, localized by
+    size class).  Triangular by construction (distinct ≤ total).
+    Dense small output; exact int64 (per-doc counts + bin-length
+    GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: one split + one per-doc
+    np.unique-free distinct count (lexsort over (doc, word-hash) per
+    batch) reduces each batch to cell partials; O(batches × cells)
+    rows ride the k=1 merge."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ("wb", "db", "n")
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        nw = (
+            pc.cast(pc.list_value_length(words), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(nw)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        # exact per-doc distinct: the word STRING decides identity
+        df = pl.from_arrow(
+            pa.table({"p": pa.array(parent, pa.int64()), "w": flat})
+        )
+        dg = df.group_by("p").agg(pl.col("w").n_unique().alias("nd"))
+        nd = np.zeros(n, np.int64)
+        nd[dg["p"].to_numpy()] = dg["nd"].to_numpy().astype(np.int64)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        wb = np.searchsorted(powers2, np.maximum(nw, 1), side="right") + 1
+        db = np.searchsorted(powers2, np.maximum(nd, 1), side="right") + 1
+        key = wb * 64 + db
+        cnt = np.bincount(key, minlength=64 * 64).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "wb": pa.array(keep // 64),
+                "db": pa.array(keep % 64),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("words_band", "distinct_band", "n_docs")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by(["wb", "db"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "words_band": pc.cast(g["wb"], pa.int64()),
+                "distinct_band": pc.cast(g["db"], pa.int64()),
+                "n_docs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "wb", merge, k=1)
