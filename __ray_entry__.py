@@ -949,6 +949,12 @@ def _q_events_dom_profile(sf_dir: str):
     return events_dom_profile(sf_dir)
 
 
+def _q_events_session_density(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_density
+
+    return events_session_density(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1859,6 +1865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dom_profile": _q_events_dom_profile,
         "doc_herdan_matrix": td.herdan_matrix,
         "rel_part_dependence": rel.part_dependence,
+        "events_session_density": _q_events_session_density,
+        "doc_template_closure": td.template_closure,
+        "rel_frequency_ticket": rel.frequency_ticket_coupling,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9681,5 +9690,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_parts,
                    CAST(sum(tot) AS BIGINT) AS n_lines
             FROM p GROUP BY 1
+        """,
+        "events_session_density": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1
+                             AS sid
+                  FROM o),
+            sess AS (SELECT user_id, sid,
+                            CAST(count(*) AS BIGINT) AS e,
+                            (epoch_us(max(ts)) - epoch_us(min(ts)))
+                                // 1000000 AS d
+                     FROM s GROUP BY 1, 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(e) AS BIGINT) AS sum_e,
+                   CAST(sum(e * e) AS BIGINT) AS sum_e_sq,
+                   CAST(sum(d) AS BIGINT) AS sum_d,
+                   CAST(sum(d * d) AS BIGINT) AS sum_d_sq,
+                   CAST(sum(e * d) AS BIGINT) AS sum_e_d
+            FROM sess
+        """,
+        "doc_template_closure": """
+            WITH p AS (SELECT source,
+                              concat_ws(' ', w[1], w[2], w[3]) AS op,
+                              right(text, 24) AS tl
+                       FROM (SELECT source, text,
+                                    str_split(text, ' ') AS w
+                             FROM documents)),
+                 og AS (SELECT op, count(*) AS n FROM p GROUP BY 1),
+                 tg AS (SELECT tl, count(*) AS n FROM p GROUP BY 1),
+                 bg AS (SELECT op, tl, count(*) AS n
+                        FROM p GROUP BY 1, 2)
+            SELECT p.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE og.n > 1) AS BIGINT)
+                       AS opener_shared,
+                   CAST(count(*) FILTER (WHERE tg.n > 1) AS BIGINT)
+                       AS tail_shared,
+                   CAST(count(*) FILTER (WHERE bg.n > 1) AS BIGINT)
+                       AS both_shared
+            FROM p JOIN og ON og.op = p.op
+                   JOIN tg ON tg.tl = p.tl
+                   JOIN bg ON bg.op = p.op AND bg.tl = p.tl
+            GROUP BY 1
+        """,
+        "rel_frequency_ticket": """
+            WITH c AS (SELECT o_custkey,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS sv,
+                              CAST(sum(CAST(floor(o_totalprice) AS BIGINT)
+                                       * CAST(floor(o_totalprice)
+                                              AS BIGINT)) AS BIGINT)
+                                  AS svv
+                       FROM orders GROUP BY 1)
+            SELECT CAST(length(bin(n)) AS BIGINT) AS frequency_band,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(sum(sv) AS BIGINT) AS sum_v,
+                   CAST(sum(svv) AS BIGINT) AS sum_v_sq
+            FROM c GROUP BY 1
         """,
     }

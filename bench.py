@@ -592,6 +592,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dom_profile",
         "doc_herdan_matrix",
         "rel_part_dependence",
+        "events_session_density",
+        "doc_template_closure",
+        "rel_frequency_ticket",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -16769,3 +16769,79 @@ def events_dom_profile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_session_density(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E174: session density-coupling statistics — over all sessions:
+    n, Σe, Σe², Σd, Σd², Σe·d with e = the session's event count and
+    d = its duration in floor-seconds — are long sessions BUSY or just
+    idle-open?  (E50 distributes durations, E76 sizes, E160 couples
+    duration with the CLOCK; E174 couples the two engagement axes
+    directly: events/second per session divides out, and a corpus
+    whose Σe·d is dominated by few long-dense sessions is power-user
+    traffic, not breadth — the read an engagement KPI should split
+    on.)  ONE dense row ALWAYS.  Int64 bound documented: e ≤ 10⁶,
+    d ≤ 10⁷ s → Σe·d holds ~9·10⁵ sessions per shard.  Exact int64
+    (the E15 sessions CTE + SUM oracle).
+
+    Scale shape — pure composition over the scale-safe E15 sessionize
+    stage; session rows are corpus-small, one six-sum reduce per
+    batch, k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    sessions = events_sessions(sf_dir, gap_s=gap_s).select_columns(
+        ["n_events", "start_ts", "end_ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = (
+            pc.cast(b["n_events"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        st = (
+            b["start_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        en = (
+            b["end_ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        d = (en - st) // 1_000_000
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([len(e)], pa.int64()),
+                "se": pa.array([int(e.sum())], pa.int64()),
+                "see": pa.array([int((e * e).sum())], pa.int64()),
+                "sd": pa.array([int(d.sum())], pa.int64()),
+                "sdd": pa.array([int((d * d).sum())], pa.int64()),
+                "sed": pa.array([int((e * d).sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_sessions",
+            "sum_e",
+            "sum_e_sq",
+            "sum_d",
+            "sum_d_sq",
+            "sum_e_d",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("n", "se", "see", "sd", "sdd", "sed")
+        return pa.table(
+            {
+                name: pa.array([int(pc.sum(t[c]).as_py())], pa.int64())
+                for name, c in zip(out, src)
+            }
+        )
+
+    partials = sessions.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)

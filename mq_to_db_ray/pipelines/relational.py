@@ -15786,3 +15786,107 @@ def part_dependence(sf_dir: str) -> Dataset:
         cells, "pk", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def frequency_ticket_coupling(sf_dir: str) -> Dataset:
+    """R108: frequency-ticket coupling board — band every customer by
+    the bit length of their lifetime order count and report per band:
+    customers, orders, Σvalue, Σvalue² — do frequent buyers spend
+    less per order?  (R6 distributes order counts, R19 lifetime value,
+    R63 ticket quantiles by segment; R108 crosses frequency with
+    ticket size: mean ticket per band divides out, and a declining
+    curve is basket-splitting behaviour — frequency KPIs inflate while
+    revenue stands still — the distinction a loyalty program must
+    price.)  Dense small output (≤~12 bands); exact int64 (two-level
+    GROUP BY + bin-length oracle).
+
+    Scale shape — ONE custkey-hash exchange over pre-reduced
+    (custkey, n, Σv, Σv²) cells: a customer's cells co-locate, so
+    their count band settles locally and folds IN PLACE; the k=1
+    merge sums O(parts × bands) rows."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, idx = np.unique(ck, return_inverse=True)
+        n = np.bincount(idx).astype(np.int64)
+        sv = np.zeros(len(u), np.int64)
+        np.add.at(sv, idx, v)
+        svv = np.zeros(len(u), np.int64)
+        np.add.at(svv, idx, v * v)
+        return pa.table(
+            {
+                "ck": pa.array(u.astype(np.int64)),
+                "n": pa.array(n),
+                "sv": pa.array(sv),
+                "svv": pa.array(svv),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nc", "no", "sv", "svv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("ck", use_threads=False).aggregate(
+            [("n", "sum"), ("sv", "sum"), ("svv", "sum")]
+        )
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        sv = g["sv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        svv = g["svv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, n, side="right") + 1
+        u, idx = np.unique(band, return_inverse=True)
+        nc = np.bincount(idx).astype(np.int64)
+        no = np.zeros(len(u), np.int64)
+        np.add.at(no, idx, n)
+        svb = np.zeros(len(u), np.int64)
+        np.add.at(svb, idx, sv)
+        svvb = np.zeros(len(u), np.int64)
+        np.add.at(svvb, idx, svv)
+        return pa.table(
+            {
+                "band": pa.array(u),
+                "nc": pa.array(nc),
+                "no": pa.array(no),
+                "sv": pa.array(svb),
+                "svv": pa.array(svvb),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "frequency_band",
+            "n_customers",
+            "n_orders",
+            "sum_v",
+            "sum_v_sq",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nc", "sum"), ("no", "sum"), ("sv", "sum"), ("svv", "sum")]
+        )
+        return pa.table(
+            {
+                "frequency_band": pc.cast(g["band"], pa.int64()),
+                "n_customers": pc.cast(g["nc_sum"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "sum_v": pc.cast(g["sv_sum"], pa.int64()),
+                "sum_v_sq": pc.cast(g["svv_sum"], pa.int64()),
+            }
+        )
+
+    cells = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "ck", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)

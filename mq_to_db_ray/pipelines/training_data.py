@@ -17599,3 +17599,220 @@ def herdan_matrix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "wb", merge, k=1)
+
+
+def template_closure(
+    sf_dir: str, opener_words: int = 3, tail_chars: int = 24
+) -> Dataset:
+    """T181: template-closure board — per source: docs, docs whose
+    3-word OPENER is shared with another doc, docs whose 24-char TAIL
+    is shared, and docs where BOTH ends are shared with the same
+    (opener, tail) pair — the full-template detector (T112/T66 read
+    the head, T163 the tail, T169 the opener's ingestion spread; T181
+    closes the loop: a doc locked at BOTH ends is a filled-in form —
+    near-dup machinery scores it mid-similarity, yet it carries almost
+    no novel text, exactly what slips through threshold dedup).  One
+    dense row per source ALWAYS; exact int64 (pair GROUP BY + window
+    count oracle; exact strings decide identity, hash only routes).
+
+    Scale shape — ONE (opener, tail)-hash exchange over pre-reduced
+    cells: the joint pair's cells co-locate, so its group size
+    settles locally; opener-only and tail-only shares settle on their
+    own exchanges the same way — three narrow passes over
+    prefix/suffix strings, never full texts."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def keyed_cells(which: int):
+        """which: 0 = opener, 1 = tail, 2 = joint pair."""
+
+        def fn(b: pa.Table) -> pa.Table:
+            txt = b["text"]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            words = pc.split_pattern(txt, " ")
+            opener = pc.binary_join(
+                pc.list_slice(words, 0, opener_words), " "
+            )
+            tail = pc.utf8_reverse(
+                pc.utf8_slice_codeunits(
+                    pc.utf8_reverse(txt), 0, tail_chars
+                )
+            )
+            if which == 0:
+                key = opener
+            elif which == 1:
+                key = tail
+            else:
+                key = pc.binary_join_element_wise(opener, tail, "\x1f")
+            t = pa.table(
+                {
+                    "key": key,
+                    "src": pc.cast(
+                        pc.index_in(b["source"], value_set=srcs), pa.int64()
+                    ),
+                    "n": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+            g = t.group_by(["key", "src"], use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            g = g.rename_columns(["key", "src", "n"])
+            hs = (
+                pl.from_arrow(g.select(["key"]))["key"]
+                .hash(seed=51 + which)
+                .to_numpy()
+                .view(np.int64)
+            )
+            return pa.table(
+                {
+                    "h": pa.array(hs, pa.int64()),
+                    "key": g["key"],
+                    "src": g["src"],
+                    "n": pc.cast(g["n"], pa.int64()),
+                }
+            )
+
+        return fn
+
+    def shared_fold(t: pa.Table) -> pa.Table:
+        """Per key group: docs in groups of size >= 2, per source."""
+        cols = ("s", "nshared")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["key", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["key", "src", "n"])
+        kcol = g["key"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kid = (
+            kcol.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        gsize = np.zeros(int(kid.max()) + 1, np.int64)
+        np.add.at(gsize, kid, n)
+        shared = gsize[kid] > 1
+        out = np.zeros(ns, np.int64)
+        np.add.at(out, src[shared], n[shared])
+        keep = np.flatnonzero(out)
+        return pa.table(
+            {"s": pa.array(keep), "nshared": pa.array(out[keep])}
+        )
+
+    def count_shared(which: int):
+        cells = _docs(sf_dir, ["source", "text"]).map_batches(
+            keyed_cells(which), batch_format="pyarrow"
+        )
+        return hash_partition_merge(
+            cells, "h", shared_fold, k=_doc_k(sf_dir)
+        )
+
+    totals = _docs(sf_dir, ["source"]).map_batches(
+        lambda b: pa.table(
+            {
+                "s": pc.cast(
+                    pc.index_in(b["source"], value_set=srcs), pa.int64()
+                ),
+                "nd": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        .group_by("s", use_threads=False)
+        .aggregate([("nd", "sum")])
+        .rename_columns(["s", "nd"]),
+        batch_format="pyarrow",
+    )
+
+    # three independent shared counts ride distinct marker columns
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda b, _n=name: pa.table(
+                {
+                    "s": b["s"],
+                    "nd": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "no": pa.array(
+                        b["nshared"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        if _n == "no"
+                        else np.zeros(b.num_rows, np.int64)
+                    ),
+                    "nt": pa.array(
+                        b["nshared"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        if _n == "nt"
+                        else np.zeros(b.num_rows, np.int64)
+                    ),
+                    "nb": pa.array(
+                        b["nshared"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        if _n == "nb"
+                        else np.zeros(b.num_rows, np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    tot_tagged = totals.map_batches(
+        lambda b: pa.table(
+            {
+                "s": b["s"],
+                "nd": b["nd"],
+                "no": pa.array(np.zeros(b.num_rows, np.int64)),
+                "nt": pa.array(np.zeros(b.num_rows, np.int64)),
+                "nb": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    unioned = (
+        tot_tagged.union(tag(count_shared(0), "no"))
+        .union(tag(count_shared(1), "nt"))
+        .union(tag(count_shared(2), "nb"))
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_docs",
+            "opener_shared",
+            "tail_shared",
+            "both_shared",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nd", "sum"), ("no", "sum"), ("nt", "sum"), ("nb", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order], pa.int64())),
+                "n_docs": pc.cast(g["nd_sum"], pa.int64()).take(take),
+                "opener_shared": pc.cast(g["no_sum"], pa.int64()).take(take),
+                "tail_shared": pc.cast(g["nt_sum"], pa.int64()).take(take),
+                "both_shared": pc.cast(g["nb_sum"], pa.int64()).take(take),
+            }
+        )
+
+    return hash_partition_merge(unioned, "s", merge, k=1)
