@@ -955,6 +955,12 @@ def _q_events_session_density(sf_dir: str):
     return events_session_density(sf_dir)
 
 
+def _q_events_acquisition_clock(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_acquisition_clock
+
+    return events_acquisition_clock(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1868,6 +1874,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_density": _q_events_session_density,
         "doc_template_closure": td.template_closure,
         "rel_frequency_ticket": rel.frequency_ticket_coupling,
+        "events_acquisition_clock": _q_events_acquisition_clock,
+        "doc_bigram_symmetry": td.bigram_symmetry,
+        "rel_balance_ticket": rel.balance_ticket_coupling,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9758,5 +9767,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sv) AS BIGINT) AS sum_v,
                    CAST(sum(svv) AS BIGINT) AS sum_v_sq
             FROM c GROUP BY 1
+        """,
+        "events_acquisition_clock": """
+            WITH r AS (SELECT event_type AS s, user_id AS u, ts,
+                              row_number() OVER
+                                  (PARTITION BY event_type, user_id
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+                       FROM events)
+            SELECT s AS source,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n_new_users
+            FROM r WHERE rn = 1
+            GROUP BY 1, 2
+        """,
+        "doc_bigram_symmetry": """
+            WITH w AS (SELECT doc_id,
+                              unnest(str_split(text, ' ')) AS word,
+                              generate_subscripts(str_split(text, ' '), 1)
+                                  AS pos
+                       FROM documents),
+                 l AS (SELECT doc_id, word AS b,
+                              lag(word) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS a
+                       FROM w),
+                 bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                        FROM l WHERE a IS NOT NULL GROUP BY 1, 2),
+                 pg AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                               CAST(count(*) AS BIGINT) AS dirs,
+                               CAST(sum(n) AS BIGINT) AS mass,
+                               bool_or(a = b) AS is_self
+                        FROM bg GROUP BY 1, 2)
+            SELECT CAST((SELECT count(*) FROM bg) AS BIGINT)
+                       AS n_bigram_types,
+                   CAST(count(*) FILTER (WHERE dirs = 2 AND NOT is_self)
+                        AS BIGINT) AS n_symmetric_pairs,
+                   CAST(coalesce(sum(dirs)
+                                 FILTER (WHERE dirs = 2 AND NOT is_self),
+                                 0) AS BIGINT) AS n_symmetric_types,
+                   CAST(coalesce(sum(mass)
+                                 FILTER (WHERE dirs = 2 OR is_self), 0)
+                        AS BIGINT) AS symmetric_mass,
+                   CAST(count(*) FILTER (WHERE is_self) AS BIGINT)
+                       AS n_self_pairs,
+                   CAST(sum(mass) AS BIGINT) AS total_mass
+            FROM pg
+        """,
+        "rel_balance_ticket": """
+            WITH j AS (SELECT c.c_mktsegment AS seg,
+                              CAST(floor(c.c_acctbal) AS BIGINT) AS b,
+                              CAST(floor(o.o_totalprice) AS BIGINT) AS v
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey)
+            SELECT seg AS c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(sum(b * b) AS BIGINT) AS sum_b_sq,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v_sq,
+                   CAST(sum(b * v) AS BIGINT) AS sum_b_v
+            FROM j GROUP BY 1
         """,
     }

@@ -595,6 +595,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_session_density",
         "doc_template_closure",
         "rel_frequency_ticket",
+        "events_acquisition_clock",
+        "doc_bigram_symmetry",
+        "rel_balance_ticket",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

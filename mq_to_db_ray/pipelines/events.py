@@ -16845,3 +16845,124 @@ def events_session_density(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def events_acquisition_clock(sf_dir: str) -> Dataset:
+    """E175: acquisition clock board — per (source, hour-of-day): how
+    many users' FIRST-EVER event on that source landed in that hour —
+    when the funnel actually acquires (E122 clocks the ACTIVE
+    audience — dominated by habits of existing users; E152 audits the
+    id order of first-seens; E175 clocks the first-seens themselves:
+    an acquisition clock that peaks at 3am is bot signups or another
+    timezone's organic growth, and the gap between it and E122's
+    activity clock is the onboarding-to-habit phase shift).  Dense
+    small output (sources × ≤24); exact int64 (min-per-(source, user)
+    + extract(hour) oracle; first-seen ties break by event_id).
+
+    Scale shape — E152's first-seen reduction: batches keep each
+    (source, user)'s earliest (ts, id); ONE user-hash exchange settles
+    the global first-seens and bincounts their hours IN PLACE; the
+    k=1 merge sums O(parts × sources × 24) rows."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def batch_first(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        eid = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, code, uid))
+        us, cs = uid[order], code[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])
+        sel = order[first]
+        return pa.table(
+            {
+                "u": pa.array(uid[sel]),
+                "s": pa.array(code[sel]),
+                "ts": pa.array(ts[sel]),
+                "eid": pa.array(eid[sel]),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "h", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, ss, uu))
+        us, cs = uu[order], ss[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])
+        sel = order[first]
+        hour = (ts[sel] // 3_600_000_000) % 24
+        key = ss[sel] * 24 + hour
+        cnt = np.bincount(key, minlength=ns * 24).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // 24),
+                "h": pa.array(keep % 24),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(batch_first, batch_format="pyarrow"),
+        "u",
+        fold,
+        k=shuffle_parts(_adaptive_k(sf_dir)),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "hour_of_day", "n_new_users")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "hour_of_day": pa.array([], pa.int64()),
+                    "n_new_users": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "h"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "hour_of_day": pc.cast(g["h"], pa.int64()),
+                "n_new_users": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -15890,3 +15890,172 @@ def frequency_ticket_coupling(sf_dir: str) -> Dataset:
         cells, "ck", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def balance_ticket_coupling(sf_dir: str) -> Dataset:
+    """R109: balance-ticket coupling statistics — per market segment,
+    over all orders: n, Σb, Σb², Σv, Σv², Σb·v with b = the ordering
+    customer's floored account balance and v = the order's floored
+    value — does account health predict ticket size?  (R44 couples
+    balance with order COUNTS, R55 supplier balance with volume, R63
+    quantiles value per segment; R109 is the credit-risk regression
+    input itself: a negative balance-value covariance means indebted
+    customers place the big orders — the receivables exposure a
+    credit limit policy is sized against.)  One dense row per segment
+    ALWAYS.  Int64 bound documented: |b| ≤ 10⁴, v ≤ 10⁶ → Σb·v holds
+    ~9·10⁸ orders/segment.  Exact int64 (join + GROUP BY oracle).
+
+    Scale shape — R88's ONE custkey-hash co-partition: orders ride as
+    (custkey, v), customers as (custkey, segment, b); the fold
+    attaches both via one searchsorted and collapses IN PLACE to six
+    sums per segment; the k=1 merge sums O(parts × segments) rows."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nseg = len(segs)
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "seg": pa.array(np.full(n, -1, np.int64)),
+                "bal": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "v": pa.array(np.zeros(n, np.int64)),
+                "seg": pc.cast(
+                    pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64()
+                ),
+                "bal": pa.array(
+                    np.floor(
+                        b["c_acctbal"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("seg", "n", "sb", "sbb", "sv", "svv", "sbv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        segv = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = segv >= 0
+        c = t.filter(pa.array(is_cust))
+        o = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or o.num_rows == 0:
+            return pa.table({c2: pa.array([], pa.int64()) for c2 in cols})
+        ck = c["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        corder = np.argsort(ck, kind="stable")
+        ck_s = ck[corder]
+        cseg = c["seg"].combine_chunks().to_numpy(zero_copy_only=False)[
+            corder
+        ]
+        cbal = c["bal"].combine_chunks().to_numpy(zero_copy_only=False)[
+            corder
+        ]
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck_s, ok), 0, len(ck_s) - 1)
+        hit = ck_s[pos] == ok
+        seg = cseg[pos][hit]
+        bal = cbal[pos][hit]
+        v = o["v"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        out = {"seg": np.arange(nseg, dtype=np.int64)}
+        out["n"] = np.bincount(seg, minlength=nseg).astype(np.int64)
+        for name, arr in (
+            ("sb", bal),
+            ("sbb", bal * bal),
+            ("sv", v),
+            ("svv", v * v),
+            ("sbv", bal * v),
+        ):
+            acc = np.zeros(nseg, np.int64)
+            np.add.at(acc, seg, arr)
+            out[name] = acc
+        return pa.table({c2: pa.array(a) for c2, a in out.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "c_mktsegment",
+            "n_orders",
+            "sum_b",
+            "sum_b_sq",
+            "sum_v",
+            "sum_v_sq",
+            "sum_b_v",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("seg", use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "sb", "sbb", "sv", "svv", "sbv")]
+        )
+        ss = g["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("n", "sb", "sbb", "sv", "svv", "sbv")
+            )
+        }
+        keep = cols["n_orders"] > 0
+        return pa.table(
+            {
+                "c_mktsegment": segs.take(
+                    pa.array(ss[order][keep], pa.int64())
+                ),
+                **{
+                    c: pa.array(a[keep], pa.int64())
+                    for c, a in cols.items()
+                },
+            }
+        )
+
+    tagged = ords.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        cust.map_batches(
+            cust_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "seg", merge, k=1)

@@ -17816,3 +17816,147 @@ def template_closure(
         )
 
     return hash_partition_merge(unioned, "s", merge, k=1)
+
+
+def bigram_symmetry(sf_dir: str) -> Dataset:
+    """T182: bigram-symmetry board — over all within-doc word bigrams:
+    distinct ordered bigram types, UNORDERED pairs observed in BOTH
+    directions, ordered types inside such symmetric pairs, and their
+    occurrence mass — the word-ORDER signal detector (T142 tests the
+    tape's ids for sortedness, T114 scores collocations; T182 asks
+    whether word order carries information at all: natural language is
+    deeply asymmetric — "of the" vastly outnumbers "the of", and most
+    pairs occur one way only — while bag-of-words shuffles and
+    generated id soup symmetrize; the symmetric-mass share is the
+    single number).  Self-pairs (w w) count as symmetric by
+    construction and are reported separately.  ONE dense row ALWAYS;
+    exact int64 (bigram CTE + direction self-join oracle; exact word
+    strings decide identity — the hash of the UNORDERED pair routes,
+    so both directions co-locate).
+
+    Scale shape — ONE unordered-pair-hash exchange over pre-reduced
+    ordered-bigram cells: both directions of a pair land in one
+    partition, so symmetry is decided locally and collapses to one
+    counter row per partition; the k=1 merge sums O(parts) rows."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = len(parent)
+        if n < 2:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = parent[1:] == parent[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(same))
+        w2 = flat.slice(1, n - 1).filter(pa.array(same))
+        t = pa.table(
+            {
+                "a": w1,
+                "b": w2,
+                "n": pa.array(np.ones(len(w1), np.int64)),
+            }
+        )
+        g = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["a", "b", "n"])
+        # route by the UNORDERED pair: hash(min||max)
+        df = pl.from_arrow(g.select(["a", "b"]))
+        lo = df.select(
+            pl.min_horizontal("a", "b").alias("lo"),
+            pl.max_horizontal("a", "b").alias("hi"),
+        )
+        hs = (
+            lo.select(
+                (pl.col("lo") + "\x1f" + pl.col("hi")).hash(seed=53)
+                .alias("h")
+            )["h"]
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "a": g["a"],
+                "b": g["b"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "nt", "nsymp", "nsymt", "msym", "nself", "mtot")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["a", "b", "n"])
+        df = pl.from_arrow(g)
+        df = df.with_columns(
+            pl.min_horizontal("a", "b").alias("lo"),
+            pl.max_horizontal("a", "b").alias("hi"),
+            (pl.col("a") == pl.col("b")).alias("selfp"),
+        )
+        pg = df.group_by(["lo", "hi"]).agg(
+            pl.len().cast(pl.Int64).alias("dirs"),
+            pl.col("n").sum().alias("mass"),
+            pl.col("selfp").any().alias("is_self"),
+        )
+        dirs = pg["dirs"].to_numpy()
+        mass = pg["mass"].to_numpy().astype(np.int64)
+        is_self = pg["is_self"].to_numpy()
+        sym = (dirs == 2) | is_self
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "nt": pa.array([int(df.height)], pa.int64()),
+                "nsymp": pa.array(
+                    [int((sym & ~is_self).sum())], pa.int64()
+                ),
+                "nsymt": pa.array(
+                    [int(dirs[sym & ~is_self].sum())], pa.int64()
+                ),
+                "msym": pa.array(
+                    [int(mass[sym].sum())], pa.int64()
+                ),
+                "nself": pa.array([int(is_self.sum())], pa.int64()),
+                "mtot": pa.array([int(mass.sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_bigram_types",
+            "n_symmetric_pairs",
+            "n_symmetric_types",
+            "symmetric_mass",
+            "n_self_pairs",
+            "total_mass",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("nt", "nsymp", "nsymt", "msym", "nself", "mtot")
+        return pa.table(
+            {
+                name: pa.array([int(pc.sum(t[c]).as_py())], pa.int64())
+                for name, c in zip(out, src)
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "g", merge, k=1)
