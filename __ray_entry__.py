@@ -961,6 +961,12 @@ def _q_events_acquisition_clock(sf_dir: str):
     return events_acquisition_clock(sf_dir)
 
 
+def _q_events_outage_drilldown(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_outage_drilldown
+
+    return events_outage_drilldown(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1877,6 +1883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_acquisition_clock": _q_events_acquisition_clock,
         "doc_bigram_symmetry": td.bigram_symmetry,
         "rel_balance_ticket": rel.balance_ticket_coupling,
+        "events_outage_drilldown": _q_events_outage_drilldown,
+        "doc_length_mode": td.length_mode,
+        "rel_latency_drilldown": rel.latency_drilldown,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9826,5 +9835,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v * v) AS BIGINT) AS sum_v_sq,
                    CAST(sum(b * v) AS BIGINT) AS sum_b_v
             FROM j GROUP BY 1
+        """,
+        "events_outage_drilldown": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY epoch_us(ts), event_id) AS pt
+                       FROM events),
+                 p AS (SELECT source, t - pt AS gap, pt AS st, t AS en
+                       FROM w WHERE pt IS NOT NULL),
+                 best AS (SELECT source, gap, st, en,
+                                 row_number() OVER
+                                     (PARTITION BY source
+                                      ORDER BY gap DESC, st ASC) AS rn
+                          FROM p),
+                 f AS (SELECT source, min(t) AS mt FROM w GROUP BY 1)
+            SELECT f.source,
+                   CAST(coalesce(b.gap // 1000000, 0) AS BIGINT) AS gap_s,
+                   make_timestamp(coalesce(b.st, f.mt))
+                       AS silence_start_ts,
+                   make_timestamp(coalesce(b.en, f.mt))
+                       AS silence_end_ts
+            FROM f LEFT JOIN best b
+                 ON b.source = f.source AND b.rn = 1
+        """,
+        "doc_length_mode": """
+            WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS ln,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+                 tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nd
+                         FROM c GROUP BY 1),
+                 m AS (SELECT source, ln, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC, ln ASC)
+                                  AS rn
+                       FROM c)
+            SELECT m.source,
+                   tot.nd AS n_docs,
+                   m.ln AS modal_length,
+                   m.n AS modal_count,
+                   CAST(1000 * m.n // tot.nd AS BIGINT)
+                       AS modal_permille
+            FROM m JOIN tot ON tot.source = m.source
+            WHERE m.rn = 1
+        """,
+        "rel_latency_drilldown": """
+            WITH j AS (SELECT l.l_orderkey AS o_orderkey,
+                              CAST(l.l_linenumber AS BIGINT)
+                                  AS l_linenumber,
+                              epoch_us(l.l_shipdate) // 86400000000
+                                  - epoch_us(o.o_orderdate) // 86400000000
+                                  AS gap_days,
+                              epoch_us(l.l_shipdate) // 86400000000
+                                  AS sday
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT o_orderkey,
+                   l_linenumber,
+                   CAST(gap_days AS BIGINT) AS gap_days,
+                   make_timestamp(sday * 86400000000) AS l_shipdate
+            FROM j
+            ORDER BY gap_days DESC, o_orderkey, l_linenumber
+            LIMIT 5
         """,
     }

@@ -598,6 +598,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_acquisition_clock",
         "doc_bigram_symmetry",
         "rel_balance_ticket",
+        "events_outage_drilldown",
+        "doc_length_mode",
+        "rel_latency_drilldown",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -16966,3 +16966,159 @@ def events_acquisition_clock(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_outage_drilldown(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E176: outage drill-down — per source, the single LONGEST silence
+    between consecutive events (ts order, ties by event_id) with its
+    exact start and end timestamps; ties on gap length resolve to the
+    EARLIEST occurrence — record retrieval for the incident review
+    (E32 reports the max-gap LENGTH and gap counts, E39 distributes
+    them; E176 answers the question the on-call actually asks: WHEN
+    was the feed down?  — the E89 drill-down discipline on the
+    silence axis).  One dense row per source ALWAYS (single-event
+    sources report a zero gap at their own timestamp).  Exact int64
+    (lag + row_number argmax oracle).
+
+    Scale shape — E147's carried-prefix pair machinery with an argmax
+    combiner: each (source, ts-window) kernel keeps ONE candidate
+    (its longest local pair — a losing pair can never win globally);
+    O(parts × sources) candidate rows reach the k=1 argmax merge."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    kfan = _adaptive_k(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=kfan,
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(ts_us, pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "gap", "st", "en")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts[:-1]
+        pair = has_prev & ~crs
+        gap = np.where(pair, ts - pt, -1)
+        ng = len(srcs)
+        best_gap = np.full(ng, -1, np.int64)
+        best_st = np.zeros(ng, np.int64)
+        best_en = np.zeros(ng, np.int64)
+        # per-source argmax with earliest-start tie-break: scan sorted
+        # by (k, gap desc, start asc) — rows are already k-grouped, so
+        # one lexsort over the pair rows suffices
+        psel = np.flatnonzero(pair)
+        if len(psel):
+            pk = ks[psel]
+            pg = gap[psel]
+            pst = pt[psel]
+            pen = ts[psel]
+            order2 = np.lexsort((pst, -pg, pk))
+            first = np.empty(len(order2), dtype=bool)
+            pk_s = pk[order2]
+            first[0] = True
+            first[1:] = pk_s[1:] != pk_s[:-1]
+            sel = order2[first]
+            best_gap[pk[sel]] = pg[sel]
+            best_st[pk[sel]] = pst[sel]
+            best_en[pk[sel]] = pen[sel]
+        # single-event fallback rides as gap 0 at the event itself
+        lone = ~crs & ~has_prev
+        for i in np.flatnonzero(lone):
+            s = ks[i]
+            if best_gap[s] < 0:
+                best_gap[s] = 0
+                best_st[s] = ts[i]
+                best_en[s] = ts[i]
+        keep = np.flatnonzero(best_gap >= 0)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "gap": pa.array(best_gap[keep]),
+                "st": pa.array(best_st[keep]),
+                "en": pa.array(best_en[keep]),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(kfan))
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "gap_s", "silence_start_ts", "silence_end_ts")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "gap_s": pa.array([], pa.int64()),
+                    "silence_start_ts": pa.array([], pa.timestamp("us")),
+                    "silence_end_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        gap = t["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = t["st"].combine_chunks().to_numpy(zero_copy_only=False)
+        en = t["en"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, -gap, ss))
+        first = np.empty(len(order), dtype=bool)
+        ss_s = ss[order]
+        first[0] = True
+        first[1:] = ss_s[1:] != ss_s[:-1]
+        sel = order[first]
+        o2 = np.argsort(ss[sel])
+        sel = sel[o2]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[sel], pa.int64())),
+                "gap_s": pa.array(gap[sel] // 1_000_000, pa.int64()),
+                "silence_start_ts": pa.array(st[sel], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "silence_end_ts": pa.array(en[sel], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

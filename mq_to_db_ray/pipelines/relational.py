@@ -16059,3 +16059,133 @@ def balance_ticket_coupling(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "seg", merge, k=1)
+
+
+def latency_drilldown(sf_dir: str, topk: int = 5) -> Dataset:
+    """R110: slowest-shipment drill-down — the topk lines by
+    order→ship floor-day latency, each identified by (orderkey,
+    linenumber) with its ship date; ties break by (orderkey,
+    linenumber) ascending — record retrieval for the fulfillment
+    post-mortem (R20/R87 distribute and trend the latency; R110 names
+    the actual worst shipments someone clicks into — the E89/R14
+    drill-down discipline on the latency axis).  Exact int64 + unique
+    answer set (ORDER BY gap DESC, okey, lineno LIMIT oracle).
+
+    Scale shape — the argtop-k combiner over the R87 okey
+    co-partition: the fold attaches order dates, computes each line's
+    gap, and keeps its partition's topk (a partition loser can never
+    enter the global topk); O(parts × k) candidates reach the k=1
+    merge."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "ln": pc.cast(b["l_linenumber"], pa.int64()),
+                "d": pa.array(sd // 86_400_000_000, pa.int64()),
+                "is_o": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "ln": pa.array(np.zeros(b.num_rows, np.int64)),
+                "d": pa.array(od // 86_400_000_000, pa.int64()),
+                "is_o": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("k", "ln", "gap", "sd")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        iso = t["is_o"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(iso == 1))
+        l = t.filter(pa.array(iso == 0))
+        if o.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        lln = l["ln"].combine_chunks().to_numpy(zero_copy_only=False)
+        ld = l["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oorder = np.argsort(ok, kind="stable")
+        ok_s = ok[oorder]
+        od = o["d"].combine_chunks().to_numpy(zero_copy_only=False)[oorder]
+        pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+        hit = ok_s[pos] == lk
+        gap = ld[hit] - od[pos[hit]]
+        kk = lk[hit]
+        lnn = lln[hit]
+        sd = ld[hit]
+        order = np.lexsort((lnn, kk, -gap))[:topk]
+        return pa.table(
+            {
+                "k": pa.array(kk[order]),
+                "ln": pa.array(lnn[order]),
+                "gap": pa.array(gap[order]),
+                "sd": pa.array(sd[order]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("o_orderkey", "l_linenumber", "gap_days", "l_shipdate")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "l_linenumber": pa.array([], pa.int64()),
+                    "gap_days": pa.array([], pa.int64()),
+                    "l_shipdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = t["ln"].combine_chunks().to_numpy(zero_copy_only=False)
+        gap = t["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+        sd = t["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, kk, -gap))[:topk]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kk[order], pa.int64()),
+                "l_linenumber": pa.array(ln[order], pa.int64()),
+                "gap_days": pa.array(gap[order], pa.int64()),
+                "l_shipdate": pa.array(
+                    sd[order] * 86_400_000_000, pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "k", merge, k=1)

@@ -17960,3 +17960,91 @@ def bigram_symmetry(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def length_mode(sf_dir: str) -> Dataset:
+    """T183: length-mode board — per source: docs, the single most
+    common EXACT n_chars value (ties → smallest length), its doc
+    count, and its permille — the template/truncation spike detector
+    (T43 bins lengths by powers of two — a byte-exact spike vanishes
+    into its band; T172 places sources in the global tails; T183 asks
+    whether one exact length dominates: forms filled to a fixed
+    width, truncation at a byte limit, and padded records all print
+    here as a fat modal permille that no natural length distribution
+    produces).  One dense row per source ALWAYS; exact int64
+    (two-level GROUP BY + argmax oracle).
+
+    Scale shape — the value domain is the distinct length inventory:
+    batches reduce to (source, length, n) cells; a length's cells
+    co-locate per source on the k=1 merge, which takes one argmax per
+    source; nothing row-proportional moves."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ln = (
+            pc.cast(b["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([code, ln], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "s": pa.array(u[:, 0].astype(np.int64)),
+                "ln": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_docs", "modal_length", "modal_count",
+               "modal_permille")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "ln"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = g["ln"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, -nn, ss))
+        first = np.empty(len(order), dtype=bool)
+        ss_s = ss[order]
+        first[0] = True
+        first[1:] = ss_s[1:] != ss_s[:-1]
+        sel = order[first]
+        nd = np.zeros(len(srcs), np.int64)
+        np.add.at(nd, ss, nn)
+        o2 = np.argsort(ss[sel])
+        sel = sel[o2]
+        ssel = ss[sel]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ssel, pa.int64())),
+                "n_docs": pa.array(nd[ssel], pa.int64()),
+                "modal_length": pa.array(ln[sel], pa.int64()),
+                "modal_count": pa.array(nn[sel], pa.int64()),
+                "modal_permille": pa.array(
+                    1000 * nn[sel] // nd[ssel], pa.int64()
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
