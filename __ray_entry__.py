@@ -967,6 +967,12 @@ def _q_events_outage_drilldown(sf_dir: str):
     return events_outage_drilldown(sf_dir)
 
 
+def _q_events_refund_matching(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_refund_matching
+
+    return events_refund_matching(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1886,6 +1892,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outage_drilldown": _q_events_outage_drilldown,
         "doc_length_mode": td.length_mode,
         "rel_latency_drilldown": rel.latency_drilldown,
+        "events_refund_matching": _q_events_refund_matching,
+        "embedding_label_source": td.label_source_matrix,
+        "rel_brand_naming": rel.brand_naming_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9898,5 +9907,42 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             ORDER BY gap_days DESC, o_orderkey, l_linenumber
             LIMIT 5
+        """,
+        "events_refund_matching": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 a AS (SELECT source, abs(cents) AS amt,
+                              CAST(count(*) FILTER (WHERE cents > 0)
+                                   AS BIGINT) AS np,
+                              CAST(count(*) FILTER (WHERE cents < 0)
+                                   AS BIGINT) AS nn
+                       FROM c WHERE cents <> 0 GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(np) AS BIGINT) AS n_positive,
+                   CAST(sum(nn) AS BIGINT) AS n_negative,
+                   CAST(sum(LEAST(np, nn)) AS BIGINT) AS matched_pairs,
+                   CAST(1000 * sum(LEAST(np, nn))
+                        // greatest(sum(nn), 1) AS BIGINT)
+                       AS match_permille
+            FROM a GROUP BY 1
+        """,
+        "embedding_label_source": """
+            WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                       FROM embeddings),
+                 d AS (SELECT DISTINCT doc_id, source FROM documents)
+            SELECT coalesce(d.source, '<unlinked>') AS source,
+                   e.label,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM e LEFT JOIN d ON d.doc_id = e.vec_id
+            GROUP BY 1, 2
+        """,
+        "rel_brand_naming": """
+            WITH w AS (SELECT p_brand,
+                              unnest(str_split(p_name, ' ')) AS word
+                       FROM part)
+            SELECT word, p_brand AS brand,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM w GROUP BY 1, 2
         """,
     }

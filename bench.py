@@ -601,6 +601,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_outage_drilldown",
         "doc_length_mode",
         "rel_latency_drilldown",
+        "events_refund_matching",
+        "embedding_label_source",
+        "rel_brand_naming",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

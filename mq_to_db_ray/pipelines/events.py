@@ -17122,3 +17122,130 @@ def events_outage_drilldown(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_refund_matching(sf_dir: str) -> Dataset:
+    """E177: refund-matching board — per source, pair positive and
+    negative payloads by EXACT absolute cent amount: positive events,
+    negative events, matched pairs (Σ over amounts of min(pos, neg)),
+    and the matched permille of negative mass — the reversal
+    reconciliation read (E170 detects negative RUNS, E146 fences
+    magnitudes; E177 asks whether the negatives actually reverse
+    specific positives: a high match rate is clean refund traffic,
+    unmatched negative mass is write-offs or corruption — the ledger
+    sanity a finance export is checked against; amount-level matching,
+    order-free by design).  One dense row per source ALWAYS; exact
+    int64 (per-amount sign counts + LEAST oracle).
+
+    Scale shape — ONE (source, |cents|)-hash exchange over pre-reduced
+    sign-count cells: an amount's cells co-locate, so min(pos, neg)
+    settles locally and collapses to per-source partials; the k=1
+    merge sums O(parts × sources) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        sign = np.sign(cents)
+        nz = sign != 0
+        key = np.stack(
+            [code[nz] * 2 + (sign[nz] < 0), np.abs(cents[nz])], axis=1
+        )
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "sa": pa.array(u[:, 0] // 2 * (1 << 40) + u[:, 1]),
+                "neg": pa.array(u[:, 0] % 2),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "npos", "nneg", "nmatch")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["sa", "neg"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        sa = g["sa"].combine_chunks().to_numpy(zero_copy_only=False)
+        neg = g["neg"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(sa, return_inverse=True)
+        pos_n = np.zeros(len(u), np.int64)
+        np.add.at(pos_n, idx[neg == 0], n[neg == 0])
+        neg_n = np.zeros(len(u), np.int64)
+        np.add.at(neg_n, idx[neg == 1], n[neg == 1])
+        s = u >> 40
+        out = {"s": np.arange(ns, dtype=np.int64)}
+        for name, arr in (
+            ("npos", pos_n),
+            ("nneg", neg_n),
+            ("nmatch", np.minimum(pos_n, neg_n)),
+        ):
+            acc = np.zeros(ns, np.int64)
+            np.add.at(acc, s, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "sa",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_positive",
+            "n_negative",
+            "matched_pairs",
+            "match_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("npos", "sum"), ("nneg", "sum"), ("nmatch", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        npos = g["npos_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nneg = g["nneg_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nm = g["nmatch_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (npos + nneg) > 0
+        ss, npos, nneg, nm = ss[keep], npos[keep], nneg[keep], nm[keep]
+        order = np.argsort(ss)
+        ss, npos, nneg, nm = ss[order], npos[order], nneg[order], nm[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_positive": pa.array(npos, pa.int64()),
+                "n_negative": pa.array(nneg, pa.int64()),
+                "matched_pairs": pa.array(nm, pa.int64()),
+                "match_permille": pa.array(
+                    1000 * nm // np.maximum(nneg, 1), pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -16189,3 +16189,81 @@ def latency_drilldown(sf_dir: str, topk: int = 5) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "k", merge, k=1)
+
+
+def brand_naming_matrix(sf_dir: str) -> Dataset:
+    """R111: brand naming matrix — per (name word, brand): catalog
+    parts carrying that word — which brands use which vocabulary (R82
+    sums DEMAND per name word corpus-wide; R111 is the catalog-side
+    positioning map: a word owned by one brand is trademark-like
+    naming, a word spread across all brands is generic taxonomy — and
+    the matrix is the lookup a brand-aware search ranker or a
+    white-label detector reads).  Dense small output (vocabulary ×
+    brands); exact int64 (unnest + GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange beyond the k=1 merge: the part
+    dim streams column-pruned; each batch explodes names and reduces
+    to (word, brand) cells via one Arrow group_by; O(batches ×
+    vocabulary × brands) partials ride the merge."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+            .unique("p_brand")
+        ),
+        pa.string(),
+    )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_name", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["p_name"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        code = (
+            pc.cast(pc.index_in(b["p_brand"], value_set=brands), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "w": flat,
+                "bb": pa.array(code[parent], pa.int64()),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "bb"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["w", "bb", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("word", "brand", "n_parts")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "brand": pa.array([], pa.string()),
+                    "n_parts": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "bb"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "word": g["w"],
+                "brand": brands.take(g["bb"]),
+                "n_parts": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = parts.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "bb", merge, k=1)

@@ -18048,3 +18048,155 @@ def length_mode(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def label_source_matrix(sf_dir: str) -> Dataset:
+    """T184: label-source composition matrix — join embeddings to
+    documents on vec_id = doc_id and count vectors per (doc source,
+    label), plus an UNLINKED row per label for orphan vectors — the
+    enrichment join the T162 linkage audit priced (T162 counts
+    orphans; T184 actually performs the join every per-source
+    classifier evaluation needs: a label concentrated in one source
+    is a shortcut feature waiting to be learned, and the matrix is
+    the stratification table for balanced sampling).  Dense small
+    output (sources × labels + orphan rows); exact int64 (LEFT JOIN +
+    GROUP BY oracle).
+
+    Scale shape — ONE id-hash co-partition of two pre-reduced sides:
+    embeddings ride as (id, label, n) cells, documents as (id,
+    source); an id's rows co-locate, so the attach is one searchsorted
+    and the matrix collapses IN PLACE; the k=1 merge sums
+    O(parts × cells) rows."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def emb_cells(b: pa.Table) -> pa.Table:
+        vid = (
+            pc.cast(b["vec_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        lab = (
+            pc.cast(b["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([vid, lab], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        n = len(u)
+        return pa.table(
+            {
+                "id": pa.array(u[:, 0].astype(np.int64)),
+                "lab": pa.array(u[:, 1].astype(np.int64)),
+                "src": pa.array(np.full(n, -1, np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def doc_cells(b: pa.Table) -> pa.Table:
+        vid = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([vid, code], axis=1)
+        u = np.unique(key, axis=0)
+        n = len(u)
+        return pa.table(
+            {
+                "id": pa.array(u[:, 0].astype(np.int64)),
+                "lab": pa.array(np.full(n, -1, np.int64)),
+                "src": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("src", "lab", "nv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        labv = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_emb = labv >= 0
+        e = t.filter(pa.array(is_emb))
+        d = t.filter(pa.array(~is_emb))
+        if e.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        eid = e["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        elab = e["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        en = e["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = np.unique(
+            d["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        dsrc_map = {}
+        if d.num_rows:
+            dd = d["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            ds_ = d["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(dd, kind="stable")
+            dd_s, ds_s = dd[order], ds_[order]
+            pos = np.clip(np.searchsorted(dd_s, eid), 0, len(dd_s) - 1)
+            hit = dd_s[pos] == eid
+            src = np.where(hit, ds_s[pos], ns)  # ns = the UNLINKED slot
+        else:
+            src = np.full(len(eid), ns, np.int64)
+        key = src * (1 << 20) + elab  # labels < 2^20 by schema
+        u, idx = np.unique(key, return_inverse=True)
+        nv = np.zeros(len(u), np.int64)
+        np.add.at(nv, idx, en)
+        return pa.table(
+            {
+                "src": pa.array(u // (1 << 20)),
+                "lab": pa.array(u % (1 << 20)),
+                "nv": pa.array(nv),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "label", "n_vectors")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "label": pa.array([], pa.int64()),
+                    "n_vectors": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["src", "lab"], use_threads=False).aggregate(
+            [("nv", "sum")]
+        )
+        srcv = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        names = pa.concat_arrays(
+            [srcs, pa.array(["<unlinked>"], pa.string())]
+        )
+        return pa.table(
+            {
+                "source": names.take(pa.array(srcv, pa.int64())),
+                "label": pc.cast(g["lab"], pa.int64()),
+                "n_vectors": pc.cast(g["nv_sum"], pa.int64()),
+            }
+        )
+
+    tagged = emb.map_batches(
+        emb_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            doc_cells, batch_format="pyarrow"
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "id", fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+    return hash_partition_merge(cells, "src", merge, k=1)
