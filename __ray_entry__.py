@@ -973,6 +973,12 @@ def _q_events_refund_matching(sf_dir: str):
     return events_refund_matching(sf_dir)
 
 
+def _q_events_simultaneity(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_simultaneity
+
+    return events_simultaneity(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1895,6 +1901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_refund_matching": _q_events_refund_matching,
         "embedding_label_source": td.label_source_matrix,
         "rel_brand_naming": rel.brand_naming_matrix,
+        "events_simultaneity": _q_events_simultaneity,
+        "embedding_selection_bias": td.embedding_selection_bias,
+        "rel_reconciliation_drift": rel.reconciliation_drift,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -9944,5 +9953,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, p_brand AS brand,
                    CAST(count(*) AS BIGINT) AS n_parts
             FROM w GROUP BY 1, 2
+        """,
+        "events_simultaneity": """
+            WITH d AS (SELECT DISTINCT user_id AS u,
+                              epoch_us(ts) // 60000000 AS m,
+                              event_type AS s
+                       FROM events),
+                 own AS (SELECT s, CAST(count(*) AS BIGINT) AS nc
+                         FROM d GROUP BY 1),
+                 prs AS (SELECT a.s AS si, b.s AS sj
+                         FROM own a, own b WHERE b.s > a.s),
+                 bt AS (SELECT a.s AS si, b.s AS sj,
+                               CAST(count(*) AS BIGINT) AS nb
+                        FROM d a JOIN d b
+                             ON b.u = a.u AND b.m = a.m AND b.s > a.s
+                        GROUP BY 1, 2)
+            SELECT prs.si AS source_i,
+                   prs.sj AS source_j,
+                   CAST(coalesce(bt.nb, 0) AS BIGINT) AS cells_both,
+                   oi.nc AS cells_i,
+                   oj.nc AS cells_j
+            FROM prs
+                 LEFT JOIN bt ON bt.si = prs.si AND bt.sj = prs.sj
+                 JOIN own oi ON oi.s = prs.si
+                 JOIN own oj ON oj.s = prs.sj
+        """,
+        "embedding_selection_bias": """
+            WITH t AS (SELECT doc_id, source, lang, text,
+                              str_split(text,' ') w FROM documents),
+            c AS (SELECT doc_id, word, count(*) cnt
+                  FROM (SELECT doc_id, unnest(w) word FROM t) GROUP BY 1,2),
+            rep AS (SELECT doc_id, sum(cnt) n, count(*) d, max(cnt) m
+                    FROM c GROUP BY 1),
+            st AS (SELECT doc_id,
+                          sum(CASE WHEN word IN
+                              ('the','a','of','and','to','in','is')
+                              THEN 1 ELSE 0 END) s
+                   FROM (SELECT doc_id,
+                                unnest(str_split(lower(text),' ')) word FROM t)
+                   GROUP BY 1),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            hit AS (SELECT d.doc_id
+                    FROM (SELECT doc_id, unnest(sh) s FROM g) d
+                    JOIN e ON d.s = e.s GROUP BY 1),
+            f AS (SELECT t.doc_id,
+                         CASE WHEN t.lang = 'en'
+                               AND rep.n BETWEEN 20 AND 90
+                               AND floor(1000.0*(rep.n - rep.d)/rep.n)
+                                   <= 600
+                               AND floor(1000.0*rep.m/rep.n) <= 130
+                               AND floor(1000.0*st.s/rep.n) >= 20
+                               AND t.doc_id NOT IN (SELECT doc_id
+                                                    FROM hit)
+                              THEN 1 ELSE 0 END AS ok
+                  FROM t JOIN rep USING (doc_id) JOIN st USING (doc_id)),
+            v AS (SELECT DISTINCT vec_id FROM embeddings)
+            SELECT CAST(CASE WHEN v.vec_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS linked,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(f.ok) AS BIGINT) AS n_pass_all,
+                   CAST(1000 * sum(f.ok) // greatest(count(*), 1)
+                        AS BIGINT) AS pass_permille
+            FROM f LEFT JOIN v ON v.vec_id = f.doc_id
+            GROUP BY 1
+        """,
+        "rel_reconciliation_drift": """
+            WITH l AS (SELECT l_orderkey,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                                  * (1 - l_discount)
+                                                  * (1 + l_tax))
+                                            AS BIGINT)) AS BIGINT) AS v
+                       FROM lineitem GROUP BY 1),
+                 o AS (SELECT o_orderkey,
+                              CAST(extract(year FROM o_orderdate)
+                                   AS BIGINT) AS yr,
+                              CAST(floor(o_totalprice) AS BIGINT) AS hv,
+                              l.v AS lv
+                       FROM orders
+                       LEFT JOIN l ON l.l_orderkey = o_orderkey)
+            SELECT yr AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) FILTER (WHERE lv IS NULL) AS BIGINT)
+                       AS n_childless,
+                   CAST(count(*) FILTER (WHERE lv IS NOT NULL
+                                         AND lv <> hv) AS BIGINT)
+                       AS n_mismatched,
+                   CAST(coalesce(sum(abs(hv - lv))
+                                 FILTER (WHERE lv IS NOT NULL), 0)
+                        AS BIGINT) AS abs_delta_total
+            FROM o GROUP BY 1
         """,
     }

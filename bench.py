@@ -604,6 +604,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_refund_matching",
         "embedding_label_source",
         "rel_brand_naming",
+        "events_simultaneity",
+        "embedding_selection_bias",
+        "rel_reconciliation_drift",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -17249,3 +17249,153 @@ def events_refund_matching(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_simultaneity(sf_dir: str) -> Dataset:
+    """E178: simultaneity matrix — for every source pair (i < j), the
+    number of DISTINCT (user, minute) cells where the same user was
+    active on BOTH sources within the same minute, next to each side's
+    own (user, minute) cell count — the cross-device / automation
+    tell (E57 overlaps lifetime audiences, E159 orders first
+    adoptions, E103 baskets types within a session; E178 demands
+    minute-level co-action: humans alternate apps, scripts fan out —
+    a pair whose simultaneity approaches its audience overlap is one
+    credential driving both feeds at once).  Dense small output
+    (pairs); exact int64 (distinct-cell self-join oracle).
+
+    Scale shape — ONE (user, minute)-hash exchange over distinct
+    (user, minute, source) cells: a cell's sources co-locate, so pair
+    incidences bincount locally (sources² per cell); per-source cell
+    totals ride the same exchange; the k=1 merge sums O(parts ×
+    pairs) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        minute = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 60_000_000
+        )
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([uid, minute, code], axis=1)
+        u = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "um": pa.array(u[:, 0] * (1 << 26) + (u[:, 1] % (1 << 26))),
+                "m": pa.array(u[:, 1]),
+                "u": pa.array(u[:, 0]),
+                "s": pa.array(u[:, 2]),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("i", "j", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        mm = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.stack([uu, mm, ss], axis=1)
+        uk = np.unique(key, axis=0)
+        cu, cm, cs = uk[:, 0], uk[:, 1], uk[:, 2]
+        cell = np.stack([cu, cm], axis=1)
+        _, cidx = np.unique(cell, axis=0, return_inverse=True)
+        order = np.argsort(cidx, kind="stable")
+        cidx_s, cs_s = cidx[order], cs[order]
+        brk = np.empty(len(cidx_s), dtype=bool)
+        brk[0] = True
+        brk[1:] = cidx_s[1:] != cidx_s[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(cidx_s))
+        pair_keys = []
+        for a, b_ in zip(starts, ends):
+            act = cs_s[a:b_]
+            if len(act) > 1:
+                ii, jj = np.meshgrid(act, act, indexing="ij")
+                sel = ii < jj
+                pair_keys.append(ii[sel] * ns + jj[sel])
+        own = np.bincount(cs, minlength=ns).astype(np.int64)
+        keep_own = np.flatnonzero(own)
+        if pair_keys:
+            pk = np.concatenate(pair_keys)
+            cnt = np.bincount(pk, minlength=ns * ns).astype(np.int64)
+            pk_keep = np.flatnonzero(cnt)
+        else:
+            cnt = np.zeros(0, np.int64)
+            pk_keep = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([pk_keep // ns, keep_own]).astype(
+                        np.int64
+                    )
+                ),
+                "j": pa.array(
+                    np.concatenate(
+                        [pk_keep % ns,
+                         np.full(len(keep_own), -1, np.int64)]
+                    )
+                ),
+                "n": pa.array(
+                    np.concatenate([cnt[pk_keep], own[keep_own]]).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        iu, ju = np.triu_indices(ns, k=1)
+        both = np.zeros(len(iu), np.int64)
+        own = np.zeros(ns, np.int64)
+        if t.num_rows:
+            g = t.group_by(["i", "j"], use_threads=False).aggregate(
+                [("n", "sum")]
+            )
+            gi = g["i"].combine_chunks().to_numpy(zero_copy_only=False)
+            gj = g["j"].combine_chunks().to_numpy(zero_copy_only=False)
+            gn = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            ownsel = gj < 0
+            own[gi[ownsel]] = gn[ownsel]
+            psel = ~ownsel
+            if psel.any():
+                pos = np.searchsorted(
+                    iu * ns + ju, gi[psel] * ns + gj[psel]
+                )
+                both[pos] = gn[psel]
+        return pa.table(
+            {
+                "source_i": srcs.take(pa.array(iu, pa.int64())),
+                "source_j": srcs.take(pa.array(ju, pa.int64())),
+                "cells_both": pa.array(both),
+                "cells_i": pa.array(own[iu]),
+                "cells_j": pa.array(own[ju]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "um",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+    return hash_partition_merge(cells, "i", merge, k=1)

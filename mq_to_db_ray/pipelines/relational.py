@@ -16267,3 +16267,157 @@ def brand_naming_matrix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "bb", merge, k=1)
+
+
+def reconciliation_drift(sf_dir: str) -> Dataset:
+    """R112: reconciliation drift board — per order YEAR: orders,
+    CHILDLESS orders, orders whose floored header price differs from
+    the sum of their lines' floored charges
+    floor(extprice·(1−disc)·(1+tax)) (R53's closure rule), and the
+    total absolute delta — the audit TREND (R53 grades the closure per
+    status once; R112 asks whether the books are getting worse: a
+    delta mass rising by year is a loader regression or a schema
+    change mid-history, invisible in the pooled audit).  Dense small
+    output (years); exact int64 (R53's per-line floor rule + year
+    GROUP BY oracle).
+
+    Scale shape — ONE orderkey-hash co-partition: line batches
+    pre-reduce per orderkey to floored-charge sums; orders ride with
+    (year, floored header); the fold differences each order once and
+    collapses IN PLACE to per-year partials; the k=1 merge sums
+    O(parts × years) rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        tx = b["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        charge = np.floor(ep * (1.0 - dc) * (1.0 + tx)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "v": pa.array(charge),
+                "yr": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "yr"], use_threads=False).aggregate(
+            [("v", "sum")]
+        )
+        return g.rename_columns(["k", "yr", "v"])
+
+    def order_cells(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "yr": pa.array(
+                    od.astype("datetime64[us]")
+                    .astype("datetime64[Y]")
+                    .astype(np.int64)
+                    + 1970
+                ),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("yr", "no", "nchild", "nmis", "adelta")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        yrv = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(yrv >= 0))
+        l = t.filter(pa.array(yrv < 0))
+        if o.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        oy = o["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        ov = o["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        lsum = np.zeros(len(ok), np.int64)
+        haslines = np.zeros(len(ok), bool)
+        if l.num_rows:
+            lg = l.group_by("k", use_threads=False).aggregate([("v", "sum")])
+            lk = lg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            lv = lg["v_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            oorder = np.argsort(ok, kind="stable")
+            ok_s = ok[oorder]
+            pos = np.clip(np.searchsorted(ok_s, lk), 0, len(ok_s) - 1)
+            hit = ok_s[pos] == lk
+            np.add.at(lsum, oorder[pos[hit]], lv[hit])
+            haslines[oorder[pos[hit]]] = True
+        delta = np.abs(ov - lsum)
+        u, idx = np.unique(oy, return_inverse=True)
+        no = np.bincount(idx).astype(np.int64)
+        nchild = np.zeros(len(u), np.int64)
+        np.add.at(nchild, idx, (~haslines).astype(np.int64))
+        mism = haslines & (delta != 0)
+        nmis = np.zeros(len(u), np.int64)
+        np.add.at(nmis, idx, mism.astype(np.int64))
+        ad = np.zeros(len(u), np.int64)
+        np.add.at(ad, idx, np.where(haslines, delta, 0))
+        return pa.table(
+            {
+                "yr": pa.array(u),
+                "no": pa.array(no),
+                "nchild": pa.array(nchild),
+                "nmis": pa.array(nmis),
+                "adelta": pa.array(ad),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "order_year",
+            "n_orders",
+            "n_childless",
+            "n_mismatched",
+            "abs_delta_total",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("no", "sum"), ("nchild", "sum"), ("nmis", "sum"),
+             ("adelta", "sum")]
+        )
+        return pa.table(
+            {
+                "order_year": pc.cast(g["yr"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "n_childless": pc.cast(g["nchild_sum"], pa.int64()),
+                "n_mismatched": pc.cast(g["nmis_sum"], pa.int64()),
+                "abs_delta_total": pc.cast(g["adelta_sum"], pa.int64()),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ords.map_batches(
+            order_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "yr", merge, k=1)

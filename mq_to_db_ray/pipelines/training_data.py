@@ -18200,3 +18200,146 @@ def label_source_matrix(sf_dir: str) -> Dataset:
         k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
     )
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def embedding_selection_bias(
+    sf_dir: str,
+    *,
+    eval_max_doc_id: int = 10,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_dup_permille: int = 600,
+    max_top_permille: int = 130,
+    min_stop_permille: int = 20,
+) -> Dataset:
+    """T185: embedding selection-bias board — split the documents
+    table by whether a vector exists for the doc (vec_id = doc_id)
+    and, per side: docs and docs passing ALL five T29 quality
+    predicates — is the embedded subset quality-biased?  (T162 counts
+    the linkage, T184 its label composition; T185 asks the curation
+    question: if embedded docs pass quality at a different rate than
+    the unembedded tail, every embedding-driven dedup/retrieval
+    decision inherits that skew — measure it before trusting
+    SemDeDup's survivors.)  Two dense rows ALWAYS.  Exact int64 (the
+    T149 predicate CTEs + linkage LEFT JOIN oracle; same
+    `_quality_features` kernel, so the boards reconcile).
+
+    Scale shape — membership rides an id-hash co-partition (the T162
+    exchange) back to the quality pass as per-doc bits settled into
+    (doc-block) partials... implemented as: quality flags stream per
+    batch; each batch's doc ids probe the embedding id set via the
+    SAME id-hash exchange (docs and vec_ids union-tagged), so the
+    joined (linked, pass) counters collapse in partition; the k=1
+    merge sums O(parts × 2) rows."""
+    import ray
+
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+
+    def doc_cells(batch: pa.Table) -> pa.Table:
+        n_words, dup, topf, stopf, lang_en, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        ok = (
+            lang_en
+            & (n_words >= min_words)
+            & (n_words <= max_words)
+            & (dup <= max_dup_permille)
+            & (topf <= max_top_permille)
+            & (stopf >= min_stop_permille)
+            & (hits == 0)
+        )
+        return pa.table(
+            {
+                "id": pc.cast(batch["doc_id"], pa.int64()),
+                "isdoc": pa.array(np.ones(batch.num_rows, np.int64)),
+                "ok": pa.array(ok.astype(np.int64)),
+            }
+        )
+
+    def vec_cells(b: pa.Table) -> pa.Table:
+        vid = np.unique(
+            pc.cast(b["vec_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(vid)
+        return pa.table(
+            {
+                "id": pa.array(vid, pa.int64()),
+                "isdoc": pa.array(np.zeros(n, np.int64)),
+                "ok": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("lk", "nd", "npass")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        isdoc = t["isdoc"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t.filter(pa.array(isdoc == 1))
+        v = t.filter(pa.array(isdoc == 0))
+        if d.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        did = d["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dok = d["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        vid = np.unique(
+            v["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        pos = (
+            np.clip(np.searchsorted(vid, did), 0, max(len(vid) - 1, 0))
+            if len(vid)
+            else np.zeros(len(did), np.int64)
+        )
+        linked = (
+            (vid[pos] == did) if len(vid) else np.zeros(len(did), bool)
+        ).astype(np.int64)
+        nd = np.zeros(2, np.int64)
+        np.add.at(nd, linked, 1)
+        npass = np.zeros(2, np.int64)
+        np.add.at(npass, linked, dok)
+        return pa.table(
+            {
+                "lk": pa.array(np.array([0, 1], np.int64)),
+                "nd": pa.array(nd),
+                "npass": pa.array(npass),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("linked", "n_docs", "n_pass_all", "pass_permille")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("lk", use_threads=False).aggregate(
+            [("nd", "sum"), ("npass", "sum")]
+        )
+        lk = g["lk"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        np_ = g["npass_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = nd > 0
+        lk, nd, np_ = lk[keep], nd[keep], np_[keep]
+        order = np.argsort(lk)
+        lk, nd, np_ = lk[order], nd[order], np_[order]
+        return pa.table(
+            {
+                "linked": pa.array(lk, pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_pass_all": pa.array(np_, pa.int64()),
+                "pass_permille": pa.array(
+                    1000 * np_ // np.maximum(nd, 1), pa.int64()
+                ),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
+        doc_cells, batch_format="pyarrow"
+    )
+    vecs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(vec_cells, batch_format="pyarrow", zero_copy_batch=True)
+    cells = hash_partition_merge(
+        docs.union(vecs), "id", fold,
+        k=adaptive_width(f"{sf_dir}/documents.parquet", 25_000),
+    )
+    return hash_partition_merge(cells, "lk", merge, k=1)
