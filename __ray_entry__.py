@@ -979,6 +979,12 @@ def _q_events_simultaneity(sf_dir: str):
     return events_simultaneity(sf_dir)
 
 
+def _q_events_amount_mode(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_amount_mode
+
+    return events_amount_mode(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1904,6 +1910,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_simultaneity": _q_events_simultaneity,
         "embedding_selection_bias": td.embedding_selection_bias,
         "rel_reconciliation_drift": rel.reconciliation_drift,
+        "events_amount_mode": _q_events_amount_mode,
+        "doc_bigram_diversity": td.bigram_diversity,
+        "rel_line_order_coherence": rel.line_order_coherence,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10045,5 +10054,69 @@ def oracle_sql() -> dict[str, str]:
                                  FILTER (WHERE lv IS NOT NULL), 0)
                         AS BIGINT) AS abs_delta_total
             FROM o GROUP BY 1
+        """,
+        "events_amount_mode": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ne
+                         FROM c GROUP BY 1),
+                 m AS (SELECT source, cents, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC,
+                                                          cents ASC) AS rn
+                       FROM c)
+            SELECT m.source,
+                   tot.ne AS n_events,
+                   m.cents AS modal_cents,
+                   m.n AS modal_count,
+                   CAST(1000 * m.n // tot.ne AS BIGINT)
+                       AS modal_permille
+            FROM m JOIN tot ON tot.source = m.source
+            WHERE m.rn = 1
+        """,
+        "doc_bigram_diversity": """
+            WITH w AS (SELECT source, doc_id,
+                              unnest(str_split(text, ' ')) AS word,
+                              generate_subscripts(str_split(text, ' '), 1)
+                                  AS pos
+                       FROM documents),
+                 l AS (SELECT source, doc_id, word AS b,
+                              lag(word) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS a
+                       FROM w),
+                 bg AS (SELECT source, a, b,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM l WHERE a IS NOT NULL GROUP BY 1, 2, 3)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                   CAST(1000 * count(*) // greatest(sum(n), 1) AS BIGINT)
+                       AS diversity_permille
+            FROM bg GROUP BY 1
+        """,
+        "rel_line_order_coherence": """
+            WITH w AS (SELECT l_orderkey,
+                              epoch_us(l_shipdate) // 86400000000 AS d,
+                              lag(epoch_us(l_shipdate) // 86400000000)
+                                  OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber,
+                                                 epoch_us(l_shipdate)
+                                                 // 86400000000) AS pd
+                       FROM lineitem),
+                 o AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(count(pd) AS BIGINT) AS np_,
+                              CAST(count(*) FILTER (WHERE d < pd)
+                                   AS BIGINT) AS ninv
+                       FROM w GROUP BY 1)
+            SELECT CAST(count(*) FILTER (WHERE nl > 1) AS BIGINT)
+                       AS n_multi_orders,
+                   CAST(count(*) FILTER (WHERE nl > 1 AND ninv = 0)
+                        AS BIGINT) AS n_coherent_orders,
+                   CAST(sum(np_) AS BIGINT) AS n_pairs,
+                   CAST(sum(ninv) AS BIGINT) AS n_inversions
+            FROM o
         """,
     }

@@ -607,6 +607,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_simultaneity",
         "embedding_selection_bias",
         "rel_reconciliation_drift",
+        "events_amount_mode",
+        "doc_bigram_diversity",
+        "rel_line_order_coherence",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -17399,3 +17399,132 @@ def events_simultaneity(sf_dir: str) -> Dataset:
         k=_adaptive_k(sf_dir),
     )
     return hash_partition_merge(cells, "i", merge, k=1)
+
+
+def events_amount_mode(sf_dir: str) -> Dataset:
+    """E179: amount-mode board — per source: events, the single most
+    common EXACT cent amount (ties → smallest), its count, and its
+    permille — the price-point detector (E132 audits the last DIGIT,
+    E146 fences outliers, E172 trends the median; E179 asks whether
+    one amount dominates: a fat modal permille is a fixed fee, a
+    default quantity, or a stuck sensor emitting one reading — none
+    of which a distribution summary shows).  One dense row per source
+    ALWAYS; exact int64 (two-level GROUP BY + argmax oracle, ties to
+    the smallest amount).
+
+    Scale shape — the value domain is the distinct amount inventory:
+    batches reduce to (source, cents, n) cells; ONE (source,
+    amount)-hash exchange settles each amount's count and keeps only
+    its partition's per-source best (a partition loser cannot win);
+    the k=1 merge argmaxes O(parts × sources) candidates."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        key = np.stack([code, cents], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "sc": pa.array(u[:, 0] * (1 << 42) + (u[:, 1] + (1 << 41))),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "cents", "cnt", "tot")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sc", use_threads=False).aggregate([("n", "sum")])
+        sc = g["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sc >> 42
+        cents = (sc & ((1 << 42) - 1)) - (1 << 41)
+        order = np.lexsort((cents, -n, s))
+        first = np.empty(len(order), dtype=bool)
+        s_s = s[order]
+        first[0] = True
+        first[1:] = s_s[1:] != s_s[:-1]
+        sel = order[first]
+        tot = np.zeros(ns, np.int64)
+        np.add.at(tot, s, n)
+        keep = np.flatnonzero(tot)
+        best = np.full(ns, -1, np.int64)
+        bestc = np.zeros(ns, np.int64)
+        best[s[sel]] = cents[sel]
+        bestc[s[sel]] = n[sel]
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "cents": pa.array(best[keep]),
+                "cnt": pa.array(bestc[keep]),
+                "tot": pa.array(tot[keep]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "sc",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_events",
+            "modal_cents",
+            "modal_count",
+            "modal_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = t["tot"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, -cnt, ss))
+        first = np.empty(len(order), dtype=bool)
+        ss_s = ss[order]
+        first[0] = True
+        first[1:] = ss_s[1:] != ss_s[:-1]
+        sel = order[first]
+        ntot = np.zeros(ns, np.int64)
+        np.add.at(ntot, ss, tot)
+        o2 = np.argsort(ss[sel])
+        sel = sel[o2]
+        ssel = ss[sel]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ssel, pa.int64())),
+                "n_events": pa.array(ntot[ssel], pa.int64()),
+                "modal_cents": pa.array(cents[sel], pa.int64()),
+                "modal_count": pa.array(cnt[sel], pa.int64()),
+                "modal_permille": pa.array(
+                    1000 * cnt[sel] // ntot[ssel], pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

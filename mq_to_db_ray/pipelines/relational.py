@@ -16421,3 +16421,101 @@ def reconciliation_drift(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "yr", merge, k=1)
+
+
+def line_order_coherence(sf_dir: str) -> Dataset:
+    """R113: line-order coherence audit — within each multi-line
+    order, walk the lines in l_linenumber order and count adjacent
+    pairs whose ship date RETREATS: multi-line orders, fully coherent
+    orders (no retreat), adjacent pairs, and inversions — does the
+    line sequence mean anything operationally?  (R84 audits the
+    linenumber VALUES for density, R57 spreads the ship dates; R113
+    crosses them: if linenumbers were assigned in fulfillment order,
+    inversions ≈ 0 and "first line" heuristics are safe; a ~500‰
+    inversion rate means the sequence is entry order only — E147's
+    clock-vs-sequence discipline inside the order.)  ONE dense row
+    ALWAYS; exact int64 (lag-over-linenumber oracle).
+
+    Scale shape — ONE orderkey-hash exchange of narrow (okey, lineno,
+    ship-day) rows: each partition lexsorts its complete orders once,
+    adjacent same-order pairs classify in place; the k=1 merge sums
+    O(parts) counter rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "ln": pc.cast(b["l_linenumber"], pa.int64()),
+                "d": pa.array(sd // 86_400_000_000, pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("g", "nmo", "ncoh", "np_", "ninv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = t["ln"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, ln, k))
+        ks, ds_ = k[order], d[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pd_ = np.empty(n, dtype=np.int64)
+        pd_[0] = 0
+        pd_[1:] = ds_[:-1]
+        inv = has_prev & (ds_ < pd_)
+        u, idx = np.unique(ks, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        ninv_o = np.zeros(len(u), np.int64)
+        np.add.at(ninv_o, idx, inv.astype(np.int64))
+        multi = nl > 1
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "nmo": pa.array([int(multi.sum())], pa.int64()),
+                "ncoh": pa.array(
+                    [int((multi & (ninv_o == 0)).sum())], pa.int64()
+                ),
+                "np_": pa.array([int((nl[multi] - 1).sum())], pa.int64()),
+                "ninv": pa.array([int(ninv_o.sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_multi_orders",
+            "n_coherent_orders",
+            "n_pairs",
+            "n_inversions",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("nmo", "ncoh", "np_", "ninv")
+        return pa.table(
+            {
+                name: pa.array([int(pc.sum(t[c]).as_py())], pa.int64())
+                for name, c in zip(out, src)
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "k",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "g", merge, k=1)

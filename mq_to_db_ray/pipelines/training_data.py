@@ -18343,3 +18343,147 @@ def embedding_selection_bias(
         k=adaptive_width(f"{sf_dir}/documents.parquet", 25_000),
     )
     return hash_partition_merge(cells, "lk", merge, k=1)
+
+
+def bigram_diversity(sf_dir: str) -> Dataset:
+    """T186: bigram-diversity board — per source: within-doc word
+    bigram occurrences, DISTINCT bigram types, and the type-token
+    permille — lexical diversity at order two (T40 measures unigram
+    TTR, T114 ranks the strongest collocations, T31 the heaviest
+    bigrams; T186 gives the breadth number: templated text reuses the
+    same transitions — low permille — while natural prose keeps
+    minting new ones, and the ratio between a source's unigram and
+    bigram diversities is the phrase-template signal).  One dense row
+    per source ALWAYS; exact int64 (bigram CTE + COUNT DISTINCT
+    oracle; exact word-pair strings decide identity — the pair hash
+    only routes, T118's convention).
+
+    Scale shape — ONE bigram-hash exchange over pre-reduced (bigram,
+    source, n) cells: a bigram's cells co-locate, so per-source
+    distinct counts sum exactly across partitions; the k=1 merge sums
+    O(parts × sources) rows."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(parent)
+        if n < 2:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "src": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = parent[1:] == parent[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(same))
+        w2 = flat.slice(1, n - 1).filter(pa.array(same))
+        psrc = code[parent[1:][same]]
+        t = pa.table(
+            {
+                "a": w1,
+                "b": w2,
+                "src": pa.array(psrc, pa.int64()),
+                "n": pa.array(np.ones(len(w1), np.int64)),
+            }
+        )
+        g = t.group_by(["a", "b", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["a", "b", "src", "n"])
+        df = pl.from_arrow(g.select(["a", "b"]))
+        hs = (
+            df.select(
+                (pl.col("a") + "\x1f" + pl.col("b")).hash(seed=54).alias("h")
+            )["h"]
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "a": g["a"],
+                "b": g["b"],
+                "src": g["src"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "occ", "nt")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["a", "b", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["a", "b", "src", "n"])
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        occ = np.zeros(ns, np.int64)
+        np.add.at(occ, src, n)
+        nt = np.bincount(src, minlength=ns).astype(np.int64)
+        keep = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "occ": pa.array(occ[keep]),
+                "nt": pa.array(nt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            "diversity_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("occ", "sum"), ("nt", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        occ = g["occ_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = g["nt_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        ss, occ, nt = ss[order], occ[order], nt[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_bigrams": pa.array(occ, pa.int64()),
+                "n_distinct_bigrams": pa.array(nt, pa.int64()),
+                "diversity_permille": pa.array(
+                    1000 * nt // np.maximum(occ, 1), pa.int64()
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "s", merge, k=1)
