@@ -985,6 +985,12 @@ def _q_events_amount_mode(sf_dir: str):
     return events_amount_mode(sf_dir)
 
 
+def _q_events_value_band_markov(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_band_markov
+
+    return events_value_band_markov(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1913,6 +1919,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_amount_mode": _q_events_amount_mode,
         "doc_bigram_diversity": td.bigram_diversity,
         "rel_line_order_coherence": rel.line_order_coherence,
+        "events_value_band_markov": _q_events_value_band_markov,
+        "f1_frame_bands": lambda sf_dir: td.tape_frame_bands(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_segment_weekday": rel.segment_weekday_matrix,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10118,5 +10129,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(np_) AS BIGINT) AS n_pairs,
                    CAST(sum(ninv) AS BIGINT) AS n_inversions
             FROM o
+        """,
+        "events_value_band_markov": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 b AS (SELECT source, t, event_id,
+                              CASE WHEN cents < 0 THEN -1
+                                   WHEN cents = 0 THEN 0
+                                   ELSE length(bin(cents))
+                              END AS band
+                       FROM c),
+                 w AS (SELECT source, band,
+                              lag(band) OVER (PARTITION BY source
+                                              ORDER BY t, event_id, band)
+                                  AS pband
+                       FROM b)
+            SELECT source,
+                   CAST(pband AS BIGINT) AS from_band,
+                   CAST(band AS BIGINT) AS to_band,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM w WHERE pband IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        "f1_frame_bands": """
+            WITH x AS (SELECT source,
+                              CAST(tokens[1] AS BIGINT) AS f,
+                              CAST(tokens[len(tokens)] AS BIGINT) AS l
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
+                       WHERE len(tokens) > 0)
+            SELECT source,
+                   CAST(CASE WHEN f <= 0 THEN 0
+                             ELSE length(bin(f)) END AS BIGINT)
+                       AS first_band,
+                   CAST(CASE WHEN l <= 0 THEN 0
+                             ELSE length(bin(l)) END AS BIGINT)
+                       AS last_band,
+                   CAST(count(*) AS BIGINT) AS n_seqs
+            FROM x GROUP BY 1, 2, 3
+        """,
+        "rel_segment_weekday": """
+            WITH j AS (SELECT c.c_mktsegment AS seg,
+                              (epoch_us(o.o_orderdate) // 86400000000 + 3)
+                                  % 7 AS dow,
+                              CAST(floor(o.o_totalprice) AS BIGINT) AS v
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey)
+            SELECT seg AS c_mktsegment,
+                   CAST(dow AS BIGINT) AS order_dow,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(v) AS BIGINT) AS value_floor
+            FROM j GROUP BY 1, 2
         """,
     }

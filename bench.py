@@ -610,6 +610,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_amount_mode",
         "doc_bigram_diversity",
         "rel_line_order_coherence",
+        "events_value_band_markov",
+        "f1_frame_bands",
+        "rel_segment_weekday",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -17528,3 +17528,132 @@ def events_amount_mode(sf_dir: str) -> Dataset:
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_value_band_markov(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E180: value-band transition matrix — per source, band each
+    event's payload (−1 = negative cents, else the bit length of the
+    cent amount, 0 = zero) and count adjacent-event band transitions
+    in (ts, event_id) order — the payload REGIME-SWITCHING read (E148
+    gives the minute-LOAD Markov, E161 the exact lag-1 covariance,
+    E170 sign runs; E180 shows the magnitude grammar: a diagonal-heavy
+    matrix is a stable tariff, off-diagonal bands are mixed traffic
+    classes sharing one stream, and a −1 column that only follows the
+    big bands is refunds chasing big charges).  Sparse exact output
+    (source, from_band, to_band, n); int64 (sign/bin-length + lag
+    oracle; ties break by (event_id, band)).
+
+    Scale shape — E147's carried-prefix pair machinery with v = the
+    band: two narrow carry exchanges, one lexsort + one shifted
+    compare per (source, ts-window) partition, (s, from, to) cells
+    bincount in place and fold k=1."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    NB = 44  # bands -1..42 shifted by +1 -> 0..43
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        powers2 = np.int64(1) << np.arange(1, 42)
+        band = np.where(
+            cents < 0,
+            -1,
+            np.where(
+                cents == 0,
+                0,
+                np.searchsorted(powers2, cents, side="right") + 1,
+            ),
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(band, pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "fb", "tb", "n")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t_["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, vv, oo, tt, kk))
+        ks, vs, crs = kk[order], vv[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pv = np.empty(n, dtype=np.int64)
+        pv[0] = 0
+        pv[1:] = vs[:-1]
+        pair = has_prev & ~crs
+        key = (ks[pair] * NB + pv[pair] + 1) * NB + vs[pair] + 1
+        cnt = np.bincount(key, minlength=ns * NB * NB).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // (NB * NB)),
+                "fb": pa.array((keep // NB) % NB - 1),
+                "tb": pa.array(keep % NB - 1),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "from_band": pa.array([], pa.int64()),
+                    "to_band": pa.array([], pa.int64()),
+                    "n_transitions": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "fb", "tb"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "from_band": pc.cast(g["fb"], pa.int64()),
+                "to_band": pc.cast(g["tb"], pa.int64()),
+                "n_transitions": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

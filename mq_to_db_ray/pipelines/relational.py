@@ -16519,3 +16519,145 @@ def line_order_coherence(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def segment_weekday_matrix(sf_dir: str) -> Dataset:
+    """R114: segment weekday matrix — per (market segment, order
+    weekday): orders and floored value — WHO drives each day's demand
+    (R73 profiles the weekday wheel for everyone at once, R94 scores
+    individual weekday loyalty, R43 crosses segment with priority;
+    R114 decomposes the wheel by segment: a BUILDING hump on weekdays
+    against a HOUSEHOLD weekend is two businesses sharing one order
+    book, and staffing/promo calendars split exactly along this
+    matrix).  Dense small output (segments × 7); exact int64 (join +
+    (epoch-day+3)%7 + GROUP BY oracle — R89's weekday convention).
+
+    Scale shape — R88's ONE custkey-hash co-partition with the
+    weekday riding the order side; cells fold in place; the k=1 merge
+    sums O(parts × segments × 7) rows."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nseg = len(segs)
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "dow": pa.array(
+                    (od // 86_400_000_000 + 3) % 7, pa.int64()
+                ),
+                "v": pa.array(
+                    np.floor(
+                        b["o_totalprice"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "seg": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "dow": pa.array(np.zeros(n, np.int64)),
+                "v": pa.array(np.zeros(n, np.int64)),
+                "seg": pc.cast(
+                    pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("cell", "no", "sv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        segv = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_cust = segv >= 0
+        c = t.filter(pa.array(is_cust))
+        o = t.filter(pa.array(~is_cust))
+        if c.num_rows == 0 or o.num_rows == 0:
+            return pa.table({c2: pa.array([], pa.int64()) for c2 in cols})
+        ck = c["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        corder = np.argsort(ck, kind="stable")
+        ck_s = ck[corder]
+        cseg = c["seg"].combine_chunks().to_numpy(zero_copy_only=False)[
+            corder
+        ]
+        ok = o["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck_s, ok), 0, len(ck_s) - 1)
+        hit = ck_s[pos] == ok
+        seg = cseg[pos][hit]
+        dow = o["dow"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        v = o["v"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        key = seg * 7 + dow
+        no = np.bincount(key, minlength=nseg * 7).astype(np.int64)
+        sv = np.zeros(nseg * 7, np.int64)
+        np.add.at(sv, key, v)
+        keep = np.flatnonzero(no)
+        return pa.table(
+            {
+                "cell": pa.array(keep),
+                "no": pa.array(no[keep]),
+                "sv": pa.array(sv[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("c_mktsegment", "order_dow", "n_orders", "value_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate(
+            [("no", "sum"), ("sv", "sum")]
+        )
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_mktsegment": segs.take(pa.array(cell // 7, pa.int64())),
+                "order_dow": pa.array(cell % 7, pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "value_floor": pc.cast(g["sv_sum"], pa.int64()),
+            }
+        )
+
+    tagged = ords.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        cust.map_batches(
+            cust_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -18487,3 +18487,98 @@ def bigram_diversity(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "s", merge, k=1)
+
+
+def tape_frame_bands(sf_dir: str) -> Dataset:
+    """T187/F: tape frame-band matrix — per source, cross the bit-length
+    band of each sequence's FIRST token id with its LAST token's and
+    count sequences per cell (empty sequences excluded) — the framing
+    structure read (T141 audits specific boundary ids for packing,
+    T164 the id JUMP across boundaries, T132 the opener vocabulary;
+    T187 asks whether sequences are framed at all: structured records
+    open with low reserved ids and close in a narrow band — a tight
+    corner cell — while free text scatters the whole grid).  Dense
+    small output; exact int64 (list-index + bin-length GROUP BY
+    oracle; true ids).
+
+    Scale shape — ZERO wide exchange: one flatten + offset gather per
+    batch yields first/last ids; one bincount to (source, cell)
+    partials; the k=1 merge sums them."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(rd.read_parquet(files, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+    NB = 34  # bands 0..33 (id 0 -> band 0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = (
+            pc.cast(pc.list_value_length(toks), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = lens > 0
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        first = flat[offs[:-1][keep]]
+        last = flat[offs[1:][keep] - 1]
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )[keep]
+        powers2 = np.int64(1) << np.arange(1, 33)
+        fb = np.where(
+            first <= 0, 0, np.searchsorted(powers2, first, side="right") + 1
+        )
+        lb = np.where(
+            last <= 0, 0, np.searchsorted(powers2, last, side="right") + 1
+        )
+        key = (code * NB + fb) * NB + lb
+        cnt = np.bincount(key, minlength=ns * NB * NB).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(nz // (NB * NB)),
+                "fb": pa.array((nz // NB) % NB),
+                "lb": pa.array(nz % NB),
+                "n": pa.array(cnt[nz]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "first_band": pa.array([], pa.int64()),
+                    "last_band": pa.array([], pa.int64()),
+                    "n_seqs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "fb", "lb"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "first_band": pc.cast(g["fb"], pa.int64()),
+                "last_band": pc.cast(g["lb"], pa.int64()),
+                "n_seqs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
