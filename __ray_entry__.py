@@ -991,6 +991,12 @@ def _q_events_value_band_markov(sf_dir: str):
     return events_value_band_markov(sf_dir)
 
 
+def _q_events_weekpart_value(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_weekpart_value
+
+    return events_weekpart_value(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1924,6 +1930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _f1_oracle_dir(sf_dir)
         ),
         "rel_segment_weekday": rel.segment_weekday_matrix,
+        "events_weekpart_value": _q_events_weekpart_value,
+        "doc_word_prefixes": td.word_prefix_spectrum,
+        "rel_activity_intensity": rel.activity_intensity_trend,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10182,5 +10191,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders,
                    CAST(sum(v) AS BIGINT) AS value_floor
             FROM j GROUP BY 1, 2
+        """,
+        "events_weekpart_value": """
+            WITH e AS (SELECT event_type AS source,
+                              CASE WHEN (epoch_us(ts) // 86400000000 + 3)
+                                        % 7 >= 5
+                                   THEN 1 ELSE 0 END AS wk,
+                              CAST(floor(value) AS BIGINT) AS v
+                       FROM events),
+                 srcs AS (SELECT DISTINCT source FROM e),
+                 parts AS (SELECT srcs.source, p.wk
+                           FROM srcs, (SELECT unnest([0, 1]) AS wk) p)
+            SELECT parts.source,
+                   CAST(parts.wk AS BIGINT) AS weekend,
+                   CAST(count(e.v) AS BIGINT) AS n_events,
+                   CAST(coalesce(sum(e.v), 0) AS BIGINT) AS sum_v,
+                   CAST(coalesce(sum(e.v * e.v), 0) AS BIGINT)
+                       AS sum_v_sq
+            FROM parts LEFT JOIN e
+                 ON e.source = parts.source AND e.wk = parts.wk
+            GROUP BY 1, 2
+        """,
+        "doc_word_prefixes": """
+            WITH w AS (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+                 f AS (SELECT word, CAST(count(*) AS BIGINT) AS tf
+                       FROM w GROUP BY 1)
+            SELECT left(word, 2) AS prefix,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(tf) AS BIGINT) AS n_occurrences
+            FROM f GROUP BY 1
+        """,
+        "rel_activity_intensity": """
+            WITH o AS (SELECT CAST(extract(year FROM o_orderdate)
+                                   AS BIGINT) AS yr,
+                              o_custkey
+                       FROM orders)
+            SELECT yr AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_active_customers,
+                   CAST(1000 * count(*)
+                        // greatest(count(DISTINCT o_custkey), 1)
+                        AS BIGINT) AS orders_per_k
+            FROM o GROUP BY 1
         """,
     }

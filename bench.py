@@ -613,6 +613,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_band_markov",
         "f1_frame_bands",
         "rel_segment_weekday",
+        "events_weekpart_value",
+        "doc_word_prefixes",
+        "rel_activity_intensity",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

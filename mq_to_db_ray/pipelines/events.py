@@ -17657,3 +17657,90 @@ def events_value_band_markov(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_weekpart_value(sf_dir: str) -> Dataset:
+    """E181: weekpart value split — per (source, weekpart): events,
+    Σv, Σv² with v = floored payload and weekpart 0 = Mon–Fri,
+    1 = Sat/Sun — does the money keep office hours?  (E143 splits the
+    AUDIENCE by weekpart, E112 the event counts, E151 clocks value by
+    hour; E181 is the weekend-premium ledger: mean and variance per
+    part divide out, and a weekend mean above the weekday one on a
+    retail feed is leisure demand — on a B2B feed it is batch jobs
+    wearing a sales mask).  Two dense rows per source ALWAYS (zeroed
+    when empty).  Exact int64 ((epoch-day+3)%7 weekday convention +
+    FILTER sums oracle).
+
+    Scale shape — ZERO wide exchange: one modulo + compare + three
+    bincounts per batch to (source, part) cells; O(batches × sources
+    × 2) partials ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dow = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+            + 3
+        ) % 7
+        wk = (dow >= 5).astype(np.int64)
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key = code * 2 + wk
+        ne = np.bincount(key, minlength=ns * 2).astype(np.int64)
+        sv = np.zeros(ns * 2, np.int64)
+        np.add.at(sv, key, v)
+        svv = np.zeros(ns * 2, np.int64)
+        np.add.at(svv, key, v * v)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns * 2, dtype=np.int64) // 2),
+                "wk": pa.array(np.arange(ns * 2, dtype=np.int64) % 2),
+                "ne": pa.array(ne),
+                "sv": pa.array(sv),
+                "svv": pa.array(svv),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "weekend", "n_events", "sum_v", "sum_v_sq")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["s", "wk"], use_threads=False).aggregate(
+            [("ne", "sum"), ("sv", "sum"), ("svv", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "weekend": pc.cast(g["wk"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+                "sum_v": pc.cast(g["sv_sum"], pa.int64()),
+                "sum_v_sq": pc.cast(g["svv_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

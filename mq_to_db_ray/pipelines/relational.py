@@ -16661,3 +16661,94 @@ def segment_weekday_matrix(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def activity_intensity_trend(sf_dir: str) -> Dataset:
+    """R115: activity-intensity trend — per order YEAR: orders, ACTIVE
+    customers (≥1 order), and orders per thousand actives — growth
+    decomposed into breadth × intensity (R24 counts monthly actives,
+    R25 the order book's YoY; R115 divides them: a book growing on
+    flat actives is the same base ordering harder — retention
+    economics — while actives growing on flat intensity is
+    acquisition; the two need opposite investments).  Dense small
+    output (years); exact int64 (COUNT DISTINCT + GROUP BY oracle).
+
+    Scale shape — ONE (year, custkey)-hash exchange over distinct
+    cells (batches pre-reduce with one np.unique and carry order
+    counts): a (year, customer)'s cells co-locate, so distinct actives
+    sum exactly; the k=1 merge sums O(parts × years) rows."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            od.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        ck = (
+            pc.cast(b["o_custkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([yr, ck], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "yc": pa.array(u[:, 0] * (1 << 40) + u[:, 1]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("yr", "no", "nc")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("yc", use_threads=False).aggregate([("n", "sum")])
+        yc = g["yc"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = yc >> 40
+        u, idx = np.unique(yr, return_inverse=True)
+        no = np.zeros(len(u), np.int64)
+        np.add.at(no, idx, n)
+        nc = np.bincount(idx).astype(np.int64)
+        return pa.table(
+            {"yr": pa.array(u), "no": pa.array(no), "nc": pa.array(nc)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("order_year", "n_orders", "n_active_customers",
+               "orders_per_k")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("no", "sum"), ("nc", "sum")]
+        )
+        yr = g["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        no = g["no_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nc = g["nc_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "order_year": pa.array(yr, pa.int64()),
+                "n_orders": pa.array(no, pa.int64()),
+                "n_active_customers": pa.array(nc, pa.int64()),
+                "orders_per_k": pa.array(
+                    1000 * no // np.maximum(nc, 1), pa.int64()
+                ),
+            }
+        )
+
+    cells = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "yc", fold, k=_rel_k(sf_dir, "orders"))
+    return hash_partition_merge(folded, "yr", merge, k=1)

@@ -18582,3 +18582,105 @@ def tape_frame_bands(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def word_prefix_spectrum(sf_dir: str, prefix_chars: int = 2) -> Dataset:
+    """T188: word-prefix spectrum — group the DISTINCT vocabulary by
+    its FIRST ``prefix_chars`` characters and count word types and
+    occurrence mass per prefix — derivational morphology's side of the
+    T178 pair (T178 reads inflection off the suffixes; T188 reads
+    derivation off the prefixes: un-/re-/de- mass in English, and the
+    joint prefix/suffix budget is exactly what a BPE merge table
+    spends first — while an id-soup corpus flattens both spectra).
+    Short words group by their whole form.  Dense small output; exact
+    int64 (left(word, k) GROUP BY over the df CTE oracle; the exact
+    word decides identity — hash only routes).
+
+    Scale shape — T178's ONE word-hash exchange verbatim, with a
+    left-slice instead of the reverse∘slice∘reverse; per-prefix cells
+    are alphabet-bounded and fold k=1."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        t = pa.table(
+            {"w": flat, "n": pa.array(np.ones(len(flat), np.int64))}
+        )
+        g = t.group_by("w", use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["w", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=55)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "nw": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("w", use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["w", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        pref = pc.utf8_slice_codeunits(wcol, 0, prefix_chars)
+        t2 = pa.table(
+            {
+                "prefix": pref,
+                "nw": pa.array(np.ones(g.num_rows, np.int64)),
+                "occ": g["n"],
+            }
+        )
+        g2 = t2.group_by("prefix", use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
+        )
+        g2 = g2.rename_columns(["prefix", "nw", "occ"])
+        return g2.append_column(
+            "g", pa.array(np.zeros(g2.num_rows, np.int64))
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                }
+            )
+        t = t.drop_columns(["g"]) if "g" in t.column_names else t
+        g = t.group_by("prefix", use_threads=False).aggregate(
+            [("nw", "sum"), ("occ", "sum")]
+        )
+        return pa.table(
+            {
+                "prefix": g["prefix"],
+                "n_words": pc.cast(g["nw_sum"], pa.int64()),
+                "n_occurrences": pc.cast(g["occ_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
+    return hash_partition_merge(folded, "g", merge, k=1)
