@@ -997,6 +997,12 @@ def _q_events_weekpart_value(sf_dir: str):
     return events_weekpart_value(sf_dir)
 
 
+def _q_events_price_habit(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_price_habit
+
+    return events_price_habit(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1933,6 +1939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekpart_value": _q_events_weekpart_value,
         "doc_word_prefixes": td.word_prefix_spectrum,
         "rel_activity_intensity": rel.activity_intensity_trend,
+        "events_price_habit": _q_events_price_habit,
+        "embedding_label_imbalance": td.label_imbalance_spectrum,
+        "rel_supply_geography": rel.supply_geography_trend,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10235,5 +10244,46 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(count(DISTINCT o_custkey), 1)
                         AS BIGINT) AS orders_per_k
             FROM o GROUP BY 1
+        """,
+        "events_price_habit": """
+            WITH c AS (SELECT user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 u AS (SELECT user_id,
+                              CAST(sum(n) AS BIGINT) AS tot,
+                              CAST(max(n) AS BIGINT) AS mx
+                       FROM c GROUP BY 1
+                       HAVING sum(n) > 1)
+            SELECT CAST(1000 * mx // tot // 100 AS BIGINT) AS habit_band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(tot) AS BIGINT) AS n_events
+            FROM u GROUP BY 1
+        """,
+        "embedding_label_imbalance": """
+            WITH l AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                       FROM embeddings GROUP BY 1)
+            SELECT CAST(length(bin(n)) AS BIGINT) AS size_band,
+                   CAST(count(*) AS BIGINT) AS n_labels,
+                   CAST(sum(n) AS BIGINT) AS n_vectors
+            FROM l GROUP BY 1
+        """,
+        "rel_supply_geography": """
+            WITH j AS (SELECT n.n_name AS nation,
+                              CAST(extract(year FROM l.l_shipdate)
+                                   AS BIGINT) AS yr,
+                              CAST(floor(l.l_quantity) AS BIGINT) AS qty,
+                              CAST(floor(l.l_extendedprice
+                                         * (1 - l.l_discount)) AS BIGINT)
+                                  AS rev
+                       FROM lineitem l
+                       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       JOIN nation n ON n.n_nationkey = s.s_nationkey)
+            SELECT nation,
+                   yr AS ship_year,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(qty) AS BIGINT) AS qty_floor,
+                   CAST(sum(rev) AS BIGINT) AS revenue_floor
+            FROM j GROUP BY 1, 2
         """,
     }

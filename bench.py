@@ -616,6 +616,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_weekpart_value",
         "doc_word_prefixes",
         "rel_activity_intensity",
+        "events_price_habit",
+        "embedding_label_imbalance",
+        "rel_supply_geography",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

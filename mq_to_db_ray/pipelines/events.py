@@ -17744,3 +17744,97 @@ def events_weekpart_value(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_price_habit(sf_dir: str) -> Dataset:
+    """E182: user price-habit histogram — per user (≥2 events), the
+    share of their events carrying their personal MODAL cent amount,
+    banded by decile (band = 1000·modal/total // 100), counting users
+    and events per band — the per-identity fixed-fee detector (E179
+    finds the SOURCE's dominant amount; E182 asks how many USERS are
+    single-amount creatures: subscription payers and bots band at 10,
+    browsers spread low — and the band-10 population is exactly the
+    recurring-revenue base).  Dense small output (≤10 bands); exact
+    int64 (per-(user, amount) counts + max/total + GROUP BY oracle).
+
+    Scale shape — ONE user-hash exchange over pre-reduced (user,
+    cents, n) cells: a user's cells co-locate, so the modal share
+    settles locally and bincounts IN PLACE; the k=1 merge sums
+    O(parts × 10) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        key = np.stack([uid, cents], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(u[:, 0].astype(np.int64)),
+                "c": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nu", "ne")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["u", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        uu = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(uu, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, idx, n)
+        mx = np.zeros(len(u), np.int64)
+        np.maximum.at(mx, idx, n)
+        keep = tot > 1
+        tot, mx = tot[keep], mx[keep]
+        band = 1000 * mx // tot // 100
+        ub, bidx = np.unique(band, return_inverse=True)
+        nu = np.bincount(bidx).astype(np.int64)
+        ne = np.zeros(len(ub), np.int64)
+        np.add.at(ne, bidx, tot)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "nu": pa.array(nu),
+                "ne": pa.array(ne),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("habit_band", "n_users", "n_events")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nu", "sum"), ("ne", "sum")]
+        )
+        return pa.table(
+            {
+                "habit_band": pc.cast(g["band"], pa.int64()),
+                "n_users": pc.cast(g["nu_sum"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(folded, "band", merge, k=1)

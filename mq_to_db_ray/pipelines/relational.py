@@ -16752,3 +16752,164 @@ def activity_intensity_trend(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "yc", fold, k=_rel_k(sf_dir, "orders"))
     return hash_partition_merge(folded, "yr", merge, k=1)
+
+
+def supply_geography_trend(sf_dir: str) -> Dataset:
+    """R116: supply-geography trend — per (supplier nation, ship
+    year): lines, exact quantity, and floored revenue — the
+    supply-side growth ledger pairing R96's demand-side one (R4 rolls
+    supplier revenue to the REGION once, R86 maps nation × brand
+    statically; R116 adds the time axis on the maker's side: a nation
+    whose share of shipped quantity climbs year over year is supply
+    migrating — the sourcing-strategy chart, and the denominator for
+    any "nearshoring" claim).  Dense small output (nations × years);
+    exact int64 (join + extract(year) + GROUP BY oracle).
+
+    Scale shape — ONE suppkey-hash co-partition (R86's hop 1 with the
+    year riding the line cells): line batches pre-reduce per
+    (suppkey, year); the supplier dim rides (suppkey → nationkey);
+    the fold attaches and collapses IN PLACE; names attach from the
+    25-row nation broadcast at the k=1 merge."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    nat_names = pa.array(nat["n_name"].tolist(), pa.string())
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+
+    def line_cells(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        yr = (
+            sd.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_suppkey"], pa.int64()),
+                "yr": pa.array(yr, pa.int64()),
+                "nat": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "nl": pa.array(np.ones(b.num_rows, np.int64)),
+                "qty": pa.array(
+                    np.floor(
+                        b["l_quantity"]
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                "rev": pa.array(np.floor(ep * (1.0 - dc)).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["k", "yr", "nat"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["k", "yr", "nat", "nl", "qty", "rev"])
+
+    def sup_cells(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "nat": pc.cast(b["s_nationkey"], pa.int64()),
+                "nl": pa.array(np.zeros(n, np.int64)),
+                "qty": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("nat", "yr", "nl", "qty", "rev")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        natv = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_sup = natv >= 0
+        s = t.filter(pa.array(is_sup))
+        l = t.filter(pa.array(~is_sup))
+        if s.num_rows == 0 or l.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        sk = s["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sorder = np.argsort(sk, kind="stable")
+        sk_s = sk[sorder]
+        snat = s["nat"].combine_chunks().to_numpy(zero_copy_only=False)[
+            sorder
+        ]
+        lk = l["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sk_s, lk), 0, len(sk_s) - 1)
+        hit = sk_s[pos] == lk
+        cells = pa.table(
+            {
+                "nat": pa.array(snat[pos][hit], pa.int64()),
+                "yr": pa.array(
+                    l["yr"].combine_chunks().to_numpy(zero_copy_only=False)[
+                        hit
+                    ],
+                    pa.int64(),
+                ),
+                "nl": pc.cast(l["nl"], pa.int64()).filter(pa.array(hit)),
+                "qty": pc.cast(l["qty"], pa.int64()).filter(pa.array(hit)),
+                "rev": pc.cast(l["rev"], pa.int64()).filter(pa.array(hit)),
+            }
+        )
+        g = cells.group_by(["nat", "yr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return g.rename_columns(["nat", "yr", "nl", "qty", "rev"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("nation", "ship_year", "n_lines", "qty_floor",
+               "revenue_floor")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by(["nat", "yr"], use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        natv = g["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        npos = np.searchsorted(nat_keys, natv)
+        return pa.table(
+            {
+                "nation": nat_names.take(pa.array(npos, pa.int64())),
+                "ship_year": pc.cast(g["yr"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    tagged = lines.map_batches(
+        line_cells, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        sup.map_batches(
+            sup_cells, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    cells = hash_partition_merge(
+        tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "nat", merge, k=1)

@@ -18684,3 +18684,73 @@ def word_prefix_spectrum(sf_dir: str, prefix_chars: int = 2) -> Dataset:
     )
     folded = hash_partition_merge(partials, "h", fold, k=_doc_k(sf_dir))
     return hash_partition_merge(folded, "g", merge, k=1)
+
+
+def label_imbalance_spectrum(sf_dir: str) -> Dataset:
+    """T189: label-imbalance spectrum — band every label by the bit
+    length of its vector count and report labels and vectors per band
+    — the class-imbalance read at a glance (T94/T110 profile each
+    label's geometry, T184 its source mix; T189 shows the population
+    pyramid itself: a fat top band next to a long singleton tail is
+    the long-tail classification regime — reweighting or resampling
+    territory — while one tight band is a balanced benchmark).
+    Dense small output (≤~30 bands); exact int64 (two-level GROUP BY
+    + bin-length oracle).
+
+    Scale shape — ONE label-hash exchange over pre-reduced (label, n)
+    cells: a label's cells co-locate, so its size settles locally and
+    bincounts IN PLACE; the k=1 merge sums O(parts × bands) rows."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = (
+            pc.cast(b["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        u, cnt = np.unique(lab, return_counts=True)
+        return pa.table(
+            {"lab": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nl", "nv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("lab", use_threads=False).aggregate([("n", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, n, side="right") + 1
+        u, idx = np.unique(band, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        nv = np.zeros(len(u), np.int64)
+        np.add.at(nv, idx, n)
+        return pa.table(
+            {"band": pa.array(u), "nl": pa.array(nl), "nv": pa.array(nv)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("size_band", "n_labels", "n_vectors")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nl", "sum"), ("nv", "sum")]
+        )
+        return pa.table(
+            {
+                "size_band": pc.cast(g["band"], pa.int64()),
+                "n_labels": pc.cast(g["nl_sum"], pa.int64()),
+                "n_vectors": pc.cast(g["nv_sum"], pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "lab", fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)
