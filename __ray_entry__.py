@@ -1003,6 +1003,12 @@ def _q_events_price_habit(sf_dir: str):
     return events_price_habit(sf_dir)
 
 
+def _q_events_amount_diversity(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_amount_diversity
+
+    return events_amount_diversity(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1942,6 +1948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_price_habit": _q_events_price_habit,
         "embedding_label_imbalance": td.label_imbalance_spectrum,
         "rel_supply_geography": rel.supply_geography_trend,
+        "events_amount_diversity": _q_events_amount_diversity,
+        "doc_source_length_drift": td.source_length_drift,
+        "rel_price_endings": rel.price_ending_spectrum,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10285,5 +10294,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(qty) AS BIGINT) AS qty_floor,
                    CAST(sum(rev) AS BIGINT) AS revenue_floor
             FROM j GROUP BY 1, 2
+        """,
+        "events_amount_diversity": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT cents) AS BIGINT)
+                       AS n_distinct_amounts,
+                   CAST(1000 * count(DISTINCT cents)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS diversity_permille
+            FROM c GROUP BY 1
+        """,
+        "doc_source_length_drift": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_i,
+                   CAST(sum(doc_id * doc_id) AS BIGINT) AS sum_i_sq,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_len,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_len_sq,
+                   CAST(sum(doc_id * n_chars) AS BIGINT) AS sum_i_len
+            FROM documents GROUP BY 1
+        """,
+        "rel_price_endings": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                       FROM orders)
+            SELECT CAST(cents % 100 AS BIGINT) AS cent_ending,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS cents_total
+            FROM c GROUP BY 1
         """,
     }

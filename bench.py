@@ -619,6 +619,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_price_habit",
         "embedding_label_imbalance",
         "rel_supply_geography",
+        "events_amount_diversity",
+        "doc_source_length_drift",
+        "rel_price_endings",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

@@ -17838,3 +17838,103 @@ def events_price_habit(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def events_amount_diversity(sf_dir: str) -> Dataset:
+    """E183: amount-diversity board — per source: events, DISTINCT
+    cent amounts, and the diversity permille — the tariff-menu size
+    (E179 names the dominant amount, E96 heats value bands; E183
+    counts the menu: a source with 3 distinct amounts over a million
+    events is a price list, near-1000 permille is continuous
+    measurement — the single number that says which ingestion codec
+    and which anomaly model fit the payload).  One dense row per
+    source ALWAYS; exact int64 (COUNT DISTINCT oracle).
+
+    Scale shape — ONE (source, amount)-hash exchange over distinct
+    cells (batches pre-reduce with one np.unique carrying counts): an
+    amount's cells co-locate, so distinct counts per source sum
+    exactly; the k=1 merge sums O(parts × sources) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        key = np.stack([code, cents], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "sc": pa.array(u[:, 0] * (1 << 42) + (u[:, 1] + (1 << 41))),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "ne", "nd")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sc", use_threads=False).aggregate([("n", "sum")])
+        sc = g["sc"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sc >> 42
+        ne = np.zeros(ns, np.int64)
+        np.add.at(ne, s, n)
+        nd = np.bincount(s, minlength=ns).astype(np.int64)
+        keep = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "ne": pa.array(ne[keep]),
+                "nd": pa.array(nd[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_events", "n_distinct_amounts",
+               "diversity_permille")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("ne", "sum"), ("nd", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = g["ne_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        ss, ne, nd = ss[order], ne[order], nd[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_events": pa.array(ne, pa.int64()),
+                "n_distinct_amounts": pa.array(nd, pa.int64()),
+                "diversity_permille": pa.array(
+                    1000 * nd // np.maximum(ne, 1), pa.int64()
+                ),
+            }
+        )
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "sc", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(folded, "s", merge, k=1)

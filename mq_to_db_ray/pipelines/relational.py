@@ -16913,3 +16913,60 @@ def supply_geography_trend(sf_dir: str) -> Dataset:
         tagged, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "nat", merge, k=1)
+
+
+def price_ending_spectrum(sf_dir: str) -> Dataset:
+    """R117: price-ending spectrum — per last-two-cent ending of the
+    order value (00..99): orders and value mass — charm pricing made
+    visible (E132 audits event-payload last digits; on the commerce
+    book the ending distribution is a pricing-POLICY read: mass at 99
+    is psychological pricing, at 00 round-number invoicing, uniform
+    endings mean computed totals — and a shift in the spectrum is a
+    repricing event no mean tracks).  Dense small output (≤100 rows);
+    exact int64 (modulo GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: one modulo + two bincounts per
+    batch; O(batches × 100) partials ride the k=1 merge."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        end = cents % 100
+        no = np.bincount(end, minlength=100).astype(np.int64)
+        sv = np.zeros(100, np.int64)
+        np.add.at(sv, end, cents)
+        keep = np.flatnonzero(no)
+        return pa.table(
+            {
+                "e": pa.array(keep),
+                "no": pa.array(no[keep]),
+                "sv": pa.array(sv[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("cent_ending", "n_orders", "cents_total")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("e", use_threads=False).aggregate(
+            [("no", "sum"), ("sv", "sum")]
+        )
+        return pa.table(
+            {
+                "cent_ending": pc.cast(g["e"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+                "cents_total": pc.cast(g["sv_sum"], pa.int64()),
+            }
+        )
+
+    partials = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "e", merge, k=1)

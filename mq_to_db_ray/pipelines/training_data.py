@@ -18754,3 +18754,102 @@ def label_imbalance_spectrum(sf_dir: str) -> Dataset:
         k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def source_length_drift(sf_dir: str) -> Dataset:
+    """T190: per-source length-drift sufficient statistics — per
+    source, over its docs: n, Σi, Σi², ΣL, ΣL², Σi·L with i = the
+    doc_id (the ingestion-order proxy) and L = n_chars — is each
+    source's content getting longer or shorter as the crawl advances?
+    (T117 boards the GLOBAL ingestion-order drift by deciles, T126
+    its autocorrelation; T190 localizes the regression per source,
+    where the actionable signal lives: one source's lengths collapsing
+    mid-crawl is a parser regression on that site, invisible once
+    pooled.)  One dense row per source ALWAYS.  Int64 bound
+    documented: doc_id ≤ ~10¹², L ≤ 10⁶ → Σi·L needs per-epoch
+    sharding above ~10⁴ docs/source at max id — the id-rank rescale
+    is the consumer's division.  Exact int64 (SUM oracle).
+
+    Scale shape — ZERO wide exchange: six sums per (source, batch)
+    row; O(batches × sources) partials ride the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        i = (
+            pc.cast(b["doc_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ln = (
+            pc.cast(b["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        out = {"s": np.arange(ns, dtype=np.int64)}
+        out["n"] = np.bincount(code, minlength=ns).astype(np.int64)
+        for name, arr in (
+            ("si", i),
+            ("sii", i * i),
+            ("sl", ln),
+            ("sll", ln * ln),
+            ("sil", i * ln),
+        ):
+            acc = np.zeros(ns, np.int64)
+            np.add.at(acc, code, arr)
+            out[name] = acc
+        return pa.table({c: pa.array(a) for c, a in out.items()})
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = (
+            "source",
+            "n_docs",
+            "sum_i",
+            "sum_i_sq",
+            "sum_len",
+            "sum_len_sq",
+            "sum_i_len",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in names[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "si", "sii", "sl", "sll", "sil")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        cols = {
+            name: g[f"{src}_sum"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[order]
+            for name, src in zip(
+                names[1:], ("n", "si", "sii", "sl", "sll", "sil")
+            )
+        }
+        keep = cols["n_docs"] > 0
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss[order][keep], pa.int64())),
+                **{
+                    c: pa.array(a[keep], pa.int64()) for c, a in cols.items()
+                },
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
