@@ -1009,6 +1009,12 @@ def _q_events_amount_diversity(sf_dir: str):
     return events_amount_diversity(sf_dir)
 
 
+def _q_events_tenure_value(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_tenure_value
+
+    return events_tenure_value(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1951,6 +1957,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_amount_diversity": _q_events_amount_diversity,
         "doc_source_length_drift": td.source_length_drift,
         "rel_price_endings": rel.price_ending_spectrum,
+        "events_tenure_value": _q_events_tenure_value,
+        "doc_contamination_depth": td.contamination_depth,
+        "rel_daily_demand": rel.daily_demand_spectrum,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10326,5 +10335,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_orders,
                    CAST(sum(cents) AS BIGINT) AS cents_total
             FROM c GROUP BY 1
+        """,
+        "events_tenure_value": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS d,
+                              CAST(floor(value) AS BIGINT) AS v
+                       FROM events),
+                 f AS (SELECT user_id, min(d) AS fd FROM e GROUP BY 1),
+                 b AS (SELECT e.d - f.fd AS tenure, e.v
+                       FROM e JOIN f ON f.user_id = e.user_id)
+            SELECT CAST(CASE WHEN tenure <= 0 THEN 0
+                             ELSE length(bin(tenure)) END AS BIGINT)
+                       AS tenure_band,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v_sq
+            FROM b GROUP BY 1
+        """,
+        "doc_contamination_depth": """
+            WITH t AS (SELECT doc_id, source,
+                              str_split(text,' ') w FROM documents),
+            g AS (SELECT doc_id, source, list_distinct(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 1)),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) sh FROM t),
+            e AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id < 10),
+            h AS (SELECT d.doc_id, d.source,
+                         CAST(count(*) AS BIGINT) AS hits
+                  FROM (SELECT doc_id, source, unnest(sh) s FROM g) d
+                  JOIN e ON d.s = e.s GROUP BY 1, 2)
+            SELECT source,
+                   CAST(length(bin(hits)) AS BIGINT) AS depth_band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM h GROUP BY 1, 2
+        """,
+        "rel_daily_demand": """
+            WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1)
+            SELECT CAST(length(bin(n)) AS BIGINT) AS volume_band,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(n) AS BIGINT) AS n_orders
+            FROM d GROUP BY 1
         """,
     }

@@ -622,6 +622,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_amount_diversity",
         "doc_source_length_drift",
         "rel_price_endings",
+        "events_tenure_value",
+        "doc_contamination_depth",
+        "rel_daily_demand",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

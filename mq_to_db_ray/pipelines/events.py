@@ -17938,3 +17938,122 @@ def events_amount_diversity(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "sc", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(folded, "s", merge, k=1)
+
+
+def events_tenure_value(sf_dir: str) -> Dataset:
+    """E184: tenure-value coupling board — band every event by the bit
+    length of its user's TENURE in days at that moment (days since the
+    user's corpus-wide first event; band 0 = first day) and report per
+    band: events, Σv, Σv² — do veterans pay more?  (E65 histograms
+    tenure alone, E108 lifetime value per user, E184 couples value
+    with the user's AGE at spend time — the maturation curve a
+    lifetime-value forecast integrates, and a flat curve kills the
+    "users deepen over time" assumption a retention budget rests
+    on).  Dense small output (≤~15 bands); exact int64 (min-over-user
+    window + bin-length + GROUP BY oracle).
+
+    Scale shape — the E152 first-seen settle reused as an attach:
+    events pre-reduce to (user, day, Σv, Σv², n) cells; ONE user-hash
+    exchange co-locates a user's cells with their first-seen day
+    (computed from the same cells), so tenure bands settle locally
+    and collapse IN PLACE; the k=1 merge sums O(parts × bands)
+    rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        key = np.stack([uid, day], axis=1)
+        u, idx = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(idx).astype(np.int64)
+        sv = np.zeros(len(u), np.int64)
+        np.add.at(sv, idx, v)
+        svv = np.zeros(len(u), np.int64)
+        np.add.at(svv, idx, v * v)
+        return pa.table(
+            {
+                "u": pa.array(u[:, 0].astype(np.int64)),
+                "d": pa.array(u[:, 1].astype(np.int64)),
+                "n": pa.array(n),
+                "sv": pa.array(sv),
+                "svv": pa.array(svv),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "ne", "sv", "svv")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by(["u", "d"], use_threads=False).aggregate(
+            [("n", "sum"), ("sv", "sum"), ("svv", "sum")]
+        )
+        uu = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = g["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        sv = g["sv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        svv = g["svv_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, idx = np.unique(uu, return_inverse=True)
+        fday = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fday, idx, dd)
+        tenure = dd - fday[idx]
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.where(
+            tenure <= 0,
+            0,
+            np.searchsorted(powers2, tenure, side="right") + 1,
+        )
+        ub, bidx = np.unique(band, return_inverse=True)
+        ne = np.zeros(len(ub), np.int64)
+        np.add.at(ne, bidx, n)
+        svb = np.zeros(len(ub), np.int64)
+        np.add.at(svb, bidx, sv)
+        svvb = np.zeros(len(ub), np.int64)
+        np.add.at(svvb, bidx, svv)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "ne": pa.array(ne),
+                "sv": pa.array(svb),
+                "svv": pa.array(svvb),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("tenure_band", "n_events", "sum_v", "sum_v_sq")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("ne", "sum"), ("sv", "sum"), ("svv", "sum")]
+        )
+        return pa.table(
+            {
+                "tenure_band": pc.cast(g["band"], pa.int64()),
+                "n_events": pc.cast(g["ne_sum"], pa.int64()),
+                "sum_v": pc.cast(g["sv_sum"], pa.int64()),
+                "sum_v_sq": pc.cast(g["svv_sum"], pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(folded, "band", merge, k=1)

@@ -16970,3 +16970,73 @@ def price_ending_spectrum(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "e", merge, k=1)
+
+
+def daily_demand_spectrum(sf_dir: str) -> Dataset:
+    """R118: daily-demand spectrum — band every calendar day by the
+    bit length of its order count and report days and orders per band
+    — demand volatility as a histogram (R73/R45 profile MEAN demand by
+    weekday/season; R118 distributes the days themselves: a tight
+    band is steady flow a fixed crew handles, a spread spectrum with
+    a fat top band is spike-driven demand that needs surge capacity —
+    the staffing-model selector).  Dense small output (≤~20 bands);
+    exact int64 (per-day counts + bin-length GROUP BY oracle).
+
+    Scale shape — ONE day-hash exchange over per-batch (day, n)
+    cells: a day's partials co-locate and settle, then band-bincount
+    IN PLACE; the k=1 merge sums O(parts × bands) rows."""
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        u, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"d": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nd", "no")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("d", use_threads=False).aggregate([("n", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, n, side="right") + 1
+        u, idx = np.unique(band, return_inverse=True)
+        nd = np.bincount(idx).astype(np.int64)
+        no = np.zeros(len(u), np.int64)
+        np.add.at(no, idx, n)
+        return pa.table(
+            {"band": pa.array(u), "nd": pa.array(nd), "no": pa.array(no)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("volume_band", "n_days", "n_orders")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nd", "sum"), ("no", "sum")]
+        )
+        return pa.table(
+            {
+                "volume_band": pc.cast(g["band"], pa.int64()),
+                "n_days": pc.cast(g["nd_sum"], pa.int64()),
+                "n_orders": pc.cast(g["no_sum"], pa.int64()),
+            }
+        )
+
+    cells = ords.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "d", fold, k=_rel_k(sf_dir, "orders"))
+    return hash_partition_merge(folded, "band", merge, k=1)

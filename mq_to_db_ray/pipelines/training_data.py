@@ -18853,3 +18853,85 @@ def source_length_drift(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def contamination_depth(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
+    """T191: contamination-depth spectrum — among contaminated docs
+    (≥1 eval 3-shingle hit, the T19/T29 rule), band each by the bit
+    length of its HIT COUNT and report docs per band, per source —
+    verbatim copies versus incidental overlap (T57 counts exposure
+    per source as a single number; T191 shows the depth: band-1 docs
+    share one phrase — plausibly innocent — while a doc whose hit
+    count rivals its shingle count IS the eval document, and the
+    right cleanup differs: drop the deep ones, maybe keep the
+    shallow).  Sparse exact output (source, depth band, n_docs);
+    int64 (the T149 shingle-hit CTE with counts + bin-length
+    oracle; same `_quality_features` kernel, so the boards
+    reconcile).
+
+    Scale shape — T149's ZERO-wide-exchange profile: the eval shingle
+    set ships once via ray.put; each batch counts per-doc hits with
+    one searchsorted and bincounts (source, band) cells; the k=1
+    merge sums them."""
+    import ray
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+    eval_ref = _eval_shingle_ref(sf_dir, eval_max_doc_id)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = ("s", "band", "n")
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        _, _, _, _, _, hits = _quality_features(
+            batch, ray.get(eval_ref)
+        )
+        code = (
+            pc.cast(pc.index_in(batch["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        sel = hits > 0
+        if not sel.any():
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, hits[sel], side="right") + 1
+        key = code[sel] * 64 + band
+        cnt = np.bincount(key, minlength=ns * 64).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // 64),
+                "band": pa.array(keep % 64),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "depth_band": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "depth_band": pc.cast(g["band"], pa.int64()),
+                "n_docs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "lang", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)
