@@ -1015,6 +1015,12 @@ def _q_events_tenure_value(sf_dir: str):
     return events_tenure_value(sf_dir)
 
 
+def _q_events_id_stride(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_id_stride
+
+    return events_id_stride(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1960,6 +1966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tenure_value": _q_events_tenure_value,
         "doc_contamination_depth": td.contamination_depth,
         "rel_daily_demand": rel.daily_demand_spectrum,
+        "events_id_stride": _q_events_id_stride,
+        "embedding_label_spread": td.label_spread_spectrum,
+        "rel_supplier_credit_map": rel.supplier_credit_map,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10376,5 +10385,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_days,
                    CAST(sum(n) AS BIGINT) AS n_orders
             FROM d GROUP BY 1
+        """,
+        "events_id_stride": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(event_id AS BIGINT) AS id,
+                              lag(CAST(event_id AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY event_id, epoch_us(ts)) AS pid
+                       FROM events),
+                 p AS (SELECT source, id - pid AS d
+                       FROM w WHERE pid IS NOT NULL)
+            SELECT source,
+                   CAST(CASE WHEN d = 0 THEN 0
+                             ELSE CAST(sign(d) AS BIGINT)
+                                  * length(CAST(abs(d) AS VARCHAR))
+                        END AS BIGINT) AS stride_band,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1, 2
+        """,
+        "embedding_label_spread": """
+            WITH c AS (SELECT label,
+                              [CAST(floor(4.0 * embedding[1]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[2]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[3]) AS BIGINT),
+                               CAST(floor(4.0 * embedding[4]) AS BIGINT)]
+                           AS cell
+                       FROM embeddings),
+                 l AS (SELECT label,
+                              CAST(count(DISTINCT cell) AS BIGINT) AS nc
+                       FROM c GROUP BY 1)
+            SELECT CAST(length(bin(nc)) AS BIGINT) AS spread_band,
+                   CAST(count(*) AS BIGINT) AS n_labels,
+                   CAST(sum(nc) AS BIGINT) AS n_cells
+            FROM l GROUP BY 1
+        """,
+        "rel_supplier_credit_map": """
+            WITH s AS (SELECT n.n_name AS nation,
+                              CAST(floor(su.s_acctbal) AS BIGINT) AS bal
+                       FROM supplier su
+                       JOIN nation n ON n.n_nationkey = su.s_nationkey)
+            SELECT nation,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(count(*) FILTER (WHERE bal < 0) AS BIGINT)
+                       AS n_negative,
+                   CAST(1000 * count(*) FILTER (WHERE bal < 0)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS risk_permille,
+                   CAST(min(bal) AS BIGINT) AS worst_balance,
+                   CAST(sum(bal) AS BIGINT) AS net_balance
+            FROM s GROUP BY 1
         """,
     }

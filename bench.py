@@ -625,6 +625,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_tenure_value",
         "doc_contamination_depth",
         "rel_daily_demand",
+        "events_id_stride",
+        "embedding_label_spread",
+        "rel_supplier_credit_map",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

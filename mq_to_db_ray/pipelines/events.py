@@ -18057,3 +18057,116 @@ def events_tenure_value(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def events_id_stride(
+    sf_dir: str, window_ids: int = 1 << 17
+) -> Dataset:
+    """E185: id-stride spectrum — per source, band the delta between
+    CONSECUTIVE event ids (its own stream, ascending id order) by
+    signed decimal magnitude (band 1 = the dense +1 stride) — the
+    allocator-topology spectrum (E114 counts gaps and dups once, E150
+    reads cross-source interleaving; E185 shows each source's stride
+    distribution: pure band-1 is a private sequence, a flat band-k
+    is round-robin interleaving at depth ~10^k, and mixed bands are
+    epoch-sharded allocation — which predicts exactly how id-range
+    scans will stripe across producers).  Sparse exact output; int64
+    (lag + digit-length oracle).
+
+    Scale shape — E147's carried-prefix pair machinery on the id axis
+    with a banded-delta bincount kernel; (source, band) partials fold
+    k=1."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    off, nbd = 12, 25
+    powers = np.array([10 ** i for i in range(1, 12)], np.int64)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(b["event_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ids, pa.int64()),
+                "o": b["ts"].cast(pa.int64()),
+                "v": pa.array(ids, pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ids // window_ids, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("s", "band", "n")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts[:-1]
+        pair = has_prev & ~crs
+        d = np.where(pair, ts - pt, 0)
+        digits = np.searchsorted(powers, np.abs(d), side="right") + 1
+        band = np.where(d == 0, 0, np.sign(d) * digits)
+        key = (ks[pair] * nbd + band[pair] + off).astype(np.int64)
+        cnt = np.bincount(key, minlength=ns * nbd).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "s": pa.array(keep // nbd),
+                "band": pa.array(keep % nbd - off),
+                "n": pa.array(cnt[keep]),
+            }
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "stride_band": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["s", "band"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "source": srcs.take(g["s"]),
+                "stride_band": pc.cast(g["band"], pa.int64()),
+                "n_pairs": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    return hash_partition_merge(cells, "s", merge, k=1)

@@ -17040,3 +17040,103 @@ def daily_demand_spectrum(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "d", fold, k=_rel_k(sf_dir, "orders"))
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def supplier_credit_map(sf_dir: str) -> Dataset:
+    """R119: supplier credit-risk map — per nation: suppliers,
+    NEGATIVE-balance suppliers, the risk permille, the worst floored
+    balance, and the net floored balance — the supply-side credit
+    exposure (R67 quantiles CUSTOMER balances per nation, R55 couples
+    supplier balance with volume, R93 supplier liveness; R119 locates
+    where the distressed capacity sits geographically — a nation
+    whose suppliers skew negative is a financing-fragility cluster
+    the sourcing strategy should hedge before R116's trend tilts
+    toward it).  One dense row per nation with suppliers ALWAYS;
+    exact int64 (FILTER counts + min + GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange beyond the k=1 merge: the
+    supplier dim streams column-pruned; per batch one floor + four
+    bincounts by nation; O(batches × nations) partials fold k=1 with
+    the 25-row nation broadcast for names."""
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    nat_names = pa.array(nat["n_name"].tolist(), pa.string())
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_nationkey", "s_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = (
+            pc.cast(b["s_nationkey"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bal = np.floor(
+            b["s_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, idx = np.unique(nk, return_inverse=True)
+        ns_ = np.bincount(idx).astype(np.int64)
+        neg = np.zeros(len(u), np.int64)
+        np.add.at(neg, idx, (bal < 0).astype(np.int64))
+        mn = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, idx, bal)
+        net = np.zeros(len(u), np.int64)
+        np.add.at(net, idx, bal)
+        return pa.table(
+            {
+                "nk": pa.array(u),
+                "ns": pa.array(ns_),
+                "neg": pa.array(neg),
+                "mn": pa.array(mn),
+                "net": pa.array(net),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "nation",
+            "n_suppliers",
+            "n_negative",
+            "risk_permille",
+            "worst_balance",
+            "net_balance",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("nk", use_threads=False).aggregate(
+            [("ns", "sum"), ("neg", "sum"), ("mn", "min"), ("net", "sum")]
+        )
+        nk = g["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ns_ = g["ns_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        neg = g["neg_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["mn_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        net = g["net_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        npos = np.searchsorted(nat_keys, nk)
+        return pa.table(
+            {
+                "nation": nat_names.take(pa.array(npos, pa.int64())),
+                "n_suppliers": pa.array(ns_, pa.int64()),
+                "n_negative": pa.array(neg, pa.int64()),
+                "risk_permille": pa.array(
+                    1000 * neg // np.maximum(ns_, 1), pa.int64()
+                ),
+                "worst_balance": pa.array(mn, pa.int64()),
+                "net_balance": pa.array(net, pa.int64()),
+            }
+        )
+
+    partials = sup.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "nk", merge, k=1)

@@ -18935,3 +18935,108 @@ def contamination_depth(sf_dir: str, eval_max_doc_id: int = 10) -> Dataset:
         fn, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def label_spread_spectrum(sf_dir: str, q_dims: int = 4) -> Dataset:
+    """T192: label-spread spectrum — per label count the OCCUPIED
+    cells of T96's floor(4·x) grid (first ``q_dims`` dims), band by
+    bit length, and report labels and cells per band — within-class
+    dispersion, the dual of T101's per-cell purity (T101 asks whether
+    a CELL is label-pure; T192 asks whether a LABEL is spatially
+    tight: a one-cell label is a point class any centroid separates,
+    a hundred-cell label is multimodal — one-vs-rest linear won't cut
+    it, and cluster-then-label curricula should split it first).
+    Dense small output; exact int64 (quantize + COUNT DISTINCT +
+    bin-length oracle).
+
+    Scale shape — distinct (label, cell) cells pre-reduce per batch;
+    ONE label-hash exchange settles each label's cell count (its
+    cells co-locate); band-bincount IN PLACE; the k=1 merge sums
+    O(parts × bands) rows."""
+    from ..stages.shuffle import adaptive_width, hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "lab": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)[:, :q_dims]
+        )
+        q = np.floor(4.0 * m).astype(np.int64)
+        packed = np.zeros(n, np.uint64)
+        for d in range(q_dims):
+            packed = (packed << np.uint64(16)) | (
+                (q[:, d] + (1 << 15)).astype(np.uint64) & np.uint64(0xFFFF)
+            )
+        lab = (
+            pc.cast(batch["label"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = np.stack([lab, packed.view(np.int64)], axis=1)
+        u = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "lab": pa.array(u[:, 0].astype(np.int64)),
+                "cell": pa.array(u[:, 1].astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("band", "nl", "nc")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.stack([lab, cell], axis=1)
+        u = np.unique(key, axis=0)
+        ul, idx = np.unique(u[:, 0], return_inverse=True)
+        ncell = np.bincount(idx).astype(np.int64)
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.searchsorted(powers2, ncell, side="right") + 1
+        ub, bidx = np.unique(band, return_inverse=True)
+        nl = np.bincount(bidx).astype(np.int64)
+        nc = np.zeros(len(ub), np.int64)
+        np.add.at(nc, bidx, ncell)
+        return pa.table(
+            {"band": pa.array(ub), "nl": pa.array(nl), "nc": pa.array(nc)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("spread_band", "n_labels", "n_cells")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nl", "sum"), ("nc", "sum")]
+        )
+        return pa.table(
+            {
+                "spread_band": pc.cast(g["band"], pa.int64()),
+                "n_labels": pc.cast(g["nl_sum"], pa.int64()),
+                "n_cells": pc.cast(g["nc_sum"], pa.int64()),
+            }
+        )
+
+    cells = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(
+        cells, "lab", fold,
+        k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
+    )
+    return hash_partition_merge(folded, "band", merge, k=1)
