@@ -1021,6 +1021,12 @@ def _q_events_id_stride(sf_dir: str):
     return events_id_stride(sf_dir)
 
 
+def _q_events_value_tails(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_tails
+
+    return events_value_tails(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1969,6 +1975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_id_stride": _q_events_id_stride,
         "embedding_label_spread": td.label_spread_spectrum,
         "rel_supplier_credit_map": rel.supplier_credit_map,
+        "events_value_tails": _q_events_value_tails,
+        "embedding_sparsity": td.sparsity_spectrum,
+        "rel_segment_balance": rel.segment_balance_profile,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10434,5 +10443,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(bal) AS BIGINT) AS worst_balance,
                    CAST(sum(bal) AS BIGINT) AS net_balance
             FROM s GROUP BY 1
+        """,
+        "events_value_tails": """
+            WITH c AS (SELECT event_type AS source,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 t AS (SELECT CAST(quantile_disc(cents, 0.1) AS BIGINT)
+                                  AS t10,
+                              CAST(quantile_disc(cents, 0.9) AS BIGINT)
+                                  AS t90
+                       FROM c)
+            SELECT c.source,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE c.cents < t.t10)
+                        AS BIGINT) AS n_below_p10,
+                   CAST(count(*) FILTER (WHERE c.cents > t.t90)
+                        AS BIGINT) AS n_above_p90
+            FROM c, t GROUP BY 1
+        """,
+        "embedding_sparsity": """
+            WITH v AS (SELECT CAST(len(list_filter(embedding,
+                                   x -> x = 0.0)) AS BIGINT) AS zc
+                       FROM embeddings)
+            SELECT CAST(CASE WHEN zc <= 0 THEN 0
+                             ELSE length(bin(zc)) END AS BIGINT)
+                       AS zero_band,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(zc) AS BIGINT) AS n_zero_components
+            FROM v GROUP BY 1
+        """,
+        "rel_segment_balance": """
+            WITH c AS (SELECT c_mktsegment,
+                              CAST(floor(c_acctbal) AS BIGINT) AS bal
+                       FROM customer)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(count(*) FILTER (WHERE bal < 0) AS BIGINT)
+                       AS n_negative,
+                   CAST(1000 * count(*) FILTER (WHERE bal < 0)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS debt_permille,
+                   CAST(min(bal) AS BIGINT) AS worst_balance,
+                   CAST(sum(bal) AS BIGINT) AS net_balance
+            FROM c GROUP BY 1
         """,
     }

@@ -628,6 +628,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_id_stride",
         "embedding_label_spread",
         "rel_supplier_credit_map",
+        "events_value_tails",
+        "embedding_sparsity",
+        "rel_segment_balance",
         "doc_source_overlap",
         "doc_source_overlap_minhash",
         "doc_commonness",

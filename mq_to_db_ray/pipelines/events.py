@@ -18170,3 +18170,126 @@ def events_id_stride(
         )
 
     return hash_partition_merge(cells, "s", merge, k=1)
+
+
+def events_value_tails(sf_dir: str) -> Dataset:
+    """E186: value-tail occupancy board — compute the CORPUS-GLOBAL
+    discrete p10/p90 of the cent payload, then per source: events,
+    events strictly below the global p10, strictly above the global
+    p90 — which sources own the payload tails (E146 fences outliers
+    per source against its OWN quartiles; E186 places each source on
+    the shared scale: one source owning the high tail is where the
+    money actually is, one owning the low tail is the chatter — the
+    cross-source calibration a global alert threshold silently
+    assumes away).  One dense row per source ALWAYS; exact int64
+    under the quantile_disc rank rule (global quantile CTE + FILTER
+    counts oracle).
+
+    Scale shape — T172's two bounded passes on the cents axis: a
+    (cents, n) histogram reduces to two driver scalars via one k=1
+    merge; pass 2 is ZERO-exchange compare + bincount per batch."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        u, cnt = np.unique(cents, return_counts=True)
+        return pa.table(
+            {"c": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def hist_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by("c", use_threads=False).aggregate([("n", "sum")])
+        return g.rename_columns(["c", "n"])
+
+    hist = (
+        hash_partition_merge(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["value"]
+            ).map_batches(
+                hist_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "c",
+            hist_fold,
+            k=_adaptive_k(sf_dir),
+        )
+        .to_pandas()
+        .sort_values("c")
+    )
+    cs = hist["c"].to_numpy()
+    cnts = hist["n"].to_numpy()
+    tot = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    t10 = int(cs[np.searchsorted(cum, (tot * 100 + 999) // 1000)])
+    t90 = int(cs[np.searchsorted(cum, (tot * 900 + 999) // 1000)])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        ne = np.bincount(code, minlength=ns).astype(np.int64)
+        lo = np.bincount(code[cents < t10], minlength=ns).astype(np.int64)
+        hi = np.bincount(code[cents > t90], minlength=ns).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(np.arange(ns, dtype=np.int64)),
+                "ne": pa.array(ne),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("source", "n_events", "n_below_p10", "n_above_p90")
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("ne", "sum"), ("lo", "sum"), ("hi", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = g["ne_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = g["lo_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = g["hi_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ne > 0
+        ss, ne, lo, hi = ss[keep], ne[keep], lo[keep], hi[keep]
+        order = np.argsort(ss)
+        ss, ne, lo, hi = ss[order], ne[order], lo[order], hi[order]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(ss, pa.int64())),
+                "n_events": pa.array(ne, pa.int64()),
+                "n_below_p10": pa.array(lo, pa.int64()),
+                "n_above_p90": pa.array(hi, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

@@ -17140,3 +17140,106 @@ def supplier_credit_map(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "nk", merge, k=1)
+
+
+def segment_balance_profile(sf_dir: str) -> Dataset:
+    """R120: segment balance profile — per market segment: customers,
+    NEGATIVE-balance customers, the debt permille, worst and net
+    floored balances — the demand-side credit twin of R119 (R67
+    quantiles balances per NATION, R109 couples balance with ticket
+    size; R120 maps where the indebted demand sits commercially: a
+    segment skewing negative is growth bought on credit — its R88
+    value trend should be risk-discounted before anyone celebrates
+    it).  One dense row per segment ALWAYS; exact int64 (FILTER
+    counts + min + GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange beyond the k=1 merge: the
+    customer dim streams column-pruned; one floor + four bincounts
+    per batch; O(batches × segments) partials fold k=1."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nseg = len(segs)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_mktsegment", "c_acctbal"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        bal = np.floor(
+            b["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        nc = np.bincount(code, minlength=nseg).astype(np.int64)
+        neg = np.bincount(code[bal < 0], minlength=nseg).astype(np.int64)
+        mn = np.full(nseg, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, code, bal)
+        net = np.zeros(nseg, np.int64)
+        np.add.at(net, code, bal)
+        keep = np.flatnonzero(nc)
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "nc": pa.array(nc[keep]),
+                "neg": pa.array(neg[keep]),
+                "mn": pa.array(mn[keep]),
+                "net": pa.array(net[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "c_mktsegment",
+            "n_customers",
+            "n_negative",
+            "debt_permille",
+            "worst_balance",
+            "net_balance",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        g = t.group_by("s", use_threads=False).aggregate(
+            [("nc", "sum"), ("neg", "sum"), ("mn", "min"), ("net", "sum")]
+        )
+        ss = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        nc = g["nc_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        neg = g["neg_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = g["mn_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        net = g["net_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ss)
+        ss, nc, neg, mn, net = (
+            ss[order], nc[order], neg[order], mn[order], net[order]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": segs.take(pa.array(ss, pa.int64())),
+                "n_customers": pa.array(nc, pa.int64()),
+                "n_negative": pa.array(neg, pa.int64()),
+                "debt_permille": pa.array(
+                    1000 * neg // np.maximum(nc, 1), pa.int64()
+                ),
+                "worst_balance": pa.array(mn, pa.int64()),
+                "net_balance": pa.array(net, pa.int64()),
+            }
+        )
+
+    partials = cust.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "s", merge, k=1)

@@ -19040,3 +19040,68 @@ def label_spread_spectrum(sf_dir: str, q_dims: int = 4) -> Dataset:
         k=adaptive_width(f"{sf_dir}/embeddings.parquet", 25_000),
     )
     return hash_partition_merge(folded, "band", merge, k=1)
+
+
+def sparsity_spectrum(sf_dir: str) -> Dataset:
+    """T193: embedding sparsity spectrum — band every vector by the
+    bit length of its EXACT-ZERO component count (band 0 = fully
+    dense) and report vectors and zero mass per band — the
+    sparse-representation detector (T161 flags ALL-zero vectors and
+    NaN; T193 shows the in-between: ReLU features and pruned
+    projections carry structured zeros whose fraction decides whether
+    sparse kernels/compressed storage pay — a dense-band-only
+    spectrum says don't bother).  Dense small output; exact int64
+    (list-filter zero count + bin-length oracle; exact float zero
+    test).
+
+    Scale shape — ZERO wide exchange: one flatten + one compare + one
+    parent bincount per batch to band partials; the k=1 merge sums
+    them."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ("band", "nv", "nz")
+        e = b["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        flat = e.flatten().to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(e).to_numpy(zero_copy_only=False)
+        zero = flat == 0.0
+        zc = np.zeros(n, np.int64)
+        np.add.at(zc, parent, zero.astype(np.int64))
+        powers2 = np.int64(1) << np.arange(1, 41)
+        band = np.where(
+            zc <= 0, 0, np.searchsorted(powers2, zc, side="right") + 1
+        )
+        u, idx = np.unique(band, return_inverse=True)
+        nv = np.bincount(idx).astype(np.int64)
+        nz = np.zeros(len(u), np.int64)
+        np.add.at(nz, idx, zc)
+        return pa.table(
+            {"band": pa.array(u), "nv": pa.array(nv), "nz": pa.array(nz)}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("zero_band", "n_vectors", "n_zero_components")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("band", use_threads=False).aggregate(
+            [("nv", "sum"), ("nz", "sum")]
+        )
+        return pa.table(
+            {
+                "zero_band": pc.cast(g["band"], pa.int64()),
+                "n_vectors": pc.cast(g["nv_sum"], pa.int64()),
+                "n_zero_components": pc.cast(g["nz_sum"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)
