@@ -1027,6 +1027,12 @@ def _q_events_value_tails(sf_dir: str):
     return events_value_tails(sf_dir)
 
 
+def _q_events_heartbeat(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_heartbeat
+
+    return events_heartbeat(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1978,6 +1984,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_tails": _q_events_value_tails,
         "embedding_sparsity": td.sparsity_spectrum,
         "rel_segment_balance": rel.segment_balance_profile,
+        "events_heartbeat": _q_events_heartbeat,
+        "f1_dominant_token": lambda sf_dir: td.dominant_token(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "rel_priority_migration": rel.priority_migration,
         "doc_length_filter": td.length_filter,
         "doc_inverted_index": td.inverted_index,
         "events_cumsum_1m": _q_events_cumsum,
@@ -10486,5 +10497,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(bal) AS BIGINT) AS worst_balance,
                    CAST(sum(bal) AS BIGINT) AS net_balance
             FROM c GROUP BY 1
+        """,
+        "events_heartbeat": """
+            WITH w AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY epoch_us(ts), event_id) AS pt
+                       FROM events),
+                 g AS (SELECT source, (t - pt) // 1000000 AS gap,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM w WHERE pt IS NOT NULL GROUP BY 1, 2),
+                 tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS np_
+                         FROM g GROUP BY 1),
+                 m AS (SELECT source, gap, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC,
+                                                          gap ASC) AS rn
+                       FROM g),
+                 srcs AS (SELECT DISTINCT source FROM w)
+            SELECT srcs.source,
+                   CAST(coalesce(tot.np_, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(m.gap, 0) AS BIGINT) AS modal_gap_s,
+                   CAST(coalesce(m.n, 0) AS BIGINT) AS modal_count,
+                   CAST(1000 * coalesce(m.n, 0)
+                        // greatest(coalesce(tot.np_, 0), 1) AS BIGINT)
+                       AS modal_permille
+            FROM srcs
+                 LEFT JOIN tot ON tot.source = srcs.source
+                 LEFT JOIN m ON m.source = srcs.source AND m.rn = 1
+        """,
+        "f1_dominant_token": """
+            WITH e AS (SELECT source, unnest(tokens) AS id
+                       FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'),
+                 f AS (SELECT source, CAST(id AS BIGINT) AS id,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM e GROUP BY 1, 2),
+                 tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS occ
+                         FROM f GROUP BY 1),
+                 m AS (SELECT source, id, n,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY n DESC,
+                                                          id ASC) AS rn
+                       FROM f)
+            SELECT m.source,
+                   tot.occ AS n_occurrences,
+                   m.id AS modal_token,
+                   m.n AS modal_count,
+                   CAST(1000 * m.n // tot.occ AS BIGINT)
+                       AS modal_permille
+            FROM m JOIN tot ON tot.source = m.source
+            WHERE m.rn = 1
+        """,
+        "rel_priority_migration": """
+            WITH w AS (SELECT o_custkey,
+                              o_orderpriority AS pr,
+                              lag(o_orderpriority) OVER
+                                  (PARTITION BY o_custkey
+                                   ORDER BY epoch_us(o_orderdate)
+                                            // 86400000000,
+                                            o_orderkey) AS ppr
+                       FROM orders)
+            SELECT ppr AS from_priority,
+                   pr AS to_priority,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM w WHERE ppr IS NOT NULL
+            GROUP BY 1, 2
         """,
     }

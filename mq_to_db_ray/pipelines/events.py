@@ -18293,3 +18293,161 @@ def events_value_tails(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def events_heartbeat(
+    sf_dir: str, window_us: int = TEMPORAL_WINDOW_US
+) -> Dataset:
+    """E187: heartbeat board — per source: adjacent-pair count, the
+    single most common inter-arrival gap in floor-seconds (ties →
+    smallest), its count, and its permille — the polling-loop
+    detector (E137 detects CLOCK-ALIGNED emission, E81/E39 distribute
+    the gaps; E187 asks whether ONE interval dominates: a fat modal
+    permille at 60 s is a cron heartbeat wearing an event stream's
+    clothes — dedupe it from engagement metrics — while organic
+    arrivals spread their gaps).  One dense row per source ALWAYS
+    (sources with no pairs report zeros).  Exact int64 (lag + gap
+    GROUP BY + argmax oracle).
+
+    Scale shape — E147's carried-prefix pairs reduce to (source, gap)
+    cells in the window kernel; ONE (source, gap)-hash exchange
+    settles each gap's count and keeps per-partition bests; the k=1
+    merge argmaxes O(parts × sources) candidates."""
+    from ..stages.shuffle import hash_partition_merge, shuffle_parts
+    from ..stages.temporal import _kw_partition
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "k": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "t": pa.array(ts_us, pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pa.array(ts_us, pa.int64()),
+                "carry": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "w": pa.array(ts_us // window_us, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(narrow, batch_format="pyarrow")
+    carries = _last_event_carries(tagged)
+    full = tagged.union(
+        carries.map_batches(_tag_carry, batch_format="pyarrow")
+    )
+
+    def kernel(t_: pa.Table) -> pa.Table:
+        cols = ("sg", "n")
+        if t_.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        kk = t_["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t_["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t_["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        cr = t_["carry"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((cr, oo, tt, kk))
+        ks, ts, crs = kk[order], tt[order], cr[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = ks[1:] == ks[:-1]
+        pt = np.empty(n, dtype=np.int64)
+        pt[0] = 0
+        pt[1:] = ts[:-1]
+        pair = has_prev & ~crs
+        gap = (ts - pt) // 1_000_000
+        key = ks[pair] * (1 << 40) + gap[pair]
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"sg": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = _kw_partition(full, kernel, shuffle_parts(_adaptive_k(sf_dir)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "gap", "cnt", "tot")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("sg", use_threads=False).aggregate([("n", "sum")])
+        sg = g["sg"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = sg >> 40
+        gap = sg & ((1 << 40) - 1)
+        order = np.lexsort((gap, -n, s))
+        first = np.empty(len(order), dtype=bool)
+        s_s = s[order]
+        first[0] = True
+        first[1:] = s_s[1:] != s_s[:-1]
+        sel = order[first]
+        tot = np.zeros(ns, np.int64)
+        np.add.at(tot, s, n)
+        keep = np.flatnonzero(tot)
+        best_g = np.zeros(ns, np.int64)
+        best_c = np.zeros(ns, np.int64)
+        best_g[s[sel]] = gap[sel]
+        best_c[s[sel]] = n[sel]
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "gap": pa.array(best_g[keep]),
+                "cnt": pa.array(best_c[keep]),
+                "tot": pa.array(tot[keep]),
+            }
+        )
+
+    settled = hash_partition_merge(
+        cells, "sg", fold, k=_adaptive_k(sf_dir)
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_pairs",
+            "modal_gap_s",
+            "modal_count",
+            "modal_permille",
+        )
+        full_src = np.arange(ns, dtype=np.int64)
+        tot = np.zeros(ns, np.int64)
+        best_g = np.zeros(ns, np.int64)
+        best_c = np.zeros(ns, np.int64)
+        if t.num_rows:
+            ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            gap = t["gap"].combine_chunks().to_numpy(zero_copy_only=False)
+            cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+            tt_ = t["tot"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(tot, ss, tt_)
+            order = np.lexsort((gap, -cnt, ss))
+            first = np.empty(len(order), dtype=bool)
+            ss_s = ss[order]
+            first[0] = True
+            first[1:] = ss_s[1:] != ss_s[:-1]
+            sel = order[first]
+            best_g[ss[sel]] = gap[sel]
+            best_c[ss[sel]] = cnt[sel]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(full_src, pa.int64())),
+                "n_pairs": pa.array(tot, pa.int64()),
+                "modal_gap_s": pa.array(best_g, pa.int64()),
+                "modal_count": pa.array(best_c, pa.int64()),
+                "modal_permille": pa.array(
+                    1000 * best_c // np.maximum(tot, 1), pa.int64()
+                ),
+            }
+        )
+
+    return hash_partition_merge(settled, "s", merge, k=1)

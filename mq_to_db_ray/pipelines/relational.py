@@ -17243,3 +17243,104 @@ def segment_balance_profile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "s", merge, k=1)
+
+
+def priority_migration(sf_dir: str) -> Dataset:
+    """R121: priority-migration matrix — over every customer's
+    CONSECUTIVE order pairs ((floor-day, orderkey) order): count
+    transitions (previous priority → next priority) — the
+    service-tier flow map (R76 scores priority LOYALTY as
+    exclusivity, R43 crosses priority with segment statically; R121
+    shows the movement itself: a matrix massed above the diagonal is
+    a base escalating toward urgency — capacity should follow — and
+    the diagonal mass is R76's loyalty expressed as flows).  Dense
+    small output (priorities²); exact int64 (lag-window + GROUP BY
+    oracle).
+
+    Scale shape — R95's ONE custkey-hash exchange: each partition
+    lexsorts its complete customers once, adjacent pairs emit
+    (from, to) cells via one bincount; the k=1 merge sums
+    O(parts × priorities²) rows."""
+    pr = _priority_rank(sf_dir)
+    prs = pa.array(list(pr), pa.string())
+    npr = len(prs)
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_orderpriority"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"]
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(od // 86_400_000_000, pa.int64()),
+                "ok": pc.cast(b["o_orderkey"], pa.int64()),
+                "pr": pc.cast(
+                    pc.index_in(b["o_orderpriority"], value_set=prs),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("cell", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        prv = t["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, ck))
+        cks, prs_ = ck[order], prv[order]
+        n = len(order)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = cks[1:] == cks[:-1]
+        pp = np.empty(n, dtype=np.int64)
+        pp[0] = 0
+        pp[1:] = prs_[:-1]
+        pair = has_prev
+        cell = pp[pair] * npr + prs_[pair]
+        cnt = np.bincount(cell, minlength=npr * npr).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {"cell": pa.array(keep), "n": pa.array(cnt[keep])}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "from_priority": pa.array([], pa.string()),
+                    "to_priority": pa.array([], pa.string()),
+                    "n_transitions": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("cell", use_threads=False).aggregate([("n", "sum")])
+        cell = g["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "from_priority": prs.take(
+                    pa.array(cell // npr, pa.int64())
+                ),
+                "to_priority": prs.take(pa.array(cell % npr, pa.int64())),
+                "n_transitions": pc.cast(g["n_sum"], pa.int64()),
+            }
+        )
+
+    cells = hash_partition_merge(
+        ords.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True),
+        "ck",
+        fold,
+        k=_rel_k(sf_dir, "orders"),
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -19105,3 +19105,132 @@ def sparsity_spectrum(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def dominant_token(sf_dir: str) -> Dataset:
+    """T194/F: dominant-token board — per source of the F1 tokenized
+    stream: occurrences, the single most frequent token id (ties →
+    smallest), its count, and its permille — the filler detector
+    (T146 curves the whole Pareto, T129 maps occupancy; T194 collapses
+    each source to its worst repeat offender: a modal permille in the
+    hundreds is a pad/unk/boilerplate id eating the loss mass —
+    weight it down before it trains the model to predict filler).
+    One dense row per source ALWAYS; exact int64 (two-level GROUP BY
+    + argmax oracle; true ids).
+
+    Scale shape — (source, id) occurrence cells pre-reduce per batch;
+    ONE (source, id)-hash exchange settles counts and keeps
+    per-partition bests; the k=1 merge argmaxes O(parts × sources)
+    candidates."""
+    import glob
+
+    from ..stages.shuffle import hash_partition_merge
+
+    files = sorted(glob.glob(sf_dir + "/*.parquet"))
+    srcs = pa.array(
+        sorted(rd.read_parquet(files, columns=["source"]).unique("source")),
+        pa.string(),
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        key = code[parent] * (1 << 32) + flat
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"si": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("s", "tok", "cnt", "tot")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        g = t.group_by("si", use_threads=False).aggregate([("n", "sum")])
+        si = g["si"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = si >> 32
+        tok = si & ((1 << 32) - 1)
+        order = np.lexsort((tok, -n, s))
+        first = np.empty(len(order), dtype=bool)
+        s_s = s[order]
+        first[0] = True
+        first[1:] = s_s[1:] != s_s[:-1]
+        sel = order[first]
+        tot = np.zeros(ns, np.int64)
+        np.add.at(tot, s, n)
+        keep = np.flatnonzero(tot)
+        bt = np.zeros(ns, np.int64)
+        bc = np.zeros(ns, np.int64)
+        bt[s[sel]] = tok[sel]
+        bc[s[sel]] = n[sel]
+        return pa.table(
+            {
+                "s": pa.array(keep),
+                "tok": pa.array(bt[keep]),
+                "cnt": pa.array(bc[keep]),
+                "tot": pa.array(tot[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "source",
+            "n_occurrences",
+            "modal_token",
+            "modal_count",
+            "modal_permille",
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in out[1:]},
+                }
+            )
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = t["tok"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt_ = t["tot"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.zeros(ns, np.int64)
+        np.add.at(tot, ss, tt_)
+        order = np.lexsort((tok, -cnt, ss))
+        first = np.empty(len(order), dtype=bool)
+        ss_s = ss[order]
+        first[0] = True
+        first[1:] = ss_s[1:] != ss_s[:-1]
+        sel = order[first]
+        keep = np.flatnonzero(tot)
+        bt = np.zeros(ns, np.int64)
+        bc = np.zeros(ns, np.int64)
+        bt[ss[sel]] = tok[sel]
+        bc[ss[sel]] = cnt[sel]
+        o2 = np.argsort(keep)
+        keep = keep[o2]
+        return pa.table(
+            {
+                "source": srcs.take(pa.array(keep, pa.int64())),
+                "n_occurrences": pa.array(tot[keep], pa.int64()),
+                "modal_token": pa.array(bt[keep], pa.int64()),
+                "modal_count": pa.array(bc[keep], pa.int64()),
+                "modal_permille": pa.array(
+                    1000 * bc[keep] // np.maximum(tot[keep], 1), pa.int64()
+                ),
+            }
+        )
+
+    cells = rd.read_parquet(files, columns=["source", "tokens"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = hash_partition_merge(cells, "si", fold, k=8)
+    return hash_partition_merge(folded, "s", merge, k=1)
