@@ -1033,6 +1033,12 @@ def _q_events_heartbeat(sf_dir: str):
     return events_heartbeat(sf_dir)
 
 
+def _q_events_resurrection_trend(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_resurrection_trend
+
+    return events_resurrection_trend(sf_dir)
+
+
 def _q_events_id_audit(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_id_audit
 
@@ -1984,6 +1990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_tails": _q_events_value_tails,
         "embedding_sparsity": td.sparsity_spectrum,
         "rel_segment_balance": rel.segment_balance_profile,
+        "events_resurrection_trend": _q_events_resurrection_trend,
+        "embedding_energy_drift": td.energy_drift,
+        "rel_position_quantity": rel.position_quantity_profile,
         "events_heartbeat": _q_events_heartbeat,
         "f1_dominant_token": lambda sf_dir: td.dominant_token(
             _f1_oracle_dir(sf_dir)
@@ -10563,5 +10572,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_transitions
             FROM w WHERE ppr IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_resurrection_trend": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+                 w AS (SELECT user_id, day,
+                              lag(day) OVER (PARTITION BY user_id
+                                             ORDER BY day) AS pd
+                       FROM d),
+                 p AS (SELECT day // 7 AS wk,
+                              CASE WHEN day - pd >= 30 THEN 1 ELSE 0 END
+                                  AS res
+                       FROM w WHERE pd IS NOT NULL)
+            SELECT CAST(wk AS BIGINT) AS week,
+                   CAST(count(*) AS BIGINT) AS n_repeat_days,
+                   CAST(sum(res) AS BIGINT) AS n_resurrections,
+                   CAST(1000 * sum(res) // greatest(count(*), 1)
+                        AS BIGINT) AS resurrection_permille
+            FROM p GROUP BY 1
+        """,
+        "embedding_energy_drift": """
+            WITH v AS (SELECT CAST(vec_id AS BIGINT) AS i,
+                              CAST(len(list_filter(embedding,
+                                   x -> abs(x) > 1.0)) AS BIGINT) AS e
+                       FROM embeddings)
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(i) AS BIGINT) AS sum_i,
+                   CAST(sum(i * i) AS BIGINT) AS sum_i_sq,
+                   CAST(sum(e) AS BIGINT) AS sum_e,
+                   CAST(sum(e * e) AS BIGINT) AS sum_e_sq,
+                   CAST(sum(i * e) AS BIGINT) AS sum_i_e
+            FROM v
+        """,
+        "rel_position_quantity": """
+            SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty_floor,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount))
+                                 AS BIGINT)) AS BIGINT) AS revenue_floor
+            FROM lineitem GROUP BY 1
         """,
     }

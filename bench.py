@@ -631,6 +631,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_tails",
         "embedding_sparsity",
         "rel_segment_balance",
+        "events_resurrection_trend",
+        "embedding_energy_drift",
+        "rel_position_quantity",
         "events_heartbeat",
         "f1_dominant_token",
         "rel_priority_migration",

@@ -18451,3 +18451,114 @@ def events_heartbeat(
         )
 
     return hash_partition_merge(settled, "s", merge, k=1)
+
+
+def events_resurrection_trend(
+    sf_dir: str, lapse_days: int = 30
+) -> Dataset:
+    """E188: user resurrection trend — per ISO-ish week (epoch-day//7)
+    of the RETURN event: returning events (a user's consecutive active
+    days ``lapse_days``+ apart, counted at the return day) and total
+    repeat user-days — the win-back curve on the telemetry side (R95
+    reads it off the ORDER book; E53 distributes return gaps without a
+    time axis; E188 shows WHEN the lapsed came back — a resurrection
+    spike that follows a campaign week is attribution, one that
+    follows an outage is recovery, and the permille divides out).
+    Dense small output (weeks); exact int64 (per-user day lag + gap
+    filter + week GROUP BY oracle).
+
+    Scale shape — ONE user-hash exchange over distinct (user, day)
+    cells: each partition lexsorts its complete users once, adjacent
+    day-pairs classify in place, and (week, repeats, resurrections)
+    partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = (
+            pc.cast(b["user_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        u = np.unique(uid * (1 << 40) + day)
+        return pa.table({"ud": pa.array(u)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("wk", "nrep", "nres")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ud = np.unique(
+            t["ud"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        u = ud >> 40
+        d = ud & ((1 << 40) - 1)
+        n = len(ud)
+        has_prev = np.empty(n, dtype=bool)
+        has_prev[0] = False
+        has_prev[1:] = u[1:] == u[:-1]
+        pd_ = np.empty(n, dtype=np.int64)
+        pd_[0] = 0
+        pd_[1:] = d[:-1]
+        gap = d - pd_
+        res = has_prev & (gap >= lapse_days)
+        wk = d // 7
+        sel = has_prev
+        uw, idx = np.unique(wk[sel], return_inverse=True)
+        nrep = np.bincount(idx).astype(np.int64)
+        nres = np.zeros(len(uw), np.int64)
+        np.add.at(nres, idx, res[sel].astype(np.int64))
+        return pa.table(
+            {
+                "wk": pa.array(uw),
+                "nrep": pa.array(nrep),
+                "nres": pa.array(nres),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("week", "n_repeat_days", "n_resurrections",
+               "resurrection_permille")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("wk", use_threads=False).aggregate(
+            [("nrep", "sum"), ("nres", "sum")]
+        )
+        wk = g["wk"].combine_chunks().to_numpy(zero_copy_only=False)
+        nrep = g["nrep_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nres = g["nres_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "week": pa.array(wk, pa.int64()),
+                "n_repeat_days": pa.array(nrep, pa.int64()),
+                "n_resurrections": pa.array(nres, pa.int64()),
+                "resurrection_permille": pa.array(
+                    1000 * nres // np.maximum(nrep, 1), pa.int64()
+                ),
+            }
+        )
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    def add_u(b: pa.Table) -> pa.Table:
+        ud = b["ud"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("u", pa.array(ud >> 40, pa.int64()))
+
+    folded = hash_partition_merge(
+        cells.map_batches(add_u, batch_format="pyarrow"),
+        "u",
+        fold,
+        k=_adaptive_k(sf_dir),
+    )
+    return hash_partition_merge(folded, "wk", merge, k=1)

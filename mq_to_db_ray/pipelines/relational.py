@@ -17344,3 +17344,75 @@ def priority_migration(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "orders"),
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def position_quantity_profile(sf_dir: str) -> Dataset:
+    """R122: position-quantity profile — per l_linenumber: lines,
+    exact quantity, and floored revenue — does entry order encode
+    size?  (R27 profiles how many orders REACH each position, R113
+    tests whether the sequence tracks fulfillment; R122 reads the
+    SIZE gradient along it: a falling quantity curve means people
+    enter their main item first — position-1 revenue share is then a
+    cheap basket-head predictor — while a flat curve says position is
+    pure bookkeeping).  Dense small output (≤7 positions); exact
+    int64 (GROUP BY oracle).
+
+    Scale shape — ZERO wide exchange: the position axis is bounded;
+    one bincount trio per batch; O(batches × positions) partials
+    fold k=1."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = (
+            pc.cast(b["l_linenumber"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        u, idx = np.unique(ln, return_inverse=True)
+        nl = np.bincount(idx).astype(np.int64)
+        qs = np.zeros(len(u), np.int64)
+        np.add.at(qs, idx, q)
+        rs = np.zeros(len(u), np.int64)
+        np.add.at(rs, idx, rev)
+        return pa.table(
+            {
+                "pos": pa.array(u),
+                "nl": pa.array(nl),
+                "qty": pa.array(qs),
+                "rev": pa.array(rs),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = ("l_linenumber", "n_lines", "qty_floor", "revenue_floor")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in out})
+        g = t.group_by("pos", use_threads=False).aggregate(
+            [("nl", "sum"), ("qty", "sum"), ("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "l_linenumber": pc.cast(g["pos"], pa.int64()),
+                "n_lines": pc.cast(g["nl_sum"], pa.int64()),
+                "qty_floor": pc.cast(g["qty_sum"], pa.int64()),
+                "revenue_floor": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "pos", merge, k=1)

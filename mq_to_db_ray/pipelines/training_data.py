@@ -19234,3 +19234,80 @@ def dominant_token(sf_dir: str) -> Dataset:
     )
     folded = hash_partition_merge(cells, "si", fold, k=8)
     return hash_partition_merge(folded, "s", merge, k=1)
+
+
+def energy_drift(sf_dir: str, threshold: float = 1.0) -> Dataset:
+    """T195: embedding energy-drift sufficient statistics — over all
+    vectors: n, Σi, Σi², Σe, Σe², Σi·e with i = vec_id (the
+    generation-order proxy) and e = the INTEGER count of components
+    with |x| > ``threshold`` — is the embedding model's output
+    distribution drifting across the corpus?  (T117/T190 read
+    ingestion drift on the TEXT side; embeddings generated in batches
+    drift too — a checkpoint swap or normalization change mid-run
+    shifts the big-component count, and the OLS slope off these sums
+    catches it exactly where cosine thresholds silently degrade.)
+    The energy proxy is integer-exact (float compare), so the board
+    avoids float-sum nondeterminism entirely.  ONE dense row ALWAYS.
+    Exact int64 (list-filter count + SUM oracle).
+
+    Scale shape — ZERO wide exchange: one flatten + compare + parent
+    bincount per batch to six sums; O(batches) partials fold k=1."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = ("g", "n", "si", "sii", "se", "see", "sie")
+        e = b["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        flat = e.flatten().to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(e).to_numpy(zero_copy_only=False)
+        big = np.abs(flat) > threshold
+        ec = np.zeros(n, np.int64)
+        np.add.at(ec, parent, big.astype(np.int64))
+        vid = (
+            pc.cast(b["vec_id"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "si": pa.array([int(vid.sum())], pa.int64()),
+                "sii": pa.array([int((vid * vid).sum())], pa.int64()),
+                "se": pa.array([int(ec.sum())], pa.int64()),
+                "see": pa.array([int((ec * ec).sum())], pa.int64()),
+                "sie": pa.array([int((vid * ec).sum())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = (
+            "n_vectors",
+            "sum_i",
+            "sum_i_sq",
+            "sum_e",
+            "sum_e_sq",
+            "sum_i_e",
+        )
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in out})
+        src = ("n", "si", "sii", "se", "see", "sie")
+        return pa.table(
+            {
+                name: pa.array([int(pc.sum(t[c]).as_py())], pa.int64())
+                for name, c in zip(out, src)
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
