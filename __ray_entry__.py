@@ -2073,45 +2073,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-# The driver's correctness pass covers the FIRST 50 queries() keys.  With
-# 230 oracle-backed entries the window is allocated for FAMILY COVERAGE:
-# every suite gets current-round driver rows — the dedup/similarity/
-# multimodal flagships (the entries round 3's window missed), the
-# relational join suite (12 reps incl. the 3-hop star joins; zero had a
-# driver row before), the F1 tape audits (6 reps on the north-star
-# payload), the events suite (9 reps across grid/session/argmax shapes),
-# the text-quality/dedup-economics boards (9), and the embedding audits
-# (5).  Every windowed entry is oracle-backed and none has a prior driver
-# row except the 9 flagship dedup/sim/multimodal entries (r2-green,
-# re-pinned here deliberately).  Entries past position 50 are all swept
-# by scripts/driver_sim at sf0.001 AND sf0.01 each wave (FAILING: none);
-# the no_oracle diagnostics sit last.
+# The driver's correctness pass covers the FIRST 50 queries() keys.
+# Round-5 allocation (VERDICT r4 #1): the window ROTATES to 50 entries
+# that have NEVER earned a driver row in rounds 1-4 (107 entries had;
+# 401 oracle-backed entries had not) — zero repeats from any prior
+# round's window.  Members are a seeded random sample per family
+# (random.Random(20260820), 12 relational / 12 events / 12 text-dedup /
+# 8 F1 tape audits / 6 embedding — the r4 verdict's suggested split) so
+# the choice is reproducible and unbiased rather than hand-picked; see
+# queries_meta() for the per-entry suite/oracle facts the allocation is
+# derived from.  All 50 were re-verified green (rows+schema+hash) by
+# scripts/driver_sim at sf0.01 before this rotation landed.  Entries
+# past position 50 are covered by the seeded-random driver_sim pytest
+# gate (tests/test_driver_sample.py) plus full sweeps each wave; the
+# no_oracle diagnostics sit last.
 _WINDOW = [
-    # dedup / similarity / multimodal flagships
-    "doc_exact_dedup", "doc_jaccard_pairs", "doc_dup_clusters",
-    "doc_near_dedup_keep", "embedding_near_dup", "embedding_stats",
-    "ann_cosine_top10", "multimodal_meta", "multimodal_frame_sample",
-    # relational join suite
-    "rel_pricing_summary", "rel_order_fulfillment", "rel_segment_sales",
-    "rel_shipping_priority", "rel_returned_customers",
-    "rel_order_count_dist", "rel_market_share", "rel_small_qty_revenue",
-    "rel_nation_year_profit", "rel_shipmode_priority",
-    "rel_order_size_profile", "rel_brand_segment_matrix",
-    # F1 tape audits
-    "f1_ntok_quantiles_1h", "f1_gap_report", "f1_seq_dedup",
-    "f1_token_band_hist", "f1_vocab_novelty_1h", "f1_stutter_stats",
-    # events suite
-    "events_twa_1m", "events_distinct_users_1m", "events_retention_cohort",
-    "events_session_quantiles", "events_funnel", "events_transition_matrix",
-    "events_dow_profile", "events_daily_leader", "events_first_vs_primary",
-    # text quality / dedup economics
-    "doc_length_gini", "doc_case_stats", "doc_shingle_df_spectrum",
-    "doc_quality_length_matrix", "doc_pair_budget", "doc_token_budget_trim",
-    "doc_prep_attrition", "doc_dup_token_mass", "doc_eval_exposure",
-    # embedding audits
-    "embedding_label_energy", "embedding_grid_occupancy",
-    "embedding_dim_quantiles", "embedding_cell_purity",
-    "embedding_dup_vectors",
+    # relational join suite (12, never driver-checked)
+    "rel_balance_activity", "rel_balance_ticket", "rel_brand_cross_sell",
+    "rel_brand_price_positioning", "rel_customer_months_hist",
+    "rel_new_vs_repeat", "rel_priority_loyalty", "rel_ship_dom_profile",
+    "rel_sourcing_geography", "rel_supplier_coshipment",
+    "rel_supplier_recency", "rel_value_priority",
+    # events boards (12, never driver-checked)
+    "events_amount_diversity", "events_band_interarrival",
+    "events_coverage_quantiles", "events_cron_signature",
+    "events_dom_profile", "events_leadlag_corr", "events_session_clock",
+    "events_sign_runs", "events_source_retention", "events_top_anomalies",
+    "events_ts_collisions", "events_value_tails",
+    # text quality / dedup boards (12, never driver-checked)
+    "doc_bigram_symmetry", "doc_cluster_size_hist",
+    "doc_contamination_depth", "doc_docs_to_half", "doc_hapax_board",
+    "doc_hapax_share", "doc_id_integrity", "doc_lang_confusion",
+    "doc_lang_runs", "doc_length_autocorr", "doc_tokenizer_fertility",
+    "doc_vocab_churn",
+    # F1 tape audits (8, never driver-checked)
+    "f1_boundary_jump", "f1_cross_source_dups", "f1_thirds_vocab",
+    "f1_token_attribution", "f1_token_residues", "f1_vocab_jaccard",
+    "f1_vocab_pareto", "f1_window_dups",
+    # embedding audits (6, never driver-checked)
+    "embedding_cosign_matrix", "embedding_energy_drift",
+    "embedding_label_contradiction", "embedding_label_overlap",
+    "embedding_norm_hist", "embedding_sign_profile",
 ]
 
 
@@ -10614,4 +10616,40 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS revenue_floor
             FROM lineitem GROUP BY 1
         """,
+    }
+
+
+def queries_meta() -> dict[str, dict]:
+    """Single source of truth for registry bookkeeping (VERDICT r4 #8).
+
+    Derives, per ``queries()`` entry, the facts that window allocation,
+    sweep coverage and the BASELINE.md tallies previously tracked as three
+    hand-maintained counts: whether the entry is oracle-backed (an
+    ``oracle_sql()`` entry exists), which suite it belongs to (derived
+    from the name prefix), and whether it sits in the current driver
+    correctness window (``_WINDOW``).  Everything is computed from the
+    registries themselves — nothing here can drift from the code.
+
+    Returns ``{name: {"oracle": bool, "suite": str, "windowed": bool}}``.
+    Tallies: ``len(meta)`` = registry size; ``sum(m["oracle"])`` =
+    oracle-backed count; entries with ``oracle=False`` are the rows-only
+    diagnostics the driver checks weakly.
+    """
+    q = queries()
+    o = oracle_sql()
+
+    def suite(name: str) -> str:
+        if name.startswith("rel_"):
+            return "relational"
+        if name.startswith("events_"):
+            return "events"
+        if name.startswith("f1_"):
+            return "f1"
+        if name.startswith(("embedding_", "ann_")):
+            return "embedding"
+        return "text"  # doc_* / multimodal_* training-data suite
+
+    return {
+        k: {"oracle": k in o, "suite": suite(k), "windowed": k in _WINDOW}
+        for k in q
     }
