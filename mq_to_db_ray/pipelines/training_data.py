@@ -1649,18 +1649,42 @@ def jaccard_pairs(
     )
 
 
-def embedding_near_dup(sf_dir: str, threshold_permille: int = 450) -> Dataset:
+# Above this many vectors the exact all-pairs kernel is refused unless the
+# caller opts in: the O(N^2) matmul is the correctness BASELINE for the LSH
+# scale path, never the production entry (VERDICT r4 #4).
+EXACT_NEAR_DUP_MAX_ROWS = 200_000
+
+
+def embedding_near_dup(
+    sf_dir: str, threshold_permille: int = 450, *,
+    exact: bool = False, max_rows: int = EXACT_NEAR_DUP_MAX_ROWS,
+) -> Dataset:
     """Embedding-cosine near-duplicate pairs (exact): (vec_a, vec_b,
     sim_permille) with vec_a < vec_b and cosine(a, b) >= threshold.
 
     The normalized matrix is broadcast ONCE via ``ray.put`` (read in each
     actor's ``__init__``); every batch does one numpy matmul against it.
+
+    This is the exact O(N^2) oracle baseline.  Inputs larger than
+    ``max_rows`` vectors are REFUSED with a loud error pointing at the
+    bucketed scale path (``embedding_near_dup_lsh``) unless the caller
+    passes ``exact=True`` — the guard exists so the quadratic baseline
+    cannot be reached by accident at 100-TB scale.
     """
     from ..functions.similarity import NearDupScorer, _batch_matrix
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    if not exact:
+        n = emb.count()  # parquet metadata read — no data scan
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup is the exact O(N^2) baseline and the "
+                f"input has {n} vectors (> {max_rows}).  Use "
+                f"embedding_near_dup_lsh (the bucketed scale path), or pass "
+                f"exact=True to force the quadratic kernel."
+            )
     ids_list, mats = [], []
     for batch in emb.iter_batches(batch_format="pyarrow", batch_size=8192):
         ids_list.append(np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64))

@@ -19,6 +19,22 @@ def quiesce_ray_data_stats() -> None:
     try:
         import time
 
+        import ray
+
+        # The touch below is a private-API workaround verified against
+        # Ray 2.49 only.  On any other Ray, skip it entirely (and say so
+        # once) rather than poking internals whose locking semantics may
+        # have changed — the worst case there is the pre-existing benign
+        # race, not corruption.  VERDICT r4 #5.
+        if not ray.__version__.startswith("2.49"):
+            import logging
+
+            logging.getLogger(__name__).info(
+                "quiesce_ray_data_stats: no-op on Ray %s (workaround is "
+                "version-gated to 2.49)", ray.__version__,
+            )
+            return
+
         from ray.data._internal.stats import StatsManager
 
         with StatsManager._stats_lock:
