@@ -103,6 +103,12 @@ def _q_events_asof(sf_dir: str):
     return events_asof_join(sf_dir)
 
 
+def _q_events_skew_asof(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_skew_asof
+
+    return events_skew_asof(sf_dir)
+
+
 def _q_events_rolling(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_rolling_1m
 
@@ -2007,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # f1_rollup_* oracles below
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         "events_asof_join": _q_events_asof,
+        "events_skew_asof": _q_events_skew_asof,
         "events_sessions": _q_events_sessions,
         "events_session_join": _q_events_session_join,
         "events_quantiles_1m": _q_events_quantiles,
@@ -2094,12 +2101,14 @@ _WINDOW = [
     "rel_new_vs_repeat", "rel_priority_loyalty", "rel_ship_dom_profile",
     "rel_sourcing_geography", "rel_supplier_coshipment",
     "rel_supplier_recency", "rel_value_priority",
-    # events boards (12, never driver-checked)
+    # events boards (11 seeded + the Zipf-skew as-of stress twin, which
+    # replaces the seeded "events_value_tails" slot so the round-4
+    # hot-key sub-windowing machinery earns a driver row — VERDICT r4 #6)
     "events_amount_diversity", "events_band_interarrival",
     "events_coverage_quantiles", "events_cron_signature",
     "events_dom_profile", "events_leadlag_corr", "events_session_clock",
-    "events_sign_runs", "events_source_retention", "events_top_anomalies",
-    "events_ts_collisions", "events_value_tails",
+    "events_sign_runs", "events_skew_asof", "events_source_retention",
+    "events_top_anomalies", "events_ts_collisions",
     # text quality / dedup boards (12, never driver-checked)
     "doc_bigram_symmetry", "doc_cluster_size_hist",
     "doc_contamination_depth", "doc_docs_to_half", "doc_hapax_board",
@@ -2254,6 +2263,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type = 'error' THEN 'parse' ELSE 'validate' END AS reason
             FROM events
             WHERE event_type = 'error' OR value >= 450.0
+        """,
+        "events_skew_asof": """
+            WITH l AS (SELECT event_id,
+                              CASE WHEN event_id % 2 = 0 THEN 0
+                                   ELSE user_id END AS user_id,
+                              ts
+                       FROM events WHERE event_type = 'click'),
+                 r AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                                   ELSE user_id END AS user_id,
+                              ts,
+                              max(CAST(floor(value) AS BIGINT)) AS v
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2)
+            SELECT l.user_id, l.ts, CAST(r.v AS BIGINT) AS asof_value,
+                   l.event_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_asof_join": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -108,31 +108,57 @@ def run_compute_once(corpus: str) -> dict:
     """The cascade's COMPUTE path only (read→validate→rollup 1m→1h→1d,
     gap-fill included), no persistent sink writes.
 
+    Mirrors the e2e pipeline's round-5 structure: the 1m combiner runs
+    INSIDE the read→validate task chain (the fused-sink shape, minus the
+    write) and the post-rollup tiers cascade with the same in-process
+    kernels run_cascade's small-tier fast path uses — so the compute
+    number isolates the sink term rather than re-adding execution-launch
+    overhead the e2e path no longer pays.
+
     Used for the compute-only scaling number: on a real N vs 4N-node
     cluster, node-local sink bandwidth scales with the node count by
     construction; this sandbox has ONE shared virtio disk, so end-to-end
     numbers under-report the orchestration's scalability."""
+    import pyarrow as pa
     import ray.data as rd
 
-    from mq_to_db_ray.stages.gapfill import gap_fill
-    from mq_to_db_ray.stages.rollup import cascade, rollup
+    from mq_to_db_ray.pipelines.cascade import (
+        _cascade_table,
+        _group_slices,
+    )
+    from mq_to_db_ray.stages.gapfill import fill_group
+    from mq_to_db_ray.stages.rollup import (
+        finalize_batch,
+        merge_partials_batch,
+        partial_rollup_batch,
+    )
     from mq_to_db_ray.stages.validate import ValidateAssign
+    from mq_to_db_ray.timegrid import TIERS
 
     files = sorted(
         os.path.join(corpus, f) for f in os.listdir(corpus)
         if f.endswith(".parquet")
     )
     va = ValidateAssign()
+    tier_s = TIERS["1m"]
     t0 = time.perf_counter()
     ds = rd.read_parquet(files, override_num_blocks=len(files))
-    assigned = ds.map_batches(
-        lambda b: va(b).select(["source", "seq", "n_tok"]),
+    partials = ds.map_batches(
+        lambda b: partial_rollup_batch(
+            va(b).select(["source", "seq", "n_tok"]), tier_s
+        ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    m1 = rollup(assigned, "1m").materialize()
-    h1 = cascade(m1, "1m", "1h").materialize()
-    d1 = cascade(h1, "1h", "1d")
-    n_pts = gap_fill(d1, "1d").count() + m1.count() + h1.count()
+    fetched = list(partials.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    m1 = finalize_batch(merge_partials_batch(pa.concat_tables(fetched)),
+                        tier_s)
+    h1 = _cascade_table(m1, "1m", "1h")
+    d1 = _cascade_table(h1, "1h", "1d")
+    n_pts = m1.num_rows + h1.num_rows + sum(
+        fill_group(g, TIERS["1d"]).num_rows
+        for g in _group_slices(d1, ["source"])
+    )
     wall = time.perf_counter() - t0
     n_rows = sum(
         __import__("pyarrow.parquet", fromlist=["ParquetFile"])
@@ -173,6 +199,37 @@ def run_cascade_once(corpus: str, workdir: str = "/tmp") -> dict:
         tokens_per_sec=round(n_tokens / wall, 1),
         partitions=summary["partitions"],
     )
+
+
+# Pinned round-over-round regression set (VERDICT r4 #7): ~20 stable
+# queries covering every suite + the flagship cascade.  With 500+ timed
+# queries, per-query weather dominates totals; this set is the one whose
+# best-of-2 walls are compared round to round (BENCH carries it as
+# "headline"/"headline_total"), so a regression is attributable within one
+# artifact.  Membership is append-only — never remove or rename an entry.
+HEADLINE = [
+    "f1_cascade",
+    "events_rollup_1m",
+    "events_gapfill_1m",
+    "events_asof_join",
+    "events_sessions",
+    "events_session_join",
+    "events_quantiles_1m",
+    "events_distinct_users_1m",
+    "events_increase_1m",
+    "doc_token_count",
+    "doc_quality_filter",
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "doc_dup_clusters",
+    "doc_near_dedup_keep",
+    "doc_pack_sequences",
+    "rel_pricing_summary",
+    "rel_nation_year_profit",
+    "embedding_near_dup_lsh",
+    "ann_cosine_top10",
+    "multimodal_meta",
+]
 
 
 def timed_queries(sf_dir: str) -> dict[str, float]:
@@ -739,6 +796,7 @@ def cmd_bench(args) -> None:
     queries = timed_queries(args.sf_dir)
     queries["f1_cascade"] = cascade["wall_sec"]
     total = round(sum(queries.values()), 3)
+    headline = {n: queries[n] for n in HEADLINE if n in queries}
     sf = os.path.basename(os.path.normpath(args.sf_dir)).replace("sf", "")
     try:
         sf = float(sf)
@@ -749,6 +807,8 @@ def cmd_bench(args) -> None:
         value=total,
         unit="sec",
         queries=queries,
+        headline=headline,
+        headline_total=round(sum(headline.values()), 3),
         sf=sf,
         num_cpus=args.num_cpus,
         cascade=cascade,
@@ -757,7 +817,10 @@ def cmd_bench(args) -> None:
             "gated in queries() but untimed; its timed slot is the LSH "
             "scale path. doc_dup_clusters is timed cold (cache cleared "
             "per iteration); doc_near_dedup_keep reuses the shared "
-            "cluster intermediate, i.e. it times the apply step."
+            "cluster intermediate, i.e. it times the apply step. "
+            "'headline' is the pinned ~20-query round-over-round "
+            "regression set (best-of-2 walls, append-only membership); "
+            "compare it, not the 500-query total, across rounds."
         ),
     )))
     quiesce_ray_data_stats()
@@ -983,13 +1046,20 @@ def main() -> None:
     if args.workdir is None:
         args.workdir = "/dev/shm/mq2db" if args.scaling else "/tmp"
     if args.scaling:
-        # reproduce the BASELINE.md protocol unless explicitly overridden:
-        # 32M rows / 128 contiguous shards / light tokens, 4 vs 16 CPUs
-        # (both below the host's physical-core knee; see BASELINE.md)
+        # reproduce the BASELINE.md round-5 protocol unless explicitly
+        # overridden: 64M rows / 256 contiguous shards / light tokens,
+        # 2 vs 8 CPUs.  Pair rationale (BASELINE.md round-5): a real N vs
+        # 4N-node cluster adds memory controllers with every node, so
+        # per-node bandwidth is constant; on this ONE box the allocator's
+        # aggregate bandwidth collapses above ~16 procs (documented
+        # microbenchmarks), which models nothing about multi-node scaling.
+        # 2 vs 8 keeps both legs below the box's bandwidth knee, making
+        # CPU-scaling a faithful node-scaling proxy; 4 vs 16 is reported
+        # alongside in BASELINE.md.
         if args.rows == BENCH_ROWS:
-            args.rows, args.shards, args.max_tok = 32_000_000, 128, 32
+            args.rows, args.shards, args.max_tok = 64_000_000, 256, 32
         if (args.low, args.high) == (8, 32):
-            args.low, args.high = 4, 16
+            args.low, args.high = 2, 8
     if args.worker_cascade:
         cmd_worker_cascade(args)
     elif args.scaling:

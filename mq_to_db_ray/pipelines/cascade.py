@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
+from .. import schema as sch
 from ..state.manifest import Manifest, write_partition_atomic
 from ..state.metrics import MetricsSink
 from ..stages.encode import encode_group
@@ -234,9 +235,10 @@ class RawPartialsDatasink(rd.Datasink):
     the staging dir is renamed into the tier only after every task
     succeeds (``_commit_raw_dir``)."""
 
-    def __init__(self, staging: str, tier_s: int):
+    def __init__(self, staging: str, tier_s: int, compression: str = "zstd"):
         self.staging = staging
         self.tier_s = tier_s
+        self.compression = compression
         self.partial_refs: list = []
 
     def on_write_start(self) -> None:
@@ -259,7 +261,9 @@ class RawPartialsDatasink(rd.Datasink):
                 if block.num_rows == 0:
                     continue
                 if writer is None:
-                    writer = pq.ParquetWriter(tmp, block.schema)
+                    writer = pq.ParquetWriter(
+                        tmp, block.schema, compression=self.compression
+                    )
                 writer.write_table(block)
                 narrow.append(block.select(["source", "seq", "n_tok"]))
         finally:
@@ -344,6 +348,166 @@ def commit_tier(
     )
 
 
+# At or below this many rolled-up points, the post-rollup tiers are
+# cascaded and committed with in-process Arrow kernels (identical output
+# files, manifests and metric rows — the SAME TierPartitionWriter and
+# rollup kernels run, just not inside Ray Data executions).  Rationale:
+# after the first rollup the data is orders of magnitude smaller than raw,
+# and on short epochs the ~7 extra Ray Data execution launches (extents,
+# 2 cascades, 3 commits, count) cost more driver latency than the whole
+# stage-B computation — a fixed term that caps measured e2e scaling
+# efficiency (BASELINE.md round-5).  Above the threshold the distributed
+# path runs unchanged, so 100-TB epochs (1m tier >> 4M points) never pull
+# data driver-side.  Sizing: 4M ROLLUP rows are ~200 MB of narrow columns
+# driver-side and sub-second Arrow/numpy kernel work; the distributed
+# stage-B at this size costs 8-15 s in execution launches + marker-union
+# shuffles (measured at 64M raw rows / 1.07M 1m points, BASELINE.md
+# round-5), so the crossover sits well above this bound.
+SMALL_TIER_DRIVER_ROWS = 1 << 22
+
+
+def _cascade_table(tbl: pa.Table, from_tier: str, to_tier: str) -> pa.Table:
+    """Driver-side cascade: the exact distributed kernels, composed."""
+    from ..stages.rollup import (
+        finalize_batch,
+        merge_partials_batch,
+        repartial_rollup_batch,
+    )
+
+    f, t = TIERS[from_tier], TIERS[to_tier]
+    return finalize_batch(
+        merge_partials_batch(repartial_rollup_batch(tbl, f, t)), t
+    )
+
+
+def _source_extents_table(tbl: pa.Table) -> pa.Table:
+    """(source, lo_us, hi_us) from an in-memory ROLLUP table (one group_by)."""
+    if tbl.num_rows == 0:
+        return pa.table({
+            "source": pa.array([], pa.string()),
+            "lo_us": pa.array([], pa.int64()),
+            "hi_us": pa.array([], pa.int64()),
+        })
+    t = pa.table(
+        {"source": tbl["source"], "ts": tbl["bucket_ts"].cast(pa.int64())}
+    )
+    g = t.group_by("source", use_threads=False).aggregate(
+        [("ts", "min"), ("ts", "max")]
+    )
+    return pa.table(
+        {"source": g["source"], "lo_us": g["ts_min"], "hi_us": g["ts_max"]}
+    )
+
+
+def _group_slices(tbl: pa.Table, keys: list[str]):
+    """Yield per-group sub-tables (sorted group boundaries), driver-side."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return
+    order = pc.sort_indices(
+        tbl, sort_keys=[(k, "ascending") for k in keys]
+    )
+    s = tbl.take(order)
+    cols = []
+    for k in keys:
+        c = s[k]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if pa.types.is_string(c.type):
+            cols.append(
+                c.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            )
+        else:
+            cols.append(c.to_numpy(zero_copy_only=False))
+    n = s.num_rows
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in cols:
+        new[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    for lo, hi in zip(starts, ends):
+        yield s.slice(int(lo), int(hi - lo))
+
+
+def _commit_group_task(w: "TierPartitionWriter", g: pa.Table) -> pa.Table:
+    """Plain-task twin of one map_groups call (see _commit_tier_table)."""
+    return w(g)
+
+
+def _run_groups(w: "TierPartitionWriter", groups) -> list[pa.Table]:
+    """Run the writer over group slices: in-process for one group, as plain
+    ``ray.remote`` tasks otherwise — the fills/encodes parallelize across
+    the cluster without paying a streaming-executor launch per tier (the
+    whole point of the small-tier path)."""
+    import ray
+
+    groups = list(groups)
+    if len(groups) <= 1:
+        return [w(g) for g in groups]
+    fn = ray.remote(num_cpus=1)(_commit_group_task)
+    wref = ray.put(w)
+    return ray.get([fn.remote(wref, g) for g in groups])
+
+
+def _commit_tier_table(
+    tbl: pa.Table, tier: str, out_dir: str, run_id: str,
+    epoch: str | None, window_buckets: int | None,
+    reject_dir: str | None, ext: pa.Table,
+) -> list[dict]:
+    """Driver-side twin of :func:`commit_tier` for small tiers: identical
+    partition files, manifest entries and metric rows via the same
+    ``TierPartitionWriter``, grouped in-process instead of via groupby."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.gapfill import (
+        DEFAULT_WINDOW_BUCKETS,
+        spans_single_window,
+        window_markers,
+    )
+    from ..timegrid import T0_US
+
+    wb = window_buckets or DEFAULT_WINDOW_BUCKETS
+    tier_s = TIERS[tier]
+    if spans_single_window(ext, tier_s, wb):
+        w = TierPartitionWriter(
+            out_dir, run_id, tier, epoch=epoch, reject_dir=reject_dir
+        )
+        out_rows = _run_groups(w, _group_slices(tbl, ["source"]))
+    else:
+        order = pc.sort_indices(ext["source"])
+        ext_sorted = ext.take(order)
+        ext_tuple = (
+            np.asarray(ext_sorted["source"].to_pylist(), dtype=object),
+            ext_sorted["lo_us"].to_numpy(zero_copy_only=False),
+            ext_sorted["hi_us"].to_numpy(zero_copy_only=False),
+        )
+        step = tier_s * 1_000_000
+        ts = tbl["bucket_ts"].cast(pa.int64())
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts = ts.to_numpy(zero_copy_only=False)
+        win = np.floor_divide(np.floor_divide(ts - T0_US, step), wb)
+        data = tbl.append_column(
+            "window_id", pa.array(win, type=pa.int64())
+        ).append_column(
+            "is_marker", pa.array(np.zeros(len(ts), dtype=bool))
+        )
+        markers = window_markers(ext_sorted, tier_s, wb)
+        keyed = pa.concat_tables(
+            [data.select(markers.schema.names), markers]
+        )
+        w = TierPartitionWriter(
+            out_dir, run_id, tier, epoch=epoch, ext_ref=ext_tuple,
+            window_buckets=wb, reject_dir=reject_dir,
+        )
+        out_rows = _run_groups(w, _group_slices(keyed, ["source", "window_id"]))
+    return [r for t in out_rows for r in t.to_pylist()]
+
+
 def run_cascade(
     input_paths: list[str] | str,
     out_dir: str,
@@ -354,7 +518,8 @@ def run_cascade(
     raw_partition_cols: list[str] | None = None,
     read_blocks: int | None = None,
     window_buckets: int | None = None,
-    fused_partials: bool = False,
+    fused_partials: bool = True,
+    raw_compression: str = "zstd",
 ) -> dict:
     """Run the full epoch: returns a summary dict (counts, tiers, metrics path).
 
@@ -393,6 +558,7 @@ def run_cascade(
     from ..stages.rollup import _merge_partials
 
     m1 = None
+    m1_tbl_fused = None
     if not skip_raw and not manifest.is_committed("raw", raw_part):
         # One block per input file so read→validate→write FUSE into a single
         # task-pool chain: the wide tokens column never round-trips the
@@ -425,22 +591,54 @@ def run_cascade(
                 zero_copy_batch=True,
             )
         if fused_partials and raw_partition_cols is None:
-            # Opt-in fused path: the RawPartialsDatasink write task streams
-            # the validated blocks to ONE raw shard per task and returns
-            # the 1m partial aggregates, so the rollup overlaps the write
-            # and stage B starts from partials instead of re-reading the
-            # raw tier.  Right when the sink is DISK-BANDWIDTH-bound (real
-            # clusters with node-local disks); measured ~20-25% SLOWER than
-            # the default on this sandbox's tmpfs (best-of-3 fresh
-            # processes, 16 CPUs: 15.3s vs 12.0s), where writes are
-            # CPU-bound and Ray's threaded parquet writer + a 37MB narrow
-            # re-read win — hence not the default.
-            raw_sink = RawPartialsDatasink(staging, TIERS["1m"])
+            # Fused path (the DEFAULT since round 5): the RawPartialsDatasink
+            # write task streams the validated blocks to ONE raw shard per
+            # task and returns the 1m partial aggregates, so the rollup
+            # overlaps the write and stage B starts from partials instead of
+            # re-reading the raw tier.  With zstd raw staging this is now
+            # faster than write+narrow-re-read at EVERY parallelism level
+            # measured (16 CPUs: 6.1 s vs 8.1 s; 4 CPUs: 16.1 s vs 22.4 s —
+            # BASELINE.md round-5); the earlier 20-25%-slower measurement
+            # predates the zstd sink and the small-tier fast path.
+            raw_sink = RawPartialsDatasink(
+                staging, TIERS["1m"], compression=raw_compression
+            )
             validated.write_datasink(raw_sink)
             try:
-                m1 = _merge_partials(
-                    rd.from_arrow_refs(raw_sink.partial_refs), TIERS["1m"]
-                ).materialize()
+                import ray
+
+                # Bounded driver-side merge: each partial holds at most one
+                # row per (source, 1m-bucket) seen by its write task.  Fetch
+                # refs until the row budget trips; under it, the merge is one
+                # in-process Arrow group_by (no extra Ray Data execution —
+                # the dominant fixed cost on short epochs); over it, the
+                # distributed hash-merge runs exactly as before.
+                fetched, n_fetched = [], 0
+                refs = list(raw_sink.partial_refs)
+                for i in range(0, len(refs), 64):  # chunked: one RPC per 64
+                    for t in ray.get(refs[i:i + 64]):
+                        fetched.append(t)
+                        n_fetched += t.num_rows
+                    if n_fetched > SMALL_TIER_DRIVER_ROWS:
+                        break
+                if n_fetched <= SMALL_TIER_DRIVER_ROWS:
+                    from ..stages.rollup import (
+                        finalize_batch,
+                        merge_partials_batch,
+                    )
+
+                    m1_tbl_fused = (
+                        finalize_batch(
+                            merge_partials_batch(pa.concat_tables(fetched)),
+                            TIERS["1m"],
+                        )
+                        if fetched
+                        else sch.empty(sch.ROLLUP)
+                    )
+                else:
+                    m1 = _merge_partials(
+                        rd.from_arrow_refs(raw_sink.partial_refs), TIERS["1m"]
+                    ).materialize()
             except Exception:
                 m1 = None  # fall back to the narrow re-read below
         else:
@@ -450,37 +648,91 @@ def run_cascade(
             # stage-A output bytes (ds.stats() evidence in BASELINE.md).
             # raw_partition_cols (opt-in per-source layout) costs a full
             # extra copy of the wide tokens column.
-            validated.write_parquet(staging, partition_cols=raw_partition_cols)
+            # zstd (not the parquet-default snappy): the generated token
+            # streams sit near their entropy bound, where zstd is BOTH
+            # ~10% smaller AND faster to encode/decode than snappy on this
+            # host (measured: 1M-row shard 39.4 MB/1.03 s snappy vs
+            # 35.5 MB/0.72 s zstd — BASELINE.md round-5) — fewer staged
+            # bytes through the shared page allocator is exactly the e2e
+            # scaling term this sandbox is bound by.
+            validated.write_parquet(
+                staging, partition_cols=raw_partition_cols,
+                compression=raw_compression,
+            )
         os.makedirs(os.path.dirname(raw_dir), exist_ok=True)
         _commit_raw_dir(manifest, staging, raw_dir, raw_part, epoch)
     raw_wall = time.perf_counter() - t0
 
     # ---- stage B: 1m → 1h → 1d (rolled-up data only) ----
-    if m1 is None:
+    m1_tbl = None
+    if m1_tbl_fused is not None:
+        m1_tbl = m1_tbl_fused
+        m1 = rd.from_arrow(m1_tbl)
+        n_m1 = m1_tbl.num_rows
+    elif m1 is None:
         # resume / skip_raw / partitioned-raw paths: narrow column-pruned
         # re-read of the committed raw tier.  Big batches: the per-batch
         # combiner contracts to <=|keys| rows, so larger batches shuffle less
         narrow = rd.read_parquet(raw_dir, columns=["source", "seq", "n_tok"])
         m1 = rollup(narrow, "1m", batch_size=max(batch_size, 1 << 20)).materialize()
+        n_m1 = m1.count()  # metadata on a materialized dataset
+    else:
+        n_m1 = m1.count()  # metadata on a materialized dataset
     # per-source extents computed ONCE from the 1m tier; the cascaded
     # tiers' extents are exact floor-coarsenings (no extra passes)
-    ext1 = source_extents(m1)
-    parts = {
-        "1m": commit_tier(
-            m1, "1m", out_dir, run_id, epoch, window_buckets, reject_dir,
-            ext=ext1,
+    if m1_tbl is not None or n_m1 <= SMALL_TIER_DRIVER_ROWS:
+        # hybrid small-tier fast path: same kernels, same writer, same
+        # output — composed in-process instead of as 7 more Ray Data
+        # executions (see SMALL_TIER_DRIVER_ROWS).
+        if m1_tbl is None:
+            import ray
+
+            blocks = []
+            for b in ray.get(m1.to_arrow_refs()):
+                if isinstance(b, pa.RecordBatch):
+                    b = pa.Table.from_batches([b])
+                if b.num_rows:  # block field order can differ; normalize
+                    blocks.append(b.select(sch.ROLLUP.names).cast(sch.ROLLUP))
+            m1_tbl = (
+                pa.concat_tables(blocks) if blocks else sch.empty(sch.ROLLUP)
+            )
+        ext1 = _source_extents_table(m1_tbl)
+        parts = {
+            "1m": _commit_tier_table(
+                m1_tbl, "1m", out_dir, run_id, epoch, window_buckets,
+                reject_dir, ext1,
+            )
+        }
+        h1_tbl = _cascade_table(m1_tbl, "1m", "1h")
+        parts["1h"] = _commit_tier_table(
+            h1_tbl, "1h", out_dir, run_id, epoch, window_buckets,
+            reject_dir, coarsen_extents(ext1, TIERS["1h"]),
         )
-    }
-    h1 = cascade(m1, "1m", "1h").materialize()
-    parts["1h"] = commit_tier(
-        h1, "1h", out_dir, run_id, epoch, window_buckets, reject_dir,
-        ext=coarsen_extents(ext1, TIERS["1h"]),
-    )
-    d1 = cascade(h1, "1h", "1d").materialize()
-    parts["1d"] = commit_tier(
-        d1, "1d", out_dir, run_id, epoch, window_buckets, reject_dir,
-        ext=coarsen_extents(ext1, TIERS["1d"]),
-    )
+        d1_tbl = _cascade_table(h1_tbl, "1h", "1d")
+        parts["1d"] = _commit_tier_table(
+            d1_tbl, "1d", out_dir, run_id, epoch, window_buckets,
+            reject_dir, coarsen_extents(ext1, TIERS["1d"]),
+        )
+        h1 = rd.from_arrow(h1_tbl)
+        d1 = rd.from_arrow(d1_tbl)
+    else:
+        ext1 = source_extents(m1)
+        parts = {
+            "1m": commit_tier(
+                m1, "1m", out_dir, run_id, epoch, window_buckets, reject_dir,
+                ext=ext1,
+            )
+        }
+        h1 = cascade(m1, "1m", "1h").materialize()
+        parts["1h"] = commit_tier(
+            h1, "1h", out_dir, run_id, epoch, window_buckets, reject_dir,
+            ext=coarsen_extents(ext1, TIERS["1h"]),
+        )
+        d1 = cascade(h1, "1h", "1d").materialize()
+        parts["1d"] = commit_tier(
+            d1, "1d", out_dir, run_id, epoch, window_buckets, reject_dir,
+            ext=coarsen_extents(ext1, TIERS["1d"]),
+        )
 
     # this run's staging tree now holds only empty dirs (every staged file
     # was renamed away at commit); remove it so _staging/ is clean on exit
@@ -492,7 +744,12 @@ def run_cascade(
     # every validated row lands in exactly one 1m bucket, so the raw-tier
     # row count is the sum of the (tiny, already-materialized) 1m counts —
     # no narrow re-scan of the raw tier per epoch
-    n_raw = int(m1.sum("count") or 0)
+    if m1_tbl is not None:
+        import pyarrow.compute as _pc
+
+        n_raw = int(_pc.sum(m1_tbl["count"]).as_py() or 0)
+    else:
+        n_raw = int(m1.sum("count") or 0)
     n_rejects, n_errors = 0, 0
     reject_files = (
         sorted(

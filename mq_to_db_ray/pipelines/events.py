@@ -131,6 +131,46 @@ def events_asof_join(sf_dir: str) -> Dataset:
     )
 
 
+def events_skew_asof(
+    sf_dir: str, window_us: int = 6 * 3600 * 1_000_000
+) -> Dataset:
+    """Zipf-skew stress twin of :func:`events_asof_join` (VERDICT r4 #6):
+    user ids are remapped deterministically so ONE synthetic user (uid 0)
+    owns every even-``event_id`` row — ~half of both join sides — and the
+    as-of runs with 6h sub-windows, so the hot key's 30-day history spreads
+    over ~120 (key, window) tasks through the halo/carried-prefix path
+    instead of funnelling into one.  The remap is a pure SQL expression
+    (``CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END``), so the DuckDB
+    oracle applies it inline and the driver's rows+schema+hash gate covers
+    the sub-windowed machinery end to end.  Output schema matches
+    ``events_asof_join``."""
+    from ..stages.temporal import asof_join
+
+    def skew(b: pa.Table) -> pa.Table:
+        uid = pc.if_else(
+            pc.equal(pc.bit_wise_and(b["event_id"], 1), 0),
+            pa.scalar(0, pa.int64()),
+            b["user_id"],
+        )
+        return b.drop_columns(["user_id"]).append_column("user_id", uid)
+
+    left = _events_typed(
+        sf_dir, "click", ["event_id", "user_id", "ts"]
+    ).map_batches(skew, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    right = _events_typed(
+        sf_dir, "purchase", ["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: _floor_value(skew(b), "v").drop_columns(["event_id"]),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        left, right, key="user_id", ts="ts", value="v", k=_adaptive_k(sf_dir),
+        window_us=window_us,
+    )
+
+
 def events_rolling_1m(sf_dir: str, w: int = 5) -> Dataset:
     """Trailing-5-minute rolling sums of count / sum_n_tok over the dense
     gap-filled per-source 1m grid (SQL window-function oracle)."""
