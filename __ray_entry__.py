@@ -109,6 +109,18 @@ def _q_events_skew_asof(sf_dir: str):
     return events_skew_asof(sf_dir)
 
 
+def _q_events_skew_sessions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_skew_sessions
+
+    return events_skew_sessions(sf_dir)
+
+
+def _q_events_skew_session_join(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_skew_session_join
+
+    return events_skew_session_join(sf_dir)
+
+
 def _q_events_rolling(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_rolling_1m
 
@@ -2014,6 +2026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f1_cascade_1m_gapfilled": _q_f1_cascade_1m,
         "events_asof_join": _q_events_asof,
         "events_skew_asof": _q_events_skew_asof,
+        "events_skew_sessions": _q_events_skew_sessions,
+        "events_skew_session_join": _q_events_skew_session_join,
+        "doc_half_jaccard": td.half_jaccard,
+        "rel_type_price_volume": rel.type_price_volume,
         "events_sessions": _q_events_sessions,
         "events_session_join": _q_events_session_join,
         "events_quantiles_1m": _q_events_quantiles,
@@ -2355,6 +2371,93 @@ def oracle_sql() -> dict[str, str]:
                    count - lag(count) OVER (PARTITION BY source
                                             ORDER BY bucket_ts) AS delta_count
             FROM f
+        """,
+        "events_skew_sessions": """
+            WITH ev AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                          ELSE user_id END AS user_id,
+                     ts, event_id, value
+              FROM events),
+            o AS (
+              SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, v,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                  FROM o)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(sum(v) AS BIGINT) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "events_skew_session_join": """
+            WITH ev AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                          ELSE user_id END AS user_id,
+                     ts, event_id
+              FROM events),
+            o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                  FROM o),
+            iv AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                          min(ts) AS start_ts, max(ts) AS end_ts
+                   FROM s GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, iv.session_id
+            FROM ev e
+            JOIN iv ON e.user_id = iv.user_id
+                   AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+        """,
+        "doc_half_jaccard": """
+            WITH w AS (SELECT source, string_split(text, ' ') AS l
+                       FROM documents),
+            h AS (SELECT source,
+                         list_distinct(list_slice(l, 1, len(l) // 2)) AS a,
+                         list_distinct(list_slice(l, len(l) // 2 + 1, len(l))) AS b
+                  FROM w),
+            j AS (SELECT source,
+                         len(list_intersect(a, b)) AS ni,
+                         len(a) + len(b) - len(list_intersect(a, b)) AS nu
+                  FROM h),
+            p AS (SELECT source,
+                         CASE WHEN nu > 0 THEN 1000 * ni // nu
+                              ELSE 0 END AS perm
+                  FROM j)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(quantile_disc(perm, 0.5), 0) AS BIGINT)
+                       AS p50_permille,
+                   CAST(COALESCE(quantile_disc(perm, 0.9), 0) AS BIGINT)
+                       AS p90_permille
+            FROM p GROUP BY 1
+        """,
+        "rel_type_price_volume": """
+            SELECT p.p_type,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(sum(q * v) AS BIGINT) AS sum_qv,
+                   CAST(sum(q * q) AS BIGINT) AS sum_q2,
+                   CAST(sum(v * v) AS BIGINT) AS sum_v2
+            FROM (SELECT l_partkey,
+                         CAST(floor(l_quantity) AS BIGINT) AS q,
+                         CAST(floor(l_extendedprice * (1 - l_discount))
+                              AS BIGINT) AS v
+                  FROM lineitem) l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
         """,
         "events_sessions": """
             WITH o AS (

@@ -146,23 +146,15 @@ def events_skew_asof(
     ``events_asof_join``."""
     from ..stages.temporal import asof_join
 
-    def skew(b: pa.Table) -> pa.Table:
-        uid = pc.if_else(
-            pc.equal(pc.bit_wise_and(b["event_id"], 1), 0),
-            pa.scalar(0, pa.int64()),
-            b["user_id"],
-        )
-        return b.drop_columns(["user_id"]).append_column("user_id", uid)
-
     left = _events_typed(
         sf_dir, "click", ["event_id", "user_id", "ts"]
-    ).map_batches(skew, batch_format="pyarrow").select_columns(
+    ).map_batches(_skew_uid, batch_format="pyarrow").select_columns(
         ["event_id", "user_id", "ts"]
     )
     right = _events_typed(
         sf_dir, "purchase", ["event_id", "user_id", "ts", "value"]
     ).map_batches(
-        lambda b: _floor_value(skew(b), "v").drop_columns(["event_id"]),
+        lambda b: _floor_value(_skew_uid(b), "v").drop_columns(["event_id"]),
         batch_format="pyarrow",
     )
     return asof_join(
@@ -234,6 +226,80 @@ def events_session_join(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         attrs=["session_id"],
         k=_adaptive_k(sf_dir),
         window_us=TEMPORAL_WINDOW_US,
+    )
+    return joined.map_batches(
+        lambda b: b.select(["event_id", "user_id", "session_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _skew_uid(b: pa.Table) -> pa.Table:
+    """E13b's deterministic Zipf remap (shared by the skew twins): uid 0
+    absorbs every even-event_id row; pure SQL expression (`CASE WHEN
+    event_id % 2 = 0 THEN 0 ELSE user_id END`) so oracles apply it inline."""
+    uid = pc.if_else(
+        pc.equal(pc.bit_wise_and(b["event_id"], 1), 0),
+        pa.scalar(0, pa.int64()),
+        b["user_id"],
+    )
+    return b.drop_columns(["user_id"]).append_column("user_id", uid)
+
+
+def events_skew_sessions(
+    sf_dir: str, gap_s: int = 6 * 3600,
+    window_us: int = 6 * 3600 * 1_000_000,
+) -> Dataset:
+    """E189: Zipf-skew sessionize stress twin (VERDICT r4 #6, E13b's remap)
+    — gap sessions over the skewed stream where uid 0 owns ~half of all
+    events, run with 6h sub-windows SMALLER than the hot user's session
+    extents, so the per-window local sessions MUST merge across window
+    boundaries through the associative interval fold (the machinery a
+    uniform corpus never stresses: the hot key emits local sessions in
+    ~120 windows that fold into a handful of giant sessions).  Oracle =
+    the events_sessions islands CTE with the remap applied inline; output
+    schema matches ``events_sessions``."""
+    from ..stages.temporal import sessionize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    ).map_batches(
+        lambda b: _floor_value(_skew_uid(b), "v"), batch_format="pyarrow"
+    )
+    return sessionize(
+        ds, key="user_id", ts="ts", order_col="event_id", value="v",
+        gap_us=gap_s * 1_000_000, k=_adaptive_k(sf_dir), window_us=window_us,
+    )
+
+
+def events_skew_session_join(
+    sf_dir: str, gap_s: int = 6 * 3600,
+    window_us: int = 6 * 3600 * 1_000_000,
+) -> Dataset:
+    """E190: Zipf-skew range-join stress twin (VERDICT r4 #6) — tag every
+    skew-remapped event with its containing session from
+    :func:`events_skew_sessions`.  The hot key's giant sessions span MANY
+    6h windows while its points land in all of them, so the windowed
+    range join's carried latest-started-interval prefix is exercised for
+    real (every window of uid 0 inherits an interval that started in an
+    earlier window).  Oracle = sessions CTE + BETWEEN join with the remap
+    inline; output (event_id, user_id, session_id)."""
+    from ..stages.temporal import range_join
+
+    points = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    ).map_batches(_skew_uid, batch_format="pyarrow")
+    intervals = events_skew_sessions(sf_dir, gap_s, window_us).map_batches(
+        lambda b: b.select(["user_id", "session_id", "start_ts", "end_ts"]),
+        batch_format="pyarrow",
+    ).materialize()
+    joined = range_join(
+        points, intervals, key="user_id", ts="ts", lo="start_ts",
+        hi="end_ts", attrs=["session_id"], k=_adaptive_k(sf_dir),
+        window_us=window_us,
     )
     return joined.map_batches(
         lambda b: b.select(["event_id", "user_id", "session_id"]),

@@ -17416,3 +17416,150 @@ def position_quantity_profile(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "pos", merge, k=1)
+
+
+def type_price_volume(sf_dir: str) -> Dataset:
+    """R123: price↔volume coupling stats per part type (round 5) — per
+    p_type: lines and the exact integer sufficient statistics (Σq, Σv,
+    Σq·v, Σq², Σv²) of q = floor(l_quantity) vs v = floor(discounted line
+    revenue) — the demand-curve read next to R74's P&L row ("do big-ticket
+    types move in big lots or single units"): the Pearson correlation and
+    the regression slope both derive downstream to any precision, the R44
+    discipline (R70 couples VALUE with LATENCY per priority, R56 spreads
+    UNIT price per part; R123 couples the money with the LOT SIZE per
+    category — negative coupling is bulk-discount economics, positive is
+    premium bundling).  One dense row per p_type ALWAYS; exact int64
+    (join + SUM-of-products oracle; v² ≈ 10^10/line bounds the sums to
+    ~10^8 lines/type before the k=1 merge must widen to object dtype —
+    T45's documented escape).
+
+    Scale shape — R74's co-partition verbatim with a moment payload:
+    parts GROW WITH THE CORPUS so the type travels by CO-PARTITION,
+    never broadcast; lineitem batches pre-reduce to per-partkey
+    6-moment partials (cross-products formed per LINE, then summed —
+    associative); the PARTKEY fold attaches type ranks with one
+    searchsorted and re-reduces IN PLACE to a ≤ types × 6 grid; the
+    k=1 merge densifies.  Only the ~6-value type list broadcasts."""
+    from ..stages.shuffle import hash_partition_merge
+
+    types = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_type"]
+            ).unique("p_type")
+        ),
+        pa.string(),
+    )
+    nt = len(types)
+    MOMS = ("nl", "sq", "sv", "sqv", "sq2", "sv2")
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "k": pc.cast(b["p_partkey"], pa.int64()),
+            "ty": pc.cast(
+                pc.index_in(b["p_type"], value_set=types), pa.int64()
+            ),
+        }
+        cols.update({m: pa.array(np.zeros(n, np.int64)) for m in MOMS})
+        return pa.table(cols)
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ext = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dis = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        v = np.floor(ext * (1.0 - dis)).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "nl": pa.array(np.ones(len(q), np.int64)),
+                "sq": pa.array(q),
+                "sv": pa.array(v),
+                "sqv": pa.array(q * v),
+                "sq2": pa.array(q * q),
+                "sv2": pa.array(v * v),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [(m, "sum") for m in MOMS]
+        )
+        g = g.rename_columns(["k", *MOMS])
+        return g.append_column(
+            "ty", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "ty", *MOMS])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ty": pa.array([], pa.int64())}
+            | {m: pa.array([], pa.int64()) for m in MOMS}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dty = d["ty"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        ty = dty[pos][hit]
+        grids = {m: np.zeros(nt, np.int64) for m in MOMS}
+        for m in MOMS:
+            np.add.at(
+                grids[m], ty,
+                f[m].combine_chunks().to_numpy(zero_copy_only=False)[hit],
+            )
+        live = np.flatnonzero(grids["nl"])
+        return pa.table(
+            {"ty": pa.array(live.astype(np.int64))}
+            | {m: pa.array(grids[m][live]) for m in MOMS}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grids = {m: np.zeros(nt, np.int64) for m in MOMS}
+        if t.num_rows:
+            ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            for m in MOMS:
+                np.add.at(
+                    grids[m], ty,
+                    t[m].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "p_type": types,
+                "n_lines": pa.array(grids["nl"]),
+                "sum_q": pa.array(grids["sq"]),
+                "sum_v": pa.array(grids["sv"]),
+                "sum_qv": pa.array(grids["sqv"]),
+                "sum_q2": pa.array(grids["sq2"]),
+                "sum_v2": pa.array(grids["sv2"]),
+            }
+        )
+
+    fact = lines.map_batches(fact_partial, batch_format="pyarrow")
+    dim = part.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "ty", merge, k=1)

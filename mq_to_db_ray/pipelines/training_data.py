@@ -19335,3 +19335,125 @@ def energy_drift(sf_dir: str, threshold: float = 1.0) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def half_jaccard(sf_dir: str) -> Dataset:
+    """T196: per-doc half-overlap quantiles (round 5) — per source: docs
+    and the discrete p50/p90 of each document's HALF-JACCARD permille:
+    split the word stream at the midpoint (first ⌊n/2⌋ words vs the rest)
+    and score 1000·|vocab(A) ∩ vocab(B)| // |vocab(A) ∪ vocab(B)| — the
+    LONG-RANGE internal redundancy read none of the repetition boards
+    carry (T18 scores ADJACENT repeats, T94 cross-doc shingle reuse,
+    T166 one-of-a-kind vocabulary; T196 asks whether a doc's two halves
+    tell the same story — templated/boilerplate generation scores high,
+    narrative prose low, and the number predicts how much a
+    context-window-halving truncation actually loses).  One dense row
+    per source ALWAYS; exact int64 under the quantile_disc rank rule
+    (list_slice + list_distinct/intersect oracle — word identity is the
+    exact string; the in-batch dictionary codes ARE exact identities,
+    no hash convention needed).
+
+    Scale shape — ZERO data shuffle (T49's profile): the half-split,
+    per-half vocabularies and the intersection are all BATCH-LOCAL (one
+    split_pattern, one dictionary_encode, two lexsort/unique passes over
+    the flattened words); each batch reduces to (source, permille, freq)
+    partials on a ≤ sources × 1001 domain; both quantiles read off one
+    cumsum in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=offs[1:])
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[:-1][parent]
+        half = (pos >= (nw // 2)[parent]).astype(np.int64)
+        codes = (
+            flat.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # distinct (doc, half, word) triples
+        order = np.lexsort((codes, half, parent))
+        p2, h2, c2 = parent[order], half[order], codes[order]
+        uniq = np.empty(len(order), dtype=bool)
+        if len(order):
+            uniq[0] = True
+            uniq[1:] = (
+                (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1]) | (c2[1:] != c2[:-1])
+            )
+        pu, hu, cu = p2[uniq], h2[uniq], c2[uniq]
+        n_docs = b.num_rows
+        na = np.bincount(pu[hu == 0], minlength=n_docs)
+        nb = np.bincount(pu[hu == 1], minlength=n_docs)
+        # intersection: among distinct triples, sort by (doc, word) — a word
+        # in both halves of one doc forms an adjacent pair with half 0 then 1
+        o2 = np.lexsort((hu, cu, pu))
+        p3, h3, c3 = pu[o2], hu[o2], cu[o2]
+        both = np.zeros(n_docs, np.int64)
+        if len(p3) > 1:
+            pair = (
+                (p3[1:] == p3[:-1]) & (c3[1:] == c3[:-1])
+                & (h3[:-1] == 0) & (h3[1:] == 1)
+            )
+            np.add.at(both, p3[1:][pair], 1)
+        union = na + nb - both
+        perm = np.where(union > 0, 1000 * both // np.maximum(union, 1), 0)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        grid = np.zeros(ns * 1001, np.int64)
+        np.add.at(grid, code * 1001 + perm, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(live), np.int64)),
+                "src": pa.array(live // 1001),
+                "perm": pa.array(live % 1001),
+                "f": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 1001, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            p = t["perm"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * 1001 + p, f)
+        g2 = grid.reshape(ns, 1001)
+        n_docs = g2.sum(axis=1)
+        cum = np.cumsum(g2, axis=1)
+        out_q = {}
+        for q, name in ((500, "p50_permille"), (900, "p90_permille")):
+            thr = (n_docs * q + 999) // 1000
+            idx = np.minimum(
+                (cum >= thr[:, None]).argmax(axis=1), 1000
+            )
+            out_q[name] = np.where(n_docs > 0, idx, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(n_docs.astype(np.int64)),
+                "p50_permille": pa.array(out_q["p50_permille"].astype(np.int64)),
+                "p90_permille": pa.array(out_q["p90_permille"].astype(np.int64)),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
