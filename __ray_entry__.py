@@ -1190,6 +1190,118 @@ def _f1_oracle_dir(sf_dir: str) -> str:
     return _f1_dir("/root/testdata/sf0.01")
 
 
+def _f1_jsonl_dir(sf_dir: str) -> str:
+    """JSONL twin of the pinned F1 oracle corpus (cached; derived from the
+    SAME parquet cache so token arrays are byte-identical).  This is the
+    reference's NATIVE newline-framed payload format
+    (messages/sql.go:29-36) — the oracle reads the same files with
+    DuckDB's read_json_auto, so the S2 JSONL source earns a full
+    rows+schema+hash gate."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    src = _f1_oracle_dir(sf_dir)
+    out = src + "-jsonl"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(src, f))
+            with open(
+                os.path.join(out, f.replace(".parquet", ".jsonl")), "w"
+            ) as fh:
+                for row in t.to_pylist():
+                    fh.write(json.dumps(row) + "\n")
+        open(marker, "w").close()
+    return out
+
+
+def _f1_jsonl_dirty_dir(sf_dir: str) -> str:
+    """JSONL corpus with PLANTED malformed rows for the reject-lane gate
+    (cached).  One deterministic mutation per selected global row index —
+    the classification (NOT the mutation) is what the SQL oracle mirrors:
+    i%401==5 → n_tok off by one (validate); ==105 → source '' (validate);
+    ==205 → doc_id loses its -<seq> suffix (parse); ==305 → tokens null
+    (parse)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    src = _f1_oracle_dir(sf_dir)
+    out = src + "-jsonl-dirty"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        i = 0
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(src, f))
+            with open(
+                os.path.join(out, f.replace(".parquet", ".jsonl")), "w"
+            ) as fh:
+                for row in t.to_pylist():
+                    m = i % 401
+                    if m == 5:
+                        row["n_tok"] += 1
+                    elif m == 105:
+                        row["source"] = ""
+                    elif m == 205:
+                        row["doc_id"] = row["doc_id"].replace("-", "_")
+                    elif m == 305:
+                        row["tokens"] = None
+                    fh.write(json.dumps(row) + "\n")
+                    i += 1
+        open(marker, "w").close()
+    return out
+
+
+def _q_f1_jsonl_rollup(sf_dir: str):
+    """S2 JSONL source → validate → 1m rollup: the reference's native
+    payload framing through the format-agnostic rollup chain, column-name
+    parity with the read_json_auto oracle."""
+    from mq_to_db_ray.sources.jsonl import read_jsonl
+    from mq_to_db_ray.stages.rollup import rollup
+    from mq_to_db_ray.stages.validate import ValidateAssign
+
+    d = _f1_jsonl_dir(sf_dir)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jsonl")
+    )
+    va = ValidateAssign()
+    ds = read_jsonl(files).map_batches(
+        lambda b: va(b).select(["source", "seq", "n_tok"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return rollup(ds, "1m").drop_columns(["filled"])
+
+
+def _q_f1_jsonl_reject_lane(sf_dir: str):
+    """M1/M2 reject lane on the native JSONL framing: planted malformed
+    rows (see _f1_jsonl_dirty_dir) classified by the SAME split_batch the
+    cascade uses; returns (doc_id, source, reason) reject rows, matching
+    a SQL CASE classification over the same files."""
+    import pyarrow as pa
+
+    from mq_to_db_ray.sources.jsonl import read_jsonl
+    from mq_to_db_ray.stages.validate import split_batch
+
+    d = _f1_jsonl_dirty_dir(sf_dir)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jsonl")
+    )
+
+    def rejects(b: pa.Table) -> pa.Table:
+        _, rej = split_batch(b)
+        return rej.select(["doc_id", "source", "reason"])
+
+    return read_jsonl(files).map_batches(rejects, batch_format="pyarrow")
+
+
 def _q_f1_rollup_1m(sf_dir: str):
     """Flagship rollup values, DuckDB-checkable: 1m rollup straight off the
     F1 corpus (no commit side effects), exact column-name parity."""
@@ -2067,6 +2179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": td.quality_filter,
         "doc_shuffle_rank": cps.shuffle_rank,
         "doc_pack_sequences": cps.pack_sequences,
+        # --- wave 143: native JSONL framing through the oracle gate ---
+        "f1_jsonl_rollup_1m": _q_f1_jsonl_rollup,
+        "f1_jsonl_reject_lane": _q_f1_jsonl_reject_lane,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2168,6 +2283,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_tok) AS INTEGER) AS max_n_tok
             FROM '/tmp/mq2db_f1_cache/sf0.01-20000/*.parquet'
             GROUP BY 1, 2
+        """,
+        "f1_jsonl_rollup_1m": """
+            SELECT source,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (CAST(regexp_extract(doc_id, '-([0-9]+)$', 1) AS BIGINT) // 60)
+                       * INTERVAL 60 SECOND AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   CAST(min(n_tok) AS INTEGER) AS min_n_tok,
+                   CAST(max(n_tok) AS INTEGER) AS max_n_tok
+            FROM read_json_auto('/tmp/mq2db_f1_cache/sf0.01-20000-jsonl/*.jsonl')
+            GROUP BY 1, 2
+        """,
+        "f1_jsonl_reject_lane": """
+            WITH j AS (
+              SELECT doc_id, source, n_tok, tokens
+              FROM read_json_auto('/tmp/mq2db_f1_cache/sf0.01-20000-jsonl-dirty/*.jsonl')
+            )
+            SELECT doc_id, source,
+                   CASE WHEN tokens IS NULL
+                             OR NOT regexp_matches(doc_id, '-[0-9]+$')
+                        THEN 'parse' ELSE 'validate' END AS reason
+            FROM j
+            WHERE tokens IS NULL
+               OR NOT regexp_matches(doc_id, '-[0-9]+$')
+               OR source = ''
+               OR n_tok <> len(tokens)
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,
