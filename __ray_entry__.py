@@ -1051,6 +1051,12 @@ def _q_events_heartbeat(sf_dir: str):
     return events_heartbeat(sf_dir)
 
 
+def _q_events_session_richness(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_richness
+
+    return events_session_richness(sf_dir)
+
+
 def _q_events_resurrection_trend(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_resurrection_trend
 
@@ -2182,6 +2188,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wave 143: native JSONL framing through the oracle gate ---
         "f1_jsonl_rollup_1m": _q_f1_jsonl_rollup,
         "f1_jsonl_reject_lane": _q_f1_jsonl_reject_lane,
+        # --- wave 144 ---
+        "events_session_richness": _q_events_session_richness,
+        "doc_wordlen_maturity": td.wordlen_maturity,
+        "rel_customer_peak_share": rel.customer_peak_share,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2310,6 +2320,56 @@ def oracle_sql() -> dict[str, str]:
                OR NOT regexp_matches(doc_id, '-[0-9]+$')
                OR source = ''
                OR n_tok <> len(tokens)
+        """,
+        "events_session_richness": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT user_id, sid,
+                         CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT k AS n_types, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM p GROUP BY 1
+        """,
+        "doc_wordlen_maturity": """
+            WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            g AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2)
+            SELECT source, CAST(len(w) AS BIGINT) AS wlen,
+                   CAST(sum(n) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM g GROUP BY 1, 2
+        """,
+        "rel_customer_peak_share": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(floor(o_totalprice) AS BIGINT) AS rv
+                       FROM orders),
+            w AS (SELECT o_custkey, max(rv) AS mx, sum(rv) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM o GROUP BY 1),
+            b AS (SELECT c.c_mktsegment,
+                         LEAST(1000 * w.mx // greatest(w.s, 1) // 100,
+                               10) AS band,
+                         w.n
+                  FROM w JOIN customer c ON c.c_custkey = w.o_custkey)
+            SELECT c_mktsegment, CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n) AS BIGINT) AS n_orders
+            FROM b GROUP BY 1, 2
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

@@ -18668,3 +18668,124 @@ def events_resurrection_trend(
         k=_adaptive_k(sf_dir),
     )
     return hash_partition_merge(folded, "wk", merge, k=1)
+
+
+def events_session_richness(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E191: session type-richness histogram — for each k: sessions whose
+    events span exactly k DISTINCT event types, and the total events those
+    sessions hold — the breadth-of-visit distribution next to E78's
+    breadth-of-USER board (a user can be multi-type across a lifetime yet
+    every visit be single-purpose; E191 reads the visit itself, the
+    difference between a portal and a deep-link farm) and E69's
+    single-target conversion read (k generalizes "contains the target" to
+    the full mix).  Rows exist for each k attained by ≥1 session (k=1
+    always exists — never vacuous).  Exact int64 (the E15 islands CTE +
+    per-session count-DISTINCT + histogram oracle).
+
+    Scale shape — E69's narrow per-event exchange (user, ts, order,
+    type-RANK — strings never shuffle, the ≤ |types| list broadcasts):
+    each user-hash partition lexsorts its complete user streams once,
+    splits sessions at the 6h gap rule with the (ts, event_id)
+    tie-break, ORs per-session type BITMASKS with one
+    np.bitwise_or.reduceat (|types| ≤ 63 guarded loudly), popcounts, and
+    reduces straight to ≤ |types| (k, n_sessions, n_events) partials;
+    the k=1 merge sums two bincounts.  Session rows never materialize.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default); the windowed boundary-fold sessionize
+    (E189) applies verbatim if a corpus-hot user exists."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+    if nt > 63:
+        raise ValueError(
+            "events_session_richness: >63 event types — widen the bitmask "
+            "fold (two uint64 lanes) before using it on this corpus"
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, ty2 = uu[order], tt[order], ty[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        starts = np.flatnonzero(new_s)
+        masks = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), ty2), starts
+        )
+        # popcount over ≤ nt live bits, vectorized across sessions
+        k = np.zeros(len(starts), np.int64)
+        for bit in range(nt):
+            k += (masks >> bit) & 1
+        n_ev = np.diff(starts, append=len(order)).astype(np.int64)
+        ns = np.bincount(k, minlength=nt + 1)
+        ne = np.bincount(k, weights=n_ev, minlength=nt + 1).astype(np.int64)
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "k": pa.array(live.astype(np.int64)),
+                "ns": pa.array(ns[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ns = np.zeros(nt + 1, np.int64)
+        ne = np.zeros(nt + 1, np.int64)
+        if t.num_rows:
+            kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ns, kk,
+                t["ns"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, kk,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "n_types": pa.array(live.astype(np.int64)),
+                "n_sessions": pa.array(ns[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "k", merge, k=1)

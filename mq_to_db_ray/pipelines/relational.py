@@ -17563,3 +17563,171 @@ def type_price_volume(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "ty", merge, k=1)
+
+
+def customer_peak_share(sf_dir: str) -> Dataset:
+    """R124: customer peak-order-share bands — per (market segment,
+    decile band of 1000·max(order value)//Σ(order value)): customers in
+    the band and their total lifetime orders — "is a customer's spend a
+    habit or one big event" as a distribution (R11's Pareto ranks
+    CUSTOMERS by total, R85 tracks spend persistence across years,
+    R103's first-order board reads only the ENTRY point; R124 reads the
+    internal shape of each wallet: band 10 is the single-order /
+    one-whale mass where LTV models built on repeat behavior are
+    unsupported, bands 1-3 are metronome repeat buyers).  One row per
+    OCCUPIED (segment, band) cell; band = share_permille // 100 with
+    share 1000 → band 10 (11 bands).  Exact int64 (per-order floor →
+    per-customer max/sum → banded two-level GROUP BY oracle; money
+    floors per order, the §2.3b convention; greatest(s,1) guards the
+    degenerate all-zero wallet in BOTH lanes).
+
+    Scale shape — R77's custkey co-partition verbatim with a max/sum
+    payload: customers GROW WITH THE CORPUS so the segment travels by
+    CO-PARTITION, never broadcast (only the ~5-value segment list
+    ships); order batches pre-reduce to per-custkey (max, sum, n)
+    partials — max and sum are both associative so partials combine
+    exactly in the fold; the custkey-hash fold attaches each customer's
+    segment with one searchsorted, bands the wallet, and collapses IN
+    PLACE to a ≤ segments × 11 grid; k=1 densifying merge.
+
+    Reference parity: per-key aggregate-of-aggregates over the staged
+    store, the cascade's rollup→cascade discipline
+    (/root/reference/internal/storage/pgsql.go:1 lifecycle) applied to
+    the relational adapter."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nsg = len(segs)
+    nb = 11
+    ncell = nsg * nb
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "seg": pa.array(sg.astype(np.int64)),
+                "mx": pa.array(z),
+                "s": pa.array(z),
+                "n": pa.array(z),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "mx": pa.array(rv),
+                "s": pa.array(rv),
+                "n": pa.array(np.ones(len(rv), np.int64)),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("mx", "max"), ("s", "sum"), ("n", "sum")]
+        )
+        g = g.rename_columns(["k", "mx", "s", "n"])
+        return g.append_column(
+            "seg", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "seg", "mx", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "no": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate(
+            [("mx", "max"), ("s", "sum"), ("n", "sum")]
+        )
+        fg = fg.rename_columns(["k", "mx", "s", "n"])
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        dk_s = dk[order]
+        dseg = role[is_dim][order]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        seg = dseg[pos][hit]
+        mx = fg["mx"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        s = fg["s"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        n = fg["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        band = np.minimum(
+            (1000 * mx) // np.maximum(s, 1) // 100, nb - 1
+        )
+        cell = seg * nb + band
+        g_nc = np.zeros(ncell, np.int64)
+        g_no = np.zeros(ncell, np.int64)
+        np.add.at(g_nc, cell, 1)
+        np.add.at(g_no, cell, n)
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nc": pa.array(g_nc[live]),
+                "no": pa.array(g_no[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_nc = np.zeros(ncell, np.int64)
+        g_no = np.zeros(ncell, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                g_nc, cell,
+                t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                g_no, cell,
+                t["no"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "c_mktsegment": pc.take(segs, pa.array(live // nb)),
+                "band": pa.array((live % nb).astype(np.int64)),
+                "n_customers": pa.array(g_nc[live]),
+                "n_orders": pa.array(g_no[live]),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

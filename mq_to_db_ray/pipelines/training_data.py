@@ -19457,3 +19457,153 @@ def half_jaccard(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def wordlen_maturity(sf_dir: str) -> Dataset:
+    """T197: word-length maturity profile — per (source, CHARACTER word
+    length): total occurrences, distinct word TYPES, and types whose
+    WITHIN-SOURCE frequency is exactly 1 — the lexicon-maturity read by
+    orthographic band that none of the length or rarity boards carry
+    (T71 counts occurrences per length with no type structure, T124
+    counts corpus-GLOBAL singletons with no length structure; T197
+    crosses them WITHIN the source: a healthy corpus slice shows short
+    lengths dominated by a small closed type set and hapax mass
+    concentrating in the long tail — singleton mass at length ≤ 3 is
+    the classic OCR/segmentation-damage signature, invisible to either
+    marginal).  One row per OCCUPIED (source, length) cell; exact int64
+    (unnest + per-(source, word) count + length GROUP BY oracle; the
+    64-bit hash only ROUTES — the exact word string rides the exchange
+    and decides identity, T4's convention; utf8_length = DuckDB len()).
+
+    Scale shape — T124's word-hash exchange with a LENGTH re-reduce:
+    batches pre-reduce with one split + one Arrow group_by to
+    (hash, source, word, n) cells; the word-hash partition holds every
+    cell of a word, so its exact within-source count (and the hapax
+    test) settles locally and collapses IN PLACE to a
+    ≤ sources × max-length grid before anything moves again; the k=1
+    densifying merge folds O(partitions × cells) rows.  The vocabulary
+    never lands on one node; word strings never reach the driver."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        code = pc.cast(
+            pc.index_in(batch["source"], value_set=srcs), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "w": flat,
+                "src": pa.array(code[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "types": pa.array([], pa.int64()),
+                    "hapax": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        wcol = g["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wlen = pc.cast(pc.utf8_length(wcol), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        # (src, wlen) cell id on the partition's own length range
+        ml = int(wlen.max()) + 1
+        cell = src * ml + wlen
+        ucell, idx = np.unique(cell, return_inverse=True)
+        occ = np.bincount(idx, weights=n).astype(np.int64)
+        types = np.bincount(idx)
+        hapax = np.bincount(idx[n == 1], minlength=len(ucell))
+        # re-encode on the GLOBAL convention: src * 2**20 + wlen (length
+        # is bounded by the longest word in the corpus, far below 2**20)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    (ucell // ml) * (1 << 20) + (ucell % ml), pa.int64()
+                ),
+                "occ": pa.array(occ),
+                "types": pa.array(types.astype(np.int64)),
+                "hapax": pa.array(hapax.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "wlen": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ucell, idx = np.unique(cell, return_inverse=True)
+        occ = np.zeros(len(ucell), np.int64)
+        types = np.zeros(len(ucell), np.int64)
+        hapax = np.zeros(len(ucell), np.int64)
+        for acc, col in ((occ, "occ"), (types, "types"), (hapax, "hapax")):
+            np.add.at(
+                acc, idx,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(ucell >> 20)),
+                "wlen": pa.array((ucell & ((1 << 20) - 1)).astype(np.int64)),
+                "n_occurrences": pa.array(occ),
+                "n_types": pa.array(types),
+                "n_hapax": pa.array(hapax),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold)
+    return hash_partition_merge(cells, "cell", merge, k=1)
