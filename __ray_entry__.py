@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_session_bounce(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_bounce
+
+    return events_session_bounce(sf_dir)
+
+
 def _q_events_resurrection_trend(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_resurrection_trend
 
@@ -2192,6 +2198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_richness": _q_events_session_richness,
         "doc_wordlen_maturity": td.wordlen_maturity,
         "rel_customer_peak_share": rel.customer_peak_share,
+        # --- wave 145 ---
+        "events_session_bounce": _q_events_session_bounce,
+        "doc_vocab_halflife": td.vocab_halflife,
+        "rel_cadence_lumpiness": rel.cadence_lumpiness,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2366,6 +2376,75 @@ def oracle_sql() -> dict[str, str]:
                                10) AS band,
                          w.n
                   FROM w JOIN customer c ON c.c_custkey = w.o_custkey)
+            SELECT c_mktsegment, CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n) AS BIGINT) AS n_orders
+            FROM b GROUP BY 1, 2
+        """,
+        "events_session_bounce": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, event_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            s2 AS (SELECT event_type,
+                          row_number() OVER (PARTITION BY user_id, sid
+                                             ORDER BY ts, event_id) AS rn,
+                          count(*) OVER (PARTITION BY user_id, sid) AS n
+                   FROM s)
+            SELECT event_type AS entry_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounce,
+                   CAST(1000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS bounce_permille
+            FROM s2 WHERE rn = 1 GROUP BY 1
+        """,
+        "doc_vocab_halflife": """
+            WITH l AS (SELECT doc_id, source, str_split(text, ' ') AS w
+                       FROM documents),
+            t AS (SELECT doc_id, source, len(w) AS nw,
+                         unnest(range(1, len(w) + 1)) AS i, w
+                  FROM l),
+            fo AS (SELECT doc_id, source, nw,
+                          list_extract(w, CAST(i AS BIGINT)) AS word,
+                          CAST(min(i) AS BIGINT) AS mp
+                   FROM t GROUP BY 1, 2, 3, 4),
+            hl AS (SELECT doc_id, source, nw,
+                          CAST(quantile_disc(mp, 0.5) AS BIGINT) AS k
+                   FROM fo GROUP BY 1, 2, 3),
+            p AS (SELECT source, 1000 * k // nw AS pm FROM hl)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT) AS p50_permille,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT) AS p90_permille
+            FROM p GROUP BY 1
+        """,
+        "rel_cadence_lumpiness": """
+            WITH o AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000 AS d
+                       FROM orders),
+            cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                    FROM o GROUP BY 1),
+            dd AS (SELECT DISTINCT o_custkey, d FROM o),
+            g AS (SELECT o_custkey, d,
+                         d - lag(d) OVER (PARTITION BY o_custkey
+                                          ORDER BY d) AS gap
+                  FROM dd),
+            m AS (SELECT o_custkey, max(gap) AS mx,
+                         max(d) - min(d) AS span
+                  FROM g GROUP BY 1 HAVING count(*) >= 2),
+            b AS (SELECT c.c_mktsegment,
+                         LEAST(1000 * m.mx // m.span // 100, 10) AS band,
+                         cnt.n
+                  FROM m JOIN customer c ON c.c_custkey = m.o_custkey
+                  JOIN cnt ON cnt.o_custkey = m.o_custkey)
             SELECT c_mktsegment, CAST(band AS BIGINT) AS band,
                    CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(sum(n) AS BIGINT) AS n_orders

@@ -18789,3 +18789,115 @@ def events_session_richness(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "k", merge, k=1)
+
+
+def events_session_bounce(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E192: session bounce board by entry type — per ENTRY event type
+    (the session's first event under the (ts, event_id) tie-break):
+    sessions opened by it, single-event BOUNCE sessions among them, and
+    the bounce permille — the landing-quality read none of the session
+    or endpoint boards carry (E73 reads each USER's lifetime endpoints,
+    E51 funnels first OCCURRENCES, E191 counts a session's type breadth;
+    E192 asks which door people leave from without taking a second step
+    — per-entry-point bounce is the first number a funnel owner asks
+    for).  One row per type that ever opens a session; exact int64 (the
+    E15 islands CTE + row_number/count window + permille oracle).
+
+    Scale shape — E191's narrow per-event exchange verbatim (user, ts,
+    order, type-RANK; the ≤ |types| list broadcasts, strings never
+    shuffle): each user-hash partition lexsorts once, splits sessions at
+    the 6h gap rule, reads entry types with ONE take at the session
+    starts and session sizes with one np.diff, and reduces to ≤ |types|
+    (entry, n_sessions, n_bounce) partials; the k=1 merge sums two
+    bincounts and emits the permille.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default); the windowed boundary-fold sessionize
+    (E189) applies verbatim if a corpus-hot user exists."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "e": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, ty2 = uu[order], tt[order], ty[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        starts = np.flatnonzero(new_s)
+        entry = ty2[starts]
+        n_ev = np.diff(starts, append=len(order))
+        ns = np.bincount(entry, minlength=nt)
+        nb = np.bincount(entry[n_ev == 1], minlength=nt)
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "e": pa.array(live.astype(np.int64)),
+                "ns": pa.array(ns[live].astype(np.int64)),
+                "nb": pa.array(nb[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ns = np.zeros(nt, np.int64)
+        nb = np.zeros(nt, np.int64)
+        if t.num_rows:
+            ee = t["e"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ns, ee,
+                t["ns"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nb, ee,
+                t["nb"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "entry_type": pc.take(srcs, pa.array(live)),
+                "n_sessions": pa.array(ns[live]),
+                "n_bounce": pa.array(nb[live]),
+                "bounce_permille": pa.array(
+                    1000 * nb[live] // np.maximum(ns[live], 1)
+                ),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "e", merge, k=1)

@@ -17731,3 +17731,184 @@ def customer_peak_share(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def cadence_lumpiness(sf_dir: str) -> Dataset:
+    """R125: customer cadence-lumpiness bands — per (market segment,
+    decile band of 1000·max(day gap)//active span): repeat customers in
+    the band and their total lifetime orders — the SHAPE of a
+    customer's calendar next to the cadence boards' magnitudes (R21
+    quantiles the corpus's gap sizes, R81 counts same-DAY bursts, R99
+    autocovaries consecutive VALUES; R125 asks whether a customer's
+    active days spread evenly across their tenure or cluster around one
+    long hiatus: band 10 = a single gap owns the whole span — two
+    bursts with a desert between, the churn-and-winback signature;
+    low bands = metronome cadence, only reachable with many evenly
+    spaced active days since max_gap ≥ span/n_gaps).  Customers with
+    ≥ 2 DISTINCT active days only (a span of zero has no shape);
+    gaps measured between consecutive distinct floor-days.  One row per
+    OCCUPIED (segment, band) cell; exact int64 (distinct floor-day +
+    lag window + HAVING ≥ 2 + banded GROUP BY oracle).
+
+    Scale shape — R124's custkey co-partition with a day-set payload:
+    order batches pre-reduce to distinct (custkey, day, n_orders)
+    cells (the only growth axis is ACTIVE DAYS per customer, bounded
+    by tenure); the custkey-hash fold holds every day cell of a
+    customer, so max-gap/span settle locally with one lexsort + one
+    maximum.reduceat (no per-customer loop), attach the segment by
+    searchsorted, and collapse IN PLACE to a ≤ segments × 11 grid;
+    k=1 densifying merge.  Only the ~5-value segment list broadcasts."""
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nsg = len(segs)
+    nb = 11
+    ncell = nsg * nb
+    DAY_US = 86_400_000_000
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "d": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "seg": pa.array(sg.astype(np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(ts_us // DAY_US, pa.int64()),
+                "n": pa.array(np.ones(len(ts_us), np.int64)),
+            }
+        )
+        g = t.group_by(["k", "d"], use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns(["k", "d", "n"])
+        return g.append_column(
+            "seg", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "d", "seg", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "no": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        dcol = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = dcol < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        # combine day cells across source batches
+        fg = f.group_by(["k", "d"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        fg = fg.rename_columns(["k", "d", "n"])
+        kk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = fg["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = fg["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, kk))
+        kk, dd, nn = kk[order], dd[order], nn[order]
+        nrow = len(kk)
+        change = np.empty(nrow, dtype=bool)
+        change[0] = True
+        change[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(change)
+        lasts = np.append(starts[1:], nrow) - 1
+        m_days = np.diff(np.append(starts, nrow))
+        n_ord = np.add.reduceat(nn, starts)
+        gaps = np.zeros(nrow, np.int64)
+        if nrow > 1:
+            same = kk[1:] == kk[:-1]
+            gaps[:-1] = np.where(same, dd[1:] - dd[:-1], 0)
+        mx = np.maximum.reduceat(gaps, starts)
+        span = dd[lasts] - dd[starts]
+        elig = m_days >= 2
+        ck = kk[starts]
+        # attach segment
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dseg = d["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        o2 = np.argsort(dk, kind="stable")
+        dk_s, dseg_s = dk[o2], dseg[o2]
+        pos = np.clip(np.searchsorted(dk_s, ck), 0, len(dk_s) - 1)
+        hit = (dk_s[pos] == ck) & elig
+        seg = dseg_s[pos][hit]
+        band = np.minimum(
+            1000 * mx[hit] // np.maximum(span[hit], 1) // 100, nb - 1
+        )
+        cell = seg * nb + band
+        g_nc = np.zeros(ncell, np.int64)
+        g_no = np.zeros(ncell, np.int64)
+        np.add.at(g_nc, cell, 1)
+        np.add.at(g_no, cell, n_ord[hit])
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nc": pa.array(g_nc[live]),
+                "no": pa.array(g_no[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_nc = np.zeros(ncell, np.int64)
+        g_no = np.zeros(ncell, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                g_nc, cell,
+                t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                g_no, cell,
+                t["no"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "c_mktsegment": pc.take(segs, pa.array(live // nb)),
+                "band": pa.array((live % nb).astype(np.int64)),
+                "n_customers": pa.array(g_nc[live]),
+                "n_orders": pa.array(g_no[live]),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -19607,3 +19607,125 @@ def wordlen_maturity(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold)
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def vocab_halflife(sf_dir: str) -> Dataset:
+    """T198: within-doc vocabulary half-life quantiles — per source: docs
+    and the discrete p50/p90 of each document's HALF-LIFE permille: the
+    1-based word position at which the running count of distinct word
+    types first reaches half the doc's total types (the quantile_disc
+    median of the types' first-occurrence positions), as a permille of
+    doc length — WHERE novelty saturates inside a document, the read
+    none of the redundancy boards carry (T196 scores how much the two
+    halves OVERLAP, T123 prices chunk boundaries, T173 concentrates
+    MASS across docs; T198 reads the novelty CURVE's knee: ~500‰ means
+    vocabulary arrives evenly to the end — prose; ≪ 500‰ means the doc
+    spends its lexicon early and repeats — templates, logs, chorus-heavy
+    text — and predicts which SIDE of a truncation carries the
+    information).  One dense row per source ALWAYS; exact int64 under
+    the quantile_disc rank rule at BOTH levels (per-doc median of
+    min-position via quantile_disc(mp, 0.5), per-source p50/p90 of the
+    permille — range-unnest + min(i) + two-level quantile_disc oracle;
+    word identity is the exact string, in-batch dictionary codes ARE
+    exact identities).
+
+    Scale shape — ZERO data shuffle (T196's profile): first-occurrence
+    positions, per-doc type counts and the k-th order statistic are all
+    BATCH-LOCAL (one split_pattern, one dictionary_encode, two lexsort
+    passes, one offset-indexed gather — no per-row loop); each batch
+    reduces to (source, permille, freq) partials on a ≤ sources × 1001
+    domain; both source-level quantiles read off one cumsum in the k=1
+    merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=offs[1:])
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[:-1][parent]
+        codes = (
+            flat.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # first occurrence of each (doc, word): sort (doc, word, pos) and
+        # keep group heads — their pos is the min position
+        order = np.lexsort((pos, codes, parent))
+        p2, c2, s2 = parent[order], codes[order], pos[order]
+        uniq = np.empty(len(order), dtype=bool)
+        if len(order):
+            uniq[0] = True
+            uniq[1:] = (p2[1:] != p2[:-1]) | (c2[1:] != c2[:-1])
+        fp, fpos = p2[uniq], s2[uniq]
+        n_docs = b.num_rows
+        n_types = np.bincount(fp, minlength=n_docs)
+        # per-doc median first-occurrence position: k-th smallest with
+        # k = ceil(T/2) (== quantile_disc(mp, 0.5))
+        o2 = np.lexsort((fpos, fp))
+        fpos_s = fpos[o2]
+        cum = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(n_types, out=cum[1:])
+        sel = cum[:-1] + (n_types + 1) // 2 - 1
+        mp = fpos_s[np.minimum(sel, len(fpos_s) - 1)]
+        pm = 1000 * (mp + 1) // np.maximum(nw, 1)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        grid = np.zeros(ns * 1001, np.int64)
+        np.add.at(grid, code * 1001 + pm, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(live), np.int64)),
+                "src": pa.array(live // 1001),
+                "perm": pa.array(live % 1001),
+                "f": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 1001, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            p = t["perm"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * 1001 + p, f)
+        g2 = grid.reshape(ns, 1001)
+        n_docs = g2.sum(axis=1)
+        cum = np.cumsum(g2, axis=1)
+        out_q = {}
+        for q, name in ((500, "p50_permille"), (900, "p90_permille")):
+            thr = (n_docs * q + 999) // 1000
+            idx = np.minimum((cum >= thr[:, None]).argmax(axis=1), 1000)
+            out_q[name] = np.where(n_docs > 0, idx, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(n_docs.astype(np.int64)),
+                "p50_permille": pa.array(
+                    out_q["p50_permille"].astype(np.int64)
+                ),
+                "p90_permille": pa.array(
+                    out_q["p90_permille"].astype(np.int64)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
