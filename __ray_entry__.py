@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_session_heat(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_heat
+
+    return events_session_heat(sf_dir)
+
+
 def _q_events_session_bounce(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_bounce
 
@@ -2202,6 +2208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_bounce": _q_events_session_bounce,
         "doc_vocab_halflife": td.vocab_halflife,
         "rel_cadence_lumpiness": rel.cadence_lumpiness,
+        # --- wave 146 ---
+        "events_session_heat": _q_events_session_heat,
+        "doc_topword_spread": td.topword_spread,
+        "rel_entry_brand_loyalty": rel.entry_brand_loyalty,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2449,6 +2459,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(sum(n) AS BIGINT) AS n_orders
             FROM b GROUP BY 1, 2
+        """,
+        "events_session_heat": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value) AS BIGINT) AS v,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, event_id, v,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            s2 AS (SELECT user_id, sid, v,
+                          row_number() OVER (PARTITION BY user_id, sid
+                                             ORDER BY ts, event_id) AS rn,
+                          count(*) OVER (PARTITION BY user_id, sid) AS n
+                   FROM s),
+            p AS (SELECT user_id, sid, CAST(max(n) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN rn <= n // 2 THEN v ELSE 0 END)
+                              AS BIGINT) AS sf,
+                         CAST(sum(v) AS BIGINT) AS st
+                  FROM s2 GROUP BY 1, 2),
+            b AS (SELECT LEAST(GREATEST(
+                             1000 * (st - sf) // st // 100, 0), 10) AS band,
+                         n
+                  FROM p WHERE n >= 2 AND st > 0)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM b GROUP BY 1
+        """,
+        "doc_topword_spread": """
+            WITH l AS (SELECT doc_id, source, str_split(text, ' ') AS w
+                       FROM documents),
+            t AS (SELECT doc_id, source, len(w) AS nw,
+                         unnest(range(1, len(w) + 1)) AS i, w
+                  FROM l),
+            wc AS (SELECT doc_id, source, nw,
+                          list_extract(w, CAST(i AS BIGINT)) AS word,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(min(i) AS BIGINT) AS mn,
+                          CAST(max(i) AS BIGINT) AS mx
+                   FROM t GROUP BY 1, 2, 3, 4),
+            modal AS (SELECT doc_id, source, nw, mn, mx FROM (
+                        SELECT *, row_number() OVER (
+                                 PARTITION BY doc_id
+                                 ORDER BY n DESC, word ASC) AS rn
+                        FROM wc) WHERE rn = 1),
+            p AS (SELECT source, 1000 * (mx - mn) // (nw - 1) AS pm
+                  FROM modal WHERE nw >= 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT) AS p50_permille,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT) AS p90_permille
+            FROM p GROUP BY 1
+        """,
+        "rel_entry_brand_loyalty": """
+            WITH lb AS (SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM lineitem l
+                        JOIN part p ON p.p_partkey = l.l_partkey
+                        GROUP BY 1, 2),
+            mb AS (SELECT ok, brand FROM (
+                     SELECT ok, brand,
+                            row_number() OVER (PARTITION BY ok
+                                ORDER BY n DESC, brand ASC) AS rn
+                     FROM lb) WHERE rn = 1),
+            oo AS (SELECT o.o_custkey AS ck, o.o_orderdate AS d,
+                          o.o_orderkey AS ok, mb.brand
+                   FROM orders o JOIN mb ON mb.ok = o.o_orderkey),
+            fl AS (SELECT ck,
+                          first_value(brand) OVER (
+                              PARTITION BY ck ORDER BY d, ok) AS fb,
+                          last_value(brand) OVER (
+                              PARTITION BY ck ORDER BY d, ok
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS lb2,
+                          count(*) OVER (PARTITION BY ck) AS n
+                   FROM oo),
+            fc AS (SELECT DISTINCT ck, fb, lb2 FROM fl WHERE n >= 2),
+            j AS (SELECT c.c_mktsegment,
+                         CASE WHEN fb = lb2 THEN 1 ELSE 0 END AS m
+                  FROM fc JOIN customer c ON c.c_custkey = fc.ck)
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(m) AS BIGINT) AS n_loyal,
+                   CAST(1000 * sum(m) // count(*) AS BIGINT)
+                       AS loyal_permille
+            FROM j GROUP BY 1
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

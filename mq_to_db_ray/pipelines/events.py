@@ -18901,3 +18901,124 @@ def events_session_bounce(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "e", merge, k=1)
+
+
+def events_session_heat(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E193: session heat bands — split every multi-event session at its
+    event-count midpoint (first ⌊n/2⌋ events vs the rest, (ts, event_id)
+    order) and band 1000·Σfloor(value)_second // Σfloor(value)_total into
+    deciles: per band, sessions and their total events — DO SESSIONS
+    HEAT UP OR COOL DOWN, the within-visit value trajectory none of the
+    session boards carry (E50/E106 read size/duration, E191/E192 type
+    mix and bounce, E99's tenure-value couples value with USER AGE;
+    E193 reads the visit's own arc: bands ≫ 5 mean value concentrates
+    late — checkout-at-the-end journeys; bands ≪ 5 mean the visit opens
+    with its biggest action and decays — notification-driven pokes).
+    Sessions with ≥ 2 events and positive floored value total only
+    (a one-event session has no arc; a zero-value session no scale).
+    One row per OCCUPIED band; exact int64 (islands CTE + row_number/
+    count windows + CASE-split sums + banded GROUP BY oracle).
+
+    Scale shape — E191's narrow per-event exchange plus the int64
+    floor(value) lane: per user-hash partition one lexsort, 6h session
+    split, within-session positions by one cumsum-offset subtraction,
+    half-split sums via two np.bincount(weights) — no per-session loop;
+    reduces to ≤ 11 (band, n_sessions, n_events) partials; the k=1
+    merge sums two bincounts.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default); the windowed boundary-fold sessionize
+    (E189) applies verbatim if a corpus-hot user exists."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nb = 11
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, v2 = uu[order], tt[order], vv[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        sid = np.cumsum(new_s) - 1
+        starts = np.flatnonzero(new_s)
+        n_ev = np.diff(starts, append=len(order))
+        pos = np.arange(len(order), dtype=np.int64) - starts[sid]
+        first = pos < (n_ev // 2)[sid]
+        sf = np.bincount(sid[first], weights=v2[first],
+                         minlength=len(starts)).astype(np.int64)
+        st = np.bincount(sid, weights=v2, minlength=len(starts)).astype(
+            np.int64
+        )
+        elig = (n_ev >= 2) & (st > 0)
+        band = 1000 * (st[elig] - sf[elig]) // st[elig] // 100
+        band = np.clip(band, 0, nb - 1)
+        ns = np.bincount(band, minlength=nb)
+        ne = np.bincount(band, weights=n_ev[elig], minlength=nb).astype(
+            np.int64
+        )
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "ns": pa.array(ns[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ns = np.zeros(nb, np.int64)
+        ne = np.zeros(nb, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ns, bb,
+                t["ns"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, bb,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_sessions": pa.array(ns[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -17912,3 +17912,322 @@ def cadence_lumpiness(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def entry_brand_loyalty(sf_dir: str) -> Dataset:
+    """R126: entry-brand loyalty — per market segment: customers with ≥ 2
+    brand-resolvable orders, those whose FIRST and LAST order (by
+    (orderdate, orderkey)) share the same MODAL brand (each order's most
+    line-frequent brand, ties to the lexicographically smallest — a
+    deterministic, engine-agnostic rule), and the loyal permille — does
+    the brand that ACQUIRED a customer keep them, the lifecycle question
+    none of the brand or loyalty boards answer (R52's repertoire counts
+    brands per customer, R62 cross-sells brand PAIRS, R76 scores
+    priority exclusivity, R54 compares first-order VALUE; R126 follows
+    the brand axis through time: high loyalty means acquisition brand is
+    destiny and brand-level CAC math holds, low means the entry brand is
+    a revolving door).  One row per segment with ≥ 1 eligible customer;
+    exact int64 (three-hop join + per-order row_number modal + first/
+    last_value window + permille oracle).
+
+    Scale shape — THREE narrow hash exchanges, every hop pre-reduced,
+    nothing corpus-sized broadcast (parts, orders and customers all GROW
+    with the corpus and travel by co-partition; only the ~25-value brand
+    LIST ships): (1) partkey hop — lineitem batches carry (partkey,
+    orderkey) only; each partition attaches brand ranks by searchsorted
+    and pre-reduces to (orderkey, brand, lines) cells; (2) orderkey hop
+    — each order's modal brand settles with one lexsort over
+    (ok, −count, brand-rank) group heads, then attaches (custkey, date)
+    from the co-partitioned orders dim; (3) custkey hop — each
+    customer's orders sort once by (date, orderkey), first/last modal
+    brands read off the group boundaries, the segment attaches by
+    searchsorted, and the partition collapses IN PLACE to a ≤ segments
+    (n, n_loyal) grid; k=1 densifying merge."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    nbr = len(brands)
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nsg = len(segs)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+
+    # ---- hop 1: partkey — brand-tag each line, reduce to (ok, b, n) ----
+    def part_dim(b: pa.Table) -> pa.Table:
+        br = (
+            pc.cast(pc.index_in(b["p_brand"], value_set=brands), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "ok": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "b": pa.array(br.astype(np.int64)),
+            }
+        )
+
+    def line_fact(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "ok": pc.cast(b["l_orderkey"], pa.int64()),
+                "b": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def fold1(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        okc = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = okc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = d["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, db_s = dk[o], db[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fok = f["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        br = db_s[pos][hit]
+        ok2 = fok[hit]
+        packed, cnt = np.unique(ok2 * nbr + br, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(packed // nbr),
+                "b": pa.array(packed % nbr),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hop1 = hash_partition_merge(
+        lines.map_batches(line_fact, batch_format="pyarrow").union(
+            part.map_batches(part_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold1,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2: orderkey — modal brand per order + (custkey, date) ----
+    def order_dim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "b": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "dt": b["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def hop1_as_fact(b: pa.Table) -> pa.Table:
+        neg = np.full(b.num_rows, -1, np.int64)
+        return pa.table(
+            {
+                "k": b["k"],
+                "b": b["b"],
+                "n": b["n"],
+                "ck": pa.array(neg),
+                "dt": pa.array(neg),
+            }
+        )
+
+    def fold2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "dt": pa.array([], pa.int64()),
+                "o": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ckc = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = ckc >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fk0 = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fb0 = f["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn0 = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        # combine (ok, brand) cells arriving from different hop-1
+        # partkey partitions (an order's lines span many parts)
+        packed, inv = np.unique(fk0 * nbr + fb0, return_inverse=True)
+        fn = np.zeros(len(packed), np.int64)
+        np.add.at(fn, inv, fn0)
+        fk, fb = packed // nbr, packed % nbr
+        o2 = np.lexsort((fb, -fn, fk))
+        head = np.empty(len(o2), dtype=bool)
+        head[0] = True
+        fk_o = fk[o2]
+        head[1:] = fk_o[1:] != fk_o[:-1]
+        mok = fk_o[head]
+        mbr = fb[o2][head]
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        o3 = np.argsort(dk, kind="stable")
+        dk_s = dk[o3]
+        dck = d["ck"].combine_chunks().to_numpy(zero_copy_only=False)[o3]
+        ddt = d["dt"].combine_chunks().to_numpy(zero_copy_only=False)[o3]
+        pos = np.clip(np.searchsorted(dk_s, mok), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == mok
+        return pa.table(
+            {
+                "k": pa.array(dck[pos][hit]),
+                "dt": pa.array(ddt[pos][hit]),
+                "o": pa.array(mok[hit]),
+                "b": pa.array(mbr[hit]),
+            }
+        )
+
+    hop2 = hash_partition_merge(
+        hop1.map_batches(hop1_as_fact, batch_format="pyarrow").union(
+            orders.map_batches(order_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold2,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 3: custkey — first vs last modal brand, per segment ----
+    def cust_dim(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        neg = np.full(b.num_rows, -1, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "dt": pa.array(neg),
+                "o": pa.array(neg),
+                "b": pa.array(sg.astype(np.int64)),
+            }
+        )
+
+    def fold3(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "seg": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        dtc = t["dt"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = dtc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fdt = f["dt"].combine_chunks().to_numpy(zero_copy_only=False)
+        fo = f["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        fb = f["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        o2 = np.lexsort((fo, fdt, fk))
+        k2, b2 = fk[o2], fb[o2]
+        head = np.empty(len(o2), dtype=bool)
+        head[0] = True
+        head[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(head)
+        lasts = np.append(starts[1:], len(o2)) - 1
+        n_ord = np.diff(np.append(starts, len(o2)))
+        elig = n_ord >= 2
+        ck = k2[starts][elig]
+        loyal = (b2[starts] == b2[lasts])[elig]
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dsg = d["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        o3 = np.argsort(dk, kind="stable")
+        dk_s, dsg_s = dk[o3], dsg[o3]
+        pos = np.clip(np.searchsorted(dk_s, ck), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == ck
+        seg = dsg_s[pos][hit]
+        nc = np.bincount(seg, minlength=nsg)
+        nl = np.bincount(seg[loyal[hit]], minlength=nsg)
+        live = np.flatnonzero(nc)
+        return pa.table(
+            {
+                "seg": pa.array(live.astype(np.int64)),
+                "nc": pa.array(nc[live].astype(np.int64)),
+                "nl": pa.array(nl[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nc = np.zeros(nsg, np.int64)
+        nl = np.zeros(nsg, np.int64)
+        if t.num_rows:
+            sg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nc, sg,
+                t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nl, sg,
+                t["nl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nc)
+        return pa.table(
+            {
+                "c_mktsegment": pc.take(segs, pa.array(live)),
+                "n_customers": pa.array(nc[live]),
+                "n_loyal": pa.array(nl[live]),
+                "loyal_permille": pa.array(
+                    1000 * nl[live] // np.maximum(nc[live], 1)
+                ),
+            }
+        )
+
+    cells = hash_partition_merge(
+        hop2.union(cust.map_batches(cust_dim, batch_format="pyarrow")),
+        "k",
+        fold3,
+        k=_rel_k(sf_dir, "orders"),
+    )
+    return hash_partition_merge(cells, "seg", merge, k=1)

@@ -19729,3 +19729,128 @@ def vocab_halflife(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def topword_spread(sf_dir: str) -> Dataset:
+    """T199: modal-word spread quantiles — per source: docs (≥ 2 words)
+    and the discrete p50/p90 of each document's MODAL-WORD SPREAD
+    permille: take the doc's most frequent word (ties broken by the
+    lexicographically SMALLEST word — a deterministic, engine-agnostic
+    rule) and score 1000·(last_pos − first_pos) // (n_words − 1) — HOW
+    the dominant word occupies the document, the dispersion read none
+    of the frequency boards carry (T52 names each source's modal word,
+    T18 scores ADJACENT repeats, T198 reads where NEW types stop
+    arriving; T199 asks whether the top word is a local burst — a
+    quoted block, a table — or the document's backbone: spread → 0 is
+    clustered mention, spread → 1000 is a word that frames the text
+    end to end; singleton modal words score 0 by construction).  One
+    dense row per source ALWAYS; exact int64 under the quantile_disc
+    rank rule (range-unnest + count/min/max + row_number tie-break
+    oracle).
+
+    Scale shape — ZERO data shuffle (T196's profile): per-(doc, word)
+    count/min/max positions fall out of ONE lexsort over (doc, code,
+    pos) group boundaries; the modal pick is a second lexsort over
+    (doc, −count, string-RANK) group heads, where the rank comes from
+    argsort of the batch's dictionary — exact string order without
+    shipping strings; each batch reduces to (source, permille, freq)
+    partials on a ≤ sources × 1001 domain; both quantiles read off one
+    cumsum in the k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=offs[1:])
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[:-1][parent]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact string rank per dictionary code (argsort of argsort)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dic), np.int64)
+        rank[np.argsort(dic)] = np.arange(len(dic), dtype=np.int64)
+        # per-(doc, word) count / min pos / max pos off one sorted pass
+        order = np.lexsort((pos, codes, parent))
+        p2, c2, s2 = parent[order], codes[order], pos[order]
+        head = np.empty(len(order), dtype=bool)
+        head[0] = True
+        head[1:] = (p2[1:] != p2[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(head)
+        cnt = np.diff(starts, append=len(order))
+        gp = p2[starts]
+        gc = c2[starts]
+        mn = s2[starts]
+        mx = s2[np.append(starts[1:], len(order)) - 1]
+        # modal per doc: first group under (doc, -count, string rank)
+        o2 = np.lexsort((rank[gc], -cnt, gp))
+        doc_head = np.empty(len(o2), dtype=bool)
+        doc_head[0] = True
+        gp_o = gp[o2]
+        doc_head[1:] = gp_o[1:] != gp_o[:-1]
+        sel = o2[doc_head]
+        docs = gp[sel]
+        spread = np.zeros(b.num_rows, np.int64)
+        denom = np.maximum(nw - 1, 1)
+        spread[docs] = 1000 * (mx[sel] - mn[sel]) // denom[docs]
+        elig = nw >= 2
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        grid = np.zeros(ns * 1001, np.int64)
+        np.add.at(grid, code[elig] * 1001 + spread[elig], 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(live), np.int64)),
+                "src": pa.array(live // 1001),
+                "perm": pa.array(live % 1001),
+                "f": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 1001, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            p = t["perm"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * 1001 + p, f)
+        g2 = grid.reshape(ns, 1001)
+        n_docs = g2.sum(axis=1)
+        cum = np.cumsum(g2, axis=1)
+        out_q = {}
+        for q, name in ((500, "p50_permille"), (900, "p90_permille")):
+            thr = (n_docs * q + 999) // 1000
+            idx = np.minimum((cum >= thr[:, None]).argmax(axis=1), 1000)
+            out_q[name] = np.where(n_docs > 0, idx, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(n_docs.astype(np.int64)),
+                "p50_permille": pa.array(
+                    out_q["p50_permille"].astype(np.int64)
+                ),
+                "p90_permille": pa.array(
+                    out_q["p90_permille"].astype(np.int64)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "g", merge, k=1)
