@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_peak_position(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_peak_position
+
+    return events_peak_position(sf_dir)
+
+
 def _q_events_session_heat(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_heat
 
@@ -2212,6 +2218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_heat": _q_events_session_heat,
         "doc_topword_spread": td.topword_spread,
         "rel_entry_brand_loyalty": rel.entry_brand_loyalty,
+        # --- wave 147 ---
+        "events_peak_position": _q_events_peak_position,
+        "doc_thirds_exclusivity": td.thirds_exclusivity,
+        "rel_discount_discipline": rel.discount_discipline,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2548,6 +2558,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(m) AS BIGINT) AS n_loyal,
                    CAST(1000 * sum(m) // count(*) AS BIGINT)
                        AS loyal_permille
+            FROM j GROUP BY 1
+        """,
+        "events_peak_position": """
+            WITH o AS (
+              SELECT user_id, CAST(floor(value) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS idx,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            pk AS (SELECT user_id, idx, n FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id
+                                ORDER BY v DESC, idx ASC) AS rn
+                     FROM o) WHERE rn = 1),
+            p AS (SELECT LEAST(1000 * idx // (n - 1) // 100, 10) AS band,
+                         CAST(n AS BIGINT) AS n
+                  FROM pk WHERE n >= 2)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM p GROUP BY 1
+        """,
+        "doc_thirds_exclusivity": """
+            WITH l AS (SELECT source, str_split(text, ' ') AS w,
+                              len(str_split(text, ' ')) AS nw
+                       FROM documents),
+            t AS (SELECT source, nw, unnest(range(1, nw + 1)) AS i, w
+                  FROM l),
+            o AS (SELECT source,
+                         list_extract(w, CAST(i AS BIGINT)) AS word,
+                         3 * (i - 1) // nw AS third
+                  FROM t),
+            g AS (SELECT source, word,
+                         CAST(max(CASE WHEN third = 0 THEN 1 ELSE 0 END)
+                            + 2 * max(CASE WHEN third = 1 THEN 1 ELSE 0 END)
+                            + 4 * max(CASE WHEN third = 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS m
+                  FROM o GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS first_only,
+                   CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS mid_only,
+                   CAST(sum(CASE WHEN m = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS last_only,
+                   CAST(sum(CASE WHEN m = 7 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS all_thirds
+            FROM g GROUP BY 1
+        """,
+        "rel_discount_discipline": """
+            WITH d AS (SELECT l_partkey,
+                              CAST(floor(100 * l_discount) AS BIGINT) AS dc
+                       FROM lineitem),
+            g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+                         CAST(count(DISTINCT dc) AS BIGINT) AS nd
+                  FROM d GROUP BY 1 HAVING count(*) >= 2),
+            j AS (SELECT p.p_type,
+                         CASE WHEN nd >= 2 THEN 1 ELSE 0 END AS v, n_lines
+                  FROM g JOIN part p ON p.p_partkey = g.l_partkey)
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(v) AS BIGINT) AS n_variable,
+                   CAST(1000 * sum(v) // count(*) AS BIGINT)
+                       AS variable_permille,
+                   CAST(sum(n_lines) AS BIGINT) AS n_lines
             FROM j GROUP BY 1
         """,
         "f1_rollup_1h_cascaded": """

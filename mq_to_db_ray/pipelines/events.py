@@ -19022,3 +19022,120 @@ def events_session_heat(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_peak_position(sf_dir: str) -> Dataset:
+    """E194: peak-position bands — for each user with ≥ 2 events, locate
+    their MAXIMUM-floor(value) event (ties → earliest (ts, event_id))
+    inside their lifetime event sequence and band its 0-based position
+    permille 1000·idx // (n−1) into deciles: users and their total
+    events per band — does a user's biggest moment come EARLY or LATE,
+    the trajectory read none of the user boards carry (E89 retrieves
+    the corpus's peak ROW, E119 rates per-minute bursts, E99 couples
+    value with tenure LENGTH, E193 reads the arc WITHIN one session;
+    E194 reads the arc of the whole account: band 10 = users still
+    peaking at their last event — growing accounts; band 0 = the first
+    event was the best — decaying novelty).  One row per OCCUPIED band;
+    exact int64 (row_number position + max-tie-break row_number +
+    banded GROUP BY oracle).
+
+    Scale shape — E191's narrow per-event exchange plus the int64
+    floor(value) lane: per user-hash partition one lexsort orders every
+    user stream; per-user max via maximum.reduceat, its FIRST position
+    via minimum.reduceat over a masked position array (no second sort,
+    no per-user loop); reduces to ≤ 11 (band, n_users, n_events)
+    partials; the k=1 merge sums two bincounts.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nb = 11
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, v2 = uu[order], vv[order]
+        nrow = len(order)
+        head = np.empty(nrow, dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        starts = np.flatnonzero(head)
+        n_ev = np.diff(starts, append=nrow)
+        sid = np.cumsum(head) - 1
+        mx = np.maximum.reduceat(v2, starts)
+        pos_g = np.arange(nrow, dtype=np.int64)
+        cand = np.where(v2 == mx[sid], pos_g, np.int64(2**62))
+        first = np.minimum.reduceat(cand, starts)
+        idx = first - starts
+        elig = n_ev >= 2
+        band = np.minimum(
+            1000 * idx[elig] // (n_ev[elig] - 1) // 100, nb - 1
+        )
+        nu = np.bincount(band, minlength=nb)
+        ne = np.bincount(band, weights=n_ev[elig], minlength=nb).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(nb, np.int64)
+        ne = np.zeros(nb, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, bb,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, bb,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_users": pa.array(nu[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -18231,3 +18231,171 @@ def entry_brand_loyalty(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "orders"),
     )
     return hash_partition_merge(cells, "seg", merge, k=1)
+
+
+def discount_discipline(sf_dir: str) -> Dataset:
+    """R127: discount discipline per part type — per p_type: parts with
+    ≥ 2 lineitem lines, parts among them whose lines carry ≥ 2 DISTINCT
+    discount cents (floor(100·l_discount), the §2.3b cent convention),
+    the variable permille, and the total lines — is discounting a FIXED
+    POLICY per part or a per-deal negotiation, the governance read none
+    of the discount boards carry (R60 ladders the corpus's rungs, R78
+    crosses discount with QUANTITY, R31 prices the margin, R79 couples
+    discount with RETURNS; R127 holds the PART fixed and asks whether
+    the same SKU trades at one discount or many — a high variable share
+    means the ladder is negotiated per order and per-SKU margin
+    forecasts are noise).  One row per p_type with ≥ 1 eligible part;
+    exact int64 (cent-floor + per-part count/count-DISTINCT + HAVING +
+    permille oracle).
+
+    Scale shape — ONE partkey co-partition, both sides pre-reduced
+    (parts GROW with the corpus: the type travels by co-partition,
+    only the fixed ~150-value type LIST broadcasts): lineitem batches
+    collapse to distinct (partkey, cent, n) cells with one packed
+    np.unique; the partkey-hash fold re-combines cells, counts each
+    part's lines and distinct cents off one sorted boundary pass,
+    attaches the type rank by searchsorted, and collapses IN PLACE to
+    a ≤ |types| grid; k=1 densifying merge."""
+    types = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_type"]
+            ).unique("p_type")
+        ),
+        pa.string(),
+    )
+    nty = len(types)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        ty = (
+            pc.cast(pc.index_in(b["p_type"], value_set=types), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "dc": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "ty": pa.array(ty.astype(np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        pk = pc.cast(b["l_partkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = np.floor(
+            100.0
+            * b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        packed, cnt = np.unique(pk * 101 + dc, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(packed // 101),
+                "dc": pa.array(packed % 101),
+                "ty": pa.array(np.full(len(packed), -1, np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ty": pa.array([], pa.int64()),
+                "np_": pa.array([], pa.int64()),
+                "nv": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        tyc = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = tyc >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fdc = f["dc"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        # combine (part, cent) cells across source batches
+        packed, inv = np.unique(fk * 101 + fdc, return_inverse=True)
+        nn = np.zeros(len(packed), np.int64)
+        np.add.at(nn, inv, fn)
+        pk2 = packed // 101
+        head = np.empty(len(packed), dtype=bool)
+        head[0] = True
+        head[1:] = pk2[1:] != pk2[:-1]
+        starts = np.flatnonzero(head)
+        n_disc = np.diff(starts, append=len(packed))
+        n_lines = np.add.reduceat(nn, starts)
+        pk_u = pk2[starts]
+        elig = n_lines >= 2
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dty = tyc[is_dim]
+        o = np.argsort(dk, kind="stable")
+        dk_s, dty_s = dk[o], dty[o]
+        pos = np.clip(np.searchsorted(dk_s, pk_u), 0, len(dk_s) - 1)
+        hit = (dk_s[pos] == pk_u) & elig
+        ty2 = dty_s[pos][hit]
+        var = (n_disc >= 2)[hit]
+        g_np = np.bincount(ty2, minlength=nty)
+        g_nv = np.bincount(ty2[var], minlength=nty)
+        g_nl = np.bincount(ty2, weights=n_lines[hit], minlength=nty).astype(
+            np.int64
+        )
+        live = np.flatnonzero(g_np)
+        return pa.table(
+            {
+                "ty": pa.array(live.astype(np.int64)),
+                "np_": pa.array(g_np[live].astype(np.int64)),
+                "nv": pa.array(g_nv[live].astype(np.int64)),
+                "nl": pa.array(g_nl[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_np = np.zeros(nty, np.int64)
+        g_nv = np.zeros(nty, np.int64)
+        g_nl = np.zeros(nty, np.int64)
+        if t.num_rows:
+            ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            for grid, col in ((g_np, "np_"), (g_nv, "nv"), (g_nl, "nl")):
+                np.add.at(
+                    grid, ty,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(g_np)
+        return pa.table(
+            {
+                "p_type": pc.take(types, pa.array(live)),
+                "n_parts": pa.array(g_np[live]),
+                "n_variable": pa.array(g_nv[live]),
+                "variable_permille": pa.array(
+                    1000 * g_nv[live] // np.maximum(g_np[live], 1)
+                ),
+                "n_lines": pa.array(g_nl[live]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(fact_partial, batch_format="pyarrow").union(
+            part.map_batches(dim_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "ty", merge, k=1)

@@ -19854,3 +19854,152 @@ def topword_spread(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "g", merge, k=1)
+
+
+def thirds_exclusivity(sf_dir: str) -> Dataset:
+    """T200: positional vocabulary exclusivity — per source: distinct word
+    types, and of those the types seen ONLY in the first third of
+    documents (position p of n words → third 3·p // n), only the middle,
+    only the last, and those spanning ALL three — where in documents a
+    source's vocabulary LIVES, the positional specialization read none
+    of the vocabulary boards carry (T110 rations STOPWORDS across
+    thirds, T118 scores cross-SOURCE exclusivity, T66 fingerprints
+    openings; T200 classifies the whole lexicon by position-of-use:
+    heavy first-only mass = header/boilerplate vocabulary, heavy
+    last-only = signature/footer blocks, a large all-thirds core =
+    position-free prose — and the split predicts which third a
+    truncation actually deletes).  One dense row per source ALWAYS;
+    exact int64 (range-unnest + per-(source, word) third-presence
+    bitmask + class-count oracle).
+
+    Scale shape — T197's word-hash exchange with a BITMASK payload:
+    each occurrence maps to its third with one integer multiply; batches
+    pre-reduce with one lexsort + bitwise_or.reduceat to (hash, source,
+    word, mask) cells; the word's partition ORs its masks and re-reduces
+    IN PLACE to a ≤ sources × 8 class grid; k=1 densifying merge.  The
+    vocabulary never lands on one node; word strings never reach the
+    driver."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=offs[1:])
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[:-1][parent]
+        third = 3 * pos // nw[parent]
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        src_occ = code[parent]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, src_occ))
+        s2, c2, t2 = src_occ[order], codes[order], third[order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(head)
+        mask = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), t2), starts
+        ) if len(starts) else np.array([], np.int64)
+        g = pa.table(
+            {
+                "w": pc.take(enc.dictionary, pa.array(c2[starts])),
+                "src": pa.array(s2[starts]),
+                "m": pa.array(mask.astype(np.int64)),
+            }
+        )
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "m": g["m"],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "cls": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        key = src * nw + wid
+        order = np.argsort(key, kind="stable")
+        k2, m2 = key[order], m[order]
+        head = np.empty(len(order), dtype=bool)
+        head[0] = True
+        head[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(head)
+        mm = np.bitwise_or.reduceat(m2, starts)
+        src_g = k2[starts] // nw
+        grid = np.zeros(ns * 8, np.int64)
+        np.add.at(grid, src_g * 8 + mm, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "src": pa.array(live // 8),
+                "cls": pa.array(live % 8),
+                "n": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 8, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = t["cls"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * 8 + c, n)
+        g2 = grid.reshape(ns, 8)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_types": pa.array(g2.sum(axis=1).astype(np.int64)),
+                "first_only": pa.array(g2[:, 1].astype(np.int64)),
+                "mid_only": pa.array(g2[:, 2].astype(np.int64)),
+                "last_only": pa.array(g2[:, 4].astype(np.int64)),
+                "all_thirds": pa.array(g2[:, 7].astype(np.int64)),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    cells = hash_partition_merge(partials, "h", fold)
+    return hash_partition_merge(cells, "cls", merge, k=1)
