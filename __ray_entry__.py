@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_fade_profile(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_fade_profile
+
+    return events_fade_profile(sf_dir)
+
+
 def _q_events_peak_position(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_peak_position
 
@@ -2222,6 +2228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_position": _q_events_peak_position,
         "doc_thirds_exclusivity": td.thirds_exclusivity,
         "rel_discount_discipline": rel.discount_discipline,
+        # --- wave 148 ---
+        "events_fade_profile": _q_events_fade_profile,
+        "doc_lang_leakage": td.lang_leakage,
+        "rel_return_by_size": rel.return_by_size,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2622,6 +2632,57 @@ def oracle_sql() -> dict[str, str]:
                        AS variable_permille,
                    CAST(sum(n_lines) AS BIGINT) AS n_lines
             FROM j GROUP BY 1
+        """,
+        "events_fade_profile": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pt
+              FROM events),
+            g AS (SELECT user_id,
+                         epoch_us(ts) - epoch_us(pt) AS gap,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rl
+                  FROM o WHERE pt IS NOT NULL),
+            m AS (SELECT user_id,
+                         CAST(quantile_disc(gap, 0.5) AS BIGINT) AS mg,
+                         CAST(max(CASE WHEN rl = 1 THEN gap END)
+                              AS BIGINT) AS lg
+                  FROM g GROUP BY 1 HAVING count(*) >= 2),
+            p AS (SELECT LEAST(1000 * mg // GREATEST(lg, 1), 1000) // 100
+                             AS band
+                  FROM m)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1
+        """,
+        "doc_lang_leakage": """
+            WITH tok AS (SELECT source, lang,
+                                unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            g AS (SELECT source, w,
+                         CAST(count(DISTINCT lang) AS BIGINT) AS nl
+                  FROM tok GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN nl >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_polyglot,
+                   CAST(1000 * sum(CASE WHEN nl >= 2 THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS polyglot_permille
+            FROM g GROUP BY 1
+        """,
+        "rel_return_by_size": """
+            SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS band,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned,
+                   CAST(1000 * sum(CASE WHEN l_returnflag = 'R'
+                                        THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS returned_permille,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                            THEN CAST(floor(l_extendedprice
+                                            * (1 - l_discount)) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS returned_revenue
+            FROM lineitem GROUP BY 1
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

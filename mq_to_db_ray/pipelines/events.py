@@ -19139,3 +19139,119 @@ def events_peak_position(sf_dir: str) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_fade_profile(sf_dir: str) -> Dataset:
+    """E195: fade-profile bands — for each user with ≥ 3 events (≥ 2
+    inter-event gaps, (ts, event_id) order): compare their LAST gap with
+    their median gap (quantile_disc rank rule) as r = min(1000·median //
+    max(last, 1), 1000) and band r into deciles: users per band — HOW
+    accounts go quiet, the deceleration read none of the recency boards
+    carry (E129 measures dormancy against the corpus clock, E90 names
+    churn days, E151's return gaps quantile the corpus's gap sizes;
+    E195 normalizes each user's last silence by their OWN rhythm: band
+    10 = the last gap is no longer than a typical gap — activity that
+    stops mid-stride, the abrupt-loss signature; band 0-2 = the last
+    gap dwarfs the rhythm — a long fade already visible before the
+    end).  One row per OCCUPIED band; exact int64 (lag-gap +
+    per-user quantile_disc + reverse row_number last-gap + banded
+    GROUP BY oracle; gaps in exact microseconds).
+
+    Scale shape — E191's narrow per-event exchange (user, ts, order —
+    no payload at all): per user-hash partition one lexsort orders
+    every stream; gaps fall out of one shifted subtraction, the last
+    gap reads off each contiguous gap-group's tail, the median via ONE
+    more lexsort + offset-indexed gather (T198's selection trick, no
+    per-user loop); reduces to ≤ 11 (band, n_users) partials; the k=1
+    merge sums one bincount.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nb = 11
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2 = uu[order], tt[order]
+        same = u2[1:] == u2[:-1]
+        gaps = (t2[1:] - t2[:-1])[same]
+        gowner_raw = u2[1:][same]
+        if len(gaps) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                }
+            )
+        # owners arrive contiguous and time-ordered (stream sort above)
+        head = np.empty(len(gaps), dtype=bool)
+        head[0] = True
+        head[1:] = gowner_raw[1:] != gowner_raw[:-1]
+        starts = np.flatnonzero(head)
+        ng = np.diff(starts, append=len(gaps))
+        lasts = np.append(starts[1:], len(gaps)) - 1
+        lg = gaps[lasts]
+        gsid = np.cumsum(head) - 1
+        o3 = np.lexsort((gaps, gsid))
+        gaps_s = gaps[o3]
+        sel = starts + (ng + 1) // 2 - 1
+        mg = gaps_s[sel]
+        elig = ng >= 2
+        r = np.minimum(1000 * mg[elig] // np.maximum(lg[elig], 1), 1000)
+        band = r // 100
+        nu = np.bincount(band, minlength=nb)
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(nb, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, bb,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_users": pa.array(nu[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

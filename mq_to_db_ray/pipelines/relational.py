@@ -18399,3 +18399,94 @@ def discount_discipline(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "ty", merge, k=1)
+
+
+def return_by_size(sf_dir: str) -> Dataset:
+    """R128: returns by quantity band — per floor(l_quantity)//10 band:
+    lines, RETURNED lines (l_returnflag = 'R'), the returned permille,
+    and the floored discounted revenue of the returned lines — do big
+    lots come back more than single units, the size dimension none of
+    the returns boards carry (R53 rates returns per BRAND, R79 couples
+    them with DISCOUNT, R86 with SEASON, R64 names returned CUSTOMERS;
+    R128 reads the logistics axis: a permille rising with band means
+    bulk handling damages goods or bulk buyers over-order — either way
+    reverse-logistics cost scales superlinearly with lot size).  One
+    row per OCCUPIED band; exact int64 (integer-divide band +
+    CASE-count + floored discounted revenue oracle; money floors per
+    line, the §2.3b convention).
+
+    Scale shape — ZERO-join scan-reduce, the R1 shape: each lineitem
+    batch collapses to ≤ bands cell partials with one packed np.unique
+    (quantity bands are single digits); the k=1 merge folds
+    O(batches × bands) rows.  Nothing broadcasts, nothing corpus-sized
+    moves."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        band = q // 10
+        ret = pc.equal(b["l_returnflag"], "R").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        ub, inv = np.unique(band, return_inverse=True)
+        n = np.bincount(inv)
+        nr = np.bincount(inv[ret], minlength=len(ub))
+        rrev = np.bincount(
+            inv[ret], weights=rev[ret], minlength=len(ub)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "n": pa.array(n.astype(np.int64)),
+                "nr": pa.array(nr.astype(np.int64)),
+                "rrev": pa.array(rrev),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_returned": pa.array([], pa.int64()),
+                    "returned_permille": pa.array([], pa.int64()),
+                    "returned_revenue": pa.array([], pa.int64()),
+                }
+            )
+        band = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(band, return_inverse=True)
+        n = np.zeros(len(ub), np.int64)
+        nr = np.zeros(len(ub), np.int64)
+        rrev = np.zeros(len(ub), np.int64)
+        for acc, col in ((n, "n"), (nr, "nr"), (rrev, "rrev")):
+            np.add.at(
+                acc, inv,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "band": pa.array(ub),
+                "n_lines": pa.array(n),
+                "n_returned": pa.array(nr),
+                "returned_permille": pa.array(1000 * nr // np.maximum(n, 1)),
+                "returned_revenue": pa.array(rrev),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

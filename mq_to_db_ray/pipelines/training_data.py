@@ -20003,3 +20003,165 @@ def thirds_exclusivity(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold)
     return hash_partition_merge(cells, "cls", merge, k=1)
+
+
+def lang_leakage(sf_dir: str) -> Dataset:
+    """T201: cross-language vocabulary leakage — per source: distinct word
+    types, POLYGLOT types (appearing under ≥ 2 distinct lang labels
+    within the source), and the polyglot permille — the label-noise /
+    code-switching read none of the language boards carry (T44/T62
+    budget docs and tokens per label, T81 audits the T9 CLASSIFIER
+    against the label; T201 audits the LABELS against each other: a
+    vocabulary that freely crosses lang labels means either heavy
+    code-switching or mislabeled documents, and either way T23's
+    per-lang mixture weights are sampling from overlapping pools).
+    One dense row per source ALWAYS; exact int64 (unnest +
+    per-(source, word) count-DISTINCT-lang + permille oracle).
+
+    Scale shape — T200's word-hash exchange with a LANG bitmask payload
+    (the ≤ |langs| label list broadcasts; > 63 labels guarded loudly):
+    batches pre-reduce with one lexsort + bitwise_or.reduceat to
+    (hash, source, word, lang-mask) cells; the word's partition ORs its
+    masks, popcounts, and re-reduces IN PLACE to per-source (types,
+    polyglot) pairs; k=1 densifying merge.  Word strings never reach
+    the driver."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+    langs = pa.array(
+        sorted(_docs(sf_dir, ["lang"]).unique("lang")), pa.string()
+    )
+    nl = len(langs)
+    if nl > 63:
+        raise ValueError(
+            "lang_leakage: >63 lang labels — widen the bitmask fold "
+            "(two uint64 lanes) before using it on this corpus"
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        scode = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        lcode = (
+            pc.cast(pc.index_in(b["lang"], value_set=langs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        src_occ = scode[parent]
+        lang_occ = lcode[parent]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, src_occ))
+        s2, c2, l2 = src_occ[order], codes[order], lang_occ[order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = (s2[1:] != s2[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(head)
+        mask = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), l2), starts
+        ) if len(starts) else np.array([], np.int64)
+        g = pa.table(
+            {
+                "w": pc.take(enc.dictionary, pa.array(c2[starts])),
+                "src": pa.array(s2[starts]),
+                "m": pa.array(mask.astype(np.int64)),
+            }
+        )
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "m": g["m"],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        key = src * nw + wid
+        order = np.argsort(key, kind="stable")
+        k2, m2 = key[order], m[order]
+        head = np.empty(len(order), dtype=bool)
+        head[0] = True
+        head[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(head)
+        mm = np.bitwise_or.reduceat(m2, starts)
+        src_g = k2[starts] // nw
+        poly = np.zeros(len(mm), np.int64)
+        for bit in range(nl):
+            poly += (mm >> bit) & 1
+        nt = np.bincount(src_g, minlength=ns)
+        npoly = np.bincount(src_g[poly >= 2], minlength=ns)
+        live = np.flatnonzero(nt)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "nt": pa.array(nt[live].astype(np.int64)),
+                "np_": pa.array(npoly[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nt = np.zeros(ns, np.int64)
+        npoly = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nt, s,
+                t["nt"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                npoly, s,
+                t["np_"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_types": pa.array(nt),
+                "n_polyglot": pa.array(npoly),
+                "polyglot_permille": pa.array(
+                    1000 * npoly // np.maximum(nt, 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    cells = hash_partition_merge(partials, "h", fold)
+    return hash_partition_merge(cells, "src", merge, k=1)
