@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_user_heat(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_user_heat
+
+    return events_user_heat(sf_dir)
+
+
 def _q_events_fade_profile(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_fade_profile
 
@@ -2232,6 +2238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fade_profile": _q_events_fade_profile,
         "doc_lang_leakage": td.lang_leakage,
         "rel_return_by_size": rel.return_by_size,
+        # --- wave 149 ---
+        "events_user_heat": _q_events_user_heat,
+        "doc_shard_balance": td.shard_balance,
+        "rel_size_quantity_coupling": rel.size_quantity_coupling,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2683,6 +2693,48 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_user_heat": """
+            WITH o AS (
+              SELECT user_id, CAST(floor(value) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            p AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN rn <= n // 2 THEN v ELSE 0 END)
+                              AS BIGINT) AS sf,
+                         CAST(sum(v) AS BIGINT) AS st
+                  FROM o GROUP BY 1),
+            b AS (SELECT LEAST(GREATEST(
+                             1000 * (st - sf) // st // 100, 0), 10) AS band,
+                         n
+                  FROM p WHERE n >= 2 AND st > 0)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM b GROUP BY 1
+        """,
+        "doc_shard_balance": """
+            SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(str_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY 1
+        """,
+        "rel_size_quantity_coupling": """
+            WITH q AS (SELECT l_partkey,
+                              CAST(floor(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            j AS (SELECT p.p_size, q.l_partkey, q.q
+                  FROM q JOIN part p ON p.p_partkey = q.l_partkey)
+            SELECT CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(q) AS BIGINT) AS sum_qty,
+                   CAST(sum(q * q) AS BIGINT) AS sum_qty2
+            FROM j GROUP BY 1
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

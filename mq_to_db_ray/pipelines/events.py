@@ -19255,3 +19255,121 @@ def events_fade_profile(sf_dir: str) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_user_heat(sf_dir: str) -> Dataset:
+    """E196: account heat bands — split every user's LIFETIME event
+    sequence at its count midpoint (first ⌊n/2⌋ events vs the rest,
+    (ts, event_id) order) and band 1000·Σfloor(value)_second //
+    Σfloor(value)_total into deciles: users and their total events per
+    band — DO ACCOUNTS GROW OR DECAY IN VALUE, the mass-balance read
+    that completes the account-arc pair (E194 locates the single PEAK
+    event; E196 weighs the whole second half — an account can peak
+    early yet still carry most value late; E193 asks the same question
+    of one SESSION, E97 fits the SOURCE-level drift line: E196 is the
+    per-account histogram those aggregates average away).  Users with
+    ≥ 2 events and positive floored value total only.  One row per
+    OCCUPIED band; exact int64 (row_number/count windows + CASE-split
+    sums + banded GROUP BY oracle).
+
+    Scale shape — E193's machinery minus the session split: per
+    user-hash partition one lexsort, per-user positions by one
+    cumsum-offset subtraction, half-split sums via two
+    np.bincount(weights); ≤ 11 (band, n_users, n_events) partials;
+    the k=1 merge sums two bincounts.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nb = 11
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, v2 = uu[order], vv[order]
+        nrow = len(order)
+        head = np.empty(nrow, dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        sid = np.cumsum(head) - 1
+        starts = np.flatnonzero(head)
+        n_ev = np.diff(starts, append=nrow)
+        pos = np.arange(nrow, dtype=np.int64) - starts[sid]
+        first = pos < (n_ev // 2)[sid]
+        sf = np.bincount(sid[first], weights=v2[first],
+                         minlength=len(starts)).astype(np.int64)
+        st = np.bincount(sid, weights=v2, minlength=len(starts)).astype(
+            np.int64
+        )
+        elig = (n_ev >= 2) & (st > 0)
+        band = np.clip(
+            1000 * (st[elig] - sf[elig]) // st[elig] // 100, 0, nb - 1
+        )
+        nu = np.bincount(band, minlength=nb)
+        ne = np.bincount(band, weights=n_ev[elig], minlength=nb).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(nb, np.int64)
+        ne = np.zeros(nb, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, bb,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, bb,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_users": pa.array(nu[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -18490,3 +18490,152 @@ def return_by_size(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def size_quantity_coupling(sf_dir: str) -> Dataset:
+    """R129: part-size × lot-size coupling — per p_size: shipped parts,
+    lines, and the exact integer sufficient statistics (Σq, Σq²) of
+    q = floor(l_quantity) — do SMALL parts move in BIG lots, the
+    physical-handling read none of the size or quantity boards carry
+    (R66 bands the catalog by size, R72 spectra quantity corpus-wide,
+    R123 couples quantity with MONEY per type; R129 couples the part's
+    PHYSICAL size with its lot size: mean and variance derive off-line
+    to any precision, the R44 discipline — a negative size-lot trend is
+    the palletization signal a warehouse planner bins picking lanes
+    by).  One row per p_size with ≥ 1 shipped line; exact int64
+    (partkey join + SUM/SUM-of-squares oracle).
+
+    Scale shape — R127's partkey co-partition verbatim with a moment
+    payload (parts GROW with the corpus: size travels by co-partition;
+    nothing broadcasts — p_size is already an integer): lineitem
+    batches pre-reduce to per-partkey (n, Σq, Σq²) partials (squares
+    formed per LINE then summed — associative); the partkey-hash fold
+    attaches sizes by searchsorted, counts distinct shipped parts, and
+    collapses IN PLACE to a ≤ 50-row size grid; k=1 densifying merge."""
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    NSZ = 64  # p_size is 1..50 in the reference generator; headroom
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["p_partkey"], pa.int64()),
+                "sz": pc.cast(b["p_size"], pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sq": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sq2": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        q = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_partkey"], pa.int64()),
+                "n": pa.array(np.ones(len(q), np.int64)),
+                "sq": pa.array(q),
+                "sq2": pa.array(q * q),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sq2", "sum")]
+        )
+        g = g.rename_columns(["k", "n", "sq", "sq2"])
+        return g.append_column(
+            "sz", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "sz", "n", "sq", "sq2"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sz": pa.array([], pa.int64()),
+                "np_": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sq": pa.array([], pa.int64()),
+                "sq2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        szc = t["sz"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = szc >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sq2", "sum")]
+        )
+        fg = fg.rename_columns(["k", "n", "sq", "sq2"])
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dsz = szc[is_dim]
+        o = np.argsort(dk, kind="stable")
+        dk_s, dsz_s = dk[o], dsz[o]
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        sz = dsz_s[pos][hit]
+        g_np = np.bincount(sz, minlength=NSZ)
+        g_n = np.zeros(NSZ, np.int64)
+        g_sq = np.zeros(NSZ, np.int64)
+        g_sq2 = np.zeros(NSZ, np.int64)
+        for acc, col in ((g_n, "n"), (g_sq, "sq"), (g_sq2, "sq2")):
+            np.add.at(
+                acc, sz,
+                fg[col].combine_chunks().to_numpy(zero_copy_only=False)[hit],
+            )
+        live = np.flatnonzero(g_np)
+        return pa.table(
+            {
+                "sz": pa.array(live.astype(np.int64)),
+                "np_": pa.array(g_np[live].astype(np.int64)),
+                "n": pa.array(g_n[live]),
+                "sq": pa.array(g_sq[live]),
+                "sq2": pa.array(g_sq2[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_np = np.zeros(NSZ, np.int64)
+        g_n = np.zeros(NSZ, np.int64)
+        g_sq = np.zeros(NSZ, np.int64)
+        g_sq2 = np.zeros(NSZ, np.int64)
+        if t.num_rows:
+            sz = t["sz"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in (
+                (g_np, "np_"), (g_n, "n"), (g_sq, "sq"), (g_sq2, "sq2")
+            ):
+                np.add.at(
+                    acc, sz,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(g_np)
+        return pa.table(
+            {
+                "p_size": pa.array(live.astype(np.int64)),
+                "n_parts": pa.array(g_np[live]),
+                "n_lines": pa.array(g_n[live]),
+                "sum_qty": pa.array(g_sq[live]),
+                "sum_qty2": pa.array(g_sq2[live]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(fact_partial, batch_format="pyarrow").union(
+            part.map_batches(dim_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "sz", merge, k=1)

@@ -20165,3 +20165,81 @@ def lang_leakage(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold)
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def shard_balance(sf_dir: str, n_shards: int = 16) -> Dataset:
+    """T202: shard-balance board — assign every document to shard
+    doc_id % n_shards (the resumable-output partitioning rule the
+    cascade's TierPartitionWriter and the corpus packer both key on)
+    and report per shard: docs, whitespace tokens (T11's split(' ')
+    convention) and chars — the SKEW PREFLIGHT for any sharded run
+    (T22's packer, the T25 shuffle, a 16-way distillation fan-out):
+    uniform doc COUNTS with lopsided TOKEN mass is exactly the failure
+    mode that strands one worker at 3× wall-clock, and this board is
+    the one-scan check that catches it before the job launches.  One
+    row per shard with ≥ 1 doc (id-dense corpora fill all shards);
+    exact int64 (modulo + count/sum oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce (the R1 shape on the docs
+    table): each batch collapses to ≤ n_shards (shard, docs, tokens,
+    chars) partials with one np.bincount trio; the k=1 merge folds
+    O(batches × n_shards) rows.  Nothing broadcasts; the modulo makes
+    the shard key derivable at WRITE time with no lookup."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        shard = did % n_shards
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        ntok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nch = pc.cast(b["n_chars"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nd = np.bincount(shard, minlength=n_shards)
+        nt = np.bincount(shard, weights=ntok, minlength=n_shards).astype(
+            np.int64
+        )
+        nc = np.bincount(shard, weights=nch, minlength=n_shards).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "shard": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live].astype(np.int64)),
+                "nt": pa.array(nt[live]),
+                "nc": pa.array(nc[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(n_shards, np.int64)
+        nt = np.zeros(n_shards, np.int64)
+        nc = np.zeros(n_shards, np.int64)
+        if t.num_rows:
+            sh = t["shard"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in ((nd, "nd"), (nt, "nt"), (nc, "nc")):
+                np.add.at(
+                    acc, sh,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "shard": pa.array(live.astype(np.int64)),
+                "n_docs": pa.array(nd[live]),
+                "n_tokens": pa.array(nt[live]),
+                "n_chars": pa.array(nc[live]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_partition_merge(partials, "shard", merge, k=1)
