@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_props_value(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_props_value_coupling
+
+    return events_props_value_coupling(sf_dir)
+
+
 def _q_events_user_heat(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_user_heat
 
@@ -2242,6 +2248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_heat": _q_events_user_heat,
         "doc_shard_balance": td.shard_balance,
         "rel_size_quantity_coupling": rel.size_quantity_coupling,
+        # --- wave 150 ---
+        "events_props_value_coupling": _q_events_props_value,
+        "doc_self_intro": td.self_intro,
+        "rel_weekday_shift_matrix": rel.weekday_shift_matrix,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2735,6 +2745,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(q) AS BIGINT) AS sum_qty,
                    CAST(sum(q * q) AS BIGINT) AS sum_qty2
             FROM j GROUP BY 1
+        """,
+        "events_props_value_coupling": """
+            WITH o AS (
+              SELECT event_type AS source,
+                     CAST(floor(value) AS BIGINT) AS v,
+                     TRY_CAST(regexp_extract(props,
+                         '"k"[ ]*:[ ]*(-?[0-9]+)', 1) AS BIGINT) AS k
+              FROM events)
+            SELECT source,
+                   CAST(count(k) AS BIGINT) AS n_parsed,
+                   CAST(count(*) - count(k) AS BIGINT) AS n_bad,
+                   CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k,
+                   CAST(COALESCE(sum(k * k), 0) AS BIGINT) AS sum_k2,
+                   CAST(COALESCE(sum(CASE WHEN k IS NOT NULL THEN v END),
+                                 0) AS BIGINT) AS sum_v,
+                   CAST(COALESCE(sum(CASE WHEN k IS NOT NULL
+                                          THEN v * v END), 0) AS BIGINT)
+                       AS sum_v2,
+                   CAST(COALESCE(sum(k * v), 0) AS BIGINT) AS sum_kv
+            FROM o GROUP BY 1
+        """,
+        "doc_self_intro": """
+            WITH tok AS (SELECT DISTINCT doc_id, source,
+                                unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            fw AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+            pd AS (SELECT t.doc_id, t.source,
+                          CAST(count(*) AS BIGINT) AS nt,
+                          CAST(sum(CASE WHEN fw.fd = t.doc_id
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS nself
+                   FROM tok t JOIN fw ON fw.w = t.w
+                   GROUP BY 1, 2),
+            p AS (SELECT source, 1000 * nself // nt AS pm FROM pd)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(pm, 0.5) AS BIGINT) AS p50_permille,
+                   CAST(quantile_disc(pm, 0.9) AS BIGINT) AS p90_permille
+            FROM p GROUP BY 1
+        """,
+        "rel_weekday_shift_matrix": """
+            WITH j AS (SELECT dayofweek(o.o_orderdate) AS od,
+                              dayofweek(l.l_shipdate) AS sd,
+                              (epoch_us(l.l_shipdate)
+                               - epoch_us(o.o_orderdate)) // 86400000000
+                                  AS days
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT CAST(od AS BIGINT) AS order_dow,
+                   CAST(sd AS BIGINT) AS ship_dow,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(days) AS BIGINT) AS sum_days
+            FROM j GROUP BY 1, 2
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

@@ -19373,3 +19373,96 @@ def events_user_heat(sf_dir: str) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_props_value_coupling(sf_dir: str) -> Dataset:
+    """E197: payload↔envelope coupling moments — per source: events whose
+    ``props`` JSON parses to an integer ``k`` (the E82 lane), events
+    that do NOT, and the exact integer sufficient statistics (Σk, Σk²,
+    Σv, Σv², Σk·v over the parsable rows, v = floor(value)) — does the
+    message BODY agree with the envelope's value column, the
+    cross-field coherence audit neither lane alone can run (E82 reads
+    the body's k in isolation, E97 fits value against TIME; E197
+    couples the two fields event-by-event: Pearson/slope derive
+    off-line, the R44 discipline — a near-zero coupling on a feed whose
+    schema doc claims "k mirrors value" is an integration bug caught in
+    one scan).  One dense row per source ALWAYS; exact int64
+    (regexp_extract + TRY_CAST + FILTERed SUM-of-products oracle;
+    parse-failure rows count in n_bad and contribute to no moment —
+    the M1/M2 reject discipline applied to analytics).
+
+    Scale shape — ZERO-shuffle scan-reduce: one vectorized
+    ``pc.extract_regex`` per batch (the E82 kernel), moments formed per
+    EVENT then summed per source with np.bincount(weights) — ≤ |sources|
+    partial rows per batch; the k=1 merge sums seven grids."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "props", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    COLS = ("n", "bad", "sk", "sk2", "sv", "sv2", "skv")
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ex = pc.extract_regex(
+            b["props"].combine_chunks(), r'"k"\s*:\s*(?P<v>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        bad = pc.is_null(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ok = ~bad
+        g = np.zeros((7, ns), np.int64)
+        g[0] = np.bincount(code[ok], minlength=ns)
+        g[1] = np.bincount(code[bad], minlength=ns)
+        co = code[ok]
+        ko = kv[ok]
+        vo = v[ok]
+        for i, w in enumerate((ko, ko * ko, vo, vo * vo, ko * vo)):
+            g[2 + i] = np.bincount(co, weights=w, minlength=ns).astype(
+                np.int64
+            )
+        live = np.flatnonzero(g[0] + g[1])
+        cols = {"src": pa.array(live.astype(np.int64))}
+        for j, c in enumerate(COLS):
+            cols[c] = pa.array(g[j][live])
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = np.zeros((7, ns), np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for j, c in enumerate(COLS):
+                np.add.at(
+                    g[j], s,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_parsed": pa.array(g[0]),
+                "n_bad": pa.array(g[1]),
+                "sum_k": pa.array(g[2]),
+                "sum_k2": pa.array(g[3]),
+                "sum_v": pa.array(g[4]),
+                "sum_v2": pa.array(g[5]),
+                "sum_kv": pa.array(g[6]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)

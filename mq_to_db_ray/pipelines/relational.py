@@ -18639,3 +18639,149 @@ def size_quantity_coupling(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "sz", merge, k=1)
+
+
+def weekday_shift_matrix(sf_dir: str) -> Dataset:
+    """R130: order-weekday × ship-weekday matrix — per (dayofweek of
+    o_orderdate, dayofweek of l_shipdate), DuckDB's Sunday=0 convention:
+    lines and the exact floor-day latency total — the WEEKLY OPERATING
+    CYCLE read none of the calendar boards carry (R102 profiles order
+    weekdays alone, R67 ship day-of-MONTH, R20/R87 latency magnitudes;
+    R130 crosses the two clocks: a strong diagonal means same-weekday
+    fulfillment — a weekly batch cycle; a Friday→Monday ridge is the
+    weekend hole; mean latency per cell derives off-line and separates
+    "slow because queued over a weekend" from "slow everywhere").
+    One row per OCCUPIED cell (≤ 49); exact int64 (dayofweek + floor-day
+    difference + two-key GROUP BY oracle).
+
+    Scale shape — ONE orderkey co-partition, both sides pre-reduced
+    (orders GROW with the corpus — the order date travels by
+    co-partition, nothing broadcasts): lineitem batches collapse to
+    (orderkey, ship-day, n) cells with one packed np.unique; the
+    orderkey-hash fold attaches each order's date by searchsorted,
+    derives both weekdays with one modular shift ((day + 4) % 7 —
+    the epoch was a Thursday), and collapses IN PLACE to a ≤ 49-cell
+    grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "d": pa.array(od, pa.int64()),
+                "n": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        ok = pc.cast(b["l_orderkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        base = int(sd.min()) if len(sd) else 0
+        packed, cnt = np.unique(ok * (1 << 20) + (sd - base), return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(packed >> 20),
+                "d": pa.array((packed & ((1 << 20) - 1)) + base, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nc = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = nc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = d["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dd_s = dk[o], dd[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = f["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = nc[~is_dim]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        od = dd_s[pos][hit]
+        sd_ = fd[hit]
+        n = fn[hit]
+        cell = ((od + 4) % 7) * 7 + (sd_ + 4) % 7
+        days = sd_ - od
+        g_n = np.zeros(49, np.int64)
+        g_d = np.zeros(49, np.int64)
+        np.add.at(g_n, cell, n)
+        np.add.at(g_d, cell, days * n)
+        live = np.flatnonzero(g_n)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "n": pa.array(g_n[live]),
+                "sd": pa.array(g_d[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_n = np.zeros(49, np.int64)
+        g_d = np.zeros(49, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                g_n, cell,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                g_d, cell,
+                t["sd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(g_n)
+        return pa.table(
+            {
+                "order_dow": pa.array((live // 7).astype(np.int64)),
+                "ship_dow": pa.array((live % 7).astype(np.int64)),
+                "n_lines": pa.array(g_n[live]),
+                "sum_days": pa.array(g_d[live]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(fact_partial, batch_format="pyarrow").union(
+            orders.map_batches(dim_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

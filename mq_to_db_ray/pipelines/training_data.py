@@ -20243,3 +20243,208 @@ def shard_balance(sf_dir: str, n_shards: int = 16) -> Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return hash_partition_merge(partials, "shard", merge, k=1)
+
+
+def self_intro(sf_dir: str) -> Dataset:
+    """T203: vocabulary self-introduction quantiles — per source: docs
+    and the discrete p50/p90 of each document's SELF-INTRODUCTION
+    permille: of the doc's distinct word types, the permille share
+    whose corpus-wide FIRST appearance (minimum doc_id over every doc
+    containing the type) is this very document — is a document made of
+    inherited vocabulary or its own coinage, the novelty-ATTRIBUTION
+    read none of the growth boards carry (T159/T175 time vocabulary
+    introduction/retirement for the CORPUS stream, T97 rates per-source
+    novelty, T198 locates novelty WITHIN a doc; T203 assigns each
+    introduction to the doc that made it and histograms the credit:
+    a late doc scoring high permille is genuinely new material — the
+    dedup-survivor a curriculum should up-weight; a corpus whose
+    self-intro mass sits entirely in the first docs is closed-world).
+    Ties (several docs sharing a type's minimum doc_id) are impossible
+    by construction — doc_id is unique, the minimum is one document.
+    One dense row per source ALWAYS; exact int64 under the
+    quantile_disc rank rule (unnest + per-word min(doc_id) + per-doc
+    count/FILTER-count + two-level quantile oracle).
+
+    Scale shape — TWO narrow hash exchanges, both pre-reduced, then the
+    T196 grid merge: (1) word-hash — batches pre-reduce to distinct
+    (hash, doc, source, word) cells; each word's partition finds its
+    corpus-min doc_id locally and re-reduces IN PLACE to per-doc
+    (n_types, n_self) partials — word strings die here; (2) doc-hash —
+    per-doc partials sum (a doc's cells arrive from every word
+    partition), the permille forms, and each partition collapses to
+    (source, permille, freq) cells on a ≤ sources × 1001 domain; the
+    k=1 merge reads both quantiles off one cumsum."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        scode = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_occ = did[parent]
+        # distinct (doc, word) cells
+        order = np.lexsort((codes, doc_occ))
+        d2, c2 = doc_occ[order], codes[order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1])
+        starts = np.flatnonzero(head)
+        par_src = scode[parent][order][starts]
+        g = pa.table(
+            {
+                "w": pc.take(enc.dictionary, pa.array(c2[starts])),
+                "doc": pa.array(d2[starts]),
+                "src": pa.array(par_src.astype(np.int64)),
+            }
+        )
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "doc": g["doc"],
+                "src": g["src"],
+                "w": g["w"],
+            }
+        )
+
+    def fold_words(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "nself": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc = t["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        # dedupe (word, doc) cells arriving from different batches
+        order = np.lexsort((doc, wid))
+        w2, d2, s2 = wid[order], doc[order], src[order]
+        uniq = np.empty(len(order), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (w2[1:] != w2[:-1]) | (d2[1:] != d2[:-1])
+        w3, d3, s3 = w2[uniq], d2[uniq], s2[uniq]
+        # per word: min doc is the FIRST cell of its (sorted) group
+        whead = np.empty(len(w3), dtype=bool)
+        whead[0] = True
+        whead[1:] = w3[1:] != w3[:-1]
+        wsid = np.cumsum(whead) - 1
+        min_doc = d3[np.flatnonzero(whead)]
+        is_self = d3 == min_doc[wsid]
+        # per (doc, src): types and self-introductions
+        key = d3
+        ud, inv = np.unique(key, return_inverse=True)
+        nt = np.bincount(inv)
+        nself = np.bincount(inv[is_self], minlength=len(ud))
+        # source of each doc: take from any of its cells
+        src_of = np.zeros(len(ud), np.int64)
+        src_of[inv] = s3
+        return pa.table(
+            {
+                "doc": pa.array(ud),
+                "src": pa.array(src_of),
+                "nt": pa.array(nt.astype(np.int64)),
+                "nself": pa.array(nself.astype(np.int64)),
+            }
+        )
+
+    def fold_docs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "perm": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        doc = t["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = t["nt"].combine_chunks().to_numpy(zero_copy_only=False)
+        nself = t["nself"].combine_chunks().to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(doc, return_inverse=True)
+        tnt = np.zeros(len(ud), np.int64)
+        tns = np.zeros(len(ud), np.int64)
+        np.add.at(tnt, inv, nt)
+        np.add.at(tns, inv, nself)
+        src_of = np.zeros(len(ud), np.int64)
+        src_of[inv] = src
+        perm = 1000 * tns // np.maximum(tnt, 1)
+        grid = np.zeros(ns * 1001, np.int64)
+        np.add.at(grid, src_of * 1001 + perm, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(live), np.int64)),
+                "src": pa.array(live // 1001),
+                "perm": pa.array(live % 1001),
+                "f": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 1001, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            p = t["perm"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * 1001 + p, f)
+        g2 = grid.reshape(ns, 1001)
+        n_docs = g2.sum(axis=1)
+        cum = np.cumsum(g2, axis=1)
+        out_q = {}
+        for q, name in ((500, "p50_permille"), (900, "p90_permille")):
+            thr = (n_docs * q + 999) // 1000
+            idx = np.minimum((cum >= thr[:, None]).argmax(axis=1), 1000)
+            out_q[name] = np.where(n_docs > 0, idx, 0)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(n_docs.astype(np.int64)),
+                "p50_permille": pa.array(
+                    out_q["p50_permille"].astype(np.int64)
+                ),
+                "p90_permille": pa.array(
+                    out_q["p90_permille"].astype(np.int64)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_doc = hash_partition_merge(partials, "h", fold_words)
+    cells = hash_partition_merge(per_doc, "doc", fold_docs)
+    return hash_partition_merge(cells, "g", merge, k=1)
