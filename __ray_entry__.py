@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_scoped_sessions(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_scoped_sessions
+
+    return events_scoped_sessions(sf_dir)
+
+
 def _q_events_props_value(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_props_value_coupling
 
@@ -2252,6 +2258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_value_coupling": _q_events_props_value,
         "doc_self_intro": td.self_intro,
         "rel_weekday_shift_matrix": rel.weekday_shift_matrix,
+        # --- wave 151 ---
+        "events_scoped_sessions": _q_events_scoped_sessions,
+        "doc_weakest_link": td.weakest_link,
+        "rel_fragmentation_latency": rel.fragmentation_latency,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2797,6 +2807,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(days) AS BIGINT) AS sum_days
             FROM j GROUP BY 1, 2
+        """,
+        "events_scoped_sessions": """
+            WITH o AS (
+              SELECT event_type AS source, user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)),
+            s AS (SELECT source, user_id,
+                         SUM(new_s) OVER (PARTITION BY user_id, source
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT source, user_id, sid,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM s GROUP BY 1, 2, 3)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_events
+            FROM p GROUP BY 1
+        """,
+        "doc_weakest_link": """
+            WITH tok AS (SELECT doc_id, source,
+                                unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            f AS (SELECT w, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY 1),
+            cells AS (SELECT DISTINCT doc_id, source, w FROM tok),
+            pd AS (SELECT c.doc_id, c.source, min(f.tf) AS mf
+                   FROM cells c JOIN f ON f.w = c.w GROUP BY 1, 2)
+            SELECT source, CAST(length(bin(mf)) AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM pd GROUP BY 1, 2
+        """,
+        "rel_fragmentation_latency": """
+            WITH g AS (SELECT l_orderkey,
+                              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS k,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              (epoch_us(max(l_shipdate))
+                               - epoch_us(min(l_shipdate))) // 86400000000
+                                  AS spread
+                       FROM lineitem GROUP BY 1)
+            SELECT k AS n_suppliers,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(nl) AS BIGINT) AS n_lines,
+                   CAST(sum(spread) AS BIGINT) AS sum_spread_days
+            FROM g GROUP BY 1
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

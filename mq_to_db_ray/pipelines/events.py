@@ -19466,3 +19466,120 @@ def events_props_value_coupling(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_scoped_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E198: source-scoped session board — re-run the E15 gap rule with
+    sessions scoped to (user, SOURCE) instead of user alone (a 6h
+    silence IN THIS FEED closes the feed's session even if the user
+    stayed active elsewhere): per source: sessions, events, and the
+    discrete p50 of events-per-session — the comparative read against
+    the global session boards (E50/E76 count visits to the PLATFORM;
+    E198 counts visits to each PRODUCT — a source whose scoped session
+    count far exceeds its share of global sessions is a side-channel
+    users poke between main tasks, and the per-source visit depth is
+    the engagement number a product owner actually owns).  One dense
+    row per source ALWAYS; exact int64 (islands CTE with the window
+    PARTITIONED BY (user, type) + per-session count + quantile_disc
+    oracle).
+
+    Scale shape — E191's narrow exchange with a COMPOSITE fold key: the
+    lexsort orders (user, type-rank, ts, order) so each (user, source)
+    stream is contiguous; the 6h split, per-session sizes and the
+    per-source size histogram (capped at 4096 events/session, larger
+    sessions clamp into the top bin — logged domain, never wrong
+    counts) all fall out of the one sorted pass; ≤ sources × bins
+    partials; the k=1 merge reads the p50 off one cumsum per source.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+    CAP = 4096
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, ty, uu))
+        u2, t2, y2 = uu[order], tt[order], ty[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (
+            (u2[1:] != u2[:-1])
+            | (y2[1:] != y2[:-1])
+            | (t2[1:] - t2[:-1] > gap_s * 1_000_000)
+        )
+        starts = np.flatnonzero(new_s)
+        n_ev = np.diff(starts, append=len(order))
+        src_s = y2[starts]
+        size = np.minimum(n_ev, CAP)
+        grid = np.zeros(nt * (CAP + 1), np.int64)
+        np.add.at(grid, src_s * (CAP + 1) + size, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "src": pa.array(live // (CAP + 1)),
+                "size": pa.array(live % (CAP + 1)),
+                "f": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(nt * (CAP + 1), np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            z = t["size"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * (CAP + 1) + z, f)
+        g2 = grid.reshape(nt, CAP + 1)
+        ns_ = g2.sum(axis=1)
+        ne = (g2 * np.arange(CAP + 1, dtype=np.int64)[None, :]).sum(axis=1)
+        cum = np.cumsum(g2, axis=1)
+        thr = (ns_ * 500 + 999) // 1000
+        p50 = np.minimum((cum >= thr[:, None]).argmax(axis=1), CAP)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_sessions": pa.array(ns_.astype(np.int64)),
+                "n_events": pa.array(ne.astype(np.int64)),
+                "p50_events": pa.array(
+                    np.where(ns_ > 0, p50, 0).astype(np.int64)
+                ),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)

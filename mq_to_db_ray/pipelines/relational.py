@@ -18785,3 +18785,137 @@ def weekday_shift_matrix(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def fragmentation_latency(sf_dir: str) -> Dataset:
+    """R131: fragmentation-latency coupling — per distinct-supplier count
+    k of an order: orders sourced from exactly k suppliers, their
+    lines, and the exact floor-day total of each order's intra-order
+    ship SPREAD (max shipdate − min shipdate) — does multi-sourcing
+    stretch fulfilment, the cross R69 and R57 each hold one axis of
+    (R69 histograms fragmentation with REVENUE, R57 quantiles spread
+    per PRIORITY; R131 couples them: mean spread per k derives
+    off-line, and a spread that grows with k prices the consolidation
+    R69's board only counts — the one-slow-supplier tail R61 blames,
+    aggregated to a policy number).  One row per occurring k; exact
+    int64 (per-order count-DISTINCT + max/min shipdate + floor-day
+    difference oracle).
+
+    Scale shape — ONE orderkey hash exchange over a THREE-column slice
+    (orderkey, suppkey, ship-day), no dimension side at all: lineitem
+    batches pre-reduce to distinct (orderkey, suppkey) cells carrying
+    per-cell line counts and min/max ship-days (all associative); the
+    orderkey fold re-combines cells, counts suppliers and folds the
+    spread off one sorted boundary pass, and collapses IN PLACE to a
+    ≤ 64-row k grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+    NK = 64
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = pc.cast(b["l_orderkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sk = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sd = (
+            b["l_shipdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        t = pa.table(
+            {
+                "k": pa.array(ok),
+                "s": pa.array(sk),
+                "n": pa.array(np.ones(len(ok), np.int64)),
+                "mn": pa.array(sd, pa.int64()),
+                "mx": pa.array(sd, pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "s"], use_threads=False).aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        return g.rename_columns(["k", "s", "n", "mn", "mx"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ks": pa.array([], pa.int64()),
+                "no": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "sp": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["k", "s"], use_threads=False).aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+        g = g.rename_columns(["k", "s", "n", "mn", "mx"])
+        ok = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok_s = ok[order]
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        mn = g["mn"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        mx = g["mx"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        head = np.empty(len(ok_s), dtype=bool)
+        head[0] = True
+        head[1:] = ok_s[1:] != ok_s[:-1]
+        starts = np.flatnonzero(head)
+        ksup = np.diff(starts, append=len(ok_s))
+        nl = np.add.reduceat(n, starts)
+        spread = np.maximum.reduceat(mx, starts) - np.minimum.reduceat(
+            mn, starts
+        )
+        kk = np.minimum(ksup, NK - 1)
+        g_no = np.zeros(NK, np.int64)
+        g_nl = np.zeros(NK, np.int64)
+        g_sp = np.zeros(NK, np.int64)
+        np.add.at(g_no, kk, 1)
+        np.add.at(g_nl, kk, nl)
+        np.add.at(g_sp, kk, spread)
+        live = np.flatnonzero(g_no)
+        return pa.table(
+            {
+                "ks": pa.array(live.astype(np.int64)),
+                "no": pa.array(g_no[live]),
+                "nl": pa.array(g_nl[live]),
+                "sp": pa.array(g_sp[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_no = np.zeros(NK, np.int64)
+        g_nl = np.zeros(NK, np.int64)
+        g_sp = np.zeros(NK, np.int64)
+        if t.num_rows:
+            ks = t["ks"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in ((g_no, "no"), (g_nl, "nl"), (g_sp, "sp")):
+                np.add.at(
+                    acc, ks,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(g_no)
+        return pa.table(
+            {
+                "n_suppliers": pa.array(live.astype(np.int64)),
+                "n_orders": pa.array(g_no[live]),
+                "n_lines": pa.array(g_nl[live]),
+                "sum_spread_days": pa.array(g_sp[live]),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "ks", merge, k=1)

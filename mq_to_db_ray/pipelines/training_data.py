@@ -20448,3 +20448,179 @@ def self_intro(sf_dir: str) -> Dataset:
     per_doc = hash_partition_merge(partials, "h", fold_words)
     cells = hash_partition_merge(per_doc, "doc", fold_docs)
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def weakest_link(sf_dir: str) -> Dataset:
+    """T204: weakest-link band board — for every document find the
+    CORPUS-WIDE occurrence count of its rarest word type (the minimum
+    total frequency over the doc's distinct types) and histogram docs
+    per (source, bit-length band of that minimum, DuckDB's
+    length(bin(x)) convention) — what is the most obscure thing each
+    document says, the per-DOC rarity read none of the type-level
+    boards carry (T124 counts hapax TYPES per source, T174 crosses
+    DF×TF bands over the vocabulary, T203 credits introductions; T204
+    collapses each doc to its single weakest link: band-1 docs contain
+    a corpus-unique word — genuinely novel material or OCR garbage,
+    either way the docs a curator reads FIRST; docs whose minimum sits
+    at band 10+ are built entirely from common vocabulary — the
+    boilerplate mass).  One row per OCCUPIED (source, band) cell;
+    exact int64 (unnest + per-word count + per-doc min + length(bin)
+    oracle).
+
+    Scale shape — T203's two narrow exchanges with a MIN payload:
+    (1) word-hash — batches pre-reduce to distinct (hash, doc, source,
+    word) cells plus per-batch word counts; each word's partition sums
+    its exact corpus frequency locally and emits per-doc PARTIAL
+    minima (one row per doc per partition, not per word); (2) doc-hash
+    — partial minima combine with one np.minimum-scatter, the band is
+    one bit_length, and the partition collapses to a ≤ sources × 65
+    grid; k=1 densifying merge.  Word strings never leave exchange 1."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+    NB = 65
+
+    def partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        scode = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_occ = did[parent]
+        order = np.lexsort((doc_occ, codes))
+        c2, d2 = codes[order], doc_occ[order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
+        starts = np.flatnonzero(head)
+        n_occ = np.diff(starts, append=len(order)).astype(np.int64)
+        src_cell = scode[parent][order][starts]
+        g = pa.table(
+            {
+                "w": pc.take(enc.dictionary, pa.array(c2[starts])),
+                "doc": pa.array(d2[starts]),
+                "src": pa.array(src_cell.astype(np.int64)),
+                "n": pa.array(n_occ),
+            }
+        )
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "doc": g["doc"],
+                "src": g["src"],
+                "w": g["w"],
+                "n": g["n"],
+            }
+        )
+
+    def fold_words(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "mf": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc = t["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        # exact corpus frequency of each word in this partition
+        freq = np.zeros(int(wid.max()) + 1, np.int64)
+        np.add.at(freq, wid, n)
+        # per (doc): min over its types' frequencies (cells may repeat a
+        # (doc, word) pair across batches — min is idempotent)
+        ud, inv = np.unique(doc, return_inverse=True)
+        mf = np.full(len(ud), np.int64(2**62))
+        np.minimum.at(mf, inv, freq[wid])
+        src_of = np.zeros(len(ud), np.int64)
+        src_of[inv] = src
+        return pa.table(
+            {
+                "doc": pa.array(ud),
+                "src": pa.array(src_of),
+                "mf": pa.array(mf),
+            }
+        )
+
+    def fold_docs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        doc = t["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        mf = t["mf"].combine_chunks().to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(doc, return_inverse=True)
+        gmf = np.full(len(ud), np.int64(2**62))
+        np.minimum.at(gmf, inv, mf)
+        src_of = np.zeros(len(ud), np.int64)
+        src_of[inv] = src
+        # vectorized bit length: frexp exponent == bit_length for exact
+        # positive ints (frequencies are far below 2**53)
+        band = np.frexp(gmf.astype(np.float64))[1].astype(np.int64)
+        grid = np.zeros(ns * NB, np.int64)
+        np.add.at(grid, src_of * NB + np.minimum(band, NB - 1), 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "src": pa.array(live // NB),
+                "band": pa.array(live % NB),
+                "n": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * NB, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, s * NB + b, f)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live // NB)),
+                "band": pa.array((live % NB).astype(np.int64)),
+                "n_docs": pa.array(grid[live]),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    per_doc = hash_partition_merge(partials, "h", fold_words)
+    cells = hash_partition_merge(per_doc, "doc", fold_docs)
+    return hash_partition_merge(cells, "band", merge, k=1)
