@@ -745,6 +745,35 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "multimodal_meta",
         "multimodal_features",
         "multimodal_frame_sample",
+        # round-5 waves 143-151 (append per wave: every new pure-read
+        # queries() entry gets a timed slot; side-effectful f1 commit ops
+        # stay out — the cascade slot covers that path)
+        "f1_jsonl_rollup_1m",
+        "f1_jsonl_reject_lane",
+        "events_session_richness",
+        "doc_wordlen_maturity",
+        "rel_customer_peak_share",
+        "events_session_bounce",
+        "doc_vocab_halflife",
+        "rel_cadence_lumpiness",
+        "events_session_heat",
+        "doc_topword_spread",
+        "rel_entry_brand_loyalty",
+        "events_peak_position",
+        "doc_thirds_exclusivity",
+        "rel_discount_discipline",
+        "events_fade_profile",
+        "doc_lang_leakage",
+        "rel_return_by_size",
+        "events_user_heat",
+        "doc_shard_balance",
+        "rel_size_quantity_coupling",
+        "events_props_value_coupling",
+        "doc_self_intro",
+        "rel_weekday_shift_matrix",
+        "events_scoped_sessions",
+        "doc_weakest_link",
+        "rel_fragmentation_latency",
     ]
     out: dict[str, float] = {}
     for name in names:
