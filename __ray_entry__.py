@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_onboarding(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_onboarding_share
+
+    return events_onboarding_share(sf_dir)
+
+
 def _q_events_scoped_sessions(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_scoped_sessions
 
@@ -2262,6 +2268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scoped_sessions": _q_events_scoped_sessions,
         "doc_weakest_link": td.weakest_link,
         "rel_fragmentation_latency": rel.fragmentation_latency,
+        # --- wave 152 ---
+        "events_onboarding_share": _q_events_onboarding,
+        "doc_dedup_shard_audit": td.dedup_shard_audit,
+        "rel_return_by_position": rel.return_by_position,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2856,6 +2866,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nl) AS BIGINT) AS n_lines,
                    CAST(sum(spread) AS BIGINT) AS sum_spread_days
             FROM g GROUP BY 1
+        """,
+        "events_onboarding_share": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     min(ts) OVER (PARTITION BY user_id) AS ft,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            p AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN ts <= ft + INTERVAL 1 HOUR
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS nf
+                  FROM o GROUP BY 1 HAVING max(n) >= 2),
+            b AS (SELECT LEAST(1000 * nf // n // 100, 10) AS band, n
+                  FROM p)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM b GROUP BY 1
+        """,
+        "doc_dedup_shard_audit": """
+            WITH g AS (SELECT text, CAST(count(*) AS BIGINT) AS n,
+                              CAST(count(DISTINCT doc_id % 16) AS BIGINT)
+                                  AS ns
+                       FROM documents GROUP BY 1 HAVING count(*) >= 2)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_dup_docs,
+                   CAST(COALESCE(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_single_shard,
+                   CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_cross_shard,
+                   CAST(1000 * COALESCE(sum(CASE WHEN ns > 1
+                                                 THEN 1 ELSE 0 END), 0)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS cross_permille
+            FROM g
+        """,
+        "rel_return_by_position": """
+            SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned,
+                   CAST(1000 * sum(CASE WHEN l_returnflag = 'R'
+                                        THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS returned_permille,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                            THEN CAST(floor(l_extendedprice
+                                            * (1 - l_discount)) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS returned_revenue
+            FROM lineitem GROUP BY 1
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

@@ -19583,3 +19583,113 @@ def events_scoped_sessions(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def events_onboarding_share(sf_dir: str, window_s: int = 3600) -> Dataset:
+    """E199: onboarding-share bands — for each user, the permille of
+    their LIFETIME events that fall within the first hour after their
+    first event ((ts, event_id) order), banded into deciles: users and
+    total events per band — the burst-then-gone signature none of the
+    tenure boards isolate (E98/E99 measure tenure LENGTH and value,
+    E59 accounts daily news/churn, E196 weighs the value mass; E199
+    reads activation shape: band 10 = the whole account lived inside
+    one hour — drive-by traffic and bot bursts; low bands = the first
+    hour was a taste and the account matured — the activation funnel's
+    denominator).  Users with ≥ 2 events only (a single event is
+    trivially band 10).  One row per OCCUPIED band; exact int64
+    (per-user min-ts window + CASE-count + banded GROUP BY oracle).
+
+    Scale shape — E191's narrow per-event exchange: per user-hash
+    partition one lexsort, first timestamps via minimum at group heads,
+    the window membership is one vectorized compare, per-user counts
+    via two bincounts; ≤ 11 partials; k=1 merge.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nb = 11
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2 = uu[order], tt[order]
+        nrow = len(order)
+        head = np.empty(nrow, dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        sid = np.cumsum(head) - 1
+        starts = np.flatnonzero(head)
+        n_ev = np.diff(starts, append=nrow)
+        first_t = t2[starts]
+        inwin = t2 <= (first_t[sid] + window_s * 1_000_000)
+        nf = np.bincount(sid[inwin], minlength=len(starts))
+        elig = n_ev >= 2
+        band = np.minimum(
+            1000 * nf[elig] // n_ev[elig] // 100, nb - 1
+        )
+        nu = np.bincount(band, minlength=nb)
+        ne = np.bincount(band, weights=n_ev[elig], minlength=nb).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(nb, np.int64)
+        ne = np.zeros(nb, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, bb,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, bb,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_users": pa.array(nu[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -18919,3 +18919,91 @@ def fragmentation_latency(sf_dir: str) -> Dataset:
         partials, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "ks", merge, k=1)
+
+
+def return_by_position(sf_dir: str) -> Dataset:
+    """R132: returns by line position — per l_linenumber: lines, RETURNED
+    lines (l_returnflag = 'R'), the returned permille, and the floored
+    discounted revenue of the returned lines — are the lines APPENDED
+    LAST to an order the ones that come back, the buyer's-remorse
+    gradient none of the returns or position boards carry (R27 profiles
+    position VOLUME, R97 audits position coherence, R128 crosses
+    returns with LOT SIZE; R132 crosses them with ORDER POSITION: a
+    permille rising with linenumber means the marginal add-on item is
+    the marginal regret — checkout upsells, while a flat profile clears
+    the merchandising hypothesis in one scan).  One row per occurring
+    linenumber; exact int64 (CASE-count + permille + floored revenue
+    oracle; money floors per line, the §2.3b convention).
+
+    Scale shape — ZERO-join scan-reduce (R1 shape): each lineitem batch
+    collapses to ≤ max-linenumber cells with one packed np.unique; the
+    k=1 merge folds O(batches × positions) rows."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linenumber", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = pc.cast(b["l_linenumber"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ret = pc.equal(b["l_returnflag"], "R").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ep = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc)).astype(np.int64)
+        ul, inv = np.unique(ln, return_inverse=True)
+        n = np.bincount(inv)
+        nr = np.bincount(inv[ret], minlength=len(ul))
+        rrev = np.bincount(
+            inv[ret], weights=rev[ret], minlength=len(ul)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pos": pa.array(ul),
+                "n": pa.array(n.astype(np.int64)),
+                "nr": pa.array(nr.astype(np.int64)),
+                "rrev": pa.array(rrev),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_linenumber": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_returned": pa.array([], pa.int64()),
+                    "returned_permille": pa.array([], pa.int64()),
+                    "returned_revenue": pa.array([], pa.int64()),
+                }
+            )
+        pos = t["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        up, inv = np.unique(pos, return_inverse=True)
+        n = np.zeros(len(up), np.int64)
+        nr = np.zeros(len(up), np.int64)
+        rrev = np.zeros(len(up), np.int64)
+        for acc, col in ((n, "n"), (nr, "nr"), (rrev, "rrev")):
+            np.add.at(
+                acc, inv,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "l_linenumber": pa.array(up),
+                "n_lines": pa.array(n),
+                "n_returned": pa.array(nr),
+                "returned_permille": pa.array(1000 * nr // np.maximum(n, 1)),
+                "returned_revenue": pa.array(rrev),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "pos", merge, k=1)

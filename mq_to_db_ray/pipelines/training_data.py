@@ -20624,3 +20624,103 @@ def weakest_link(sf_dir: str) -> Dataset:
     per_doc = hash_partition_merge(partials, "h", fold_words)
     cells = hash_partition_merge(per_doc, "doc", fold_docs)
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def dedup_shard_audit(sf_dir: str, n_shards: int = 16) -> Dataset:
+    """T205: dedup × sharding audit — group exact duplicates (full-text
+    identity, T1's content-hash routing) and ask whether each dup group
+    lands inside ONE doc_id % n_shards shard (T202's rule): one corpus
+    row with dup groups (size ≥ 2), member docs, groups fully contained
+    in a single shard, groups SPANNING shards, and the spanning
+    permille — the distributed-dedup planning read T1 and T202 each
+    hold half of (T1 finds the groups, T202 weighs the shards; T205
+    says whether a shard-LOCAL dedup pass — the cheap kind that needs
+    no cross-shard exchange — would even be correct: a high spanning
+    permille means local dedup silently keeps cross-shard copies and
+    the full hash exchange is mandatory).  Exactly one row ALWAYS;
+    exact int64 (GROUP BY text HAVING ≥ 2 + count-DISTINCT-shard
+    oracle; the engine groups by T1's collision-resistant 64-bit
+    content hash — identical texts always co-group, and the oracle's
+    exact-text grouping certifies the convention per run).
+
+    Scale shape — T1's content-hash exchange verbatim (doc_id + hash
+    travel, text never leaves the read): each hash partition counts
+    group sizes and distinct shards with one packed np.unique pair and
+    collapses to FOUR integers; the k=1 merge sums them."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text_hash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "ng": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "ns1": pa.array([], pa.int64()),
+                    "nsx": pa.array([], pa.int64()),
+                }
+            )
+        h = t["text_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        shard = did % n_shards
+        uh, inv = np.unique(h, return_inverse=True)
+        size = np.bincount(inv)
+        # distinct shards per group: unique (group, shard) pairs
+        pair = np.unique(inv.astype(np.int64) * n_shards + shard)
+        nsh = np.bincount(pair // n_shards, minlength=len(uh))
+        dup = size >= 2
+        ng = int(dup.sum())
+        nd = int(size[dup].sum())
+        ns1 = int((dup & (nsh == 1)).sum())
+        nsx = int((dup & (nsh > 1)).sum())
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ng": pa.array([ng], pa.int64()),
+                "nd": pa.array([nd], pa.int64()),
+                "ns1": pa.array([ns1], pa.int64()),
+                "nsx": pa.array([nsx], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = {c: 0 for c in ("ng", "nd", "ns1", "nsx")}
+        if t.num_rows:
+            for c in tot:
+                tot[c] = int(
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).sum()
+                )
+        return pa.table(
+            {
+                "n_groups": pa.array([tot["ng"]], pa.int64()),
+                "n_dup_docs": pa.array([tot["nd"]], pa.int64()),
+                "n_single_shard": pa.array([tot["ns1"]], pa.int64()),
+                "n_cross_shard": pa.array([tot["nsx"]], pa.int64()),
+                "cross_permille": pa.array(
+                    [1000 * tot["nsx"] // max(tot["ng"], 1)], pa.int64()
+                ),
+            }
+        )
+
+    cells = hash_partition_merge(hashed, "text_hash", fold, k=64)
+    return hash_partition_merge(cells, "g", merge, k=1)
