@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_habit_strength(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_habit_strength
+
+    return events_habit_strength(sf_dir)
+
+
 def _q_events_onboarding(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_onboarding_share
 
@@ -2056,9 +2062,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_breadth": td.word_breadth_spectrum,
         "rel_dim_name_audit": rel.dim_name_audit,
         "events_id_interleaving": _q_events_id_interleaving,
-        "f1_delta_spectrum": lambda sf_dir: td.tape_delta_spectrum(
-            _f1_oracle_dir(sf_dir)
-        ),
         "rel_line_sequence_audit": rel.line_sequence_audit,
         "events_value_clock": _q_events_value_clock,
         "embedding_cosign_matrix": td.embedding_cosign_matrix,
@@ -2272,6 +2275,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_onboarding_share": _q_events_onboarding,
         "doc_dedup_shard_audit": td.dedup_shard_audit,
         "rel_return_by_position": rel.return_by_position,
+        # --- wave 153 ---
+        "events_habit_strength": _q_events_habit_strength,
+        "f1_delta_spectrum": lambda sf_dir: td.tape_delta_spectrum(
+            _f1_oracle_dir(sf_dir)
+        ),
+        "embedding_dim_dominance": td.dim_dominance,
+        "rel_intra_order_redundancy": rel.intra_order_redundancy,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2914,6 +2924,56 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "embedding_dim_dominance": """
+            WITH a AS (SELECT embedding,
+                              list_transform(embedding,
+                                             v -> abs(v)) AS av
+                       FROM embeddings),
+            d AS (SELECT CAST(list_position(av, list_max(av)) AS BIGINT)
+                             AS dim,
+                         CASE WHEN list_extract(
+                                  embedding,
+                                  list_position(av, list_max(av))) > 0
+                              THEN 1 ELSE 0 END AS pos
+                  FROM a)
+            SELECT dim, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(pos) AS BIGINT) AS n_positive
+            FROM d GROUP BY 1
+        """,
+        "events_habit_strength": """
+            WITH o AS (SELECT user_id, dayofweek(ts) AS dw FROM events),
+            c AS (SELECT user_id, dw, CAST(count(*) AS BIGINT) AS n
+                  FROM o GROUP BY 1, 2),
+            u AS (SELECT user_id, sum(n) AS total, max(n) AS mx
+                  FROM c GROUP BY 1 HAVING sum(n) >= 7),
+            b AS (SELECT LEAST(1000 * mx // total // 100, 10) AS band,
+                         total
+                  FROM u)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(total) AS BIGINT) AS n_events
+            FROM b GROUP BY 1
+        """,
+        "rel_intra_order_redundancy": """
+            WITH c AS (SELECT l_orderkey AS k, l_partkey AS p,
+                              CAST(count(*) AS BIGINT) AS nl,
+                              CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                                  AS nsup
+                       FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT k,
+                         max(CASE WHEN nl >= 2 THEN 1 ELSE 0 END) AS rep,
+                         max(CASE WHEN nsup >= 2 THEN 1 ELSE 0 END)
+                             AS dual,
+                         sum(CASE WHEN nl >= 2 THEN nl ELSE 0 END) AS nlr
+                  FROM c GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(rep) AS BIGINT) AS n_repeat_part_orders,
+                   CAST(sum(dual) AS BIGINT) AS n_dual_source_orders,
+                   CAST(sum(nlr) AS BIGINT) AS n_repeat_lines,
+                   CAST(1000 * sum(dual) // greatest(sum(rep), 1)
+                        AS BIGINT) AS dual_permille
+            FROM o
         """,
         "f1_rollup_1h_cascaded": """
             SELECT source,

@@ -774,6 +774,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_scoped_sessions",
         "doc_weakest_link",
         "rel_fragmentation_latency",
+        "events_onboarding_share",
+        "doc_dedup_shard_audit",
+        "rel_return_by_position",
+        "events_habit_strength",
+        "embedding_dim_dominance",
+        "rel_intra_order_redundancy",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -19693,3 +19693,123 @@ def events_onboarding_share(sf_dir: str, window_s: int = 3600) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_habit_strength(sf_dir: str, min_events: int = 7) -> Dataset:
+    """E200: habit-strength bands — for each user with ≥ ``min_events``
+    events, the permille share of their events falling on their MODAL
+    weekday (the maximum over the user's 7 weekday counts; the share
+    needs no tie-break), banded into deciles: users and total events
+    per band — how RITUALIZED is each account, the user-axis
+    concentration the calendar boards average away (E52/E155 profile
+    the SOURCE's weekly shape, E110 names each user's modal HOUR but
+    not its dominance, E78 spreads users across types; E200 measures
+    whether a user's week has a spine: band 10 = strictly-weekly
+    ritual accounts — newsletter-driven or cron-like, bands 1-2 =
+    uniform 143‰-ish — no weekly structure at all).  One row per
+    OCCUPIED band; exact int64 (dayofweek + per-(user, dow) count +
+    per-user max + banded GROUP BY oracle; ≥ 7 events so one week of
+    evidence exists).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED (user, dow, n)
+    cells (batches collapse with one packed np.unique — at most 7 rows
+    per user per batch ship, not events): the user-hash fold re-combines
+    cells, takes each user's max and total with two reduceats, and
+    collapses to ≤ 11 (band, n_users, n_events) partials; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    nb = 11
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        dow = (day + 4) % 7
+        packed, cnt = np.unique(uu * 7 + dow, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(packed // 7),
+                "dow": pa.array(packed % 7),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        dw = t["dow"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed, inv = np.unique(uu * 7 + dw, return_inverse=True)
+        cn = np.zeros(len(packed), np.int64)
+        np.add.at(cn, inv, nn)
+        us = packed // 7
+        head = np.empty(len(packed), dtype=bool)
+        head[0] = True
+        head[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(head)
+        total = np.add.reduceat(cn, starts)
+        mx = np.maximum.reduceat(cn, starts)
+        elig = total >= min_events
+        band = np.minimum(
+            1000 * mx[elig] // total[elig] // 100, nb - 1
+        )
+        nu = np.bincount(band, minlength=nb)
+        ne = np.bincount(band, weights=total[elig], minlength=nb).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(nb, np.int64)
+        ne = np.zeros(nb, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, bb,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, bb,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "n_users": pa.array(nu[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "band", merge, k=1)

@@ -19007,3 +19007,120 @@ def return_by_position(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "pos", merge, k=1)
+
+
+def intra_order_redundancy(sf_dir: str) -> Dataset:
+    """R133: intra-order redundancy audit — one corpus row: orders with
+    ≥ 1 line, orders containing a REPEATED part (the same partkey on
+    ≥ 2 lines), orders where a repeated part ships from ≥ 2 DISTINCT
+    suppliers (true dual-sourcing inside one order), total lines
+    involved in repeats, and the dual-sourcing permille over repeat
+    orders — basket pathology vs deliberate redundancy, the intra-order
+    read none of the order-shape boards carry (R69 counts suppliers per
+    ORDER, R35 basket depth, R97 position coherence; R133 looks at the
+    PART level inside the basket: a repeated part on one supplier is a
+    split line — quantity-cap or pricing-tier artifact; the same part
+    from two suppliers is deliberate hedging, and the ratio separates
+    ERP noise from procurement policy).  Exactly one row ALWAYS; exact
+    int64 (per-(order, part) count/count-DISTINCT + HAVING + EXISTS
+    aggregation oracle).
+
+    Scale shape — ONE orderkey hash exchange over (orderkey, partkey,
+    suppkey): batches pre-reduce to distinct (orderkey, partkey,
+    suppkey, n) cells; each order's partition settles repeats and
+    supplier multiplicity with one sorted boundary pass and collapses
+    to FIVE integers; the k=1 merge sums them."""
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "p": pc.cast(b["l_partkey"], pa.int64()),
+                "s": pc.cast(b["l_suppkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "p", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["k", "p", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("no", "nrep", "ndual", "nl_rep")
+        if t.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], pa.int64())}
+                | {c: pa.array([], pa.int64()) for c in cols}
+            )
+        g = t.group_by(["k", "p", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["k", "p", "s", "n"])
+        ok = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pp = g["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((pp, ok))
+        k2, p2, n2 = ok[order], pp[order], nn[order]
+        # (order, part) groups: suppliers per pair = group size,
+        # lines per pair = sum n
+        pair_head = np.empty(len(k2), dtype=bool)
+        pair_head[0] = True
+        pair_head[1:] = (k2[1:] != k2[:-1]) | (p2[1:] != p2[:-1])
+        pstarts = np.flatnonzero(pair_head)
+        n_sup = np.diff(pstarts, append=len(k2))
+        n_lines_pair = np.add.reduceat(n2, pstarts)
+        pair_ok = k2[pstarts]
+        rep = n_lines_pair >= 2
+        dual = n_sup >= 2
+        # per order: any repeated pair / any dual pair
+        ohead = np.empty(len(pair_ok), dtype=bool)
+        ohead[0] = True
+        ohead[1:] = pair_ok[1:] != pair_ok[:-1]
+        ostarts = np.flatnonzero(ohead)
+        any_rep = np.maximum.reduceat(rep.astype(np.int64), ostarts)
+        any_dual = np.maximum.reduceat(dual.astype(np.int64), ostarts)
+        no = len(ostarts)
+        nrep = int(any_rep.sum())
+        ndual = int(any_dual.sum())
+        nl_rep = int(n_lines_pair[rep].sum())
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "no": pa.array([no], pa.int64()),
+                "nrep": pa.array([nrep], pa.int64()),
+                "ndual": pa.array([ndual], pa.int64()),
+                "nl_rep": pa.array([nl_rep], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = {c: 0 for c in ("no", "nrep", "ndual", "nl_rep")}
+        if t.num_rows:
+            for c in tot:
+                tot[c] = int(
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).sum()
+                )
+        return pa.table(
+            {
+                "n_orders": pa.array([tot["no"]], pa.int64()),
+                "n_repeat_part_orders": pa.array([tot["nrep"]], pa.int64()),
+                "n_dual_source_orders": pa.array([tot["ndual"]], pa.int64()),
+                "n_repeat_lines": pa.array([tot["nl_rep"]], pa.int64()),
+                "dual_permille": pa.array(
+                    [1000 * tot["ndual"] // max(tot["nrep"], 1)], pa.int64()
+                ),
+            }
+        )
+
+    partials = lines.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(cells, "g", merge, k=1)

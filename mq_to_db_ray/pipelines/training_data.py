@@ -20724,3 +20724,89 @@ def dedup_shard_audit(sf_dir: str, n_shards: int = 16) -> Dataset:
 
     cells = hash_partition_merge(hashed, "text_hash", fold, k=64)
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def dim_dominance(sf_dir: str) -> Dataset:
+    """T206: dimension-dominance census — for every vector, the 1-based
+    dimension holding its maximum ABSOLUTE component (ties → lowest
+    dimension, the first-occurrence rule numpy argmax and DuckDB
+    list_position share), counted per dimension together with how often
+    that dominant component is POSITIVE — which axes HOG the embedding
+    space, the anisotropy read none of the per-dimension boards carry
+    (T147 counts signs per dimension over ALL components, T148 spans
+    min/max, T193 bands zero-sparsity; T206 asks which axis WINS each
+    vector: a healthy isotropic space spreads dominance ~uniformly, a
+    handful of hogging dimensions is the rogue-dimension pathology that
+    wrecks cosine ANN — the T6/T7/T8 preflight — and a skewed positive
+    share on the winning axis flags an additive bias term).  One row
+    per dimension that dominates ≥ 1 vector; exact int64 counts (float
+    compares only — list_transform(abs) + list_position oracle, no
+    arithmetic whose rounding could diverge).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per batch
+    (one flatten — the list child is contiguous), one np.argmax per
+    row-block and two bincounts reduce each batch to ≤ d partial rows;
+    the k=1 merge folds O(batches × d) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        arg = np.abs(m).argmax(axis=1)
+        pos = m[np.arange(n), arg] > 0
+        nv = np.bincount(arg, minlength=d)
+        npos = np.bincount(arg[pos], minlength=d)
+        live = np.flatnonzero(nv)
+        return pa.table(
+            {
+                "dim": pa.array((live + 1).astype(np.int64)),
+                "nv": pa.array(nv[live].astype(np.int64)),
+                "np_": pa.array(npos[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_vectors": pa.array([], pa.int64()),
+                    "n_positive": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dim", use_threads=False).aggregate(
+            [("nv", "sum"), ("np_", "sum")]
+        )
+        return pa.table(
+            {
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "n_vectors": pc.cast(g["nv_sum"], pa.int64()),
+                "n_positive": pc.cast(g["np__sum"], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
