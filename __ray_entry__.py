@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_exit_gap(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_exit_gap
+
+    return events_exit_gap(sf_dir)
+
+
 def _q_events_habit_strength(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_habit_strength
 
@@ -2282,6 +2288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_dim_dominance": td.dim_dominance,
         "rel_intra_order_redundancy": rel.intra_order_redundancy,
+        # --- wave 154 ---
+        "events_exit_gap": _q_events_exit_gap,
+        "embedding_label_norms": td.label_norms,
+        "rel_price_points": rel.price_points,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2924,6 +2934,71 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_exit_gap": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, event_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT user_id, sid,
+                         min(ts) AS start_ts, max(ts) AS end_ts,
+                         max(CASE WHEN rl = 1 THEN event_type END)
+                             AS exit_ty
+                  FROM (SELECT *, row_number() OVER (
+                            PARTITION BY user_id, sid
+                            ORDER BY ts DESC, event_id DESC) AS rl
+                        FROM s)
+                  GROUP BY 1, 2),
+            pr AS (SELECT exit_ty, end_ts,
+                          lead(start_ts) OVER (PARTITION BY user_id
+                                               ORDER BY sid) AS ns
+                   FROM p),
+            g AS (SELECT exit_ty,
+                         LEAST((epoch_us(ns) - epoch_us(end_ts))
+                               // 60000000, 43200) AS m
+                  FROM pr WHERE ns IS NOT NULL)
+            SELECT exit_ty AS exit_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(m, 0.5) AS BIGINT) AS p50_minutes,
+                   CAST(quantile_disc(m, 0.9) AS BIGINT) AS p90_minutes
+            FROM g GROUP BY 1
+        """,
+        "embedding_label_norms": """
+            WITH q AS (SELECT label,
+                              list_sum(list_transform(embedding,
+                                  x -> CAST(floor(1000
+                                            * CAST(x AS DOUBLE)
+                                            * CAST(x AS DOUBLE))
+                                            AS BIGINT))) AS s
+                       FROM embeddings)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(s) AS BIGINT) AS sum_qnorm,
+                   CAST(min(s) AS BIGINT) AS min_qnorm,
+                   CAST(max(s) AS BIGINT) AS max_qnorm
+            FROM q GROUP BY 1
+        """,
+        "rel_price_points": """
+            WITH p AS (SELECT p_brand,
+                              CAST(floor(100 * p_retailprice) AS BIGINT)
+                                  AS cent
+                       FROM part),
+            c AS (SELECT p_brand, cent, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2)
+            SELECT p_brand, CAST(sum(n) AS BIGINT) AS n_parts,
+                   CAST(count(*) AS BIGINT) AS n_price_points,
+                   CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_collision_parts,
+                   CAST(1000 * sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                        // sum(n) AS BIGINT) AS collision_permille
+            FROM c GROUP BY 1
         """,
         "embedding_dim_dominance": """
             WITH a AS (SELECT embedding,

@@ -780,6 +780,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_habit_strength",
         "embedding_dim_dominance",
         "rel_intra_order_redundancy",
+        "events_exit_gap",
+        "embedding_label_norms",
+        "rel_price_points",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -19813,3 +19813,134 @@ def events_habit_strength(sf_dir: str, min_events: int = 7) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "band", merge, k=1)
+
+
+def events_exit_gap(
+    sf_dir: str, gap_s: int = 6 * 3600, cap_min: int = 43_200
+) -> Dataset:
+    """E201: exit-type absence quantiles — for every ADJACENT session
+    pair of a user (E15's 6h islands), key the gap between the earlier
+    session's END and the next session's START by the earlier session's
+    EXIT type (its last event under the (ts, event_id) tie-break), gap
+    in floor-minutes capped at ``cap_min`` (30 days — the cap keeps the
+    quantile domain dense and is mirrored in the oracle): per exit
+    type: gaps, discrete p50/p90 — WHICH GOODBYE PREDICTS THE LONGEST
+    ABSENCE, the causal-flavored read the session boards keep separate
+    (E73 crosses entry/exit types with no TIME, E151/E130 quantile the
+    gaps with no TYPE, E192 scores the bounce at the door; E201 joins
+    them: an 'error' exit followed by a week of silence is rage-quit
+    evidence no aggregate of either axis can show).  One row per exit
+    type that closes a non-final session; exact int64 (islands +
+    per-session last-type row_number + lead(start) + LEAST-capped
+    floor-minute + quantile_disc oracle).
+
+    Scale shape — E191's narrow exchange: one lexsort per user-hash
+    partition; session ends/starts and exit types read off the split
+    boundaries, adjacent-session gaps are one shifted subtraction
+    masked to same-user, and the partition collapses to a
+    ≤ |types| × (cap+1) minute grid; the k=1 merge reads both
+    quantiles off one cumsum per type.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+    W = cap_min + 1
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ty": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, y2 = uu[order], tt[order], ty[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(order)) - 1
+        s_user = u2[starts]
+        exit_ty = y2[ends]
+        end_ts = t2[ends]
+        start_ts = t2[starts]
+        # adjacent sessions of the SAME user
+        same = s_user[1:] == s_user[:-1]
+        gap_min = np.minimum(
+            (start_ts[1:] - end_ts[:-1])[same] // 60_000_000, cap_min
+        )
+        ety = exit_ty[:-1][same]
+        grid = np.zeros(nt * W, np.int64)
+        np.add.at(grid, ety * W + gap_min, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "ty": pa.array(live // W),
+                "m": pa.array(live % W),
+                "f": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(nt * W, np.int64)
+        if t.num_rows:
+            y = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+            f = t["f"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, y * W + m, f)
+        g2 = grid.reshape(nt, W)
+        n = g2.sum(axis=1)
+        cum = np.cumsum(g2, axis=1)
+        out = {}
+        for q, name in ((500, "p50_minutes"), (900, "p90_minutes")):
+            thr = (n * q + 999) // 1000
+            idx = np.minimum((cum >= thr[:, None]).argmax(axis=1), W - 1)
+            out[name] = np.where(n > 0, idx, 0)
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "exit_type": pc.take(srcs, pa.array(live)),
+                "n_gaps": pa.array(n[live].astype(np.int64)),
+                "p50_minutes": pa.array(
+                    out["p50_minutes"][live].astype(np.int64)
+                ),
+                "p90_minutes": pa.array(
+                    out["p90_minutes"][live].astype(np.int64)
+                ),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "ty", merge, k=1)

@@ -19124,3 +19124,128 @@ def intra_order_redundancy(sf_dir: str) -> Dataset:
         partials, "k", fold, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def price_points(sf_dir: str) -> Dataset:
+    """R134: price-point architecture per brand — per p_brand: catalog
+    parts, DISTINCT retail price points (floor-cent, the §2.3b cent
+    convention), parts SHARING a price point with another part of the
+    brand (price collisions), and the collision permille — is the
+    brand priced on a deliberate grid or continuously, the pricing
+    ARCHITECTURE read none of the price boards carry (R56 spreads unit
+    price per part, R93 audits list-vs-realized adherence, R117 counts
+    ending digits; R134 counts the GRID itself: a luxury brand shows
+    few points and heavy collisions — tiering; commodity catalogs show
+    points ≈ parts — cost-plus continuous pricing; the number prices a
+    price-grid migration).  One row per brand ALWAYS; exact int64
+    (cent-floor + per-(brand, cent) count + collision aggregation
+    oracle).
+
+    Scale shape — ONE narrow hash exchange of PRE-REDUCED (brand-rank,
+    cent, n) cells keyed by CENT (collisions settle where the cent's
+    cells co-locate; the ~25-value brand list broadcasts, parts never
+    move twice): batches collapse with one packed np.unique; the cent
+    fold re-combines cells and emits per-brand (points, parts,
+    collision-parts) partials; k=1 densifying merge."""
+    brands = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_brand"]
+            ).unique("p_brand")
+        ),
+        pa.string(),
+    )
+    nbr = len(brands)
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_brand", "p_retailprice"],
+        override_num_blocks=_rel_k(sf_dir, "part"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        br = (
+            pc.cast(pc.index_in(b["p_brand"], value_set=brands), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cent = np.floor(
+            100.0
+            * b["p_retailprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        packed, cnt = np.unique(cent * nbr + br, return_counts=True)
+        return pa.table(
+            {
+                "cent": pa.array(packed // nbr),
+                "br": pa.array(packed % nbr),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "br": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                    "pts": pa.array([], pa.int64()),
+                    "coll": pa.array([], pa.int64()),
+                }
+            )
+        cent = t["cent"].combine_chunks().to_numpy(zero_copy_only=False)
+        br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed, inv = np.unique(cent * nbr + br, return_inverse=True)
+        n = np.zeros(len(packed), np.int64)
+        np.add.at(n, inv, nn)
+        bru = packed % nbr
+        g_parts = np.bincount(bru, weights=n, minlength=nbr).astype(np.int64)
+        g_pts = np.bincount(bru, minlength=nbr)
+        coll = n >= 2
+        g_coll = np.bincount(
+            bru[coll], weights=n[coll], minlength=nbr
+        ).astype(np.int64)
+        live = np.flatnonzero(g_parts)
+        return pa.table(
+            {
+                "br": pa.array(live.astype(np.int64)),
+                "np_": pa.array(g_parts[live]),
+                "pts": pa.array(g_pts[live].astype(np.int64)),
+                "coll": pa.array(g_coll[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_parts = np.zeros(nbr, np.int64)
+        g_pts = np.zeros(nbr, np.int64)
+        g_coll = np.zeros(nbr, np.int64)
+        if t.num_rows:
+            br = t["br"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in (
+                (g_parts, "np_"), (g_pts, "pts"), (g_coll, "coll")
+            ):
+                np.add.at(
+                    acc, br,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        return pa.table(
+            {
+                "p_brand": brands,
+                "n_parts": pa.array(g_parts),
+                "n_price_points": pa.array(g_pts),
+                "n_collision_parts": pa.array(g_coll),
+                "collision_permille": pa.array(
+                    1000 * g_coll // np.maximum(g_parts, 1)
+                ),
+            }
+        )
+
+    partials = part.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "cent", fold, k=_rel_k(sf_dir, "part")
+    )
+    return hash_partition_merge(cells, "br", merge, k=1)

@@ -20810,3 +20810,126 @@ def dim_dominance(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def label_norms(sf_dir: str) -> Dataset:
+    """T207: label-conditioned norm audit — per label: vectors and the
+    exact integer sufficient statistics of the QUANTIZED squared L2
+    norm s = Σ_d floor(1000·x_d²) (T78's DOUBLE-cast quantization
+    convention): Σs, min s, max s — does every CLASS live on the same
+    shell, the label × geometry cross none of the embedding boards
+    carry (T78 histograms norms with no label, T189 spreads label
+    COUNTS, T195 drifts energy over vec_id ORDER; T207 conditions the
+    norm on the label: a class with systematically larger norms
+    dominates un-normalized dot-product retrieval and silently biases
+    any nearest-centroid classifier — the audit before trusting T34's
+    semdedup clusters across classes).  One row per label ALWAYS;
+    exact int64 (list_transform/list_sum quantized-norm + GROUP BY
+    oracle).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per batch,
+    one vectorized floor(1000·x²) row-sum, then a ≤ |labels| partial
+    per batch (labels are fixed-cardinality — only the label list
+    broadcasts); the k=1 merge folds sums/mins/maxes."""
+    from ..stages.shuffle import hash_partition_merge
+
+    labels = pa.array(
+        sorted(
+            int(x)
+            for x in rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["label"]
+            ).unique("label")
+        ),
+        pa.int64(),
+    )
+    nl = len(labels)
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "lb": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        s = np.floor(1000.0 * m * m).astype(np.int64).sum(axis=1)
+        lb = (
+            pc.cast(
+                pc.index_in(pc.cast(batch["label"], pa.int64()),
+                            value_set=labels),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        nv = np.bincount(lb, minlength=nl)
+        ssum = np.bincount(lb, weights=s, minlength=nl).astype(np.int64)
+        mn = np.full(nl, np.int64(2**62))
+        np.minimum.at(mn, lb, s)
+        mx = np.full(nl, np.int64(-(2**62)))
+        np.maximum.at(mx, lb, s)
+        live = np.flatnonzero(nv)
+        return pa.table(
+            {
+                "lb": pa.array(live.astype(np.int64)),
+                "nv": pa.array(nv[live].astype(np.int64)),
+                "s": pa.array(ssum[live]),
+                "mn": pa.array(mn[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nv = np.zeros(nl, np.int64)
+        ssum = np.zeros(nl, np.int64)
+        mn = np.full(nl, np.int64(2**62))
+        mx = np.full(nl, np.int64(-(2**62)))
+        if t.num_rows:
+            lb = t["lb"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nv, lb,
+                t["nv"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ssum, lb,
+                t["s"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.minimum.at(
+                mn, lb,
+                t["mn"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.maximum.at(
+                mx, lb,
+                t["mx"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "label": labels,
+                "n_vectors": pa.array(nv),
+                "sum_qnorm": pa.array(ssum),
+                "min_qnorm": pa.array(np.where(nv > 0, mn, 0)),
+                "max_qnorm": pa.array(np.where(nv > 0, mx, 0)),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "lb", merge, k=1)
