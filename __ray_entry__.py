@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_double_fire(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_double_fire
+
+    return events_double_fire(sf_dir)
+
+
 def _q_events_exit_gap(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_exit_gap
 
@@ -2292,6 +2298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_exit_gap": _q_events_exit_gap,
         "embedding_label_norms": td.label_norms,
         "rel_price_points": rel.price_points,
+        # --- wave 155 ---
+        "events_double_fire": _q_events_double_fire,
+        "doc_periodicity_comb": td.periodicity_comb,
+        "rel_part_reach": rel.part_reach,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2934,6 +2944,56 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_double_fire": """
+            WITH g AS (SELECT event_type AS source,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events
+                       GROUP BY event_type, user_id,
+                                CAST(floor(value) AS BIGINT),
+                                epoch_us(ts) // 1000000)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_doubled,
+                   CAST(1000 * sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                        // sum(n) AS BIGINT) AS doubled_permille,
+                   CAST(max(n) AS BIGINT) AS max_multiplicity
+            FROM g GROUP BY 1
+        """,
+        "doc_periodicity_comb": """
+            WITH l AS (SELECT source, str_split(text, ' ') AS w,
+                              len(str_split(text, ' ')) AS nw
+                       FROM documents),
+            lg AS (SELECT unnest(range(1, 9)) AS lag),
+            t AS (SELECT source, w, nw, lag,
+                         unnest(range(1, nw - lag + 1)) AS i
+                  FROM l, lg WHERE nw > lag),
+            p AS (SELECT source, lag,
+                         CASE WHEN list_extract(w, CAST(i AS BIGINT))
+                                   = list_extract(w,
+                                                  CAST(i + lag AS BIGINT))
+                              THEN 1 ELSE 0 END AS eq
+                  FROM t)
+            SELECT source, CAST(lag AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(eq) AS BIGINT) AS n_equal,
+                   CAST(1000 * sum(eq) // count(*) AS BIGINT)
+                       AS equal_permille
+            FROM p GROUP BY 1, 2
+        """,
+        "rel_part_reach": """
+            WITH pc_ AS (SELECT l.l_partkey AS p, o.o_custkey AS c,
+                                CAST(count(*) AS BIGINT) AS nl
+                         FROM lineitem l
+                         JOIN orders o ON o.o_orderkey = l.l_orderkey
+                         GROUP BY 1, 2),
+            pp AS (SELECT p, CAST(count(*) AS BIGINT) AS nc,
+                          CAST(sum(nl) AS BIGINT) AS nl
+                   FROM pc_ GROUP BY 1)
+            SELECT CAST(length(bin(nc)) AS BIGINT) AS reach_band,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(nl) AS BIGINT) AS n_lines
+            FROM pp GROUP BY 1
         """,
         "events_exit_gap": """
             WITH o AS (

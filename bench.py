@@ -783,6 +783,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_exit_gap",
         "embedding_label_norms",
         "rel_price_points",
+        "events_double_fire",
+        "doc_periodicity_comb",
+        "rel_part_reach",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -19944,3 +19944,121 @@ def events_exit_gap(
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "ty", merge, k=1)
+
+
+def events_double_fire(sf_dir: str) -> Dataset:
+    """E202: double-fire detector — group events by the full PAYLOAD
+    identity (source, user, floor(value), truncated SECOND) and count,
+    per source: events, events inside a multiplicity-≥2 group, the
+    doubled permille, and the worst single-group multiplicity — the
+    producer-side retry signature E84 cannot see (E84's redelivery
+    board needs the SAME event_id twice — broker redelivery; a producer
+    that times out and re-emits gets a FRESH id, identical payload,
+    same second, and only payload-identity grouping catches it; E140's
+    stuck detector needs the copies CONSECUTIVE, E144's collisions only
+    share a timestamp).  One dense row per source ALWAYS; exact int64
+    (4-key GROUP BY + CASE-sum + max oracle).
+
+    Scale shape — ONE narrow hash exchange of PRE-REDUCED cells: each
+    batch collapses to (source-rank, user, value-floor, second, n)
+    cells with one Arrow group_by; the USER-hash partition holds every
+    cell of a payload group (user is in the key), re-combines
+    cross-batch copies with a second group_by, and collapses IN PLACE
+    to ≤ |sources| (events, doubled, max) partials; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+                # int64 truncating divide == floor for non-negative ts
+                "s": pc.divide(b["ts"].cast(pa.int64()), 1_000_000),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["src", "u", "v", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["src", "u", "v", "s", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["src", "u", "v", "s"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["src", "u", "v", "s", "n"])
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        ne = np.bincount(src, weights=n, minlength=ns).astype(np.int64)
+        dd = n >= 2
+        nd = np.bincount(src[dd], weights=n[dd], minlength=ns).astype(
+            np.int64
+        )
+        mx = np.zeros(ns, np.int64)
+        np.maximum.at(mx, src, n)
+        live = np.flatnonzero(ne)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "ne": pa.array(ne[live]),
+                "nd": pa.array(nd[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ne = np.zeros(ns, np.int64)
+        nd = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ne, src,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nd, src,
+                t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.maximum.at(
+                mx, src,
+                t["mx"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_events": pa.array(ne),
+                "n_doubled": pa.array(nd),
+                "doubled_permille": pa.array(
+                    1000 * nd // np.maximum(ne, 1)
+                ),
+                "max_multiplicity": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "src", merge, k=1)

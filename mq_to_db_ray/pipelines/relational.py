@@ -19249,3 +19249,167 @@ def price_points(sf_dir: str) -> Dataset:
         partials, "cent", fold, k=_rel_k(sf_dir, "part")
     )
     return hash_partition_merge(cells, "br", merge, k=1)
+
+
+def part_reach(sf_dir: str) -> Dataset:
+    """R135: part demand-reach bands — per bit-length band of each
+    shipped part's DISTINCT-CUSTOMER count (length(bin(x)), band 1 =
+    single-customer parts): parts in the band and their total lines —
+    how BROADLY demand for a part spreads, the customer-axis breadth
+    none of the part boards carry (R52 counts SUPPLIERS per part, R107
+    scores supplier dependence, R30 ranks parts by VOLUME; R135 asks
+    who buys: a band-1-heavy catalog is bespoke/special-order
+    inventory whose demand dies with one account — the assortment-risk
+    read volume ranks hide, since a top-volume part can still be a
+    single-whale part).  One row per occupied band; exact int64
+    (two-hop join + per-part count-DISTINCT + length(bin) oracle).
+
+    Scale shape — TWO narrow hash exchanges, both pre-reduced: (1)
+    orderkey hop — lineitem batches reduce to (orderkey, partkey, n)
+    cells, the co-partitioned orders dim attaches custkey by
+    searchsorted, emitting (partkey, custkey, n) cells; (2) partkey
+    hop — cells re-combine per (part, customer), each part's distinct
+    customers and line total settle off one sorted boundary pass, the
+    band is one vectorized frexp bit length, and the partition
+    collapses to a ≤ 64-row grid; k=1 densifying merge."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "p": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "c": pc.cast(b["o_custkey"], pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "p": pc.cast(b["l_partkey"], pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k", "p"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["k", "p", "n"])
+        return g.append_column(
+            "c", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "p", "c", "n"])
+
+    def fold1(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pcol = t["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = pcol < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dc = d["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dc_s = dk[o], dc[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fp = f["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        return pa.table(
+            {
+                "p": pa.array(fp[hit]),
+                "c": pa.array(dc_s[pos][hit]),
+                "n": pa.array(fn[hit]),
+            }
+        )
+
+    def fold2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "np_": pa.array([], pa.int64()),
+                    "nl": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["p", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["p", "c", "n"])
+        pp = g["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(pp, kind="stable")
+        pp_s, nn_s = pp[o], nn[o]
+        head = np.empty(len(pp_s), dtype=bool)
+        head[0] = True
+        head[1:] = pp_s[1:] != pp_s[:-1]
+        starts = np.flatnonzero(head)
+        ncust = np.diff(starts, append=len(pp_s))
+        nl = np.add.reduceat(nn_s, starts)
+        band = np.frexp(ncust.astype(np.float64))[1].astype(np.int64)
+        grid_p = np.zeros(64, np.int64)
+        grid_l = np.zeros(64, np.int64)
+        np.add.at(grid_p, np.minimum(band, 63), 1)
+        np.add.at(grid_l, np.minimum(band, 63), nl)
+        live = np.flatnonzero(grid_p)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "np_": pa.array(grid_p[live]),
+                "nl": pa.array(grid_l[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid_p = np.zeros(64, np.int64)
+        grid_l = np.zeros(64, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid_p, bb,
+                t["np_"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                grid_l, bb,
+                t["nl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(grid_p)
+        return pa.table(
+            {
+                "reach_band": pa.array(live.astype(np.int64)),
+                "n_parts": pa.array(grid_p[live]),
+                "n_lines": pa.array(grid_l[live]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(fact_partial, batch_format="pyarrow").union(
+            orders.map_batches(dim_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold1,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    banded = hash_partition_merge(
+        cells, "p", fold2, k=_rel_k(sf_dir, "lineitem")
+    )
+    return hash_partition_merge(banded, "band", merge, k=1)

@@ -20933,3 +20933,101 @@ def label_norms(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "lb", merge, k=1)
+
+
+def periodicity_comb(sf_dir: str, max_lag: int = 8) -> Dataset:
+    """T208: word periodicity comb — per (source, lag 1..``max_lag``):
+    word pairs exactly ``lag`` positions apart within one document,
+    pairs whose two words are IDENTICAL, and the equality permille —
+    the fixed-period template detector none of the repetition boards
+    tune to (T18/T130 score ADJACENT repeats — the lag-1 tooth only;
+    T125 measures the distance between a word's own consecutive
+    occurrences; T208 asks, for each distance L, how likely position i
+    and i+L agree: a spike at L = k is a k-field record template —
+    log lines, CSV-ish dumps, markup — invisible to adjacency stats
+    when the repeated field is separated by varying values).  One row
+    per (source, lag) with ≥ 1 pair; exact int64 (range-unnest +
+    list_extract(i)=list_extract(i+lag) compare oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: the flattened word stream
+    compares against itself ``max_lag`` shifted times (dictionary CODES
+    compare, strings never re-materialize; document boundaries masked
+    via parent indices); each batch collapses to a ≤ sources × lags
+    grid; the k=1 merge folds O(batches × cells) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        codes = (
+            flat.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        scode = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        grid_n = np.zeros(ns * max_lag, np.int64)
+        grid_e = np.zeros(ns * max_lag, np.int64)
+        for lag in range(1, max_lag + 1):
+            if len(codes) <= lag:
+                break
+            same_doc = parent[lag:] == parent[:-lag]
+            owner = scode[parent[lag:][same_doc]]
+            eq = (codes[lag:] == codes[:-lag])[same_doc]
+            np.add.at(grid_n, owner * max_lag + (lag - 1), 1)
+            np.add.at(
+                grid_e, owner[eq] * max_lag + (lag - 1), 1
+            )
+        live = np.flatnonzero(grid_n)
+        return pa.table(
+            {
+                "src": pa.array(live // max_lag),
+                "lag": pa.array(live % max_lag + 1),
+                "n": pa.array(grid_n[live]),
+                "e": pa.array(grid_e[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid_n = np.zeros(ns * max_lag, np.int64)
+        grid_e = np.zeros(ns * max_lag, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            lg = t["lag"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = s * max_lag + (lg - 1)
+            np.add.at(
+                grid_n, idx,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                grid_e, idx,
+                t["e"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(grid_n)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live // max_lag)),
+                "lag": pa.array((live % max_lag + 1).astype(np.int64)),
+                "n_pairs": pa.array(grid_n[live]),
+                "n_equal": pa.array(grid_e[live]),
+                "equal_permille": pa.array(
+                    1000 * grid_e[live] // np.maximum(grid_n[live], 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "lag", merge, k=1)
