@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_value_phase(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_value_phase_shift
+
+    return events_value_phase_shift(sf_dir)
+
+
 def _q_events_double_fire(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_double_fire
 
@@ -2302,6 +2308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_double_fire": _q_events_double_fire,
         "doc_periodicity_comb": td.periodicity_comb,
         "rel_part_reach": rel.part_reach,
+        # --- wave 156 ---
+        "events_value_phase_shift": _q_events_value_phase,
+        "embedding_label_centroids": td.label_centroids,
+        "rel_latency_return_coupling": rel.latency_return_coupling,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2944,6 +2954,62 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_value_phase_shift": """
+            WITH h AS (SELECT event_type AS source,
+                              CAST(epoch_us(ts) // 3600000000 % 24
+                                   AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CAST(floor(value) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM events GROUP BY 1, 2),
+            tot AS (SELECT source, sum(n) AS tn, sum(v) AS tv
+                    FROM h GROUP BY 1),
+            cm AS (SELECT source, hour AS ch, n AS cn FROM (
+                     SELECT *, row_number() OVER (PARTITION BY source
+                         ORDER BY n DESC, hour ASC) AS rn FROM h)
+                   WHERE rn = 1),
+            vm AS (SELECT source, hour AS vh, v AS vv FROM (
+                     SELECT *, row_number() OVER (PARTITION BY source
+                         ORDER BY v DESC, hour ASC) AS rn FROM h)
+                   WHERE rn = 1)
+            SELECT t.source,
+                   CAST(cm.ch AS BIGINT) AS count_modal_hour,
+                   CAST(1000 * cm.cn // greatest(t.tn, 1) AS BIGINT)
+                       AS count_modal_permille,
+                   CAST(vm.vh AS BIGINT) AS value_modal_hour,
+                   CAST(1000 * vm.vv // greatest(t.tv, 1) AS BIGINT)
+                       AS value_modal_permille,
+                   CAST(LEAST(abs(cm.ch - vm.vh),
+                              24 - abs(cm.ch - vm.vh)) AS BIGINT)
+                       AS phase_distance
+            FROM tot t JOIN cm USING (source) JOIN vm USING (source)
+        """,
+        "embedding_label_centroids": """
+            WITH u AS (SELECT label, unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings)
+            SELECT label, CAST(i AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(CAST(floor(1000 * CAST(x AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS sum_q
+            FROM u GROUP BY 1, 2
+        """,
+        "rel_latency_return_coupling": """
+            WITH j AS (SELECT year(l.l_shipdate) AS yr,
+                              CASE WHEN l.l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS r,
+                              (epoch_us(l.l_shipdate)
+                               - epoch_us(o.o_orderdate)) // 86400000000
+                                  AS days
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey)
+            SELECT CAST(yr AS BIGINT) AS ship_year,
+                   CAST(r AS BIGINT) AS returned,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(days) AS BIGINT) AS sum_days,
+                   CAST(sum(days * days) AS BIGINT) AS sum_days2
+            FROM j GROUP BY 1, 2
         """,
         "events_double_fire": """
             WITH g AS (SELECT event_type AS source,

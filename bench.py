@@ -786,6 +786,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_double_fire",
         "doc_periodicity_comb",
         "rel_part_reach",
+        "events_value_phase_shift",
+        "embedding_label_centroids",
+        "rel_latency_return_coupling",
     ]
     out: dict[str, float] = {}
     for name in names:

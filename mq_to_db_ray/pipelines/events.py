@@ -20062,3 +20062,106 @@ def events_double_fire(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def events_value_phase_shift(sf_dir: str) -> Dataset:
+    """E203: value phase-shift board — per source: the modal HOUR-OF-DAY
+    by event COUNT, the modal hour by floored-VALUE mass (ties → the
+    smaller hour, both), each mode's share permille of its own total,
+    and the circular hour distance between the two modes — do the BIG
+    events keep the same clock as the many, the phase comparison the
+    clock boards leave implicit (E30/E93 profile the COUNT clock, E%
+    value-clock boards profile the VALUE clock; E203 reduces the two
+    24-vectors to one actionable number: distance 0 = load-shedding at
+    the count peak also protects the value peak; a 10-hour shift =
+    revenue arrives while capacity planning sleeps).  One dense row
+    per source ALWAYS; exact int64 (two hour-grid argmaxes via
+    row_number + circular LEAST distance oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: each batch collapses to a
+    ≤ sources × 24 (count, value) grid with two bincounts; the k=1
+    merge sums grids and takes two argmaxes per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        hour = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // HOUR_US
+            % 24
+        )
+        v = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        idx = code * 24 + hour
+        gn = np.bincount(idx, minlength=ns * 24).astype(np.int64)
+        gv = np.bincount(idx, weights=v, minlength=ns * 24).astype(np.int64)
+        live = np.flatnonzero(gn)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "n": pa.array(gn[live]),
+                "v": pa.array(gv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        gn = np.zeros(ns * 24, np.int64)
+        gv = np.zeros(ns * 24, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                gn, cell,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                gv, cell,
+                t["v"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        n2 = gn.reshape(ns, 24)
+        v2 = gv.reshape(ns, 24)
+        ch = n2.argmax(axis=1)
+        # value mode over OCCUPIED hours only (an all-zero value source
+        # must still tie-break among hours that have events, like the
+        # oracle's GROUP BY shape)
+        vh = np.where(n2 > 0, v2, np.int64(-1)).argmax(axis=1)
+        tot_n = n2.sum(axis=1)
+        tot_v = v2.sum(axis=1)
+        d = np.abs(ch - vh)
+        dist = np.minimum(d, 24 - d)
+        live = np.flatnonzero(tot_n)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live)),
+                "count_modal_hour": pa.array(ch[live].astype(np.int64)),
+                "count_modal_permille": pa.array(
+                    1000 * n2[live, ch[live]] // np.maximum(tot_n[live], 1)
+                ),
+                "value_modal_hour": pa.array(vh[live].astype(np.int64)),
+                "value_modal_permille": pa.array(
+                    1000 * v2[live, vh[live]] // np.maximum(tot_v[live], 1)
+                ),
+                "phase_distance": pa.array(dist[live].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)

@@ -19413,3 +19413,182 @@ def part_reach(sf_dir: str) -> Dataset:
         cells, "p", fold2, k=_rel_k(sf_dir, "lineitem")
     )
     return hash_partition_merge(banded, "band", merge, k=1)
+
+
+def latency_return_coupling(sf_dir: str) -> Dataset:
+    """R136: latency ↔ return coupling — per ship YEAR, split lines by
+    returnflag = 'R' vs not: lines and the exact floor-day latency
+    totals (Σdays, Σdays² — ship date minus order date) for each class
+    — DO SLOW SHIPMENTS COME BACK, the causal-flavored cross R87 and
+    the returns boards each hold one axis of (R87 drifts latency over
+    years with no outcome, R53/R86/R128/R132 rate returns by
+    brand/season/size/position with no latency; R136 conditions the
+    latency distribution on the OUTCOME, per year: a persistent
+    mean-latency gap between returned and kept lines is the
+    logistics-causes-returns evidence, and its TREND says whether the
+    problem is getting fixed).  One row per (year, returned) class
+    with ≥ 1 line; exact int64 (orderkey join + floor-day difference +
+    CASE-split SUM/SUM² oracle).
+
+    Scale shape — R130's orderkey co-partition verbatim with a moment
+    payload: lineitem batches pre-reduce to (orderkey, ship-day,
+    returned, n) cells; the orderkey fold attaches order dates by
+    searchsorted, forms days per CELL (then weights by n — exact,
+    deltas are cell-constant), and collapses IN PLACE to a
+    ≤ years × 2 grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "d": pa.array(od, pa.int64()),
+                "r": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        ok = pc.cast(b["l_orderkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ret = (
+            pc.equal(b["l_returnflag"], "R")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        base = int(sd.min()) if len(sd) else 0
+        packed, cnt = np.unique(
+            (ok * (1 << 21) + (sd - base) * 2 + ret), return_counts=True
+        )
+        return pa.table(
+            {
+                "k": pa.array(packed >> 21),
+                "d": pa.array(((packed & ((1 << 21) - 1)) >> 1) + base,
+                              pa.int64()),
+                "r": pa.array(packed & 1),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+                "sd2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        rc = t["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = rc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = d["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dd_s = dk[o], dd[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = f["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = rc[~is_dim]
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        od = dd_s[pos][hit]
+        sdy = fd[hit]
+        days = sdy - od
+        yr = (
+            sdy.astype("datetime64[D]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        r = fr[hit]
+        n = fn[hit]
+        key = (yr - 1970) * 2 + r
+        W = int(key.max()) + 1 if len(key) else 1
+        gn = np.zeros(W, np.int64)
+        gd = np.zeros(W, np.int64)
+        gd2 = np.zeros(W, np.int64)
+        np.add.at(gn, key, n)
+        np.add.at(gd, key, days * n)
+        np.add.at(gd2, key, days * days * n)
+        live = np.flatnonzero(gn)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "n": pa.array(gn[live]),
+                "sd": pa.array(gd[live]),
+                "sd2": pa.array(gd2[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ship_year": pa.array([], pa.int64()),
+                    "returned": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_days": pa.array([], pa.int64()),
+                    "sum_days2": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        W = int(cell.max()) + 1
+        gn = np.zeros(W, np.int64)
+        gd = np.zeros(W, np.int64)
+        gd2 = np.zeros(W, np.int64)
+        for acc, col in ((gn, "n"), (gd, "sd"), (gd2, "sd2")):
+            np.add.at(
+                acc, cell,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(gn)
+        return pa.table(
+            {
+                "ship_year": pa.array((live // 2 + 1970).astype(np.int64)),
+                "returned": pa.array((live % 2).astype(np.int64)),
+                "n_lines": pa.array(gn[live]),
+                "sum_days": pa.array(gd[live]),
+                "sum_days2": pa.array(gd2[live]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(fact_partial, batch_format="pyarrow").union(
+            orders.map_batches(dim_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

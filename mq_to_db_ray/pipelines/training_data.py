@@ -21031,3 +21031,119 @@ def periodicity_comb(sf_dir: str, max_lag: int = 8) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "lag", merge, k=1)
+
+
+def label_centroids(sf_dir: str) -> Dataset:
+    """T209: quantized label centroids — per (label, 1-based dimension):
+    vectors and the exact integer sum of the QUANTIZED component
+    floor(1000·x) (DOUBLE-cast, the T78 discipline) — the
+    nearest-centroid preflight materialized as exact integers (T207
+    conditions the NORM on the label, T147 signs per dimension with no
+    label; T209 is the full label × dimension first-moment grid: the
+    centroid itself derives as sum_q / (1000·n) to any precision, two
+    labels' centroid distance from two rows' difference — and because
+    every entry is an integer sum, cross-run drift detection is exact
+    equality, not a float tolerance).  One row per (label, dim) ALWAYS
+    (labels and dims are both fixed); exact int64
+    (unnest + generate_subscripts + floored-component SUM oracle).
+
+    Scale shape — ZERO wide exchange: vectors reshape (n, d) per
+    batch, one floor(1000·x) pass, per-label column sums via one
+    np.add.at scatter onto a |labels| × d grid; the k=1 merge folds
+    O(batches × labels × d) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    labels = pa.array(
+        sorted(
+            int(x)
+            for x in rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["label"]
+            ).unique("label")
+        ),
+        pa.int64(),
+    )
+    nl = len(labels)
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        q = np.floor(1000.0 * m).astype(np.int64)
+        lb = (
+            pc.cast(
+                pc.index_in(pc.cast(batch["label"], pa.int64()),
+                            value_set=labels),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        gs = np.zeros((nl, d), np.int64)
+        np.add.at(gs, lb, q)
+        gn = np.bincount(lb, minlength=nl)
+        cells = np.arange(nl * d, dtype=np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cells),
+                "nv": pa.array(np.repeat(gn, d).astype(np.int64)),
+                "s": pa.array(gs.reshape(-1)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n_vectors": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ncell = int(cell.max()) + 1
+        d = ncell // nl
+        gn = np.zeros(ncell, np.int64)
+        gs = np.zeros(ncell, np.int64)
+        np.add.at(
+            gn, cell,
+            t["nv"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        np.add.at(
+            gs, cell,
+            t["s"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        cells = np.arange(ncell)
+        return pa.table(
+            {
+                "label": pc.take(labels, pa.array(cells // d)),
+                "dim": pa.array((cells % d + 1).astype(np.int64)),
+                "n_vectors": pa.array(gn),
+                "sum_q": pa.array(gs),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)
