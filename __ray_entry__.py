@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_session_endpoints(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_endpoints
+
+    return events_session_endpoints(sf_dir)
+
+
 def _q_events_value_phase(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_value_phase_shift
 
@@ -2312,6 +2318,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_phase_shift": _q_events_value_phase,
         "embedding_label_centroids": td.label_centroids,
         "rel_latency_return_coupling": rel.latency_return_coupling,
+        # --- wave 157 ---
+        "events_session_endpoints": _q_events_session_endpoints,
+        "doc_seam_audit": td.seam_audit,
+        "rel_month_end_loading": rel.month_end_loading,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2954,6 +2964,71 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_session_endpoints": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, event_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT user_id, sid,
+                         max(CASE WHEN rf = 1 THEN event_type END)
+                             AS entry_ty,
+                         max(CASE WHEN rl = 1 THEN event_type END)
+                             AS exit_ty,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT *,
+                               row_number() OVER (PARTITION BY user_id, sid
+                                   ORDER BY ts, event_id) AS rf,
+                               row_number() OVER (PARTITION BY user_id, sid
+                                   ORDER BY ts DESC, event_id DESC) AS rl
+                        FROM s)
+                  GROUP BY 1, 2)
+            SELECT entry_ty AS entry_type, exit_ty AS exit_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM p GROUP BY 1, 2
+        """,
+        "doc_seam_audit": """
+            WITH d AS (SELECT doc_id, str_split(text, ' ') AS w
+                       FROM documents),
+            e AS (SELECT doc_id, w[1] AS first_w, w[len(w)] AS last_w
+                  FROM d),
+            s AS (SELECT a.last_w AS l, b.first_w AS r
+                  FROM e a JOIN e b ON b.doc_id = a.doc_id + 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_seams,
+                   CAST(sum(CASE WHEN l = r THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_stutter,
+                   CAST(1000 * sum(CASE WHEN l = r THEN 1 ELSE 0 END)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS stutter_permille,
+                   CAST(count(DISTINCT l || ' ' || r) AS BIGINT)
+                       AS n_distinct_bigrams
+            FROM s
+        """,
+        "rel_month_end_loading": """
+            WITH o AS (SELECT year(o_orderdate) AS yr,
+                              CASE WHEN o_orderdate
+                                        >= last_day(o_orderdate)
+                                           - INTERVAL 2 DAY
+                                   THEN 1 ELSE 0 END AS me,
+                              CAST(floor(o_totalprice) AS BIGINT) AS rv
+                       FROM orders)
+            SELECT CAST(yr AS BIGINT) AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(me) AS BIGINT) AS n_month_end,
+                   CAST(1000 * sum(me) // count(*) AS BIGINT)
+                       AS month_end_permille,
+                   CAST(sum(rv) AS BIGINT) AS revenue_floor,
+                   CAST(sum(me * rv) AS BIGINT) AS month_end_revenue
+            FROM o GROUP BY 1
         """,
         "events_value_phase_shift": """
             WITH h AS (SELECT event_type AS source,

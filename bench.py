@@ -789,6 +789,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_phase_shift",
         "embedding_label_centroids",
         "rel_latency_return_coupling",
+        "events_session_endpoints",
+        "doc_seam_audit",
+        "rel_month_end_loading",
     ]
     out: dict[str, float] = {}
     for name in names:

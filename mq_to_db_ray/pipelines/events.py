@@ -20165,3 +20165,112 @@ def events_value_phase_shift(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def events_session_endpoints(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
+    """E204: session endpoint matrix — per (entry_type, exit_type) of
+    every session (first/last event under the (ts, event_id)
+    tie-break): sessions and their total events — how JOURNEYS begin
+    and end at visit grain, the matrix E73 draws for user LIFETIMES and
+    E192 collapses to the entry marginal (the diagonal is single-mode
+    visits — E192's bounces all live there with entry = exit; the
+    off-diagonal mass is the actual task flow: view→purchase sessions
+    are conversions in one number, purchase→error sessions are the
+    checkout-crash signature).  One row per occupied (entry, exit)
+    pair; exact int64 (islands + two row_number endpoint picks +
+    two-key GROUP BY oracle).
+
+    Scale shape — E191's narrow exchange: entry/exit types read off the
+    session split boundaries (one take each), session sizes via
+    np.diff; the partition collapses to a ≤ |types|² grid; k=1 merge.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, y2 = uu[order], tt[order], ty[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(order)) - 1
+        n_ev = np.diff(starts, append=len(order))
+        cell = y2[starts] * nt + y2[ends]
+        grid_s = np.zeros(nt * nt, np.int64)
+        grid_e = np.zeros(nt * nt, np.int64)
+        np.add.at(grid_s, cell, 1)
+        np.add.at(grid_e, cell, n_ev)
+        live = np.flatnonzero(grid_s)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "ns": pa.array(grid_s[live]),
+                "ne": pa.array(grid_e[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid_s = np.zeros(nt * nt, np.int64)
+        grid_e = np.zeros(nt * nt, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid_s, cell,
+                t["ns"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                grid_e, cell,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(grid_s)
+        return pa.table(
+            {
+                "entry_type": pc.take(srcs, pa.array(live // nt)),
+                "exit_type": pc.take(srcs, pa.array(live % nt)),
+                "n_sessions": pa.array(grid_s[live]),
+                "n_events": pa.array(grid_e[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)

@@ -19592,3 +19592,103 @@ def latency_return_coupling(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def month_end_loading(sf_dir: str) -> Dataset:
+    """R137: month-end loading trend — per order YEAR: orders, orders
+    dated in the LAST THREE calendar days of their month, the
+    month-end permille, and the floored value totals of both
+    populations — the quota-stuffing detector (R67 profiles ship
+    DAY-OF-MONTH shape, R7/R96 seasonality by month; R137 isolates the
+    fiscal-pressure signature: a month-end permille well above the
+    ~100‰ calendar baseline means orders are being pulled forward to
+    make monthly numbers, its value twin says whether the stuffing is
+    big-ticket, and the YEAR axis shows whether the incentive design
+    changed).  One row per order year ALWAYS; exact int64 (last_day
+    calendar predicate + CASE-split counts/sums oracle).
+
+    Scale shape — ZERO-join scan-reduce (R1 shape): the month-end
+    predicate is vectorized numpy datetime64 calendar math (day →
+    month → next-month-start − 1), each batch collapses to a ≤ years
+    grid; the k=1 merge folds O(batches × years) rows."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        ).astype("datetime64[D]")
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        month = day.astype("datetime64[M]")
+        last_day = (month + 1).astype("datetime64[D]") - 1
+        is_end = day >= (last_day - 2)
+        yr = day.astype("datetime64[Y]").astype(np.int64) + 1970
+        yi = yr - yr.min() if len(yr) else yr
+        W = int(yi.max()) + 1 if len(yi) else 1
+        n = np.bincount(yi, minlength=W)
+        ne = np.bincount(yi[is_end], minlength=W)
+        v = np.bincount(yi, weights=rv, minlength=W).astype(np.int64)
+        ve = np.bincount(yi[is_end], weights=rv[is_end],
+                         minlength=W).astype(np.int64)
+        base = int(yr.min()) if len(yr) else 0
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "yr": pa.array((live + base).astype(np.int64)),
+                "n": pa.array(n[live].astype(np.int64)),
+                "ne": pa.array(ne[live].astype(np.int64)),
+                "v": pa.array(v[live]),
+                "ve": pa.array(ve[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_year": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_month_end": pa.array([], pa.int64()),
+                    "month_end_permille": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                    "month_end_revenue": pa.array([], pa.int64()),
+                }
+            )
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        n = np.zeros(len(uy), np.int64)
+        ne = np.zeros(len(uy), np.int64)
+        v = np.zeros(len(uy), np.int64)
+        ve = np.zeros(len(uy), np.int64)
+        for acc, col in ((n, "n"), (ne, "ne"), (v, "v"), (ve, "ve")):
+            np.add.at(
+                acc, inv,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "order_year": pa.array(uy),
+                "n_orders": pa.array(n),
+                "n_month_end": pa.array(ne),
+                "month_end_permille": pa.array(
+                    1000 * ne // np.maximum(n, 1)
+                ),
+                "revenue_floor": pa.array(v),
+                "month_end_revenue": pa.array(ve),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "yr", merge, k=1)

@@ -21147,3 +21147,157 @@ def label_centroids(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def seam_audit(sf_dir: str) -> Dataset:
+    """T210: packing-seam audit — pair every document's LAST word with
+    the FIRST word of doc_id + 1 (the seam T22's doc_id-order packer
+    would create) and report one corpus row: seams, seams whose two
+    sides are the SAME word (a packed sequence would stutter across
+    the boundary — the artifact a repetition-penalized model notices),
+    the stutter permille, and the DISTINCT boundary bigrams the packing
+    would mint — concatenation-safety before packing, the read T22/T123
+    price in tokens but never in CONTENT (T208's comb sees repeats
+    WITHIN docs; the seam is invisible to every within-doc board
+    because it does not exist until the packer runs).  Exactly one row
+    ALWAYS; exact int64 (self-join on doc_id + 1 over first/last words
+    + count-DISTINCT-concat oracle).
+
+    Scale shape — TWO narrow exchanges of TWO-WORD payloads (each doc
+    ships only its first and last word — nothing scales with doc
+    LENGTH): (1) seam-hash — each doc posts (seam = doc_id, left) and
+    (seam = doc_id − 1, right); the pair's partition joins the two
+    roles and emits (bigram-hash, bigram, stutter) cells; (2)
+    bigram-hash — distinct bigrams settle per partition and the counts
+    collapse to THREE integers; k=1 merge."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        first = pc.list_element(words, 0)
+        # last element: flatten + offsets
+        flat = words.flatten()
+        offs = np.zeros(len(nw) + 1, np.int64)
+        np.cumsum(nw, out=offs[1:])
+        last = pc.take(flat, pa.array(offs[1:] - 1))
+        return pa.table(
+            {
+                "seam": pa.array(
+                    np.concatenate([did, did - 1]), pa.int64()
+                ),
+                "role": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(did), np.int64),
+                         np.ones(len(did), np.int64)]
+                    )
+                ),
+                "w": pa.concat_arrays(
+                    [last.combine_chunks() if isinstance(last, pa.ChunkedArray) else last,
+                     first.combine_chunks() if isinstance(first, pa.ChunkedArray) else first]
+                ),
+            }
+        )
+
+    def fold_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "bg": pa.array([], pa.string()),
+                    "st": pa.array([], pa.int64()),
+                }
+            )
+        seam = t["seam"].combine_chunks().to_numpy(zero_copy_only=False)
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["w"].combine_chunks()
+        order = np.lexsort((role, seam))
+        s2, r2 = seam[order], role[order]
+        # a complete seam = adjacent (role 0, role 1) rows of one seam id
+        left_pos = np.flatnonzero(
+            (s2[:-1] == s2[1:]) & (r2[:-1] == 0) & (r2[1:] == 1)
+        )
+        if len(left_pos) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "bg": pa.array([], pa.string()),
+                    "st": pa.array([], pa.int64()),
+                }
+            )
+        wi = pc.take(w, pa.array(order[left_pos]))
+        wj = pc.take(w, pa.array(order[left_pos + 1]))
+        bg = pc.binary_join_element_wise(wi, wj, " ")
+        st = pc.cast(pc.equal(wi, wj), pa.int64())
+        hs = (
+            pl.from_arrow(pa.table({"b": bg}))["b"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "bg": bg,
+                "st": st,
+            }
+        )
+
+    def fold_bigrams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "nst": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                }
+            )
+        bg = t["bg"]
+        if isinstance(bg, pa.ChunkedArray):
+            bg = bg.combine_chunks()
+        nd = len(bg.dictionary_encode().dictionary)
+        ns = t.num_rows
+        nst = int(
+            t["st"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        )
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ns": pa.array([ns], pa.int64()),
+                "nst": pa.array([nst], pa.int64()),
+                "nd": pa.array([nd], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = {c: 0 for c in ("ns", "nst", "nd")}
+        if t.num_rows:
+            for c in tot:
+                tot[c] = int(
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).sum()
+                )
+        return pa.table(
+            {
+                "n_seams": pa.array([tot["ns"]], pa.int64()),
+                "n_stutter": pa.array([tot["nst"]], pa.int64()),
+                "stutter_permille": pa.array(
+                    [1000 * tot["nst"] // max(tot["ns"], 1)], pa.int64()
+                ),
+                "n_distinct_bigrams": pa.array([tot["nd"]], pa.int64()),
+            }
+        )
+
+    ends = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        endpoints, batch_format="pyarrow"
+    )
+    pairs = hash_partition_merge(ends, "seam", fold_pairs)
+    cells = hash_partition_merge(pairs, "h", fold_bigrams)
+    return hash_partition_merge(cells, "g", merge, k=1)
