@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_dow_anova(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_dow_anova
+
+    return events_dow_anova(sf_dir)
+
+
 def _q_events_session_endpoints(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_endpoints
 
@@ -2322,6 +2328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_endpoints": _q_events_session_endpoints,
         "doc_seam_audit": td.seam_audit,
         "rel_month_end_loading": rel.month_end_loading,
+        # --- wave 158 ---
+        "events_dow_anova": _q_events_dow_anova,
+        "doc_embedding_coverage": td.embedding_coverage,
+        "rel_span_spend_coupling": rel.span_spend_coupling,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2964,6 +2974,60 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_dow_anova": """
+            WITH d AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT source,
+                   CAST((day + 4) % 7 AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(n) AS BIGINT) AS sum_events,
+                   CAST(sum(n * n) AS BIGINT) AS sum_events2
+            FROM d GROUP BY 1, 2
+        """,
+        "doc_embedding_coverage": """
+            WITH v AS (SELECT DISTINCT vec_id FROM embeddings),
+            c AS (SELECT d.source, CAST(count(*) AS BIGINT) AS nd,
+                         CAST(sum(CASE WHEN v.vec_id IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS nc
+                  FROM documents d
+                  LEFT JOIN v ON v.vec_id = d.doc_id GROUP BY 1),
+            o AS (SELECT CAST(count(*) AS BIGINT) AS orph
+                  FROM v LEFT JOIN (SELECT DISTINCT doc_id
+                                    FROM documents) dd
+                      ON dd.doc_id = v.vec_id
+                  WHERE dd.doc_id IS NULL)
+            SELECT source, nd AS n_docs, nc AS n_covered,
+                   CAST(1000 * nc // greatest(nd, 1) AS BIGINT)
+                       AS coverage_permille
+            FROM c
+            UNION ALL
+            SELECT '__orphans__', CAST(0 AS BIGINT), orph,
+                   CAST(0 AS BIGINT)
+            FROM o
+        """,
+        "rel_span_spend_coupling": """
+            WITH w AS (SELECT o_custkey,
+                              min(epoch_us(o_orderdate) // 86400000000)
+                                  AS mn,
+                              max(epoch_us(o_orderdate) // 86400000000)
+                                  AS mx,
+                              CAST(sum(CAST(floor(o_totalprice)
+                                            AS BIGINT)) AS BIGINT) AS y,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1 HAVING count(*) >= 2),
+            b AS (SELECT c.c_mktsegment, (w.mx - w.mn) AS x, w.y
+                  FROM w JOIN customer c ON c.c_custkey = w.o_custkey)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(x) AS BIGINT) AS sum_span,
+                   CAST(sum(x * x) AS BIGINT) AS sum_span2,
+                   CAST(sum(y) AS BIGINT) AS sum_value,
+                   CAST(sum(y * y) AS BIGINT) AS sum_value2,
+                   CAST(sum(x * y) AS BIGINT) AS sum_span_value
+            FROM b GROUP BY 1
         """,
         "events_session_endpoints": """
             WITH o AS (

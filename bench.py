@@ -792,6 +792,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_session_endpoints",
         "doc_seam_audit",
         "rel_month_end_loading",
+        "events_dow_anova",
+        "doc_embedding_coverage",
+        "rel_span_spend_coupling",
     ]
     out: dict[str, float] = {}
     for name in names:

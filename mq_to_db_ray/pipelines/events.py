@@ -20274,3 +20274,119 @@ def events_session_endpoints(sf_dir: str, gap_s: int = 6 * 3600) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def events_dow_anova(sf_dir: str) -> Dataset:
+    """E205: weekday variance-decomposition stats — per (source,
+    dayofweek Sunday=0): active days, Σ(daily total), Σ(daily total)²
+    — the exact-int64 sufficient statistics of a one-way ANOVA of
+    daily volume on weekday (between-group vs within-group variance,
+    η², F — all derive off-line, the R44 discipline): HOW MUCH of a
+    source's day-to-day volume variance the weekly cycle actually
+    explains, the strength number E49's per-dow means and E52's
+    heatmap only suggest (a strong profile with a huge residual means
+    the weekly shape is real but useless for forecasting; E155's lag-7
+    autocovariance reads persistence, E205 reads explained variance).
+    One row per (source, dow) with ≥ 1 active day; exact int64
+    (two-level GROUP BY — day totals then weekday moments — oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED (source, day, n)
+    cells (batches collapse with one packed np.unique); the DAY-hash
+    fold settles each day's exact total locally and re-reduces IN
+    PLACE to a ≤ sources × 7 moment grid; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        packed, cnt = np.unique(day * ns + code, return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(packed // ns),
+                "src": pa.array(packed % ns),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                }
+            )
+        dd = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed, inv = np.unique(dd * ns + src, return_inverse=True)
+        tot = np.zeros(len(packed), np.int64)
+        np.add.at(tot, inv, nn)
+        day_u = packed // ns
+        src_u = packed % ns
+        dow = (day_u + 4) % 7
+        cell = src_u * 7 + dow
+        g_nd = np.zeros(ns * 7, np.int64)
+        g_s = np.zeros(ns * 7, np.int64)
+        g_s2 = np.zeros(ns * 7, np.int64)
+        np.add.at(g_nd, cell, 1)
+        np.add.at(g_s, cell, tot)
+        np.add.at(g_s2, cell, tot * tot)
+        live = np.flatnonzero(g_nd)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nd": pa.array(g_nd[live]),
+                "s": pa.array(g_s[live]),
+                "s2": pa.array(g_s2[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_nd = np.zeros(ns * 7, np.int64)
+        g_s = np.zeros(ns * 7, np.int64)
+        g_s2 = np.zeros(ns * 7, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in ((g_nd, "nd"), (g_s, "s"), (g_s2, "s2")):
+                np.add.at(
+                    acc, cell,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(g_nd)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live // 7)),
+                "dow": pa.array((live % 7).astype(np.int64)),
+                "n_days": pa.array(g_nd[live]),
+                "sum_events": pa.array(g_s[live]),
+                "sum_events2": pa.array(g_s2[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "d", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "cell", merge, k=1)

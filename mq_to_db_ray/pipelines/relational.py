@@ -19692,3 +19692,172 @@ def month_end_loading(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "yr", merge, k=1)
+
+
+def span_spend_coupling(sf_dir: str) -> Dataset:
+    """R138: tenure-span ↔ spend coupling — per market segment, over
+    customers with ≥ 2 orders: n and the exact integer sufficient
+    statistics (Σx, Σx², Σy, Σy², Σx·y) with x = the customer's active
+    SPAN in floor-days (last order date − first) and y = their floored
+    lifetime order value — does LONGEVITY buy revenue, the
+    relationship-length read none of the customer boards couple (R85
+    autocovaries CONSECUTIVE tickets, R101 couples gap length with the
+    NEXT ticket, R11 ranks by total alone; R138 regresses lifetime
+    value on lifetime LENGTH: slope ≈ 0 with big Σy spread means value
+    is decided at acquisition, not retention — and that inverts the
+    retention-spend playbook).  One row per segment with ≥ 1 eligible
+    customer; exact int64 (per-customer min/max date + SUM-of-products
+    oracle; money floors per order, the §2.3b convention).
+
+    Scale shape — R124's custkey co-partition with a span payload:
+    order batches pre-reduce to per-custkey (min-day, max-day, value,
+    n) partials (all associative); the custkey fold combines, forms
+    x·y per CUSTOMER, attaches the segment by searchsorted, and
+    collapses IN PLACE to a ≤ segments moment grid; k=1 densifying
+    merge.  Only the ~5-value segment list broadcasts."""
+    DAY_US = 86_400_000_000
+
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nsg = len(segs)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "seg": pa.array(sg.astype(np.int64)),
+                "mn": pa.array(z),
+                "mx": pa.array(z),
+                "v": pa.array(z),
+                "n": pa.array(z),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "mn": pa.array(day, pa.int64()),
+                "mx": pa.array(day, pa.int64()),
+                "v": pa.array(rv),
+                "n": pa.array(np.ones(len(rv), np.int64)),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("mn", "min"), ("mx", "max"), ("v", "sum"), ("n", "sum")]
+        )
+        g = g.rename_columns(["k", "mn", "mx", "v", "n"])
+        return g.append_column(
+            "seg", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "seg", "mn", "mx", "v", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols = ("n", "sx", "sx2", "sy", "sy2", "sxy")
+        empty = pa.table(
+            {"seg": pa.array([], pa.int64())}
+            | {c: pa.array([], pa.int64()) for c in cols}
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate(
+            [("mn", "min"), ("mx", "max"), ("v", "sum"), ("n", "sum")]
+        )
+        fg = fg.rename_columns(["k", "mn", "mx", "v", "n"])
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = fg["mn"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = fg["mx"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = fg["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = fg["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        elig = n >= 2
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dseg = role[is_dim]
+        o = np.argsort(dk, kind="stable")
+        dk_s, dseg_s = dk[o], dseg[o]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = (dk_s[pos] == fk) & elig
+        seg = dseg_s[pos][hit]
+        x = (mx - mn)[hit]
+        y = v[hit]
+        grids = {
+            "n": np.ones(len(x), np.int64),
+            "sx": x,
+            "sx2": x * x,
+            "sy": y,
+            "sy2": y * y,
+            "sxy": x * y,
+        }
+        acc = {c: np.zeros(nsg, np.int64) for c in cols}
+        for c in cols:
+            np.add.at(acc[c], seg, grids[c])
+        live = np.flatnonzero(acc["n"])
+        data = {"seg": pa.array(live.astype(np.int64))}
+        for c in cols:
+            data[c] = pa.array(acc[c][live])
+        return pa.table(data)
+
+    def merge(t: pa.Table) -> pa.Table:
+        cols = ("n", "sx", "sx2", "sy", "sy2", "sxy")
+        acc = {c: np.zeros(nsg, np.int64) for c in cols}
+        if t.num_rows:
+            seg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in cols:
+                np.add.at(
+                    acc[c], seg,
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(acc["n"])
+        out = {
+            "c_mktsegment": pc.take(segs, pa.array(live)),
+            "n_customers": pa.array(acc["n"][live]),
+            "sum_span": pa.array(acc["sx"][live]),
+            "sum_span2": pa.array(acc["sx2"][live]),
+            "sum_value": pa.array(acc["sy"][live]),
+            "sum_value2": pa.array(acc["sy2"][live]),
+            "sum_span_value": pa.array(acc["sxy"][live]),
+        }
+        return pa.table(out)
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "seg", merge, k=1)

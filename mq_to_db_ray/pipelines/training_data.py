@@ -21301,3 +21301,137 @@ def seam_audit(sf_dir: str) -> Dataset:
     pairs = hash_partition_merge(ends, "seam", fold_pairs)
     cells = hash_partition_merge(pairs, "h", fold_bigrams)
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def embedding_coverage(sf_dir: str) -> Dataset:
+    """T211: document ↔ embedding coverage audit — per source: documents,
+    documents whose doc_id has a matching embeddings.vec_id, and the
+    coverage permille, plus one final ``__orphans__`` row counting
+    vectors whose vec_id matches NO document — the referential-integrity
+    preflight for every doc × embedding consumer (T26's enrichment join
+    silently drops unmatched rows, T5/T6/T34 assume the vector side is
+    the corpus; T211 says what the join will actually cover per slice
+    and whether the vector store carries dead weight — the two failure
+    modes of an embedding backfill, each invisible to the other side's
+    counts).  One row per source plus the orphan row ALWAYS; exact
+    int64 (LEFT JOIN coverage + anti-join count oracle).
+
+    Scale shape — ONE doc_id/vec_id-hash co-partition of two NARROW
+    id streams (docs ship (id, source-rank), vectors ship (id) — no
+    text, no vectors): each partition matches the two sorted id lists
+    with one searchsorted in each direction and collapses to
+    ≤ sources + 1 partial rows; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    vecs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["doc_id"], pa.int64()),
+                "src": pa.array(sg.astype(np.int64)),
+            }
+        )
+
+    def vec_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b["vec_id"], pa.int64()),
+                "src": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "orph": pa.array([], pa.int64()),
+                }
+            )
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_doc = src >= 0
+        dk = kk[is_doc]
+        dsrc = src[is_doc]
+        vk = np.unique(kk[~is_doc])
+        o = np.argsort(dk, kind="stable")
+        dk_s, dsrc_s = dk[o], dsrc[o]
+        # doc covered: doc_id present in vec ids
+        pos = np.clip(np.searchsorted(vk, dk_s), 0, max(len(vk) - 1, 0))
+        covered = (vk[pos] == dk_s) if len(vk) else np.zeros(
+            len(dk_s), dtype=bool
+        )
+        nd = np.bincount(dsrc_s, minlength=ns)
+        nc = np.bincount(dsrc_s[covered], minlength=ns)
+        # orphan vectors: vec ids matching no doc
+        if len(dk_s):
+            vpos = np.clip(np.searchsorted(dk_s, vk), 0, len(dk_s) - 1)
+            orph = int((dk_s[vpos] != vk).sum())
+        else:
+            orph = len(vk)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.append(live, -1).astype(np.int64)
+                ),
+                "nd": pa.array(
+                    np.append(nd[live], 0).astype(np.int64)
+                ),
+                "nc": pa.array(
+                    np.append(nc[live], 0).astype(np.int64)
+                ),
+                "orph": pa.array(
+                    np.append(np.zeros(len(live), np.int64), orph)
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        nc = np.zeros(ns, np.int64)
+        orph = 0
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd_c = t["nd"].combine_chunks().to_numpy(zero_copy_only=False)
+            nc_c = t["nc"].combine_chunks().to_numpy(zero_copy_only=False)
+            or_c = t["orph"].combine_chunks().to_numpy(zero_copy_only=False)
+            doc_rows = src >= 0
+            np.add.at(nd, src[doc_rows], nd_c[doc_rows])
+            np.add.at(nc, src[doc_rows], nc_c[doc_rows])
+            orph = int(or_c.sum())
+        names = pa.concat_arrays(
+            [srcs, pa.array(["__orphans__"], pa.string())]
+        )
+        return pa.table(
+            {
+                "source": names,
+                "n_docs": pa.array(np.append(nd, 0)),
+                "n_covered": pa.array(np.append(nc, orph)),
+                "coverage_permille": pa.array(
+                    np.append(1000 * nc // np.maximum(nd, 1), 0)
+                ),
+            }
+        )
+
+    both = docs.map_batches(doc_side, batch_format="pyarrow").union(
+        vecs.map_batches(vec_side, batch_format="pyarrow")
+    )
+    cells = hash_partition_merge(both, "k", fold)
+    return hash_partition_merge(cells, "src", merge, k=1)
