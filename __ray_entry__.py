@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_return_door(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_return_door
+
+    return events_return_door(sf_dir)
+
+
 def _q_events_dow_anova(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_dow_anova
 
@@ -2332,6 +2338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_anova": _q_events_dow_anova,
         "doc_embedding_coverage": td.embedding_coverage,
         "rel_span_spend_coupling": rel.span_spend_coupling,
+        # --- wave 159 ---
+        "events_return_door": _q_events_return_door,
+        "embedding_exact_dups": td.embedding_exact_dups,
+        "rel_trade_distance_latency": rel.trade_distance_latency,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2974,6 +2984,76 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_return_door": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, event_id, event_type,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT user_id, sid,
+                         min(ts) AS start_ts, max(ts) AS end_ts,
+                         max(CASE WHEN rf = 1 THEN event_type END)
+                             AS entry_ty
+                  FROM (SELECT *, row_number() OVER (
+                            PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rf
+                        FROM s)
+                  GROUP BY 1, 2),
+            pr AS (SELECT entry_ty, start_ts,
+                          lag(end_ts) OVER (PARTITION BY user_id
+                                            ORDER BY sid) AS pe
+                   FROM p),
+            g AS (SELECT entry_ty,
+                         CASE WHEN start_ts - pe >= INTERVAL 7 DAY
+                              THEN 1 ELSE 0 END AS cb
+                  FROM pr WHERE pe IS NOT NULL)
+            SELECT entry_ty AS entry_type,
+                   CAST(count(*) AS BIGINT) AS n_returns,
+                   CAST(sum(cb) AS BIGINT) AS n_comebacks,
+                   CAST(1000 * sum(cb) // count(*) AS BIGINT)
+                       AS comeback_permille
+            FROM g GROUP BY 1
+        """,
+        "embedding_exact_dups": """
+            WITH g AS (SELECT embedding, CAST(count(*) AS BIGINT) AS n
+                       FROM embeddings GROUP BY 1)
+            SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+                   CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_groups,
+                   CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_dup_vectors,
+                   CAST(1000 * sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                        // greatest(sum(n), 1) AS BIGINT) AS dup_permille,
+                   CAST(max(n) AS BIGINT) AS max_group
+            FROM g
+        """,
+        "rel_trade_distance_latency": """
+            WITH j AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+                              (epoch_us(l.l_shipdate)
+                               - epoch_us(o.o_orderdate)) // 86400000000
+                                  AS days
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+            k AS (SELECT CASE WHEN cn = sn THEN 0
+                              WHEN a.n_regionkey = b.n_regionkey THEN 1
+                              ELSE 2 END AS cls, days
+                  FROM j JOIN nation a ON a.n_nationkey = j.cn
+                         JOIN nation b ON b.n_nationkey = j.sn)
+            SELECT CAST(cls AS BIGINT) AS trade_distance,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(days) AS BIGINT) AS sum_days,
+                   CAST(sum(days * days) AS BIGINT) AS sum_days2
+            FROM k GROUP BY 1
         """,
         "events_dow_anova": """
             WITH d AS (SELECT event_type AS source,

@@ -795,6 +795,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_dow_anova",
         "doc_embedding_coverage",
         "rel_span_spend_coupling",
+        "events_return_door",
+        "embedding_exact_dups",
+        "rel_trade_distance_latency",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -20390,3 +20390,122 @@ def events_dow_anova(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "d", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def events_return_door(
+    sf_dir: str, gap_s: int = 6 * 3600, absence_days: int = 7
+) -> Dataset:
+    """E206: comeback-door attribution — among all NON-FIRST sessions,
+    key each by its ENTRY type and count (a) all such returns and
+    (b) COMEBACKS: returns after an absence of ≥ ``absence_days``
+    between the previous session's end and this session's start; plus
+    the comeback share permille per door — WHICH FEATURE WINS USERS
+    BACK, the re-engagement attribution that inverts E201 (E201 asks
+    which EXIT predicts a long absence; E206 asks which ENTRY ends
+    one: a type over-represented among comebacks relative to routine
+    returns is the winback channel — usually the notification — and
+    the number is the denominator a winback campaign is graded
+    against).  One row per entry type with ≥ 1 return; exact int64
+    (islands + lag(end) + threshold CASE + permille oracle).
+
+    Scale shape — E191's narrow exchange: session starts/ends and
+    entry types off the split boundaries, previous-session gaps one
+    masked shifted subtraction; ≤ |types| (returns, comebacks)
+    partials; k=1 merge.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ty": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, y2 = uu[order], tt[order], ty[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(order)) - 1
+        s_user = u2[starts]
+        entry_ty = y2[starts]
+        start_ts = t2[starts]
+        end_ts = t2[ends]
+        same = s_user[1:] == s_user[:-1]
+        ety = entry_ty[1:][same]
+        gap = (start_ts[1:] - end_ts[:-1])[same]
+        comeback = gap >= absence_days * 86_400_000_000
+        nr = np.bincount(ety, minlength=nt)
+        ncb = np.bincount(ety[comeback], minlength=nt)
+        live = np.flatnonzero(nr)
+        return pa.table(
+            {
+                "ty": pa.array(live.astype(np.int64)),
+                "nr": pa.array(nr[live].astype(np.int64)),
+                "nc": pa.array(ncb[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nr = np.zeros(nt, np.int64)
+        nc = np.zeros(nt, np.int64)
+        if t.num_rows:
+            y = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nr, y,
+                t["nr"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nc, y,
+                t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nr)
+        return pa.table(
+            {
+                "entry_type": pc.take(srcs, pa.array(live)),
+                "n_returns": pa.array(nr[live]),
+                "n_comebacks": pa.array(nc[live]),
+                "comeback_permille": pa.array(
+                    1000 * nc[live] // np.maximum(nr[live], 1)
+                ),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "ty", merge, k=1)

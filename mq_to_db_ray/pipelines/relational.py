@@ -19861,3 +19861,303 @@ def span_spend_coupling(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "seg", merge, k=1)
+
+
+def trade_distance_latency(sf_dir: str) -> Dataset:
+    """R139: trade-distance latency — classify every lineitem by the
+    geographic DISTANCE between its customer and its supplier (0 = same
+    nation, 1 = same region different nation, 2 = cross-region) and
+    report per class: lines and the exact floor-day latency statistics
+    (Σdays, Σdays² of ship − order) — DOES CROSS-REGION SOURCING COST
+    DAYS, the logistics question R28's trade-flow matrix and the
+    latency boards keep apart (R28 counts who trades with whom, R20/R87
+    how long shipping takes; R139 conditions latency on the trade
+    DISTANCE: a near-zero day gap between classes means the supply
+    chain is distance-blind — inventory is pre-positioned — while a
+    steep gradient prices every cross-region line R28 counts).  Exactly
+    three-or-fewer rows; exact int64 (three-hop star join + CASE
+    distance + CASE-split SUM/SUM² oracle).
+
+    Scale shape — THREE narrow hash exchanges, every hop pre-reduced,
+    nothing corpus-sized broadcast (suppliers/customers/orders GROW and
+    travel by co-partition; only the 25-row nation → region map ships):
+    (1) orderkey hop — lineitem batches reduce to (ok, suppkey,
+    ship-day) cells with line counts; the orders dim attaches
+    (custkey, order-day); (2) custkey hop — the customer dim attaches
+    the customer's nation rank; (3) suppkey hop — the supplier dim
+    attaches the supplier's nation, both nations map to regions
+    through the broadcast 25-row table, the class and day moments form
+    per CELL, and the partition collapses to a ≤ 3-row grid; k=1
+    densifying merge."""
+    DAY_US = 86_400_000_000
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas().sort_values("n_nationkey")
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nregion = nat["n_regionkey"].to_numpy().astype(np.int64)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "supplier"),
+    )
+
+    # ---- hop 1: orderkey ----
+    def o_dim(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "sk": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "d": pa.array(od, pa.int64()),
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def l_fact(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "sk": pc.cast(b["l_suppkey"], pa.int64()),
+                "d": pa.array(sd, pa.int64()),
+                "n": pa.array(np.ones(len(sd), np.int64)),
+            }
+        )
+        g = t.group_by(["k", "sk", "d"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["k", "sk", "d", "n"])
+        return g.append_column(
+            "ck", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "sk", "d", "ck", "n"])
+
+    def fold1(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "sk": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+                "sd2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        skc = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = skc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dck = d["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        ddt = d["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dck_s, ddt_s = dk[o], dck[o], ddt[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fsk = skc[~is_dim]
+        fd = f["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        days = fd[hit] - ddt_s[pos][hit]
+        n = fn[hit]
+        # pre-reduce to (custkey, suppkey) moment cells
+        ck2 = dck_s[pos][hit]
+        sk2 = fsk[hit]
+        tt = pa.table(
+            {
+                "k": pa.array(ck2),
+                "sk": pa.array(sk2),
+                "n": pa.array(n),
+                "sd": pa.array(days * n),
+                "sd2": pa.array(days * days * n),
+            }
+        )
+        g = tt.group_by(["k", "sk"], use_threads=False).aggregate(
+            [("n", "sum"), ("sd", "sum"), ("sd2", "sum")]
+        )
+        return g.rename_columns(["k", "sk", "n", "sd", "sd2"])
+
+    hop1 = hash_partition_merge(
+        lines.map_batches(l_fact, batch_format="pyarrow").union(
+            orders.map_batches(o_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold1,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+
+    # ---- hop 2: custkey ----
+    def c_dim(b: pa.Table) -> pa.Table:
+        neg = np.full(b.num_rows, -1, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "sk": pa.array(neg),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sd": pc.cast(b["c_nationkey"], pa.int64()),
+                "sd2": pa.array(neg),
+            }
+        )
+
+    def fold2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+                "sd2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        skc = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = skc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dn = d["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dn_s = dk[o], dn[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        f2 = f.filter(pa.array(hit))
+        return pa.table(
+            {
+                "k": f2["sk"],
+                "cn": pa.array(dn_s[pos][hit]),
+                "n": f2["n"],
+                "sd": f2["sd"],
+                "sd2": f2["sd2"],
+            }
+        )
+
+    hop2 = hash_partition_merge(
+        hop1.union(cust.map_batches(c_dim, batch_format="pyarrow")),
+        "k",
+        fold2,
+        k=_rel_k(sf_dir, "orders"),
+    )
+
+    # ---- hop 3: suppkey ----
+    def s_dim(b: pa.Table) -> pa.Table:
+        neg = np.full(b.num_rows, -1, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["s_suppkey"], pa.int64()),
+                "cn": pa.array(neg),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "sd": pc.cast(b["s_nationkey"], pa.int64()),
+                "sd2": pa.array(neg),
+            }
+        )
+
+    def fold3(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cls": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+                "sd2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cnc = t["cn"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = cnc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dn = d["sd"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dn_s = dk[o], dn[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        sn = dn_s[pos][hit]
+        cn = cnc[~is_dim][hit]
+        cr = nregion[np.searchsorted(nkeys, cn)]
+        sr = nregion[np.searchsorted(nkeys, sn)]
+        cls = np.where(cn == sn, 0, np.where(cr == sr, 1, 2))
+        n = f["n"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        sd = f["sd"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        sd2 = f["sd2"].combine_chunks().to_numpy(zero_copy_only=False)[hit]
+        gn = np.zeros(3, np.int64)
+        gd = np.zeros(3, np.int64)
+        gd2 = np.zeros(3, np.int64)
+        np.add.at(gn, cls, n)
+        np.add.at(gd, cls, sd)
+        np.add.at(gd2, cls, sd2)
+        live = np.flatnonzero(gn)
+        return pa.table(
+            {
+                "cls": pa.array(live.astype(np.int64)),
+                "n": pa.array(gn[live]),
+                "sd": pa.array(gd[live]),
+                "sd2": pa.array(gd2[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        gn = np.zeros(3, np.int64)
+        gd = np.zeros(3, np.int64)
+        gd2 = np.zeros(3, np.int64)
+        if t.num_rows:
+            cls = t["cls"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in ((gn, "n"), (gd, "sd"), (gd2, "sd2")):
+                np.add.at(
+                    acc, cls,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        live = np.flatnonzero(gn)
+        return pa.table(
+            {
+                "trade_distance": pa.array(live.astype(np.int64)),
+                "n_lines": pa.array(gn[live]),
+                "sum_days": pa.array(gd[live]),
+                "sum_days2": pa.array(gd2[live]),
+            }
+        )
+
+    banded = hash_partition_merge(
+        hop2.union(supp.map_batches(s_dim, batch_format="pyarrow")),
+        "k",
+        fold3,
+        k=_rel_k(sf_dir, "orders"),
+    )
+    return hash_partition_merge(banded, "cls", merge, k=1)

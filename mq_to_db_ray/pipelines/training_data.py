@@ -21435,3 +21435,108 @@ def embedding_coverage(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(both, "k", fold)
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def embedding_exact_dups(sf_dir: str) -> Dataset:
+    """T212: exact-duplicate vector audit — group vectors by BITWISE
+    equality of the whole embedding and report one corpus row: vectors,
+    duplicate groups (size ≥ 2), vectors inside them, the duplicated
+    permille, and the worst group size — the collapsed-embedding
+    detector the text-side dedup suite has no eye for (T1 dedups
+    TEXTS; a broken encoder or a double-run backfill duplicates
+    VECTORS under distinct ids, silently biasing every T5-T8 neighbor
+    search and T34 cluster toward the duplicated point; bitwise
+    equality is the right test — near-dups are T5's job).  Exactly one
+    row ALWAYS; exact int64 (GROUP BY embedding HAVING ≥ 2 oracle; the
+    engine groups by a 64-bit polynomial hash of the raw float BIT
+    PATTERNS — identical vectors always co-group, T1's documented
+    hash-identity convention).
+
+    Scale shape — ONE narrow hash exchange: each batch reshapes (n, d),
+    views the float32 bit patterns as integers and folds each row to a
+    64-bit polynomial hash with one vectorized pass (no per-row loop,
+    no byte materialization); only (hash) travels; each partition
+    counts group sizes with one np.unique and collapses to FOUR
+    integers; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    MULT = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        bits = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float32)
+            .view(np.uint32)
+            .astype(np.uint64)
+            .reshape(n, -1)
+        )
+        d = bits.shape[1]
+        # vectorized polynomial fold: h = ((h * M) ^ col) per dimension
+        h = np.full(n, np.uint64(1469598103934665603))
+        for j in range(d):
+            h = (h * MULT) ^ bits[:, j]
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "ng": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, cnt = np.unique(h, return_counts=True)
+        dup = cnt >= 2
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "nv": pa.array([len(h)], pa.int64()),
+                "ng": pa.array([int(dup.sum())], pa.int64()),
+                "nd": pa.array([int(cnt[dup].sum())], pa.int64()),
+                "mx": pa.array([int(cnt.max())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = {c: 0 for c in ("nv", "ng", "nd")}
+        mx = 0
+        if t.num_rows:
+            for c in tot:
+                tot[c] = int(
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).sum()
+                )
+            mx = int(
+                t["mx"].combine_chunks().to_numpy(zero_copy_only=False).max()
+            )
+        return pa.table(
+            {
+                "n_vectors": pa.array([tot["nv"]], pa.int64()),
+                "n_dup_groups": pa.array([tot["ng"]], pa.int64()),
+                "n_dup_vectors": pa.array([tot["nd"]], pa.int64()),
+                "dup_permille": pa.array(
+                    [1000 * tot["nd"] // max(tot["nv"], 1)], pa.int64()
+                ),
+                "max_group": pa.array([mx], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "h", fold, k=64)
+    return hash_partition_merge(cells, "g", merge, k=1)
