@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_door_retention(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_door_retention
+
+    return events_door_retention(sf_dir)
+
+
 def _q_events_return_door(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_return_door
 
@@ -2342,6 +2348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_return_door": _q_events_return_door,
         "embedding_exact_dups": td.embedding_exact_dups,
         "rel_trade_distance_latency": rel.trade_distance_latency,
+        # --- wave 160 ---
+        "events_door_retention": _q_events_door_retention,
+        "doc_chunk_shingle_loss": td.chunk_shingle_loss,
+        "rel_supplier_spread_bands": rel.supplier_spread_bands,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2984,6 +2994,62 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_door_retention": """
+            WITH o AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rf,
+                              min(ts) OVER (PARTITION BY user_id) AS ft,
+                              max(ts) OVER (PARTITION BY user_id) AS lt
+                       FROM events),
+            u AS (SELECT user_id,
+                         max(CASE WHEN rf = 1 THEN event_type END)
+                             AS door,
+                         max(lt) AS lt, max(ft) AS ft
+                  FROM o GROUP BY 1)
+            SELECT door AS door_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN lt - ft >= INTERVAL 28 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained,
+                   CAST(1000 * sum(CASE WHEN lt - ft >= INTERVAL 28 DAY
+                                        THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS retention_permille
+            FROM u GROUP BY 1
+        """,
+        "doc_chunk_shingle_loss": """
+            WITH ls AS (SELECT unnest([32, 64, 128, 256]) AS L),
+            l AS (SELECT len(str_split(text, ' ')) AS nw FROM documents),
+            t AS (SELECT ls.L,
+                         unnest(range(0, greatest(l.nw - 2, 0))) AS p
+                  FROM l, ls)
+            SELECT CAST(L AS BIGINT) AS chunk_len,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN p // L <> (p + 2) // L
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_severed,
+                   CAST(1000 * sum(CASE WHEN p // L <> (p + 2) // L
+                                        THEN 1 ELSE 0 END)
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS severed_permille
+            FROM t GROUP BY 1
+        """,
+        "rel_supplier_spread_bands": """
+            WITH j AS (SELECT l.l_suppkey AS sk,
+                              (epoch_us(l.l_shipdate)
+                               - epoch_us(o.o_orderdate)) // 86400000000
+                                  AS lat
+                       FROM lineitem l
+                       JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            s AS (SELECT sk, max(lat) - min(lat) AS rng,
+                         CAST(count(*) AS BIGINT) AS nl
+                  FROM j GROUP BY 1 HAVING count(*) >= 2)
+            SELECT CAST(CASE WHEN rng = 0 THEN 0
+                             ELSE length(bin(rng)) END AS BIGINT)
+                       AS spread_band,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(nl) AS BIGINT) AS n_lines
+            FROM s GROUP BY 1
         """,
         "events_return_door": """
             WITH o AS (

@@ -798,6 +798,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_return_door",
         "embedding_exact_dups",
         "rel_trade_distance_latency",
+        "events_door_retention",
+        "doc_chunk_shingle_loss",
+        "rel_supplier_spread_bands",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -20509,3 +20509,113 @@ def events_return_door(
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "ty", merge, k=1)
+
+
+def events_door_retention(sf_dir: str, horizon_days: int = 28) -> Dataset:
+    """E207: acquisition-door retention — per the TYPE of each user's
+    FIRST-EVER event ((ts, event_id) order): users acquired through that
+    door, users RETAINED (any event ≥ ``horizon_days`` after their
+    first), and the retention permille — WHICH DOOR BRINGS USERS WHO
+    STAY, the acquisition-quality read the first-touch boards stop
+    short of (E74 names the first source per user, E102 times
+    adoption, E113 compares first vs primary TYPE; E207 attaches the
+    OUTCOME: a door with heavy volume and bottom-decile retention is
+    buying tourists, and the per-door permille is the number growth
+    spend is actually graded on).  One row per door with ≥ 1 acquired
+    user; exact int64 (per-user first-row row_number + lifespan
+    threshold + permille oracle).
+
+    Scale shape — E191's narrow exchange: per user-hash partition one
+    lexsort; the first event's type reads off each group head, the
+    lifespan off head/tail timestamps; ≤ |types| partials; k=1 merge.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ty": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "nr": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, y2 = uu[order], tt[order], ty[order]
+        head = np.empty(len(order), dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        starts = np.flatnonzero(head)
+        lasts = np.append(starts[1:], len(order)) - 1
+        door = y2[starts]
+        retained = (
+            t2[lasts] - t2[starts] >= horizon_days * 86_400_000_000
+        )
+        nu = np.bincount(door, minlength=nt)
+        nr = np.bincount(door[retained], minlength=nt)
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "ty": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+                "nr": pa.array(nr[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(nt, np.int64)
+        nr = np.zeros(nt, np.int64)
+        if t.num_rows:
+            y = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, y,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nr, y,
+                t["nr"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "door_type": pc.take(srcs, pa.array(live)),
+                "n_users": pa.array(nu[live]),
+                "n_retained": pa.array(nr[live]),
+                "retention_permille": pa.array(
+                    1000 * nr[live] // np.maximum(nu[live], 1)
+                ),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "ty", merge, k=1)

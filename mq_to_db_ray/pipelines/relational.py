@@ -20161,3 +20161,193 @@ def trade_distance_latency(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "orders"),
     )
     return hash_partition_merge(banded, "cls", merge, k=1)
+
+
+def supplier_spread_bands(sf_dir: str) -> Dataset:
+    """R140: supplier latency-spread bands — per supplier with ≥ 2
+    lines, compute the RANGE of their floor-day ship latencies (max −
+    min of shipdate − orderdate over every line they ever shipped) and
+    histogram suppliers per bit-length band of that range (band 0 =
+    perfectly consistent — every line took exactly as long): suppliers
+    and lines per band — delivery CONSISTENCY as a population read
+    (R61 blames the one late supplier per order, R57 spreads within
+    one ORDER, R87 drifts the mean over years; R140 asks how the
+    supplier base distributes between metronomes and lotteries — the
+    procurement-risk histogram an SLA policy is written against).
+    One row per occupied band; exact int64 (orderkey join + per-
+    supplier max/min latency + HAVING ≥ 2 + length(bin) oracle).
+
+    Scale shape — TWO narrow exchanges, both pre-reduced: (1) orderkey
+    hop — lineitem (ok, suppkey, ship-day) cells meet the orders dim,
+    emitting per-(supplier) PARTIAL (min-lat, max-lat, n) rows per
+    partition; (2) suppkey hop — partials combine with min/max/sum
+    scatters, the band is one vectorized frexp on the range, and the
+    partition collapses to a ≤ 64-row grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def o_dim(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "sk": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "d": pa.array(od, pa.int64()),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def l_fact(b: pa.Table) -> pa.Table:
+        sd = (
+            b["l_shipdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b["l_orderkey"], pa.int64()),
+                "sk": pc.cast(b["l_suppkey"], pa.int64()),
+                "d": pa.array(sd, pa.int64()),
+                "n": pa.array(np.ones(len(sd), np.int64)),
+            }
+        )
+        g = t.group_by(["k", "sk", "d"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["k", "sk", "d", "n"])
+
+    def fold1(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        skc = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = skc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = d["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dd_s = dk[o], dd[o]
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fsk = skc[~is_dim]
+        fd = f["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = f["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        lat = fd[hit] - dd_s[pos][hit]
+        sk2 = fsk[hit]
+        n = fn[hit]
+        usk, inv = np.unique(sk2, return_inverse=True)
+        mn = np.full(len(usk), np.int64(2**62))
+        mx = np.full(len(usk), np.int64(-(2**62)))
+        np.minimum.at(mn, inv, lat)
+        np.maximum.at(mx, inv, lat)
+        nn = np.zeros(len(usk), np.int64)
+        np.add.at(nn, inv, n)
+        return pa.table(
+            {
+                "k": pa.array(usk),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+                "n": pa.array(nn),
+            }
+        )
+
+    def fold2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "nl": pa.array([], pa.int64()),
+                }
+            )
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn_c = t["mn"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx_c = t["mx"].combine_chunks().to_numpy(zero_copy_only=False)
+        nc = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        usk, inv = np.unique(kk, return_inverse=True)
+        mn = np.full(len(usk), np.int64(2**62))
+        mx = np.full(len(usk), np.int64(-(2**62)))
+        nn = np.zeros(len(usk), np.int64)
+        np.minimum.at(mn, inv, mn_c)
+        np.maximum.at(mx, inv, mx_c)
+        np.add.at(nn, inv, nc)
+        elig = nn >= 2
+        rng = (mx - mn)[elig]
+        band = np.where(
+            rng == 0, 0,
+            np.frexp(rng.astype(np.float64))[1].astype(np.int64),
+        )
+        grid_s = np.zeros(64, np.int64)
+        grid_l = np.zeros(64, np.int64)
+        np.add.at(grid_s, np.minimum(band, 63), 1)
+        np.add.at(grid_l, np.minimum(band, 63), nn[elig])
+        live = np.flatnonzero(grid_s)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "ns": pa.array(grid_s[live]),
+                "nl": pa.array(grid_l[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid_s = np.zeros(64, np.int64)
+        grid_l = np.zeros(64, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid_s, bb,
+                t["ns"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                grid_l, bb,
+                t["nl"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(grid_s)
+        return pa.table(
+            {
+                "spread_band": pa.array(live.astype(np.int64)),
+                "n_suppliers": pa.array(grid_s[live]),
+                "n_lines": pa.array(grid_l[live]),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(l_fact, batch_format="pyarrow").union(
+            orders.map_batches(o_dim, batch_format="pyarrow")
+        ),
+        "k",
+        fold1,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    banded = hash_partition_merge(
+        cells, "k", fold2, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(banded, "band", merge, k=1)

@@ -21540,3 +21540,86 @@ def embedding_exact_dups(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold, k=64)
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def chunk_shingle_loss(sf_dir: str) -> Dataset:
+    """T213: chunk shingle-loss curve — for each candidate chunk length
+    L ∈ {32, 64, 128, 256}: total 3-word shingles in the corpus and
+    shingles a hard split at L-word boundaries would SEVER (a shingle
+    starting at 0-based position p is severed when p // L ≠
+    (p + 2) // L), with the loss permille — the INFORMATION cost of
+    chunking that completes T123's accounting (T123 prices pad-waste
+    in TOKENS; T213 prices the n-gram evidence destroyed at the cuts —
+    the quantity shingle-based dedup, retrieval indexing and any
+    overlap-free context split actually lose; the two curves bracket
+    the chunk-length decision from both sides).  One row per L ALWAYS;
+    exact int64 (integer-divide boundary predicate + per-L sums
+    oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: per batch, shingle counts
+    fall out of the document length vector alone (max(nw − 2, 0) per
+    doc) and severed counts out of a closed-form count of boundary-
+    straddling positions per doc (no per-shingle materialization at
+    all — 2 positions straddle each interior cut); each batch
+    collapses to 4 partial rows; the k=1 merge folds them."""
+    from ..stages.shuffle import hash_partition_merge
+
+    LS = np.array([32, 64, 128, 256], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sh = np.maximum(nw - 2, 0)
+        total = int(sh.sum())
+        out_l, out_t, out_s = [], [], []
+        for L in LS:
+            # a shingle starting at 0-based p (p ≤ nw-3) is severed iff a
+            # multiple of L lies in [p+1, p+2]; counting by the multiples
+            # instead of the shingles gives the closed form
+            #   severed(nw) = (nw-2)//L  +  (nw-1)//L      (nw ≥ 3)
+            # (each cut c = kL severs start c-1 iff c ≤ nw-2 and start
+            # c-2 iff c ≤ nw-1; the two start sets never overlap for
+            # L ≥ 2)
+            has = nw >= 3
+            sev = np.where(has, (nw - 2) // L, 0) + np.where(
+                has, (nw - 1) // L, 0
+            )
+            out_l.append(int(L))
+            out_t.append(total)
+            out_s.append(int(sev.sum()))
+        return pa.table(
+            {
+                "L": pa.array(out_l, pa.int64()),
+                "t": pa.array(out_t, pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ls = t["L"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        ss = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.zeros(len(LS), np.int64)
+        sev = np.zeros(len(LS), np.int64)
+        idx = np.searchsorted(LS, ls)
+        np.add.at(tot, idx, tt)
+        np.add.at(sev, idx, ss)
+        return pa.table(
+            {
+                "chunk_len": pa.array(LS),
+                "n_shingles": pa.array(tot),
+                "n_severed": pa.array(sev),
+                "severed_permille": pa.array(
+                    1000 * sev // np.maximum(tot, 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "L", merge, k=1)
