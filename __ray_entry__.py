@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_drawdown(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_drawdown
+
+    return events_drawdown(sf_dir)
+
+
 def _q_events_door_retention(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_door_retention
 
@@ -2352,6 +2358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_door_retention": _q_events_door_retention,
         "doc_chunk_shingle_loss": td.chunk_shingle_loss,
         "rel_supplier_spread_bands": rel.supplier_spread_bands,
+        # --- wave 161 ---
+        "events_drawdown": _q_events_drawdown,
+        "doc_vocab_age_profile": td.vocab_age_profile,
+        "rel_double_booking": rel.double_booking,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -2994,6 +3004,52 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_drawdown": """
+            WITH d AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT source, n,
+                         max(n) OVER (PARTITION BY source ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS rm
+                  FROM d)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(max(rm) AS BIGINT) AS peak_day_events,
+                   CAST(max(rm - n) AS BIGINT) AS max_drawdown
+            FROM r GROUP BY 1
+        """,
+        "doc_vocab_age_profile": """
+            WITH tok AS (SELECT DISTINCT doc_id, source,
+                                unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            fw AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+            nt AS (SELECT count(*) AS n FROM documents),
+            cells AS (SELECT DISTINCT t.source, t.w FROM tok t),
+            cls AS (SELECT c.source,
+                           LEAST(10 * fw.fd // (SELECT n FROM nt), 9)
+                               AS dec
+                    FROM cells c JOIN fw ON fw.w = c.w)
+            SELECT source, CAST(dec AS BIGINT) AS age_decile,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM cls GROUP BY 1, 2
+        """,
+        "rel_double_booking": """
+            WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n
+                       FROM orders
+                       GROUP BY o_custkey,
+                                epoch_us(o_orderdate) // 86400000000,
+                                CAST(floor(100 * o_totalprice) AS BIGINT))
+            SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_groups,
+                   CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_doubled,
+                   CAST(1000 * sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                        // greatest(sum(n), 1) AS BIGINT)
+                       AS doubled_permille,
+                   CAST(max(n) AS BIGINT) AS max_multiplicity
+            FROM g
         """,
         "events_door_retention": """
             WITH o AS (SELECT user_id, event_type,

@@ -801,6 +801,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_door_retention",
         "doc_chunk_shingle_loss",
         "rel_supplier_spread_bands",
+        "events_drawdown",
+        "doc_vocab_age_profile",
+        "rel_double_booking",
     ]
     out: dict[str, float] = {}
     for name in names:

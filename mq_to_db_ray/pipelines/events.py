@@ -20619,3 +20619,131 @@ def events_door_retention(sf_dir: str, horizon_days: int = 28) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "ty", merge, k=1)
+
+
+def events_drawdown(sf_dir: str) -> Dataset:
+    """E208: volume drawdown board — per source, over the DAILY total
+    series in calendar order: active days, the peak day's total, and
+    the MAXIMUM DRAWDOWN (the largest value of running-peak − today
+    over the series) — the finance read applied to traffic (E97/E172
+    fit drift LINES, E37's CUSUM pings level shifts as they happen;
+    E208 scores the worst sustained collapse in one number: a source
+    whose drawdown ≈ its peak died at some point — the
+    silent-deprecation signature — while a drawdown ≪ peak never lost
+    its audience even across E44's anomalies).  One dense row per
+    source ALWAYS; exact int64 (daily GROUP BY + running max window +
+    max difference oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED (source, day, n)
+    cells (batches collapse with one packed np.unique; the exchange
+    carries DAYS, not events): the SOURCE-hash fold holds a source's
+    whole daily series — bounded by the calendar, thousands of rows at
+    any corpus size — combines cells, sorts once by day, and takes one
+    cummax pass; k=1 densifying merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        packed, cnt = np.unique(day * ns + code, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(packed % ns),
+                "day": pa.array(packed // ns),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "peak": pa.array([], pa.int64()),
+                    "dd": pa.array([], pa.int64()),
+                }
+            )
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        # combine cells, then walk each source's day-ordered series
+        key = src * (1 << 40) + day  # days << 2**40 for any horizon
+        packed, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(packed), np.int64)
+        np.add.at(tot, inv, nn)
+        src_u = packed >> 40
+        head = np.empty(len(packed), dtype=bool)
+        head[0] = True
+        head[1:] = src_u[1:] != src_u[:-1]
+        # running max per source segment (the segment loop is bounded by
+        # |sources| in this partition, not by data)
+        run = tot.copy()
+        starts = np.flatnonzero(head)
+        for s, e in zip(starts, np.append(starts[1:], len(tot))):
+            run[s:e] = np.maximum.accumulate(tot[s:e])
+        dd_all = run - tot
+        nd = np.diff(np.append(starts, len(tot)))
+        peak = np.maximum.reduceat(tot, starts)
+        dd = np.maximum.reduceat(dd_all, starts)
+        return pa.table(
+            {
+                "src": pa.array(src_u[starts].astype(np.int64)),
+                "nd": pa.array(nd.astype(np.int64)),
+                "peak": pa.array(peak),
+                "dd": pa.array(dd),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        peak = np.zeros(ns, np.int64)
+        dd = np.zeros(ns, np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nd, src,
+                t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.maximum.at(
+                peak, src,
+                t["peak"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.maximum.at(
+                dd, src,
+                t["dd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live)),
+                "n_days": pa.array(nd[live]),
+                "peak_day_events": pa.array(peak[live]),
+                "max_drawdown": pa.array(dd[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "src", fold, k=max(ns, 1))
+    return hash_partition_merge(cells, "src", merge, k=1)

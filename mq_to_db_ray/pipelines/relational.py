@@ -20351,3 +20351,114 @@ def supplier_spread_bands(sf_dir: str) -> Dataset:
         cells, "k", fold2, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(banded, "band", merge, k=1)
+
+
+def double_booking(sf_dir: str) -> Dataset:
+    """R141: double-booking audit — group orders by FULL BUSINESS
+    identity (custkey, order date, floor-cent total price) and report
+    one corpus row: orders, suspect groups (multiplicity ≥ 2), orders
+    inside them, the doubled permille, and the worst multiplicity —
+    the ERP retry/duplicate-submission detector (R90's integrity audit
+    checks REFERENCES, E202 runs this test on the EVENT stream; a
+    customer 'placing' the same-value order twice on one day under two
+    orderkeys is either a real repeat purchase — rare at identical
+    cents — or a gateway retry that will double-ship unless caught,
+    and the permille bounds the revenue double-count in the R1-family
+    boards).  Exactly one row ALWAYS; exact int64 (3-key GROUP BY +
+    CASE-sum + max oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED (custkey, day,
+    cent, n) cells (Arrow group_by per batch); the custkey-hash
+    partition holds every cell of a group, re-combines cross-batch
+    copies, and collapses to FOUR integers; k=1 merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        cent = np.floor(
+            100.0
+            * b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(day, pa.int64()),
+                "c": pa.array(cent),
+                "n": pa.array(np.ones(len(day), np.int64)),
+            }
+        )
+        g = t.group_by(["k", "d", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["k", "d", "c", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "ng": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["k", "d", "c"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        n = g["n_sum" if "n_sum" in g.column_names else "n"]
+        n = n.combine_chunks().to_numpy(zero_copy_only=False)
+        dup = n >= 2
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "no": pa.array([int(n.sum())], pa.int64()),
+                "ng": pa.array([int(dup.sum())], pa.int64()),
+                "nd": pa.array([int(n[dup].sum())], pa.int64()),
+                "mx": pa.array([int(n.max())], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        tot = {c: 0 for c in ("no", "ng", "nd")}
+        mx = 0
+        if t.num_rows:
+            for c in tot:
+                tot[c] = int(
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).sum()
+                )
+            mx = int(
+                t["mx"].combine_chunks().to_numpy(zero_copy_only=False).max()
+            )
+        return pa.table(
+            {
+                "n_orders": pa.array([tot["no"]], pa.int64()),
+                "n_dup_groups": pa.array([tot["ng"]], pa.int64()),
+                "n_doubled": pa.array([tot["nd"]], pa.int64()),
+                "doubled_permille": pa.array(
+                    [1000 * tot["nd"] // max(tot["no"], 1)], pa.int64()
+                ),
+                "max_multiplicity": pa.array([mx], pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "g", merge, k=1)

@@ -21623,3 +21623,158 @@ def chunk_shingle_loss(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "L", merge, k=1)
+
+
+def vocab_age_profile(sf_dir: str) -> Dataset:
+    """T214: vocabulary-age profile — classify every word type by the
+    INGESTION-ORDER DECILE of its corpus-wide first appearance
+    (decile = 10·min_doc_id // N over the N dense doc_ids, clamped to
+    9) and count, per (source, age decile): the source's distinct
+    types in that decile — does a source speak OLD or NEW vocabulary,
+    the age-mix read that inverts T64 (T64 credits each source with
+    the types it INTRODUCES; T214 profiles each source's whole lexicon
+    by WHEN the corpus first saw its words: a late-crawled source
+    whose vocabulary is all decile-0 words adds volume, not language —
+    exactly the redundancy a dedup pass cannot see because the DOCS
+    are new; T159 draws the corpus-level introduction curve with no
+    source axis).  One row per occupied (source, decile) cell; exact
+    int64 (per-word min(doc_id) + decile divide + per-source distinct
+    count oracle).
+
+    Scale shape — T203's word-hash exchange with a decile finish: each
+    word's partition knows the word's corpus-min doc_id AND every
+    source carrying it, so the (source, decile) cell increments settle
+    locally and collapse IN PLACE to a ≤ sources × 10 grid; k=1
+    densifying merge.  The corpus doc count ships as one broadcast
+    integer (parquet footer math); word strings die in the
+    partition."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        n_docs = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_docs = pq.ParquetFile(path).metadata.num_rows
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        scode = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (word, source) cells + per-word batch-min doc
+        key = codes * ns + scode[parent]
+        order = np.argsort(key, kind="stable")
+        k2 = key[order]
+        d2 = did[parent][order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(head)
+        # min doc per (word, source) cell
+        mn = np.minimum.reduceat(d2, starts) if len(starts) else d2[:0]
+        ku = k2[starts]
+        g = pa.table(
+            {
+                "w": pc.take(enc.dictionary, pa.array(ku // ns)),
+                "src": pa.array(ku % ns),
+                "mn": pa.array(mn),
+            }
+        )
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "mn": g["mn"],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dec": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = t["mn"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        # the word's corpus-min doc over all its cells
+        wmin = np.full(nw, np.int64(2**62))
+        np.minimum.at(wmin, wid, mn)
+        dec = np.minimum(10 * wmin // max(n_docs, 1), 9)
+        # distinct (word, source) pairs -> cell counts
+        pair = np.unique(wid * ns + src)
+        cell = dec[pair // ns] * ns + pair % ns
+        grid = np.zeros(10 * ns, np.int64)
+        np.add.at(grid, cell, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "src": pa.array(live % ns),
+                "dec": pa.array(live // ns),
+                "n": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(10 * ns, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dec"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(grid, d * ns + s, n)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live % ns)),
+                "age_decile": pa.array((live // ns).astype(np.int64)),
+                "n_types": pa.array(grid[live]),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    cells = hash_partition_merge(partials, "h", fold)
+    return hash_partition_merge(cells, "dec", merge, k=1)
