@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_clock_migration(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_clock_migration
+
+    return events_clock_migration(sf_dir)
+
+
 def _q_events_drawdown(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_drawdown
 
@@ -2362,6 +2368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drawdown": _q_events_drawdown,
         "doc_vocab_age_profile": td.vocab_age_profile,
         "rel_double_booking": rel.double_booking,
+        # --- wave 162 ---
+        "events_clock_migration": _q_events_clock_migration,
+        "embedding_deadzone": td.embedding_deadzone,
+        "rel_cohort_value": rel.cohort_value,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3004,6 +3014,75 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_clock_migration": """
+            WITH o AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 % 24 // 6 AS band,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events),
+            c AS (SELECT user_id,
+                         CASE WHEN rn <= n // 2 THEN 0 ELSE 1 END AS half,
+                         band, CAST(count(*) AS BIGINT) AS cnt
+                  FROM o WHERE n >= 2 GROUP BY 1, 2, 3),
+            m AS (SELECT user_id, half, band FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, half
+                        ORDER BY cnt DESC, band ASC) AS rb FROM c)
+                  WHERE rb = 1),
+            p AS (SELECT a.band AS eb, b.band AS lb
+                  FROM m a JOIN m b ON b.user_id = a.user_id
+                  WHERE a.half = 0 AND b.half = 1)
+            SELECT CAST(eb AS BIGINT) AS early_band,
+                   CAST(lb AS BIGINT) AS late_band,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1, 2
+        """,
+        "embedding_deadzone": """
+            WITH u AS (SELECT unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings)
+            SELECT CAST(i AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero,
+                   CAST(sum(CASE WHEN x <> 0
+                                 AND floor(1000 * abs(CAST(x AS DOUBLE)))
+                                     = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deadzone,
+                   CAST(1000 * sum(CASE WHEN x <> 0
+                                        AND floor(1000
+                                            * abs(CAST(x AS DOUBLE))) = 0
+                                        THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS deadzone_permille
+            FROM u GROUP BY 1
+        """,
+        "rel_cohort_value": """
+            WITH o AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000 AS d,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v
+                       FROM orders),
+            w AS (SELECT o_custkey, min(d) AS fd,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM o GROUP BY 1),
+            fy AS (SELECT o.o_custkey,
+                          CAST(sum(CASE WHEN o.d <= w.fd + 365
+                                        THEN o.v ELSE 0 END) AS BIGINT)
+                              AS fyv
+                   FROM o JOIN w ON w.o_custkey = o.o_custkey
+                   GROUP BY 1),
+            b AS (SELECT year(make_timestamp(w.fd * 86400000000)) AS yr,
+                         c.c_mktsegment, w.n, fy.fyv
+                  FROM w JOIN fy USING (o_custkey)
+                        JOIN customer c ON c.c_custkey = w.o_custkey)
+            SELECT CAST(yr AS BIGINT) AS cohort_year, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(sum(fyv) AS BIGINT) AS first_year_value
+            FROM b GROUP BY 1, 2
         """,
         "events_drawdown": """
             WITH d AS (SELECT event_type AS source,

@@ -804,6 +804,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_drawdown",
         "doc_vocab_age_profile",
         "rel_double_booking",
+        "events_clock_migration",
+        "embedding_deadzone",
+        "rel_cohort_value",
     ]
     out: dict[str, float] = {}
     for name in names:

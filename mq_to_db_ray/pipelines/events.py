@@ -20747,3 +20747,110 @@ def events_drawdown(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "src", fold, k=max(ns, 1))
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def events_clock_migration(sf_dir: str) -> Dataset:
+    """E209: circadian migration matrix — split every user's (≥ 2
+    events) lifetime at its count midpoint; in each half find the
+    user's MODAL 6-hour day-part (0 = 00-06, 1 = 06-12, 2 = 12-18,
+    3 = 18-24; ties → the smaller band) and count users per
+    (early_band, late_band) cell — DO USERS DRIFT AROUND THE CLOCK,
+    the within-account circadian read the static clocks cannot show
+    (E110 names each user's lifetime modal hour, E52 the source
+    heatmap; E209's off-diagonal is the population whose daily slot
+    CHANGED — the job-change / timezone-move / shift-work signal, and
+    a systematic drift toward band 3 is the engagement-decay-into-
+    evenings pattern growth teams watch for).  One row per occupied
+    cell (≤ 16); exact int64 (row_number half split + per-(user, half,
+    band) count + modal row_number + matrix GROUP BY oracle).
+
+    Scale shape — E191's narrow exchange: per user-hash partition one
+    lexsort, per-user positions by cumsum-offset subtraction, the
+    (user, half, band) counts via ONE bincount on a packed key, both
+    modal picks via grid argmax over 4 lanes; ≤ 16 partials; k=1
+    merge.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2 = uu[order], tt[order]
+        nrow = len(order)
+        head = np.empty(nrow, dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        sid = np.cumsum(head) - 1
+        starts = np.flatnonzero(head)
+        n_ev = np.diff(starts, append=nrow)
+        pos = np.arange(nrow, dtype=np.int64) - starts[sid]
+        half = (pos >= (n_ev // 2)[sid]).astype(np.int64)
+        band = t2 // HOUR_US % 24 // 6
+        nu_users = len(starts)
+        counts = np.zeros(nu_users * 8, np.int64)
+        np.add.at(counts, sid * 8 + half * 4 + band, 1)
+        c2 = counts.reshape(nu_users, 2, 4)
+        eb = c2[:, 0, :].argmax(axis=1)
+        lb = c2[:, 1, :].argmax(axis=1)
+        elig = n_ev >= 2
+        cell = eb[elig] * 4 + lb[elig]
+        grid = np.zeros(16, np.int64)
+        np.add.at(grid, cell, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nu": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(16, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid, cell,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "early_band": pa.array((live // 4).astype(np.int64)),
+                "late_band": pa.array((live % 4).astype(np.int64)),
+                "n_users": pa.array(grid[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)

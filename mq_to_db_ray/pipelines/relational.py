@@ -20462,3 +20462,196 @@ def double_booking(sf_dir: str) -> Dataset:
         partials, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def cohort_value(sf_dir: str) -> Dataset:
+    """R142: cohort first-year value — per (first-order YEAR, market
+    segment): customers ACQUIRED that year (their first order falls in
+    it), their lifetime orders, and the exact floored value of the
+    orders placed within 365 days of each customer's first — the
+    cohort-LTV base table (R48 tracks cohort REPURCHASE rates, R103
+    first-order VALUE alone, R114 reactivation; R142 gives the
+    first-year revenue per acquisition cohort × segment — the
+    numerator of every CAC-payback metric, exact and re-derivable
+    instead of a BI export).  One row per occupied (year, segment)
+    cell; exact int64 (per-customer min date + 365-day window +
+    two-key GROUP BY oracle; money floors per order).
+
+    Scale shape — R124's custkey co-partition: order batches pre-reduce
+    per custkey... the 365-day window needs each ORDER's distance to
+    the customer's first day, so order cells ship (custkey, day,
+    value, n) pre-grouped per (custkey, day); the custkey fold finds
+    the first day, sums the windowed value with one vectorized
+    compare, attaches the segment by searchsorted, and collapses IN
+    PLACE to a ≤ years × segments grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nsg = len(segs)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        neg = np.full(b.num_rows, -1, np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "d": pa.array(neg),
+                "v": pa.array(sg.astype(np.int64)),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "d": pa.array(day, pa.int64()),
+                "v": pa.array(rv),
+                "n": pa.array(np.ones(len(rv), np.int64)),
+            }
+        )
+        g = t.group_by(["k", "d"], use_threads=False).aggregate(
+            [("v", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["k", "d", "v", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "no": pa.array([], pa.int64()),
+                "fy": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        dc = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = dc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by(["k", "d"], use_threads=False).aggregate(
+            [("v", "sum"), ("n", "sum")]
+        )
+        fg = fg.rename_columns(["k", "d", "v", "n"])
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fd = fg["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        fv = fg["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = fg["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((fd, fk))
+        k2, d2, v2, n2 = fk[order], fd[order], fv[order], fn[order]
+        head = np.empty(len(k2), dtype=bool)
+        head[0] = True
+        head[1:] = k2[1:] != k2[:-1]
+        sid = np.cumsum(head) - 1
+        starts = np.flatnonzero(head)
+        first = d2[starts]
+        inwin = d2 <= first[sid] + 365
+        fy = np.zeros(len(starts), np.int64)
+        np.add.at(fy, sid[inwin], v2[inwin])
+        no = np.add.reduceat(n2, starts)
+        ck = k2[starts]
+        yr = (
+            first.astype("datetime64[D]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dsg = d["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dsg_s = dk[o], dsg[o]
+        pos = np.clip(np.searchsorted(dk_s, ck), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == ck
+        seg = dsg_s[pos][hit]
+        yb = yr[hit] - 1970
+        cell = yb * nsg + seg
+        W = int(cell.max()) + 1 if len(cell) else 1
+        g_nc = np.zeros(W, np.int64)
+        g_no = np.zeros(W, np.int64)
+        g_fy = np.zeros(W, np.int64)
+        np.add.at(g_nc, cell, 1)
+        np.add.at(g_no, cell, no[hit])
+        np.add.at(g_fy, cell, fy[hit])
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nc": pa.array(g_nc[live]),
+                "no": pa.array(g_no[live]),
+                "fy": pa.array(g_fy[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_year": pa.array([], pa.int64()),
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "first_year_value": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        W = int(cell.max()) + 1
+        g_nc = np.zeros(W, np.int64)
+        g_no = np.zeros(W, np.int64)
+        g_fy = np.zeros(W, np.int64)
+        for acc, col in ((g_nc, "nc"), (g_no, "no"), (g_fy, "fy")):
+            np.add.at(
+                acc, cell,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cohort_year": pa.array(
+                    (live // nsg + 1970).astype(np.int64)
+                ),
+                "c_mktsegment": pc.take(segs, pa.array(live % nsg)),
+                "n_customers": pa.array(g_nc[live]),
+                "n_orders": pa.array(g_no[live]),
+                "first_year_value": pa.array(g_fy[live]),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -21778,3 +21778,92 @@ def vocab_age_profile(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold)
     return hash_partition_merge(cells, "dec", merge, k=1)
+
+
+def embedding_deadzone(sf_dir: str) -> Dataset:
+    """T215: quantization dead-zone census — per 1-based dimension:
+    components, EXACT zeros, and NEAR-ZERO components (nonzero but
+    floor(1000·|x|) = 0 — the values the repo's 1/1000 integer
+    quantization collapses to nothing), with the dead-zone permille —
+    the quantization-safety audit for every integer-quantized consumer
+    (T78's norms, T209's centroids and any int8-style compression all
+    floor at the same scale; T193 counts EXACT zeros only: a dimension
+    whose mass hides inside (0, 0.001) reads as dead to the quantized
+    pipeline while carrying live signal — the silent-truncation bug
+    class).  One row per dimension ALWAYS; exact int64 (unnest +
+    generate_subscripts + CASE census oracle, float compares and ONE
+    floor only).
+
+    Scale shape — ZERO wide exchange: (n, d) reshape per batch, two
+    vectorized masks, three bincounts to a d-row partial; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nz": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        zero = m == 0.0
+        dead = (~zero) & (np.floor(1000.0 * np.abs(m)) == 0)
+        dims = np.arange(1, d + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims),
+                "nc": pa.array(np.full(d, n, np.int64)),
+                "nz": pa.array(zero.sum(axis=0).astype(np.int64)),
+                "nd": pa.array(dead.sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_components": pa.array([], pa.int64()),
+                    "n_zero": pa.array([], pa.int64()),
+                    "n_deadzone": pa.array([], pa.int64()),
+                    "deadzone_permille": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dim", use_threads=False).aggregate(
+            [("nc", "sum"), ("nz", "sum"), ("nd", "sum")]
+        )
+        nc = g["nc_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = g["nd_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "n_components": pc.cast(g["nc_sum"], pa.int64()),
+                "n_zero": pc.cast(g["nz_sum"], pa.int64()),
+                "n_deadzone": pc.cast(g["nd_sum"], pa.int64()),
+                "deadzone_permille": pa.array(
+                    1000 * nd // np.maximum(nc, 1)
+                ),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
