@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_top_users(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_top_users
+
+    return events_top_users(sf_dir)
+
+
 def _q_events_clock_migration(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_clock_migration
 
@@ -2372,6 +2378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_clock_migration": _q_events_clock_migration,
         "embedding_deadzone": td.embedding_deadzone,
         "rel_cohort_value": rel.cohort_value,
+        # --- wave 163 ---
+        "events_top_users": _q_events_top_users,
+        "doc_sample_audit": td.sample_audit,
+        "rel_acquisition_seasonality": rel.acquisition_seasonality,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3014,6 +3024,57 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_top_users": """
+            WITH u AS (SELECT event_type AS source, user_id,
+                              CAST(sum(CAST(floor(value) AS BIGINT))
+                                   AS BIGINT) AS v
+                       FROM events GROUP BY 1, 2)
+            SELECT source, CAST(rank AS BIGINT) AS rank, user_id,
+                   v AS value_floor
+            FROM (SELECT source, user_id, v,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY v DESC, user_id ASC) AS rank
+                  FROM u)
+            WHERE rank <= 3
+        """,
+        "doc_sample_audit": """
+            WITH d AS (SELECT source,
+                              CAST(len(str_split(text, ' ')) AS BIGINT)
+                                  AS ntok,
+                              CASE WHEN doc_id % 64 = 0
+                                   THEN 1 ELSE 0 END AS insl
+                       FROM documents),
+            a AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(insl) AS BIGINT) AS n_sampled,
+                         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                         CAST(64 * sum(insl * ntok) AS BIGINT)
+                             AS est_tokens
+                  FROM d GROUP BY 1)
+            SELECT source, n_docs, n_sampled, n_tokens, est_tokens,
+                   CAST(1000 * abs(est_tokens - n_tokens)
+                        // greatest(n_tokens, 1) AS BIGINT)
+                       AS err_permille
+            FROM a
+        """,
+        "rel_acquisition_seasonality": """
+            WITH o AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000 AS d,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v
+                       FROM orders),
+            f AS (SELECT o_custkey,
+                         min(d * 1099511627776 + v) AS p
+                  FROM o GROUP BY 1),
+            b AS (SELECT month(make_timestamp(
+                             (p // 1099511627776) * 86400000000)) AS m,
+                         p % 1099511627776 AS fv,
+                         c.c_mktsegment
+                  FROM f JOIN customer c ON c.c_custkey = f.o_custkey)
+            SELECT CAST(m AS BIGINT) AS acq_month, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(fv) AS BIGINT) AS first_order_value
+            FROM b GROUP BY 1, 2
         """,
         "events_clock_migration": """
             WITH o AS (

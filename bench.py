@@ -807,6 +807,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_clock_migration",
         "embedding_deadzone",
         "rel_cohort_value",
+        "events_top_users",
+        "doc_sample_audit",
+        "rel_acquisition_seasonality",
     ]
     out: dict[str, float] = {}
     for name in names:

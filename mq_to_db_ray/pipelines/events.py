@@ -20854,3 +20854,82 @@ def events_clock_migration(sf_dir: str) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def events_top_users(sf_dir: str, kk: int = 3) -> Dataset:
+    """E210: per-source top-value users — for each source the top
+    ``kk`` users by LIFETIME floored-value total (ties → the lower
+    user_id), with 1-based ranks — grouped record RETRIEVAL at the
+    account grain (E89 retrieves the single hottest EVENT, E121 the
+    busiest user-minutes, E126-family boards aggregate the whale mass
+    away; E210 names the whales per feed — the rows an account team
+    actually opens — through the same two-phase grouped top-k the
+    engine uses everywhere a full sort would be wasted).  ≤ kk rows
+    per source; exact int64 (per-user SUM + row_number ≤ kk oracle).
+
+    Scale shape — ONE user-hash exchange of PRE-REDUCED (source, user,
+    Σv) cells (batches collapse with one Arrow group_by; each user's
+    exact total settles in their partition), then
+    ``stages.shuffle.grouped_topk`` — the per-batch combiner keeps at
+    most kk candidate rows per source, so the second exchange carries
+    O(partitions × sources × kk) rows, never the user table."""
+    from ..stages.shuffle import grouped_topk, hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "u": pc.cast(b["user_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+            }
+        )
+        g = t.group_by(["src", "u"], use_threads=False).aggregate(
+            [("v", "sum")]
+        )
+        return g.rename_columns(["src", "u", "v"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["src", "u"], use_threads=False).aggregate(
+            [("v", "sum")]
+        )
+        return g.rename_columns(["src", "u", "v"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = hash_partition_merge(
+        partials, "u", fold, k=_adaptive_k(sf_dir)
+    )
+    top = grouped_topk(totals, key="src", value="v", order_id="u", kk=kk)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": pc.take(
+                    srcs, pc.cast(b["src"], pa.int64())
+                ),
+                "rank": b["rank"],
+                "user_id": b["u"],
+                "value_floor": b["v"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")

@@ -20655,3 +20655,167 @@ def cohort_value(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def acquisition_seasonality(sf_dir: str) -> Dataset:
+    """R143: acquisition seasonality — per (calendar month 1-12 of each
+    customer's FIRST order, market segment): customers acquired and the
+    floored value of those first orders — WHEN new customers arrive,
+    the acquisition-calendar read the activity boards blur (R23 counts
+    customers ACTIVE per month — dominated by the existing base; R142
+    buckets cohorts by YEAR; R143 folds all years onto the month axis:
+    a segment acquired mostly in Q4 is a gifting franchise, and the
+    first-order value column says whether the seasonal door brings
+    big or small entry tickets).  One row per occupied (month,
+    segment) cell; exact int64 (per-customer min-date first order +
+    month extract + two-key GROUP BY oracle; the first order is unique
+    — min (date, value) pairs resolve by taking the value of the
+    min-date order with the LOWEST value on ties, mirrored in both
+    lanes).
+
+    Scale shape — R124's custkey co-partition: order batches pre-reduce
+    to per-custkey (min-day, value-at-min-day-min) partials (the
+    tie-broken first-order value is itself a min over (day, value)
+    pairs packed into one int64 — associative); the custkey fold
+    combines, extracts the month with vectorized datetime64 math,
+    attaches the segment, and collapses to a ≤ 12 × segments grid;
+    k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    segs = pa.array(
+        sorted(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+            ).unique("c_mktsegment")
+        ),
+        pa.string(),
+    )
+    nsg = len(segs)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    # pack (day, floored value) into one int64: day << 40 | value
+    # (values < 2**40; days < 2**23) so MIN picks min-day then min-value
+    SHIFT = 40
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        sg = (
+            pc.cast(pc.index_in(b["c_mktsegment"], value_set=segs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "p": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "seg": pa.array(sg.astype(np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "p": pa.array((day << SHIFT) | rv, pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("p", "min")])
+        g = g.rename_columns(["k", "p"])
+        return g.append_column(
+            "seg", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "p", "seg"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "fv": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("p", "min")])
+        fg = fg.rename_columns(["k", "p"])
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = fg["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = p >> SHIFT
+        fv = p & ((1 << SHIFT) - 1)
+        month = (
+            day.astype("datetime64[D]").astype("datetime64[M]")
+            .astype(np.int64)
+            % 12
+        ) + 1
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dsg = role[is_dim]
+        o = np.argsort(dk, kind="stable")
+        dk_s, dsg_s = dk[o], dsg[o]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        seg = dsg_s[pos][hit]
+        cell = (month[hit] - 1) * nsg + seg
+        g_nc = np.zeros(12 * nsg, np.int64)
+        g_fv = np.zeros(12 * nsg, np.int64)
+        np.add.at(g_nc, cell, 1)
+        np.add.at(g_fv, cell, fv[hit])
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nc": pa.array(g_nc[live]),
+                "fv": pa.array(g_fv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g_nc = np.zeros(12 * nsg, np.int64)
+        g_fv = np.zeros(12 * nsg, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                g_nc, cell,
+                t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                g_fv, cell,
+                t["fv"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "acq_month": pa.array((live // nsg + 1).astype(np.int64)),
+                "c_mktsegment": pc.take(segs, pa.array(live % nsg)),
+                "n_customers": pa.array(g_nc[live]),
+                "first_order_value": pa.array(g_fv[live]),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

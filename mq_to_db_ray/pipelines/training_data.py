@@ -21867,3 +21867,93 @@ def embedding_deadzone(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def sample_audit(sf_dir: str, mod: int = 64) -> Dataset:
+    """T216: corpus sampling-error audit — per source: documents, the
+    deterministic 1/``mod`` doc slice (doc_id % mod == 0), the true
+    whitespace-token total, the ``mod``×-scaled token estimate from the
+    slice alone, and the absolute permille error — the calibration
+    board that says whether doc-id sampling is safe for CORPUS stats
+    (every expensive board in this suite has a cheap sampled twin in
+    practice; E139 runs this audit on the EVENT stream by user slice;
+    T216 runs it where it matters for data work: a source whose error
+    blows up has doc-id-correlated length structure — striping,
+    sorted-by-size ingestion — and must not be sampled by id).  One
+    dense row per source ALWAYS; exact int64 (modulo slice +
+    CASE-scaled estimate + abs-diff permille oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: per batch two bincount
+    pairs (docs/tokens, full/sliced) onto a ≤ sources grid; k=1
+    merge forms the estimate and error."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        ntok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sc = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        insl = did % mod == 0
+        nd = np.bincount(sc, minlength=ns)
+        nds = np.bincount(sc[insl], minlength=ns)
+        tok = np.bincount(sc, weights=ntok, minlength=ns).astype(np.int64)
+        toks = np.bincount(
+            sc[insl], weights=ntok[insl], minlength=ns
+        ).astype(np.int64)
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live].astype(np.int64)),
+                "nds": pa.array(nds[live].astype(np.int64)),
+                "tok": pa.array(tok[live]),
+                "toks": pa.array(toks[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(ns, np.int64)
+        nds = np.zeros(ns, np.int64)
+        tok = np.zeros(ns, np.int64)
+        toks = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            for acc, col in (
+                (nd, "nd"), (nds, "nds"), (tok, "tok"), (toks, "toks")
+            ):
+                np.add.at(
+                    acc, s,
+                    t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                )
+        est = mod * toks
+        err = 1000 * np.abs(est - tok) // np.maximum(tok, 1)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(nd),
+                "n_sampled": pa.array(nds),
+                "n_tokens": pa.array(tok),
+                "est_tokens": pa.array(est),
+                "err_permille": pa.array(err),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "src", merge, k=1)
