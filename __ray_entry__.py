@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_phase_concentration(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_phase_concentration
+
+    return events_phase_concentration(sf_dir)
+
+
 def _q_events_top_users(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_top_users
 
@@ -2382,6 +2388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": _q_events_top_users,
         "doc_sample_audit": td.sample_audit,
         "rel_acquisition_seasonality": rel.acquisition_seasonality,
+        # --- wave 164 ---
+        "events_phase_concentration": _q_events_phase_concentration,
+        "embedding_overflow": td.embedding_overflow,
+        "rel_acquisition_geography": rel.acquisition_geography,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3024,6 +3034,50 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_phase_concentration": """
+            WITH m AS (SELECT event_type AS source,
+                              epoch_us(ts) // 60000000 % 1440 AS mod_min,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num,
+                   CAST(1000 * max(n) // greatest(sum(n), 1) AS BIGINT)
+                       AS peak_share_permille
+            FROM m GROUP BY 1
+        """,
+        "embedding_overflow": """
+            WITH u AS (SELECT unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings)
+            SELECT CAST(i AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(sum(CASE WHEN abs(CAST(x AS DOUBLE)) > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_over_unit,
+                   CAST(max(CAST(floor(1000 * abs(CAST(x AS DOUBLE)))
+                                 AS BIGINT)) AS BIGINT) AS max_q
+            FROM u GROUP BY 1
+        """,
+        "rel_acquisition_geography": """
+            WITH o AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000 AS d,
+                              CAST(floor(o_totalprice) AS BIGINT) AS v
+                       FROM orders),
+            f AS (SELECT o_custkey,
+                         min(d * 1099511627776 + v) AS p
+                  FROM o GROUP BY 1),
+            b AS (SELECT year(make_timestamp(
+                             (p // 1099511627776) * 86400000000)) AS yr,
+                         p % 1099511627776 AS fv,
+                         n.n_name
+                  FROM f JOIN customer c ON c.c_custkey = f.o_custkey
+                        JOIN nation n
+                            ON n.n_nationkey = c.c_nationkey)
+            SELECT n_name, CAST(yr AS BIGINT) AS cohort_year,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(fv) AS BIGINT) AS first_order_value
+            FROM b GROUP BY 1, 2
         """,
         "events_top_users": """
             WITH u AS (SELECT event_type AS source, user_id,

@@ -810,6 +810,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_top_users",
         "doc_sample_audit",
         "rel_acquisition_seasonality",
+        "events_phase_concentration",
+        "embedding_overflow",
+        "rel_acquisition_geography",
     ]
     out: dict[str, float] = {}
     for name in names:

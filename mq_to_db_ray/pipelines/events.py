@@ -20933,3 +20933,126 @@ def events_top_users(sf_dir: str, kk: int = 3) -> Dataset:
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def events_phase_concentration(sf_dir: str) -> Dataset:
+    """E211: daily-phase concentration — per source, over the 1440
+    minute-of-day cells: total events, the exact Simpson sufficient
+    statistic Σ_m n_m·(n_m − 1) over cell totals, and the peak cell's
+    share permille — HOW PEAKED is the daily profile as one number
+    (E30/E35 draw the profile, E93 quantiles its phase, E107 names the
+    hottest cell; E211 collapses the shape: the Simpson ratio
+    Σn(n−1)/(N(N−1)) is the probability two random events share a
+    minute-of-day — near 1/1440 for a flat feed, orders of magnitude
+    higher for a cron spike — and it is the E38/E70 statistic moved to
+    the PHASE axis).  One dense row per source ALWAYS; exact int64
+    (minute-of-day GROUP BY + Σn(n−1) + peak share oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce... almost: per-batch cells
+    are partial counts whose squares do NOT add, so the (source,
+    minute) cells take ONE narrow exchange keyed by MINUTE (1440-way,
+    skew-free) where exact totals settle; each partition re-reduces to
+    per-source (n, Σn(n−1), max) partials — max composes because a
+    minute's total lives in one partition; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    MIN_US = 60_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        mod = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // MIN_US
+            % 1440
+        )
+        packed, cnt = np.unique(mod * ns + code, return_counts=True)
+        return pa.table(
+            {
+                "m": pa.array(packed // ns),
+                "src": pa.array(packed % ns),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        mm = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed, inv = np.unique(mm * ns + src, return_inverse=True)
+        tot = np.zeros(len(packed), np.int64)
+        np.add.at(tot, inv, nn)
+        src_u = packed % ns
+        n = np.bincount(src_u, weights=tot, minlength=ns).astype(np.int64)
+        s2 = np.bincount(
+            src_u, weights=tot * (tot - 1), minlength=ns
+        ).astype(np.int64)
+        mx = np.zeros(ns, np.int64)
+        np.maximum.at(mx, src_u, tot)
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "n": pa.array(n[live]),
+                "s2": pa.array(s2[live]),
+                "mx": pa.array(mx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = np.zeros(ns, np.int64)
+        s2 = np.zeros(ns, np.int64)
+        mx = np.zeros(ns, np.int64)
+        if t.num_rows:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                n, src,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                s2, src,
+                t["s2"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.maximum.at(
+                mx, src,
+                t["mx"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(n)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live)),
+                "n_events": pa.array(n[live]),
+                "simpson_num": pa.array(s2[live]),
+                "peak_share_permille": pa.array(
+                    1000 * mx[live] // np.maximum(n[live], 1)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "m", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "src", merge, k=1)

@@ -20819,3 +20819,165 @@ def acquisition_seasonality(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def acquisition_geography(sf_dir: str) -> Dataset:
+    """R144: acquisition geography — per (nation, first-order YEAR):
+    customers whose FIRST order falls in that year and the floored
+    value of those first orders — WHERE growth comes from over time,
+    the geographic cohort map (R77 maps the static registry, R23/R142
+    cohort by segment or activity; R144 crosses the acquisition clock
+    with the map: a nation whose cohorts shrink year over year is a
+    market going dark while the static registry still shows it big).
+    One row per occupied (nation, year) cell; exact int64 (per-customer
+    packed min-(day, value) first order + year + nation join oracle).
+
+    Scale shape — R143's custkey co-partition with the customer's
+    NATION rank riding the dim side (the 25-row nation-name list
+    broadcasts); the fold unpacks the associative first-order MIN,
+    derives the year with datetime64 math, and collapses to a
+    ≤ 25 × years grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+    SHIFT = 40
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().sort_values("n_nationkey")
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nnames = pa.array(nat["n_name"].tolist(), pa.string())
+    nn = len(nkeys)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        override_num_blocks=_rel_k(sf_dir, "customer"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b["c_nationkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ni = np.searchsorted(nkeys, nk)
+        return pa.table(
+            {
+                "k": pc.cast(b["c_custkey"], pa.int64()),
+                "p": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "nat": pa.array(ni.astype(np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pc.cast(b["o_custkey"], pa.int64()),
+                "p": pa.array((day << SHIFT) | rv, pa.int64()),
+            }
+        )
+        g = t.group_by("k", use_threads=False).aggregate([("p", "min")])
+        g = g.rename_columns(["k", "p"])
+        return g.append_column(
+            "nat", pa.array(np.full(g.num_rows, -1, np.int64))
+        ).select(["k", "p", "nat"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cell": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "fv": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        role = t["nat"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = role >= 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fg = f.group_by("k", use_threads=False).aggregate([("p", "min")])
+        fg = fg.rename_columns(["k", "p"])
+        fk = fg["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = fg["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = p >> SHIFT
+        fv = p & ((1 << SHIFT) - 1)
+        yr = (
+            day.astype("datetime64[D]").astype("datetime64[Y]")
+            .astype(np.int64)
+        )
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dnat = role[is_dim]
+        o = np.argsort(dk, kind="stable")
+        dk_s, dnat_s = dk[o], dnat[o]
+        pos = np.clip(np.searchsorted(dk_s, fk), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == fk
+        nat_i = dnat_s[pos][hit]
+        cell = yr[hit] * nn + nat_i
+        W = int(cell.max()) + 1 if len(cell) else 1
+        g_nc = np.zeros(W, np.int64)
+        g_fv = np.zeros(W, np.int64)
+        np.add.at(g_nc, cell, 1)
+        np.add.at(g_fv, cell, fv[hit])
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nc": pa.array(g_nc[live]),
+                "fv": pa.array(g_fv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "cohort_year": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "first_order_value": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        W = int(cell.max()) + 1
+        g_nc = np.zeros(W, np.int64)
+        g_fv = np.zeros(W, np.int64)
+        np.add.at(
+            g_nc, cell,
+            t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        np.add.at(
+            g_fv, cell,
+            t["fv"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "n_name": pc.take(nnames, pa.array(live % nn)),
+                "cohort_year": pa.array(
+                    (live // nn + 1970).astype(np.int64)
+                ),
+                "n_customers": pa.array(g_nc[live]),
+                "first_order_value": pa.array(g_fv[live]),
+            }
+        )
+
+    fact = orders.map_batches(fact_partial, batch_format="pyarrow")
+    dim = cust.map_batches(dim_partial, batch_format="pyarrow")
+    cells = hash_partition_merge(
+        fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -21957,3 +21957,85 @@ def sample_audit(sf_dir: str, mod: int = 64) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "src", merge, k=1)
+
+
+def embedding_overflow(sf_dir: str) -> Dataset:
+    """T217: quantization overflow audit — per 1-based dimension:
+    components, components with |x| > 1 (outside the unit scale every
+    int8-style symmetric quantizer and the repo's 1/1000 integer grid
+    implicitly assume), and the maximum quantized magnitude
+    floor(1000·|x|) — the OTHER end of T215's dead-zone (T215 finds
+    mass the grid collapses to zero; T217 finds mass the grid would
+    CLIP: a dimension whose max_q dwarfs its peers forces a per-tensor
+    scale to waste precision everywhere else — the classic outlier-
+    dimension quantization failure, and the reason per-channel scales
+    exist).  One row per dimension ALWAYS; exact int64 (unnest +
+    subscripts + CASE census + max oracle).
+
+    Scale shape — ZERO wide exchange: (n, d) reshape per batch, one
+    mask, one column max; d-row partials; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "nov": pa.array([], pa.int64()),
+                    "mq": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        am = np.abs(m)
+        over = (am > 1.0).sum(axis=0).astype(np.int64)
+        mq = np.floor(1000.0 * am).astype(np.int64).max(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "nc": pa.array(np.full(d, n, np.int64)),
+                "nov": pa.array(over),
+                "mq": pa.array(mq),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_components": pa.array([], pa.int64()),
+                    "n_over_unit": pa.array([], pa.int64()),
+                    "max_q": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dim", use_threads=False).aggregate(
+            [("nc", "sum"), ("nov", "sum"), ("mq", "max")]
+        )
+        return pa.table(
+            {
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "n_components": pc.cast(g["nc_sum"], pa.int64()),
+                "n_over_unit": pc.cast(g["nov_sum"], pa.int64()),
+                "max_q": pc.cast(g["mq_max"], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
