@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_zero_value(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_zero_value
+
+    return events_zero_value(sf_dir)
+
+
 def _q_events_phase_concentration(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_phase_concentration
 
@@ -2392,6 +2398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_phase_concentration": _q_events_phase_concentration,
         "embedding_overflow": td.embedding_overflow,
         "rel_acquisition_geography": rel.acquisition_geography,
+        # --- wave 165 ---
+        "events_zero_value": _q_events_zero_value,
+        "doc_id_stripe": td.id_stripe,
+        "rel_demand_continuity": rel.demand_continuity,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3034,6 +3044,52 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_zero_value": """
+            WITH o AS (SELECT event_type AS source,
+                              year(ts) AS yr,
+                              CASE WHEN CAST(floor(value) AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END AS z
+                       FROM events)
+            SELECT source, CAST(yr AS BIGINT) AS year,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(z) AS BIGINT) AS n_zero,
+                   CAST(1000 * sum(z) // count(*) AS BIGINT)
+                       AS zero_permille
+            FROM o GROUP BY 1, 2
+        """,
+        "doc_id_stripe": """
+            WITH c AS (SELECT source, doc_id % 64 AS r,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            a AS (SELECT source, CAST(sum(n) AS BIGINT) AS nd,
+                         CAST(count(*) AS BIGINT) AS nres
+                  FROM c GROUP BY 1),
+            m AS (SELECT source, n AS modal_n FROM (
+                    SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, r ASC) AS rn FROM c)
+                  WHERE rn = 1)
+            SELECT a.source, a.nd AS n_docs, a.nres AS n_residues,
+                   CAST(1000 * m.modal_n // greatest(a.nd, 1) AS BIGINT)
+                       AS modal_share_permille
+            FROM a JOIN m USING (source)
+        """,
+        "rel_demand_continuity": """
+            WITH d AS (SELECT DISTINCT
+                              epoch_us(o_orderdate) // 86400000000 AS day
+                       FROM orders),
+            g AS (SELECT day,
+                         day - lag(day) OVER (ORDER BY day) - 1 AS gap
+                  FROM d),
+            a AS (SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS span,
+                         CAST(count(*) AS BIGINT) AS active,
+                         CAST(COALESCE(max(gap), 0) AS BIGINT) AS mg
+                  FROM g)
+            SELECT span AS span_days, active AS active_days,
+                   CAST(1000 * active // greatest(span, 1) AS BIGINT)
+                       AS coverage_permille,
+                   mg AS longest_blackout
+            FROM a
         """,
         "events_phase_concentration": """
             WITH m AS (SELECT event_type AS source,

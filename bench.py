@@ -813,6 +813,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_phase_concentration",
         "embedding_overflow",
         "rel_acquisition_geography",
+        "events_zero_value",
+        "doc_id_stripe",
+        "rel_demand_continuity",
     ]
     out: dict[str, float] = {}
     for name in names:

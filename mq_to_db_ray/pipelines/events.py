@@ -21056,3 +21056,101 @@ def events_phase_concentration(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "m", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def events_zero_value(sf_dir: str) -> Dataset:
+    """E212: value-field health trend — per (source, calendar year):
+    events, events whose floored value is ZERO, and the zero permille —
+    the field-degradation trend none of the value boards isolate (E141
+    audits value INTEGER-ness, E140 frozen repeats, E44 anomalies;
+    E212 watches the simplest failure of all: an instrumentation
+    regression that starts emitting empty/zeroed payloads shows up as
+    a zero-share step in exactly one source-year before it poisons
+    every downstream mean — and the year axis makes the regression
+    datable without a changepoint model).  One row per occupied
+    (source, year) cell; exact int64 (floor + CASE + two-key GROUP BY
+    oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: each batch collapses to a
+    ≤ sources × years grid with two bincounts; the k=1 merge folds
+    O(batches × cells) rows."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        day = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        yr = day.astype("datetime64[D]").astype("datetime64[Y]").astype(
+            np.int64
+        )
+        v0 = (
+            np.floor(
+                b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            == 0
+        )
+        key = yr * ns + code
+        packed, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        nz = np.bincount(inv[v0], minlength=len(packed))
+        return pa.table(
+            {
+                "cell": pa.array(packed),
+                "n": pa.array(n.astype(np.int64)),
+                "nz": pa.array(nz.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "year": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_zero": pa.array([], pa.int64()),
+                    "zero_permille": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ucell, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(ucell), np.int64)
+        nz = np.zeros(len(ucell), np.int64)
+        np.add.at(
+            n, inv, t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        np.add.at(
+            nz, inv, t["nz"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(ucell % ns)),
+                "year": pa.array((ucell // ns + 1970).astype(np.int64)),
+                "n_events": pa.array(n),
+                "n_zero": pa.array(nz),
+                "zero_permille": pa.array(1000 * nz // np.maximum(n, 1)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)

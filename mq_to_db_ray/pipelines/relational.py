@@ -20981,3 +20981,71 @@ def acquisition_geography(sf_dir: str) -> Dataset:
         fact.union(dim), "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def demand_continuity(sf_dir: str) -> Dataset:
+    """R145: demand-continuity audit — one corpus row over the order
+    calendar: span days (first to last order date inclusive), ACTIVE
+    days, coverage permille, and the LONGEST blackout (consecutive
+    span days with zero orders) — the calendar-integrity read the
+    event-side gap boards have no relational twin for (E43/E75 profile
+    minute-grid activity; R7/R96 aggregate months that HIDE holes; a
+    multi-week blackout inside an otherwise-dense order calendar is
+    either an outage in the order pipeline or a data-loss window, and
+    every trend board silently interpolates across it).  Exactly one
+    row ALWAYS; exact int64 (distinct-day + lag-gap max + span
+    arithmetic oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED distinct days
+    (batches emit distinct day values — the exchange carries DAYS, not
+    orders; the calendar bounds the payload at any corpus size); the
+    single merge partition sorts the unique day list once and reads
+    span/active/longest-gap off one diff."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table({"d": pa.array(np.unique(day), pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "span_days": pa.array([0], pa.int64()),
+                    "active_days": pa.array([0], pa.int64()),
+                    "coverage_permille": pa.array([0], pa.int64()),
+                    "longest_blackout": pa.array([0], pa.int64()),
+                }
+            )
+        d = np.unique(
+            t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        span = int(d[-1] - d[0]) + 1
+        active = len(d)
+        gap = int((np.diff(d) - 1).max()) if len(d) > 1 else 0
+        return pa.table(
+            {
+                "span_days": pa.array([span], pa.int64()),
+                "active_days": pa.array([active], pa.int64()),
+                "coverage_permille": pa.array(
+                    [1000 * active // max(span, 1)], pa.int64()
+                ),
+                "longest_blackout": pa.array([gap], pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "d", merge, k=1)

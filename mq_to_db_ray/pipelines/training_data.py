@@ -22039,3 +22039,72 @@ def embedding_overflow(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def id_stripe(sf_dir: str, mod: int = 64) -> Dataset:
+    """T218: doc-id stripe detection — per source: docs, DISTINCT
+    doc_id % ``mod`` residues the source occupies, and the MODAL
+    residue's share permille (ties → the smaller residue) — the
+    id-correlation detector T216's error number points at but cannot
+    localize (T216 says a source is unsafe to id-sample; T218 says
+    WHY: a round-robin generator pins each source to few residues —
+    modal share → 1000 — while an organic corpus spreads ~uniformly at
+    ≈ 1000/mod; T52's id-integrity audits dense GLOBAL numbering, not
+    the per-source residue geometry that breaks modulo sampling).
+    One dense row per source ALWAYS; exact int64 (modulo + per-(source,
+    residue) count + modal row_number oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: each batch collapses to a
+    ≤ sources × mod grid with one packed bincount; the k=1 merge sums
+    grids and takes one argmax per source."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sc = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        grid = np.bincount(sc * mod + did % mod, minlength=ns * mod)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "n": pa.array(grid[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * mod, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid, cell,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        g2 = grid.reshape(ns, mod)
+        nd = g2.sum(axis=1)
+        nres = (g2 > 0).sum(axis=1)
+        modal = g2.argmax(axis=1)
+        share = 1000 * g2[np.arange(ns), modal] // np.maximum(nd, 1)
+        return pa.table(
+            {
+                "source": srcs,
+                "n_docs": pa.array(nd.astype(np.int64)),
+                "n_residues": pa.array(nres.astype(np.int64)),
+                "modal_share_permille": pa.array(share.astype(np.int64)),
+            }
+        )
+
+    partials = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)
