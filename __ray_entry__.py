@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_session_value_doors(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_session_value_doors
+
+    return events_session_value_doors(sf_dir)
+
+
 def _q_events_zero_value(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_zero_value
 
@@ -2402,6 +2408,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zero_value": _q_events_zero_value,
         "doc_id_stripe": td.id_stripe,
         "rel_demand_continuity": rel.demand_continuity,
+        # --- wave 166 ---
+        "events_session_value_doors": _q_events_session_value_doors,
+        "doc_dup_distance": td.dup_distance,
+        "rel_basket_trend": rel.basket_trend,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3044,6 +3054,60 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_session_value_doors": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(floor(value) AS BIGINT) AS v,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts, event_id, event_type, v,
+                         SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            p AS (SELECT user_id, sid,
+                         max(CASE WHEN rf = 1 THEN event_type END)
+                             AS entry_ty,
+                         CAST(sum(v) AS BIGINT) AS sv
+                  FROM (SELECT *, row_number() OVER (
+                            PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rf
+                        FROM s)
+                  GROUP BY 1, 2)
+            SELECT entry_ty AS entry_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(sv) AS BIGINT) AS value_floor,
+                   CAST(1000 * sum(sv)
+                        // greatest(sum(sum(sv)) OVER (), 1) AS BIGINT)
+                       AS value_share_permille
+            FROM p GROUP BY 1
+        """,
+        "doc_dup_distance": """
+            WITH g AS (SELECT text, min(doc_id) AS w FROM documents
+                       GROUP BY 1 HAVING count(*) >= 2),
+            e AS (SELECT d.doc_id - g.w AS dist
+                  FROM documents d JOIN g ON g.text = d.text
+                  WHERE d.doc_id <> g.w)
+            SELECT CAST(count(*) AS BIGINT) AS n_echoes,
+                   CAST(COALESCE(min(dist), 0) AS BIGINT) AS min_dist,
+                   CAST(COALESCE(max(dist), 0) AS BIGINT) AS max_dist,
+                   CAST(COALESCE(sum(dist), 0) AS BIGINT) AS sum_dist
+            FROM e
+        """,
+        "rel_basket_trend": """
+            WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT year(o.o_orderdate) AS yr, c.nl
+                  FROM c JOIN orders o ON o.o_orderkey = c.l_orderkey)
+            SELECT CAST(yr AS BIGINT) AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(nl) AS BIGINT) AS n_lines,
+                   CAST(sum(nl * nl) AS BIGINT) AS sum_lines2
+            FROM j GROUP BY 1
         """,
         "events_zero_value": """
             WITH o AS (SELECT event_type AS source,

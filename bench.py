@@ -816,6 +816,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_zero_value",
         "doc_id_stripe",
         "rel_demand_continuity",
+        "events_session_value_doors",
+        "doc_dup_distance",
+        "rel_basket_trend",
     ]
     out: dict[str, float] = {}
     for name in names:

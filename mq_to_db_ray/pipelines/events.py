@@ -21154,3 +21154,118 @@ def events_zero_value(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def events_session_value_doors(
+    sf_dir: str, gap_s: int = 6 * 3600
+) -> Dataset:
+    """E213: session value by entry door — per ENTRY type: sessions
+    opened by it, their total floored-value mass, and each door's
+    share permille of ALL session value — WHICH DOOR MAKES THE MONEY,
+    completing the door family's missing axis (E192 scores the
+    bounce, E207 retention, E206 comebacks, E201 the absence after;
+    E213 weighs the visit itself: a door with modest session counts
+    and outsized value share is the high-intent entry worth paying
+    for placement, and the comparison with E192's bounce column is
+    the entire landing-page debate in two rows).  One row per type
+    that opens a session; exact int64 (islands + entry row_number +
+    per-session value SUM + share oracle).
+
+    Scale shape — E191's narrow exchange plus the int64 floor(value)
+    lane: entry types off the split boundaries, per-session value via
+    one np.bincount(weights); ≤ |types| partials; the k=1 merge sums
+    and forms shares against the global total.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    nt = len(srcs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "ty": pc.cast(
+                    pc.index_in(b["event_type"], value_set=srcs), pa.int64()
+                ),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ty": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                    "sv": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, t2, y2, v2 = uu[order], tt[order], ty[order], vv[order]
+        new_s = np.empty(len(order), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u2[1:] != u2[:-1]) | (
+            t2[1:] - t2[:-1] > gap_s * 1_000_000
+        )
+        sid = np.cumsum(new_s) - 1
+        starts = np.flatnonzero(new_s)
+        entry = y2[starts]
+        sval = np.bincount(sid, weights=v2, minlength=len(starts)).astype(
+            np.int64
+        )
+        ns = np.bincount(entry, minlength=nt)
+        sv = np.bincount(entry, weights=sval, minlength=nt).astype(np.int64)
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "ty": pa.array(live.astype(np.int64)),
+                "ns": pa.array(ns[live].astype(np.int64)),
+                "sv": pa.array(sv[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ns = np.zeros(nt, np.int64)
+        sv = np.zeros(nt, np.int64)
+        if t.num_rows:
+            y = t["ty"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ns, y,
+                t["ns"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                sv, y,
+                t["sv"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        tot = max(int(sv.sum()), 1)
+        live = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "entry_type": pc.take(srcs, pa.array(live)),
+                "n_sessions": pa.array(ns[live]),
+                "value_floor": pa.array(sv[live]),
+                "value_share_permille": pa.array(1000 * sv[live] // tot),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "ty", merge, k=1)

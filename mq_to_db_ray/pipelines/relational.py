@@ -21049,3 +21049,152 @@ def demand_continuity(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "d", merge, k=1)
+
+
+def basket_trend(sf_dir: str) -> Dataset:
+    """R146: basket-size trend — per order YEAR: orders with ≥ 1 line,
+    their total lines, and the exact Σ(lines per order)² — the
+    basket-depth drift line (R35 histograms depth STATICALLY; R146
+    adds the clock: mean and variance of lines-per-order per year
+    derive off-line, and a shrinking mean with growing variance is the
+    classic marketplace-fragmentation signature — more, smaller,
+    spikier orders — that changes picking costs long before revenue
+    moves).  One row per order year with ≥ 1 line; exact int64
+    (per-order line count + year + SUM/SUM² oracle).
+
+    Scale shape — ONE orderkey co-partition, both sides pre-reduced:
+    lineitem batches reduce to (orderkey, n) cells; the fold combines
+    cells, squares each order's EXACT line count once, attaches the
+    year from the co-partitioned orders dim, and collapses to a
+    ≤ years grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        override_num_blocks=_rel_k(sf_dir, "lineitem"),
+    )
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        od = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "k": pc.cast(b["o_orderkey"], pa.int64()),
+                "d": pa.array(od, pa.int64()),
+                "n": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        ok = pc.cast(b["l_orderkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        uo, cnt = np.unique(ok, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uo),
+                "d": pa.array(np.full(len(uo), -1, np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "yr": pa.array([], pa.int64()),
+                "no": pa.array([], pa.int64()),
+                "nl": pa.array([], pa.int64()),
+                "nl2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        nc = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_dim = nc < 0
+        d = t.filter(pa.array(is_dim))
+        f = t.filter(pa.array(~is_dim))
+        if d.num_rows == 0 or f.num_rows == 0:
+            return empty
+        fk = f["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = nc[~is_dim]
+        uo, inv = np.unique(fk, return_inverse=True)
+        nlines = np.zeros(len(uo), np.int64)
+        np.add.at(nlines, inv, fn)
+        dk = d["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = d["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.argsort(dk, kind="stable")
+        dk_s, dd_s = dk[o], dd[o]
+        pos = np.clip(np.searchsorted(dk_s, uo), 0, len(dk_s) - 1)
+        hit = dk_s[pos] == uo
+        yr = (
+            dd_s[pos][hit].astype("datetime64[D]").astype("datetime64[Y]")
+            .astype(np.int64)
+        )
+        nl = nlines[hit]
+        yb = yr - yr.min() if len(yr) else yr
+        W = int(yb.max()) + 1 if len(yb) else 1
+        g_no = np.zeros(W, np.int64)
+        g_nl = np.zeros(W, np.int64)
+        g_nl2 = np.zeros(W, np.int64)
+        np.add.at(g_no, yb, 1)
+        np.add.at(g_nl, yb, nl)
+        np.add.at(g_nl2, yb, nl * nl)
+        base = int(yr.min()) if len(yr) else 0
+        live = np.flatnonzero(g_no)
+        return pa.table(
+            {
+                "yr": pa.array((live + base).astype(np.int64)),
+                "no": pa.array(g_no[live]),
+                "nl": pa.array(g_nl[live]),
+                "nl2": pa.array(g_nl2[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_year": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "sum_lines2": pa.array([], pa.int64()),
+                }
+            )
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        no = np.zeros(len(uy), np.int64)
+        nl = np.zeros(len(uy), np.int64)
+        nl2 = np.zeros(len(uy), np.int64)
+        for acc, col in ((no, "no"), (nl, "nl"), (nl2, "nl2")):
+            np.add.at(
+                acc, inv,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "order_year": pa.array((uy + 1970).astype(np.int64)),
+                "n_orders": pa.array(no),
+                "n_lines": pa.array(nl),
+                "sum_lines2": pa.array(nl2),
+            }
+        )
+
+    cells = hash_partition_merge(
+        lines.map_batches(fact_partial, batch_format="pyarrow").union(
+            orders.map_batches(dim_partial, batch_format="pyarrow")
+        ),
+        "k",
+        fold,
+        k=_rel_k(sf_dir, "lineitem"),
+    )
+    return hash_partition_merge(cells, "yr", merge, k=1)

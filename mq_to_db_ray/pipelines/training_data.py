@@ -22108,3 +22108,108 @@ def id_stripe(sf_dir: str, mod: int = 64) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def dup_distance(sf_dir: str) -> Dataset:
+    """T219: duplicate-distance summary — over every ECHO document (a
+    non-winner member of an exact-dup group, winner = min doc_id,
+    T61/T69's first-publisher rule) report one corpus row: echoes, and
+    the MIN / MAX / SUM of the ingestion distance echo_id − winner_id —
+    HOW FAR APART copies arrive, the provenance read the dup counts
+    flatten (T1 finds the groups, T91 weighs echo mass, T205 crosses
+    shards; T219 reads the id axis: a small min/mean = near-adjacent
+    re-fetches — a crawler revisiting within one sweep, dedupable with
+    a bounded window; a large max = true mirrors surfacing much later,
+    which only the full hash exchange catches — and the split decides
+    whether a cheap windowed dedup would suffice).  Exactly one row
+    ALWAYS (zeros on a dup-free corpus); exact int64 (GROUP BY text +
+    min + id-difference + COALESCEd aggregate oracle; the engine
+    routes by T1's 64-bit content hash — identical texts co-group).
+
+    Scale shape — T1's content-hash exchange verbatim (doc_id + hash
+    travel, text never leaves the read): each partition takes group
+    minima and echo distances with one sorted boundary pass and
+    collapses to FOUR integers (emitted even when empty, so the final
+    merge always runs); k=1 merge."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = (
+            pl.from_arrow(batch.select(["text"]))["text"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text_hash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    SENT = np.int64(2**62)
+
+    def fold(t: pa.Table) -> pa.Table:
+        ne, mn, mx, sd = 0, int(SENT), 0, 0
+        if t.num_rows:
+            h = t["text_hash"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            did = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            order = np.lexsort((did, h))
+            h2, d2 = h[order], did[order]
+            head = np.empty(len(h2), dtype=bool)
+            head[0] = True
+            head[1:] = h2[1:] != h2[:-1]
+            gid = np.cumsum(head) - 1
+            winner = d2[np.flatnonzero(head)]
+            dist = d2 - winner[gid]
+            echo = dist > 0
+            if echo.any():
+                dd = dist[echo]
+                ne = int(echo.sum())
+                mn = int(dd.min())
+                mx = int(dd.max())
+                sd = int(dd.sum())
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "ne": pa.array([ne], pa.int64()),
+                "mn": pa.array([mn], pa.int64()),
+                "mx": pa.array([mx], pa.int64()),
+                "sd": pa.array([sd], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ne = int(
+            t["ne"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        )
+        mn = int(
+            t["mn"].combine_chunks().to_numpy(zero_copy_only=False).min()
+        )
+        mx = int(
+            t["mx"].combine_chunks().to_numpy(zero_copy_only=False).max()
+        )
+        sd = int(
+            t["sd"].combine_chunks().to_numpy(zero_copy_only=False).sum()
+        )
+        return pa.table(
+            {
+                "n_echoes": pa.array([ne], pa.int64()),
+                "min_dist": pa.array([0 if ne == 0 else mn], pa.int64()),
+                "max_dist": pa.array([mx], pa.int64()),
+                "sum_dist": pa.array([sd], pa.int64()),
+            }
+        )
+
+    cells = hash_partition_merge(hashed, "text_hash", fold, k=64)
+    return hash_partition_merge(cells, "g", merge, k=1)
