@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_props_spectrum(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_props_spectrum
+
+    return events_props_spectrum(sf_dir)
+
+
 def _q_events_session_value_doors(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_session_value_doors
 
@@ -2412,6 +2418,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_value_doors": _q_events_session_value_doors,
         "doc_dup_distance": td.dup_distance,
         "rel_basket_trend": rel.basket_trend,
+        # --- wave 167 ---
+        "events_props_spectrum": _q_events_props_spectrum,
+        "doc_lang_length_matrix": td.lang_length_matrix,
+        "rel_value_mix_trend": rel.value_mix_trend,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3054,6 +3064,50 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_props_spectrum": """
+            WITH o AS (SELECT event_type AS source,
+                              TRY_CAST(regexp_extract(props,
+                                  '"k"[ ]*:[ ]*(-?[0-9]+)', 1) AS BIGINT)
+                                  AS k
+                       FROM events),
+            b AS (SELECT source,
+                         CASE WHEN k IS NULL THEN 99
+                              WHEN k = 0 THEN 0
+                              WHEN k > 0 THEN length(bin(k))
+                              ELSE -length(bin(-k)) END AS band
+                  FROM o)
+            SELECT source, CAST(band AS BIGINT) AS k_band,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM b GROUP BY 1, 2
+        """,
+        "doc_lang_length_matrix": """
+            WITH d AS (SELECT lang,
+                              CAST(len(str_split(text, ' ')) AS BIGINT)
+                                  AS nw
+                       FROM documents),
+            b AS (SELECT lang,
+                         CASE WHEN nw = 0 THEN 0
+                              ELSE length(bin(nw)) END AS band, nw
+                  FROM d)
+            SELECT lang, CAST(band AS BIGINT) AS len_band,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS n_words
+            FROM b GROUP BY 1, 2
+        """,
+        "rel_value_mix_trend": """
+            WITH o AS (SELECT year(o_orderdate) AS yr,
+                              CAST(floor(o_totalprice) AS BIGINT) AS rv
+                       FROM orders),
+            b AS (SELECT yr,
+                         CASE WHEN rv <= 0 THEN 0
+                              ELSE length(bin(rv)) END AS band, rv
+                  FROM o)
+            SELECT CAST(yr AS BIGINT) AS order_year,
+                   CAST(band AS BIGINT) AS value_band,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(rv) AS BIGINT) AS revenue_floor
+            FROM b GROUP BY 1, 2
         """,
         "events_session_value_doors": """
             WITH o AS (

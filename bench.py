@@ -819,6 +819,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_session_value_doors",
         "doc_dup_distance",
         "rel_basket_trend",
+        "events_props_spectrum",
+        "doc_lang_length_matrix",
+        "rel_value_mix_trend",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -21269,3 +21269,87 @@ def events_session_value_doors(
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "ty", merge, k=1)
+
+
+def events_props_spectrum(sf_dir: str) -> Dataset:
+    """E214: payload-k spectrum — per (source, signed magnitude band of
+    the props JSON integer ``k``: band 0 = k = 0, ±bit-length for
+    positive/negative k, the E185 signed-decade convention on the bit
+    axis): parsable events per band, plus the per-source unparsable
+    count carried on a dedicated band column value of 99 — the BODY
+    distribution the payload lane still lacked (E82 reduces k to
+    sum/min/max/p50, E197 couples it with the envelope; E214 shows the
+    SHAPE: a spectrum with a negative lobe where the schema doc says
+    "counter" is a sign bug, a second mode at high bands is a mixed
+    message type sharing one field name).  One row per occupied
+    (source, band); exact int64 (regexp_extract + TRY_CAST + signed
+    length(bin(abs)) + GROUP BY oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: one pc.extract_regex per
+    batch (the E82 kernel), bands via vectorized frexp on |k|, one
+    packed bincount to a ≤ sources × 131 grid; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    OFF = 65  # band index offset: band b stored at b + OFF (b in ±64, 99)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "props"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+    W = 2 * OFF + 36  # room for +bands and the 99 marker
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ex = pc.extract_regex(
+            b["props"].combine_chunks(), r'"k"\s*:\s*(?P<v>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        bad = pc.is_null(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        mag = np.abs(kv)
+        bl = np.where(
+            mag == 0, 0,
+            np.frexp(mag.astype(np.float64))[1].astype(np.int64),
+        )
+        band = np.where(kv < 0, -bl, bl)
+        band = np.where(bad, np.int64(99), band)
+        grid = np.zeros(ns * W, np.int64)
+        np.add.at(grid, code * W + band + OFF, 1)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "src": pa.array(live // W),
+                "band": pa.array(live % W - OFF),
+                "n": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * W, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid, s * W + bb + OFF,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live // W)),
+                "k_band": pa.array((live % W - OFF).astype(np.int64)),
+                "n_events": pa.array(grid[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -21198,3 +21198,96 @@ def basket_trend(sf_dir: str) -> Dataset:
         k=_rel_k(sf_dir, "lineitem"),
     )
     return hash_partition_merge(cells, "yr", merge, k=1)
+
+
+def value_mix_trend(sf_dir: str) -> Dataset:
+    """R147: order-value mix trend — per (order year, bit-length band of
+    the floored order total): orders and floored value — the value
+    DISTRIBUTION drift the totals hide (R18's yearly growth can hold
+    flat while the mix walks: losing small orders and gaining big ones
+    nets to zero revenue change but halves shipment count; R109 bands
+    value statically — R147 adds the clock, and a band whose count
+    decays year over year is a product tier dying in plain sight).
+    One row per occupied (year, band) cell; exact int64 (length(bin) +
+    year + two-key GROUP BY oracle).
+
+    Scale shape — ZERO-join scan-reduce (R1 shape): year and band are
+    both vectorized integer kernels; one packed bincount pair per
+    batch; k=1 merge folds O(batches × cells) rows."""
+    DAY_US = 86_400_000_000
+    NB = 40
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        yr = day.astype("datetime64[D]").astype("datetime64[Y]").astype(
+            np.int64
+        )
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        band = np.where(
+            rv <= 0, 0,
+            np.frexp(np.maximum(rv, 0).astype(np.float64))[1].astype(
+                np.int64
+            ),
+        )
+        key = yr * NB + np.minimum(band, NB - 1)
+        packed, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        v = np.bincount(inv, weights=rv, minlength=len(packed)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "cell": pa.array(packed),
+                "n": pa.array(n.astype(np.int64)),
+                "v": pa.array(v),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_year": pa.array([], pa.int64()),
+                    "value_band": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        ucell, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(ucell), np.int64)
+        v = np.zeros(len(ucell), np.int64)
+        np.add.at(
+            n, inv, t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        np.add.at(
+            v, inv, t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "order_year": pa.array(
+                    (ucell // NB + 1970).astype(np.int64)
+                ),
+                "value_band": pa.array((ucell % NB).astype(np.int64)),
+                "n_orders": pa.array(n),
+                "revenue_floor": pa.array(v),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)

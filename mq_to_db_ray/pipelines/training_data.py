@@ -22213,3 +22213,85 @@ def dup_distance(sf_dir: str) -> Dataset:
 
     cells = hash_partition_merge(hashed, "text_hash", fold, k=64)
     return hash_partition_merge(cells, "g", merge, k=1)
+
+
+def lang_length_matrix(sf_dir: str) -> Dataset:
+    """T220: language × length matrix — per (lang label, bit-length band
+    of the document's whitespace word count): docs and total words —
+    HOW LONG documents run in each language (T44/T62 budget docs and
+    tokens per lang with no length structure, T43 bands lengths with
+    no lang; the cross is where script-economy effects live: a lang
+    whose mass sits two bands below the corpus mode either genuinely
+    compresses — CJK-style scripts — or its documents are truncated
+    fragments, and per-lang context-length policy reads directly off
+    the row).  One row per occupied (lang, band) cell; exact int64
+    (len(str_split) + length(bin) + two-key GROUP BY oracle).
+
+    Scale shape — ZERO-shuffle scan-reduce: word counts off one
+    split_pattern length vector, bands via vectorized frexp, one
+    packed bincount pair onto a ≤ langs × 34 grid; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    langs = pa.array(
+        sorted(_docs(sf_dir, ["lang"]).unique("lang")), pa.string()
+    )
+    nl = len(langs)
+    NB = 34
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        nw = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lc = (
+            pc.cast(pc.index_in(b["lang"], value_set=langs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        band = np.where(
+            nw == 0, 0,
+            np.frexp(nw.astype(np.float64))[1].astype(np.int64),
+        )
+        idx = lc * NB + np.minimum(band, NB - 1)
+        nd = np.bincount(idx, minlength=nl * NB)
+        wsum = np.bincount(idx, weights=nw, minlength=nl * NB).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nd": pa.array(nd[live].astype(np.int64)),
+                "nw": pa.array(wsum[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nd = np.zeros(nl * NB, np.int64)
+        nw = np.zeros(nl * NB, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nd, cell,
+                t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nw, cell,
+                t["nw"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nd)
+        return pa.table(
+            {
+                "lang": pc.take(langs, pa.array(live // NB)),
+                "len_band": pa.array((live % NB).astype(np.int64)),
+                "n_docs": pa.array(nd[live]),
+                "n_words": pa.array(nw[live]),
+            }
+        )
+
+    partials = _docs(sf_dir, ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_partition_merge(partials, "cell", merge, k=1)
