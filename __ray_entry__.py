@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_band_audience(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_band_audience
+
+    return events_band_audience(sf_dir)
+
+
 def _q_events_props_spectrum(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_props_spectrum
 
@@ -2422,6 +2428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_spectrum": _q_events_props_spectrum,
         "doc_lang_length_matrix": td.lang_length_matrix,
         "rel_value_mix_trend": rel.value_mix_trend,
+        # --- wave 168 ---
+        "events_band_audience": _q_events_band_audience,
+        "embedding_mean_vector": td.embedding_mean_vector,
+        "rel_frequency_trend": rel.frequency_trend,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3064,6 +3074,42 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_band_audience": """
+            WITH o AS (SELECT event_type AS source, user_id,
+                              CAST(floor(value) AS BIGINT) AS rv
+                       FROM events),
+            b AS (SELECT source, user_id,
+                         CASE WHEN rv <= 0 THEN 0
+                              ELSE length(bin(rv)) END AS band
+                  FROM o)
+            SELECT source, CAST(band AS BIGINT) AS value_band,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM b GROUP BY 1, 2
+        """,
+        "embedding_mean_vector": """
+            WITH u AS (SELECT unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings)
+            SELECT CAST(i AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(CAST(floor(1000 * CAST(x AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS sum_q,
+                   CAST(sum(CAST(floor(1000 * abs(CAST(x AS DOUBLE)))
+                                 AS BIGINT)) AS BIGINT) AS sum_abs_q
+            FROM u GROUP BY 1
+        """,
+        "rel_frequency_trend": """
+            WITH c AS (SELECT o_custkey, year(o_orderdate) AS yr,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1, 2),
+            b AS (SELECT yr, length(bin(n)) AS band, n FROM c)
+            SELECT CAST(yr AS BIGINT) AS order_year,
+                   CAST(band AS BIGINT) AS freq_band,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n) AS BIGINT) AS n_orders
+            FROM b GROUP BY 1, 2
         """,
         "events_props_spectrum": """
             WITH o AS (SELECT event_type AS source,

@@ -822,6 +822,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_props_spectrum",
         "doc_lang_length_matrix",
         "rel_value_mix_trend",
+        "events_band_audience",
+        "embedding_mean_vector",
+        "rel_frequency_trend",
     ]
     out: dict[str, float] = {}
     for name in names:

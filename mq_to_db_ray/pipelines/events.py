@@ -21353,3 +21353,123 @@ def events_props_spectrum(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_band_audience(sf_dir: str) -> Dataset:
+    """E215: value-band audience — per (source, bit-length band of
+    floor(value); band 0 = zero): events and EXACT distinct users —
+    WHO generates the big events, the audience axis E96's band heatmap
+    counts away (E96 says how many events sit in each magnitude band,
+    E108 bands users by lifetime TOTAL; E215 crosses magnitude with
+    reach: a top band carried by a handful of users is whale revenue —
+    fragile; the same band spread across thousands is a price point —
+    durable, and the distinction decides whether an anomaly there is
+    one account or the market).  One row per occupied (source, band);
+    exact int64 (signed-safe length(bin) band + count-DISTINCT
+    oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED distinct
+    (source, band, user) cells (batches dedupe with one packed
+    np.unique); the USER-hash partition dedupes cross-batch copies and
+    collapses to ≤ sources × 34 (events, users) partials — a user's
+    cells for one (source, band) all co-locate; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    NB = 34
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        uu = pc.cast(b["user_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        rv = np.floor(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        band = np.where(
+            rv <= 0, 0,
+            np.frexp(np.maximum(rv, 0).astype(np.float64))[1].astype(
+                np.int64
+            ),
+        )
+        band = np.minimum(band, NB - 1)
+        cell = code * NB + band
+        key = uu * (ns * NB) + cell
+        packed, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(packed // (ns * NB)),
+                "cell": pa.array(packed % (ns * NB)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = uu * (ns * NB) + cell
+        packed, inv = np.unique(key, return_inverse=True)
+        ncell = np.zeros(len(packed), np.int64)
+        np.add.at(ncell, inv, nn)
+        c2 = packed % (ns * NB)
+        ne = np.bincount(c2, weights=ncell, minlength=ns * NB).astype(
+            np.int64
+        )
+        nu = np.bincount(c2, minlength=ns * NB)
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "ne": pa.array(ne[live]),
+                "nu": pa.array(nu[live].astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        ne = np.zeros(ns * NB, np.int64)
+        nu = np.zeros(ns * NB, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                ne, cell,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                nu, cell,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live // NB)),
+                "value_band": pa.array((live % NB).astype(np.int64)),
+                "n_events": pa.array(ne[live]),
+                "n_users": pa.array(nu[live]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
+    return hash_partition_merge(cells, "cell", merge, k=1)

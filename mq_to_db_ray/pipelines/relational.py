@@ -21291,3 +21291,127 @@ def value_mix_trend(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def frequency_trend(sf_dir: str) -> Dataset:
+    """R148: order-frequency mix trend — per (year, bit-length band of
+    each ACTIVE customer's order count that year): customers and their
+    orders — the frequency-distribution drift (R6 histograms lifetime
+    order counts statically, R147 drifts the VALUE mix; R148 drifts
+    the CADENCE mix: a year whose band-1 mass swells while band-3+
+    shrinks is a base converting from habit to one-off even if total
+    orders hold — the leading indicator of R18's future flattening).
+    One row per occupied (year, band) cell; exact int64 (per-(customer,
+    year) count + length(bin) + two-key GROUP BY oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED (custkey, year,
+    n) cells (batches collapse with one packed np.unique); the
+    custkey-hash fold re-combines each (customer, year)'s exact count,
+    bands it with one frexp, and collapses to a ≤ years × 34 grid;
+    k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+    NB = 34
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        yr = day.astype("datetime64[D]").astype("datetime64[Y]").astype(
+            np.int64
+        )
+        ck = pc.cast(b["o_custkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        key = ck * 256 + yr  # years since 1970 < 256
+        packed, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(packed // 256),
+                "yr": pa.array(packed % 256),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                }
+            )
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = kk * 256 + yr
+        packed, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(packed), np.int64)
+        np.add.at(tot, inv, nn)
+        yru = packed % 256
+        band = np.frexp(tot.astype(np.float64))[1].astype(np.int64)
+        cell = yru * NB + np.minimum(band, NB - 1)
+        W = int(cell.max()) + 1 if len(cell) else 1
+        g_nc = np.zeros(W, np.int64)
+        g_no = np.zeros(W, np.int64)
+        np.add.at(g_nc, cell, 1)
+        np.add.at(g_no, cell, tot)
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "nc": pa.array(g_nc[live]),
+                "no": pa.array(g_no[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_year": pa.array([], pa.int64()),
+                    "freq_band": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        W = int(cell.max()) + 1
+        g_nc = np.zeros(W, np.int64)
+        g_no = np.zeros(W, np.int64)
+        np.add.at(
+            g_nc, cell,
+            t["nc"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        np.add.at(
+            g_no, cell,
+            t["no"].combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        live = np.flatnonzero(g_nc)
+        return pa.table(
+            {
+                "order_year": pa.array(
+                    (live // NB + 1970).astype(np.int64)
+                ),
+                "freq_band": pa.array((live % NB).astype(np.int64)),
+                "n_customers": pa.array(g_nc[live]),
+                "n_orders": pa.array(g_no[live]),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "cell", merge, k=1)

@@ -22295,3 +22295,85 @@ def lang_length_matrix(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow"
     )
     return hash_partition_merge(partials, "cell", merge, k=1)
+
+
+def embedding_mean_vector(sf_dir: str) -> Dataset:
+    """T221: mean-vector anisotropy audit — per 1-based dimension:
+    vectors, the exact quantized FIRST moment Σfloor(1000·x) over ALL
+    vectors, and the quantized ABSOLUTE mass Σfloor(1000·|x|) — the
+    common-direction bias read (the well-known anisotropy pathology:
+    embedding spaces concentrate around a non-zero mean direction, and
+    cosine similarity then measures agreement with the MEAN more than
+    with meaning; T209 materializes centroids per LABEL — T221 is the
+    corpus-level row whose ratio |Σq| / Σ|q| per dimension is the bias
+    share: near 0 = balanced axis, near 1000‰ = the axis is pure
+    offset and mean-centering before ANN is mandatory).  One row per
+    dimension ALWAYS; exact int64 (unnest + subscripts + two floored
+    SUMs oracle).
+
+    Scale shape — ZERO wide exchange: (n, d) reshape per batch, two
+    floor passes, column sums; d-row partials; k=1 merge."""
+    from ..stages.shuffle import hash_partition_merge
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "nv": pa.array([], pa.int64()),
+                    "sq": pa.array([], pa.int64()),
+                    "sa": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            e.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        d = m.shape[1]
+        q = np.floor(1000.0 * m).astype(np.int64)
+        aq = np.floor(1000.0 * np.abs(m)).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "nv": pa.array(np.full(d, n, np.int64)),
+                "sq": pa.array(q.sum(axis=0)),
+                "sa": pa.array(aq.sum(axis=0)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n_vectors": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "sum_abs_q": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by("dim", use_threads=False).aggregate(
+            [("nv", "sum"), ("sq", "sum"), ("sa", "sum")]
+        )
+        return pa.table(
+            {
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "n_vectors": pc.cast(g["nv_sum"], pa.int64()),
+                "sum_q": pc.cast(g["sq_sum"], pa.int64()),
+                "sum_abs_q": pc.cast(g["sa_sum"], pa.int64()),
+            }
+        )
+
+    partials = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "dim", merge, k=1)
