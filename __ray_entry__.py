@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_momentum_runs(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_momentum_runs
+
+    return events_momentum_runs(sf_dir)
+
+
 def _q_events_band_audience(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_band_audience
 
@@ -2432,6 +2438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_band_audience": _q_events_band_audience,
         "embedding_mean_vector": td.embedding_mean_vector,
         "rel_frequency_trend": rel.frequency_trend,
+        # --- wave 169 ---
+        "events_momentum_runs": _q_events_momentum_runs,
+        "doc_core_vocab": td.core_vocab,
+        "rel_concentration_trend": rel.concentration_trend,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3074,6 +3084,62 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_momentum_runs": """
+            WITH o AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS v,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              count(*) OVER (PARTITION BY user_id) AS ne
+                       FROM events),
+            i AS (SELECT user_id, rn, ne,
+                         CASE WHEN v > lag(v) OVER (PARTITION BY user_id
+                                                    ORDER BY rn)
+                              THEN 1 ELSE 0 END AS inc
+                  FROM o),
+            r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+                  FROM (SELECT user_id, rn, inc,
+                               rn - row_number() OVER (
+                                   PARTITION BY user_id, inc
+                                   ORDER BY rn) AS grp
+                        FROM i)
+                  WHERE inc = 1 GROUP BY user_id, grp),
+            m AS (SELECT i.user_id, max(i.ne) AS ne,
+                         COALESCE(max(r.len), 0) + 1 AS mr
+                  FROM i LEFT JOIN r ON r.user_id = i.user_id
+                  GROUP BY 1),
+            b AS (SELECT LEAST(mr, 20) AS band, ne FROM m)
+            SELECT CAST(band AS BIGINT) AS run_band,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(ne) AS BIGINT) AS n_events
+            FROM b GROUP BY 1
+        """,
+        "doc_core_vocab": """
+            WITH tok AS (SELECT source,
+                                unnest(str_split(text, ' ')) AS w
+                         FROM documents),
+            nsrc AS (SELECT count(DISTINCT source) AS k FROM documents),
+            b AS (SELECT w, CAST(count(DISTINCT source) AS BIGINT) AS br
+                  FROM tok GROUP BY 1),
+            p AS (SELECT t.source, CAST(count(*) AS BIGINT) AS occ,
+                         CAST(sum(CASE WHEN 2 * b.br
+                                            >= (SELECT k FROM nsrc)
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS core
+                  FROM tok t JOIN b ON b.w = t.w GROUP BY 1)
+            SELECT source, occ AS n_occurrences, core AS n_core,
+                   CAST(1000 * core // greatest(occ, 1) AS BIGINT)
+                       AS core_permille
+            FROM p
+        """,
+        "rel_concentration_trend": """
+            WITH c AS (SELECT o_custkey, year(o_orderdate) AS yr,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1, 2)
+            SELECT CAST(yr AS BIGINT) AS order_year,
+                   CAST(sum(n) AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num
+            FROM c GROUP BY 1
         """,
         "events_band_audience": """
             WITH o AS (SELECT event_type AS source, user_id,

@@ -825,6 +825,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_band_audience",
         "embedding_mean_vector",
         "rel_frequency_trend",
+        "events_momentum_runs",
+        "doc_core_vocab",
+        "rel_concentration_trend",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -21473,3 +21473,120 @@ def events_band_audience(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "u", fold, k=_adaptive_k(sf_dir))
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def events_momentum_runs(sf_dir: str, cap: int = 20) -> Dataset:
+    """E216: momentum-run bands — for each user, the LONGEST strictly-
+    increasing run of floored values in their (ts, event_id)-ordered
+    stream (run length counted in EVENTS: k consecutive increases =
+    k + 1; a lone event scores 1), capped at ``cap``: users and their
+    total events per band — behavioral streakiness at the account
+    grain (E31's sign-runs read the SOURCE tape, E97 fits one slope,
+    E196 weighs halves; E216 asks whether individual accounts ESCALATE
+    — long monotone climbs are bidding wars, dosage ramps, or
+    retry-with-backoff storms depending on the domain, and the
+    population histogram separates a few runaway accounts from a
+    corpus-wide ramp).  One row per occupied band; exact int64
+    (lag-compare + gaps-and-islands longest-run + banded GROUP BY
+    oracle).
+
+    Scale shape — E191's narrow exchange plus the floor(value) lane:
+    one lexsort per partition, increase flags via one shifted compare
+    masked to same-user, run lengths via boundary arithmetic, per-user
+    max via maximum.reduceat; ≤ cap partials; k=1 merge.
+
+    Partitioning assumption: one user's full event stream fits a task
+    (the E15 sessionize default)."""
+    from ..stages.shuffle import hash_partition_merge
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "value"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t": b["ts"].cast(pa.int64()),
+                "o": pc.cast(b["event_id"], pa.int64()),
+                "v": pc.cast(pc.floor(b["value"]), pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "nu": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                }
+            )
+        uu = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        oo = t["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oo, tt, uu))
+        u2, v2 = uu[order], vv[order]
+        nrow = len(order)
+        same = u2[1:] == u2[:-1]
+        inc = (v2[1:] > v2[:-1]) & same
+        # run id changes where inc flips off OR user changes; longest
+        # run of consecutive True in `inc` per user, +1 in events
+        head = np.empty(nrow, dtype=bool)
+        head[0] = True
+        head[1:] = u2[1:] != u2[:-1]
+        starts = np.flatnonzero(head)
+        n_ev = np.diff(starts, append=nrow)
+        # vectorized consecutive-True run lengths via the reset-index
+        # trick: runlen[i] = i - (last position whose inc flag is off)
+        pos = np.arange(nrow, dtype=np.int64)
+        flat = np.zeros(nrow, np.int64)
+        flat[1:] = inc.astype(np.int64)
+        last_reset = np.maximum.accumulate(np.where(flat == 0, pos, 0))
+        runlen = pos - last_reset
+        maxrun = np.maximum.reduceat(runlen, starts) + 1
+        # a user's first row has flat=0 (reset) so runs never cross users
+        band = np.minimum(maxrun, cap)
+        nu = np.bincount(band, minlength=cap + 1)
+        ne = np.bincount(band, weights=n_ev, minlength=cap + 1).astype(
+            np.int64
+        )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "band": pa.array(live.astype(np.int64)),
+                "nu": pa.array(nu[live].astype(np.int64)),
+                "ne": pa.array(ne[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        nu = np.zeros(cap + 1, np.int64)
+        ne = np.zeros(cap + 1, np.int64)
+        if t.num_rows:
+            bb = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                nu, bb,
+                t["nu"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                ne, bb,
+                t["ne"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(nu)
+        return pa.table(
+            {
+                "run_band": pa.array(live.astype(np.int64)),
+                "n_users": pa.array(nu[live]),
+                "n_events": pa.array(ne[live]),
+            }
+        )
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+    partials = hash_partition_merge(
+        narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
+    )
+    return hash_partition_merge(partials, "band", merge, k=1)

@@ -21415,3 +21415,123 @@ def frequency_trend(sf_dir: str) -> Dataset:
         partials, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "cell", merge, k=1)
+
+
+def concentration_trend(sf_dir: str) -> Dataset:
+    """R149: customer-concentration trend — per order year: orders,
+    DISTINCT active customers, and the exact Simpson sufficient
+    statistic Σ_c n_c·(n_c − 1) over each customer's order count that
+    year — IS THE BUSINESS CONCENTRATING, year over year, as one
+    number (R11's Pareto ranks a static snapshot, R148 drifts the
+    frequency BANDS; R149 collapses each year's customer mix to the
+    probability two random orders share a customer — rising λ with
+    flat totals means the long tail is quietly leaving while the top
+    keeps ordering, the revenue-at-risk trend a static Pareto cannot
+    date).  One row per order year ALWAYS; exact int64 (per-(customer,
+    year) count + Σn(n−1) + GROUP BY oracle).
+
+    Scale shape — R148's pre-reduced (custkey, year, n) exchange with
+    a Simpson finish: each customer-year's exact count settles in the
+    custkey partition, n(n−1) forms there, and the partition collapses
+    to a ≤ years moment grid; k=1 densifying merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        yr = day.astype("datetime64[D]").astype("datetime64[Y]").astype(
+            np.int64
+        )
+        ck = pc.cast(b["o_custkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        key = ck * 256 + yr
+        packed, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(packed // 256),
+                "yr": pa.array(packed % 256),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "yr": pa.array([], pa.int64()),
+                    "no": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                }
+            )
+        kk = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = kk * 256 + yr
+        packed, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(packed), np.int64)
+        np.add.at(tot, inv, nn)
+        yru = packed % 256
+        W = int(yru.max()) + 1 if len(yru) else 1
+        no = np.bincount(yru, weights=tot, minlength=W).astype(np.int64)
+        nc = np.bincount(yru, minlength=W)
+        s2 = np.bincount(
+            yru, weights=tot * (tot - 1), minlength=W
+        ).astype(np.int64)
+        live = np.flatnonzero(nc)
+        return pa.table(
+            {
+                "yr": pa.array(live.astype(np.int64)),
+                "no": pa.array(no[live]),
+                "nc": pa.array(nc[live].astype(np.int64)),
+                "s2": pa.array(s2[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_year": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "simpson_num": pa.array([], pa.int64()),
+                }
+            )
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        no = np.zeros(len(uy), np.int64)
+        nc = np.zeros(len(uy), np.int64)
+        s2 = np.zeros(len(uy), np.int64)
+        for acc, col in ((no, "no"), (nc, "nc"), (s2, "s2")):
+            np.add.at(
+                acc, inv,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "order_year": pa.array((uy + 1970).astype(np.int64)),
+                "n_orders": pa.array(no),
+                "n_customers": pa.array(nc),
+                "simpson_num": pa.array(s2),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(
+        partials, "k", fold, k=_rel_k(sf_dir, "orders")
+    )
+    return hash_partition_merge(cells, "yr", merge, k=1)

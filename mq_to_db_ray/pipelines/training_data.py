@@ -22377,3 +22377,141 @@ def embedding_mean_vector(sf_dir: str) -> Dataset:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_partition_merge(partials, "dim", merge, k=1)
+
+
+def core_vocab(sf_dir: str) -> Dataset:
+    """T222: core-vocabulary coverage — define the corpus CORE as the
+    word types present in at least HALF the sources (2·breadth ≥
+    |sources|) and report per source: total word occurrences,
+    occurrences of core types, and the core-coverage permille — how
+    much of each slice is written in the corpus's shared language
+    (T156 histograms breadth over the VOCABULARY, T118 counts
+    exclusive types, T60 covers by corpus TOP-k frequency; T222's
+    core is breadth-defined, which survives volume skew: a source at
+    300‰ core coverage speaks its own dialect — it will anchor its own
+    embedding cluster and resist cross-source dedup — while 900‰
+    sources are interchangeable).  One dense row per source ALWAYS;
+    exact int64 (per-word count-DISTINCT-source breadth + core filter
+    + per-source occurrence sums oracle).
+
+    Scale shape — T197's word-hash exchange: each word's partition
+    holds every (source, word, n) cell, so its breadth and core-ness
+    settle locally and re-reduce IN PLACE to per-source
+    (occurrences, core occurrences) pairs; the |sources| count ships
+    as one broadcast integer; k=1 densifying merge.  Word strings die
+    in the partition."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "w": flat,
+                "src": pa.array(code[parent].astype(np.int64)),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        g = t.group_by(["w", "src"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["w", "src", "n"])
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "w": g["w"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "core": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        # combine (word, source) cells, then breadth per word
+        key = wid * ns + src
+        packed, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(packed), np.int64)
+        np.add.at(cnt, inv, n)
+        wu = packed // ns
+        su = packed % ns
+        breadth = np.bincount(wu, minlength=nw)
+        is_core = (2 * breadth[wu]) >= ns
+        occ = np.bincount(su, weights=cnt, minlength=ns).astype(np.int64)
+        core = np.bincount(
+            su[is_core], weights=cnt[is_core], minlength=ns
+        ).astype(np.int64)
+        live = np.flatnonzero(occ)
+        return pa.table(
+            {
+                "src": pa.array(live.astype(np.int64)),
+                "occ": pa.array(occ[live]),
+                "core": pa.array(core[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        occ = np.zeros(ns, np.int64)
+        core = np.zeros(ns, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                occ, s,
+                t["occ"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                core, s,
+                t["core"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "source": srcs,
+                "n_occurrences": pa.array(occ),
+                "n_core": pa.array(core),
+                "core_permille": pa.array(
+                    1000 * core // np.maximum(occ, 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    cells = hash_partition_merge(partials, "h", fold)
+    return hash_partition_merge(cells, "src", merge, k=1)
