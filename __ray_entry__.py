@@ -1057,6 +1057,12 @@ def _q_events_session_richness(sf_dir: str):
     return events_session_richness(sf_dir)
 
 
+def _q_events_schedule_shift(sf_dir: str):
+    from mq_to_db_ray.pipelines.events import events_schedule_shift
+
+    return events_schedule_shift(sf_dir)
+
+
 def _q_events_momentum_runs(sf_dir: str):
     from mq_to_db_ray.pipelines.events import events_momentum_runs
 
@@ -2442,6 +2448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_momentum_runs": _q_events_momentum_runs,
         "doc_core_vocab": td.core_vocab,
         "rel_concentration_trend": rel.concentration_trend,
+        # --- wave 170 ---
+        "events_schedule_shift": _q_events_schedule_shift,
+        "doc_hapax_position": td.hapax_position,
+        "rel_weekend_trend": rel.weekend_trend,
         # --- no_oracle diagnostics (rows-only driver check) ---
         "events_ewma_1m": _q_events_ewma,
         "events_holt_1m": _q_events_holt,
@@ -3084,6 +3094,72 @@ def oracle_sql() -> dict[str, str]:
                                             * (1 - l_discount)) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS returned_revenue
             FROM lineitem GROUP BY 1
+        """,
+        "events_schedule_shift": """
+            WITH o AS (SELECT event_type AS source,
+                              epoch_us(ts) // 86400000000 AS day,
+                              epoch_us(ts) // 3600000000 % 24 AS hour
+                       FROM events),
+            mm AS (SELECT source, (min(day) + max(day)) // 2 AS mid
+                   FROM o GROUP BY 1),
+            h AS (SELECT o.source,
+                         CASE WHEN o.day > mm.mid THEN 1 ELSE 0 END
+                             AS half,
+                         o.hour, CAST(count(*) AS BIGINT) AS n
+                  FROM o JOIN mm USING (source) GROUP BY 1, 2, 3),
+            m0 AS (SELECT source, hour AS eh FROM (
+                     SELECT *, row_number() OVER (PARTITION BY source
+                         ORDER BY n DESC, hour ASC) AS rn
+                     FROM h WHERE half = 0) WHERE rn = 1),
+            m1 AS (SELECT source, hour AS lh FROM (
+                     SELECT *, row_number() OVER (PARTITION BY source
+                         ORDER BY n DESC, hour ASC) AS rn
+                     FROM h WHERE half = 1) WHERE rn = 1)
+            SELECT source,
+                   CAST(eh AS BIGINT) AS early_modal_hour,
+                   CAST(lh AS BIGINT) AS late_modal_hour,
+                   CAST(LEAST(abs(eh - lh), 24 - abs(eh - lh)) AS BIGINT)
+                       AS shift_distance
+            FROM m0 JOIN m1 USING (source)
+        """,
+        "doc_hapax_position": """
+            WITH l AS (SELECT source, str_split(text, ' ') AS w,
+                              len(str_split(text, ' ')) AS nw
+                       FROM documents),
+            t AS (SELECT source, nw, unnest(range(1, nw + 1)) AS i, w
+                  FROM l),
+            o AS (SELECT source,
+                         list_extract(w, CAST(i AS BIGINT)) AS word,
+                         3 * (i - 1) // nw AS third
+                  FROM t),
+            f AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                  FROM o GROUP BY 1)
+            SELECT o.source, CAST(o.third AS BIGINT) AS third,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(sum(CASE WHEN f.n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(1000 * sum(CASE WHEN f.n = 1 THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS hapax_permille
+            FROM o JOIN f ON f.word = o.word
+            GROUP BY 1, 2
+        """,
+        "rel_weekend_trend": """
+            WITH o AS (SELECT year(o_orderdate) AS yr,
+                              dayofweek(o_orderdate) AS dw,
+                              CAST(floor(o_totalprice) AS BIGINT) AS rv
+                       FROM orders),
+            b AS (SELECT yr,
+                         CASE WHEN dw IN (0, 6) THEN 1 ELSE 0 END AS we,
+                         rv
+                  FROM o)
+            SELECT CAST(yr AS BIGINT) AS order_year,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(we) AS BIGINT) AS n_weekend,
+                   CAST(1000 * sum(we) // count(*) AS BIGINT)
+                       AS weekend_permille,
+                   CAST(sum(rv) AS BIGINT) AS revenue_floor,
+                   CAST(sum(we * rv) AS BIGINT) AS weekend_revenue
+            FROM b GROUP BY 1
         """,
         "events_momentum_runs": """
             WITH o AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS v,

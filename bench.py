@@ -828,6 +828,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_momentum_runs",
         "doc_core_vocab",
         "rel_concentration_trend",
+        "events_schedule_shift",
+        "doc_hapax_position",
+        "rel_weekend_trend",
     ]
     out: dict[str, float] = {}
     for name in names:

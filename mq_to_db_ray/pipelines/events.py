@@ -21590,3 +21590,128 @@ def events_momentum_runs(sf_dir: str, cap: int = 20) -> Dataset:
         narrow_ds, "user_id", fold, k=_adaptive_k(sf_dir)
     )
     return hash_partition_merge(partials, "band", merge, k=1)
+
+
+def events_schedule_shift(sf_dir: str) -> Dataset:
+    """E217: schedule-shift board — split each source's calendar at its
+    own midpoint day ((first_day + last_day) // 2, inclusive left) and
+    compare the modal HOUR-OF-DAY of the two halves (ties → smaller
+    hour): per source both modal hours and their circular distance —
+    DID THE FEED'S CLOCK MOVE, the schedule-change detector the static
+    clocks average away (E30/E93 profile the whole history as one
+    shape; E209 tracks USER clock drift; E217 watches the SOURCE: a
+    6-hour shift between halves is a cron migration, a timezone
+    misconfiguration, or a producer redeploy — datable to the midpoint
+    without a changepoint model).  One dense row per source ALWAYS;
+    exact int64 (per-source min/max day + half split + two modal
+    row_numbers + circular LEAST oracle).
+
+    Scale shape — ONE narrow exchange of PRE-REDUCED (source, day,
+    hour, n) cells; the SOURCE-hash fold holds the source's whole
+    calendar-bounded cell set, finds its own midpoint, and reduces to
+    two 24-bin grids; k=1 merge takes the argmaxes."""
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(sorted(events_src_list(sf_dir)), pa.string())
+    ns = len(srcs)
+    HOUR_US = 3_600_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        override_num_blocks=_adaptive_k(sf_dir),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = (
+            pc.cast(pc.index_in(b["event_type"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        hrs = (
+            b["ts"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // HOUR_US
+        )
+        day = hrs // 24
+        hour = hrs % 24
+        key = (day * 24 + hour) * ns + code
+        packed, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(packed % ns),
+                "dh": pa.array(packed // ns),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "half": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dh = t["dh"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = dh // 24
+        hour = dh % 24
+        # per-source midpoint from its own min/max day
+        mn = np.full(ns, np.int64(2**62))
+        mx = np.full(ns, np.int64(-(2**62)))
+        np.minimum.at(mn, src, day)
+        np.maximum.at(mx, src, day)
+        mid = (mn + mx) // 2
+        half = (day > mid[src]).astype(np.int64)
+        cell = src * 48 + half * 24 + hour
+        grid = np.zeros(ns * 48, np.int64)
+        np.add.at(grid, cell, nn)
+        live = np.flatnonzero(grid)
+        return pa.table(
+            {
+                "src": pa.array(live // 48),
+                "half": pa.array(live % 48 // 24),
+                "hour": pa.array(live % 24),
+                "n": pa.array(grid[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        grid = np.zeros(ns * 48, np.int64)
+        if t.num_rows:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            h = t["half"].combine_chunks().to_numpy(zero_copy_only=False)
+            hr = t["hour"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                grid, s * 48 + h * 24 + hr,
+                t["n"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        g2 = grid.reshape(ns, 2, 24)
+        eh = g2[:, 0, :].argmax(axis=1)
+        lh = g2[:, 1, :].argmax(axis=1)
+        d = np.abs(eh - lh)
+        dist = np.minimum(d, 24 - d)
+        # a single-active-day source has an empty late half — drop it,
+        # matching the oracle's inner join of the two modal picks
+        live = np.flatnonzero(
+            (g2[:, 0, :].sum(axis=1) > 0) & (g2[:, 1, :].sum(axis=1) > 0)
+        )
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live)),
+                "early_modal_hour": pa.array(eh[live].astype(np.int64)),
+                "late_modal_hour": pa.array(lh[live].astype(np.int64)),
+                "shift_distance": pa.array(dist[live].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = hash_partition_merge(partials, "src", fold, k=max(ns, 1))
+    return hash_partition_merge(cells, "src", merge, k=1)

@@ -21535,3 +21535,97 @@ def concentration_trend(sf_dir: str) -> Dataset:
         partials, "k", fold, k=_rel_k(sf_dir, "orders")
     )
     return hash_partition_merge(cells, "yr", merge, k=1)
+
+
+def weekend_trend(sf_dir: str) -> Dataset:
+    """R150: weekend-order trend — per order year: orders, WEEKEND
+    orders (dayofweek 0 or 6, DuckDB's Sunday=0), the weekend
+    permille, and the floored value of both populations — the
+    B2B/B2C calendar mix over time (R102 profiles weekdays statically;
+    R150 adds the clock: a rising weekend share is a customer-mix
+    shift toward consumers — or a mobile checkout launch — and either
+    re-weights staffing and R130's weekly operating cycle).  One row
+    per order year ALWAYS; exact int64 (dayofweek + CASE-split counts
+    and sums oracle).
+
+    Scale shape — ZERO-join scan-reduce (R1 shape): weekday via the
+    (day + 4) % 7 shift, one packed bincount quartet per batch onto a
+    ≤ years grid; k=1 merge."""
+    DAY_US = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        override_num_blocks=_rel_k(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            // DAY_US
+        )
+        yr = day.astype("datetime64[D]").astype("datetime64[Y]").astype(
+            np.int64
+        )
+        dow = (day + 4) % 7
+        we = (dow == 0) | (dow == 6)
+        rv = np.floor(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uy, inv = np.unique(yr, return_inverse=True)
+        n = np.bincount(inv)
+        nw = np.bincount(inv[we], minlength=len(uy))
+        v = np.bincount(inv, weights=rv, minlength=len(uy)).astype(np.int64)
+        vw = np.bincount(
+            inv[we], weights=rv[we], minlength=len(uy)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "yr": pa.array(uy),
+                "n": pa.array(n.astype(np.int64)),
+                "nw": pa.array(nw.astype(np.int64)),
+                "v": pa.array(v),
+                "vw": pa.array(vw),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "order_year": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_weekend": pa.array([], pa.int64()),
+                    "weekend_permille": pa.array([], pa.int64()),
+                    "revenue_floor": pa.array([], pa.int64()),
+                    "weekend_revenue": pa.array([], pa.int64()),
+                }
+            )
+        yr = t["yr"].combine_chunks().to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        n = np.zeros(len(uy), np.int64)
+        nw = np.zeros(len(uy), np.int64)
+        v = np.zeros(len(uy), np.int64)
+        vw = np.zeros(len(uy), np.int64)
+        for acc, col in ((n, "n"), (nw, "nw"), (v, "v"), (vw, "vw")):
+            np.add.at(
+                acc, inv,
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        return pa.table(
+            {
+                "order_year": pa.array((uy + 1970).astype(np.int64)),
+                "n_orders": pa.array(n),
+                "n_weekend": pa.array(nw),
+                "weekend_permille": pa.array(1000 * nw // np.maximum(n, 1)),
+                "revenue_floor": pa.array(v),
+                "weekend_revenue": pa.array(vw),
+            }
+        )
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_partition_merge(partials, "yr", merge, k=1)

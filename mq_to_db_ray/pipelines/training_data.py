@@ -22515,3 +22515,150 @@ def core_vocab(sf_dir: str) -> Dataset:
     )
     cells = hash_partition_merge(partials, "h", fold)
     return hash_partition_merge(cells, "src", merge, k=1)
+
+
+def hapax_position(sf_dir: str) -> Dataset:
+    """T223: hapax-position cross — per (source, document third of the
+    occurrence, 3·p // n): total word occurrences in the cell and
+    occurrences of CORPUS-HAPAX types (global frequency exactly 1 —
+    the hapax's single occurrence has one well-defined position), with
+    the hapax permille — WHERE the corpus's noise lives inside
+    documents, the cross T124 and T200 each hold one axis of (T124
+    counts hapax per source with no position, T200 classifies the
+    whole lexicon by thirds with no rarity; OCR damage and truncation
+    artifacts concentrate singletons at document TAILS — page edges,
+    cut-off sentences — while uniform hapax spread is genuine
+    long-tail vocabulary).  One row per occupied (source, third);
+    exact int64 (range-unnest thirds + per-word corpus count +
+    filtered sums oracle).
+
+    Scale shape — T197's word-hash exchange carrying each cell's
+    third-histogram: batches pre-reduce to (hash, source, word,
+    third-counts) cells via one lexsort; the word's partition decides
+    corpus-hapaxness exactly and re-reduces IN PLACE to a
+    ≤ sources × 3 grid (total occurrence counts ride the same cells);
+    k=1 densifying merge."""
+    import polars as pl
+
+    from ..stages.shuffle import hash_partition_merge
+
+    srcs = pa.array(
+        sorted(_docs(sf_dir, ["source"]).unique("source")), pa.string()
+    )
+    ns = len(srcs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nw = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = np.zeros(len(nw) + 1, dtype=np.int64)
+        np.cumsum(nw, out=offs[1:])
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - offs[:-1][parent]
+        third = 3 * pos // nw[parent]
+        code = (
+            pc.cast(pc.index_in(b["source"], value_set=srcs), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        src_occ = code[parent]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per (src, word): counts per third, via packed unique
+        key = (codes * ns + src_occ) * 3 + third
+        packed, cnt = np.unique(key, return_counts=True)
+        g = pa.table(
+            {
+                "w": pc.take(enc.dictionary, pa.array(packed // 3 // ns)),
+                "src": pa.array(packed // 3 % ns),
+                "third": pa.array(packed % 3),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+        hs = (
+            pl.from_arrow(g.select(["w"]))["w"]
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "src": g["src"],
+                "third": g["third"],
+                "w": g["w"],
+                "n": g["n"],
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "occ": pa.array([], pa.int64()),
+                    "hx": pa.array([], pa.int64()),
+                }
+            )
+        wcol = t["w"]
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        wid = wcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        third = t["third"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = int(wid.max()) + 1
+        freq = np.zeros(nw, np.int64)
+        np.add.at(freq, wid, n)
+        is_hapax = freq[wid] == 1
+        cell = src * 3 + third
+        occ = np.zeros(ns * 3, np.int64)
+        hx = np.zeros(ns * 3, np.int64)
+        np.add.at(occ, cell, n)
+        np.add.at(hx, cell[is_hapax], n[is_hapax])
+        live = np.flatnonzero(occ)
+        return pa.table(
+            {
+                "cell": pa.array(live.astype(np.int64)),
+                "occ": pa.array(occ[live]),
+                "hx": pa.array(hx[live]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        occ = np.zeros(ns * 3, np.int64)
+        hx = np.zeros(ns * 3, np.int64)
+        if t.num_rows:
+            cell = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            np.add.at(
+                occ, cell,
+                t["occ"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            np.add.at(
+                hx, cell,
+                t["hx"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        live = np.flatnonzero(occ)
+        return pa.table(
+            {
+                "source": pc.take(srcs, pa.array(live // 3)),
+                "third": pa.array((live % 3).astype(np.int64)),
+                "n_occurrences": pa.array(occ[live]),
+                "n_hapax": pa.array(hx[live]),
+                "hapax_permille": pa.array(
+                    1000 * hx[live] // np.maximum(occ[live], 1)
+                ),
+            }
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    cells = hash_partition_merge(partials, "h", fold)
+    return hash_partition_merge(cells, "cell", merge, k=1)
